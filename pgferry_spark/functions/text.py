@@ -1,0 +1,103 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting, and
+document fingerprinting — all as built-in-function Column expressions so they
+run JVM-side at 100 TB (no Python in the hot path). Every function here has
+an ANSI-SQL twin used by the DuckDB oracle in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists — deterministic heuristic, not a model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+}
+
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, _WS)
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def avg_token_len(col: Column) -> Column:
+    """Mean token length, NULL for empty docs."""
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(total.cast("double") / n)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters in a fixed punctuation class."""
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, r"[.,;:!?]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - stripped).cast("double") / n)
+
+
+def stopword_hits(col: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    toks = tokens(F.lower(col))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_hits(col, lang).cast("double") / n
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Pick the language whose stopword list scores the most hits; ties and
+    zero-hit docs fall back to 'und' (undetermined). Deterministic tie-break:
+    language-code ascending."""
+    hits = {lang: stopword_hits(col, lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build reverse-order CASE so the FIRST language in sorted order wins ties
+    for lang in sorted(STOPWORDS, reverse=True):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length docs and
+    prose-like token lengths, penalizes punctuation soup. Weights are fixed
+    constants so the score is reproducible."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    atl = F.coalesce(avg_token_len(col), F.lit(0.0))
+    atl_score = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    return F.round(0.4 * len_score + 0.3 * atl_score + 0.3 * punct_score, 4)
+
+
+def normalize_ws(col: Column) -> Column:
+    """Canonical whitespace form: lowercase, collapse runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), _WS, " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized text. Two docs
+    differing only in case/whitespace collide — the standard first-pass
+    near-dup key before MinHash."""
+    return F.md5(normalize_ws(col))

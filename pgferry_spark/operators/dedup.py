@@ -1,0 +1,226 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each shaped for 100 TB:
+
+* **exact** — hash-groupBy on the content (or a normalized fingerprint).
+  One shuffle on a 16-byte key; map-side partial aggregation applies.
+* **MinHash + LSH** — shingle → minhash signature → band buckets →
+  bucket-join for candidate pairs. The self-join happens only within tiny
+  LSH buckets, never all-pairs.
+* **SimHash** — 64-bit locality-sensitive fingerprint; near-dups differ in
+  few bits. One explode + one groupBy; Hamming check is a cheap bigint XOR.
+* **n-gram Jaccard** — exact verification of candidate pairs (the refine
+  step after LSH's recall-oriented filter).
+
+Token hashing uses the oracle-portable md5 scheme from functions.hashing so
+every step is verifiable against DuckDB SQL; swap in xxhash64 for production
+throughput (same operator shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import band_hashes, minhash_signature
+from ..functions.text import fingerprint, tokens
+
+
+# -- exact -------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact content value."""
+    keep = df.groupBy(content_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[content_col, id_col], how="left_semi")
+
+
+def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """(keeper_id, dup_count) per distinct content — the audit view."""
+    return (
+        df.groupBy(content_col)
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("keeper_id", "dup_count")
+    )
+
+
+def dedup_by_fingerprint(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on the whitespace/case-normalized md5 fingerprint."""
+    with_fp = df.withColumn("__fp", fingerprint(F.col(content_col)))
+    keep = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keep, on=["__fp", id_col], how="left_semi").drop("__fp")
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, signature array<string>) — MinHash over the whitespace token set."""
+    toks = F.array_distinct(tokens(F.lower(F.col(content_col))))
+    return df.select(
+        F.col(id_col),
+        minhash_signature(toks, num_hashes).alias("signature"),
+    )
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_hash) — one row per doc per band. Docs sharing a
+    (band_id, band_hash) bucket are near-dup candidates."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, content_col, id_col, num_hashes)
+    hashes = band_hashes(F.col("signature"), bands, rows_per_band)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), h.alias("band_hash"))
+            for b, h in enumerate(hashes)
+        ]
+    )
+    return (
+        sig.select(F.col(id_col), F.explode(pairs).alias("bh"))
+        .select(id_col, F.col("bh.band_id").alias("band_id"), F.col("bh.band_hash").alias("band_hash"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
+
+    The join key is (band_id, band_hash): each bucket is expected O(1)-sized,
+    so the self-join is linear in candidates, not quadratic in corpus."""
+    buckets = lsh_bucket_table(df, content_col, id_col, num_hashes, bands)
+    a = buckets.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = buckets.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """(id, simhash bigint) — 64-bit SimHash over xxhash64 token hashes.
+
+    Per doc: every token votes its hash bits (+1 for set, −1 for unset); the
+    fingerprint keeps bits with positive sums. Implemented explode → groupBy
+    with 64 conditional sums (one shuffle; partial aggregation applies).
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.lower(F.col(content_col))))).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs whose SimHash Hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit fingerprint into ``max_hamming+1`` bands — by
+    pigeonhole, any pair within the distance agrees exactly on ≥1 band, so a
+    band-equality self-join finds all such pairs without an all-pairs scan.
+    """
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sh = simhash64(df, content_col, id_col)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_val"),
+        )
+        for b in range(nbands)
+    ]
+    blocked = sh.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band_id").alias("band_id"), F.col("bb.band_val").alias("band_val")
+    )
+    a = blocked.select(F.col("band_id"), F.col("band_val"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = blocked.select(F.col("band_id"), F.col("band_val"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, on=["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# -- n-gram Jaccard ----------------------------------------------------------
+
+
+def ngram_set(col, n: int = 3):
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = tokens(F.lower(col))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.when(cnt < n, F.array().cast("array<string>")).otherwise(grams))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: explode each side's shingle
+    set, count intersections per pair, and derive |union| = |A|+|B|−|∩|.
+
+    This is the verify step after LSH/SimHash blocking: cost is linear in
+    candidate-pair shingles, never corpus-quadratic."""
+    shingled = df.select(
+        F.col(id_col), ngram_set(F.col(content_col), n).alias("grams")
+    ).withColumn("gram_count", F.size("grams"))
+    ex = shingled.select(F.col(id_col), F.col("gram_count"), F.explode("grams").alias("gram"))
+
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("gram_count").alias("n_a"), "gram")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("gram_count").alias("n_b"), "gram")
+    inter = (
+        pairs.join(a, on="id_a")
+        .join(b, on=["id_b", "gram"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

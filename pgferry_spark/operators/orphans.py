@@ -1,0 +1,81 @@
+"""Orphan-row cleanup — the reference's only join-shaped operator (J1).
+
+The reference emits ``DELETE ... WHERE (fk cols NOT NULL) AND NOT EXISTS
+(parent)`` / ``UPDATE ... SET fk = NULL`` to PostgreSQL (reference
+post.go:475-538). Spark-first, this is a **null-aware left anti join**
+restricted to rows where all FK columns are non-null (MATCH SIMPLE: a row
+with ANY NULL fk component is never an orphan).
+
+Scale notes: the parent side is projected to just the referenced key columns
+and distinct-ed before the join, so for a typical dimension parent Spark's
+AQE will broadcast it — no shuffle of the (huge) child. For same-magnitude
+parents this degrades gracefully to a shuffled anti join on the key.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _non_null_cond(df: DataFrame, cols: list[str]):
+    return reduce(lambda a, b: a & b, (F.col(c).isNotNull() for c in cols))
+
+
+def _join_cond(child: DataFrame, parent: DataFrame, fk_cols: list[str], ref_cols: list[str]):
+    return reduce(
+        lambda a, b: a & b,
+        (child[f] == parent[r] for f, r in zip(fk_cols, ref_cols)),
+    )
+
+
+def find_orphans(
+    child: DataFrame, parent: DataFrame, fk_cols: list[str], ref_cols: list[str]
+) -> DataFrame:
+    """Rows of ``child`` whose fully-non-null FK tuple has no match in
+    ``parent`` (MATCH SIMPLE semantics)."""
+    parent_keys = parent.select(*ref_cols).dropDuplicates(ref_cols)
+    candidates = child.filter(_non_null_cond(child, fk_cols))
+    return candidates.join(
+        parent_keys, on=_join_cond(candidates, parent_keys, fk_cols, ref_cols), how="left_anti"
+    )
+
+
+def clean_orphans_delete(
+    child: DataFrame, parent: DataFrame, fk_cols: list[str], ref_cols: list[str]
+) -> DataFrame:
+    """DELETE-rule cleanup: drop orphan rows, keep rows with any NULL FK
+    component and all matched rows."""
+    parent_keys = parent.select(*ref_cols).dropDuplicates(ref_cols)
+    has_nulls = child.filter(~_non_null_cond(child, fk_cols))
+    matched = child.filter(_non_null_cond(child, fk_cols)).join(
+        parent_keys,
+        on=_join_cond(child, parent_keys, fk_cols, ref_cols),
+        how="left_semi",
+    )
+    return matched.unionByName(has_nulls)
+
+
+def clean_orphans_set_null(
+    child: DataFrame, parent: DataFrame, fk_cols: list[str], ref_cols: list[str]
+) -> DataFrame:
+    """SET NULL-rule cleanup (FKs declared ON DELETE SET NULL): orphan rows
+    keep their non-FK columns but the FK columns become NULL."""
+    parent_keys = parent.select(
+        *[F.col(r).alias(f"__ref_{i}") for i, r in enumerate(ref_cols)]
+    ).dropDuplicates()
+    cond = reduce(
+        lambda a, b: a & b,
+        (child[f] == parent_keys[f"__ref_{i}"] for i, f in enumerate(fk_cols)),
+    )
+    joined = child.join(F.broadcast(parent_keys), on=cond, how="left")
+    is_orphan = _non_null_cond(child, fk_cols) & parent_keys[f"__ref_{0}"].isNull()
+    out_cols = []
+    for c in child.columns:
+        if c in fk_cols:
+            out_cols.append(F.when(is_orphan, F.lit(None)).otherwise(child[c]).alias(c))
+        else:
+            out_cols.append(child[c].alias(c))
+    return joined.select(*out_cols)

@@ -1,0 +1,234 @@
+"""Relational analytics queries over the engine's DataFrame layer.
+
+The reference has no general query executor (SURVEY §2.3/§2.6/§2.7: only
+MIN/MAX, COUNT(*) and one anti-join shape) — Spark SQL gives the full
+relational algebra for free. These queries are the engine's headline
+surface: TPC-H-style aggregation/join/window/rollup plans used by bench.py
+and the correctness gate.
+
+Determinism discipline (drives the DuckDB oracle comparison):
+
+* all money math runs in exact DECIMAL with operand precisions sized so no
+  product exceeds precision 38 (no engine-specific overflow rounding), and
+  only the final aggregate is cast to DOUBLE;
+* every top-k has a total-order tie-break;
+* all rounding happens once, at the output edge.
+
+Scale notes: group-bys aggregate partially map-side before the shuffle;
+joins against region/nation/supplier-sized dims broadcast (AQE converts
+them; the dims are far under the broadcast threshold); the window query
+shuffles once on its partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+from pyspark.sql.window import Window
+
+D12_2 = DecimalType(12, 2)
+D6_4 = DecimalType(6, 4)
+
+
+def _price(c: str = "l_extendedprice"):
+    return F.col(c).cast(D12_2)
+
+
+def _qty():
+    return F.col("l_quantity").cast(D12_2)
+
+
+def _one_minus(c: str):
+    return (F.lit(1).cast(D6_4) - F.col(c).cast(D6_4))
+
+
+def _one_plus(c: str):
+    return (F.lit(1).cast(D6_4) + F.col(c).cast(D6_4))
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter → groupBy → 8 aggregates."""
+    disc_price = _price() * _one_minus("l_discount")  # d(12,2)*d(7,4) = d(20,6) exact
+    charge = disc_price * _one_plus("l_tax")  # d(20,6)*d(7,4) = d(28,10) exact
+    out = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_qty()).cast("double").alias("sum_qty"),
+            F.sum(_price()).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(_qty()).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_price()).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "count_order",
+        F.round("avg_qty", 6).alias("avg_qty"),
+        F.round("avg_price", 6).alias("avg_price"),
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+) -> DataFrame:
+    """TPC-H Q3-shaped: dim-filtered join chain → grouped revenue → top 10.
+
+    customer is dimension-sized relative to lineitem → broadcast-joined;
+    the lineitem⋈orders join shuffles on the order key.
+    """
+    revenue = _price() * _one_minus("l_discount")
+    cut = F.lit(cutoff).cast("timestamp")
+    joined = (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .join(orders.filter(F.col("o_orderdate") < cut), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "REGION#0",
+) -> DataFrame:
+    """TPC-H Q5-shaped: 5-way join where customer and supplier must share a
+    nation inside one region; revenue per nation. All dims broadcast."""
+    revenue = _price() * _one_minus("l_discount")
+    dims = (
+        nation.join(F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    joined = (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def top_order_per_customer(orders: DataFrame) -> DataFrame:
+    """Window operator: each customer's single highest-value order
+    (row_number with a total-order tie-break)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast(D12_2).cast("double").alias("best_price"),
+        )
+    )
+
+
+def rollup_pricing(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP aggregate — subtotals per (returnflag, linestatus), per
+    returnflag, and grand total (absent in the reference; free in Spark)."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_price()).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def distinct_orders_per_flag(lineitem: DataFrame) -> DataFrame:
+    """COUNT(DISTINCT) — two-phase distinct aggregation."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling-window event aggregation (batch twin of the Structured
+    Streaming operator in streaming/events.py): per hour × event_type."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D12_2)).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+def minmax_probe(df: DataFrame, key: str, table_name: str) -> DataFrame:
+    """S3/A1 — the chunk planner's single-pass MIN/MAX(+count) probe."""
+    return df.agg(
+        F.lit(table_name).alias("table_name"),
+        F.min(key).alias("min_key"),
+        F.max(key).alias("max_key"),
+        F.count(F.lit(1)).alias("row_cnt"),
+    )
+
+
+def row_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """A2/O6 — validation row counts as one DataFrame (deterministic order
+    comes from the sorted table name)."""
+    from functools import reduce
+
+    parts = [
+        df.agg(F.lit(name).alias("table_name"), F.count(F.lit(1)).alias("row_cnt"))
+        for name, df in sorted(tables.items())
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def sequence_reset_values(tables: dict[str, tuple[DataFrame, str]]) -> DataFrame:
+    """A3 — next sequence value per table: COALESCE(MAX(pk),0)+1."""
+    from functools import reduce
+
+    parts = [
+        df.agg(
+            F.lit(name).alias("table_name"),
+            (F.coalesce(F.max(key), F.lit(0)) + 1).cast("long").alias("next_val"),
+        )
+        for name, (df, key) in sorted(tables.items())
+    ]
+    return reduce(DataFrame.unionByName, parts)

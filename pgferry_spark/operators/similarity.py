@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* **Brute-force cosine top-k** — the exact baseline. Dot products run as a
+  JVM-side ``aggregate`` fold over ``zip_with`` (no Python), so a scan over
+  N embeddings is one codegen'd stage + a driver top-k.
+* **Random-hyperplane LSH buckets** — the scale path: sign-bit signatures
+  of seeded deterministic hyperplanes put similar vectors in the same
+  bucket; queries probe only their bucket. Planes are generated driver-side
+  from a seeded PRNG (NumPy) and broadcast as literals.
+
+At 1000-executor scale, brute force is a full scan per query (fine for batch
+scoring, wrong for interactive); the LSH table turns that into a
+bucket-pruned lookup, and an IVF variant would replace random planes with
+k-means centroids — same bucket-join shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(vec_col, query: list[float]):
+    """Cosine similarity of a vector column against a literal query vector,
+    evaluated as a sequential fold (deterministic FP order — matches the
+    SQL oracle's list_dot_product)."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    qn = float(np.sqrt(np.dot(query, query)))
+    v = vec_col.cast("array<double>")
+    return _dot(v, q) / (_norm(v) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine similarity; deterministic tie-break on id."""
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), query), 4).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def pairwise_cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, probe: DataFrame, k: int = 5
+) -> DataFrame:
+    """Batch scoring: for every probe row, exact top-k neighbors from df.
+    Broadcast the (small) probe side; rank with a window per probe id."""
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("base_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    probes = probe.select(F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("q"))
+    crossed = base.crossJoin(F.broadcast(probes)).filter(F.col("base_id") != F.col("probe_id"))
+    sim = _dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * _norm(F.col("q")))
+    scored = crossed.select("probe_id", "base_id", F.round(sim, 4).alias("cosine_sim"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine_sim").desc(), F.col("base_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "base_id", "cosine_sim", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec_col, planes: np.ndarray):
+    """Sign-bit LSH signature → one bigint bucket id per vector."""
+    v = vec_col.cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_bucket_table(
+    df: DataFrame, vec_col: str, id_col: str, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """(id, bucket) assignment table; similar vectors collide with high
+    probability. Partition/bucket by ``bucket`` downstream so probe queries
+    touch one partition."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    return df.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    Returns the same schema as cosine_topk (may miss true neighbors —
+    that's the recall/cost trade the bucket index buys)."""
+    planes = random_hyperplanes(len(query), n_planes, seed)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(query, plane)) >= 0:
+            qbits |= 1 << i
+    tagged = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    in_bucket = tagged.filter(F.col("bucket") == qbits)
+    return cosine_topk(in_bucket, vec_col, id_col, query, k)

@@ -1,0 +1,78 @@
+"""Parquet source with chunk-predicate reads.
+
+The reference's chunked range scan (S2, reference chunk.go:73-94) maps to a
+partition-predicate read. Against parquet the filter is pushed to the scan
+(row-group pruning via min/max statistics — check ``PushedFilters`` in
+``.explain``); against JDBC the same ``ChunkPlan`` becomes the
+``predicates=[...]`` list (see sources/jdbc.py).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.chunk import ChunkPlan
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read tolerant of INT64 TIMESTAMP(NANOS) columns (which Spark
+    rejects by default): nanos are read as long and converted to microsecond
+    timestamps with exact integer math (``div 1000`` — float division would
+    lose precision above 2^53)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql.types import LongType
+
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> dict[str, DataFrame]:
+    """Load the driver-provided parquet tables as DataFrames."""
+    return {t: read_parquet(spark, os.path.join(sf_dir, f"{t}.parquet")) for t in tables}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> None:
+    for name, df in load_tables(spark, sf_dir, tables).items():
+        df.createOrReplaceTempView(name)
+
+
+def chunked_parquet_read(
+    spark: SparkSession,
+    path: str,
+    plan: ChunkPlan,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read a parquet table as the union of its chunk-predicate scans.
+
+    Each chunk filter prunes row groups independently; the union of disjoint
+    ranges is a partition-parallel read identical in coverage to the full
+    scan (tests assert this equivalence). ``columns`` applies projection
+    pruning at the scan.
+    """
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    preds = plan.predicates()
+    if preds is None:
+        return df
+    parts = [df.filter(F.expr(p)) for p in preds]
+    return reduce(DataFrame.unionByName, parts)
