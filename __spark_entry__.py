@@ -265,12 +265,12 @@ def _exact_dedup(spark, sf):
 
 def _minhash_buckets(spark, sf):
     d = _t(spark, sf, "documents")
-    return dedup.lsh_bucket_table(d, "text", "doc_id", num_hashes=8, bands=4)
+    return dedup.lsh_bucket_table(d, "text", "doc_id", num_hashes=12, bands=4, shingle=3)
 
 
 def _lsh_pairs(spark, sf):
     d = _t(spark, sf, "documents")
-    return dedup.lsh_candidate_pairs(d, "text", "doc_id", num_hashes=8, bands=4)
+    return dedup.lsh_candidate_pairs(d, "text", "doc_id", num_hashes=12, bands=4, shingle=3)
 
 
 def _jaccard_adjacent(spark, sf):
@@ -376,19 +376,27 @@ def oracle_sql() -> dict[str, str]:
     disc_price = f"({dec_price} * {one_minus})"
     charge = f"({disc_price} * {one_plus})"
 
-    sig8 = ", ".join(
-        f"list_min(list_transform(toks, x -> md5('{i}:' || x)))" for i in range(8)
+    sig12 = ", ".join(
+        f"list_min(list_transform(grams, x -> md5('{i}:' || x)))" for i in range(12)
     )
     minhash_cte = f"""
         WITH tk AS (
           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
           FROM documents
         ),
-        sig AS (SELECT doc_id, [{sig8}] AS s FROM tk),
+        gr AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) < 3 THEN []
+                      ELSE list_transform(range(len(toks) - 2),
+                                          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                 END) AS grams
+          FROM tk
+        ),
+        sig AS (SELECT doc_id, [{sig12}] AS s FROM gr),
         bands AS (SELECT * FROM (VALUES (0),(1),(2),(3)) b(band_id)),
         buckets AS (
           SELECT doc_id, band_id,
-                 md5(array_to_string(list_slice(s, band_id*2 + 1, band_id*2 + 2), '|')) AS band_hash
+                 md5(array_to_string(list_slice(s, band_id*3 + 1, band_id*3 + 3), '|')) AS band_hash
           FROM sig CROSS JOIN bands
         )
     """

@@ -58,36 +58,71 @@ def minhash_signatures(
     df: DataFrame,
     content_col: str,
     id_col: str,
-    num_hashes: int = 16,
+    num_hashes: int = 12,
+    shingle: int = 3,
 ) -> DataFrame:
-    """(id, signature array<string>) — MinHash over the whitespace token set."""
-    toks = F.array_distinct(tokens(F.lower(F.col(content_col))))
-    return df.select(
+    """(id, signature array<string>) — MinHash over the document's shingle set.
+
+    ``shingle`` > 1 hashes word n-grams (order-sensitive: documents sharing
+    vocabulary but not phrasing do NOT collide — essential when the corpus
+    has a narrow vocabulary); ``shingle=1`` degrades to the unigram token
+    set (bag-of-words similarity).
+    """
+    sig = _minhash_agg(df, content_col, id_col, num_hashes, shingle)
+    return sig.select(
         F.col(id_col),
-        minhash_signature(toks, num_hashes).alias("signature"),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
     )
+
+
+def _minhash_agg(
+    df: DataFrame, content_col: str, id_col: str, num_hashes: int, shingle: int
+) -> DataFrame:
+    """Explode-then-aggregate MinHash: one row per (doc, shingle), then
+    ``num_hashes`` MIN aggregates.
+
+    This shape matters: computing array_min over ``num_hashes`` inline
+    ``transform`` expressions makes Catalyst duplicate the (expensive)
+    shingle construction once per hash; exploding first builds each shingle
+    exactly once, and the MINs combine map-side before the shuffle.
+    """
+    if shingle > 1:
+        arr = ngram_set(F.col(content_col), shingle)
+    else:
+        arr = F.array_distinct(tokens(F.lower(F.col(content_col))))
+    grams = df.select(F.col(id_col), F.explode(arr).alias("gram"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return grams.groupBy(id_col).agg(*mins)
 
 
 def lsh_bucket_table(
     df: DataFrame,
     content_col: str,
     id_col: str,
-    num_hashes: int = 16,
+    num_hashes: int = 12,
     bands: int = 4,
+    shingle: int = 3,
 ) -> DataFrame:
     """(id, band_id, band_hash) — one row per doc per band. Docs sharing a
     (band_id, band_hash) bucket are near-dup candidates."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, content_col, id_col, num_hashes)
-    hashes = band_hashes(F.col("signature"), bands, rows_per_band)
-    pairs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_id"), h.alias("band_hash"))
-            for b, h in enumerate(hashes)
-        ]
-    )
+    sig = _minhash_agg(df, content_col, id_col, num_hashes, shingle)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
     return (
-        sig.select(F.col(id_col), F.explode(pairs).alias("bh"))
+        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bh"))
         .select(id_col, F.col("bh.band_id").alias("band_id"), F.col("bh.band_hash").alias("band_hash"))
     )
 
@@ -96,14 +131,17 @@ def lsh_candidate_pairs(
     df: DataFrame,
     content_col: str,
     id_col: str,
-    num_hashes: int = 16,
+    num_hashes: int = 12,
     bands: int = 4,
+    shingle: int = 3,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
 
     The join key is (band_id, band_hash): each bucket is expected O(1)-sized,
-    so the self-join is linear in candidates, not quadratic in corpus."""
-    buckets = lsh_bucket_table(df, content_col, id_col, num_hashes, bands)
+    so the self-join is linear in candidates, not quadratic in corpus. The
+    bucket table is persisted so the MinHash signatures (the expensive md5
+    work) are computed once, not once per join side."""
+    buckets = lsh_bucket_table(df, content_col, id_col, num_hashes, bands, shingle).persist()
     a = buckets.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )
@@ -164,8 +202,13 @@ def simhash_near_pairs(df: DataFrame, content_col: str, id_col: str, max_hamming
         )
         for b in range(nbands)
     ]
-    blocked = sh.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bb")).select(
-        id_col, "simhash", F.col("bb.band_id").alias("band_id"), F.col("bb.band_val").alias("band_val")
+    blocked = (
+        sh.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bb"))
+        .select(
+            id_col, "simhash",
+            F.col("bb.band_id").alias("band_id"), F.col("bb.band_val").alias("band_val"),
+        )
+        .persist()  # simhash agg (64 bit-sums) computed once, not per join side
     )
     a = blocked.select(F.col("band_id"), F.col("band_val"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = blocked.select(F.col("band_id"), F.col("band_val"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))

@@ -68,11 +68,27 @@ def chunked_parquet_read(
     scan (tests assert this equivalence). ``columns`` applies projection
     pruning at the scan.
     """
-    df = spark.read.parquet(path)
+    df = read_parquet(spark, path)
     if columns:
         df = df.select(*columns)
     preds = plan.predicates()
     if preds is None:
         return df
+    chunks = plan.chunks
+    contiguous = all(
+        chunks[i].hi == chunks[i + 1].lo for i in range(len(chunks) - 1)
+    )
+    if contiguous:
+        # Unbroken chunk plan (no resume-skipped chunks): coverage equals one
+        # range filter, so emit a single scan — parquet already parallelizes
+        # by row group; N unioned scans would read the footer N times.
+        lo, last = chunks[0], chunks[-1]
+        cond = F.col(plan.chunk_key) >= F.lit(lo.lo)
+        cond = cond & (
+            (F.col(plan.chunk_key) <= F.lit(last.hi))
+            if last.is_last
+            else (F.col(plan.chunk_key) < F.lit(last.hi))
+        )
+        return df.filter(cond)
     parts = [df.filter(F.expr(p)) for p in preds]
     return reduce(DataFrame.unionByName, parts)

@@ -1,0 +1,148 @@
+"""Operator semantics tests: orphan cleanup (MATCH SIMPLE parity with
+reference clean_orphans_test.go:8-82), dedup family, similarity search."""
+
+from pyspark.sql import functions as F
+
+from pgferry_spark.operators import dedup, orphans, similarity
+from pgferry_spark.plans.validation import validate_row_counts
+
+
+def parent_child(spark):
+    parent = spark.createDataFrame([(1,), (2,)], "id: long")
+    child = spark.createDataFrame(
+        [
+            (10, 1, 1),      # matched
+            (11, 2, None),   # partial NULL -> never an orphan (MATCH SIMPLE)
+            (12, None, None),# all NULL -> never an orphan
+            (13, 99, 1),     # orphan (99 not in parent)
+        ],
+        "cid: long, fk_a: long, fk_b: long",
+    )
+    parent2 = spark.createDataFrame([(1, 1), (2, 2)], "pa: long, pb: long")
+    return parent, child, parent2
+
+
+class TestOrphans:
+    def test_find_orphans_match_simple(self, spark):
+        parent, child, parent2 = parent_child(spark)
+        got = orphans.find_orphans(child, parent2, ["fk_a", "fk_b"], ["pa", "pb"])
+        assert [r["cid"] for r in got.collect()] == [13]
+
+    def test_delete_rule_keeps_null_rows(self, spark):
+        parent, child, parent2 = parent_child(spark)
+        got = orphans.clean_orphans_delete(child, parent2, ["fk_a", "fk_b"], ["pa", "pb"])
+        assert sorted(r["cid"] for r in got.collect()) == [10, 11, 12]
+
+    def test_set_null_rule(self, spark):
+        parent, child, _ = parent_child(spark)
+        got = orphans.clean_orphans_set_null(child, parent, ["fk_a"], ["id"])
+        rows = {r["cid"]: r["fk_a"] for r in got.collect()}
+        assert rows[10] == 1
+        assert rows[11] == 2       # matched on fk_a
+        assert rows[12] is None    # was already NULL
+        assert rows[13] is None    # orphan -> nulled
+        assert got.count() == 4    # rows kept, not deleted
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),   # near dup
+    (3, "completely different content entirely unrelated here now"),
+    (4, "  The  QUICK brown fox jumps over the lazy dog"),  # ws/case variant
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id: long, text: string")
+
+
+class TestDedup:
+    def test_exact(self, spark):
+        d = docs_df(spark)
+        kept = dedup.dedup_exact(d, "text", "doc_id")
+        assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3, 4]
+
+    def test_fingerprint_catches_ws_case(self, spark):
+        d = docs_df(spark)
+        kept = dedup.dedup_by_fingerprint(d, "text", "doc_id")
+        assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3]
+
+    def test_minhash_identical_docs_share_all_buckets(self, spark):
+        d = docs_df(spark)
+        b = dedup.lsh_bucket_table(d, "text", "doc_id", num_hashes=8, bands=4)
+        rows = b.collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], set()).add((r["band_id"], r["band_hash"]))
+        assert by_doc[0] == by_doc[1] == by_doc[4]  # same token sets
+        assert by_doc[0] != by_doc[3]
+
+    def test_lsh_candidate_pairs(self, spark):
+        d = docs_df(spark)
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 dedup.lsh_candidate_pairs(d, "text", "doc_id", 8, 4).collect()}
+        assert (0, 1) in pairs and (0, 4) in pairs
+        assert all(a < b for a, b in pairs)
+
+    def test_simhash_identical_zero_distance(self, spark):
+        d = docs_df(spark)
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(d, "text", "doc_id").collect()}
+        assert sh[0] == sh[1] == sh[4]
+        assert sh[0] != sh[3]
+        near = dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in near.collect()}
+        assert got[(0, 1)] == 0
+
+    def test_jaccard(self, spark):
+        d = docs_df(spark)
+        pairs = spark.createDataFrame([(0, 1), (0, 3)], "id_a: long, id_b: long")
+        out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               dedup.jaccard_pairs(d, pairs, "text", "doc_id", n=3).collect()}
+        assert out[(0, 1)] == 1.0
+        assert (0, 3) not in out  # zero 3-gram intersection drops out
+
+
+class TestSimilarity:
+    def embeddings(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    def test_cosine_topk_exact(self, spark):
+        e = self.embeddings(spark)
+        got = similarity.cosine_topk(e, "embedding", "vec_id", [1.0, 0.0, 0.0], k=3).collect()
+        assert [r["vec_id"] for r in got] == [0, 1, 2]
+        assert got[0]["cosine_sim"] == 1.0
+
+    def test_pairwise_topk_excludes_self(self, spark):
+        e = self.embeddings(spark)
+        probe = e.filter(F.col("vec_id") == 0)
+        got = similarity.pairwise_cosine_topk(e, "embedding", "vec_id", probe, k=2).collect()
+        assert [r["base_id"] for r in got] == [1, 2]
+        assert all(r["probe_id"] == 0 for r in got)
+
+    def test_lsh_bucket_groups_similar(self, spark):
+        e = self.embeddings(spark)
+        buckets = {r["vec_id"]: r["bucket"] for r in
+                   similarity.lsh_bucket_table(e, "embedding", "vec_id", n_planes=6).collect()}
+        assert buckets[0] == buckets[1]  # nearly-parallel vectors collide
+        assert buckets[0] != buckets[3]  # antipodal vectors split
+
+    def test_lsh_topk_finds_query_bucket(self, spark):
+        e = self.embeddings(spark)
+        got = similarity.lsh_topk(e, "embedding", "vec_id", [1.0, 0.0, 0.0], k=3).collect()
+        ids = [r["vec_id"] for r in got]
+        assert 0 in ids and 3 not in ids
+
+
+def test_validation_runner():
+    src = {"a": 10, "b": 5}
+    tgt = {"a": 10, "b": 4}
+    res = validate_row_counts(["a", "b"], lambda t: src[t], lambda t: tgt[t])
+    assert [r.table for r in res] == ["a", "b"]
+    assert res[0].ok and not res[1].ok
