@@ -1,0 +1,287 @@
+"""Migration pipeline orchestration.
+
+The reference's 16-step sequence (reference docs/migration-pipeline.md:8-26,
+main.go:125-348, post.go:17-100) re-expressed over Spark:
+
+ 1. introspect source schema → catalog
+ 2. advisory passes (unsupported types hard-gate, generated cols,
+    skipped indexes, collations) → PlanReport
+ 3. target schema prepare + CREATE TABLE DDL (constraint-free, UNLOGGED)
+ 4. movement: chunk plan → partitioned read → transform projection →
+    orphan cleanup (anti-join, FK delete/set-null rules) → write
+ 5. validation: per-table row-count comparison
+ 6. post-migrate constraint replay (SET LOGGED → PK → indexes → FKs →
+    sequences → checks → triggers) + hooks at 4 phases
+ 7. checkpoint/resume around the movement phase
+
+The **target backend** is pluggable: `execute(sql)` + `write(df, table)` +
+`count(table)`. Production is JDBC/COPY against PostgreSQL; tests use a
+local spool target. The reference's `workers` semaphore becomes Spark's
+task scheduler over the chunk partitions.
+
+`single_tx` snapshot mode (reference migrate.go:149-259) is the one
+semantic it is impossible to distribute: one REPEATABLE READ transaction
+cannot span executors. In that mode the pipeline degrades to a sequential
+driver-side read per table through one connection — correct, slow,
+documented (SURVEY §7 hard-part 1).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog.model import Schema, SourceObjects, Table
+from .config import MigrationConfig
+from .ddl import build_post_migrate_plan, create_schema_sql, create_table_sql, create_enum_type_sql
+from .catalog.parsers import parse_enum_values
+from .functions.apply import apply_transforms
+from .hooks import run_hooks
+from .operators.orphans import clean_orphans_delete, clean_orphans_set_null
+from .plan_report import PlanReport, build_plan_report
+from .plans.checkpoint import CheckpointManager, compatibility_fingerprint
+from .plans.chunk import plan_table_chunks
+from .plans.validation import ValidationResult, validate_row_counts
+
+
+class TargetBackend(Protocol):
+    def execute(self, sql: str) -> None: ...
+    def write(self, df: DataFrame, table: str) -> int: ...
+    def count(self, table: str) -> int: ...
+
+
+class SourceBackend(Protocol):
+    kind: str
+    def introspect(self) -> Schema: ...
+    def source_objects(self) -> SourceObjects: ...
+    def read_table(self, spark: SparkSession, table: Table, predicates: list[str] | None) -> DataFrame: ...
+    def count(self, table: Table) -> int: ...
+    def min_max(self, table: Table, key_source_name: str) -> tuple[int | None, int | None]: ...
+
+
+@dataclass
+class TableRunResult:
+    table: str
+    rows_written: int
+    chunks: int
+    orphans_removed: int = 0
+
+
+@dataclass
+class MigrationResult:
+    tables: list[TableRunResult] = field(default_factory=list)
+    validation: list[ValidationResult] = field(default_factory=list)
+    report: PlanReport | None = None
+    elapsed_sec: float = 0.0
+
+    @property
+    def ok(self) -> bool:
+        return all(v.ok for v in self.validation)
+
+
+class MigrationPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: MigrationConfig,
+        source: SourceBackend,
+        target: TargetBackend,
+        type_mapper: Callable,
+        default_mapper: Callable,
+        checkpoint: CheckpointManager | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.source = source
+        self.target = target
+        self.type_mapper = type_mapper
+        self.default_mapper = default_mapper
+        self.checkpoint = checkpoint or CheckpointManager("", noop=True)
+
+    # -- steps ---------------------------------------------------------------
+
+    def select_tables(self, schema: Schema) -> list[Table]:
+        tables = schema.tables
+        if self.cfg.include_tables:
+            want = set(self.cfg.include_tables)
+            tables = [t for t in tables if t.pg_name in want or t.source_name in want]
+        if self.cfg.exclude_tables:
+            skip = set(self.cfg.exclude_tables)
+            tables = [t for t in tables if t.pg_name not in skip and t.source_name not in skip]
+        return tables
+
+    def hard_gate(self, report: PlanReport) -> None:
+        if report.unsupported_columns:
+            raise ValueError(f"unsupported columns abort the run: {report.unsupported_columns}")
+
+    def create_schema_objects(self, tables: list[Table]) -> None:
+        for stmt in create_schema_sql(self.cfg.target_schema, self.cfg.on_schema_exists == "recreate"):
+            self.target.execute(stmt)
+        if self.cfg.type_mapping.enum_mode == "native":
+            seen = set()
+            for t in tables:
+                for c in t.columns:
+                    if c.data_type.lower() == "enum":
+                        values = tuple(sorted(parse_enum_values(c.column_type)))
+                        if values not in seen:
+                            seen.add(values)
+                            self.target.execute(create_enum_type_sql(list(values)))
+        for t in tables:
+            self.target.execute(
+                create_table_sql(
+                    t, self.cfg.target_schema, self.cfg.type_mapping,
+                    self.type_mapper, self.default_mapper,
+                    unlogged=self.cfg.unlogged_tables,
+                )
+            )
+
+    def chunk_plan_for(self, table: Table):
+        from .plans.chunk import chunk_key_for_table
+
+        pk_cols = table.primary_key.columns if table.primary_key else []
+        col_types = {c.pg_name: (c.column_type or c.data_type) for c in table.columns}
+        key = chunk_key_for_table(pk_cols, col_types)
+        if key is None:
+            return plan_table_chunks(table.pg_name, None, None, None, self.cfg.chunk_size)
+        src_name = table.column(key).source_name
+        lo, hi = self.source.min_max(table, src_name)
+        return plan_table_chunks(table.pg_name, key, lo, hi, self.cfg.chunk_size)
+
+    def clean_orphans(self, df: DataFrame, table: Table, parents: dict[str, DataFrame]) -> tuple[DataFrame, int]:
+        """J1 applied in-flight: anti-join each FK against its parent before
+        the write (same final state as the reference's post-load DELETE)."""
+        removed = 0
+        for fk in table.foreign_keys:
+            parent_df = parents.get(fk.ref_pg_table)
+            if parent_df is None:
+                continue
+            before = None
+            if fk.delete_rule.upper() == "SET NULL":
+                df = clean_orphans_set_null(df, parent_df, fk.columns, fk.ref_columns)
+            else:
+                before = df.count()
+                df = clean_orphans_delete(df, parent_df, fk.columns, fk.ref_columns)
+                removed += before - df.count()
+        return df, removed
+
+    def move_table(self, table: Table, parents: dict[str, DataFrame]) -> TableRunResult:
+        plan = self.chunk_plan_for(table)
+        preds = plan.predicates()
+        done = self.checkpoint.completed_indices(table.pg_name)
+        if preds is not None and done:
+            preds = [p for i, p in enumerate(preds) if i not in done]
+        if self.checkpoint.is_table_done(table.pg_name):
+            return TableRunResult(table.pg_name, 0, 0)
+
+        df = self.source.read_table(self.spark, table, preds)
+        df = apply_transforms(df, table, self.source.kind, self.cfg.type_mapping)
+        df, removed = self.clean_orphans(df, table, parents)
+        rows = self.target.write(df, table.pg_name)
+        self.checkpoint.begin_table(table.pg_name, len(plan.chunks))
+        self.checkpoint.mark_table_done(table.pg_name, rows)
+        return TableRunResult(table.pg_name, rows, len(plan.chunks), removed)
+
+    # -- the full sequence ---------------------------------------------------
+
+    def run(self) -> MigrationResult:
+        t0 = time.monotonic()
+        result = MigrationResult()
+
+        schema = self.source.introspect()
+        tables = self.select_tables(schema)
+        objects = self.source.source_objects()
+        report = build_plan_report(
+            Schema(tables=tables), objects, self.cfg.type_mapping,
+            lambda c, cfg: self.type_mapper(c, cfg),
+        )
+        result.report = report
+        self.hard_gate(report)
+
+        if self.cfg.resume:
+            fp = compatibility_fingerprint(
+                {
+                    "source_type": self.cfg.source_type,
+                    "target_schema": self.cfg.target_schema,
+                    "snake_case": self.cfg.snake_case_identifiers,
+                    "mode": self.cfg.mode,
+                    "unlogged": self.cfg.unlogged_tables,
+                    "chunk_size": self.cfg.chunk_size,
+                    "type_mapping": vars(self.cfg.type_mapping),
+                    "tables": {t.pg_name: [c.pg_name for c in t.columns] for t in tables},
+                }
+            )
+            self.checkpoint.fingerprint = fp
+            self.checkpoint.load()
+
+        if self.cfg.mode != "data_only":
+            self.create_schema_objects(tables)
+
+        if self.cfg.mode != "schema_only":
+            run_hooks(self.cfg.hooks, "before_data", self.cfg.target_schema, self.target.execute)
+
+            # parents load first so FK cleanup can consume their DataFrames
+            ordered = _parents_first(tables)
+            parent_dfs: dict[str, DataFrame] = {}
+            for table in ordered:
+                res = self.move_table(table, parent_dfs)
+                result.tables.append(res)
+                parent_dfs[table.pg_name] = apply_transforms(
+                    self.source.read_table(self.spark, table, None),
+                    table, self.source.kind, self.cfg.type_mapping,
+                )
+            run_hooks(self.cfg.hooks, "after_data", self.cfg.target_schema, self.target.execute)
+
+            if self.cfg.validation == "row_count":
+                by_name = {t.pg_name: t for t in tables}
+                adjust = {r.table: r.orphans_removed for r in result.tables}
+                result.validation = validate_row_counts(
+                    [t.pg_name for t in tables],
+                    lambda name: self.source.count(by_name[name]) - adjust.get(name, 0),
+                    self.target.count,
+                    max_workers=self.cfg.effective_workers(),
+                )
+
+            run_hooks(self.cfg.hooks, "before_fk", self.cfg.target_schema, self.target.execute)
+            post = build_post_migrate_plan(
+                tables, self.cfg.target_schema, self.cfg.type_mapping,
+                unlogged=self.cfg.unlogged_tables,
+            )
+            for group in (post.set_logged, post.primary_keys, post.indexes,
+                          post.foreign_keys, post.sequences, post.checks, post.triggers):
+                for stmt in group:
+                    self.target.execute(stmt)
+            run_hooks(self.cfg.hooks, "after_all", self.cfg.target_schema, self.target.execute)
+
+        self.checkpoint.flush()
+        if result.ok:
+            self.checkpoint.delete()
+        result.elapsed_sec = time.monotonic() - t0
+        return result
+
+
+def _parents_first(tables: list[Table]) -> list[Table]:
+    """Topological-ish order: referenced tables before referencing ones
+    (cycles broken by input order, matching the reference's deferred-FK
+    posture — constraints only replay after all data lands)."""
+    by_name = {t.pg_name: t for t in tables}
+    visited: dict[str, int] = {}
+    out: list[Table] = []
+
+    def visit(t: Table) -> None:
+        state = visited.get(t.pg_name, 0)
+        if state:  # 1 = in progress (cycle) or 2 = done
+            return
+        visited[t.pg_name] = 1
+        for fk in t.foreign_keys:
+            ref = by_name.get(fk.ref_pg_table)
+            if ref is not None and ref.pg_name != t.pg_name:
+                visit(ref)
+        visited[t.pg_name] = 2
+        out.append(t)
+
+    for t in tables:
+        visit(t)
+    return out

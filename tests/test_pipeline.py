@@ -1,0 +1,207 @@
+"""End-to-end migration pipeline test on the reference's flagship fixture:
+the F1 blog schema (users/posts/comments with 2 seeded orphans; FIXTURES.md
+F1, reference integration_test.go:20-175 expectations: 5/5/10 rows after
+orphan cleanup, PKs and FKs replayed, spot value users.name='Alice')."""
+
+import sqlite3
+
+import pytest
+
+from pgferry_spark.backends import SpoolTarget, SqliteSource
+from pgferry_spark.config import MigrationConfig
+from pgferry_spark.pipeline import MigrationPipeline, _parents_first
+from pgferry_spark.plans.checkpoint import CheckpointManager
+from pgferry_spark.types import map_sqlite_default, map_sqlite_type
+
+
+@pytest.fixture()
+def blog_db(tmp_path):
+    path = str(tmp_path / "blog.db")
+    con = sqlite3.connect(path)
+    con.executescript(
+        """
+        CREATE TABLE users (
+          id    INTEGER PRIMARY KEY AUTOINCREMENT,
+          name  TEXT NOT NULL,
+          email TEXT
+        );
+        CREATE TABLE posts (
+          id      INTEGER PRIMARY KEY AUTOINCREMENT,
+          user_id INTEGER NOT NULL,
+          title   TEXT NOT NULL,
+          body    TEXT,
+          FOREIGN KEY (user_id) REFERENCES users(id)
+        );
+        CREATE TABLE comments (
+          id      INTEGER PRIMARY KEY AUTOINCREMENT,
+          post_id INTEGER NOT NULL,
+          user_id INTEGER NOT NULL,
+          content TEXT,
+          FOREIGN KEY (post_id) REFERENCES posts(id),
+          FOREIGN KEY (user_id) REFERENCES users(id)
+        );
+        CREATE INDEX idx_posts_user ON posts(user_id);
+        """
+    )
+    users = [(i, n, f"{n.lower()}@x.io") for i, n in
+             enumerate(["Alice", "Bob", "Carol", "Dan", "Eve"], start=1)]
+    con.executemany("INSERT INTO users VALUES (?,?,?)", users)
+    con.executemany(
+        "INSERT INTO posts VALUES (?,?,?,?)",
+        [(i, (i % 5) + 1, f"post {i}", f"body {i}") for i in range(1, 6)],
+    )
+    comments = [(i, (i % 5) + 1, (i % 5) + 1, f"comment {i}") for i in range(1, 11)]
+    comments += [(11, 998, 1, "orphan one"), (12, 999, 2, "orphan two")]  # FK checks off
+    con.executemany("INSERT INTO comments VALUES (?,?,?,?)", comments)
+    con.commit()
+    con.close()
+    return path
+
+
+def make_pipeline(spark, blog_db, tmp_path, **cfg_kw):
+    cfg_kw.setdefault("target_dsn", "spool://x")
+    cfg = MigrationConfig(
+        source_type="sqlite", source_dsn=blog_db, target_schema="blog", **cfg_kw,
+    )
+    target = SpoolTarget(spark, str(tmp_path / "target"))
+    pipe = MigrationPipeline(
+        spark, cfg, SqliteSource(blog_db), target,
+        map_sqlite_type, map_sqlite_default,
+    )
+    return pipe, target
+
+
+def test_full_migration_counts_and_orphans(spark, blog_db, tmp_path):
+    pipe, target = make_pipeline(spark, blog_db, tmp_path)
+    result = pipe.run()
+
+    assert result.ok
+    rows = {r.table: r.rows_written for r in result.tables}
+    assert rows == {"users": 5, "posts": 5, "comments": 10}  # orphans removed
+    orphans = {r.table: r.orphans_removed for r in result.tables}
+    assert orphans["comments"] == 2
+
+    users = spark.read.parquet(str(tmp_path / "target" / "users"))
+    alice = users.filter("id = 1").first()
+    assert alice["name"] == "Alice"
+
+
+def test_parents_load_before_children(spark, blog_db, tmp_path):
+    pipe, _ = make_pipeline(spark, blog_db, tmp_path)
+    schema = pipe.source.introspect()
+    ordered = [t.pg_name for t in _parents_first(pipe.select_tables(schema))]
+    assert ordered.index("users") < ordered.index("posts") < ordered.index("comments")
+
+
+def test_ddl_transcript_structure(spark, blog_db, tmp_path):
+    pipe, target = make_pipeline(spark, blog_db, tmp_path)
+    pipe.run()
+    ddl = target.ddl
+    assert ddl[0] == 'CREATE SCHEMA "blog"'
+    creates = [s for s in ddl if s.startswith("CREATE UNLOGGED TABLE")]
+    assert len(creates) == 3
+    pks = [s for s in ddl if "PRIMARY KEY" in s and s.startswith("ALTER")]
+    assert len(pks) == 3
+    fks = [s for s in ddl if "FOREIGN KEY" in s]
+    assert len(fks) == 3  # posts->users, comments->posts, comments->users
+    # constraint replay strictly after all loads: SET LOGGED precedes PKs
+    logged_idx = [i for i, s in enumerate(ddl) if "SET LOGGED" in s]
+    pk_idx = [i for i, s in enumerate(ddl) if "ADD CONSTRAINT" in s and "PRIMARY KEY" in s]
+    assert max(logged_idx) < min(pk_idx)
+    seqs = [s for s in ddl if "nextval" in s or "setval" in s]
+    assert len(seqs) == 6  # 3 auto-increment PKs x (setval + set default)
+
+
+def test_validation_detects_mismatch(spark, blog_db, tmp_path):
+    pipe, target = make_pipeline(spark, blog_db, tmp_path)
+
+    class LyingTarget(SpoolTarget):
+        def count(self, table):
+            return super().count(table) + (1 if table == "users" else 0)
+
+    lying = LyingTarget(spark, str(tmp_path / "target2"))
+    pipe.target = lying
+    result = pipe.run()
+    assert not result.ok
+    bad = [v for v in result.validation if not v.ok]
+    assert [v.table for v in bad] == ["users"]
+
+
+def test_resume_skips_done_tables(spark, blog_db, tmp_path):
+    ckpt_path = str(tmp_path / "ckpt.json")
+    pipe, target = make_pipeline(spark, blog_db, tmp_path, resume=True)
+    pipe.checkpoint = CheckpointManager(ckpt_path)
+    result = pipe.run()
+    assert result.ok  # successful run deletes the checkpoint
+    import os
+
+    assert not os.path.exists(ckpt_path)
+
+    # simulate an interrupted run: pre-mark users as done, re-run
+    pipe2, _ = make_pipeline(spark, blog_db, tmp_path, resume=True)
+    pipe2.checkpoint = CheckpointManager(ckpt_path)
+    # seed a checkpoint compatible with pipe2's config fingerprint
+    from pgferry_spark.plans.checkpoint import compatibility_fingerprint
+
+    schema = pipe2.source.introspect()
+    tables = pipe2.select_tables(schema)
+    fp = compatibility_fingerprint(
+        {
+            "source_type": "sqlite",
+            "target_schema": "blog",
+            "snake_case": True,
+            "mode": "full",
+            "unlogged": True,
+            "chunk_size": 100_000,
+            "type_mapping": vars(pipe2.cfg.type_mapping),
+            "tables": {t.pg_name: [c.pg_name for c in t.columns] for t in tables},
+        }
+    )
+    seeded = CheckpointManager(ckpt_path, fingerprint=fp)
+    seeded.mark_table_done("users", rows=5)
+    result2 = pipe2.run()
+    skipped = {r.table: r.rows_written for r in result2.tables}
+    assert skipped["users"] == 0  # resumed past the completed table
+    assert skipped["comments"] == 10
+
+
+def test_schema_only_mode_writes_no_data(spark, blog_db, tmp_path):
+    pipe, target = make_pipeline(spark, blog_db, tmp_path, mode="schema_only", target_dsn="")
+    result = pipe.run()
+    assert result.tables == []
+    assert any(s.startswith("CREATE UNLOGGED TABLE") for s in target.ddl)
+
+
+def test_hooks_run_in_phases(spark, blog_db, tmp_path):
+    hook = tmp_path / "before_fk.sql"
+    hook.write_text("DELETE FROM {{schema}}.comments WHERE content = 'x'; -- cleanup\n")
+    pipe, target = make_pipeline(
+        spark, blog_db, tmp_path, hooks={"before_fk": [str(hook)]}
+    )
+    pipe.run()
+    assert 'DELETE FROM blog.comments' in " ".join(target.ddl)
+
+
+def test_unsupported_type_hard_gate(spark, tmp_path):
+    path = str(tmp_path / "odd.db")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    con.commit()
+    con.close()
+
+    from pgferry_spark.types.mysql import UnsupportedTypeError
+
+    def failing_mapper(col, cfg):
+        if col.pg_name == "v":
+            raise UnsupportedTypeError("nope")
+        from pgferry_spark.types import map_sqlite_type
+
+        return map_sqlite_type(col, cfg)
+
+    cfg = MigrationConfig(source_type="sqlite", source_dsn=path, target_dsn="x")
+    pipe = MigrationPipeline(
+        spark, cfg, SqliteSource(path), SpoolTarget(spark, str(tmp_path / "t2")),
+        failing_mapper, map_sqlite_default,
+    )
+    with pytest.raises(ValueError, match="unsupported columns"):
+        pipe.run()
