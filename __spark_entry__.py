@@ -96,6 +96,14 @@ def _events_json(spark, sf):
     )
 
 
+def _sessionize(spark, sf):
+    return Q.sessionize(_t(spark, sf, "events"), gap_minutes=30)
+
+
+def _asof_join(spark, sf):
+    return Q.asof_join_purchase_view(_t(spark, sf, "events"))
+
+
 def _minmax(spark, sf):
     return Q.minmax_probe(_t(spark, sf, "orders"), "o_orderkey", "orders")
 
@@ -301,6 +309,39 @@ def _pairwise_topk(spark, sf):
     return out.withColumnRenamed("rank", "nn_rank")
 
 
+def _ivf_assign(spark, sf):
+    """IVF cell assignment over deterministic centroids (vec_id < 8)."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.ivf_assign(e, "embedding", "vec_id", n_cells=8)
+
+
+def _ivf_topk(spark, sf):
+    """ANN probe of one IVF cell: query = vec_id 0 (cell = its own assignment)."""
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assign = similarity.ivf_assign(e, "embedding", "vec_id", n_cells=8)
+    qcell = assign.filter(F.col("vec_id") == 0).first()["cell_id"]
+    return similarity.ivf_topk(e, "embedding", "vec_id", qvec, qcell, k=10, n_cells=8)
+
+
+def _corpus_filter(spark, sf):
+    """Combined training-data filter: quality gate + lang-id agreement +
+    fingerprint dedup keeper — the one-pass corpus curation query."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("lang_guess"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(keepers, on=["fp", "doc_id"], how="left_semi")
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_guess") == F.col("lang")))
+        .select("doc_id", "quality", "lang_guess")
+    )
+
+
 def _lsh_topk(spark, sf):
     """ANN via hyperplane-LSH bucket (approximate; no SQL oracle)."""
     e = _t(spark, sf, "embeddings")
@@ -331,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_orders_per_flag": _distinct,
         "events_hourly": _events_hourly,
         "events_json_stats": _events_json,
+        "sessionize": _sessionize,
+        "asof_join": _asof_join,
         "minmax_probe": _minmax,
         "row_counts": _row_counts,
         "sequence_reset": _sequence_reset,
@@ -355,6 +398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _simhash_pairs,
         "cosine_topk": _cosine_topk,
         "pairwise_cosine_topk": _pairwise_topk,
+        "ivf_assign": _ivf_assign,
+        "ivf_topk": _ivf_topk,
+        "corpus_filter": _corpus_filter,
         "lsh_topk": _lsh_topk,
         "multimodal_meta": _multimodal_meta,
         "frame_sample": _frame_sample,
@@ -484,6 +530,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "asof_join": """
+            WITH tagged AS (
+              SELECT event_id, user_id, ts, event_type,
+                     last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+              FROM events
+            )
+            SELECT event_id, user_id, epoch_us(ts) AS purchase_us, last_view_us,
+                   (epoch_us(ts) - last_view_us) / 1000000.0 AS secs_since_view
+            FROM tagged WHERE event_type = 'purchase'
         """,
         "events_json_stats": """
             SELECT event_type,
@@ -670,6 +746,62 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine_sim DESC, vec_id ASC
             LIMIT 10
+        """,
+        "ivf_assign": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cell_id, v AS cvec FROM e WHERE vec_id < 8),
+            dots AS (SELECT e.vec_id, c.cell_id,
+                            ROUND(list_dot_product(e.v, c.cvec), 4) AS dot
+                     FROM e CROSS JOIN c),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY dot DESC, cell_id ASC) AS rnk
+                       FROM dots)
+            SELECT vec_id, cell_id FROM ranked WHERE rnk = 1
+        """,
+        "ivf_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cell_id, v AS cvec FROM e WHERE vec_id < 8),
+            dots AS (SELECT e.vec_id, c.cell_id,
+                            ROUND(list_dot_product(e.v, c.cvec), 4) AS dot
+                     FROM e CROSS JOIN c),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY dot DESC, cell_id ASC) AS rnk
+                       FROM dots),
+            assign AS (SELECT vec_id, cell_id FROM ranked WHERE rnk = 1),
+            qcell AS (SELECT cell_id FROM assign WHERE vec_id = 0),
+            q AS (SELECT v AS qe FROM e WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND(list_dot_product(e.v, q.qe)
+                         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qe, q.qe))),
+                         4) AS cosine_sim
+            FROM e
+            JOIN assign ON assign.vec_id = e.vec_id
+            JOIN qcell ON assign.cell_id = qcell.cell_id
+            CROSS JOIN q
+            ORDER BY cosine_sim DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "corpus_filter": f"""
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     ROUND(
+                       0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                                        / len({_TOKS}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - least(5.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                                                 / length(text)), 1.0)), 4) AS quality,
+                     (SELECT {lang_case} FROM (SELECT {hits['de']} AS h_de, {hits['en']} AS h_en,
+                                                      {hits['es']} AS h_es, {hits['fr']} AS h_fr,
+                                                      greatest({hits['de']}, {hits['en']},
+                                                               {hits['es']}, {hits['fr']}) AS best)) AS lang_guess,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM documents
+            ), keepers AS (
+              SELECT fp, MIN(doc_id) AS doc_id FROM scored GROUP BY fp
+            )
+            SELECT s.doc_id, s.quality, s.lang_guess
+            FROM scored s JOIN keepers k ON k.fp = s.fp AND k.doc_id = s.doc_id
+            WHERE s.quality >= 0.5 AND s.lang_guess = s.lang
         """,
         "pairwise_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

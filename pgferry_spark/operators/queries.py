@@ -232,3 +232,60 @@ def sequence_reset_values(tables: dict[str, tuple[DataFrame, str]]) -> DataFrame
         for name, (df, key) in sorted(tables.items())
     ]
     return reduce(DataFrame.unionByName, parts)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. One shuffle on user_id; the
+    session id is a running sum of boundary flags — the batch twin of
+    stateful session windows in streaming.
+
+    Timestamps compare in exact integer microseconds (unix_micros) so the
+    boundary decision is bit-identical across engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    boundary = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
+    with_sess = events.withColumn("session_id", F.sum(boundary).over(run))
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D12_2)).cast("double").alias("session_value"),
+        )
+    )
+
+
+def asof_join_purchase_view(events: DataFrame) -> DataFrame:
+    """As-of join: for every purchase, the most recent 'view' event of the
+    same user at-or-before the purchase (ties broken by event_id order).
+
+    Implemented as ONE ordered pass per user (last-non-null over a running
+    window) instead of an O(n^2) inequality join — the scalable shape for
+    temporal joins: a single shuffle on user_id, then a sort within
+    partitions that AQE sizes.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_us = F.when(F.col("event_type") == "view", F.unix_micros(F.col("ts")))
+    with_last = events.withColumn("last_view_us", F.last(view_us, ignorenulls=True).over(w))
+    return (
+        with_last.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("purchase_us"),
+            "last_view_us",
+            ((F.unix_micros(F.col("ts")) - F.col("last_view_us")) / 1_000_000.0)
+            .alias("secs_since_view"),
+        )
+    )

@@ -125,3 +125,49 @@ def lsh_topk(
     )
     in_bucket = tagged.filter(F.col("bucket") == qbits)
     return cosine_topk(in_bucket, vec_col, id_col, query, k)
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str, n_cells: int = 8) -> DataFrame:
+    """IVF cell assignment with deterministic centroids (the vectors whose id
+    is < ``n_cells`` — a stand-in for k-means centroids that keeps the
+    operator reproducible and oracle-verifiable; swap the centroid source
+    for MLlib KMeans output in production, same shape).
+
+    Returns (id, cell_id). The assignment is a small cross join (N × C dot
+    products) ranked per vector — C is constant, so this is one broadcast
+    join + one window, linear in N.
+    """
+    from pyspark.sql.window import Window
+
+    cents = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    dot = F.round(_dot(F.col("v"), F.col("cvec")), 4)
+    w = Window.partitionBy(id_col).orderBy(F.col("dot").desc(), F.col("cell_id").asc())
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), F.col("cell_id"), dot.alias("dot"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(id_col, "cell_id")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    query_cell: int,
+    k: int = 10,
+    n_cells: int = 8,
+) -> DataFrame:
+    """Approximate top-k probing one IVF cell: score only vectors assigned to
+    ``query_cell``. At scale the assignment table is written bucketed by
+    cell_id so a probe reads one cell's partitions, not the corpus."""
+    assign = ivf_assign(df, vec_col, id_col, n_cells)
+    members = df.join(
+        assign.filter(F.col("cell_id") == query_cell).select(id_col), on=id_col
+    )
+    return cosine_topk(members, vec_col, id_col, query, k)

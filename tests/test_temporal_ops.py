@@ -1,0 +1,90 @@
+"""Sessionization, as-of join, and IVF operator semantics tests."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pgferry_spark.operators import queries as Q
+from pgferry_spark.operators import similarity
+
+
+def ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double"
+    )
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        rows = [
+            (1, ts(0), 1, "view", 1.0),
+            (2, ts(10), 1, "click", 1.0),   # same session (10 min gap)
+            (3, ts(50), 1, "view", 1.0),    # 40 min gap -> new session
+            (4, ts(0), 2, "view", 1.0),     # other user, own session
+        ]
+        got = Q.sessionize(events_df(spark, rows), gap_minutes=30).collect()
+        by_user = {}
+        for r in got:
+            by_user.setdefault(r["user_id"], []).append(r)
+        assert len(by_user[1]) == 2
+        first = min(by_user[1], key=lambda r: r["session_id"])
+        assert first["n_events"] == 2 and first["session_start"] == ts(0)
+        assert len(by_user[2]) == 1
+
+    def test_exact_gap_boundary_stays_in_session(self, spark):
+        rows = [(1, ts(0), 1, "view", 1.0), (2, ts(30), 1, "view", 1.0)]  # gap == 30min
+        got = Q.sessionize(events_df(spark, rows), gap_minutes=30).collect()
+        assert len(got) == 1 and got[0]["n_events"] == 2  # strict > starts a session
+
+
+class TestAsofJoin:
+    def test_most_recent_prior_view(self, spark):
+        rows = [
+            (1, ts(0), 1, "view", 1.0),
+            (2, ts(5), 1, "view", 1.0),
+            (3, ts(10), 1, "purchase", 9.0),  # matches view @5
+            (4, ts(20), 1, "purchase", 9.0),  # still view @5
+            (5, ts(1), 2, "purchase", 9.0),   # user 2 has no prior view -> NULL
+        ]
+        got = {r["event_id"]: r for r in Q.asof_join_purchase_view(events_df(spark, rows)).collect()}
+        assert got[3]["secs_since_view"] == 300.0
+        assert got[4]["secs_since_view"] == 900.0
+        assert got[5]["last_view_us"] is None
+
+    def test_same_timestamp_ordering_by_event_id(self, spark):
+        rows = [
+            (1, ts(0), 1, "view", 1.0),
+            (2, ts(0), 1, "purchase", 9.0),  # view has lower event_id -> visible
+            (3, ts(0), 1, "view", 1.0),      # later event_id -> not visible to #2
+        ]
+        got = {r["event_id"]: r for r in Q.asof_join_purchase_view(events_df(spark, rows)).collect()}
+        assert got[2]["secs_since_view"] == 0.0
+
+
+class TestIVF:
+    def embeddings(self, spark):
+        rows = [
+            (0, [1.0, 0.0]),   # centroid 0
+            (1, [0.0, 1.0]),   # centroid 1
+            (2, [0.9, 0.1]),   # -> cell 0
+            (3, [0.1, 0.9]),   # -> cell 1
+            (4, [-1.0, 0.0]),  # dot ties at <=0 -> deterministic cell
+        ]
+        return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    def test_assignment(self, spark):
+        got = {r["vec_id"]: r["cell_id"] for r in
+               similarity.ivf_assign(self.embeddings(spark), "embedding", "vec_id", n_cells=2).collect()}
+        assert got[0] == 0 and got[1] == 1
+        assert got[2] == 0 and got[3] == 1
+        assert got[4] == 1  # dots -1.0 vs 0.0 -> cell 1 wins on value
+
+    def test_probe_restricted_to_cell(self, spark):
+        e = self.embeddings(spark)
+        got = similarity.ivf_topk(e, "embedding", "vec_id", [1.0, 0.0], query_cell=0, k=10, n_cells=2)
+        ids = [r["vec_id"] for r in got.collect()]
+        assert set(ids) == {0, 2}  # only cell-0 members scored
