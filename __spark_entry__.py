@@ -422,8 +422,12 @@ def oracle_sql() -> dict[str, str]:
     disc_price = f"({dec_price} * {one_minus})"
     charge = f"({disc_price} * {one_plus})"
 
-    sig12 = ", ".join(
-        f"list_min(list_transform(grams, x -> md5('{i}:' || x)))" for i in range(12)
+    sig12 = ", ".join(f"MIN(h1 + {i} * h2) AS s{i}" for i in range(12))
+    band_hash_cases = " ".join(
+        f"WHEN band_id = {b} THEN md5(concat_ws('|', "
+        + ", ".join(f"CAST(s{b * 3 + r} AS VARCHAR)" for r in range(3))
+        + "))"
+        for b in range(4)
     )
     minhash_cte = f"""
         WITH tk AS (
@@ -438,11 +442,16 @@ def oracle_sql() -> dict[str, str]:
                  END) AS grams
           FROM tk
         ),
-        sig AS (SELECT doc_id, [{sig12}] AS s FROM gr),
+        ex AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(gram), 1, 14))::BIGINT AS h1,
+                 ('0x' || substr(md5(gram), 17, 14))::BIGINT AS h2
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM gr)
+        ),
+        sig AS (SELECT doc_id, {sig12} FROM ex GROUP BY doc_id),
         bands AS (SELECT * FROM (VALUES (0),(1),(2),(3)) b(band_id)),
         buckets AS (
-          SELECT doc_id, band_id,
-                 md5(array_to_string(list_slice(s, band_id*3 + 1, band_id*3 + 3), '|')) AS band_hash
+          SELECT doc_id, band_id, CASE {band_hash_cases} END AS band_hash
           FROM sig CROSS JOIN bands
         )
     """

@@ -90,7 +90,12 @@ _META_SCHEMA = StructType(
 
 
 def decode_image_meta(df: DataFrame) -> DataFrame:
-    """Feature-extraction over Arrow batches: binary payload → metadata."""
+    """Feature-extraction over Arrow batches: binary payload → metadata.
+    Fans the Python decode out across cores when the input arrives
+    under-partitioned (single parquet file → one partition → one decoder)."""
+    from ..utils import fan_out
+
+    df = fan_out(df, "media_id")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

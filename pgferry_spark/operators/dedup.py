@@ -26,6 +26,8 @@ from ..functions.hashing import band_hashes, minhash_signature
 from ..functions.text import fingerprint, tokens
 
 
+from ..utils import fan_out as _fan_out
+
 # -- exact -------------------------------------------------------------------
 
 
@@ -81,18 +83,29 @@ def _minhash_agg(
     """Explode-then-aggregate MinHash: one row per (doc, shingle), then
     ``num_hashes`` MIN aggregates.
 
-    This shape matters: computing array_min over ``num_hashes`` inline
-    ``transform`` expressions makes Catalyst duplicate the (expensive)
-    shingle construction once per hash; exploding first builds each shingle
-    exactly once, and the MINs combine map-side before the shuffle.
+    Two deliberate shapes:
+
+    * exploding before hashing builds each shingle exactly once (inline
+      ``array_min(transform(...))`` would make Catalyst duplicate shingle
+      construction per hash function), and the MINs combine map-side;
+    * the k hash family is Kirsch–Mitzenmacher double hashing
+      ``g_i = h1 + i·h2`` over ONE md5 per shingle (h1/h2 = two 56-bit
+      halves of the digest) — k-1 multiply-adds replace k-1 digests, and
+      56-bit operands keep ``h1 + 11·h2`` far from int64 overflow so the
+      arithmetic is portable to engines that error on overflow.
     """
     if shingle > 1:
         arr = ngram_set(F.col(content_col), shingle)
     else:
         arr = F.array_distinct(tokens(F.lower(F.col(content_col))))
-    grams = df.select(F.col(id_col), F.explode(arr).alias("gram"))
+    md5g = F.md5(F.col("gram"))
+    grams = _fan_out(df, id_col, force=True).select(F.col(id_col), F.explode(arr).alias("gram")).select(
+        F.col(id_col),
+        F.conv(F.substring(md5g, 1, 14), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5g, 17, 14), 16, 10).cast("long").alias("h2"),
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")))).alias(f"h{i}")
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return grams.groupBy(id_col).agg(*mins)
@@ -115,7 +128,11 @@ def lsh_bucket_table(
             F.lit(b).alias("band_id"),
             F.md5(
                 F.concat_ws(
-                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
             ).alias("band_hash"),
         )
@@ -167,7 +184,8 @@ def simhash64(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     with 64 conditional sums (one shuffle; partial aggregation applies).
     """
     tok = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.lower(F.col(content_col))))).alias("tok"))
+        _fan_out(df, id_col, force=True)
+        .select(F.col(id_col), F.explode(F.array_distinct(tokens(F.lower(F.col(content_col))))).alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )
     bit_sums = [
@@ -249,7 +267,7 @@ def jaccard_pairs(
 
     This is the verify step after LSH/SimHash blocking: cost is linear in
     candidate-pair shingles, never corpus-quadratic."""
-    shingled = df.select(
+    shingled = _fan_out(df, id_col, force=True).select(
         F.col(id_col), ngram_set(F.col(content_col), n).alias("grams")
     ).withColumn("gram_count", F.size("grams"))
     ex = shingled.select(F.col(id_col), F.col("gram_count"), F.explode("grams").alias("gram"))
