@@ -239,6 +239,22 @@ def _zero_date(spark, sf):
     return o.select("o_orderkey", X.zero_date_to_null(datestr).alias("clean_date"))
 
 
+def _quality_checks(spark, sf):
+    """P4 — CHECK-constraint predicates as one-pass data-quality counters."""
+    from pgferry_spark.operators import checks as C
+
+    li = _t(spark, sf, "lineitem")
+    return C.run_checks(
+        li,
+        [
+            C.enum_check("l_returnflag", ["A", "N", "R"]),
+            C.range_check("l_discount", 0.0, 0.1),
+            C.unsigned_check("l_linenumber", "int"),
+            C.not_null_check("l_orderkey"),
+        ],
+    )
+
+
 def _text_stats(spark, sf):
     d = _t(spark, sf, "documents")
     txt = F.col("text")
@@ -388,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_time_interval": _time_interval,
         "transform_year_money": _year_money,
         "transform_zero_date": _zero_date,
+        "quality_checks": _quality_checks,
         "text_stats": _text_stats,
         "lang_id": _lang_id,
         "fingerprint_dedup": _fingerprint_dedup,
@@ -675,6 +692,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderkey % 100 = 0 THEN NULL
                         ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS clean_date
             FROM orders
+        """,
+        "quality_checks": """
+            SELECT 'l_returnflag_enum' AS check_name,
+                   SUM(CASE WHEN NOT (l_returnflag IS NULL OR l_returnflag IN ('A','N','R'))
+                            THEN 1 ELSE 0 END) AS violations,
+                   COUNT(*) AS total FROM lineitem
+            UNION ALL
+            SELECT 'l_discount_range',
+                   SUM(CASE WHEN NOT (l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.1))
+                            THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber_unsigned',
+                   SUM(CASE WHEN NOT (l_linenumber IS NULL OR (l_linenumber >= 0 AND l_linenumber <= 4294967295))
+                            THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+            UNION ALL
+            SELECT 'l_orderkey_not_null',
+                   SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
         """,
         "text_stats": f"""
             SELECT doc_id,

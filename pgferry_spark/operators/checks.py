@@ -1,0 +1,82 @@
+"""Data-quality check operators — the reference's CHECK constraints (P4)
+re-expressed as distributed assertions.
+
+The reference emits enum/set/unsigned CHECKs as target-side DDL (reference
+ddl.go:177-214, post.go:102-158); on Spark the same predicates double as
+pre-load data-quality gates: count violations BEFORE shipping 100 TB to the
+target instead of failing a VALIDATE CONSTRAINT after. One pass computes
+every check for a table (a single aggregate of conditional sums — no
+per-check scans).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_UNSIGNED_MAX = {
+    "tinyint": 255,
+    "smallint": 65535,
+    "mediumint": 16777215,
+    "int": 4294967295,
+    "integer": 4294967295,
+    "bigint": 18446744073709551615,
+}
+
+
+@dataclass
+class Check:
+    name: str
+    predicate: SparkColumn  # True -> row passes
+
+
+def enum_check(col: str, values: list[str]) -> Check:
+    """enum CHECK (col IN (...)) — NULLs pass (SQL CHECK semantics)."""
+    c = F.col(col)
+    return Check(f"{col}_enum", c.isNull() | c.isin(*values))
+
+
+def set_check(col: str, values: list[str]) -> Check:
+    """set CHECK (col <@ ARRAY[...]) over an array column."""
+    c = F.col(col)
+    return Check(f"{col}_set", c.isNull() | F.forall(c, lambda e: e.isin(*values)))
+
+
+def unsigned_check(col: str, base_type: str) -> Check:
+    """unsigned range CHECK (col BETWEEN 0 AND max)."""
+    mx = _UNSIGNED_MAX[base_type.lower()]
+    c = F.col(col)
+    return Check(f"{col}_unsigned", c.isNull() | ((c >= 0) & (c <= mx)))
+
+
+def range_check(col: str, lo, hi) -> Check:
+    c = F.col(col)
+    return Check(f"{col}_range", c.isNull() | ((c >= lo) & (c <= hi)))
+
+
+def not_null_check(col: str) -> Check:
+    return Check(f"{col}_not_null", F.col(col).isNotNull())
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """One aggregate pass: (check_name, violations, total) per check.
+    Violation counting is a conditional sum, so N checks cost one scan."""
+    aggs = [
+        F.sum(F.when(~chk.predicate, 1).otherwise(0)).cast("long").alias(chk.name)
+        for chk in checks
+    ]
+    total = df.agg(F.count(F.lit(1)).alias("__total"), *aggs).first()
+    rows = [(chk.name, total[chk.name], total["__total"]) for chk in checks]
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, "check_name: string, violations: long, total: long")
+
+
+def assert_checks(df: DataFrame, checks: list[Check]) -> None:
+    """Raise if any check has violations (the hard-gate form)."""
+    result = run_checks(df, checks).collect()
+    bad = [(r["check_name"], r["violations"]) for r in result if r["violations"] > 0]
+    if bad:
+        raise ValueError(f"data-quality checks failed: {bad}")

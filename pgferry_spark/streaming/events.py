@@ -76,3 +76,90 @@ def run_to_completion(stream_df: DataFrame, query_name: str = "events_hourly") -
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming sessionization via ``applyInPandasWithState`` —
+    the custom-stateful-operator surface the built-in window aggregates
+    can't express (variable-length gap sessions).
+
+    State per user: (session_start_us, last_seen_us, n_events, sum_value).
+    An event later than ``gap_minutes`` after last_seen closes the session
+    (emitting one row) and opens a new one; the watermark bounds state by
+    expiring users idle past the timeout (their final session flushes on
+    timeout). Batch twin: ``operators.queries.sessionize``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                closed.append((user_id, start_us, last_us, n))
+                state.remove()
+        else:
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us = last_us = None
+                n = 0
+            for pdf in pdf_iter:
+                for ts in sorted(pdf["ts"]):
+                    us = int(pd.Timestamp(ts).value // 1000)
+                    if last_us is None:
+                        start_us, last_us, n = us, us, 1
+                    elif us - last_us > gap_us:
+                        closed.append((user_id, start_us, last_us, n))
+                        start_us, last_us, n = us, us, 1
+                    else:
+                        last_us, n = max(last_us, us), n + 1
+            if start_us is not None:
+                state.update((start_us, last_us, n))
+                state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1] * 1000) for c in closed],
+                    "session_end": [pd.Timestamp(c[2] * 1000) for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,42 @@
+"""applyInPandasWithState sessionization test."""
+
+import datetime as dt
+
+from pgferry_spark.streaming.events import sessionize_stream
+
+
+def test_stateful_sessionize_closes_on_gap(spark, tmp_path):
+    # user 1: two sessions separated by a 60-min gap; a late sentinel event
+    # far in the future advances the watermark so the first session closes.
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 10, 10), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 11, 30), 1, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 2, 9, 0), 2, "view", 1.0, "{}"),  # watermark driver
+    ]
+    schema = (
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double, props: string"
+    )
+    path = str(tmp_path / "stream_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    from pgferry_spark.streaming.events import stream_events_from_parquet
+
+    stream = stream_events_from_parquet(spark, path)
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM t_sessions").collect()
+
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1's first session (2 events, 10:00-10:10) must have closed via the gap
+    assert any(r["n_events"] == 2 for r in by_user.get(1, []))
