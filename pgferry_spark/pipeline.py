@@ -220,6 +220,14 @@ class MigrationPipeline:
             self.create_schema_objects(tables)
 
         if self.cfg.mode != "schema_only":
+            if self.cfg.mode == "data_only":
+                # existing target tables may carry triggers; disable around the
+                # load (reference post.go:542-554, main.go:350-402)
+                for t in tables:
+                    self.target.execute(
+                        f"ALTER TABLE {_q(self.cfg.target_schema)}.{_q(t.pg_name)} "
+                        "DISABLE TRIGGER ALL"
+                    )
             run_hooks(self.cfg.hooks, "before_data", self.cfg.target_schema, self.target.execute)
 
             # parents load first so FK cleanup can consume their DataFrames
@@ -233,6 +241,12 @@ class MigrationPipeline:
                     table, self.source.kind, self.cfg.type_mapping,
                 )
             run_hooks(self.cfg.hooks, "after_data", self.cfg.target_schema, self.target.execute)
+            if self.cfg.mode == "data_only":
+                for t in tables:
+                    self.target.execute(
+                        f"ALTER TABLE {_q(self.cfg.target_schema)}.{_q(t.pg_name)} "
+                        "ENABLE TRIGGER ALL"
+                    )
 
             if self.cfg.validation == "row_count":
                 by_name = {t.pg_name: t for t in tables}
@@ -245,14 +259,17 @@ class MigrationPipeline:
                 )
 
             run_hooks(self.cfg.hooks, "before_fk", self.cfg.target_schema, self.target.execute)
-            post = build_post_migrate_plan(
-                tables, self.cfg.target_schema, self.cfg.type_mapping,
-                unlogged=self.cfg.unlogged_tables,
-            )
-            for group in (post.set_logged, post.primary_keys, post.indexes,
-                          post.foreign_keys, post.sequences, post.checks, post.triggers):
-                for stmt in group:
-                    self.target.execute(stmt)
+            if self.cfg.mode != "data_only":
+                # data_only loads into an existing schema whose constraints
+                # are already in place — replay would duplicate them
+                post = build_post_migrate_plan(
+                    tables, self.cfg.target_schema, self.cfg.type_mapping,
+                    unlogged=self.cfg.unlogged_tables,
+                )
+                for group in (post.set_logged, post.primary_keys, post.indexes,
+                              post.foreign_keys, post.sequences, post.checks, post.triggers):
+                    for stmt in group:
+                        self.target.execute(stmt)
             run_hooks(self.cfg.hooks, "after_all", self.cfg.target_schema, self.target.execute)
 
         self.checkpoint.flush()
@@ -260,6 +277,10 @@ class MigrationPipeline:
             self.checkpoint.delete()
         result.elapsed_sec = time.monotonic() - t0
         return result
+
+
+def _q(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
 
 
 def _parents_first(tables: list[Table]) -> list[Table]:

@@ -1,0 +1,59 @@
+"""Bucketed co-located join (no-Exchange assertion) and skew-salting tests."""
+
+from pyspark.sql import functions as F
+
+from pgferry_spark.operators.skew import salted_join, skew_profile
+from pgferry_spark.sources.layout import exchange_count, write_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # (warehouse dir is a static conf; managed tables land in ./spark-warehouse
+    # and are dropped below)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        orders = spark.createDataFrame(
+            [(i, i % 100, float(i)) for i in range(1000)], "o_id: long, cust: long, total: double"
+        )
+        lines = spark.createDataFrame(
+            [(i, i % 1000, i % 5) for i in range(5000)], "l_id: long, o_id: long, qty: int"
+        )
+        write_bucketed(orders, "b_orders", "o_id", num_buckets=8, sort_by="o_id")
+        write_bucketed(lines, "b_lines", "o_id", num_buckets=8, sort_by="o_id")
+
+        bo, bl = spark.table("b_orders"), spark.table("b_lines")
+        joined = bo.join(bl, on="o_id")
+        assert exchange_count(joined) == 0  # co-located: no shuffle either side
+        assert joined.count() == 5000
+
+        # contrast: the same join on unbucketed inputs shuffles both sides
+        plain = orders.join(lines, on="o_id")
+        assert exchange_count(plain) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lines")
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(2000)], "id: long, key: string"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("k10", 2.0), ("k20", 3.0)], "key: string, weight: double"
+    )
+    plain = big.join(small, on="key").select("id", "key", "weight")
+    salted = salted_join(big, small, on="key", salt_buckets=8).select("id", "key", "weight")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_skew_profile_orders_by_count(spark):
+    df = spark.createDataFrame(
+        [(1, "a")] * 80 + [(2, "b")] * 15 + [(3, "c")] * 5, "id: long, key: string"
+    )
+    prof = skew_profile(df, "key", top=2).collect()
+    assert prof[0]["key"] == "a" and prof[0]["cnt"] == 80
+    assert abs(prof[0]["share"] - 0.8) < 1e-9
+    assert prof[1]["key"] == "b"

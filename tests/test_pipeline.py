@@ -205,3 +205,23 @@ def test_unsupported_type_hard_gate(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unsupported columns"):
         pipe.run()
+
+
+def test_data_only_mode_toggles_triggers(spark, blog_db, tmp_path):
+    pipe, target = make_pipeline(spark, blog_db, tmp_path, mode="data_only")
+    result = pipe.run()
+    assert result.ok
+    disables = [s for s in target.ddl if "DISABLE TRIGGER ALL" in s]
+    enables = [s for s in target.ddl if "ENABLE TRIGGER ALL" in s]
+    assert len(disables) == 3 and len(enables) == 3
+    # disable precedes every write; enable follows (by transcript position)
+    assert target.ddl.index(disables[0]) < target.ddl.index(enables[0])
+    # data_only must not create tables
+    assert not any(s.startswith("CREATE UNLOGGED TABLE") for s in target.ddl)
+
+
+def test_data_only_skips_constraint_replay(spark, blog_db, tmp_path):
+    pipe, target = make_pipeline(spark, blog_db, tmp_path, mode="data_only")
+    pipe.run()
+    assert not any("ADD CONSTRAINT" in s for s in target.ddl)
+    assert not any("SET LOGGED" in s for s in target.ddl)
