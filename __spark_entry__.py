@@ -312,6 +312,12 @@ def _simhash_pairs(spark, sf):
     return dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=8)
 
 
+def _simhash32(spark, sf):
+    """Oracle-portable 32-bit SimHash fingerprints (md5 token hashes)."""
+    d = _t(spark, sf, "documents")
+    return dedup.simhash32_md5(d, "text", "doc_id")
+
+
 def _cosine_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -413,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _lsh_pairs,
         "jaccard_adjacent": _jaccard_adjacent,
         "simhash_near_pairs": _simhash_pairs,
+        "simhash32": _simhash32,
         "cosine_topk": _cosine_topk,
         "pairwise_cosine_topk": _pairwise_topk,
         "ivf_assign": _ivf_assign,
@@ -780,6 +787,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
             FROM inter
         """,
+        "simhash32": (
+            lambda bit_terms: f"""
+            WITH hs AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h,
+                     len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n
+              FROM documents
+            )
+            SELECT doc_id, ({bit_terms}) AS simhash FROM hs
+        """
+        )(
+            " + ".join(
+                f"(CASE WHEN 2 * len(list_filter(h, x -> ((x >> {i}) & 1) = 1)) > n "
+                f"THEN {1 << i} ELSE 0 END)"
+                for i in range(32)
+            )
+        ),
         "cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
