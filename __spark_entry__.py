@@ -96,6 +96,39 @@ def _events_json(spark, sf):
     )
 
 
+def _big_orders(spark, sf):
+    return Q.big_order_customers(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
+def _cheapest_supplier(spark, sf):
+    return Q.cheapest_supplier_per_part(
+        _t(spark, sf, "part"), _t(spark, sf, "supplier"), _t(spark, sf, "lineitem")
+    )
+
+
+def _set_ops(spark, sf):
+    return Q.customer_set_ops(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "events")
+    )
+
+
+def _sql_surface(spark, sf):
+    """The SQL API surface: register temp views and execute literal SQL —
+    an EXISTS subquery Catalyst decorrelates into a semi join."""
+    for name in ("customer", "orders"):
+        _t(spark, sf, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
+
+
 def _sessionize(spark, sf):
     return Q.sessionize(_t(spark, sf, "events"), gap_minutes=30)
 
@@ -390,6 +423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q3,
         "q5_local_supplier_volume": _q5,
         "top_order_per_customer": _top_order,
+        "big_order_customers": _big_orders,
+        "cheapest_supplier_per_part": _cheapest_supplier,
+        "customer_set_ops": _set_ops,
+        "sql_exists_subquery": _sql_surface,
         "rollup_pricing": _rollup,
         "distinct_orders_per_flag": _distinct,
         "events_hourly": _events_hourly,
@@ -545,6 +582,43 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
               FROM orders
             ) WHERE rn = 1
+        """,
+        "big_order_customers": """
+            WITH big AS (
+              SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(150.0 AS DECIMAL(12,2))
+            )
+            SELECT c_custkey, c_name, o_orderkey, CAST(total_qty AS DOUBLE) AS total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "cheapest_supplier_per_part": """
+            WITH priced AS (
+              SELECT l_partkey, l_suppkey, s_name,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                     row_number() OVER (PARTITION BY l_partkey
+                                        ORDER BY CAST(l_extendedprice AS DECIMAL(12,2)) ASC,
+                                                 l_suppkey ASC) AS rn
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            )
+            SELECT l_partkey AS p_partkey, l_suppkey AS best_suppkey,
+                   s_name AS supplier_name, CAST(price AS DOUBLE) AS best_price
+            FROM priced WHERE rn = 1
+        """,
+        "customer_set_ops": """
+            WITH oc AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+            ec AS (SELECT DISTINCT user_id AS custkey FROM events)
+            SELECT custkey, 'both' AS bucket FROM (SELECT custkey FROM oc INTERSECT SELECT custkey FROM ec)
+            UNION ALL
+            SELECT custkey, 'orders_only' FROM (SELECT custkey FROM oc EXCEPT SELECT custkey FROM ec)
+        """,
+        "sql_exists_subquery": """
+            SELECT c_custkey, c_mktsegment
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
         """,
         "rollup_pricing": f"""
             SELECT l_returnflag, l_linestatus,

@@ -289,3 +289,62 @@ def asof_join_purchase_view(events: DataFrame) -> DataFrame:
             .alias("secs_since_view"),
         )
     )
+
+
+def big_order_customers(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                        min_qty: float = 150.0) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total lineitem quantity exceeds a
+    threshold (aggregate → semi-join back), joined to their customer.
+    The HAVING filter runs on the grouped fact table BEFORE the joins, so
+    only qualifying order keys flow into the join graph."""
+    qty = F.col("l_quantity").cast(D12_2)
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(min_qty).cast(D12_2))
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def cheapest_supplier_per_part(part: DataFrame, supplier: DataFrame,
+                               lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q2-shaped min-per-group: for each part, the supplier offering
+    the lowest extended price (decorrelated as a window rank, not a
+    correlated subquery re-executed per row)."""
+    priced = (
+        lineitem.select(
+            "l_partkey", "l_suppkey",
+            F.col("l_extendedprice").cast(D12_2).alias("price"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("price").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        priced.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("best_suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("price").cast("double").alias("best_price"),
+        )
+    )
+
+
+def customer_set_ops(customer: DataFrame, orders: DataFrame, events: DataFrame) -> DataFrame:
+    """Set operations: customers that placed orders INTERSECT/EXCEPT those
+    appearing in the event stream, tagged by which set they fall in."""
+    order_custs = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    event_custs = events.select(F.col("user_id").alias("custkey")).distinct()
+    both = order_custs.intersect(event_custs).withColumn("bucket", F.lit("both"))
+    only_orders = order_custs.exceptAll(event_custs).withColumn("bucket", F.lit("orders_only"))
+    return both.unionByName(only_orders)
