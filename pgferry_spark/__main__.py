@@ -51,6 +51,11 @@ def cmd_plan(args) -> int:
         source.introspect(), source.source_objects(), cfg.type_mapping, type_mapper
     )
     print(report.to_json() if args.json else report.to_text())
+    if args.hooks_skeleton:
+        from .plan_report import write_hook_skeletons
+
+        for path in write_hook_skeletons(args.hooks_skeleton):
+            print(f"wrote hook skeleton {path}")
     return 0
 
 
@@ -104,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
     p_plan = sub.add_parser("plan", help="dry-run migration report")
     p_plan.add_argument("config")
     p_plan.add_argument("--json", action="store_true")
+    p_plan.add_argument("--hooks-skeleton", default="", metavar="DIR",
+                        help="write commented hook-file skeletons into DIR")
     p_plan.set_defaults(fn=cmd_plan)
 
     p_mig = sub.add_parser("migrate", help="run the migration pipeline")

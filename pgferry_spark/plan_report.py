@@ -92,6 +92,40 @@ def collation_warnings(schema: Schema, cfg: TypeMappingConfig) -> list[dict]:
     return out
 
 
+HOOK_SKELETON = """-- pgferry_spark {phase} hook
+-- Statements here run {when}.
+-- {{{{schema}}}} expands to the target schema name.
+
+-- Example:
+-- DELETE FROM {{{{schema}}}}.some_table WHERE some_condition;
+"""
+
+_HOOK_WHEN = {
+    "before_data": "after table creation, before any data is copied",
+    "after_data": "after all data is copied, before validation",
+    "before_fk": "after validation, before foreign keys are added",
+    "after_all": "after all constraints and sequences are in place",
+}
+
+
+def write_hook_skeletons(directory: str) -> list[str]:
+    """Generate commented hook-file skeletons for all four phases
+    (reference plan.go:362-406); returns the paths written. Existing files
+    are left untouched."""
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    written = []
+    for phase, when in _HOOK_WHEN.items():
+        path = os.path.join(directory, f"{phase}.sql")
+        if os.path.exists(path):
+            continue
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(HOOK_SKELETON.format(phase=phase, when=when))
+        written.append(path)
+    return written
+
+
 def build_plan_report(
     schema: Schema,
     objects: SourceObjects,

@@ -163,3 +163,11 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, watermark: str =
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def dedup_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop re-delivered events by id within the
+    watermark horizon. State holds only ids newer than the watermark, so
+    memory is bounded by (arrival rate × horizon) — the standard
+    at-least-once → effectively-once repair for event ingestion."""
+    return events.withWatermark("ts", watermark).dropDuplicates([id_col, "ts"])

@@ -54,3 +54,16 @@ def test_unknown_source_type_refused(tmp_path):
     )
     with pytest.raises(SystemExit, match="live database server"):
         main(["plan", str(cfg)])
+
+
+def test_plan_hook_skeletons(project, tmp_path, capsys):
+    hooks_dir = str(tmp_path / "hooks")
+    assert main(["plan", project, "--hooks-skeleton", hooks_dir]) == 0
+    import os
+
+    files = sorted(os.listdir(hooks_dir))
+    assert files == ["after_all.sql", "after_data.sql", "before_data.sql", "before_fk.sql"]
+    content = open(os.path.join(hooks_dir, "before_fk.sql")).read()
+    assert "{{schema}}" in content
+    # idempotent: existing files untouched
+    assert main(["plan", project, "--hooks-skeleton", hooks_dir]) == 0

@@ -40,3 +40,30 @@ def test_stateful_sessionize_closes_on_gap(spark, tmp_path):
         by_user.setdefault(r["user_id"], []).append(r)
     # user 1's first session (2 events, 10:00-10:10) must have closed via the gap
     assert any(r["n_events"] == 2 for r in by_user.get(1, []))
+
+
+def test_stream_dedup_drops_redelivery(spark, tmp_path):
+    import datetime as dt
+
+    from pgferry_spark.streaming.events import dedup_stream, stream_events_from_parquet
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, t, 1, "view", 1.0, "{}"),
+        (1, t, 1, "view", 1.0, "{}"),   # exact redelivery
+        (2, t, 1, "view", 1.0, "{}"),
+    ]
+    schema = (
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double, props: string"
+    )
+    path = str(tmp_path / "dup_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+    stream = dedup_stream(stream_events_from_parquet(spark, path))
+    q = (
+        stream.writeStream.format("memory").queryName("t_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT event_id FROM t_dedup").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
