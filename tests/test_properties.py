@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) over the pure planning/parsing layers.
+
+The reference is table-driven only (SURVEY §5); these add the invariants a
+planner must hold for EVERY input, not just the curated cases.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pgferry_spark.catalog.identifiers import to_snake_case, truncate_identifier
+from pgferry_spark.catalog.parsers import parse_enum_values, split_sql_statements
+from pgferry_spark.plans.chunk import INT64_MAX, INT64_MIN, plan_chunks
+
+keys = st.integers(min_value=INT64_MIN // 2, max_value=INT64_MAX)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    lo=keys,
+    span=st.integers(min_value=0, max_value=100_000),
+    size=st.integers(min_value=1, max_value=1_000_000),
+)
+def test_chunks_exactly_partition_the_key_space(lo, span, size):
+    """Chunks tile [min, max] with no gaps, no overlaps, full coverage."""
+    hi = min(lo + span, INT64_MAX)
+    chunks = plan_chunks(lo, hi, size)
+    assert chunks[0].lo == lo
+    assert chunks[-1].hi == hi and chunks[-1].is_last
+    for a, b in zip(chunks, chunks[1:]):
+        assert not a.is_last
+        assert a.hi == b.lo  # adjacent: half-open ranges tile exactly
+    for c in chunks[:-1]:
+        assert c.lo < c.hi
+    assert chunks[-1].lo <= chunks[-1].hi
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    lo=keys,
+    span=st.integers(min_value=0, max_value=100_000),
+    size=st.integers(min_value=1, max_value=1_000_000),
+    probe=st.integers(min_value=0, max_value=10_000_000),
+)
+def test_every_key_lands_in_exactly_one_chunk(lo, span, size, probe):
+    hi = min(lo + span, INT64_MAX)
+    key = lo + (probe % (span + 1)) if span else lo
+    if key > hi:
+        key = hi
+    chunks = plan_chunks(lo, hi, size)
+    holders = [
+        c for c in chunks
+        if c.lo <= key and (key <= c.hi if c.is_last else key < c.hi)
+    ]
+    assert len(holders) == 1
+
+
+@settings(max_examples=200)
+@given(st.text(min_size=0, max_size=40))
+def test_snake_case_idempotent_and_lowercase(name):
+    once = to_snake_case(name)
+    assert to_snake_case(once) == once  # fixpoint
+    assert once == once.lower()
+
+
+@settings(max_examples=200)
+@given(st.text(min_size=0, max_size=120))
+def test_truncate_identifier_bounded_and_deterministic(name):
+    out = truncate_identifier(name)
+    assert len(out) <= 63
+    assert truncate_identifier(name) == out
+    if len(name) <= 63:
+        assert out == name
+
+
+@settings(max_examples=200)
+@given(st.lists(st.text(alphabet=st.characters(blacklist_characters="\x00"), max_size=10), min_size=1, max_size=6))
+def test_enum_roundtrip(values):
+    """Rendering an enum declaration and parsing it back is the identity."""
+    rendered = "enum(" + ",".join("'" + v.replace("\\", "\\\\").replace("'", "''") + "'" for v in values) + ")"
+    assert parse_enum_values(rendered) == values
+
+
+@settings(max_examples=200)
+@given(st.lists(st.from_regex(r"[A-Za-z0-9_ =<>]{1,20}", fullmatch=True), min_size=0, max_size=6))
+def test_splitter_preserves_statement_count(stmts):
+    sql = "; ".join(stmts) + (";" if stmts else "")
+    out = split_sql_statements(sql)
+    expected = [s.strip() for s in stmts if s.strip()]
+    assert out == expected
