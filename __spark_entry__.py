@@ -472,7 +472,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles
 # ---------------------------------------------------------------------------
 
-_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+# Guarded tokenizations mirroring functions.text.tokens(): blank text is an
+# EMPTY list (DuckDB's regexp_split_to_array would give [''] of length 1)
+_TOKS = (
+    "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END)"
+)
+_LTOKS = (
+    "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -492,7 +501,7 @@ def oracle_sql() -> dict[str, str]:
     )
     minhash_cte = f"""
         WITH tk AS (
-          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+          SELECT doc_id, {_LTOKS} AS toks
           FROM documents
         ),
         gr AS (
@@ -524,7 +533,7 @@ def oracle_sql() -> dict[str, str]:
         "fr": "['le','la','les','et','est','un','une','pour','dans','que']",
     }
     hits = {
-        lang: f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> list_contains({lst}, x)))"
+        lang: f"len(list_filter({_LTOKS}, x -> list_contains({lst}, x)))"
         for lang, lst in stop.items()
     }
     lang_case = (
@@ -798,13 +807,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
                          / len({_TOKS}), 4) AS avg_token_len,
                    ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-                         / length(text), 4) AS punct_ratio,
+                         / greatest(length(text), 1), 4) AS punct_ratio,
                    ROUND(
                      0.4 * least(len({_TOKS}) / 100.0, 1.0)
                    + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
                                       / len({_TOKS}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
                    + 0.3 * (1.0 - least(5.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-                                               / length(text)), 1.0)), 4) AS quality
+                                               / greatest(length(text), 1)), 1.0)), 4) AS quality
             FROM documents
         """,
         "lang_id": f"""
@@ -834,9 +843,9 @@ def oracle_sql() -> dict[str, str]:
             FROM buckets a JOIN buckets b USING (band_id, band_hash)
             WHERE a.doc_id < b.doc_id
         """,
-        "jaccard_adjacent": """
+        "jaccard_adjacent": f"""
             WITH tk AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              SELECT doc_id, {_LTOKS} AS toks
               FROM documents
             ), grams AS (
               SELECT doc_id,
@@ -866,9 +875,9 @@ def oracle_sql() -> dict[str, str]:
             WITH hs AS (
               SELECT doc_id,
                      list_transform(
-                       list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                       list_distinct({_LTOKS}),
                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h,
-                     len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n
+                     len(list_distinct({_LTOKS})) AS n
               FROM documents
             )
             SELECT doc_id, ({bit_terms}) AS simhash FROM hs
@@ -932,7 +941,7 @@ def oracle_sql() -> dict[str, str]:
                      + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
                                         / len({_TOKS}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
                      + 0.3 * (1.0 - least(5.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-                                                 / length(text)), 1.0)), 4) AS quality,
+                                                 / greatest(length(text), 1)), 1.0)), 4) AS quality,
                      (SELECT {lang_case} FROM (SELECT {hits['de']} AS h_de, {hits['en']} AS h_en,
                                                       {hits['es']} AS h_es, {hits['fr']} AS h_fr,
                                                       greatest({hits['de']}, {hits['en']},

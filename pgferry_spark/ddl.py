@@ -20,16 +20,7 @@ from dataclasses import dataclass, field
 from .catalog.identifiers import enum_type_name, pg_ident, pg_literal, truncate_identifier
 from .catalog.model import Column, ForeignKey, Index, Table
 from .catalog.parsers import parse_enum_values
-from .types.config import TypeMappingConfig
-
-_UNSIGNED_MAX = {
-    "tinyint": 255,
-    "smallint": 65535,
-    "mediumint": 16777215,
-    "int": 4294967295,
-    "integer": 4294967295,
-    "bigint": 18446744073709551615,
-}
+from .types.config import UNSIGNED_MAX, TypeMappingConfig
 
 
 @dataclass
@@ -221,7 +212,7 @@ def unsigned_check_sql(table: Table, col: Column, schema: str) -> list[str] | No
     if "unsigned" not in declared:
         return None
     base = declared.split("(")[0].strip().split(" ")[0]
-    mx = _UNSIGNED_MAX.get(base)
+    mx = UNSIGNED_MAX.get(base)
     if mx is None:
         return None
     cname = truncate_identifier(f"{table.pg_name}_{col.pg_name}_unsigned_check")

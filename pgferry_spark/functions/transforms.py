@@ -181,7 +181,11 @@ def mysql_spatial_to_ewkb(col: Column) -> Column:
     flagged_le = F.concat(F.substring(type_word, 1, 6), le_flag)
     flagged_be = F.concat(be_flag, F.substring(type_word, 3, 6))
     flagged = F.when(order == "01", flagged_le).otherwise(flagged_be)
-    ewkb_hex = F.concat(order, flagged, srid_le, rest)
+    # EWKB stores the SRID in the geometry's declared byte order: the input
+    # prefix is always little-endian (MySQL internal format), so a
+    # big-endian geometry needs the SRID bytes reversed before the splice
+    srid_out = F.when(order == "01", srid_le).otherwise(_rev_bytes_hex(srid_le, 4))
+    ewkb_hex = F.concat(order, flagged, srid_out, rest)
     wkb_hex = F.substring(h, 9, 1 << 30)
     out_hex = F.when(srid == 0, wkb_hex).otherwise(ewkb_hex)
     bad = F.raise_error(F.concat(F.lit("invalid WKB byte-order marker in value: "), h))

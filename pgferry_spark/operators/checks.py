@@ -13,18 +13,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from decimal import Decimal
+
 from pyspark.sql import Column as SparkColumn
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_UNSIGNED_MAX = {
-    "tinyint": 255,
-    "smallint": 65535,
-    "mediumint": 16777215,
-    "int": 4294967295,
-    "integer": 4294967295,
-    "bigint": 18446744073709551615,
-}
+from ..types.config import UNSIGNED_MAX
 
 
 @dataclass
@@ -46,10 +41,15 @@ def set_check(col: str, values: list[str]) -> Check:
 
 
 def unsigned_check(col: str, base_type: str) -> Check:
-    """unsigned range CHECK (col BETWEEN 0 AND max)."""
-    mx = _UNSIGNED_MAX[base_type.lower()]
+    """unsigned range CHECK (col BETWEEN 0 AND max).
+
+    The unsigned-bigint max (2^64-1) exceeds Java's long, so the literal is
+    a Decimal — Spark widens the comparison to decimal instead of crashing
+    on the out-of-range long literal."""
+    mx = UNSIGNED_MAX[base_type.lower()]
     c = F.col(col)
-    return Check(f"{col}_unsigned", c.isNull() | ((c >= 0) & (c <= mx)))
+    upper = F.lit(Decimal(mx)) if mx > 2**63 - 1 else F.lit(mx)
+    return Check(f"{col}_unsigned", c.isNull() | ((c >= 0) & (c <= upper)))
 
 
 def range_check(col: str, lo, hi) -> Check:

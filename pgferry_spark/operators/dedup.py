@@ -12,9 +12,11 @@ Four families, each shaped for 100 TB:
 * **n-gram Jaccard** — exact verification of candidate pairs (the refine
   step after LSH's recall-oriented filter).
 
-Token hashing uses the oracle-portable md5 scheme from functions.hashing so
-every step is verifiable against DuckDB SQL; swap in xxhash64 for production
-throughput (same operator shape).
+MinHash/fingerprint hashing is md5-based (identical digests in Spark SQL and
+DuckDB) so every step is verifiable against the ANSI-SQL oracle; SimHash's
+production variant uses xxhash64 with an md5-based 32-bit twin for the
+oracle. Swap md5 → xxhash64 throughout for maximum throughput once oracle
+parity is no longer needed (the operator shapes are unchanged).
 """
 
 from __future__ import annotations
@@ -22,10 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import band_hashes, minhash_signature
 from ..functions.text import fingerprint, tokens
-
-
 from ..utils import fan_out as _fan_out
 
 # -- exact -------------------------------------------------------------------
@@ -157,7 +156,12 @@ def lsh_candidate_pairs(
     The join key is (band_id, band_hash): each bucket is expected O(1)-sized,
     so the self-join is linear in candidates, not quadratic in corpus. The
     bucket table is persisted so the MinHash signatures (the expensive md5
-    work) are computed once, not once per join side."""
+    work) are computed once, not once per join side.
+
+    Cache lifecycle: the persisted bucket table lives until the session
+    evicts it (LRU) or the caller unpersists. A driver looping over many
+    corpora should consume the result, then ``spark.catalog.clearCache()``
+    or track/unpersist — the cache is an optimization, not state."""
     buckets = lsh_bucket_table(df, content_col, id_col, num_hashes, bands, shingle).persist()
     a = buckets.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")

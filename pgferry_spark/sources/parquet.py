@@ -35,7 +35,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet read tolerant of INT64 TIMESTAMP(NANOS) columns (which Spark
     rejects by default): nanos are read as long and converted to microsecond
     timestamps with exact integer math (``div 1000`` — float division would
-    lose precision above 2^53)."""
+    lose precision above 2^53).
+
+    NOTE: ``nanosAsLong`` is a session-wide legacy conf — setting it here
+    changes how every later parquet read in this session types NANOS
+    columns (they arrive as LongType instead of erroring). It is also set
+    in session.get_spark; the runtime set here keeps externally-created
+    sessions (e.g. the round driver's) working."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     from pyspark.sql.types import LongType

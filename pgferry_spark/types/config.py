@@ -9,6 +9,17 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+# max value per unsigned MySQL integer base type (shared by the DDL CHECK
+# generator and the data-quality check operators)
+UNSIGNED_MAX = {
+    "tinyint": 255,
+    "smallint": 65535,
+    "mediumint": 16777215,
+    "int": 4294967295,
+    "integer": 4294967295,
+    "bigint": 18446744073709551615,
+}
+
 
 @dataclass
 class TypeMappingConfig:

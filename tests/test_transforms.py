@@ -124,6 +124,15 @@ class TestSpatial:
         expected = bytes.fromhex("0101000020e6100000000000000000f03f0000000000000040")
         assert got == expected
 
+    def test_srid_big_endian_geometry(self, spark):
+        # big-endian WKB: order=00, type word 00000001, coords big-endian
+        be_wkb = bytes.fromhex("00000000013ff00000000000004000000000000000")
+        payload = (4326).to_bytes(4, "little") + be_wkb
+        got = one(spark, X.mysql_spatial_to_ewkb(F.col("g")), g=payload)
+        # EWKB: flag 0x20 in the FIRST type byte; SRID spliced BIG-endian
+        expected = bytes.fromhex("0020000001000010e63ff00000000000004000000000000000")
+        assert got == expected
+
     def test_bad_byte_order_errors(self, spark):
         payload = bytes(4) + b"\x07" + self.POINT_WKB[1:]
         df = spark.createDataFrame([(payload,)], "g: binary")
