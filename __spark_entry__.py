@@ -129,6 +129,18 @@ def _sql_surface(spark, sf):
     )
 
 
+def _events_pivot(spark, sf):
+    return Q.events_pivot(_t(spark, sf, "events"))
+
+
+def _lineitem_stats(spark, sf):
+    return Q.lineitem_column_stats(_t(spark, sf, "lineitem"))
+
+
+def _percentiles(spark, sf):
+    return Q.revenue_percentiles(_t(spark, sf, "lineitem"))
+
+
 def _sessionize(spark, sf):
     return Q.sessionize(_t(spark, sf, "events"), gap_minutes=30)
 
@@ -431,6 +443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_orders_per_flag": _distinct,
         "events_hourly": _events_hourly,
         "events_json_stats": _events_json,
+        "events_pivot": _events_pivot,
+        "lineitem_column_stats": _lineitem_stats,
+        "revenue_percentiles": _percentiles,
         "sessionize": _sessionize,
         "asof_join": _asof_join,
         "minmax_probe": _minmax,
@@ -646,6 +661,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   COUNT(*) AS n_total
+            FROM events GROUP BY user_id
+        """,
+        "lineitem_column_stats": """
+            SELECT COUNT(l_quantity) AS qty_count,
+                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+                   CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_min,
+                   CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_max,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                         / COUNT(l_quantity), 6) AS qty_mean,
+                   COUNT(l_extendedprice) AS price_count,
+                   SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS price_nulls,
+                   CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_min,
+                   CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_max,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                         / COUNT(l_extendedprice), 6) AS price_mean
+            FROM lineitem
+        """,
+        "revenue_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE), 0.5), 4) AS p50,
+                   ROUND(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE), 0.9), 4) AS p90,
+                   ROUND(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE), 0.99), 4) AS p99,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
         """,
         "sessionize": """
             WITH flagged AS (

@@ -348,3 +348,47 @@ def customer_set_ops(customer: DataFrame, orders: DataFrame, events: DataFrame) 
     both = order_custs.intersect(event_custs).withColumn("bucket", F.lit("both"))
     only_orders = order_custs.exceptAll(event_custs).withColumn("bucket", F.lit("orders_only"))
     return both.unionByName(only_orders)
+
+
+def events_pivot(events: DataFrame) -> DataFrame:
+    """Pivot: one row per user, one count column per event type. Expressed
+    as conditional aggregation (portable and skew-proof: a true PIVOT is
+    sugar over exactly this plan)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long").alias(f"n_{t}")
+        for t in types
+    ]
+    return events.groupBy("user_id").agg(*aggs, F.count(F.lit(1)).alias("n_total"))
+
+
+def lineitem_column_stats(lineitem: DataFrame) -> DataFrame:
+    """Per-column summary statistics (count/nulls/min/max/mean) — the
+    engine's describe() analogue with deterministic exact math."""
+    def stats(col, name):
+        dec = F.col(col).cast(D12_2)
+        return [
+            F.count(F.col(col)).alias(f"{name}_count"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("long").alias(f"{name}_nulls"),
+            F.min(dec).cast("double").alias(f"{name}_min"),
+            F.max(dec).cast("double").alias(f"{name}_max"),
+            F.round(F.sum(dec).cast("double") / F.count(F.col(col)), 6).alias(f"{name}_mean"),
+        ]
+
+    return lineitem.agg(*stats("l_quantity", "qty"), *stats("l_extendedprice", "price"))
+
+
+def revenue_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return flag
+    (sort-based exact percentile, not the t-digest approximation — the
+    approximate variant is not oracle-comparable across engines)."""
+    price = F.col("l_extendedprice").cast(D12_2).cast("double")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE), 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE), 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE), 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
