@@ -39,7 +39,14 @@ HEADLINE = [
     "lsh_candidate_pairs",
     "simhash_near_pairs",
     "cosine_topk",
+    "ivf_topk",
     "multimodal_meta",
+    "sessionize",
+    "asof_join",
+    "corpus_filter",
+    "quality_checks",
+    "events_pivot",
+    "revenue_percentiles",
 ]
 
 

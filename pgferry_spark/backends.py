@@ -104,9 +104,10 @@ class SpoolTarget:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def write(self, df: DataFrame, table: str) -> int:
-        df.write.mode("overwrite").parquet(self._path(table))
-        return self.spark.read.parquet(self._path(table)).count()
+    def write(self, df: DataFrame, table: str, append: bool = False) -> int:
+        rows = df.count()
+        df.write.mode("append" if append else "overwrite").parquet(self._path(table))
+        return rows
 
     def count(self, table: str) -> int:
         return self.spark.read.parquet(self._path(table)).count()

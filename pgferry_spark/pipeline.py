@@ -49,7 +49,7 @@ from .plans.validation import ValidationResult, validate_row_counts
 
 class TargetBackend(Protocol):
     def execute(self, sql: str) -> None: ...
-    def write(self, df: DataFrame, table: str) -> int: ...
+    def write(self, df: DataFrame, table: str, append: bool = False) -> int: ...
     def count(self, table: str) -> int: ...
 
 
@@ -168,21 +168,50 @@ class MigrationPipeline:
         return df, removed
 
     def move_table(self, table: Table, parents: dict[str, DataFrame]) -> TableRunResult:
-        plan = self.chunk_plan_for(table)
-        preds = plan.predicates()
-        done = self.checkpoint.completed_indices(table.pg_name)
-        if preds is not None and done:
-            preds = [p for i, p in enumerate(preds) if i not in done]
+        """Move one table with **chunk-granular restartability**: chunk
+        predicates are processed in batches of ``workers×4``; each batch is
+        one distributed read→transform→write job, and every chunk in the
+        batch is marked complete only after the batch's write commits. A
+        resumed run re-plans the identical chunks (guarded by the
+        compatibility fingerprint) and schedules only the missing ones —
+        count-exact, no duplicate rows (BASELINE.md restartability target).
+        """
         if self.checkpoint.is_table_done(table.pg_name):
             return TableRunResult(table.pg_name, 0, 0)
+        plan = self.chunk_plan_for(table)
+        preds = plan.predicates()
 
-        df = self.source.read_table(self.spark, table, preds)
-        df = apply_transforms(df, table, self.source.kind, self.cfg.type_mapping)
-        df, removed = self.clean_orphans(df, table, parents)
-        rows = self.target.write(df, table.pg_name)
-        self.checkpoint.begin_table(table.pg_name, len(plan.chunks))
-        self.checkpoint.mark_table_done(table.pg_name, rows)
-        return TableRunResult(table.pg_name, rows, len(plan.chunks), removed)
+        def prepared(predicates: list[str] | None) -> tuple[DataFrame, int]:
+            df = self.source.read_table(self.spark, table, predicates)
+            df = apply_transforms(df, table, self.source.kind, self.cfg.type_mapping)
+            return self.clean_orphans(df, table, parents)
+
+        if preds is None or len(preds) <= 1:
+            df, removed = prepared(preds)
+            rows = self.target.write(df, table.pg_name)
+            self.checkpoint.begin_table(table.pg_name, max(1, len(plan.chunks)))
+            self.checkpoint.mark_table_done(table.pg_name, rows)
+            return TableRunResult(table.pg_name, rows, len(plan.chunks), removed)
+
+        done = self.checkpoint.completed_indices(table.pg_name)
+        self.checkpoint.begin_table(table.pg_name, len(preds))
+        todo = [(i, p) for i, p in enumerate(preds) if i not in done]
+        batch_size = max(1, self.cfg.effective_workers() * 4)
+        rows_total, removed_total = 0, 0
+        appending = bool(done)  # resumed: prior chunks already landed
+        for start in range(0, len(todo), batch_size):
+            batch = todo[start : start + batch_size]
+            df, removed = prepared([p for _, p in batch])
+            rows = self.target.write(df, table.pg_name, append=appending)
+            appending = True
+            rows_total += rows
+            removed_total += removed
+            for i, _ in batch:
+                self.checkpoint.mark_chunk_done(table.pg_name, i, rows)
+        if not todo:
+            rows_total = 0
+        self.checkpoint.mark_table_done(table.pg_name, rows_total)
+        return TableRunResult(table.pg_name, rows_total, len(preds), removed_total)
 
     # -- the full sequence ---------------------------------------------------
 

@@ -225,3 +225,62 @@ def test_data_only_skips_constraint_replay(spark, blog_db, tmp_path):
     pipe.run()
     assert not any("ADD CONSTRAINT" in s for s in target.ddl)
     assert not any("SET LOGGED" in s for s in target.ddl)
+
+
+def test_chunk_level_restartability(spark, tmp_path):
+    """BASELINE.md target: after a simulated mid-table failure, the resumed
+    run skips completed chunks and lands count-exact (no duplicates)."""
+    import os
+    import sqlite3 as sq3
+
+    db = str(tmp_path / "big.db")
+    con = sq3.connect(db)
+    con.execute("CREATE TABLE big (id INTEGER PRIMARY KEY, payload TEXT)")
+    con.executemany("INSERT INTO big VALUES (?,?)", [(i, f"p{i}") for i in range(1, 501)])
+    con.commit()
+    con.close()
+
+    ckpt = str(tmp_path / "ckpt.json")
+
+    def build(target):
+        cfg = MigrationConfig(
+            source_type="sqlite", source_dsn=db, target_dsn="spool://x",
+            target_schema="app", chunk_size=50, workers=1, resume=True,
+        )
+        pipe = MigrationPipeline(
+            spark, cfg, SqliteSource(db), target, map_sqlite_type, map_sqlite_default,
+        )
+        pipe.checkpoint = CheckpointManager(ckpt, flush_items=1)
+        return pipe
+
+    class FlakyTarget(SpoolTarget):
+        def __init__(self, *a, fail_after: int, **kw):
+            super().__init__(*a, **kw)
+            self.writes = 0
+            self.fail_after = fail_after
+
+        def write(self, df, table, append=False):
+            self.writes += 1
+            if self.writes > self.fail_after:
+                raise RuntimeError("simulated crash")
+            return super().write(df, table, append=append)
+
+    out = str(tmp_path / "target")
+    # chunk_size=50 over ids 1..500 -> 10 chunks; workers=1 -> batches of 4
+    flaky = FlakyTarget(spark, out, fail_after=1)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        build(flaky).run()
+    assert os.path.exists(ckpt)  # progress survived the crash
+
+    result = build(SpoolTarget(spark, out)).run()
+    assert result.ok
+    final = spark.read.parquet(os.path.join(out, "big"))
+    assert final.count() == 500                      # count-exact
+    assert final.select("id").distinct().count() == 500  # no duplicates
+    assert not os.path.exists(ckpt)  # success deletes the checkpoint
+
+    # the resumed run moved only the missing chunks (10 total, 4 done before)
+    moved = {r.table: r.rows_written for r in result.tables}
+    assert moved["big"] == 300
