@@ -60,8 +60,11 @@ def cmd_plan(args) -> int:
 
 
 def cmd_migrate(args) -> int:
+    import os
+
     from .backends import SpoolTarget
     from .pipeline import MigrationPipeline
+    from .plans.checkpoint import CheckpointManager
     from .session import get_spark
 
     cfg = load_config(args.config)
@@ -76,8 +79,15 @@ def cmd_migrate(args) -> int:
             "only spool:// targets are runnable in this environment "
             "(PostgreSQL needs a reachable server + psycopg/JDBC driver)"
         )
+    checkpoint = None
+    if cfg.resume:
+        path = cfg.checkpoint_path or os.path.join(
+            os.path.dirname(os.path.abspath(args.config)),
+            ".pgferry_spark_checkpoint.json",
+        )
+        checkpoint = CheckpointManager(path)
     result = MigrationPipeline(
-        spark, cfg, source, target, type_mapper, default_mapper
+        spark, cfg, source, target, type_mapper, default_mapper, checkpoint=checkpoint
     ).run()
     for t in result.tables:
         print(f"  {t.table}: {t.rows_written} rows ({t.orphans_removed} orphans removed)")

@@ -47,6 +47,7 @@ class MigrationConfig:
     snake_case_identifiers: bool = True
     unlogged_tables: bool = True
     resume: bool = False
+    checkpoint_path: str = ""  # default: <config dir>/.pgferry_spark_checkpoint.json
     # parallelism & chunking
     workers: int = 0  # 0 -> min(cpu, 8); SQLite capped at 1
     index_workers: int = 0  # 0 -> inherit workers

@@ -24,10 +24,19 @@ def _non_null_cond(df: DataFrame, cols: list[str]):
     return reduce(lambda a, b: a & b, (F.col(c).isNotNull() for c in cols))
 
 
-def _join_cond(child: DataFrame, parent: DataFrame, fk_cols: list[str], ref_cols: list[str]):
+def _parent_keys(parent: DataFrame, ref_cols: list[str]) -> DataFrame:
+    """Distinct parent key tuples, projected through fresh aliases — the
+    rename produces new attribute ids so a SELF-referential cleanup (child
+    is parent) doesn't trip Spark's ambiguous-self-join analysis."""
+    return parent.select(
+        *[F.col(r).alias(f"__ref_{i}") for i, r in enumerate(ref_cols)]
+    ).dropDuplicates()
+
+
+def _keys_cond(child: DataFrame, parent_keys: DataFrame, fk_cols: list[str]):
     return reduce(
         lambda a, b: a & b,
-        (child[f] == parent[r] for f, r in zip(fk_cols, ref_cols)),
+        (child[f] == parent_keys[f"__ref_{i}"] for i, f in enumerate(fk_cols)),
     )
 
 
@@ -36,10 +45,10 @@ def find_orphans(
 ) -> DataFrame:
     """Rows of ``child`` whose fully-non-null FK tuple has no match in
     ``parent`` (MATCH SIMPLE semantics)."""
-    parent_keys = parent.select(*ref_cols).dropDuplicates(ref_cols)
+    parent_keys = _parent_keys(parent, ref_cols)
     candidates = child.filter(_non_null_cond(child, fk_cols))
     return candidates.join(
-        parent_keys, on=_join_cond(candidates, parent_keys, fk_cols, ref_cols), how="left_anti"
+        parent_keys, on=_keys_cond(candidates, parent_keys, fk_cols), how="left_anti"
     )
 
 
@@ -48,11 +57,11 @@ def clean_orphans_delete(
 ) -> DataFrame:
     """DELETE-rule cleanup: drop orphan rows, keep rows with any NULL FK
     component and all matched rows."""
-    parent_keys = parent.select(*ref_cols).dropDuplicates(ref_cols)
+    parent_keys = _parent_keys(parent, ref_cols)
     has_nulls = child.filter(~_non_null_cond(child, fk_cols))
     matched = child.filter(_non_null_cond(child, fk_cols)).join(
         parent_keys,
-        on=_join_cond(child, parent_keys, fk_cols, ref_cols),
+        on=_keys_cond(child, parent_keys, fk_cols),
         how="left_semi",
     )
     return matched.unionByName(has_nulls)
@@ -63,13 +72,8 @@ def clean_orphans_set_null(
 ) -> DataFrame:
     """SET NULL-rule cleanup (FKs declared ON DELETE SET NULL): orphan rows
     keep their non-FK columns but the FK columns become NULL."""
-    parent_keys = parent.select(
-        *[F.col(r).alias(f"__ref_{i}") for i, r in enumerate(ref_cols)]
-    ).dropDuplicates()
-    cond = reduce(
-        lambda a, b: a & b,
-        (child[f] == parent_keys[f"__ref_{i}"] for i, f in enumerate(fk_cols)),
-    )
+    parent_keys = _parent_keys(parent, ref_cols)
+    cond = _keys_cond(child, parent_keys, fk_cols)
     joined = child.join(F.broadcast(parent_keys), on=cond, how="left")
     is_orphan = _non_null_cond(child, fk_cols) & parent_keys[f"__ref_{0}"].isNull()
     out_cols = []

@@ -146,26 +146,46 @@ class MigrationPipeline:
         key = chunk_key_for_table(pk_cols, col_types)
         if key is None:
             return plan_table_chunks(table.pg_name, None, None, None, self.cfg.chunk_size)
+        # predicates execute against the SOURCE database, so the chunk key in
+        # the predicate text must be the source column name, not the
+        # normalized pg_name (they differ whenever snake_casing renames)
         src_name = table.column(key).source_name
         lo, hi = self.source.min_max(table, src_name)
-        return plan_table_chunks(table.pg_name, key, lo, hi, self.cfg.chunk_size)
+        return plan_table_chunks(table.pg_name, src_name, lo, hi, self.cfg.chunk_size)
 
     def clean_orphans(self, df: DataFrame, table: Table, parents: dict[str, DataFrame]) -> tuple[DataFrame, int]:
         """J1 applied in-flight: anti-join each FK against its parent before
-        the write (same final state as the reference's post-load DELETE)."""
-        removed = 0
+        the write (same final state as the reference's post-load DELETE).
+
+        Self-referential FKs anti-join against the table's own pre-clean
+        snapshot — matching SQL DELETE semantics, where the NOT EXISTS
+        subquery evaluates against the pre-delete state. Row counting is one
+        before/after pair for the whole FK set, not per FK."""
+        snapshot = df
+        any_delete_rule = False
         for fk in table.foreign_keys:
-            parent_df = parents.get(fk.ref_pg_table)
+            parent_df = (
+                snapshot if fk.ref_pg_table == table.pg_name else parents.get(fk.ref_pg_table)
+            )
             if parent_df is None:
                 continue
-            before = None
             if fk.delete_rule.upper() == "SET NULL":
                 df = clean_orphans_set_null(df, parent_df, fk.columns, fk.ref_columns)
             else:
-                before = df.count()
+                any_delete_rule = True
                 df = clean_orphans_delete(df, parent_df, fk.columns, fk.ref_columns)
-                removed += before - df.count()
+        removed = (snapshot.count() - df.count()) if any_delete_rule else 0
         return df, removed
+
+    def cleaned_source_df(self, table: Table, parents: dict[str, DataFrame]) -> DataFrame:
+        """The table exactly as the movement phase writes it: full source
+        read → transforms → orphan cleanup against the (cleaned) parents."""
+        base = apply_transforms(
+            self.source.read_table(self.spark, table, None),
+            table, self.source.kind, self.cfg.type_mapping,
+        )
+        cleaned, _ = self.clean_orphans(base, table, parents)
+        return cleaned
 
     def move_table(self, table: Table, parents: dict[str, DataFrame]) -> TableRunResult:
         """Move one table with **chunk-granular restartability**: chunk
@@ -181,14 +201,18 @@ class MigrationPipeline:
         plan = self.chunk_plan_for(table)
         preds = plan.predicates()
 
-        def prepared(predicates: list[str] | None) -> tuple[DataFrame, int]:
-            df = self.source.read_table(self.spark, table, predicates)
-            df = apply_transforms(df, table, self.source.kind, self.cfg.type_mapping)
-            return self.clean_orphans(df, table, parents)
+        def prepared(predicates: list[str] | None) -> tuple[DataFrame, DataFrame, int]:
+            base = self.source.read_table(self.spark, table, predicates)
+            base = apply_transforms(
+                base, table, self.source.kind, self.cfg.type_mapping
+            ).persist()  # counted + cleaned + written: one computation
+            cleaned, removed = self.clean_orphans(base, table, parents)
+            return base, cleaned, removed
 
         if preds is None or len(preds) <= 1:
-            df, removed = prepared(preds)
+            base, df, removed = prepared(preds)
             rows = self.target.write(df, table.pg_name)
+            base.unpersist()
             self.checkpoint.begin_table(table.pg_name, max(1, len(plan.chunks)))
             self.checkpoint.mark_table_done(table.pg_name, rows)
             return TableRunResult(table.pg_name, rows, len(plan.chunks), removed)
@@ -201,15 +225,16 @@ class MigrationPipeline:
         appending = bool(done)  # resumed: prior chunks already landed
         for start in range(0, len(todo), batch_size):
             batch = todo[start : start + batch_size]
-            df, removed = prepared([p for _, p in batch])
+            base, df, removed = prepared([p for _, p in batch])
             rows = self.target.write(df, table.pg_name, append=appending)
+            base.unpersist()
             appending = True
             rows_total += rows
             removed_total += removed
-            for i, _ in batch:
-                self.checkpoint.mark_chunk_done(table.pg_name, i, rows)
-        if not todo:
-            rows_total = 0
+            # the write is batch-atomic; rows land on the first chunk of the
+            # batch so checkpoint row totals stay exact
+            for n, (i, _) in enumerate(batch):
+                self.checkpoint.mark_chunk_done(table.pg_name, i, rows if n == 0 else 0)
         self.checkpoint.mark_table_done(table.pg_name, rows_total)
         return TableRunResult(table.pg_name, rows_total, len(preds), removed_total)
 
@@ -259,16 +284,23 @@ class MigrationPipeline:
                     )
             run_hooks(self.cfg.hooks, "before_data", self.cfg.target_schema, self.target.execute)
 
-            # parents load first so FK cleanup can consume their DataFrames
+            # parents load first so FK cleanup can consume their DataFrames;
+            # only tables some FK actually references are retained, and the
+            # retained DataFrame is the CLEANED form (what was written), so
+            # grandchildren are checked against surviving parent rows only
+            referenced = {
+                fk.ref_pg_table
+                for t in tables
+                for fk in t.foreign_keys
+                if fk.ref_pg_table != t.pg_name
+            }
             ordered = _parents_first(tables)
             parent_dfs: dict[str, DataFrame] = {}
             for table in ordered:
                 res = self.move_table(table, parent_dfs)
                 result.tables.append(res)
-                parent_dfs[table.pg_name] = apply_transforms(
-                    self.source.read_table(self.spark, table, None),
-                    table, self.source.kind, self.cfg.type_mapping,
-                )
+                if table.pg_name in referenced:
+                    parent_dfs[table.pg_name] = self.cleaned_source_df(table, parent_dfs)
             run_hooks(self.cfg.hooks, "after_data", self.cfg.target_schema, self.target.execute)
             if self.cfg.mode == "data_only":
                 for t in tables:
@@ -279,12 +311,24 @@ class MigrationPipeline:
 
             if self.cfg.validation == "row_count":
                 by_name = {t.pg_name: t for t in tables}
-                adjust = {r.table: r.orphans_removed for r in result.tables}
+
+                def expected_count(name: str) -> int:
+                    # recomputed from the source (not this run's counters) so
+                    # a resumed run that skipped completed tables still
+                    # validates correctly against prior orphan removals
+                    t = by_name[name]
+                    if any(
+                        fk.ref_pg_table in parent_dfs or fk.ref_pg_table == t.pg_name
+                        for fk in t.foreign_keys
+                    ):
+                        return self.cleaned_source_df(t, parent_dfs).count()
+                    return self.source.count(t)
+
                 result.validation = validate_row_counts(
                     [t.pg_name for t in tables],
-                    lambda name: self.source.count(by_name[name]) - adjust.get(name, 0),
+                    expected_count,
                     self.target.count,
-                    max_workers=self.cfg.effective_workers(),
+                    max_workers=1,  # expected_count launches Spark jobs; keep serial
                 )
 
             run_hooks(self.cfg.hooks, "before_fk", self.cfg.target_schema, self.target.execute)

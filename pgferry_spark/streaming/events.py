@@ -129,16 +129,22 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, watermark: str =
             else:
                 start_us = last_us = None
                 n = 0
+            # the group's rows arrive as MULTIPLE pandas chunks in arbitrary
+            # order — gather all timestamps before the single sorted gap scan
+            # (sorting per chunk would close sessions that a later chunk's
+            # earlier timestamps actually bridge)
+            all_ts: list = []
             for pdf in pdf_iter:
-                for ts in sorted(pdf["ts"]):
-                    us = int(pd.Timestamp(ts).value // 1000)
-                    if last_us is None:
-                        start_us, last_us, n = us, us, 1
-                    elif us - last_us > gap_us:
-                        closed.append((user_id, start_us, last_us, n))
-                        start_us, last_us, n = us, us, 1
-                    else:
-                        last_us, n = max(last_us, us), n + 1
+                all_ts.extend(pdf["ts"])
+            for ts in sorted(all_ts):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is None:
+                    start_us, last_us, n = us, us, 1
+                elif us - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n))
+                    start_us, last_us, n = us, us, 1
+                else:
+                    last_us, n = max(last_us, us), n + 1
             if start_us is not None:
                 state.update((start_us, last_us, n))
                 state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
@@ -166,8 +172,10 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, watermark: str =
 
 
 def dedup_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup: drop re-delivered events by id within the
-    watermark horizon. State holds only ids newer than the watermark, so
-    memory is bounded by (arrival rate × horizon) — the standard
-    at-least-once → effectively-once repair for event ingestion."""
-    return events.withWatermark("ts", watermark).dropDuplicates([id_col, "ts"])
+    """Streaming exact dedup: drop re-delivered events **by id** within the
+    watermark horizon — ``dropDuplicatesWithinWatermark`` keys on the id
+    alone, so a redelivery whose timestamp was perturbed in flight still
+    dedupes (plain dropDuplicates([id, ts]) would pass both copies). State
+    holds only ids newer than the watermark, so memory is bounded by
+    (arrival rate × horizon)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([id_col])

@@ -284,3 +284,122 @@ def test_chunk_level_restartability(spark, tmp_path):
     # the resumed run moved only the missing chunks (10 total, 4 done before)
     moved = {r.table: r.rows_written for r in result.tables}
     assert moved["big"] == 300
+
+
+def test_mixed_case_pk_chunking(spark, tmp_path):
+    """Chunk predicates must carry the SOURCE column name: a CamelCase PK
+    that snake_cases to a different pg_name used to break the chunked read."""
+    import sqlite3 as sq3
+
+    db = str(tmp_path / "camel.db")
+    con = sq3.connect(db)
+    con.execute('CREATE TABLE t ("OrderID" INTEGER PRIMARY KEY, v TEXT)')
+    con.executemany("INSERT INTO t VALUES (?,?)", [(i, f"v{i}") for i in range(1, 301)])
+    con.commit()
+    con.close()
+
+    cfg = MigrationConfig(
+        source_type="sqlite", source_dsn=db, target_dsn="spool://x",
+        target_schema="app", chunk_size=50, workers=1,
+    )
+    target = SpoolTarget(spark, str(tmp_path / "camel_out"))
+    result = MigrationPipeline(
+        spark, cfg, SqliteSource(db), target, map_sqlite_type, map_sqlite_default,
+    ).run()
+    assert result.ok
+    assert result.tables[0].rows_written == 300
+    assert result.tables[0].chunks == 6
+    out = spark.read.parquet(str(tmp_path / "camel_out" / "t"))
+    assert out.columns == ["order_id", "v"]  # normalized on the way out
+
+
+def test_orphan_chain_cascades_through_cleaned_parents(spark, tmp_path):
+    """A→B→C chain: a B row orphaned against A must also disqualify the C
+    rows that referenced it (children clean against CLEANED parents)."""
+    import sqlite3 as sq3
+
+    db = str(tmp_path / "chain.db")
+    con = sq3.connect(db)
+    con.executescript(
+        """
+        CREATE TABLE a (id INTEGER PRIMARY KEY);
+        CREATE TABLE b (id INTEGER PRIMARY KEY, a_id INTEGER NOT NULL REFERENCES a(id));
+        CREATE TABLE c (id INTEGER PRIMARY KEY, b_id INTEGER NOT NULL REFERENCES b(id));
+        """
+    )
+    con.execute("INSERT INTO a VALUES (1)")
+    con.executemany("INSERT INTO b VALUES (?,?)", [(1, 1), (2, 99)])  # b2 orphan
+    con.executemany("INSERT INTO c VALUES (?,?)", [(1, 1), (2, 2)])   # c2 -> orphan b2
+    con.commit()
+    con.close()
+
+    cfg = MigrationConfig(
+        source_type="sqlite", source_dsn=db, target_dsn="spool://x", target_schema="app",
+    )
+    target = SpoolTarget(spark, str(tmp_path / "chain_out"))
+    result = MigrationPipeline(
+        spark, cfg, SqliteSource(db), target, map_sqlite_type, map_sqlite_default,
+    ).run()
+    assert result.ok
+    rows = {r.table: r.rows_written for r in result.tables}
+    assert rows == {"a": 1, "b": 1, "c": 1}  # b2 AND its dependent c2 removed
+
+
+def test_self_referential_fk_cleaned(spark, tmp_path):
+    """Self-FK: rows pointing at nonexistent rows of the SAME table are
+    orphans (anti-join against the pre-clean snapshot, SQL DELETE semantics)."""
+    import sqlite3 as sq3
+
+    db = str(tmp_path / "selfref.db")
+    con = sq3.connect(db)
+    con.execute(
+        "CREATE TABLE node (id INTEGER PRIMARY KEY, parent_id INTEGER REFERENCES node(id))"
+    )
+    con.executemany(
+        "INSERT INTO node VALUES (?,?)",
+        [(1, None), (2, 1), (3, 777)],  # 3 points at a nonexistent node
+    )
+    con.commit()
+    con.close()
+
+    cfg = MigrationConfig(
+        source_type="sqlite", source_dsn=db, target_dsn="spool://x", target_schema="app",
+    )
+    target = SpoolTarget(spark, str(tmp_path / "self_out"))
+    result = MigrationPipeline(
+        spark, cfg, SqliteSource(db), target, map_sqlite_type, map_sqlite_default,
+    ).run()
+    assert result.ok
+    out = spark.read.parquet(str(tmp_path / "self_out" / "node"))
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]  # NULL-parent row kept
+
+
+def test_resumed_run_validates_with_prior_orphans(spark, blog_db, tmp_path):
+    """A resume that skips a table whose earlier run removed orphans must
+    still validate (expected counts recomputed, not taken from run state)."""
+    ckpt = str(tmp_path / "rv.json")
+    pipe1, target = make_pipeline(spark, blog_db, tmp_path, resume=True)
+    pipe1.checkpoint = CheckpointManager(ckpt)
+    assert pipe1.run().ok  # full run: comments lands with 10 rows (2 orphans removed)
+
+    # simulate: second run resumes with every table already done
+    pipe2, _ = make_pipeline(spark, blog_db, tmp_path, resume=True)
+    pipe2.checkpoint = CheckpointManager(ckpt)
+    schema = pipe2.source.introspect()
+    tables = pipe2.select_tables(schema)
+    from pgferry_spark.plans.checkpoint import compatibility_fingerprint
+
+    fp = compatibility_fingerprint(
+        {
+            "source_type": "sqlite", "target_schema": "blog", "snake_case": True,
+            "mode": "full", "unlogged": True, "chunk_size": 100_000,
+            "type_mapping": vars(pipe2.cfg.type_mapping),
+            "tables": {t.pg_name: [c.pg_name for c in t.columns] for t in tables},
+        }
+    )
+    seeded = CheckpointManager(ckpt, fingerprint=fp)
+    for t in ("users", "posts", "comments"):
+        seeded.mark_table_done(t, rows=0)
+    result2 = pipe2.run()
+    assert result2.ok  # validation passes: comments expected 10, not 12
+    assert all(r.rows_written == 0 for r in result2.tables)
