@@ -363,6 +363,28 @@ def _simhash32(spark, sf):
     return dedup.simhash32_md5(d, "text", "doc_id")
 
 
+def _embedding_near_dup(spark, sf):
+    """Exact embedding-cosine near-dup pairs (all-pairs verify baseline)."""
+    e = _t(spark, sf, "embeddings")
+    return dedup.embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.35)
+
+
+def _embedding_near_dup_lsh(spark, sf):
+    """LSH-blocked embedding near-dup (scale path; approximate recall, no
+    SQL oracle)."""
+    e = _t(spark, sf, "embeddings")
+    return dedup.embedding_near_dup_pairs_lsh(
+        e, "embedding", "vec_id", threshold=0.35, n_planes=16, bands=8
+    )
+
+
+def _embedding_dedup(spark, sf):
+    """Cosine dedup keep-set: vectors surviving the smaller-id-keeper rule."""
+    e = _t(spark, sf, "embeddings")
+    kept = dedup.embedding_dedup(e, "embedding", "vec_id", threshold=0.35)
+    return kept.select("vec_id", "label")
+
+
 def _cosine_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -472,6 +494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_adjacent": _jaccard_adjacent,
         "simhash_near_pairs": _simhash_pairs,
         "simhash32": _simhash32,
+        "embedding_near_dup": _embedding_near_dup,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
+        "embedding_dedup": _embedding_dedup,
         "cosine_topk": _cosine_topk,
         "pairwise_cosine_topk": _pairwise_topk,
         "ivf_assign": _ivf_assign,
@@ -937,6 +962,29 @@ def oracle_sql() -> dict[str, str]:
                 for i in range(32)
             )
         ),
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        """,
+        "embedding_dedup": """
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id, a.label
+            FROM e a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e b
+                WHERE b.vec_id < a.vec_id
+                  AND ROUND(list_dot_product(a.v, b.v)
+                            / (sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+            )
+        """,
         "cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

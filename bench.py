@@ -38,6 +38,7 @@ HEADLINE = [
     "minhash_buckets",
     "lsh_candidate_pairs",
     "simhash_near_pairs",
+    "embedding_near_dup_lsh",
     "cosine_topk",
     "ivf_topk",
     "multimodal_meta",

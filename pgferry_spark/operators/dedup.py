@@ -271,6 +271,106 @@ def simhash_near_pairs(df: DataFrame, content_col: str, id_col: str, max_hamming
     )
 
 
+# -- embedding-cosine near-dup ----------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.35
+) -> DataFrame:
+    """Exact near-dup pairs by embedding cosine: (id_a, id_b, cosine_sim)
+    with id_a < id_b and cosine ≥ ``threshold``.
+
+    The exact baseline is an all-pairs scan (broadcast nested-loop when one
+    side fits in memory) — correct at any corpus size but O(N²); use
+    :func:`embedding_near_dup_pairs_lsh` as the scale path and this as the
+    verify/recall oracle on samples. The cosine is the same sequential
+    ``aggregate`` fold as :mod:`..operators.similarity` (deterministic FP
+    order, matches the SQL oracle's list_dot_product)."""
+    from .similarity import _dot, _norm
+
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-blocked embedding near-dup: sign-bit hyperplane signatures split
+    into ``bands``; pairs agreeing on ≥1 band are candidates, then exact
+    cosine verifies. Same output schema as the exact variant but approximate
+    recall (a true pair disagreeing on every band is missed — more/narrower
+    bands trade joins for recall, exactly the MinHash-LSH dial).
+
+    Scale shape: candidate generation is a self-join on (band_id, band_val)
+    buckets — linear in collisions, never corpus-quadratic — and the exact
+    cosine runs only on candidates."""
+    from .similarity import _dot, _norm, lsh_bucket, random_hyperplanes
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("sig"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.shiftrightunsigned(F.col("sig"), bi * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_val"),
+        )
+        for bi in range(bands)
+    ]
+    blocked = sig.select(
+        F.col(id_col), F.col("v"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        id_col, "v",
+        F.col("bb.band_id").alias("band_id"), F.col("bb.band_val").alias("band_val"),
+    ).persist()  # signature (n_planes dot products) computed once, not per join side
+    a = blocked.select("band_id", "band_val", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = blocked.select("band_id", "band_val", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    cand = (
+        a.join(b, on=["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])  # dedup on ids; don't hash the vectors
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return cand.select(
+        "id_a", "id_b", F.round(sim, 4).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
+def embedding_dedup(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine dedup keep-set: drop every vector that has a
+    near-dup with a smaller id (the canonical-representative rule the exact
+    and fingerprint dedups use). Returns the surviving rows of ``df``."""
+    dups = embedding_near_dup_pairs(df, vec_col, id_col, threshold).select(
+        F.col("id_b").alias(id_col)
+    )
+    return df.join(dups, on=id_col, how="left_anti")
+
+
 # -- n-gram Jaccard ----------------------------------------------------------
 
 

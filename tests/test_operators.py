@@ -140,6 +140,42 @@ class TestSimilarity:
         assert 0 in ids and 3 not in ids
 
 
+class TestEmbeddingNearDup:
+    def embeddings(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # near-dup of 0 (cos ≈ 0.9939)
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+            (3, [-1.0, 0.0, 0.0]),  # antipodal
+            (4, [1.0, 0.05, 0.0]),  # near-dup of 0 and 1
+        ]
+        return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    def test_exact_pairs(self, spark):
+        e = self.embeddings(spark)
+        got = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in
+               dedup.embedding_near_dup_pairs(e, "embedding", "vec_id", 0.95).collect()}
+        assert set(got) == {(0, 1), (0, 4), (1, 4)}
+        assert got[(0, 1)] == 0.9939
+        assert all(v >= 0.95 for v in got.values())
+
+    def test_lsh_pairs_subset_of_exact(self, spark):
+        e = self.embeddings(spark)
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 dedup.embedding_near_dup_pairs(e, "embedding", "vec_id", 0.95).collect()}
+        lsh = {(r["id_a"], r["id_b"]) for r in
+               dedup.embedding_near_dup_pairs_lsh(
+                   e, "embedding", "vec_id", 0.95, n_planes=8, bands=8).collect()}
+        assert lsh <= exact        # blocking never invents pairs
+        assert (0, 1) in lsh       # near-parallel vectors agree on every 1-bit band
+
+    def test_dedup_keeps_smallest_id(self, spark):
+        e = self.embeddings(spark)
+        kept = sorted(r["vec_id"] for r in
+                      dedup.embedding_dedup(e, "embedding", "vec_id", 0.95).collect())
+        assert kept == [0, 2, 3]   # 1 and 4 fold into 0
+
+
 def test_validation_runner():
     src = {"a": 10, "b": 5}
     tgt = {"a": 10, "b": 4}
