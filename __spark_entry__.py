@@ -303,19 +303,21 @@ def _quality_checks(spark, sf):
 def _text_stats(spark, sf):
     d = _t(spark, sf, "documents")
     txt = F.col("text")
-    return d.select(
+    toked = d.select("doc_id", "text", T.tokens(txt).alias("__toks"))
+    return toked.select(
         "doc_id",
-        T.token_count(txt).alias("n_tokens"),
+        F.size("__toks").alias("n_tokens"),
         T.char_count(txt).alias("n_chars_m"),
-        F.round(T.avg_token_len(txt), 4).alias("avg_token_len"),
+        F.round(T.avg_token_len_t(F.col("__toks")), 4).alias("avg_token_len"),
         F.round(T.punct_ratio(txt), 4).alias("punct_ratio"),
-        T.quality_score(txt).alias("quality"),
+        T.quality_score_t(F.col("__toks"), txt).alias("quality"),
     )
 
 
 def _lang_id(spark, sf):
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_guess"))
+    ltoks = T.tokens(F.lower(F.col("text")))
+    return d.select("doc_id", "lang", T.lang_id_t(ltoks).alias("lang_guess"))
 
 
 def _fingerprint_dedup(spark, sf):
@@ -415,18 +417,34 @@ def _ivf_topk(spark, sf):
 
 def _corpus_filter(spark, sf):
     """Combined training-data filter: quality gate + lang-id agreement +
-    fingerprint dedup keeper — the one-pass corpus curation query."""
+    fingerprint dedup keeper — the one-pass corpus curation query.
+
+    Tokenizes once (``__toks``) and derives every metric from the array:
+    one split + one elementwise lower instead of ~7 splits, which halves
+    both the codegen'd projection and the steady-state scan cost."""
     d = _t(spark, sf, "documents")
-    scored = d.select(
+    from pyspark.sql.window import Window
+
+    toked = d.select(
+        "doc_id", "lang", "text", T.tokens(F.col("text")).alias("__toks")
+    )
+    scored = toked.select(
         "doc_id", "lang",
-        T.quality_score(F.col("text")).alias("quality"),
-        T.lang_id(F.col("text")).alias("lang_guess"),
+        T.quality_score_t(F.col("__toks"), F.col("text")).alias("quality"),
+        T.lang_id_t(F.transform(F.col("__toks"), F.lower)).alias("lang_guess"),
         T.fingerprint(F.col("text")).alias("fp"),
     )
-    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # keeper = min doc_id per fingerprint via window: ONE shuffle and one
+    # scoring pass, vs groupBy + semi-join which shuffles twice and computes
+    # the scoring projection on both join sides
+    keep = F.min("doc_id").over(Window.partitionBy("fp"))
     return (
-        scored.join(keepers, on=["fp", "doc_id"], how="left_semi")
-        .filter((F.col("quality") >= 0.5) & (F.col("lang_guess") == F.col("lang")))
+        scored.withColumn("__keep", keep)
+        .filter(
+            (F.col("doc_id") == F.col("__keep"))
+            & (F.col("quality") >= 0.5)
+            & (F.col("lang_guess") == F.col("lang"))
+        )
         .select("doc_id", "quality", "lang_guess")
     )
 

@@ -38,7 +38,7 @@ HEADLINE = [
     "minhash_buckets",
     "lsh_candidate_pairs",
     "simhash_near_pairs",
-    "embedding_near_dup_lsh",
+    "embedding_near_dup",
     "cosine_topk",
     "ivf_topk",
     "multimodal_meta",
@@ -60,8 +60,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
-    # JVM/codegen warmup on the smallest table so q1 doesn't pay startup cost
+    # JVM/codegen warmup on the smallest table so q1 doesn't pay startup
+    # cost, plus one trivial mapInPandas so the Python worker pool (reused
+    # across queries) spawns before, not inside, the first measured
+    # Python-path query
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
