@@ -72,6 +72,17 @@ def _q5(spark, sf):
     )
 
 
+def _q10(spark, sf):
+    return Q.q10_returned_revenue(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"), _t(spark, sf, "nation"),
+    )
+
+
+def _q12(spark, sf):
+    return Q.q12_priority_counts(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+
+
 def _top_order(spark, sf):
     return Q.top_order_per_customer(_t(spark, sf, "orders"))
 
@@ -474,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1,
         "q3_shipping_priority": _q3,
         "q5_local_supplier_volume": _q5,
+        "q10_returned_revenue": _q10,
+        "q12_priority_counts": _q12,
         "top_order_per_customer": _top_order,
         "big_order_customers": _big_orders,
         "cheapest_supplier_per_part": _cheapest_supplier,
@@ -627,6 +640,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "q10_returned_revenue": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM({disc_price}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o_orderdate <  TIMESTAMP '1996-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q12_priority_counts": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_linestatus
         """,
         "q5_local_supplier_volume": f"""
             SELECT n_name, CAST(SUM({disc_price}) AS DOUBLE) AS revenue

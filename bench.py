@@ -27,6 +27,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q10_returned_revenue",
+    "q12_priority_counts",
     "top_order_per_customer",
     "rollup_pricing",
     "events_hourly",

@@ -139,6 +139,55 @@ def q5_local_supplier_volume(
     )
 
 
+def q10_returned_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1995-10-01",
+    date_hi: str = "1996-01-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returned items per customer in one
+    quarter, top-k. Fact-side filters (returnflag, date window) run before
+    the joins so the shuffled/broadcast volumes are the filtered sets;
+    customer and nation broadcast."""
+    revenue = _price() * _one_minus("l_discount")
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    joined = (
+        returned.join(window, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def q12_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12-shaped conditional aggregation: per line status, how many
+    lines belong to critical- vs low-priority orders (SUM(CASE ...)) —
+    partial aggregation applies to both branches map-side."""
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+    )
+
+
 def top_order_per_customer(orders: DataFrame) -> DataFrame:
     """Window operator: each customer's single highest-value order
     (row_number with a total-order tie-break)."""
