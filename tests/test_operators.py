@@ -169,6 +169,20 @@ class TestEmbeddingNearDup:
         assert lsh <= exact        # blocking never invents pairs
         assert (0, 1) in lsh       # near-parallel vectors agree on every 1-bit band
 
+    def test_multi_block_exact_matches_single_block(self, spark):
+        # block_size=2 over 5 vectors forces cross-block pairs through the
+        # off-diagonal canonicalization path; results must be identical to
+        # the single-block run regardless of hash-block placement
+        e = self.embeddings(spark)
+        one = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in
+               dedup.embedding_near_dup_pairs(e, "embedding", "vec_id", 0.95,
+                                              block_size=1024).collect()}
+        many = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in
+                dedup.embedding_near_dup_pairs(e, "embedding", "vec_id", 0.95,
+                                               block_size=2).collect()}
+        assert one == many
+        assert all(a < b for a, b in many)
+
     def test_dedup_keeps_smallest_id(self, spark):
         e = self.embeddings(spark)
         kept = sorted(r["vec_id"] for r in
