@@ -365,9 +365,14 @@ def _jaccard_adjacent(spark, sf):
 
 
 def _simhash_pairs(spark, sf):
-    """SimHash near-dup pairs (xxhash64-based; no SQL oracle)."""
+    """SimHash near-dup pairs (xxhash64-based; no SQL oracle).
+
+    max_hamming=3 (the standard near-dup bound): 4 pigeonhole bands of 16
+    bits, so random docs almost never share a band — candidate volume stays
+    ~linear in true near-pairs. A looser bound like 8 makes 9 bands of 7
+    bits where this corpus bucket-collides 12% of ALL pairs (quadratic)."""
     d = _t(spark, sf, "documents")
-    return dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=8)
+    return dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
 
 
 def _simhash32(spark, sf):
