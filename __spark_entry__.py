@@ -472,6 +472,23 @@ def _lsh_topk(spark, sf):
     return similarity.lsh_topk(e, "embedding", "vec_id", qvec, k=10)
 
 
+def _lsh_topk_multiprobe(spark, sf):
+    """Multi-probe LSH ANN: 4 probes over least-confident bit flips
+    (approximate; no SQL oracle)."""
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_topk_multiprobe(
+        e, "embedding", "vec_id", qvec, k=10, n_probes=4
+    )
+
+
+def _ivf_kmeans(spark, sf):
+    """IVF assignment over MLlib KMeans centroids (floats are iteration-
+    dependent; rows-only check)."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.ivf_assign_kmeans(e, "embedding", "vec_id", n_cells=8)
+
+
 def _multimodal_meta(spark, sf):
     """Multimodal decode plumbing (mapInPandas; stubbed codec)."""
     d = _t(spark, sf, "documents")
@@ -539,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _ivf_topk,
         "corpus_filter": _corpus_filter,
         "lsh_topk": _lsh_topk,
+        "lsh_topk_multiprobe": _lsh_topk_multiprobe,
+        "ivf_kmeans_assign": _ivf_kmeans,
         "multimodal_meta": _multimodal_meta,
         "frame_sample": _frame_sample,
     }

@@ -127,6 +127,78 @@ def lsh_topk(
     return cosine_topk(in_bucket, vec_col, id_col, query, k)
 
 
+def lsh_topk_multiprobe(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_probes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe LSH top-k: probe the query's bucket AND the ``n_probes-1``
+    buckets whose signatures differ in the single least-confident bit (the
+    hyperplane with the smallest |margin| for the query). Standard recall
+    dial: more probes ≈ union of adjacent buckets, approaching brute force
+    without rebuilding the table — at scale this turns one bucket-pruned
+    lookup into ``n_probes`` of them, still corpus-size-independent."""
+    planes = random_hyperplanes(len(query), n_planes, seed)
+    margins = planes @ np.asarray(query, dtype=float)
+    qbits = 0
+    for i, m in enumerate(margins):
+        if m >= 0:
+            qbits |= 1 << i
+    # flip bits in ascending |margin| order — least-confident planes first
+    flips = np.argsort(np.abs(margins))
+    probe_buckets = [qbits] + [qbits ^ (1 << int(i)) for i in flips[: n_probes - 1]]
+    tagged = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    in_buckets = tagged.filter(F.col("bucket").isin(probe_buckets))
+    return cosine_topk(in_buckets, vec_col, id_col, query, k)
+
+
+def ivf_assign_kmeans(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 8, seed: int = 42
+) -> DataFrame:
+    """IVF cell assignment with REAL centroids: MLlib KMeans (fixed seed)
+    over the embedding column, then nearest-centroid assignment via the
+    same broadcast-join + window shape as :func:`ivf_assign`.
+
+    The KMeans fit is the index *build* (one pass over the corpus per
+    iteration, driver holds k×dim centroids); assignment is the *load*
+    step. Returns (id, cell_id, dist) — write it bucketed by cell_id so a
+    probe reads one cell."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql.window import Window
+
+    feat = df.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feat)
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    cents_df = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell_id: int, cvec: array<double>"
+    )
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cell_id").asc())
+    return (
+        base.crossJoin(F.broadcast(cents_df))
+        .select(F.col(id_col), F.col("cell_id"), F.round(F.sqrt(d2), 4).alias("dist"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(id_col, "cell_id", "dist")
+    )
+
+
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str, n_cells: int = 8) -> DataFrame:
     """IVF cell assignment with deterministic centroids (the vectors whose id
     is < ``n_cells`` — a stand-in for k-means centroids that keeps the

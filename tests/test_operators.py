@@ -139,6 +139,27 @@ class TestSimilarity:
         ids = [r["vec_id"] for r in got]
         assert 0 in ids and 3 not in ids
 
+    def test_multiprobe_recall_superset(self, spark):
+        # probing more buckets can only add candidates, so multi-probe
+        # results must contain the single-probe results
+        e = self.embeddings(spark)
+        q = [1.0, 0.0, 0.0]
+        single = {r["vec_id"] for r in
+                  similarity.lsh_topk(e, "embedding", "vec_id", q, k=4).collect()}
+        multi = {r["vec_id"] for r in
+                 similarity.lsh_topk_multiprobe(e, "embedding", "vec_id", q, k=4,
+                                                n_probes=4).collect()}
+        assert single <= multi
+
+    def test_ivf_kmeans_assignment(self, spark):
+        e = self.embeddings(spark)
+        got = similarity.ivf_assign_kmeans(e, "embedding", "vec_id", n_cells=2).collect()
+        assert len(got) == 4                      # every vector assigned once
+        cells = {r["vec_id"]: r["cell_id"] for r in got}
+        assert set(cells.values()) <= {0, 1}
+        assert cells[0] == cells[1]               # near-parallel vectors share a cell
+        assert all(r["dist"] >= 0 for r in got)
+
 
 class TestEmbeddingNearDup:
     def embeddings(self, spark):
