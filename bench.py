@@ -53,6 +53,45 @@ HEADLINE = [
 ]
 
 
+MIGRATION_PKS = {
+    "region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey",
+    "supplier": "s_suppkey", "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": None, "events": "event_id",
+}
+
+
+def _migration(spark, sf_dir: str) -> float:
+    import shutil
+    import tempfile
+
+    from pgferry_spark.backends import ParquetSource, SpoolTarget
+    from pgferry_spark.config import MigrationConfig
+    from pgferry_spark.pipeline import MigrationPipeline
+    from pgferry_spark.types import map_parquet_default, map_parquet_type
+
+    out = tempfile.mkdtemp(prefix="bench_migration_")
+    try:
+        cfg = MigrationConfig(
+            source_type="parquet", source_dsn=sf_dir,
+            target_dsn="spool://bench", target_schema="tpch",
+        )
+        src = ParquetSource(
+            spark, sf_dir, tables=tuple(MIGRATION_PKS),
+            pks={k: v for k, v in MIGRATION_PKS.items() if v},
+        )
+        t0 = time.perf_counter()
+        result = MigrationPipeline(
+            spark, cfg, src, SpoolTarget(spark, out),
+            map_parquet_type, map_parquet_default,
+        ).run()
+        elapsed = time.perf_counter() - t0
+        if not result.ok:
+            raise RuntimeError(f"bench migration failed: {result}")
+        return elapsed
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -77,6 +116,11 @@ def main() -> int:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # the movement path — BASELINE.md's headline metric: full 8-table
+    # parquet -> spool migration (introspect, DDL, chunked reads, write,
+    # row-count validation, constraint replay transcript)
+    timings["migration_8table"] = round(_migration(spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -93,6 +93,98 @@ class SqliteSource:
 
 
 @dataclass
+class ParquetSource:
+    """Parquet-directory source: migrate a parquet lake into a PostgreSQL-
+    shaped target through the same pipeline the database sources use.
+
+    Introspection derives the catalog from parquet footers (one driver-side
+    schema read per table); ``pks`` marks numeric primary-key columns so the
+    chunk planner produces range-partitioned reads (min/max probed with one
+    aggregate per table). Reads are fully distributed parquet scans with the
+    chunk predicates pushed to row-group pruning — at 100 TB this is the
+    native path: no driver-side rows, no connection caps."""
+
+    spark: SparkSession
+    root: str
+    tables: tuple = ()
+    pks: dict = field(default_factory=dict)
+    snake_case: bool = True
+    kind: str = "parquet"
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.parquet")
+
+    def _df(self, table: str) -> DataFrame:
+        from .sources.parquet import read_parquet
+
+        return read_parquet(self.spark, self._path(table))
+
+    def introspect(self) -> Schema:
+        from .catalog.identifiers import normalize_identifier
+        from .catalog.model import Column, Index
+
+        out = []
+        for t in self.tables:
+            df = self._df(t)
+            cols = []
+            for i, f in enumerate(df.schema.fields, start=1):
+                cols.append(
+                    Column(
+                        source_name=f.name,
+                        pg_name=normalize_identifier(f.name, self.snake_case),
+                        data_type=f.dataType.simpleString(),
+                        column_type=f.dataType.simpleString(),
+                        nullable=f.nullable,
+                        ordinal_pos=i,
+                    )
+                )
+            pk = None
+            pk_col = self.pks.get(t)
+            if pk_col:
+                pk = Index(
+                    name=f"{t}_pkey", source_name=f"{t}_pkey",
+                    columns=[normalize_identifier(pk_col, self.snake_case)],
+                    column_orders=["ASC"], unique=True, is_primary=True,
+                )
+            out.append(
+                Table(
+                    source_name=t,
+                    pg_name=normalize_identifier(t, self.snake_case),
+                    columns=cols,
+                    primary_key=pk,
+                )
+            )
+        return Schema(tables=out)
+
+    def source_objects(self) -> SourceObjects:
+        return SourceObjects()
+
+    def read_table(
+        self, spark: SparkSession, table: Table, predicates: list[str] | None
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        df = self._df(table.source_name)
+        if not predicates:
+            return df
+        from functools import reduce
+
+        parts = [df.filter(F.expr(p)) for p in predicates]
+        return reduce(DataFrame.unionByName, parts)
+
+    def count(self, table: Table) -> int:
+        return self._df(table.source_name).count()
+
+    def min_max(self, table: Table, key_source_name: str):
+        from pyspark.sql import functions as F
+
+        row = self._df(table.source_name).agg(
+            F.min(key_source_name), F.max(key_source_name)
+        ).first()
+        return row[0], row[1]
+
+
+@dataclass
 class SpoolTarget:
     spark: SparkSession
     root: str

@@ -14,7 +14,7 @@ from dataclasses import dataclass, field, fields as dc_fields
 
 from .types.config import TypeMappingConfig
 
-VALID_SOURCE_TYPES = {"mysql", "sqlite", "mssql"}
+VALID_SOURCE_TYPES = {"mysql", "sqlite", "mssql", "parquet"}
 VALID_MODES = {"full", "schema_only", "data_only"}
 VALID_ON_SCHEMA_EXISTS = {"error", "recreate"}
 VALID_VALIDATION = {"none", "row_count"}

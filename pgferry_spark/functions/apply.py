@@ -75,6 +75,7 @@ def transform_exprs(table: Table, source_kind: str, cfg: TypeMappingConfig) -> l
         "mysql": mysql_transform_expr,
         "mssql": mssql_transform_expr,
         "sqlite": lambda c, _cfg: F.col(c.pg_name),  # F14: identity passthrough
+        "parquet": lambda c, _cfg: F.col(c.pg_name),  # typed at the source
     }[source_kind]
     return [pick(c, cfg).alias(c.pg_name) for c in table.columns]
 
