@@ -92,6 +92,35 @@ def lsh_bucket(vec_col, planes: np.ndarray):
     return bucket
 
 
+def lsh_bucket_batch(planes: np.ndarray):
+    """Vectorized twin of :func:`lsh_bucket`: one Arrow-batched pandas UDF
+    computing sign-bit signatures as a single ``V @ planes.T`` matmul.
+
+    Use this when the signature feeds further plan surgery (band explodes,
+    joins): expression-fold signatures get inlined by projection collapse
+    into every consumer (n_planes × bands recomputation — the measured
+    simhash pathology), while a UDF result column is computed once in its
+    ArrowEvalPython node no matter how many places reference it."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64)).astype(
+        np.float64
+    )
+
+    def _bucket(vs):
+        out = np.zeros(len(vs), dtype=np.int64)
+        if len(vs):
+            V = np.array(list(vs), dtype=np.float64)
+            bits = (V @ planes.T >= 0).astype(np.float64)
+            vals = bits @ weights  # exact: < 2^53 for n_planes <= 53
+            out[:] = vals.astype(np.int64)
+        return pd.Series(out)
+
+    _bucket.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(_bucket, "long")
+
+
 def lsh_bucket_table(
     df: DataFrame, vec_col: str, id_col: str, n_planes: int = 8, seed: int = 42
 ) -> DataFrame:
