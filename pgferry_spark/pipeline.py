@@ -255,19 +255,18 @@ class MigrationPipeline:
         self.hard_gate(report)
 
         if self.cfg.resume:
-            fp = compatibility_fingerprint(
-                {
-                    "source_type": self.cfg.source_type,
-                    "target_schema": self.cfg.target_schema,
-                    "snake_case": self.cfg.snake_case_identifiers,
-                    "mode": self.cfg.mode,
-                    "unlogged": self.cfg.unlogged_tables,
-                    "chunk_size": self.cfg.chunk_size,
-                    "type_mapping": vars(self.cfg.type_mapping),
-                    "tables": {t.pg_name: [c.pg_name for c in t.columns] for t in tables},
-                }
-            )
-            self.checkpoint.fingerprint = fp
+            payload = {
+                "source_type": self.cfg.source_type,
+                "target_schema": self.cfg.target_schema,
+                "snake_case": self.cfg.snake_case_identifiers,
+                "mode": self.cfg.mode,
+                "unlogged": self.cfg.unlogged_tables,
+                "chunk_size": self.cfg.chunk_size,
+                "type_mapping": vars(self.cfg.type_mapping),
+                "tables": {t.pg_name: [c.pg_name for c in t.columns] for t in tables},
+            }
+            self.checkpoint.fingerprint = compatibility_fingerprint(payload)
+            self.checkpoint.payload = payload
             self.checkpoint.load()
 
         if self.cfg.mode != "data_only":

@@ -35,6 +35,37 @@ def compatibility_fingerprint(payload: dict[str, Any]) -> str:
     return hashlib.sha256(blob).hexdigest()
 
 
+MAX_REJECTION_REASONS = 8  # reference checkpoint_compat.go caps the itemization
+
+
+def compatibility_reasons(
+    saved: dict[str, Any], current: dict[str, Any], limit: int = MAX_REJECTION_REASONS
+) -> list[str]:
+    """Itemize why a saved checkpoint payload is incompatible with the
+    current one: dotted-path field diffs, capped at ``limit`` entries
+    (reference checkpoint_compat.go:14-300 reports at most 8 reasons)."""
+    reasons: list[str] = []
+
+    def walk(path: str, a: Any, b: Any) -> None:
+        if len(reasons) >= limit:
+            return
+        if isinstance(a, dict) and isinstance(b, dict):
+            for key in sorted(set(a) | set(b)):
+                p = f"{path}.{key}" if path else str(key)
+                if key not in a:
+                    reasons.append(f"{p}: added (was absent)") if len(reasons) < limit else None
+                elif key not in b:
+                    reasons.append(f"{p}: removed (was {a[key]!r})") if len(reasons) < limit else None
+                else:
+                    walk(p, a[key], b[key])
+            return
+        if a != b:
+            reasons.append(f"{path}: saved {a!r} != current {b!r}")
+
+    walk("", saved, current)
+    return reasons[:limit]
+
+
 @dataclass
 class TableState:
     chunk_count: int = 0
@@ -57,9 +88,11 @@ class CheckpointManager:
         noop: bool = False,
         flush_items: int = FLUSH_EVERY_ITEMS,
         flush_seconds: float = FLUSH_EVERY_SECONDS,
+        payload: dict[str, Any] | None = None,
     ):
         self.path = path
         self.fingerprint = fingerprint
+        self.payload = payload  # compatibility detail, persisted for itemized diffs
         self.noop = noop
         self.flush_items = flush_items
         self.flush_seconds = flush_seconds
@@ -84,6 +117,13 @@ class CheckpointManager:
             raise ValueError(f"checkpoint version {raw.get('version')} != {CHECKPOINT_VERSION}")
         disk_fp = raw.get("compatibility", "")
         if self.fingerprint and disk_fp != self.fingerprint:
+            saved_detail = raw.get("compatibility_detail")
+            if saved_detail is not None and self.payload is not None:
+                items = compatibility_reasons(saved_detail, self.payload)
+                raise ValueError(
+                    "checkpoint incompatible with current config:\n  - "
+                    + "\n  - ".join(items)
+                )
             raise ValueError(
                 "checkpoint incompatible with current config: "
                 f"saved={disk_fp[:12]}… current={self.fingerprint[:12]}…"
@@ -149,6 +189,7 @@ class CheckpointManager:
             "version": CHECKPOINT_VERSION,
             "started_at": self.started_at or time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "compatibility": self.fingerprint,
+            **({"compatibility_detail": self.payload} if self.payload is not None else {}),
             "tables": {
                 name: {
                     "chunk_count": st.chunk_count,

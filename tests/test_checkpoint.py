@@ -54,6 +54,33 @@ def test_compatibility_mismatch_rejected(tmp_path):
         other.load()
 
 
+def test_compatibility_mismatch_itemized(tmp_path):
+    # with payloads on both sides the rejection itemizes dotted-path diffs,
+    # capped at 8 reasons (reference checkpoint_compat.go:14-300)
+    from pgferry_spark.plans.checkpoint import compatibility_reasons
+
+    path = str(tmp_path / "ckpt.json")
+    saved_payload = {"chunk_size": 100000, "mode": "full",
+                     "tables": {"t": ["a", "b"]}}
+    mgr = CheckpointManager(path, fingerprint="fp-one", payload=saved_payload)
+    mgr.mark_table_done("t", rows=1)
+
+    new_payload = {"chunk_size": 50000, "mode": "full",
+                   "tables": {"t": ["a", "b", "c"], "u": ["x"]}}
+    other = CheckpointManager(path, fingerprint="fp-two", payload=new_payload)
+    with pytest.raises(ValueError) as e:
+        other.load()
+    msg = str(e.value)
+    assert "chunk_size: saved 100000 != current 50000" in msg
+    assert "tables.t" in msg
+    assert "tables.u: added" in msg
+
+    # cap: 20 differing fields -> at most 8 reasons
+    many_a = {f"k{i}": i for i in range(20)}
+    many_b = {f"k{i}": i + 1 for i in range(20)}
+    assert len(compatibility_reasons(many_a, many_b)) == 8
+
+
 def test_delete_on_success_and_noop_mode(tmp_path):
     path = str(tmp_path / "ckpt.json")
     mgr = CheckpointManager(path, fingerprint="fp")
