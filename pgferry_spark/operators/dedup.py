@@ -31,9 +31,19 @@ from ..utils import fan_out as _fan_out
 
 
 def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """Keep one representative (min id) per exact content value."""
-    keep = df.groupBy(content_col).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=[content_col, id_col], how="left_semi")
+    """Keep one representative (min id) per exact content value.
+
+    Window-min, not groupBy + semi-join: one shuffle on the content key and
+    the input computes once, vs an aggregate shuffle plus a join that
+    re-evaluates the upstream plan on both sides."""
+    from pyspark.sql.window import Window
+
+    keep = F.min(id_col).over(Window.partitionBy(content_col))
+    return (
+        df.withColumn("__keep", keep)
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
 
 
 def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -46,10 +56,17 @@ def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def dedup_by_fingerprint(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """Near-exact dedup on the whitespace/case-normalized md5 fingerprint."""
+    """Near-exact dedup on the whitespace/case-normalized md5 fingerprint
+    (same one-shuffle window shape as :func:`dedup_exact`)."""
+    from pyspark.sql.window import Window
+
     with_fp = df.withColumn("__fp", fingerprint(F.col(content_col)))
-    keep = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return with_fp.join(keep, on=["__fp", id_col], how="left_semi").drop("__fp")
+    keep = F.min(id_col).over(Window.partitionBy("__fp"))
+    return (
+        with_fp.withColumn("__keep", keep)
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
 
 
 # -- MinHash + LSH -----------------------------------------------------------

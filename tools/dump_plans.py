@@ -64,6 +64,14 @@ ANNOTATED = {
         "batch into numpy A@B.T; only above-threshold pairs return. The "
         "O(N²) pair stream never crosses the Python boundary row-wise.",
     ),
+    "embedding_near_dup_lsh": (
+        "bucket-GEMM: one shuffle, no pair join",
+        "Hyperplane signatures come from one vectorized pandas UDF (an "
+        "ArrowEvalPython node — computed once however many band structs "
+        "reference it); the band explode groups by bucket and a per-bucket "
+        "applyInPandas matmul verifies candidates. Pairs never exist as "
+        "JVM rows before the threshold filter.",
+    ),
     "sessionize": (
         "single shuffle by user, window over ordered events",
         "Gap detection is lag() + running SUM over (user, ts) — one "
