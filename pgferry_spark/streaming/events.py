@@ -63,6 +63,22 @@ def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a batch
+    dimension table. Spark broadcasts/re-plans the static side per
+    micro-batch (a planned-per-trigger join, no state store), so dimension
+    updates between triggers are picked up — the standard landing-zone
+    pattern of annotating a fact stream with slowly-changing reference
+    data. Inner join: events without a dimension row are dropped (use a
+    left join + null handling for keep-and-flag semantics)."""
+    return events.join(dim, events[on_left] == dim[on_right], "inner").drop(on_right)
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str = "events_hourly") -> list:
     """Drain the stream with availableNow into an in-memory sink and return
     the rows — the test harness for streaming operators."""

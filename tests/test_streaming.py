@@ -39,3 +39,34 @@ def test_streaming_hourly_matches_batch(spark, tmp_path):
     expect = {key(r): (r["n_events"], r["total_value"]) for r in expect_rows}
     got_map = {key(r): (r["n_events"], r["total_value"]) for r in got}
     assert got_map == expect
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 5), 0, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 6), 1, "view", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 0, 7), 9, "click", 3.0, "{}"),  # no dim row
+    ]
+    schema = (
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double, props: string"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / "ev"))
+    dim = spark.createDataFrame(
+        [(0, "BUILDING"), (1, "MACHINERY")], "c_custkey: long, c_mktsegment: string"
+    )
+
+    from pgferry_spark.streaming.events import enrich_with_dimension
+
+    stream = stream_events_from_parquet(spark, str(tmp_path / "ev"))
+    enriched = enrich_with_dimension(stream, dim)
+    assert enriched.isStreaming
+
+    q = (
+        enriched.writeStream.format("memory").queryName("t_enriched")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["event_id"]: r["c_mktsegment"]
+           for r in spark.sql("SELECT * FROM t_enriched").collect()}
+    assert got == {1: "BUILDING", 2: "MACHINERY"}  # event 3 dropped (inner)
