@@ -83,6 +83,12 @@ def _q12(spark, sf):
     return Q.q12_priority_counts(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
 
 
+def _q17(spark, sf):
+    return Q.q17_small_quantity_revenue(
+        _t(spark, sf, "part"), _t(spark, sf, "lineitem")
+    )
+
+
 def _top_order(spark, sf):
     return Q.top_order_per_customer(_t(spark, sf, "orders"))
 
@@ -509,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": _q5,
         "q10_returned_revenue": _q10,
         "q12_priority_counts": _q12,
+        "q17_small_quantity_revenue": _q17,
         "top_order_per_customer": _top_order,
         "big_order_customers": _big_orders,
         "cheapest_supplier_per_part": _cheapest_supplier,
@@ -678,6 +685,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "q17_small_quantity_revenue": f"""
+            SELECT ROUND(CAST(SUM({dec_price}) AS DOUBLE) / 7.0, 4) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#4'
+              AND CAST(l_quantity AS DOUBLE) < (
+                SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       * 0.2 / COUNT(*)
+                FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         """,
         "q12_priority_counts": """
             SELECT l_linestatus,

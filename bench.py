@@ -29,6 +29,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q10_returned_revenue",
     "q12_priority_counts",
+    "q17_small_quantity_revenue",
     "top_order_per_customer",
     "rollup_pricing",
     "events_hourly",

@@ -188,6 +188,35 @@ def q12_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(
+    part: DataFrame, lineitem: DataFrame, brand: str = "Brand#4"
+) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery, decorrelated by hand the
+    way Catalyst would: the per-part threshold (0.2 × avg quantity) becomes
+    a pre-aggregated table joined back to the facts. The threshold aggregate
+    runs over ALL lineitem (the subquery correlates on partkey only), then
+    both it and the brand-filtered part dim broadcast into one fact pass."""
+    dims = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    brand_items = lineitem.join(
+        F.broadcast(dims), F.col("l_partkey") == F.col("p_partkey")
+    )
+    # per-part avg over all lineitems of the part (restricting to brand
+    # parts first doesn't change per-part averages, and shrinks the agg)
+    # threshold = exact decimal SUM cast to double, then *0.2/n — the same
+    # FP operation order the SQL oracle uses, so boundary rows can't flip
+    thresholds = brand_items.groupBy("l_partkey").agg(
+        (F.sum(_qty()).cast("double") * F.lit(0.2) / F.count(F.lit(1))).alias(
+            "qty_threshold"
+        )
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    joined = brand_items.join(
+        F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+    ).filter(_qty() < F.col("qty_threshold"))
+    return joined.agg(
+        F.round(F.sum(_price()).cast("double") / 7.0, 4).alias("avg_yearly")
+    )
+
+
 def top_order_per_customer(orders: DataFrame) -> DataFrame:
     """Window operator: each customer's single highest-value order
     (row_number with a total-order tie-break)."""
