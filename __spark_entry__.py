@@ -695,12 +695,16 @@ def oracle_sql() -> dict[str, str]:
                        * 0.2 / COUNT(*)
                 FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         """,
+        # NOTE (applies to every integer SUM below): DuckDB's SUM(int) result
+        # type is HUGEINT, which surfaces as decimal128/float64 through the
+        # Arrow/pandas fetch path the driver hashes — CAST AS BIGINT keeps the
+        # representation identical to Spark's LongType sums.
         "q12_priority_counts": """
             SELECT l_linestatus,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_linestatus
         """,
@@ -783,23 +787,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_pivot": """
             SELECT user_id,
-                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
                    COUNT(*) AS n_total
             FROM events GROUP BY user_id
         """,
         "lineitem_column_stats": """
             SELECT COUNT(l_quantity) AS qty_count,
-                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+                   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
                    CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_min,
                    CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_max,
                    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                          / COUNT(l_quantity), 6) AS qty_mean,
                    COUNT(l_extendedprice) AS price_count,
-                   SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS price_nulls,
+                   CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_nulls,
                    CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_min,
                    CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_max,
                    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
@@ -823,8 +827,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
-              SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM flagged
             )
             SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -846,7 +850,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_stats": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
         """,
@@ -952,20 +956,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_checks": """
             SELECT 'l_returnflag_enum' AS check_name,
-                   SUM(CASE WHEN NOT (l_returnflag IS NULL OR l_returnflag IN ('A','N','R'))
-                            THEN 1 ELSE 0 END) AS violations,
+                   CAST(SUM(CASE WHEN NOT (l_returnflag IS NULL OR l_returnflag IN ('A','N','R'))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS violations,
                    COUNT(*) AS total FROM lineitem
             UNION ALL
             SELECT 'l_discount_range',
-                   SUM(CASE WHEN NOT (l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.1))
-                            THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+                   CAST(SUM(CASE WHEN NOT (l_discount IS NULL OR (l_discount >= 0.0 AND l_discount <= 0.1))
+                            THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM lineitem
             UNION ALL
             SELECT 'l_linenumber_unsigned',
-                   SUM(CASE WHEN NOT (l_linenumber IS NULL OR (l_linenumber >= 0 AND l_linenumber <= 4294967295))
-                            THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+                   CAST(SUM(CASE WHEN NOT (l_linenumber IS NULL OR (l_linenumber >= 0 AND l_linenumber <= 4294967295))
+                            THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM lineitem
             UNION ALL
             SELECT 'l_orderkey_not_null',
-                   SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), COUNT(*) FROM lineitem
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM lineitem
         """,
         "text_stats": f"""
             SELECT doc_id,

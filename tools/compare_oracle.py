@@ -22,15 +22,25 @@ from pgferry_spark.sources.parquet import TPCH_TABLES
 
 
 def norm_cell(v):
+    """Type-tagged canonical cell. The driver's value hash is type-sensitive
+    (it fetches DuckDB through Arrow, where e.g. HUGEINT sums surface as
+    decimal128 while Spark longs are int64), so the tag makes representation
+    divergences — not just value divergences — fail locally too."""
+    import decimal
+
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "b:" + str(bool(v)).lower()
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
-    if isinstance(v, bool):
-        return str(bool(v)).lower()
-    return str(v)
+            return "f:NaN"
+        return f"f:{v:.10g}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    return f"{type(v).__name__[0]}:{v}"
 
 
 def norm_rows(cols, rows):
@@ -65,9 +75,9 @@ def main():
             print(f"ok    {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            ocols = tbl.column_names
+            orows = [tuple(d.values()) for d in tbl.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
