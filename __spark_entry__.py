@@ -387,6 +387,14 @@ def _simhash32(spark, sf):
     return dedup.simhash32_md5(d, "text", "doc_id")
 
 
+def _simhash_pairs_md5(spark, sf):
+    """Oracle-checked SimHash near-pairs: 32-bit md5 fingerprints, pigeonhole
+    banding (4 bands × 8 bits for max_hamming=3) — the SQL-portable twin of
+    the xxhash64 production variant, same banded-join plan."""
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_near_pairs_md5(d, "text", "doc_id", max_hamming=3)
+
+
 def _embedding_near_dup(spark, sf):
     """Exact embedding-cosine near-dup pairs (all-pairs verify baseline)."""
     e = _t(spark, sf, "embeddings")
@@ -554,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_adjacent": _jaccard_adjacent,
         "simhash_near_pairs": _simhash_pairs,
         "simhash32": _simhash32,
+        "simhash_near_pairs_md5": _simhash_pairs_md5,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "embedding_dedup": _embedding_dedup,
@@ -644,6 +653,71 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN h_es = best AND best > 0 THEN 'es' "
         f"WHEN h_fr = best AND best > 0 THEN 'fr' ELSE 'und' END"
     )
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> ((x >> {i}) & 1) = 1)) > n "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    )
+    simhash_fp_cte = f"""
+        WITH hs AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_distinct({_LTOKS}),
+                   t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h,
+                 len(list_distinct({_LTOKS})) AS n
+          FROM documents
+        ),
+        fp AS (SELECT doc_id, ({bit_terms}) AS simhash FROM hs)
+    """
+
+    # hyperplane-LSH oracles: the planes are driver-side seeded constants in
+    # the Spark operators (similarity.random_hyperplanes), so they embed into
+    # the SQL as DOUBLE[] literals — the oracle replays the exact signatures
+    def plane_lit(p):
+        return "[" + ",".join(repr(float(x)) for x in p) + "]"
+
+    emb_planes = similarity.random_hyperplanes(64, 16, 42)  # embedding_near_dup_lsh defaults
+    ann_planes = similarity.random_hyperplanes(64, 8, 42)  # lsh_topk defaults
+
+    def sig_terms(planes, vec="v"):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {plane_lit(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    cos = (
+        "ROUND(list_dot_product(s.v, q.qe)"
+        " / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qe, q.qe))), 4)"
+    )
+    ann_sig_cte = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, ({sig_terms(ann_planes)}) AS bucket FROM e),
+        q AS (SELECT v AS qe, bucket AS qb FROM sig WHERE vec_id = 0)
+    """
+    margin_structs = ", ".join(
+        f"{{'am': abs(list_dot_product(qe, {plane_lit(p)})), 'i': {i}}}"
+        for i, p in enumerate(ann_planes)
+    )
+
+    media_cte = """
+        WITH m AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS media_type,
+                 sha256(md5(text)) AS d
+          FROM documents
+        ),
+        meta AS (
+          SELECT media_id, media_type,
+                 CAST(16 + ('0x' || substr(d, 1, 2))::INT % 240 AS INTEGER) AS width,
+                 CAST(16 + ('0x' || substr(d, 3, 2))::INT % 240 AS INTEGER) AS height,
+                 CAST(1 + ('0x' || substr(d, 5, 2))::INT % 30 AS INTEGER) AS n_frames,
+                 substr(d, 1, 16) AS checksum
+          FROM m
+        )
+    """
 
     return {
         "q1_pricing_summary": f"""
@@ -1041,25 +1115,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
             FROM inter
         """,
-        "simhash32": (
-            lambda bit_terms: f"""
-            WITH hs AS (
-              SELECT doc_id,
-                     list_transform(
-                       list_distinct({_LTOKS}),
-                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h,
-                     len(list_distinct({_LTOKS})) AS n
-              FROM documents
+        "simhash32": simhash_fp_cte + "SELECT doc_id, simhash FROM fp",
+        "simhash_near_pairs_md5": simhash_fp_cte
+        + """
+            , bl AS (
+              SELECT doc_id, simhash, band_id,
+                     (simhash >> (band_id * 8)) & 255 AS band_val
+              FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band_id)
             )
-            SELECT doc_id, ({bit_terms}) AS simhash FROM hs
-        """
-        )(
-            " + ".join(
-                f"(CASE WHEN 2 * len(list_filter(h, x -> ((x >> {i}) & 1) = 1)) > n "
-                f"THEN {1 << i} ELSE 0 END)"
-                for i in range(32)
-            )
-        ),
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM bl a JOIN bl b USING (band_id, band_val)
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "embedding_near_dup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1148,6 +1217,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.quality, s.lang_guess
             FROM scored s JOIN keepers k ON k.fp = s.fp AND k.doc_id = s.doc_id
             WHERE s.quality >= 0.5 AND s.lang_guess = s.lang
+        """,
+        "embedding_near_dup_lsh": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sig AS (SELECT vec_id, v, ({sig_terms(emb_planes)}) AS s FROM e),
+            bl AS (
+              SELECT vec_id, v, band_id, (s >> (band_id * 2)) & 3 AS band_val
+              FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band_id)
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bl a JOIN bl b USING (band_id, band_val)
+              WHERE a.vec_id < b.vec_id
+            )
+            SELECT c.id_a, c.id_b,
+                   ROUND(list_dot_product(x.v, y.v)
+                         / (sqrt(list_dot_product(x.v, x.v))
+                            * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine_sim
+            FROM cand c
+            JOIN e x ON x.vec_id = c.id_a
+            JOIN e y ON y.vec_id = c.id_b
+            WHERE ROUND(list_dot_product(x.v, y.v)
+                        / (sqrt(list_dot_product(x.v, x.v))
+                           * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.35
+        """,
+        "lsh_topk": ann_sig_cte
+        + f"""
+            SELECT s.vec_id, {cos} AS cosine_sim
+            FROM sig s, q
+            WHERE s.bucket = q.qb
+            ORDER BY cosine_sim DESC, s.vec_id ASC
+            LIMIT 10
+        """,
+        "lsh_topk_multiprobe": ann_sig_cte
+        + f"""
+            , m AS (SELECT qe, qb, [{margin_structs}] AS ms FROM q),
+            fl AS (
+              SELECT qb, list_transform(list_slice(list_sort(ms), 1, 3), x -> x.i) AS f
+              FROM m
+            ),
+            pr AS (
+              SELECT unnest([qb, xor(qb, 1 << f[1]::INT), xor(qb, 1 << f[2]::INT),
+                             xor(qb, 1 << f[3]::INT)]) AS pb
+              FROM fl
+            )
+            SELECT s.vec_id, {cos} AS cosine_sim
+            FROM sig s JOIN pr ON s.bucket = pr.pb CROSS JOIN q
+            ORDER BY cosine_sim DESC, s.vec_id ASC
+            LIMIT 10
+        """,
+        "multimodal_meta": media_cte
+        + "SELECT media_id, media_type, width, height, n_frames, checksum FROM meta",
+        "frame_sample": media_cte
+        + """
+            SELECT media_id, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx,
+                   checksum
+            FROM meta WHERE media_type = 'video'
         """,
         "pairwise_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

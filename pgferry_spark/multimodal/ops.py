@@ -68,7 +68,10 @@ def _decode_bytes(payload: bytes) -> dict:
     plumbing (schema, batching, null handling) is fully testable."""
     if payload is None:
         return {"width": None, "height": None, "n_frames": None, "checksum": None}
-    digest = hashlib.sha256(payload).digest()
+    # hash the payload's hex form (not the raw bytes): same determinism, and
+    # the fake metadata becomes reproducible in ANSI SQL (sha256 over VARCHAR)
+    # so the correctness oracle can verify the full mapInPandas plumbing
+    digest = hashlib.sha256(payload.hex().encode("ascii")).digest()
     return {
         "width": 16 + digest[0] % 240,
         "height": 16 + digest[1] % 240,

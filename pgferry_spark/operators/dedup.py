@@ -276,19 +276,36 @@ def _simhash_rowlocal(df: DataFrame, content_col: str, id_col: str, bits: int, t
 
 
 def simhash_near_pairs(df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs whose SimHash Hamming distance ≤ ``max_hamming``.
+    """Candidate pairs whose 64-bit SimHash Hamming distance ≤ ``max_hamming``
+    (production variant: xxhash64 token hashes)."""
+    sh = simhash64(df, content_col, id_col)
+    return simhash_near_pairs_from(sh, id_col, bits=64, max_hamming=max_hamming)
 
-    Blocking: split the 64-bit fingerprint into ``max_hamming+1`` bands — by
-    pigeonhole, any pair within the distance agrees exactly on ≥1 band, so a
-    band-equality self-join finds all such pairs without an all-pairs scan.
+
+def simhash_near_pairs_md5(df: DataFrame, content_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Oracle-portable twin of :func:`simhash_near_pairs`: 32-bit md5-based
+    fingerprints (bit-reproducible in ANSI SQL), same banding plan."""
+    sh = simhash32_md5(df, content_col, id_col)
+    return simhash_near_pairs_from(sh, id_col, bits=32, max_hamming=max_hamming)
+
+
+def simhash_near_pairs_from(
+    sh: DataFrame, id_col: str, bits: int = 64, max_hamming: int = 3
+) -> DataFrame:
+    """Near-pairs from a precomputed (id, simhash) fingerprint table.
+
+    Blocking: split the ``bits``-wide fingerprint into ``max_hamming+1``
+    bands — by pigeonhole, any pair within the distance agrees exactly on
+    ≥1 band, so a band-equality self-join finds all such pairs without an
+    all-pairs scan.
     """
     nbands = max_hamming + 1
-    width = 64 // nbands
+    width = bits // nbands
     # persist the FINGERPRINTS, not the exploded band table: projection
-    # collapse would otherwise inline the two-fold simhash expression into
-    # every band struct (and both join branches), recomputing it nbands×
-    # per row — measured 6.2 s vs 1.8 s at sf0.1 for the materialization
-    sh = simhash64(df, content_col, id_col).persist()
+    # collapse would otherwise inline the simhash computation into every
+    # band struct (and both join branches), recomputing it nbands× per row
+    # — measured 6.2 s vs 1.8 s at sf0.1 for the materialization
+    sh = sh.persist()
     bands = [
         F.struct(
             F.lit(b).alias("band_id"),
