@@ -1112,8 +1112,10 @@ def oracle_sql() -> dict[str, str]:
               JOIN ex y ON y.doc_id = p.id_b AND y.gram = x.gram
               GROUP BY p.id_a, p.id_b
             )
-            SELECT id_a, id_b, ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
-            FROM inter
+            SELECT p.id_a, p.id_b,
+                   COALESCE(ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4), 0.0) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
         """,
         "simhash32": simhash_fp_cte + "SELECT doc_id, simhash FROM fp",
         "simhash_near_pairs_md5": simhash_fp_cte

@@ -203,3 +203,22 @@ class SpoolTarget:
 
     def count(self, table: str) -> int:
         return self.spark.read.parquet(self._path(table)).count()
+
+    def delete_where(self, table: str, predicate: str) -> None:
+        """Idempotent-resume support: drop rows matching the predicate —
+        the parquet-spool twin of a SQL target's ``DELETE FROM .. WHERE``
+        (rewrite-on-delete, like any immutable-file table format)."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        path = self._path(table)
+        if not os.path.exists(path):
+            return
+        tmp = path + "__delete_tmp"
+        self.spark.read.parquet(path).filter(~F.expr(predicate)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+        self.ddl.append(f"DELETE FROM {table} WHERE {predicate}")

@@ -55,13 +55,18 @@ def create_schema_sql(schema: str, recreate: bool) -> list[str]:
     return stmts
 
 
-def create_enum_type_sql(values: list[str]) -> str:
-    """Idempotent content-addressed enum type (semantics of ddl.go:117-175)."""
+def create_enum_type_sql(values: list[str], schema: str | None = None) -> str:
+    """Idempotent content-addressed enum type (semantics of ddl.go:117-175).
+
+    Schema-qualified like the reference (ddl.go createEnumTypes): an
+    unqualified CREATE TYPE would land in the first search_path schema and
+    survive an on_schema_exists='recreate' DROP SCHEMA CASCADE."""
     name = enum_type_name(values)
+    qname = qualified(schema, name) if schema else pg_ident(name)
     vals = ", ".join(pg_literal(v) for v in values)
     return (
         "DO $$ BEGIN "
-        f"CREATE TYPE {pg_ident(name)} AS ENUM ({vals}); "
+        f"CREATE TYPE {qname} AS ENUM ({vals}); "
         "EXCEPTION WHEN duplicate_object THEN NULL; END $$"
     )
 
@@ -109,6 +114,10 @@ def create_table_sql(
     clauses: list[str] = []
     for col in table.columns:
         pg_type, _ = type_mapper(col, cfg)
+        if pg_type.startswith("pgferry_enum_"):
+            # native enum types are created inside the target schema — the
+            # column reference must match (search_path-independent)
+            pg_type = qualified(schema, pg_type)
         try:
             default_sql = default_mapper(col, pg_type, cfg)
         except Exception:
@@ -197,10 +206,14 @@ def sequence_reset_sql(table: Table, col: Column, schema: str) -> list[str]:
     qseq = qualified(schema, seq)
     qtbl = qualified(schema, table.pg_name)
     qcol = pg_ident(col.pg_name)
+    # regclass text input downcases unquoted names — the literal must carry
+    # the pg_ident-quoted form so mixed-case/special schemas resolve (the
+    # format('%I.%I') discipline)
+    seq_reg = pg_literal(qseq)
     return [
         f"CREATE SEQUENCE IF NOT EXISTS {qseq}",
-        f"SELECT setval('{schema}.{seq}', COALESCE((SELECT MAX({qcol}) FROM {qtbl}), 0) + 1, false)",
-        f"ALTER TABLE {qtbl} ALTER COLUMN {qcol} SET DEFAULT nextval('{schema}.{seq}')",
+        f"SELECT setval({seq_reg}, COALESCE((SELECT MAX({qcol}) FROM {qtbl}), 0) + 1, false)",
+        f"ALTER TABLE {qtbl} ALTER COLUMN {qcol} SET DEFAULT nextval({seq_reg})",
         f"ALTER SEQUENCE {qseq} OWNED BY {qtbl}.{qcol}",
     ]
 

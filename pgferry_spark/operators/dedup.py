@@ -547,8 +547,12 @@ def jaccard_pairs(
     """Exact n-gram Jaccard for candidate pairs: explode each side's shingle
     set, count intersections per pair, and derive |union| = |A|+|B|−|∩|.
 
-    This is the verify step after LSH/SimHash blocking: cost is linear in
-    candidate-pair shingles, never corpus-quadratic."""
+    Every candidate pair appears in the output: pairs with zero n-gram
+    intersection (or where either doc has no shingles) come back with
+    ``jaccard = 0.0`` via the left-join, so a verify-step consumer can
+    distinguish "evaluated to 0" from "not evaluated". This is the verify
+    step after LSH/SimHash blocking: cost is linear in candidate-pair
+    shingles, never corpus-quadratic."""
     shingled = _fan_out(df, id_col, force=True).select(
         F.col(id_col), ngram_set(F.col(content_col), n).alias("grams")
     ).withColumn("gram_count", F.size("grams"))
@@ -563,7 +567,10 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    scored = inter.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     return (
-        inter.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        pairs.select("id_a", "id_b")
+        .join(scored, on=["id_a", "id_b"], how="left")
+        .select("id_a", "id_b", F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )

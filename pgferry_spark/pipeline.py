@@ -68,6 +68,10 @@ class TableRunResult:
     rows_written: int
     chunks: int
     orphans_removed: int = 0
+    # True when every chunk was written by THIS run (not skipped/resumed):
+    # rows_written is then the complete cleaned row count and validation can
+    # trust it without a second source read
+    complete_this_run: bool = True
 
 
 @dataclass
@@ -100,6 +104,10 @@ class MigrationPipeline:
         self.type_mapper = type_mapper
         self.default_mapper = default_mapper
         self.checkpoint = checkpoint or CheckpointManager("", noop=True)
+        # per-run caches: one persisted source read per table, shared by the
+        # movement write, self-FK snapshot, parent anti-joins, and validation
+        self._transformed_cache: dict[str, DataFrame] = {}
+        self._cleaned_cache: dict[str, DataFrame] = {}
 
     # -- steps ---------------------------------------------------------------
 
@@ -128,7 +136,9 @@ class MigrationPipeline:
                         values = tuple(sorted(parse_enum_values(c.column_type)))
                         if values not in seen:
                             seen.add(values)
-                            self.target.execute(create_enum_type_sql(list(values)))
+                            self.target.execute(
+                                create_enum_type_sql(list(values), self.cfg.target_schema)
+                            )
         for t in tables:
             self.target.execute(
                 create_table_sql(
@@ -153,15 +163,25 @@ class MigrationPipeline:
         lo, hi = self.source.min_max(table, src_name)
         return plan_table_chunks(table.pg_name, src_name, lo, hi, self.cfg.chunk_size)
 
-    def clean_orphans(self, df: DataFrame, table: Table, parents: dict[str, DataFrame]) -> tuple[DataFrame, int]:
+    def clean_orphans(
+        self,
+        df: DataFrame,
+        table: Table,
+        parents: dict[str, DataFrame],
+        self_snapshot: DataFrame | None = None,
+    ) -> tuple[DataFrame, int]:
         """J1 applied in-flight: anti-join each FK against its parent before
         the write (same final state as the reference's post-load DELETE).
 
         Self-referential FKs anti-join against the table's own pre-clean
         snapshot — matching SQL DELETE semantics, where the NOT EXISTS
-        subquery evaluates against the pre-delete state. Row counting is one
+        subquery evaluates against the pre-delete state of the WHOLE table
+        (reference post.go:475-538). When ``df`` is one chunk batch of a
+        larger table the caller must pass the full-table snapshot via
+        ``self_snapshot``; anti-joining a batch against itself would delete
+        valid rows whose parent lives in another batch. Row counting is one
         before/after pair for the whole FK set, not per FK."""
-        snapshot = df
+        snapshot = self_snapshot if self_snapshot is not None else df
         any_delete_rule = False
         for fk in table.foreign_keys:
             parent_df = (
@@ -174,69 +194,135 @@ class MigrationPipeline:
             else:
                 any_delete_rule = True
                 df = clean_orphans_delete(df, parent_df, fk.columns, fk.ref_columns)
-        removed = (snapshot.count() - df.count()) if any_delete_rule else 0
+        removed = (snapshot.count() - df.count()) if any_delete_rule and self_snapshot is None else 0
+        if any_delete_rule and self_snapshot is not None:
+            removed = -1  # caller derives the count from write-side totals
         return df, removed
+
+    def _full_transformed(self, table: Table) -> DataFrame:
+        """Full-table source read → transforms, persisted and cached so the
+        self-FK snapshot, parent cache, and validation all share ONE read
+        (the reference reads each table once and validates from COPY row
+        counts, validate.go:34-135 — this is the Spark analogue)."""
+        df = self._transformed_cache.get(table.pg_name)
+        if df is None:
+            df = apply_transforms(
+                self.source.read_table(self.spark, table, None),
+                table, self.source.kind, self.cfg.type_mapping,
+            ).persist()
+            self._transformed_cache[table.pg_name] = df
+        return df
 
     def cleaned_source_df(self, table: Table, parents: dict[str, DataFrame]) -> DataFrame:
         """The table exactly as the movement phase writes it: full source
-        read → transforms → orphan cleanup against the (cleaned) parents."""
-        base = apply_transforms(
-            self.source.read_table(self.spark, table, None),
-            table, self.source.kind, self.cfg.type_mapping,
-        )
-        cleaned, _ = self.clean_orphans(base, table, parents)
+        read → transforms → orphan cleanup against the (cleaned) parents.
+        Cached per table — consumers (parent cache, validation) share the
+        same lineage over the one persisted transformed read."""
+        cached = self._cleaned_cache.get(table.pg_name)
+        if cached is not None:
+            return cached
+        cleaned, _ = self.clean_orphans(self._full_transformed(table), table, parents)
+        self._cleaned_cache[table.pg_name] = cleaned
         return cleaned
 
     def move_table(self, table: Table, parents: dict[str, DataFrame]) -> TableRunResult:
         """Move one table with **chunk-granular restartability**: chunk
         predicates are processed in batches of ``workers×4``; each batch is
         one distributed read→transform→write job, and every chunk in the
-        batch is marked complete only after the batch's write commits. A
-        resumed run re-plans the identical chunks (guarded by the
-        compatibility fingerprint) and schedules only the missing ones —
-        count-exact, no duplicate rows (BASELINE.md restartability target).
+        batch is marked complete only after the batch's write commits.
+
+        Resume is **idempotent by delete-then-insert**: the production sinks
+        commit per partition, so a crash mid-batch can leave some partitions
+        committed with no chunk recorded. A resumed run re-plans the
+        identical chunks (guarded by the compatibility fingerprint), DELETEs
+        every not-yet-recorded chunk's key range from the target, and
+        re-writes exactly those chunks — count-exact, no duplicate rows even
+        when the crash landed between a partition commit and the checkpoint
+        flush (BASELINE.md restartability target).
         """
         if self.checkpoint.is_table_done(table.pg_name):
-            return TableRunResult(table.pg_name, 0, 0)
+            return TableRunResult(table.pg_name, 0, 0, complete_this_run=False)
         plan = self.chunk_plan_for(table)
         preds = plan.predicates()
+        has_self_fk = any(fk.ref_pg_table == table.pg_name for fk in table.foreign_keys)
 
-        def prepared(predicates: list[str] | None) -> tuple[DataFrame, DataFrame, int]:
+        def prepared(
+            predicates: list[str] | None, self_snap: DataFrame | None
+        ) -> tuple[DataFrame, DataFrame, int]:
             base = self.source.read_table(self.spark, table, predicates)
             base = apply_transforms(
                 base, table, self.source.kind, self.cfg.type_mapping
             ).persist()  # counted + cleaned + written: one computation
-            cleaned, removed = self.clean_orphans(base, table, parents)
+            cleaned, removed = self.clean_orphans(base, table, parents, self_snapshot=self_snap)
             return base, cleaned, removed
 
         if preds is None or len(preds) <= 1:
-            base, df, removed = prepared(preds)
+            base, df, removed = prepared(preds, None)
             rows = self.target.write(df, table.pg_name)
-            base.unpersist()
             self.checkpoint.begin_table(table.pg_name, max(1, len(plan.chunks)))
             self.checkpoint.mark_table_done(table.pg_name, rows)
+            # the written DataFrame IS the cleaned full table: cache it for
+            # parent/validation reuse instead of re-reading the source
+            self._transformed_cache.setdefault(table.pg_name, base)
+            self._cleaned_cache.setdefault(table.pg_name, df)
             return TableRunResult(table.pg_name, rows, len(plan.chunks), removed)
 
         done = self.checkpoint.completed_indices(table.pg_name)
         self.checkpoint.begin_table(table.pg_name, len(preds))
         todo = [(i, p) for i, p in enumerate(preds) if i not in done]
+        if done and todo:
+            # partitions of an unrecorded chunk may have committed before the
+            # crash — purge each pending chunk's key range so re-writes land
+            # exactly once (reference records each chunk after its own COPY
+            # transaction; per-range DELETE is the idempotent equivalent)
+            pg_key = table.column(plan.chunk_key).pg_name if plan.chunk_key else None
+            for i, _ in todo:
+                chunk = plan.chunks[i]
+                if chunk.predicate(pg_key) is not None:
+                    self._delete_range(table.pg_name, chunk, pg_key)
+        # self-FK cleanup must see the whole pre-clean table, not the batch
+        self_snap = self._full_transformed(table) if has_self_fk else None
         batch_size = max(1, self.cfg.effective_workers() * 4)
         rows_total, removed_total = 0, 0
+        batch_rows_in = 0
         appending = bool(done)  # resumed: prior chunks already landed
         for start in range(0, len(todo), batch_size):
             batch = todo[start : start + batch_size]
-            base, df, removed = prepared([p for _, p in batch])
+            base, df, removed = prepared([p for _, p in batch], self_snap)
             rows = self.target.write(df, table.pg_name, append=appending)
+            if removed < 0:  # self-FK path: derive removals from write totals
+                batch_rows_in += base.count()
+                removed = 0
             base.unpersist()
             appending = True
             rows_total += rows
             removed_total += removed
-            # the write is batch-atomic; rows land on the first chunk of the
-            # batch so checkpoint row totals stay exact
+            # chunks are marked after the batch write returns; a crash inside
+            # the write is repaired by the delete-then-insert pass above on
+            # the next resume. Rows land on the first chunk of the batch so
+            # checkpoint row totals stay exact.
             for n, (i, _) in enumerate(batch):
                 self.checkpoint.mark_chunk_done(table.pg_name, i, rows if n == 0 else 0)
+        if has_self_fk and not done:
+            removed_total = batch_rows_in - rows_total
         self.checkpoint.mark_table_done(table.pg_name, rows_total)
-        return TableRunResult(table.pg_name, rows_total, len(preds), removed_total)
+        return TableRunResult(
+            table.pg_name, rows_total, len(preds), removed_total,
+            complete_this_run=not done,
+        )
+
+    def _delete_range(self, table: str, chunk, pg_key: str) -> None:
+        """Purge one chunk's key range from the target. ``delete_where``
+        receives the predicate over the BARE normalized column name (valid
+        in both Spark SQL and fold-to-lowercase PostgreSQL); the raw-SQL
+        fallback quotes identifiers pg-style."""
+        if hasattr(self.target, "delete_where"):
+            self.target.delete_where(table, chunk.predicate(pg_key))
+        else:
+            qualified = f"{_q(self.cfg.target_schema)}.{_q(table)}"
+            self.target.execute(
+                f"DELETE FROM {qualified} WHERE {chunk.predicate(_q(pg_key))}"
+            )
 
     # -- the full sequence ---------------------------------------------------
 
@@ -310,18 +396,26 @@ class MigrationPipeline:
 
             if self.cfg.validation == "row_count":
                 by_name = {t.pg_name: t for t in tables}
+                results_by_name = {r.table: r for r in result.tables}
 
                 def expected_count(name: str) -> int:
-                    # recomputed from the source (not this run's counters) so
-                    # a resumed run that skipped completed tables still
-                    # validates correctly against prior orphan removals
                     t = by_name[name]
-                    if any(
+                    if not any(
                         fk.ref_pg_table in parent_dfs or fk.ref_pg_table == t.pg_name
                         for fk in t.foreign_keys
                     ):
-                        return self.cleaned_source_df(t, parent_dfs).count()
-                    return self.source.count(t)
+                        return self.source.count(t)
+                    # FK tables: the expected count is the cleaned row count.
+                    # A fresh complete run already computed it on the source
+                    # side of the write — reuse it instead of a second read
+                    # (the reference validates source COUNT vs target COUNT;
+                    # rows_written here is the source-derived plan count).
+                    res = results_by_name.get(name)
+                    if res is not None and res.complete_this_run:
+                        return res.rows_written
+                    # resumed/skipped tables: recompute from the source so
+                    # prior-run orphan removals still validate correctly
+                    return self.cleaned_source_df(t, parent_dfs).count()
 
                 result.validation = validate_row_counts(
                     [t.pg_name for t in tables],
@@ -347,6 +441,10 @@ class MigrationPipeline:
         self.checkpoint.flush()
         if result.ok:
             self.checkpoint.delete()
+        for df in self._transformed_cache.values():
+            df.unpersist()
+        self._transformed_cache.clear()
+        self._cleaned_cache.clear()
         result.elapsed_sec = time.monotonic() - t0
         return result
 

@@ -100,7 +100,7 @@ class TestDedup:
         out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
                dedup.jaccard_pairs(d, pairs, "text", "doc_id", n=3).collect()}
         assert out[(0, 1)] == 1.0
-        assert (0, 3) not in out  # zero 3-gram intersection drops out
+        assert out[(0, 3)] == 0.0  # zero 3-gram intersection evaluates to 0
 
 
 class TestSimilarity:

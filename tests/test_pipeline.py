@@ -403,3 +403,98 @@ def test_resumed_run_validates_with_prior_orphans(spark, blog_db, tmp_path):
     result2 = pipe2.run()
     assert result2.ok  # validation passes: comments expected 10, not 12
     assert all(r.rows_written == 0 for r in result2.tables)
+
+
+def test_self_fk_chunked_batches_keep_cross_batch_parents(spark, tmp_path):
+    """A chunked self-FK table must anti-join against the FULL pre-clean
+    snapshot, not the batch: in a 100-row parent chain (parent_id = id-1)
+    with chunk_size=10, most rows' parents live in another batch — none of
+    them are orphans. One seeded true orphan (id 50 -> 999) is removed, and
+    its child survives (SQL DELETE NOT EXISTS evaluates pre-delete state)."""
+    import sqlite3 as sq3
+
+    db = str(tmp_path / "chainfk.db")
+    con = sq3.connect(db)
+    con.execute(
+        "CREATE TABLE node (id INTEGER PRIMARY KEY, parent_id INTEGER REFERENCES node(id))"
+    )
+    rows = [(i, None if i == 1 else (999 if i == 50 else i - 1)) for i in range(1, 101)]
+    con.executemany("INSERT INTO node VALUES (?,?)", rows)
+    con.commit()
+    con.close()
+
+    cfg = MigrationConfig(
+        source_type="sqlite", source_dsn=db, target_dsn="spool://x",
+        target_schema="app", chunk_size=10, workers=1,
+    )
+    target = SpoolTarget(spark, str(tmp_path / "chainfk_out"))
+    result = MigrationPipeline(
+        spark, cfg, SqliteSource(db), target, map_sqlite_type, map_sqlite_default,
+    ).run()
+    assert result.ok  # validation: expected 99 == written 99
+    res = result.tables[0]
+    assert res.rows_written == 99
+    assert res.orphans_removed == 1
+    out = spark.read.parquet(str(tmp_path / "chainfk_out" / "node"))
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [i for i in range(1, 101) if i != 50]
+
+
+def test_resume_after_partition_commit_without_chunk_record(spark, tmp_path):
+    """Production sinks commit per partition: a crash inside a batch write
+    can leave its rows committed with NO chunk recorded. Resume must
+    delete-then-insert those chunks' key ranges, landing count-exact."""
+    import os
+    import sqlite3 as sq3
+
+    db = str(tmp_path / "torn.db")
+    con = sq3.connect(db)
+    con.execute("CREATE TABLE big (id INTEGER PRIMARY KEY, payload TEXT)")
+    con.executemany("INSERT INTO big VALUES (?,?)", [(i, f"p{i}") for i in range(1, 501)])
+    con.commit()
+    con.close()
+
+    ckpt = str(tmp_path / "torn_ckpt.json")
+
+    def build(target):
+        cfg = MigrationConfig(
+            source_type="sqlite", source_dsn=db, target_dsn="spool://x",
+            target_schema="app", chunk_size=50, workers=1, resume=True,
+        )
+        pipe = MigrationPipeline(
+            spark, cfg, SqliteSource(db), target, map_sqlite_type, map_sqlite_default,
+        )
+        pipe.checkpoint = CheckpointManager(ckpt, flush_items=1)
+        return pipe
+
+    class TornWriteTarget(SpoolTarget):
+        """Write N lands on disk (partitions committed) and THEN the crash
+        hits — before any chunk of the batch is recorded."""
+
+        def __init__(self, *a, tear_on: int, **kw):
+            super().__init__(*a, **kw)
+            self.writes = 0
+            self.tear_on = tear_on
+
+        def write(self, df, table, append=False):
+            self.writes += 1
+            rows = super().write(df, table, append=append)
+            if self.writes == self.tear_on:
+                raise RuntimeError("crash after partition commits")
+            return rows
+
+    out = str(tmp_path / "torn_out")
+    # 10 chunks, batches of 4: batch 1 commits+records, batch 2 commits
+    # its data then crashes unrecorded
+    torn = TornWriteTarget(spark, out, tear_on=2)
+    with pytest.raises(RuntimeError, match="crash after partition commits"):
+        build(torn).run()
+    assert os.path.exists(ckpt)
+    # the torn batch's rows are on disk but not in the checkpoint
+    assert spark.read.parquet(os.path.join(out, "big")).count() == 400
+
+    result = build(SpoolTarget(spark, out)).run()
+    assert result.ok
+    final = spark.read.parquet(os.path.join(out, "big"))
+    assert final.count() == 500
+    assert final.select("id").distinct().count() == 500  # no duplicates
