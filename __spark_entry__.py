@@ -352,11 +352,30 @@ def _exact_dedup(spark, sf):
 
 
 def _minhash_buckets(spark, sf):
+    """Production MinHash-LSH buckets: xxhash64 leaf hashes (JVM intrinsic;
+    no SQL oracle — the md5 twin below is the oracle-checked variant of the
+    identical plan)."""
+    d = _t(spark, sf, "documents")
+    return dedup.lsh_bucket_table(
+        d, "text", "doc_id", num_hashes=12, bands=4, shingle=3, hash_fn="xxhash64"
+    )
+
+
+def _lsh_pairs(spark, sf):
+    """Production LSH candidate pairs (xxhash64; rows-only check — md5 twin
+    carries the oracle)."""
+    d = _t(spark, sf, "documents")
+    return dedup.lsh_candidate_pairs(
+        d, "text", "doc_id", num_hashes=12, bands=4, shingle=3, hash_fn="xxhash64"
+    )
+
+
+def _minhash_buckets_md5(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.lsh_bucket_table(d, "text", "doc_id", num_hashes=12, bands=4, shingle=3)
 
 
-def _lsh_pairs(spark, sf):
+def _lsh_pairs_md5(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.lsh_candidate_pairs(d, "text", "doc_id", num_hashes=12, bands=4, shingle=3)
 
@@ -437,12 +456,17 @@ def _ivf_assign(spark, sf):
 
 
 def _ivf_topk(spark, sf):
-    """ANN probe of one IVF cell: query = vec_id 0 (cell = its own assignment)."""
+    """ANN probe of one IVF cell: query = vec_id 0. Index metadata (the C
+    centroids) collects driver-side once; the query cell is a driver-side
+    argmax over it; the probe itself is ONE filtered map-only corpus scan +
+    top-k — no ivf_assign stage, no joins (the plan a repeated probe runs)."""
     e = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    assign = similarity.ivf_assign(e, "embedding", "vec_id", n_cells=8)
-    qcell = assign.filter(F.col("vec_id") == 0).first()["cell_id"]
-    return similarity.ivf_topk(e, "embedding", "vec_id", qvec, qcell, k=10, n_cells=8)
+    cents = similarity.ivf_centroids(e, "embedding", "vec_id", n_cells=8)
+    qcell = similarity.ivf_query_cell(cents, qvec)
+    return similarity.ivf_topk(
+        e, "embedding", "vec_id", qvec, qcell, k=10, centroids=cents
+    )
 
 
 def _corpus_filter(spark, sf):
@@ -559,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": _exact_dedup,
         "minhash_buckets": _minhash_buckets,
         "lsh_candidate_pairs": _lsh_pairs,
+        "minhash_buckets_md5": _minhash_buckets_md5,
+        "lsh_candidate_pairs_md5": _lsh_pairs_md5,
         "jaccard_adjacent": _jaccard_adjacent,
         "simhash_near_pairs": _simhash_pairs,
         "simhash32": _simhash32,
@@ -1081,8 +1107,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
         """,
-        "minhash_buckets": minhash_cte + "SELECT doc_id, band_id, band_hash FROM buckets",
-        "lsh_candidate_pairs": minhash_cte
+        "minhash_buckets_md5": minhash_cte + "SELECT doc_id, band_id, band_hash FROM buckets",
+        "lsh_candidate_pairs_md5": minhash_cte
         + """
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM buckets a JOIN buckets b USING (band_id, band_hash)

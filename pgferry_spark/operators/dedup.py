@@ -78,6 +78,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 12,
     shingle: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, signature array<string>) — MinHash over the document's shingle set.
 
@@ -86,7 +87,7 @@ def minhash_signatures(
     has a narrow vocabulary); ``shingle=1`` degrades to the unigram token
     set (bag-of-words similarity).
     """
-    sig = _minhash_agg(df, content_col, id_col, num_hashes, shingle)
+    sig = _minhash_agg(df, content_col, id_col, num_hashes, shingle, hash_fn)
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
@@ -94,31 +95,45 @@ def minhash_signatures(
 
 
 def _minhash_agg(
-    df: DataFrame, content_col: str, id_col: str, num_hashes: int, shingle: int
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle: int,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Explode-then-aggregate MinHash: one row per (doc, shingle), then
     ``num_hashes`` MIN aggregates.
 
-    Two deliberate shapes:
+    Three deliberate shapes:
 
     * exploding before hashing builds each shingle exactly once (inline
       ``array_min(transform(...))`` would make Catalyst duplicate shingle
       construction per hash function), and the MINs combine map-side;
     * the k hash family is Kirsch–Mitzenmacher double hashing
-      ``g_i = h1 + i·h2`` over ONE md5 per shingle (h1/h2 = two 56-bit
-      halves of the digest) — k-1 multiply-adds replace k-1 digests, and
-      56-bit operands keep ``h1 + 11·h2`` far from int64 overflow so the
-      arithmetic is portable to engines that error on overflow.
+      ``g_i = h1 + i·h2`` over two base hashes per shingle — k-1
+      multiply-adds replace k-1 digests, and 56-bit operands keep
+      ``h1 + 11·h2`` far from int64 overflow so the arithmetic is portable
+      to engines (and ANSI mode) that error on overflow;
+    * ``hash_fn='xxhash64'`` is the production path: h1/h2 are one JVM
+      xxhash64 intrinsic each (the second salted), ~an order of magnitude
+      cheaper than the md5 + base-16 conv pair. ``'md5'`` is the
+      oracle-portable twin (identical digests in ANSI SQL) — same plan,
+      same shuffle, only the leaf hash expressions differ.
     """
     if shingle > 1:
         arr = ngram_set(F.col(content_col), shingle)
     else:
         arr = F.array_distinct(tokens(F.lower(F.col(content_col))))
-    md5g = F.md5(F.col("gram"))
+    if hash_fn == "xxhash64":
+        h1 = F.shiftrightunsigned(F.xxhash64(F.col("gram")), 8)
+        h2 = F.shiftrightunsigned(F.xxhash64(F.col("gram"), F.lit(1)), 8)
+    else:
+        md5g = F.md5(F.col("gram"))
+        h1 = F.conv(F.substring(md5g, 1, 14), 16, 10).cast("long")
+        h2 = F.conv(F.substring(md5g, 17, 14), 16, 10).cast("long")
     grams = _fan_out(df, id_col, force=True).select(F.col(id_col), F.explode(arr).alias("gram")).select(
-        F.col(id_col),
-        F.conv(F.substring(md5g, 1, 14), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(md5g, 17, 14), 16, 10).cast("long").alias("h2"),
+        F.col(id_col), h1.alias("h1"), h2.alias("h2"),
     )
     mins = [
         F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
@@ -134,23 +149,27 @@ def lsh_bucket_table(
     num_hashes: int = 12,
     bands: int = 4,
     shingle: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, band_id, band_hash) — one row per doc per band. Docs sharing a
-    (band_id, band_hash) bucket are near-dup candidates."""
+    (band_id, band_hash) bucket are near-dup candidates.
+
+    ``hash_fn='xxhash64'`` also hashes the band directly from the signature
+    columns (one intrinsic, bigint band_hash) instead of md5 over a
+    concat_ws string."""
     rows_per_band = num_hashes // bands
-    sig = _minhash_agg(df, content_col, id_col, num_hashes, shingle)
+    sig = _minhash_agg(df, content_col, id_col, num_hashes, shingle, hash_fn)
+
+    def band_hash(b):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*cols)
+        return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
+            band_hash(b).alias("band_hash"),
         )
         for b in range(bands)
     ]
@@ -167,6 +186,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     shingle: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
 
@@ -179,7 +199,9 @@ def lsh_candidate_pairs(
     evicts it (LRU) or the caller unpersists. A driver looping over many
     corpora should consume the result, then ``spark.catalog.clearCache()``
     or track/unpersist — the cache is an optimization, not state."""
-    buckets = lsh_bucket_table(df, content_col, id_col, num_hashes, bands, shingle).persist()
+    buckets = lsh_bucket_table(
+        df, content_col, id_col, num_hashes, bands, shingle, hash_fn
+    ).persist()
     a = buckets.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )

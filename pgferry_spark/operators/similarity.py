@@ -255,6 +255,49 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str, n_cells: int = 8) -> Da
     )
 
 
+def ivf_centroids(df: DataFrame, vec_col: str, id_col: str, n_cells: int = 8) -> list[list[float]]:
+    """Collect the deterministic centroid list (id < n_cells) driver-side —
+    C×dim floats, broadcast-sized by construction (the IVF index metadata)."""
+    rows = (
+        df.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    by_id = {r["cid"]: [float(x) for x in r["v"]] for r in rows}
+    return [by_id[i] for i in sorted(by_id)]
+
+
+def ivf_query_cell(centroids: list[list[float]], query: list[float]) -> int:
+    """Driver-side query-cell selection: argmax of the (4dp-rounded) dot
+    product, ties to the lowest cell id — byte-identical to the
+    :func:`ivf_assign` ranking, without touching the corpus."""
+    import math
+
+    best_cell, best_dot = 0, None
+    for i, c in enumerate(centroids):
+        d = float(np.dot(query, c))
+        d = math.floor(d * 10_000 + (0.5 if d >= 0 else -0.5)) / 10_000  # half-up 4dp
+        if best_dot is None or d > best_dot:
+            best_cell, best_dot = i, d
+    return best_cell
+
+
+def _cell_of(vec_col, centroids: list[list[float]]):
+    """Column expression: the IVF cell of a vector against literal centroids
+    — per-row register math (C dot products + an argmax), zero shuffle.
+    Rounding/tie rules match :func:`ivf_assign` exactly."""
+    v = vec_col.cast("array<double>")
+    entries = [
+        F.struct(
+            F.round(_dot(v, F.array(*[F.lit(float(x)) for x in c])), 4).alias("dot"),
+            F.lit(-i).alias("neg_id"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    # struct max orders by (dot, neg_id): highest dot, ties -> lowest cell id
+    return -F.array_max(F.array(*entries))["neg_id"]
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -263,11 +306,28 @@ def ivf_topk(
     query_cell: int,
     k: int = 10,
     n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k probing one IVF cell: score only vectors assigned to
-    ``query_cell``. At scale the assignment table is written bucketed by
-    cell_id so a probe reads one cell's partitions, not the corpus."""
-    assign = ivf_assign(df, vec_col, id_col, n_cells)
+    """Approximate top-k probing one IVF cell.
+
+    Probe plans, fastest first:
+
+    * ``centroids`` given — membership is decided per-row against the
+      broadcast centroid literals: ONE filtered map-only scan + top-k, no
+      join, no window, no second corpus pass. This is the plan a probe
+      should run when the assignment isn't materialized.
+    * ``assign`` given — semi-join against a precomputed assignment table
+      (at scale: written bucketed by cell_id so the probe reads one cell's
+      partitions, not the corpus).
+    * neither — computes the assignment inline (index-build + probe fused;
+      fine for one-off use, wrong shape for repeated probes).
+    """
+    if centroids is not None:
+        members = df.filter(_cell_of(F.col(vec_col), centroids) == query_cell)
+        return cosine_topk(members, vec_col, id_col, query, k)
+    if assign is None:
+        assign = ivf_assign(df, vec_col, id_col, n_cells)
     members = df.join(
         assign.filter(F.col("cell_id") == query_cell).select(id_col), on=id_col
     )

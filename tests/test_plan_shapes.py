@@ -49,3 +49,53 @@ class TestPlanShapes:
         plan = _executed(E.queries()["corpus_filter"](spark, SF))
         assert "Join" not in plan  # keeper via window-min, not semi-join
         assert plan.count("Window") >= 1
+
+    def test_ivf_probe_is_one_filtered_scan(self, spark):
+        """The IVF probe must not recompute the corpus assignment: one
+        map-only filtered scan + top-k — no window, no join, no exchange."""
+        plan = _executed(E.queries()["ivf_topk"](spark, SF))
+        assert "Window" not in plan
+        assert "Join" not in plan
+        assert "Exchange" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_minhash_fast_path_has_no_md5(self, spark):
+        """The production MinHash variant hashes with the xxhash64 intrinsic
+        end-to-end (shingle base hashes AND band hashes) — md5+conv must not
+        appear anywhere in its plan."""
+        plan = _executed(E.queries()["minhash_buckets"](spark, SF))
+        assert "md5" not in plan
+        assert "xxhash64" in plan
+
+    def test_migration_reads_each_table_once(self, spark, tmp_path):
+        """The movement phase must not re-read FK-involved tables for parent
+        caching or validation (the round-1 triple-read)."""
+        from pgferry_spark.backends import ParquetSource, SpoolTarget
+        from pgferry_spark.config import MigrationConfig
+        from pgferry_spark.pipeline import MigrationPipeline
+        from pgferry_spark.types import map_parquet_default, map_parquet_type
+
+        class CountingSource(ParquetSource):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, **kw)
+                self.reads = {}
+
+            def read_table(self, spark, table, predicates):
+                self.reads[table.pg_name] = self.reads.get(table.pg_name, 0) + 1
+                return super().read_table(spark, table, predicates)
+
+        src = CountingSource(
+            spark, SF,
+            tables=("customer", "orders", "events"),
+            pks={"customer": "c_custkey", "orders": "o_orderkey", "events": "event_id"},
+        )
+        cfg = MigrationConfig(
+            source_type="parquet", source_dsn=SF, target_dsn="spool://x",
+            target_schema="tpch",
+        )
+        result = MigrationPipeline(
+            spark, cfg, src, SpoolTarget(spark, str(tmp_path / "once_out")),
+            map_parquet_type, map_parquet_default,
+        ).run()
+        assert result.ok
+        assert src.reads == {"customer": 1, "orders": 1, "events": 1}
