@@ -1,12 +1,15 @@
 """Concrete source/target backends for the migration pipeline.
 
 * ``SqliteSource`` — real introspection through the stdlib driver (the
-  pragma surface, reference source_sqlite.go) + driver-side row fetch into a
-  Spark DataFrame. SQLite is capped at one read connection by the reference
-  (source_sqlite.go:173); a file-local database has no distributed read path
-  anyway, so driver-side fetch + parallelize matches the reference's
-  effective parallelism. MySQL/MSSQL take the JDBC partitioned path
-  (sources/jdbc.py) instead.
+  pragma surface, reference source_sqlite.go) + bounded-memory row
+  streaming: one read connection (the reference's SQLite cap,
+  source_sqlite.go:173) fetches ``fetch_batch`` rows at a time into a
+  parquet spool, and Spark scans the spool distributed. MySQL/MSSQL take
+  the JDBC partitioned path (sources/jdbc.py) instead.
+* ``SingleTxSource`` — the `single_tx` consistent-snapshot path (reference
+  migrate.go:149-259): all tables sequentially through ONE DB-API
+  connection in one transaction, streamed through the same spool.
+* ``ParquetSource`` — parquet-lake source; fully distributed scans.
 * ``SpoolTarget`` — test/diagnostic target: DDL statements are recorded in
   order (inspectable, like a dry-run transcript), data lands as parquet per
   table. Swap for a JDBC/COPY target (sources/sink.py) against PostgreSQL;
@@ -42,11 +45,71 @@ _AFFINITY_SPARK = {
 }
 
 
+def _arrow_type(spark_type):
+    import pyarrow as pa
+
+    mapping = {
+        "bigint": pa.int64(), "int": pa.int32(), "smallint": pa.int16(),
+        "tinyint": pa.int8(), "double": pa.float64(), "float": pa.float32(),
+        "string": pa.string(), "binary": pa.binary(), "boolean": pa.bool_(),
+        "date": pa.date32(), "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    t = mapping.get(spark_type.simpleString())
+    if t is None:
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        t = to_arrow_type(spark_type)
+    return t
+
+
+def spool_batches(spark: SparkSession, schema: StructType, batches) -> DataFrame:
+    """Stream driver-fetched row batches into a local parquet spool and
+    return a distributed scan of it.
+
+    This is the bounded-memory shape for driver-side sources (SQLite,
+    single_tx): only ONE batch of rows is ever held in driver memory — each
+    batch lands as a parquet part file via pyarrow (no Spark job per batch)
+    and the returned DataFrame is a real distributed, column-prunable scan.
+    The reference's equivalent is its row-at-a-time O(1)-memory COPY stream
+    (migrate.go:413-482); a driver-side ``collect``-everything list was the
+    round-1 OOM hazard this replaces."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spool = tempfile.mkdtemp(prefix="pgferry_spool_")
+    arrow_fields = [
+        pa.field(f.name, _arrow_type(f.dataType), nullable=True)
+        for f in schema.fields
+    ]
+    arrow_schema = pa.schema(arrow_fields)
+    n = 0
+    for rows in batches:
+        if not rows:
+            continue
+        cols = list(zip(*rows))
+        arrays = [
+            pa.array(list(col), type=fld.type)
+            for col, fld in zip(cols, arrow_fields)
+        ]
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=arrow_schema),
+            os.path.join(spool, f"part-{n:05d}.parquet"),
+        )
+        n += 1
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(spool)
+
+
 @dataclass
 class SqliteSource:
     path: str
     snake_case: bool = True
     kind: str = "sqlite"
+    fetch_batch: int = 10_000  # rows held in driver memory at a time
 
     def introspect(self) -> Schema:
         return sq.introspect_schema(self.path, self.snake_case)
@@ -66,12 +129,34 @@ class SqliteSource:
     def read_table(
         self, spark: SparkSession, table: Table, predicates: list[str] | None
     ) -> DataFrame:
+        """Bounded-memory read through ONE connection (the reference's SQLite
+        worker cap of 1, source_sqlite.go:173): rows stream out in
+        ``fetch_batch``-sized cursor fetches to a parquet spool, never a
+        full-table driver list."""
         schema = self._read_schema(table)
         preds = predicates if predicates else [None]
-        rows: list[tuple] = []
-        for p in preds:  # sequential: the reference's SQLite worker cap of 1
-            rows.extend(tuple(r) for r in sq.read_table_rows(self.path, table, p))
-        return spark.createDataFrame(rows, schema)
+
+        def batches():
+            con = sq.open_readonly(self.path)
+            try:
+                cols = ", ".join(
+                    '"' + c.source_name.replace('"', '""') + '"' for c in table.columns
+                )
+                src = '"' + table.source_name.replace('"', '""') + '"'
+                for p in preds:  # sequential over chunks: 1 connection total
+                    sql = f"SELECT {cols} FROM {src}"
+                    if p:
+                        sql += f" WHERE {p}"
+                    cur = con.execute(sql)
+                    while True:
+                        rows = cur.fetchmany(self.fetch_batch)
+                        if not rows:
+                            break
+                        yield [tuple(r) for r in rows]
+            finally:
+                con.close()
+
+        return spool_batches(spark, schema, batches())
 
     def count(self, table: Table) -> int:
         con = sq.open_readonly(self.path)
@@ -222,3 +307,91 @@ class SpoolTarget:
         shutil.rmtree(path)
         os.replace(tmp, path)
         self.ddl.append(f"DELETE FROM {table} WHERE {predicate}")
+
+
+@dataclass
+class SingleTxSource:
+    """O3 — consistent-snapshot source: every table reads sequentially
+    through ONE DB-API connection inside ONE read-only transaction
+    (reference migrate.go:149-259, `single_tx` mode).
+
+    A distributed JDBC read opens independent connections per partition and
+    cannot share a transaction — the one reference semantic Spark cannot
+    distribute (SURVEY §7 hard-part 1). This source is the faithful fallback:
+    ``connect`` opens the single connection, ``begin_sql`` starts the
+    snapshot (e.g. MySQL ``START TRANSACTION WITH CONSISTENT SNAPSHOT`` after
+    ``SET TRANSACTION ISOLATION LEVEL REPEATABLE READ``; MSSQL ``SET
+    TRANSACTION ISOLATION LEVEL SNAPSHOT`` + ``BEGIN TRAN``), and every
+    ``read_table`` streams batches from that connection into a parquet spool
+    (bounded driver memory, distributed downstream scan). The pipeline's
+    config matrix already forces ``workers <= 1`` in this mode, so reads are
+    strictly sequential — the same throughput shape as the reference.
+    """
+
+    connect: object  # Callable[[], DB-API connection]
+    schema: Schema
+    read_schemas: dict  # pg_name -> StructType
+    begin_sql: tuple = ()
+    objects: SourceObjects = field(default_factory=SourceObjects)
+    kind: str = "mysql"
+    fetch_batch: int = 10_000
+    _con: object = field(default=None, repr=False)
+
+    def _connection(self):
+        if self._con is None:
+            self._con = self.connect()
+            cur = self._con.cursor()
+            for stmt in self.begin_sql:
+                cur.execute(stmt)
+        return self._con
+
+    def close(self) -> None:
+        if self._con is not None:
+            try:
+                self._con.rollback()  # read-only tx: end the snapshot
+            finally:
+                self._con.close()
+                self._con = None
+
+    def introspect(self) -> Schema:
+        return self.schema
+
+    def source_objects(self) -> SourceObjects:
+        return self.objects
+
+    def read_table(
+        self, spark: SparkSession, table: Table, predicates: list[str] | None
+    ) -> DataFrame:
+        schema = self.read_schemas[table.pg_name]
+        preds = predicates if predicates else [None]
+        con = self._connection()
+
+        def batches():
+            cols = ", ".join(c.source_name for c in table.columns)
+            for p in preds:  # sequential chunks, one shared connection
+                sql = f"SELECT {cols} FROM {table.source_name}"
+                if p:
+                    sql += f" WHERE {p}"
+                cur = con.cursor()
+                cur.execute(sql)
+                while True:
+                    rows = cur.fetchmany(self.fetch_batch)
+                    if not rows:
+                        break
+                    yield [tuple(r) for r in rows]
+
+        return spool_batches(spark, schema, batches())
+
+    def count(self, table: Table) -> int:
+        cur = self._connection().cursor()
+        cur.execute(f"SELECT COUNT(*) FROM {table.source_name}")
+        return cur.fetchone()[0]
+
+    def min_max(self, table: Table, key_source_name: str):
+        cur = self._connection().cursor()
+        cur.execute(
+            f"SELECT MIN({key_source_name}), MAX({key_source_name}) "
+            f"FROM {table.source_name}"
+        )
+        row = cur.fetchone()
+        return row[0], row[1]

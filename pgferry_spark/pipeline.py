@@ -441,6 +441,8 @@ class MigrationPipeline:
         self.checkpoint.flush()
         if result.ok:
             self.checkpoint.delete()
+        if hasattr(self.source, "close"):
+            self.source.close()  # single_tx: ends the snapshot transaction
         for df in self._transformed_cache.values():
             df.unpersist()
         self._transformed_cache.clear()
