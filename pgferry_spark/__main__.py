@@ -7,9 +7,10 @@ Mirrors the reference's command surface (reference main.go:20-65):
 * ``migrate <config.toml>``  — run the full pipeline
 * ``wizard``                 — interactive config generator (``-o`` to save)
 
-Only the SQLite source is wired end-to-end in this environment (no DB
-servers); MySQL/MSSQL configs resolve their catalog-query builders but
-need a JDBC-reachable server to run.
+Runnable end-to-end in this environment: SQLite and parquet-lake sources;
+spool:// and postgres:// (via the psql-client COPY target) targets.
+MySQL/MSSQL configs resolve their catalog-query builders but need a
+JDBC-reachable server to run.
 """
 
 from __future__ import annotations
@@ -20,14 +21,34 @@ import sys
 from .config import MigrationConfig, load_config
 
 
-def _source_for(cfg: MigrationConfig):
+def _source_for(cfg: MigrationConfig, spark=None):
     if cfg.source_type == "sqlite":
         from .backends import SqliteSource
 
         return SqliteSource(cfg.source_dsn, cfg.snake_case_identifiers)
+    if cfg.source_type == "parquet":
+        import glob
+        import os
+
+        from .backends import ParquetSource
+
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark("pgferry_spark_plan")
+        tables = tuple(
+            sorted(
+                os.path.splitext(os.path.basename(p))[0]
+                for p in glob.glob(os.path.join(cfg.source_dsn, "*.parquet"))
+            )
+        )
+        return ParquetSource(
+            spark, cfg.source_dsn, tables=tables,
+            snake_case=cfg.snake_case_identifiers,
+        )
     raise SystemExit(
         f"source_type {cfg.source_type!r} requires a live database server; "
-        "only sqlite is runnable in this environment"
+        "sqlite and parquet are runnable in this environment"
     )
 
 
@@ -38,6 +59,7 @@ def _mappers_for(cfg: MigrationConfig):
         "sqlite": (T.map_sqlite_type, T.map_sqlite_default),
         "mysql": (T.map_mysql_type, T.map_mysql_default),
         "mssql": (T.map_mssql_type, T.map_mssql_default),
+        "parquet": (T.map_parquet_type, T.map_parquet_default),
     }[cfg.source_type]
 
 
@@ -68,16 +90,40 @@ def cmd_migrate(args) -> int:
     from .session import get_spark
 
     cfg = load_config(args.config)
-    source = _source_for(cfg)
     type_mapper, default_mapper = _mappers_for(cfg)
     spark = get_spark("pgferry_spark_migrate")
     spark.sparkContext.setLogLevel("ERROR")
+    source = _source_for(cfg, spark)
     if cfg.target_dsn.startswith("spool://"):
         target = SpoolTarget(spark, cfg.target_dsn.removeprefix("spool://"))
+    elif cfg.target_dsn.startswith(("postgres://", "postgresql://")):
+        import shutil
+        from urllib.parse import unquote, urlsplit
+
+        from .sources.sink import PsqlTarget
+
+        if not shutil.which("psql"):
+            raise SystemExit(
+                "postgres:// target needs either psycopg or the psql client"
+            )
+        u = urlsplit(cfg.target_dsn)
+        # parse the authority by hand: libpq URIs allow a percent-encoded
+        # unix socket dir as the host (postgresql://u@%2Fvar%2Frun:5432/db),
+        # which urlsplit.hostname would lowercase
+        userinfo, _, hostport = u.netloc.rpartition("@")
+        host, port = hostport, ""
+        if ":" in hostport:
+            host, _, port = hostport.rpartition(":")
+        target = PsqlTarget(
+            # empty host -> libpq default (PGHOST env / local unix socket)
+            host=unquote(host), port=int(port) if port else 5432,
+            db=(u.path or "/postgres").lstrip("/"),
+            user=unquote(userinfo.split(":")[0]) if userinfo else "postgres",
+            schema=cfg.target_schema,
+        )
     else:
         raise SystemExit(
-            "only spool:// targets are runnable in this environment "
-            "(PostgreSQL needs a reachable server + psycopg/JDBC driver)"
+            "supported targets: spool://<dir> and postgres://user@host:port/db"
         )
     checkpoint = None
     if cfg.resume:

@@ -364,6 +364,30 @@ def simhash_near_pairs_from(
 # -- embedding-cosine near-dup ----------------------------------------------
 
 
+def _estimate_rows(df: DataFrame) -> int:
+    """Row-count estimate for block sizing WITHOUT a blocking driver job.
+
+    Block layout only needs the right order of magnitude (a 2x-off estimate
+    shifts work between block count and block width, same total GEMM), so
+    prefer the optimizer's plan statistics (parquet footers / CBO) and fall
+    back to an exact count only when no estimate exists."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            n = int(str(rc.get()))
+            if n > 0:
+                return n
+        size = int(str(stats.sizeInBytes()))
+        if 0 < size < (1 << 62):  # default "unknown" is Long.Max-ish
+            # arrays of float dominate these rows; ~8B/element + overhead
+            width = max(64, 8 * len(df.columns) * 16)
+            return max(1, size // width)
+    except Exception:
+        pass
+    return df.count()
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -389,7 +413,7 @@ def embedding_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    n = df.count()  # driver-side probe to size blocks (cf. chunk planner MIN/MAX)
+    n = _estimate_rows(df)  # plan-stats estimate; block sizing tolerates 2x error
     nblocks = max(1, -(-n // block_size))
     blocks = (
         df.select(

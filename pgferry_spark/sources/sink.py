@@ -182,10 +182,10 @@ class PsqlTarget:
     schema: str
 
     def _psql(self) -> list[str]:
-        return [
-            "psql", "-X", "-q", "-v", "ON_ERROR_STOP=1",
-            "-h", self.host, "-p", str(self.port), "-U", self.user, "-d", self.db,
-        ]
+        args = ["psql", "-X", "-q", "-v", "ON_ERROR_STOP=1"]
+        if self.host:  # empty -> libpq default (PGHOST / local socket)
+            args += ["-h", self.host]
+        return args + ["-p", str(self.port), "-U", self.user, "-d", self.db]
 
     def execute(self, sql: str) -> None:
         subprocess.run(

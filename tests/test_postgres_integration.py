@@ -186,3 +186,32 @@ def test_copy_value_fidelity(spark, pgserver):
     assert _psql_scalar(pg, "SELECT flag FROM fidelity.t WHERE id=1") == "t"
     assert _psql_scalar(pg, "SELECT encode(bin,'hex') FROM fidelity.t WHERE id=1") == "00ff0a"
     assert _psql_scalar(pg, "SELECT COUNT(*) FROM fidelity.t WHERE txt IS NULL") == "1"
+
+
+def test_cli_parquet_to_postgres(spark, pgserver, tmp_path):
+    """The CLI surface end to end: parquet-lake source -> postgres:// target
+    (psql COPY path), driven exactly as a user would run it."""
+    import io
+    from contextlib import redirect_stdout
+    from urllib.parse import quote
+
+    from pgferry_spark.__main__ import main
+
+    pg = pgserver
+    # libpq URI convention: percent-encoded socket dir as host
+    sock = quote(pg["host"], safe="")
+    cfgfile = tmp_path / "mig.toml"
+    cfgfile.write_text(
+        'source_type = "parquet"\n'
+        'source_dsn = "/root/testdata/sf0.001"\n'
+        f'target_dsn = "postgresql://{pg["user"]}@{sock}:{pg["port"]}/{pg["db"]}"\n'
+        'target_schema = "lake"\n'
+        'include_tables = ["region", "nation"]\n'
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["migrate", str(cfgfile)])
+    assert rc == 0, buf.getvalue()
+    assert "OK" in buf.getvalue()
+    assert _psql_scalar(pg, "SELECT COUNT(*) FROM lake.region") == "5"
+    assert _psql_scalar(pg, "SELECT COUNT(*) FROM lake.nation") == "25"
