@@ -52,11 +52,21 @@ ANNOTATED = {
         "shuffle, no self-join, scoring computed exactly once.",
     ),
     "minhash_buckets": (
-        "explode→groupBy with map-side MIN combine",
+        "explode→groupBy with map-side MIN combine, xxhash64 leaf hashes",
         "Docs hash-repartition BEFORE the shingle explode, so the shuffle "
         "moves 1× corpus rows, not 50× exploded shingles; the 12 MIN "
-        "aggregates combine map-side; one md5 per shingle feeds all 12 hash "
-        "functions (Kirsch–Mitzenmacher double hashing).",
+        "aggregates combine map-side; two xxhash64 intrinsics per shingle "
+        "feed all 12 hash functions (Kirsch–Mitzenmacher double hashing) — "
+        "the md5 oracle twin (minhash_buckets_md5) runs the identical plan "
+        "with portable leaf hashes.",
+    ),
+    "ivf_topk": (
+        "one filtered map-only scan + TakeOrderedAndProject",
+        "Cell membership is a per-row argmax against broadcast centroid "
+        "literals (struct array_max), so the probe touches the corpus "
+        "exactly once: no ivf_assign stage, no window, no join, zero "
+        "Exchanges. At scale the same probe reads one cell of a bucketed "
+        "assignment table instead.",
     ),
     "embedding_near_dup": (
         "blocked GEMM via mapInPandas",
