@@ -89,6 +89,22 @@ def _q17(spark, sf):
     )
 
 
+def _q6(spark, sf):
+    return Q.q6_forecast_revenue(_t(spark, sf, "lineitem"))
+
+
+def _q14(spark, sf):
+    return Q.q14_promo_revenue(_t(spark, sf, "part"), _t(spark, sf, "lineitem"))
+
+
+def _q19(spark, sf):
+    return Q.q19_disjunctive_revenue(_t(spark, sf, "part"), _t(spark, sf, "lineitem"))
+
+
+def _q22(spark, sf):
+    return Q.q22_idle_customers(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
+
+
 def _top_order(spark, sf):
     return Q.top_order_per_customer(_t(spark, sf, "orders"))
 
@@ -337,6 +353,52 @@ def _lang_id(spark, sf):
     return d.select("doc_id", "lang", T.lang_id_t(ltoks).alias("lang_guess"))
 
 
+def _bpe_token_count(spark, sf):
+    """Subword (BPE-ish) token counting — LLM token-cost estimation."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.bpe_token_count(F.col("text")).alias("n_subwords"),
+        T.token_count(F.col("text")).alias("n_words"),
+    )
+
+
+def _winnow_summary(spark, sf):
+    """Winnowing (rolling-hash) fingerprints, summarized per doc: compact
+    but fully value-determined check of the fingerprint set (count + min +
+    max + bigint sum)."""
+    d = _t(spark, sf, "documents")
+    fps = d.select("doc_id", T.winnow_fingerprints(F.col("text"), k=5, w=4).alias("fps"))
+    return fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fp"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+        F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_fp"),
+    )
+
+
+def _winnow_shared_pairs(spark, sf):
+    """MOSS-style near-dup candidates: doc pairs sharing >= 50 winnowed
+    fingerprints (any shared substring of length >= k+w-1 = 8 chars shares
+    a fingerprint; the synthetic corpus shares template phrasing, so the
+    bar selects genuinely heavy overlap). One explode + one equi-self-join
+    on the fingerprint value — never all-pairs."""
+    d = _t(spark, sf, "documents")
+    fps = d.select(
+        "doc_id", F.explode(T.winnow_fingerprints(F.col("text"), k=5, w=4)).alias("fp")
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 50)
+    )
+
+
 def _fingerprint_dedup(spark, sf):
     """Fingerprint dedup: one keeper per normalized-text fingerprint."""
     d = _t(spark, sf, "documents")
@@ -548,6 +610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": _q10,
         "q12_priority_counts": _q12,
         "q17_small_quantity_revenue": _q17,
+        "q6_forecast_revenue": _q6,
+        "q14_promo_revenue": _q14,
+        "q19_disjunctive_revenue": _q19,
+        "q22_idle_customers": _q22,
         "top_order_per_customer": _top_order,
         "big_order_customers": _big_orders,
         "cheapest_supplier_per_part": _cheapest_supplier,
@@ -579,6 +645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_checks": _quality_checks,
         "text_stats": _text_stats,
         "lang_id": _lang_id,
+        "bpe_token_count": _bpe_token_count,
+        "winnow_summary": _winnow_summary,
+        "winnow_shared_pairs": _winnow_shared_pairs,
         "fingerprint_dedup": _fingerprint_dedup,
         "exact_dedup_groups": _exact_dedup,
         "minhash_buckets": _minhash_buckets,
@@ -727,6 +796,29 @@ def oracle_sql() -> dict[str, str]:
         for i, p in enumerate(ann_planes)
     )
 
+    # winnowing fingerprints (k=5, w=4): same structure as the Spark Column
+    # pipeline — char 5-gram md5-32 hashes, window-of-4 minima, distinct
+    winnow_cte = """
+        WITH h AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) < 5 THEN CAST([] AS BIGINT[])
+                      ELSE list_transform(range(1, length(text) - 3),
+                             i -> ('0x' || substr(md5(substr(text, i, 5)), 1, 8))::BIGINT)
+                 END AS h
+          FROM documents
+        ),
+        wf AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                        WHEN len(h) <= 4 THEN [list_min(h)]
+                        ELSE list_transform(range(1, len(h) - 2),
+                                            i -> list_min(list_slice(h, i, i + 3)))
+                   END) AS fps
+          FROM h
+        )
+    """
+
     media_cte = """
         WITH m AS (
           SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -807,6 +899,46 @@ def oracle_sql() -> dict[str, str]:
                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY l_linestatus
+        """,
+        "q6_forecast_revenue": f"""
+            SELECT CAST(SUM({dec_price} * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND CAST(l_discount AS DECIMAL(6,4)) BETWEEN CAST(0.05 AS DECIMAL(6,4))
+                                                       AND CAST(0.07 AS DECIMAL(6,4))
+              AND l_quantity < 24
+        """,
+        "q14_promo_revenue": f"""
+            SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {disc_price}
+                                               ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+                         / CAST(SUM({disc_price}) AS DOUBLE), 6) AS promo_revenue_pct,
+                   CAST(SUM({disc_price}) AS DOUBLE) AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT CAST(SUM({disc_price}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_idle_customers": """
+            WITH ab AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey, COUNT(*) AS n_custs,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+            FROM customer, ab
+            WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1997-07-01')
+            GROUP BY c_nationkey
         """,
         "q5_local_supplier_volume": f"""
             SELECT n_name, CAST(SUM({disc_price}) AS DOUBLE) AS revenue
@@ -1097,6 +1229,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM hits
             )
             SELECT doc_id, lang, {lang_case} AS lang_guess FROM best
+        """,
+        "bpe_token_count": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_subwords,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_words
+            FROM documents
+        """,
+        "winnow_summary": winnow_cte
+        + """
+            SELECT doc_id,
+                   CAST(len(fps) AS INTEGER) AS n_fp,
+                   list_min(fps) AS min_fp,
+                   list_max(fps) AS max_fp,
+                   COALESCE(CAST(list_sum(fps) AS BIGINT), 0) AS sum_fp
+            FROM wf
+        """,
+        "winnow_shared_pairs": winnow_cte
+        + """
+            , ex AS (SELECT doc_id, unnest(fps) AS fp FROM wf)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+            FROM ex a JOIN ex b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 50
         """,
         "fingerprint_dedup": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

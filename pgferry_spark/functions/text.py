@@ -146,3 +146,64 @@ def fingerprint(col: Column) -> Column:
     differing only in case/whitespace collide — the standard first-pass
     near-dup key before MinHash."""
     return F.md5(normalize_ws(col))
+
+
+# -- subword (BPE-ish) token counting ----------------------------------------
+
+# GPT-2-style pretokenizer approximation, restricted to constructs with
+# identical semantics in Java regex and RE2/DuckDB (no lookarounds):
+# a token is an optionally-space-prefixed letter run, digit run, or
+# punctuation run. Whitespace itself is not a token.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """Subword pretokens as array<string> (the unit an LLM tokenizer's BPE
+    merge table would subdivide further — counting these approximates token
+    cost without shipping a merge table into the cluster)."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+# -- rolling-hash winnowing fingerprints (MOSS-style) ------------------------
+
+
+def char_kgram_hashes(col: Column, k: int = 5) -> Column:
+    """Hash of every overlapping character k-gram, as array<bigint>. The
+    per-gram hash is the first 32 bits of md5 — portable bit-for-bit to the
+    ANSI-SQL oracle (same trick as simhash32_md5)."""
+    n = F.length(col)
+    idx = F.when(
+        n < k, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), n - (k - 1)))
+    return F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(col.substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+
+
+def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing (MOSS) document fingerprints: the distinct minima of every
+    ``w``-wide window over the k-gram hash sequence.
+
+    Guarantee: any shared substring of length ≥ k+w-1 between two documents
+    yields at least one shared fingerprint — the standard rolling-hash
+    selection that keeps ~1/w of the grams while staying match-complete.
+    Pure Column expressions (transform/slice/array_min): map-only, no
+    shuffle, no UDF."""
+    h = char_kgram_hashes(col, k)
+    m = F.size(h)
+    mins = F.when(m == 0, F.array().cast("array<bigint>")).otherwise(
+        F.when(m <= w, F.array(F.array_min(h))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), m - (w - 1)),
+                lambda i: F.array_min(F.slice(h, i, w)),
+            )
+        )
+    )
+    return F.array_distinct(mins)

@@ -217,6 +217,115 @@ def q17_small_quantity_revenue(
     )
 
 
+def q6_forecast_revenue(
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-shaped: pure filter→aggregate, no join — the pushdown
+    showcase. All three predicates (date range, discount BETWEEN, quantity
+    cap) reach the parquet scan as PushedFilters; the projection prunes to
+    the 4 referenced columns; one partial+final aggregate, single row out."""
+    revenue = _price() * F.col("l_discount").cast(D6_4)
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+            & (F.col("l_discount").cast(D6_4) >= F.lit(disc_lo).cast(D6_4))
+            & (F.col("l_discount").cast(D6_4) <= F.lit(disc_hi).cast(D6_4))
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q14_promo_revenue(
+    part: DataFrame, lineitem: DataFrame,
+    date_lo: str = "1996-03-01", date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14-shaped: promotion revenue share — conditional aggregation
+    over a month window, part dim broadcast. The CASE sits inside both SUMs
+    so the plan is one fact pass + partial aggregation."""
+    disc_price = _price() * _one_minus("l_discount")
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(
+        F.lit(0).cast(DecimalType(20, 6))
+    )
+    month = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    joined = month.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(disc_price).cast("double"), 6
+        ).alias("promo_revenue_pct"),
+        F.sum(disc_price).cast("double").alias("total_revenue"),
+    )
+
+
+def q19_disjunctive_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped: disjunctive multi-branch predicate join — three OR
+    branches pairing a brand with a size range and a quantity window. The
+    disjunction evaluates post-join on the broadcast dim (Catalyst can't
+    split it), but the common join key and the per-branch ranges stay one
+    fact pass."""
+    disc_price = _price() * _one_minus("l_discount")
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & qty.between(20, 30))
+    )
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return joined.filter(branch).agg(
+        F.sum(disc_price).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q22_idle_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "1997-07-01"
+) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average positive balance and
+    no order since ``since`` — scalar aggregate subquery (broadcast one-row
+    cross join) + anti join against the filtered fact, grouped by nation."""
+    # exact decimal SUM then ONE double division — deterministic across
+    # engines, unlike a floating AVG whose value depends on add order
+    pos_avg = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(D12_2)).cast("double") / F.count(F.lit(1)))
+        .alias("avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(pos_avg)).filter(
+        F.col("c_acctbal").cast(D12_2).cast("double") > F.col("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), how="left_anti"
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast(D12_2)).cast("double").alias("total_bal"),
+        )
+    )
+
+
 def top_order_per_customer(orders: DataFrame) -> DataFrame:
     """Window operator: each customer's single highest-value order
     (row_number with a total-order tie-break)."""

@@ -47,3 +47,35 @@ def test_quality_score_bounds(spark):
     got = vals(spark, T.quality_score(F.col("s")), [("word " * 120,), ("!!!.,;;;",)])
     assert 0.9 <= got[0] <= 1.0
     assert got[1] <= 0.4
+
+def test_bpe_token_count(spark):
+    rows = [
+        ("Hello, world! 123",),  # Hello | , | _world | ! | _123 -> 5
+        ("",),
+        ("abc",),
+        ("a1b",),  # a | 1 | b -> 3
+    ]
+    got = vals(spark, T.bpe_token_count(F.col("s")), rows)
+    assert got == [5, 0, 1, 3]
+
+
+def test_bpe_tokens_roundtrip(spark):
+    # concatenating the pretokens reconstructs the text minus leading ws runs
+    rows = [("The quick, brown fox 42 jumps!",)]
+    got = vals(spark, T.bpe_tokens(F.col("s")), rows)
+    assert "".join(got[0]) == rows[0][0]
+
+
+def test_winnow_match_completeness(spark):
+    # any shared substring of length >= k+w-1 (=8) guarantees a shared
+    # fingerprint — the winnowing paper's core invariant
+    shared = "common-phrase-here"
+    rows = [("AAAA " + shared + " tail one",), ("zz " + shared + " other ZZ",)]
+    got = vals(spark, T.winnow_fingerprints(F.col("s"), k=5, w=4), rows)
+    assert set(got[0]) & set(got[1])
+
+
+def test_winnow_short_and_empty(spark):
+    got = vals(spark, T.winnow_fingerprints(F.col("s"), k=5, w=4), [("",), ("abc",), ("abcdef",)])
+    assert got[0] == [] and got[1] == []
+    assert len(got[2]) == 1  # m=2 hashes <= w -> single global min
