@@ -118,6 +118,12 @@ def main() -> int:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # workload isolation: the dedup/ANN queries persist bucket/block tables
+    # whose lifecycle is the caller's to end (operator docstrings); release
+    # them before the migration so its ~100 small jobs aren't scheduled
+    # against a heap full of dead caches
+    spark.catalog.clearCache()
+
     # the movement path — BASELINE.md's headline metric: full 8-table
     # parquet -> spool migration (introspect, DDL, chunked reads, write,
     # row-count validation, constraint replay transcript)

@@ -195,14 +195,23 @@ class ParquetSource:
     pks: dict = field(default_factory=dict)
     snake_case: bool = True
     kind: str = "parquet"
+    _df_cache: dict = field(default_factory=dict, repr=False)
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, f"{table}.parquet")
 
     def _df(self, table: str) -> DataFrame:
-        from .sources.parquet import read_parquet
+        """Per-table DataFrame, memoized: every ``spark.read.parquet`` call
+        runs a fresh file-listing/schema job, and one migration touches each
+        table from several phases (introspect, chunk probe, read, validate) —
+        the memo makes that one listing per table, not one per touch."""
+        cached = self._df_cache.get(table)
+        if cached is None:
+            from .sources.parquet import read_parquet
 
-        return read_parquet(self.spark, self._path(table))
+            cached = read_parquet(self.spark, self._path(table))
+            self._df_cache[table] = cached
+        return cached
 
     def introspect(self) -> Schema:
         from .catalog.identifiers import normalize_identifier
@@ -258,15 +267,76 @@ class ParquetSource:
         return reduce(DataFrame.unionByName, parts)
 
     def count(self, table: Table) -> int:
-        return self._df(table.source_name).count()
+        """Exact row count from parquet footers — a driver-side metadata
+        read, no Spark job (footers are what a cluster-side COUNT(*) with
+        count-pushdown reads anyway; this skips the job-scheduling round
+        trip). Falls back to a distributed count if footers are unreadable."""
+        n = _parquet_footer_rows(self._path(table.source_name))
+        return n if n is not None else self._df(table.source_name).count()
 
     def min_max(self, table: Table, key_source_name: str):
+        """Chunk-planner MIN/MAX probe from row-group statistics when every
+        row group carries them (the planner's analogue of the reference's
+        one-row SELECT MIN,MAX — here it is pure footer metadata, the same
+        stats parquet row-group pruning uses). Spark aggregate fallback."""
+        mm = _parquet_footer_min_max(self._path(table.source_name), key_source_name)
+        if mm is not None:
+            return mm
         from pyspark.sql import functions as F
 
         row = self._df(table.source_name).agg(
             F.min(key_source_name), F.max(key_source_name)
         ).first()
         return row[0], row[1]
+
+
+def _parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    return []
+
+
+def _parquet_footer_rows(path: str) -> int | None:
+    """Sum of footer row counts across the file/directory; None if absent."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = _parquet_files(path)
+        if not files:
+            return None
+        return sum(pq.read_metadata(f).num_rows for f in files)
+    except Exception:
+        return None
+
+
+def _parquet_footer_min_max(path: str, column: str):
+    """(min, max) of ``column`` from row-group statistics, or None when any
+    row group lacks stats for it (then only a data scan is exact)."""
+    try:
+        import pyarrow.parquet as pq
+
+        lo = hi = None
+        for f in _parquet_files(path):
+            md = pq.read_metadata(f)
+            names = {c: i for i, c in enumerate(md.schema.names)}
+            ci = names.get(column)
+            if ci is None:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (lo, hi)
+    except Exception:
+        return None
 
 
 @dataclass
@@ -282,12 +352,21 @@ class SpoolTarget:
         return os.path.join(self.root, table)
 
     def write(self, df: DataFrame, table: str, append: bool = False) -> int:
-        rows = df.count()
-        df.write.mode("append" if append else "overwrite").parquet(self._path(table))
-        return rows
+        """Write and report rows from the files that actually landed
+        (footer delta) — write-side accounting, like the reference's COPY
+        rowcounts (reference migrate.go:319-349): the return value reflects
+        the committed state, not a separate count job over the input plan."""
+        path = self._path(table)
+        pre = (_parquet_footer_rows(path) or 0) if append else 0
+        df.write.mode("append" if append else "overwrite").parquet(path)
+        post = _parquet_footer_rows(path)
+        if post is not None:
+            return post - pre
+        return self.spark.read.parquet(path).count() - pre
 
     def count(self, table: str) -> int:
-        return self.spark.read.parquet(self._path(table)).count()
+        n = _parquet_footer_rows(self._path(table))
+        return n if n is not None else self.spark.read.parquet(self._path(table)).count()
 
     def delete_where(self, table: str, predicate: str) -> None:
         """Idempotent-resume support: drop rows matching the predicate —
