@@ -105,6 +105,48 @@ def _q22(spark, sf):
     return Q.q22_idle_customers(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
 
 
+def _q4(spark, sf):
+    return Q.q4_order_priority(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+
+
+def _q7(spark, sf):
+    return Q.q7_volume_shipping(
+        _t(spark, sf, "supplier"), _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation"),
+    )
+
+
+def _q8(spark, sf):
+    return Q.q8_market_share(
+        _t(spark, sf, "part"), _t(spark, sf, "supplier"), _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+    )
+
+
+def _q9(spark, sf):
+    return Q.q9_product_profit(
+        _t(spark, sf, "part"), _t(spark, sf, "supplier"), _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"), _t(spark, sf, "nation"),
+    )
+
+
+def _q13(spark, sf):
+    return Q.q13_order_count_distribution(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
+def _q15(spark, sf):
+    return Q.q15_top_supplier(_t(spark, sf, "supplier"), _t(spark, sf, "lineitem"))
+
+
+def _q18(spark, sf):
+    return Q.q18_large_volume_customers(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
 def _top_order(spark, sf):
     return Q.top_order_per_customer(_t(spark, sf, "orders"))
 
@@ -614,6 +656,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q14,
         "q19_disjunctive_revenue": _q19,
         "q22_idle_customers": _q22,
+        "q4_order_priority": _q4,
+        "q7_volume_shipping": _q7,
+        "q8_market_share": _q8,
+        "q9_product_profit": _q9,
+        "q13_order_count_distribution": _q13,
+        "q15_top_supplier": _q15,
+        "q18_large_volume_customers": _q18,
         "top_order_per_customer": _top_order,
         "big_order_customers": _big_orders,
         "cheapest_supplier_per_part": _cheapest_supplier,
@@ -925,6 +974,94 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
                OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   CAST(SUM({disc_price}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": f"""
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   ROUND(CAST(SUM(CASE WHEN n1.n_name = 'NATION_5' THEN {disc_price}
+                                       ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+                         / CAST(SUM({disc_price}) AS DOUBLE), 6) AS mkt_share,
+                   CAST(SUM({disc_price}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            GROUP BY 1
+        """,
+        "q9_product_profit": f"""
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(SUM({disc_price}) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": f"""
+            WITH r AS (
+              SELECT l_suppkey, SUM({disc_price}) AS rev_dec
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_dec = (SELECT MAX(rev_dec) FROM r)
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_dec
+              FROM lineitem
+              GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(300.0 AS DECIMAL(12,2))
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+                   CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
         """,
         "q22_idle_customers": """
             WITH ab AS (

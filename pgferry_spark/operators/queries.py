@@ -326,6 +326,245 @@ def q22_idle_customers(
     )
 
 
+def q4_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-07-01",
+    date_hi: str = "1996-10-01",
+) -> DataFrame:
+    """TPC-H Q4-shaped: order-priority checking — orders in a quarter with
+    at least one line item shipped after the order date (EXISTS → left-semi
+    join; the testdata carries no commit/receipt dates, so "late" is
+    ship-after-order). The semi join shuffles on the order key once; the
+    priority group-by then aggregates a tiny filtered set."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    late = ords.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        how="left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q7_volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume between two nations by year — the
+    multi-join showcase. supplier/customer/nation broadcast onto the two
+    fact tables; the only big shuffle is lineitem⋈orders on the order key.
+    Pre-filtering each side to the two nations prunes the facts before that
+    shuffle."""
+    revenue = _price() * _one_minus("l_discount")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(nation_a, nation_b))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(nation_a, nation_b))
+    supp = supplier.join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    ord_cust = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    line = lineitem.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    joined = line.join(ord_cust, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        (
+            (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+        )
+        | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_region: str = "ASIA",
+    part_type: str = "PROMO",
+    share_nation: str = "NATION_5",
+) -> DataFrame:
+    """TPC-H Q8-shaped: a supplier nation's market share of a part type
+    inside a customer region, by order year. Conditional share = one CASE
+    inside both SUMs over a single joined pass; every dimension broadcasts;
+    the only big shuffle is lineitem⋈orders."""
+    revenue = _price() * _one_minus("l_discount")
+    cust_in_region = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == target_region)
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    line_part = lineitem.join(
+        F.broadcast(part.filter(F.col("p_type") == part_type).select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    joined = (
+        line_part.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    share = F.when(F.col("supp_nation") == share_nation, revenue).otherwise(
+        F.lit(0).cast(DecimalType(20, 6))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(share).cast("double") / F.sum(revenue).cast("double"), 6
+            ).alias("mkt_share"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q9_product_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_like: str = "%widget%",
+) -> DataFrame:
+    """TPC-H Q9-shaped: revenue by supplier nation × order year for parts
+    matching a name pattern (the testdata has no partsupp/supplycost, so
+    profit degrades to discounted revenue). part and supplier⋈nation
+    broadcast; lineitem⋈orders is the one big shuffle."""
+    revenue = _price() * _one_minus("l_discount")
+    parts = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
+    supp_nation = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    joined = (
+        lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(revenue).cast("double").alias("sum_profit"))
+    )
+
+
+def q13_order_count_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of orders-per-customer, including
+    zero-order customers (left join, count of the nullable side). Two
+    aggregations: per-customer count (shuffle on custkey), then the tiny
+    histogram group-by."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            how="left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q15_top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the maximum revenue over a
+    quarter. Revenue stays exact DECIMAL through the max-equality filter
+    (float ties would be engine-dependent); the max rides a one-row
+    broadcast cross join, the same decorrelation as the reference view +
+    scalar subquery."""
+    revenue = _price() * _one_minus("l_discount")
+    per_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("rev_dec"))
+    )
+    top = per_supp.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q18_large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 300.0,
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q18-shaped: customers with any order whose total quantity
+    exceeds ``min_qty`` — aggregate-then-semi-join (the HAVING subquery),
+    ordered with a total-order tie-break and capped (TakeOrderedAndProject,
+    no global sort materialization)."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_qty()).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > F.lit(min_qty).cast(D12_2))
+    )
+    joined = orders.join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+    ).join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        joined.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast(D12_2).cast("double").alias("o_totalprice"),
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(limit)
+    )
+
+
 def top_order_per_customer(orders: DataFrame) -> DataFrame:
     """Window operator: each customer's single highest-value order
     (row_number with a total-order tie-break)."""
