@@ -607,6 +607,49 @@ def _corpus_filter(spark, sf):
     )
 
 
+def _pii_scrub(spark, sf):
+    """PII redaction pass: emails/IPv4/phones → typed placeholders, with a
+    per-doc redaction count. Map-only regexp chain."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.pii_scrub(F.col("text")).alias("scrubbed"),
+        T.pii_count(F.col("text")).cast("int").alias("n_pii"),
+    )
+
+
+def _dataset_split(spark, sf):
+    """Deterministic 80/10/10 train/val/test assignment by md5-bucketed id
+    (portable across engines; no RNG state)."""
+    from pgferry_spark.operators.curate import dataset_split
+
+    d = _t(spark, sf, "documents")
+    return dataset_split(d, "doc_id").select("doc_id", "split")
+
+
+def _quota_sample(spark, sf):
+    """Per-language quota sampling: top 20 docs per lang by length (doc_id
+    tie-break) — corpus balance control."""
+    from pgferry_spark.operators.curate import quota_sample
+
+    d = _t(spark, sf, "documents")
+    return quota_sample(
+        d.select("doc_id", "lang", "n_chars"), "lang", "n_chars", "doc_id", 20
+    )
+
+
+def _pack_sequences(spark, sf):
+    """Token-budget sequence packing: per-language shards, 2048-token bins,
+    one window cumulative sum."""
+    from pgferry_spark.operators.curate import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    toked = d.select(
+        "doc_id", "lang", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(toked, "doc_id", "n_tokens", 2048, shard_col="lang")
+
+
 def _lsh_topk(spark, sf):
     """ANN via hyperplane-LSH bucket (approximate; no SQL oracle)."""
     e = _t(spark, sf, "embeddings")
@@ -697,6 +740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": _bpe_token_count,
         "winnow_summary": _winnow_summary,
         "winnow_shared_pairs": _winnow_shared_pairs,
+        "pii_scrub": _pii_scrub,
+        "dataset_split": _dataset_split,
+        "quota_sample": _quota_sample,
+        "pack_sequences": _pack_sequences,
         "fingerprint_dedup": _fingerprint_dedup,
         "exact_dedup_groups": _exact_dedup,
         "minhash_buckets": _minhash_buckets,
@@ -740,6 +787,7 @@ _LTOKS = (
 
 
 def oracle_sql() -> dict[str, str]:
+    _PII_EMAIL, _PII_IPV4, _PII_PHONE = T.PII_EMAIL, T.PII_IPV4, T.PII_PHONE
     dec_price = "CAST(l_extendedprice AS DECIMAL(12,2))"
     dec_qty = "CAST(l_quantity AS DECIMAL(12,2))"
     one_minus = "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
@@ -1391,6 +1439,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 50
+        """,
+        "pii_scrub": f"""
+            WITH s1 AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '{_PII_EMAIL}')) AS c1,
+                     regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+              FROM documents
+            ),
+            s2 AS (
+              SELECT doc_id, c1,
+                     len(regexp_extract_all(t1, '{_PII_IPV4}')) AS c2,
+                     regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+                   CAST(c1 + c2 + len(regexp_extract_all(t2, '{_PII_PHONE}')) AS INTEGER) AS n_pii
+            FROM s2
+        """,
+        "dataset_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                  FROM documents)
+        """,
+        "quota_sample": """
+            SELECT doc_id, lang, n_chars
+            FROM (SELECT doc_id, lang, n_chars,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+                  FROM documents)
+            WHERE rk <= 20
+        """,
+        "pack_sequences": f"""
+            WITH toked AS (
+              SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                          PARTITION BY lang ORDER BY doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) / 2048.0) AS BIGINT) AS bin_id
+            FROM toked
         """,
         "fingerprint_dedup": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

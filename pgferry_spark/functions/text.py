@@ -207,3 +207,41 @@ def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
         )
     )
     return F.array_distinct(mins)
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+# Patterns restricted to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): no lookarounds, no backreferences. Order
+# matters: emails are scrubbed before phones so the digits of a mailbox
+# like user2024@x.com can't be half-eaten by the phone pattern.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\. -]{6,}[0-9]"
+
+_PII_ORDERED = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact emails, IPv4 addresses, and phone-shaped digit runs with
+    typed placeholder tokens — the standard pre-training privacy pass.
+    Chained ``regexp_replace``: pure JVM expressions, map-only."""
+    out = col
+    for pat, tag in _PII_ORDERED:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_count(col: Column) -> Column:
+    """Number of PII spans :func:`pii_scrub` would redact (counted on the
+    same progressively-scrubbed text so the two functions agree)."""
+    n = F.lit(0)
+    cur = col
+    for pat, tag in _PII_ORDERED:
+        n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, tag)
+    return n

@@ -1,0 +1,104 @@
+"""Dataset-curation operators for training-data pipelines.
+
+The steps between "filtered corpus" and "training shards": deterministic
+split assignment, per-group quota sampling, and token-budget sequence
+packing. All pure Column/window expressions — no UDFs, one shuffle each —
+and every one is reproducible bit-for-bit from the data alone (no RNG
+state), which is what makes a 100 TB dataset build auditable: re-running
+any subset yields the same assignments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def split_bucket(id_col, buckets: int = 100):
+    """Deterministic [0, buckets) bucket from the md5 of the row id.
+
+    md5 (not xxhash64) so the assignment is portable across engines — the
+    same row lands in the same bucket in Spark, DuckDB, or any ANSI-SQL
+    system, letting a downstream team reproduce the split without Spark.
+    """
+    return F.pmod(
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign every row a stable train/val/test split by hashed id.
+
+    Map-only (no shuffle, no sampling state): the split is a pure function
+    of the id, so late-arriving data joins the same splits and incremental
+    rebuilds never move a row between train and test (the leakage hazard of
+    random sampling)."""
+    b = split_bucket(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Top-``n_per_group`` rows per group by ``order_col`` (descending,
+    id-tiebroken) — per-language / per-source quota balancing.
+
+    One shuffle on the group key; the rank prunes inside each partition
+    before anything else moves. With a heavily skewed group this is the
+    classic window hot-key — at 100 TB pre-aggregate with a per-partition
+    partial top-N (groupBy + slice(sort_array(collect_list))) if one group
+    dominates."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col=None,
+) -> DataFrame:
+    """Assign documents to fixed token-budget bins, in id order: bin k holds
+    the docs whose running token total lands in [k·budget, (k+1)·budget).
+
+    This is the streaming-order packing a sharded writer applies (cumulative
+    fill, cut when the budget trips) expressed as ONE window cumulative sum —
+    no iteration, no UDF. Documents longer than the budget get a bin of
+    their own (the cumsum jumps a whole multiple).
+
+    ``shard_col`` partitions the packing: each shard packs independently,
+    which is exactly how a distributed writer works and keeps the window
+    from needing a single global sort partition at 100 TB. Default (None)
+    is global order — fine up to the scale where one sorted partition
+    stops being fine."""
+    part = [shard_col] if shard_col is not None else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
+    return df.withColumn("bin_id", F.floor(before / F.lit(budget)).cast("long"))
