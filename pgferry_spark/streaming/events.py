@@ -195,3 +195,84 @@ def dedup_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "
     holds only ids newer than the watermark, so memory is bounded by
     (arrival rate × horizon)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([id_col])
+
+
+def sliding_event_rates(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window rates: each event lands in window/slide
+    overlapping windows (4 here), giving a smoothed rate curve instead of
+    tumbling steps. State per open window is one partial aggregate —
+    sliding multiplies state by the overlap factor, which the watermark
+    still bounds."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    within_minutes: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair each ``left`` event with ``right``
+    events for the same user arriving within ``within_minutes`` AFTER it
+    (click→conversion attribution). Both sides are watermarked and the join
+    carries the time-range predicate, so Spark can expire buffered rows
+    once the watermark passes the interval — bounded state; an un-ranged
+    stream-stream join would buffer forever."""
+    lt = left.select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_type").alias("l_type"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    rt = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_type").alias("r_type"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    return lt.join(
+        rt,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")),
+    )
+
+
+def stream_to_target(
+    stream_df: DataFrame,
+    target,
+    table: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_sink",
+):
+    """Bridge a stream into a pipeline TargetBackend via ``foreachBatch``:
+    each micro-batch appends through the same ``write(df, table,
+    append=True)`` used by the batch movement path, so a landing-zone
+    stream and a bulk migration share one sink implementation (and its
+    per-partition transactional semantics). The streaming checkpoint makes
+    delivery at-least-once into an idempotent sink, exactly-once for
+    replay-safe ones."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        target.write(batch_df, table, append=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

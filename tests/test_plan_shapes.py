@@ -99,3 +99,53 @@ class TestPlanShapes:
         ).run()
         assert result.ok
         assert src.reads == {"customer": 1, "orders": 1, "events": 1}
+
+    def test_migration_schedules_few_jobs(self, spark, tmp_path):
+        """Planning/accounting must come from parquet footer metadata, not
+        Spark jobs: one listing job per table plus the write itself. The
+        round-1 pipeline scheduled ~15 jobs/table (min-max probe, count-
+        before-write, count-after-write, validation re-reads); footer-based
+        planning cut it to ~2/table, which is what keeps the driver-side
+        orchestration negligible at 1000 executors. Budget leaves headroom
+        for one AQE retry but fails on any per-table regression."""
+        from pgferry_spark.backends import ParquetSource, SpoolTarget
+        from pgferry_spark.config import MigrationConfig
+        from pgferry_spark.pipeline import MigrationPipeline
+        from pgferry_spark.types import map_parquet_default, map_parquet_type
+
+        tracker = spark.sparkContext._jsc.sc().statusTracker()
+
+        def njobs():
+            return len(tracker.getJobIdsForGroup(None))
+
+        src = ParquetSource(
+            spark, SF,
+            tables=("customer", "orders", "events"),
+            pks={"customer": "c_custkey", "orders": "o_orderkey", "events": "event_id"},
+        )
+        cfg = MigrationConfig(
+            source_type="parquet", source_dsn=SF, target_dsn="spool://x",
+            target_schema="tpch",
+        )
+        j0 = njobs()
+        result = MigrationPipeline(
+            spark, cfg, src, SpoolTarget(spark, str(tmp_path / "jobs_out")),
+            map_parquet_type, map_parquet_default,
+        ).run()
+        assert result.ok
+        assert njobs() - j0 <= 4 * 3  # 3 tables
+
+    def test_footer_stats_match_spark_aggregates(self, spark):
+        """The footer-metadata shortcuts must agree exactly with the
+        distributed aggregates they replace."""
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.backends import ParquetSource
+
+        src = ParquetSource(spark, SF, tables=("orders",), pks={"orders": "o_orderkey"})
+        table = src.introspect().tables[0]
+        df = src.read_table(spark, table, None)
+        assert src.count(table) == df.count()
+        lo, hi = src.min_max(table, "o_orderkey")
+        row = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+        assert (lo, hi) == (row[0], row[1])

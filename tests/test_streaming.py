@@ -70,3 +70,95 @@ def test_stream_static_enrichment(spark, tmp_path):
     got = {r["event_id"]: r["c_mktsegment"]
            for r in spark.sql("SELECT * FROM t_enriched").collect()}
     assert got == {1: "BUILDING", 2: "MACHINERY"}  # event 3 dropped (inner)
+
+
+def _write_events(spark, tmp_path, rows, name):
+    schema = (
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double, props: string"
+    )
+    batch = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / name)
+    batch.repartition(2).write.parquet(path)
+    return batch, path
+
+
+def test_sliding_windows_overlap(spark, tmp_path):
+    from pgferry_spark.streaming.events import sliding_event_rates
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1, 0, 0), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 1, 20, 0), 2, "click", 1.0, "{}"),
+    ]
+    _, path = _write_events(spark, tmp_path, rows, "ev_slide")
+    stream = stream_events_from_parquet(spark, path)
+    got = run_to_completion(sliding_event_rates(stream), "t_sliding")
+    # 1h window / 15m slide: the 01:00 event belongs to 4 windows
+    # (00:15..01:15 through 01:00..02:00)
+    per_event1 = [r for r in got if r["win_start"] <= dt.datetime(2024, 1, 1, 1, 0, 0) < r["win_end"]]
+    assert len(per_event1) == 4
+    # the 01:00..02:00 window holds both events
+    w0100 = [r for r in got if r["win_start"] == dt.datetime(2024, 1, 1, 1, 0, 0)]
+    assert len(w0100) == 1 and w0100[0]["n_events"] == 2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from pgferry_spark.streaming.events import correlate_streams
+
+    clicks = [
+        (1, dt.datetime(2024, 1, 1, 1, 0, 0), 7, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 2, 0, 0), 8, "click", 1.0, "{}"),
+    ]
+    buys = [
+        (3, dt.datetime(2024, 1, 1, 1, 5, 0), 7, "purchase", 9.0, "{}"),   # within 10m of click 1
+        (4, dt.datetime(2024, 1, 1, 1, 30, 0), 7, "purchase", 9.0, "{}"),  # too late
+        (5, dt.datetime(2024, 1, 1, 2, 1, 0), 9, "purchase", 9.0, "{}"),   # other user
+    ]
+    _, cpath = _write_events(spark, tmp_path, clicks, "ev_clicks")
+    _, bpath = _write_events(spark, tmp_path, buys, "ev_buys")
+    joined = correlate_streams(
+        stream_events_from_parquet(spark, cpath),
+        stream_events_from_parquet(spark, bpath),
+        within_minutes=10,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_corr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM t_corr").collect()
+    assert len(got) == 1
+    assert got[0]["l_user"] == 7 and got[0]["r_ts"] == dt.datetime(2024, 1, 1, 1, 5, 0)
+
+
+def test_stream_to_pipeline_sink(spark, tmp_path):
+    from pgferry_spark.backends import SpoolTarget
+    from pgferry_spark.streaming.events import stream_to_target
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i, 0), i, "click", float(i), "{}")
+        for i in range(6)
+    ]
+    _, path = _write_events(spark, tmp_path, rows, "ev_sink")
+    target = SpoolTarget(spark, str(tmp_path / "spool"))
+    q = stream_to_target(
+        stream_events_from_parquet(spark, path),
+        target,
+        "events_landed",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert target.count("events_landed") == 6
+    # restart with the same checkpoint: no new micro-batches, no duplicates
+    q2 = stream_to_target(
+        stream_events_from_parquet(spark, path),
+        target,
+        "events_landed",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="stream_sink_2",
+    )
+    q2.awaitTermination()
+    assert target.count("events_landed") == 6
