@@ -607,6 +607,37 @@ def _corpus_filter(spark, sf):
     )
 
 
+def _range_join_incidents(spark, sf):
+    """Bucketed range join: every event inside a 30-minute incident window
+    (windows anchored at every 20th error event). Equi-join on quantized
+    buckets + exact boundary filter — never points × intervals."""
+    from pgferry_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf, "events")
+    iv = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 20 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    out = range_join(ev.select("event_id", "ts"), iv, "ts", "lo", "hi")
+    return out.select(
+        "event_id",
+        "incident_id",
+        ((F.unix_micros(F.col("ts")) - F.unix_micros(F.col("lo"))) / 1_000_000.0)
+        .alias("secs_into_incident"),
+    )
+
+
+def _time_rollup(spark, sf):
+    """Multi-resolution continuous-aggregate rollup: minute/hour/day counts
+    per event type in ONE scan via GROUPING SETS."""
+    from pgferry_spark.operators.temporal import time_bucket_rollup
+
+    return time_bucket_rollup(_t(spark, sf, "events"))
+
+
 def _pii_scrub(spark, sf):
     """PII redaction pass: emails/IPv4/phones → typed placeholders, with a
     per-doc redaction count. Map-only regexp chain."""
@@ -744,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _dataset_split,
         "quota_sample": _quota_sample,
         "pack_sequences": _pack_sequences,
+        "range_join_incidents": _range_join_incidents,
+        "time_rollup": _time_rollup,
         "fingerprint_dedup": _fingerprint_dedup,
         "exact_dedup_groups": _exact_dedup,
         "minhash_buckets": _minhash_buckets,
@@ -1439,6 +1472,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 50
+        """,
+        "range_join_incidents": """
+            SELECT p.event_id,
+                   i.incident_id,
+                   (epoch_us(p.ts) - epoch_us(i.lo)) / 1000000.0 AS secs_into_incident
+            FROM events p
+            JOIN (SELECT event_id AS incident_id, ts AS lo,
+                         ts + INTERVAL 30 MINUTE AS hi
+                  FROM events
+                  WHERE event_type = 'error' AND event_id % 20 = 0) i
+              ON p.ts >= i.lo AND p.ts <= i.hi
+        """,
+        "time_rollup": """
+            WITH b AS (
+              SELECT event_type,
+                     date_trunc('minute', ts) AS b_minute,
+                     date_trunc('hour', ts) AS b_hour,
+                     date_trunc('day', ts) AS b_day
+              FROM events
+            )
+            SELECT CASE WHEN b_minute IS NOT NULL THEN 'minute'
+                        WHEN b_hour IS NOT NULL THEN 'hour'
+                        ELSE 'day' END AS resolution,
+                   COALESCE(b_minute, b_hour, b_day) AS bucket_start,
+                   event_type,
+                   COUNT(*) AS n_events
+            FROM b
+            GROUP BY GROUPING SETS ((b_minute, event_type), (b_hour, event_type),
+                                    (b_day, event_type))
         """,
         "pii_scrub": f"""
             WITH s1 AS (

@@ -1,0 +1,100 @@
+"""Temporal join and rollup operators.
+
+Complements the window-based temporal ops in ``operators.queries``
+(sessionize, as-of join) with the two shapes those can't express:
+
+* **range join** — points matched to arbitrary, possibly-overlapping
+  intervals. Spark has no native interval index; a naive theta-join
+  becomes BroadcastNestedLoopJoin (quadratic work, and a non-broadcastable
+  build side fails outright at scale). The standard fix implemented here:
+  quantize both sides to coarse buckets, equi-join on the bucket key
+  (hash shuffle, linear), then apply the exact BETWEEN as a post-filter.
+* **multi-resolution rollup** — one pass producing minute/hour/day
+  aggregates via GROUPING SETS (partial aggregation applies per set;
+  three separate group-bys would scan the fact three times).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_seconds: int = 1800,
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``lo <= point <= hi``, via bucket quantization.
+
+    Each point maps to one bucket; each interval explodes to the buckets it
+    overlaps (``ceil(len/bucket) + 1`` rows — choose ``bucket_seconds``
+    near the typical interval length so the fan-out stays ~2×). The join is
+    then a plain hash equi-join on the bucket id, and the exact boundary
+    check filters the candidates. Work is linear in points + interval
+    coverage, never |points| × |intervals|.
+
+    Timestamps quantize through exact integer microseconds — no float
+    rounding at bucket edges.
+    """
+    bus = F.lit(bucket_seconds).cast("long") * 1_000_000
+    p_bucket = (F.unix_micros(F.col(point_col)) / bus).cast("long")
+    i_buckets = F.sequence(
+        (F.unix_micros(F.col(lo_col)) / bus).cast("long"),
+        (F.unix_micros(F.col(hi_col)) / bus).cast("long"),
+    )
+    p = points.withColumn("__bucket", p_bucket)
+    i = intervals.withColumn("__bucket", F.explode(i_buckets))
+    return (
+        p.join(i, on="__bucket")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("__bucket")
+    )
+
+
+def time_bucket_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Continuous-aggregate-style rollup: (resolution, bucket_start, group)
+    → count at minute/hour/day resolutions in ONE scan.
+
+    GROUPING SETS over three pre-truncated bucket columns; the resolution
+    label is derived from the grouping id so each output row names its
+    grain. Map-side partial aggregation applies to every set — the fact
+    table is read once, vs once per resolution for naive unioned group-bys.
+    """
+    bucketed = events.select(
+        F.col(group_col),
+        F.date_trunc("minute", F.col(ts_col)).alias("b_minute"),
+        F.date_trunc("hour", F.col(ts_col)).alias("b_hour"),
+        F.date_trunc("day", F.col(ts_col)).alias("b_day"),
+    )
+    rolled = bucketed.groupingSets(
+        [["b_minute", group_col], ["b_hour", group_col], ["b_day", group_col]],
+        "b_minute",
+        "b_hour",
+        "b_day",
+        group_col,
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    resolution = (
+        F.when(F.col("b_minute").isNotNull(), F.lit("minute"))
+        .when(F.col("b_hour").isNotNull(), F.lit("hour"))
+        .otherwise(F.lit("day"))
+    )
+    bucket_start = F.coalesce("b_minute", "b_hour", "b_day")
+    return rolled.select(
+        resolution.alias("resolution"),
+        bucket_start.alias("bucket_start"),
+        F.col(group_col),
+        "n_events",
+    )
