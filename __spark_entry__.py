@@ -441,6 +441,13 @@ def _winnow_shared_pairs(spark, sf):
     )
 
 
+def _dedup_clusters(spark, sf):
+    """Connected components over the winnow near-dup pair graph: pairwise
+    candidates -> transitive keep-one-per-cluster groups (min-label
+    propagation; oracle = recursive-CTE transitive closure)."""
+    return dedup.dedup_clusters(_winnow_shared_pairs(spark, sf))
+
+
 def _fingerprint_dedup(spark, sf):
     """Fingerprint dedup: one keeper per normalized-text fingerprint."""
     d = _t(spark, sf, "documents")
@@ -604,6 +611,56 @@ def _corpus_filter(spark, sf):
             & (F.col("lang_guess") == F.col("lang"))
         )
         .select("doc_id", "quality", "lang_guess")
+    )
+
+
+def _change_log(spark, sf):
+    """Deterministic synthetic CDC log over customer (shared by the merge
+    and SCD2 queries and reproduced literally in their oracles):
+    updates for custkey%7==0 (acctbal+100), deletes for custkey%11==3,
+    inserts at custkey+10M for custkey%13==5. seq = custkey*2 + {1,2};
+    when a key matches both U and D, the delete's higher seq wins."""
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    ups = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        (F.col("c_custkey") * 2 + 1).alias("seq"),
+        "c_name",
+        (F.col("c_acctbal").cast(Q.D12_2) + 100).cast("double").alias("c_acctbal"),
+    )
+    dels = c.filter(F.col("c_custkey") % 11 == 3).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        (F.col("c_custkey") * 2 + 2).alias("seq"),
+        "c_name",
+        "c_acctbal",
+    )
+    ins = c.filter(F.col("c_custkey") % 13 == 5).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+        F.col("c_name"),
+        "c_acctbal",
+    )
+    return ups.unionByName(dels).unionByName(ins)
+
+
+def _cdc_merge(spark, sf):
+    """CDC apply: customer snapshot + change log -> next snapshot (full
+    outer join on the key after a window collapse of the log)."""
+    from pgferry_spark.operators.incremental import apply_changes
+
+    base = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return apply_changes(base, _change_log(spark, sf), "c_custkey", "seq")
+
+
+def _scd2_history(spark, sf):
+    """SCD2 dimension history from the change log: (key, version) rows with
+    sequence-bounded validity and a current flag."""
+    from pgferry_spark.operators.incremental import scd2_history
+
+    return scd2_history(_change_log(spark, sf), "c_custkey", "seq").select(
+        "c_custkey", "op", "c_acctbal", "valid_from", "valid_to", "is_current"
     )
 
 
@@ -777,6 +834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "range_join_incidents": _range_join_incidents,
         "time_rollup": _time_rollup,
+        "cdc_merge": _cdc_merge,
+        "scd2_history": _scd2_history,
+        "dedup_clusters": _dedup_clusters,
         "fingerprint_dedup": _fingerprint_dedup,
         "exact_dedup_groups": _exact_dedup,
         "minhash_buckets": _minhash_buckets,
@@ -1473,6 +1533,52 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING COUNT(*) >= 50
         """,
+        "cdc_merge": """
+            WITH changes AS (
+              SELECT c_custkey, 'U' AS op, c_custkey * 2 + 1 AS seq, c_name,
+                     CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DOUBLE) AS c_acctbal
+              FROM customer WHERE c_custkey % 7 = 0
+              UNION ALL
+              SELECT c_custkey, 'D', c_custkey * 2 + 2, c_name, c_acctbal
+              FROM customer WHERE c_custkey % 11 = 3
+              UNION ALL
+              SELECT c_custkey + 10000000, 'I', 1, c_name, c_acctbal
+              FROM customer WHERE c_custkey % 13 = 5
+            ),
+            latest AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                             ORDER BY seq DESC) AS rn
+                FROM changes)
+              WHERE rn = 1
+            )
+            SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
+                   CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+                   CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END AS c_acctbal
+            FROM (SELECT c_custkey, c_name, c_acctbal FROM customer) b
+            FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+            WHERE l.op IS NULL OR l.op <> 'D'
+        """,
+        "scd2_history": """
+            WITH changes AS (
+              SELECT c_custkey, 'U' AS op, c_custkey * 2 + 1 AS seq, c_name,
+                     CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DOUBLE) AS c_acctbal
+              FROM customer WHERE c_custkey % 7 = 0
+              UNION ALL
+              SELECT c_custkey, 'D', c_custkey * 2 + 2, c_name, c_acctbal
+              FROM customer WHERE c_custkey % 11 = 3
+              UNION ALL
+              SELECT c_custkey + 10000000, 'I', 1, c_name, c_acctbal
+              FROM customer WHERE c_custkey % 13 = 5
+            )
+            SELECT c_custkey, op, c_acctbal,
+                   seq AS valid_from,
+                   LEAD(seq) OVER (PARTITION BY c_custkey ORDER BY seq ASC) AS valid_to,
+                   (LEAD(seq) OVER (PARTITION BY c_custkey ORDER BY seq ASC) IS NULL
+                    AND op <> 'D') AS is_current
+            FROM changes
+            QUALIFY op <> 'D'
+        """,
         "range_join_incidents": """
             SELECT p.event_id,
                    i.incident_id,
@@ -1501,6 +1607,26 @@ def oracle_sql() -> dict[str, str]:
             FROM b
             GROUP BY GROUPING SETS ((b_minute, event_type), (b_hour, event_type),
                                     (b_day, event_type))
+        """,
+        "dedup_clusters": winnow_cte.replace("WITH h AS", "WITH RECURSIVE h AS")
+        + """
+            , ex AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ex a JOIN ex b USING (fp)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 50
+            ),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a AS src, a AS dst FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            )
+            SELECT src AS doc_id, MIN(dst) AS cluster_id
+            FROM reach GROUP BY src
         """,
         "pii_scrub": f"""
             WITH s1 AS (

@@ -620,3 +620,67 @@ def jaccard_pairs(
         .select("id_a", "id_b", F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+# -- dedup clusters (connected components) -----------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every id appearing in ``pairs``, where
+    ``cluster_id`` is the minimum id in the connected component — the step
+    that turns pairwise near-dup candidates into keep-one-per-cluster
+    groups (pairs alone under-delete: A~B and B~C must collapse to ONE
+    cluster even when A~C was never emitted).
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels; converged when a round changes nothing.
+    Rounds = component diameter — fine for near-dup clusters (dense, small
+    diameter); for adversarial long-chain graphs switch to the
+    large-star/small-star alternation (O(log n) rounds, same join shape).
+    Each round is one key-partitioned join + min-aggregate; the label
+    table is persisted per round and the previous one released, so lineage
+    stays one round deep.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["id"] == neigh_min["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

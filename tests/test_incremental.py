@@ -1,0 +1,71 @@
+from pyspark.sql import functions as F
+
+from pgferry_spark.operators.dedup import dedup_clusters
+from pgferry_spark.operators.incremental import (
+    apply_changes,
+    latest_changes,
+    scd2_history,
+)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k: long, name: string, bal: double",
+    )
+
+
+def test_apply_changes_upsert_delete_insert(spark):
+    changes = spark.createDataFrame(
+        [
+            (2, "U", 5, "b2", 21.0),   # update
+            (3, "D", 6, "c", 30.0),    # delete
+            (9, "I", 7, "new", 90.0),  # insert
+        ],
+        "k: long, op: string, seq: long, name: string, bal: double",
+    )
+    got = {r["k"]: (r["name"], r["bal"]) for r in apply_changes(_base(spark), changes, "k", "seq").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 9: ("new", 90.0)}
+
+
+def test_apply_changes_last_write_wins(spark):
+    changes = spark.createDataFrame(
+        [(2, "U", 5, "x", 1.0), (2, "U", 8, "y", 2.0), (2, "D", 6, "y", 2.0)],
+        "k: long, op: string, seq: long, name: string, bal: double",
+    )
+    # seq 8 (update) outranks the delete at seq 6
+    got = {r["k"]: r["name"] for r in apply_changes(_base(spark), changes, "k", "seq").collect()}
+    assert got[2] == "y"
+    latest = latest_changes(changes, "k", "seq").collect()
+    assert len(latest) == 1 and latest[0]["seq"] == 8
+
+
+def test_scd2_versions_and_current_flag(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "I", 10, "a", 1.0),
+            (1, "U", 20, "a", 2.0),
+            (1, "U", 30, "a", 3.0),
+            (2, "I", 10, "b", 1.0),
+            (2, "D", 40, "b", 1.0),
+        ],
+        "k: long, op: string, seq: long, name: string, bal: double",
+    )
+    hist = scd2_history(changes, "k", "seq").collect()
+    k1 = sorted([r for r in hist if r["k"] == 1], key=lambda r: r["valid_from"])
+    assert [(r["valid_from"], r["valid_to"], r["is_current"]) for r in k1] == [
+        (10, 20, False), (20, 30, False), (30, None, True),
+    ]
+    k2 = [r for r in hist if r["k"] == 2]
+    # version closed by the delete; no current row survives
+    assert len(k2) == 1 and k2[0]["valid_to"] == 40 and not k2[0]["is_current"]
+
+
+def test_dedup_clusters_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a: long, id_b: long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    # chain 1-2-3-4 collapses to one cluster even though 1~4 was never a pair
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
