@@ -441,6 +441,19 @@ def _winnow_shared_pairs(spark, sf):
     )
 
 
+def _inverted_index(spark, sf):
+    """Inverted-index rows over documents (scalar exploded form: token,
+    doc_id, tf, doc_freq, posting_rank)."""
+    d = _t(spark, sf, "documents")
+    return T.inverted_index_pairs(d, "text", "doc_id")
+
+
+def _keyword_search(spark, sf):
+    """Conjunctive keyword search ('table' AND 'window') with summed tf."""
+    d = _t(spark, sf, "documents")
+    return T.keyword_search_all(d, "text", "doc_id", ["table", "window"])
+
+
 def _dedup_clusters(spark, sf):
     """Connected components over the winnow near-dup pair graph: pairwise
     candidates -> transitive keep-one-per-cluster groups (min-label
@@ -837,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge": _cdc_merge,
         "scd2_history": _scd2_history,
         "dedup_clusters": _dedup_clusters,
+        "inverted_index": _inverted_index,
+        "keyword_search": _keyword_search,
         "fingerprint_dedup": _fingerprint_dedup,
         "exact_dedup_groups": _exact_dedup,
         "minhash_buckets": _minhash_buckets,
@@ -1607,6 +1622,32 @@ def oracle_sql() -> dict[str, str]:
             FROM b
             GROUP BY GROUPING SETS ((b_minute, event_type), (b_hour, event_type),
                                     (b_day, event_type))
+        """,
+        "inverted_index": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS.replace('text', 'lower(text)')}) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT token, doc_id, COUNT(*) AS tf
+              FROM toks GROUP BY token, doc_id
+            )
+            SELECT token, doc_id, tf,
+                   COUNT(*) OVER (PARTITION BY token) AS doc_freq,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY token
+                                           ORDER BY doc_id ASC) AS INTEGER) AS posting_rank
+            FROM tf
+        """,
+        "keyword_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS.replace('text', 'lower(text)')}) AS token
+              FROM documents
+            )
+            SELECT doc_id, COUNT(*) AS total_tf
+            FROM toks
+            WHERE token IN ('table', 'window')
+            GROUP BY doc_id
+            HAVING COUNT(DISTINCT token) = 2
         """,
         "dedup_clusters": winnow_cte.replace("WITH h AS", "WITH RECURSIVE h AS")
         + """

@@ -245,3 +245,57 @@ def pii_count(col: Column) -> Column:
         n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
         cur = F.regexp_replace(cur, pat, tag)
     return n
+
+
+# -- inverted index / keyword search -----------------------------------------
+
+
+def inverted_index_pairs(df, text_col: str, id_col: str):
+    """Inverted-index rows: (token, doc_id, tf, doc_freq, posting_rank) —
+    one row per distinct (token, document), with the token's corpus
+    document frequency and the document's 1-based position in the sorted
+    posting list.
+
+    This is the exploded (row) form of a token→postings map: identical
+    information, but every cell scalar (portable to any engine, no
+    array-representation ambiguity) and shardable by token at 100 TB —
+    a stopword's million-document posting list is a million rows spread
+    across partitions, not one giant array in one task. One explode + one
+    (token, doc) aggregate + one token window."""
+    from pyspark.sql import DataFrame  # noqa: F401
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("token")
+    return tf.select(
+        "token",
+        F.col(id_col),
+        "tf",
+        F.count(F.lit(1)).over(w).alias("doc_freq"),
+        F.row_number()
+        .over(w.orderBy(F.col(id_col).asc()))
+        .alias("posting_rank"),
+    )
+
+
+def keyword_search_all(df, text_col: str, id_col: str, terms: list[str]):
+    """Documents containing EVERY term in ``terms`` (conjunctive boolean
+    search over the inverted index), with the summed term frequency as a
+    rank signal. The term filter prunes the index before the per-doc
+    aggregate, so work is linear in the query terms' posting lists — the
+    classic intersect-smallest-postings plan, expressed relationally."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).filter(F.col("token").isin([t.lower() for t in terms]))
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.count_distinct(F.col("token")).alias("n_terms"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+        .select(F.col(id_col), F.col("total_tf"))
+    )

@@ -79,3 +79,24 @@ def test_winnow_short_and_empty(spark):
     got = vals(spark, T.winnow_fingerprints(F.col("s"), k=5, w=4), [("",), ("abc",), ("abcdef",)])
     assert got[0] == [] and got[1] == []
     assert len(got[2]) == 1  # m=2 hashes <= w -> single global min
+
+
+def test_inverted_index_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "spark window table"), (2, "window window fast"), (3, "spark")],
+        "doc_id: long, text: string",
+    )
+    rows = T.inverted_index_pairs(df, "text", "doc_id").collect()
+    by = {(r["token"], r["doc_id"]): r for r in rows}
+    assert by[("window", 2)]["tf"] == 2
+    assert by[("window", 1)]["doc_freq"] == 2 and by[("window", 2)]["doc_freq"] == 2
+    assert by[("spark", 1)]["posting_rank"] == 1 and by[("spark", 3)]["posting_rank"] == 2
+
+
+def test_keyword_search_all_conjunctive(spark):
+    df = spark.createDataFrame(
+        [(1, "spark window table"), (2, "window only"), (3, "Spark WINDOW twice window")],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r["total_tf"] for r in T.keyword_search_all(df, "text", "doc_id", ["spark", "window"]).collect()}
+    assert got == {1: 2, 3: 3}  # doc 2 lacks 'spark'

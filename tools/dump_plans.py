@@ -87,6 +87,44 @@ ANNOTATED = {
         "Gap detection is lag() + running SUM over (user, ts) — one "
         "hash-partition by user_id with in-partition sort, no self-join.",
     ),
+    "q7_volume_shipping": (
+        "every dim broadcast, ONE SortMergeJoin on the order key",
+        "Nation filters push into both nation scans (n_name IN (...)); "
+        "supplier⋈nation and customer⋈nation broadcast onto the facts; the "
+        "single big shuffle is lineitem⋈orders, with partial aggregation "
+        "above it.",
+    ),
+    "q18_large_volume_customers": (
+        "HAVING pre-aggregation, broadcast semi, TakeOrderedAndProject",
+        "The quantity HAVING filter runs on the grouped fact BEFORE any "
+        "join, so only qualifying order keys enter the join graph; the "
+        "top-100 is a per-partition heap, never a global sort.",
+    ),
+    "range_join_incidents": (
+        "bucket-quantized equi-join — no NestedLoop, no Cartesian",
+        "Points quantize to one bucket, intervals explode to covered "
+        "buckets; the match is a hash equi-join on the bucket id plus an "
+        "exact boundary filter. A naive theta join here would plan as "
+        "BroadcastNestedLoopJoin — quadratic and unplannable at scale.",
+    ),
+    "time_rollup": (
+        "three resolutions, one fact scan (GROUPING SETS Expand)",
+        "minute/hour/day buckets compute in a single projection; Expand "
+        "emits one row per grouping set with partial aggregation map-side — "
+        "the fact table is scanned once, not once per resolution.",
+    ),
+    "cdc_merge": (
+        "window-collapsed log + single co-partitioned full outer join",
+        "row_number per key collapses the change log (one shuffle); the "
+        "full outer join against the base shares the key partitioning, so "
+        "merge cost is one pass over each side.",
+    ),
+    "winnow_shared_pairs": (
+        "map-only fingerprints, equi-self-join on the fingerprint value",
+        "Winnowing (k-gram hashes → windowed minima → distinct) is pure "
+        "Column math with no shuffle; candidate pairs come from one explode "
+        "+ hash join on the fingerprint — never all-pairs.",
+    ),
 }
 
 
