@@ -43,11 +43,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     in session.get_spark; the runtime set here keeps externally-created
     sessions (e.g. the round driver's) working."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamps in the driver's parquet carry no UTC-adjustment flag, so
+    # Spark 4 types them TIMESTAMP_NTZ while DuckDB (the oracle) reads the
+    # same wall-clock values as naive TIMESTAMP. Pin the session to UTC and
+    # cast NTZ -> TIMESTAMP: under UTC the cast is value-preserving, epoch
+    # micros equal DuckDB's epoch_us(naive-as-UTC), and every downstream
+    # unix_micros/window expression keeps working on either encoding.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
