@@ -24,7 +24,7 @@ from pyspark.sql.types import DecimalType
 from pgferry_spark.functions import text as T
 from pgferry_spark.functions import transforms as X
 from pgferry_spark.multimodal import attach_fake_media, decode_image_meta, frame_sample
-from pgferry_spark.operators import dedup, orphans, queries as Q, similarity
+from pgferry_spark.operators import dedup, filters, orphans, queries as Q, ranking, similarity
 from pgferry_spark.plans.chunk import plan_table_chunks
 from pgferry_spark.sources.parquet import chunked_parquet_read, load_tables, read_parquet
 
@@ -627,6 +627,34 @@ def _corpus_filter(spark, sf):
     )
 
 
+def _bm25_topk(spark, sf):
+    """BM25 top-15 for a 3-term query mixing common and rare terms."""
+    d = _t(spark, sf, "documents")
+    return ranking.bm25_topk(d, "text", "doc_id", ["spark", "window", "dup"], k=15)
+
+
+def _repetition_stats(spark, sf):
+    """Gopher-style per-doc repetition stats (map-only, no shuffle)."""
+    return filters.repetition_stats(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def _contamination_check(spark, sf):
+    """Benchmark contamination: docs sharing any 4-gram with the
+    deterministic pseudo-benchmark slice (doc_id % 101 == 0)."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 101 == 0)
+    corpus = d.filter(F.col("doc_id") % 101 != 0)
+    return filters.contamination_check(corpus, bench, "text", "doc_id", n=4)
+
+
+def _length_outliers(spark, sf):
+    """Per-language exact-percentile length outliers (docs a curation
+    pass would drop)."""
+    return filters.length_outlier_filter(
+        _t(spark, sf, "documents"), "lang", "n_chars", "doc_id"
+    )
+
+
 def _change_log(spark, sf):
     """Deterministic synthetic CDC log over customer (shared by the merge
     and SCD2 queries and reproduced literally in their oracles):
@@ -875,6 +903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_assign": _ivf_kmeans,
         "multimodal_meta": _multimodal_meta,
         "frame_sample": _frame_sample,
+        "bm25_topk": _bm25_topk,
+        "repetition_stats": _repetition_stats,
+        "contamination_check": _contamination_check,
+        "length_outliers": _length_outliers,
     }
 
 
@@ -1934,5 +1966,94 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT probe_id, base_id, cosine_sim, nn_rank FROM ranked WHERE nn_rank <= 5
+        """,
+        "bm25_topk": f"""
+            WITH tk AS (SELECT doc_id AS doc, {_LTOKS} AS toks FROM documents),
+            lengths AS (SELECT doc, len(toks) AS dl FROM tk),
+            postings AS (
+              SELECT token, doc, COUNT(*) AS tf
+              FROM (SELECT doc, unnest(toks) AS token FROM tk)
+              WHERE token IN ('spark', 'window', 'dup')
+              GROUP BY token, doc
+            ),
+            stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+                      FROM lengths),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM postings GROUP BY token),
+            scored AS (
+              SELECT p.doc,
+                     ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * (p.tf * (1.2 + 1.0))
+                       / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS term_score
+              FROM postings p
+              JOIN dfreq f USING (token)
+              JOIN lengths l USING (doc)
+              CROSS JOIN stats s
+            )
+            SELECT doc AS doc_id, COUNT(*) AS n_terms,
+                   ROUND(SUM(term_score), 6) AS score
+            FROM scored GROUP BY doc
+            ORDER BY score DESC, doc ASC LIMIT 15
+        """,
+        "repetition_stats": f"""
+            WITH tk AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                          ELSE list_transform(range(0, len(toks) - 1),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + 2), ' '))
+                     END AS bigrams
+              FROM tk
+            )
+            SELECT doc_id, len(toks) AS n_tokens,
+                   ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+                              ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                                   / len(toks) END, 6) AS dup_word_frac,
+                   ROUND(CASE WHEN len(toks) = 0 THEN NULL
+                              ELSE CAST(list_max(list_transform(list_distinct(toks),
+                                     x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+                                   / len(toks) END, 6) AS top_word_frac,
+                   ROUND(CASE WHEN len(bigrams) = 0 THEN NULL
+                              ELSE CAST(list_max(list_transform(list_distinct(bigrams),
+                                     x -> len(list_filter(bigrams, y -> y = x)))) AS DOUBLE)
+                                   / len(bigrams) END, 6) AS top_bigram_frac
+            FROM g
+        """,
+        "contamination_check": f"""
+            WITH tk AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 4 THEN CAST([] AS VARCHAR[])
+                          ELSE list_transform(range(0, len(toks) - 3),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + 4), ' '))
+                     END AS shingles
+              FROM tk
+            ),
+            bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+                      WHERE doc_id % 101 = 0),
+            corpus AS (SELECT * FROM sh WHERE doc_id % 101 <> 0),
+            hits AS (
+              SELECT doc_id, COUNT(DISTINCT shingle) AS n_hit_shingles
+              FROM (SELECT doc_id, unnest(shingles) AS shingle FROM corpus)
+              WHERE shingle IN (SELECT shingle FROM bench)
+              GROUP BY doc_id
+            ),
+            totals AS (SELECT doc_id, len(list_distinct(shingles)) AS n_shingles
+                       FROM corpus)
+            SELECT h.doc_id, h.n_hit_shingles, t.n_shingles,
+                   ROUND(CAST(h.n_hit_shingles AS DOUBLE) / t.n_shingles, 6) AS hit_frac
+            FROM hits h JOIN totals t USING (doc_id)
+        """,
+        "length_outliers": """
+            WITH bounds AS (
+              SELECT lang,
+                     quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo_bound,
+                     quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi_bound
+              FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+                   ROUND(b.lo_bound, 6) AS lo_bound, ROUND(b.hi_bound, 6) AS hi_bound
+            FROM documents d JOIN bounds b USING (lang)
+            WHERE CAST(d.n_chars AS DOUBLE) < b.lo_bound
+               OR CAST(d.n_chars AS DOUBLE) > b.hi_bound
         """,
     }

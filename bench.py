@@ -48,6 +48,9 @@ HEADLINE = [
     "sessionize",
     "asof_join",
     "corpus_filter",
+    "bm25_topk",
+    "repetition_stats",
+    "contamination_check",
     "quality_checks",
     "events_pivot",
     "revenue_percentiles",

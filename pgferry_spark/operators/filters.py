@@ -1,0 +1,189 @@
+"""Corpus-hygiene filters for training-data curation.
+
+Three filter families every large-scale LLM data pipeline runs before
+training, each expressed in the Spark shape that survives 100 TB:
+
+- **Repetition stats** (Gopher-style quality rules): per-document
+  duplicate-token fraction, most-common-token fraction, and
+  most-common-bigram fraction. All three are computed with array
+  expressions on each row — a map-only pass with NO shuffle; cost is
+  linear in corpus size and independent of corpus row count.
+- **Benchmark contamination**: documents sharing any word ``n``-gram with
+  a (small) benchmark set. The benchmark's shingle set is broadcast; the
+  corpus side explodes its shingles, semi-joins the broadcast set, and
+  aggregates per document — one shuffle, keyed by doc id, linear in the
+  contaminated shingle hits.
+- **Length outliers**: per-language exact percentile bounds computed in
+  one aggregate over the corpus, broadcast back, and applied as a filter —
+  two passes, no per-language sort.
+
+Every operator has a DuckDB oracle twin in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgferry_spark.functions.text import tokens
+
+
+def _ngrams(toks, n: int):
+    """Word n-grams as space-joined strings; empty when the doc is shorter
+    than ``n``. transform(sequence(...)) keeps it a single JVM expression."""
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def _top_count(arr):
+    """Occurrences of the most frequent element. O(distinct × n) per row,
+    all inside whole-stage codegen — fine for document-sized arrays and
+    embarrassingly parallel at corpus scale."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(arr),
+            lambda x: F.size(F.filter(arr, lambda y: y == x)),
+        )
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition diagnostics (Gopher rules C4/Rep):
+
+    - ``dup_word_frac``: fraction of token occurrences beyond each type's
+      first (1 - distinct/total),
+    - ``top_word_frac``: most common token's share of all tokens,
+    - ``top_bigram_frac``: most common bigram's share of all bigrams
+      (NULL when the document has fewer than 2 tokens).
+
+    Map-only: no shuffle, no UDF."""
+    toks = tokens(F.lower(F.col(text_col)))
+    out = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.col("toks").alias("toks"),
+        _ngrams(F.col("toks"), 2).alias("bigrams"),
+    )
+    n = F.col("n_tokens")
+    nb = F.size("bigrams")
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                (n - F.size(F.array_distinct("toks"))).cast("double") / n
+            ),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(n == 0, F.lit(None).cast("double")).otherwise(
+                _top_count(F.col("toks")).cast("double") / n
+            ),
+            6,
+        ).alias("top_word_frac"),
+        F.round(
+            F.when(nb == 0, F.lit(None).cast("double")).otherwise(
+                _top_count(F.col("bigrams")).cast("double") / nb
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Documents sharing at least one word ``n``-gram with the benchmark
+    set: (id, n_hit_shingles, n_shingles, hit_frac), contaminated docs
+    only. The benchmark shingle set is distinct-ed and broadcast — the
+    corpus is never joined against benchmark rows, only against the
+    (small) shingle dictionary."""
+    bench_shingles = (
+        benchmark.select(
+            F.explode(
+                _ngrams(tokens(F.lower(F.col(text_col))), n)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    doc_shingles = corpus.select(
+        F.col(id_col),
+        F.posexplode(_ngrams(tokens(F.lower(F.col(text_col))), n)).alias(
+            "pos", "shingle"
+        ),
+    )
+    hits = (
+        doc_shingles.join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        # distinct shingle hits, not positional ones: a doc repeating one
+        # leaked shingle 50 times is one contamination, not fifty
+        .select(id_col, "shingle")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+    totals = corpus.select(
+        F.col(id_col),
+        F.size(F.array_distinct(_ngrams(tokens(F.lower(F.col(text_col))), n))).alias(
+            "n_shingles"
+        ),
+    )
+    return (
+        hits.join(totals, id_col)
+        .select(
+            id_col,
+            "n_hit_shingles",
+            "n_shingles",
+            F.round(
+                F.col("n_hit_shingles").cast("double") / F.col("n_shingles"), 6
+            ).alias("hit_frac"),
+        )
+    )
+
+
+def length_outlier_bounds(
+    df: DataFrame, group_col: str, value_col: str, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Exact interpolated percentile bounds per group — one aggregate."""
+    v = F.col(value_col).cast("double")
+    return df.groupBy(group_col).agg(
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), {lo})").alias("lo_bound"),
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), {hi})").alias("hi_bound"),
+        F.count(v).alias("n_group"),
+    )
+
+
+def length_outlier_filter(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Rows whose ``value_col`` falls OUTSIDE the group's [lo, hi]
+    percentile band — the rows a curation pass would drop. Bounds come
+    from one aggregate and broadcast back onto the corpus: two scans
+    total, no per-group sort of the big side."""
+    bounds = length_outlier_bounds(df, group_col, value_col, lo, hi)
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .filter((v < F.col("lo_bound")) | (v > F.col("hi_bound")))
+        .select(
+            id_col,
+            group_col,
+            F.col(value_col).cast("long").alias(value_col),
+            F.round(F.col("lo_bound"), 6).alias("lo_bound"),
+            F.round(F.col("hi_bound"), 6).alias("hi_bound"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""BM25 relevance ranking over the document corpus.
+
+Full-text relevance the way a training-data curation pipeline ranks
+retrieval candidates: Okapi BM25 with the Lucene idf variant,
+``idf = ln(1 + (N - df + 0.5) / (df + 0.5))``, expressed entirely as
+DataFrame operations so the scoring runs JVM-side.
+
+Scale shape (the part that matters at 100 TB):
+
+- The corpus text is tokenized exactly ONCE. Because the query's term
+  list is tiny, per-term term frequencies are computed as ``size(filter(
+  toks, = term))`` columns in the same map-only projection that computes
+  the document length — one scan emits a narrow (doc, dl, tf_0..tf_q)
+  table, ~(2+|q|) integers per document. An exploded postings shuffle
+  (the naive inverted-index formulation) would tokenize the corpus once
+  per derived statistic and shuffle every matched posting; this shape
+  shuffles nothing but two scalar aggregates.
+- The narrow table is persisted (MEMORY_AND_DISK, spillable — integers,
+  not text), so corpus statistics (N, avgdl), per-term document
+  frequencies, and the scoring pass all read it instead of re-scanning
+  text. Caller owns the lifecycle via ``spark.catalog.clearCache()``.
+- N/avgdl/df_t together are TWO 1-row aggregates, attached with
+  broadcast cross joins — no driver collect.
+- The final top-k is an ordered take (TakeOrderedAndProject), not a
+  full sort.
+
+Scores are rounded to 6 decimals BEFORE the rank cut on both engines, so
+an idf computed by Java's ``Math.log`` vs C's ``log`` (which may differ in
+the last ulp) can never flip the top-k boundary; ties break on doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from pgferry_spark.functions.text import tokens
+
+
+def _term_freq(toks, term: str):
+    # NB: single-arg lambda on purpose — F.filter treats a 2-arg callable
+    # as (element, index), so capturing `term` via a default arg would
+    # silently compare against the position instead of the word.
+    return F.size(F.filter(toks, lambda y: y == F.lit(term)))
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for a bag-of-words query.
+
+    Returns (id_col, n_terms, score) — ``n_terms`` is how many distinct
+    query terms the document matched (disjunctive retrieval: any match
+    scores; the conjunctive variant is ``text.keyword_search_all``).
+    """
+    q = [t.lower() for t in terms]
+    toks = tokens(F.lower(F.col(text_col)))
+    per_doc = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).alias("dl"),
+        *[_term_freq(toks, t).alias(f"tf_{i}") for i, t in enumerate(q)],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    dfreq = per_doc.agg(
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(q))
+        ]
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        # tf = 0 contributes exactly 0.0, so the unconditional sum equals
+        # the matched-terms-only sum bit-for-bit
+        return idf * (tf * (k1 + 1.0)) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+
+    score = term_score(0)
+    n_terms = (F.col("tf_0") > 0).cast("long")
+    for i in range(1, len(q)):
+        score = score + term_score(i)
+        n_terms = n_terms + (F.col(f"tf_{i}") > 0).cast("long")
+
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfreq))
+        .select(
+            F.col("doc"),
+            n_terms.alias("n_terms"),
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("n_terms") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(k)
+        .select(F.col("doc").alias(id_col), "n_terms", "score")
+    )

@@ -1,0 +1,126 @@
+"""BM25 ranking and corpus-hygiene filters (repetition, contamination,
+length outliers) — hand-computed expectations on tiny corpora."""
+
+from __future__ import annotations
+
+import math
+
+from pgferry_spark.operators.filters import (
+    contamination_check,
+    length_outlier_filter,
+    repetition_stats,
+)
+from pgferry_spark.operators.ranking import bm25_topk
+
+DOCS = "doc_id long, text string"
+
+
+def _bm25_ref(tf, df, n_docs, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+class TestBM25:
+    def test_scores_match_reference_formula(self, spark):
+        df = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date")],
+            DOCS,
+        )
+        got = {
+            r.doc_id: (r.n_terms, r.score)
+            for r in bm25_topk(df, "text", "doc_id", ["apple", "banana"], k=10).collect()
+        }
+        avgdl = (3 + 2 + 2) / 3.0
+        # doc 1: apple tf=2 (df=1), banana tf=1 (df=2); doc 2: banana tf=1
+        d1 = _bm25_ref(2, 1, 3, 3, avgdl) + _bm25_ref(1, 2, 3, 3, avgdl)
+        d2 = _bm25_ref(1, 2, 3, 2, avgdl)
+        assert got[1] == (2, round(d1, 6))
+        assert got[2] == (1, round(d2, 6))
+        assert 3 not in got  # no query term
+
+    def test_rare_term_outranks_common(self, spark):
+        rows = [(i, "common filler words here") for i in range(20)]
+        rows.append((99, "common rare"))
+        df = spark.createDataFrame(rows, DOCS)
+        top = bm25_topk(df, "text", "doc_id", ["common", "rare"], k=1).collect()
+        assert top[0].doc_id == 99
+
+    def test_k_cut_and_tiebreak(self, spark):
+        # identical docs → identical scores; ties break on doc_id asc
+        df = spark.createDataFrame([(i, "tie word") for i in range(5)], DOCS)
+        got = [r.doc_id for r in bm25_topk(df, "text", "doc_id", ["tie"], k=3).collect()]
+        assert got == [0, 1, 2]
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        df = spark.createDataFrame([(1, "x x y"), (2, "a b c d"), (3, "")], DOCS)
+        got = {r.doc_id: r.asDict() for r in repetition_stats(df, "text", "doc_id").collect()}
+        # doc 1: 3 tokens, 2 distinct → dup 1/3; top word x 2/3;
+        # bigrams ['x x','x y'] → top 1/2
+        assert got[1]["n_tokens"] == 3
+        assert got[1]["dup_word_frac"] == round(1 / 3, 6)
+        assert got[1]["top_word_frac"] == round(2 / 3, 6)
+        assert got[1]["top_bigram_frac"] == 0.5
+        # doc 2: all distinct
+        assert got[2]["dup_word_frac"] == 0.0
+        assert got[2]["top_word_frac"] == 0.25
+        assert got[2]["top_bigram_frac"] == round(1 / 3, 6)
+        # empty doc: defined fractions, null tops
+        assert got[3]["n_tokens"] == 0
+        assert got[3]["dup_word_frac"] == 0.0
+        assert got[3]["top_word_frac"] is None
+        assert got[3]["top_bigram_frac"] is None
+
+    def test_case_insensitive(self, spark):
+        df = spark.createDataFrame([(1, "Word word WORD")], DOCS)
+        row = repetition_stats(df, "text", "doc_id").collect()[0]
+        assert row.top_word_frac == 1.0
+
+
+class TestContamination:
+    def test_shared_ngram_flagged(self, spark):
+        bench = spark.createDataFrame([(100, "the quick brown fox jumps")], DOCS)
+        corpus = spark.createDataFrame(
+            [
+                (1, "saw the quick brown fox leap"),  # shares 2 distinct 4-grams? no: 1
+                (2, "completely unrelated text entirely here"),
+                (3, "a b"),  # shorter than n — no shingles
+            ],
+            DOCS,
+        )
+        got = {
+            r.doc_id: r.asDict()
+            for r in contamination_check(corpus, bench, "text", "doc_id", n=4).collect()
+        }
+        # doc 1's 4-grams: 'saw the quick brown', 'the quick brown fox',
+        # 'quick brown fox leap' — exactly one hits the benchmark
+        assert set(got) == {1}
+        assert got[1]["n_hit_shingles"] == 1
+        assert got[1]["n_shingles"] == 3
+        assert got[1]["hit_frac"] == round(1 / 3, 6)
+
+    def test_repeated_hit_counts_once(self, spark):
+        bench = spark.createDataFrame([(100, "p q r s")], DOCS)
+        corpus = spark.createDataFrame([(1, "p q r s p q r s p q r s")], DOCS)
+        row = contamination_check(corpus, bench, "text", "doc_id", n=4).collect()[0]
+        assert row.n_hit_shingles == 1  # distinct shingles, not occurrences
+
+
+class TestLengthOutliers:
+    def test_exact_percentile_bounds(self, spark):
+        rows = [(i, "en", v) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 1000])]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+        got = length_outlier_filter(df, "lang", "n_chars", "doc_id", 0.05, 0.95).collect()
+        # exact interpolated p05 of the 10 values = 14.5, p95 = 590.5:
+        # only 10 (below) and 1000 (above) fall outside
+        assert sorted(r.doc_id for r in got) == [0, 9]
+        assert got[0].lo_bound == 14.5
+        assert got[0].hi_bound == 590.5
+
+    def test_grouped_independently(self, spark):
+        rows = [(i, "en", 100) for i in range(10)] + [(100 + i, "de", i) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+        got = length_outlier_filter(df, "lang", "n_chars", "doc_id", 0.05, 0.95).collect()
+        # en group is constant → no outliers; de has its own bounds
+        assert all(r.lang == "de" for r in got)
