@@ -24,8 +24,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from pgferry_spark.functions.text import tokens
+from pgferry_spark.utils import fan_out
 
 
 def _ngrams(toks, n: int):
@@ -62,9 +64,11 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     - ``top_bigram_frac``: most common bigram's share of all bigrams
       (NULL when the document has fewer than 2 tokens).
 
-    Map-only: no shuffle, no UDF."""
+    Map-only: no shuffle, no UDF (``fan_out`` adds one only when the
+    input arrives under-partitioned, e.g. a single parquet file that
+    would otherwise serialize the per-row array work onto one core)."""
     toks = tokens(F.lower(F.col(text_col)))
-    out = df.select(F.col(id_col), toks.alias("toks")).select(
+    out = fan_out(df, id_col).select(F.col(id_col), toks.alias("toks")).select(
         id_col,
         F.size("toks").alias("n_tokens"),
         F.col("toks").alias("toks"),
@@ -105,40 +109,51 @@ def contamination_check(
 ) -> DataFrame:
     """Documents sharing at least one word ``n``-gram with the benchmark
     set: (id, n_hit_shingles, n_shingles, hit_frac), contaminated docs
-    only. The benchmark shingle set is distinct-ed and broadcast — the
-    corpus is never joined against benchmark rows, only against the
-    (small) shingle dictionary."""
+    only.
+
+    The benchmark's distinct shingles (benchmarks are small — the same
+    broadcastability assumption any decontamination pass makes) broadcast
+    into a hash semi-join; the corpus explodes its per-doc distinct
+    shingles and streams them through the build side, so the benchmark
+    set is hashed once per task — NOT once per row (a per-row
+    ``array_intersect`` against the broadcast set re-builds the hash set
+    for every document: measured 13x slower). ``n_shingles`` rides along
+    through the explode, so the corpus text is tokenized exactly once,
+    and because the per-doc shingles are distinct-ed BEFORE the explode,
+    the surviving (doc, shingle) rows are already unique hits — the
+    final per-doc aggregate shuffles only true contamination rows
+    (typically a vanishing fraction of the corpus)."""
     bench_shingles = (
-        benchmark.select(
-            F.explode(
-                _ngrams(tokens(F.lower(F.col(text_col))), n)
-            ).alias("shingle")
+        fan_out(benchmark, id_col)
+        .select(
+            F.explode(_ngrams(tokens(F.lower(F.col(text_col))), n)).alias("shingle")
         )
         .distinct()
     )
-    doc_shingles = corpus.select(
+    # distinct shingle hits, not positional ones: a doc repeating one
+    # leaked shingle 50 times is one contamination, not fifty
+    exploded = fan_out(corpus, id_col).select(
         F.col(id_col),
-        F.posexplode(_ngrams(tokens(F.lower(F.col(text_col))), n)).alias(
-            "pos", "shingle"
+        F.array_distinct(_ngrams(tokens(F.lower(F.col(text_col))), n)).alias(
+            "shingles"
         ),
-    )
-    hits = (
-        doc_shingles.join(F.broadcast(bench_shingles), "shingle", "left_semi")
-        # distinct shingle hits, not positional ones: a doc repeating one
-        # leaked shingle 50 times is one contamination, not fifty
-        .select(id_col, "shingle")
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
-    )
-    totals = corpus.select(
-        F.col(id_col),
-        F.size(F.array_distinct(_ngrams(tokens(F.lower(F.col(text_col))), n))).alias(
-            "n_shingles"
-        ),
+    ).select(
+        id_col,
+        F.size("shingles").alias("n_shingles"),
+        # explode_outer, deliberately: plain explode makes Catalyst infer a
+        # `size(shingles) > 0` pruning filter and push it below the fan_out
+        # exchange into the scan, cloning the whole shingle construction
+        # into a per-row predicate on the (often single-partition) pre-
+        # shuffle side — the docs/SCALE.md pushdown pathology, measured
+        # ~10x here. explode_outer infers no such filter; the empty-doc
+        # null rows it emits are dropped by the semi-join (null never
+        # matches a join key).
+        F.explode_outer("shingles").alias("shingle"),
     )
     return (
-        hits.join(totals, id_col)
+        exploded.join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
         .select(
             id_col,
             "n_hit_shingles",

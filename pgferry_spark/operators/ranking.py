@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from pgferry_spark.functions.text import tokens
+from pgferry_spark.utils import fan_out
 
 
 def _term_freq(toks, term: str):
@@ -62,7 +63,10 @@ def bm25_topk(
     """
     q = [t.lower() for t in terms]
     toks = tokens(F.lower(F.col(text_col)))
-    per_doc = df.select(
+    # fan_out: the |q| size(filter(...)) counters are per-row-expensive;
+    # an under-partitioned input (single parquet file) would pin the
+    # whole tokenizing pass to one core
+    per_doc = fan_out(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.size(toks).alias("dl"),
         *[_term_freq(toks, t).alias(f"tf_{i}") for i, t in enumerate(q)],
