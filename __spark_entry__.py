@@ -647,6 +647,11 @@ def _contamination_check(spark, sf):
     return filters.contamination_check(corpus, bench, "text", "doc_id", n=4)
 
 
+def _unigram_logprob(spark, sf):
+    """CCNet-style unigram LM quality score over the document corpus."""
+    return filters.unigram_logprob_scores(_t(spark, sf, "documents"), "text", "doc_id")
+
+
 def _length_outliers(spark, sf):
     """Per-language exact-percentile length outliers (docs a curation
     pass would drop)."""
@@ -907,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _repetition_stats,
         "contamination_check": _contamination_check,
         "length_outliers": _length_outliers,
+        "unigram_logprob": _unigram_logprob,
     }
 
 
@@ -2042,6 +2048,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, h.n_hit_shingles, t.n_shingles,
                    ROUND(CAST(h.n_hit_shingles AS DOUBLE) / t.n_shingles, 6) AS hit_frac
             FROM hits h JOIN totals t USING (doc_id)
+        """,
+        "unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_LTOKS}) AS token FROM documents
+            ),
+            vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+            total AS (SELECT SUM(cnt) AS total FROM vocab)
+            SELECT t.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(ln(CAST(v.cnt AS DOUBLE) / total.total)), 6) AS logprob
+            FROM toks t JOIN vocab v USING (token) CROSS JOIN total
+            GROUP BY t.doc_id
         """,
         "length_outliers": """
             WITH bounds AS (

@@ -165,6 +165,42 @@ def contamination_check(
     )
 
 
+def unigram_logprob_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: the corpus's own token
+    distribution becomes the language model, and each document scores
+    its mean token log-probability ``avg(ln(count(token) / total))`` —
+    gibberish and boilerplate-heavy documents land in the tails.
+
+    Two shuffles, both on natural keys: the vocabulary aggregate
+    (keyed by token — partial aggregation makes the map side emit one
+    row per distinct token per partition) and the per-document mean
+    (keyed by doc id). The vocabulary joins back token-keyed; Catalyst
+    broadcasts it when small, shuffle-joins otherwise — both correct at
+    scale. Documents with no tokens are absent from the output (no
+    tokens, no distribution to score against).
+
+    The mean is rounded to 6 decimals at the edge: token log-probs sum
+    in nondeterministic order across engines, and ``ln`` itself may
+    differ in the last ulp between libm implementations."""
+    toks = fan_out(df, id_col).select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token").isNotNull())
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("total"))), 6
+            ).alias("logprob"),
+        )
+    )
+
+
 def length_outlier_bounds(
     df: DataFrame, group_col: str, value_col: str, lo: float = 0.05, hi: float = 0.95
 ) -> DataFrame:

@@ -124,3 +124,24 @@ class TestLengthOutliers:
         got = length_outlier_filter(df, "lang", "n_chars", "doc_id", 0.05, 0.95).collect()
         # en group is constant → no outliers; de has its own bounds
         assert all(r.lang == "de" for r in got)
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        from pgferry_spark.operators.filters import unigram_logprob_scores
+
+        df = spark.createDataFrame([(1, "a a b"), (2, "b"), (3, "")], DOCS)
+        got = {r.doc_id: r.asDict() for r in unigram_logprob_scores(df, "text", "doc_id").collect()}
+        # corpus counts: a=2, b=2, total=4 -> every token logprob = ln(0.5)
+        lp = round(math.log(0.5), 6)
+        assert got[1]["n_tokens"] == 3 and got[1]["logprob"] == lp
+        assert got[2]["n_tokens"] == 1 and got[2]["logprob"] == lp
+        assert 3 not in got  # empty doc: nothing to score
+
+    def test_rare_tokens_score_lower(self, spark):
+        from pgferry_spark.operators.filters import unigram_logprob_scores
+
+        rows = [(i, "common common common") for i in range(10)] + [(99, "rareword")]
+        df = spark.createDataFrame(rows, DOCS)
+        got = {r.doc_id: r.logprob for r in unigram_logprob_scores(df, "text", "doc_id").collect()}
+        assert got[99] < got[0]
