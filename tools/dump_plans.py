@@ -125,6 +125,34 @@ ANNOTATED = {
         "Column math with no shuffle; candidate pairs come from one explode "
         "+ hash join on the fingerprint — never all-pairs.",
     ),
+    "bm25_topk": (
+        "one tokenizing scan, cached narrow stats, TakeOrderedAndProject",
+        "The corpus tokenizes once into a persisted (doc, dl, tf…) table "
+        "(InMemoryTableScan feeds all three consumers); corpus stats and "
+        "per-term document frequencies are 1-row broadcast aggregates; the "
+        "top-k is an ordered take, not a full sort.",
+    ),
+    "contamination_check": (
+        "broadcast benchmark shingles, exploded hash semi-join",
+        "The benchmark's distinct shingle set broadcasts and hash-builds "
+        "once per task; the corpus explodes per-doc distinct shingles "
+        "behind a fan_out exchange (explode_outer, so Catalyst cannot "
+        "clone the n-gram construction into a pre-shuffle scan filter); "
+        "the final aggregate shuffles only true contamination hits.",
+    ),
+    "repetition_stats": (
+        "map-only array expressions, no shuffle",
+        "Dup-word / top-word / top-bigram fractions are computed per row "
+        "from one tokenization — the only exchange is fan_out's input "
+        "spread when the file arrives under-partitioned.",
+    ),
+    "unigram_logprob": (
+        "token-keyed vocab aggregate + doc-keyed mean",
+        "The corpus's own unigram distribution is a partial-aggregated "
+        "groupBy(token); it joins back token-keyed (broadcast here, "
+        "shuffle join at vocabulary scale) and the per-doc mean is the "
+        "second and last shuffle.",
+    ),
 }
 
 
