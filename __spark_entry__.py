@@ -647,6 +647,14 @@ def _contamination_check(spark, sf):
     return filters.contamination_check(corpus, bench, "text", "doc_id", n=4)
 
 
+def _approx_distinct(spark, sf):
+    """HLL approx distinct users per event type, tolerance-gated vs exact
+    (the sketch is what ships at scale; the gate qualifies it)."""
+    from pgferry_spark.operators.checks import approx_distinct_check
+
+    return approx_distinct_check(_t(spark, sf, "events"), "event_type", "user_id")
+
+
 def _unigram_logprob(spark, sf):
     """CCNet-style unigram LM quality score over the document corpus."""
     return filters.unigram_logprob_scores(_t(spark, sf, "documents"), "text", "doc_id")
@@ -913,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _contamination_check,
         "length_outliers": _length_outliers,
         "unigram_logprob": _unigram_logprob,
+        "approx_distinct_users": _approx_distinct,
     }
 
 
@@ -2048,6 +2057,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, h.n_hit_shingles, t.n_shingles,
                    ROUND(CAST(h.n_hit_shingles AS DOUBLE) / t.n_shingles, 6) AS hit_frac
             FROM hits h JOIN totals t USING (doc_id)
+        """,
+        "approx_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+                   true AS within_tolerance
+            FROM events GROUP BY event_type
         """,
         "unigram_logprob": f"""
             WITH toks AS (

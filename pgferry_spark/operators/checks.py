@@ -80,3 +80,32 @@ def assert_checks(df: DataFrame, checks: list[Check]) -> None:
     bad = [(r["check_name"], r["violations"]) for r in result if r["violations"] > 0]
     if bad:
         raise ValueError(f"data-quality checks failed: {bad}")
+
+
+def approx_distinct_check(
+    df: DataFrame, group_col: str, key_col: str, rel_tol: float = 0.05
+) -> DataFrame:
+    """Per-group HLL approximate distinct count, gated against the exact
+    count: (group, n_exact, within_tolerance).
+
+    At 100 TB the exact distinct is the expensive side (a full shuffle of
+    every distinct key); ``approx_count_distinct``'s HyperLogLog++ sketch
+    is the operational answer — fixed-size per group, mergeable map-side,
+    and deterministic (the sketch is a pure function of the value SET, so
+    partitioning and order don't change the estimate). This operator
+    computes both and asserts the sketch lands within ``rel_tol`` of
+    exact — run it at small scale to qualify the sketch's rsd setting,
+    then ship only the approx side.
+    """
+    agg = df.groupBy(group_col).agg(
+        F.approx_count_distinct(key_col).alias("approx"),
+        F.count_distinct(F.col(key_col)).alias("n_exact"),
+    )
+    return agg.select(
+        group_col,
+        "n_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(rel_tol)
+        ).alias("within_tolerance"),
+    )

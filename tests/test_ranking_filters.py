@@ -145,3 +145,15 @@ class TestUnigramLogprob:
         df = spark.createDataFrame(rows, DOCS)
         got = {r.doc_id: r.logprob for r in unigram_logprob_scores(df, "text", "doc_id").collect()}
         assert got[99] < got[0]
+
+
+class TestApproxDistinct:
+    def test_within_tolerance_and_exact_counts(self, spark):
+        from pgferry_spark.operators.checks import approx_distinct_check
+
+        rows = [(i, f"u{i % 50}", "click") for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, user string, typ string")
+        got = approx_distinct_check(df, "typ", "user").collect()
+        assert len(got) == 1
+        assert got[0].n_exact == 50
+        assert got[0].within_tolerance is True
