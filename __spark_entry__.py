@@ -647,6 +647,14 @@ def _contamination_check(spark, sf):
     return filters.contamination_check(corpus, bench, "text", "doc_id", n=4)
 
 
+def _fill_gaps(spark, sf):
+    """Per-user daily event counts with silent days zero-filled."""
+    from pgferry_spark.operators.temporal import fill_time_gaps
+
+    e = _t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    return fill_time_gaps(e, "user_id", "ts", step="day")
+
+
 def _approx_distinct(spark, sf):
     """HLL approx distinct users per event type, tolerance-gated vs exact
     (the sketch is what ships at scale; the gate qualifies it)."""
@@ -922,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": _length_outliers,
         "unigram_logprob": _unigram_logprob,
         "approx_distinct_users": _approx_distinct,
+        "fill_time_gaps": _fill_gaps,
     }
 
 
@@ -2057,6 +2066,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, h.n_hit_shingles, t.n_shingles,
                    ROUND(CAST(h.n_hit_shingles AS DOUBLE) / t.n_shingles, 6) AS hit_frac
             FROM hits h JOIN totals t USING (doc_id)
+        """,
+        "fill_time_gaps": """
+            WITH counts AS (
+              SELECT user_id, date_trunc('day', ts) AS bucket, COUNT(*) AS n
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+            ),
+            bounds AS (SELECT user_id, MIN(bucket) AS t0, MAX(bucket) AS t1
+                       FROM counts GROUP BY user_id),
+            spine AS (
+              SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS bucket
+              FROM bounds
+            )
+            SELECT s.user_id, s.bucket, COALESCE(c.n, 0) AS n_events
+            FROM spine s LEFT JOIN counts c USING (user_id, bucket)
         """,
         "approx_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,

@@ -98,3 +98,46 @@ def time_bucket_rollup(
         F.col(group_col),
         "n_events",
     )
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    step: str = "day",
+) -> DataFrame:
+    """Dense per-key time spine with zero-filled counts: every ``step``
+    bucket between each key's first and last event, ``n_events = 0``
+    where the key was silent — the gap-filling resample behind rate
+    dashboards and training-data time-coverage audits.
+
+    One fact-table aggregate produces the per-(key, bucket) counts; it
+    persists (bounded: one row per key per active bucket, far smaller
+    than the facts) so the per-key bounds and the final left join both
+    reuse it instead of re-scanning the fact table. The spine explodes a
+    ``sequence(t0, t1, interval)`` per key — output is bounded by
+    keys x time-range, independent of fact cardinality, and the join is
+    keyed on (key, bucket) so it shuffles the small aggregated side
+    only. Caller owns the cache lifecycle."""
+    from pyspark.storagelevel import StorageLevel
+
+    b = F.date_trunc(step, F.col(ts_col))
+    counts = (
+        df.groupBy(F.col(key_col), b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bounds = counts.groupBy(key_col).agg(
+        F.min("bucket").alias("t0"), F.max("bucket").alias("t1")
+    )
+    spine = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr(f"interval 1 {step}"))
+        ).alias("bucket"),
+    )
+    return spine.join(counts, [key_col, "bucket"], "left").select(
+        key_col,
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )

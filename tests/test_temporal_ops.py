@@ -88,3 +88,25 @@ class TestIVF:
         got = similarity.ivf_topk(e, "embedding", "vec_id", [1.0, 0.0], query_cell=0, k=10, n_cells=2)
         ids = [r["vec_id"] for r in got.collect()]
         assert set(ids) == {0, 2}  # only cell-0 members scored
+
+
+class TestFillTimeGaps:
+    def test_zero_fills_silent_days(self, spark):
+        from pgferry_spark.operators.temporal import fill_time_gaps
+
+        rows = [
+            (1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"),
+            (1, "2024-01-04 09:00:00"),  # days 2,3 silent
+            (2, "2024-01-02 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.to_timestamp("ts_s").alias("ts")
+        )
+        got = {(r.user_id, str(r.bucket)[:10]): r.n_events
+               for r in fill_time_gaps(df, "user_id", "ts", "day").collect()}
+        assert got[(1, "2024-01-01")] == 2
+        assert got[(1, "2024-01-02")] == 0
+        assert got[(1, "2024-01-03")] == 0
+        assert got[(1, "2024-01-04")] == 1
+        assert got[(2, "2024-01-02")] == 1
+        assert len(got) == 5  # user 1: 4 days, user 2: 1 day
