@@ -51,6 +51,8 @@ HEADLINE = [
     "bm25_topk",
     "repetition_stats",
     "contamination_check",
+    "unigram_logprob",
+    "fill_time_gaps",
     "quality_checks",
     "events_pivot",
     "revenue_percentiles",
