@@ -647,6 +647,21 @@ def _contamination_check(spark, sf):
     return filters.contamination_check(corpus, bench, "text", "doc_id", n=4)
 
 
+def _token_budget(spark, sf):
+    """Quality-ranked corpus selection to an 8k-token budget (FineWeb-style
+    'best docs until the budget is spent'), via the scalable histogram-
+    threshold plan instead of a global-order window."""
+    from pgferry_spark.operators.curate import select_to_token_budget
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).alias("n_toks"),
+    )
+    return select_to_token_budget(scored, "quality", "n_toks", "doc_id", 8000)
+
+
 def _fill_gaps(spark, sf):
     """Per-user daily event counts with silent days zero-filled."""
     from pgferry_spark.operators.temporal import fill_time_gaps
@@ -931,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _unigram_logprob,
         "approx_distinct_users": _approx_distinct,
         "fill_time_gaps": _fill_gaps,
+        "token_budget_select": _token_budget,
     }
 
 
@@ -2066,6 +2082,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, h.n_hit_shingles, t.n_shingles,
                    ROUND(CAST(h.n_hit_shingles AS DOUBLE) / t.n_shingles, 6) AS hit_frac
             FROM hits h JOIN totals t USING (doc_id)
+        """,
+        "token_budget_select": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     ROUND(
+                       0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                                        / len({_TOKS}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - least(5.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                                                 / greatest(length(text), 1)), 1.0)), 4) AS quality,
+                     len({_TOKS}) AS n_toks
+              FROM documents
+            ), c AS (
+              SELECT *, SUM(n_toks) OVER (ORDER BY quality DESC, doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM scored
+            )
+            SELECT doc_id, quality, n_toks FROM c WHERE cum <= 8000
         """,
         "fill_time_gaps": """
             WITH counts AS (

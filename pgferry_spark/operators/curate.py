@@ -102,3 +102,67 @@ def pack_sequences(
     )
     before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
     return df.withColumn("bin_id", F.floor(before / F.lit(budget)).cast("long"))
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    quality_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Highest-quality documents until a corpus token budget is reached:
+    exactly the docs a global ``ORDER BY quality DESC, id ASC`` running
+    token sum would keep under ``budget``.
+
+    The naive form is a single cumulative-sum window over the global
+    order — an unpartitioned window, i.e. ONE task sorting the corpus: a
+    scale-killer. This implementation gets the identical answer in two
+    scalable passes:
+
+    1. aggregate token sums per distinct quality value (one shuffle;
+       quality is already edge-rounded, so the histogram has bounded
+       cardinality) and collect that small histogram driver-side to find
+       the threshold quality — every better quality level fits wholly
+       within budget;
+    2. keep all docs strictly above the threshold with a broadcast-able
+       filter, and run the cumulative window ONLY inside the single
+       threshold quality level (partitioned by that one value — bounded
+       work), admitting docs in id order until the remainder is spent.
+
+    The driver-side collect is a histogram of distinct quality values,
+    not data — the same bounded-metadata pattern as the chunk planner.
+    Deterministic and engine-portable: ties break on id, no RNG.
+    """
+    q = F.col(quality_col)
+    hist = (
+        df.groupBy(q.alias("__q"))
+        .agg(F.sum(F.col(tokens_col)).alias("__toks"))
+        .orderBy(F.col("__q").desc())
+        .collect()
+    )
+    spent = 0
+    threshold = None  # first quality level that does NOT fully fit
+    for row in hist:
+        if spent + row["__toks"] > budget:
+            threshold = row["__q"]
+            break
+        spent += row["__toks"]
+    if threshold is None:
+        return df.select(id_col, quality_col, tokens_col)  # everything fits
+
+    above = df.filter(q > F.lit(threshold))
+    w = (
+        Window.partitionBy(q)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at = (
+        df.filter(q == F.lit(threshold))
+        .withColumn("__cum", F.sum(F.col(tokens_col)).over(w))
+        .filter(F.col("__cum") <= F.lit(int(budget - spent)))
+        .drop("__cum")
+    )
+    return above.select(id_col, quality_col, tokens_col).unionByName(
+        at.select(id_col, quality_col, tokens_col)
+    )

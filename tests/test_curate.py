@@ -70,3 +70,33 @@ def test_pack_sequences_sharded(spark):
     out = {r["doc_id"]: r["bin_id"] for r in pack_sequences(df, "doc_id", "n_tokens", 256, shard_col="shard").collect()}
     # each shard packs independently: cumsum-before per shard = 0,200
     assert out == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+class TestTokenBudget:
+    def test_matches_global_cumsum_semantics(self, spark):
+        from pgferry_spark.operators.curate import select_to_token_budget
+
+        # qualities: two full levels fit, the third is partial, rest excluded
+        rows = [
+            (1, 0.9, 100), (2, 0.9, 100),     # level 0.9: 200
+            (3, 0.8, 150),                     # level 0.8: 150 (350 total)
+            (4, 0.7, 100), (5, 0.7, 100), (6, 0.7, 100),  # partial: room for 2
+            (7, 0.6, 10),                      # beyond threshold level
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, quality double, n_toks long")
+        got = sorted(
+            r.doc_id
+            for r in select_to_token_budget(df, "quality", "n_toks", "doc_id", 550).collect()
+        )
+        # 200 + 150 = 350 spent; remainder 200 admits docs 4,5 (id order); 6
+        # would exceed, 7 is monotonically excluded even though it would fit
+        assert got == [1, 2, 3, 4, 5]
+
+    def test_everything_fits(self, spark):
+        from pgferry_spark.operators.curate import select_to_token_budget
+
+        df = spark.createDataFrame(
+            [(1, 0.5, 10), (2, 0.4, 10)], "doc_id long, quality double, n_toks long"
+        )
+        got = select_to_token_budget(df, "quality", "n_toks", "doc_id", 1000).collect()
+        assert len(got) == 2
