@@ -647,6 +647,13 @@ def _contamination_check(spark, sf):
     return filters.contamination_check(corpus, bench, "text", "doc_id", n=4)
 
 
+def _quantize_embeddings(spark, sf):
+    """Symmetric int8 embedding quantization with reconstruction error."""
+    return similarity.quantize_embeddings(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id"
+    )
+
+
 def _token_budget(spark, sf):
     """Quality-ranked corpus selection to an 8k-token budget (FineWeb-style
     'best docs until the budget is spent'), via the scalable histogram-
@@ -947,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _approx_distinct,
         "fill_time_gaps": _fill_gaps,
         "token_budget_select": _token_budget,
+        "quantize_embeddings": _quantize_embeddings,
     }
 
 
@@ -2082,6 +2090,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, h.n_hit_shingles, t.n_shingles,
                    ROUND(CAST(h.n_hit_shingles AS DOUBLE) / t.n_shingles, 6) AS hit_frac
             FROM hits h JOIN totals t USING (doc_id)
+        """,
+        "quantize_embeddings": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            s AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+            q AS (SELECT vec_id, v, scale,
+                         CASE WHEN scale = 0
+                              THEN list_transform(v, x -> CAST(0 AS INTEGER))
+                              ELSE list_transform(v, x -> CAST(round(x * 127.0 / scale, 0) AS INTEGER))
+                         END AS qv
+                  FROM s)
+            SELECT vec_id, ROUND(scale, 6) AS scale,
+                   array_to_string(qv, ',') AS qvec_csv,
+                   ROUND(sqrt(list_reduce(
+                         list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(v) + 1),
+                           i -> (v[i] - CAST(qv[i] AS DOUBLE) * scale / 127.0)
+                                * (v[i] - CAST(qv[i] AS DOUBLE) * scale / 127.0))),
+                         (acc, x) -> acc + x)), 6) AS recon_err
+            FROM q
         """,
         "token_budget_select": f"""
             WITH scored AS (

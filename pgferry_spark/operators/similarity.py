@@ -332,3 +332,55 @@ def ivf_topk(
         assign.filter(F.col("cell_id") == query_cell).select(id_col), on=id_col
     )
     return cosine_topk(members, vec_col, id_col, query, k)
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``q_i = round(x_i * 127 /
+    max|x|)`` with the per-vector scale kept alongside — the standard 4x
+    memory cut (float32 -> int8) applied before ANN indexes at corpus
+    scale, where the embedding table itself is the dominant storage cost.
+
+    Map-only Column expressions (transform/aggregate folds), no shuffle,
+    no UDF. Output carries the quantized codes as a CSV string (engine-
+    portable representation), the scale, and the L2 reconstruction error
+    so a pipeline can qualify the precision loss before committing the
+    index build. Zero vectors quantize to all-zero codes with scale 0.
+
+    The raw working column is ``__scale`` and only the output edge
+    aliases it to ``scale``: putting ``round(...) AS scale`` in the same
+    select list as an expression referencing ``scale`` would trip
+    Spark's lateral column alias resolution and silently compute the
+    reconstruction error against the ROUNDED scale (observed: a 6th-
+    decimal error drift vs the oracle).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    d = df.select(F.col(id_col), v.alias("__v"), scale.alias("__scale"))
+    q = F.when(
+        F.col("__scale") == 0.0,
+        F.transform(F.col("__v"), lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            F.col("__v"),
+            lambda x: F.round(x * F.lit(127.0) / F.col("__scale"), 0).cast("int"),
+        )
+    )
+    d = d.withColumn("__q", q)
+    recon = F.transform(
+        F.col("__q"), lambda qi: qi.cast("double") * F.col("__scale") / F.lit(127.0)
+    )
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("__v"), recon, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return d.select(
+        id_col,
+        F.round(F.col("__scale"), 6).alias("scale"),
+        F.array_join(F.col("__q"), ",").alias("qvec_csv"),
+        F.round(err, 6).alias("recon_err"),
+    )

@@ -157,3 +157,25 @@ class TestApproxDistinct:
         assert len(got) == 1
         assert got[0].n_exact == 50
         assert got[0].within_tolerance is True
+
+
+class TestQuantizeEmbeddings:
+    def test_codes_scale_and_error(self, spark):
+        from pgferry_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r.vec_id: r.asDict() for r in quantize_embeddings(df, "embedding", "vec_id").collect()}
+        # scale 1.0: codes 127, -63.5 -> -64 (half away from zero), 31.75 -> 32
+        assert got[1]["scale"] == 1.0
+        assert got[1]["qvec_csv"] == "127,-64,32"
+        # reconstruction error vs -64/127 and 32/127
+        import math
+        e = math.sqrt((-0.5 - (-64 / 127)) ** 2 + (0.25 - 32 / 127) ** 2)
+        assert got[1]["recon_err"] == round(e, 6)
+        # zero vector: scale 0, all-zero codes, zero error
+        assert got[2]["scale"] == 0.0
+        assert got[2]["qvec_csv"] == "0,0,0"
+        assert got[2]["recon_err"] == 0.0
