@@ -647,6 +647,20 @@ def _contamination_check(spark, sf):
     return filters.contamination_check(corpus, bench, "text", "doc_id", n=4)
 
 
+def _stratified_split(spark, sf):
+    """Exact per-language stratified train/val/test assignment."""
+    from pgferry_spark.operators.curate import stratified_split
+
+    return stratified_split(_t(spark, sf, "documents"), "lang", "doc_id")
+
+
+def _rate_anomalies(spark, sf):
+    """Daily per-type event-rate z-scores vs the trailing 7 days."""
+    from pgferry_spark.operators.temporal import rate_anomalies
+
+    return rate_anomalies(_t(spark, sf, "events"), "ts", "event_type", "day", 7)
+
+
 def _quantize_embeddings(spark, sf):
     """Symmetric int8 embedding quantization with reconstruction error."""
     return similarity.quantize_embeddings(
@@ -955,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_time_gaps": _fill_gaps,
         "token_budget_select": _token_budget,
         "quantize_embeddings": _quantize_embeddings,
+        "stratified_split": _stratified_split,
+        "rate_anomalies": _rate_anomalies,
     }
 
 
@@ -2090,6 +2106,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, h.n_hit_shingles, t.n_shingles,
                    ROUND(CAST(h.n_hit_shingles AS DOUBLE) / t.n_shingles, 6) AS hit_frac
             FROM hits h JOIN totals t USING (doc_id)
+        """,
+        "stratified_split": """
+            WITH ranked AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                                 doc_id ASC) AS rk,
+                     COUNT(*) OVER (PARTITION BY lang) AS cnt
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN rk <= CEIL(cnt * 0.8) THEN 'train'
+                        WHEN rk <= CEIL(cnt * (0.8 + 0.1)) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM ranked
+        """,
+        "rate_anomalies": """
+            WITH counts AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ), scored AS (
+              SELECT event_type, bucket, n_events,
+                     AVG(CAST(n_events AS DOUBLE)) OVER w AS mu,
+                     stddev_samp(CAST(n_events AS DOUBLE)) OVER w AS sd
+              FROM counts
+              WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, bucket, n_events,
+                   ROUND(CASE WHEN sd IS NOT NULL AND sd > 0.0
+                              THEN (CAST(n_events AS DOUBLE) - mu) / sd END, 4) AS z_score
+            FROM scored
         """,
         "quantize_embeddings": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

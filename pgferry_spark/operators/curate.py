@@ -166,3 +166,33 @@ def select_to_token_budget(
     return above.select(id_col, quality_col, tokens_col).unionByName(
         at.select(id_col, quality_col, tokens_col)
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """EXACT stratified train/val/test assignment: within every group the
+    split sizes are ceil(n*train) / ceil(n*(train+val)) - ceil(n*train) /
+    rest — the per-group proportions hold by construction, not just in
+    hash expectation (``dataset_split`` is the hash-threshold variant:
+    cheaper, proportional only in expectation).
+
+    Deterministic and engine-portable: rows order by md5(id) within the
+    group (id tiebreak), so re-running any subset reproduces the same
+    assignment. One shuffle (the per-group window); the count rides the
+    same window, no extra aggregate-join pass."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    grp = Window.partitionBy(group_col)
+    rk = F.row_number().over(w)
+    cnt = F.count(F.lit(1)).over(grp)
+    split = (
+        F.when(rk <= F.ceil(cnt * F.lit(train)), F.lit("train"))
+        .when(rk <= F.ceil(cnt * F.lit(train + val)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(F.col(id_col), F.col(group_col)).withColumn("split", split)

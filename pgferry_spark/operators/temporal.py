@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def range_join(
@@ -141,3 +142,44 @@ def fill_time_gaps(
         "bucket",
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    step: str = "day",
+    trailing: int = 7,
+    min_z: float = 0.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection on event rates: bucket
+    counts per (group, step), then score each bucket against the mean and
+    sample stddev of its previous ``trailing`` buckets.
+
+    Two shuffles — the bucket aggregate, then one window per group over
+    the (already tiny) bucket table; the window is over aggregated rows,
+    so its cost is groups x buckets regardless of fact cardinality.
+    Buckets with fewer than 2 trailing points or zero variance emit NULL
+    z (explicitly guarded on both engines: double/0 is Inf, not NULL, in
+    some engines)."""
+    b = F.date_trunc(step, F.col(ts_col))
+    counts = df.groupBy(F.col(group_col), b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(-trailing, -1)
+    )
+    mu = F.avg(F.col("n_events").cast("double")).over(w)
+    sd = F.stddev_samp(F.col("n_events").cast("double")).over(w)
+    z = F.when(
+        sd.isNotNull() & (sd > 0.0),
+        (F.col("n_events").cast("double") - mu) / sd,
+    )
+    return counts.select(
+        group_col,
+        "bucket",
+        "n_events",
+        F.round(z, 4).alias("z_score"),
+    ).filter(F.col("z_score").isNull() | (F.abs(F.col("z_score")) >= min_z))

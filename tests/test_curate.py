@@ -100,3 +100,26 @@ class TestTokenBudget:
         )
         got = select_to_token_budget(df, "quality", "n_toks", "doc_id", 1000).collect()
         assert len(got) == 2
+
+
+class TestStratifiedSplit:
+    def test_exact_per_group_sizes(self, spark):
+        from pgferry_spark.operators.curate import stratified_split
+
+        rows = [(i, "en") for i in range(100)] + [(1000 + i, "de") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = stratified_split(df, "lang", "doc_id").collect()
+        from collections import Counter
+        en = Counter(r.split for r in got if r.lang == "en")
+        de = Counter(r.split for r in got if r.lang == "de")
+        # exact: ceil(100*0.8)=80 train, ceil(100*0.9)-80=10 val, 10 test
+        assert (en["train"], en["val"], en["test"]) == (80, 10, 10)
+        assert (de["train"], de["val"], de["test"]) == (8, 1, 1)
+
+    def test_deterministic(self, spark):
+        from pgferry_spark.operators.curate import stratified_split
+
+        df = spark.createDataFrame([(i, "en") for i in range(50)], "doc_id long, lang string")
+        a = {(r.doc_id, r.split) for r in stratified_split(df, "lang", "doc_id").collect()}
+        b = {(r.doc_id, r.split) for r in stratified_split(df, "lang", "doc_id").collect()}
+        assert a == b

@@ -110,3 +110,25 @@ class TestFillTimeGaps:
         assert got[(1, "2024-01-04")] == 1
         assert got[(2, "2024-01-02")] == 1
         assert len(got) == 5  # user 1: 4 days, user 2: 1 day
+
+
+class TestRateAnomalies:
+    def test_spike_scores_high(self, spark):
+        from pgferry_spark.operators.temporal import rate_anomalies
+
+        rows = []
+        # 10 quiet days alternating 2/3 events (nonzero trailing variance),
+        # then a 40-event spike on day 11
+        for d in range(1, 11):
+            for i in range(2 + d % 2):
+                rows.append((d * 100 + i, f"2024-01-{d:02d} 05:00:00", "click"))
+        rows += [(9000 + i, "2024-01-11 05:00:00", "click") for i in range(40)]
+        df = spark.createDataFrame(rows, "event_id long, ts_s string, event_type string").select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+        )
+        got = {str(r.bucket)[:10]: r for r in rate_anomalies(df, "ts", "event_type", "day", 7).collect()}
+        # first bucket has no trailing window at all -> NULL z
+        assert got["2024-01-01"].z_score is None
+        # the spike is far above any trailing variation
+        spike = got["2024-01-11"]
+        assert spike.n_events == 40 and spike.z_score is not None and spike.z_score > 3
