@@ -153,6 +153,26 @@ ANNOTATED = {
         "shuffle join at vocabulary scale) and the per-doc mean is the "
         "second and last shuffle.",
     ),
+    "token_budget_select": (
+        "histogram threshold instead of a global-order window",
+        "The naive form is an unpartitioned cumulative window — one task "
+        "sorting the corpus. Here a bounded per-quality-level token "
+        "histogram (collected driver-side like chunk-planner metadata) "
+        "finds the threshold; everything above it is a plain filter and "
+        "only the single threshold level runs a partitioned window.",
+    ),
+    "rate_anomalies": (
+        "window over the aggregated bucket table, not the facts",
+        "One fact aggregate produces (group, bucket, count); the trailing "
+        "mean/stddev window runs over that tiny table, so its cost is "
+        "groups x buckets regardless of event cardinality.",
+    ),
+    "quantize_embeddings": (
+        "map-only transform/fold expressions, no shuffle",
+        "int8 codes, per-vector scale, and L2 reconstruction error all "
+        "compute as whole-stage-codegen column expressions in one pass — "
+        "the 4x memory cut lands without a single exchange.",
+    ),
 }
 
 
