@@ -647,6 +647,16 @@ def _contamination_check(spark, sf):
     return filters.contamination_check(corpus, bench, "text", "doc_id", n=4)
 
 
+def _incremental_dedup(spark, sf):
+    """Daily-crawl ingestion dedup: the doc_id >= 400 slice arrives as the
+    new batch and dedups against the older corpus without re-deduping it."""
+    d = _t(spark, sf, "documents")
+    return dedup.incremental_dedup(
+        d.filter(F.col("doc_id") >= 400), d.filter(F.col("doc_id") < 400),
+        "text", "doc_id",
+    )
+
+
 def _stratified_split(spark, sf):
     """Exact per-language stratified train/val/test assignment."""
     from pgferry_spark.operators.curate import stratified_split
@@ -971,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _quantize_embeddings,
         "stratified_split": _stratified_split,
         "rate_anomalies": _rate_anomalies,
+        "incremental_dedup": _incremental_dedup,
     }
 
 
@@ -2106,6 +2117,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, h.n_hit_shingles, t.n_shingles,
                    ROUND(CAST(h.n_hit_shingles AS DOUBLE) / t.n_shingles, 6) AS hit_frac
             FROM hits h JOIN totals t USING (doc_id)
+        """,
+        "incremental_dedup": """
+            WITH fp AS (
+              SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM documents
+            ),
+            keepers AS (
+              SELECT MIN(doc_id) AS doc_id, fp FROM fp WHERE doc_id >= 400 GROUP BY fp
+            )
+            SELECT k.doc_id, k.fp FROM keepers k
+            WHERE NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id < 400 AND c.fp = k.fp)
         """,
         "stratified_split": """
             WITH ranked AS (

@@ -684,3 +684,41 @@ def dedup_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    content_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Admit only new-batch documents that duplicate NEITHER the existing
+    corpus NOR an earlier row of the same batch — the daily-crawl
+    ingestion path, where re-deduplicating the full corpus per batch
+    would be O(corpus) every day instead of O(batch).
+
+    Two fingerprint-keyed hops, both linear in the BATCH:
+    1. within-batch keeper: min-id per fingerprint (one shuffle of batch
+       fingerprints);
+    2. anti-join the keepers' fingerprints against the corpus fingerprint
+       table (at scale the corpus side is the precomputed/bucketed
+       fingerprint index a real deployment maintains — cite
+       `sources/layout.py` for the bucketed no-shuffle layout; here it is
+       derived inline so the operator is self-contained).
+
+    Returns (id, fingerprint) of admitted rows."""
+    from pyspark.sql.window import Window
+
+    from pgferry_spark.functions.text import fingerprint
+
+    batch_fp = new_batch.select(
+        F.col(id_col), fingerprint(F.col(content_col)).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    keepers = (
+        batch_fp.withColumn("__keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .select(id_col, "fp")
+    )
+    corpus_fp = corpus.select(fingerprint(F.col(content_col)).alias("fp")).distinct()
+    return keepers.join(corpus_fp, "fp", "left_anti").select(id_col, "fp")

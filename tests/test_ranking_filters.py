@@ -179,3 +179,24 @@ class TestQuantizeEmbeddings:
         assert got[2]["scale"] == 0.0
         assert got[2]["qvec_csv"] == "0,0,0"
         assert got[2]["recon_err"] == 0.0
+
+
+class TestIncrementalDedup:
+    def test_batch_vs_corpus_and_within_batch(self, spark):
+        from pgferry_spark.operators.dedup import incremental_dedup
+
+        corpus = spark.createDataFrame(
+            [(1, "already known text"), (2, "other corpus doc")], DOCS
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "already known text"),   # dup of corpus -> rejected
+                (11, "brand new document"),   # admitted
+                (12, "brand new document"),   # within-batch dup -> rejected
+                (13, "Already   KNOWN text"), # normalized dup of corpus -> rejected
+                (14, "another fresh one"),    # admitted
+            ],
+            DOCS,
+        )
+        got = sorted(r.doc_id for r in incremental_dedup(batch, corpus, "text", "doc_id").collect())
+        assert got == [11, 14]
