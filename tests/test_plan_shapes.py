@@ -149,3 +149,45 @@ class TestPlanShapes:
         lo, hi = src.min_max(table, "o_orderkey")
         row = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
         assert (lo, hi) == (row[0], row[1])
+
+
+class TestRound2PlanShapes:
+    """Guards for the ranking/filter family's measured pathologies."""
+
+    def test_contamination_ngram_expr_stays_out_of_scan(self, spark):
+        """explode_outer must keep Catalyst from cloning the shingle
+        construction (transform/array_join) into a pre-shuffle scan
+        filter — the measured ~10x pushdown pathology."""
+        plan = _executed(E.queries()["contamination_check"](spark, SF))
+        for l in scan_lines(plan):
+            assert "array_join" not in l and "transform" not in l, (
+                "shingle expression leaked into a scan filter: " + l[:200]
+            )
+
+    def test_bm25_single_tokenizing_scan(self, spark):
+        """BM25 must tokenize once into the cached narrow table: every
+        consumer reads InMemoryTableScan, and the final plan is an
+        ordered take, not a full sort."""
+        plan = _executed(E.queries()["bm25_topk"](spark, SF))
+        assert "InMemoryTableScan" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_repetition_stats_no_shuffle(self, spark):
+        """Map-only apart from fan_out's input spread: no aggregate or
+        join exchanges."""
+        plan = _executed(E.queries()["repetition_stats"](spark, SF))
+        assert "Join" not in plan
+        assert "HashAggregate" not in plan
+
+    def test_quantize_no_exchange(self, spark):
+        """int8 quantization is one map-only projection."""
+        plan = _executed(E.queries()["quantize_embeddings"](spark, SF))
+        assert "Exchange" not in plan.replace("REPARTITION", "")
+        assert "Join" not in plan and "HashAggregate" not in plan
+
+    def test_rate_anomalies_window_over_aggregated(self, spark):
+        """The z-score window must run above the bucket aggregate (tiny
+        table), and the bucket aggregate must be partial (map-side)."""
+        plan = _executed(E.queries()["rate_anomalies"](spark, SF))
+        assert "Window" in plan
+        assert "partial_count" in plan
