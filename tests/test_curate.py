@@ -123,3 +123,37 @@ class TestStratifiedSplit:
         a = {(r.doc_id, r.split) for r in stratified_split(df, "lang", "doc_id").collect()}
         b = {(r.doc_id, r.split) for r in stratified_split(df, "lang", "doc_id").collect()}
         assert a == b
+
+
+class TestTokenBudgetEquivalence:
+    def test_matches_global_cumsum_on_random_corpora(self, spark):
+        """The histogram-threshold plan must equal the naive global
+        (quality DESC, id ASC) running-sum prefix on arbitrary inputs,
+        including duplicate quality levels and budget edge cases."""
+        import random
+
+        from pgferry_spark.operators.curate import select_to_token_budget
+
+        rng = random.Random(42)
+        for trial in range(5):
+            rows = [
+                (i, round(rng.choice([0.1, 0.25, 0.5, 0.5, 0.75, 0.9]), 4),
+                 rng.randint(1, 50))
+                for i in range(rng.randint(1, 120))
+            ]
+            total = sum(t for _, _, t in rows)
+            budget = rng.randint(0, total + 10)
+            df = spark.createDataFrame(rows, "doc_id long, quality double, n_toks long")
+            got = sorted(
+                r.doc_id
+                for r in select_to_token_budget(df, "quality", "n_toks", "doc_id", budget).collect()
+            )
+            # reference: naive global prefix
+            ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+            want, cum = [], 0
+            for i, _, t in ordered:
+                cum += t
+                if cum > budget:
+                    break
+                want.append(i)
+            assert got == sorted(want), f"trial {trial} budget {budget}"
