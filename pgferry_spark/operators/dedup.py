@@ -187,6 +187,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle: int = 3,
     hash_fn: str = "md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
 
@@ -195,6 +196,15 @@ def lsh_candidate_pairs(
     bucket table is persisted so the MinHash signatures (the expensive md5
     work) are computed once, not once per join side.
 
+    ``max_bucket`` caps degenerate (hot) buckets: a bucket of B members
+    emits B^2/2 pairs, so one hot band value (boilerplate, empty-ish docs)
+    can dominate the whole join. Buckets above the cap are excluded via a
+    semi-join against the per-bucket counts (aggregated on the same
+    partitioning the join uses — no extra wide shuffle). The recall cost
+    is bounded: members of a dropped bucket still pair wherever any OTHER
+    band agrees, which for true near-duplicates is the common case.
+    Default None keeps exact reference/oracle semantics.
+
     Cache lifecycle: the persisted bucket table lives until the session
     evicts it (LRU) or the caller unpersists. A driver looping over many
     corpora should consume the result, then ``spark.catalog.clearCache()``
@@ -202,6 +212,14 @@ def lsh_candidate_pairs(
     buckets = lsh_bucket_table(
         df, content_col, id_col, num_hashes, bands, shingle, hash_fn
     ).persist()
+    if max_bucket is not None:
+        small = (
+            buckets.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+        buckets = buckets.join(small, ["band_id", "band_hash"], "left_semi")
     a = buckets.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )

@@ -200,3 +200,25 @@ class TestIncrementalDedup:
         )
         got = sorted(r.doc_id for r in incremental_dedup(batch, corpus, "text", "doc_id").collect())
         assert got == [11, 14]
+
+
+class TestLshBucketCap:
+    def test_hot_bucket_excluded_others_kept(self, spark):
+        from pgferry_spark.operators.dedup import lsh_candidate_pairs
+
+        # 6 identical docs (one hot bucket in every band) + 2 near-dups
+        rows = [(i, "common boiler plate text repeated") for i in range(6)]
+        rows += [(10, "alpha beta gamma delta epsilon"), (11, "alpha beta gamma delta zeta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = set(
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(df, "text", "doc_id", 12, 4, 3).collect()
+        )
+        capped = set(
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(df, "text", "doc_id", 12, 4, 3, max_bucket=4).collect()
+        )
+        # identical-doc pairs (15 of them) are gone; the near-dup pair survives
+        assert all(a < 10 and b < 10 for a, b in uncapped - capped)
+        assert (10, 11) in capped
+        assert capped < uncapped
