@@ -505,6 +505,7 @@ def embedding_near_dup_pairs_lsh(
     n_planes: int = 16,
     bands: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-blocked embedding near-dup: sign-bit hyperplane signatures split
     into ``bands``; pairs agreeing on ≥1 band are candidates, then exact
@@ -514,11 +515,12 @@ def embedding_near_dup_pairs_lsh(
 
     Scale shape: candidate generation is a self-join on (band_id, band_val)
     buckets — linear in collisions, never corpus-quadratic — and the exact
-    cosine runs only on candidates."""
-    from .similarity import lsh_bucket_batch, random_hyperplanes
+    cosine runs only on candidates.  Planes are generated executor-side
+    from ``(dim, n_planes, seed)`` (pass ``dim`` if known); construction
+    launches zero Spark jobs — the old formulation probed ``df.first()``
+    for the dimension, a blocking driver job before the main job."""
+    from .similarity import lsh_bucket_batch_lazy
 
-    dim = len(df.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
     width = n_planes // bands
     import numpy as np
     import pandas as pd
@@ -526,7 +528,9 @@ def embedding_near_dup_pairs_lsh(
     sig = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        lsh_bucket_batch(planes)(F.col(vec_col).cast("array<double>")).alias("sig"),
+        lsh_bucket_batch_lazy(n_planes, seed, dim)(
+            F.col(vec_col).cast("array<double>")
+        ).alias("sig"),
     )
     band_structs = [
         F.struct(

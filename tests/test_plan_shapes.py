@@ -191,3 +191,56 @@ class TestRound2PlanShapes:
         plan = _executed(E.queries()["rate_anomalies"](spark, SF))
         assert "Window" in plan
         assert "partial_count" in plan
+
+
+class TestRound3PlanShapes:
+    """Guards for the round-3 map-only IVF assignment and job-free LSH
+    construction (VERDICT r2 'What's wrong' #1/#2)."""
+
+    def test_ivf_assign_map_only(self, spark):
+        """Assignment folds centroids in as literals: per-row argmax, no
+        crossJoin+window — the old shape shuffled C copies of every row
+        (1024x the corpus at C=1024)."""
+        plan = _executed(E.queries()["ivf_assign"](spark, SF))
+        assert "Exchange" not in plan
+        assert "Window" not in plan
+        assert "Join" not in plan
+
+    def test_ivf_kmeans_assign_map_only(self, spark):
+        plan = _executed(E.queries()["ivf_kmeans_assign"](spark, SF))
+        assert "Exchange" not in plan
+        assert "Window" not in plan
+        assert "Join" not in plan
+
+    def test_lsh_construction_launches_zero_jobs(self, spark):
+        """Building the LSH bucket table / near-dup plan must not run a
+        driver action (the old df.first() dimension probe was a blocking
+        job scheduled before the main job)."""
+        from pgferry_spark.operators import dedup, similarity
+        from pgferry_spark.sources.parquet import read_parquet
+
+        e = read_parquet(spark, SF + "/embeddings.parquet")
+        tracker = spark.sparkContext._jsc.sc().statusTracker()
+        j0 = len(tracker.getJobIdsForGroup(None))
+        similarity.lsh_bucket_table(e, "embedding", "vec_id")
+        dedup.embedding_near_dup_pairs_lsh(e, "embedding", "vec_id")
+        assert len(tracker.getJobIdsForGroup(None)) == j0
+
+    def test_lazy_planes_match_driver_planes(self, spark):
+        """Executor-side plane generation must be byte-identical to the
+        driver-side formulation: same buckets with and without dim."""
+        from pgferry_spark.operators import similarity
+        from pgferry_spark.sources.parquet import read_parquet
+
+        e = read_parquet(spark, SF + "/embeddings.parquet")
+        lazy = {
+            (r["vec_id"], r["bucket"])
+            for r in similarity.lsh_bucket_table(e, "embedding", "vec_id").collect()
+        }
+        eager = {
+            (r["vec_id"], r["bucket"])
+            for r in similarity.lsh_bucket_table(
+                e, "embedding", "vec_id", dim=64
+            ).collect()
+        }
+        assert lazy == eager and len(lazy) > 0
