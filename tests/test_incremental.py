@@ -69,3 +69,63 @@ def test_dedup_clusters_transitive(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     # chain 1-2-3-4 collapses to one cluster even though 1~4 was never a pair
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def _brute_components(edge_list):
+    """Driver-side union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_matches_label_prop_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        edge_list = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(40)
+        ]
+        edge_list = [(a, b) for a, b in edge_list if a != b] or [(0, 1)]
+        pairs = spark.createDataFrame(edge_list, "id_a: long, id_b: long")
+        star = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, algorithm="star").collect()
+        }
+        prop = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, algorithm="label_prop").collect()
+        }
+        truth = _brute_components(edge_list)
+        assert star == prop == truth, f"trial {trial}"
+
+
+def test_star_logarithmic_rounds_on_path_graph(spark):
+    """A 1000-node path (diameter 999) must converge in O(log d) rounds —
+    the whole point of the large-star/small-star alternation; min-label
+    propagation would need ~999 rounds here."""
+    import math
+
+    from pgferry_spark.operators.dedup import _cc_star
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
+    ).coalesce(4)
+    labels, rounds = _cc_star(pairs, "id_a", "id_b", max_iter=50)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # paper bound is O(log^2 n) worst case, ~log2(d) in practice; +3 covers
+    # the confirming round and alternation slack
+    assert rounds <= math.ceil(math.log2(n)) + 3, rounds
