@@ -27,6 +27,7 @@ from pgferry_spark.multimodal import attach_fake_media, decode_image_meta, frame
 from pgferry_spark.operators import dedup, filters, orphans, queries as Q, ranking, similarity
 from pgferry_spark.plans.chunk import plan_table_chunks
 from pgferry_spark.sources.parquet import chunked_parquet_read, load_tables, read_parquet
+from pgferry_spark.utils import fan_out
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -408,9 +409,15 @@ def _bpe_token_count(spark, sf):
 def _winnow_summary(spark, sf):
     """Winnowing (rolling-hash) fingerprints, summarized per doc: compact
     but fully value-determined check of the fingerprint set (count + min +
-    max + bigint sum)."""
-    d = _t(spark, sf, "documents")
-    fps = d.select("doc_id", T.winnow_fingerprints(F.col("text"), k=5, w=4).alias("fps"))
+    max + bigint sum).  Fingerprints come from the Arrow-batched UDF
+    (functions/text.py winnow_fingerprints_batch): the higher-order-lambda
+    expression form is interpreted, ~180 ms/doc; the UDF is ~1 ms/doc with
+    bit-identical output, so the md5 oracle is unchanged.  fan_out first —
+    a single parquet file is one partition, serializing the UDF on a core."""
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    fps = d.select(
+        "doc_id", T.winnow_fingerprints_batch(k=5, w=4)(F.col("text")).alias("fps")
+    )
     return fps.select(
         "doc_id",
         F.size("fps").alias("n_fp"),
@@ -420,16 +427,32 @@ def _winnow_summary(spark, sf):
     )
 
 
+def _winnow_fp_table(spark, sf):
+    """Shared (doc_id, fp) winnow fingerprint table: Arrow-batched
+    fingerprinting (see _winnow_summary), exploded AFTER the UDF result is
+    a materialized column so the generator never re-evaluates the
+    fingerprint computation, persisted because the self-join in
+    _winnow_shared_pairs reads it twice."""
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            F.explode_outer(
+                T.winnow_fingerprints_batch(k=5, w=4)(F.col("text"))
+            ).alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull())
+        .persist()
+    )
+
+
 def _winnow_shared_pairs(spark, sf):
     """MOSS-style near-dup candidates: doc pairs sharing >= 50 winnowed
     fingerprints (any shared substring of length >= k+w-1 = 8 chars shares
     a fingerprint; the synthetic corpus shares template phrasing, so the
     bar selects genuinely heavy overlap). One explode + one equi-self-join
     on the fingerprint value — never all-pairs."""
-    d = _t(spark, sf, "documents")
-    fps = d.select(
-        "doc_id", F.explode(T.winnow_fingerprints(F.col("text"), k=5, w=4)).alias("fp")
-    )
+    fps = _winnow_fp_table(spark, sf)
     a = fps.select(F.col("doc_id").alias("id_a"), "fp")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp")
     return (

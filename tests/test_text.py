@@ -100,3 +100,22 @@ def test_keyword_search_all_conjunctive(spark):
     )
     got = {r["doc_id"]: r["total_tf"] for r in T.keyword_search_all(df, "text", "doc_id", ["spark", "window"]).collect()}
     assert got == {1: 2, 3: 3}  # doc 2 lacks 'spark'
+
+
+def test_winnow_batch_udf_matches_expression(spark):
+    """winnow_fingerprints_batch must be bit-identical to the Column
+    expression — same md5-prefix hashes, same window minima, same
+    first-occurrence distinct order — including unicode and edge lengths."""
+    rows = [
+        ("",),
+        ("abc",),
+        ("abcdef",),
+        ("the quick brown fox jumps over the lazy dog",),
+        ("aaaaaaaaaaaaaaaa",),
+        ("héllo wörld ünicode text with accents répeated héllo wörld",),
+        ("shared substring alpha beta gamma delta epsilon",),
+    ]
+    df = spark.createDataFrame(rows, "s: string")
+    expr = df.select(T.winnow_fingerprints(F.col("s"), k=5, w=4).alias("v")).collect()
+    udf = df.select(T.winnow_fingerprints_batch(k=5, w=4)(F.col("s")).alias("v")).collect()
+    assert [r["v"] for r in expr] == [r["v"] for r in udf]
