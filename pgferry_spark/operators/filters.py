@@ -203,11 +203,16 @@ def unigram_logprob_scores(df: DataFrame, text_col: str, id_col: str) -> DataFra
 def length_outlier_bounds(
     df: DataFrame, group_col: str, value_col: str, lo: float = 0.05, hi: float = 0.95
 ) -> DataFrame:
-    """Exact interpolated percentile bounds per group — one aggregate."""
+    """Exact interpolated percentile bounds per group — one aggregate.
+
+    Typed ``F.percentile`` API, not an ``F.expr`` SQL string: an
+    interpolated column name needing backticks (space, hyphen, keyword)
+    broke parsing, and a float interpolation is one locale/format bug away
+    from a silent semantic change."""
     v = F.col(value_col).cast("double")
     return df.groupBy(group_col).agg(
-        F.expr(f"percentile(CAST({value_col} AS DOUBLE), {lo})").alias("lo_bound"),
-        F.expr(f"percentile(CAST({value_col} AS DOUBLE), {hi})").alias("hi_bound"),
+        F.percentile(v, F.lit(lo)).alias("lo_bound"),
+        F.percentile(v, F.lit(hi)).alias("hi_bound"),
         F.count(v).alias("n_group"),
     )
 

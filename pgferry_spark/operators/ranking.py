@@ -61,7 +61,11 @@ def bm25_topk(
     query terms the document matched (disjunctive retrieval: any match
     scores; the conjunctive variant is ``text.keyword_search_all``).
     """
-    q = [t.lower() for t in terms]
+    # dedupe (order-preserving): the oracle's `token IN (...)` has set
+    # semantics — a repeated query term must not double-count score/n_terms
+    q = list(dict.fromkeys(t.lower() for t in terms))
+    if not q:
+        raise ValueError("bm25_topk requires at least one query term")
     toks = tokens(F.lower(F.col(text_col)))
     # fan_out: the |q| size(filter(...)) counters are per-row-expensive;
     # an under-partitioned input (single parquet file) would pin the

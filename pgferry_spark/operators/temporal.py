@@ -20,6 +20,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# step units accepted wherever a caller-supplied unit reaches date_trunc or
+# an `interval 1 <unit>` SQL fragment — anything else (a typo, or an
+# injection-shaped string) fails fast instead of parsing strangely
+_STEP_UNITS = frozenset(
+    {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
+)
+
+
+def _check_step(step: str) -> str:
+    s = step.lower()
+    if s not in _STEP_UNITS:
+        raise ValueError(
+            f"step must be one of {sorted(_STEP_UNITS)}, got {step!r}"
+        )
+    return s
+
 
 def range_join(
     points: DataFrame,
@@ -122,6 +138,7 @@ def fill_time_gaps(
     only. Caller owns the cache lifecycle."""
     from pyspark.storagelevel import StorageLevel
 
+    step = _check_step(step)
     b = F.date_trunc(step, F.col(ts_col))
     counts = (
         df.groupBy(F.col(key_col), b.alias("bucket"))
@@ -162,6 +179,7 @@ def rate_anomalies(
     Buckets with fewer than 2 trailing points or zero variance emit NULL
     z (explicitly guarded on both engines: double/0 is Inf, not NULL, in
     some engines)."""
+    step = _check_step(step)
     b = F.date_trunc(step, F.col(ts_col))
     counts = df.groupBy(F.col(group_col), b.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_events")

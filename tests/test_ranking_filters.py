@@ -222,3 +222,54 @@ class TestLshBucketCap:
         assert all(a < 10 and b < 10 for a, b in uncapped - capped)
         assert (10, 11) in capped
         assert capped < uncapped
+
+
+class TestAdviceEdgeCases:
+    """Round-3 ADVICE items: bm25 degenerate inputs, identifier-safe
+    percentile bounds, step-unit validation."""
+
+    def test_bm25_empty_terms_raises(self, spark):
+        from pgferry_spark.operators.ranking import bm25_topk
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            bm25_topk(df, "text", "doc_id", [])
+
+    def test_bm25_duplicate_terms_score_once(self, spark):
+        from pgferry_spark.operators.ranking import bm25_topk
+
+        df = spark.createDataFrame(
+            [(1, "spark shuffles data"), (2, "spark spark spark"), (3, "no match here")],
+            "doc_id long, text string",
+        )
+        once = {(r.doc_id, r.n_terms, r.score)
+                for r in bm25_topk(df, "text", "doc_id", ["spark"]).collect()}
+        dup = {(r.doc_id, r.n_terms, r.score)
+               for r in bm25_topk(df, "text", "doc_id", ["spark", "SPARK", "spark"]).collect()}
+        assert once == dup and len(once) == 2
+
+    def test_length_outlier_bounds_quoted_identifier(self, spark):
+        from pgferry_spark.operators.filters import length_outlier_bounds
+
+        # a column name that breaks unquoted SQL interpolation
+        df = spark.createDataFrame(
+            [("en", 10), ("en", 20), ("en", 30)], "lang string, `token count` int"
+        )
+        rows = length_outlier_bounds(df, "lang", "token count", 0.0, 1.0).collect()
+        assert rows[0]["lo_bound"] == 10.0 and rows[0]["hi_bound"] == 30.0
+
+    def test_step_unit_validated(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.operators.temporal import fill_time_gaps, rate_anomalies
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"))
+        with _pytest.raises(ValueError):
+            fill_time_gaps(df, "user_id", "ts", "day'; DROP TABLE x")
+        with _pytest.raises(ValueError):
+            rate_anomalies(df, step="fortnight")
