@@ -8,6 +8,13 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with ``df.count()`` (full compute, no driver-side row
 transfer). Session uses the engine defaults (AQE on, UTC, tuned shuffle
 partitions).
+
+Repeat-median mode (default): every query runs ``$SPARK_GRAFT_BENCH_REPEATS``
+times (default 3) with the cache cleared between runs (cold-compute basis —
+operators that persist intermediates would otherwise report a warm second
+run); the headline number per query is the MEDIAN and the raw runs ride
+along under "runs".  Container load swings single runs ~2x; the median
+keeps round-over-round comparisons about the code, not the neighbors.
 """
 
 from __future__ import annotations
@@ -150,23 +157,41 @@ def main() -> int:
     _sim_warm(_tiny, "text", "doc_id", max_hamming=2).count()
     spark.catalog.clearCache()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        rs = []
+        for _ in range(repeats):
+            # cold-compute basis: operators that persist intermediates
+            # (bucket tables, tf tables) must not hand run 2+ a warm cache
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            rs.append(round(time.perf_counter() - t0, 3))
+        runs[name] = rs
+        timings[name] = round(_median(rs), 3)
 
-    # workload isolation: the dedup/ANN queries persist bucket/block tables
-    # whose lifecycle is the caller's to end (operator docstrings); release
-    # them before the migration so its ~100 small jobs aren't scheduled
-    # against a heap full of dead caches
+    # workload isolation: release any straggler caches before the migration
+    # so its ~100 small jobs aren't scheduled against a heap of dead blocks
     spark.catalog.clearCache()
 
     # the movement path — BASELINE.md's headline metric: full 8-table
     # parquet -> spool migration (introspect, DDL, chunked reads, write,
     # row-count validation, constraint replay transcript)
-    timings["migration_8table"] = round(_migration(spark, sf_dir), 3)
+    rs = []
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        rs.append(round(_migration(spark, sf_dir), 3))
+    runs["migration_8table"] = rs
+    timings["migration_8table"] = round(_median(rs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -176,6 +201,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "repeats": repeats,
                 "sf": sf,
             }
         )
