@@ -51,7 +51,8 @@ class TestWizard:
     def test_full_flow_and_toml(self):
         cfg = run_wizard(
             ask=self.scripted(
-                ["mysql", "db://host/app", "full", "pg://t/db", "appschema", "y", "check", "text_array"]
+                ["mysql", "db://host/app", "n", "full", "pg://t/db", "n",
+                 "appschema", "y", "check", "text_array"]
             ),
             say=lambda s: None,
         )
@@ -70,9 +71,107 @@ class TestWizard:
     def test_defaults_and_reprompts(self):
         # invalid source type re-prompts; empty answers take defaults
         cfg = run_wizard(
-            ask=self.scripted(["oracle", "", "/data/x.db", "schema_only", "", "", "", ""]),
+            ask=self.scripted(
+                ["oracle", "", "/data/x.db", "n", "schema_only", "", "", "", ""]
+            ),
             say=lambda s: None,
         )
         assert cfg.source_type == "mysql"  # default after the invalid answer
         assert cfg.mode == "schema_only" and cfg.target_dsn == ""
         assert cfg.target_schema == "public"
+
+
+class TestWizardProbe:
+    """The connection-test seam (reference wizard.go:964-992): probe on
+    request, reprompt on failure, skip on 'n' — tester injected, so every
+    branch runs without a server."""
+
+    @staticmethod
+    def scripted(answers):
+        it = iter(answers)
+        return lambda prompt: next(it)
+
+    def _flow(self, answers, tester):
+        calls = []
+
+        def test_source(source_type, dsn):
+            calls.append((source_type, dsn))
+            tester(dsn)
+
+        cfg = run_wizard(
+            ask=self.scripted(answers),
+            say=lambda s: None,
+            test_source=test_source,
+            test_target=lambda dsn: None,
+        )
+        return cfg, calls
+
+    def test_probe_success_accepts_dsn(self):
+        cfg, calls = self._flow(
+            ["sqlite", "/data/x.db", "y", "schema_only", "", "", "", ""],
+            lambda dsn: None,
+        )
+        assert cfg.source_dsn == "/data/x.db"
+        assert calls == [("sqlite", "/data/x.db")]
+
+    def test_probe_failure_reprompts_until_good(self):
+        def tester(dsn):
+            if "bad" in dsn:
+                raise OSError("connection refused")
+
+        cfg, calls = self._flow(
+            ["sqlite", "/bad.db", "y", "/good.db", "y", "schema_only",
+             "", "", "", ""],
+            tester,
+        )
+        assert cfg.source_dsn == "/good.db"
+        assert [d for _, d in calls] == ["/bad.db", "/good.db"]
+
+    def test_probe_timeout_is_a_failure(self):
+        def tester(dsn):
+            if dsn == "slow/db":
+                raise TimeoutError("timed out after 5.0s")
+
+        cfg, calls = self._flow(
+            ["mysql", "slow/db", "y", "fast/db", "y", "schema_only",
+             "", "", "", ""],
+            tester,
+        )
+        assert cfg.source_dsn == "fast/db"
+
+    def test_probe_skipped_on_no(self):
+        cfg, calls = self._flow(
+            ["sqlite", "/x.db", "n", "schema_only", "", "", "", ""],
+            lambda dsn: (_ for _ in ()).throw(AssertionError("must not run")),
+        )
+        assert cfg.source_dsn == "/x.db" and calls == []
+
+    def test_default_prober_sqlite_real_file(self, tmp_path):
+        import sqlite3
+
+        from pgferry_spark.wizard import probe_connection
+
+        db = tmp_path / "real.db"
+        sqlite3.connect(db).close()
+        probe_connection("sqlite", str(db))  # no raise
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            probe_connection("sqlite", str(tmp_path / "missing.db"))
+
+    def test_default_prober_tcp_refused(self):
+        import pytest as _pytest
+
+        from pgferry_spark.wizard import probe_connection
+
+        # a port nothing listens on: genuine socket-level failure path
+        with _pytest.raises(OSError):
+            probe_connection("mysql", "127.0.0.1:59999/app", timeout=1.0)
+
+    def test_host_port_parsing(self):
+        from pgferry_spark.wizard import _host_port
+
+        assert _host_port("u:p@tcp(db1:3307)/app", 3306) == ("db1", 3307)
+        assert _host_port("mysql://u:p@db2/app", 3306) == ("db2", 3306)
+        assert _host_port("db3:1533/app?x=1", 1433) == ("db3", 1533)
+        assert _host_port("db4/app", 1433) == ("db4", 1433)
