@@ -346,3 +346,47 @@ def keyword_search_all(df, text_col: str, id_col: str, terms: list[str]):
         .filter(F.col("n_terms") == len(terms))
         .select(F.col(id_col), F.col("total_tf"))
     )
+
+
+def vocab_topk(df, text_col: str, id_col: str, k: int = 100):
+    """Corpus vocabulary heavy hitters: the ``k`` most frequent (lowercased,
+    whitespace) tokens with their rank and cumulative corpus-coverage share
+    — the first question a tokenizer/vocab build asks of a new corpus
+    ("how much of the token stream do the top-k types cover?").
+
+    Scale shape: one tokenize+explode scan → partial+final count aggregate
+    (map-side combine keeps the shuffle at distinct-token cardinality, not
+    token-stream cardinality) → TakeOrdered top-k. The cumulative-share
+    window runs on the k-row result only — never a global sort of the
+    vocabulary — and the corpus token total rides along via a 1-row
+    broadcast. Ordering is deterministic: (count desc, token asc).
+
+    fan_out + explode_outer: spread a single-file input before the
+    per-row tokenize, and keep Catalyst from inferring a size()>0 filter
+    that clones the tokenize into the scan (the documented explode
+    pathology)."""
+    from pyspark.sql.window import Window
+
+    from ..utils import fan_out
+
+    toks = (
+        fan_out(df, id_col)
+        .select(F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .filter(F.col("token").isNotNull())
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "token",
+        "cnt",
+        F.round(
+            F.sum("cnt").over(w) / F.col("total").cast("double"), 6
+        ).alias("cum_share"),
+    )

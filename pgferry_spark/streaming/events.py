@@ -197,6 +197,35 @@ def dedup_stream(events: DataFrame, id_col: str = "event_id", watermark: str = "
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([id_col])
 
 
+def dedup_stream_by_content(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming CONTENT dedup: drop documents whose whitespace-normalized
+    fingerprint (functions/text.py ``fingerprint``: md5 of the lowercased,
+    run-collapsed text) was already seen inside the watermark horizon —
+    the ingestion-time twin of the batch ``incremental_dedup`` operator.
+    A crawler re-fetching the same page under a different URL/id, or a
+    mirror serving byte-shifted whitespace, dedupes here; the id-keyed
+    :func:`dedup_stream` would pass both.
+
+    State is one (fingerprint → latest-ts) entry per distinct document in
+    the horizon — bounded by (distinct-arrival rate × horizon), not corpus
+    size. At 100 TB this is the cheap gate in FRONT of the landing zone;
+    the batch MinHash/SimHash passes remain the periodic compaction behind
+    it (near-dups with different fingerprints flow through)."""
+    from ..functions.text import fingerprint
+
+    fp = docs.withColumn("__fp", fingerprint(F.col(text_col)))
+    return (
+        fp.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
 def sliding_event_rates(
     events: DataFrame,
     window: str = "1 hour",

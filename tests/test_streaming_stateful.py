@@ -67,3 +67,35 @@ def test_stream_dedup_drops_redelivery(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT event_id FROM t_dedup").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_stream_content_dedup_normalized_twins(spark, tmp_path):
+    """Content-keyed streaming dedup: same normalized text under different
+    ids collapses to one row; distinct content flows through."""
+    import datetime as dt
+
+    from pgferry_spark.streaming.events import dedup_stream_by_content
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, t, "Hello   World"),
+        (2, t, "hello world"),        # normalized twin of doc 1 -> dropped
+        (3, t, "entirely different"),
+    ]
+    path = str(tmp_path / "content_src")
+    spark.createDataFrame(rows, "doc_id: long, ts: timestamp, text: string") \
+        .coalesce(1).write.parquet(path)
+    stream = dedup_stream_by_content(
+        spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(path)
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("t_content_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM t_content_dedup").collect()
+    )
+    assert len(got) == 2 and 3 in got and (1 in got or 2 in got)
+    # schema passthrough: the internal fingerprint column must not leak
+    assert set(stream.schema.fieldNames()) == {"doc_id", "ts", "text"}
