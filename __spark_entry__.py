@@ -446,13 +446,19 @@ def _winnow_fp_table(spark, sf):
     )
 
 
-def _winnow_shared_pairs(spark, sf):
-    """MOSS-style near-dup candidates: doc pairs sharing >= 50 winnowed
-    fingerprints (any shared substring of length >= k+w-1 = 8 chars shares
-    a fingerprint; the synthetic corpus shares template phrasing, so the
-    bar selects genuinely heavy overlap). One explode + one equi-self-join
-    on the fingerprint value — never all-pairs."""
+def _winnow_pairs(spark, sf, max_df: int | None = None):
+    """Shared pair-generation core; ``max_df`` drops fingerprints whose
+    document frequency exceeds the cap BEFORE the self-join (left-semi
+    against the small broadcast fingerprint whitelist)."""
     fps = _winnow_fp_table(spark, sf)
+    if max_df is not None:
+        good = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(good), "fp", "left_semi")
     a = fps.select(F.col("doc_id").alias("id_a"), "fp")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -462,6 +468,31 @@ def _winnow_shared_pairs(spark, sf):
         .agg(F.count(F.lit(1)).alias("shared_fp"))
         .filter(F.col("shared_fp") >= 50)
     )
+
+
+def _winnow_shared_pairs(spark, sf):
+    """MOSS-style near-dup candidates: doc pairs sharing >= 50 winnowed
+    fingerprints (any shared substring of length >= k+w-1 = 8 chars shares
+    a fingerprint; the synthetic corpus shares template phrasing, so the
+    bar selects genuinely heavy overlap). One explode + one equi-self-join
+    on the fingerprint value — never all-pairs.
+
+    SCALE CAVEAT (measured, docs/SCALE.md): on a vocabulary-saturated
+    corpus the self-join generates sum(df^2) intermediate rows — 2e8 at
+    sf0.1, where one boilerplate fingerprint reaches 78% document
+    frequency. Production runs should use the _capped variant below."""
+    return _winnow_pairs(spark, sf)
+
+
+def _winnow_shared_pairs_capped(spark, sf):
+    """The production-scale winnow pair generator: fingerprints with
+    document frequency > 100 are dropped before the self-join (MOSS's own
+    over-common-fingerprint rule). A fingerprint shared by most of the
+    corpus is template boilerplate — it bloats the join quadratically
+    (sum(df^2)) while carrying no near-dup signal; capping bounds the join
+    at n_fps x cap^2 regardless of corpus size. Same >= 50 shared bar,
+    now counting only discriminative fingerprints."""
+    return _winnow_pairs(spark, sf, max_df=100)
 
 
 def _inverted_index(spark, sf):
@@ -1038,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (positions 51+ aren't checked this round; these rotate into the
         # window next round — local compare_oracle covers them meanwhile)
         "vocab_topk": _vocab_topk,
+        "winnow_shared_pairs_capped": _winnow_shared_pairs_capped,
     }
 
 
@@ -1707,6 +1739,17 @@ def oracle_sql() -> dict[str, str]:
             , ex AS (SELECT doc_id, unnest(fps) AS fp FROM wf)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
             FROM ex a JOIN ex b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 50
+        """,
+        "winnow_shared_pairs_capped": winnow_cte
+        + """
+            , ex AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+            good AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 100),
+            exg AS (SELECT ex.doc_id, ex.fp FROM ex JOIN good USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+            FROM exg a JOIN exg b USING (fp)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 50

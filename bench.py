@@ -61,6 +61,10 @@ HEADLINE = [
     "unigram_logprob",
     "fill_time_gaps",
     "quality_checks",
+    "winnow_summary",
+    "winnow_shared_pairs_capped",
+    "ivf_assign",
+    "vocab_topk",
     "events_pivot",
     "revenue_percentiles",
 ]

@@ -73,8 +73,8 @@ def test_window_exactly_filled(entry_mod):
 
 def test_no_entries_lost_in_reorder(entry_mod):
     qs = entry_mod.queries()
-    assert len(qs) == 98
-    assert len(set(qs)) == 98
+    assert len(qs) == 99
+    assert len(set(qs)) == 99
 
 
 def test_oracle_coverage_unchanged(entry_mod):
