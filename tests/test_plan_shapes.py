@@ -226,6 +226,17 @@ class TestRound3PlanShapes:
         dedup.embedding_near_dup_pairs_lsh(e, "embedding", "vec_id")
         assert len(tracker.getJobIdsForGroup(None)) == j0
 
+    def test_capped_winnow_whitelist_broadcasts(self, spark):
+        """The df-cap whitelist must reach the fingerprint table as a
+        BROADCAST semi-join — a shuffled join here would move the whole
+        (doc_id, fp) table just to drop boilerplate fingerprints."""
+        plan = _executed(E.queries()["winnow_shared_pairs_capped"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        left_semis = [
+            l for l in plan.splitlines() if "LeftSemi" in l
+        ]
+        assert left_semis and all("SortMerge" not in l for l in left_semis)
+
     def test_lazy_planes_match_driver_planes(self, spark):
         """Executor-side plane generation must be byte-identical to the
         driver-side formulation: same buckets with and without dim."""
