@@ -65,6 +65,8 @@ HEADLINE = [
     "winnow_shared_pairs_capped",
     "ivf_assign",
     "vocab_topk",
+    "span_dedup",
+    "semdedup",
     "events_pivot",
     "revenue_percentiles",
 ]

@@ -196,3 +196,107 @@ def stratified_split(
         .otherwise(F.lit("test"))
     )
     return df.select(F.col(id_col), F.col(group_col)).withColumn("split", split)
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    total: int,
+) -> DataFrame:
+    """Deterministic data-mixture sampling: draw ``round(weights[g] * total)``
+    rows from each source group, in md5-of-id order.
+
+    This is the "mix 30% web, 20% code, ..." step of a training-data build.
+    Sampling by hash order instead of RNG makes the mixture a pure function
+    of the data: re-running yields the same corpus, adding a new source
+    never changes the rows drawn from existing ones, and any engine with
+    md5 can reproduce the draw (same portability argument as
+    :func:`split_bucket`).
+
+    One shuffle (the per-group window). Groups not in ``weights``
+    contribute nothing. The quota map ships as a literal expression —
+    there is no join, so the group column's skew is irrelevant; each
+    group's window partition only has to hold that group's rows, the same
+    bound any per-group top-N has.
+    """
+    pairs = []
+    for g, w in sorted(weights.items()):
+        pairs.extend([F.lit(g), F.lit(int(round(w * total)))])
+    quota = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(group_col)), F.lit(0)
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    rk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= quota)
+        .withColumn("sample_rank", F.col("__rk").cast("int"))
+        .drop("__rk")
+    )
+
+
+def assign_shards(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Stable shard id in [0, n_shards) from the md5 of the row id — the
+    write-side twin of :func:`split_bucket` (same engine-portable hash, so
+    a reader can locate a document's shard without a manifest lookup)."""
+    return df.withColumn("shard", split_bucket(F.col(id_col), n_shards).cast("int"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Per-shard audit manifest for a training-shard write: document count,
+    token total, and byte total per md5-assigned shard.
+
+    One aggregation shuffle on the shard id (map-side combine makes the
+    shuffled volume n_shards rows per task). This is the verification
+    artifact a 100 TB shard write ships with — the writer
+    (:func:`write_training_shards`) produces files; this produces the
+    row/token accounting a trainer checks before consuming them."""
+    from ..functions.text import token_count
+
+    return (
+        assign_shards(df, id_col, n_shards)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(token_count(F.col(text_col)).cast("bigint")).alias("tokens"),
+            F.sum(F.length(F.col(text_col)).cast("bigint")).alias("bytes"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 8,
+) -> None:
+    """Write the corpus as ``n_shards`` deterministic parquet shards:
+    ``path/shard=K/`` each holding exactly the md5-assigned rows of shard
+    K, ordered by md5(id) within the shard.
+
+    ``repartition(n_shards, shard)`` puts each shard's rows in one task
+    (hash collisions between shard ids may co-locate two shards in one
+    task — ``partitionBy`` still splits them into separate directories);
+    ``sortWithinPartitions`` fixes the in-file row order so the write is
+    byte-stable run to run. At 100 TB, raise ``n_shards`` until a shard
+    fits an executor's write buffer — assignment stays stable under
+    resharding only in the trivial K→2K sense, so pick the final shard
+    count once, up front."""
+    h = F.md5(F.col(id_col).cast("string"))
+    (
+        assign_shards(df, id_col, n_shards)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), h.asc(), F.col(id_col).asc())
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

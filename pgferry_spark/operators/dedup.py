@@ -866,3 +866,140 @@ def incremental_dedup(
     )
     corpus_fp = corpus.select(fingerprint(F.col(content_col)).alias("fp")).distinct()
     return keepers.join(corpus_fp, "fp", "left_anti").select(id_col, "fp")
+
+
+# -- duplicate-span removal (C4-style line dedup) ----------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    span: int = 5,
+) -> DataFrame:
+    """Corpus-wide duplicate-span removal: C4's three-sentence / line-level
+    dedup rule (keep the FIRST occurrence of every repeated span, delete the
+    rest from their documents) adapted to unsegmented text by chunking each
+    document into fixed-width ``span``-token windows.
+
+    Returns one row per non-blank document:
+    ``(id, n_spans, kept_spans, kept_text)`` where ``kept_text`` is the
+    document reassembled from its surviving spans in original order — the
+    downstream training corpus after span-level dedup.
+
+    Scale shape (the C4 pipeline ran exactly this over hundreds of TB):
+
+    * span chunking is map-only — one HOF ``transform`` over the token
+      array, then ``posexplode``; no driver state, no UDF;
+    * keep-first is ONE shuffle on the span text (window ``row_number``
+      ordered by ``(id, span_idx)``) — the same keyed shuffle as exact
+      dedup, with map-side width reduced to (id, idx, span) triples;
+    * reassembly is ONE shuffle back on the document id with
+      ``collect_list`` of surviving spans (bounded by document length,
+      not corpus size).
+
+    A corpus-hot span (boilerplate header, empty-ish filler) concentrates
+    its window partition; the keeper needs only the MIN (id, idx) pair, so
+    at 100 TB swap the window for ``min(struct(id, idx))`` + re-join, or
+    salt the span key — shape documented in docs/SCALE.md. Keep-first (not
+    keep-random) makes the pass deterministic and incremental-rebuild safe.
+    """
+    toks = tokens(F.col(content_col))
+    n_spans = F.ceil(F.size(toks) / F.lit(span)).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(toks, i * span + 1, span), " "),
+    )
+    exploded = (
+        df.filter(F.trim(F.col(content_col)) != "")
+        .select(F.col(id_col), F.posexplode(spans_arr).alias("span_idx", "span_text"))
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("span_text").orderBy(F.col(id_col).asc(), F.col("span_idx").asc())
+    )
+    ranked = exploded.withColumn("__rn", rn)
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("span_idx"), F.col("span_text"))
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__rn") == 1).cast("bigint")).alias("kept_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("span_text"),
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
+# -- SemDeDup (cluster-then-dedup semantic dedup) ----------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering embeddings
+    and removing near-duplicates WITHIN each cluster — the trick that makes
+    embedding dedup tractable at corpus scale, because the O(n²) cosine
+    verify runs per-cell, never corpus-wide.
+
+    Returns ``(id, cell_id, is_kept)`` for every row: within a cell, a row
+    is dropped iff some LOWER-id row of the same cell has cosine ≥
+    ``threshold`` with it (keep-lowest-id, the deterministic stand-in for
+    SemDeDup's keep-one-per-dup-group).
+
+    Scale shape: cell assignment is map-only register math against literal
+    centroids (zero shuffle — same path as :func:`ivf_assign`); the
+    per-cell verify is ONE shuffle on the cell id plus a BLAS matmul per
+    cell (Arrow-batched ``applyInPandas``).  Cell population bounds the
+    matmul, so the centroid count is the scale dial: at 100 TB you run
+    ~100k k-means cells so each cell holds ~thousands of vectors — swap
+    ``centroids`` for MLlib KMeans output (:func:`~pgferry_spark.operators.
+    similarity.ivf_assign_kmeans` trains one), identical shape.  A skewed
+    (degenerate) cell concentrates its matmul; the mitigations are more
+    cells or a per-cell LSH re-block (:func:`embedding_near_dup_pairs_lsh`
+    within the cell).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _cell_of, ivf_centroids
+
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, id_col, n_cells)
+
+    assigned = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        _cell_of(F.col(vec_col), centroids).alias("cell_id"),
+    )
+
+    def cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        cell = pdf["cell_id"].to_numpy()[order]
+        V = np.array(list(pdf["v"].iloc[order]), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ V.T
+        S = np.floor(S * 10_000 + np.where(S >= 0, 0.5, -0.5)) / 10_000  # half-up 4dp
+        # dropped iff any strictly-lower-id row in the cell is >= threshold:
+        # strict lower triangle of the id-sorted similarity matrix.
+        dup = (np.tril(S >= threshold, k=-1)).any(axis=1)
+        return pd.DataFrame({"id": ids, "cell_id": cell, "is_kept": ~dup})
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        cell_dedup, "id long, cell_id int, is_kept boolean"
+    )

@@ -157,3 +157,74 @@ class TestTokenBudgetEquivalence:
                     break
                 want.append(i)
             assert got == sorted(want), f"trial {trial} budget {budget}"
+
+
+class TestMixtureSample:
+    def _df(self, spark):
+        rows = [(i, "src%d" % (i % 3)) for i in range(60)]
+        return spark.createDataFrame(rows, "id: long, src: string")
+
+    def test_quotas_exact(self, spark):
+        from pgferry_spark.operators.curate import mixture_sample
+
+        out = mixture_sample(
+            self._df(spark), "src", "id", {"src0": 0.5, "src1": 0.25}, total=16
+        )
+        by_src = {r["src"]: r["n"] for r in
+                  out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        assert by_src == {"src0": 8, "src1": 4}  # src2 absent: weight 0
+
+    def test_deterministic_and_prefix_stable(self, spark):
+        from pgferry_spark.operators.curate import mixture_sample
+
+        df = self._df(spark)
+        a = mixture_sample(df, "src", "id", {"src0": 0.5}, total=10)
+        b = mixture_sample(df, "src", "id", {"src0": 0.5}, total=20)
+        small = {r["id"] for r in a.collect()}
+        big = {r["id"] for r in b.collect()}
+        # md5-order draw: a smaller mixture is a strict prefix of a larger one
+        assert small <= big
+
+    def test_quota_exceeding_group_size_takes_all(self, spark):
+        from pgferry_spark.operators.curate import mixture_sample
+
+        out = mixture_sample(
+            self._df(spark), "src", "id", {"src0": 1.0}, total=100
+        )
+        assert out.count() == 20  # only 20 src0 rows exist
+
+
+class TestTrainingShards:
+    def test_manifest_accounts_for_every_row(self, spark):
+        from pgferry_spark.operators.curate import shard_manifest
+
+        rows = [(i, "w " * (i % 7 + 1)) for i in range(40)]
+        df = spark.createDataFrame(rows, "id: long, text: string")
+        m = shard_manifest(df, "id", "text", n_shards=4).collect()
+        assert sum(r["docs"] for r in m) == 40
+        assert sum(r["tokens"] for r in m) == sum(i % 7 + 1 for i in range(40))
+        assert {r["shard"] for r in m} <= set(range(4))
+
+    def test_write_round_trip_and_determinism(self, spark, tmp_path):
+        from pgferry_spark.operators.curate import (
+            assign_shards,
+            write_training_shards,
+        )
+
+        rows = [(i, "doc %d" % i) for i in range(50)]
+        df = spark.createDataFrame(rows, "id: long, text: string")
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        write_training_shards(df, p1, "id", n_shards=4)
+        write_training_shards(df, p2, "id", n_shards=4)
+
+        back = spark.read.parquet(p1)
+        assert sorted((r["id"], r["text"]) for r in back.collect()) == rows
+        # directory-per-shard layout, shard column recoverable from the path
+        assert sorted({r["shard"] for r in back.select("shard").collect()}) == \
+            sorted({r["shard"] for r in
+                    assign_shards(df, "id", 4).select("shard").collect()})
+        # same input -> same shard assignment on a second write
+        b2 = spark.read.parquet(p2)
+        a1 = sorted((r["id"], r["shard"]) for r in back.collect())
+        a2 = sorted((r["id"], r["shard"]) for r in b2.collect())
+        assert a1 == a2
