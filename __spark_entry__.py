@@ -987,6 +987,31 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _dup_rate_by_source(spark, sf):
+    """Per-source duplication-rate report (docs, distinct fingerprints,
+    dup rate) — the corpus-health table that decides which sources need
+    aggressive dedup before mixing. One aggregation shuffle."""
+    from pgferry_spark.operators.dedup import dup_rate_by_source
+
+    d = _t(spark, sf, "documents")
+    return dup_rate_by_source(d, "text", "doc_id", "source")
+
+
+def _pq_encode(spark, sf):
+    """Product quantization: 64-dim vectors → 4 one-byte codes (nearest
+    subspace centroid by 4dp-rounded L2, ties to lowest code) + total
+    reconstruction error. Map-only literal-codebook register math."""
+    from pgferry_spark.operators.similarity import pq_encode
+
+    e = _t(spark, sf, "embeddings")
+    out = pq_encode(e, "embedding", "vec_id", m=4, k=16)
+    return out.select(
+        "vec_id",
+        F.array_join("codes", ",").alias("codes_csv"),
+        "recon_err",
+    )
+
+
 def _semdedup(spark, sf):
     """SemDeDup: cluster embeddings into IVF cells (map-only literal-centroid
     argmax), then drop rows with a lower-id ≥0.35-cosine neighbor in the
@@ -1074,7 +1099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _mixture_sample,
         "shard_manifest": _shard_manifest,
         "semdedup": _semdedup,
-        # --- position 55+: all hash-green in CORRECTNESS_r02 ---------------
+        "pq_encode": _pq_encode,
+        "dup_rate_by_source": _dup_rate_by_source,
+        # --- position 57+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2468,6 +2495,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens,
                    CAST(sum(n_bytes) AS BIGINT) AS bytes
             FROM assigned GROUP BY shard
+        """,
+        "dup_rate_by_source": r"""
+            WITH fp AS (
+              SELECT source,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+              FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(count(DISTINCT f) AS BIGINT) AS distinct_fps,
+                   ROUND(1.0 - count(DISTINCT f) / CAST(count(*) AS DOUBLE), 6)
+                     AS dup_rate
+            FROM fp GROUP BY source
+        """,
+        "pq_encode": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            subs AS (SELECT vec_id, v, unnest(range(4)) AS sub FROM e),
+            sv AS (SELECT vec_id, CAST(sub AS INT) AS sub,
+                          v[sub*16+1 : sub*16+16] AS subv
+                   FROM subs),
+            cb AS (SELECT sub, vec_id AS cell, subv AS cvec FROM sv WHERE vec_id < 16),
+            dists AS (SELECT a.vec_id, a.sub, cb.cell,
+                             ROUND(list_distance(a.subv, cb.cvec), 4) AS dist
+                      FROM sv a JOIN cb ON cb.sub = a.sub),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                                    ORDER BY dist ASC, cell ASC) AS rnk
+                       FROM dists),
+            best AS (SELECT vec_id, sub, cell, dist FROM ranked WHERE rnk = 1)
+            SELECT vec_id,
+                   string_agg(CAST(cell AS VARCHAR), ',' ORDER BY sub) AS codes_csv,
+                   ROUND(sqrt(SUM(dist * dist)), 4) AS recon_err
+            FROM best GROUP BY vec_id
         """,
         "semdedup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

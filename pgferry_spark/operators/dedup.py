@@ -1003,3 +1003,36 @@ def semdedup(
     return assigned.groupBy("cell_id").applyInPandas(
         cell_dedup, "id long, cell_id int, is_kept boolean"
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame, content_col: str, id_col: str, source_col: str
+) -> DataFrame:
+    """Per-source corpus-health report: document count, distinct normalized
+    fingerprints, and duplication rate (1 - distinct/docs) for every source
+    — the first table a curation run checks to decide which sources need
+    aggressive dedup before mixing.
+
+    One aggregation shuffle on the source key; the distinct fingerprint
+    count is ``count_distinct`` over the 16-byte md5 (partial aggregation
+    applies; at extreme cardinality swap for ``approx_count_distinct`` —
+    the :mod:`~pgferry_spark.operators.checks` HLL gate qualifies the
+    sketch, same playbook)."""
+    from pgferry_spark.functions.text import fingerprint
+
+    return (
+        df.select(
+            F.col(source_col),
+            F.col(id_col),
+            fingerprint(F.col(content_col)).alias("__fp"),
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count_distinct(F.col("__fp")).alias("distinct_fps"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("distinct_fps") / F.col("docs"), 6),
+        )
+    )

@@ -457,3 +457,75 @@ def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         F.array_join(F.col("__q"), ",").alias("qvec_csv"),
         F.round(err, 6).alias("recon_err"),
     )
+
+
+def pq_codebooks(
+    df: DataFrame, vec_col: str, id_col: str, m: int = 4, k: int = 16
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: subspace ``s`` uses the
+    ``s``-th slice of the vectors whose id is < ``k`` (the same reproducible
+    centroid stand-in as :func:`ivf_centroids` — swap for per-subspace
+    k-means in production, identical shape). Returns ``m`` codebooks of
+    ``k`` centroids each; m*k*(dim/m) floats — index metadata, driver-sized
+    by construction."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [
+        [list(r["v"][s * d : (s + 1) * d]) for r in rows] for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` subvectors, encode
+    each against its subspace codebook (nearest centroid by L2), and report
+    the total reconstruction error — the classic ANN memory layout (a
+    64-dim float vector becomes ``m`` single-byte codes, 64x smaller, and
+    asymmetric distance scans run on looked-up partial distances).
+
+    Returns ``(id, codes array<int>, recon_err)``.
+
+    Map-only: every subspace's k distances are register math against
+    literal centroids folded into the plan (the :func:`_nearest_centroid`
+    pattern per slice) — zero shuffle, zero join, one scan, whatever the
+    corpus size. The codebooks are index metadata (m*k*(dim/m) floats);
+    at 100 TB they come from per-subspace k-means over a sample, and the
+    encode pass is still this same single scan. Distances round to 4dp
+    before the argmin (ties -> lowest code) so the encoding is
+    reproducible bit-for-bit against the ANSI-SQL oracle."""
+    if codebooks is None:
+        codebooks = pq_codebooks(df, vec_col, id_col, m, k)
+    v = F.col(vec_col).cast("array<double>")
+    d = None
+    code_cols, dist_cols = [], []
+    for s, book in enumerate(codebooks):
+        d = len(book[0])
+        sub = F.slice(v, s * d + 1, d)
+        best = _nearest_centroid(sub, book, metric="euclidean")
+        code_cols.append((-best["neg_id"]).cast("int"))
+        dist_cols.append(-best["score"])  # euclidean score is negated dist
+    err = F.round(
+        F.sqrt(
+            sum((dc * dc for dc in dist_cols), F.lit(0.0))
+        ),
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        F.array(*code_cols).alias("codes"),
+        err.alias("recon_err"),
+    )

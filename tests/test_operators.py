@@ -295,3 +295,49 @@ class TestSemDeDup:
             assert got[i]["is_kept"] == (not dup), f"row {i}"
         # the engineered dups were actually caught (same cell by construction)
         assert not got[13]["is_kept"] and not got[21]["is_kept"]
+
+
+class TestProductQuantization:
+    def test_codes_match_brute_force(self, spark):
+        import numpy as np
+
+        from pgferry_spark.operators.similarity import pq_codebooks, pq_encode
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(30, 8)).astype("float64")
+        vecs[20] = vecs[4]  # exact dup must encode identically
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+        m, k = 2, 4
+        books = pq_codebooks(df, "embedding", "vec_id", m=m, k=k)
+        assert len(books) == m and all(len(b) == k for b in books)
+        got = {r["vec_id"]: r for r in
+               pq_encode(df, "embedding", "vec_id", m=m, k=k).collect()}
+
+        d = 8 // m
+        for i, v in enumerate(vecs):
+            dists = []
+            for s in range(m):
+                sub = v[s * d:(s + 1) * d]
+                ds = [round(float(np.linalg.norm(sub - np.array(c))), 4)
+                      for c in books[s]]
+                code = min(range(k), key=lambda j: (ds[j], j))
+                assert got[i]["codes"][s] == code, f"row {i} sub {s}"
+                dists.append(ds[code])
+            exp_err = round(float(np.sqrt(sum(x * x for x in dists))), 4)
+            assert abs(got[i]["recon_err"] - exp_err) < 1e-9
+        assert got[20]["codes"] == got[4]["codes"]
+        # codebook vectors encode to themselves with zero error
+        assert got[2]["codes"][0] == 2 and got[2]["recon_err"] == 0.0
+
+    def test_dim_not_divisible_raises(self, spark):
+        import pytest as _pytest
+
+        from pgferry_spark.operators.similarity import pq_encode
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0])], "vec_id: long, embedding: array<double>"
+        )
+        with _pytest.raises(ValueError, match="not divisible"):
+            pq_encode(df, "embedding", "vec_id", m=2, k=1)

@@ -255,3 +255,31 @@ class TestRound3PlanShapes:
             ).collect()
         }
         assert lazy == eager and len(lazy) > 0
+
+
+class TestLateRound3PlanShapes:
+    """Guards for the round-3 span/PQ/SemDeDup family's engineered shapes."""
+
+    def test_pq_encode_map_only(self, spark):
+        """PQ encoding is register math against literal codebooks — one scan,
+        zero shuffle, zero join, whatever the corpus size."""
+        plan = _executed(E.queries()["pq_encode"](spark, SF))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_span_dedup_exactly_two_shuffles(self, spark):
+        """Keep-first window (span key) + reassembly agg (doc key) — and
+        nothing else. A third Exchange would mean the HOF chunking or the
+        posexplode started shuffling."""
+        plan = _executed(E.queries()["span_dedup"](spark, SF))
+        assert plan.count("Exchange") == 2, plan
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan
+
+    def test_semdedup_single_shuffle_no_join(self, spark):
+        """Cell assignment is map-only literal-centroid math; the only
+        Exchange is the per-cell applyInPandas grouping. Any Join means the
+        assignment regressed to the crossJoin+window shape."""
+        plan = _executed(E.queries()["semdedup"](spark, SF))
+        assert plan.count("Exchange") == 1, plan
+        assert "Join" not in plan
