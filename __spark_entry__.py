@@ -987,6 +987,16 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _knn_graph(spark, sf):
+    """Approximate kNN graph over embeddings: per-vector top-5 neighbors
+    among LSH band-bucket candidates (16 planes / 8 bands, seed 42) — the
+    substrate for diversity sampling and graph-based curation."""
+    from pgferry_spark.operators.similarity import knn_graph
+
+    e = _t(spark, sf, "embeddings")
+    return knn_graph(e, "embedding", "vec_id", k=5, n_planes=16, bands=8, dim=64)
+
+
 def _dup_rate_by_source(spark, sf):
     """Per-source duplication-rate report (docs, distinct fingerprints,
     dup rate) — the corpus-health table that decides which sources need
@@ -1090,7 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_shared_pairs_capped": _winnow_shared_pairs_capped,
         # --- green canary (1): r2-green, code unchanged --------------------
         "chunked_scan": _chunked_scan,
-        # --- positions 51-54: added late in round 3 after the window filled
+        # --- positions 51-56: added late in round 3 after the window filled
         # (50 = 49 never-checked + 1 canary). First in line for the round-4
         # window rotation; covered by the local compare_oracle gate and
         # pytest meanwhile. Placed immediately past the boundary so a wider
@@ -1101,7 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _semdedup,
         "pq_encode": _pq_encode,
         "dup_rate_by_source": _dup_rate_by_source,
-        # --- position 57+: all hash-green in CORRECTNESS_r02 ---------------
+        "knn_graph": _knn_graph,
+        # --- position 58+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2173,6 +2184,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(list_dot_product(x.v, y.v)
                         / (sqrt(list_dot_product(x.v, x.v))
                            * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.35
+        """,
+        "knn_graph": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sig AS (SELECT vec_id, v, ({sig_terms(emb_planes)}) AS s FROM e),
+            bl AS (
+              SELECT vec_id, v, band_id, (s >> (band_id * 2)) & 3 AS band_val
+              FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band_id)
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+              FROM bl a JOIN bl b USING (band_id, band_val)
+              WHERE a.vec_id <> b.vec_id
+            ),
+            scored AS (
+              SELECT c.src, c.dst,
+                     ROUND(list_dot_product(x.v, y.v)
+                           / (sqrt(list_dot_product(x.v, x.v))
+                              * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine_sim
+              FROM cand c
+              JOIN e x ON x.vec_id = c.src
+              JOIN e y ON y.vec_id = c.dst
+            )
+            SELECT src, dst, cosine_sim, CAST(rnk AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY src
+                                               ORDER BY cosine_sim DESC, dst ASC) AS rnk
+                  FROM scored)
+            WHERE rnk <= 5
         """,
         "lsh_topk": ann_sig_cte
         + f"""

@@ -341,3 +341,43 @@ class TestProductQuantization:
         )
         with _pytest.raises(ValueError, match="not divisible"):
             pq_encode(df, "embedding", "vec_id", m=2, k=1)
+
+
+class TestKnnGraph:
+    def test_topk_among_candidates_and_exact_on_tight_cluster(self, spark):
+        import numpy as np
+
+        from pgferry_spark.operators.similarity import knn_graph
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=8)
+        # 10 vectors tightly around `base` (all land in one LSH bucket and
+        # are mutual near-neighbors) + 10 scattered vectors
+        tight = base + rng.normal(scale=1e-3, size=(10, 8))
+        wild = rng.normal(size=(10, 8))
+        vecs = np.vstack([tight, wild])
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+        out = knn_graph(df, "embedding", "vec_id", k=3, n_planes=16,
+                        bands=8, dim=8)
+        got = out.collect()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r["src"], []).append(r)
+
+        # ranks are 1..k, ordered by (sim desc, dst asc), no self-edges
+        for src, edges in by_src.items():
+            edges.sort(key=lambda r: r["rank"])
+            assert [e["rank"] for e in edges] == list(range(1, len(edges) + 1))
+            sims = [e["cosine_sim"] for e in edges]
+            assert sims == sorted(sims, reverse=True) or len(set(sims)) < len(sims)
+            assert all(e["dst"] != src for e in edges)
+
+        # within the tight cluster every member sees 3 cluster-mates with
+        # cosine ~1.0 (candidates guaranteed: identical signatures)
+        for src in range(10):
+            edges = by_src[src]
+            assert len(edges) == 3
+            assert all(e["dst"] in range(10) for e in edges)
+            assert all(e["cosine_sim"] > 0.999 for e in edges)
