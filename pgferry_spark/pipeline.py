@@ -72,6 +72,10 @@ class TableRunResult:
     # rows_written is then the complete cleaned row count and validation can
     # trust it without a second source read
     complete_this_run: bool = True
+    # wall seconds for this table's movement (read+transform+write+cleanup);
+    # the reference logs per-table progress every 10s (migrate.go:469-473) —
+    # this is the batch-run equivalent a operator reads post-hoc
+    seconds: float = 0.0
 
 
 @dataclass
@@ -382,7 +386,9 @@ class MigrationPipeline:
             ordered = _parents_first(tables)
             parent_dfs: dict[str, DataFrame] = {}
             for table in ordered:
+                t0 = time.perf_counter()
                 res = self.move_table(table, parent_dfs)
+                res.seconds = round(time.perf_counter() - t0, 3)
                 result.tables.append(res)
                 if table.pg_name in referenced:
                     parent_dfs[table.pg_name] = self.cleaned_source_df(table, parent_dfs)
