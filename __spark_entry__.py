@@ -987,6 +987,27 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _user_funnel(spark, sf):
+    """Per-user ordered-funnel progress (view → click → purchase, each step
+    strictly after the previous match): ONE shuffle + a sort/fold per user,
+    vs the step-per-self-join formulation's shuffle per step."""
+    from pgferry_spark.operators.temporal import funnel_steps
+
+    e = _t(spark, sf, "events")
+    return funnel_steps(e, "user_id", "ts", "event_type", _FUNNEL_STEPS)
+
+
+def _funnel_report(spark, sf):
+    """The aggregate funnel: users reaching >= step k for each step."""
+    from pgferry_spark.operators.temporal import funnel_report
+
+    e = _t(spark, sf, "events")
+    return funnel_report(e, "user_id", "ts", "event_type", _FUNNEL_STEPS)
+
+
 def _bpe_merges(spark, sf):
     """BPE merge learning: one distributed word-count shuffle, then a
     driver loop over the vocab-bounded frequency table — 50 learned
@@ -1137,7 +1158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _knn_graph,
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
-        # --- position 60+: all hash-green in CORRECTNESS_r02 ---------------
+        "user_funnel": _user_funnel,
+        "funnel_report": _funnel_report,
+        # --- position 62+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2558,6 +2581,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens,
                    CAST(sum(n_bytes) AS BIGINT) AS bytes
             FROM assigned GROUP BY shard
+        """,
+        "user_funnel": """
+            WITH base AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM base
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT b.user_id, min(b.ts) AS t2 FROM base b
+                   JOIN s1 ON s1.user_id = b.user_id
+                   WHERE b.event_type = 'click' AND b.ts > s1.t1
+                   GROUP BY b.user_id),
+            s3 AS (SELECT b.user_id, min(b.ts) AS t3 FROM base b
+                   JOIN s2 ON s2.user_id = b.user_id
+                   WHERE b.event_type = 'purchase' AND b.ts > s2.t2
+                   GROUP BY b.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                             WHEN s2.t2 IS NOT NULL THEN 2
+                             WHEN s1.t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS INTEGER) AS steps_completed,
+                   s1.t1 AS t_first,
+                   coalesce(s3.t3, s2.t2, s1.t1) AS t_last
+            FROM (SELECT DISTINCT user_id FROM base) u
+            LEFT JOIN s1 ON s1.user_id = u.user_id
+            LEFT JOIN s2 ON s2.user_id = u.user_id
+            LEFT JOIN s3 ON s3.user_id = u.user_id
+        """,
+        "funnel_report": """
+            WITH base AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM base
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT b.user_id, min(b.ts) AS t2 FROM base b
+                   JOIN s1 ON s1.user_id = b.user_id
+                   WHERE b.event_type = 'click' AND b.ts > s1.t1
+                   GROUP BY b.user_id),
+            s3 AS (SELECT b.user_id, min(b.ts) AS t3 FROM base b
+                   JOIN s2 ON s2.user_id = b.user_id
+                   WHERE b.event_type = 'purchase' AND b.ts > s2.t2
+                   GROUP BY b.user_id)
+            SELECT * FROM (VALUES
+              (1, 'view', (SELECT CAST(count(*) AS BIGINT) FROM s1)),
+              (2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)),
+              (3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3))
+            ) AS t(step, step_type, n_users)
         """,
         "dup_rate_by_source": r"""
             WITH fp AS (

@@ -201,3 +201,94 @@ def rate_anomalies(
         "n_events",
         F.round(z, 4).alias("z_score"),
     ).filter(F.col("z_score").isNull() | (F.abs(F.col("z_score")) >= min_z))
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how far does each user progress through the
+    step sequence (each step's event must occur strictly AFTER the previous
+    step's matched event — first qualifying occurrence wins)?
+
+    Returns one row per user: ``(user, steps_completed, t_first, t_last)``
+    where ``t_first``/``t_last`` are the matched timestamps of the first
+    and deepest completed steps (NULL when no step matched).
+
+    Scale shape: ONE shuffle (groupBy user) collecting that user's
+    (ts, type) events, then the sequential matching runs as a sort + HOF
+    fold in register math — no iterative joins (the N-self-join funnel
+    formulation shuffles the fact table once PER STEP; this shuffles it
+    once, total). Per-user state is bounded by that user's event count —
+    the same per-key bound any sessionization pays; a pathological
+    single-user firehose would need a pre-filter on the step types, which
+    is also the first thing to push down when the funnel types are a
+    small subset of traffic."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    n = len(steps)
+
+    events = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
+    )
+    # fold: acc = array of matched step timestamps (size = progress so far).
+    # Each step must land STRICTLY after the previous matched timestamp —
+    # the explicit tie rule keeps the fold identical to the SQL oracle's
+    # min(ts WHERE ts > t_prev) chain when distinct event types share a
+    # timestamp (the sort order of equal-ts structs would otherwise decide).
+    # try_element_at throughout: ANSI mode (Spark 4 default) makes plain
+    # element_at THROW on out-of-range, and boolean && does not short-
+    # circuit evaluation of the probe beyond the guard
+    matched = F.aggregate(
+        events,
+        F.array().cast("array<timestamp>"),
+        lambda acc, e: F.when(
+            (F.size(acc) < n)
+            & (e["et"] == F.try_element_at(step_arr, F.size(acc) + 1))
+            & ((F.size(acc) == 0) | (e["ts"] > F.try_element_at(acc, F.lit(-1)))),
+            F.concat(acc, F.array(e["ts"])),
+        ).otherwise(acc),
+    )
+    return (
+        df.filter(F.col(type_col).isin(steps))  # pre-prune non-funnel traffic
+        .groupBy(F.col(user_col))
+        .agg(matched.alias("__m"))
+        .select(
+            F.col(user_col),
+            F.size("__m").alias("steps_completed"),
+            F.try_element_at("__m", F.lit(1)).alias("t_first"),
+            F.try_element_at("__m", F.lit(-1)).alias("t_last"),
+        )
+    )
+
+
+def funnel_report(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """The aggregate funnel table: for step k, how many users completed at
+    least k steps (monotone non-increasing by construction). One extra
+    tiny aggregation over :func:`funnel_steps`' per-user output."""
+    per_user = funnel_steps(df, user_col, ts_col, type_col, steps)
+    counts = per_user.groupBy("steps_completed").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    # counts has <= len(steps)+1 rows: the theta-join against the step list
+    # is constant-sized however large the corpus — users reaching >= k is
+    # the sum of per-depth counts at depth >= k
+    steps_df = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_type string"
+    )
+    return (
+        steps_df.join(counts, steps_df.step <= counts.steps_completed, "left")
+        .groupBy("step", "step_type")
+        .agg(F.coalesce(F.sum("n_users"), F.lit(0)).cast("bigint").alias("n_users"))
+        .orderBy("step")
+    )

@@ -132,3 +132,73 @@ class TestRateAnomalies:
         # the spike is far above any trailing variation
         spike = got["2024-01-11"]
         assert spike.n_events == 40 and spike.z_score is not None and spike.z_score > 3
+
+
+class TestFunnel:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id: long, ts: timestamp, event_type: string"
+        )
+
+    def test_ordered_matching_and_depths(self, spark):
+        import datetime as dt
+
+        from pgferry_spark.operators.temporal import funnel_report, funnel_steps
+
+        t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+        rows = [
+            # u1 completes all three in order
+            (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+            # u2: click BEFORE view never counts; no purchase after click
+            (2, t(1), "click"), (2, t(2), "view"), (2, t(3), "click"),
+            # u3: purchase before anything, then view only
+            (3, t(1), "purchase"), (3, t(2), "view"),
+            # u4: only non-funnel traffic -> excluded entirely
+            (4, t(1), "error"),
+        ]
+        out = {r["user_id"]: r for r in funnel_steps(
+            self._events(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["steps_completed"] == 3
+        assert (out[1]["t_first"], out[1]["t_last"]) == (t(1), t(3))
+        assert out[2]["steps_completed"] == 2          # view@2 then click@3
+        assert out[2]["t_first"] == t(2) and out[2]["t_last"] == t(3)
+        assert out[3]["steps_completed"] == 1          # view only
+
+        rep = funnel_report(
+            self._events(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()
+        assert [(r["step"], r["step_type"], r["n_users"]) for r in rep] == [
+            (1, "view", 3), (2, "click", 2), (3, "purchase", 1),
+        ]
+
+    def test_equal_timestamp_never_advances(self, spark):
+        import datetime as dt
+
+        from pgferry_spark.operators.temporal import funnel_steps
+
+        t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+        rows = [
+            (1, t(1), "view"), (1, t(1), "click"),   # tie: click not after view
+            (1, t(2), "click"),                      # this one counts
+            (2, t(1), "click"), (2, t(1), "purchase"),  # no view at all
+        ]
+        out = {r["user_id"]: r for r in funnel_steps(
+            self._events(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()}
+        assert out[1]["steps_completed"] == 2 and out[1]["t_last"] == t(2)
+        assert out[2]["steps_completed"] == 0
+        assert out[2]["t_first"] is None and out[2]["t_last"] is None
+
+    def test_empty_steps_raises(self, spark):
+        import pytest as _pytest
+
+        from pgferry_spark.operators.temporal import funnel_steps
+
+        with _pytest.raises(ValueError):
+            funnel_steps(self._events(spark, []), "user_id", "ts",
+                         "event_type", [])
