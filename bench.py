@@ -67,6 +67,9 @@ HEADLINE = [
     "vocab_topk",
     "span_dedup",
     "semdedup",
+    "knn_graph",
+    "pq_encode",
+    "user_funnel",
     "events_pivot",
     "revenue_percentiles",
 ]
