@@ -1033,12 +1033,18 @@ def _bpe_encode(spark, sf):
 
 def _knn_graph(spark, sf):
     """Approximate kNN graph over embeddings: per-vector top-5 neighbors
-    among LSH band-bucket candidates (16 planes / 8 bands, seed 42) — the
-    substrate for diversity sampling and graph-based curation."""
+    among LSH band-bucket candidates (24 planes / 4 six-bit bands, seed
+    42) — the substrate for diversity sampling and graph-based curation.
+
+    Band width is the candidate-volume dial: the near-dup family's 2-bit
+    bands put ~1/4 of the corpus in each bucket, which is right for
+    recall-first dedup but makes a kNN graph's directed-edge volume
+    sum(bucket²) — measured 3.1 s at sf0.1. Six-bit bands (64 buckets)
+    cut candidates ~256x for a graph that only needs NEAR neighbors."""
     from pgferry_spark.operators.similarity import knn_graph
 
     e = _t(spark, sf, "embeddings")
-    return knn_graph(e, "embedding", "vec_id", k=5, n_planes=16, bands=8, dim=64)
+    return knn_graph(e, "embedding", "vec_id", k=5, n_planes=24, bands=4, dim=64)
 
 
 def _dup_rate_by_source(spark, sf):
@@ -1314,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
 
     emb_planes = similarity.random_hyperplanes(64, 16, 42)  # embedding_near_dup_lsh defaults
     ann_planes = similarity.random_hyperplanes(64, 8, 42)  # lsh_topk defaults
+    knn_planes = similarity.random_hyperplanes(64, 24, 42)  # knn_graph entry config
 
     def sig_terms(planes, vec="v"):
         return " + ".join(
@@ -2235,10 +2242,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_graph": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            sig AS (SELECT vec_id, v, ({sig_terms(emb_planes)}) AS s FROM e),
+            sig AS (SELECT vec_id, v, ({sig_terms(knn_planes)}) AS s FROM e),
             bl AS (
-              SELECT vec_id, v, band_id, (s >> (band_id * 2)) & 3 AS band_val
-              FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band_id)
+              SELECT vec_id, v, band_id, (s >> (band_id * 6)) & 63 AS band_val
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id)
             ),
             cand AS (
               SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst

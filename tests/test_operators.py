@@ -381,3 +381,15 @@ class TestKnnGraph:
             assert len(edges) == 3
             assert all(e["dst"] in range(10) for e in edges)
             assert all(e["cosine_sim"] > 0.999 for e in edges)
+
+
+def test_pq_arrow_and_expr_paths_bit_identical(spark):
+    from pgferry_spark.operators.similarity import pq_encode
+    from pgferry_spark.sources.parquet import read_parquet
+
+    e = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["vec_id"]: (list(r["codes"]), r["recon_err"])
+         for r in pq_encode(e, "embedding", "vec_id", impl="arrow").collect()}
+    x = {r["vec_id"]: (list(r["codes"]), r["recon_err"])
+         for r in pq_encode(e, "embedding", "vec_id", impl="expr").collect()}
+    assert a == x
