@@ -305,3 +305,43 @@ def stream_to_target(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curate_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_quality: float = 0.3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Ingestion-time curation gate: the batch curation Column functions
+    (PII scrub → quality score → content dedup) applied AT THE EDGE, so
+    raw PII never lands in the lake and junk/duplicate documents never
+    cost downstream batch passes.
+
+    Composition order matters and is load-bearing:
+
+    1. **PII scrub first** — the scrubbed text is what everything
+       downstream (including the dedup fingerprint) sees, so two crawls
+       differing only in a rotating tracking email still dedup;
+    2. **quality filter** on the scrubbed text (map-only, no state);
+    3. **content dedup within the watermark horizon** (bounded state, the
+       :func:`dedup_stream_by_content` machinery).
+
+    Everything is the SAME Column expressions the batch operators use —
+    one curation codebase, two execution modes; only the dedup step is
+    streaming-specific (bounded-horizon instead of corpus-wide)."""
+    from ..functions.text import pii_count, pii_scrub, quality_score
+
+    scrubbed = docs.withColumn(
+        "__scrubbed", pii_scrub(F.col(text_col))
+    ).withColumn("n_pii", pii_count(F.col(text_col)).cast("int"))
+    scored = (
+        scrubbed.withColumn(text_col, F.col("__scrubbed"))
+        .drop("__scrubbed")
+        .withColumn("quality", F.round(quality_score(F.col(text_col)), 4))
+        .filter(F.col("quality") >= min_quality)
+    )
+    return dedup_stream_by_content(
+        scored, text_col=text_col, ts_col=ts_col, watermark=watermark
+    )

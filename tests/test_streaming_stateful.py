@@ -99,3 +99,42 @@ def test_stream_content_dedup_normalized_twins(spark, tmp_path):
     assert len(got) == 2 and 3 in got and (1 in got or 2 in got)
     # schema passthrough: the internal fingerprint column must not leak
     assert set(stream.schema.fieldNames()) == {"doc_id", "ts", "text"}
+
+
+def test_curate_stream_scrubs_filters_and_dedups(spark, tmp_path):
+    """The edge curation gate: PII scrubbed BEFORE fingerprinting (so docs
+    differing only in PII dedup), junk filtered, survivors annotated."""
+    import datetime as dt
+
+    from pgferry_spark.streaming.events import curate_stream
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    good = ("a sensible document, with enough words to pass the gate. "
+            "it continues for a while and stays reasonable.")
+    rows = [
+        (1, t, good + " contact alice@example.com for details."),
+        (2, t, good + " contact bob@other.org for details."),  # PII twin of 1
+        (3, t, "!!!! ???? ;;;; >>>> ::::"),                    # junk -> filtered
+        (4, t, "another acceptable document with plenty of ordinary words "
+               "to keep the quality score comfortably above the bar."),
+    ]
+    path = str(tmp_path / "curate_src")
+    spark.createDataFrame(rows, "doc_id: long, ts: timestamp, text: string") \
+        .coalesce(1).write.parquet(path)
+    stream = curate_stream(
+        spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(path),
+        min_quality=0.4,
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("t_curate")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM t_curate").collect()}
+    # doc 3 junk-filtered; docs 1/2 differ only in the scrubbed email -> one kept
+    assert 3 not in got and 4 in got
+    assert sum(1 for i in (1, 2) if i in got) == 1
+    kept_pii = got[1] if 1 in got else got[2]
+    assert kept_pii["n_pii"] == 1 and "<EMAIL>" in kept_pii["text"]
+    assert "@" not in kept_pii["text"].replace("<EMAIL>", "")
+    assert got[4]["n_pii"] == 0 and got[4]["quality"] >= 0.4
