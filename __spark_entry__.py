@@ -987,6 +987,13 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _chunk_documents(spark, sf):
+    """Sliding-window chunking (64-token windows, 16-token overlap) — the
+    RAG/long-context prep pass; map-only, zero shuffle."""
+    d = _t(spark, sf, "documents")
+    return T.chunk_documents(d, "text", "doc_id", max_tokens=64, overlap=16)
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -1166,7 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,
         "user_funnel": _user_funnel,
         "funnel_report": _funnel_report,
-        # --- position 62+: all hash-green in CORRECTNESS_r02 ---------------
+        "chunk_documents": _chunk_documents,
+        # --- position 63+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2588,6 +2596,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens,
                    CAST(sum(n_bytes) AS BIGINT) AS bytes
             FROM assigned GROUP BY shard
+        """,
+        "chunk_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, str_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE trim(text) <> ''
+            ),
+            base AS (
+              SELECT doc_id, t,
+                     unnest(range(greatest(
+                       CAST(ceil((len(t) - 16) / 48.0) AS BIGINT), 1))) AS i
+              FROM toks
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk_text,
+                   CAST(len(t[i*48+1 : i*48+64]) AS INT) AS n_tokens
+            FROM base
         """,
         "user_funnel": """
             WITH base AS (

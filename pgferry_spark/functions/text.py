@@ -390,3 +390,50 @@ def vocab_topk(df, text_col: str, id_col: str, k: int = 100):
             F.sum("cnt").over(w) / F.col("total").cast("double"), 6
         ).alias("cum_share"),
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Sliding-window document chunking — the context-window prep step for
+    RAG indexing and long-document training: each document becomes
+    ``ceil((n_tokens - overlap) / stride)`` chunks of ``max_tokens`` tokens
+    with ``overlap`` tokens shared between neighbors (``stride =
+    max_tokens - overlap``; the final chunk may be short; documents
+    shorter than one window yield exactly one chunk).
+
+    Output: ``(id, chunk_idx, chunk_text, n_tokens)``.
+
+    Map-only — one HOF ``transform`` over the token array plus a
+    ``posexplode``; zero shuffle at any corpus size, so the pass is scan-
+    bandwidth-bound like every other per-document expression here."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # ceil((n - overlap) / stride) chunks, minimum 1 for any non-blank doc
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, max_tokens),
+    )
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "__c"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join("__c", " ").alias("chunk_text"),
+            F.size("__c").cast("int").alias("n_tokens"),
+        )
+    )

@@ -532,6 +532,8 @@ def pq_encode(
 
         def encode(it):
             for pdf in it:
+                if pdf.empty:  # an empty Arrow batch would make V 1-D
+                    continue
                 ids = pdf["id"].to_numpy(dtype=np.int64)
                 V = np.array(list(pdf["v"]), dtype=np.float64)
                 n = len(ids)

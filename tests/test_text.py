@@ -119,3 +119,52 @@ def test_winnow_batch_udf_matches_expression(spark):
     expr = df.select(T.winnow_fingerprints(F.col("s"), k=5, w=4).alias("v")).collect()
     udf = df.select(T.winnow_fingerprints_batch(k=5, w=4)(F.col("s")).alias("v")).collect()
     assert [r["v"] for r in expr] == [r["v"] for r in udf]
+
+
+class TestChunkDocuments:
+    def test_windows_overlap_and_tail(self, spark):
+        from pgferry_spark.functions.text import chunk_documents
+
+        words = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, words), (2, "short doc"), (3, "  ")],
+            "id: long, text: string",
+        )
+        got = {}
+        for r in chunk_documents(df, "text", "id", max_tokens=4, overlap=1).collect():
+            got.setdefault(r["id"], []).append(r)
+        for chunks in got.values():
+            chunks.sort(key=lambda r: r["chunk_idx"])
+
+        # stride 3 over 10 tokens -> ceil((10-1)/3) = 3 chunks
+        c1 = got[1]
+        assert [c["chunk_idx"] for c in c1] == [0, 1, 2]
+        assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+        assert c1[1]["chunk_text"] == "w3 w4 w5 w6"   # 1-token overlap
+        assert c1[2]["chunk_text"] == "w6 w7 w8 w9"
+        assert [c["n_tokens"] for c in c1] == [4, 4, 4]
+        # short doc: exactly one (short) chunk
+        assert len(got[2]) == 1 and got[2][0]["chunk_text"] == "short doc"
+        assert got[2][0]["n_tokens"] == 2
+        # blank doc excluded
+        assert 3 not in got
+
+    def test_every_token_covered(self, spark):
+        from pgferry_spark.functions.text import chunk_documents
+
+        words = " ".join(f"t{i}" for i in range(23))
+        df = spark.createDataFrame([(1, words)], "id: long, text: string")
+        chunks = chunk_documents(df, "text", "id", max_tokens=7, overlap=2).collect()
+        seen = set()
+        for c in chunks:
+            seen.update(c["chunk_text"].split())
+        assert seen == {f"t{i}" for i in range(23)}
+
+    def test_bad_overlap_raises(self, spark):
+        import pytest as _pytest
+
+        from pgferry_spark.functions.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], "id: long, text: string")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, "text", "id", max_tokens=4, overlap=4)
