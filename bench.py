@@ -70,6 +70,7 @@ HEADLINE = [
     "knn_graph",
     "pq_encode",
     "user_funnel",
+    "chunk_documents",
     "events_pivot",
     "revenue_percentiles",
 ]
