@@ -987,6 +987,17 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _temperature_sample(spark, sf):
+    """UNIMAX-style temperature rebalancing: per-lang quota ∝ count^0.5,
+    drawn in md5 order — up-samples low-resource languages. Quotas derive
+    from the data (no driver collect); one tiny aggregate + broadcast."""
+    from pgferry_spark.operators.curate import temperature_sample
+
+    d = _t(spark, sf, "documents")
+    out = temperature_sample(d, "lang", "doc_id", alpha=0.5, total=200)
+    return out.select("doc_id", "lang", "sample_rank")
+
+
 def _chunk_documents(spark, sf):
     """Sliding-window chunking (64-token windows, 16-token overlap) — the
     RAG/long-context prep pass; map-only, zero shuffle."""
@@ -1174,7 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_funnel": _user_funnel,
         "funnel_report": _funnel_report,
         "chunk_documents": _chunk_documents,
-        # --- position 63+: all hash-green in CORRECTNESS_r02 ---------------
+        "temperature_sample": _temperature_sample,
+        # --- position 64+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2596,6 +2608,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens,
                    CAST(sum(n_bytes) AS BIGINT) AS bytes
             FROM assigned GROUP BY shard
+        """,
+        "temperature_sample": """
+            WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+            q AS (
+              SELECT lang,
+                     CAST(FLOOR(200.0 * pow(CAST(c AS DOUBLE), 0.5)
+                                / SUM(pow(CAST(c AS DOUBLE), 0.5)) OVER ()) AS INTEGER)
+                       AS quota
+              FROM cnt
+            ),
+            ranked AS (
+              SELECT doc_id, lang,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                     ) AS INTEGER) AS sample_rank
+              FROM documents
+            )
+            SELECT doc_id, r.lang, sample_rank
+            FROM ranked r JOIN q ON q.lang = r.lang
+            WHERE sample_rank <= q.quota
         """,
         "chunk_documents": r"""
             WITH toks AS (

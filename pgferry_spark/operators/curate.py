@@ -300,3 +300,49 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    total: int = 200,
+) -> DataFrame:
+    """Temperature-based rebalanced sampling (the multilingual-training
+    quota rule: draw probability ∝ group_count^alpha): each group's quota
+    is ``floor(total * cnt^alpha / Σ cnt^alpha)``, drawn in md5-of-id
+    order. ``alpha=1`` reproduces the natural distribution, ``alpha=0``
+    is uniform across groups, and the usual 0.3–0.7 range up-samples
+    low-resource groups without flattening entirely.
+
+    Unlike :func:`mixture_sample` (caller-fixed weights), the quotas here
+    derive from the DATA — computed distributedly: one tiny group-count
+    aggregate, a broadcast of the (groups × 1) quota table back onto the
+    corpus, and the same per-group md5 window any top-N pays. No driver
+    collect; floor keeps the draw ≤ total (the deterministic choice —
+    largest-remainder seat-filling would need a second tiny pass)."""
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = F.pow(F.col("__cnt").cast("double"), F.lit(float(alpha)))
+    weighted = cnt.select(F.col(group_col), w.alias("__w"))
+    denom = weighted.agg(F.sum("__w").alias("__wsum"))
+    quotas = (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            group_col,
+            F.floor(F.lit(float(total)) * F.col("__w") / F.col("__wsum"))
+            .cast("int")
+            .alias("__quota"),
+        )
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    rk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("__rk", rk)
+        .join(F.broadcast(quotas), group_col)
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .withColumn("sample_rank", F.col("__rk").cast("int"))
+        .drop("__rk", "__quota")
+    )

@@ -228,3 +228,45 @@ class TestTrainingShards:
         a1 = sorted((r["id"], r["shard"]) for r in back.collect())
         a2 = sorted((r["id"], r["shard"]) for r in b2.collect())
         assert a1 == a2
+
+
+class TestTemperatureSample:
+    def _df(self, spark):
+        # 60/30/10 natural distribution
+        rows = ([(i, "big") for i in range(60)]
+                + [(100 + i, "mid") for i in range(30)]
+                + [(200 + i, "small") for i in range(10)])
+        return spark.createDataFrame(rows, "id: long, g: string")
+
+    def test_alpha_one_is_natural_alpha_zero_is_uniform(self, spark):
+        from pgferry_spark.operators.curate import temperature_sample
+
+        df = self._df(spark)
+        nat = temperature_sample(df, "g", "id", alpha=1.0, total=50)
+        by_g = {r["g"]: r["n"] for r in
+                nat.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert by_g == {"big": 30, "mid": 15, "small": 5}
+
+        uni = temperature_sample(df, "g", "id", alpha=0.0, total=30)
+        by_g = {r["g"]: r["n"] for r in
+                uni.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert by_g == {"big": 10, "mid": 10, "small": 10}
+
+    def test_alpha_half_upsamples_small_groups(self, spark):
+        from pgferry_spark.operators.curate import temperature_sample
+
+        out = temperature_sample(self._df(spark), "g", "id", alpha=0.5, total=50)
+        by_g = {r["g"]: r["n"] for r in
+                out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        nat_small_share = 10 / 100
+        assert by_g["small"] / sum(by_g.values()) > nat_small_share
+        assert by_g["big"] > by_g["mid"] > by_g["small"]  # order preserved
+        assert sum(by_g.values()) <= 50                   # floor never overdraws
+
+    def test_deterministic(self, spark):
+        from pgferry_spark.operators.curate import temperature_sample
+
+        df = self._df(spark)
+        a = sorted(r["id"] for r in temperature_sample(df, "g", "id").collect())
+        b = sorted(r["id"] for r in temperature_sample(df, "g", "id").collect())
+        assert a == b
