@@ -987,6 +987,36 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _retention_cohorts(spark, sf):
+    """Cohort retention: users by first-seen day × activity-day offset.
+    Two shuffles; distinct (user, day) first so chatty users count once."""
+    from pgferry_spark.operators.temporal import retention_cohorts
+
+    e = _t(spark, sf, "events")
+    return retention_cohorts(e, "user_id", "ts")
+
+
+def _transition_counts(spark, sf):
+    """Markov transition matrix of event types per user timeline (lag
+    window, event_id tie-break) — one window shuffle + one count."""
+    from pgferry_spark.operators.temporal import transition_counts
+
+    e = _t(spark, sf, "events")
+    return transition_counts(e, "user_id", "ts", "event_type", order_col="event_id")
+
+
+def _weighted_sample(spark, sf):
+    """Efraimidis–Spirakis weighted sampling with a hashed uniform: top-50
+    docs by u^(1/n_chars) — weight-proportional inclusion, zero RNG state,
+    TakeOrdered plan (no global sort)."""
+    from pgferry_spark.operators.curate import weighted_sample
+
+    d = _t(spark, sf, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", n=50).select(
+        "doc_id", "n_chars", "sample_key"
+    )
+
+
 def _temperature_sample(spark, sf):
     """UNIMAX-style temperature rebalancing: per-lang quota ∝ count^0.5,
     drawn in md5 order — up-samples low-resource languages. Quotas derive
@@ -1186,7 +1216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_report": _funnel_report,
         "chunk_documents": _chunk_documents,
         "temperature_sample": _temperature_sample,
-        # --- position 64+: all hash-green in CORRECTNESS_r02 ---------------
+        "retention_cohorts": _retention_cohorts,
+        "transition_counts": _transition_counts,
+        "weighted_sample": _weighted_sample,
+        # --- position 67+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2608,6 +2641,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens,
                    CAST(sum(n_bytes) AS BIGINT) AS bytes
             FROM assigned GROUP BY shard
+        """,
+        "retention_cohorts": """
+            WITH act AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ),
+            coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+            SELECT cohort_day,
+                   CAST(datediff('day', cohort_day, day) AS INTEGER) AS offset_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act JOIN coh USING (user_id)
+            GROUP BY cohort_day, offset_days
+        """,
+        "transition_counts": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type
+              FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars,
+                   ROUND(pow(
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                       / 4503599627370496.0,
+                     1.0 / CAST(n_chars AS DOUBLE)), 10) AS sample_key
+            FROM documents WHERE n_chars > 0
+            ORDER BY sample_key DESC, doc_id ASC
+            LIMIT 50
         """,
         "temperature_sample": """
             WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),

@@ -346,3 +346,35 @@ def temperature_sample(
         .withColumn("sample_rank", F.col("__rk").cast("int"))
         .drop("__rk", "__quota")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int = 100,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res, RNG replaced by a hashed uniform): each row draws
+    ``u ∈ (0,1)`` from the md5 of its id and scores ``u^(1/w)``; the
+    top-``n`` scores are the sample. Inclusion probability is
+    weight-proportional, yet the draw is a pure function of the data —
+    the same reproducibility contract as every sampler here, now with
+    weights (sample quality-weighted docs, size-weighted shards, ...).
+
+    Map-only scoring + a TakeOrdered top-n: no shuffle of the corpus, no
+    global sort — the same plan shape as any top-k. Non-positive weights
+    are excluded (their inclusion probability is zero)."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 52))
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("sample_key", F.round(key, 10))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

@@ -292,3 +292,62 @@ def funnel_report(
         .agg(F.coalesce(F.sum("n_users"), F.lit(0)).cast("bigint").alias("n_users"))
         .orderBy("step")
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Classic cohort-retention table: users grouped by first-seen day
+    (cohort), counted by day offset of each later active day —
+    ``(cohort_day, offset_days, n_users)``.
+
+    Two shuffles: the per-user MIN (cohort assignment) and the final
+    (cohort, offset) count — the cohort table joins back user-keyed, the
+    same key the first aggregate just partitioned by, so AQE/exchange
+    reuse keeps the join co-located. Distinct (user, day) activity is
+    deduplicated BEFORE the count so a chatty user doesn't inflate
+    retention."""
+    day = F.to_date(F.col(ts_col))  # DATE, matching SQL date_trunc('day')
+    cohorts = df.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    active = df.select(F.col(user_col), day.alias("__day")).distinct()
+    return (
+        active.join(cohorts, user_col)
+        .select(
+            "cohort_day",
+            F.datediff(F.col("__day"), F.col("cohort_day")).alias("offset_days"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Event-transition matrix: counts of consecutive (prev_type →
+    next_type) steps within each user's timeline — the Markov-chain
+    summary behind journey analysis and anomaly detection.
+
+    ONE window shuffle (lag over the user key) + one count aggregate.
+    ``order_col`` breaks timestamp ties deterministically (pass the event
+    id); without it, equal-ts ordering is engine-dependent."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()]
+    if order_col is not None:
+        order.append(F.col(order_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(type_col).over(w)
+    return (
+        df.withColumn("__prev", prev)
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("prev_type"), F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -270,3 +270,20 @@ class TestTemperatureSample:
         a = sorted(r["id"] for r in temperature_sample(df, "g", "id").collect())
         b = sorted(r["id"] for r in temperature_sample(df, "g", "id").collect())
         assert a == b
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pgferry_spark.operators.curate import weighted_sample
+
+    # one row with overwhelming weight + many light rows: the heavy row is
+    # (near-)always in a small sample; zero/negative weights excluded
+    rows = [(0, 10_000_000)] + [(i, 1) for i in range(1, 200)] + [(500, 0)]
+    df = spark.createDataFrame(rows, "id: long, w: long")
+    got = weighted_sample(df, "id", "w", n=20).collect()
+    ids = [r["id"] for r in got]
+    assert len(ids) == 20 and 0 in ids and 500 not in ids
+    keys = [r["sample_key"] for r in got]
+    assert keys == sorted(keys, reverse=True)
+    # deterministic
+    again = [r["id"] for r in weighted_sample(df, "id", "w", n=20).collect()]
+    assert ids == again

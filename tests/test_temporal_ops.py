@@ -202,3 +202,50 @@ class TestFunnel:
         with _pytest.raises(ValueError):
             funnel_steps(self._events(spark, []), "user_id", "ts",
                          "event_type", [])
+
+
+class TestRetentionAndTransitions:
+    def test_retention_cohorts(self, spark):
+        import datetime as dt
+
+        from pgferry_spark.operators.temporal import retention_cohorts
+
+        d = lambda day, h=9: dt.datetime(2026, 1, day, h)
+        rows = [
+            (1, d(1)), (1, d(1, 12)),        # chatty on day 1 -> counts once
+            (1, d(3)),                       # back on day 3
+            (2, d(1)), (2, d(2)),            # cohort day 1, offsets 0 and 1
+            (3, d(2)),                       # cohort day 2, offset 0 only
+        ]
+        df = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+        got = {(str(r["cohort_day"]), r["offset_days"]): r["n_users"]
+               for r in retention_cohorts(df, "user_id", "ts").collect()}
+        assert got == {
+            ("2026-01-01", 0): 2,   # users 1, 2
+            ("2026-01-01", 1): 1,   # user 2
+            ("2026-01-01", 2): 1,   # user 1
+            ("2026-01-02", 0): 1,   # user 3
+        }
+
+    def test_transition_counts_with_tie_break(self, spark):
+        import datetime as dt
+
+        from pgferry_spark.operators.temporal import transition_counts
+
+        t = dt.datetime(2026, 1, 1, 10, 0)
+        rows = [  # (event_id, ts, user, type); ids 2,3 share a timestamp
+            (1, t, 1, "view"),
+            (2, t.replace(minute=1), 1, "click"),
+            (3, t.replace(minute=1), 1, "view"),   # tie: id orders click->view
+            (4, t, 2, "view"),
+            (5, t.replace(minute=5), 2, "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id: long, ts: timestamp, user_id: long, event_type: string"
+        )
+        got = {(r["prev_type"], r["next_type"]): r["n"]
+               for r in transition_counts(
+                   df, "user_id", "ts", "event_type", order_col="event_id"
+               ).collect()}
+        assert got == {("view", "click"): 2, ("click", "view"): 1}
+
