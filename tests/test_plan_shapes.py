@@ -283,3 +283,26 @@ class TestLateRound3PlanShapes:
         plan = _executed(E.queries()["semdedup"](spark, SF))
         assert plan.count("Exchange") == 1, plan
         assert "Join" not in plan
+
+
+class TestBehavioralOpsPlanShapes:
+    def test_user_funnel_single_shuffle_no_join(self, spark):
+        """Sort/fold funnel: ONE Exchange (the user groupBy) and zero
+        joins — the N-self-join formulation would shuffle once per step.
+        The funnel-type filter must reach the scan."""
+        plan = _executed(E.queries()["user_funnel"](spark, SF))
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan
+        assert any("view" in l and "DataFilters" in l for l in scan_lines(plan))
+
+    def test_chunk_documents_map_only(self, spark):
+        plan = _executed(E.queries()["chunk_documents"](spark, SF))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_weighted_sample_is_take_ordered(self, spark):
+        """A-Res sampling must stay a TakeOrdered top-k (no global sort,
+        no shuffle) with the weight filter pushed to the scan."""
+        plan = _executed(E.queries()["weighted_sample"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
