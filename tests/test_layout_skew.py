@@ -57,3 +57,48 @@ def test_skew_profile_orders_by_count(spark):
     assert prof[0]["key"] == "a" and prof[0]["cnt"] == 80
     assert abs(prof[0]["share"] - 0.8) < 1e-9
     assert prof[1]["key"] == "b"
+
+
+def test_incremental_dedup_against_bucketed_fingerprint_index(spark):
+    """The daily-ingestion scale story end-to-end: the corpus fingerprint
+    INDEX is a table bucketed on the fingerprint, so the anti-join reads it
+    with NO exchange on the corpus side — only the (small) daily batch
+    shuffles. This is the layout a real deployment maintains between runs
+    (operators/dedup.py::incremental_dedup names it)."""
+    from pgferry_spark.functions.text import fingerprint
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        corpus = spark.createDataFrame(
+            [(i, f"doc number {i}") for i in range(2000)],
+            "doc_id: long, text: string",
+        )
+        idx = corpus.select(fingerprint(F.col("text")).alias("fp"))
+        # bucket count == spark.sql.shuffle.partitions: a one-side-bucketed
+        # join only skips the bucket-side exchange when the other side can
+        # shuffle into EXACTLY the bucket count
+        write_bucketed(idx, "b_fp_index", "fp", num_buckets=32, sort_by="fp")
+
+        batch = spark.createDataFrame(
+            # 3 docs duplicating the corpus + 2 genuinely new
+            [(9001, "doc number 7"), (9002, "doc number 42"),
+             (9003, "doc number 1999"), (9004, "fresh content a"),
+             (9005, "fresh content b")],
+            "doc_id: long, text: string",
+        )
+        batch_fp = batch.select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        )
+        admitted = batch_fp.join(spark.table("b_fp_index"), "fp", "left_anti")
+        got = sorted(r["doc_id"] for r in admitted.collect())
+        assert got == [9004, 9005]
+        # corpus side reads pre-bucketed (no Exchange); only the batch
+        # shuffles. AQE's toString prints final + initial plans, so count
+        # within the final section only.
+        plan = admitted._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") == 1
+        assert "Bucketed: true" in final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_fp_index")
