@@ -55,3 +55,51 @@ def exchange_count(df: DataFrame) -> int:
     bucketing tests assert on."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange hashpartitioning")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+) -> dict:
+    """Small-file compaction — the lake-maintenance pass every streaming or
+    chunked writer eventually needs: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` files and swap atomically.
+
+    Why it matters at 100 TB: a scan's task count (and its scheduler +
+    footer-read overhead) is file-bound; a directory of 50k drizzle files
+    from a streaming sink turns a one-stage scan into a metadata storm.
+    Planning here is driver-side FILE METADATA only (no data job); the
+    rewrite is one distributed read→repartition→write; the swap is
+    directory rename, so readers see the old files or the new files,
+    never a mix. Returns {files_before, files_after, bytes}.
+
+    On an object store, swap via the catalog (Iceberg/Delta rewrite-files
+    commit) instead of rename — the shape of the rewrite is identical."""
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    (
+        spark.read.parquet(path)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len(
+        [f for f in os.listdir(path)
+         if f.endswith(".parquet") and not f.startswith(("_", "."))]
+    )
+    return {"files_before": len(files), "files_after": after, "bytes": total}

@@ -102,3 +102,23 @@ def test_incremental_dedup_against_bucketed_fingerprint_index(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_fp_index")
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from pgferry_spark.sources.layout import compact_parquet
+
+    path = str(tmp_path / "drizzle")
+    df = spark.createDataFrame(
+        [(i, f"row {i}") for i in range(5000)], "id: long, s: string"
+    )
+    df.repartition(40).write.parquet(path)  # 40 drizzle files
+
+    stats = compact_parquet(spark, path, target_mb=128)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1  # tiny data -> one target file
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert sorted(r["id"] for r in back.collect()) == list(range(5000))
+    # no leftover temp/old directories
+    import os
+    assert not any("__compact" in d for d in os.listdir(tmp_path))
