@@ -345,3 +345,97 @@ def curate_stream(
     return dedup_stream_by_content(
         scored, text_col=text_col, ts_col=ts_col, watermark=watermark
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    watermark: str = "1 hour",
+    idle_minutes: int = 60,
+) -> DataFrame:
+    """Streaming ordered-funnel tracking via ``applyInPandasWithState`` —
+    the real-time twin of the batch ``operators.temporal.funnel_steps``:
+    emit ``(user_id, steps_completed, t_first, t_last)`` the moment a user
+    COMPLETES the funnel, or when they go idle past ``idle_minutes``
+    (their partial progress flushes on timeout).
+
+    State per user is just the matched-step timestamp list (≤ len(steps)
+    longs) — bounded regardless of traffic; the same strict-ts matching
+    rule as the batch operator (each step strictly after the previous
+    match), so a completed funnel reads identically in both modes. Late
+    events beyond the watermark are dropped by the engine before they
+    reach the fold, which is the streaming-correctness trade every
+    event-time stateful op makes."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType, TimestampType,
+    )
+
+    n = len(steps)
+    if n == 0:
+        raise ValueError("steps must be non-empty")
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("steps_completed", IntegerType()),
+        StructField("t_first", TimestampType()),
+        StructField("t_last", TimestampType()),
+    ])
+    # fixed-width state: matched timestamps in micros, -1 = unmatched slot
+    state_schema = StructType(
+        [StructField(f"t{i}", LongType()) for i in range(n)]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+
+        def emit(ts_us):
+            done = [t for t in ts_us if t >= 0]
+            return pd.DataFrame({
+                "user_id": [user_id],
+                "steps_completed": [len(done)],
+                "t_first": [pd.Timestamp(done[0] * 1000) if done else pd.NaT],
+                "t_last": [pd.Timestamp(done[-1] * 1000) if done else pd.NaT],
+            })
+
+        if state.hasTimedOut:
+            if state.exists:
+                ts_us = list(state.get)
+                state.remove()
+                yield emit(ts_us)
+            return
+
+        ts_us = list(state.get) if state.exists else [-1] * n
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(pdf["ts"], pdf["event_type"]))
+        progress = sum(1 for t in ts_us if t >= 0)
+        last = ts_us[progress - 1] if progress else -1
+        for ts, et in sorted(rows, key=lambda r: r[0]):
+            if progress >= n:
+                break
+            us = int(pd.Timestamp(ts).value // 1000)
+            if et == steps[progress] and (progress == 0 or us > last):
+                ts_us[progress] = us
+                progress, last = progress + 1, us
+        if progress >= n:
+            if state.exists:
+                state.remove()
+            yield emit(ts_us)
+        else:
+            state.update(tuple(ts_us))
+            state.setTimeoutTimestamp(
+                (max(last, 0) // 1000) + idle_minutes * 60 * 1000
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -138,3 +138,42 @@ def test_curate_stream_scrubs_filters_and_dedups(spark, tmp_path):
     assert kept_pii["n_pii"] == 1 and "<EMAIL>" in kept_pii["text"]
     assert "@" not in kept_pii["text"].replace("<EMAIL>", "")
     assert got[4]["n_pii"] == 0 and got[4]["quality"] >= 0.4
+
+
+def test_funnel_stream_emits_on_completion(spark, tmp_path):
+    """Real-time funnel: completion rows emit with the batch operator's
+    exact matching semantics (ordered, strictly-increasing ts)."""
+    import datetime as dt
+
+    from pgferry_spark.streaming.events import funnel_stream
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    m = lambda k: t + dt.timedelta(minutes=k)
+    rows = [
+        # u1 completes: view -> click -> purchase
+        (1, m(0), "view"), (1, m(1), "click"), (1, m(2), "purchase"),
+        # u2 clicks before viewing, never purchases -> no completion row
+        (2, m(0), "click"), (2, m(1), "view"),
+        # u3 out-of-order arrival within the batch still completes
+        (3, m(2), "purchase"), (3, m(0), "view"), (3, m(1), "click"),
+    ]
+    path = str(tmp_path / "funnel_src")
+    spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, event_type: string"
+    ).coalesce(1).write.parquet(path)
+    stream = funnel_stream(
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .parquet(path),
+        ["view", "click", "purchase"],
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("t_funnel")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: r for r in spark.sql("SELECT * FROM t_funnel").collect()}
+    # only completions emit in this single-batch run (u2 is parked in state)
+    assert set(got) == {1, 3}
+    for uid in (1, 3):
+        assert got[uid]["steps_completed"] == 3
+        assert got[uid]["t_first"] == m(0) and got[uid]["t_last"] == m(2)
