@@ -987,6 +987,15 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _json_key_profile(spark, sf):
+    """Semi-structured payload profiling: per-key row/distinct-value counts
+    over the events props JSON (dynamic keys via map explode)."""
+    from pgferry_spark.operators.checks import json_key_profile
+
+    e = _t(spark, sf, "events")
+    return json_key_profile(e, "props")
+
+
 def _retention_cohorts(spark, sf):
     """Cohort retention: users by first-seen day × activity-day offset.
     Two shuffles; distinct (user, day) first so chatty users count once."""
@@ -1219,7 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _retention_cohorts,
         "transition_counts": _transition_counts,
         "weighted_sample": _weighted_sample,
-        # --- position 67+: all hash-green in CORRECTNESS_r02 ---------------
+        "json_key_profile": _json_key_profile,
+        # --- position 68+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2641,6 +2651,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens,
                    CAST(sum(n_bytes) AS BIGINT) AS bytes
             FROM assigned GROUP BY shard
+        """,
+        "json_key_profile": """
+            WITH kv AS (
+              SELECT unnest(json_keys(props)) AS key, props FROM events
+            ),
+            kv2 AS (
+              SELECT key, json_extract_string(props, '$.' || key) AS value
+              FROM kv
+            )
+            SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT value) AS BIGINT) AS n_values
+            FROM kv2 GROUP BY key
         """,
         "retention_cohorts": """
             WITH act AS (

@@ -109,3 +109,26 @@ def approx_distinct_check(
             <= F.col("n_exact") * F.lit(rel_tol)
         ).alias("within_tolerance"),
     )
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Semi-structured profiling: per-key row count and distinct-value
+    count across a JSON column — the first report run against an unknown
+    event-properties payload before designing extraction columns.
+
+    ``from_json`` to ``map<string,string>`` handles dynamic keys without
+    per-key literal paths (``get_json_object`` needs foldable paths);
+    the explode+groupBy is one shuffle on the key, with the distinct
+    riding the same aggregation. Output is bounded by the key vocabulary,
+    not the row count. At extreme key cardinality swap the exact distinct
+    for ``approx_count_distinct`` — :func:`approx_distinct_check`
+    qualifies the sketch."""
+    pairs = df.select(
+        F.explode(F.from_json(F.col(json_col), "map<string,string>")).alias(
+            "key", "value"
+        )
+    )
+    return pairs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("value")).alias("n_values"),
+    )

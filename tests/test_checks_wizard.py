@@ -175,3 +175,20 @@ class TestWizardProbe:
         assert _host_port("mysql://u:p@db2/app", 3306) == ("db2", 3306)
         assert _host_port("db3:1533/app?x=1", 1433) == ("db3", 1533)
         assert _host_port("db4/app", 1433) == ("db4", 1433)
+
+
+def test_json_key_profile_dynamic_keys(spark):
+    """Multi-key payloads (beyond the testdata's single-key props): every
+    key profiled, distinct counts exact, nulls/absent keys handled."""
+    from pgferry_spark.operators.checks import json_key_profile
+
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ('{"a": 2}',),
+        ('{"a": 1, "c": true}',),
+        ('{}',),
+    ]
+    df = spark.createDataFrame(rows, "props: string")
+    got = {r["key"]: (r["n_rows"], r["n_values"])
+           for r in json_key_profile(df, "props").collect()}
+    assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
