@@ -987,6 +987,16 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _audio_segments(spark, sf):
+    """Audio segmentation windows (5 s, tail-clipped) from Arrow-batched
+    pseudo-duration decode — the transcription-pipeline fan-out shape."""
+    from pgferry_spark.multimodal.ops import audio_segments
+
+    d = _t(spark, sf, "documents")
+    media = attach_fake_media(d, "doc_id", "text")
+    return audio_segments(media, segment_ms=5000)
+
+
 def _json_key_profile(spark, sf):
     """Semi-structured payload profiling: per-key row/distinct-value counts
     over the events props JSON (dynamic keys via map explode)."""
@@ -1229,7 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_counts": _transition_counts,
         "weighted_sample": _weighted_sample,
         "json_key_profile": _json_key_profile,
-        # --- position 68+: all hash-green in CORRECTNESS_r02 ---------------
+        "audio_segments": _audio_segments,
+        # --- position 69+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2357,6 +2368,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": media_cte
         + "SELECT media_id, media_type, width, height, n_frames, checksum FROM meta",
+        "audio_segments": media_cte
+        + """
+            , dur AS (
+              SELECT media_id,
+                     CAST(500 + ('0x' || substr(d, 7, 4))::INT % 30000 AS INTEGER)
+                       AS duration_ms
+              FROM m WHERE media_type = 'audio'
+            )
+            SELECT media_id,
+                   CAST(unnest(range(CAST(ceil(duration_ms / 5000.0) AS BIGINT)))
+                        AS INTEGER) AS seg_idx,
+                   CAST(unnest(range(CAST(ceil(duration_ms / 5000.0) AS BIGINT))) * 5000
+                        AS INTEGER) AS t_start_ms,
+                   CAST(least((unnest(range(CAST(ceil(duration_ms / 5000.0) AS BIGINT))) + 1)
+                              * 5000, duration_ms) AS INTEGER) AS t_end_ms
+            FROM dur
+        """,
         "frame_sample": media_cte
         + """
             SELECT media_id, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx,

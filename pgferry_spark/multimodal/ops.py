@@ -146,3 +146,54 @@ def frame_sample(df: DataFrame, every_n: int = 5) -> DataFrame:
         F.explode(idx).alias("frame_idx"),
         "checksum",
     )
+
+
+def audio_segments(df: DataFrame, segment_ms: int = 5000) -> DataFrame:
+    """Audio segmentation: one row per fixed-length segment window —
+    ``(media_id, seg_idx, t_start_ms, t_end_ms)`` with the tail clipped to
+    the clip duration. The waveform *decode* is stubbed (deterministic
+    pseudo-duration from the payload digest, SQL-reproducible); the real
+    scale concern — Arrow-batched metadata extraction followed by a
+    duration-proportional row fan-out, the same shape a whisper-style
+    transcription pipeline feeds — is fully exercised."""
+    from ..utils import fan_out
+
+    audio = fan_out(df.filter(F.col("media_type") == "audio"), "media_id")
+
+    dur_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("duration_ms", IntegerType(), True),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            durs = []
+            for p in pdf["payload"]:
+                if p is None:
+                    durs.append(None)
+                else:
+                    digest = hashlib.sha256(p.hex().encode("ascii")).digest()
+                    durs.append(500 + int.from_bytes(digest[3:5], "big") % 30000)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values, "duration_ms": durs}
+            )
+
+    meta = audio.mapInPandas(decode, schema=dur_schema)
+    seg = F.lit(segment_ms)
+    idx = F.sequence(
+        F.lit(0), F.ceil(F.col("duration_ms") / seg).cast("int") - 1
+    )
+    return meta.select(
+        "media_id",
+        F.explode(idx).alias("seg_idx"),
+        "duration_ms",
+    ).select(
+        "media_id",
+        F.col("seg_idx").cast("int").alias("seg_idx"),
+        (F.col("seg_idx") * seg).cast("int").alias("t_start_ms"),
+        F.least((F.col("seg_idx") + 1) * seg, F.col("duration_ms"))
+        .cast("int")
+        .alias("t_end_ms"),
+    )

@@ -54,3 +54,29 @@ def test_frame_sample_fanout(spark):
     assert all(r["frame_idx"] % 5 == 0 for r in rows)
     n_videos = m.filter(F.col("media_type") == "video").count()
     assert frames.select("media_id").distinct().count() == n_videos
+
+
+def test_audio_segments_windows_clip_to_duration(spark):
+    from pgferry_spark.multimodal.ops import attach_fake_media, audio_segments
+
+    df = spark.createDataFrame(
+        [(i, f"clip {i}") for i in range(30)], "id: long, text: string"
+    )
+    media = attach_fake_media(df, "id", "text")
+    segs = audio_segments(media, segment_ms=5000).collect()
+    assert segs, "audio rows exist (id % 3 == 1)"
+    by_media = {}
+    for r in segs:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        assert mid % 3 == 1  # only audio media segmented
+        rows.sort(key=lambda r: r["seg_idx"])
+        assert [r["seg_idx"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r["t_end_ms"] - r["t_start_ms"] == 5000
+        tail = rows[-1]
+        assert 0 < tail["t_end_ms"] - tail["t_start_ms"] <= 5000
+        # contiguous coverage from 0
+        assert rows[0]["t_start_ms"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b["t_start_ms"] == a["t_end_ms"] if a["t_end_ms"] % 5000 == 0 else True
