@@ -987,6 +987,18 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _name_match_pairs(spark, sf):
+    """Entity resolution on part names: exact-dedup to distinct-name
+    representatives FIRST (the realistic pre-step — fuzzy-matching raw
+    rows squares every exact-dup group), then char-3-gram-blocked Jaccard
+    pairs at >= 0.35."""
+    from pgferry_spark.operators.dedup import name_match_pairs
+
+    p = _t(spark, sf, "part")
+    reps = p.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    return name_match_pairs(reps, "p_name", "name_id", threshold=0.35)
+
+
 def _audio_segments(spark, sf):
     """Audio segmentation windows (5 s, tail-clipped) from Arrow-batched
     pseudo-duration decode — the transcription-pipeline fan-out shape."""
@@ -1240,7 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "json_key_profile": _json_key_profile,
         "audio_segments": _audio_segments,
-        # --- position 69+: all hash-green in CORRECTNESS_r02 ---------------
+        "name_match_pairs": _name_match_pairs,
+        # --- position 70+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2368,6 +2381,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": media_cte
         + "SELECT media_id, media_type, width, height, n_frames, checksum FROM meta",
+        "name_match_pairs": """
+            WITH reps AS (
+              SELECT lower(trim(p_name)) AS nm, min(p_partkey) AS id
+              FROM part GROUP BY p_name
+            ),
+            sized AS (SELECT id, nm, length(nm) AS ln FROM reps),
+            grams AS (
+              SELECT id,
+                     CASE WHEN ln >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, ln - 1), i -> substr(nm, CAST(i AS INT), 3)))
+                          ELSE [nm] END AS gs
+              FROM sized
+            ),
+            gx AS (SELECT id, unnest(gs) AS g, len(gs) AS n_grams FROM grams),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     a.n_grams AS na, b.n_grams AS nb, count(*) AS shared
+              FROM gx a JOIN gx b ON a.g = b.g AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+                   ROUND(shared / CAST(na + nb - shared AS DOUBLE), 4) AS jacc
+            FROM pairs
+            WHERE ROUND(shared / CAST(na + nb - shared AS DOUBLE), 4) >= 0.35
+        """,
         "audio_segments": media_cte
         + """
             , dur AS (

@@ -1036,3 +1036,72 @@ def dup_rate_by_source(
             F.round(1.0 - F.col("distinct_fps") / F.col("docs"), 6),
         )
     )
+
+
+# -- entity resolution (fuzzy name matching) ---------------------------------
+
+
+def name_match_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    gram: int = 3,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Entity-resolution fuzzy matching: pairs of rows whose names'
+    character ``gram``-gram Jaccard similarity reaches ``threshold`` —
+    ``(id_a, id_b, shared, jacc)``. The classic product-catalog /
+    customer-record near-dup matcher.
+
+    Blocking IS the candidate generator: names self-join only on shared
+    grams (never all-pairs), the shared-gram count aggregates per pair,
+    and the Jaccard closes from per-name gram-set sizes carried through
+    the join — the set sizes ride the gram rows, so no join back against
+    a sizes table. ``max_gram_df`` drops grams whose document frequency
+    exceeds the cap before the join (broadcast whitelist semi-join) —
+    the same dial as the winnow/minhash caps: a gram shared by half the
+    catalog ("#00" in serial-numbered names) is blocking noise that
+    bloats the join by sum(df²) while separating nothing."""
+    from pyspark.sql.window import Window
+
+    lower = F.lower(F.trim(F.col(name_col)))
+    n = F.length(lower)
+    grams_arr = F.array_distinct(
+        F.when(
+            n >= gram,
+            F.transform(
+                F.sequence(F.lit(1), n - gram + 1),
+                lambda i: lower.substr(i, F.lit(gram)),
+            ),
+        ).otherwise(F.array(lower))
+    )
+    grams = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(grams_arr).alias("g"),
+        F.size(grams_arr).alias("n_grams"),
+    )
+    if max_gram_df is not None:
+        good = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_gram_df)
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(good), "g", "left_semi")
+    a = grams.select(F.col("id").alias("id_a"), "g", F.col("n_grams").alias("na"))
+    b = grams.select(F.col("id").alias("id_b"), "g", F.col("n_grams").alias("nb"))
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jacc = F.round(
+        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+    )
+    return (
+        pairs.withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", F.col("shared").cast("bigint").alias("shared"), "jacc")
+    )

@@ -437,3 +437,39 @@ def test_span_dedup_corpus_invariants(spark):
     # equals its distinct-span token total
     assert first["kept_spans"] >= 1
     assert first["kept_text"].split()[:4] == doc0_first_span_unique_prefix.split()[:4]
+
+
+class TestNameMatchPairs:
+    def test_jaccard_and_blocking(self, spark):
+        from pgferry_spark.operators.dedup import name_match_pairs
+
+        df = spark.createDataFrame(
+            [(1, "red widget"), (2, "red widgett"), (3, "blue bolt"),
+             (4, "red widget"), (5, "zz")],
+            "id: long, name: string",
+        )
+        got = {(r["id_a"], r["id_b"]): r["jacc"]
+               for r in name_match_pairs(df, "name", "id", threshold=0.5).collect()}
+        assert got[(1, 4)] == 1.0              # exact dup
+        assert got[(1, 2)] == got[(2, 4)] == 0.8889  # 8 shared / 9 union
+        assert (1, 3) not in got and (3, 5) not in got
+        # short names fall back to the whole string as the only gram
+        short = spark.createDataFrame(
+            [(1, "ab"), (2, "ab"), (3, "cd")], "id: long, name: string"
+        )
+        g = {(r["id_a"], r["id_b"]): r["jacc"]
+             for r in name_match_pairs(short, "name", "id", threshold=0.5).collect()}
+        assert g == {(1, 2): 1.0}
+
+    def test_gram_df_cap_drops_serial_prefix_noise(self, spark):
+        from pgferry_spark.operators.dedup import name_match_pairs
+
+        # serial-numbered names: the shared "#00…" prefix grams pair
+        # EVERYTHING without the cap
+        df = spark.createDataFrame(
+            [(i, f"Customer#00000{i:03d}") for i in range(50)],
+            "id: long, name: string",
+        )
+        uncapped = name_match_pairs(df, "name", "id", threshold=0.5)
+        capped = name_match_pairs(df, "name", "id", threshold=0.5, max_gram_df=10)
+        assert capped.count() < uncapped.count()
