@@ -439,3 +439,41 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def trending_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    min_count: int = 2,
+) -> DataFrame:
+    """Streaming trending-token counts: tokenize at the edge and count per
+    tumbling window — the live twin of the batch ``vocab_topk`` report
+    (what terms are spiking in the crawl RIGHT NOW).
+
+    The explode multiplies rows ~tokens-per-doc BEFORE the stateful
+    aggregation, but state is bounded by (windows in the watermark
+    horizon) × (distinct tokens seen in them) — the explode itself is
+    stateless map work. ``min_count`` prunes the long singleton tail at
+    emit time; final ranking happens downstream on the (tiny) emitted
+    window counts, because a global top-k inside the stream would need a
+    single-partition sort per trigger."""
+    from ..functions.text import tokens
+
+    toks = docs.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    return (
+        toks.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("token"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "token",
+            "n",
+        )
+    )

@@ -162,3 +162,35 @@ def test_stream_to_pipeline_sink(spark, tmp_path):
     )
     q2.awaitTermination()
     assert target.count("events_landed") == 6
+
+
+def test_trending_tokens_windows_and_floor(spark, tmp_path):
+    import datetime as dt
+
+    from pgferry_spark.streaming.events import trending_tokens
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (t, "spark spark rocks"),
+        (t + dt.timedelta(minutes=2), "spark again"),
+        (t + dt.timedelta(minutes=25), "later window spark"),
+        # advances the watermark past the earlier windows so append-mode
+        # emits them in this single availableNow batch
+        (t + dt.timedelta(minutes=50), "flush marker"),
+    ]
+    path = str(tmp_path / "trend_src")
+    spark.createDataFrame(rows, "ts: timestamp, text: string") \
+        .coalesce(1).write.parquet(path)
+    stream = trending_tokens(
+        spark.readStream.schema("ts timestamp, text string").parquet(path),
+        window="10 minutes", watermark="5 minutes", min_count=2,
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("t_trend")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(str(r["window_start"]), r["token"]): r["n"]
+           for r in spark.sql("SELECT * FROM t_trend").collect()}
+    # 'spark' x3 in the 10:00 window survives the floor; singletons pruned
+    assert got == {("2024-01-01 10:00:00", "spark"): 3}
