@@ -987,6 +987,23 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _q16_adapted(spark, sf):
+    """Q16-shaped distinct-supplier counts per (brand, type, size), with
+    shipped (partkey, suppkey) pairs standing in for the absent partsupp."""
+    return Q.q16_supplier_part_types(
+        _t(spark, sf, "part"), _t(spark, sf, "lineitem")
+    )
+
+
+def _q20_adapted(spark, sf):
+    """Q20-shaped excess shippers: > 100 units of red* parts in 1995,
+    supplier/nation broadcast dims."""
+    return Q.q20_excess_shippers(
+        _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+        _t(spark, sf, "part"), _t(spark, sf, "lineitem"),
+    )
+
+
 def _name_match_pairs(spark, sf):
     """Entity resolution on part names: exact-dedup to distinct-name
     representatives FIRST (the realistic pre-step — fuzzy-matching raw
@@ -1253,7 +1270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_key_profile": _json_key_profile,
         "audio_segments": _audio_segments,
         "name_match_pairs": _name_match_pairs,
-        # --- position 70+: all hash-green in CORRECTNESS_r02 ---------------
+        "q16_adapted": _q16_adapted,
+        "q20_adapted": _q20_adapted,
+        # --- position 72+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2381,6 +2400,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": media_cte
         + "SELECT media_id, media_type, width, height, n_frames, checksum FROM meta",
+        "q16_adapted": """
+            SELECT p_brand, p_type, CAST(p_size AS INTEGER) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q20_adapted": """
+            WITH shipped AS (
+              SELECT l_suppkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate < TIMESTAMP '1996-01-01'
+              GROUP BY l_suppkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100
+            )
+            SELECT s_suppkey, s_name, n_name AS nation,
+                   CAST(qty_dec AS DOUBLE) AS shipped_qty
+            FROM shipped
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+        """,
         "name_match_pairs": """
             WITH reps AS (
               SELECT lower(trim(p_name)) AS nm, min(p_partkey) AS id

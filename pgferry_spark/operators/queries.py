@@ -818,3 +818,73 @@ def revenue_percentiles(lineitem: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def q16_supplier_part_types(
+    part: DataFrame,
+    lineitem: DataFrame,
+    excl_brand: str = "Brand#1",
+    excl_type: str = "PROMO",
+    sizes: tuple = (1, 4, 7, 10, 13, 16, 19, 22),
+) -> DataFrame:
+    """TPC-H Q16-shaped, adapted to the testdata's columns: distinct
+    supplier count per (brand, type, size) for qualifying parts, with the
+    supplier relation derived from lineitem shipments (the testdata has no
+    partsupp table — the shipped (partkey, suppkey) pairs are its
+    observable stand-in; COVERAGE.md documents the adaptation).
+
+    Shape: filters prune the part side BEFORE the join (pushed to the
+    scan); part is the broadcast side against the lineitem fact; the
+    distinct-supplier count aggregates once on the (brand, type, size)
+    key. Same plan family as reference-shaped q16's partsupp join."""
+    p = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & F.col("p_size").isin(list(sizes))
+    )
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def q20_excess_shippers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    name_prefix: str = "red",
+    year: int = 1995,
+    min_qty: float = 100.0,
+    nation_name: str | None = None,
+) -> DataFrame:
+    """TPC-H Q20-shaped, adapted: suppliers who shipped more than
+    ``min_qty`` units of ``name_prefix``-named parts during ``year``
+    (the reference gates on partsupp availqty; shipped quantity is the
+    testdata's observable stand-in), optionally restricted to one nation.
+
+    Shape: the part filter broadcasts into the lineitem scan; the
+    per-supplier quantity aggregate is one shuffle; supplier/nation are
+    broadcast dims. The HAVING threshold rides the aggregate."""
+    p = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > min_qty)
+    )
+    out = shipped.join(
+        F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+    ).join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    if nation_name is not None:
+        out = out.filter(F.col("n_name") == nation_name)
+    return out.select(
+        "s_suppkey", "s_name", F.col("n_name").alias("nation"),
+        F.col("qty_dec").cast("double").alias("shipped_qty"),
+    )
