@@ -71,6 +71,9 @@ HEADLINE = [
     "pq_encode",
     "user_funnel",
     "chunk_documents",
+    "retention_cohorts",
+    "name_match_pairs",
+    "q16_adapted",
     "events_pivot",
     "revenue_percentiles",
 ]
