@@ -876,6 +876,7 @@ def span_dedup(
     content_col: str,
     id_col: str,
     span: int = 5,
+    keeper: str = "window",
 ) -> DataFrame:
     """Corpus-wide duplicate-span removal: C4's three-sentence / line-level
     dedup rule (keep the FIRST occurrence of every repeated span, delete the
@@ -899,10 +900,12 @@ def span_dedup(
       not corpus size).
 
     A corpus-hot span (boilerplate header, empty-ish filler) concentrates
-    its window partition; the keeper needs only the MIN (id, idx) pair, so
-    at 100 TB swap the window for ``min(struct(id, idx))`` + re-join, or
-    salt the span key — shape documented in docs/SCALE.md. Keep-first (not
-    keep-random) makes the pass deterministic and incremental-rebuild safe.
+    its window partition; ``keeper="agg"`` is the implemented 100 TB
+    mitigation — ``min(struct(id, idx))`` with map-side partial
+    aggregation plus an exchange-reusing equi-join, so no task ever holds
+    a span's full occurrence list (bit-identical output, test-pinned).
+    Keep-first (not keep-random) makes the pass deterministic and
+    incremental-rebuild safe.
     """
     toks = tokens(F.col(content_col))
     n_spans = F.ceil(F.size(toks) / F.lit(span)).cast("int")
@@ -914,12 +917,37 @@ def span_dedup(
         df.filter(F.trim(F.col(content_col)) != "")
         .select(F.col(id_col), F.posexplode(spans_arr).alias("span_idx", "span_text"))
     )
-    from pyspark.sql.window import Window
+    if keeper == "window":
+        from pyspark.sql.window import Window
 
-    rn = F.row_number().over(
-        Window.partitionBy("span_text").orderBy(F.col(id_col).asc(), F.col("span_idx").asc())
-    )
-    ranked = exploded.withColumn("__rn", rn)
+        rn = F.row_number().over(
+            Window.partitionBy("span_text").orderBy(
+                F.col(id_col).asc(), F.col("span_idx").asc()
+            )
+        )
+        ranked = exploded.withColumn("__rn", rn)
+    elif keeper == "agg":
+        # hot-span-safe keeper: the window above materializes every
+        # occurrence of a span inside ONE partition (a boilerplate span at
+        # 10% document frequency = 10% of the corpus in one task); the
+        # aggregate keeper reduces each span to its MIN (id, idx) pair with
+        # map-side partial aggregation — no single task ever holds a span's
+        # full occurrence list — then an equi-join (same span_text
+        # partitioning, exchange reused) flags the keepers. Output is
+        # bit-identical to the window path (equivalence test pins it).
+        keepers = exploded.groupBy("span_text").agg(
+            F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("__k")
+        )
+        ranked = exploded.join(keepers, "span_text").withColumn(
+            "__rn",
+            F.when(
+                (F.col("__k")[id_col] == F.col(id_col))
+                & (F.col("__k")["span_idx"] == F.col("span_idx")),
+                F.lit(1),
+            ).otherwise(F.lit(2)),
+        ).drop("__k")
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"keeper must be 'window' or 'agg', got {keeper!r}")
     kept_struct = F.when(
         F.col("__rn") == 1, F.struct(F.col("span_idx"), F.col("span_text"))
     )

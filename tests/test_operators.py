@@ -473,3 +473,24 @@ class TestNameMatchPairs:
         uncapped = name_match_pairs(df, "name", "id", threshold=0.5)
         capped = name_match_pairs(df, "name", "id", threshold=0.5, max_gram_df=10)
         assert capped.count() < uncapped.count()
+
+
+def test_span_dedup_agg_keeper_bit_identical(spark):
+    """The hot-span-safe aggregate keeper must reproduce the window path
+    exactly — same keepers, same reassembly, on a corpus with heavy
+    cross-doc and within-doc span repetition."""
+    import random
+
+    from pgferry_spark.operators.dedup import span_dedup
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    a = sorted(map(tuple, span_dedup(df, "text", "id", span=3).collect()))
+    b = sorted(map(tuple,
+                   span_dedup(df, "text", "id", span=3, keeper="agg").collect()))
+    assert a == b
