@@ -987,6 +987,37 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _corpus_report(spark, sf):
+    """One-row dataset datasheet: doc/token/char totals, language and
+    source breadth, duplication rate, mean quality — the summary table a
+    corpus release ships with. One scan, one global aggregate."""
+    d = _t(spark, sf, "documents")
+    toks = T.tokens(F.col("text"))
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return d.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(toks).cast("bigint")).alias("tokens"),
+        F.sum(F.length("text").cast("bigint")).alias("chars"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+        F.round(
+            1.0 - F.count_distinct(fp) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(F.avg(T.quality_score(F.col("text"))), 6).alias("mean_quality"),
+    )
+
+
+def _token_histogram(spark, sf):
+    """Token-count distribution in width-10 buckets — the length histogram
+    behind packing/outlier decisions. Map-side bucketing, one tiny agg."""
+    d = _t(spark, sf, "documents")
+    bucket = (F.floor(F.size(T.tokens(F.col("text"))) / 10) * 10).cast("int")
+    return (
+        d.groupBy(bucket.alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _q16_adapted(spark, sf):
     """Q16-shaped distinct-supplier counts per (brand, type, size), with
     shipped (partkey, suppkey) pairs standing in for the absent partsupp."""
@@ -1272,7 +1303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_match_pairs": _name_match_pairs,
         "q16_adapted": _q16_adapted,
         "q20_adapted": _q20_adapted,
-        # --- position 72+: all hash-green in CORRECTNESS_r02 ---------------
+        "corpus_report": _corpus_report,
+        "token_histogram": _token_histogram,
+        # --- position 74+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2400,6 +2433,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": media_cte
         + "SELECT media_id, media_type, width, height, n_frames, checksum FROM meta",
+        "corpus_report": f"""
+            SELECT CAST(count(*) AS BIGINT) AS docs,
+                   CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   ROUND(1.0 - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                               / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+                   ROUND(AVG(ROUND(
+                       0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                                        / len({_TOKS}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - least(5.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                                                 / greatest(length(text), 1)), 1.0)), 4)), 6)
+                     AS mean_quality
+            FROM documents
+        """,
+        "token_histogram": f"""
+            SELECT CAST(FLOOR(len({_TOKS}) / 10) * 10 AS INTEGER) AS bucket_lo,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY bucket_lo
+        """,
         "q16_adapted": """
             SELECT p_brand, p_type, CAST(p_size AS INTEGER) AS p_size,
                    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
