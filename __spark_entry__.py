@@ -987,6 +987,17 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _curate_corpus(spark, sf):
+    """Full curation DAG (scrub → quality gate → fingerprint dedup →
+    split → shard) — one wide shuffle total, everything else fused map
+    work. Returns the training-ready assignment table."""
+    from pgferry_spark.operators.curate import curate_corpus
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = curate_corpus(d, "text", "doc_id", min_quality=0.3)
+    return out.select("doc_id", "quality", "split", "shard")
+
+
 def _corpus_report(spark, sf):
     """One-row dataset datasheet: doc/token/char totals, language and
     source breadth, duplication rate, mean quality — the summary table a
@@ -1305,7 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_adapted": _q20_adapted,
         "corpus_report": _corpus_report,
         "token_histogram": _token_histogram,
-        # --- position 74+: all hash-green in CORRECTNESS_r02 ---------------
+        "curate_corpus": _curate_corpus,
+        # --- position 75+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2433,6 +2445,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": media_cte
         + "SELECT media_id, media_type, width, height, n_frames, checksum FROM meta",
+        "curate_corpus": f"""
+            WITH s1 AS (
+              SELECT doc_id,
+                     regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+              FROM documents
+            ),
+            s2 AS (SELECT doc_id, regexp_replace(t, '{_PII_IPV4}', '<IP>', 'g') AS t FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(t, '{_PII_PHONE}', '<PHONE>', 'g') AS text FROM s2),
+            scored AS (
+              SELECT doc_id, text,
+                     ROUND(
+                       0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                                        / len({_TOKS}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - least(5.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                                                 / greatest(length(text), 1)), 1.0)), 4) AS quality
+              FROM s3
+            ),
+            gated AS (SELECT * FROM scored WHERE quality >= 0.3),
+            ranked AS (
+              SELECT doc_id, quality,
+                     min(doc_id) OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                     ) AS keeper
+              FROM gated
+            ),
+            kept AS (
+              SELECT doc_id, quality,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+              FROM ranked WHERE doc_id = keeper
+            )
+            SELECT doc_id, quality,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                        AS INTEGER) AS shard
+            FROM kept
+        """,
         "corpus_report": f"""
             SELECT CAST(count(*) AS BIGINT) AS docs,
                    CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens,

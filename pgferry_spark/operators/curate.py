@@ -378,3 +378,40 @@ def weighted_sample(
         .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_quality: float = 0.3,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The full curation DAG as one composition — the batch mirror of the
+    streaming :func:`~pgferry_spark.streaming.events.curate_stream` gate,
+    continued through to training-ready assignments:
+
+    1. PII scrub (map-only; the scrubbed text is what everything
+       downstream, including the dedup fingerprint, sees);
+    2. quality filter on the scrubbed text (map-only);
+    3. fingerprint dedup, keep-lowest-id (one shuffle);
+    4. deterministic train/val/test split (map-only md5 bucket);
+    5. shard assignment (map-only md5 bucket).
+
+    Returns the curated corpus: original id, scrubbed text, quality,
+    split, shard. Total distributed cost: ONE wide shuffle (the dedup
+    window) — every other stage is a Column expression, which is exactly
+    why the pipeline composes at 100 TB: Catalyst fuses 1/2/4/5 into the
+    scan and post-dedup projections."""
+    from ..functions.text import fingerprint, pii_scrub, quality_score
+    from .dedup import dedup_by_fingerprint
+
+    scrubbed = df.withColumn(text_col, pii_scrub(F.col(text_col)))
+    scored = scrubbed.withColumn(
+        "quality", F.round(quality_score(F.col(text_col)), 4)
+    ).filter(F.col("quality") >= min_quality)
+    deduped = dedup_by_fingerprint(scored, text_col, id_col)
+    split = dataset_split(deduped, id_col, train_pct, val_pct)
+    return assign_shards(split, id_col, n_shards)

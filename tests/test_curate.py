@@ -287,3 +287,27 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     # deterministic
     again = [r["id"] for r in weighted_sample(df, "id", "w", n=20).collect()]
     assert ids == again
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The full DAG: PII scrubbed before fingerprinting (PII twins dedup),
+    junk gated, every survivor has a split and a shard."""
+    from pgferry_spark.operators.curate import curate_corpus
+
+    good = ("a sensible document, with enough words to pass the gate. "
+            "it continues for a while and stays reasonable.")
+    rows = [
+        (1, good + " contact alice@example.com for details."),
+        (2, good + " contact bob@other.org for details."),   # PII twin of 1
+        (3, "!!!! ???? ;;;; >>>> ::::"),                     # junk
+        (4, "another acceptable document with plenty of ordinary words "
+            "to keep the quality score comfortably above the bar."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in
+           curate_corpus(df, "text", "doc_id", min_quality=0.4).collect()}
+    assert set(got) == {1, 4}          # twin 2 deduped, junk 3 gated
+    for r in got.values():
+        assert r["split"] in {"train", "val", "test"}
+        assert 0 <= r["shard"] < 8
+        assert "<EMAIL>" in r["text"] or "@" not in r["text"]
