@@ -987,6 +987,15 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _tfidf_pairs(spark, sf):
+    """All-pairs TF-IDF cosine similarity join at >= 0.9 — term-weighted
+    lexical overlap, token-blocked (never corpus-quadratic)."""
+    from pgferry_spark.operators.ranking import tfidf_similarity_pairs
+
+    d = _t(spark, sf, "documents")
+    return tfidf_similarity_pairs(d, "text", "doc_id", threshold=0.9)
+
+
 def _curate_corpus(spark, sf):
     """Full curation DAG (scrub → quality gate → fingerprint dedup →
     split → shard) — one wide shuffle total, everything else fused map
@@ -1317,7 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _corpus_report,
         "token_histogram": _token_histogram,
         "curate_corpus": _curate_corpus,
-        # --- position 75+: all hash-green in CORRECTNESS_r02 ---------------
+        "tfidf_pairs": _tfidf_pairs,
+        # --- position 76+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2445,6 +2455,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": media_cte
         + "SELECT media_id, media_type, width, height, n_frames, checksum FROM meta",
+        "tfidf_pairs": f"""
+            WITH tf AS (
+              SELECT id, token, CAST(count(*) AS DOUBLE) AS tf
+              FROM (SELECT doc_id AS id, unnest({_LTOKS}) AS token FROM documents)
+              WHERE token <> '' GROUP BY id, token
+            ),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            w AS (
+              SELECT id, token, tf * ln(nn.n / df) AS w
+              FROM tf JOIN dfreq USING (token) CROSS JOIN nn
+            ),
+            norms AS (SELECT id, sqrt(sum(w * w)) AS norm FROM w GROUP BY id),
+            posts AS (
+              SELECT w.id, token, w.w, norms.norm
+              FROM w JOIN norms USING (id) WHERE norm > 0
+            ),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.norm AS na, b.norm AS nb,
+                     sum(a.w * b.w) AS dot
+              FROM posts a JOIN posts b ON a.token = b.token AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cosine_sim
+            FROM pairs WHERE ROUND(dot / (na * nb), 4) >= 0.9
+        """,
         "curate_corpus": f"""
             WITH s1 AS (
               SELECT doc_id,

@@ -119,3 +119,75 @@ def bm25_topk(
         .limit(k)
         .select(F.col("doc").alias(id_col), "n_terms", "score")
     )
+
+
+def tfidf_similarity_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs document similarity (APSS) by TF-IDF cosine: pairs of
+    documents whose weighted-token vectors' cosine reaches ``threshold``
+    — ``(id_a, id_b, cosine_sim)``. The similarity-join behind related-
+    document linking and soft-dedup audits, complementary to MinHash
+    (set overlap) and embeddings (semantic): this one is term-weighted
+    lexical overlap.
+
+    Shape: the sparse dot product decomposes over shared tokens, so the
+    pair generation is a token-blocked self-join of the (doc, token,
+    weight) postings — linear in collisions (sum over tokens of df²),
+    never corpus-quadratic — with per-doc norms riding the posting rows
+    (no norms-table join-back). ``max_df`` prunes high-df tokens BEFORE
+    the join; for TF-IDF the cap is principled, not just pragmatic:
+    ln(N/df) → 0 as df → N, so the tokens that explode the join are
+    precisely the ones contributing nothing to the score.
+
+    One tokenize scan → tf aggregate; df/idf from a second aggregate over
+    the (already narrow) tf table; the join and pair aggregation shuffle
+    postings, not documents."""
+    toks = tokens(F.lower(F.col(text_col)))
+    tf = (
+        fan_out(df, id_col)
+        .select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("token"))
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).persist()
+    n_docs = df.select(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "__n")
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    weighted = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id", "token",
+            (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = weighted.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    posts = weighted.join(norms, "id").filter(F.col("norm") > 0)
+    a = posts.select(
+        F.col("id").alias("id_a"), "token",
+        F.col("w").alias("wa"), F.col("norm").alias("na"),
+    )
+    b = posts.select(
+        F.col("id").alias("id_b"), "token",
+        F.col("w").alias("wb"), F.col("norm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    sim = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+    return (
+        pairs.withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -273,3 +273,36 @@ class TestAdviceEdgeCases:
             fill_time_gaps(df, "user_id", "ts", "day'; DROP TABLE x")
         with _pytest.raises(ValueError):
             rate_anomalies(df, step="fortnight")
+
+
+class TestTfidfSimilarityPairs:
+    def test_identical_docs_score_one_and_disjoint_absent(self, spark):
+        from pgferry_spark.operators.ranking import tfidf_similarity_pairs
+
+        rows = [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),     # identical -> cosine 1.0
+            (3, "alpha beta gamma epsilon"),   # high overlap
+            (4, "zeta eta theta iota"),        # disjoint from 1-3
+            (5, "zeta eta theta iota kappa"),
+        ]
+        df = spark.createDataFrame(rows, "id: long, text: string")
+        got = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+               for r in tfidf_similarity_pairs(df, "text", "id",
+                                               threshold=0.1).collect()}
+        assert got[(1, 2)] == 1.0
+        assert got[(4, 5)] > got.get((1, 3), 0.0) > 0.0
+        assert not any({a, b} == {1, 4} or {a, b} == {3, 4} for a, b in got)
+
+    def test_max_df_prunes_stopword_blocking(self, spark):
+        from pgferry_spark.operators.ranking import tfidf_similarity_pairs
+
+        # 'the' appears in every doc: with max_df it can't generate pairs
+        rows = [(i, f"the unique{i} word{i}") for i in range(20)]
+        df = spark.createDataFrame(rows, "id: long, text: string")
+        full = tfidf_similarity_pairs(df, "text", "id", threshold=0.0)
+        capped = tfidf_similarity_pairs(df, "text", "id", threshold=0.0,
+                                        max_df=5)
+        # ubiquitous-token pairs exist uncapped (score ~0 but present);
+        # capping removes the blocking token so no pairs remain
+        assert full.count() > 0 and capped.count() == 0
