@@ -987,6 +987,19 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _approx_quantile_check(spark, sf):
+    """KLL-style approx median per return flag, tolerance-gated vs the
+    exact percentile (oracle asserts within_tolerance, so the gate sits
+    well above the sketch's rank error — the approx_distinct lesson)."""
+    from pgferry_spark.operators.checks import approx_quantile_check
+
+    li = _t(spark, sf, "lineitem")
+    return approx_quantile_check(
+        li.withColumn("price_d", F.col("l_extendedprice").cast("double")),
+        "l_returnflag", "price_d", q=0.5, rel_tol=0.10,
+    )
+
+
 def _tfidf_pairs(spark, sf):
     """All-pairs TF-IDF cosine similarity join at >= 0.9 — term-weighted
     lexical overlap, token-blocked (never corpus-quadratic)."""
@@ -1327,7 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": _token_histogram,
         "curate_corpus": _curate_corpus,
         "tfidf_pairs": _tfidf_pairs,
-        # --- position 76+: all hash-green in CORRECTNESS_r02 ---------------
+        "approx_quantile_flags": _approx_quantile_check,
+        # --- position 77+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2455,6 +2469,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": media_cte
         + "SELECT media_id, media_type, width, height, n_frames, checksum FROM meta",
+        "approx_quantile_flags": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6)
+                     AS q_exact,
+                   true AS within_tolerance
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "tfidf_pairs": f"""
             WITH tf AS (
               SELECT id, token, CAST(count(*) AS DOUBLE) AS tf

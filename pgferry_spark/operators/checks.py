@@ -132,3 +132,35 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col("value")).alias("n_values"),
     )
+
+
+def approx_quantile_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.5,
+    rel_tol: float = 0.10,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group approximate quantile, gated against the exact percentile:
+    ``(group, q_exact, within_tolerance)`` — the quantile twin of
+    :func:`approx_distinct_check`, same ship-the-sketch-qualify-it-small
+    playbook. At 100 TB the exact percentile is a full sort-ish shuffle
+    per group; ``approx_percentile``'s KLL-style sketch is fixed-size and
+    mergeable map-side. ``rel_tol`` sits well above the sketch's rank
+    error at the default accuracy so a legal deviation at a future scale
+    factor never reads as a wrong answer (the approx_distinct lesson)."""
+    agg = df.groupBy(group_col).agg(
+        F.expr(
+            f"approx_percentile({value_col}, {q}, {accuracy})"
+        ).alias("approx"),
+        F.expr(f"percentile({value_col}, {q})").alias("q_exact"),
+    )
+    return agg.select(
+        group_col,
+        F.round(F.col("q_exact").cast("double"), 6).alias("q_exact"),
+        (
+            F.abs(F.col("approx").cast("double") - F.col("q_exact").cast("double"))
+            <= F.lit(rel_tol) * F.abs(F.col("q_exact").cast("double"))
+        ).alias("within_tolerance"),
+    )

@@ -170,7 +170,14 @@ def tfidf_similarity_pairs(
     norms = weighted.groupBy("id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )
-    posts = weighted.join(norms, "id").filter(F.col("norm") > 0)
+    # persisted: the pair generation reads posts TWICE (both self-join
+    # sides); without the cache the idf join + norms aggregate execute once
+    # per side (the plan literally contains the postings subtree twice)
+    posts = (
+        weighted.join(norms, "id")
+        .filter(F.col("norm") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = posts.select(
         F.col("id").alias("id_a"), "token",
         F.col("w").alias("wa"), F.col("norm").alias("na"),

@@ -306,3 +306,17 @@ class TestBehavioralOpsPlanShapes:
         plan = _executed(E.queries()["weighted_sample"](spark, SF))
         assert "TakeOrderedAndProject" in plan
         assert "Exchange" not in plan
+
+    def test_tfidf_pairs_no_nested_loop(self, spark):
+        """APSS must stay equi-join blocked: any BroadcastNestedLoop or
+        CartesianProduct means the token blocking degenerated to
+        corpus-quadratic."""
+        plan = _executed(E.queries()["tfidf_pairs"](spark, SF))
+        # the postings subtree (which contains the benign 1-row corpus-
+        # count cross join, q15's scalar pattern) must be CACHED so the
+        # self-join's two sides read it instead of re-executing it: at
+        # most one InMemoryRelation-internal BNLJ may appear, and the
+        # pair join itself must stay an equi SortMergeJoin.
+        assert plan.count("InMemoryTableScan") >= 2  # both sides read cache
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan
