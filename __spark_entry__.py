@@ -987,6 +987,17 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _attribution(spark, sf):
+    """Last-touch conversion attribution: each purchase credits the most
+    recent preceding non-purchase event — one user-keyed window pass."""
+    from pgferry_spark.operators.temporal import last_touch_attribution
+
+    e = _t(spark, sf, "events")
+    return last_touch_attribution(
+        e, "user_id", "ts", "event_type", "event_id", conversion="purchase"
+    )
+
+
 def _approx_quantile_check(spark, sf):
     """KLL-style approx median per return flag, tolerance-gated vs the
     exact percentile (oracle asserts within_tolerance, so the gate sits
@@ -1341,7 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _curate_corpus,
         "tfidf_pairs": _tfidf_pairs,
         "approx_quantile_flags": _approx_quantile_check,
-        # --- position 77+: all hash-green in CORRECTNESS_r02 ---------------
+        "last_touch_attribution": _attribution,
+        # --- position 78+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2469,6 +2481,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": media_cte
         + "SELECT media_id, media_type, width, height, n_frames, checksum FROM meta",
+        "last_touch_attribution": """
+            WITH ordered AS (
+              SELECT event_id, user_id, ts, event_type,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                                     THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS attributed_type
+              FROM events
+            )
+            SELECT event_id AS conversion_id, user_id, ts AS conv_ts,
+                   attributed_type
+            FROM ordered WHERE event_type = 'purchase'
+        """,
         "approx_quantile_flags": """
             SELECT l_returnflag,
                    ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6)

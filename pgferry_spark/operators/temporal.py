@@ -351,3 +351,43 @@ def transition_counts(
         .groupBy(F.col("__prev").alias("prev_type"), F.col(type_col).alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event credits the
+    most recent PRECEDING non-conversion event in the same user's timeline
+    — ``(conversion_id, user, conv_ts, attributed_type)``, NULL when the
+    conversion had no prior touch.
+
+    ONE window shuffle on the user key: ``last(non_conv_type,
+    ignorenulls)`` over rows-preceding does the lookback in a single pass
+    — no per-conversion self-join (which would shuffle the fact table
+    once per conversion type). Ties on timestamp break by the event id,
+    same determinism discipline as the funnel/transition operators."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion, F.col(type_col)), ignorenulls=True
+    ).over(w)
+    return (
+        df.withColumn("__touch", touch)
+        .filter(F.col(type_col) == conversion)
+        .select(
+            F.col(id_col).alias("conversion_id"),
+            F.col(user_col),
+            F.col(ts_col).alias("conv_ts"),
+            F.col("__touch").alias("attributed_type"),
+        )
+    )

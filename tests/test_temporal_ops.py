@@ -249,3 +249,28 @@ class TestRetentionAndTransitions:
                ).collect()}
         assert got == {("view", "click"): 2, ("click", "view"): 1}
 
+
+
+def test_last_touch_attribution_goldens(spark):
+    import datetime as dt
+
+    from pgferry_spark.operators.temporal import last_touch_attribution
+
+    t = lambda m: dt.datetime(2026, 2, 1, 10, m)
+    rows = [  # (event_id, user, ts, type)
+        (1, 1, t(0), "view"),
+        (2, 1, t(1), "click"),
+        (3, 1, t(2), "purchase"),      # attributed: click
+        (4, 1, t(3), "purchase"),      # consecutive conversion: still click
+        (5, 2, t(0), "purchase"),      # no prior touch -> NULL
+        (6, 3, t(0), "view"),
+        (7, 3, t(0), "purchase"),      # same ts: id order puts view first
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: timestamp, event_type: string"
+    )
+    got = {r["conversion_id"]: r["attributed_type"]
+           for r in last_touch_attribution(
+               df, "user_id", "ts", "event_type", "event_id"
+           ).collect()}
+    assert got == {3: "click", 4: "click", 5: None, 7: "view"}
