@@ -987,6 +987,15 @@ def _shard_manifest(spark, sf):
     return shard_manifest(d, "doc_id", "text", n_shards=8)
 
 
+def _inter_event_gaps(spark, sf):
+    """Per-user event-cadence profile (min/median/max inter-event gap) —
+    the data-driven input to session-gap tuning and bot detection."""
+    from pgferry_spark.operators.temporal import inter_event_gaps
+
+    e = _t(spark, sf, "events")
+    return inter_event_gaps(e, "user_id", "ts", "event_id")
+
+
 def _attribution(spark, sf):
     """Last-touch conversion attribution: each purchase credits the most
     recent preceding non-purchase event — one user-keyed window pass."""
@@ -1353,7 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_pairs": _tfidf_pairs,
         "approx_quantile_flags": _approx_quantile_check,
         "last_touch_attribution": _attribution,
-        # --- position 78+: all hash-green in CORRECTNESS_r02 ---------------
+        "inter_event_gaps": _inter_event_gaps,
+        # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2481,6 +2491,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": media_cte
         + "SELECT media_id, media_type, width, height, n_frames, checksum FROM meta",
+        "inter_event_gaps": """
+            WITH g AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     )) AS DOUBLE) / 1000000.0 AS gap
+              FROM events
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   ROUND(min(gap), 3) AS min_gap_s,
+                   ROUND(quantile_cont(gap, 0.5), 3) AS median_gap_s,
+                   ROUND(max(gap), 3) AS max_gap_s
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        """,
         "last_touch_attribution": """
             WITH ordered AS (
               SELECT event_id, user_id, ts, event_type,

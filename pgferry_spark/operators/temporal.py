@@ -391,3 +391,40 @@ def last_touch_attribution(
             F.col("__touch").alias("attributed_type"),
         )
     )
+
+
+def inter_event_gaps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-user inter-event gap statistics: ``(user, n_gaps, min_gap_s,
+    median_gap_s, max_gap_s)`` — the cadence profile behind session-gap
+    tuning (pick the sessionize threshold FROM this table, not folklore)
+    and bot detection (implausibly uniform or zero gaps).
+
+    One window shuffle (lag over the user key, event-id tie rule) and the
+    stats aggregate rides the same partitioning — Catalyst reuses the
+    exchange, so the fact table shuffles once. Single-event users emit no
+    row (they have no gaps), which keeps the output honest for downstream
+    percentile pooling."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gap = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    ) / 1_000_000.0
+    return (
+        df.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.min("__gap"), 3).alias("min_gap_s"),
+            F.round(F.expr("percentile(__gap, 0.5)"), 3).alias("median_gap_s"),
+            F.round(F.max("__gap"), 3).alias("max_gap_s"),
+        )
+    )
