@@ -274,3 +274,22 @@ def test_last_touch_attribution_goldens(spark):
                df, "user_id", "ts", "event_type", "event_id"
            ).collect()}
     assert got == {3: "click", 4: "click", 5: None, 7: "view"}
+
+
+def test_inter_event_gaps_goldens(spark):
+    import datetime as dt
+
+    from pgferry_spark.operators.temporal import inter_event_gaps
+
+    t = lambda s: dt.datetime(2026, 3, 1, 12, 0, s)
+    rows = [
+        (1, 1, t(0)), (2, 1, t(10)), (3, 1, t(40)),   # gaps 10s, 30s
+        (4, 2, t(5)),                                  # single event: no row
+    ]
+    df = spark.createDataFrame(rows, "event_id: long, user_id: long, ts: timestamp")
+    got = {r["user_id"]: r for r in
+           inter_event_gaps(df, "user_id", "ts", "event_id").collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert (r["n_gaps"], r["min_gap_s"], r["median_gap_s"], r["max_gap_s"]) == \
+        (2, 10.0, 20.0, 30.0)
