@@ -996,6 +996,43 @@ def _inter_event_gaps(spark, sf):
     return inter_event_gaps(e, "user_id", "ts", "event_id")
 
 
+def _ivf_pq_topk(spark, sf):
+    """FAISS-style IVFADC: one-scan (cell, PQ codes) index build, then a
+    probe that filters 2 of 8 cells and scores by m literal-array lookups
+    per row — raw vectors never touched at probe time. At 100 TB the
+    index table is written bucketed by cell_id and this probe reads two
+    buckets; here build+probe fuse into one job."""
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.ivf_centroids(e, "embedding", "vec_id", n_cells=8)
+    books = similarity.pq_codebooks(e, "embedding", "vec_id", m=4, k=16)
+    idx = similarity.ivf_pq_index(
+        e, "embedding", "vec_id", centroids=cents, codebooks=books
+    )
+    return similarity.ivf_pq_topk(
+        idx, qvec, cents, books, id_col="vec_id", k=10, nprobe=2
+    )
+
+
+def _ann_recall_ivfpq(spark, sf):
+    """Recall@10 of the IVFADC probe against the exact cosine scan — the
+    'measure, don't guess' scorecard for the ANN recall dials (nprobe,
+    m, k). Both sides are top-k tables; the comparison is a broadcast
+    semi-join + 1-row aggregate, corpus-size independent."""
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.ivf_centroids(e, "embedding", "vec_id", n_cells=8)
+    books = similarity.pq_codebooks(e, "embedding", "vec_id", m=4, k=16)
+    idx = similarity.ivf_pq_index(
+        e, "embedding", "vec_id", centroids=cents, codebooks=books
+    )
+    approx = similarity.ivf_pq_topk(
+        idx, qvec, cents, books, id_col="vec_id", k=10, nprobe=2
+    )
+    exact = similarity.cosine_topk(e, "embedding", "vec_id", qvec, k=10)
+    return similarity.ann_recall(exact, approx, id_col="vec_id")
+
+
 def _attribution(spark, sf):
     """Last-touch conversion attribution: each purchase credits the most
     recent preceding non-purchase event — one user-keyed window pass."""
@@ -1085,6 +1122,36 @@ def _q20_adapted(spark, sf):
     return Q.q20_excess_shippers(
         _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
         _t(spark, sf, "part"), _t(spark, sf, "lineitem"),
+    )
+
+
+def _q2_adapted(spark, sf):
+    """Q2-shaped min-cost supplier: window-min decorrelation of the
+    correlated scalar subquery; shipped unit cost stands in for partsupp
+    supplycost."""
+    return Q.q2_min_cost_supplier(
+        _t(spark, sf, "part"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"), _t(spark, sf, "region"),
+        _t(spark, sf, "lineitem"),
+    )
+
+
+def _q11_adapted(spark, sf):
+    """Q11-shaped important parts: HAVING vs a global scalar decorrelated
+    into re-aggregation of the grouped result + broadcast cross join."""
+    return Q.q11_important_parts(
+        _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+        _t(spark, sf, "lineitem"),
+    )
+
+
+def _q21_adapted(spark, sf):
+    """Q21-shaped waiting suppliers: EXISTS/NOT-EXISTS pair decorrelated
+    into a two-level aggregate; the oracle runs the textbook correlated
+    form, so the gate verifies the decorrelation."""
+    return Q.q21_waiting_suppliers(
+        _t(spark, sf, "supplier"), _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
     )
 
 
@@ -1356,6 +1423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_match_pairs": _name_match_pairs,
         "q16_adapted": _q16_adapted,
         "q20_adapted": _q20_adapted,
+        "q2_adapted": _q2_adapted,
+        "q11_adapted": _q11_adapted,
+        "q21_adapted": _q21_adapted,
         "corpus_report": _corpus_report,
         "token_histogram": _token_histogram,
         "curate_corpus": _curate_corpus,
@@ -1363,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile_flags": _approx_quantile_check,
         "last_touch_attribution": _attribution,
         "inter_event_gaps": _inter_event_gaps,
+        "ivf_pq_topk": _ivf_pq_topk,
+        "ann_recall_ivfpq": _ann_recall_ivfpq,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2638,6 +2710,77 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = l_suppkey
             JOIN nation ON n_nationkey = s_nationkey
         """,
+        "q2_adapted": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(l_extendedprice / l_quantity) AS unit_cost
+              FROM lineitem GROUP BY 1, 2
+            ),
+            dims AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'ASIA'
+            ),
+            best AS (
+              SELECT c.l_partkey, c.unit_cost, d.s_name, d.s_acctbal, d.n_name,
+                     MIN(c.unit_cost) OVER (PARTITION BY c.l_partkey) AS min_cost
+              FROM cost c JOIN dims d ON d.s_suppkey = c.l_suppkey
+            )
+            SELECT s_acctbal, s_name, n_name AS nation,
+                   p_partkey, p_name, p_brand,
+                   ROUND(unit_cost, 6) AS unit_cost
+            FROM best JOIN part ON p_partkey = l_partkey
+            WHERE unit_cost = min_cost AND p_size = 15
+            ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q11_adapted": """
+            WITH sups AS (
+              SELECT s_suppkey FROM supplier
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name = 'NATION_3'
+            ),
+            per_part AS (
+              SELECT l_partkey AS partkey,
+                     SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+                       AS value_dec
+              FROM lineitem JOIN sups ON s_suppkey = l_suppkey
+              GROUP BY 1
+            )
+            SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
+            FROM per_part
+            WHERE value_dec * (SELECT COUNT(*) FROM per_part)
+                  > (SELECT SUM(value_dec) FROM per_part) * 2
+            ORDER BY part_value DESC, partkey
+        """,
+        # textbook correlated EXISTS/NOT-EXISTS form on purpose: the Spark
+        # side runs the decorrelated two-level aggregate, so a green row
+        # certifies the decorrelation, not just the arithmetic
+        "q21_adapted": """
+            WITH l AS (
+              SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE o_orderstatus = 'F'
+            )
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                SELECT 1 FROM l l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM l l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
+        """,
         "name_match_pairs": """
             WITH reps AS (
               SELECT lower(trim(p_name)) AS nm, min(p_partkey) AS id
@@ -3137,6 +3280,108 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(cell AS VARCHAR), ',' ORDER BY sub) AS codes_csv,
                    ROUND(sqrt(SUM(dist * dist)), 4) AS recon_err
             FROM best GROUP BY vec_id
+        """,
+        # IVFADC replayed end-to-end in SQL: IVF assignment, the nprobe=2
+        # query-cell ranking, per-subspace PQ codes, and the ADC distance
+        # (per-subspace ROUND(list_distance,4) then sqrt-of-sum-of-squares,
+        # exactly the pq_encode convention) all from the same deterministic
+        # centroid/codebook stand-ins (vec_id < 8 / < 16)
+        "ivf_pq_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cell_id, v AS cvec FROM e WHERE vec_id < 8),
+            dots AS (SELECT e.vec_id, c.cell_id,
+                            ROUND(list_dot_product(e.v, c.cvec), 4) AS dot
+                     FROM e CROSS JOIN c),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY dot DESC, cell_id ASC) AS rnk
+                       FROM dots),
+            assign AS (SELECT vec_id, cell_id FROM ranked WHERE rnk = 1),
+            q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+            qcells AS (SELECT cell_id FROM c CROSS JOIN q
+                       ORDER BY ROUND(list_dot_product(q.qe, c.cvec), 4) DESC,
+                                cell_id ASC
+                       LIMIT 2),
+            subs AS (SELECT vec_id, v, unnest(range(4)) AS sub FROM e),
+            sv AS (SELECT vec_id, CAST(sub AS INT) AS sub,
+                          v[sub*16+1 : sub*16+16] AS subv
+                   FROM subs),
+            cb AS (SELECT sub, vec_id AS cell, subv AS cvec FROM sv WHERE vec_id < 16),
+            dists AS (SELECT a.vec_id, a.sub, cb.cell,
+                             ROUND(list_distance(a.subv, cb.cvec), 4) AS dist
+                      FROM sv a JOIN cb ON cb.sub = a.sub),
+            ranked2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                                     ORDER BY dist ASC, cell ASC) AS rnk
+                        FROM dists),
+            best AS (SELECT vec_id, sub, cell FROM ranked2 WHERE rnk = 1),
+            qd AS (SELECT b.vec_id, b.sub,
+                          ROUND(list_distance(q.qe[b.sub*16+1 : b.sub*16+16],
+                                              cb.cvec), 4) AS d
+                   FROM best b
+                   JOIN cb ON cb.sub = b.sub AND cb.cell = b.cell
+                   CROSS JOIN q),
+            scored AS (SELECT vec_id, ROUND(sqrt(SUM(d * d)), 4) AS approx_dist
+                       FROM qd GROUP BY vec_id)
+            SELECT s.vec_id, CAST(a.cell_id AS INT) AS cell_id, s.approx_dist
+            FROM scored s
+            JOIN assign a ON a.vec_id = s.vec_id
+            JOIN qcells qc ON qc.cell_id = a.cell_id
+            ORDER BY s.approx_dist ASC, s.vec_id ASC
+            LIMIT 10
+        """,
+        "ann_recall_ivfpq": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cell_id, v AS cvec FROM e WHERE vec_id < 8),
+            dots AS (SELECT e.vec_id, c.cell_id,
+                            ROUND(list_dot_product(e.v, c.cvec), 4) AS dot
+                     FROM e CROSS JOIN c),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY dot DESC, cell_id ASC) AS rnk
+                       FROM dots),
+            assign AS (SELECT vec_id, cell_id FROM ranked WHERE rnk = 1),
+            q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+            qcells AS (SELECT cell_id FROM c CROSS JOIN q
+                       ORDER BY ROUND(list_dot_product(q.qe, c.cvec), 4) DESC,
+                                cell_id ASC
+                       LIMIT 2),
+            subs AS (SELECT vec_id, v, unnest(range(4)) AS sub FROM e),
+            sv AS (SELECT vec_id, CAST(sub AS INT) AS sub,
+                          v[sub*16+1 : sub*16+16] AS subv
+                   FROM subs),
+            cb AS (SELECT sub, vec_id AS cell, subv AS cvec FROM sv WHERE vec_id < 16),
+            dists AS (SELECT a.vec_id, a.sub, cb.cell,
+                             ROUND(list_distance(a.subv, cb.cvec), 4) AS dist
+                      FROM sv a JOIN cb ON cb.sub = a.sub),
+            ranked2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                                     ORDER BY dist ASC, cell ASC) AS rnk
+                        FROM dists),
+            best AS (SELECT vec_id, sub, cell FROM ranked2 WHERE rnk = 1),
+            qd AS (SELECT b.vec_id, b.sub,
+                          ROUND(list_distance(q.qe[b.sub*16+1 : b.sub*16+16],
+                                              cb.cvec), 4) AS d
+                   FROM best b
+                   JOIN cb ON cb.sub = b.sub AND cb.cell = b.cell
+                   CROSS JOIN q),
+            scored AS (SELECT vec_id, ROUND(sqrt(SUM(d * d)), 4) AS approx_dist
+                       FROM qd GROUP BY vec_id),
+            approx AS (SELECT s.vec_id
+                       FROM scored s
+                       JOIN assign a ON a.vec_id = s.vec_id
+                       JOIN qcells qc ON qc.cell_id = a.cell_id
+                       ORDER BY s.approx_dist ASC, s.vec_id ASC
+                       LIMIT 10),
+            exact AS (SELECT e.vec_id
+                      FROM e CROSS JOIN q
+                      ORDER BY ROUND(list_dot_product(e.v, q.qe)
+                                     / (sqrt(list_dot_product(e.v, e.v))
+                                        * sqrt(list_dot_product(q.qe, q.qe))), 4) DESC,
+                               e.vec_id ASC
+                      LIMIT 10)
+            SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS k_exact,
+                   CAST((SELECT count(*) FROM exact WHERE vec_id IN
+                         (SELECT vec_id FROM approx)) AS BIGINT) AS n_hits,
+                   ROUND((SELECT count(*) FROM exact WHERE vec_id IN
+                          (SELECT vec_id FROM approx))
+                         / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4) AS recall
         """,
         "semdedup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -888,3 +888,177 @@ def q20_excess_shippers(
         "s_suppkey", "s_name", F.col("n_name").alias("nation"),
         F.col("qty_dec").cast("double").alias("shipped_qty"),
     )
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    size: int = 15,
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier, adapted: the testdata has no
+    partsupp, so the observed unit cost ``min(l_extendedprice/l_quantity)``
+    per shipped (partkey, suppkey) pair stands in for ps_supplycost.
+
+    Shape is the point: Q2's correlated scalar subquery (min cost over the
+    same part within the region) is decorrelated into a window-min over
+    the part key — one shuffle on partkey covers both the per-pair cost
+    aggregate's downstream consumer and the min — instead of re-scanning
+    the cost relation per row.  supplier⋈nation⋈region are broadcast dims.
+    Unit cost stays DOUBLE end to end: IEEE division and MIN are
+    order-insensitive and bit-identical across engines, so the
+    cost = min(cost) equality is deterministic (a SUM would not be).
+    """
+    cost = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    dims = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == region_name)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    in_region = cost.join(
+        F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = in_region.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    p = part.filter(F.col("p_size") == size).select("p_partkey", "p_name", "p_brand")
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", F.col("n_name").alias("nation"),
+            "p_partkey", "p_name", "p_brand",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey"
+        )
+        .limit(limit)
+    )
+
+
+def q11_important_parts(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_3",
+    multiple: int = 2,
+) -> DataFrame:
+    """TPC-H Q11-shaped important-stock identification, adapted: shipped
+    value ``sum(l_extendedprice * (1 - l_discount))`` per part from one
+    nation's suppliers stands in for partsupp value (no partsupp table),
+    and the gate is "worth more than ``multiple``× the average part value"
+    instead of a fixed fraction of the total — Q11's fraction is
+    SF-dependent (0.0001/SF) and a constant would select zero rows past
+    one scale; the average-relative form selects a stable tail at every
+    SF while keeping the HAVING-against-a-global-scalar shape.
+
+    Shape: the scalar subquery decorrelates into one per-part aggregate
+    plus a second total aggregate over *the same grouped result* (not a
+    second fact scan), broadcast back as a 1-row cross join — the fact
+    table is read once.  Money math is exact DECIMAL, and the threshold
+    compares ``value × n_parts > multiple × total`` so both engines
+    evaluate it in exact decimal arithmetic (an AVG would surface as
+    DOUBLE in the oracle); only the output casts down.
+    """
+    nat = nation.filter(F.col("n_name") == nation_name)
+    sups = supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    disc_price = _price() * _one_minus("l_discount")  # d(20,6) exact
+    per_part = (
+        lineitem.join(F.broadcast(sups), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(disc_price).alias("value_dec"))
+    )
+    total = per_part.agg(
+        F.sum("value_dec").alias("total_dec"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )  # 1 row, re-aggregated from the grouped result, not the fact
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec") * F.col("n_parts")
+            > F.col("total_dec") * F.lit(int(multiple))
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 60,
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting, adapted: the
+    testdata has no receipt/commit dates, so "late" means the item shipped
+    more than ``late_days`` days after the order date (status-F orders).
+
+    Shape is the point: Q21's EXISTS (another supplier on the order) +
+    NOT EXISTS (another *late* supplier) pair of correlated self-joins is
+    re-expressed as one per-(order, supplier) aggregate plus WINDOW
+    per-order rollups over that aggregate — a self-join rollup would make
+    Spark recompute the fact scan + orders join + aggregate for each
+    branch (verified on the executed plan), while the window reuses the
+    single aggregated relation, which is |orders|·suppliers-per-order
+    rows, orders of magnitude smaller than the fact.  One shuffle for the
+    orders join + pair aggregate, one tiny one onto orderkey for the
+    window, one on suppkey for the final count.  Classic numwait
+    semantics are preserved exactly: a supplier's late *lineitems* count
+    individually, and only when it is the sole late supplier on a
+    multi-supplier order.  The DuckDB oracle runs the textbook
+    EXISTS/NOT-EXISTS form, so the decorrelation itself is what the gate
+    verifies.
+    """
+    flags = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+        ).cast("int"),
+    )
+    per_os = flags.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("is_late").alias("n_late_items")
+    )
+    w = Window.partitionBy("l_orderkey")
+    sole_late = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("n_late_items") > 0).cast("int")).over(w),
+        )
+        .filter(
+            (F.col("n_late_items") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.sum("n_late_items").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(limit)
+    )

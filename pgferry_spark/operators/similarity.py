@@ -584,6 +584,186 @@ def pq_encode(
     )
 
 
+def ivf_pq_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 16,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Build the IVF-PQ index table ``(id, cell_id, codes)`` in ONE scan —
+    the FAISS-IVFADC storage layout re-expressed on DataFrames: every
+    vector is routed to its IVF cell (argmax dot against the broadcast
+    centroids) and compressed to ``m`` one-byte PQ codes, so the probe
+    path (:func:`ivf_pq_topk`) never touches the raw vectors.
+
+    Scale shape: both the assignment and the encode are per-Arrow-batch
+    BLAS against literal index metadata (C×dim + m×k×(dim/m) floats) —
+    zero shuffle, zero join, one pass over the corpus whatever its size.
+    At 100 TB the output is written ``partitionBy/bucketBy(cell_id)`` so a
+    probe reads one cell's files; the index is ~m bytes + a key per
+    vector, a ~dim·4/m× compression of the embedding table.
+
+    Rounding/tie rules are byte-identical to :func:`ivf_assign` (4dp
+    half-up dot, ties to lowest cell) and :func:`pq_encode` (4dp half-up
+    L2, ties to lowest code), so the ANSI-SQL oracle replays both from
+    the same centroid/codebook literals.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, id_col, n_cells)
+    if codebooks is None:
+        codebooks = pq_codebooks(df, vec_col, id_col, m, k)
+    C = np.array(centroids, dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    d = books[0].shape[1]
+    out_schema = StructType([
+        StructField("id", LongType()),
+        StructField("cell_id", IntegerType()),
+        StructField("codes", ArrayType(IntegerType())),
+    ])
+
+    def build(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            dots = V @ C.T
+            dots = np.floor(dots * 10_000 + np.where(dots >= 0, 0.5, -0.5)) / 10_000
+            cells = np.argmax(dots, axis=1).astype(np.int32)  # first max = lowest
+            n = len(ids)
+            codes = np.empty((n, len(books)), dtype=np.int32)
+            for s, B in enumerate(books):
+                X = V[:, s * d : (s + 1) * d]
+                diff = X[:, None, :] - B[None, :, :]
+                dist = np.sqrt((diff * diff).sum(axis=2))
+                dist = np.floor(dist * 10_000 + 0.5) / 10_000
+                codes[:, s] = np.argmin(dist, axis=1)
+            yield pd.DataFrame({"id": ids, "cell_id": cells, "codes": list(codes)})
+
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .mapInPandas(build, out_schema)
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def pq_adc_tables(
+    codebooks: list[list[list[float]]], query: list[float]
+) -> list[list[float]]:
+    """Asymmetric-distance lookup tables for one query: ``dt[s][j]`` is the
+    4dp-half-up-rounded L2 distance between the query's ``s``-th subvector
+    and codebook centroid ``j`` — m×k driver-side floats computed once per
+    probe, the core ADC trick (the corpus contributes only code lookups).
+    The per-subspace rounding mirrors :func:`pq_encode` exactly so the SQL
+    oracle reproduces every table entry with ``ROUND(list_distance(), 4)``.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    d = len(codebooks[0][0])
+    tables = []
+    for s, book in enumerate(codebooks):
+        B = np.array(book, dtype=np.float64)
+        diff = q[s * d : (s + 1) * d][None, :] - B
+        dist = np.sqrt((diff * diff).sum(axis=1))
+        dist = np.floor(dist * 10_000 + 0.5) / 10_000
+        tables.append([float(x) for x in dist])
+    return tables
+
+
+def ivf_query_cells(
+    centroids: list[list[float]], query: list[float], nprobe: int = 1
+) -> list[int]:
+    """Driver-side multi-probe cell selection: the ``nprobe`` cells ranked
+    by 4dp-rounded query·centroid dot (ties to lowest id) — the recall
+    dial of IVF search, generalizing :func:`ivf_query_cell`."""
+    import math
+
+    scored = []
+    for i, c in enumerate(centroids):
+        dd = float(np.dot(query, c))
+        dd = math.floor(dd * 10_000 + (0.5 if dd >= 0 else -0.5)) / 10_000
+        scored.append((-dd, i))
+    scored.sort()
+    return [i for _, i in scored[:nprobe]]
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """FAISS-style IVFADC probe over the :func:`ivf_pq_index` table:
+    restrict to the ``nprobe`` closest cells, score every member by the
+    PQ-approximated distance (``sqrt(Σ_s dt[s][code_s]²)`` — m literal-
+    array lookups per row, no raw vectors touched), and take the top-k.
+
+    Returns ``(id, cell_id, approx_dist)`` ascending by distance.
+
+    Scale shape: the cell filter prunes to nprobe/C of the corpus (and to
+    nprobe buckets' *files* when the index is written bucketed by
+    cell_id); scoring is map-only register math against the m×k broadcast
+    ADC tables; the only movement is the TakeOrderedAndProject top-k.
+    This is the 100 TB probe path — the exact :func:`cosine_topk` scan is
+    the small-corpus / rerank baseline."""
+    cells = ivf_query_cells(centroids, query, nprobe)
+    dts = pq_adc_tables(codebooks, query)
+    lookups = [
+        F.element_at(
+            F.array(*[F.lit(x) for x in dt]),
+            F.col("codes").getItem(s) + 1,
+        )
+        for s, dt in enumerate(dts)
+    ]
+    approx = F.round(F.sqrt(sum((c * c for c in lookups), F.lit(0.0))), 4)
+    return (
+        index.filter(F.col("cell_id").isin([int(c) for c in cells]))
+        .select(
+            F.col(id_col),
+            F.col("cell_id"),
+            approx.alias("approx_dist"),
+        )
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ann_recall(
+    exact_topk: DataFrame, approx_topk: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Recall@k scorecard for an ANN probe against the exact scan: one row
+    ``(k_exact, k_approx, n_hits, recall)``.  "Measure, don't guess" for
+    the IVF/LSH recall dials — both inputs are top-k tables (bounded), so
+    the intersection is a broadcast semi-join + single-row aggregate;
+    cost is independent of corpus size."""
+    hits = exact_topk.select(F.col(id_col)).join(
+        F.broadcast(approx_topk.select(F.col(id_col))), on=id_col, how="semi"
+    )
+    ek = exact_topk.agg(F.count(F.lit(1)).alias("k_exact"))
+    hk = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    # lazy end to end: construction launches zero jobs (the counts join as
+    # two 1-row aggregates instead of driver-side .count() actions)
+    return ek.crossJoin(F.broadcast(hk)).select(
+        "k_exact",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("k_exact"), 4).alias("recall"),
+    )
+
+
 def knn_graph(
     df: DataFrame,
     vec_col: str,

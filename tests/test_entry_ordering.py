@@ -80,21 +80,22 @@ def test_window_exactly_filled(entry_mod):
 
 def test_no_entries_lost_in_reorder(entry_mod):
     qs = entry_mod.queries()
-    assert len(qs) == 127
-    assert len(set(qs)) == 127
+    assert len(qs) == 132
+    assert len(set(qs)) == 132
 
 
 def test_late_round3_additions_sit_just_past_window(entry_mod):
     # Added after the 50-row window filled; first in line for the round-4
     # rotation, and positioned to be picked up by any wider driver window.
     names = list(entry_mod.queries().keys())
-    assert names[50:78] == [
+    assert names[50:81] == [
         "span_dedup", "mixture_sample", "shard_manifest", "semdedup",
         "pq_encode", "dup_rate_by_source", "knn_graph", "bpe_merges",
         "bpe_encode", "user_funnel", "funnel_report", "chunk_documents",
         "temperature_sample", "retention_cohorts", "transition_counts",
         "weighted_sample", "json_key_profile", "audio_segments",
         "name_match_pairs", "q16_adapted", "q20_adapted",
+        "q2_adapted", "q11_adapted", "q21_adapted",
         "corpus_report", "token_histogram", "curate_corpus",
         "tfidf_pairs", "approx_quantile_flags", "last_touch_attribution",
         "inter_event_gaps",

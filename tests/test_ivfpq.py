@@ -1,0 +1,112 @@
+"""IVFADC (ivf_pq_index / ivf_pq_topk / ann_recall) semantics pins.
+
+The DuckDB oracle gate replays the whole pipeline in SQL; these tests pin
+the internal equivalences the oracle can't see — the one-scan Arrow index
+build must be bit-identical to the separately-verified expression twins
+(`ivf_assign` for cells, `pq_encode(impl="expr")` for codes), and the ADC
+tables must reproduce `pq_encode`'s rounding so a vector that IS a codebook
+centroid scores its own table entry as 0.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgferry_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_index_matches_expression_twins(spark, vecs):
+    cents = S.ivf_centroids(vecs, "embedding", "vec_id", n_cells=4)
+    books = S.pq_codebooks(vecs, "embedding", "vec_id", m=4, k=8)
+    idx = {
+        r["vec_id"]: (r["cell_id"], list(r["codes"]))
+        for r in S.ivf_pq_index(
+            vecs, "embedding", "vec_id", centroids=cents, codebooks=books
+        ).collect()
+    }
+    cells = {
+        r["vec_id"]: r["cell_id"]
+        for r in S.ivf_assign(
+            vecs, "embedding", "vec_id", centroids=cents
+        ).collect()
+    }
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in S.pq_encode(
+            vecs, "embedding", "vec_id", m=4, k=8, codebooks=books, impl="expr"
+        ).collect()
+    }
+    assert set(idx) == set(cells) == set(codes)
+    for vid, (cell, cds) in idx.items():
+        assert cell == cells[vid], f"cell mismatch for {vid}"
+        assert cds == codes[vid], f"codes mismatch for {vid}"
+
+
+def test_adc_table_zero_for_codebook_centroid(vecs):
+    books = S.pq_codebooks(vecs, "embedding", "vec_id", m=4, k=8)
+    # query = vector 3 (a codebook row): each subspace's table must score
+    # centroid 3 at exactly 0.0 under the shared 4dp rounding
+    q = [x for sub in (b[3] for b in books) for x in sub]
+    tables = S.pq_adc_tables(books, q)
+    assert [t[3] for t in tables] == [0.0, 0.0, 0.0, 0.0]
+    assert all(min(t) == 0.0 for t in tables)
+
+
+def test_query_cells_ranking_and_probe(spark, vecs):
+    cents = S.ivf_centroids(vecs, "embedding", "vec_id", n_cells=4)
+    books = S.pq_codebooks(vecs, "embedding", "vec_id", m=4, k=8)
+    qvec = [float(x) for x in vecs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cells = S.ivf_query_cells(cents, qvec, nprobe=2)
+    assert len(cells) == 2 and cells[0] == S.ivf_query_cell(cents, qvec)
+    idx = S.ivf_pq_index(
+        vecs, "embedding", "vec_id", centroids=cents, codebooks=books
+    )
+    out = S.ivf_pq_topk(
+        idx, qvec, cents, books, id_col="vec_id", k=5, nprobe=2
+    ).collect()
+    assert len(out) == 5
+    # ascending approx distance, deterministic tie-break on id
+    dists = [(r["approx_dist"], r["vec_id"]) for r in out]
+    assert dists == sorted(dists)
+    assert all(r["cell_id"] in cells for r in out)
+    # the query vector itself quantizes to its own codes -> distance 0 top hit
+    assert out[0]["vec_id"] == 0 and out[0]["approx_dist"] == 0.0
+
+
+def test_full_probe_equals_all_cells(spark, vecs):
+    cents = S.ivf_centroids(vecs, "embedding", "vec_id", n_cells=4)
+    books = S.pq_codebooks(vecs, "embedding", "vec_id", m=4, k=8)
+    qvec = [1.0] * 16
+    idx = S.ivf_pq_index(
+        vecs, "embedding", "vec_id", centroids=cents, codebooks=books
+    )
+    full = S.ivf_pq_topk(idx, qvec, cents, books, k=60, nprobe=4)
+    assert full.count() == 60  # nprobe = n_cells probes everything
+
+
+def test_ann_recall_arithmetic(spark):
+    exact = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    approx = spark.createDataFrame([(i,) for i in range(5, 15)], "vec_id long")
+    row = S.ann_recall(exact, approx).collect()[0]
+    assert (row["k_exact"], row["n_hits"], row["recall"]) == (10, 5, 0.5)
+
+
+def test_ann_recall_construction_launches_no_jobs(spark, vecs):
+    # lazy end to end: building the scorecard plan must not trigger a job
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    exact = vecs.limit(10).select("vec_id")
+    approx = vecs.limit(10).select("vec_id")
+    S.ann_recall(exact, approx)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert list(before) == list(after)
