@@ -74,6 +74,8 @@ HEADLINE = [
     "retention_cohorts",
     "name_match_pairs",
     "q16_adapted",
+    "q21_adapted",
+    "ivf_pq_topk",
     "events_pivot",
     "revenue_percentiles",
 ]
