@@ -777,6 +777,15 @@ def _unigram_logprob(spark, sf):
     return filters.unigram_logprob_scores(_t(spark, sf, "documents"), "text", "doc_id")
 
 
+def _bigram_logprob(spark, sf):
+    """Interpolated bigram LM score (λ=0.75): one tokenize pass, lag-window
+    bigrams, natural-key vocab aggregates — the perplexity-filter rung
+    above the unigram model."""
+    return filters.bigram_logprob_scores(
+        _t(spark, sf, "documents"), "text", "doc_id"
+    )
+
+
 def _length_outliers(spark, sf):
     """Per-language exact-percentile length outliers (docs a curation
     pass would drop)."""
@@ -1435,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inter_event_gaps": _inter_event_gaps,
         "ivf_pq_topk": _ivf_pq_topk,
         "ann_recall_ivfpq": _ann_recall_ivfpq,
+        "bigram_logprob": _bigram_logprob,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -3031,6 +3041,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(ln(CAST(v.cnt AS DOUBLE) / total.total)), 6) AS logprob
             FROM toks t JOIN vocab v USING (token) CROSS JOIN total
             GROUP BY t.doc_id
+        """,
+        # λ = 0.75 on purpose: 0.75/0.25 are exact binary doubles, so the
+        # SQL literals equal the Spark plan's literals bit-for-bit
+        "bigram_logprob": f"""
+            WITH tk AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+            uni AS (
+              SELECT token, COUNT(*) AS cnt_u
+              FROM (SELECT unnest(toks) AS token FROM tk) GROUP BY token
+            ),
+            tot AS (SELECT SUM(cnt_u) AS total FROM uni),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(len(toks) - 1),
+                                           i -> [toks[i + 1], toks[i + 2]])) AS pair
+              FROM tk WHERE len(toks) >= 2
+            ),
+            bgc AS (SELECT pair, COUNT(*) AS cnt_b FROM bg GROUP BY pair),
+            scored AS (
+              SELECT bg.doc_id,
+                     ln(0.75 * CAST(c.cnt_b AS DOUBLE) / up.cnt_u
+                        + 0.25 * CAST(uc.cnt_u AS DOUBLE) / tot.total) AS lp
+              FROM bg
+              JOIN bgc c USING (pair)
+              JOIN uni up ON up.token = bg.pair[1]
+              JOIN uni uc ON uc.token = bg.pair[2]
+              CROSS JOIN tot
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 6) AS logprob
+            FROM scored GROUP BY doc_id
         """,
         "length_outliers": """
             WITH bounds AS (

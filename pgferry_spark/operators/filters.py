@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pgferry_spark.functions.text import tokens
 from pgferry_spark.utils import fan_out
@@ -196,6 +197,63 @@ def unigram_logprob_scores(df: DataFrame, text_col: str, id_col: str) -> DataFra
             F.round(
                 F.avg(F.log(F.col("cnt").cast("double") / F.col("total"))), 6
             ).alias("logprob"),
+        )
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, text_col: str, id_col: str, lam: float = 0.75
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the next rung above
+    :func:`unigram_logprob_scores` on the CCNet/KenLM ladder: each
+    document scores ``avg(ln(λ·p(w|prev) + (1−λ)·p(w)))`` over its bigram
+    positions, where both distributions come from the corpus itself.
+    Word-salad documents (plausible unigrams, impossible transitions)
+    separate from real prose here when the unigram score can't tell.
+
+    Scale shape: ONE tokenize pass (``posexplode``); the bigram relation
+    derives from a ``lag`` window over (doc, pos) — one shuffle keyed by
+    doc id — rather than a positional self-join that would move the
+    exploded corpus twice.  The unigram and bigram vocabularies are
+    natural-key aggregates with map-side partial aggregation; they join
+    back token-keyed (Catalyst broadcasts when small), and the 1-row
+    total broadcasts.  Documents with <2 tokens are absent (no bigram to
+    score).
+
+    ``lam`` defaults to 0.75 because 0.75 and 0.25 are exact binary
+    doubles — an oracle writing ``1 − 0.7`` would embed a different
+    double than Python's and diverge in the last ulp.  Mean rounded to
+    6dp at the edge (same rationale as the unigram twin)."""
+    tok_pos = fan_out(df, id_col).select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
+    ).filter(F.col("token").isNotNull())
+    uni = tok_pos.groupBy("token").agg(F.count(F.lit(1)).alias("cnt_u"))
+    total = uni.agg(F.sum("cnt_u").alias("total"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        tok_pos.withColumn("prev", F.lag("token").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    big = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("cnt_b"))
+    p = (
+        F.lit(float(lam)) * F.col("cnt_b") / F.col("cnt_prev")
+        + F.lit(1.0 - float(lam)) * F.col("cnt_u") / F.col("total")
+    )
+    return (
+        pairs.join(big, ["prev", "token"])
+        .join(
+            uni.select(
+                F.col("token").alias("prev"), F.col("cnt_u").alias("cnt_prev")
+            ),
+            "prev",
+        )
+        .join(uni, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("logprob"),
         )
     )
 

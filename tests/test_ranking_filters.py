@@ -147,6 +147,36 @@ class TestUnigramLogprob:
         assert got[99] < got[0]
 
 
+class TestBigramLogprob:
+    def test_hand_computed(self, spark):
+        from pgferry_spark.operators.filters import bigram_logprob_scores
+
+        df = spark.createDataFrame([(1, "a b a b"), (2, "a"), (3, "")], DOCS)
+        got = {r.doc_id: r.asDict() for r in bigram_logprob_scores(df, "text", "doc_id").collect()}
+        # corpus: tokens a=3, b=2, total=5; bigrams (a,b)=2, (b,a)=1
+        # doc 1 positions: a->b, b->a, a->b
+        # p(b|a) = .75*2/3 + .25*2/5 = 0.6 ; p(a|b) = .75*1/2 + .25*3/5 = 0.525
+        lp = round((2 * math.log(0.6) + math.log(0.525)) / 3, 6)
+        assert got[1]["n_bigrams"] == 3 and got[1]["logprob"] == lp
+        assert 2 not in got  # single token: no bigram
+        assert 3 not in got
+
+    def test_word_salad_scores_below_prose(self, spark):
+        from pgferry_spark.operators.filters import bigram_logprob_scores, unigram_logprob_scores
+
+        # identical unigram mix, opposite transition structure: docs 0-9
+        # repeat the same phrase (high-probability transitions); doc 99
+        # uses the same words in a shuffled order whose bigrams are rare
+        prose = "the cat sat on the mat"
+        salad = "mat the on sat cat the"
+        rows = [(i, prose) for i in range(10)] + [(99, salad)]
+        df = spark.createDataFrame(rows, DOCS)
+        uni = {r.doc_id: r.logprob for r in unigram_logprob_scores(df, "text", "doc_id").collect()}
+        big = {r.doc_id: r.logprob for r in bigram_logprob_scores(df, "text", "doc_id").collect()}
+        assert uni[99] == uni[0]  # unigram model cannot tell them apart
+        assert big[99] < big[0]  # transition model can
+
+
 class TestApproxDistinct:
     def test_within_tolerance_and_exact_counts(self, spark):
         from pgferry_spark.operators.checks import approx_distinct_check
