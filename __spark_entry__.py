@@ -777,6 +777,23 @@ def _unigram_logprob(spark, sf):
     return filters.unigram_logprob_scores(_t(spark, sf, "documents"), "text", "doc_id")
 
 
+def _trust_propagation(spark, sf):
+    """Trusted-set diffusion: label-0 embeddings seed score 1.0, everyone
+    else 0.0, and two rounds of personalized propagation over the kNN
+    graph (same 24-plane/4-band config as `knn_graph`) spread trust to
+    lookalike neighbors — graph-based curation without a model."""
+    from pgferry_spark.operators.graph import propagate_scores
+    from pgferry_spark.operators.similarity import knn_graph
+
+    e = _t(spark, sf, "embeddings")
+    edges = knn_graph(e, "embedding", "vec_id", k=5, n_planes=24, bands=4)
+    seeds = e.select(
+        "vec_id",
+        F.when(F.col("label") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("score"),
+    )
+    return propagate_scores(edges, seeds, alpha=0.5, iters=2)
+
+
 def _bigram_logprob(spark, sf):
     """Interpolated bigram LM score (λ=0.75): one tokenize pass, lag-window
     bigrams, natural-key vocab aggregates — the perplexity-filter rung
@@ -1445,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": _ivf_pq_topk,
         "ann_recall_ivfpq": _ann_recall_ivfpq,
         "bigram_logprob": _bigram_logprob,
+        "trust_propagation": _trust_propagation,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -1612,6 +1630,35 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(list_dot_product(s.v, q.qe)"
         " / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qe, q.qe))), 4)"
     )
+    knn_edges_cte = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, ({sig_terms(knn_planes)}) AS s FROM e),
+        bl AS (
+          SELECT vec_id, v, band_id, (s >> (band_id * 6)) & 63 AS band_val
+          FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id)
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+          FROM bl a JOIN bl b USING (band_id, band_val)
+          WHERE a.vec_id <> b.vec_id
+        ),
+        scored AS (
+          SELECT c.src, c.dst,
+                 ROUND(list_dot_product(x.v, y.v)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine_sim
+          FROM cand c
+          JOIN e x ON x.vec_id = c.src
+          JOIN e y ON y.vec_id = c.dst
+        ),
+        knn AS (
+          SELECT src, dst, cosine_sim, rnk
+          FROM (SELECT *, row_number() OVER (PARTITION BY src
+                                             ORDER BY cosine_sim DESC, dst ASC) AS rnk
+                FROM scored)
+          WHERE rnk <= 5
+        )
+    """
     ann_sig_cte = f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         sig AS (SELECT vec_id, v, ({sig_terms(ann_planes)}) AS bucket FROM e),
@@ -2519,32 +2566,42 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_dot_product(x.v, x.v))
                            * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.35
         """,
-        "knn_graph": f"""
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            sig AS (SELECT vec_id, v, ({sig_terms(knn_planes)}) AS s FROM e),
-            bl AS (
-              SELECT vec_id, v, band_id, (s >> (band_id * 6)) & 63 AS band_val
-              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id)
-            ),
-            cand AS (
-              SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-              FROM bl a JOIN bl b USING (band_id, band_val)
-              WHERE a.vec_id <> b.vec_id
-            ),
-            scored AS (
-              SELECT c.src, c.dst,
-                     ROUND(list_dot_product(x.v, y.v)
-                           / (sqrt(list_dot_product(x.v, x.v))
-                              * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine_sim
-              FROM cand c
-              JOIN e x ON x.vec_id = c.src
-              JOIN e y ON y.vec_id = c.dst
-            )
+        "knn_graph": knn_edges_cte + """
             SELECT src, dst, cosine_sim, CAST(rnk AS INT) AS rank
-            FROM (SELECT *, row_number() OVER (PARTITION BY src
-                                               ORDER BY cosine_sim DESC, dst ASC) AS rnk
-                  FROM scored)
-            WHERE rnk <= 5
+            FROM knn
+        """,
+        # two unrolled personalized-propagation rounds over the same kNN
+        # CTE: restart term reads the ORIGINAL seeds each round; only
+        # positive-weight edges contribute (matches the operator's guard)
+        "trust_propagation": knn_edges_cte + """
+            , seeds AS (
+              SELECT vec_id,
+                     CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS score
+              FROM embeddings
+            ),
+            pos AS (SELECT src, dst, cosine_sim FROM knn WHERE cosine_sim > 0),
+            r1c AS (
+              SELECT p.src,
+                     SUM(p.cosine_sim * s.score) / SUM(p.cosine_sim) AS nbr
+              FROM pos p JOIN seeds s ON s.vec_id = p.dst
+              GROUP BY p.src
+            ),
+            r1 AS (
+              SELECT s.vec_id,
+                     ROUND(CASE WHEN c.nbr IS NULL THEN s.score
+                                ELSE 0.5 * s.score + 0.5 * c.nbr END, 6) AS score
+              FROM seeds s LEFT JOIN r1c c ON c.src = s.vec_id
+            ),
+            r2c AS (
+              SELECT p.src,
+                     SUM(p.cosine_sim * r.score) / SUM(p.cosine_sim) AS nbr
+              FROM pos p JOIN r1 r ON r.vec_id = p.dst
+              GROUP BY p.src
+            )
+            SELECT s.vec_id,
+                   ROUND(CASE WHEN c.nbr IS NULL THEN s.score
+                              ELSE 0.5 * s.score + 0.5 * c.nbr END, 6) AS score
+            FROM seeds s LEFT JOIN r2c c ON c.src = s.vec_id
         """,
         "lsh_topk": ann_sig_cte
         + f"""
