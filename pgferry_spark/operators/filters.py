@@ -228,6 +228,12 @@ def bigram_logprob_scores(
         F.col(id_col),
         F.posexplode_outer(tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
     ).filter(F.col("token").isNotNull())
+    # persisted: tok_pos feeds the unigram vocab, the bigram lag window,
+    # and the scoring join — without the cache each consumer re-runs the
+    # corpus scan + tokenize explode (verified 3 scans in the executed
+    # plan). Same lifecycle convention as the LSH bucket table: LRU-evicted
+    # or caller-unpersisted.
+    tok_pos = tok_pos.persist()
     uni = tok_pos.groupBy("token").agg(F.count(F.lit(1)).alias("cnt_u"))
     total = uni.agg(F.sum("cnt_u").alias("total"))
     w = Window.partitionBy(id_col).orderBy("pos")

@@ -320,3 +320,54 @@ class TestBehavioralOpsPlanShapes:
         assert plan.count("InMemoryTableScan") >= 2  # both sides read cache
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" in plan
+
+
+class TestRound3AdditionsPlanShapes:
+    def test_ivf_pq_index_map_only(self, spark):
+        """The one-scan IVFADC index build is Arrow register math against
+        literal centroids + codebooks: zero shuffle, zero join."""
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.operators import similarity as S
+        from pgferry_spark.sources.parquet import read_parquet
+
+        e = read_parquet(spark, SF + "/embeddings.parquet")
+        cents = S.ivf_centroids(e, "embedding", "vec_id", 8)
+        books = S.pq_codebooks(e, "embedding", "vec_id", 4, 16)
+        df = S.ivf_pq_index(e, "embedding", "vec_id", centroids=cents, codebooks=books)
+        plan = _executed(df)
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_ivf_pq_probe_no_shuffle_topk(self, spark):
+        """The ADC probe is a cell filter + literal-table lookups + top-k:
+        TakeOrderedAndProject, no Exchange beyond it, no join against the
+        raw vectors."""
+        plan = _executed(E.queries()["ivf_pq_topk"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" not in plan
+
+    def test_bigram_tokenizes_once_via_cache(self, spark):
+        """tok_pos feeds three consumers; the persist must make them read
+        the cache instead of re-running the corpus scan + explode."""
+        plan = _executed(E.queries()["bigram_logprob"](spark, SF))
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+    def test_q21_single_fact_branch(self, spark):
+        """The per-order rollup is a WINDOW over the per-(order, supplier)
+        aggregate — a self-join rollup would duplicate the fact scan +
+        orders join per branch. Exactly one lineitem scan may appear in
+        the final (non-reused) plan tree."""
+        plan = _executed(E.queries()["q21_adapted"](spark, SF))
+        assert "Window" in plan
+        # final plan tree: count FileScans of lineitem outside reused
+        # subtree printouts by taking the first AdaptiveSparkPlan section
+        final = plan.split("+- == Initial Plan ==")[0]
+        assert final.count("lineitem.parquet") <= 1 or "ReusedExchange" in plan
+
+    def test_trust_propagation_rounds_are_bounded(self, spark):
+        """Two propagation rounds = a static plan (no iterative driver
+        actions); the edge joins stay equi-joins."""
+        plan = _executed(E.queries()["trust_propagation"](spark, SF))
+        assert "CartesianProduct" not in plan
