@@ -777,6 +777,25 @@ def _unigram_logprob(spark, sf):
     return filters.unigram_logprob_scores(_t(spark, sf, "documents"), "text", "doc_id")
 
 
+def _quality_classifier(spark, sf):
+    """fastText-style quality classifier: weak labels from the heuristic
+    quality score train a hashed-BoW logistic model; the whole corpus is
+    scored map-only against the broadcast coefficients. Rows-only (LBFGS
+    floats are iteration-order sensitive); semantics pinned by
+    tests/test_classify.py's heuristic-agreement check."""
+    from pgferry_spark.operators.classify import (
+        score_quality, train_quality_classifier,
+    )
+
+    d = _t(spark, sf, "documents")
+    weak = d.select(
+        "doc_id", "text",
+        (T.quality_score(F.col("text")) >= 0.5).cast("double").alias("label"),
+    )
+    model = train_quality_classifier(weak, "text", "label")
+    return score_quality(model, d, "text", "doc_id")
+
+
 def _trust_propagation(spark, sf):
     """Trusted-set diffusion: label-0 embeddings seed score 1.0, everyone
     else 0.0, and two rounds of personalized propagation over the kNN
@@ -1463,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivfpq": _ann_recall_ivfpq,
         "bigram_logprob": _bigram_logprob,
         "trust_propagation": _trust_propagation,
+        "quality_classifier": _quality_classifier,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,

@@ -58,6 +58,9 @@ ROWS_ONLY = {
     # iterative greedy BPE learning is not SQL-expressible; pinned instead
     # by test_vocab's independent-reference equivalence
     "bpe_merges", "bpe_encode",
+    # LBFGS coefficients are iteration-order sensitive; pinned by
+    # test_classify's separability/agreement checks
+    "quality_classifier",
 }
 
 
@@ -80,8 +83,8 @@ def test_window_exactly_filled(entry_mod):
 
 def test_no_entries_lost_in_reorder(entry_mod):
     qs = entry_mod.queries()
-    assert len(qs) == 134
-    assert len(set(qs)) == 134
+    assert len(qs) == 135
+    assert len(set(qs)) == 135
 
 
 def test_late_round3_additions_sit_just_past_window(entry_mod):
