@@ -347,6 +347,49 @@ def curate_stream(
     )
 
 
+def dedup_stream_vs_corpus(
+    docs: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    fp_col: str = "fp",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup against the EXISTING corpus: drop arriving documents
+    whose content fingerprint already exists in the batch fingerprint
+    index, then dedup survivors against each other within the watermark
+    horizon.  This is the missing bridge between
+    :func:`dedup_stream_by_content` (stream-vs-stream only — a re-crawl of
+    a years-old page sails through) and the batch ``incremental_dedup``
+    (exact but runs on a schedule): the stream is filtered against history
+    AT INGEST, and only genuinely-new fingerprints reach the lake.
+
+    Shape: a stream-static LEFT ANTI join — Structured Streaming re-plans
+    the static side each micro-batch, so a nightly-compacted fingerprint
+    table is picked up without restarting the query.  At 100 TB the
+    fingerprint index is the bucketed-by-fp layout the batch
+    ``incremental_dedup`` proof writes (sources/layout.py): the anti join
+    is then bucket-pruned on the static side and the micro-batch is the
+    small probe side.  State afterwards is the same bounded
+    (fingerprint → ts) map as :func:`dedup_stream_by_content` — history
+    lives in the static index, NOT in stream state, which is what keeps
+    state bounded by the horizon instead of the corpus.
+    """
+    from ..functions.text import fingerprint
+
+    fp = docs.withColumn("__fp", fingerprint(F.col(text_col)))
+    fresh = fp.join(
+        corpus_fps.select(F.col(fp_col).alias("__fp")),
+        on="__fp",
+        how="left_anti",
+    )
+    return (
+        fresh.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
 def funnel_stream(
     events: DataFrame,
     steps: list[str],

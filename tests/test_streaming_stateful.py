@@ -101,6 +101,51 @@ def test_stream_content_dedup_normalized_twins(spark, tmp_path):
     assert set(stream.schema.fieldNames()) == {"doc_id", "ts", "text"}
 
 
+def test_stream_vs_corpus_dedup_filters_history_and_horizon(spark, tmp_path):
+    """Stream-static anti join against the batch fingerprint index: a
+    re-crawl of a document already in the corpus is dropped at ingest
+    (dedup_stream_by_content alone would pass it — history isn't in
+    stream state); fresh docs still dedup against each other within the
+    horizon; state never holds corpus history."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pgferry_spark.functions.text import fingerprint
+    from pgferry_spark.streaming.events import dedup_stream_vs_corpus
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    corpus = spark.createDataFrame(
+        [(100, "an old page already in the lake")], "doc_id long, text string"
+    ).select(fingerprint(F.col("text")).alias("fp"))
+    rows = [
+        (1, t, "AN OLD   page already in the lake"),  # normalized re-crawl -> dropped vs corpus
+        (2, t, "a genuinely new document"),
+        (3, t, "a GENUINELY   new document"),         # twin of 2 -> dropped vs horizon
+        (4, t, "another new document"),
+    ]
+    path = str(tmp_path / "vs_corpus_src")
+    spark.createDataFrame(rows, "doc_id: long, ts: timestamp, text: string") \
+        .coalesce(1).write.parquet(path)
+    stream = dedup_stream_vs_corpus(
+        spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(path),
+        corpus,
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("t_vs_corpus")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM t_vs_corpus").collect()
+    )
+    assert 1 not in got            # history caught it
+    assert 4 in got
+    assert (2 in got) != (3 in got) or (2 in got and 3 not in got)
+    assert len(got) == 2           # one of {2,3} plus 4
+    assert set(stream.schema.fieldNames()) == {"doc_id", "ts", "text"}
+
+
 def test_curate_stream_scrubs_filters_and_dedups(spark, tmp_path):
     """The edge curation gate: PII scrubbed BEFORE fingerprinting (so docs
     differing only in PII dedup), junk filtered, survivors annotated."""
