@@ -777,6 +777,17 @@ def _unigram_logprob(spark, sf):
     return filters.unigram_logprob_scores(_t(spark, sf, "documents"), "text", "doc_id")
 
 
+def _session_concurrency(spark, sf):
+    """Peak concurrent sessions per hour via the distributed sweep line:
+    per-bucket local running sums + a cumulative carry over the bounded
+    bucket table — no global single-partition window."""
+    from pgferry_spark.operators.temporal import concurrency_profile
+
+    e = _t(spark, sf, "events")
+    s = Q.sessionize(e)
+    return concurrency_profile(s, "session_start", "session_end", "hour")
+
+
 def _quality_classifier(spark, sf):
     """fastText-style quality classifier: weak labels from the heuristic
     quality score train a hashed-BoW logistic model; the whole corpus is
@@ -1483,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _bigram_logprob,
         "trust_propagation": _trust_propagation,
         "quality_classifier": _quality_classifier,
+        "session_concurrency": _session_concurrency,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2048,6 +2060,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        # the oracle runs the GLOBAL-window sweep line the Spark side
+        # deliberately avoids, so a green row certifies the bucket-local +
+        # carry decomposition against the textbook formulation
+        "session_concurrency": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged
+            ), s AS (
+              SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+              FROM sess GROUP BY user_id, session_id
+            ), d AS (
+              SELECT st AS t, 1 AS delta FROM s
+              UNION ALL
+              SELECT en AS t, -1 AS delta FROM s
+            ), r AS (
+              SELECT date_trunc('hour', t) AS bucket_ts, delta,
+                     SUM(delta) OVER (ORDER BY t, delta
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM d
+            )
+            SELECT bucket_ts,
+                   CAST(MAX(GREATEST(run, run - delta)) AS BIGINT) AS peak_concurrency
+            FROM r GROUP BY bucket_ts
         """,
         "asof_join": """
             WITH tagged AS (

@@ -428,3 +428,74 @@ def inter_event_gaps(
             F.round(F.max("__gap"), 3).alias("max_gap_s"),
         )
     )
+
+
+def concurrency_profile(
+    sessions: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Peak concurrent sessions per time bucket — the classic sweep line
+    (+1 at start, −1 at end, running sum), made distributed: a global
+    running sum would need one ordered partition, so instead each bucket
+    computes its LOCAL running sum (one shuffle keyed by bucket) and the
+    cross-bucket carry comes from a cumulative sum over the per-bucket
+    totals — a table of |buckets| rows, so its single-partition window is
+    bounded by the time range, never by the session count (the same
+    window-over-aggregated dispensation as ``rate_anomalies``).
+
+    Tie rule: an end releases BEFORE a start claims at the same instant
+    (ORDER BY t, delta ASC puts −1 first), so back-to-back sessions
+    [a, t] and [t, b] never double-count.  Ties among identical (t, delta)
+    rows permute freely, but all carry the same delta, so the per-bucket
+    MAX of the running sum is permutation-invariant — the output is
+    deterministic even though per-row prefix values are not.
+
+    Each event contributes ``greatest(run, run − delta)`` — the running
+    value AND the value just before the event — so the carry-in state
+    counts: a bucket whose only event is a long session's end peaks at 1
+    (the session was live until that instant), not at the post-release 0.
+
+    Returns ``(bucket_ts, peak_concurrency)`` for buckets containing at
+    least one boundary event; a bucket fully inside long sessions has no
+    row (compose with :func:`fill_time_gaps` for a dense profile).
+    """
+    step = _check_step(bucket)
+    deltas = (
+        sessions.select(
+            F.col(start_col).alias("t"), F.lit(1).alias("delta")
+        ).unionAll(
+            sessions.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
+        )
+    )
+    b = F.date_trunc(step, F.col("t")).alias("bucket_ts")
+    wloc = (
+        Window.partitionBy("bucket_ts")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.select(b, "t", "delta").withColumn(
+        "run_local", F.sum("delta").over(wloc)
+    )
+    per_bucket = local.groupBy("bucket_ts").agg(
+        F.sum("delta").alias("tot"),
+        F.max(
+            F.greatest(F.col("run_local"), F.col("run_local") - F.col("delta"))
+        ).alias("peak_local"),
+    )
+    wcarry = (
+        Window.orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_bucket.withColumn(
+            "carry", F.coalesce(F.sum("tot").over(wcarry), F.lit(0))
+        )
+        .select(
+            "bucket_ts",
+            (F.col("carry") + F.col("peak_local"))
+            .cast("bigint")
+            .alias("peak_concurrency"),
+        )
+    )

@@ -293,3 +293,63 @@ def test_inter_event_gaps_goldens(spark):
     r = got[1]
     assert (r["n_gaps"], r["min_gap_s"], r["median_gap_s"], r["max_gap_s"]) == \
         (2, 10.0, 20.0, 30.0)
+
+
+class TestConcurrencyProfile:
+    def _sessions(self, spark, rows):
+        import datetime as dt
+
+        data = [
+            (i, dt.datetime.fromisoformat(s), dt.datetime.fromisoformat(e))
+            for i, (s, e) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, "sid long, session_start timestamp, session_end timestamp"
+        )
+
+    def test_peak_and_cross_bucket_carry(self, spark):
+        from pgferry_spark.operators.temporal import concurrency_profile
+
+        # three sessions: two overlap inside 10:00; one spans 10:30-12:30,
+        # so hour 11 has NO boundary events (absent by contract) and hour
+        # 12 must inherit carry 1 before its own -1
+        s = self._sessions(spark, [
+            ("2024-01-01 10:00:00", "2024-01-01 10:20:00"),
+            ("2024-01-01 10:10:00", "2024-01-01 10:40:00"),
+            ("2024-01-01 10:30:00", "2024-01-01 12:30:00"),
+        ])
+        got = {
+            r.bucket_ts.isoformat(): r.peak_concurrency
+            for r in concurrency_profile(
+                s, "session_start", "session_end", "hour"
+            ).collect()
+        }
+        assert got == {
+            "2024-01-01T10:00:00": 2,  # sessions 0+1 overlap 10:10-10:20
+            "2024-01-01T12:00:00": 1,  # carry-in 1, then the -1 at 12:30
+        }
+
+    def test_end_releases_before_start_claims(self, spark):
+        from pgferry_spark.operators.temporal import concurrency_profile
+
+        # back-to-back sessions sharing one instant must not double-count
+        s = self._sessions(spark, [
+            ("2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+            ("2024-01-01 10:30:00", "2024-01-01 10:45:00"),
+        ])
+        got = {
+            r.bucket_ts.isoformat(): r.peak_concurrency
+            for r in concurrency_profile(
+                s, "session_start", "session_end", "hour"
+            ).collect()
+        }
+        assert got == {"2024-01-01T10:00:00": 1}
+
+    def test_bad_bucket_rejected(self, spark):
+        import pytest as _pytest
+
+        from pgferry_spark.operators.temporal import concurrency_profile
+
+        s = self._sessions(spark, [("2024-01-01 10:00:00", "2024-01-01 10:30:00")])
+        with _pytest.raises(ValueError):
+            concurrency_profile(s, "session_start", "session_end", "hour; DROP")
