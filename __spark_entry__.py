@@ -777,6 +777,17 @@ def _unigram_logprob(spark, sf):
     return filters.unigram_logprob_scores(_t(spark, sf, "documents"), "text", "doc_id")
 
 
+def _ann_recall_lsh(spark, sf):
+    """Recall@10 of the single-bucket LSH probe vs the exact scan — the
+    sibling scorecard to `ann_recall_ivfpq`, measuring the other ANN
+    family's recall dial (n_planes)."""
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    approx = similarity.lsh_topk(e, "embedding", "vec_id", qvec, k=10)
+    exact = similarity.cosine_topk(e, "embedding", "vec_id", qvec, k=10)
+    return similarity.ann_recall(exact, approx, id_col="vec_id")
+
+
 def _session_concurrency(spark, sf):
     """Peak concurrent sessions per hour via the distributed sweep line:
     per-bucket local running sums + a cumulative carry over the bounded
@@ -1495,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_propagation": _trust_propagation,
         "quality_classifier": _quality_classifier,
         "session_concurrency": _session_concurrency,
+        "ann_recall_lsh": _ann_recall_lsh,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2674,6 +2686,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.bucket = q.qb
             ORDER BY cosine_sim DESC, s.vec_id ASC
             LIMIT 10
+        """,
+        "ann_recall_lsh": ann_sig_cte
+        + f"""
+            , approx AS (
+              SELECT s.vec_id
+              FROM sig s, q
+              WHERE s.bucket = q.qb
+              ORDER BY {cos} DESC, s.vec_id ASC
+              LIMIT 10
+            ),
+            exact AS (
+              SELECT s.vec_id
+              FROM sig s, q
+              ORDER BY {cos} DESC, s.vec_id ASC
+              LIMIT 10
+            )
+            SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS k_exact,
+                   CAST((SELECT count(*) FROM exact WHERE vec_id IN
+                         (SELECT vec_id FROM approx)) AS BIGINT) AS n_hits,
+                   ROUND((SELECT count(*) FROM exact WHERE vec_id IN
+                          (SELECT vec_id FROM approx))
+                         / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4) AS recall
         """,
         "lsh_topk_multiprobe": ann_sig_cte
         + f"""
