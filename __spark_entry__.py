@@ -156,6 +156,10 @@ def _rollup(spark, sf):
     return Q.rollup_pricing(_t(spark, sf, "lineitem"))
 
 
+def _cube(spark, sf):
+    return Q.cube_pricing(_t(spark, sf, "lineitem"))
+
+
 def _distinct(spark, sf):
     return Q.distinct_orders_per_flag(_t(spark, sf, "lineitem"))
 
@@ -1507,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _quality_classifier,
         "session_concurrency": _session_concurrency,
         "ann_recall_lsh": _ann_recall_lsh,
+        "cube_pricing": _cube,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2014,6 +2019,14 @@ def oracle_sql() -> dict[str, str]:
         "distinct_orders_per_flag": """
             SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "cube_pricing": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM({dec_price}) AS DOUBLE) AS sum_base_price,
+                   COUNT(*) AS n_rows,
+                   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "events_hourly": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,

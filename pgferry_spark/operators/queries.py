@@ -594,6 +594,23 @@ def rollup_pricing(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def cube_pricing(lineitem: DataFrame) -> DataFrame:
+    """CUBE aggregate — all 2² grouping combinations of (returnflag,
+    linestatus), including the per-linestatus slice ROLLUP can't produce.
+    ``grouping_id`` disambiguates subtotal rows from (hypothetical)
+    natural NULL group values, so the oracle compare is unambiguous.
+    Like ROLLUP, CUBE is one shuffle: Spark expands the grouping sets
+    map-side and aggregates partially before the exchange."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_price()).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
 def distinct_orders_per_flag(lineitem: DataFrame) -> DataFrame:
     """COUNT(DISTINCT) — two-phase distinct aggregation."""
     return lineitem.groupBy("l_returnflag").agg(
