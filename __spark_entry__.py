@@ -160,6 +160,18 @@ def _cube(spark, sf):
     return Q.cube_pricing(_t(spark, sf, "lineitem"))
 
 
+def _zorder_keys(spark, sf):
+    """Morton keys over (partkey, suppkey) — the clustering key behind
+    2-D data skipping; pure bit-math Column expression, map-only."""
+    from pgferry_spark.sources.layout import zorder_key
+
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey"), bits=16).alias("zkey"),
+    )
+
+
 def _distinct(spark, sf):
     return Q.distinct_orders_per_flag(_t(spark, sf, "lineitem"))
 
@@ -1512,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_concurrency": _session_concurrency,
         "ann_recall_lsh": _ann_recall_lsh,
         "cube_pricing": _cube,
+        "zorder_keys": _zorder_keys,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2027,6 +2040,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "zorder_keys": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   CAST(list_sum(list_transform(range(16), i ->
+                        ((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+                      + ((l_suppkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
+                   )) AS BIGINT) AS zkey
+            FROM lineitem
         """,
         "events_hourly": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,

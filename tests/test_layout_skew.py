@@ -122,3 +122,74 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     # no leftover temp/old directories
     import os
     assert not any("__compact" in d for d in os.listdir(tmp_path))
+
+
+def test_zorder_key_golden_values(spark):
+    from pyspark.sql import functions as F
+
+    from pgferry_spark.sources.layout import zorder_key
+
+    rows = [(0, 0), (3, 1), (1, 3), (5, 0), (0, 5), (65535, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+    )
+    got = {(r.a, r.b): r.z for r in df.collect()}
+    # hand-interleaved: a bits at even positions, b bits at odd
+    assert got[(0, 0)] == 0
+    assert got[(3, 1)] == 0b111          # a=11 -> 101, b=1 -> 010
+    assert got[(1, 3)] == 0b1011         # a=01 -> 001, b=11 -> 1010
+    assert got[(5, 0)] == 0b10001        # a=101 -> positions 0,4
+    assert got[(0, 5)] == 0b100010       # b=101 -> positions 1,5
+    assert got[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_zorder_key_locality_beats_concatenation(spark):
+    """The point of Morton order: a box query's keys are contiguous-ish.
+    For the 4x4 grid, the max key spread inside any 2x2 box must be far
+    smaller under Morton than under (a << 16 | b) concatenation."""
+    from pyspark.sql import functions as F
+
+    from pgferry_spark.sources.layout import zorder_key
+
+    pts = [(a, b) for a in range(4) for b in range(4)]
+    df = spark.createDataFrame(pts, "a long, b long").select(
+        "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+    )
+    z = {(r.a, r.b): r.z for r in df.collect()}
+    # the aligned 2x2 box {0,1}x{0,1} occupies Morton keys 0..3 exactly
+    box = [z[(a, b)] for a in (0, 1) for b in (0, 1)]
+    assert sorted(box) == [0, 1, 2, 3]
+
+
+def test_zorder_write_files_have_disjoint_key_ranges(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pgferry_spark.sources.layout import zorder_key, zorder_write
+
+    df = spark.range(2000).select(
+        (F.col("id") % 50).alias("x"),
+        (F.col("id") * 7 % 50).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "zordered")
+    zorder_write(df, path, "x", "y", n_files=4)
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert 2 <= len(files) <= 4
+    spans = []
+    for f in files:
+        part = spark.read.parquet(f).select(
+            zorder_key(F.col("x"), F.col("y")).alias("z")
+        )
+        lo, hi = part.agg(F.min("z"), F.max("z")).first()
+        spans.append((lo, hi))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file key ranges: {spans}"
+    # round trip: clustering must not lose or duplicate rows
+    assert spark.read.parquet(path).count() == 2000
