@@ -160,6 +160,33 @@ def _cube(spark, sf):
     return Q.cube_pricing(_t(spark, sf, "lineitem"))
 
 
+def _content_diff(spark, sf):
+    """Content-level migration validation: the reference compares COUNT(*)
+    only; this diffs canonical row hashes through one full outer join.
+    The 'target' is a deterministic drifted copy of customer (some rows
+    changed, dropped, added) so every status bucket is exercised."""
+    from pgferry_spark.plans.validation import content_diff
+
+    cols = ["c_name", "c_nationkey", "c_mktsegment"]
+    c = _t(spark, sf, "customer")
+    src = c.select("c_custkey", *cols)
+    drift = (
+        src.filter(F.col("c_custkey") % 97 != 0)  # dropped rows
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 101 == 0, F.lit("DRIFTED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .unionAll(  # new keys only the target has
+            src.filter(F.col("c_custkey") % 103 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"), *cols
+            )
+        )
+    )
+    return content_diff(src, drift, ["c_custkey"], cols)
+
+
 def _zorder_keys(spark, sf):
     """Morton keys over (partkey, suppkey) — the clustering key behind
     2-D data skipping; pure bit-math Column expression, map-only."""
@@ -1525,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_lsh": _ann_recall_lsh,
         "cube_pricing": _cube,
         "zorder_keys": _zorder_keys,
+        "content_diff_summary": _content_diff,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2040,6 +2068,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "content_diff_summary": """
+            WITH cols AS (
+              SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+            ),
+            src AS (
+              SELECT c_custkey,
+                     md5(concat_ws(chr(31),
+                         COALESCE(CAST(c_name AS VARCHAR), chr(0)),
+                         COALESCE(CAST(c_nationkey AS VARCHAR), chr(0)),
+                         COALESCE(CAST(c_mktsegment AS VARCHAR), chr(0)))) AS fp
+              FROM cols
+            ),
+            drift AS (
+              SELECT c_custkey, c_name, c_nationkey,
+                     CASE WHEN c_custkey % 101 = 0 THEN 'DRIFTED'
+                          ELSE c_mktsegment END AS c_mktsegment
+              FROM cols WHERE c_custkey % 97 <> 0
+              UNION ALL
+              SELECT c_custkey + 1000000, c_name, c_nationkey, c_mktsegment
+              FROM cols WHERE c_custkey % 103 = 0
+            ),
+            tgt AS (
+              SELECT c_custkey,
+                     md5(concat_ws(chr(31),
+                         COALESCE(CAST(c_name AS VARCHAR), chr(0)),
+                         COALESCE(CAST(c_nationkey AS VARCHAR), chr(0)),
+                         COALESCE(CAST(c_mktsegment AS VARCHAR), chr(0)))) AS fp
+              FROM drift
+            )
+            SELECT CASE WHEN s.fp IS NULL THEN 'only_in_target'
+                        WHEN t.fp IS NULL THEN 'only_in_source'
+                        WHEN s.fp = t.fp THEN 'equal'
+                        ELSE 'changed' END AS status,
+                   COUNT(*) AS n_rows
+            FROM src s FULL OUTER JOIN tgt t USING (c_custkey)
+            GROUP BY status
         """,
         "zorder_keys": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -39,3 +39,52 @@ def validate_row_counts(
     with ThreadPoolExecutor(max_workers=max(1, max_workers)) as pool:
         results = list(pool.map(one, tables))
     return results
+
+
+def row_fingerprint(cols: list[str]):
+    """Canonical row hash for content-level comparison: md5 over the
+    columns cast to string, joined with an ASCII unit separator, NULLs
+    marked by NUL — collision-safe against value concatenation ambiguity
+    ("ab"+"c" vs "a"+"bc") and NULL-vs-empty confusion, and portable to
+    the SQL oracle (chr(31)/chr(0) + md5 exist in both engines).  Cast
+    semantics differ across engines for floats (repr edge cases), so
+    callers hashing float columns should round/format them first."""
+    from pyspark.sql import functions as F
+
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in cols
+            ],
+        )
+    )
+
+
+def content_diff(source, target, key_cols: list[str], value_cols: list[str]):
+    """Content-level table diff — the validation rung above the
+    reference's row counts (validate.go compares COUNT(*) only; equal
+    counts happily hide N changed + N missing rows).  Returns one row per
+    status: ``equal`` / ``changed`` / ``only_in_source`` /
+    ``only_in_target`` with counts, from ONE co-partitioned full outer
+    join on the key comparing canonical row hashes — each side is
+    scanned once and reduced to (key, 16-byte hash) before the join, so
+    the movement cost is keys + hashes, not row payloads, at any width.
+    """
+    from pyspark.sql import functions as F
+
+    s = source.select(*key_cols, row_fingerprint(value_cols).alias("__fp_s"))
+    t = target.select(*key_cols, row_fingerprint(value_cols).alias("__fp_t"))
+    j = s.join(t, on=list(key_cols), how="full_outer")
+    status = (
+        F.when(F.col("__fp_s").isNull(), F.lit("only_in_target"))
+        .when(F.col("__fp_t").isNull(), F.lit("only_in_source"))
+        .when(F.col("__fp_s") == F.col("__fp_t"), F.lit("equal"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

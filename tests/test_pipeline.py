@@ -498,3 +498,43 @@ def test_resume_after_partition_commit_without_chunk_record(spark, tmp_path):
     final = spark.read.parquet(os.path.join(out, "big"))
     assert final.count() == 500
     assert final.select("id").distinct().count() == 500  # no duplicates
+
+
+class TestContentDiff:
+    def test_all_four_statuses(self, spark):
+        from pgferry_spark.plans.validation import content_diff
+
+        src = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        tgt = spark.createDataFrame(
+            [(1, "a"), (2, "CHANGED"), (4, "d")], "k long, v string"
+        )
+        got = {r.status: r.n_rows for r in content_diff(src, tgt, ["k"], ["v"]).collect()}
+        assert got == {
+            "equal": 1, "changed": 1, "only_in_source": 1, "only_in_target": 1,
+        }
+
+    def test_null_differs_from_empty_and_concat_is_unambiguous(self, spark):
+        from pgferry_spark.plans.validation import content_diff
+
+        src = spark.createDataFrame(
+            [(1, None, "x"), (2, "ab", "c")], "k long, a string, b string"
+        )
+        tgt = spark.createDataFrame(
+            [(1, "", "x"), (2, "a", "bc")], "k long, a string, b string"
+        )
+        got = {r.status: r.n_rows for r in content_diff(src, tgt, ["k"], ["a", "b"]).collect()}
+        # NULL vs '' must differ; ("ab","c") vs ("a","bc") must differ
+        assert got == {"changed": 2}
+
+    def test_equal_counts_can_hide_drift_that_diff_catches(self, spark):
+        from pgferry_spark.plans.validation import content_diff
+
+        # same row count both sides (the reference's validation passes),
+        # but one row swapped for another
+        src = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        tgt = spark.createDataFrame([(1, "a"), (9, "z")], "k long, v string")
+        assert src.count() == tgt.count()
+        got = {r.status: r.n_rows for r in content_diff(src, tgt, ["k"], ["v"]).collect()}
+        assert got == {"equal": 1, "only_in_source": 1, "only_in_target": 1}
