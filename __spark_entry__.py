@@ -160,6 +160,18 @@ def _cube(spark, sf):
     return Q.cube_pricing(_t(spark, sf, "lineitem"))
 
 
+def _name_match_verified(spark, sf):
+    """Block→verify entity resolution: low-threshold gram blocking for
+    recall, exact Levenshtein <= 3 for precision."""
+    from pgferry_spark.operators.dedup import name_match_pairs_verified
+
+    p = _t(spark, sf, "part")
+    reps = p.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    return name_match_pairs_verified(
+        reps, "p_name", "name_id", threshold=0.3, max_edit=3
+    )
+
+
 def _content_diff(spark, sf):
     """Content-level migration validation: the reference compares COUNT(*)
     only; this diffs canonical row hashes through one full outer join.
@@ -1553,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_pricing": _cube,
         "zorder_keys": _zorder_keys,
         "content_diff_summary": _content_diff,
+        "name_match_verified": _name_match_verified,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -3070,6 +3083,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(shared / CAST(na + nb - shared AS DOUBLE), 4) AS jacc
             FROM pairs
             WHERE ROUND(shared / CAST(na + nb - shared AS DOUBLE), 4) >= 0.35
+        """,
+        "name_match_verified": """
+            WITH reps AS (
+              SELECT lower(trim(p_name)) AS nm, min(p_partkey) AS id
+              FROM part GROUP BY p_name
+            ),
+            sized AS (SELECT id, nm, length(nm) AS ln FROM reps),
+            grams AS (
+              SELECT id,
+                     CASE WHEN ln >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, ln - 1), i -> substr(nm, CAST(i AS INT), 3)))
+                          ELSE [nm] END AS gs
+              FROM sized
+            ),
+            gx AS (SELECT id, unnest(gs) AS g, len(gs) AS n_grams FROM grams),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     a.n_grams AS na, b.n_grams AS nb, count(*) AS shared
+              FROM gx a JOIN gx b ON a.g = b.g AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            ),
+            cand AS (
+              SELECT id_a, id_b,
+                     ROUND(shared / CAST(na + nb - shared AS DOUBLE), 4) AS jacc
+              FROM pairs
+              WHERE ROUND(shared / CAST(na + nb - shared AS DOUBLE), 4) >= 0.3
+            )
+            SELECT c.id_a, c.id_b, c.jacc,
+                   CAST(levenshtein(x.nm, y.nm) AS INTEGER) AS edit_dist
+            FROM cand c
+            JOIN reps x ON x.id = c.id_a
+            JOIN reps y ON y.id = c.id_b
+            WHERE levenshtein(x.nm, y.nm) <= 3
         """,
         "audio_segments": media_cte
         + """

@@ -1133,3 +1133,41 @@ def name_match_pairs(
         .filter(F.col("jacc") >= threshold)
         .select("id_a", "id_b", F.col("shared").cast("bigint").alias("shared"), "jacc")
     )
+
+
+def name_match_pairs_verified(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    threshold: float = 0.3,
+    max_edit: int = 3,
+    gram: int = 3,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Entity resolution with the classic block→verify split: gram-Jaccard
+    blocking (:func:`name_match_pairs`, cheap and recall-oriented at a
+    LOW threshold) followed by an exact Levenshtein verify at
+    ``max_edit`` — the precision stage set-based similarity can't provide
+    (anagram-ish names share every gram but need many edits).
+
+    Shape: the verify joins names back onto the bounded candidate-pair
+    table (pairs ≪ corpus by construction) and evaluates the built-in
+    JVM ``levenshtein`` per pair — candidate-linear, exact, and
+    SQL-portable (both engines implement the same edit-distance
+    definition). Returns ``(id_a, id_b, jacc, edit_dist)``."""
+    cands = name_match_pairs(
+        df, name_col, id_col, threshold=threshold, gram=gram,
+        max_gram_df=max_gram_df,
+    )
+    names = df.select(
+        F.col(id_col).cast("long").alias("__nid"),
+        F.lower(F.trim(F.col(name_col))).alias("__nm"),
+    )
+    return (
+        cands.join(names.withColumnRenamed("__nid", "id_a"), "id_a")
+        .withColumnRenamed("__nm", "__nm_a")
+        .join(names.withColumnRenamed("__nid", "id_b"), "id_b")
+        .withColumn("edit_dist", F.levenshtein("__nm_a", "__nm").cast("int"))
+        .filter(F.col("edit_dist") <= max_edit)
+        .select("id_a", "id_b", "jacc", "edit_dist")
+    )

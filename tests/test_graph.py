@@ -73,3 +73,29 @@ def test_weighted_mean_not_sum(spark):
         for r in propagate_scores(edges, seeds, alpha=1.0, iters=1).collect()
     }
     assert got[10] == 0.75  # (3*1 + 1*0) / 4
+
+
+def test_name_match_verified_prunes_anagram_noise(spark):
+    """Gram-set similarity can't separate shared-gram-but-distant names;
+    the Levenshtein verify must."""
+    from pgferry_spark.operators.dedup import (
+        name_match_pairs, name_match_pairs_verified,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "widget alpha"),
+            (2, "widget alphb"),   # 1 edit from id 1 -> kept
+            (3, "alpha widget"),   # same gram set, many edits -> pruned
+        ],
+        "nid long, name string",
+    )
+    blocked = {(r.id_a, r.id_b) for r in name_match_pairs(df, "name", "nid", threshold=0.3).collect()}
+    verified = {(r.id_a, r.id_b) for r in
+                name_match_pairs_verified(df, "name", "nid", threshold=0.3, max_edit=3).collect()}
+    assert (1, 3) in blocked      # blocking alone admits the transposition
+    assert (1, 2) in verified
+    assert (1, 3) not in verified # the verify stage prunes it
+    row = [r for r in name_match_pairs_verified(df, "name", "nid", threshold=0.3, max_edit=3).collect()
+           if (r.id_a, r.id_b) == (1, 2)][0]
+    assert row.edit_dist == 1
