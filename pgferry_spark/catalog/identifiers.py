@@ -44,7 +44,12 @@ def to_snake_case(name: str) -> str:
             if out and out[-1] != "_":
                 out.append("_")
             continue
-        if ch.isupper():
+        # "uppercase" only when lowering actually changes the char:
+        # titlecase-less symbols like U+1F130 '🄰' report isupper() yet
+        # survive .lower() unchanged, which made a second pass see a
+        # lower→"upper" boundary the first pass didn't (hypothesis-found
+        # idempotence break)
+        if ch.isupper() and ch.lower() != ch:
             prev = name[i - 1] if i > 0 else ""
             nxt = name[i + 1] if i + 1 < n else ""
             boundary = False

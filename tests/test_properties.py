@@ -87,3 +87,57 @@ def test_splitter_preserves_statement_count(stmts):
     out = split_sql_statements(sql)
     expected = [s.strip() for s in stmts if s.strip()]
     assert out == expected
+
+
+# --- ANN probe metadata (pure driver functions) ----------------------------
+
+vecs_st = st.lists(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=4, max_size=4,
+    ),
+    min_size=2, max_size=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(cents=vecs_st, q=st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+    min_size=4, max_size=4,
+))
+def test_ivf_query_cells_prefix_consistent_and_distinct(cents, q):
+    """nprobe=k returns k distinct cells; shorter probes are prefixes of
+    longer ones (the ranking is total); the first equals the single-cell
+    choice."""
+    from pgferry_spark.operators.similarity import (
+        ivf_query_cell, ivf_query_cells,
+    )
+
+    n = len(cents)
+    full = ivf_query_cells(cents, q, nprobe=n)
+    assert sorted(full) == list(range(n))  # a permutation: no dup, no gap
+    assert full[0] == ivf_query_cell(cents, q)
+    for k in range(1, n):
+        assert ivf_query_cells(cents, q, nprobe=k) == full[:k]
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_pq_adc_tables_nonnegative_and_zero_on_self(data):
+    """Every ADC entry is a nonneg rounded distance; a query equal to a
+    codebook row scores 0 at that row in every subspace."""
+    from pgferry_spark.operators.similarity import pq_adc_tables
+
+    k = data.draw(st.integers(min_value=2, max_value=6))
+    d = data.draw(st.integers(min_value=2, max_value=4))
+    m = data.draw(st.integers(min_value=1, max_value=3))
+    f = st.floats(min_value=-5, max_value=5, allow_nan=False, width=32)
+    books = [
+        [[data.draw(f) for _ in range(d)] for _ in range(k)] for _ in range(m)
+    ]
+    pick = data.draw(st.integers(min_value=0, max_value=k - 1))
+    q = [x for b in books for x in b[pick]]
+    tables = pq_adc_tables(books, q)
+    assert len(tables) == m and all(len(t) == k for t in tables)
+    assert all(x >= 0.0 for t in tables for x in t)
+    assert all(t[pick] == 0.0 for t in tables)
