@@ -160,6 +160,16 @@ def _cube(spark, sf):
     return Q.cube_pricing(_t(spark, sf, "lineitem"))
 
 
+def _debounce(spark, sf):
+    """Greedy 5-minute cooldown throttle per user — sequential kept-set
+    state via one Arrow-batched per-user scan; the oracle replays the
+    greedy rule as a recursive LATERAL query."""
+    from pgferry_spark.operators.temporal import debounce_events
+
+    e = _t(spark, sf, "events")
+    return debounce_events(e, "user_id", "ts", "event_id", cooldown_s=300)
+
+
 def _name_match_verified(spark, sf):
     """Block→verify entity resolution: low-threshold gram blocking for
     recall, exact Levenshtein <= 3 for precision."""
@@ -1566,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": _zorder_keys,
         "content_diff_summary": _content_diff,
         "name_match_verified": _name_match_verified,
+        "debounce_events": _debounce,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2184,6 +2195,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        # greedy kept-set recursion replayed as a recursive LATERAL query:
+        # each kept row picks the next event >= cooldown after it; the
+        # Spark side is a sequential per-user Arrow scan
+        "debounce_events": """
+            WITH RECURSIVE ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ),
+            r AS (
+              SELECT user_id, event_id, us, rn FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT nxt.user_id, nxt.event_id, nxt.us, nxt.rn
+              FROM r, LATERAL (
+                SELECT e.user_id, e.event_id, e.us, e.rn
+                FROM ev e
+                WHERE e.user_id = r.user_id
+                  AND e.us >= r.us + 300 * 1000000
+                  AND e.rn > r.rn
+                ORDER BY e.us, e.event_id LIMIT 1
+              ) nxt(user_id, event_id, us, rn)
+            )
+            SELECT user_id, event_id, make_timestamp(us) AS ts FROM r
         """,
         # the oracle runs the GLOBAL-window sweep line the Spark side
         # deliberately avoids, so a green row certifies the bucket-local +

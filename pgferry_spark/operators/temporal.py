@@ -499,3 +499,57 @@ def concurrency_profile(
             .alias("peak_concurrency"),
         )
     )
+
+
+def debounce_events(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    cooldown_s: int = 300,
+) -> DataFrame:
+    """Greedy cooldown dedup: keep an event only if at least
+    ``cooldown_s`` seconds passed since the user's last KEPT event — the
+    alerting/notification throttle.  This is NOT expressible as a lag
+    window: lag compares to the previous *raw* event, so a drizzle of
+    sub-cooldown events would suppress everything after the first, while
+    the greedy rule re-arms once the cooldown elapses (A@0 B@4 C@8 with
+    cooldown 5 keeps A and C; lag-based keeps only A).  The kept-set is
+    inherently sequential state, so each user's ordered events run
+    through one Arrow-batched linear scan (``applyInPandas`` — the same
+    dispensation as the funnel fold), one shuffle on the user key, state
+    O(1) per user.  Order ties break on the event id, exact integer
+    microseconds, matching the engine's sessionize conventions.  The
+    DuckDB oracle replays the greedy rule as a recursive LATERAL query —
+    the gate certifies the sequential semantics, not just row counts."""
+    import pandas as pd
+
+    cooldown_us = int(cooldown_s) * 1_000_000
+
+    out_schema = ", ".join(
+        [f"{user_col} long", f"{id_col} long", "__us long"]
+    )
+
+    def keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__us", id_col])
+        kept_rows = []
+        last = None
+        for us, eid, uid in zip(pdf["__us"], pdf[id_col], pdf[user_col]):
+            if last is None or us >= last + cooldown_us:
+                kept_rows.append((uid, eid, us))
+                last = us
+        return pd.DataFrame(kept_rows, columns=[user_col, id_col, "__us"])
+
+    prepped = events.select(
+        F.col(user_col).cast("long").alias(user_col),
+        F.col(id_col).cast("long").alias(id_col),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+    )
+    return (
+        prepped.groupBy(user_col)
+        .applyInPandas(keep, out_schema)
+        .select(
+            user_col, id_col,
+            F.timestamp_micros(F.col("__us")).alias(ts_col),
+        )
+    )

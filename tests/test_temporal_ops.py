@@ -353,3 +353,38 @@ class TestConcurrencyProfile:
         s = self._sessions(spark, [("2024-01-01 10:00:00", "2024-01-01 10:30:00")])
         with _pytest.raises(ValueError):
             concurrency_profile(s, "session_start", "session_end", "hour; DROP")
+
+
+class TestDebounce:
+    def test_greedy_rearm_differs_from_lag(self, spark):
+        import datetime as dt
+
+        from pgferry_spark.operators.temporal import debounce_events
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [
+            (1, 10, t0),
+            (1, 11, t0 + dt.timedelta(seconds=4)),   # < 5s after kept A -> drop
+            (1, 12, t0 + dt.timedelta(seconds=8)),   # >= 5s after A -> KEEP (lag-based would drop)
+            (1, 13, t0 + dt.timedelta(seconds=9)),   # < 5s after C -> drop
+            (1, 14, t0 + dt.timedelta(seconds=20)),  # keep
+            (2, 20, t0),                             # other user independent
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+        kept = sorted(
+            r.event_id
+            for r in debounce_events(df, "user_id", "ts", "event_id", cooldown_s=5).collect()
+        )
+        assert kept == [10, 12, 14, 20]
+
+    def test_tie_breaks_on_event_id(self, spark):
+        import datetime as dt
+
+        from pgferry_spark.operators.temporal import debounce_events
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, 5, t0), (1, 3, t0)], "user_id long, event_id long, ts timestamp"
+        )
+        kept = [r.event_id for r in debounce_events(df, "user_id", "ts", "event_id", 60).collect()]
+        assert kept == [3]  # lower id wins the simultaneous tie
