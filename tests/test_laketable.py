@@ -1,0 +1,76 @@
+"""LakeTable (sources/laketable.py): snapshot log, time travel, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pgferry_spark.sources.laketable import LakeTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t.write_snapshot(_df(spark, [(1, "a"), (2, "b")]))
+    return t
+
+
+def test_snapshot_and_read_current(spark, table):
+    assert table.current_version() == 1
+    assert {(r.k, r.v) for r in table.read().collect()} == {(1, "a"), (2, "b")}
+
+
+def test_upsert_creates_new_version_and_time_travel(spark, table):
+    changes = spark.createDataFrame(
+        [(2, "U", 5, "b2"), (3, "I", 6, "c")],
+        "k long, op string, seq long, v string",
+    )
+    info = table.upsert(changes, "k", "seq")
+    assert info.version == 2 and info.op == "upsert" and info.rows == 3
+    assert {(r.k, r.v) for r in table.read().collect()} == {
+        (1, "a"), (2, "b2"), (3, "c"),
+    }
+    # time travel: version 1 is untouched
+    assert {(r.k, r.v) for r in table.read(version=1).collect()} == {
+        (1, "a"), (2, "b"),
+    }
+
+
+def test_history_is_the_commit_log(spark, table):
+    table.write_snapshot(_df(spark, [(9, "z")]), op="compact")
+    hist = table.history()
+    assert [(s.version, s.op, s.rows) for s in hist] == [
+        (1, "overwrite", 2), (2, "compact", 1),
+    ]
+    assert hist[0].committed_at <= hist[1].committed_at
+
+
+def test_vacuum_keeps_current_and_retention(spark, table):
+    table.write_snapshot(_df(spark, [(9, "z")]))
+    table.write_snapshot(_df(spark, [(10, "y")]))
+    removed = table.vacuum(keep_last=1)
+    assert removed == [1, 2]
+    assert table.current_version() == 3
+    assert [s.version for s in table.history()] == [3]
+    with pytest.raises(FileNotFoundError):
+        table.read(version=1)
+
+
+def test_vacuum_never_removes_pointer_target(spark, table):
+    # even keep_last=1 with a single snapshot leaves the current version
+    assert table.vacuum(keep_last=1) == []
+    assert table.current_version() == 1
+    table.read().count()
+
+
+def test_pointer_flip_is_atomic_file_replace(spark, table, tmp_path):
+    # no .tmp residue after commits
+    table.write_snapshot(_df(spark, [(5, "e")]))
+    assert not any(
+        f.endswith(".tmp") for f in os.listdir(str(tmp_path / "tbl"))
+    )
