@@ -160,6 +160,14 @@ def _cube(spark, sf):
     return Q.cube_pricing(_t(spark, sf, "lineitem"))
 
 
+def _compression_ratio(spark, sf):
+    """Deflate-ratio quality signal over documents — rows-only (no SQL
+    deflate); semantics pinned by tests (repetitive << prose < random)."""
+    return filters.compression_ratio_stats(
+        _t(spark, sf, "documents"), "text", "doc_id"
+    )
+
+
 def _debounce(spark, sf):
     """Greedy 5-minute cooldown throttle per user — sequential kept-set
     state via one Arrow-batched per-user scan; the oracle replays the
@@ -1577,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_diff_summary": _content_diff,
         "name_match_verified": _name_match_verified,
         "debounce_events": _debounce,
+        "compression_ratio": _compression_ratio,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,

@@ -415,3 +415,26 @@ def curate_corpus(
     deduped = dedup_by_fingerprint(scored, text_col, id_col)
     split = dataset_split(deduped, id_col, train_pct, val_pct)
     return assign_shards(split, id_col, n_shards)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 8,
+) -> None:
+    """JSONL twin of :func:`write_training_shards` — the interchange
+    format tokenizer/training pipelines actually ingest.  Same
+    deterministic md5 shard assignment, same byte-stable within-shard
+    ordering; each ``shard=K/`` directory holds newline-delimited JSON
+    (Spark's distributed text-JSON writer — gzip via
+    ``option("compression", ...)`` when the trainer streams it)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    (
+        assign_shards(df, id_col, n_shards)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), h.asc(), F.col(id_col).asc())
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .json(path)
+    )

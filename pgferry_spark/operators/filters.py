@@ -306,3 +306,48 @@ def length_outlier_filter(
             F.round(F.col("hi_bound"), 6).alias("hi_bound"),
         )
     )
+
+
+def compression_ratio_stats(
+    df: DataFrame, text_col: str, id_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document deflate compression ratio — the Gopher-family quality
+    signal the token-level stats can't replicate: boilerplate and
+    template spam compress far below natural prose, and random gibberish
+    compresses above it, so both tails are curation candidates from ONE
+    cheap signal.  Returns ``(id, n_bytes, ratio)`` with ratio =
+    compressed/raw (empty docs are absent — no bytes, no ratio).
+
+    Python is unavoidable here (no JVM deflate expression), so the scan
+    is Arrow-batched ``mapInPandas`` — one pass, no shuffle, vectorized
+    batch transfer; zlib at a FIXED level keeps the output deterministic
+    for the rows-only gate, and the semantics are pinned by unit tests
+    (repetitive ≪ prose < random) instead of a SQL oracle DuckDB can't
+    express."""
+    import pandas as pd
+    import zlib
+
+    lvl = int(level)
+
+    def ratios(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            raw = [t.encode("utf-8") if t else b"" for t in pdf["__t"]]
+            n = [len(b) for b in raw]
+            keep = [i for i, ln in enumerate(n) if ln > 0]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__id"].iloc[keep].to_numpy(),
+                    "n_bytes": [n[i] for i in keep],
+                    "ratio": [
+                        round(len(zlib.compress(raw[i], lvl)) / n[i], 6)
+                        for i in keep
+                    ],
+                }
+            )
+
+    out = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__t")
+    ).mapInPandas(ratios, "id long, n_bytes long, ratio double")
+    return out.withColumnRenamed("id", id_col)

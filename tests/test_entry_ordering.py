@@ -61,6 +61,9 @@ ROWS_ONLY = {
     # LBFGS coefficients are iteration-order sensitive; pinned by
     # test_classify's separability/agreement checks
     "quality_classifier",
+    # no SQL deflate exists; semantics pinned by test_ranking_filters'
+    # repetitive<<prose<random ordering checks
+    "compression_ratio",
 }
 
 
@@ -83,8 +86,8 @@ def test_window_exactly_filled(entry_mod):
 
 def test_no_entries_lost_in_reorder(entry_mod):
     qs = entry_mod.queries()
-    assert len(qs) == 142
-    assert len(set(qs)) == 142
+    assert len(qs) == 143
+    assert len(set(qs)) == 143
 
 
 def test_late_round3_additions_sit_just_past_window(entry_mod):
