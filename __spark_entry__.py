@@ -340,6 +340,26 @@ def _orphan_events(spark, sf):
     )
 
 
+def _ri_audit(spark, sf):
+    """Whole-schema referential-integrity scorecard over three FKs: one
+    with synthesized NULL components + a truncated parent (orphans and
+    MATCH SIMPLE exemptions both non-zero), two clean production FKs."""
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 50 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    cust_small = _t(spark, sf, "customer").filter(F.col("c_custkey") < 100)
+    return orphans.ri_audit([
+        ("events_user", ev, cust_small, ["user_id"], ["c_custkey"]),
+        ("orders_customer", _t(spark, sf, "orders"), _t(spark, sf, "customer"),
+         ["o_custkey"], ["c_custkey"]),
+        ("lineitem_orders", _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+         ["l_orderkey"], ["o_orderkey"]),
+    ])
+
+
 def _orphan_set_null(spark, sf):
     """J1 SET NULL rule — orphan FK columns nulled, rows kept."""
     parent = _t(spark, sf, "customer").filter(F.col("c_custkey") < 100)
@@ -1586,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_match_verified": _name_match_verified,
         "debounce_events": _debounce,
         "compression_ratio": _compression_ratio,
+        "ri_audit": _ri_audit,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2204,6 +2225,34 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        "ri_audit": """
+            WITH child1 AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 50 = 0 THEN NULL ELSE user_id END AS user_id
+              FROM events
+            ),
+            p1 AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey < 100)
+            SELECT 'events_user' AS fk_name,
+                   CAST((SELECT count(*) FROM child1) AS BIGINT) AS child_rows,
+                   CAST((SELECT count(*) FROM child1 WHERE user_id IS NULL) AS BIGINT) AS null_fk_rows,
+                   CAST((SELECT count(*) FROM child1
+                         WHERE user_id IS NOT NULL
+                           AND user_id NOT IN (SELECT c_custkey FROM p1)) AS BIGINT) AS orphan_rows
+            UNION ALL
+            SELECT 'orders_customer',
+                   CAST((SELECT count(*) FROM orders) AS BIGINT),
+                   CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT),
+                   CAST((SELECT count(*) FROM orders
+                         WHERE o_custkey IS NOT NULL
+                           AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem_orders',
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE l_orderkey IS NOT NULL
+                           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
         """,
         # greedy kept-set recursion replayed as a recursive LATERAL query:
         # each kept row picks the next event >= cooldown after it; the

@@ -83,3 +83,45 @@ def clean_orphans_set_null(
         else:
             out_cols.append(child[c].alias(c))
     return joined.select(*out_cols)
+
+
+def ri_audit(
+    fks: list[tuple[str, DataFrame, DataFrame, list[str], list[str]]],
+) -> DataFrame:
+    """Whole-schema referential-integrity audit: one row per FK with child
+    cardinality, null-FK rows (MATCH SIMPLE exempt), and orphan count —
+    the read-only scorecard a migration runs BEFORE deciding between the
+    DELETE / SET NULL cleanup rules (the reference cleans per-FK blindly;
+    the audit makes the blast radius visible first).
+
+    ``fks`` is ``[(name, child, parent, fk_cols, ref_cols), ...]``.  Each
+    FK costs one anti join where the parent side is its distinct keys
+    (broadcast for dimension parents, shuffled-anti for peers); the
+    per-FK 1-row summaries union into one tiny result, so the audit's
+    cost is the sum of its joins regardless of FK count."""
+    parts = []
+    for name, child, parent, fk_cols, ref_cols in fks:
+        nn = _non_null_cond(child, fk_cols)
+        orphans = find_orphans(child, parent, fk_cols, ref_cols)
+        summary = (
+            child.agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum((~nn).cast("bigint")).alias("null_fk_rows"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("orphan_rows"))
+                )
+            )
+            .select(
+                F.lit(name).alias("fk_name"),
+                "child_rows",
+                "null_fk_rows",
+                "orphan_rows",
+            )
+        )
+        parts.append(summary)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

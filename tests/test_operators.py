@@ -494,3 +494,22 @@ def test_span_dedup_agg_keeper_bit_identical(spark):
     b = sorted(map(tuple,
                    span_dedup(df, "text", "id", span=3, keeper="agg").collect()))
     assert a == b
+
+
+def test_ri_audit_summarizes_per_fk(spark):
+    from pgferry_spark.operators.orphans import ri_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 10)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    clean_child = spark.createDataFrame([(1, 20)], "id long, fk long")
+    out = {
+        r.fk_name: (r.child_rows, r.null_fk_rows, r.orphan_rows)
+        for r in ri_audit([
+            ("dirty", child, parent, ["fk"], ["pk"]),
+            ("clean", clean_child, parent, ["fk"], ["pk"]),
+        ]).collect()
+    }
+    # row 2 is the only orphan; row 3's NULL fk is MATCH SIMPLE exempt
+    assert out == {"dirty": (4, 1, 1), "clean": (1, 0, 0)}
