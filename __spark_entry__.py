@@ -340,6 +340,41 @@ def _orphan_events(spark, sf):
     )
 
 
+def _incremental_agg(spark, sf):
+    """Incremental view maintenance: per-customer order count+revenue
+    maintained through a deterministic CDC batch via retract/apply
+    deltas. THE ORACLE RECOMPUTES FROM SCRATCH — a green row proves the
+    delta path equals full re-aggregation."""
+    from pgferry_spark.operators.incremental import maintain_grouped_agg
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("g"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("v"),
+    )
+    upd = o.filter(F.col("k") % 100 == 0).select(
+        "k", F.lit("U").alias("op"), F.lit(1).alias("seq"), "g",
+        (F.col("v") + F.lit(10).cast("decimal(12,2)")).alias("v"),
+    )
+    dele = o.filter(F.col("k") % 97 == 0).select(
+        "k", F.lit("D").alias("op"), F.lit(2).alias("seq"), "g", "v"
+    )
+    ins = o.filter(F.col("k") % 103 == 0).select(
+        (F.col("k") + 10_000_000).alias("k"), F.lit("I").alias("op"),
+        F.lit(1).alias("seq"), "g", "v",
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    old_agg = o.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    )
+    out = maintain_grouped_agg(old_agg, o, changes, "k", "g", "v", "seq")
+    return out.select(
+        F.col("g").alias("o_custkey"),
+        F.col("n").alias("n_orders"),
+        F.col("total").cast("double").alias("total_price"),
+    )
+
+
 def _ri_audit(spark, sf):
     """Whole-schema referential-integrity scorecard over three FKs: one
     with synthesized NULL components + a truncated parent (orphans and
@@ -1607,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce_events": _debounce,
         "compression_ratio": _compression_ratio,
         "ri_audit": _ri_audit,
+        "incremental_agg": _incremental_agg,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2225,6 +2261,42 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        # from-scratch recomputation on purpose: the Spark side runs the
+        # retract/apply delta path, so a green row proves incremental
+        # maintenance equals full re-aggregation
+        "incremental_agg": """
+            WITH base AS (
+              SELECT o_orderkey AS k, o_custkey AS g,
+                     CAST(o_totalprice AS DECIMAL(12,2)) AS v
+              FROM orders
+            ),
+            ch AS (
+              SELECT k, 'U' AS op, 1 AS seq, g,
+                     v + CAST(10 AS DECIMAL(12,2)) AS v
+              FROM base WHERE k % 100 = 0
+              UNION ALL
+              SELECT k, 'D', 2, g, v FROM base WHERE k % 97 = 0
+              UNION ALL
+              SELECT k + 10000000, 'I', 1, g, v FROM base WHERE k % 103 = 0
+            ),
+            latest AS (
+              SELECT k, op, g, v FROM (
+                SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+                FROM ch) WHERE rn = 1
+            ),
+            applied AS (
+              SELECT COALESCE(l.k, b.k) AS k,
+                     CASE WHEN l.k IS NOT NULL THEN l.g ELSE b.g END AS g,
+                     CASE WHEN l.k IS NOT NULL THEN l.v ELSE b.v END AS v,
+                     COALESCE(l.op, 'K') AS op
+              FROM base b FULL OUTER JOIN latest l ON l.k = b.k
+            )
+            SELECT g AS o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(v) AS DOUBLE) AS total_price
+            FROM applied WHERE op <> 'D'
+            GROUP BY g
         """,
         "ri_audit": """
             WITH child1 AS (

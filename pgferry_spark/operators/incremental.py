@@ -138,3 +138,70 @@ def lake_upsert(
         "rows_after": rows_after,
         "changes_applied": n_changes,
     }
+
+
+def maintain_grouped_agg(
+    old_agg: DataFrame,
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    group_col: str,
+    val_col: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance for a grouped count+sum aggregate:
+    given the materialized ``old_agg`` (``group, n, total``), the OLD base
+    snapshot, and a change batch, produce the aggregate of the NEW
+    snapshot WITHOUT re-aggregating the base — retract each affected
+    key's old contribution, apply its new one, and merge the group deltas
+    into the materialized rows.
+
+    Why it scales: the base is touched only by a semi-join on the
+    affected keys (change-batch-bounded — with the base bucketed or
+    partitioned on the key this prunes to the touched buckets), the delta
+    aggregate is batch-sized, and the merge join is groups-sized. A full
+    re-aggregation re-shuffles the entire fact instead.  Handles
+    group-moving updates (retract from the old group, apply to the new)
+    and drops groups whose count reaches zero.  Count and sum are
+    self-maintainable; MIN/MAX are not (a retraction below the max needs
+    the base) — that asymmetry is fundamental, not an implementation
+    limit.  The driver gate certifies the delta path against an oracle
+    that recomputes the aggregate from scratch."""
+    latest = latest_changes(changes, key_col, seq_col, op_col)
+    affected = latest.select(key_col)
+    old_rows = base.join(F.broadcast(affected), key_col, "left_semi")
+    retract = old_rows.select(
+        F.col(group_col).alias("__g"),
+        F.lit(-1).cast("bigint").alias("__dn"),
+        (-F.col(val_col)).alias("__dv"),
+    )
+    applied = latest.filter(F.col(op_col) != "D").select(
+        F.col(group_col).alias("__g"),
+        F.lit(1).cast("bigint").alias("__dn"),
+        F.col(val_col).alias("__dv"),
+    )
+    delta = (
+        retract.unionByName(applied)
+        .groupBy("__g")
+        .agg(F.sum("__dn").alias("__dn"), F.sum("__dv").alias("__dv"))
+    )
+    merged = old_agg.join(
+        delta, old_agg[group_col] == delta["__g"], "full_outer"
+    )
+    zero_total = F.lit(0).cast(
+        dict(delta.dtypes)["__dv"]
+    )
+    return (
+        merged.select(
+            F.coalesce(old_agg[group_col], F.col("__g")).alias(group_col),
+            (
+                F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("total"), zero_total)
+                + F.coalesce(F.col("__dv"), zero_total)
+            ).alias("total"),
+        )
+        .filter(F.col("n") > 0)
+    )

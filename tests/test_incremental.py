@@ -170,3 +170,53 @@ def test_lake_upsert_second_batch_composes(spark, tmp_path):
     lake_upsert(spark, path, b2, "k", "seq")
     got = {r["k"]: (r["name"], r["bal"]) for r in spark.read.parquet(path).collect()}
     assert got == {2: ("b3", 22.0), 3: ("c", 30.0)}
+
+
+def test_maintain_grouped_agg_matches_recompute_with_group_move(spark):
+    from pgferry_spark.operators.incremental import (
+        apply_changes, maintain_grouped_agg,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k long, g string, v double",
+    )
+    # update moving key 2 from group a to b; delete 3; insert 4 into a
+    changes = spark.createDataFrame(
+        [
+            (2, "U", 1, "b", 25.0),
+            (3, "D", 1, "b", 30.0),
+            (4, "I", 1, "a", 40.0),
+        ],
+        "k long, op string, seq long, g string, v double",
+    )
+    old_agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    )
+    inc = {
+        r.g: (r.n, r.total)
+        for r in maintain_grouped_agg(
+            old_agg, base, changes, "k", "g", "v", "seq"
+        ).collect()
+    }
+    scratch = {
+        r.g: (r.n, r.total)
+        for r in apply_changes(base, changes, "k", "seq")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert inc == scratch == {"a": (2, 50.0), "b": (1, 25.0)}
+
+
+def test_maintain_grouped_agg_drops_emptied_group(spark):
+    from pgferry_spark.operators.incremental import maintain_grouped_agg
+
+    base = spark.createDataFrame([(1, "only", 5.0)], "k long, g string, v double")
+    changes = spark.createDataFrame(
+        [(1, "D", 1, "only", 5.0)], "k long, op string, seq long, g string, v double"
+    )
+    old_agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    )
+    assert maintain_grouped_agg(old_agg, base, changes, "k", "g", "v", "seq").count() == 0
