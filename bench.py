@@ -76,6 +76,10 @@ HEADLINE = [
     "q16_adapted",
     "q21_adapted",
     "ivf_pq_topk",
+    "bigram_logprob",
+    "debounce_events",
+    "incremental_agg",
+    "session_concurrency",
     "events_pivot",
     "revenue_percentiles",
 ]
