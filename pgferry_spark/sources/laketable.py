@@ -126,6 +126,26 @@ class LakeTable:
                 )
         return out
 
+    def diff(
+        self,
+        key_cols: list[str],
+        value_cols: list[str],
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Content diff between two snapshots (``to_version`` defaults to
+        current): per-status counts via the validation layer's hash diff —
+        'what changed between version N and now' as one query, the audit
+        trail the snapshot log exists to answer."""
+        from pgferry_spark.plans.validation import content_diff
+
+        return content_diff(
+            self.read(version=from_version),
+            self.read(version=to_version),
+            key_cols,
+            value_cols,
+        )
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Delete snapshots older than the newest ``keep_last``; never the
         current pointer target. Returns removed version numbers."""

@@ -74,3 +74,16 @@ def test_pointer_flip_is_atomic_file_replace(spark, table, tmp_path):
     assert not any(
         f.endswith(".tmp") for f in os.listdir(str(tmp_path / "tbl"))
     )
+
+
+def test_diff_between_versions(spark, table):
+    changes = spark.createDataFrame(
+        [(2, "U", 5, "b2"), (3, "I", 6, "c")],
+        "k long, op string, seq long, v string",
+    )
+    table.upsert(changes, "k", "seq")
+    got = {
+        r.status: r.n_rows
+        for r in table.diff(["k"], ["v"], from_version=1).collect()
+    }
+    assert got == {"equal": 1, "changed": 1, "only_in_target": 1}
