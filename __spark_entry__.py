@@ -340,6 +340,19 @@ def _orphan_events(spark, sf):
     )
 
 
+def _signal_percentiles(spark, sf):
+    """Percentile calibration of (n_chars, token count) via broadcast CDF
+    histograms — no global-order window — plus the blended composite."""
+    from pgferry_spark.operators.curate import percentile_calibrate
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("chars"),
+        F.size(T.tokens(F.col("text"))).cast("double").alias("toks"),
+    )
+    return percentile_calibrate(d, "doc_id", ["chars", "toks"])
+
+
 def _incremental_agg(spark, sf):
     """Incremental view maintenance: per-customer order count+revenue
     maintained through a deterministic CDC batch via retract/apply
@@ -1643,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": _compression_ratio,
         "ri_audit": _ri_audit,
         "incremental_agg": _incremental_agg,
+        "signal_percentiles": _signal_percentiles,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2261,6 +2275,45 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        "signal_percentiles": f"""
+            WITH lng AS (
+              SELECT doc_id, 'chars' AS sig, CAST(n_chars AS DOUBLE) AS val
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 'toks', CAST(len({_TOKS}) AS DOUBLE)
+              FROM documents
+            ),
+            stats AS (
+              SELECT sig, MIN(val) AS mn, MAX(val) AS mx, COUNT(*) AS n
+              FROM lng GROUP BY sig
+            ),
+            binned AS (
+              SELECT l.doc_id, l.sig, s.n,
+                     CASE WHEN s.mx = s.mn THEN 0
+                          ELSE LEAST(CAST(FLOOR((l.val - s.mn)
+                                     / ((s.mx - s.mn) / 1000.0)) AS INT), 999)
+                     END AS bin
+              FROM lng l JOIN stats s ON s.sig = l.sig
+            ),
+            hist AS (SELECT sig, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+            cum AS (
+              SELECT sig, bin,
+                     SUM(c) OVER (PARTITION BY sig ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cm
+              FROM hist
+            ),
+            scored AS (
+              SELECT b.doc_id, b.sig, ROUND(cum.cm / b.n, 6) AS pct
+              FROM binned b JOIN cum ON cum.sig = b.sig AND cum.bin = b.bin
+            )
+            SELECT doc_id,
+                   MAX(CASE WHEN sig = 'chars' THEN pct END) AS pct_chars,
+                   MAX(CASE WHEN sig = 'toks' THEN pct END) AS pct_toks,
+                   ROUND((MAX(CASE WHEN sig = 'chars' THEN pct END)
+                          + MAX(CASE WHEN sig = 'toks' THEN pct END)) / 2.0, 6)
+                     AS composite
+            FROM scored GROUP BY doc_id
         """,
         # from-scratch recomputation on purpose: the Spark side runs the
         # retract/apply delta path, so a green row proves incremental

@@ -438,3 +438,70 @@ def write_jsonl_shards(
         .mode("overwrite")
         .json(path)
     )
+
+
+def percentile_calibrate(
+    df: DataFrame,
+    id_col: str,
+    score_cols: list[str],
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Percentile-normalize heterogeneous per-row signals onto a shared
+    [0, 1] scale and blend them into a composite — the calibration step
+    before combining quality signals whose raw scales are incomparable
+    (chars vs log-probs vs classifier outputs).
+
+    The textbook ``percent_rank`` is a GLOBAL-order window — one sorted
+    partition, dead at corpus scale.  Here each signal gets an equi-width
+    histogram (``n_bins`` bounded rows) whose cumulative counts broadcast
+    back, and every row maps to ``cum_count(bins <= own bin) / N`` — a
+    step-function CDF estimate with resolution 1/n_bins.  Signals melt
+    into long form first, so ONE histogram pipeline serves all of them;
+    the only corpus-sized shuffle is the final per-id regroup.  Constant
+    signals (max == min) calibrate to bin 0 → pct 1.0 by convention.
+
+    Returns ``(id, pct_<col>..., composite)`` with composite = round6 of
+    the mean percentile."""
+    n_bins = int(n_bins)
+    pairs = []
+    for c in score_cols:
+        pairs += [F.lit(c), F.col(c).cast("double")]
+    long = df.select(
+        F.col(id_col), F.explode(F.create_map(*pairs)).alias("__sig", "__val")
+    ).filter(F.col("__val").isNotNull())
+    stats = long.groupBy("__sig").agg(
+        F.min("__val").alias("__mn"),
+        F.max("__val").alias("__mx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    binned = long.join(F.broadcast(stats), "__sig").withColumn(
+        "__bin",
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+            F.least(
+                F.floor((F.col("__val") - F.col("__mn")) / w).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        ),
+    )
+    hist = binned.groupBy("__sig", "__bin").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = (
+        Window.partitionBy("__sig")
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(wcum)).select(
+        "__sig", "__bin", "__cum"
+    )
+    scored = binned.join(F.broadcast(cum), ["__sig", "__bin"]).withColumn(
+        "__pct", F.round(F.col("__cum") / F.col("__n"), 6)
+    )
+    aggs = [
+        F.max(F.when(F.col("__sig") == c, F.col("__pct"))).alias(f"pct_{c}")
+        for c in score_cols
+    ]
+    out = scored.groupBy(id_col).agg(*aggs)
+    mean_expr = sum(
+        (F.col(f"pct_{c}") for c in score_cols), F.lit(0.0)
+    ) / F.lit(float(len(score_cols)))
+    return out.withColumn("composite", F.round(mean_expr, 6))

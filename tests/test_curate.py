@@ -311,3 +311,41 @@ def test_curate_corpus_end_to_end(spark):
         assert r["split"] in {"train", "val", "test"}
         assert 0 <= r["shard"] < 8
         assert "<EMAIL>" in r["text"] or "@" not in r["text"]
+
+
+class TestPercentileCalibrate:
+    def test_uniform_signal_maps_to_uniform_pcts(self, spark):
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.operators.curate import percentile_calibrate
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 101)], "id long, s double"
+        )
+        got = {r.id: r.pct_s for r in percentile_calibrate(df, "id", ["s"]).collect()}
+        # step-CDF: each distinct value sits in its own bin -> pct == i/100
+        assert got[1] == 0.01 and got[50] == 0.5 and got[100] == 1.0
+        comp = {r.id: r.composite for r in percentile_calibrate(df, "id", ["s"]).collect()}
+        assert comp == got  # single signal: composite == its pct
+
+    def test_composite_blends_two_signals(self, spark):
+        from pgferry_spark.operators.curate import percentile_calibrate
+
+        # a: ascending; b: descending -> composite flat at ~0.5 (within a
+        # bin-resolution step)
+        df = spark.createDataFrame(
+            [(i, float(i), float(100 - i)) for i in range(1, 100)],
+            "id long, a double, b double",
+        )
+        rows = percentile_calibrate(df, "id", ["a", "b"]).collect()
+        for r in rows:
+            assert abs(r.composite - 0.5) < 0.02
+        r1 = [r for r in rows if r.id == 1][0]
+        assert r1.pct_a < 0.05 and r1.pct_b == 1.0
+
+    def test_constant_signal_calibrates_to_one(self, spark):
+        from pgferry_spark.operators.curate import percentile_calibrate
+
+        df = spark.createDataFrame([(1, 7.0), (2, 7.0)], "id long, s double")
+        got = {r.id: r.pct_s for r in percentile_calibrate(df, "id", ["s"]).collect()}
+        assert got == {1: 1.0, 2: 1.0}
