@@ -1547,8 +1547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     13 entries whose code changed materially in round 2 — then the 2 queries
     added this round (also never checked), then 1 known-green canary
     (chunked_scan) to confirm the harness itself didn't regress.  The
-    remaining 49 entries were all hash-green in CORRECTNESS_r02 on unchanged
-    code.  tests/test_entry_ordering.py pins this window arithmetic."""
+    r2-green TPC-H/transform/events family sits past the window on
+    unchanged code, and every query added later in round 3 (positions
+    51+) is locally green under tools/compare_oracle.py and first in
+    line for the round-4 rotation (tools/plan_rotation.py).
+    tests/test_entry_ordering.py pins this window arithmetic."""
     return {
         # --- never-driver-checked / changed-in-r2 family (47) -------------
         "winnow_shared_pairs": _winnow_shared_pairs,
