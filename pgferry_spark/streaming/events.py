@@ -307,6 +307,59 @@ def stream_to_target(
     )
 
 
+def stream_to_laketable(
+    stream_df: DataFrame,
+    table,
+    key_col: str,
+    checkpoint_dir: str,
+    query_name: str = "lake_sink",
+):
+    """Stream into a versioned ``LakeTable`` with EXACTLY-ONCE batches:
+    each micro-batch commits one snapshot tagged
+    ``batch:<query_name>:<id>``, and a replayed batch id (Structured
+    Streaming re-delivers the in-flight batch after a crash between
+    sink-write and checkpoint-commit) is detected from the snapshot log
+    and SKIPPED — the foreachBatch idempotent-sink pattern, with the
+    lake's own commit log as the transaction marker, so no side store is
+    needed.  Batch ids are per-query, so the tag is scoped by
+    ``query_name``: a RESTART of the same logical pipeline must reuse the
+    same name (and checkpoint), while an unrelated pipeline writing to
+    the same table needs its own.
+
+    Each batch merges as an upsert keyed on ``key_col`` (op='I',
+    seq=batch id): re-crawled keys overwrite, new keys append, and the
+    snapshot history doubles as an audit trail of what each micro-batch
+    changed (``table.diff``).  First batch on an empty table becomes the
+    initial snapshot."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as SF
+
+        tag = f"batch:{query_name}:{batch_id}"
+        if any(s.op == tag for s in table.history()):
+            return  # replayed batch — already committed
+        if table.current_version() is None:
+            snap = batch_df
+        else:
+            from pgferry_spark.operators.incremental import apply_changes
+
+            changes = batch_df.withColumn("__op", SF.lit("I")).withColumn(
+                "__seq", SF.lit(int(batch_id))
+            )
+            snap = apply_changes(
+                table.read(), changes, key_col, "__seq", "__op"
+            ).drop("__op", "__seq")
+        table._commit(snap, tag)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def curate_stream(
     docs: DataFrame,
     text_col: str = "text",

@@ -87,3 +87,42 @@ def test_diff_between_versions(spark, table):
         for r in table.diff(["k"], ["v"], from_version=1).collect()
     }
     assert got == {"equal": 1, "changed": 1, "only_in_target": 1}
+
+
+def test_stream_to_laketable_exactly_once_and_upsert(spark, tmp_path):
+    from pgferry_spark.streaming.events import stream_to_laketable
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t = LakeTable(spark, str(tmp_path / "stream_tbl"))
+    _df(spark, [(1, "a"), (2, "b")]).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run(name="lake_sink", checkpoint=ckpt):
+        q = stream_to_laketable(
+            spark.readStream.schema("k long, v string").parquet(src),
+            t, "k", checkpoint, query_name=name,
+        )
+        q.awaitTermination()
+
+    run()
+    assert [s.op for s in t.history()] == ["batch:lake_sink:0"]
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (2, "b")}
+
+    # replay: a fresh checkpoint re-delivers batch 0 under the same query
+    # name (the crash-between-write-and-commit scenario) -> skipped
+    run(checkpoint=str(tmp_path / "ckpt_replay"))
+    assert [s.op for s in t.history()] == ["batch:lake_sink:0"]
+
+    # new data + the ORIGINAL checkpoint -> batch 1 upserts (key 2
+    # overwritten, key 3 appended), history extends
+    _df(spark, [(2, "b2"), (3, "c")]).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert [s.op for s in t.history()] == [
+        "batch:lake_sink:0", "batch:lake_sink:1",
+    ]
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "a"), (2, "b2"), (3, "c"),
+    }
+    # audit trail: what batch 1 changed
+    got = {r.status: r.n_rows for r in t.diff(["k"], ["v"], from_version=1).collect()}
+    assert got == {"equal": 1, "changed": 1, "only_in_target": 1}
