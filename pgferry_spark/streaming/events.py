@@ -94,6 +94,33 @@ def run_to_completion(stream_df: DataFrame, query_name: str = "events_hourly") -
     return spark.sql(f"SELECT * FROM {query_name}").collect()
 
 
+def sessionize_stream_native(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap sessionization via the BUILT-IN ``session_window`` aggregate —
+    the declarative twin of :func:`sessionize_stream`: same gap rule,
+    but the state machine is Spark's own session-window state store
+    (merging, watermark expiry, spill) instead of our
+    applyInPandasWithState loop.  Prefer this one when the per-session
+    output is expressible as aggregates (it is here); the stateful
+    variant remains for session logic aggregates can't express (e.g.
+    emitting mid-session alerts).  One shuffle on (user, window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), f"{int(gap_minutes)} minutes"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour") -> DataFrame:
     """Stateful streaming sessionization via ``applyInPandasWithState`` —
     the custom-stateful-operator surface the built-in window aggregates

@@ -194,3 +194,43 @@ def test_trending_tokens_windows_and_floor(spark, tmp_path):
            for r in spark.sql("SELECT * FROM t_trend").collect()}
     # 'spark' x3 in the 10:00 window survives the floor; singletons pruned
     assert got == {("2024-01-01 10:00:00", "spark"): 3}
+
+
+def test_native_session_window_matches_gap_rule(spark, tmp_path):
+    """session_window twin: same gap rule as the stateful sessionizer —
+    events within the gap merge; a gap beyond it opens a new session.
+    window_end is last_event + gap by session_window's definition."""
+    import datetime as dt
+
+    from pgferry_spark.streaming.events import sessionize_stream_native
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(minutes=10)),   # same session (gap 30)
+        (1, 3, t0 + dt.timedelta(minutes=50)),   # 40 min gap -> new session
+        (2, 4, t0),
+    ]
+    path = str(tmp_path / "native_sess_src")
+    spark.createDataFrame(
+        rows, "user_id: long, event_id: long, ts: timestamp"
+    ).coalesce(1).write.parquet(path)
+    stream = sessionize_stream_native(
+        spark.readStream.schema("user_id long, event_id long, ts timestamp").parquet(path)
+    )
+    # complete mode: append would hold sessions until the watermark
+    # passes their end, which never happens in a bounded availableNow run
+    q = (
+        stream.writeStream.format("memory").queryName("t_native_sess")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("SELECT * FROM t_native_sess").collect()
+    }
+    assert got == {
+        (1, t0, 2),
+        (1, t0 + dt.timedelta(minutes=50), 1),
+        (2, t0, 1),
+    }
