@@ -340,6 +340,19 @@ def _orphan_events(spark, sf):
     )
 
 
+def _lsh_knn_join(spark, sf):
+    """Batch kNN join: every 10th embedding queries the rest of the
+    corpus through shared 6-bit LSH band buckets — RAG batch retrieval,
+    never |Q|x|C|."""
+    from pgferry_spark.operators.similarity import lsh_knn_join
+
+    e = _t(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") % 10 == 0)
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    return lsh_knn_join(qs, corpus, "embedding", "vec_id", k=5,
+                        n_planes=24, bands=4, dim=64)
+
+
 def _signal_percentiles(spark, sf):
     """Percentile calibration of (n_chars, token count) via broadcast CDF
     histograms — no global-order window — plus the blended composite."""
@@ -1660,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_audit": _ri_audit,
         "incremental_agg": _incremental_agg,
         "signal_percentiles": _signal_percentiles,
+        "lsh_knn_join": _lsh_knn_join,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2979,6 +2993,33 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": knn_edges_cte + """
             SELECT src, dst, cosine_sim, CAST(rnk AS INT) AS rank
             FROM knn
+        """,
+        "lsh_knn_join": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sig AS (SELECT vec_id, v, ({sig_terms(knn_planes)}) AS s FROM e),
+            bl AS (
+              SELECT vec_id, v, band_id, (s >> (band_id * 6)) & 63 AS band_val
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id)
+            ),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+              FROM bl q JOIN bl c USING (band_id, band_val)
+              WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+            ),
+            scored AS (
+              SELECT cd.query_id, cd.corpus_id,
+                     ROUND(list_dot_product(x.v, y.v)
+                           / (sqrt(list_dot_product(x.v, x.v))
+                              * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine_sim
+              FROM cand cd
+              JOIN e x ON x.vec_id = cd.query_id
+              JOIN e y ON y.vec_id = cd.corpus_id
+            )
+            SELECT query_id, corpus_id, cosine_sim, CAST(rnk AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cosine_sim DESC, corpus_id ASC) AS rnk
+                  FROM scored)
+            WHERE rnk <= 5
         """,
         # two unrolled personalized-propagation rounds over the same kNN
         # CTE: restart term reads the ORIGINAL seeds each round; only

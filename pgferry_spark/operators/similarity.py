@@ -584,6 +584,80 @@ def pq_encode(
     )
 
 
+def lsh_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_planes: int = 24,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Batch kNN JOIN between two tables: for every query vector, its
+    top-k most-similar corpus vectors among shared LSH band buckets —
+    ``(query_id, corpus_id, cosine_sim, rank)``.  The batch-retrieval
+    shape (a day's queries against the document index at once), distinct
+    from :func:`lsh_topk` (one query, driver-side) and
+    :func:`knn_graph` (self-join): both sides bucket with the SAME
+    deterministic planes, candidates come from a hash equi-join on
+    (band, band_val) — never |queries| × |corpus| — and a per-query
+    window takes the top-k after a distinct collapses multi-band hits.
+    Construction launches zero driver jobs (planes derive executor-side
+    from (dim, n_planes, seed)); recall dials are bands/width, the same
+    trade documented on :func:`knn_graph`."""
+    from pyspark.sql.window import Window
+
+    width = n_planes // bands
+
+    def banded(df, side):
+        sig = df.select(
+            F.col(id_col).cast("long").alias(f"{side}_id"),
+            F.col(vec_col).cast("array<double>").alias(f"{side}_v"),
+            lsh_bucket_batch_lazy(n_planes, seed, dim)(
+                F.col(vec_col).cast("array<double>")
+            ).alias("__sig"),
+        )
+        structs = [
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.shiftrightunsigned(F.col("__sig"), bi * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+            for bi in range(bands)
+        ]
+        return sig.select(
+            f"{side}_id", f"{side}_v", F.explode(F.array(*structs)).alias("bb")
+        ).select(
+            f"{side}_id", f"{side}_v",
+            F.col("bb.band_id").alias("band_id"),
+            F.col("bb.band_val").alias("band_val"),
+        )
+
+    q = banded(queries, "query")
+    c = banded(corpus, "corpus")
+    cand = (
+        q.join(c, ["band_id", "band_val"])
+        .select("query_id", "corpus_id", "query_v", "corpus_v")
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    sim = F.round(
+        _dot(F.col("query_v"), F.col("corpus_v"))
+        / (_norm(F.col("query_v")) * _norm(F.col("corpus_v"))),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        cand.select("query_id", "corpus_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_pq_index(
     df: DataFrame,
     vec_col: str,

@@ -110,3 +110,26 @@ def test_ann_recall_construction_launches_no_jobs(spark, vecs):
     S.ann_recall(exact, approx)
     after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
     assert list(before) == list(after)
+
+
+def test_lsh_knn_join_no_cartesian_and_bucket_recall(spark, vecs):
+    from pgferry_spark.operators.similarity import lsh_knn_join
+
+    qs = vecs.filter("vec_id % 10 = 0")
+    corpus = vecs.filter("vec_id % 10 != 0")
+    out = lsh_knn_join(qs, corpus, "embedding", "vec_id", k=3,
+                       n_planes=8, bands=4, dim=16)
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, lst in by_q.items():
+        assert len(lst) <= 3
+        assert all(r.corpus_id % 10 != 0 for r in lst)
+        ranks = sorted(r.rank for r in lst)
+        assert ranks == list(range(1, len(lst) + 1))
+        sims = [r.cosine_sim for r in sorted(lst, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
