@@ -340,6 +340,14 @@ def _orphan_events(spark, sf):
     )
 
 
+def _seasonal_anomalies(spark, sf):
+    """Hour-of-week seasonal z-scores per event type — the baseline the
+    trailing-window rate_anomalies can't provide."""
+    from pgferry_spark.operators.temporal import seasonal_anomalies
+
+    return seasonal_anomalies(_t(spark, sf, "events"))
+
+
 def _lsh_knn_join(spark, sf):
     """Batch kNN join: every 10th embedding queries the rest of the
     corpus through shared 6-bit LSH band buckets — RAG batch retrieval,
@@ -1674,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": _incremental_agg,
         "signal_percentiles": _signal_percentiles,
         "lsh_knn_join": _lsh_knn_join,
+        "seasonal_anomalies": _seasonal_anomalies,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2292,6 +2301,31 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        # Spark's dayofweek is 1=Sunday..7; DuckDB's (PostgreSQL dow) is
+        # 0=Sunday..6 — the Spark side subtracts 1 so slots align
+        "seasonal_anomalies": """
+            WITH counts AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            slotted AS (
+              SELECT *, CAST(dayofweek(bucket) * 24 + hour(bucket) AS INT) AS slot
+              FROM counts
+            ),
+            stats AS (
+              SELECT event_type, slot,
+                     AVG(CAST(n_events AS DOUBLE)) AS mu,
+                     STDDEV_SAMP(CAST(n_events AS DOUBLE)) AS sd,
+                     COUNT(*) AS cnt
+              FROM slotted GROUP BY 1, 2
+            )
+            SELECT s.event_type, s.bucket, s.n_events, s.slot,
+                   ROUND(CASE WHEN st.cnt >= 2 AND st.sd IS NOT NULL AND st.sd > 0
+                              THEN (CAST(s.n_events AS DOUBLE) - st.mu) / st.sd
+                         END, 4) AS z_score
+            FROM slotted s JOIN stats st USING (event_type, slot)
         """,
         "signal_percentiles": f"""
             WITH lng AS (

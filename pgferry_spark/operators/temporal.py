@@ -566,3 +566,51 @@ def debounce_events(
     ).select(
         user_col, id_col, F.timestamp_micros(F.col("__us")).alias(ts_col)
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    min_slots: int = 2,
+) -> DataFrame:
+    """Hour-of-week seasonal anomaly detection — the complement of
+    :func:`rate_anomalies` (trailing window): each (group, hour) bucket
+    scores against the mean/stddev of the SAME hour-of-week slot across
+    the whole history, so a quiet Sunday 3am is not "anomalously low"
+    just because Friday noon preceded it.  Returns (group, bucket,
+    n_events, slot, z_score); z is NULL when the slot has fewer than
+    ``min_slots`` observations or zero variance (guarded on both engines
+    — bare division would be Inf/NaN, not NULL, in some).  The baseline
+    includes the scored bucket itself (simple population baseline; an
+    exclude-self variant subtracts the point from the moments — not
+    needed for flagging gross outliers).
+
+    Shape: one fact aggregate to (group, bucket) counts; the slot
+    moments aggregate the BUCKET table (groups × 168 rows at most —
+    bounded); the join back is against that bounded table. Fact
+    cardinality touches only the first aggregate."""
+    b = F.date_trunc("hour", F.col(ts_col))
+    counts = df.groupBy(F.col(group_col), b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    slot = (
+        (F.dayofweek(F.col("bucket")) - 1) * 24 + F.hour(F.col("bucket"))
+    ).cast("int")
+    slotted = counts.withColumn("slot", slot)
+    stats = slotted.groupBy(group_col, "slot").agg(
+        F.avg(F.col("n_events").cast("double")).alias("__mu"),
+        F.stddev_samp(F.col("n_events").cast("double")).alias("__sd"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    joined = slotted.join(F.broadcast(stats), [group_col, "slot"])
+    z = F.when(
+        (F.col("__cnt") >= int(min_slots))
+        & F.col("__sd").isNotNull()
+        & (F.col("__sd") > 0.0),
+        (F.col("n_events").cast("double") - F.col("__mu")) / F.col("__sd"),
+    )
+    return joined.select(
+        group_col, "bucket", "n_events", "slot",
+        F.round(z, 4).alias("z_score"),
+    )

@@ -388,3 +388,46 @@ class TestDebounce:
         )
         kept = [r.event_id for r in debounce_events(df, "user_id", "ts", "event_id", 60).collect()]
         assert kept == [3]  # lower id wins the simultaneous tie
+
+
+class TestSeasonalAnomalies:
+    def test_same_slot_baseline(self, spark):
+        import datetime as dt
+
+        from pgferry_spark.operators.temporal import seasonal_anomalies
+
+        # Mondays 09:00 over 4 weeks: 10, 10, 10, 40 -> week 4 is the
+        # outlier against ITS OWN slot; a Tuesday bucket with count 40 has
+        # a single-observation slot -> NULL z
+        rows = []
+        eid = 0
+        base = dt.datetime(2024, 1, 1, 9, 0)  # a Monday
+        for week, n in enumerate([10, 10, 10, 40]):
+            for i in range(n):
+                rows.append((eid, base + dt.timedelta(weeks=week, seconds=i), "click"))
+                eid += 1
+        for i in range(40):
+            rows.append((eid, dt.datetime(2024, 1, 2, 9, 0, i), "click"))
+            eid += 1
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+        out = {(r.bucket, r.n_events): r.z_score for r in seasonal_anomalies(df).collect()}
+        z_spike = out[(dt.datetime(2024, 1, 22, 9, 0), 40)]
+        z_normal = out[(dt.datetime(2024, 1, 1, 9, 0), 10)]
+        assert z_spike > 1.4 and z_normal < 0
+        assert out[(dt.datetime(2024, 1, 2, 9, 0), 40)] is None  # lone slot
+
+    def test_constant_slot_has_null_z(self, spark):
+        import datetime as dt
+
+        from pgferry_spark.operators.temporal import seasonal_anomalies
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1, 9, 0) + dt.timedelta(weeks=w), "view")
+            for w in range(3) for i in range(1)
+        ]
+        df = spark.createDataFrame(
+            [(w, t, e) for w, (i, t, e) in enumerate(rows)],
+            "event_id long, ts timestamp, event_type string",
+        )
+        out = seasonal_anomalies(df).collect()
+        assert all(r.z_score is None for r in out)  # zero variance
