@@ -729,6 +729,28 @@ def _jaccard_adjacent(spark, sf):
     return dedup.jaccard_pairs(d, pairs, "text", "doc_id", n=3)
 
 
+def _containment_adjacent(spark, sf):
+    """Asymmetric 3-gram containment over the same adjacent-id pairs —
+    the excerpt/quote detector Jaccard structurally misses."""
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").alias("id_a"))
+    b = d.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return dedup.containment_pairs(d, pairs, "text", "doc_id", n=3)
+
+
+def _dedup_pair_recall(spark, sf):
+    """Recall/precision of the capped winnow candidate generator against
+    the EXACT >=0.5-Jaccard all-pairs ground truth (gram-blocked audit;
+    at 100 TB this runs on a sample, which is precisely how production
+    measures a blocker's recall) — 'measure, don't guess' for the dedup
+    family, the pair-set twin of ann_recall."""
+    d = _t(spark, sf, "documents")
+    exact = dedup.jaccard_all_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    approx = _winnow_pairs(spark, sf, max_df=100)
+    return dedup.pair_recall(exact, approx)
+
+
 def _simhash_pairs(spark, sf):
     """SimHash near-dup pairs (xxhash64-based; no SQL oracle).
 
@@ -1683,6 +1705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signal_percentiles": _signal_percentiles,
         "lsh_knn_join": _lsh_knn_join,
         "seasonal_anomalies": _seasonal_anomalies,
+        "containment_adjacent": _containment_adjacent,
+        "dedup_pair_recall": _dedup_pair_recall,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2684,6 +2708,83 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING COUNT(*) >= 50
+        """,
+        "containment_adjacent": f"""
+            WITH tk AS (
+              SELECT doc_id, {_LTOKS} AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(toks) < 3 THEN []
+                          ELSE list_transform(range(len(toks) - 2),
+                                              i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                     END) AS g
+              FROM tk
+            ), ex AS (
+              SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM grams
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            ), inter AS (
+              SELECT p.id_a, p.id_b, COUNT(*) AS c,
+                     any_value(x.n) AS n_a, any_value(y.n) AS n_b
+              FROM pairs p
+              JOIN ex x ON x.doc_id = p.id_a
+              JOIN ex y ON y.doc_id = p.id_b AND y.gram = x.gram
+              GROUP BY p.id_a, p.id_b
+            )
+            SELECT p.id_a, p.id_b,
+                   COALESCE(ROUND(CAST(c AS DOUBLE) / n_a, 4), 0.0) AS containment_a,
+                   COALESCE(ROUND(CAST(c AS DOUBLE) / n_b, 4), 0.0) AS containment_b
+            FROM pairs p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        """,
+        "dedup_pair_recall": winnow_cte
+        + f"""
+            , wex AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+            good AS (SELECT fp FROM wex GROUP BY fp HAVING COUNT(*) <= 100),
+            exg AS (SELECT wex.doc_id, wex.fp FROM wex JOIN good USING (fp)),
+            wpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM exg a JOIN exg b USING (fp)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 50
+            ),
+            approx AS (SELECT id_a, id_b FROM wpairs),
+            tk AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+            jg AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(toks) < 3 THEN []
+                          ELSE list_transform(range(len(toks) - 2),
+                                              i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                     END) AS g
+              FROM tk
+            ),
+            jx AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM jg),
+            inter AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c,
+                     any_value(x.n) AS n_a, any_value(y.n) AS n_b
+              FROM jx x
+              JOIN jx y ON y.gram = x.gram AND y.doc_id > x.doc_id
+              GROUP BY 1, 2
+            ),
+            exact AS (
+              SELECT id_a, id_b FROM inter
+              WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5
+            ),
+            hit AS (SELECT e.id_a, e.id_b FROM exact e JOIN approx USING (id_a, id_b))
+            SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+                   CAST((SELECT COUNT(*) FROM approx) AS BIGINT) AS n_approx,
+                   CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+                   CASE WHEN (SELECT COUNT(*) FROM exact) > 0 THEN
+                     ROUND((SELECT COUNT(*) FROM hit)
+                           / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 4)
+                   END AS recall,
+                   CASE WHEN (SELECT COUNT(*) FROM approx) > 0 THEN
+                     ROUND((SELECT COUNT(*) FROM hit)
+                           / CAST((SELECT COUNT(*) FROM approx) AS DOUBLE), 4)
+                   END AS "precision"
         """,
         "cdc_merge": """
             WITH changes AS (

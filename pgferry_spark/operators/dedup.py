@@ -1171,3 +1171,122 @@ def name_match_pairs_verified(
         .filter(F.col("edit_dist") <= max_edit)
         .select("id_a", "id_b", "jacc", "edit_dist")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric n-gram containment for candidate pairs:
+    ``containment_a = |A∩B| / |A|`` and the mirror for B — the
+    excerpt/quote detector Jaccard structurally misses (a paragraph
+    quoted inside a long article has tiny Jaccard but containment ≈ 1 on
+    the paragraph side).  Same candidate-linear join shape as
+    :func:`jaccard_pairs` (this is the verify step after blocking);
+    every input pair appears, zero-intersection pairs at 0.0."""
+    shingled = _fan_out(df, id_col, force=True).select(
+        F.col(id_col), ngram_set(F.col(content_col), n).alias("grams")
+    ).withColumn("gram_count", F.size("grams"))
+    ex = shingled.select(
+        F.col(id_col), F.col("gram_count"), F.explode("grams").alias("gram")
+    )
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("gram_count").alias("n_a"), "gram")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("gram_count").alias("n_b"), "gram")
+    inter = (
+        pairs.join(a, on="id_a")
+        .join(b, on=["id_b", "gram"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = inter.select(
+        "id_a", "id_b",
+        F.round(F.col("inter") / F.col("n_a"), 4).alias("containment_a"),
+        F.round(F.col("inter") / F.col("n_b"), 4).alias("containment_b"),
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(scored, on=["id_a", "id_b"], how="left")
+        .select(
+            "id_a", "id_b",
+            F.coalesce("containment_a", F.lit(0.0)).alias("containment_a"),
+            F.coalesce("containment_b", F.lit(0.0)).alias("containment_b"),
+        )
+    )
+
+
+def pair_recall(
+    exact_pairs: DataFrame, approx_pairs: DataFrame
+) -> DataFrame:
+    """Precision/recall scorecard for a candidate-pair generator against
+    the exact pair set — 'measure, don't guess' for the dedup family's
+    banding dials (the ANN twin is ``similarity.ann_recall``).  One row:
+    ``(n_exact, n_approx, n_hit, recall, precision)``.  Both inputs are
+    (id_a, id_b) tables with id_a < id_b; the comparison is one semi-join
+    plus three 1-row aggregates, lazy end to end (zero construction
+    jobs), cost linear in the pair sets."""
+    e = exact_pairs.select("id_a", "id_b")
+    ap = approx_pairs.select("id_a", "id_b")
+    hit = e.join(ap, on=["id_a", "id_b"], how="semi")
+    ne = e.agg(F.count(F.lit(1)).alias("n_exact"))
+    na = ap.agg(F.count(F.lit(1)).alias("n_approx"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    # ANSI-safe: an empty side yields NULL, not a divide-by-zero error
+    return (
+        ne.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact", "n_approx", "n_hit",
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_hit") / F.col("n_exact"), 4),
+            ).alias("recall"),
+            F.when(
+                F.col("n_approx") > 0,
+                F.round(F.col("n_hit") / F.col("n_approx"), 4),
+            ).alias("precision"),
+        )
+    )
+
+
+def jaccard_all_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs word-n-gram Jaccard at ``threshold`` — gram-blocked
+    (pairs sharing zero grams have Jaccard 0 and cannot reach a positive
+    threshold, so the blocking loses nothing): the ground-truth pair set
+    recall measurements compare against.  Cost is sum(gram_df²) — run it
+    on the corpus at audit scale or on a sample at 100 TB; that sampled
+    ground truth is exactly how production measures a blocker's recall
+    (the candidate generators stay sum-of-capped-df², this is the
+    auditor, not the pipeline)."""
+    shingled = _fan_out(df, id_col, force=True).select(
+        F.col(id_col), ngram_set(F.col(content_col), n).alias("grams")
+    ).withColumn("gram_count", F.size("grams"))
+    ex = shingled.select(
+        F.col(id_col), F.col("gram_count"), F.explode("grams").alias("gram")
+    )
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("gram_count").alias("n_a"), "gram")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("gram_count").alias("n_b"), "gram")
+    inter = (
+        a.join(b, on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        4,
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

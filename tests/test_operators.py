@@ -513,3 +513,46 @@ def test_ri_audit_summarizes_per_fk(spark):
     }
     # row 2 is the only orphan; row 3's NULL fk is MATCH SIMPLE exempt
     assert out == {"dirty": (4, 1, 1), "clean": (1, 0, 0)}
+
+
+def test_jaccard_all_pairs_exact_and_blocked(spark):
+    from pgferry_spark.operators.dedup import jaccard_all_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon"),  # jacc 2/4? grams3: doc1 {abg,bgd}, doc2 {abg,bgd,gde} -> 2/3
+            (3, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in jaccard_all_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()}
+    assert got == {(1, 2): round(2 / 3, 4)}
+
+
+def test_pair_recall_guards_and_arithmetic(spark):
+    from pgferry_spark.operators.dedup import pair_recall
+
+    exact = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    approx = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    r = pair_recall(exact, approx).collect()[0]
+    assert (r.n_exact, r.n_approx, r.n_hit, r.recall, r.precision) == (2, 2, 1, 0.5, 0.5)
+    # empty sides yield NULL, not a division error (ANSI mode)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r2 = pair_recall(empty, approx).collect()[0]
+    assert r2.n_exact == 0 and r2.recall is None and r2.precision == 0.0
+
+
+def test_containment_detects_excerpt(spark):
+    from pgferry_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    article = "one two three four five six seven eight nine ten eleven twelve"
+    excerpt = "four five six seven"
+    df = spark.createDataFrame([(1, article), (2, excerpt)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    cont = containment_pairs(df, pairs, "text", "doc_id", n=3).collect()[0]
+    jac = jaccard_pairs(df, pairs, "text", "doc_id", n=3).collect()[0]
+    # excerpt side fully contained; Jaccard small — the case containment exists for
+    assert cont.containment_b == 1.0
+    assert cont.containment_a == 0.2
+    assert jac.jaccard < 0.25
