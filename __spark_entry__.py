@@ -751,6 +751,20 @@ def _dedup_pair_recall(spark, sf):
     return dedup.pair_recall(exact, approx)
 
 
+def _minhash_pair_recall(spark, sf):
+    """The comparative row to dedup_pair_recall: the MinHash-LSH blocker
+    (recall-oriented, 4 bands x 3 rows) against the same exact >=0.5
+    ground truth — winnow trades recall for precision; this one the
+    reverse. Together they turn the blocker choice into a measured
+    trade."""
+    d = _t(spark, sf, "documents")
+    exact = dedup.jaccard_all_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    approx = dedup.lsh_candidate_pairs(
+        d, "text", "doc_id", num_hashes=12, bands=4, shingle=3
+    )
+    return dedup.pair_recall(exact, approx)
+
+
 def _simhash_pairs(spark, sf):
     """SimHash near-dup pairs (xxhash64-based; no SQL oracle).
 
@@ -1707,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": _seasonal_anomalies,
         "containment_adjacent": _containment_adjacent,
         "dedup_pair_recall": _dedup_pair_recall,
+        "minhash_pair_recall": _minhash_pair_recall,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2969,6 +2984,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM buckets a JOIN buckets b USING (band_id, band_hash)
             WHERE a.doc_id < b.doc_id
+        """,
+        "minhash_pair_recall": minhash_cte
+        + """
+            , approx AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM buckets a JOIN buckets b USING (band_id, band_hash)
+              WHERE a.doc_id < b.doc_id
+            ),
+            jx AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM gr),
+            inter AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c,
+                     any_value(x.n) AS n_a, any_value(y.n) AS n_b
+              FROM jx x
+              JOIN jx y ON y.gram = x.gram AND y.doc_id > x.doc_id
+              GROUP BY 1, 2
+            ),
+            exact AS (
+              SELECT id_a, id_b FROM inter
+              WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5
+            ),
+            hit AS (SELECT e.id_a, e.id_b FROM exact e JOIN approx USING (id_a, id_b))
+            SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+                   CAST((SELECT COUNT(*) FROM approx) AS BIGINT) AS n_approx,
+                   CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+                   CASE WHEN (SELECT COUNT(*) FROM exact) > 0 THEN
+                     ROUND((SELECT COUNT(*) FROM hit)
+                           / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 4)
+                   END AS recall,
+                   CASE WHEN (SELECT COUNT(*) FROM approx) > 0 THEN
+                     ROUND((SELECT COUNT(*) FROM hit)
+                           / CAST((SELECT COUNT(*) FROM approx) AS DOUBLE), 4)
+                   END AS "precision"
         """,
         "jaccard_adjacent": f"""
             WITH tk AS (
