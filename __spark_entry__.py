@@ -340,6 +340,26 @@ def _orphan_events(spark, sf):
     )
 
 
+def _decayed_topk(spark, sf):
+    """Recency-weighted trending users (24h half-life, fixed as_of so the
+    score is a pure function of the data)."""
+    from pgferry_spark.operators.temporal import decayed_topk
+
+    e = _t(spark, sf, "events")
+    return decayed_topk(
+        e, "user_id", "ts", as_of="1996-01-01 00:00:00", k=20
+    )
+
+
+def _k_anonymity(spark, sf):
+    """k=5 anonymity audit over (nationkey, mktsegment) quasi-identifiers
+    — the release gate's violating equivalence classes."""
+    from pgferry_spark.operators.checks import k_anonymity_check
+
+    c = _t(spark, sf, "customer")
+    return k_anonymity_check(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
 def _seasonal_anomalies(spark, sf):
     """Hour-of-week seasonal z-scores per event type — the baseline the
     trailing-window rate_anomalies can't provide."""
@@ -1722,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_adjacent": _containment_adjacent,
         "dedup_pair_recall": _dedup_pair_recall,
         "minhash_pair_recall": _minhash_pair_recall,
+        "decayed_topk": _decayed_topk,
+        "k_anonymity": _k_anonymity,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2343,6 +2365,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Spark's dayofweek is 1=Sunday..7; DuckDB's (PostgreSQL dow) is
         # 0=Sunday..6 — the Spark side subtracts 1 so slots align
+        "decayed_topk": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   ROUND(SUM(POW(2.0,
+                     -((epoch_us(TIMESTAMP '1996-01-01 00:00:00') - epoch_us(ts))
+                       / 3600000000.0) / 24.0)), 6) AS decayed_score
+            FROM events GROUP BY user_id
+            ORDER BY decayed_score DESC, user_id ASC
+            LIMIT 20
+        """,
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+            FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 5
+        """,
         "seasonal_anomalies": """
             WITH counts AS (
               SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -164,3 +164,22 @@ def approx_quantile_check(
             <= F.lit(rel_tol) * F.abs(F.col("q_exact").cast("double"))
         ).alias("within_tolerance"),
     )
+
+
+def k_anonymity_check(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy release gate: equivalence classes over the quasi-identifier
+    columns with fewer than ``k`` members — the rows that would
+    re-identify individuals if the table shipped as-is.  Returns
+    ``(quasi..., class_size)`` for violating classes only (empty result =
+    k-anonymous at that k).  One aggregate on the quasi tuple; at scale
+    the violating tail is the small side by construction, so the audit's
+    output is bounded even when the table isn't."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .filter(F.col("class_size") < int(k))
+    )

@@ -614,3 +614,43 @@ def seasonal_anomalies(
         group_col, "bucket", "n_events", "slot",
         F.round(z, 4).alias("z_score"),
     )
+
+
+def decayed_topk(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    as_of: str,
+    half_life_hours: float = 24.0,
+    k: int = 10,
+) -> DataFrame:
+    """Recency-weighted top-k: each event contributes
+    ``2^(-age/half_life)`` and keys rank by the decayed sum — trending
+    with a principled recency bias (a burst an hour ago outranks a
+    larger total from last week), computed in ONE aggregate pass.
+
+    The decay anchors to an explicit ``as_of`` timestamp, not the wall
+    clock: the score is a pure function of the data, so runs reproduce
+    and backfills agree with live computation.  ``pow(2, x)`` is
+    IEEE-portable and ages are exact integer microseconds; the per-key
+    SUM rounds to 6dp at the edge (float addition order, the logprob
+    convention).  Map-side partial aggregation means the shuffle carries
+    one row per key per task; the top-k is TakeOrderedAndProject."""
+    age_h = (
+        F.lit(1.0)
+        * (
+            F.unix_micros(F.lit(as_of).cast("timestamp"))
+            - F.unix_micros(F.col(ts_col))
+        )
+        / F.lit(3_600_000_000.0)
+    )
+    w = F.pow(F.lit(2.0), -age_h / F.lit(float(half_life_hours)))
+    return (
+        events.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(w), 6).alias("decayed_score"),
+        )
+        .orderBy(F.col("decayed_score").desc(), F.col(key_col).asc())
+        .limit(int(k))
+    )

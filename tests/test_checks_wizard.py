@@ -192,3 +192,14 @@ def test_json_key_profile_dynamic_keys(spark):
     got = {r["key"]: (r["n_rows"], r["n_values"])
            for r in json_key_profile(df, "props").collect()}
     assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+
+def test_k_anonymity_flags_small_classes_only(spark):
+    from pgferry_spark.operators.checks import k_anonymity_check
+
+    rows = [(i, "US", "A") for i in range(10)] + [(100, "FR", "B"), (101, "FR", "B")]
+    df = spark.createDataFrame(rows, "id long, country string, seg string")
+    got = k_anonymity_check(df, ["country", "seg"], k=5).collect()
+    assert len(got) == 1
+    assert (got[0].country, got[0].seg, got[0].class_size) == ("FR", "B", 2)
+    assert k_anonymity_check(df, ["country", "seg"], k=2).count() == 0

@@ -431,3 +431,34 @@ class TestSeasonalAnomalies:
         )
         out = seasonal_anomalies(df).collect()
         assert all(r.z_score is None for r in out)  # zero variance
+
+
+class TestDecayedTopk:
+    def test_recent_burst_outranks_old_volume(self, spark):
+        import datetime as dt
+
+        from pgferry_spark.operators.temporal import decayed_topk
+
+        as_of = "2024-02-01 00:00:00"
+        t_new = dt.datetime(2024, 1, 31, 23, 0)   # 1h old
+        t_old = dt.datetime(2024, 1, 1, 0, 0)     # a month old
+        rows = [(1, t_new)] * 5 + [(2, t_old)] * 500
+        df = spark.createDataFrame(
+            [(u, t) for u, t in rows], "user_id long, ts timestamp"
+        )
+        out = decayed_topk(df, "user_id", "ts", as_of, half_life_hours=24.0, k=2).collect()
+        # user 1: ~5 * 2^(-1/24) ≈ 4.86; user 2: 500 * 2^(-744/24) ≈ 2e-7
+        assert out[0].user_id == 1 and out[1].user_id == 2
+        assert out[0].decayed_score > 4.5 > 1 > out[1].decayed_score
+
+    def test_anchored_not_wall_clock(self, spark):
+        import datetime as dt
+
+        from pgferry_spark.operators.temporal import decayed_topk
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1))], "user_id long, ts timestamp"
+        )
+        a = decayed_topk(df, "user_id", "ts", "2024-01-02 00:00:00").collect()[0]
+        b = decayed_topk(df, "user_id", "ts", "2024-01-02 00:00:00").collect()[0]
+        assert a.decayed_score == b.decayed_score == 0.5  # exactly one half-life
