@@ -360,6 +360,23 @@ def _k_anonymity(spark, sf):
     return k_anonymity_check(c, ["c_nationkey", "c_mktsegment"], k=5)
 
 
+def _l_diversity(spark, sf):
+    """l=3 diversity audit: (nationkey, mktsegment) classes whose order
+    priorities are near-homogeneous — the homogeneity attack k-anonymity
+    misses."""
+    from pgferry_spark.operators.checks import l_diversity_check
+
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return l_diversity_check(
+        joined, ["c_nationkey", "c_mktsegment"], "o_orderpriority", l=3
+    )
+
+
 def _seasonal_anomalies(spark, sf):
     """Hour-of-week seasonal z-scores per event type — the baseline the
     trailing-window rate_anomalies can't provide."""
@@ -1744,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pair_recall": _minhash_pair_recall,
         "decayed_topk": _decayed_topk,
         "k_anonymity": _k_anonymity,
+        "l_diversity": _l_diversity,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2377,6 +2395,13 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": """
             SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
             FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 5
+        """,
+        "l_diversity": """
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(*) AS class_size,
+                   COUNT(DISTINCT o_orderpriority) AS n_sensitive
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderpriority) < 3
         """,
         "seasonal_anomalies": """
             WITH counts AS (

@@ -183,3 +183,23 @@ def k_anonymity_check(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .filter(F.col("class_size") < int(k))
     )
+
+
+def l_diversity_check(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """k-anonymity's sibling gate: equivalence classes whose SENSITIVE
+    attribute shows fewer than ``l`` distinct values — classes where
+    membership alone reveals the sensitive value even when the class is
+    large (the homogeneity attack k-anonymity misses).  Returns
+    ``(quasi..., class_size, n_sensitive)`` for violating classes."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < int(l))
+    )

@@ -203,3 +203,16 @@ def test_k_anonymity_flags_small_classes_only(spark):
     assert len(got) == 1
     assert (got[0].country, got[0].seg, got[0].class_size) == ("FR", "B", 2)
     assert k_anonymity_check(df, ["country", "seg"], k=2).count() == 0
+
+
+def test_l_diversity_catches_homogeneous_large_class(spark):
+    from pgferry_spark.operators.checks import k_anonymity_check, l_diversity_check
+
+    # class (US, A): 10 members (k-anonymous at 5) but ONE sensitive value
+    rows = [(i, "US", "A", "cancer") for i in range(10)] + [
+        (100 + i, "FR", "B", d) for i, d in enumerate(["flu", "cold", "none"])
+    ]
+    df = spark.createDataFrame(rows, "id long, country string, seg string, dx string")
+    assert k_anonymity_check(df, ["country", "seg"], k=5).collect()[0].country == "FR"
+    ld = l_diversity_check(df, ["country", "seg"], "dx", l=2).collect()
+    assert len(ld) == 1 and ld[0].country == "US" and ld[0].n_sensitive == 1
