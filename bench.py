@@ -80,6 +80,7 @@ HEADLINE = [
     "debounce_events",
     "incremental_agg",
     "session_concurrency",
+    "lsh_knn_join",
     "events_pivot",
     "revenue_percentiles",
 ]
