@@ -387,6 +387,69 @@ def stream_to_laketable(
     )
 
 
+def stream_materialized_agg(
+    stream_df: DataFrame,
+    table,
+    group_col: str,
+    val_col: str,
+    checkpoint_dir: str,
+    query_name: str = "mv_sink",
+):
+    """Streaming MATERIALIZED VIEW: maintain a grouped count+sum
+    aggregate incrementally, one lake snapshot per micro-batch, with the
+    same exactly-once batch-tag protocol as :func:`stream_to_laketable`.
+    Each batch pays one batch-sized aggregate plus a groups-sized merge
+    join against the previous snapshot — never a re-aggregation of
+    history (the streaming face of
+    ``operators.incremental.maintain_grouped_agg``; an append-only
+    stream needs no retraction term, which is why count/sum maintain
+    with a plain merge).  Readers get a consistent view at every commit,
+    and ``table.read(version=...)`` is the aggregate as-of any batch —
+    a time-travelling dashboard table."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as SF
+
+        tag = f"mv:{query_name}:{batch_id}"
+        if any(s.op == tag for s in table.history()):
+            return
+        delta = batch_df.groupBy(group_col).agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(SF.col(val_col)).alias("total"),
+        )
+        if table.current_version() is None:
+            snap = delta
+        else:
+            old = table.read()
+            merged = old.join(
+                delta.withColumnRenamed(group_col, "__g")
+                .withColumnRenamed("n", "__dn")
+                .withColumnRenamed("total", "__dv"),
+                old[group_col] == SF.col("__g"),
+                "full_outer",
+            )
+            snap = merged.select(
+                SF.coalesce(old[group_col], SF.col("__g")).alias(group_col),
+                (
+                    SF.coalesce(SF.col("n"), SF.lit(0))
+                    + SF.coalesce(SF.col("__dn"), SF.lit(0))
+                ).alias("n"),
+                (
+                    SF.coalesce(SF.col("total"), SF.lit(0.0))
+                    + SF.coalesce(SF.col("__dv"), SF.lit(0.0))
+                ).alias("total"),
+            )
+        table._commit(snap, tag)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def curate_stream(
     docs: DataFrame,
     text_col: str = "text",

@@ -126,3 +126,55 @@ def test_stream_to_laketable_exactly_once_and_upsert(spark, tmp_path):
     # audit trail: what batch 1 changed
     got = {r.status: r.n_rows for r in t.diff(["k"], ["v"], from_version=1).collect()}
     assert got == {"equal": 1, "changed": 1, "only_in_target": 1}
+
+
+def test_stream_materialized_agg_incremental_equals_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pgferry_spark.streaming.events import stream_materialized_agg
+
+    src = str(tmp_path / "mv_src")
+    ckpt = str(tmp_path / "mv_ckpt")
+    t = LakeTable(spark, str(tmp_path / "mv_tbl"))
+    b1 = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0)], "g string, v double"
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        q = stream_materialized_agg(
+            spark.readStream.schema("g string, v double").parquet(src),
+            t, "g", "v", ckpt,
+        )
+        q.awaitTermination()
+
+    run()
+    assert [s.op for s in t.history()] == ["mv:mv_sink:0"]
+    got = {r.g: (r.n, r.total) for r in t.read().collect()}
+    assert got == {"a": (2, 30.0), "b": (1, 5.0)}
+
+    # batch 2: new group + growth of an old one; incremental result must
+    # equal a full recompute over all data
+    b2 = spark.createDataFrame([("a", 1.0), ("c", 7.0)], "g string, v double")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {r.g: (r.n, r.total) for r in t.read().collect()}
+    full = {
+        r.g: (r.n, r.total)
+        for r in spark.read.parquet(src)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == full == {"a": (3, 31.0), "b": (1, 5.0), "c": (1, 7.0)}
+    # time travel: version 1 still shows the first batch's view
+    v1 = {r.g: (r.n, r.total) for r in t.read(version=1).collect()}
+    assert v1 == {"a": (2, 30.0), "b": (1, 5.0)}
+    # replayed batch ids are skipped
+    run2_ckpt = str(tmp_path / "mv_ckpt2")
+    q = stream_materialized_agg(
+        spark.readStream.schema("g string, v double").parquet(src),
+        t, "g", "v", run2_ckpt,
+    )
+    q.awaitTermination()
+    assert [s.op for s in t.history()] == ["mv:mv_sink:0", "mv:mv_sink:1"]
