@@ -788,6 +788,18 @@ def _dedup_pair_recall(spark, sf):
     return dedup.pair_recall(exact, approx)
 
 
+def _near_dup_verified(spark, sf):
+    """The measured generate→verify composition the scorecards imply:
+    MinHash-LSH candidates (measured recall 1.0) verified by exact
+    n-gram Jaccard at >=0.5 (measured precision 1.0 after verify) —
+    full-recall near-dup pairs at candidate-linear verify cost."""
+    d = _t(spark, sf, "documents")
+    cands = dedup.lsh_candidate_pairs(
+        d, "text", "doc_id", num_hashes=12, bands=4, shingle=3
+    )
+    return dedup.jaccard_pairs(d, cands, "text", "doc_id", n=3, min_jaccard=0.5)
+
+
 def _minhash_pair_recall(spark, sf):
     """The comparative row to dedup_pair_recall: the MinHash-LSH blocker
     (recall-oriented, 4 bands x 3 rows) against the same exact >=0.5
@@ -1762,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_topk": _decayed_topk,
         "k_anonymity": _k_anonymity,
         "l_diversity": _l_diversity,
+        "near_dup_verified": _near_dup_verified,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -3044,6 +3057,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM buckets a JOIN buckets b USING (band_id, band_hash)
             WHERE a.doc_id < b.doc_id
+        """,
+        "near_dup_verified": minhash_cte
+        + """
+            , cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM buckets a JOIN buckets b USING (band_id, band_hash)
+              WHERE a.doc_id < b.doc_id
+            ),
+            jx AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM gr),
+            inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS c,
+                     any_value(x.n) AS n_a, any_value(y.n) AS n_b
+              FROM cand c
+              JOIN jx x ON x.doc_id = c.id_a
+              JOIN jx y ON y.doc_id = c.id_b AND y.gram = x.gram
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
+            FROM inter
+            WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5
         """,
         "minhash_pair_recall": minhash_cte
         + """
