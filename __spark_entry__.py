@@ -340,6 +340,17 @@ def _orphan_events(spark, sf):
     )
 
 
+def _rfm_features(spark, sf):
+    """RFM behavioral scoring: one aggregate + the broadcast-CDF
+    calibration pass; anchored as_of keeps it reproducible."""
+    from pgferry_spark.operators.curate import rfm_features
+
+    e = _t(spark, sf, "events")
+    return rfm_features(
+        e, "user_id", "ts", "value", as_of="1996-01-01 00:00:00"
+    )
+
+
 def _decayed_topk(spark, sf):
     """Recency-weighted trending users (24h half-life, fixed as_of so the
     score is a pure function of the data)."""
@@ -1775,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _k_anonymity,
         "l_diversity": _l_diversity,
         "near_dup_verified": _near_dup_verified,
+        "rfm_features": _rfm_features,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2396,6 +2408,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Spark's dayofweek is 1=Sunday..7; DuckDB's (PostgreSQL dow) is
         # 0=Sunday..6 — the Spark side subtracts 1 so slots align
+        "rfm_features": """
+            WITH base AS (
+              SELECT user_id,
+                     ROUND(-((epoch_us(TIMESTAMP '1996-01-01 00:00:00')
+                              - MAX(epoch_us(ts))) / 86400000000.0), 6) AS recency,
+                     CAST(COUNT(*) AS DOUBLE) AS frequency,
+                     CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+              FROM events GROUP BY user_id
+            ),
+            lng AS (
+              SELECT user_id, 'recency' AS sig, recency AS val FROM base
+              UNION ALL
+              SELECT user_id, 'frequency', frequency FROM base
+              UNION ALL
+              SELECT user_id, 'monetary', monetary FROM base
+            ),
+            stats AS (
+              SELECT sig, MIN(val) AS mn, MAX(val) AS mx, COUNT(*) AS n
+              FROM lng WHERE val IS NOT NULL GROUP BY sig
+            ),
+            binned AS (
+              SELECT l.user_id, l.sig, s.n,
+                     CASE WHEN s.mx = s.mn THEN 0
+                          ELSE LEAST(CAST(FLOOR((l.val - s.mn)
+                                     / ((s.mx - s.mn) / 1000.0)) AS INT), 999)
+                     END AS bin
+              FROM lng l JOIN stats s ON s.sig = l.sig
+              WHERE l.val IS NOT NULL
+            ),
+            hist AS (SELECT sig, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+            cum AS (
+              SELECT sig, bin,
+                     SUM(c) OVER (PARTITION BY sig ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cm
+              FROM hist
+            ),
+            scored AS (
+              SELECT b.user_id, b.sig, ROUND(cum.cm / b.n, 6) AS pct
+              FROM binned b JOIN cum ON cum.sig = b.sig AND cum.bin = b.bin
+            )
+            SELECT user_id,
+                   MAX(CASE WHEN sig = 'recency' THEN pct END) AS pct_recency,
+                   MAX(CASE WHEN sig = 'frequency' THEN pct END) AS pct_frequency,
+                   MAX(CASE WHEN sig = 'monetary' THEN pct END) AS pct_monetary,
+                   ROUND((MAX(CASE WHEN sig = 'recency' THEN pct END)
+                          + MAX(CASE WHEN sig = 'frequency' THEN pct END)
+                          + MAX(CASE WHEN sig = 'monetary' THEN pct END)) / 3.0, 6)
+                     AS composite
+            FROM scored GROUP BY user_id
+        """,
         "decayed_topk": """
             SELECT user_id, COUNT(*) AS n_events,
                    ROUND(SUM(POW(2.0,

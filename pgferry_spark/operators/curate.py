@@ -505,3 +505,42 @@ def percentile_calibrate(
         (F.col(f"pct_{c}") for c in score_cols), F.lit(0.0)
     ) / F.lit(float(len(score_cols)))
     return out.withColumn("composite", F.round(mean_expr, 6))
+
+
+def rfm_features(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    as_of: str,
+    n_bins: int = 1000,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) feature table with calibrated
+    percentiles and a blended composite — classic behavioral scoring as
+    one aggregate + the :func:`percentile_calibrate` CDF pass (no
+    global-order window anywhere).  Recency is NEGATED days-since-last
+    (so a higher percentile is always "better" across all three signals
+    and the composite mean is meaningful); the anchor is an explicit
+    ``as_of``, making the features a pure function of the data (the
+    ``decayed_topk`` reproducibility rule)."""
+    from pyspark.sql import functions as F
+
+    base = events.groupBy(user_col).agg(
+        F.round(
+            -(
+                (
+                    F.unix_micros(F.lit(as_of).cast("timestamp"))
+                    - F.max(F.unix_micros(F.col(ts_col)))
+                )
+                / F.lit(86_400_000_000.0)
+            ),
+            6,
+        ).alias("recency"),
+        F.count(F.lit(1)).cast("double").alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(12,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    return percentile_calibrate(
+        base, user_col, ["recency", "frequency", "monetary"], n_bins=n_bins
+    )
