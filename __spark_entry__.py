@@ -217,6 +217,23 @@ def _content_diff(spark, sf):
     return content_diff(src, drift, ["c_custkey"], cols)
 
 
+def _psi_drift(spark, sf):
+    """PSI distribution-shift between customer balances and a
+    deterministically shifted copy (+1000 for a third of customers) —
+    the numeric member of the drift suite."""
+    from pgferry_spark.plans.validation import psi_drift
+
+    c = _t(spark, sf, "customer")
+    old = c.select(F.col("c_acctbal").cast("double").alias("bal"))
+    new = c.select(
+        (
+            F.col("c_acctbal").cast("double")
+            + F.when(F.col("c_custkey") % 3 == 0, F.lit(1000.0)).otherwise(0.0)
+        ).alias("bal")
+    )
+    return psi_drift(old, new, "bal", n_bins=10)
+
+
 def _zorder_keys(spark, sf):
     """Morton keys over (partkey, suppkey) — the clustering key behind
     2-D data skipping; pure bit-math Column expression, map-only."""
@@ -1787,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": _l_diversity,
         "near_dup_verified": _near_dup_verified,
         "rfm_features": _rfm_features,
+        "psi_drift": _psi_drift,
         # --- position 79+: all hash-green in CORRECTNESS_r02 ---------------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2339,6 +2357,47 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM src s FULL OUTER JOIN tgt t USING (c_custkey)
             GROUP BY status
+        """,
+        "psi_drift": """
+            WITH oldv AS (SELECT CAST(c_acctbal AS DOUBLE) AS v FROM customer),
+            newv AS (
+              SELECT CAST(c_acctbal AS DOUBLE)
+                     + CASE WHEN c_custkey % 3 = 0 THEN 1000.0 ELSE 0.0 END AS v
+              FROM customer
+            ),
+            st AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM oldv),
+            ho AS (
+              SELECT CASE WHEN st.mx = st.mn THEN 0
+                          ELSE LEAST(GREATEST(CAST(FLOOR((v - st.mn)
+                               / ((st.mx - st.mn) / 10.0)) AS INT), 0), 9) END AS bin,
+                     COUNT(*) AS c
+              FROM oldv, st GROUP BY 1
+            ),
+            hn AS (
+              SELECT CASE WHEN st.mx = st.mn THEN 0
+                          ELSE LEAST(GREATEST(CAST(FLOOR((v - st.mn)
+                               / ((st.mx - st.mn) / 10.0)) AS INT), 0), 9) END AS bin,
+                     COUNT(*) AS c
+              FROM newv, st GROUP BY 1
+            ),
+            m AS (
+              SELECT COALESCE(ho.c, 0) AS c_old, COALESCE(hn.c, 0) AS c_new
+              FROM ho FULL OUTER JOIN hn USING (bin)
+            ),
+            t AS (SELECT (SELECT SUM(c_old) FROM m) AS n_old,
+                         (SELECT SUM(c_new) FROM m) AS n_new),
+            terms AS (
+              SELECT t.n_old, t.n_new,
+                     (GREATEST(c_new / CAST(t.n_new AS DOUBLE), 1e-6)
+                      - GREATEST(c_old / CAST(t.n_old AS DOUBLE), 1e-6))
+                     * ln(GREATEST(c_new / CAST(t.n_new AS DOUBLE), 1e-6)
+                          / GREATEST(c_old / CAST(t.n_old AS DOUBLE), 1e-6)) AS tt
+              FROM m, t
+            )
+            SELECT ROUND(SUM(tt), 6) AS psi,
+                   CAST(ANY_VALUE(n_old) AS BIGINT) AS n_old,
+                   CAST(ANY_VALUE(n_new) AS BIGINT) AS n_new
+            FROM terms
         """,
         "zorder_keys": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

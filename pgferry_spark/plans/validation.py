@@ -88,3 +88,78 @@ def content_diff(source, target, key_cols: list[str], value_cols: list[str]):
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def psi_drift(
+    old_df,
+    new_df,
+    col: str,
+    n_bins: int = 10,
+    epsilon: float = 1e-6,
+):
+    """Population Stability Index between two snapshots of a numeric
+    column — the third member of the drift suite (schema drift names
+    structure, content_diff names rows; PSI quantifies DISTRIBUTION
+    shift the other two can't see).  Bins are fixed from the OLD
+    (baseline) min/max — the standard convention, so a shifted new
+    population lands in the edge bins instead of silently re-binning —
+    with the new side clamped into them.  ``epsilon`` floors each
+    proportion (classic PSI smoothing; an empty bin would make the log
+    ratio infinite).  Returns one row ``(psi, n_old, n_new)``; the usual
+    reading: <0.1 stable, 0.1–0.25 moderate shift, >0.25 action.
+
+    Shape: one aggregate per side for the baseline stats, one histogram
+    aggregate per side (bounded bins), and a bins-sized join — fact
+    tables pay two scans total, everything downstream is n_bins rows."""
+    from pyspark.sql import functions as F
+
+    eps = float(epsilon)
+    stats = old_df.agg(
+        F.min(F.col(col).cast("double")).alias("__mn"),
+        F.max(F.col(col).cast("double")).alias("__mx"),
+    )
+
+    def binned(df):
+        j = df.select(F.col(col).cast("double").alias("__v")).filter(
+            F.col("__v").isNotNull()
+        ).crossJoin(F.broadcast(stats))
+        w = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+        b = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("__v") - F.col("__mn")) / w).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(int(n_bins) - 1),
+            )
+        )
+        return j.select(b.alias("__bin")).groupBy("__bin").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    ho = binned(old_df).withColumnRenamed("c", "c_old")
+    hn = binned(new_df).withColumnRenamed("c", "c_new")
+    merged = ho.join(hn, "__bin", "full_outer").select(
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    totals = merged.agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
+    )
+    terms = merged.crossJoin(F.broadcast(totals)).select(
+        "n_old",
+        "n_new",
+        (
+            (
+                F.greatest(F.col("c_new") / F.col("n_new"), F.lit(eps))
+                - F.greatest(F.col("c_old") / F.col("n_old"), F.lit(eps))
+            )
+            * F.log(
+                F.greatest(F.col("c_new") / F.col("n_new"), F.lit(eps))
+                / F.greatest(F.col("c_old") / F.col("n_old"), F.lit(eps))
+            )
+        ).alias("__t"),
+    )
+    return terms.groupBy("n_old", "n_new").agg(
+        F.round(F.sum("__t"), 6).alias("psi")
+    ).select("psi", "n_old", "n_new")

@@ -86,8 +86,8 @@ def test_window_exactly_filled(entry_mod):
 
 def test_no_entries_lost_in_reorder(entry_mod):
     qs = entry_mod.queries()
-    assert len(qs) == 156
-    assert len(set(qs)) == 156
+    assert len(qs) == 157
+    assert len(set(qs)) == 157
 
 
 def test_late_round3_additions_sit_just_past_window(entry_mod):

@@ -538,3 +538,34 @@ class TestContentDiff:
         assert src.count() == tgt.count()
         got = {r.status: r.n_rows for r in content_diff(src, tgt, ["k"], ["v"]).collect()}
         assert got == {"equal": 1, "only_in_source": 1, "only_in_target": 1}
+
+
+class TestPsiDrift:
+    def test_identical_distributions_score_zero(self, spark):
+        from pgferry_spark.plans.validation import psi_drift
+
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        r = psi_drift(df, df, "v").collect()[0]
+        assert r.psi == 0.0 and r.n_old == r.n_new == 100
+
+    def test_shift_scores_above_action_threshold(self, spark):
+        from pgferry_spark.plans.validation import psi_drift
+
+        old = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        # whole population shifted past the old max -> lands in edge bin
+        new = spark.createDataFrame([(float(i) + 1000,) for i in range(100)], "v double")
+        r = psi_drift(old, new, "v").collect()[0]
+        assert r.psi > 0.25  # "action" reading
+
+    def test_moderate_shift_between_thresholds(self, spark):
+        from pgferry_spark.plans.validation import psi_drift
+
+        old = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+        # 15% of mass moved to the top decile
+        new = spark.createDataFrame(
+            [(float(i % 100),) for i in range(850)]
+            + [(95.0,) for _ in range(150)],
+            "v double",
+        )
+        r = psi_drift(old, new, "v").collect()[0]
+        assert 0.0 < r.psi < 0.25
