@@ -349,3 +349,31 @@ class TestPercentileCalibrate:
         df = spark.createDataFrame([(1, 7.0), (2, 7.0)], "id long, s double")
         got = {r.id: r.pct_s for r in percentile_calibrate(df, "id", ["s"]).collect()}
         assert got == {1: 1.0, 2: 1.0}
+
+
+class TestRfmFeatures:
+    def test_hand_computed_percentiles(self, spark):
+        import datetime as dt
+
+        from pgferry_spark.operators.curate import rfm_features
+
+        as_of = "2024-02-01 00:00:00"
+        t = dt.datetime(2024, 1, 31)  # 1 day before as_of
+        rows = [
+            # user 1: recent, frequent, big spender -> top percentile on all
+            *[(1, t, 100.0)] * 5,
+            # user 2: old, rare, small
+            (2, dt.datetime(2024, 1, 1), 1.0),
+            # user 3: middle
+            (3, dt.datetime(2024, 1, 15), 10.0),
+            (3, dt.datetime(2024, 1, 16), 10.0),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = {r.user_id: r for r in rfm_features(df, "user_id", "ts", "value", as_of).collect()}
+        # user 1 dominates every signal -> composite 1.0
+        assert got[1].pct_recency == got[1].pct_frequency == got[1].pct_monetary == 1.0
+        assert got[1].composite == 1.0
+        # user 2 is the floor on every signal
+        assert got[2].composite < got[3].composite < 1.0
+        # recency negated: user 1's raw recency (-1 day) is the max
+        assert got[2].pct_recency < got[3].pct_recency
