@@ -83,6 +83,8 @@ HEADLINE = [
     "lsh_knn_join",
     "events_pivot",
     "revenue_percentiles",
+    "ivf_pq_rerank_topk",
+    "image_meta_real",
 ]
 
 
@@ -214,6 +216,15 @@ def main() -> int:
     timings["migration_8table"] = round(_median(rs), 3)
 
     total = round(sum(timings.values()), 3)
+    # Raw per-repeat runs go to a SIDE file: round 3 inlined them into the
+    # JSON line and the line outgrew the driver's tail capture ("parsed":
+    # null in BENCH_r03). The driver-facing line stays compact (medians +
+    # total only) and is the LAST thing on stdout.
+    runs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_runs.json")
+    with open(runs_path, "w") as fh:
+        json.dump({"runs": runs, "repeats": repeats, "sf": sf}, fh, indent=1)
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -221,8 +232,6 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs,
-                "repeats": repeats,
                 "sf": sf,
             }
         )

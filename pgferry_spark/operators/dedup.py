@@ -977,6 +977,8 @@ def semdedup(
     threshold: float = 0.7,
     n_cells: int = 8,
     centroids: list[list[float]] | None = None,
+    max_cell: int | None = None,
+    gemm_block: int = 1024,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by clustering embeddings
     and removing near-duplicates WITHIN each cluster — the trick that makes
@@ -995,10 +997,20 @@ def semdedup(
     matmul, so the centroid count is the scale dial: at 100 TB you run
     ~100k k-means cells so each cell holds ~thousands of vectors — swap
     ``centroids`` for MLlib KMeans output (:func:`~pgferry_spark.operators.
-    similarity.ivf_assign_kmeans` trains one), identical shape.  A skewed
-    (degenerate) cell concentrates its matmul; the mitigations are more
-    cells or a per-cell LSH re-block (:func:`embedding_near_dup_pairs_lsh`
-    within the cell).
+    similarity.ivf_assign_kmeans` trains one), identical shape.
+
+    Degenerate (hot) cells are ENFORCED against, not just documented:
+
+    * the similarity matrix is computed in ``gemm_block``-row stripes, so
+      a cell of n vectors peaks at O(gemm_block·n) memory instead of
+      O(n²) — exact same output (stripe-equivalence is test-pinned), the
+      n² compute is merely sequenced;
+    * ``max_cell`` (optional) is the hard stop: cells above it skip the
+      verify entirely and keep every row (``is_kept=true``) — honest
+      semantics for an under-clustered corpus (an exceeded cell means
+      n_cells is too small; raise it or train better centroids) that
+      bounds worst-case work the same way the LSH families cap hot
+      buckets.  Default None preserves exact oracle semantics.
     """
     import numpy as np
     import pandas as pd
@@ -1019,13 +1031,24 @@ def semdedup(
         order = np.argsort(ids)
         ids = ids[order]
         cell = pdf["cell_id"].to_numpy()[order]
+        if max_cell is not None and len(ids) > max_cell:
+            return pd.DataFrame(
+                {"id": ids, "cell_id": cell, "is_kept": np.ones(len(ids), bool)}
+            )
         V = np.array(list(pdf["v"].iloc[order]), dtype=np.float64)
         V /= np.linalg.norm(V, axis=1, keepdims=True)
-        S = V @ V.T
-        S = np.floor(S * 10_000 + np.where(S >= 0, 0.5, -0.5)) / 10_000  # half-up 4dp
-        # dropped iff any strictly-lower-id row in the cell is >= threshold:
-        # strict lower triangle of the id-sorted similarity matrix.
-        dup = (np.tril(S >= threshold, k=-1)).any(axis=1)
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        # stripe the matmul: rows [a:b) only need columns < b (strictly-
+        # lower-id comparisons), so peak memory is gemm_block × n, not n²
+        for a in range(0, n, gemm_block):
+            b = min(a + gemm_block, n)
+            S = V[a:b] @ V[:b].T
+            S = np.floor(S * 10_000 + np.where(S >= 0, 0.5, -0.5)) / 10_000
+            hit = S >= threshold
+            # strict lower triangle relative to global positions
+            local = np.arange(a, b)[:, None] > np.arange(b)[None, :]
+            dup[a:b] = (hit & local).any(axis=1)
         return pd.DataFrame({"id": ids, "cell_id": cell, "is_kept": ~dup})
 
     return assigned.groupBy("cell_id").applyInPandas(

@@ -246,6 +246,30 @@ def lsh_topk_multiprobe(
     return cosine_topk(in_buckets, vec_col, id_col, query, k)
 
 
+def kmeans_centroids(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 8, seed: int = 42
+) -> list[list[float]]:
+    """Fit MLlib KMeans (fixed seed) over the embedding column and return
+    the centroid list driver-side — the PRODUCTION centroid source for
+    :func:`ivf_assign` / :func:`ivf_pq_index`, drop-in for the
+    deterministic ``ivf_centroids`` stand-in (same C×dim shape, same
+    broadcast-literal consumption).  The fit is the index *build* (one
+    corpus pass per iteration; the driver holds only k×dim floats); every
+    consumer stays map-only.  Centroid floats are iteration-order
+    sensitive, so queries built on these are rows-only at the oracle gate
+    — the ``ann_recall`` scorecard is the verification instrument
+    (docs/SCALE.md records deterministic-vs-kmeans recall@10)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feat)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_assign_kmeans(
     df: DataFrame, vec_col: str, id_col: str, n_cells: int = 8, seed: int = 42
 ) -> DataFrame:
@@ -260,15 +284,7 @@ def ivf_assign_kmeans(
     iteration, driver holds k×dim centroids); assignment is the *load*
     step. Returns (id, cell_id, dist) — write it bucketed by cell_id so a
     probe reads one cell."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = df.select(
-        F.col(id_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feat)
-    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    cents = kmeans_centroids(df, vec_col, id_col, n_cells, seed)
     best = _nearest_centroid(F.col(vec_col), cents, metric="euclidean")
     return df.select(
         F.col(id_col),
@@ -481,6 +497,73 @@ def pq_codebooks(
     return [
         [list(r["v"][s * d : (s + 1) * d]) for r in rows] for s in range(m)
     ]
+
+
+def pq_codebooks_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+    sample: int = 2048,
+    seed: int = 42,
+    iters: int = 20,
+) -> list[list[list[float]]]:
+    """PRODUCTION PQ codebooks: per-subspace Lloyd k-means trained on a
+    bounded deterministic corpus sample — the FAISS training recipe.  The
+    sample is the ``sample`` lowest ``md5(id)`` rows (stable across runs
+    and engines, no RNG), collected driver-side ONCE: codebook training
+    is index *metadata* work, and at 100 TB it still runs on a bounded
+    sample, never the corpus.  Init is k-means++-style but deterministic
+    (greedy farthest-point from the seed row); ties and float order are
+    fixed, so the codebooks are reproducible for a given corpus.
+
+    Measured at sf0.01 (docs/SCALE.md): on the synthetic near-random
+    corpus trained codebooks land within noise of the deterministic id<k
+    stand-in (~0.2-0.3 ADC recall@10 at m=8 either way — the distortion
+    floor is the data's lack of cluster structure, not the codebook);
+    the dial that actually moves recall there is the exact re-rank
+    (:func:`ivf_pq_topk_rerank`, 0.7-0.8).  On real clustered embeddings
+    the trained books are the standard win, and they are what a
+    production index build should use.
+    """
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = []
+    for s in range(m):
+        S = X[:, s * d : (s + 1) * d]
+        # deterministic farthest-point init
+        cents = [S[seed % len(S)]]
+        for _ in range(1, k):
+            dist = np.min(
+                [((S - c) ** 2).sum(axis=1) for c in cents], axis=0
+            )
+            cents.append(S[int(np.argmax(dist))])
+        C = np.array(cents)
+        for _ in range(iters):
+            dists = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(dists, axis=1)
+            newC = np.array(
+                [
+                    S[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+                    for j in range(k)
+                ]
+            )
+            if np.allclose(newC, C):
+                C = newC
+                break
+            C = newC
+        books.append([[float(x) for x in c] for c in C])
+    return books
 
 
 def pq_encode(
@@ -816,6 +899,39 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_topk_rerank(
+    index: DataFrame,
+    raw: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str = "vec_id",
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The full production ANN probe: IVFADC shortlist → exact re-rank —
+    the standard two-stage FAISS recipe. Stage 1 scans only PQ codes in
+    the probed cells and keeps the ``shortlist`` best by ADC distance;
+    stage 2 fetches JUST those raw vectors (a broadcast semi-join — at
+    scale, |shortlist| point lookups into the id-bucketed embedding
+    table) and ranks them by exact cosine.
+
+    Why the composition matters (measured, docs/SCALE.md): on the
+    synthetic near-random corpus ADC alone saturates at ~0.2-0.3
+    recall@10 — PQ distortion is larger than the gap between neighbors —
+    while shortlist=50/nprobe=4 re-ranked reaches 0.7-0.8 at a raw-vector
+    read cost of 50 rows instead of the corpus. Returns the
+    :func:`cosine_topk` shape ``(id, cosine_sim)``."""
+    sl = ivf_pq_topk(
+        index, query, centroids, codebooks, id_col=id_col, k=shortlist,
+        nprobe=nprobe,
+    )
+    members = raw.join(F.broadcast(sl.select(id_col)), on=id_col, how="semi")
+    return cosine_topk(members, vec_col, id_col, query, k)
+
+
 def ann_recall(
     exact_topk: DataFrame, approx_topk: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -847,6 +963,7 @@ def knn_graph(
     bands: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph: for every vector, its top-k
     most-similar neighbors among LSH band-bucket candidates —
@@ -860,9 +977,21 @@ def knn_graph(
     distinct collapses multi-band duplicates and a per-source window
     takes the top-k. Recall is band-limited by construction (a true
     neighbor sharing no band is missed) — more/narrower bands is the
-    recall dial, and a hot bucket is capped the same way as the near-dup
-    variant. Construction launches zero driver jobs (planes derive from
-    ``(dim, n_planes, seed)`` executor-side)."""
+    recall dial. Construction launches zero driver jobs (planes derive
+    from ``(dim, n_planes, seed)`` executor-side).
+
+    ``max_bucket`` is the hot-bucket cap (the same semi-join guard as
+    ``lsh_candidate_pairs``): a bucket of B members costs a B×B matmul
+    plus B² index rows inside ONE ``applyInPandas`` group, so a single
+    degenerate band value (near-zero vectors, boilerplate embeddings
+    that all land on the same sign pattern) concentrates O(B²) memory on
+    one executor and OOMs it at scale.  With the cap, buckets above
+    ``max_bucket`` are excluded via a semi-join against per-bucket
+    counts aggregated on the SAME (band_id, band_val) partitioning the
+    groupBy uses — no extra wide shuffle.  Recall cost is bounded:
+    members of a dropped bucket still get edges from every band where
+    they land in a non-degenerate bucket, which for true near neighbors
+    is the common case.  Default None keeps exact oracle semantics."""
     import numpy as np
     import pandas as pd
 
@@ -891,6 +1020,14 @@ def knn_graph(
         "id", "v",
         F.col("bb.band_id").alias("band_id"), F.col("bb.band_val").alias("band_val"),
     )
+    if max_bucket is not None:
+        small = (
+            exploded.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+        exploded = exploded.join(small, ["band_id", "band_val"], "left_semi")
 
     def bucket_edges(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

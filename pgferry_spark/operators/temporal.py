@@ -303,21 +303,27 @@ def retention_cohorts(
     (cohort), counted by day offset of each later active day —
     ``(cohort_day, offset_days, n_users)``.
 
-    Two shuffles: the per-user MIN (cohort assignment) and the final
-    (cohort, offset) count — the cohort table joins back user-keyed, the
-    same key the first aggregate just partitioned by, so AQE/exchange
-    reuse keeps the join co-located. Distinct (user, day) activity is
-    deduplicated BEFORE the count so a chatty user doesn't inflate
-    retention."""
+    ONE fact scan: the raw events reduce to distinct (user, day) first
+    (map-side-combined aggregate — the only fact-sized shuffle; a chatty
+    user is deduplicated before anything else), then the cohort day is a
+    per-user window MIN over that already-small activity table, and the
+    final (cohort, offset) count shuffles a table bounded by
+    users × active-days.  The previous formulation computed the cohort
+    MIN directly on the fact and joined back — a second full fact scan +
+    fact-sized shuffle that the plan test now forbids."""
+    from pyspark.sql.window import Window
+
     day = F.to_date(F.col(ts_col))  # DATE, matching SQL date_trunc('day')
-    cohorts = df.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
     active = df.select(F.col(user_col), day.alias("__day")).distinct()
+    cohort = F.min("__day").over(Window.partitionBy(user_col))
     return (
-        active.join(cohorts, user_col)
+        active.select(
+            cohort.alias("cohort_day"),
+            F.col("__day"),
+        )
         .select(
             "cohort_day",
             F.datediff(F.col("__day"), F.col("cohort_day")).alias("offset_days"),
-            F.col(user_col),
         )
         .groupBy("cohort_day", "offset_days")
         .agg(F.count(F.lit(1)).alias("n_users"))

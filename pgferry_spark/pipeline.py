@@ -129,6 +129,27 @@ class MigrationPipeline:
         if report.unsupported_columns:
             raise ValueError(f"unsupported columns abort the run: {report.unsupported_columns}")
 
+    def ensure_extensions(self, tables: list[Table]) -> list[str]:
+        """Runtime extension step (reference extensions.go:99-129, run
+        before any DDL/data): probe the target's catalogs and create /
+        reject per requirement. Targets without a ``query`` surface
+        (spool, dry-run) can't probe a catalog — the static plan report
+        still lists the requirement, and a real-server target enforces
+        it here."""
+        from .extensions import (
+            collect_extension_requirements, ensure_required_extensions,
+        )
+
+        reqs = collect_extension_requirements(
+            Schema(tables=tables), self.cfg.type_mapping
+        )
+        if not reqs:
+            return []
+        query = getattr(self.target, "query", None)
+        if query is None:
+            return []
+        return ensure_required_extensions(query, reqs)
+
     def create_schema_objects(self, tables: list[Table]) -> None:
         for stmt in create_schema_sql(self.cfg.target_schema, self.cfg.on_schema_exists == "recreate"):
             self.target.execute(stmt)
@@ -358,6 +379,10 @@ class MigrationPipeline:
             self.checkpoint.fingerprint = compatibility_fingerprint(payload)
             self.checkpoint.payload = payload
             self.checkpoint.load()
+
+        # extensions precede DDL *and* data_only loads: a missing postgis
+        # must abort before the first spatial value hits the wire
+        self.ensure_extensions(tables)
 
         if self.cfg.mode != "data_only":
             self.create_schema_objects(tables)

@@ -200,6 +200,21 @@ class PsqlTarget:
         )
         return out.stdout.decode().strip()
 
+    def query(self, sql: str) -> list[tuple]:
+        """Row-returning execution (tab-separated unaligned tuples) — the
+        probe surface the runtime extension manager needs; booleans
+        surface as 't'/'f' strings, which extensions.extension_status
+        normalizes."""
+        out = subprocess.run(
+            self._psql() + ["-tA", "-F", "\t", "-c", sql],
+            check=True, capture_output=True,
+        )
+        return [
+            tuple(line.split("\t"))
+            for line in out.stdout.decode().splitlines()
+            if line
+        ]
+
     def _qualified(self, table: str) -> str:
         return f'"{self.schema}"."{table}"'
 

@@ -38,6 +38,9 @@ class TypeMappingConfig:
     mysql_uuid_to_bin_swap: bool = False
     char36_as_uuid: bool = False
     spatial_mode: str = "error"  # postgis | bytea | text | error
+    # allow the migration to CREATE EXTENSION postgis itself; citext needs
+    # no flag (auto-created when required — reference extensions.go:27-30)
+    postgis_create_extension: bool = False
     zero_date_mode: str = "null"  # null | error
     unknown_as_text: bool = False
     unsigned_checks: bool = False

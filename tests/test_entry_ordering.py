@@ -1,10 +1,13 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01/r02 each contain exactly 50 keys
-equal to dict positions 1-50).  Round 3 front-loads the 47 entries that have
-no current driver correctness row; this test keeps that window arithmetic
-from silently regressing when entries are added or reordered.
+__spark_entry__.queries() (CORRECTNESS_r01/r02/r03 each contain exactly 50
+keys equal to dict positions 1-50).  Round 4 rotates the window per the
+COVERAGE.md ledger: 49 never-driver-checked oracle-backed entries + 1
+r3-green canary; the never-checked leftovers sit at positions 51-61 (first
+in line for round 5), then this round's new entries, then the stale
+r1/r2-green family, then the r3-green family.  This test keeps that window
+arithmetic from silently regressing when entries are added or reordered.
 """
 
 import importlib.util
@@ -23,35 +26,50 @@ def entry_mod():
     return mod
 
 
-# The family with no driver-verified row as of CORRECTNESS_r02 (positions
-# 51-97 in the round-2 ordering) plus the 13 entries whose implementation
-# changed materially in round 2.  These MUST sit inside the driver's 50-row
-# window this round.
+# Round-4 window: every entry here had NO driver correctness row as of
+# CORRECTNESS_r03 and carries a full SQL oracle (except the two bpe_*
+# rows-only-by-design entries the ledger promotes anyway).  These MUST sit
+# inside the driver's 50-row window this round.
 NEEDS_DRIVER_ROW = [
-    "winnow_shared_pairs", "pii_scrub", "dataset_split", "quota_sample",
-    "pack_sequences", "range_join_incidents", "time_rollup", "cdc_merge",
-    "scd2_history", "dedup_clusters", "inverted_index", "keyword_search",
-    "fingerprint_dedup", "exact_dedup_groups", "minhash_buckets",
-    "lsh_candidate_pairs", "minhash_buckets_md5", "lsh_candidate_pairs_md5",
-    "jaccard_adjacent", "simhash_near_pairs", "simhash32",
-    "simhash_near_pairs_md5", "embedding_near_dup", "embedding_near_dup_lsh",
-    "embedding_dedup", "cosine_topk", "pairwise_cosine_topk", "ivf_assign",
-    "ivf_topk", "corpus_filter", "lsh_topk", "lsh_topk_multiprobe",
-    "ivf_kmeans_assign", "multimodal_meta", "frame_sample", "bm25_topk",
-    "repetition_stats", "contamination_check", "length_outliers",
-    "unigram_logprob", "approx_distinct_users", "fill_time_gaps",
-    "token_budget_select", "quantize_embeddings", "stratified_split",
-    "rate_anomalies", "incremental_dedup",
-    # round-3 additions — never driver-checked either, so they take two of
-    # the original three canary slots (the r2 advisor flagged appending new
-    # entries past position 50 as a verification hole)
-    "vocab_topk", "winnow_shared_pairs_capped",
+    "span_dedup", "mixture_sample", "shard_manifest", "semdedup",
+    "pq_encode", "dup_rate_by_source", "knn_graph", "bpe_merges",
+    "bpe_encode", "user_funnel", "funnel_report", "chunk_documents",
+    "temperature_sample", "retention_cohorts", "transition_counts",
+    "weighted_sample", "json_key_profile", "audio_segments",
+    "name_match_pairs", "q16_adapted", "q20_adapted", "corpus_report",
+    "token_histogram", "curate_corpus", "tfidf_pairs",
+    "approx_quantile_flags", "last_touch_attribution", "inter_event_gaps",
+    "ivf_pq_topk", "ann_recall_ivfpq", "bigram_logprob", "q21_adapted",
+    "near_dup_verified", "rfm_features", "psi_drift", "trust_propagation",
+    "session_concurrency", "ann_recall_lsh", "cube_pricing", "zorder_keys",
+    "content_diff_summary", "name_match_verified", "debounce_events",
+    "ri_audit", "incremental_agg", "signal_percentiles", "lsh_knn_join",
+    "dedup_pair_recall", "minhash_pair_recall",
 ]
 
-CANARIES = ["chunked_scan"]
+CANARIES = ["exact_dedup_groups"]
+
+# Never-checked leftovers that did not fit the 50-slot window: 7
+# oracle-backed entries whose close siblings are r3-green, then 4
+# rows-only entries whose maximum-achievable driver row is the weaker
+# rows-only check (simhash_near_pairs / ivf_kmeans_assign already HAVE
+# exactly that row from r3).  First in line for the round-5 window.
+PAST_WINDOW_NEXT = [
+    "seasonal_anomalies", "containment_adjacent", "decayed_topk",
+    "k_anonymity", "l_diversity", "q2_adapted", "q11_adapted",
+    "quality_classifier", "compression_ratio", "simhash_near_pairs",
+    "ivf_kmeans_assign",
+]
+
+# Entries added in round 4 (never checked; queue right behind the
+# leftovers so the round-5 rotation picks them up early).
+ROUND4_NEW = [
+    "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans", "ivf_pq_rerank_topk",
+    "knn_graph_capped", "image_meta_real",
+]
 
 # Rows-only by design: xxhash64 fast paths carry no SQL oracle (their md5
-# twins do), and KMeans centroids are iteration-order dependent.
+# twins do), and KMeans/LBFGS floats are iteration-order dependent.
 ROWS_ONLY = {
     "minhash_buckets", "lsh_candidate_pairs", "simhash_near_pairs",
     "ivf_kmeans_assign",
@@ -64,7 +82,12 @@ ROWS_ONLY = {
     # no SQL deflate exists; semantics pinned by test_ranking_filters'
     # repetitive<<prose<random ordering checks
     "compression_ratio",
+    # MLlib KMeans centroid floats are iteration-order sensitive; pinned by
+    # the ann_recall_ivfpq_kmeans scorecard + test_ivfpq configuration tests
+    "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans",
 }
+
+N_QUERIES = 162
 
 
 def test_unverified_family_inside_driver_window(entry_mod):
@@ -86,26 +109,17 @@ def test_window_exactly_filled(entry_mod):
 
 def test_no_entries_lost_in_reorder(entry_mod):
     qs = entry_mod.queries()
-    assert len(qs) == 157
-    assert len(set(qs)) == 157
+    assert len(qs) == N_QUERIES
+    assert len(set(qs)) == N_QUERIES
 
 
-def test_late_round3_additions_sit_just_past_window(entry_mod):
-    # Added after the 50-row window filled; first in line for the round-4
-    # rotation, and positioned to be picked up by any wider driver window.
+def test_leftovers_and_new_entries_sit_just_past_window(entry_mod):
+    # Never-checked leftovers then round-4 additions: positions 51-66,
+    # first in line for the round-5 rotation (and picked up first by any
+    # wider driver window).
     names = list(entry_mod.queries().keys())
-    assert names[50:81] == [
-        "span_dedup", "mixture_sample", "shard_manifest", "semdedup",
-        "pq_encode", "dup_rate_by_source", "knn_graph", "bpe_merges",
-        "bpe_encode", "user_funnel", "funnel_report", "chunk_documents",
-        "temperature_sample", "retention_cohorts", "transition_counts",
-        "weighted_sample", "json_key_profile", "audio_segments",
-        "name_match_pairs", "q16_adapted", "q20_adapted",
-        "q2_adapted", "q11_adapted", "q21_adapted",
-        "corpus_report", "token_histogram", "curate_corpus",
-        "tfidf_pairs", "approx_quantile_flags", "last_touch_attribution",
-        "inter_event_gaps",
-    ]
+    n = len(PAST_WINDOW_NEXT) + len(ROUND4_NEW)
+    assert names[50 : 50 + n] == PAST_WINDOW_NEXT + ROUND4_NEW
 
 
 def test_oracle_coverage_unchanged(entry_mod):

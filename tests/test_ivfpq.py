@@ -133,3 +133,75 @@ def test_lsh_knn_join_no_cartesian_and_bucket_recall(spark, vecs):
         assert ranks == list(range(1, len(lst) + 1))
         sims = [r.cosine_sim for r in sorted(lst, key=lambda r: r.rank)]
         assert sims == sorted(sims, reverse=True)
+
+
+# --- round 4: trained codebooks + two-stage rerank probe ----------------
+
+
+def test_pq_codebooks_kmeans_shape_and_determinism(spark, vecs):
+    b1 = S.pq_codebooks_kmeans(vecs, "embedding", "vec_id", m=4, k=4,
+                               sample=60, iters=8)
+    b2 = S.pq_codebooks_kmeans(vecs, "embedding", "vec_id", m=4, k=4,
+                               sample=60, iters=8)
+    assert b1 == b2  # no RNG anywhere: sample, init, and Lloyd are fixed
+    assert len(b1) == 4 and all(len(book) == 4 for book in b1)
+    assert all(len(c) == 4 for book in b1 for c in book)  # dim/m = 16/4
+
+
+def test_pq_codebooks_kmeans_lower_distortion_than_standin(spark, vecs):
+    # trained books must not quantize WORSE than the arbitrary id<k rows
+    # on the data they were trained on (total recon_err is Lloyd's loss)
+    det = S.pq_codebooks(vecs, "embedding", "vec_id", m=4, k=8)
+    km = S.pq_codebooks_kmeans(vecs, "embedding", "vec_id", m=4, k=8,
+                               sample=60, iters=20)
+    err = {
+        name: sum(
+            r["recon_err"]
+            for r in S.pq_encode(vecs, "embedding", "vec_id", m=4, k=8,
+                                 codebooks=b).collect()
+        )
+        for name, b in [("det", det), ("km", km)]
+    }
+    assert err["km"] <= err["det"]
+
+
+def test_rerank_probe_ids_come_from_shortlist_in_exact_order(spark, vecs):
+    cents = S.ivf_centroids(vecs, "embedding", "vec_id", n_cells=4)
+    books = S.pq_codebooks(vecs, "embedding", "vec_id", m=4, k=8)
+    idx = S.ivf_pq_index(vecs, "embedding", "vec_id", n_cells=4, m=4, k=8,
+                         centroids=cents, codebooks=books)
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 3).first()["embedding"]]
+    sl = S.ivf_pq_topk(idx, q, cents, books, id_col="vec_id", k=20, nprobe=2)
+    sl_ids = {r["vec_id"] for r in sl.collect()}
+    out = S.ivf_pq_topk_rerank(
+        idx, vecs, q, cents, books, "embedding", id_col="vec_id",
+        k=5, shortlist=20, nprobe=2,
+    ).collect()
+    assert [r["vec_id"] for r in out] == [
+        r["vec_id"]
+        for r in S.cosine_topk(
+            vecs.filter(F.col("vec_id").isin(list(sl_ids))),
+            "embedding", "vec_id", q, k=5,
+        ).collect()
+    ]
+    assert all(r["vec_id"] in sl_ids for r in out)
+    sims = [r["cosine_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_rerank_recall_at_least_adc_recall(spark, vecs):
+    cents = S.ivf_centroids(vecs, "embedding", "vec_id", n_cells=4)
+    books = S.pq_codebooks(vecs, "embedding", "vec_id", m=4, k=8)
+    idx = S.ivf_pq_index(vecs, "embedding", "vec_id", n_cells=4, m=4, k=8,
+                         centroids=cents, codebooks=books)
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 3).first()["embedding"]]
+    exact = S.cosine_topk(vecs, "embedding", "vec_id", q, k=5)
+    adc = S.ivf_pq_topk(idx, q, cents, books, id_col="vec_id", k=5, nprobe=2)
+    rer = S.ivf_pq_topk_rerank(idx, vecs, q, cents, books, "embedding",
+                               id_col="vec_id", k=5, shortlist=30, nprobe=2)
+    r_adc = S.ann_recall(exact, adc, id_col="vec_id").first()["recall"]
+    r_rer = S.ann_recall(exact, rer, id_col="vec_id").first()["recall"]
+    # re-ranking a superset shortlist can only help: every ADC top-k id in
+    # the probed cells is in the 30-row shortlist, and exact scoring then
+    # ranks at least as faithfully as the quantized distance
+    assert r_rer >= r_adc

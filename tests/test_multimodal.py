@@ -80,3 +80,100 @@ def test_audio_segments_windows_clip_to_duration(spark):
         assert rows[0]["t_start_ms"] == 0
         for a, b in zip(rows, rows[1:]):
             assert b["t_start_ms"] == a["t_end_ms"] if a["t_end_ms"] % 5000 == 0 else True
+
+
+# --- real-codec path (round 4): spec-conformant PNG/WAV bytes ------------
+
+
+def test_png_roundtrip_real_bytes():
+    from pgferry_spark.multimodal.ops import encode_png_gray, parse_png_meta
+
+    for w, h in [(1, 1), (8, 8), (23, 15), (64, 3)]:
+        px = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+        payload = encode_png_gray(w, h, px)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        meta = parse_png_meta(payload)
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["bit_depth"] == 8 and meta["color_type"] == 0
+        assert meta["pixel_sum"] == sum(px)
+
+
+def test_png_crc_corruption_detected():
+    import pytest
+
+    from pgferry_spark.multimodal.ops import encode_png_gray, parse_png_meta
+
+    payload = bytearray(encode_png_gray(4, 4, bytes(range(16))))
+    # flip one pixel byte inside the IDAT chunk's data: CRC must catch it
+    idat = payload.find(b"IDAT")
+    payload[idat + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png_meta(bytes(payload))
+
+
+def test_png_rejects_non_png():
+    import pytest
+
+    from pgferry_spark.multimodal.ops import parse_png_meta
+
+    with pytest.raises(ValueError, match="signature"):
+        parse_png_meta(b"GIF89a not a png")
+
+
+def test_wav_roundtrip_real_bytes():
+    from pgferry_spark.multimodal.ops import encode_wav_pcm16, parse_wav_meta
+
+    samples = [((i * 37) % 65536) - 32768 for i in range(12_000)]
+    payload = encode_wav_pcm16(samples, sample_rate=8000, channels=1)
+    meta = parse_wav_meta(payload)
+    assert meta["sample_rate"] == 8000
+    assert meta["channels"] == 1 and meta["bits"] == 16
+    assert meta["duration_ms"] == 1500  # 12000 samples @ 8kHz
+
+
+def test_decode_bytes_sniffs_png_for_real():
+    from pgferry_spark.multimodal.ops import _decode_bytes, encode_png_gray
+
+    px = bytes(range(20)) * 10  # 20x10
+    meta = _decode_bytes(encode_png_gray(20, 10, px))
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (20, 10, 1)
+    assert meta["checksum"] == format(sum(px), "016x")
+    # non-media bytes still take the deterministic fallback
+    fake = _decode_bytes(b"\x01\x02\x03\x04")
+    assert 16 <= fake["width"] <= 255
+
+
+def test_attach_real_images_decode_on_spark(spark):
+    from pgferry_spark.multimodal.ops import attach_real_images, image_meta_real
+
+    base = spark.createDataFrame([(i,) for i in range(40)], "doc_id: long")
+    media = attach_real_images(base, "doc_id")
+    rows = media.collect()
+    assert all(r["mime"] == "image/png" for r in rows)
+    assert all(bytes(r["payload"])[:8] == b"\x89PNG\r\n\x1a\n" for r in rows)
+
+    meta = {r["media_id"]: r for r in image_meta_real(media).collect()}
+    assert len(meta) == 40
+    for i in range(40):
+        w, h = 8 + i % 16, 8 + i % 8
+        expect = sum((x + 3 * y + i) % 251 for y in range(h) for x in range(w))
+        r = meta[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["bit_depth"] == 8 and r["color_type"] == 0
+        assert r["pixel_sum"] == expect
+
+
+def test_audio_segments_real_wav_duration(spark):
+    from pgferry_spark.multimodal.ops import audio_segments, encode_wav_pcm16
+
+    payload = encode_wav_pcm16([0] * 17_600, sample_rate=8000)  # 2200 ms
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), "audio/wav", len(payload))],
+        "media_id: long, media_type: string, payload: binary, mime: string, byte_len: long",
+    )
+    rows = sorted(audio_segments(df, segment_ms=1000).collect(),
+                  key=lambda r: r["seg_idx"])
+    # REAL header parse: exactly ceil(2200/1000)=3 segments, tail 200 ms
+    assert [r["seg_idx"] for r in rows] == [0, 1, 2]
+    assert rows[-1]["t_end_ms"] == 2200
+    assert rows[-1]["t_start_ms"] == 2000

@@ -296,6 +296,55 @@ class TestSemDeDup:
         # the engineered dups were actually caught (same cell by construction)
         assert not got[13]["is_kept"] and not got[21]["is_kept"]
 
+    def test_gemm_stripes_bit_identical(self, spark):
+        import numpy as np
+
+        from pgferry_spark.operators.dedup import semdedup
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(50, 8))
+        vecs[30] = vecs[7] * 1.5
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        cents = [[float(x) for x in vecs[i]] for i in range(2)]
+        kw = dict(threshold=0.9, n_cells=2, centroids=cents)
+        whole = {
+            (r["id"], r["cell_id"], r["is_kept"])
+            for r in semdedup(df, "embedding", "vec_id",
+                              gemm_block=1024, **kw).collect()
+        }
+        striped = {
+            (r["id"], r["cell_id"], r["is_kept"])
+            for r in semdedup(df, "embedding", "vec_id",
+                              gemm_block=7, **kw).collect()
+        }
+        assert whole == striped  # memory bounding must not change output
+
+    def test_max_cell_skips_oversized_cell(self, spark):
+        import numpy as np
+
+        from pgferry_spark.operators.dedup import semdedup
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=8)
+        # 20 near-identical vectors all in cell 0 (oversized), 3 in cell 1
+        hot = [base + rng.normal(scale=1e-4, size=8) for _ in range(20)]
+        cold = [-base + rng.normal(scale=1e-4, size=8) for _ in range(3)]
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(hot + cold)]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        cents = [[float(x) for x in base], [float(-x) for x in base]]
+        capped = {
+            r["id"]: r
+            for r in semdedup(df, "embedding", "vec_id", threshold=0.9,
+                              centroids=cents, max_cell=10).collect()
+        }
+        # oversized cell: verify skipped, everything kept (honest under-
+        # clustering signal, bounded work)
+        assert all(capped[i]["is_kept"] for i in range(20))
+        # small cell still deduped exactly: 2 of the 3 near-dups dropped
+        assert capped[20]["is_kept"]
+        assert not capped[21]["is_kept"] and not capped[22]["is_kept"]
+
 
 class TestProductQuantization:
     def test_codes_match_brute_force(self, spark):
@@ -381,6 +430,45 @@ class TestKnnGraph:
             assert len(edges) == 3
             assert all(e["dst"] in range(10) for e in edges)
             assert all(e["cosine_sim"] > 0.999 for e in edges)
+
+
+    def test_hot_bucket_cap_excludes_degenerate_bucket(self, spark):
+        import numpy as np
+
+        from pgferry_spark.operators.similarity import knn_graph
+
+        rng = np.random.default_rng(11)
+        # 30 IDENTICAL vectors: same sign pattern on every plane, so they
+        # form one degenerate bucket in EVERY band (the boilerplate-
+        # embedding failure mode the cap exists for) + 8 scattered vectors
+        hot = np.tile(rng.normal(size=8), (30, 1))
+        wild = rng.normal(size=(8, 8))
+        vecs = np.vstack([hot, wild])
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+        uncapped = knn_graph(df, "embedding", "vec_id", k=3, n_planes=16,
+                             bands=8, dim=8).collect()
+        capped = knn_graph(df, "embedding", "vec_id", k=3, n_planes=16,
+                           bands=8, dim=8, max_bucket=10).collect()
+
+        hot_ids = set(range(30))
+        # uncapped: the degenerate bucket dominates (30*29 directed pairs
+        # feed the windows) — hot members see hot neighbors
+        assert any(r["src"] in hot_ids and r["dst"] in hot_ids for r in uncapped)
+        # capped: every bucket containing the 30 twins exceeds the cap, so
+        # no hot-hot edge survives anywhere
+        assert not any(
+            r["src"] in hot_ids and r["dst"] in hot_ids for r in capped
+        )
+        # scattered vectors keep a graph: the cap removes candidates, it
+        # doesn't silence survivors (their buckets are small). Note their
+        # top-k can legitimately DIFFER from the uncapped graph — dropping
+        # hot candidates frees window slots for farther neighbors.
+        wild_srcs = {r["src"] for r in capped if r["src"] not in hot_ids}
+        assert wild_srcs, "non-degenerate vectors must keep edges"
+        for r in capped:
+            assert r["dst"] != r["src"] and 1 <= r["rank"] <= 3
 
 
 def test_pq_arrow_and_expr_paths_bit_identical(spark):

@@ -371,3 +371,52 @@ class TestRound3AdditionsPlanShapes:
         actions); the edge joins stay equi-joins."""
         plan = _executed(E.queries()["trust_propagation"](spark, SF))
         assert "CartesianProduct" not in plan
+
+
+class TestRound4PlanShapes:
+    def test_lsh_knn_join_no_cartesian(self, spark):
+        """Batch kNN retrieval joins on (band, band_val) hash keys: never a
+        Cartesian/NestedLoop between queries and corpus."""
+        plan = _executed(E.queries()["lsh_knn_join"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_retention_cohorts_two_shuffles(self, spark):
+        """distinct user-day → cohort-min → offset counts: the fact pays
+        the distinct; everything after runs on user-sized/bounded tables.
+        No join back to the raw events."""
+        plan = _executed(E.queries()["retention_cohorts"](spark, SF))
+        assert "CartesianProduct" not in plan
+        final = plan.split("+- == Initial Plan ==")[0]
+        assert final.count("events.parquet") <= 1
+
+    def test_knn_graph_capped_no_extra_wide_shuffle(self, spark):
+        """The hot-bucket cap must reuse the (band_id, band_val)
+        partitioning: the count aggregate + semi-join add NO exchange on a
+        different key — every Exchange in the plan hashes the band
+        columns (or is the final window's src repartition)."""
+        plan = _executed(E.queries()["knn_graph_capped"](spark, SF))
+        assert "CartesianProduct" not in plan
+        import re
+
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        for l in exchanges:
+            assert ("band_id" in l and "band_val" in l) or re.search(
+                r"hashpartitioning\(src", l
+            ), f"unexpected shuffle key: {l[:160]}"
+
+    def test_ivf_pq_rerank_fetch_is_broadcast_semi_join(self, spark):
+        """Stage-2 raw-vector fetch joins the corpus against the bounded
+        shortlist: must be a broadcast join (shortlist side), never a
+        SortMergeJoin shuffling the corpus."""
+        plan = _executed(E.queries()["ivf_pq_rerank_topk"](spark, SF))
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_image_meta_real_map_only(self, spark):
+        """Generate + decode are two chained mapInPandas passes: zero
+        shuffle besides the fan-out repartition, no join."""
+        plan = _executed(E.queries()["image_meta_real"](spark, SF))
+        assert "Join" not in plan

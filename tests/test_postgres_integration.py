@@ -215,3 +215,66 @@ def test_cli_parquet_to_postgres(spark, pgserver, tmp_path):
     assert "OK" in buf.getvalue()
     assert _psql_scalar(pg, "SELECT COUNT(*) FROM lake.region") == "5"
     assert _psql_scalar(pg, "SELECT COUNT(*) FROM lake.nation") == "25"
+
+
+def test_extension_manager_against_live_server(pgserver):
+    """The runtime extension step (reference extensions.go:99-129) against
+    a REAL PostgreSQL: citext (available in contrib) is auto-created for
+    real and idempotent on rerun; postgis exercises whichever leg this
+    server offers — creation when available, the not-available rejection
+    otherwise — so the decision table is covered end-to-end either way."""
+    import subprocess
+
+    from pgferry_spark.extensions import (
+        ExtensionError,
+        ExtensionRequirement,
+        ensure_required_extensions,
+        extension_status,
+    )
+
+    pg = pgserver
+
+    def run_sql(sql: str):
+        out = subprocess.run(
+            ["psql", "-X", "-tA", "-F", "\t", "-h", pg["host"], "-p",
+             str(pg["port"]), "-U", pg["user"], "-d", pg["db"], "-c", sql],
+            check=True, capture_output=True,
+        )
+        return [
+            tuple(line.split("\t"))
+            for line in out.stdout.decode().splitlines()
+            if line
+        ]
+
+    # citext: contrib ships it — the auto-create leg runs for REAL
+    citext = ExtensionRequirement("citext", "ci_as_citext", create_if_missing=True)
+    log = ensure_required_extensions(run_sql, [citext])
+    assert log == ["citext: created (ci_as_citext)"]
+    assert run_sql("SELECT extname FROM pg_extension WHERE extname='citext'")
+    # ...and the type genuinely works now
+    assert run_sql("SELECT 'ABC'::citext = 'abc'::citext")[0][0] == "t"
+    # idempotent rerun takes the already-installed branch
+    assert ensure_required_extensions(run_sql, [citext]) == [
+        "citext: already installed (ci_as_citext)"
+    ]
+
+    # postgis: drive whichever leg the server has
+    postgis = ExtensionRequirement(
+        "postgis", "postgis", create_if_missing=False,
+        create_hint="or set type_mapping.postgis_create_extension = true",
+    )
+    _, available = extension_status(run_sql, "postgis")
+    if available:  # pragma: no cover - container has no postgis package
+        with pytest.raises(ExtensionError, match="install it first"):
+            ensure_required_extensions(run_sql, [postgis])
+        creatable = ExtensionRequirement("postgis", "postgis", create_if_missing=True)
+        assert ensure_required_extensions(run_sql, [creatable]) == [
+            "postgis: created (postgis)"
+        ]
+    else:
+        # the not-available rejection MUST fire before any data moves,
+        # whatever the create flag says
+        for flag in (False, True):
+            req = ExtensionRequirement("postgis", "postgis", create_if_missing=flag)
+            with pytest.raises(ExtensionError, match="not available on the target"):
+                ensure_required_extensions(run_sql, [req])

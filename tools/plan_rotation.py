@@ -25,27 +25,35 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry
 
 
+ROWS_ONLY = frozenset(entry.queries()) - frozenset(entry.oracle_sql())
+
+
 def last_green_round() -> dict[str, int]:
     """query -> highest round number with a fully-green row (rows+schema+
-    hash for oracle entries; rows-only entries count any non-error row)."""
+    hash for oracle entries).  A rows-only entry (no oracle_sql twin)
+    counts as checked when the driver recorded its ``no_oracle`` row with
+    a non-null spark_rows — that IS the maximum-achievable driver check
+    for it, so leaving it "never checked" would pin it in the window
+    forever, wasting a slot every round."""
     green: dict[str, int] = {}
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)", path)
         rnd = int(m.group(1)) if m else 0
         data = json.load(open(path))
         for q, row in data.items():
-            ok = row.get("err") is None and row.get("rows_match")
-            if ok and row.get("hash_match") is not None:
-                ok = row.get("hash_match") or q in ROWS_ONLY
+            if q in ROWS_ONLY:
+                ok = row.get("spark_rows") is not None and row.get("err") in (
+                    None, "no_oracle",
+                )
+            else:
+                ok = (
+                    row.get("err") is None
+                    and row.get("rows_match")
+                    and row.get("hash_match") is not False
+                )
             if ok:
                 green[q] = max(green.get(q, 0), rnd)
     return green
-
-
-ROWS_ONLY = {
-    "minhash_buckets", "lsh_candidate_pairs", "simhash_near_pairs",
-    "ivf_kmeans_assign", "bpe_merges", "bpe_encode",
-}
 
 
 def main() -> int:
