@@ -1733,6 +1733,29 @@ def _image_meta_real(spark, sf):
     return image_meta_real(attach_real_images(d, "doc_id"))
 
 
+def _image_ahash_real(spark, sf):
+    """Perceptual average-hash over REAL decoded PNG pixels: 8×8 block
+    mosaic, bit = block mean > global mean — the near-duplicate-image
+    fingerprint, computed from actual bytes (full CRC/inflate/defilter
+    decode) and certified by an arithmetic oracle that replays all 64
+    block comparisons in exact integer math."""
+    from pgferry_spark.multimodal.ops import attach_real_images, image_ahash
+
+    d = _t(spark, sf, "documents")
+    return image_ahash(attach_real_images(d, "doc_id"))
+
+
+def _dsir_weights(spark, sf):
+    """DSIR-style hashed-n-gram importance weights against the English
+    slice as the target domain: one tokenize pass, a ≤4096-row bucket
+    distribution broadcast back as log ratios, one per-doc mean. The
+    data-selection scorer for 'make the corpus look like the target'."""
+    d = _t(spark, sf, "documents")
+    return filters.dsir_importance_weights(
+        d, "text", "doc_id", F.col("lang") == "en", n_buckets=4096
+    )
+
+
 def _dup_rate_by_source(spark, sf):
     """Per-source duplication-rate report (docs, distinct fingerprints,
     dup rate) — the corpus-health table that decides which sources need
@@ -1860,6 +1883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_rerank_topk": _ivf_pq_rerank_topk,
         "knn_graph_capped": _knn_graph_capped,
         "image_meta_real": _image_meta_real,
+        "image_ahash_real": _image_ahash_real,
+        "dsir_weights": _dsir_weights,
         # --- stalest first: r1 rows-only, then the r2-green family --------
         "minhash_buckets": _minhash_buckets,
         "lsh_candidate_pairs": _lsh_pairs,
@@ -2145,6 +2170,27 @@ def oracle_sql() -> dict[str, str]:
         sig AS (SELECT vec_id, v, ({sig_terms(ann_planes)}) AS bucket FROM e),
         q AS (SELECT v AS qe, bucket AS qb FROM sig WHERE vec_id = 0)
     """
+
+    # aHash oracle: all 64 block comparisons in exact integer math
+    # (block_sum * (w*h) > total_sum * block_px — no float threshold), the
+    # generator's pixel law replayed arithmetically per block
+    def _ahash_block(b: int) -> str:
+        bx, by = b % 8, b // 8
+        bsum = (
+            f"list_sum(flatten(list_transform("
+            f"range(({by}*h)//8, ({by + 1}*h)//8), "
+            f"y -> list_transform(range(({bx}*w)//8, ({bx + 1}*w)//8), "
+            f"x -> (x + 3*y + doc_id) % 251))))"
+        )
+        bpx = (
+            f"((({by + 1}*h)//8 - ({by}*h)//8)"
+            f" * (({bx + 1}*w)//8 - ({bx}*w)//8))"
+        )
+        return f"({bsum} * (w*h) > ts * {bpx})"
+
+    ahash_concat = ", ".join(
+        f"CASE WHEN {_ahash_block(b)} THEN '1' ELSE '0' END" for b in range(64)
+    )
     margin_structs = ", ".join(
         f"{{'am': abs(list_dot_product(qe, {plane_lit(p)})), 'i': {i}}}"
         for i, p in enumerate(ann_planes)
@@ -3538,6 +3584,46 @@ def oracle_sql() -> dict[str, str]:
         # row proves the Spark side's REAL PNG encode->decode round trip
         # (signature, chunk CRC32s, IHDR, IDAT inflate, defilter, pixel sum)
         # reproduced the generator's pixel law exactly
+        "image_ahash_real": f"""
+            WITH d AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+                       FROM documents),
+            t AS (SELECT doc_id, w, h,
+                         CAST(list_sum(flatten(list_transform(range(0, h),
+                               y -> list_transform(range(0, w),
+                                    x -> (x + 3 * y + doc_id) % 251)))) AS BIGINT) AS ts
+                  FROM d),
+            bits AS (SELECT doc_id, concat({ahash_concat}) AS ahash_bits FROM t)
+            SELECT CAST(doc_id AS BIGINT) AS media_id, ahash_bits,
+                   CAST(length(replace(ahash_bits, '0', '')) AS INT) AS n_set_bits
+            FROM bits
+        """,
+        "dsir_weights": f"""
+            WITH tk AS (SELECT doc_id, lang = 'en' AS tgt, {_LTOKS} AS toks
+                        FROM documents),
+            feats AS (
+              SELECT doc_id, tgt,
+                     unnest(toks || CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(len(toks) - 1),
+                                           i -> toks[i + 1] || ' ' || toks[i + 2])
+                       ELSE CAST([] AS VARCHAR[]) END) AS feat
+              FROM tk
+            ),
+            fb AS (SELECT doc_id, tgt,
+                          ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096 AS b
+                   FROM feats),
+            dist AS (SELECT b,
+                            SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_cnt,
+                            SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS raw_cnt
+                     FROM fb GROUP BY b),
+            tot AS (SELECT SUM(tgt_cnt) AS T, SUM(raw_cnt) AS R FROM dist),
+            lr AS (SELECT b,
+                          ln((tgt_cnt + 1.0) / (T + 4096.0))
+                          - ln((raw_cnt + 1.0) / (R + 4096.0)) AS lr
+                   FROM dist CROSS JOIN tot)
+            SELECT fb.doc_id, COUNT(*) AS n_feats,
+                   ROUND(AVG(lr.lr), 6) AS dsir_weight
+            FROM fb JOIN lr USING (b) GROUP BY fb.doc_id
+        """,
         "image_meta_real": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    CAST(8 + doc_id % 16 AS INT) AS width,

@@ -85,6 +85,7 @@ HEADLINE = [
     "revenue_percentiles",
     "ivf_pq_rerank_topk",
     "image_meta_real",
+    "dsir_weights",
 ]
 
 

@@ -102,15 +102,13 @@ def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
-def parse_png_meta(payload: bytes) -> dict:
-    """REAL PNG decode (stdlib only): walks the chunk stream verifying every
-    CRC32, parses IHDR, inflates the concatenated IDATs, strips the
-    per-scanline filter bytes (filter 0; others raise — this decoder
-    qualifies pipeline-generated media, it is not a general renderer) and
-    returns ``width/height/bit_depth/color_type/pixel_sum`` where
-    ``pixel_sum`` is the sum of the decoded pixel bytes — a value that can
-    only be right if signature, chunk framing, CRCs, DEFLATE and scanline
-    layout were all actually decoded."""
+def png_pixels(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """REAL PNG decode core (stdlib only): walks the chunk stream verifying
+    every CRC32, parses IHDR, inflates the concatenated IDATs and strips
+    the per-scanline filter bytes (filter 0; others raise — this decoder
+    qualifies pipeline-generated media, it is not a general renderer).
+    Returns ``(width, height, bit_depth, color_type, pixels)`` with
+    ``pixels`` the raw row-major grayscale bytes."""
     if payload[: len(PNG_SIG)] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = len(PNG_SIG)
@@ -137,18 +135,28 @@ def parse_png_meta(payload: bytes) -> dict:
     raw = zlib.decompress(idat)
     if len(raw) != height * (width + 1):
         raise ValueError("decompressed scanline length mismatch")
-    pixel_sum = 0
+    pixels = bytearray()
     for y in range(height):
         line = raw[y * (width + 1) : (y + 1) * (width + 1)]
         if line[0] != 0:
             raise ValueError(f"unsupported scanline filter {line[0]}")
-        pixel_sum += sum(line[1:])
+        pixels += line[1:]
+    return width, height, bit_depth, color_type, bytes(pixels)
+
+
+def parse_png_meta(payload: bytes) -> dict:
+    """Metadata view of :func:`png_pixels`:
+    ``width/height/bit_depth/color_type/pixel_sum`` where ``pixel_sum``
+    is the sum of the decoded pixel bytes — a value that can only be
+    right if signature, chunk framing, CRCs, DEFLATE and scanline layout
+    were all actually decoded."""
+    width, height, bit_depth, color_type, pixels = png_pixels(payload)
     return {
         "width": width,
         "height": height,
         "bit_depth": bit_depth,
         "color_type": color_type,
-        "pixel_sum": pixel_sum,
+        "pixel_sum": sum(pixels),
     }
 
 
@@ -337,6 +345,71 @@ def image_meta_real(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode, schema=_REAL_META_SCHEMA)
+
+
+def ahash_bits(width: int, height: int, pixels: bytes, grid: int = 8) -> str:
+    """Perceptual average-hash over REAL decoded pixels: the image
+    partitions into a ``grid×grid`` block mosaic (integer boundaries
+    ``(b·dim)//grid`` — requires dim ≥ grid so every block is non-empty)
+    and bit ``by·grid+bx`` is 1 iff that block's mean exceeds the global
+    mean. Returned as a '0'/'1' string (no 64-bit sign pitfalls across
+    engines). The comparison is exact integer math —
+    ``block_sum·(w·h) > total_sum·block_px`` — so the hash is
+    reproducible bit-for-bit by an arithmetic SQL oracle, with no float
+    threshold ambiguity."""
+    if width < grid or height < grid:
+        raise ValueError(f"image {width}x{height} smaller than {grid}x{grid} grid")
+    total = sum(pixels)
+    npx = width * height
+    out = []
+    for by in range(grid):
+        y0, y1 = (by * height) // grid, ((by + 1) * height) // grid
+        for bx in range(grid):
+            x0, x1 = (bx * width) // grid, ((bx + 1) * width) // grid
+            bsum = sum(
+                pixels[y * width + x] for y in range(y0, y1) for x in range(x0, x1)
+            )
+            bpx = (y1 - y0) * (x1 - x0)
+            out.append("1" if bsum * npx > total * bpx else "0")
+    return "".join(out)
+
+
+_AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash_bits", StringType(), True),
+        StructField("n_set_bits", IntegerType(), True),
+    ]
+)
+
+
+def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual-hash extraction over Arrow batches: every payload goes
+    through the full REAL decode (:func:`png_pixels`) and then
+    :func:`ahash_bits` — the standard near-duplicate-image fingerprint
+    (two images whose hashes differ in ≤ a few bits are visual twins).
+    Downstream, hamming-banded self-joins find near-dup pairs exactly
+    like the simhash family; the hash itself is the per-image map-only
+    step that scales to any corpus."""
+    from ..utils import fan_out
+
+    df = fan_out(df, "media_id")
+
+    def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bits = []
+            for p in pdf["payload"]:
+                w, h, _, _, px = png_pixels(p)
+                bits.append(ahash_bits(w, h, px, grid))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "ahash_bits": bits,
+                    "n_set_bits": [b.count("1") for b in bits],
+                }
+            )
+
+    return df.mapInPandas(hasher, schema=_AHASH_SCHEMA)
 
 
 def resize_images(df: DataFrame, max_dim: int = 224) -> DataFrame:

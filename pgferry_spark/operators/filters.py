@@ -351,3 +351,89 @@ def compression_ratio_stats(
         F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__t")
     ).mapInPandas(ratios, "id long, n_bytes long, ratio double")
     return out.withColumnRenamed("id", id_col)
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): estimate a
+    TARGET feature distribution from the rows matching ``target_pred`` (a
+    boolean Column — e.g. the high-quality or in-domain slice) and a RAW
+    distribution from everything else, over unigram+bigram features
+    hashed into ``n_buckets`` buckets; each document's weight is the mean
+    log importance ratio of its features,
+
+        w(doc) = mean_f [ ln p_target(bucket(f)) − ln p_raw(bucket(f)) ]
+
+    with add-``alpha`` smoothing on both sides. High-weight documents
+    look like the target domain; resampling/top-k by weight is the
+    selection step (compose with ``quota_sample``/``weighted_sample``).
+
+    Returns ``(id, n_feats, dsir_weight)``; docs with no tokens are
+    absent (no features to score).
+
+    Scale shape: one tokenize pass emits (doc, bucket, is_target) feature
+    rows; the distribution aggregate is keyed by bucket so it collapses
+    to ≤ ``n_buckets`` rows (map-side combine does the heavy lifting) and
+    BROADCASTS back as the log-ratio table; the only other shuffle is the
+    per-document mean. Cost is corpus-linear whatever the corpus size —
+    the feature table is the bounded index metadata, exactly like the
+    centroid/codebook families. Bucket hashing is the md5-prefix trick
+    (portable bit-for-bit to the SQL oracle); ln/mean round to 6dp at the
+    edge per the unigram_logprob float rules."""
+    toks = fan_out(df, id_col).select(
+        F.col(id_col),
+        target_pred.cast("boolean").alias("__tgt"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.col("__tgt"),
+        F.explode_outer(
+            F.concat(
+                F.col("__toks"),
+                F.when(F.size("__toks") >= 2, F.transform(
+                    F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                    lambda t, i: F.concat_ws(
+                        " ", t, F.element_at(F.col("__toks"), i + 2)
+                    ),
+                )).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("__feat"),
+    ).filter(F.col("__feat").isNotNull())
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__feat")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+    feats = grams.select(F.col(id_col), F.col("__tgt"), bucket.alias("__b"))
+
+    dist = feats.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_cnt"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("raw_cnt"),
+    )
+    totals = dist.agg(
+        F.sum("tgt_cnt").alias("T"), F.sum("raw_cnt").alias("R")
+    )
+    a = F.lit(float(alpha))
+    b_lit = F.lit(float(n_buckets))
+    ratio = dist.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("tgt_cnt") + a) / (F.col("T") + a * b_lit))
+            - F.log((F.col("raw_cnt") + a) / (F.col("R") + a * b_lit))
+        ).alias("__lr"),
+    )
+    return (
+        feats.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("__lr"), 6).alias("dsir_weight"),
+        )
+    )

@@ -65,7 +65,8 @@ PAST_WINDOW_NEXT = [
 # leftovers so the round-5 rotation picks them up early).
 ROUND4_NEW = [
     "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans", "ivf_pq_rerank_topk",
-    "knn_graph_capped", "image_meta_real",
+    "knn_graph_capped", "image_meta_real", "image_ahash_real",
+    "dsir_weights",
 ]
 
 # Rows-only by design: xxhash64 fast paths carry no SQL oracle (their md5
@@ -87,7 +88,7 @@ ROWS_ONLY = {
     "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans",
 }
 
-N_QUERIES = 162
+N_QUERIES = 164
 
 
 def test_unverified_family_inside_driver_window(entry_mod):

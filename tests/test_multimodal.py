@@ -177,3 +177,50 @@ def test_audio_segments_real_wav_duration(spark):
     assert [r["seg_idx"] for r in rows] == [0, 1, 2]
     assert rows[-1]["t_end_ms"] == 2200
     assert rows[-1]["t_start_ms"] == 2000
+
+
+def test_ahash_bits_pure_function():
+    from pgferry_spark.multimodal.ops import ahash_bits
+
+    # flat image: no block exceeds the mean -> all zero bits
+    assert ahash_bits(8, 8, bytes([7] * 64)) == "0" * 64
+    # bright right half on a 16x8 image: exactly the right-half blocks set
+    px = bytes((255 if x >= 8 else 0) for y in range(8) for x in range(16))
+    bits = ahash_bits(16, 8, px)
+    assert bits == ("0000" + "1111") * 8
+    # near-duplicate images differ in few bits; unrelated ones in many
+    import random
+
+    rng = random.Random(9)
+    base = [rng.randrange(256) for _ in range(16 * 16)]
+    twin = list(base)
+    for i in rng.sample(range(256), 5):
+        twin[i] = (twin[i] + 3) % 256  # tiny perturbation
+    other = [rng.randrange(256) for _ in range(256)]
+    h = lambda p: ahash_bits(16, 16, bytes(p))
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(h(base), h(twin)) <= 4
+    assert ham(h(base), h(other)) > 10
+
+    import pytest
+
+    with pytest.raises(ValueError, match="smaller than"):
+        ahash_bits(4, 8, bytes(32))
+
+
+def test_image_ahash_on_spark_matches_local(spark):
+    from pgferry_spark.multimodal.ops import (
+        ahash_bits, attach_real_images, image_ahash, png_pixels,
+    )
+
+    base = spark.createDataFrame([(i,) for i in range(12)], "doc_id: long")
+    media = attach_real_images(base, "doc_id")
+    local = {}
+    for r in media.collect():
+        w, h, _, _, px = png_pixels(bytes(r["payload"]))
+        local[r["media_id"]] = ahash_bits(w, h, px)
+    got = {r["media_id"]: r for r in image_ahash(media).collect()}
+    assert len(got) == 12
+    for mid, bits in local.items():
+        assert got[mid]["ahash_bits"] == bits
+        assert got[mid]["n_set_bits"] == bits.count("1")

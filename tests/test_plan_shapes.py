@@ -420,3 +420,11 @@ class TestRound4PlanShapes:
         shuffle besides the fan-out repartition, no join."""
         plan = _executed(E.queries()["image_meta_real"](spark, SF))
         assert "Join" not in plan
+
+    def test_dsir_ratio_join_broadcasts(self, spark):
+        """The bucket log-ratio table is ≤ n_buckets rows and must come
+        back as a broadcast join — a SortMergeJoin here would shuffle the
+        whole feature stream against 4096 rows."""
+        plan = _executed(E.queries()["dsir_weights"](spark, SF))
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan

@@ -404,3 +404,50 @@ def test_write_jsonl_shards_deterministic_layout(spark, tmp_path):
             with open(os.path.join(path, "shard=0", f)) as fh:
                 rows2 += [_json.loads(l)["doc_id"] for l in fh if l.strip()]
     assert rows2 == lines0
+
+
+class TestDsirImportance:
+    def test_target_lookalikes_score_higher(self, spark):
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.operators.filters import dsir_importance_weights
+
+        # target domain: cooking text; raw: legal text. A held-out cooking
+        # doc (not marked target) must outweigh a held-out legal doc.
+        cook = "simmer the garlic butter sauce then whisk the cream slowly"
+        law = "the party of the first part shall indemnify the licensor"
+        rows = (
+            [(i, cook + f" variation {i}", True) for i in range(10)]
+            + [(100 + i, law + f" clause {i}", False) for i in range(10)]
+            + [(900, "whisk garlic butter slowly", False),
+               (901, "licensor shall indemnify party", False)]
+        )
+        df = spark.createDataFrame(rows, "doc_id: long, text: string, is_tgt: boolean")
+        out = {
+            r["doc_id"]: r["dsir_weight"]
+            for r in dsir_importance_weights(
+                df, "text", "doc_id", F.col("is_tgt"), n_buckets=512
+            ).collect()
+        }
+        assert len(out) == 22
+        assert out[900] > out[901]
+        # marked-target docs themselves score above the raw legal docs
+        assert min(out[i] for i in range(10)) > max(out[100 + i] for i in range(10))
+
+    def test_empty_docs_absent_and_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.operators.filters import dsir_importance_weights
+
+        df = spark.createDataFrame(
+            [(1, "a b c", True), (2, "", False), (3, "solo", False)],
+            "doc_id: long, text: string, t: boolean",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dsir_importance_weights(df, "text", "doc_id", F.col("t")).collect()
+        }
+        assert set(out) == {1, 3}
+        # 3 unigrams + 2 bigrams for doc 1; single token -> 1 feature, no bigram
+        assert out[1]["n_feats"] == 5
+        assert out[3]["n_feats"] == 1
