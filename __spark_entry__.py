@@ -1745,6 +1745,21 @@ def _image_ahash_real(spark, sf):
     return image_ahash(attach_real_images(d, "doc_id"))
 
 
+def _image_near_dup(spark, sf):
+    """Near-duplicate image pairs: REAL PNG decode → 64-bit aHash →
+    4-band bucket join → exact hamming ≤ 3 verify (pigeonhole-exact
+    recall at this threshold). The content key groups every 3 doc_ids
+    onto one identical image so the duplicate structure exists; the
+    oracle replays hash, banding, and hamming arithmetically."""
+    from pgferry_spark.multimodal.ops import attach_real_images, image_near_dup_pairs
+
+    d = _t(spark, sf, "documents")
+    media = attach_real_images(
+        d, "doc_id", content_col=F.col("doc_id") - F.col("doc_id") % 3
+    )
+    return image_near_dup_pairs(media, max_hamming=3, bands=4)
+
+
 def _dsir_weights(spark, sf):
     """DSIR-style hashed-n-gram importance weights against the English
     slice as the target domain: one tokenize pass, a ≤4096-row bucket
@@ -1884,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_capped": _knn_graph_capped,
         "image_meta_real": _image_meta_real,
         "image_ahash_real": _image_ahash_real,
+        "image_near_dup": _image_near_dup,
         "dsir_weights": _dsir_weights,
         # --- stalest first: r1 rows-only, then the r2-green family --------
         "minhash_buckets": _minhash_buckets,
@@ -2174,13 +2190,13 @@ def oracle_sql() -> dict[str, str]:
     # aHash oracle: all 64 block comparisons in exact integer math
     # (block_sum * (w*h) > total_sum * block_px — no float threshold), the
     # generator's pixel law replayed arithmetically per block
-    def _ahash_block(b: int) -> str:
+    def _ahash_block(b: int, key: str = "doc_id") -> str:
         bx, by = b % 8, b // 8
         bsum = (
             f"list_sum(flatten(list_transform("
             f"range(({by}*h)//8, ({by + 1}*h)//8), "
             f"y -> list_transform(range(({bx}*w)//8, ({bx + 1}*w)//8), "
-            f"x -> (x + 3*y + doc_id) % 251))))"
+            f"x -> (x + 3*y + {key}) % 251))))"
         )
         bpx = (
             f"((({by + 1}*h)//8 - ({by}*h)//8)"
@@ -2188,9 +2204,13 @@ def oracle_sql() -> dict[str, str]:
         )
         return f"({bsum} * (w*h) > ts * {bpx})"
 
-    ahash_concat = ", ".join(
-        f"CASE WHEN {_ahash_block(b)} THEN '1' ELSE '0' END" for b in range(64)
-    )
+    def _ahash_concat(key: str = "doc_id") -> str:
+        return ", ".join(
+            f"CASE WHEN {_ahash_block(b, key)} THEN '1' ELSE '0' END"
+            for b in range(64)
+        )
+
+    ahash_concat = _ahash_concat()
     margin_structs = ", ".join(
         f"{{'am': abs(list_dot_product(qe, {plane_lit(p)})), 'i': {i}}}"
         for i, p in enumerate(ann_planes)
@@ -3596,6 +3616,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS media_id, ahash_bits,
                    CAST(length(replace(ahash_bits, '0', '')) AS INT) AS n_set_bits
             FROM bits
+        """,
+        # hash, banding, and hamming all replayed from the content key
+        # c = doc_id - doc_id%3 (groups of 3 share one identical image)
+        "image_near_dup": f"""
+            WITH d AS (SELECT doc_id, doc_id - doc_id % 3 AS c FROM documents),
+            g AS (SELECT doc_id, c, 8 + c % 16 AS w, 8 + c % 8 AS h FROM d),
+            t AS (SELECT doc_id, c, w, h,
+                         CAST(list_sum(flatten(list_transform(range(0, h),
+                               y -> list_transform(range(0, w),
+                                    x -> (x + 3 * y + c) % 251)))) AS BIGINT) AS ts
+                  FROM g),
+            bits AS (SELECT doc_id, concat({_ahash_concat("c")}) AS b FROM t),
+            bl AS (SELECT doc_id, b, band_id,
+                          substr(b, band_id * 16 + 1, 16) AS band_val
+                   FROM bits CROSS JOIN (SELECT unnest(range(4)) AS band_id)),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                              x.b AS ba, y.b AS bb
+              FROM bl x JOIN bl y USING (band_id, band_val)
+              WHERE x.doc_id < y.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(len(list_filter(range(64),
+                        i -> substr(ba, i + 1, 1) <> substr(bb, i + 1, 1)))
+                        AS INT) AS hamming
+            FROM cand
+            WHERE len(list_filter(range(64),
+                  i -> substr(ba, i + 1, 1) <> substr(bb, i + 1, 1))) <= 3
         """,
         "dsir_weights": f"""
             WITH tk AS (SELECT doc_id, lang = 'en' AS tgt, {_LTOKS} AS toks

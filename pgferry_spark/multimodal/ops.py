@@ -269,24 +269,28 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode, schema=_META_SCHEMA)
 
 
-def attach_real_images(df: DataFrame, id_col: str) -> DataFrame:
+def attach_real_images(df: DataFrame, id_col: str, content_col=None) -> DataFrame:
     """Generate REAL PNG payloads deterministically from an id column
-    (Arrow-batched :func:`encode_png_gray` in the executors): image ``i``
-    is ``(8 + i%16) × (8 + i%8)`` 8-bit grayscale with pixel ``(x, y) =
-    (x + 3y + i) mod 251``.  The in-repo stand-in for reading a media
+    (Arrow-batched :func:`encode_png_gray` in the executors): with
+    content key ``c`` (default the id itself), the image is
+    ``(8 + c%16) × (8 + c%8)`` 8-bit grayscale with pixel ``(x, y) =
+    (x + 3y + c) mod 251``.  The in-repo stand-in for reading a media
     lake — every payload is a spec-conformant PNG, and because the pixel
-    law is pure arithmetic the downstream REAL decode
-    (:func:`image_meta_real`) is verifiable by an ANSI-SQL oracle that
-    recomputes the expected metadata from ``i`` alone."""
+    law is pure arithmetic the downstream REAL decodes
+    (:func:`image_meta_real`, :func:`image_ahash`) are verifiable by
+    ANSI-SQL oracles that recompute the expected values from the key
+    alone.  Pass ``content_col`` (a Column, e.g. ``id // 3``) to give
+    several ids IDENTICAL images — the duplicate structure the near-dup
+    operators need test data for."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for i in pdf["media_id"]:
-                i = int(i)
-                w, h = 8 + i % 16, 8 + i % 8
+            for c in pdf["__content"]:
+                c = int(c)
+                w, h = 8 + c % 16, 8 + c % 8
                 px = bytes(
-                    (x + 3 * y + i) % 251 for y in range(h) for x in range(w)
+                    (x + 3 * y + c) % 251 for y in range(h) for x in range(w)
                 )
                 payloads.append(encode_png_gray(w, h, px))
             yield pd.DataFrame(
@@ -301,10 +305,16 @@ def attach_real_images(df: DataFrame, id_col: str) -> DataFrame:
 
     from ..utils import fan_out
 
+    content = (F.col(id_col) if content_col is None else content_col).cast("long")
     base = fan_out(
-        df.select(F.col(id_col).cast("long").alias("media_id")), "media_id"
+        df.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            content.alias("__content"),
+        ),
+        "media_id",
     )
-    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+    gen_schema = StructType(MEDIA_SCHEMA.fields)
+    return base.mapInPandas(gen, schema=gen_schema)
 
 
 _REAL_META_SCHEMA = StructType(
@@ -410,6 +420,78 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
             )
 
     return df.mapInPandas(hasher, schema=_AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, bands: int = 4, grid: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs by banded perceptual hash: compute the
+    64-bit aHash from REAL decoded pixels, split it into ``bands`` equal
+    slices, bucket-join on any identical (band, slice) — never
+    |images|² — then verify exact hamming distance ≤ ``max_hamming``
+    over the full hash.  Returns ``(id_a, id_b, hamming)``, id_a < id_b.
+
+    Recall guarantee by pigeonhole: a pair within hamming ``bands − 1``
+    ALWAYS shares at least one clean band, so recall is exact for
+    ``max_hamming ≤ bands − 1`` (the default 3/4 configuration);
+    larger thresholds trade recall like any banding scheme.  The verify
+    is JVM register math — each 16-bit slice parses once via
+    ``conv(…, 2, 10)`` and hamming is Σ ``bit_count(xor)`` — and the
+    hash table is persisted so the expensive decode runs once, not once
+    per join side.  Scale shape mirrors the simhash family: candidates
+    linear in bucket collisions, hot buckets implausible for perceptual
+    hashes of non-degenerate corpora (an all-flat-image corpus should
+    be exact-deduped first)."""
+    if 64 % bands:
+        raise ValueError(f"64 bits not divisible into {bands} bands")
+    width = 64 // bands
+    hashes = image_ahash(df, grid).persist()
+
+    def slices(side: str):
+        cols = [F.col("media_id").alias(f"id_{side}")] + [
+            F.conv(F.substring("ahash_bits", b * width + 1, width), 2, 10)
+            .cast("long")
+            .alias(f"{side}{b}")
+            for b in range(bands)
+        ]
+        band_structs = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.col(f"{side}{b}").alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb")
+        d = hashes.select(*cols)
+        return d.select(
+            f"id_{side}", *[f"{side}{b}" for b in range(bands)], band_structs
+        ).select(
+            f"id_{side}", *[f"{side}{b}" for b in range(bands)],
+            F.col("bb.band_id").alias("band_id"),
+            F.col("bb.band_val").alias("band_val"),
+        )
+
+    a, b = slices("a"), slices("b")
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("band_id", "band_val")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = sum(
+        (
+            F.bit_count(
+                F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))
+            )
+            for i in range(bands)
+        ),
+        F.lit(0),
+    )
+    return (
+        cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def resize_images(df: DataFrame, max_dim: int = 224) -> DataFrame:

@@ -224,3 +224,51 @@ def test_image_ahash_on_spark_matches_local(spark):
     for mid, bits in local.items():
         assert got[mid]["ahash_bits"] == bits
         assert got[mid]["n_set_bits"] == bits.count("1")
+
+
+def test_image_near_dup_pairs_banding_and_hamming(spark):
+    from pgferry_spark.multimodal.ops import (
+        ahash_bits, encode_png_gray, image_near_dup_pairs,
+    )
+
+    import random
+
+    rng = random.Random(21)
+    base = [rng.randrange(256) for _ in range(16 * 16)]
+    # twin: flip a few pixels hard enough to flip <= 3 hash bits
+    twin = list(base)
+    twin[0] = 255 - twin[0]
+    others = [[rng.randrange(256) for _ in range(256)] for _ in range(6)]
+    imgs = {0: base, 1: twin}
+    imgs.update({10 + i: o for i, o in enumerate(others)})
+    rows = [
+        (mid, "image", bytearray(encode_png_gray(16, 16, bytes(px))),
+         "image/png", 0)
+        for mid, px in imgs.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id: long, media_type: string, payload: binary, mime: string, byte_len: long",
+    )
+    ham = sum(
+        a != b
+        for a, b in zip(ahash_bits(16, 16, bytes(base)), ahash_bits(16, 16, bytes(twin)))
+    )
+    assert ham <= 3  # fixture precondition for the pigeonhole guarantee
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in image_near_dup_pairs(df, max_hamming=3, bands=4).collect()}
+    assert (0, 1) in got and got[(0, 1)] == ham
+    # unrelated images must not pair (their hamming is far above 3)
+    assert all({a, b} == {0, 1} for a, b in got)
+
+
+def test_image_near_dup_band_divisibility_guard(spark):
+    import pytest
+
+    from pgferry_spark.multimodal.ops import image_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [], "media_id: long, media_type: string, payload: binary, mime: string, byte_len: long"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        image_near_dup_pairs(df, bands=5)
