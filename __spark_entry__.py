@@ -3,9 +3,11 @@
 ``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
 training-data-pipeline operators) as (spark, sf_dir) -> DataFrame callables;
 ``oracle_sql()`` provides the DuckDB-runnable ANSI-SQL twin for each.
-Operators whose semantics are not SQL-expressible (xxhash64-based SimHash,
-mapInPandas multimodal decode, hyperplane-LSH ANN) have no oracle entry and
-get the driver's rows-only check.
+Operators whose semantics are not SQL-expressible (xxhash64 fast paths,
+MLlib KMeans / LBFGS / Lloyd-trained float metadata, iterative BPE
+learning, deflate ratios) have no oracle entry and get the driver's
+rows-only check — each has an oracle-checked deterministic twin or an
+independent-reference pytest pinning the same code path.
 
 Determinism rules shared by both sides: exact DECIMAL internal math with
 DOUBLE only at the output edge, md5-based portable hashing, total-order
@@ -1760,6 +1762,23 @@ def _image_near_dup(spark, sf):
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+def _cross_corpus_near_dup(spark, sf):
+    """Two-table decontamination: every 10th document plays the benchmark
+    set, the rest the training corpus; MinHash-LSH candidates across the
+    tables, exact 3-gram Jaccard ≥ 0.5 verify. The near-dup upgrade of
+    incremental_dedup's exact-fingerprint anti-join."""
+    from pgferry_spark.operators.dedup import cross_corpus_near_dup
+
+    d = _t(spark, sf, "documents")
+    left = d.filter(F.col("doc_id") % 10 == 0)
+    right = d.filter(F.col("doc_id") % 10 != 0)
+    return cross_corpus_near_dup(
+        left, right, "text", "doc_id", min_jaccard=0.5
+    ).withColumnRenamed("left_id", "bench_id").withColumnRenamed(
+        "right_id", "corpus_id"
+    )
+
+
 def _dsir_weights(spark, sf):
     """DSIR-style hashed-n-gram importance weights against the English
     slice as the target domain: one tokenize pass, a ≤4096-row bucket
@@ -1900,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta_real": _image_meta_real,
         "image_ahash_real": _image_ahash_real,
         "image_near_dup": _image_near_dup,
+        "cross_corpus_near_dup": _cross_corpus_near_dup,
         "dsir_weights": _dsir_weights,
         # --- stalest first: r1 rows-only, then the r2-green family --------
         "minhash_buckets": _minhash_buckets,
@@ -3401,6 +3421,27 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY c.id_a, c.id_b
             )
             SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
+            FROM inter
+            WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5
+        """,
+        "cross_corpus_near_dup": minhash_cte
+        + """
+            , cand AS (
+              SELECT DISTINCT l.doc_id AS bench_id, r.doc_id AS corpus_id
+              FROM buckets l JOIN buckets r USING (band_id, band_hash)
+              WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+            ),
+            jx AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM gr),
+            inter AS (
+              SELECT c.bench_id, c.corpus_id, COUNT(*) AS c,
+                     any_value(x.n) AS n_a, any_value(y.n) AS n_b
+              FROM cand c
+              JOIN jx x ON x.doc_id = c.bench_id
+              JOIN jx y ON y.doc_id = c.corpus_id AND y.gram = x.gram
+              GROUP BY c.bench_id, c.corpus_id
+            )
+            SELECT bench_id, corpus_id,
                    ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
             FROM inter
             WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5

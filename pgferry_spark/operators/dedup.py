@@ -1313,3 +1313,90 @@ def jaccard_all_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def cross_corpus_near_dup(
+    left: DataFrame,
+    right: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle: int = 3,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    hash_fn: str = "md5",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """TWO-TABLE near-duplicate detection — document-level train-vs-benchmark
+    decontamination: MinHash-LSH candidates across ``left`` (the small set:
+    benchmarks, a holdout, yesterday's batch) and ``right`` (the corpus),
+    verified by exact n-gram Jaccard.  Returns ``(left_id, right_id,
+    jaccard)`` for pairs with ``jaccard >= min_jaccard``.
+
+    The cross-table sibling of :func:`lsh_candidate_pairs` (self-join) and
+    the *near*-dup upgrade of :func:`incremental_dedup` (exact-fingerprint
+    anti-join): candidates come from a hash equi-join on (band_id,
+    band_hash) between the two independently-bucketed sides — never
+    |left| × |right| — and the verify cost is linear in candidates.  Both
+    sides bucket with IDENTICAL minhash parameters so a true near-dup
+    collides with banding probability, same recall math as the self-join
+    family.
+
+    ``max_bucket`` caps hot buckets on the CORPUS side (the side whose
+    degenerate buckets explode the join); the left side is assumed small.
+    At 100 TB the corpus bucket table is a once-built, bucketed-by-
+    (band_id, band_hash) index the daily decontamination probe joins
+    against — the same layout :func:`incremental_dedup` proves zero-
+    exchange reads for."""
+    lb = lsh_bucket_table(
+        left, content_col, id_col, num_hashes, bands, shingle, hash_fn
+    ).withColumnRenamed(id_col, "left_id")
+    rb = lsh_bucket_table(
+        right, content_col, id_col, num_hashes, bands, shingle, hash_fn
+    ).withColumnRenamed(id_col, "right_id")
+    if max_bucket is not None:
+        small = (
+            rb.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+        rb = rb.join(small, ["band_id", "band_hash"], "left_semi")
+    cand = (
+        lb.join(rb, ["band_id", "band_hash"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+    def shingled(df, side):
+        g = _fan_out(df, id_col, force=True).select(
+            F.col(id_col).alias(f"{side}_id"),
+            ngram_set(F.col(content_col), n).alias("grams"),
+        ).withColumn(f"n_{side}", F.size("grams"))
+        return g.select(
+            f"{side}_id", f"n_{side}", F.explode("grams").alias("gram")
+        )
+
+    a = shingled(left, "left")
+    b = shingled(right, "right")
+    inter = (
+        cand.join(a, on="left_id")
+        .join(b, on=["right_id", "gram"])
+        .groupBy("left_id", "right_id", "n_left", "n_right")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_left") + F.col("n_right") - F.col("inter")
+    )
+    scored = inter.select(
+        "left_id", "right_id", F.round(jac, 4).alias("jaccard")
+    )
+    return (
+        cand.join(scored, on=["left_id", "right_id"], how="left")
+        .select(
+            "left_id", "right_id",
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -644,3 +644,54 @@ def test_containment_detects_excerpt(spark):
     assert cont.containment_b == 1.0
     assert cont.containment_a == 0.2
     assert jac.jaccard < 0.25
+
+
+class TestCrossCorpusNearDup:
+    def test_cross_table_pair_found_and_verified(self, spark):
+        from pgferry_spark.operators.dedup import cross_corpus_near_dup
+
+        bench = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog near the river"),
+             (2, "completely unrelated legal boilerplate about indemnities")],
+            "doc_id: long, text: string",
+        )
+        corpus = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog near the river"),
+             (101, "the quick brown fox jumps over the lazy dog near the creek"),
+             (102, "training corpus sentence about machine learning pipelines"),
+             (103, "another sentence about distributed query processing")],
+            "doc_id: long, text: string",
+        )
+        got = {
+            (r["left_id"], r["right_id"]): r["jaccard"]
+            for r in cross_corpus_near_dup(
+                bench, corpus, "text", "doc_id", min_jaccard=0.5
+            ).collect()
+        }
+        assert (1, 100) in got and got[(1, 100)] == 1.0  # exact twin
+        # near twin (one word differs at the tail) shares most 3-grams
+        assert (1, 101) in got and 0.5 <= got[(1, 101)] < 1.0
+        # the unrelated benchmark doc matches nothing
+        assert not any(l == 2 for l, _ in got)
+
+    def test_corpus_hot_bucket_cap(self, spark):
+        from pgferry_spark.operators.dedup import cross_corpus_near_dup
+
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id: long, text: string",
+        )
+        # 20 identical corpus docs -> every bucket they share is size 20
+        corpus = spark.createDataFrame(
+            [(100 + i, "alpha beta gamma delta epsilon zeta eta theta")
+             for i in range(20)],
+            "doc_id: long, text: string",
+        )
+        uncapped = cross_corpus_near_dup(
+            bench, corpus, "text", "doc_id", min_jaccard=0.5
+        ).count()
+        capped = cross_corpus_near_dup(
+            bench, corpus, "text", "doc_id", min_jaccard=0.5, max_bucket=10
+        ).count()
+        assert uncapped == 20
+        assert capped == 0  # degenerate corpus buckets excluded
