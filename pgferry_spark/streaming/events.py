@@ -663,3 +663,62 @@ def trending_tokens(
             "n",
         )
     )
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    corpus_buckets: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle: int = 3,
+    query_name: str = "decontaminate",
+):
+    """Streaming NEAR-dup gate against the batch corpus LSH index — the
+    ingest-time twin of :func:`~pgferry_spark.operators.dedup.
+    cross_corpus_near_dup`, and the near-dup upgrade of
+    :func:`dedup_stream_vs_corpus` (which only stops EXACT fingerprint
+    matches — a lightly-edited re-crawl sails through it).
+
+    Each micro-batch runs the BATCH banding code verbatim
+    (``lsh_bucket_table`` — one curation codebase, two execution modes):
+    the arriving documents bucket with the same MinHash parameters the
+    corpus index was built with, a semi-join on (band_id, band_hash)
+    finds arrivals colliding with ANY corpus bucket, and only
+    non-colliding documents reach ``sink(clean_df, batch_id)``.
+
+    ``foreachBatch`` rather than a stream-static join because the drop
+    rule is per-DOCUMENT (any of its bands collides), which needs a
+    post-join distinct + anti-join — per-batch batch semantics express
+    that directly, where the pure streaming plan would either leak
+    per-band rows or need a stateful aggregate.  The static index is
+    re-read each micro-batch, so a nightly-rebuilt (and at scale,
+    bucketed-by-(band_id, band_hash)) index is picked up live.  Banding
+    recall rules are the batch family's: an edited near-dup collides
+    with band probability, exact dups always."""
+    from ..operators.dedup import lsh_bucket_table
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = lsh_bucket_table(
+            batch_df, text_col, id_col, num_hashes, bands, shingle, "md5"
+        )
+        hits = (
+            b.join(corpus_buckets, ["band_id", "band_hash"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        clean = batch_df.join(hits, id_col, "left_anti")
+        sink(clean, batch_id)
+
+    return (
+        docs.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -222,3 +222,45 @@ def test_funnel_stream_emits_on_completion(spark, tmp_path):
     for uid in (1, 3):
         assert got[uid]["steps_completed"] == 3
         assert got[uid]["t_first"] == m(0) and got[uid]["t_last"] == m(2)
+
+
+class TestDecontaminateStream:
+    def test_near_dup_gate_vs_corpus_index(self, spark, tmp_path):
+        from pgferry_spark.operators.dedup import lsh_bucket_table
+        from pgferry_spark.streaming.events import decontaminate_stream
+
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+             (2, "an entirely different corpus document about distributed query engines")],
+            "doc_id: long, text: string",
+        )
+        index = lsh_bucket_table(corpus, "text", "doc_id")
+
+        import datetime
+        ts = datetime.datetime(2026, 1, 1)
+        arrivals = spark.createDataFrame(
+            [(100, ts, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),  # exact dup
+             (101, ts, "the quick brown fox jumps over the lazy dog near the quiet river bank now"),    # near dup (1 word)
+             (102, ts, "a genuinely novel document about perceptual hashing of images")],               # fresh
+            "doc_id: long, ts: timestamp, text: string",
+        )
+        src = str(tmp_path / "arrivals")
+        arrivals.write.parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).parquet(src)
+
+        passed: list = []
+
+        def sink(batch_df, batch_id):
+            passed.extend(batch_df.collect())
+
+        q = decontaminate_stream(
+            stream, index, sink, str(tmp_path / "ckpt"),
+            query_name="t_decontaminate",
+        )
+        q.awaitTermination()
+        ids = sorted(r["doc_id"] for r in passed)
+        # exact dup AND the lightly-edited near dup are both stopped (the
+        # exact-fingerprint gate would have let 101 through); novel passes
+        assert ids == [102]
