@@ -86,6 +86,7 @@ HEADLINE = [
     "ivf_pq_rerank_topk",
     "image_meta_real",
     "dsir_weights",
+    "cross_corpus_near_dup",
 ]
 
 

@@ -569,3 +569,61 @@ class TestPsiDrift:
         )
         r = psi_drift(old, new, "v").collect()[0]
         assert 0.0 < r.psi < 0.25
+
+
+def test_extension_wiring_in_pipeline(spark, blog_db, tmp_path):
+    """ensure_extensions: no-query targets skip with the plan report still
+    listing the requirement; probing targets get the real decision table."""
+    from pgferry_spark.catalog.model import Column, Table
+
+    pipe, target = make_pipeline(spark, blog_db, tmp_path)
+    pipe.cfg.type_mapping.ci_as_citext = True
+    ci_tables = [
+        Table("t", "t", columns=[
+            Column("name", "name", "varchar", collation="utf8mb4_general_ci"),
+        ])
+    ]
+    # SpoolTarget exposes no query(): catalog probe impossible -> documented skip
+    assert pipe.ensure_extensions(ci_tables) == []
+
+    created = []
+
+    class ProbingTarget:
+        def query(self, sql):
+            if sql.startswith("CREATE"):
+                created.append(sql)
+                return []
+            return [(False, True)]  # not installed, available
+
+    pipe.target = ProbingTarget()
+    assert pipe.ensure_extensions(ci_tables) == ["citext: created (ci_as_citext)"]
+    assert created == ['CREATE EXTENSION IF NOT EXISTS "citext"']
+    # schema without CI columns -> no requirements, no probes
+    created.clear()
+    assert pipe.ensure_extensions([]) == []
+    assert created == []
+
+
+def test_run_ensures_extensions_before_ddl(spark, blog_db, tmp_path):
+    order = []
+
+    class Spy(MigrationPipeline):
+        def ensure_extensions(self, tables):
+            order.append("extensions")
+            return super().ensure_extensions(tables)
+
+        def create_schema_objects(self, tables):
+            order.append("ddl")
+            return super().create_schema_objects(tables)
+
+    cfg = MigrationConfig(
+        source_type="sqlite", source_dsn=blog_db, target_schema="blog",
+        target_dsn="spool://x",
+    )
+    target = SpoolTarget(spark, str(tmp_path / "targ2"))
+    result = Spy(
+        spark, cfg, SqliteSource(blog_db), target,
+        map_sqlite_type, map_sqlite_default,
+    ).run()
+    assert result.ok
+    assert order[:2] == ["extensions", "ddl"]
