@@ -1762,6 +1762,17 @@ def _image_near_dup(spark, sf):
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+def _skew_profile(spark, sf):
+    """Top-10 heaviest order keys with corpus share — the pre-join skew
+    diagnostic (decides salting/AQE-skew before the shuffle). Lazy
+    single-scan form: total derives from the grouped counts, no second
+    fact pass, no driver count."""
+    from pgferry_spark.operators.skew import skew_profile
+
+    o = _t(spark, sf, "orders")
+    return skew_profile(o, "o_custkey", top=10)
+
+
 def _cross_corpus_near_dup(spark, sf):
     """Two-table decontamination: every 10th document plays the benchmark
     set, the rest the training corpus; MinHash-LSH candidates across the
@@ -1920,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_real": _image_ahash_real,
         "image_near_dup": _image_near_dup,
         "cross_corpus_near_dup": _cross_corpus_near_dup,
+        "skew_profile": _skew_profile,
         "dsir_weights": _dsir_weights,
         # --- stalest first: r1 rows-only, then the r2-green family --------
         "minhash_buckets": _minhash_buckets,
@@ -3685,6 +3697,16 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE len(list_filter(range(64),
                   i -> substr(ba, i + 1, 1) <> substr(bb, i + 1, 1))) <= 3
+        """,
+        "skew_profile": """
+            WITH c AS (
+              SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+            ), t AS (SELECT SUM(cnt) AS total FROM c)
+            SELECT o_custkey, CAST(cnt AS BIGINT) AS cnt,
+                   ROUND(CAST(cnt AS DOUBLE) / t.total, 4) AS share
+            FROM c CROSS JOIN t
+            ORDER BY cnt DESC, o_custkey ASC
+            LIMIT 10
         """,
         "dsir_weights": f"""
             WITH tk AS (SELECT doc_id, lang = 'en' AS tgt, {_LTOKS} AS toks

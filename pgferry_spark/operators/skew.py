@@ -19,12 +19,23 @@ from pyspark.sql import functions as F
 
 
 def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
-    """(key, cnt, share) for the ``top`` heaviest keys."""
-    total = df.count()
+    """(key, cnt, share) for the ``top`` heaviest keys — the pre-join
+    diagnostic that decides whether a join needs :func:`salted_join` /
+    AQE skew handling, run BEFORE burning a shuffle on a skewed key.
+
+    Lazy end to end: the total is a 1-row aggregate over the
+    already-grouped counts (broadcast back in), not a driver-side
+    ``df.count()`` — construction launches zero jobs and the fact is
+    scanned once, not twice. Ties order by key for determinism."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("share", F.round(F.col("cnt") / F.lit(float(total)), 4))
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 4).alias("share"),
+        )
         .orderBy(F.col("cnt").desc(), F.col(key).asc())
         .limit(top)
     )
