@@ -1762,6 +1762,18 @@ def _image_near_dup(spark, sf):
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+def _cluster_safe_split(spark, sf):
+    """Leakage-safe split: hash bucket computed on the near-dup CLUSTER id
+    (winnow-pair connected components), so near-duplicate documents can
+    never straddle train/test; singletons fall back to their own id —
+    a drop-in upgrade of dataset_split."""
+    from pgferry_spark.operators.curate import cluster_safe_split
+
+    d = _t(spark, sf, "documents")
+    clusters = dedup.dedup_clusters(_winnow_shared_pairs(spark, sf))
+    return cluster_safe_split(d, clusters, "doc_id").select("doc_id", "split")
+
+
 def _skew_profile(spark, sf):
     """Top-10 heaviest order keys with corpus share — the pre-join skew
     diagnostic (decides salting/AQE-skew before the shuffle). Lazy
@@ -1932,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": _image_near_dup,
         "cross_corpus_near_dup": _cross_corpus_near_dup,
         "skew_profile": _skew_profile,
+        "cluster_safe_split": _cluster_safe_split,
         "dsir_weights": _dsir_weights,
         # --- stalest first: r1 rows-only, then the r2-green family --------
         "minhash_buckets": _minhash_buckets,
@@ -3352,6 +3365,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS doc_id, MIN(dst) AS cluster_id
             FROM reach GROUP BY src
+        """,
+        # same recursive closure as dedup_clusters, then the split bucket
+        # hashes COALESCE(cluster_id, doc_id) — singletons fall back to
+        # the plain dataset_split assignment
+        "cluster_safe_split": winnow_cte.replace("WITH h AS", "WITH RECURSIVE h AS")
+        + """
+            , ex AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM ex a JOIN ex b USING (fp)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 50
+            ),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a AS src, a AS dst FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+                   FROM reach GROUP BY src)
+            SELECT d.doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
+                                                      AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+                             THEN 'train'
+                        WHEN ('0x' || substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
+                                                      AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
         """,
         "pii_scrub": f"""
             WITH s1 AS (

@@ -544,3 +544,45 @@ def rfm_features(
     return percentile_calibrate(
         base, user_col, ["recency", "frequency", "monetary"], n_bins=n_bins
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    cluster_id_col: str = "cluster_id",
+    cluster_doc_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash bucket is computed on
+    the NEAR-DUP CLUSTER id, not the document id, so a cluster of
+    near-duplicates can never straddle train and test — the contamination
+    mode :func:`dataset_split` cannot prevent (two near-identical docs
+    hash to different buckets and one leaks the other's test answers
+    into train).
+
+    ``clusters`` is an (doc_id, cluster_id) mapping — the output of
+    :func:`~pgferry_spark.operators.dedup.dedup_clusters` over near-dup
+    candidate pairs.  Singleton documents (absent from ``clusters``) keep
+    their own id as the split key via the left join + coalesce, so the
+    operator composes as a drop-in upgrade: identical assignment to
+    ``dataset_split`` wherever no near-dup structure exists, cluster-
+    atomic assignment where it does.
+
+    Cost: the one broadcast-or-shuffle join against the cluster mapping
+    (bounded by documents WITH near-dups, typically ≪ corpus) — the
+    split itself stays a pure map-side hash function."""
+    m = clusters.select(
+        F.col(cluster_doc_col).alias(id_col),
+        F.col(cluster_id_col).alias("__cluster"),
+    )
+    joined = df.join(m, on=id_col, how="left")
+    key = F.coalesce(F.col("__cluster"), F.col(id_col))
+    b = split_bucket(key)
+    return joined.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    ).drop("__cluster")

@@ -377,3 +377,40 @@ class TestRfmFeatures:
         assert got[2].composite < got[3].composite < 1.0
         # recency negated: user 1's raw recency (-1 day) is the max
         assert got[2].pct_recency < got[3].pct_recency
+
+
+class TestClusterSafeSplit:
+    def test_clusters_never_straddle_splits(self, spark):
+        from pgferry_spark.operators.curate import cluster_safe_split, dataset_split
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(200)], "doc_id: long, text: string"
+        )
+        # near-dup clusters: {0,1,2}, {10,11}, rest singleton
+        clusters = spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+            "doc_id: long, cluster_id: long",
+        )
+        out = {r["doc_id"]: r["split"]
+               for r in cluster_safe_split(df, clusters, "doc_id").collect()}
+        assert len(out) == 200
+        assert out[0] == out[1] == out[2]      # cluster atomic
+        assert out[10] == out[11]
+        # singletons match plain dataset_split exactly (drop-in upgrade)
+        plain = {r["doc_id"]: r["split"] for r in dataset_split(df, "doc_id").collect()}
+        for i in range(200):
+            if i not in (0, 1, 2, 10, 11):
+                assert out[i] == plain[i]
+        # and cluster members share the REPRESENTATIVE's bucket
+        assert out[1] == plain[0]
+
+    def test_split_proportions_roughly_hold(self, spark):
+        from pgferry_spark.operators.curate import cluster_safe_split
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id: long")
+        empty = spark.createDataFrame([], "doc_id: long, cluster_id: long")
+        out = cluster_safe_split(df, empty, "doc_id").groupBy("split").count()
+        got = {r["split"]: r["count"] for r in out.collect()}
+        assert 700 < got["train"] < 900
+        assert 50 < got["val"] < 160
+        assert 50 < got["test"] < 160
