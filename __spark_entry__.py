@@ -1762,6 +1762,16 @@ def _image_near_dup(spark, sf):
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+def _profile_orders(spark, sf):
+    """ANALYZE-style per-column profile of the orders table: one
+    aggregation pass computes rows/nulls/ndv/min/max for every column,
+    pivoted to per-column rows via an inline struct explode. The CBO /
+    migration-validation statistics surface."""
+    from pgferry_spark.operators.checks import profile_table
+
+    return profile_table(_t(spark, sf, "orders"))
+
+
 def _cluster_safe_split(spark, sf):
     """Leakage-safe split: hash bucket computed on the near-dup CLUSTER id
     (winnow-pair connected components), so near-duplicate documents can
@@ -1945,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_near_dup": _cross_corpus_near_dup,
         "skew_profile": _skew_profile,
         "cluster_safe_split": _cluster_safe_split,
+        "profile_orders": _profile_orders,
         "dsir_weights": _dsir_weights,
         # --- stalest first: r1 rows-only, then the r2-green family --------
         "minhash_buckets": _minhash_buckets,
@@ -2061,6 +2072,49 @@ _LTOKS = (
     "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
     "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END)"
 )
+
+
+def _profile_orders_oracle() -> str:
+    """UNION-ALL per-column replay of profile_table(orders): one shared
+    aggregate CTE, per-column projection rows with the exact NULL-typed
+    placeholder columns the Spark struct schema carries."""
+    cols = [
+        ("o_orderkey", "bigint", "num"),
+        ("o_custkey", "bigint", "num"),
+        ("o_orderstatus", "string", "str"),
+        ("o_totalprice", "double", "num"),
+        ("o_orderdate", "timestamp", "ts"),
+        ("o_orderpriority", "string", "str"),
+    ]
+    aggs = ["COUNT(*) AS n"]
+    for c, _, kind in cols:
+        aggs.append(f"COUNT({c}) AS nn_{c}")
+        aggs.append(f"COUNT(DISTINCT {c}) AS ndv_{c}")
+        if kind == "num":
+            aggs.append(f"ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_{c}")
+            aggs.append(f"ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_{c}")
+        elif kind == "ts":
+            aggs.append(f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S') AS smin_{c}")
+            aggs.append(f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S') AS smax_{c}")
+        else:
+            aggs.append(f"MIN({c}) AS smin_{c}")
+            aggs.append(f"MAX({c}) AS smax_{c}")
+    selects = []
+    for c, dtype, kind in cols:
+        mn = f"min_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx = f"max_{c}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        smn = f"smin_{c}" if kind in ("ts", "str") else "CAST(NULL AS VARCHAR)"
+        smx = f"smax_{c}" if kind in ("ts", "str") else "CAST(NULL AS VARCHAR)"
+        selects.append(
+            f"SELECT '{c}' AS col_name, '{dtype}' AS data_type,"
+            f" n AS n_rows, n - nn_{c} AS n_nulls, ndv_{c} AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num,"
+            f" {smn} AS min_str, {smx} AS max_str FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(aggs) + " FROM orders)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3743,6 +3797,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(range(64),
                   i -> substr(ba, i + 1, 1) <> substr(bb, i + 1, 1))) <= 3
         """,
+        "profile_orders": _profile_orders_oracle(),
         "skew_profile": """
             WITH c AS (
               SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey

@@ -203,3 +203,70 @@ def l_diversity_check(
         )
         .filter(F.col("n_sensitive") < int(l))
     )
+
+
+def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
+    """ANALYZE-style per-column table profile — the statistics a
+    cost-based optimizer (or a migration validation report) wants before
+    planning against an unknown table: one output row per column with
+    ``(col_name, data_type, n_rows, n_nulls, n_distinct, min_num,
+    max_num, min_str, max_str)``.
+
+    ONE aggregation pass whatever the column count: every per-column
+    statistic is an expression in a single global aggregate (Spark
+    computes them all in one scan with partial aggregation), and the
+    1-row result pivots to per-column rows via an inline array-of-structs
+    explode — no per-column jobs, no driver loop.
+
+    ``approx=True`` swaps exact ``count_distinct`` for HyperLogLog++
+    ``approx_count_distinct`` — at 100 TB exact ndv per column is a
+    giant shuffle per column while the sketch rides the same single
+    pass; the exact form stays the oracle-verifiable gate configuration
+    (the same qualify-small/ship-sketch playbook as approx_distinct).
+
+    Cross-engine formatting rules: numeric min/max surface as DOUBLE
+    (rounded 6dp); timestamps format explicitly (``yyyy-MM-dd
+    HH:mm:ss``); only true strings use string min/max — engine-dependent
+    float-to-string casts never happen."""
+    num_types = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    specs = []  # (col_name, dtype, is_num, is_ts)
+    for name, dtype in df.dtypes:
+        is_num = dtype in num_types or dtype.startswith("decimal")
+        is_ts = dtype.startswith("timestamp") or dtype == "date"
+        c = F.col(name)
+        aggs.append(F.count(c).alias(f"__nn_{name}"))
+        ndv = (
+            F.approx_count_distinct(c) if approx else F.count_distinct(c)
+        )
+        aggs.append(ndv.alias(f"__ndv_{name}"))
+        if is_num:
+            aggs.append(F.round(F.min(c).cast("double"), 6).alias(f"__min_{name}"))
+            aggs.append(F.round(F.max(c).cast("double"), 6).alias(f"__max_{name}"))
+        elif is_ts:
+            fmt = "yyyy-MM-dd HH:mm:ss"
+            aggs.append(F.date_format(F.min(c), fmt).alias(f"__smin_{name}"))
+            aggs.append(F.date_format(F.max(c), fmt).alias(f"__smax_{name}"))
+        elif dtype == "string":
+            aggs.append(F.min(c).alias(f"__smin_{name}"))
+            aggs.append(F.max(c).alias(f"__smax_{name}"))
+        specs.append((name, dtype, is_num, is_ts))
+    one = df.agg(*aggs)
+
+    def entry(name, dtype, is_num, is_ts):
+        null_d = F.lit(None).cast("double")
+        null_s = F.lit(None).cast("string")
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.lit(dtype).alias("data_type"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{name}")).alias("n_nulls"),
+            F.col(f"__ndv_{name}").alias("n_distinct"),
+            (F.col(f"__min_{name}") if is_num else null_d).alias("min_num"),
+            (F.col(f"__max_{name}") if is_num else null_d).alias("max_num"),
+            (F.col(f"__smin_{name}") if (is_ts or dtype == "string") else null_s).alias("min_str"),
+            (F.col(f"__smax_{name}") if (is_ts or dtype == "string") else null_s).alias("max_str"),
+        )
+
+    arr = F.array(*[entry(*s) for s in specs])
+    return one.select(F.explode(arr).alias("p")).select("p.*")

@@ -216,3 +216,31 @@ def test_l_diversity_catches_homogeneous_large_class(spark):
     assert k_anonymity_check(df, ["country", "seg"], k=5).collect()[0].country == "FR"
     ld = l_diversity_check(df, ["country", "seg"], "dx", l=2).collect()
     assert len(ld) == 1 and ld[0].country == "US" and ld[0].n_sensitive == 1
+
+
+class TestProfileTable:
+    def test_profile_covers_types_nulls_and_approx(self, spark):
+        import datetime
+
+        from pgferry_spark.operators.checks import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5, datetime.datetime(2026, 1, 1)),
+             (2, None, 2.5, datetime.datetime(2026, 1, 2)),
+             (3, "b", None, None),
+             (4, "a", 4.0, datetime.datetime(2026, 1, 4))],
+            "id: long, s: string, x: double, ts: timestamp",
+        )
+        prof = {r["col_name"]: r for r in profile_table(df).collect()}
+        assert set(prof) == {"id", "s", "x", "ts"}
+        assert prof["id"].n_rows == 4 and prof["id"].n_nulls == 0
+        assert prof["id"].n_distinct == 4
+        assert prof["id"].min_num == 1.0 and prof["id"].max_num == 4.0
+        assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+        assert prof["s"].min_str == "a" and prof["s"].max_str == "b"
+        assert prof["x"].n_nulls == 1 and prof["x"].min_num == 1.5
+        assert prof["ts"].min_str == "2026-01-01 00:00:00"
+        assert prof["ts"].n_nulls == 1
+        # sketch mode: same single-pass shape, ndv within HLL tolerance
+        ap = {r["col_name"]: r for r in profile_table(df, approx=True).collect()}
+        assert abs(ap["id"].n_distinct - 4) <= 1
