@@ -428,3 +428,19 @@ class TestRound4PlanShapes:
         plan = _executed(E.queries()["dsir_weights"](spark, SF))
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_cross_corpus_candidates_are_equi_join(self, spark):
+        """Two-table decontamination must never degenerate to
+        |bench| x |corpus|: candidates come from the (band_id, band_hash)
+        hash equi-join, verify from gram equi-joins."""
+        plan = _executed(E.queries()["cross_corpus_near_dup"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_profile_table_single_aggregate_pass(self, spark):
+        """Every per-column statistic rides ONE aggregate over one scan —
+        no per-column jobs, no joins."""
+        plan = _executed(E.queries()["profile_orders"](spark, SF))
+        assert "Join" not in plan
+        final = plan.split("+- == Initial Plan ==")[0]
+        assert final.count("orders.parquet") <= 1
