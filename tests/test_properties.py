@@ -141,3 +141,61 @@ def test_pq_adc_tables_nonnegative_and_zero_on_self(data):
     assert len(tables) == m and all(len(t) == k for t in tables)
     assert all(x >= 0.0 for t in tables for x in t)
     assert all(t[pick] == 0.0 for t in tables)
+
+
+# --- round 4: pure-codec invariants -----------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=24),
+    data=st.data(),
+)
+def test_png_roundtrip_any_image(w, h, data):
+    """encode→decode is the identity on (w, h, pixel_sum) for EVERY 8-bit
+    grayscale image, not just the arithmetic-law fixtures."""
+    from pgferry_spark.multimodal.ops import encode_png_gray, parse_png_meta
+
+    px = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    meta = parse_png_meta(encode_png_gray(w, h, px))
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["pixel_sum"] == sum(px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=8, max_value=32),
+    h=st.integers(min_value=8, max_value=24),
+    shift=st.integers(min_value=1, max_value=100),
+    data=st.data(),
+)
+def test_ahash_brightness_shift_invariant(w, h, shift, data):
+    """aHash must be EXACTLY invariant under a global brightness offset:
+    block_sum·npx > total·bpx  ⟺  (block_sum+c·bpx)·npx > (total+c·npx)·bpx
+    — the algebraic reason the comparison is exact integer math, held for
+    every image and every offset that doesn't clip."""
+    from pgferry_spark.multimodal.ops import ahash_bits
+
+    base = data.draw(
+        st.lists(st.integers(0, 255 - 100), min_size=w * h, max_size=w * h)
+    )
+    shifted = [p + shift for p in base]
+    assert ahash_bits(w, h, bytes(base)) == ahash_bits(
+        w, h, bytes(shifted)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_duration_exact(n, rate):
+    from pgferry_spark.multimodal.ops import encode_wav_pcm16, parse_wav_meta
+
+    meta = parse_wav_meta(encode_wav_pcm16([0] * n, sample_rate=rate))
+    assert meta["duration_ms"] == (n * 2 * 1000) // (rate * 2)
+    assert meta["sample_rate"] == rate
