@@ -1363,14 +1363,25 @@ def cross_corpus_near_dup(
             .drop("__n")
         )
         rb = rb.join(small, ["band_id", "band_hash"], "left_semi")
+    # persisted: consumed by the verify join AND the final left join —
+    # without it the two MinHash passes re-run per consumer
     cand = (
         lb.join(rb, ["band_id", "band_hash"])
         .select("left_id", "right_id")
         .distinct()
+        .persist()
     )
 
     def shingled(df, side):
-        g = _fan_out(df, id_col, force=True).select(
+        # shingle ONLY documents that appear in a candidate pair: the
+        # verify must be linear in candidates, never corpus-sized — at
+        # 100 TB exploding every corpus doc's grams to serve a few
+        # thousand candidate pairs is the dominant (and needless) cost
+        members = cand.select(
+            F.col(f"{side}_id").alias(id_col)
+        ).distinct()
+        pruned = df.join(members, on=id_col, how="left_semi")
+        g = _fan_out(pruned, id_col, force=True).select(
             F.col(id_col).alias(f"{side}_id"),
             ngram_set(F.col(content_col), n).alias("grams"),
         ).withColumn(f"n_{side}", F.size("grams"))
