@@ -162,6 +162,10 @@ def main() -> int:
         ).alias("text"),
     )
     _lsh_warm(_tiny, "text", "doc_id", 12, 4, 3, hash_fn="xxhash64").count()
+    # the md5 twin JITs different leaf expressions (md5+conv chain) — warm
+    # it too so the first md5-family query (cross_corpus_near_dup) doesn't
+    # absorb the one-time C2 bill
+    _lsh_warm(_tiny, "text", "doc_id", 12, 4, 3, hash_fn="md5").count()
     # same treatment for the two Arrow-UDF families (blocked-GEMM cosine,
     # simhash bit vote): their first execution pays Arrow serializer +
     # worker-side import setup per core

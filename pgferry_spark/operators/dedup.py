@@ -132,8 +132,16 @@ def _minhash_agg(
         md5g = F.md5(F.col("gram"))
         h1 = F.conv(F.substring(md5g, 1, 14), 16, 10).cast("long")
         h2 = F.conv(F.substring(md5g, 17, 14), 16, 10).cast("long")
-    grams = _fan_out(df, id_col, force=True).select(F.col(id_col), F.explode(arr).alias("gram")).select(
-        F.col(id_col), h1.alias("h1"), h2.alias("h2"),
+    # explode_outer, NOT explode: plain explode infers a pushable
+    # size(grams) > 0 predicate, and Catalyst clones the entire shingle
+    # construction into the pre-fan-out single-partition scan filter (the
+    # SCALE.md contamination_check pathology, observed here in the
+    # cross_corpus_near_dup plan audit). Null gram rows drop immediately.
+    grams = (
+        _fan_out(df, id_col, force=True)
+        .select(F.col(id_col), F.explode_outer(arr).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
     )
     mins = [
         F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
@@ -1385,9 +1393,15 @@ def cross_corpus_near_dup(
             F.col(id_col).alias(f"{side}_id"),
             ngram_set(F.col(content_col), n).alias("grams"),
         ).withColumn(f"n_{side}", F.size("grams"))
+        # explode_outer, NOT explode: plain explode infers a pushable
+        # size(grams) > 0 predicate and Catalyst clones the whole shingle
+        # construction into the pre-fan-out single-partition scan filter
+        # (the documented SCALE.md pathology — measured 4.5 s of the
+        # verify stage at sf0.1); the null rows drop right here instead
         return g.select(
-            f"{side}_id", f"n_{side}", F.explode("grams").alias("gram")
-        )
+            f"{side}_id", f"n_{side}",
+            F.explode_outer("grams").alias("gram"),
+        ).filter(F.col("gram").isNotNull())
 
     a = shingled(left, "left")
     b = shingled(right, "right")
