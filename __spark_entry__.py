@@ -1762,6 +1762,16 @@ def _image_near_dup(spark, sf):
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+def _negative_samples(spark, sf):
+    """Contrastive-training negative sampling: 4 deterministic pseudo-
+    random partner docs per anchor via md5 bucket routing + min-hash
+    pick — RNG-free, rerun-stable, candidate-linear join."""
+    from pgferry_spark.operators.curate import negative_samples
+
+    d = _t(spark, sf, "documents")
+    return negative_samples(d, "doc_id", k=4, n_buckets=64, seed=7)
+
+
 def _profile_orders(spark, sf):
     """ANALYZE-style per-column profile of the orders table: one
     aggregation pass computes rows/nulls/ndv/min/max for every column,
@@ -1956,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": _skew_profile,
         "cluster_safe_split": _cluster_safe_split,
         "profile_orders": _profile_orders,
+        "negative_samples": _negative_samples,
         "dsir_weights": _dsir_weights,
         # --- stalest first: r1 rows-only, then the r2-green family --------
         "minhash_buckets": _minhash_buckets,
@@ -3798,6 +3809,37 @@ def oracle_sql() -> dict[str, str]:
                   i -> substr(ba, i + 1, 1) <> substr(bb, i + 1, 1))) <= 3
         """,
         "profile_orders": _profile_orders_oracle(),
+        "negative_samples": """
+            WITH docs AS (
+              SELECT doc_id AS m,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS b
+              FROM documents
+            ),
+            anchors AS (
+              SELECT doc_id AS anchor_id, unnest(range(4)) AS neg_slot
+              FROM documents
+            ),
+            routed AS (
+              SELECT anchor_id, neg_slot,
+                     ('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '#'
+                                         || CAST(neg_slot AS VARCHAR) || '#7'),
+                                     1, 8))::BIGINT % 64 AS tb
+              FROM anchors
+            ),
+            cand AS (
+              SELECT r.anchor_id, r.neg_slot, d.m,
+                     md5(CAST(d.m AS VARCHAR) || '#' || CAST(r.anchor_id AS VARCHAR)
+                         || '#' || CAST(r.neg_slot AS VARCHAR)) AS pick
+              FROM routed r JOIN docs d ON d.b = r.tb
+              WHERE d.m <> r.anchor_id
+            )
+            SELECT anchor_id, CAST(neg_slot AS INT) AS neg_slot,
+                   m AS negative_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id, neg_slot
+                                               ORDER BY pick ASC, m ASC) AS rn
+                  FROM cand)
+            WHERE rn = 1
+        """,
         "skew_profile": """
             WITH c AS (
               SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey

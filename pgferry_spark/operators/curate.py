@@ -586,3 +586,83 @@ def cluster_safe_split(
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     ).drop("__cluster")
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    n_buckets: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    anchor document draws ``k`` pseudo-random partner documents —
+    ``(anchor_id, neg_slot, negative_id)`` — with NO RNG state: slot
+    ``j`` of anchor ``a`` lands in bucket ``md5(a#j#seed) % n_buckets``
+    and picks the member with the smallest ``md5(member#a#j)`` there.
+    Rerunning, backfilling, or re-sharding reproduces the exact same
+    pairs (the same engine-portability argument as ``dataset_split``),
+    and the md5 arithmetic replays verbatim in the SQL oracle.
+
+    Scale shape: documents bucket once (map-only); anchors explode ×k
+    and hash-equi-join their target bucket, so the intermediate is
+    ``k · N · (N / n_buckets)`` rows — set ``n_buckets ∝ N`` (bounded
+    bucket size) and the join is candidate-LINEAR, never N². One window
+    per (anchor, slot) picks the winner. A slot whose bucket contains
+    only the anchor itself yields no row (deterministic, documented —
+    callers needing exactly-k re-probe with a shifted seed)."""
+    b_of = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+    docs = df.select(F.col(id_col).alias("__m"), b_of.alias("__b"))
+    slots = F.array(*[F.lit(j) for j in range(k)])
+    anchors = df.select(
+        F.col(id_col).alias("anchor_id"), F.explode(slots).alias("neg_slot")
+    )
+    tgt = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("anchor_id").cast("string"),
+                        F.col("neg_slot").cast("string"),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+    cand = (
+        anchors.withColumn("__tb", tgt)
+        .join(docs, F.col("__tb") == F.col("__b"))
+        .filter(F.col("__m") != F.col("anchor_id"))
+    )
+    pick = F.md5(
+        F.concat_ws(
+            "#",
+            F.col("__m").cast("string"),
+            F.col("anchor_id").cast("string"),
+            F.col("neg_slot").cast("string"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor_id", "neg_slot").orderBy(
+        pick.asc(), F.col("__m").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("neg_slot").cast("int").alias("neg_slot"),
+            F.col("__m").alias("negative_id"),
+        )
+    )

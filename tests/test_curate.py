@@ -414,3 +414,33 @@ class TestClusterSafeSplit:
         assert 700 < got["train"] < 900
         assert 50 < got["val"] < 160
         assert 50 < got["test"] < 160
+
+
+class TestNegativeSamples:
+    def test_deterministic_no_self_k_slots(self, spark):
+        from pgferry_spark.operators.curate import negative_samples
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "doc_id: long")
+        a = {(r["anchor_id"], r["neg_slot"]): r["negative_id"]
+             for r in negative_samples(df, "doc_id", k=3, n_buckets=16).collect()}
+        b = {(r["anchor_id"], r["neg_slot"]): r["negative_id"]
+             for r in negative_samples(df, "doc_id", k=3, n_buckets=16).collect()}
+        assert a == b  # rerun-stable, no RNG state
+        assert all(neg != anc for (anc, _), neg in a.items())
+        # with 16 buckets over 100 docs every bucket is non-trivially
+        # populated: every anchor fills (almost) all 3 slots
+        per_anchor = {}
+        for (anc, _), _neg in a.items():
+            per_anchor[anc] = per_anchor.get(anc, 0) + 1
+        assert len(per_anchor) == 100
+        assert min(per_anchor.values()) >= 2
+
+    def test_seed_changes_pairs(self, spark):
+        from pgferry_spark.operators.curate import negative_samples
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "doc_id: long")
+        a = {(r["anchor_id"], r["neg_slot"], r["negative_id"])
+             for r in negative_samples(df, "doc_id", k=2, seed=1).collect()}
+        b = {(r["anchor_id"], r["neg_slot"], r["negative_id"])
+             for r in negative_samples(df, "doc_id", k=2, seed=2).collect()}
+        assert a != b

@@ -67,7 +67,8 @@ ROUND4_NEW = [
     "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans", "ivf_pq_rerank_topk",
     "knn_graph_capped", "image_meta_real", "image_ahash_real",
     "image_near_dup", "cross_corpus_near_dup", "skew_profile",
-    "cluster_safe_split", "profile_orders", "dsir_weights",
+    "cluster_safe_split", "profile_orders", "negative_samples",
+    "dsir_weights",
 ]
 
 # Rows-only by design: xxhash64 fast paths carry no SQL oracle (their md5
@@ -89,7 +90,7 @@ ROWS_ONLY = {
     "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans",
 }
 
-N_QUERIES = 169
+N_QUERIES = 170
 
 
 def test_unverified_family_inside_driver_window(entry_mod):
