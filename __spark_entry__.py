@@ -1762,6 +1762,19 @@ def _image_near_dup(spark, sf):
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+def _hard_negatives(spark, sf):
+    """Semi-hard negative mining for contrastive training: the kNN-graph
+    neighbors ranked 6-15 — similar enough to be informative, not so
+    close they're positives (the FaceNet semi-hard band). Pure
+    composition over the capped kNN graph; pairs with `negative_samples`
+    (uniform negatives) to build a full contrastive batch."""
+    from pgferry_spark.operators.similarity import knn_graph
+
+    e = _t(spark, sf, "embeddings")
+    g = knn_graph(e, "embedding", "vec_id", k=15, n_planes=24, bands=4, dim=64)
+    return g.filter(F.col("rank") >= 6)
+
+
 def _negative_samples(spark, sf):
     """Contrastive-training negative sampling: 4 deterministic pseudo-
     random partner docs per anchor via md5 bucket routing + min-hash
@@ -1967,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": _cluster_safe_split,
         "profile_orders": _profile_orders,
         "negative_samples": _negative_samples,
+        "hard_negatives": _hard_negatives,
         "dsir_weights": _dsir_weights,
         # --- stalest first: r1 rows-only, then the r2-green family --------
         "minhash_buckets": _minhash_buckets,
@@ -3762,6 +3776,15 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_capped": knn_edges_capped_cte + """
             SELECT src, dst, cosine_sim, CAST(rnk AS INT) AS rank
             FROM knn
+        """,
+        # same chain as knn_graph with the window widened to 15 and the
+        # semi-hard band cut applied on top
+        "hard_negatives": knn_edges_cte.replace(
+            "WHERE rnk <= 5", "WHERE rnk <= 15"
+        ) + """
+            SELECT src, dst, cosine_sim, CAST(rnk AS INT) AS rank
+            FROM knn
+            WHERE rnk >= 6
         """,
         # every column recomputed arithmetically from doc_id alone: a green
         # row proves the Spark side's REAL PNG encode->decode round trip

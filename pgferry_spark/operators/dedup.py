@@ -479,7 +479,7 @@ def embedding_near_dup_pairs(
                 B /= np.linalg.norm(B, axis=1, keepdims=True)
                 S = A @ B.T
                 # half-up rounding to 4 dp (np.round is half-to-even)
-                S = np.floor(S * 10_000 + np.where(S >= 0, 0.5, -0.5)) / 10_000
+                S = np.trunc(S * 10_000 + np.where(S >= 0, 0.5, -0.5)) / 10_000
                 ia, ib = np.nonzero(S >= threshold)
                 ka, kb = ida[ia], idb[ib]
                 if row.blk_a == row.blk_b:
@@ -563,7 +563,7 @@ def embedding_near_dup_pairs_lsh(
         V = np.array(list(pdf["v"]), dtype=np.float64)
         V /= np.linalg.norm(V, axis=1, keepdims=True)
         S = V @ V.T
-        S = np.floor(S * 10_000 + np.where(S >= 0, 0.5, -0.5)) / 10_000  # half-up 4dp
+        S = np.trunc(S * 10_000 + np.where(S >= 0, 0.5, -0.5)) / 10_000  # half-away 4dp
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = S[ia, ib] >= threshold
         ka, kb = ids[ia[keep]], ids[ib[keep]]
@@ -1052,7 +1052,7 @@ def semdedup(
         for a in range(0, n, gemm_block):
             b = min(a + gemm_block, n)
             S = V[a:b] @ V[:b].T
-            S = np.floor(S * 10_000 + np.where(S >= 0, 0.5, -0.5)) / 10_000
+            S = np.trunc(S * 10_000 + np.where(S >= 0, 0.5, -0.5)) / 10_000
             hit = S >= threshold
             # strict lower triangle relative to global positions
             local = np.arange(a, b)[:, None] > np.arange(b)[None, :]

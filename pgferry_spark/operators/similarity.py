@@ -342,7 +342,7 @@ def ivf_query_cell(centroids: list[list[float]], query: list[float]) -> int:
     best_cell, best_dot = 0, None
     for i, c in enumerate(centroids):
         d = float(np.dot(query, c))
-        d = math.floor(d * 10_000 + (0.5 if d >= 0 else -0.5)) / 10_000  # half-up 4dp
+        d = math.trunc(d * 10_000 + (0.5 if d >= 0 else -0.5)) / 10_000  # half-away 4dp
         if best_dot is None or d > best_dot:
             best_cell, best_dot = i, d
     return best_cell
@@ -794,7 +794,7 @@ def ivf_pq_index(
             ids = pdf["id"].to_numpy(dtype=np.int64)
             V = np.array(list(pdf["v"]), dtype=np.float64)
             dots = V @ C.T
-            dots = np.floor(dots * 10_000 + np.where(dots >= 0, 0.5, -0.5)) / 10_000
+            dots = np.trunc(dots * 10_000 + np.where(dots >= 0, 0.5, -0.5)) / 10_000
             cells = np.argmax(dots, axis=1).astype(np.int32)  # first max = lowest
             n = len(ids)
             codes = np.empty((n, len(books)), dtype=np.int32)
@@ -849,7 +849,7 @@ def ivf_query_cells(
     scored = []
     for i, c in enumerate(centroids):
         dd = float(np.dot(query, c))
-        dd = math.floor(dd * 10_000 + (0.5 if dd >= 0 else -0.5)) / 10_000
+        dd = math.trunc(dd * 10_000 + (0.5 if dd >= 0 else -0.5)) / 10_000
         scored.append((-dd, i))
     scored.sort()
     return [i for _, i in scored[:nprobe]]
@@ -1036,7 +1036,7 @@ def knn_graph(
         V = np.array(list(pdf["v"]), dtype=np.float64)
         V /= np.linalg.norm(V, axis=1, keepdims=True)
         S = V @ V.T
-        S = np.floor(S * 10_000 + np.where(S >= 0, 0.5, -0.5)) / 10_000  # half-up 4dp
+        S = np.trunc(S * 10_000 + np.where(S >= 0, 0.5, -0.5)) / 10_000  # half-away 4dp
         n = len(ids)
         src, dst = np.repeat(np.arange(n), n), np.tile(np.arange(n), n)
         keep = src != dst
