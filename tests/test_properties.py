@@ -199,3 +199,29 @@ def test_wav_duration_exact(n, rate):
     meta = parse_wav_meta(encode_wav_pcm16([0] * n, sample_rate=rate))
     assert meta["duration_ms"] == (n * 2 * 1000) // (rate * 2)
     assert meta["sample_rate"] == rate
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-300000, max_value=300000))
+def test_signed_4dp_rounding_matches_sql_round(micro):
+    """Regression guard for the round-4 signed-rounding fix: the Arrow/
+    driver formula trunc(y ± 0.5)/1e4 must equal the ORACLE ENGINE's
+    ROUND(x, 4) — half-away-from-zero applied to the binary double, the
+    thing both sides actually compute on — for positive AND negative
+    values. (floor(y − 0.5) rounded EVERY negative fraction away, not
+    just halves — the bug hard_negatives surfaced. And a Decimal-of-repr
+    reference would itself diverge: engines round the double, not the
+    decimal string.)"""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    x = micro / 1e5  # values with a 5th decimal digit, crossing zero
+    y = x * 10_000
+    got_np = float(np.trunc(y + (0.5 if y >= 0 else -0.5)) / 10_000)
+    got_py = math.trunc(y + (0.5 if y >= 0 else -0.5)) / 10_000
+    want = duckdb.execute(
+        "SELECT ROUND(CAST(? AS DOUBLE), 4)", [x]
+    ).fetchone()[0]
+    assert got_np == want and got_py == want
