@@ -1762,6 +1762,23 @@ def _image_near_dup(spark, sf):
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+def _margin_mine(spark, sf):
+    """Margin-based pair mining (the LASER/CCMatrix bitext recipe): every
+    10th embedding is the source set, the rest the target pool; banded
+    kNN joins both ways, margin = cos / mean-of-neighborhood-cosines,
+    threshold 1.02 — density-normalized pairing instead of a brittle
+    absolute-cosine cut."""
+    from pgferry_spark.operators.similarity import margin_mine
+
+    e = _t(spark, sf, "embeddings")
+    src = e.filter(F.col("vec_id") % 10 == 0)
+    tgt = e.filter(F.col("vec_id") % 10 != 0)
+    return margin_mine(
+        src, tgt, "embedding", "vec_id", k=5, threshold=1.02,
+        n_planes=24, bands=4, dim=64,
+    )
+
+
 def _hard_negatives(spark, sf):
     """Semi-hard negative mining for contrastive training: the kNN-graph
     neighbors ranked 6-15 — similar enough to be informative, not so
@@ -1981,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _profile_orders,
         "negative_samples": _negative_samples,
         "hard_negatives": _hard_negatives,
+        "margin_mine": _margin_mine,
         "dsir_weights": _dsir_weights,
         # --- stalest first: r1 rows-only, then the r2-green family --------
         "minhash_buckets": _minhash_buckets,
@@ -3939,6 +3957,44 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY cosine_sim DESC, corpus_id ASC) AS rnk
                   FROM scored)
             WHERE rnk <= 5
+        """,
+        # both kNN directions from one banded CTE; 4dp cosines average
+        # per side, margin = cos / mean-neighborhood, rounded at the edge
+        "margin_mine": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sig AS (SELECT vec_id, v, ({sig_terms(knn_planes)}) AS s FROM e),
+            bl AS (
+              SELECT vec_id, v, band_id, (s >> (band_id * 6)) & 63 AS band_val
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_id)
+            ),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+                              q.vec_id % 10 = 0 AS fwd_dir
+              FROM bl q JOIN bl c USING (band_id, band_val)
+              WHERE (q.vec_id % 10 = 0) <> (c.vec_id % 10 = 0)
+            ),
+            scored AS (
+              SELECT cd.qid, cd.cid, cd.fwd_dir,
+                     ROUND(list_dot_product(x.v, y.v)
+                           / (sqrt(list_dot_product(x.v, x.v))
+                              * sqrt(list_dot_product(y.v, y.v))), 4) AS cs
+              FROM cand cd
+              JOIN e x ON x.vec_id = cd.qid
+              JOIN e y ON y.vec_id = cd.cid
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY qid, fwd_dir
+                                           ORDER BY cs DESC, cid ASC) AS rnk
+              FROM scored
+            ),
+            fwd AS (SELECT qid, cid, cs FROM ranked WHERE fwd_dir AND rnk <= 5),
+            bwd AS (SELECT qid, cid, cs FROM ranked WHERE NOT fwd_dir AND rnk <= 5),
+            fa AS (SELECT qid, AVG(cs) AS a_fwd FROM fwd GROUP BY qid),
+            ba AS (SELECT qid AS cid, AVG(cs) AS a_bwd FROM bwd GROUP BY qid)
+            SELECT f.qid AS left_id, f.cid AS right_id, f.cs AS cosine_sim,
+                   ROUND(f.cs / ((fa.a_fwd + ba.a_bwd) / 2.0), 4) AS margin
+            FROM fwd f JOIN fa ON fa.qid = f.qid JOIN ba ON ba.cid = f.cid
+            WHERE ROUND(f.cs / ((fa.a_fwd + ba.a_bwd) / 2.0), 4) >= 1.02
         """,
         # two unrolled personalized-propagation rounds over the same kNN
         # CTE: restart term reads the ORIGINAL seeds each round; only

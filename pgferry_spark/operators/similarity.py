@@ -741,6 +741,67 @@ def lsh_knn_join(
     )
 
 
+def margin_mine(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 1.05,
+    n_planes: int = 24,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix bitext recipe): candidate pairs come from the banded
+    two-table kNN join, and each is scored by the MARGIN —
+
+        margin(x, y) = cos(x, y) / ((avg_k cos(x, ·) + avg_k cos(·, y)) / 2)
+
+    — the ratio of the pair's similarity to the mean similarity of each
+    side's own neighborhood.  Absolute-cosine thresholds fail at corpus
+    scale because neighborhood density varies (a generic sentence is
+    close to everything); the margin normalizes by local density, which
+    is why it is the standard mined-bitext filter.  Returns
+    ``(left_id, right_id, cosine_sim, margin)`` for pairs with margin ≥
+    ``threshold``.
+
+    Scale shape: two banded kNN joins (forward and backward — candidates
+    linear in bucket collisions, never |L|×|R|), two k-row-bounded
+    per-id averages, and a broadcast-friendly join back onto the forward
+    pairs.  All cosines are 4dp-rounded before averaging so the oracle
+    replays them exactly; the margin rounds once at the edge."""
+    fwd = lsh_knn_join(
+        left, right, vec_col, id_col, k=k, n_planes=n_planes, bands=bands,
+        seed=seed, dim=dim,
+    )
+    bwd = lsh_knn_join(
+        right, left, vec_col, id_col, k=k, n_planes=n_planes, bands=bands,
+        seed=seed, dim=dim,
+    )
+    fa = fwd.groupBy("query_id").agg(F.avg("cosine_sim").alias("__a_fwd"))
+    ba = (
+        bwd.groupBy("query_id")
+        .agg(F.avg("cosine_sim").alias("__a_bwd"))
+        .withColumnRenamed("query_id", "corpus_id")
+    )
+    margin = F.round(
+        F.col("cosine_sim") / ((F.col("__a_fwd") + F.col("__a_bwd")) / 2.0), 4
+    )
+    return (
+        fwd.join(fa, "query_id")
+        .join(ba, "corpus_id")
+        .select(
+            F.col("query_id").alias("left_id"),
+            F.col("corpus_id").alias("right_id"),
+            "cosine_sim",
+            margin.alias("margin"),
+        )
+        .filter(F.col("margin") >= threshold)
+    )
+
+
 def ivf_pq_index(
     df: DataFrame,
     vec_col: str,

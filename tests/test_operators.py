@@ -695,3 +695,54 @@ class TestCrossCorpusNearDup:
         ).count()
         assert uncapped == 20
         assert capped == 0  # degenerate corpus buckets excluded
+
+
+class TestMarginMine:
+    def test_margin_normalizes_neighborhood_density(self, spark):
+        import numpy as np
+
+        from pgferry_spark.operators.similarity import margin_mine
+
+        rng = np.random.default_rng(13)
+        # a true pair: src 0 and tgt 100 are near-identical; everything
+        # else is generic noise living in a dense neighborhood
+        base = rng.normal(size=8)
+        src_rows = [(0, [float(x) for x in base + rng.normal(scale=1e-3, size=8)])]
+        src_rows += [(i, [float(x) for x in rng.normal(size=8)]) for i in range(1, 6)]
+        tgt_rows = [(100, [float(x) for x in base + rng.normal(scale=1e-3, size=8)])]
+        tgt_rows += [(100 + i, [float(x) for x in rng.normal(size=8)])
+                     for i in range(1, 12)]
+        src = spark.createDataFrame(src_rows, "vec_id: long, embedding: array<double>")
+        tgt = spark.createDataFrame(tgt_rows, "vec_id: long, embedding: array<double>")
+        out = {(r["left_id"], r["right_id"]): r
+               for r in margin_mine(src, tgt, "embedding", "vec_id", k=3,
+                                    threshold=1.0, n_planes=16, bands=8,
+                                    dim=8).collect()}
+        assert (0, 100) in out
+        true_pair = out[(0, 100)]
+        assert true_pair["cosine_sim"] > 0.999
+        # within anchor 0's own neighborhood the true pair dominates by a
+        # wide margin (that's the per-anchor density normalization; global
+        # cross-anchor ordering is not what the score promises)
+        same_anchor = [r["margin"] for k, r in out.items()
+                       if k[0] == 0 and k != (0, 100)]
+        assert all(true_pair["margin"] > m + 0.2 for m in same_anchor)
+        assert true_pair["margin"] > 1.2
+
+    def test_threshold_filters(self, spark):
+        import numpy as np
+
+        from pgferry_spark.operators.similarity import margin_mine
+
+        rng = np.random.default_rng(3)
+        src = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in range(4)],
+            "vec_id: long, embedding: array<double>")
+        tgt = spark.createDataFrame(
+            [(10 + i, [float(x) for x in rng.normal(size=8)]) for i in range(8)],
+            "vec_id: long, embedding: array<double>")
+        lo = margin_mine(src, tgt, "embedding", "vec_id", k=3, threshold=0.0,
+                         n_planes=16, bands=8, dim=8).count()
+        hi = margin_mine(src, tgt, "embedding", "vec_id", k=3, threshold=99.0,
+                         n_planes=16, bands=8, dim=8).count()
+        assert lo > 0 and hi == 0
