@@ -2338,7 +2338,8 @@ def oracle_sql() -> dict[str, str]:
             f"list_sum(flatten(list_transform("
             f"range(({by}*h)//8, ({by + 1}*h)//8), "
             f"y -> list_transform(range(({bx}*w)//8, ({bx + 1}*w)//8), "
-            f"x -> (x + 3*y + {key}) % 251))))"
+            f"x -> ('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' || "
+            f"CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::BIGINT))))"
         )
         bpx = (
             f"((({by + 1}*h)//8 - ({by}*h)//8)"
@@ -3814,7 +3815,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT doc_id, w, h,
                          CAST(list_sum(flatten(list_transform(range(0, h),
                                y -> list_transform(range(0, w),
-                                    x -> (x + 3 * y + doc_id) % 251)))) AS BIGINT) AS ts
+                                    x -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::BIGINT)))) AS BIGINT) AS ts
                   FROM d),
             bits AS (SELECT doc_id, concat({ahash_concat}) AS ahash_bits FROM t)
             SELECT CAST(doc_id AS BIGINT) AS media_id, ahash_bits,
@@ -3829,7 +3830,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT doc_id, c, w, h,
                          CAST(list_sum(flatten(list_transform(range(0, h),
                                y -> list_transform(range(0, w),
-                                    x -> (x + 3 * y + c) % 251)))) AS BIGINT) AS ts
+                                    x -> ('0x' || substr(md5(CAST(c AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::BIGINT)))) AS BIGINT) AS ts
                   FROM g),
             bits AS (SELECT doc_id, concat({_ahash_concat("c")}) AS b FROM t),
             bl AS (SELECT doc_id, b, band_id,
@@ -3927,7 +3928,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(flatten(list_transform(
                          range(0, 8 + doc_id % 8),
                          y -> list_transform(range(0, 8 + doc_id % 16),
-                                             x -> (x + 3 * y + doc_id) % 251)
+                                             x -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::BIGINT)
                        ))) AS BIGINT) AS pixel_sum
             FROM documents
         """,

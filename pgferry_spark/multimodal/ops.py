@@ -274,14 +274,19 @@ def attach_real_images(df: DataFrame, id_col: str, content_col=None) -> DataFram
     (Arrow-batched :func:`encode_png_gray` in the executors): with
     content key ``c`` (default the id itself), the image is
     ``(8 + c%16) × (8 + c%8)`` 8-bit grayscale with pixel ``(x, y) =
-    (x + 3y + c) mod 251``.  The in-repo stand-in for reading a media
-    lake — every payload is a spec-conformant PNG, and because the pixel
-    law is pure arithmetic the downstream REAL decodes
-    (:func:`image_meta_real`, :func:`image_ahash`) are verifiable by
-    ANSI-SQL oracles that recompute the expected values from the key
-    alone.  Pass ``content_col`` (a Column, e.g. ``id // 3``) to give
-    several ids IDENTICAL images — the duplicate structure the near-dup
-    operators need test data for."""
+    first byte of md5("c:x:y")``.  The in-repo stand-in for reading a
+    media lake — every payload is a spec-conformant PNG, and because the
+    pixel law is a pure md5 function of the key the downstream REAL
+    decodes (:func:`image_meta_real`, :func:`image_ahash`) are
+    verifiable by ANSI-SQL oracles that recompute the expected values
+    from the key alone.  md5 pixels (not an arithmetic ramp) on purpose:
+    aHash is exactly brightness-shift invariant and coarse on linear
+    gradients, so ramp-law images collapsed onto a handful of mosaics
+    and the near-dup graph went quadratic (measured 5M pairs at sf0.1);
+    pseudo-random pixels put unrelated keys at hamming ≈ 32 so only
+    engineered twins pair.  Pass ``content_col`` (a Column, e.g.
+    ``id // 3``) to give several ids IDENTICAL images — the duplicate
+    structure the near-dup operators need test data for."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -290,7 +295,8 @@ def attach_real_images(df: DataFrame, id_col: str, content_col=None) -> DataFram
                 c = int(c)
                 w, h = 8 + c % 16, 8 + c % 8
                 px = bytes(
-                    (x + 3 * y + c) % 251 for y in range(h) for x in range(w)
+                    hashlib.md5(f"{c}:{x}:{y}".encode()).digest()[0]
+                    for y in range(h) for x in range(w)
                 )
                 payloads.append(encode_png_gray(w, h, px))
             yield pd.DataFrame(

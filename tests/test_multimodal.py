@@ -156,7 +156,9 @@ def test_attach_real_images_decode_on_spark(spark):
     assert len(meta) == 40
     for i in range(40):
         w, h = 8 + i % 16, 8 + i % 8
-        expect = sum((x + 3 * y + i) % 251 for y in range(h) for x in range(w))
+        import hashlib as _h
+        expect = sum(_h.md5(f"{i}:{x}:{y}".encode()).digest()[0]
+                     for y in range(h) for x in range(w))
         r = meta[i]
         assert (r["width"], r["height"]) == (w, h)
         assert r["bit_depth"] == 8 and r["color_type"] == 0
