@@ -353,6 +353,47 @@ def compression_ratio_stats(
     return out.withColumnRenamed("id", id_col)
 
 
+def dsir_feature_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, [carry...], __b) hashed unigram+bigram feature buckets — the
+    SHARED feature extractor of the batch trainer/scorer AND the
+    streaming admission gate, so ingest-time scores are calibrated
+    against the batch-trained distribution (one feature codebase, two
+    modes).  ``carry`` rides extra columns through the explode (e.g.
+    the trainer's target flag) so no join-back is needed."""
+    extra = list(carry or [])
+    toks = fan_out(df, id_col).select(
+        F.col(id_col),
+        *[F.col(c) for c in extra],
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    grams = toks.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra],
+        F.explode_outer(
+            F.concat(
+                F.col("__toks"),
+                F.when(F.size("__toks") >= 2, F.transform(
+                    F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                    lambda t, i: F.concat_ws(
+                        " ", t, F.element_at(F.col("__toks"), i + 2)
+                    ),
+                )).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("__feat"),
+    ).filter(F.col("__feat").isNotNull())
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__feat")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+    return grams.select(F.col(id_col), *extra, bucket.alias("__b"))
+
+
 def dsir_importance_weights(
     df: DataFrame,
     text_col: str,
@@ -387,31 +428,10 @@ def dsir_importance_weights(
     centroid/codebook families. Bucket hashing is the md5-prefix trick
     (portable bit-for-bit to the SQL oracle); ln/mean round to 6dp at the
     edge per the unigram_logprob float rules."""
-    toks = fan_out(df, id_col).select(
-        F.col(id_col),
-        target_pred.cast("boolean").alias("__tgt"),
-        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    flagged = df.withColumn("__tgt", target_pred.cast("boolean"))
+    feats = dsir_feature_buckets(
+        flagged, text_col, id_col, n_buckets, carry=["__tgt"]
     )
-    grams = toks.select(
-        F.col(id_col),
-        F.col("__tgt"),
-        F.explode_outer(
-            F.concat(
-                F.col("__toks"),
-                F.when(F.size("__toks") >= 2, F.transform(
-                    F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
-                    lambda t, i: F.concat_ws(
-                        " ", t, F.element_at(F.col("__toks"), i + 2)
-                    ),
-                )).otherwise(F.array().cast("array<string>")),
-            )
-        ).alias("__feat"),
-    ).filter(F.col("__feat").isNotNull())
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__feat")), 1, 8), 16, 10)
-        .cast("long") % n_buckets
-    )
-    feats = grams.select(F.col(id_col), F.col("__tgt"), bucket.alias("__b"))
 
     dist = feats.groupBy("__b").agg(
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_cnt"),

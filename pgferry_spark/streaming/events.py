@@ -722,3 +722,52 @@ def decontaminate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dsir_gate_stream(
+    docs: DataFrame,
+    ratio_table: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    min_weight: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    query_name: str = "dsir_gate",
+):
+    """Streaming DSIR admission gate: arriving documents are scored
+    against a PRE-TRAINED hashed-feature log-ratio table (built once by
+    the batch :func:`~pgferry_spark.operators.filters.
+    dsir_importance_weights` run over the reference corpora) and only
+    documents whose mean log importance ratio clears ``min_weight``
+    reach ``sink(passed_df_with_weight, batch_id)`` — domain-targeted
+    ingestion instead of ingest-everything-filter-later.
+
+    ``ratio_table`` is ``(__b, __lr)`` — ≤ n_buckets rows, re-read each
+    micro-batch (a nightly re-train is picked up live, same posture as
+    the decontamination gate's corpus index).  foreachBatch so the
+    per-document mean is plain batch semantics; the scoring join is
+    broadcast-sized by construction."""
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..operators.filters import dsir_feature_buckets
+
+        scored = (
+            dsir_feature_buckets(batch_df, text_col, id_col, n_buckets)
+            .join(F.broadcast(ratio_table), "__b")
+            .groupBy(id_col)
+            .agg(F.round(F.avg("__lr"), 6).alias("dsir_weight"))
+            .filter(F.col("dsir_weight") >= min_weight)
+        )
+        passed = batch_df.join(scored, on=id_col)
+        sink(passed, batch_id)
+
+    return (
+        docs.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

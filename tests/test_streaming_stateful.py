@@ -264,3 +264,82 @@ class TestDecontaminateStream:
         # exact dup AND the lightly-edited near dup are both stopped (the
         # exact-fingerprint gate would have let 101 through); novel passes
         assert ids == [102]
+
+
+class TestDsirGateStream:
+    def test_only_target_lookalikes_admitted(self, spark, tmp_path):
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.operators.filters import (
+            dsir_feature_buckets, dsir_importance_weights,
+        )
+        from pgferry_spark.streaming.events import dsir_gate_stream
+
+        cook = "simmer the garlic butter sauce then whisk the cream slowly"
+        law = "the party of the first part shall indemnify the licensor"
+        train = spark.createDataFrame(
+            [(i, cook + f" variation {i}", True) for i in range(10)]
+            + [(100 + i, law + f" clause {i}", False) for i in range(10)],
+            "doc_id: long, text: string, is_tgt: boolean",
+        )
+        # train the ratio table ONCE (batch) and derive the broadcastable
+        # (__b, __lr) artifact the gate consumes: rebuild it exactly the
+        # way dsir_importance_weights does internally
+        n_buckets = 512
+        feats = dsir_feature_buckets(
+            train.withColumn("__tgt", F.col("is_tgt")), "text", "doc_id",
+            n_buckets, carry=["__tgt"],
+        )
+        dist = feats.groupBy("__b").agg(
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_cnt"),
+            F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("raw_cnt"),
+        )
+        totals = dist.agg(F.sum("tgt_cnt").alias("T"), F.sum("raw_cnt").alias("R"))
+        a, b = F.lit(1.0), F.lit(float(n_buckets))
+        ratio = dist.crossJoin(F.broadcast(totals)).select(
+            "__b",
+            (F.log((F.col("tgt_cnt") + a) / (F.col("T") + a * b))
+             - F.log((F.col("raw_cnt") + a) / (F.col("R") + a * b))).alias("__lr"),
+        )
+
+        ts = datetime.datetime(2026, 1, 1)
+        arrivals = spark.createDataFrame(
+            [(900, ts, "whisk garlic butter slowly"),      # cooking lookalike
+             (901, ts, "licensor shall indemnify party")], # legal lookalike
+            "doc_id: long, ts: timestamp, text: string",
+        )
+        src = str(tmp_path / "arrivals")
+        arrivals.write.parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).parquet(src)
+
+        passed: list = []
+
+        def sink(batch_df, batch_id):
+            passed.extend(batch_df.collect())
+
+        # threshold between the two lookalikes' batch scores, so the gate
+        # must reproduce the batch calibration to pass the test
+        batch_scores = {
+            r["doc_id"]: r["dsir_weight"]
+            for r in dsir_importance_weights(
+                train.unionByName(
+                    arrivals.select("doc_id", "text",
+                                    F.lit(False).alias("is_tgt"))
+                ),
+                "text", "doc_id", F.col("is_tgt"), n_buckets=n_buckets,
+            ).collect()
+        }
+        assert batch_scores[900] > batch_scores[901]
+        cut = (batch_scores[900] + batch_scores[901]) / 2
+
+        q = dsir_gate_stream(
+            stream, ratio, sink, str(tmp_path / "ckpt"), min_weight=cut,
+            n_buckets=n_buckets, query_name="t_dsir_gate",
+        )
+        q.awaitTermination()
+        assert [r["doc_id"] for r in passed] == [900]
+        assert passed[0]["dsir_weight"] > cut
