@@ -87,6 +87,8 @@ HEADLINE = [
     "image_meta_real",
     "dsir_weights",
     "cross_corpus_near_dup",
+    "margin_mine",
+    "negative_samples",
 ]
 
 

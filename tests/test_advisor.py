@@ -1,0 +1,59 @@
+"""Physical-plan advisor rules (plans/advisor.py) — pure arithmetic, the
+driver-side complement of profile_table/skew_profile."""
+
+import pytest
+
+from pgferry_spark.plans.advisor import (
+    DEFAULT_BROADCAST_THRESHOLD,
+    advise_join,
+    advise_shuffle_partitions,
+)
+
+
+class TestShufflePartitions:
+    def test_scales_with_volume(self):
+        small = advise_shuffle_partitions(1_000_000, 100, parallelism=32)
+        big = advise_shuffle_partitions(10_000_000_000, 100, parallelism=32)
+        assert small.shuffle_partitions == 32  # floor at parallelism
+        # 1 TB at 128 MiB -> ~7451, snapped to a multiple of 32
+        assert big.shuffle_partitions % 32 == 0
+        assert 7400 <= big.shuffle_partitions <= 7500
+
+    def test_snaps_to_full_waves(self):
+        a = advise_shuffle_partitions(50_000_000, 100, parallelism=32)
+        assert a.shuffle_partitions % 32 == 0
+
+    def test_clamps(self):
+        a = advise_shuffle_partitions(10**13, 1000, parallelism=32,
+                                      max_partitions=1000)
+        assert a.shuffle_partitions == 1000
+        assert "clamped" in a.reason
+
+    def test_rejects_negatives(self):
+        with pytest.raises(ValueError):
+            advise_shuffle_partitions(-1, 10)
+
+
+class TestJoinAdvice:
+    def test_small_side_broadcasts(self):
+        a = advise_join(10**9, 200, 10_000, 100)
+        assert a.strategy == "broadcast" and a.build_side == "right"
+        b = advise_join(10_000, 100, 10**9, 200)
+        assert b.strategy == "broadcast" and b.build_side == "left"
+
+    def test_balanced_big_sides_shuffle(self):
+        a = advise_join(10**9, 200, 10**9, 200, top_key_share=0.001)
+        assert a.strategy == "shuffle_hash" and a.salt_factor == 1
+
+    def test_skewed_key_salts(self):
+        a = advise_join(10**9, 200, 10**9, 200, top_key_share=0.25,
+                        parallelism=32)
+        assert a.strategy == "salted_shuffle"
+        assert a.salt_factor == 8  # 0.25 * 32
+        # heavier skew -> more salts, capped at parallelism
+        b = advise_join(10**9, 200, 10**9, 200, top_key_share=0.9,
+                        parallelism=32)
+        assert b.salt_factor == 29 or b.salt_factor == round(0.9 * 32)
+
+    def test_threshold_is_sparks_default(self):
+        assert DEFAULT_BROADCAST_THRESHOLD == 10 * 1024 * 1024
