@@ -203,12 +203,88 @@ def parse_wav_meta(payload: bytes) -> dict:
     }
 
 
+def parse_jpeg_meta(payload: bytes) -> dict:
+    """REAL JPEG header parse (stdlib only): walk the marker stream to the
+    first SOF0–SOF15 frame header and return ``width/height/precision/
+    n_components`` — the metadata a curation pass needs, extracted the
+    way ``file(1)``/exif tools do it.  Pixel DECODE (huffman+DCT) is a
+    codec this container doesn't have and this function doesn't claim."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI marker")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker desync at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", payload[pos + 4 : pos + 10]
+            )
+            return {
+                "width": width,
+                "height": height,
+                "precision": precision,
+                "n_components": ncomp,
+            }
+        if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+            break
+        pos += 2 + seglen
+    raise ValueError("no SOF frame header found")
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """REAL MP4/ISO-BMFF box parse (stdlib only): top-level box walk +
+    moov/mvhd descent for ``major_brand`` and exact ``duration_ms =
+    duration / timescale`` — the container metadata a video pipeline
+    keys frame-sampling on. Stream DECODE is out of scope (no codec in
+    this container)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp box)")
+    brand = payload[8:12].decode("ascii", "replace")
+    pos = 0
+    duration_ms = None
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        btype = payload[pos + 4 : pos + 8]
+        if size < 8:
+            raise ValueError(f"bad box size {size} at {pos}")
+        if btype == b"moov":
+            inner = pos + 8
+            end = pos + size
+            while inner + 8 <= end:
+                (isz,) = struct.unpack(">I", payload[inner : inner + 4])
+                if payload[inner + 4 : inner + 8] == b"mvhd":
+                    version = payload[inner + 8]
+                    if version == 1:
+                        timescale, duration = struct.unpack(
+                            ">IQ", payload[inner + 28 : inner + 40]
+                        )
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", payload[inner + 20 : inner + 28]
+                        )
+                    duration_ms = int(duration * 1000 // timescale)
+                    break
+                inner += max(isz, 8)
+        pos += size
+    if duration_ms is None:
+        raise ValueError("no moov/mvhd box found")
+    return {"major_brand": brand, "duration_ms": duration_ms}
+
+
 def _decode_bytes(payload: bytes) -> dict:
-    """Codec dispatch: REAL decode for PNG payloads (header + CRC + pixel
-    verification via :func:`parse_png_meta`); deterministic pseudo-metadata
-    for formats whose codecs aren't in this container (swap this fallback
-    for PIL/libav on a real cluster — the Spark-side plumbing is
-    format-agnostic)."""
+    """Codec dispatch: REAL metadata decode for PNG (header + CRC + pixel
+    verification), JPEG (SOF marker scan) and MP4 (mvhd box walk);
+    deterministic pseudo-metadata only for formats with neither a codec
+    nor a parseable header here (swap the fallback for PIL/libav on a
+    real cluster — the Spark-side plumbing is format-agnostic)."""
     if payload is None:
         return {"width": None, "height": None, "n_frames": None, "checksum": None}
     if payload[: len(PNG_SIG)] == PNG_SIG:
@@ -219,6 +295,34 @@ def _decode_bytes(payload: bytes) -> dict:
             "n_frames": 1,
             "checksum": format(meta["pixel_sum"], "016x"),
         }
+    # JPEG/MP4 magic is only 2-4 bytes, so arbitrary binary payloads can
+    # collide with it (1/65536 per doc for SOI — a real rate over a large
+    # corpus of opaque blobs); a payload that LOOKS like one but doesn't
+    # parse falls through to the deterministic fallback instead of
+    # failing the whole batch
+    if payload[:2] == b"\xff\xd8":
+        try:
+            meta = parse_jpeg_meta(payload)
+            return {
+                "width": meta["width"],
+                "height": meta["height"],
+                "n_frames": 1,
+                "checksum": hashlib.sha256(payload).hexdigest()[:16],
+            }
+        except ValueError:
+            pass
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        try:
+            meta = parse_mp4_meta(payload)
+            return {
+                "width": None,
+                "height": None,
+                # frame-sampling key: one "frame" per second of duration
+                "n_frames": max(1, meta["duration_ms"] // 1000),
+                "checksum": hashlib.sha256(payload).hexdigest()[:16],
+            }
+        except ValueError:
+            pass
     # hash the payload's hex form (not the raw bytes): same determinism, and
     # the fake metadata becomes reproducible in ANSI SQL (sha256 over VARCHAR)
     # so the correctness oracle can verify the full mapInPandas plumbing

@@ -274,3 +274,81 @@ def test_image_near_dup_band_divisibility_guard(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         image_near_dup_pairs(df, bands=5)
+
+
+def _tiny_jpeg(width: int, height: int) -> bytes:
+    """Craft a structurally-valid JPEG marker stream: SOI, APP0/JFIF, a
+    quant table, SOF0 with the given dimensions, SOS, EOI. Real marker
+    framing — exactly what parse_jpeg_meta walks."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)
+    sof = struct.pack(">BHHB", 8, height, width, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    out = b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00"
+    out += b"\xff\xd9"
+    return out
+
+
+def _tiny_mp4(duration_ms: int, timescale: int = 1000, version: int = 0) -> bytes:
+    import struct
+
+    ftyp = b"isom" + struct.pack(">I", 512) + b"isomiso2"
+    ftyp_box = struct.pack(">I", 8 + len(ftyp)) + b"ftyp" + ftyp
+    duration = duration_ms * timescale // 1000
+    if version == 1:
+        body = b"\x01\x00\x00\x00" + bytes(16) + struct.pack(">IQ", timescale, duration)
+    else:
+        body = b"\x00\x00\x00\x00" + bytes(8) + struct.pack(">II", timescale, duration)
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp_box + moov
+
+
+def test_jpeg_marker_parse_real():
+    import pytest
+
+    from pgferry_spark.multimodal.ops import parse_jpeg_meta
+
+    meta = parse_jpeg_meta(_tiny_jpeg(640, 480))
+    assert (meta["width"], meta["height"]) == (640, 480)
+    assert meta["precision"] == 8 and meta["n_components"] == 3
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg_meta(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError, match="no SOF"):
+        parse_jpeg_meta(b"\xff\xd8\xff\xd9")
+
+
+def test_mp4_box_parse_real():
+    import pytest
+
+    from pgferry_spark.multimodal.ops import parse_mp4_meta
+
+    for version, ts in [(0, 1000), (0, 90000), (1, 600)]:
+        meta = parse_mp4_meta(_tiny_mp4(2200, timescale=ts, version=version))
+        assert meta["duration_ms"] == 2200
+        assert meta["major_brand"] == "isom"
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_meta(b"RIFF....WAVE")
+
+
+def test_decode_bytes_sniffs_jpeg_and_mp4(spark):
+    from pgferry_spark.multimodal.ops import _decode_bytes, decode_image_meta
+
+    j = _decode_bytes(_tiny_jpeg(320, 200))
+    assert (j["width"], j["height"], j["n_frames"]) == (320, 200, 1)
+    m = _decode_bytes(_tiny_mp4(5500))
+    assert m["n_frames"] == 5  # one sampling frame per second
+    # and through the Spark mapInPandas path end to end
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(_tiny_jpeg(320, 200)), "image/jpeg", 0),
+         (2, "video", bytearray(_tiny_mp4(5500)), "video/mp4", 0)],
+        "media_id: long, media_type: string, payload: binary, mime: string, byte_len: long",
+    )
+    got = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (320, 200)
+    assert got[2]["n_frames"] == 5
