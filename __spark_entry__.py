@@ -1762,6 +1762,26 @@ def _image_near_dup(spark, sf):
     return image_near_dup_pairs(media, max_hamming=3, bands=4)
 
 
+def _curation_funnel(spark, sf):
+    """One-row run manifest of the curation DAG: survivors at every stage
+    (input → quality gate → dedup → split) counted in ONE pass with
+    conditional aggregates — the artifact a data team diffs across runs
+    to catch a filter suddenly eating a source."""
+    from pgferry_spark.operators.curate import curation_funnel
+
+    d = _t(spark, sf, "documents")
+    return curation_funnel(d, "text", "doc_id", min_quality=0.3)
+
+
+def _source_datasheet(spark, sf):
+    """Per-source mixture-design datasheet: docs, token volume, distinct
+    fingerprints, dup rate, mean quality — one aggregation shuffle."""
+    from pgferry_spark.operators.curate import source_datasheet
+
+    d = _t(spark, sf, "documents")
+    return source_datasheet(d, "text", "doc_id", "source")
+
+
 def _margin_mine(spark, sf):
     """Margin-based pair mining (the LASER/CCMatrix bitext recipe): every
     10th embedding is the source set, the rest the target pool; banded
@@ -1999,6 +2019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": _negative_samples,
         "hard_negatives": _hard_negatives,
         "margin_mine": _margin_mine,
+        "curation_funnel": _curation_funnel,
+        "source_datasheet": _source_datasheet,
         "dsir_weights": _dsir_weights,
         # --- stalest first: r1 rows-only, then the r2-green family --------
         "minhash_buckets": _minhash_buckets,
@@ -4178,6 +4200,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
                         AS INTEGER) AS shard
             FROM kept
+        """,
+        "curation_funnel": f"""
+            WITH s1 AS (
+              SELECT doc_id,
+                     regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+              FROM documents
+            ),
+            s2 AS (SELECT doc_id, regexp_replace(t, '{_PII_IPV4}', '<IP>', 'g') AS t FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(t, '{_PII_PHONE}', '<PHONE>', 'g') AS text FROM s2),
+            scored AS (
+              SELECT doc_id, text,
+                     ROUND(
+                       0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                                        / len({_TOKS}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - least(5.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                                                 / greatest(length(text), 1)), 1.0)), 4) AS quality
+              FROM s3
+            ),
+            fl AS (
+              SELECT doc_id, quality >= 0.3 AS pass,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+              FROM scored
+            ),
+            k AS (
+              SELECT *, min(CASE WHEN pass THEN doc_id END)
+                          OVER (PARTITION BY fp) AS keeper
+              FROM fl
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+                   CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+                   CAST(SUM(CASE WHEN pass AND doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+                   CAST(SUM(CASE WHEN pass AND doc_id = keeper AND b < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+                   CAST(SUM(CASE WHEN pass AND doc_id = keeper AND b >= 80 AND b < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+                   CAST(SUM(CASE WHEN pass AND doc_id = keeper AND b >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+            FROM k
+        """,
+        "source_datasheet": f"""
+            WITH per AS (
+              SELECT source,
+                     len({_TOKS}) AS ntok,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     (0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                                        / len({_TOKS}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - least(5.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                                                 / greatest(length(text), 1)), 1.0))) AS q
+              FROM documents
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_fps,
+                   ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+                   ROUND(AVG(q), 6) AS mean_quality
+            FROM per GROUP BY source
         """,
         "corpus_report": f"""
             SELECT CAST(count(*) AS BIGINT) AS docs,

@@ -666,3 +666,84 @@ def negative_samples(
             F.col("__m").alias("negative_id"),
         )
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_quality: float = 0.3,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Observability for :func:`curate_corpus`: ONE row counting survivors
+    at every stage of the curation DAG — ``(n_input, n_quality_pass,
+    n_after_dedup, n_train, n_val, n_test)`` — the run manifest a data
+    team reviews before shipping a corpus (and diffs across runs to
+    catch a filter suddenly eating 40% of a source).
+
+    Single pass: quality, fingerprint, and the dedup keeper flag (min id
+    per fingerprint AMONG quality passers — matching curate_corpus's
+    stage order exactly) compute as Column expressions + one window, and
+    every stage count is a conditional aggregate over the same rows. The
+    oracle replays all six counts from identical rules."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import fingerprint, pii_scrub, quality_score
+
+    scrubbed = df.withColumn("__t", pii_scrub(F.col(text_col)))
+    q = scrubbed.withColumn(
+        "__q", F.round(quality_score(F.col("__t")), 4)
+    ).withColumn("__pass", F.col("__q") >= min_quality)
+    fp = q.withColumn("__fp", fingerprint(F.col("__t")))
+    keep = F.min(F.when(F.col("__pass"), F.col(id_col))).over(
+        Window.partitionBy("__fp")
+    )
+    flagged = fp.withColumn(
+        "__kept", F.col("__pass") & (F.col(id_col) == keep)
+    )
+    b = split_bucket(F.col(id_col))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("__pass"), 1).otherwise(0)).alias("n_quality_pass"),
+        F.sum(F.when(F.col("__kept"), 1).otherwise(0)).alias("n_after_dedup"),
+        F.sum(
+            F.when(F.col("__kept") & (b < train_pct), 1).otherwise(0)
+        ).alias("n_train"),
+        F.sum(
+            F.when(
+                F.col("__kept") & (b >= train_pct) & (b < train_pct + val_pct),
+                1,
+            ).otherwise(0)
+        ).alias("n_val"),
+        F.sum(
+            F.when(F.col("__kept") & (b >= train_pct + val_pct), 1).otherwise(0)
+        ).alias("n_test"),
+    )
+
+
+def source_datasheet(
+    df: DataFrame, text_col: str, id_col: str, source_col: str
+) -> DataFrame:
+    """Per-source datasheet row — docs, token volume, distinct normalized
+    fingerprints, dup rate, mean quality — the table a mixture design
+    starts from (which sources carry weight, which need dedup, which are
+    junk). One aggregation shuffle on the source key; the per-row
+    token/quality/fingerprint work is map-only Column expressions."""
+    from ..functions.text import fingerprint, quality_score, tokens
+
+    per = df.select(
+        F.col(source_col),
+        F.size(tokens(F.col(text_col))).alias("__ntok"),
+        fingerprint(F.col(text_col)).alias("__fp"),
+        quality_score(F.col(text_col)).alias("__q"),
+    )
+    return per.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("__ntok").alias("total_tokens"),
+        F.count_distinct("__fp").alias("distinct_fps"),
+        F.round(
+            1.0 - F.count_distinct("__fp") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_rate"),
+        F.round(F.avg("__q"), 6).alias("mean_quality"),
+    )

@@ -444,3 +444,44 @@ class TestNegativeSamples:
         b = {(r["anchor_id"], r["neg_slot"], r["negative_id"])
              for r in negative_samples(df, "doc_id", k=2, seed=2).collect()}
         assert a != b
+
+
+class TestCurationFunnel:
+    def test_counts_agree_with_the_actual_dag(self, spark):
+        from pgferry_spark.operators.curate import curate_corpus, curation_funnel
+        from pgferry_spark.sources.parquet import read_parquet
+
+        d = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+        funnel = curation_funnel(d, "text", "doc_id", min_quality=0.3).first()
+        assert funnel["n_input"] == d.count()
+        assert funnel["n_input"] >= funnel["n_quality_pass"] >= funnel["n_after_dedup"]
+        # the funnel's dedup count IS the curated corpus size, and the
+        # splits partition it exactly
+        curated = curate_corpus(d, "text", "doc_id", min_quality=0.3)
+        assert funnel["n_after_dedup"] == curated.count()
+        assert (funnel["n_train"] + funnel["n_val"] + funnel["n_test"]
+                == funnel["n_after_dedup"])
+        splits = {r["split"]: r["count"]
+                  for r in curated.groupBy("split").count().collect()}
+        assert funnel["n_train"] == splits.get("train", 0)
+        assert funnel["n_val"] == splits.get("val", 0)
+        assert funnel["n_test"] == splits.get("test", 0)
+
+
+class TestSourceDatasheet:
+    def test_agrees_with_dup_rate_report(self, spark):
+        from pgferry_spark.operators.curate import source_datasheet
+        from pgferry_spark.operators.dedup import dup_rate_by_source
+        from pgferry_spark.sources.parquet import read_parquet
+
+        d = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+        sheet = {r["source"]: r
+                 for r in source_datasheet(d, "text", "doc_id", "source").collect()}
+        ref = {r["source"]: r
+               for r in dup_rate_by_source(d, "text", "doc_id", "source").collect()}
+        assert set(sheet) == set(ref)
+        for s in sheet:
+            assert sheet[s]["docs"] == ref[s]["docs"]
+            assert sheet[s]["dup_rate"] == ref[s]["dup_rate"]
+            assert sheet[s]["total_tokens"] > 0
+            assert 0.0 <= sheet[s]["mean_quality"] <= 1.0

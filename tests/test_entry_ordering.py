@@ -68,7 +68,8 @@ ROUND4_NEW = [
     "knn_graph_capped", "image_meta_real", "image_ahash_real",
     "image_near_dup", "cross_corpus_near_dup", "skew_profile",
     "cluster_safe_split", "profile_orders", "negative_samples",
-    "hard_negatives", "margin_mine", "dsir_weights",
+    "hard_negatives", "margin_mine", "curation_funnel",
+    "source_datasheet", "dsir_weights",
 ]
 
 # Rows-only by design: xxhash64 fast paths carry no SQL oracle (their md5
@@ -90,7 +91,7 @@ ROWS_ONLY = {
     "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans",
 }
 
-N_QUERIES = 172
+N_QUERIES = 174
 
 
 def test_unverified_family_inside_driver_window(entry_mod):
