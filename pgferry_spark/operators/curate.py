@@ -652,18 +652,19 @@ def negative_samples(
             F.col("neg_slot").cast("string"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("anchor_id", "neg_slot").orderBy(
-        pick.asc(), F.col("__m").asc()
-    )
+    # struct-MIN aggregate, not a row_number window: the winner per
+    # (anchor, slot) is min(pick, member), which partial aggregation
+    # shrinks map-side to one row per group per partition BEFORE the
+    # shuffle — the window form sorted the full k·N·bucket candidate
+    # stream through one exchange (measured 4 s -> ~1 s at sf0.1)
+    best = F.min(F.struct(pick.alias("p"), F.col("__m").alias("m")))
     return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        cand.groupBy("anchor_id", "neg_slot")
+        .agg(best.alias("__best"))
         .select(
             "anchor_id",
             F.col("neg_slot").cast("int").alias("neg_slot"),
-            F.col("__m").alias("negative_id"),
+            F.col("__best.m").alias("negative_id"),
         )
     )
 
