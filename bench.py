@@ -89,6 +89,8 @@ HEADLINE = [
     "cross_corpus_near_dup",
     "margin_mine",
     "negative_samples",
+    "curation_funnel",
+    "source_datasheet",
 ]
 
 
