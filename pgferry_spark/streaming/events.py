@@ -771,3 +771,43 @@ def dsir_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def psi_drift_monitor_stream(
+    stream_df: DataFrame,
+    baseline: DataFrame,
+    col: str,
+    sink,
+    checkpoint_dir: str,
+    alert_threshold: float = 0.25,
+    n_bins: int = 10,
+    query_name: str = "psi_monitor",
+):
+    """Streaming distribution-drift monitor — the third ingest guard
+    (dedup gates CONTENT, the DSIR gate gates DOMAIN, this one watches
+    DISTRIBUTION): every micro-batch computes its PSI against the fixed
+    baseline snapshot with the BATCH :func:`~pgferry_spark.plans.
+    validation.psi_drift` verbatim, and ``sink(batch_id, psi_row,
+    alerted)`` receives one scorecard row per batch with the standard
+    >0.25 action threshold applied.
+
+    The baseline is re-read per micro-batch (re-baselining after an
+    accepted shift needs no restart); per-batch cost is two bounded
+    histogram aggregates + an n_bins join — independent of how much
+    history the stream has seen, because the monitor is stateless by
+    design (state lives in the baseline table, not the stream)."""
+    from ..plans.validation import psi_drift
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        row = psi_drift(baseline, batch_df, col, n_bins=n_bins).first()
+        sink(batch_id, row, bool(row["psi"] > alert_threshold))
+
+    return (
+        stream_df.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

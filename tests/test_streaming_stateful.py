@@ -343,3 +343,48 @@ class TestDsirGateStream:
         q.awaitTermination()
         assert [r["doc_id"] for r in passed] == [900]
         assert passed[0]["dsir_weight"] > cut
+
+
+class TestPsiDriftMonitorStream:
+    def test_shifted_batch_alerts_stable_batch_does_not(self, spark, tmp_path):
+        import datetime
+
+        from pgferry_spark.streaming.events import psi_drift_monitor_stream
+
+        baseline = spark.createDataFrame(
+            [(float(i % 100),) for i in range(1000)], "v: double"
+        )
+        ts = datetime.datetime(2026, 1, 1)
+        # file 1: same distribution; file 2: shifted far right
+        stable = spark.createDataFrame(
+            [(i, ts, float((i * 7) % 100)) for i in range(500)],
+            "id: long, ts: timestamp, v: double",
+        )
+        shifted = spark.createDataFrame(
+            [(i, ts, 500.0 + i) for i in range(500)],
+            "id: long, ts: timestamp, v: double",
+        )
+        src = str(tmp_path / "batches")
+        stable.coalesce(1).write.parquet(src)
+        shifted.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("id long, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        results: list = []
+
+        def sink(batch_id, row, alerted):
+            results.append((row["psi"], alerted, row["n_new"]))
+
+        q = psi_drift_monitor_stream(
+            stream, baseline, "v", sink, str(tmp_path / "ckpt"),
+            alert_threshold=0.25, query_name="t_psi_monitor",
+        )
+        q.awaitTermination()
+        assert len(results) == 2
+        alerts = sorted(results)  # stable (low psi) first
+        assert alerts[0][1] is False and alerts[0][0] < 0.25
+        assert alerts[1][1] is True and alerts[1][0] > 0.25
+        assert all(n == 500 for _, _, n in results)
