@@ -1,12 +1,12 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01/r02/r03 each contain exactly 50
-keys equal to dict positions 1-50).  Round 4 rotates the window per the
-COVERAGE.md ledger: 49 never-driver-checked oracle-backed entries + 1
-r3-green canary; the never-checked leftovers sit at positions 51-61 (first
-in line for round 5), then this round's new entries, then the stale
-r1/r2-green family, then the r3-green family.  This test keeps that window
+__spark_entry__.queries() (CORRECTNESS_r01..r04 each contain exactly 50
+keys equal to dict positions 1-50).  Round 5 rotates the window per the
+COVERAGE.md ledger and tools/plan_rotation.py: the 26 entries no driver
+round has ever checked (11 round-3 leftovers + all 17 round-4 operators)
+sit at positions 1-26, the stalest driver-green family (r2) fills 27-48,
+and two r4-green canaries hold 49-50.  This test keeps that window
 arithmetic from silently regressing when entries are added or reordered.
 """
 
@@ -26,51 +26,38 @@ def entry_mod():
     return mod
 
 
-# Round-4 window: every entry here had NO driver correctness row as of
-# CORRECTNESS_r03 and carries a full SQL oracle (except the two bpe_*
-# rows-only-by-design entries the ledger promotes anyway).  These MUST sit
-# inside the driver's 50-row window this round.
-NEEDS_DRIVER_ROW = [
-    "span_dedup", "mixture_sample", "shard_manifest", "semdedup",
-    "pq_encode", "dup_rate_by_source", "knn_graph", "bpe_merges",
-    "bpe_encode", "user_funnel", "funnel_report", "chunk_documents",
-    "temperature_sample", "retention_cohorts", "transition_counts",
-    "weighted_sample", "json_key_profile", "audio_segments",
-    "name_match_pairs", "q16_adapted", "q20_adapted", "corpus_report",
-    "token_histogram", "curate_corpus", "tfidf_pairs",
-    "approx_quantile_flags", "last_touch_attribution", "inter_event_gaps",
-    "ivf_pq_topk", "ann_recall_ivfpq", "bigram_logprob", "q21_adapted",
-    "near_dup_verified", "rfm_features", "psi_drift", "trust_propagation",
-    "session_concurrency", "ann_recall_lsh", "cube_pricing", "zorder_keys",
-    "content_diff_summary", "name_match_verified", "debounce_events",
-    "ri_audit", "incremental_agg", "signal_percentiles", "lsh_knn_join",
-    "dedup_pair_recall", "minhash_pair_recall",
-]
-
-CANARIES = ["exact_dedup_groups"]
-
-# Never-checked leftovers that did not fit the 50-slot window: 7
-# oracle-backed entries whose close siblings are r3-green, then 4
-# rows-only entries whose maximum-achievable driver row is the weaker
-# rows-only check (simhash_near_pairs / ivf_kmeans_assign already HAVE
-# exactly that row from r3).  First in line for the round-5 window.
-PAST_WINDOW_NEXT = [
+# Round-5 window: every entry here had NO driver correctness row as of
+# CORRECTNESS_r04 (the 11 round-3 leftovers, then all 17 round-4
+# operators).  These MUST sit inside the driver's 50-row window this
+# round, in this order (never-checked first, planner-stable).
+NEVER_CHECKED = [
     "seasonal_anomalies", "containment_adjacent", "decayed_topk",
     "k_anonymity", "l_diversity", "q2_adapted", "q11_adapted",
-    "quality_classifier", "compression_ratio", "simhash_near_pairs",
-    "ivf_kmeans_assign",
+    "quality_classifier", "compression_ratio", "ivf_pq_kmeans_topk",
+    "ann_recall_ivfpq_kmeans", "ivf_pq_rerank_topk", "knn_graph_capped",
+    "image_meta_real", "image_ahash_real", "image_near_dup",
+    "cross_corpus_near_dup", "skew_profile", "cluster_safe_split",
+    "profile_orders", "negative_samples", "hard_negatives", "margin_mine",
+    "curation_funnel", "source_datasheet", "dsir_weights",
 ]
 
-# Entries added in round 4 (never checked; queue right behind the
-# leftovers so the round-5 rotation picks them up early).
-ROUND4_NEW = [
-    "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans", "ivf_pq_rerank_topk",
-    "knn_graph_capped", "image_meta_real", "image_ahash_real",
-    "image_near_dup", "cross_corpus_near_dup", "skew_profile",
-    "cluster_safe_split", "profile_orders", "negative_samples",
-    "hard_negatives", "margin_mine", "curation_funnel",
-    "source_datasheet", "dsir_weights",
+# Stalest driver-green family (last green in CORRECTNESS_r02): fills the
+# window behind the never-checked block.
+STALE_R2 = [
+    "q1_pricing_summary", "transform_uuid", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q10_returned_revenue",
+    "q12_priority_counts", "q17_small_quantity_revenue",
+    "q6_forecast_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
+    "q22_idle_customers", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q13_order_count_distribution",
+    "q15_top_supplier", "q18_large_volume_customers",
+    "top_order_per_customer", "big_order_customers",
+    "cheapest_supplier_per_part", "customer_set_ops",
 ]
+
+# r4-green sentinels: if these fail in CORRECTNESS_r05 the harness (not
+# the rotated-in entries) regressed.
+CANARIES = ["span_dedup", "exact_dedup_groups"]
 
 # Rows-only by design: xxhash64 fast paths carry no SQL oracle (their md5
 # twins do), and KMeans/LBFGS floats are iteration-order dependent.
@@ -94,21 +81,17 @@ ROWS_ONLY = {
 N_QUERIES = 174
 
 
-def test_unverified_family_inside_driver_window(entry_mod):
-    first50 = list(entry_mod.queries().keys())[:50]
-    missing = [q for q in NEEDS_DRIVER_ROW if q not in first50]
-    assert not missing, f"outside the driver's 50-row window: {missing}"
-
-
-def test_canaries_inside_window(entry_mod):
-    first50 = list(entry_mod.queries().keys())[:50]
-    assert all(c in first50 for c in CANARIES)
+def test_window_layout(entry_mod):
+    names = list(entry_mod.queries().keys())
+    assert names[:26] == NEVER_CHECKED
+    assert names[26:48] == STALE_R2
+    assert names[48:50] == CANARIES
 
 
 def test_window_exactly_filled(entry_mod):
-    # 49 + 1 == 50: no slot wasted, nothing needing a row pushed out.
+    # 26 + 22 + 2 == 50: no slot wasted, nothing needing a row pushed out.
     first50 = set(list(entry_mod.queries().keys())[:50])
-    assert first50 == set(NEEDS_DRIVER_ROW) | set(CANARIES)
+    assert first50 == set(NEVER_CHECKED) | set(STALE_R2) | set(CANARIES)
 
 
 def test_no_entries_lost_in_reorder(entry_mod):
@@ -117,17 +100,22 @@ def test_no_entries_lost_in_reorder(entry_mod):
     assert len(set(qs)) == N_QUERIES
 
 
-def test_leftovers_and_new_entries_sit_just_past_window(entry_mod):
-    # Never-checked leftovers then round-4 additions: positions 51-66,
-    # first in line for the round-5 rotation (and picked up first by any
-    # wider driver window).
-    names = list(entry_mod.queries().keys())
-    n = len(PAST_WINDOW_NEXT) + len(ROUND4_NEW)
-    assert names[50 : 50 + n] == PAST_WINDOW_NEXT + ROUND4_NEW
-
-
 def test_oracle_coverage_unchanged(entry_mod):
     qs = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
     assert oracles <= qs
     assert qs - oracles == ROWS_ONLY
+
+
+def test_rotation_planner_agrees(entry_mod):
+    """tools/plan_rotation.py (hash_match is True semantics) must agree
+    that the window contains every never-checked entry."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/plan_rotation.py", "50"],
+        capture_output=True, text=True,
+        cwd=str(_ENTRY.parent),
+    ).stdout
+    assert "WARNING" not in out

@@ -49,7 +49,7 @@ def last_green_round() -> dict[str, int]:
                 ok = (
                     row.get("err") is None
                     and row.get("rows_match")
-                    and row.get("hash_match") is not False
+                    and row.get("hash_match") is True
                 )
             if ok:
                 green[q] = max(green.get(q, 0), rnd)
