@@ -52,6 +52,17 @@ class MigrationConfig:
     workers: int = 0  # 0 -> min(cpu, 8); SQLite capped at 1
     index_workers: int = 0  # 0 -> inherit workers
     chunk_size: int = 100_000
+    # physical-plan advisor (plans/advisor.py): size the shuffle confs and
+    # broadcast the small FK parents from measured source stats before the
+    # movement phase. Skew is measured (one column-scan per big child FK)
+    # only for tables at least this many rows — small tables cannot
+    # produce a straggler reducer worth a diagnostic job.
+    advise: bool = True
+    advisor_skew_min_rows: int = 1_000_000
+    # 0 -> the advisor's defaults (Spark's 10 MiB broadcast threshold,
+    # 128 MiB shuffle partitions); overridable for tests and odd clusters
+    advisor_broadcast_threshold: int = 0
+    advisor_target_partition_bytes: int = 0
     # table selection
     include_tables: list[str] = field(default_factory=list)
     exclude_tables: list[str] = field(default_factory=list)

@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Protocol
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog.model import Schema, SourceObjects, Table
 from .config import MigrationConfig
@@ -112,6 +113,10 @@ class MigrationPipeline:
         # movement write, self-FK snapshot, parent anti-joins, and validation
         self._transformed_cache: dict[str, DataFrame] = {}
         self._cleaned_cache: dict[str, DataFrame] = {}
+        # advisor outputs: source row counts measured at plan time (reused by
+        # validation), parents whose FK anti-joins should broadcast
+        self._source_counts: dict[str, int] = {}
+        self._broadcast_parents: frozenset[str] = frozenset()
 
     # -- steps ---------------------------------------------------------------
 
@@ -188,6 +193,69 @@ class MigrationPipeline:
         lo, hi = self.source.min_max(table, src_name)
         return plan_table_chunks(table.pg_name, src_name, lo, hi, self.cfg.chunk_size)
 
+    def plan_advice(self, tables: list[Table]):
+        """Measure → advise → apply, before the movement phase (closes the
+        loop plans/advisor.py documents; reference analogue: the advisory
+        surface of plan.go:41-254).
+
+        Measurements: one ``COUNT(*)`` per table from the source (cached in
+        ``_source_counts`` so validation reuses it instead of re-counting),
+        row width estimated from declared column types, and — only for
+        children of at least ``advisor_skew_min_rows`` rows — a measured
+        ``skew_profile`` of each single-column FK key (one column-pruned
+        scan; below the threshold no reducer can straggle long enough to
+        justify the diagnostic job).
+
+        Application: ``spark.sql.shuffle.partitions`` sized for the largest
+        table, AQE skew-join confs turned on when a hot key was measured,
+        and the set of broadcast-sized FK parents recorded for
+        ``clean_orphans`` to hint."""
+        from .operators.skew import skew_profile
+        from .plans.advisor import TableStats, advise_migration, estimate_row_bytes
+
+        stats = []
+        for t in tables:
+            n = self.source.count(t)
+            self._source_counts[t.pg_name] = n
+            stats.append(TableStats(t.pg_name, n, estimate_row_bytes(t.columns)))
+        names = {s.name for s in stats}
+        edges = []
+        for t in tables:
+            for fk in t.foreign_keys:
+                if fk.ref_pg_table == t.pg_name or fk.ref_pg_table not in names:
+                    continue
+                share = 0.0
+                if (
+                    self._source_counts[t.pg_name] >= self.cfg.advisor_skew_min_rows
+                    and len(fk.columns) == 1
+                ):
+                    top = skew_profile(
+                        self.source.read_table(self.spark, t, None).select(fk.columns[0]),
+                        fk.columns[0], top=1,
+                    ).collect()
+                    if top:
+                        share = float(top[0]["share"])
+                edges.append((t.pg_name, fk.ref_pg_table, share))
+        from .plans.advisor import (
+            DEFAULT_BROADCAST_THRESHOLD, DEFAULT_TARGET_PARTITION_BYTES,
+        )
+
+        advice = advise_migration(
+            stats, edges,
+            parallelism=self.spark.sparkContext.defaultParallelism,
+            broadcast_threshold=(
+                self.cfg.advisor_broadcast_threshold or DEFAULT_BROADCAST_THRESHOLD
+            ),
+            target_partition_bytes=(
+                self.cfg.advisor_target_partition_bytes
+                or DEFAULT_TARGET_PARTITION_BYTES
+            ),
+        )
+        for k, v in advice.conf.items():
+            self.spark.conf.set(k, v)
+        self._broadcast_parents = advice.broadcast_parents
+        return advice
+
     def clean_orphans(
         self,
         df: DataFrame,
@@ -214,6 +282,10 @@ class MigrationPipeline:
             )
             if parent_df is None:
                 continue
+            if fk.ref_pg_table in self._broadcast_parents and fk.ref_pg_table != table.pg_name:
+                # advisor measured this parent under the broadcast threshold:
+                # ship it to every executor so the child never shuffles
+                parent_df = F.broadcast(parent_df)
             if fk.delete_rule.upper() == "SET NULL":
                 df = clean_orphans_set_null(df, parent_df, fk.columns, fk.ref_columns)
             else:
@@ -384,6 +456,10 @@ class MigrationPipeline:
         # must abort before the first spatial value hits the wire
         self.ensure_extensions(tables)
 
+        if self.cfg.advise and self.cfg.mode != "schema_only" and tables:
+            advice = self.plan_advice(tables)
+            report.advice = advice.report_dict()
+
         if self.cfg.mode != "data_only":
             self.create_schema_objects(tables)
 
@@ -435,6 +511,9 @@ class MigrationPipeline:
                         fk.ref_pg_table in parent_dfs or fk.ref_pg_table == t.pg_name
                         for fk in t.foreign_keys
                     ):
+                        # the advisor already counted this table at plan time
+                        if name in self._source_counts:
+                            return self._source_counts[name]
                         return self.source.count(t)
                     # FK tables: the expected count is the cleaned row count.
                     # A fresh complete run already computed it on the source

@@ -29,6 +29,9 @@ class PlanReport:
     generated_columns: list[dict] = field(default_factory=list)
     skipped_indexes: list[dict] = field(default_factory=list)
     collation_warnings: list[dict] = field(default_factory=list)
+    # physical-plan advisor output (plans/advisor.py RunAdvice.report_dict):
+    # applied session confs, broadcast-sized FK parents, per-edge join advice
+    advice: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2, sort_keys=True)
@@ -52,6 +55,19 @@ class PlanReport:
         section("Generated columns (values copied, expression dropped)", self.generated_columns)
         section("Skipped indexes", self.skipped_indexes)
         section("Collation warnings", self.collation_warnings)
+        if self.advice:
+            lines.append("")
+            lines.append("Physical-plan advice (measured):")
+            lines.append(
+                f"  - shuffle partitions: {self.advice.get('shuffle_partitions')}"
+                f" ({self.advice.get('partition_reason', '')})"
+            )
+            for k, v in sorted(self.advice.get("conf", {}).items()):
+                lines.append(f"  - conf {k} = {v}")
+            bp = self.advice.get("broadcast_parents") or []
+            lines.append(f"  - broadcast FK parents: {', '.join(bp) if bp else '(none)'}")
+            for edge, j in sorted(self.advice.get("joins", {}).items()):
+                lines.append(f"  - join {edge}: {j['strategy']} ({j['reason']})")
         return "\n".join(lines)
 
 
