@@ -253,13 +253,30 @@ def parse_mp4_meta(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         (size,) = struct.unpack(">I", payload[pos : pos + 4])
         btype = payload[pos + 4 : pos + 8]
-        if size < 8:
+        header = 8
+        if size == 1:
+            # 64-bit largesize follows the type — standard for >4 GiB mdat,
+            # exactly the case a 100 TB media lake hits
+            if pos + 16 > len(payload):
+                raise ValueError(f"truncated largesize box at {pos}")
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            header = 16
+        elif size == 0:
+            # box extends to end of file (legal for the final box)
+            size = len(payload) - pos
+        if size < header:
             raise ValueError(f"bad box size {size} at {pos}")
         if btype == b"moov":
-            inner = pos + 8
+            inner = pos + header
             end = pos + size
             while inner + 8 <= end:
                 (isz,) = struct.unpack(">I", payload[inner : inner + 4])
+                if isz == 0:  # inner box runs to the end of moov
+                    isz = end - inner
+                elif isz == 1:
+                    if inner + 16 > end:
+                        break
+                    (isz,) = struct.unpack(">Q", payload[inner + 8 : inner + 16])
                 if payload[inner + 4 : inner + 8] == b"mvhd":
                     version = payload[inner + 8]
                     if version == 1:
@@ -288,13 +305,20 @@ def _decode_bytes(payload: bytes) -> dict:
     if payload is None:
         return {"width": None, "height": None, "n_frames": None, "checksum": None}
     if payload[: len(PNG_SIG)] == PNG_SIG:
-        meta = parse_png_meta(payload)
-        return {
-            "width": meta["width"],
-            "height": meta["height"],
-            "n_frames": 1,
-            "checksum": format(meta["pixel_sum"], "016x"),
-        }
+        # real media lakes contain truncated/RGB/16-bit/interlaced PNGs this
+        # grayscale-qualifying decoder doesn't cover — they must degrade to
+        # the deterministic fallback (like the JPEG/MP4 branches), never
+        # fail the whole Arrow batch
+        try:
+            meta = parse_png_meta(payload)
+            return {
+                "width": meta["width"],
+                "height": meta["height"],
+                "n_frames": 1,
+                "checksum": format(meta["pixel_sum"], "016x"),
+            }
+        except (ValueError, struct.error, zlib.error, IndexError):
+            pass
     # JPEG/MP4 magic is only 2-4 bytes, so arbitrary binary payloads can
     # collide with it (1/65536 per doc for SOI — a real rate over a large
     # corpus of opaque blobs); a payload that LOOKS like one but doesn't
@@ -309,7 +333,7 @@ def _decode_bytes(payload: bytes) -> dict:
                 "n_frames": 1,
                 "checksum": hashlib.sha256(payload).hexdigest()[:16],
             }
-        except ValueError:
+        except (ValueError, struct.error, IndexError):
             pass
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         try:
@@ -321,7 +345,7 @@ def _decode_bytes(payload: bytes) -> dict:
                 "n_frames": max(1, meta["duration_ms"] // 1000),
                 "checksum": hashlib.sha256(payload).hexdigest()[:16],
             }
-        except ValueError:
+        except (ValueError, struct.error, IndexError):
             pass
     # hash the payload's hex form (not the raw bytes): same determinism, and
     # the fake metadata becomes reproducible in ANSI SQL (sha256 over VARCHAR)
@@ -533,7 +557,11 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
 
 
 def image_near_dup_pairs(
-    df: DataFrame, max_hamming: int = 3, bands: int = 4, grid: int = 8
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    grid: int = 8,
+    release_cache: bool = False,
 ) -> DataFrame:
     """Near-duplicate image pairs by banded perceptual hash: compute the
     64-bit aHash from REAL decoded pixels, split it into ``bands`` equal
@@ -551,7 +579,20 @@ def image_near_dup_pairs(
     per join side.  Scale shape mirrors the simhash family: candidates
     linear in bucket collisions, hot buckets implausible for perceptual
     hashes of non-degenerate corpora (an all-flat-image corpus should
-    be exact-deduped first)."""
+    be exact-deduped first).
+
+    ``release_cache=True`` materializes the pair list eagerly and
+    unpersists the hash table before returning (the looping-driver
+    posture); default False keeps the lazy, plan-assertable form with
+    the cache left to the caller/LRU."""
+    if grid * grid != 64:
+        # the band slicing below is written for a 64-bit hash; a different
+        # grid would silently read past the bit string and emit an empty
+        # (not wrong — EMPTY) join, which is worse than an error
+        raise ValueError(
+            f"banded near-dup needs a 64-bit hash: grid {grid} gives "
+            f"{grid * grid} bits"
+        )
     if 64 % bands:
         raise ValueError(f"64 bits not divisible into {bands} bands")
     width = 64 // bands
@@ -598,27 +639,107 @@ def image_near_dup_pairs(
         ),
         F.lit(0),
     )
-    return (
+    out = (
         cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    if release_cache:
+        # long-lived-driver posture: materialize the (small) pair list and
+        # free the decoded hash table immediately; see utils.checkpoint_release
+        from ..utils import checkpoint_release
+
+        return checkpoint_release(out, hashes)
+    return out
+
+
+def resize_pixels_nn(
+    width: int, height: int, pixels: bytes, max_dim: int
+) -> tuple[int, int, bytes]:
+    """Nearest-neighbor downsample of a row-major grayscale buffer to fit
+    ``max_dim`` on the longer side, aspect preserved; images already inside
+    the bound pass through untouched. Pure function — unit-testable without
+    Spark, Arrow-batched by :func:`resize_images`."""
+    longest = max(width, height)
+    if longest <= max_dim:
+        return width, height, pixels
+    new_w = max(1, round(width * max_dim / longest))
+    new_h = max(1, round(height * max_dim / longest))
+    out = bytearray(new_w * new_h)
+    for y in range(new_h):
+        sy = min(height - 1, (y * height) // new_h)
+        row = sy * width
+        for x in range(new_w):
+            out[y * new_w + x] = pixels[row + min(width - 1, (x * width) // new_w)]
+    return new_w, new_h, bytes(out)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("byte_len", LongType(), True),
+    ]
+)
 
 
 def resize_images(df: DataFrame, max_dim: int = 224) -> DataFrame:
-    """STUB resize: real impl transforms payload bytes; the stub rescales the
-    fake metadata only, preserving aspect ratio — the plumbing (column
-    carry-through, batch iteration) is the tested surface."""
-    meta = decode_image_meta(df)
-    scale = F.lit(max_dim) / F.greatest(F.col("width"), F.col("height"))
-    clamped = F.least(scale, F.lit(1.0))
-    return meta.select(
-        "media_id",
-        "media_type",
-        F.round(F.col("width") * clamped).cast("int").alias("width"),
-        F.round(F.col("height") * clamped).cast("int").alias("height"),
-        "n_frames",
-        "checksum",
-    )
+    """REAL image resize over Arrow batches: PNG payloads go through the
+    full decode (:func:`png_pixels`), a nearest-neighbor downsample to fit
+    ``max_dim`` on the longer side (:func:`resize_pixels_nn`), and a
+    re-encode (:func:`encode_png_gray`) — the output payload is a
+    spec-conformant PNG of the resized pixels, byte-identical to the input
+    when the image already fits. Payloads this container has no pixel
+    codec for (JPEG/MP4/opaque) keep the aspect-scaled metadata from
+    :func:`_decode_bytes` with a NULL payload — the quarantine marker a
+    downstream writer can route on (swap in PIL on a real cluster,
+    nothing else changes)."""
+    from ..utils import fan_out
+
+    df = fan_out(df, "media_id")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, payloads = [], [], []
+            for p in pdf["payload"]:
+                resized = None
+                if p is not None and p[: len(PNG_SIG)] == PNG_SIG:
+                    try:
+                        w, h, _, _, px = png_pixels(p)
+                        nw, nh, npx = resize_pixels_nn(w, h, px, max_dim)
+                        resized = (
+                            nw, nh,
+                            p if (nw, nh) == (w, h) else encode_png_gray(nw, nh, npx),
+                        )
+                    except (ValueError, struct.error, zlib.error, IndexError):
+                        resized = None
+                if resized is None:
+                    meta = _decode_bytes(p)
+                    w, h = meta["width"], meta["height"]
+                    if w is None:
+                        resized = (None, None, None)
+                    else:
+                        scale = min(1.0, max_dim / max(w, h))
+                        resized = (round(w * scale), round(h * scale), None)
+                widths.append(resized[0])
+                heights.append(resized[1])
+                payloads.append(resized[2])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "width": widths,
+                    "height": heights,
+                    "payload": payloads,
+                    "byte_len": [
+                        len(p) if p is not None else None for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(resize, schema=_RESIZE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 5) -> DataFrame:
@@ -661,12 +782,19 @@ def audio_segments(df: DataFrame, segment_ms: int = 5000) -> DataFrame:
             for p in pdf["payload"]:
                 if p is None:
                     durs.append(None)
-                elif p[:4] == b"RIFF":
-                    # REAL WAV: exact duration from the fmt/data chunks
-                    durs.append(parse_wav_meta(p)["duration_ms"])
-                else:
-                    digest = hashlib.sha256(p.hex().encode("ascii")).digest()
-                    durs.append(500 + int.from_bytes(digest[3:5], "big") % 30000)
+                    continue
+                if p[:4] == b"RIFF":
+                    # REAL WAV: exact duration from the fmt/data chunks. A
+                    # RIFF that is not a parseable WAVE (an AVI, a truncated
+                    # file) degrades to the deterministic fallback instead
+                    # of failing the whole Arrow batch
+                    try:
+                        durs.append(parse_wav_meta(p)["duration_ms"])
+                        continue
+                    except (ValueError, struct.error, ZeroDivisionError):
+                        pass
+                digest = hashlib.sha256(p.hex().encode("ascii")).digest()
+                durs.append(500 + int.from_bytes(digest[3:5], "big") % 30000)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].values, "duration_ms": durs}
             )

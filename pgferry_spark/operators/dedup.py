@@ -1335,6 +1335,7 @@ def cross_corpus_near_dup(
     min_jaccard: float = 0.5,
     hash_fn: str = "md5",
     max_bucket: int | None = None,
+    release_cache: bool = False,
 ) -> DataFrame:
     """TWO-TABLE near-duplicate detection — document-level train-vs-benchmark
     decontamination: MinHash-LSH candidates across ``left`` (the small set:
@@ -1356,7 +1357,14 @@ def cross_corpus_near_dup(
     At 100 TB the corpus bucket table is a once-built, bucketed-by-
     (band_id, band_hash) index the daily decontamination probe joins
     against — the same layout :func:`incremental_dedup` proves zero-
-    exchange reads for."""
+    exchange reads for.
+
+    ``release_cache=True`` closes the internal persist's scope: the result
+    is materialized eagerly (``utils.checkpoint_release``) and the
+    candidate cache is unpersisted before return — the posture for a
+    long-lived driver looping over many corpora. Default False keeps the
+    lazy plan (composable, plan-shape-assertable); then the cache lives
+    until the caller unpersists or ``spark.catalog.clearCache()``."""
     lb = lsh_bucket_table(
         left, content_col, id_col, num_hashes, bands, shingle, hash_fn
     ).withColumnRenamed(id_col, "left_id")
@@ -1417,7 +1425,7 @@ def cross_corpus_near_dup(
     scored = inter.select(
         "left_id", "right_id", F.round(jac, 4).alias("jaccard")
     )
-    return (
+    out = (
         cand.join(scored, on=["left_id", "right_id"], how="left")
         .select(
             "left_id", "right_id",
@@ -1425,3 +1433,8 @@ def cross_corpus_near_dup(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    if release_cache:
+        from ..utils import checkpoint_release
+
+        return checkpoint_release(out, cand)
+    return out

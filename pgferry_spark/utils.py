@@ -33,3 +33,25 @@ def fan_out(df: DataFrame, key_col: str, force: bool = False) -> DataFrame:
     if 0 < nfiles < default:
         return df.repartition(default, key_col)
     return df
+
+
+def checkpoint_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Materialize ``out`` eagerly via ``localCheckpoint`` and unpersist the
+    internal ``caches`` it was built from.
+
+    The persist-inside-an-operator pattern (bucket tables, hash tables
+    consumed by both sides of a self-join) leaks cache across calls: a
+    long-lived driver looping over corpora accumulates dead blocks until
+    LRU eviction thrashes. This helper closes the scope: the result's
+    lineage is truncated onto its own (result-sized) checkpoint blocks —
+    reclaimed by the ContextCleaner when the DataFrame is garbage
+    collected — and the big internal caches are released immediately.
+    The explicit-cache registry (CacheManager) ends the call empty.
+
+    Trade-off: the returned DataFrame is EAGER (the job runs here) and its
+    query plan collapses to a checkpoint scan — use the default lazy mode
+    when composing into a larger plan or asserting plan shapes."""
+    out = out.localCheckpoint(eager=True)
+    for df in caches:
+        df.unpersist()
+    return out
