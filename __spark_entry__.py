@@ -777,6 +777,29 @@ def _lsh_pairs(spark, sf):
     )
 
 
+def _lsh_pairs_capped(spark, sf):
+    """Production POSTURE of _lsh_pairs: hot-bucket cap ON (max_bucket=3,
+    below the max observed bucket at the test SFs so the drop path
+    executes). Rows-only like its uncapped sibling — the md5 twin
+    `lsh_candidate_pairs_md5_capped` replays the identical drop/keep rule
+    at the oracle gate."""
+    d = _t(spark, sf, "documents")
+    return dedup.lsh_candidate_pairs(
+        d, "text", "doc_id", num_hashes=12, bands=4, shingle=3,
+        hash_fn="xxhash64", max_bucket=3,
+    )
+
+
+def _lsh_pairs_md5_capped(spark, sf):
+    """Oracle-checkable twin of the capped production pairs: same
+    max_bucket=3 semi-join drop, md5 band hashes the SQL oracle replays
+    as GROUP BY ... HAVING COUNT(*) <= 3."""
+    d = _t(spark, sf, "documents")
+    return dedup.lsh_candidate_pairs(
+        d, "text", "doc_id", num_hashes=12, bands=4, shingle=3, max_bucket=3
+    )
+
+
 def _minhash_buckets_md5(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.lsh_bucket_table(d, "text", "doc_id", num_hashes=12, bands=4, shingle=3)
@@ -1089,10 +1112,59 @@ def _quality_classifier(spark, sf):
     d = _t(spark, sf, "documents")
     weak = d.select(
         "doc_id", "text",
-        (T.quality_score(F.col("text")) >= 0.5).cast("double").alias("label"),
+        # 0.8 ~ corpus median: balanced classes (0.5 is degenerate here —
+        # every synthetic doc clears it and LBFGS learns zero coefficients)
+        (T.quality_score(F.col("text")) >= 0.8).cast("double").alias("label"),
     )
     model = train_quality_classifier(weak, "text", "label")
     return score_quality(model, d, "text", "doc_id")
+
+
+def _weak_labels(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", "text",
+        # 0.8 ~ corpus median -> balanced weak labels at every test SF
+        (T.quality_score(F.col("text")) >= 0.8).cast("int").alias("label"),
+    )
+
+
+def _quality_twin_auc(spark, sf):
+    """ROC-AUC scorecard of the DETERMINISTIC hashed-BoW log-odds twin
+    (md5 buckets, Laplace-smoothed NB weights in integer micro-units)
+    against the weak heuristic labels — fully oracle-replayable, the
+    quantitative yardstick the float-bound LBFGS row is compared to
+    (`quality_classifier_auc`)."""
+    from pgferry_spark.operators.classify import (
+        auc_scorecard, hashed_log_odds_scores,
+    )
+
+    labeled = _weak_labels(spark, sf)
+    scores = hashed_log_odds_scores(
+        labeled, labeled, "text", "doc_id", "label"
+    )
+    joined = scores.join(labeled.select("doc_id", "label"), "doc_id")
+    return auc_scorecard(joined, "score_micro", "label")
+
+
+def _quality_classifier_auc(spark, sf):
+    """ROC-AUC scorecard of the LBFGS hashed-BoW classifier's prob_good
+    against the weak heuristic labels — the measured-quality row for the
+    rows-only `quality_classifier` (LBFGS floats), mirroring the IVFADC
+    `ann_recall_*` pattern. Compare to `quality_twin_auc` (deterministic
+    twin, oracle-green) for the quantitative gap."""
+    from pgferry_spark.operators.classify import (
+        auc_scorecard, score_quality, train_quality_classifier,
+    )
+
+    labeled = _weak_labels(spark, sf)
+    model = train_quality_classifier(
+        labeled.withColumn("label", F.col("label").cast("double")),
+        "text", "label",
+    )
+    scored = score_quality(model, labeled, "text", "doc_id")
+    joined = scored.join(labeled.select("doc_id", "label"), "doc_id")
+    return auc_scorecard(joined, "prob_good", "label")
 
 
 def _trust_propagation(spark, sf):
@@ -1872,6 +1944,23 @@ def _cross_corpus_near_dup(spark, sf):
     )
 
 
+def _cross_corpus_near_dup_capped(spark, sf):
+    """Production POSTURE of _cross_corpus_near_dup: corpus-side
+    hot-bucket cap ON (max_bucket=3 < max observed corpus bucket at the
+    test SFs, so dropped buckets exist at the gate). The oracle replays
+    the drop as HAVING COUNT(*) <= 3 over the corpus bucket counts."""
+    from pgferry_spark.operators.dedup import cross_corpus_near_dup
+
+    d = _t(spark, sf, "documents")
+    left = d.filter(F.col("doc_id") % 10 == 0)
+    right = d.filter(F.col("doc_id") % 10 != 0)
+    return cross_corpus_near_dup(
+        left, right, "text", "doc_id", min_jaccard=0.5, max_bucket=3
+    ).withColumnRenamed("left_id", "bench_id").withColumnRenamed(
+        "right_id", "corpus_id"
+    )
+
+
 def _dsir_weights(spark, sf):
     """DSIR-style hashed-n-gram importance weights against the English
     slice as the target domain: one tokenize pass, a ≤4096-row bucket
@@ -1959,6 +2048,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _curation_funnel,
         "source_datasheet": _source_datasheet,
         "dsir_weights": _dsir_weights,
+        # round-5 additions, also never checked: the capped production
+        # postures of the LSH/decontamination flagships
+        "lsh_candidate_pairs_capped": _lsh_pairs_capped,
+        "lsh_candidate_pairs_md5_capped": _lsh_pairs_md5_capped,
+        "cross_corpus_near_dup_capped": _cross_corpus_near_dup_capped,
+        "quality_twin_auc": _quality_twin_auc,
+        "quality_classifier_auc": _quality_classifier_auc,
         # --- positions 27-48: stalest driver-green family (r2) --------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -1977,15 +2073,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _q9,
         "q13_order_count_distribution": _q13,
         "q15_top_supplier": _q15,
+        # --- positions 49-50: r4-green canaries (harness regression
+        # sentinels per VERDICT r4 Next #1) ----------------------------
+        "span_dedup": _span_dedup,
+        "exact_dedup_groups": _exact_dedup,
+        # --- displaced by the round-5 capped additions: first of the
+        # beyond-window stale family
         "q18_large_volume_customers": _q18,
         "top_order_per_customer": _top_order,
         "big_order_customers": _big_orders,
         "cheapest_supplier_per_part": _cheapest_supplier,
         "customer_set_ops": _set_ops,
-        # --- positions 49-50: r4-green canaries (harness regression
-        # sentinels per VERDICT r4 Next #1) ----------------------------
-        "span_dedup": _span_dedup,
-        "exact_dedup_groups": _exact_dedup,
         # --- beyond the 50-entry window: stalest-first (r2, then r3,
         # then r4-green) — next in line for the round-6 rotation -------
         "sql_exists_subquery": _sql_surface,
@@ -3573,6 +3671,21 @@ def oracle_sql() -> dict[str, str]:
             FROM buckets a JOIN buckets b USING (band_id, band_hash)
             WHERE a.doc_id < b.doc_id
         """,
+        "lsh_candidate_pairs_md5_capped": minhash_cte
+        + """
+            , kept AS (
+              SELECT band_id, band_hash FROM buckets
+              GROUP BY 1, 2 HAVING COUNT(*) <= 3
+            ),
+            kb AS (
+              SELECT b.doc_id, b.band_id, b.band_hash
+              FROM buckets b
+              JOIN kept k ON b.band_id = k.band_id AND b.band_hash = k.band_hash
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM kb a JOIN kb b USING (band_id, band_hash)
+            WHERE a.doc_id < b.doc_id
+        """,
         "near_dup_verified": minhash_cte
         + """
             , cand AS (
@@ -3614,6 +3727,94 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
             FROM inter
             WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5
+        """,
+        "cross_corpus_near_dup_capped": minhash_cte
+        + """
+            , kept AS (
+              SELECT band_id, band_hash FROM buckets
+              WHERE doc_id % 10 <> 0
+              GROUP BY 1, 2 HAVING COUNT(*) <= 3
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS bench_id, r.doc_id AS corpus_id
+              FROM buckets l
+              JOIN buckets r USING (band_id, band_hash)
+              JOIN kept k ON r.band_id = k.band_id AND r.band_hash = k.band_hash
+              WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+            ),
+            jx AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM gr),
+            inter AS (
+              SELECT c.bench_id, c.corpus_id, COUNT(*) AS c,
+                     any_value(x.n) AS n_a, any_value(y.n) AS n_b
+              FROM cand c
+              JOIN jx x ON x.doc_id = c.bench_id
+              JOIN jx y ON y.doc_id = c.corpus_id AND y.gram = x.gram
+              GROUP BY c.bench_id, c.corpus_id
+            )
+            SELECT bench_id, corpus_id,
+                   ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
+            FROM inter
+            WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5
+        """,
+        "quality_twin_auc": f"""
+            WITH lab AS (
+              SELECT doc_id, text,
+                     CASE WHEN ROUND(
+                       0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                                        / len({_TOKS}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - least(5.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                                                 / greatest(length(text), 1)), 1.0)), 4) >= 0.8
+                     THEN 1 ELSE 0 END AS label
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, unnest({_LTOKS}) AS tok
+              FROM lab
+            ),
+            bk AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 14))::BIGINT % 4096 AS b
+              FROM tok
+            ),
+            cnt AS (
+              SELECT bk.b, SUM(l.label) AS pos, SUM(1 - l.label) AS neg
+              FROM bk JOIN lab l USING (doc_id) GROUP BY bk.b
+            ),
+            tot AS (SELECT SUM(pos) AS p, SUM(neg) AS n FROM cnt),
+            w AS (
+              SELECT b,
+                     CAST(ROUND((ln((pos + 1.0) / (p + 4096.0))
+                               - ln((neg + 1.0) / (n + 4096.0))) * 1e6) AS BIGINT) AS w
+              FROM cnt, tot
+            ),
+            ds AS (
+              SELECT bk.doc_id, SUM(w.w) AS sm
+              FROM bk JOIN w USING (b) GROUP BY bk.doc_id
+            ),
+            sc AS (
+              SELECT l.doc_id, COALESCE(ds.sm, 0) AS score_micro, l.label
+              FROM lab l LEFT JOIN ds USING (doc_id)
+            ),
+            agg AS (
+              SELECT score_micro AS s, SUM(label) AS np, COUNT(*) AS nt
+              FROM sc GROUP BY 1
+            ),
+            rk AS (
+              SELECT s, np, nt,
+                     COALESCE(SUM(nt) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM agg
+            ),
+            st AS (
+              SELECT SUM(np * (cum + (nt + 1) / 2.0)) AS rank_sum,
+                     SUM(np) AS npos, SUM(nt - np) AS nneg
+              FROM rk
+            )
+            SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+                   ROUND((rank_sum - npos * (npos + 1) / 2.0)
+                         / (npos * nneg), 6) AS auc
+            FROM st
         """,
         "minhash_pair_recall": minhash_cte
         + """

@@ -91,6 +91,23 @@ HEADLINE = [
     "negative_samples",
     "curation_funnel",
     "source_datasheet",
+    # round 5: capped production postures (VERDICT r4 ask #4) — the
+    # wall-clock evidence for the max_bucket configuration; drop stats
+    # land in BENCH_runs.json
+    "lsh_candidate_pairs_capped",
+    "cross_corpus_near_dup_capped",
+    # round 5: promote the oracle-green-but-unbenchmarked 51-61 family
+    # (VERDICT r4 ask #7) so the headline tracks the whole registry
+    "seasonal_anomalies",
+    "containment_adjacent",
+    "decayed_topk",
+    "k_anonymity",
+    "l_diversity",
+    "q2_adapted",
+    "q11_adapted",
+    "quality_classifier",
+    "compression_ratio",
+    "ivf_kmeans_assign",
 ]
 
 
@@ -230,10 +247,48 @@ def main() -> int:
     # JSON line and the line outgrew the driver's tail capture ("parsed":
     # null in BENCH_r03). The driver-facing line stays compact (medians +
     # total only) and is the LAST thing on stdout.
+    # drop-rate evidence for the capped bench rows (VERDICT r4 ask #4):
+    # how many buckets/rows the max_bucket=3 cap excludes at this SF
+    capped_drops = {}
+    try:
+        from pyspark.sql import functions as F2
+
+        from pgferry_spark.operators.dedup import lsh_bucket_table
+
+        docs = entry._t(spark, sf_dir, "documents")
+        for name, bdf in (
+            ("lsh_candidate_pairs_capped",
+             lsh_bucket_table(docs, "text", "doc_id", 12, 4, 3,
+                              hash_fn="xxhash64")),
+            ("cross_corpus_near_dup_capped",
+             lsh_bucket_table(docs.filter(F2.col("doc_id") % 10 != 0),
+                              "text", "doc_id", 12, 4, 3)),
+        ):
+            counts = bdf.groupBy("band_id", "band_hash").count()
+            row = counts.agg(
+                F2.count(F2.lit(1)).alias("n_buckets"),
+                F2.sum(F2.when(F2.col("count") > 3, 1).otherwise(0)).alias(
+                    "dropped_buckets"),
+                F2.sum(F2.when(F2.col("count") > 3, F2.col("count"))
+                       .otherwise(0)).alias("dropped_rows"),
+            ).collect()[0]
+            capped_drops[name] = {
+                "max_bucket": 3,
+                "n_buckets": row["n_buckets"],
+                "dropped_buckets": int(row["dropped_buckets"]),
+                "dropped_rows": int(row["dropped_rows"]),
+            }
+    except Exception as exc:  # stats must never sink the bench line
+        capped_drops = {"error": str(exc)}
+
     runs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_runs.json")
     with open(runs_path, "w") as fh:
-        json.dump({"runs": runs, "repeats": repeats, "sf": sf}, fh, indent=1)
+        json.dump(
+            {"runs": runs, "repeats": repeats, "sf": sf,
+             "capped_drop_stats": capped_drops},
+            fh, indent=1,
+        )
     sys.stdout.flush()
     print(
         json.dumps(

@@ -86,3 +86,125 @@ def score_quality(
         ).alias("prob_good"),
         F.col(model.getPredictionCol()).cast("int").alias("pred"),
     )
+
+
+def hashed_log_odds_scores(
+    labeled: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DETERMINISTIC twin of the LBFGS classifier: multinomial-NB log-odds
+    over md5-hashed token buckets.
+
+    Same feature space idea as :func:`train_quality_classifier` (hashed
+    bag-of-tokens, vocabulary-free) but the weights are a closed-form
+    Laplace-smoothed count ratio instead of iterative optimization —
+    bit-reproducible and ANSI-SQL replayable, so it carries the oracle
+    the float-bound model cannot (the ``ivf_pq_rerank_topk`` /
+    ``ivf_pq_kmeans_topk`` division of labor, applied to classification).
+
+    Per bucket ``b``: ``w_b = ln((pos_b+1)/(P+B)) - ln((neg_b+1)/(N+B))``
+    with pos/neg = class token counts from ``labeled``, P/N class totals,
+    B = ``n_buckets``. Weights are stored in integer MICRO-units
+    (round(w*1e6)) so document scores are exact integer sums — no
+    cross-engine float-accumulation drift in the oracle hash. Returns
+    ``(id, score_micro, score)`` for every row of ``df`` (token-free
+    docs score 0).
+
+    Scale shape: one token-bucket shuffle over the labeled frame builds a
+    ≤ ``n_buckets``-row weight table; scoring is a broadcast join + one
+    id-keyed aggregation — corpus pays one scan + one combine-heavy
+    shuffle, the same posture as ``dsir_importance_weights``."""
+    def bucketed(d: DataFrame):
+        toks = tokens(F.lower(F.col(text_col)))
+        return (
+            d.select(F.col(id_col), F.explode_outer(toks).alias("__tok"))
+            .filter(F.col("__tok").isNotNull())
+            .select(
+                id_col,
+                F.pmod(
+                    F.conv(F.substring(F.md5("__tok"), 1, 14), 16, 10).cast("long"),
+                    F.lit(int(n_buckets)),
+                ).alias("__b"),
+            )
+        )
+
+    counts = (
+        bucketed(labeled)
+        .join(labeled.select(id_col, F.col(label_col).cast("long").alias("__y")), id_col)
+        .groupBy("__b")
+        .agg(
+            F.sum("__y").alias("__pos"),
+            F.sum(F.lit(1) - F.col("__y")).alias("__neg"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("__pos").alias("__P"), F.sum("__neg").alias("__N")
+    )
+    b = float(n_buckets)
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        F.round(
+            (
+                F.log((F.col("__pos") + 1.0) / (F.col("__P") + b))
+                - F.log((F.col("__neg") + 1.0) / (F.col("__N") + b))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__w"),
+    )
+    doc_sums = (
+        bucketed(df)
+        .join(F.broadcast(weights), "__b")
+        .groupBy(id_col)
+        .agg(F.sum("__w").alias("score_micro"))
+    )
+    return (
+        df.select(id_col)
+        .join(doc_sums, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("score_micro"), F.lit(0)).cast("long").alias("score_micro"),
+        )
+        .withColumn("score", (F.col("score_micro") / 1e6))
+    )
+
+
+def auc_scorecard(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """One-row ROC-AUC scorecard ``(n_pos, n_neg, auc)`` via the
+    Mann-Whitney rank formulation with exact tie handling (average
+    ranks): AUC = (Σ_pos avg_rank − n_pos(n_pos+1)/2) / (n_pos·n_neg).
+
+    Distributed shape: one aggregation to the distinct-score table
+    (bounded by score cardinality, ≪ rows for integer-micro scores),
+    then a cumulative window over THAT table — the same k-row-window
+    posture as ``vocab_topk``'s coverage column, never a global
+    per-row rank over the corpus."""
+    from pyspark.sql import Window
+
+    agg = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("__np"),
+        F.count(F.lit(1)).alias("__nt"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = agg.withColumn(
+        "__cum", F.coalesce(F.sum("__nt").over(w), F.lit(0))
+    )
+    return ranked.agg(
+        F.sum("__np").cast("long").alias("n_pos"),
+        F.sum(F.col("__nt") - F.col("__np")).cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("__np") * (F.col("__cum") + (F.col("__nt") + 1) / 2.0))
+                - F.sum("__np") * (F.sum("__np") + 1) / 2.0
+            )
+            / (F.sum("__np") * F.sum(F.col("__nt") - F.col("__np"))),
+            6,
+        ).alias("auc"),
+    )

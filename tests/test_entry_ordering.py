@@ -28,7 +28,7 @@ def entry_mod():
 
 # Round-5 window: every entry here had NO driver correctness row as of
 # CORRECTNESS_r04 (the 11 round-3 leftovers, then all 17 round-4
-# operators).  These MUST sit inside the driver's 50-row window this
+# operators, plus the 3 round-5 capped additions).  These MUST sit inside the driver's 50-row window this
 # round, in this order (never-checked first, planner-stable).
 NEVER_CHECKED = [
     "seasonal_anomalies", "containment_adjacent", "decayed_topk",
@@ -39,6 +39,13 @@ NEVER_CHECKED = [
     "cross_corpus_near_dup", "skew_profile", "cluster_safe_split",
     "profile_orders", "negative_samples", "hard_negatives", "margin_mine",
     "curation_funnel", "source_datasheet", "dsir_weights",
+    # round-5 additions: capped production postures of the LSH /
+    # decontamination flagships (never checked by construction)
+    "lsh_candidate_pairs_capped", "lsh_candidate_pairs_md5_capped",
+    "cross_corpus_near_dup_capped",
+    # and the quality-classifier AUC scorecard pair: deterministic twin
+    # (oracle-green) + LBFGS measured row (rows-only)
+    "quality_twin_auc", "quality_classifier_auc",
 ]
 
 # Stalest driver-green family (last green in CORRECTNESS_r02): fills the
@@ -50,9 +57,7 @@ STALE_R2 = [
     "q6_forecast_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
     "q22_idle_customers", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q13_order_count_distribution",
-    "q15_top_supplier", "q18_large_volume_customers",
-    "top_order_per_customer", "big_order_customers",
-    "cheapest_supplier_per_part", "customer_set_ops",
+    "q15_top_supplier",
 ]
 
 # r4-green sentinels: if these fail in CORRECTNESS_r05 the harness (not
@@ -64,6 +69,9 @@ CANARIES = ["span_dedup", "exact_dedup_groups"]
 ROWS_ONLY = {
     "minhash_buckets", "lsh_candidate_pairs", "simhash_near_pairs",
     "ivf_kmeans_assign",
+    # capped xxhash64 production posture: rows-only like its uncapped
+    # sibling; lsh_candidate_pairs_md5_capped carries the oracle
+    "lsh_candidate_pairs_capped",
     # iterative greedy BPE learning is not SQL-expressible; pinned instead
     # by test_vocab's independent-reference equivalence
     "bpe_merges", "bpe_encode",
@@ -76,20 +84,23 @@ ROWS_ONLY = {
     # MLlib KMeans centroid floats are iteration-order sensitive; pinned by
     # the ann_recall_ivfpq_kmeans scorecard + test_ivfpq configuration tests
     "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans",
+    # LBFGS prob AUC inherits the float-boundness; quality_twin_auc is the
+    # oracle-green deterministic yardstick it is compared against
+    "quality_classifier_auc",
 }
 
-N_QUERIES = 174
+N_QUERIES = 179
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:26] == NEVER_CHECKED
-    assert names[26:48] == STALE_R2
+    assert names[:31] == NEVER_CHECKED
+    assert names[31:48] == STALE_R2
     assert names[48:50] == CANARIES
 
 
 def test_window_exactly_filled(entry_mod):
-    # 26 + 22 + 2 == 50: no slot wasted, nothing needing a row pushed out.
+    # 31 + 17 + 2 == 50: no slot wasted, nothing needing a row pushed out.
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEVER_CHECKED) | set(STALE_R2) | set(CANARIES)
 
