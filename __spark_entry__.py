@@ -1120,6 +1120,18 @@ def _quality_classifier(spark, sf):
     return score_quality(model, d, "text", "doc_id")
 
 
+def _boilerplate_ngrams(spark, sf):
+    """Corpus boilerplate profiler: top-50 3-grams by document frequency
+    (doc_freq >= 2) with corpus share — the diagnostic that finds the
+    repeated phrases (headers, templates, licenses) that inflate LSH
+    buckets and leak across splits. Deterministic (doc_freq desc, ngram
+    asc) tie-break; one gram-keyed aggregate."""
+    from pgferry_spark.functions.text import ngram_topk
+
+    d = _t(spark, sf, "documents")
+    return ngram_topk(d, "text", "doc_id", n=3, k=50, min_doc_freq=2)
+
+
 def _weak_labels(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -2055,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_near_dup_capped": _cross_corpus_near_dup_capped,
         "quality_twin_auc": _quality_twin_auc,
         "quality_classifier_auc": _quality_classifier_auc,
+        "boilerplate_ngrams": _boilerplate_ngrams,
         # --- positions 27-48: stalest driver-green family (r2) --------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2072,13 +2085,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8,
         "q9_product_profit": _q9,
         "q13_order_count_distribution": _q13,
-        "q15_top_supplier": _q15,
         # --- positions 49-50: r4-green canaries (harness regression
         # sentinels per VERDICT r4 Next #1) ----------------------------
         "span_dedup": _span_dedup,
         "exact_dedup_groups": _exact_dedup,
         # --- displaced by the round-5 capped additions: first of the
         # beyond-window stale family
+        "q15_top_supplier": _q15,
         "q18_large_volume_customers": _q18,
         "top_order_per_customer": _top_order,
         "big_order_customers": _big_orders,
@@ -3755,6 +3768,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
             FROM inter
             WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5
+        """,
+        "boilerplate_ngrams": f"""
+            WITH tk AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+            gr AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(toks) < 3 THEN []
+                          ELSE list_transform(range(len(toks) - 2),
+                                              i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                     END) AS grams
+              FROM tk
+            ),
+            ex AS (SELECT doc_id, unnest(grams) AS ngram FROM gr),
+            cnt AS (SELECT ngram, COUNT(*) AS doc_freq FROM ex GROUP BY 1),
+            top AS (
+              SELECT ngram, doc_freq FROM cnt WHERE doc_freq >= 2
+              ORDER BY doc_freq DESC, ngram ASC LIMIT 50
+            ),
+            tot AS (SELECT COUNT(*) AS nd FROM documents)
+            SELECT ngram, doc_freq,
+                   ROUND(CAST(doc_freq AS DOUBLE) / nd, 6) AS doc_share
+            FROM top, tot
         """,
         "quality_twin_auc": f"""
             WITH lab AS (

@@ -437,3 +437,43 @@ def chunk_documents(
             F.size("__c").cast("int").alias("n_tokens"),
         )
     )
+
+
+def ngram_topk(df, text_col: str, id_col: str, n: int = 3, k: int = 50,
+               min_doc_freq: int = 2):
+    """Corpus boilerplate / contamination profiler: the ``k`` word
+    n-grams shared by the most documents, with document frequency and
+    corpus share — the n-gram sibling of :func:`vocab_topk` and the
+    first diagnostic a span-dedup / contamination pass runs ("which
+    phrases repeat across the corpus, and how widely?"). High-doc-share
+    n-grams are boilerplate (headers, licenses, templates) that inflate
+    LSH buckets and leak across train/test splits.
+
+    Scale shape: per-doc DISTINCT shingles (one HOF transform — doc
+    frequency needs membership, not multiplicity) → explode → one
+    gram-keyed count aggregate (map-side combined, shuffle at distinct-
+    gram cardinality) → TakeOrdered top-k with a deterministic
+    (doc_freq desc, ngram asc) tie-break; the doc total rides along as
+    a 1-row broadcast. ``min_doc_freq`` prunes the singleton tail
+    before the TakeOrdered."""
+    from ..operators.dedup import ngram_set
+    from ..utils import fan_out
+
+    grams = (
+        fan_out(df, id_col)
+        .select(F.explode_outer(ngram_set(F.col(text_col), n)).alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    total = df.agg(F.count(F.lit(1)).alias("__nd"))
+    return (
+        counts.filter(F.col("doc_freq") >= min_doc_freq)
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ngram",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("__nd"), 6).alias("doc_share"),
+        )
+    )

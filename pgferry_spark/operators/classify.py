@@ -118,22 +118,44 @@ def hashed_log_odds_scores(
     ≤ ``n_buckets``-row weight table; scoring is a broadcast join + one
     id-keyed aggregation — corpus pays one scan + one combine-heavy
     shuffle, the same posture as ``dsir_importance_weights``."""
-    def bucketed(d: DataFrame):
-        toks = tokens(F.lower(F.col(text_col)))
-        return (
-            d.select(F.col(id_col), F.explode_outer(toks).alias("__tok"))
-            .filter(F.col("__tok").isNotNull())
-            .select(
-                id_col,
-                F.pmod(
-                    F.conv(F.substring(F.md5("__tok"), 1, 14), 16, 10).cast("long"),
-                    F.lit(int(n_buckets)),
-                ).alias("__b"),
-            )
-        )
+    weights = hashed_log_odds_weights(
+        labeled, text_col, id_col, label_col, n_buckets
+    )
+    return score_with_log_odds(df, weights, text_col, id_col, n_buckets)
 
+
+def _token_buckets(d: DataFrame, text_col: str, id_col: str, n_buckets: int):
+    """(id, __b) rows: md5-hashed token buckets — the shared feature
+    extractor for weight training, batch scoring, and the streaming
+    quality gate (one feature codebase, every execution mode)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    return (
+        d.select(F.col(id_col), F.explode_outer(toks).alias("__tok"))
+        .filter(F.col("__tok").isNotNull())
+        .select(
+            id_col,
+            F.pmod(
+                F.conv(F.substring(F.md5("__tok"), 1, 14), 16, 10).cast("long"),
+                F.lit(int(n_buckets)),
+            ).alias("__b"),
+        )
+    )
+
+
+def hashed_log_odds_weights(
+    labeled: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The twin's weight table ``(__b, __w)`` — ≤ ``n_buckets`` rows of
+    integer micro-unit log-odds, broadcast-sized by construction. Built
+    once from the labeled frame; consumed by batch scoring
+    (:func:`score_with_log_odds`) and the streaming admission gate
+    (``streaming.events.quality_gate_stream``)."""
     counts = (
-        bucketed(labeled)
+        _token_buckets(labeled, text_col, id_col, n_buckets)
         .join(labeled.select(id_col, F.col(label_col).cast("long").alias("__y")), id_col)
         .groupBy("__b")
         .agg(
@@ -145,7 +167,7 @@ def hashed_log_odds_scores(
         F.sum("__pos").alias("__P"), F.sum("__neg").alias("__N")
     )
     b = float(n_buckets)
-    weights = counts.crossJoin(F.broadcast(tot)).select(
+    return counts.crossJoin(F.broadcast(tot)).select(
         "__b",
         F.round(
             (
@@ -157,8 +179,19 @@ def hashed_log_odds_scores(
         .cast("long")
         .alias("__w"),
     )
+
+
+def score_with_log_odds(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Score ``df`` against a prebuilt weight table: broadcast join + one
+    id-keyed integer-sum aggregation; token-free docs score 0."""
     doc_sums = (
-        bucketed(df)
+        _token_buckets(df, text_col, id_col, n_buckets)
         .join(F.broadcast(weights), "__b")
         .groupBy(id_col)
         .agg(F.sum("__w").alias("score_micro"))

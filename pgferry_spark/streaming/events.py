@@ -773,6 +773,54 @@ def dsir_gate_stream(
     )
 
 
+def quality_gate_stream(
+    docs: DataFrame,
+    weight_table: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    min_score_micro: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    query_name: str = "quality_gate",
+):
+    """Streaming model-quality admission gate: arriving documents are
+    scored against the PRE-TRAINED hashed-BoW log-odds weight table
+    (built once by the batch
+    :func:`~pgferry_spark.operators.classify.hashed_log_odds_weights`
+    over a labeled seed set) and only documents whose integer
+    micro-score clears ``min_score_micro`` reach
+    ``sink(passed_df_with_score, batch_id)`` — the model-based sibling
+    of the heuristic ``curate_stream`` filter and the third member of
+    the ingest-guard trio (decontaminate / DSIR / quality).
+
+    The SHARED batch scorer (``score_with_log_odds``) runs verbatim per
+    micro-batch, so stream admission is calibrated to the batch model by
+    construction — a threshold tuned on batch scores transfers exactly
+    (integer micro-units, no float drift). ``weight_table`` is
+    ≤ n_buckets rows, re-read each micro-batch (a nightly re-train is
+    picked up live); the scoring join is broadcast-sized."""
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..operators.classify import score_with_log_odds
+
+        scored = score_with_log_odds(
+            batch_df, weight_table, text_col, id_col, n_buckets
+        ).filter(F.col("score_micro") >= min_score_micro)
+        passed = batch_df.join(scored.select(id_col, "score_micro"), on=id_col)
+        sink(passed, batch_id)
+
+    return (
+        docs.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def psi_drift_monitor_stream(
     stream_df: DataFrame,
     baseline: DataFrame,

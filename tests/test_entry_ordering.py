@@ -46,6 +46,8 @@ NEVER_CHECKED = [
     # and the quality-classifier AUC scorecard pair: deterministic twin
     # (oracle-green) + LBFGS measured row (rows-only)
     "quality_twin_auc", "quality_classifier_auc",
+    # corpus boilerplate profiler (n-gram doc-frequency heavy hitters)
+    "boilerplate_ngrams",
 ]
 
 # Stalest driver-green family (last green in CORRECTNESS_r02): fills the
@@ -57,7 +59,6 @@ STALE_R2 = [
     "q6_forecast_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
     "q22_idle_customers", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q13_order_count_distribution",
-    "q15_top_supplier",
 ]
 
 # r4-green sentinels: if these fail in CORRECTNESS_r05 the harness (not
@@ -89,18 +90,18 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 179
+N_QUERIES = 180
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:31] == NEVER_CHECKED
-    assert names[31:48] == STALE_R2
+    assert names[:32] == NEVER_CHECKED
+    assert names[32:48] == STALE_R2
     assert names[48:50] == CANARIES
 
 
 def test_window_exactly_filled(entry_mod):
-    # 31 + 17 + 2 == 50: no slot wasted, nothing needing a row pushed out.
+    # 32 + 16 + 2 == 50: no slot wasted, nothing needing a row pushed out.
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEVER_CHECKED) | set(STALE_R2) | set(CANARIES)
 

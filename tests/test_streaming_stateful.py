@@ -388,3 +388,59 @@ class TestPsiDriftMonitorStream:
         assert alerts[0][1] is False and alerts[0][0] < 0.25
         assert alerts[1][1] is True and alerts[1][0] > 0.25
         assert all(n == 500 for _, _, n in results)
+
+
+class TestQualityGateStream:
+    def test_gate_reproduces_batch_calibration(self, spark, tmp_path):
+        """Weights trained ONCE by the batch twin; the stream gate must
+        score arrivals identically (integer micro-units) — a threshold
+        set between two arrivals' batch scores admits exactly one."""
+        import datetime
+
+        from pgferry_spark.operators.classify import (
+            hashed_log_odds_weights, score_with_log_odds,
+        )
+        from pgferry_spark.streaming.events import quality_gate_stream
+
+        prose = "the quick brown fox jumps over the lazy dog by the river"
+        junk = "zzzz qqqq xxxx kkkk wwww vvvv jjjj hhhh"
+        train = spark.createDataFrame(
+            [(i, prose + f" variant {i}", 1) for i in range(10)]
+            + [(100 + i, junk + f" {i}", 0) for i in range(10)],
+            "doc_id: long, text: string, label: int",
+        )
+        weights = hashed_log_odds_weights(train, "text", "doc_id", "label", 512)
+
+        ts = datetime.datetime(2026, 1, 1)
+        arrivals = spark.createDataFrame(
+            [(900, ts, "quick brown fox by the river"),
+             (901, ts, "qqqq zzzz wwww kkkk")],
+            "doc_id: long, ts: timestamp, text: string",
+        )
+        batch_scores = {
+            r["doc_id"]: r["score_micro"]
+            for r in score_with_log_odds(
+                arrivals, weights, "text", "doc_id", 512
+            ).collect()
+        }
+        assert batch_scores[900] > batch_scores[901]
+        cut = (batch_scores[900] + batch_scores[901]) // 2
+
+        src = str(tmp_path / "arrivals")
+        arrivals.write.parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).parquet(src)
+        passed: list = []
+
+        def sink(batch_df, batch_id):
+            passed.extend(batch_df.collect())
+
+        q = quality_gate_stream(
+            stream, weights, sink, str(tmp_path / "ckpt"),
+            min_score_micro=cut, n_buckets=512, query_name="t_quality_gate",
+        )
+        q.awaitTermination()
+        assert [r["doc_id"] for r in passed] == [900]
+        # the stream-side score IS the batch score — bit-identical ints
+        assert passed[0]["score_micro"] == batch_scores[900]

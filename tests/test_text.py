@@ -168,3 +168,42 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "x")], "id: long, text: string")
         with _pytest.raises(ValueError):
             chunk_documents(df, "text", "id", max_tokens=4, overlap=4)
+
+
+def test_ngram_topk_doc_frequency_and_pruning(spark):
+    from pgferry_spark.functions.text import ngram_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "all rights reserved see terms below"),
+            (2, "all rights reserved unless noted"),
+            (3, "all rights reserved see terms below"),
+            (4, "completely different text entirely here"),
+            # within-doc repetition must NOT inflate doc_freq (distinct
+            # shingles per doc):
+            (5, "spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_topk(df, "text", "doc_id", n=3, k=10, min_doc_freq=2).collect()
+    by_gram = {r["ngram"]: r for r in rows}
+    assert by_gram["all rights reserved"]["doc_freq"] == 3
+    assert by_gram["all rights reserved"]["doc_share"] == 0.6
+    assert by_gram["rights reserved see"]["doc_freq"] == 2
+    # singletons pruned
+    assert "completely different text" not in by_gram
+    assert "spam spam spam" not in by_gram  # one doc, distinct shingles
+
+
+def test_ngram_topk_tie_break_deterministic(spark):
+    from pgferry_spark.functions.text import ngram_topk
+
+    df = spark.createDataFrame(
+        [(1, "b b b"), (2, "b b b"), (3, "a a a"), (4, "a a a"),
+         (5, "c c c"), (6, "c c c")],
+        "doc_id long, text string",
+    )
+    # all three grams tie at doc_freq=2; k=2 must keep the lexicographically
+    # first two — same rule both engines, stable across runs
+    rows = ngram_topk(df, "text", "doc_id", n=3, k=2).collect()
+    assert [r["ngram"] for r in rows] == ["a a a", "b b b"]
