@@ -108,6 +108,10 @@ HEADLINE = [
     "quality_classifier",
     "compression_ratio",
     "ivf_kmeans_assign",
+    # round 5 additions: boilerplate profiler + classifier scorecards
+    "boilerplate_ngrams",
+    "quality_twin_auc",
+    "quality_classifier_auc",
 ]
 
 

@@ -632,7 +632,13 @@ def jaccard_pairs(
     shingled = _fan_out(df, id_col, force=True).select(
         F.col(id_col), ngram_set(F.col(content_col), n).alias("grams")
     ).withColumn("gram_count", F.size("grams"))
-    ex = shingled.select(F.col(id_col), F.col("gram_count"), F.explode("grams").alias("gram"))
+    # explode_outer + not-null, NOT plain explode: explode infers a pushable
+    # size(grams) > 0 predicate and Catalyst clones the whole shingle
+    # construction into the pre-fan-out scan filter (the SCALE.md pathology
+    # 61ef282 removed from the MinHash pipelines; same fix here)
+    ex = shingled.select(
+        F.col(id_col), F.col("gram_count"), F.explode_outer("grams").alias("gram")
+    ).filter(F.col("gram").isNotNull())
 
     a = ex.select(F.col(id_col).alias("id_a"), F.col("gram_count").alias("n_a"), "gram")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("gram_count").alias("n_b"), "gram")
@@ -1135,11 +1141,14 @@ def name_match_pairs(
             ),
         ).otherwise(F.array(lower))
     )
+    # explode_outer: the char-gram array is never empty (min 1 element),
+    # but plain explode still infers a pushable size() > 0 filter that
+    # clones the substring transform into the scan
     grams = df.select(
         F.col(id_col).cast("long").alias("id"),
-        F.explode(grams_arr).alias("g"),
+        F.explode_outer(grams_arr).alias("g"),
         F.size(grams_arr).alias("n_grams"),
-    )
+    ).filter(F.col("g").isNotNull())
     if max_gram_df is not None:
         good = (
             grams.groupBy("g")
@@ -1221,9 +1230,10 @@ def containment_pairs(
     shingled = _fan_out(df, id_col, force=True).select(
         F.col(id_col), ngram_set(F.col(content_col), n).alias("grams")
     ).withColumn("gram_count", F.size("grams"))
+    # explode_outer + not-null: see jaccard_pairs (same scan-clone pathology)
     ex = shingled.select(
-        F.col(id_col), F.col("gram_count"), F.explode("grams").alias("gram")
-    )
+        F.col(id_col), F.col("gram_count"), F.explode_outer("grams").alias("gram")
+    ).filter(F.col("gram").isNotNull())
     a = ex.select(F.col(id_col).alias("id_a"), F.col("gram_count").alias("n_a"), "gram")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("gram_count").alias("n_b"), "gram")
     inter = (
@@ -1300,9 +1310,10 @@ def jaccard_all_pairs(
     shingled = _fan_out(df, id_col, force=True).select(
         F.col(id_col), ngram_set(F.col(content_col), n).alias("grams")
     ).withColumn("gram_count", F.size("grams"))
+    # explode_outer + not-null: see jaccard_pairs (same scan-clone pathology)
     ex = shingled.select(
-        F.col(id_col), F.col("gram_count"), F.explode("grams").alias("gram")
-    )
+        F.col(id_col), F.col("gram_count"), F.explode_outer("grams").alias("gram")
+    ).filter(F.col("gram").isNotNull())
     a = ex.select(F.col(id_col).alias("id_a"), F.col("gram_count").alias("n_a"), "gram")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("gram_count").alias("n_b"), "gram")
     inter = (

@@ -444,3 +444,39 @@ class TestRound4PlanShapes:
         assert "Join" not in plan
         final = plan.split("+- == Initial Plan ==")[0]
         assert final.count("orders.parquet") <= 1
+
+
+class TestRound5PlanShapes:
+    def test_quality_twin_weights_join_broadcasts(self, spark):
+        """The <=4096-row log-odds weight table must come back as a
+        broadcast join against the token-bucket stream — a SortMergeJoin
+        here would shuffle the whole corpus's token stream against a
+        dictionary-sized table."""
+        plan = _executed(E.queries()["quality_twin_auc"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        # (the 1-row class-total crossJoin legitimately plans as a
+        # broadcast nested loop; the corpus-sized joins must not)
+        assert "CartesianProduct" not in plan
+
+    def test_boilerplate_ngrams_no_join_bounded_sort(self, spark):
+        """Gram counting is one aggregate; top-k must be TakeOrdered (never
+        a global sort of the gram vocabulary), and the only join allowed
+        is the 1-row doc-total broadcast."""
+        plan = _executed(E.queries()["boilerplate_ngrams"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_capped_lsh_pairs_no_extra_wide_shuffle(self, spark):
+        """The max_bucket cap must ride the bucket partitioning (semi-join
+        against counts aggregated on the SAME keys) — capped and uncapped
+        plans shuffle the bucket table on (band_id, band_hash) alike; the
+        cap must not introduce a Cartesian or nested-loop join."""
+        plan = _executed(E.queries()["lsh_candidate_pairs_capped"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_capped_cross_corpus_equi_join_only(self, spark):
+        plan = _executed(E.queries()["cross_corpus_near_dup_capped"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
