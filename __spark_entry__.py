@@ -1116,7 +1116,10 @@ def _quality_classifier(spark, sf):
         # every synthetic doc clears it and LBFGS learns zero coefficients)
         (T.quality_score(F.col("text")) >= 0.8).cast("double").alias("label"),
     )
-    model = train_quality_classifier(weak, "text", "label")
+    # train on a bounded md5-ordered sample (the documented production
+    # posture: training is sample-bound, SCORING is the corpus-scale part)
+    train = weak.orderBy(F.md5(F.col("doc_id").cast("string"))).limit(2000)
+    model = train_quality_classifier(train, "text", "label")
     return score_quality(model, d, "text", "doc_id")
 
 
@@ -1170,10 +1173,12 @@ def _quality_classifier_auc(spark, sf):
     )
 
     labeled = _weak_labels(spark, sf)
-    model = train_quality_classifier(
-        labeled.withColumn("label", F.col("label").cast("double")),
-        "text", "label",
+    train = (
+        labeled.withColumn("label", F.col("label").cast("double"))
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .limit(2000)
     )
+    model = train_quality_classifier(train, "text", "label")
     scored = score_quality(model, labeled, "text", "doc_id")
     joined = scored.join(labeled.select("doc_id", "label"), "doc_id")
     return auc_scorecard(joined, "prob_good", "label")
@@ -1358,7 +1363,9 @@ def _ivf_kmeans(spark, sf):
     """IVF assignment over MLlib KMeans centroids (floats are iteration-
     dependent; rows-only check)."""
     e = _t(spark, sf, "embeddings")
-    return similarity.ivf_assign_kmeans(e, "embedding", "vec_id", n_cells=8)
+    return similarity.ivf_assign_kmeans(
+        e, "embedding", "vec_id", n_cells=8, fit_sample=2048
+    )
 
 
 def _multimodal_meta(spark, sf):

@@ -247,7 +247,8 @@ def lsh_topk_multiprobe(
 
 
 def kmeans_centroids(
-    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 8, seed: int = 42
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 8, seed: int = 42,
+    fit_sample: int | None = None,
 ) -> list[list[float]]:
     """Fit MLlib KMeans (fixed seed) over the embedding column and return
     the centroid list driver-side — the PRODUCTION centroid source for
@@ -262,6 +263,13 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if fit_sample is not None:
+        # md5-ordered deterministic sample: centroid quality needs a
+        # representative subset, not the corpus — every Lloyd iteration is
+        # a full pass over the fit frame, so at 100 TB an unbounded fit
+        # would cost iterations x corpus scans for no recall gain (same
+        # bounded-sample posture as pq_codebooks_kmeans)
+        df = df.orderBy(F.md5(F.col(id_col).cast("string"))).limit(int(fit_sample))
     feat = df.select(
         F.col(id_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
@@ -271,7 +279,8 @@ def kmeans_centroids(
 
 
 def ivf_assign_kmeans(
-    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 8, seed: int = 42
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 8, seed: int = 42,
+    fit_sample: int | None = None,
 ) -> DataFrame:
     """IVF cell assignment with REAL centroids: MLlib KMeans (fixed seed)
     over the embedding column, then **map-only** nearest-centroid
@@ -284,7 +293,8 @@ def ivf_assign_kmeans(
     iteration, driver holds k×dim centroids); assignment is the *load*
     step. Returns (id, cell_id, dist) — write it bucketed by cell_id so a
     probe reads one cell."""
-    cents = kmeans_centroids(df, vec_col, id_col, n_cells, seed)
+    cents = kmeans_centroids(df, vec_col, id_col, n_cells, seed,
+                             fit_sample=fit_sample)
     best = _nearest_centroid(F.col(vec_col), cents, metric="euclidean")
     return df.select(
         F.col(id_col),
