@@ -173,6 +173,54 @@ ANNOTATED = {
         "compute as whole-stage-codegen column expressions in one pass — "
         "the 4x memory cut lands without a single exchange.",
     ),
+    # --- round 5 ---------------------------------------------------------
+    "q2_adapted": (
+        "part keys semi-join the fact BEFORE the cost aggregate",
+        "Only 1/|size-domain| of parts survive the final join, so the "
+        "p_size filter broadcasts into a left-semi prune of lineitem "
+        "ahead of the wide (part, supp) aggregate; the correlated min-"
+        "cost subquery stays a window-min per part (partitions are "
+        "independent, so the pushdown is semantics-preserving). One "
+        "lineitem scan, measured 4.3 -> 1.0 s at sf0.1.",
+    ),
+    "q11_adapted": (
+        "global total via unpartitioned window over the grouped result",
+        "The agg-of-the-grouped-result + broadcast crossJoin form "
+        "compiled to TWO lineitem scans (no exchange reuse under a "
+        "differing parent aggregate); the window form computes the "
+        "total over the part-cardinality table in one small partition. "
+        "One fact scan, measured 3.6 -> 1.1 s at sf0.1.",
+    ),
+    "containment_adjacent": (
+        "explode_outer keeps the shingle build out of the scan filter",
+        "Plain explode inferred size(grams) > 0 and Catalyst cloned the "
+        "whole n-gram construction into the pre-fan-out scan filter "
+        "(the MinHash-pipeline pathology, resurfaced in the verify "
+        "family); explode_outer + not-null is bit-identical and cut "
+        "5.2 -> 1.6 s at sf0.1.",
+    ),
+    "quality_twin_auc": (
+        "broadcast weight join; AUC over the distinct-score table",
+        "The <=4096-row log-odds table broadcasts against the token-"
+        "bucket stream (BroadcastHashJoin); document scores are exact "
+        "integer sums of micro-unit weights; the Mann-Whitney AUC "
+        "aggregates to distinct scores first, so the cumulative window "
+        "runs over a bounded table, never a per-row global rank.",
+    ),
+    "boilerplate_ngrams": (
+        "gram-keyed aggregate + TakeOrdered, singleton tail pruned",
+        "Per-doc DISTINCT shingles (membership, not multiplicity) "
+        "explode into one map-side-combined doc-frequency aggregate; "
+        "min_doc_freq prunes before TakeOrderedAndProject so the top-k "
+        "never sorts the full gram vocabulary.",
+    ),
+    "cross_corpus_near_dup_capped": (
+        "corpus-side hot-bucket cap rides the bucket partitioning",
+        "kept-buckets derive from counts aggregated on the SAME "
+        "(band_id, band_hash) keys the candidate join uses — the cap "
+        "adds no extra wide shuffle, and the drop rate is logged per "
+        "bench run (BENCH_runs.json capped_drop_stats).",
+    ),
 }
 
 
