@@ -1123,6 +1123,20 @@ def _quality_classifier(spark, sf):
     return score_quality(model, d, "text", "doc_id")
 
 
+def _mixture_epochs(spark, sf):
+    """Fractional-epoch source repetition (LLaMA-style mixture knob):
+    src0 × 2.4 epochs, src1 × 0.5, src2 × 1.0 — floor copies for
+    everyone plus an md5-selected extra-copy cohort sized to the
+    fraction. Map-only sequence-explode; the epoch map is a literal."""
+    from pgferry_spark.operators.curate import mixture_epochs
+
+    d = _t(spark, sf, "documents")
+    out = mixture_epochs(
+        d, "source", "doc_id", {"src0": 2.4, "src1": 0.5, "src2": 1.0}
+    )
+    return out.select("doc_id", "source", "copy_idx")
+
+
 def _boilerplate_ngrams(spark, sf):
     """Corpus boilerplate profiler: top-50 3-grams by document frequency
     (doc_freq >= 2) with corpus share — the diagnostic that finds the
@@ -2075,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_twin_auc": _quality_twin_auc,
         "quality_classifier_auc": _quality_classifier_auc,
         "boilerplate_ngrams": _boilerplate_ngrams,
+        "mixture_epochs": _mixture_epochs,
         # --- positions 27-48: stalest driver-green family (r2) --------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2091,13 +2106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": _q7,
         "q8_market_share": _q8,
         "q9_product_profit": _q9,
-        "q13_order_count_distribution": _q13,
         # --- positions 49-50: r4-green canaries (harness regression
         # sentinels per VERDICT r4 Next #1) ----------------------------
         "span_dedup": _span_dedup,
         "exact_dedup_groups": _exact_dedup,
         # --- displaced by the round-5 capped additions: first of the
         # beyond-window stale family
+        "q13_order_count_distribution": _q13,
         "q15_top_supplier": _q15,
         "q18_large_volume_customers": _q18,
         "top_order_per_customer": _top_order,
@@ -3775,6 +3790,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
             FROM inter
             WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5
+        """,
+        "mixture_epochs": """
+            WITH ep AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2.4 WHEN 'src1' THEN 0.5
+                                 WHEN 'src2' THEN 1.0 ELSE 0.0 END AS e,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                       % 1000000 AS hfrac
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, source,
+                     CAST(floor(e) AS INT)
+                     + (CASE WHEN hfrac / 1000000.0 < e - floor(e)
+                             THEN 1 ELSE 0 END) AS n_copies
+              FROM ep
+            )
+            SELECT doc_id, source, CAST(unnest(range(n_copies)) AS INT) AS copy_idx
+            FROM n WHERE n_copies > 0
         """,
         "boilerplate_ngrams": f"""
             WITH tk AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),

@@ -112,6 +112,7 @@ HEADLINE = [
     "boilerplate_ngrams",
     "quality_twin_auc",
     "quality_classifier_auc",
+    "mixture_epochs",
 ]
 
 

@@ -198,6 +198,55 @@ def stratified_split(
     return df.select(F.col(id_col), F.col(group_col)).withColumn("split", split)
 
 
+def mixture_epochs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    epochs: dict[str, float],
+) -> DataFrame:
+    """Fractional-epoch source repetition — the up/down-sampling knob of
+    the LLaMA-style data mixture ("wiki 2.4 epochs, web 0.7"): every doc
+    in group ``g`` is emitted ``floor(epochs[g])`` times, plus one more
+    copy iff its md5 fraction falls under ``frac(epochs[g])``, as
+    ``(…, copy_idx)`` rows.  Expected copies per group = exactly
+    ``epochs[g]``; which docs carry the extra copy is a pure md5 function
+    of the id (rerun-stable, engine-portable, and the SAME docs gain the
+    extra epoch when a source's knob moves — no resample churn).
+
+    Scale shape: the epoch map ships as a literal expression (no join,
+    skew-irrelevant) and the repeat is one ``sequence``-explode — output
+    rows ∝ Σ epochs[g]·|g|, map-only, zero shuffles.  Groups not in
+    ``epochs`` contribute nothing (epoch 0).  The downstream shard
+    writer sees copy_idx so repeated epochs land in different shards."""
+    pairs = []
+    for g, e in sorted(epochs.items()):
+        if e < 0:
+            raise ValueError(f"negative epochs for {g!r}")
+        pairs.extend([F.lit(g), F.lit(float(e))])
+    ep = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(group_col)),
+        F.lit(0.0),
+    )
+    whole = F.floor(ep).cast("int")
+    frac = ep - whole
+    # md5 fraction in [0, 1): first 14 hex digits, mod 1e6, over 1e6 —
+    # the same portable-uniform trick as split_bucket
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10)
+    extra = (
+        (F.pmod(h.cast("long"), F.lit(1_000_000)) / 1_000_000.0) < frac
+    ).cast("int")
+    n_copies = whole + extra
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.withColumn("__copies", copies)
+        .select("*", F.explode_outer("__copies").alias("copy_idx"))
+        .filter(F.col("copy_idx").isNotNull())
+        .drop("__copies")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,

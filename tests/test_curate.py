@@ -485,3 +485,77 @@ class TestSourceDatasheet:
             assert sheet[s]["dup_rate"] == ref[s]["dup_rate"]
             assert sheet[s]["total_tokens"] > 0
             assert 0.0 <= sheet[s]["mean_quality"] <= 1.0
+
+
+# --- round-5: fractional-epoch mixture -------------------------------------
+
+
+def test_mixture_epochs_copy_counts_and_determinism(spark):
+    from pgferry_spark.operators.curate import mixture_epochs
+
+    df = spark.createDataFrame(
+        [(i, "wiki") for i in range(100)]
+        + [(1000 + i, "web") for i in range(100)]
+        + [(2000 + i, "junk") for i in range(50)],
+        "doc_id long, source string",
+    )
+    out = mixture_epochs(df, "source", "doc_id", {"wiki": 2.5, "web": 0.4})
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    # wiki: everyone gets 2 copies; ~50% an md5-selected third
+    wiki_counts = {}
+    for r in by_src["wiki"]:
+        wiki_counts[r["doc_id"]] = wiki_counts.get(r["doc_id"], 0) + 1
+    assert all(c in (2, 3) for c in wiki_counts.values())
+    assert 200 <= len(by_src["wiki"]) <= 300
+    # web: 0 or 1 copies, expectation 40
+    web_counts = {}
+    for r in by_src["web"]:
+        web_counts[r["doc_id"]] = web_counts.get(r["doc_id"], 0) + 1
+    assert all(c == 1 for c in web_counts.values())
+    assert 20 <= len(by_src["web"]) <= 60
+    # unlisted source contributes nothing; copy_idx dense from 0
+    assert "junk" not in by_src
+    assert all(r["copy_idx"] >= 0 for r in rows)
+    # rerun-stable: pure function of the data
+    again = {(r["doc_id"], r["copy_idx"]) for r in
+             mixture_epochs(df, "source", "doc_id", {"wiki": 2.5, "web": 0.4}).collect()}
+    assert again == {(r["doc_id"], r["copy_idx"]) for r in rows}
+
+
+def test_mixture_epochs_knob_stability(spark):
+    """Raising a source's epochs must only ADD copies — the md5 cohort
+    that had the extra copy at 1.2 keeps it at 1.7 (no resample churn)."""
+    from pgferry_spark.operators.curate import mixture_epochs
+
+    df = spark.createDataFrame(
+        [(i, "w") for i in range(200)], "doc_id long, source string"
+    )
+    low = {(r["doc_id"], r["copy_idx"]) for r in
+           mixture_epochs(df, "source", "doc_id", {"w": 1.2}).collect()}
+    high = {(r["doc_id"], r["copy_idx"]) for r in
+            mixture_epochs(df, "source", "doc_id", {"w": 1.7}).collect()}
+    assert low <= high
+
+
+def test_mixture_epochs_whole_number_exact(spark):
+    from pgferry_spark.operators.curate import mixture_epochs
+
+    df = spark.createDataFrame(
+        [(i, "w") for i in range(30)], "doc_id long, source string"
+    )
+    out = mixture_epochs(df, "source", "doc_id", {"w": 3.0}).collect()
+    assert len(out) == 90
+    assert {r["copy_idx"] for r in out} == {0, 1, 2}
+
+
+def test_mixture_epochs_rejects_negative(spark):
+    import pytest
+
+    from pgferry_spark.operators.curate import mixture_epochs
+
+    df = spark.createDataFrame([(1, "w")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="negative"):
+        mixture_epochs(df, "source", "doc_id", {"w": -1.0})

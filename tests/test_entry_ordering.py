@@ -48,6 +48,8 @@ NEVER_CHECKED = [
     "quality_twin_auc", "quality_classifier_auc",
     # corpus boilerplate profiler (n-gram doc-frequency heavy hitters)
     "boilerplate_ngrams",
+    # fractional-epoch source repetition (LLaMA-style mixture knob)
+    "mixture_epochs",
 ]
 
 # Stalest driver-green family (last green in CORRECTNESS_r02): fills the
@@ -58,7 +60,7 @@ STALE_R2 = [
     "q12_priority_counts", "q17_small_quantity_revenue",
     "q6_forecast_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
     "q22_idle_customers", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q13_order_count_distribution",
+    "q8_market_share", "q9_product_profit",
 ]
 
 # r4-green sentinels: if these fail in CORRECTNESS_r05 the harness (not
@@ -90,18 +92,18 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 180
+N_QUERIES = 181
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:32] == NEVER_CHECKED
-    assert names[32:48] == STALE_R2
+    assert names[:33] == NEVER_CHECKED
+    assert names[33:48] == STALE_R2
     assert names[48:50] == CANARIES
 
 
 def test_window_exactly_filled(entry_mod):
-    # 32 + 16 + 2 == 50: no slot wasted, nothing needing a row pushed out.
+    # 33 + 15 + 2 == 50: no slot wasted, nothing needing a row pushed out.
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEVER_CHECKED) | set(STALE_R2) | set(CANARIES)
 
