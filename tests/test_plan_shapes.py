@@ -480,3 +480,11 @@ class TestRound5PlanShapes:
         plan = _executed(E.queries()["cross_corpus_near_dup_capped"](spark, SF))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_mixture_epochs_map_only(self, spark):
+        """The epoch map is a literal and the repeat a sequence-explode:
+        no join, no window, no Exchange — pure map work."""
+        plan = _executed(E.queries()["mixture_epochs"](spark, SF))
+        assert "Join" not in plan
+        assert "Exchange" not in plan
+        assert "Window" not in plan
