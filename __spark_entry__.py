@@ -1123,6 +1123,20 @@ def _quality_classifier(spark, sf):
     return score_quality(model, d, "text", "doc_id")
 
 
+def _embedding_drift_psi(spark, sf):
+    """Embedding-space drift: even-id vectors play the baseline snapshot,
+    odd-id the current one; both assign to the baseline's deterministic
+    IVF cells and PSI compares cell occupancy — the representation-space
+    drift monitor (encoder/scraper/topic shifts move cell mass before
+    any scalar aggregate changes)."""
+    from pgferry_spark.operators.similarity import embedding_drift_psi
+
+    e = _t(spark, sf, "embeddings")
+    old = e.filter(F.col("vec_id") % 2 == 0)
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift_psi(old, new, "embedding", "vec_id", n_cells=8)
+
+
 def _mixture_epochs(spark, sf):
     """Fractional-epoch source repetition (LLaMA-style mixture knob):
     src0 × 2.4 epochs, src1 × 0.5, src2 × 1.0 — floor copies for
@@ -2090,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_auc": _quality_classifier_auc,
         "boilerplate_ngrams": _boilerplate_ngrams,
         "mixture_epochs": _mixture_epochs,
+        "embedding_drift_psi": _embedding_drift_psi,
         # --- positions 27-48: stalest driver-green family (r2) --------
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -2105,13 +2120,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q4,
         "q7_volume_shipping": _q7,
         "q8_market_share": _q8,
-        "q9_product_profit": _q9,
         # --- positions 49-50: r4-green canaries (harness regression
         # sentinels per VERDICT r4 Next #1) ----------------------------
         "span_dedup": _span_dedup,
         "exact_dedup_groups": _exact_dedup,
         # --- displaced by the round-5 capped additions: first of the
         # beyond-window stale family
+        "q9_product_profit": _q9,
         "q13_order_count_distribution": _q13,
         "q15_top_supplier": _q15,
         "q18_large_volume_customers": _q18,
@@ -3790,6 +3805,37 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
             FROM inter
             WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5
+        """,
+        "embedding_drift_psi": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            bl AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+            c AS (SELECT vec_id AS cell_id, v AS cvec FROM bl WHERE vec_id < 8),
+            dots AS (SELECT e.vec_id, c.cell_id,
+                            ROUND(list_dot_product(e.v, c.cvec), 4) AS dot
+                     FROM e CROSS JOIN c),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY dot DESC, cell_id ASC) AS rnk
+                       FROM dots),
+            asg AS (SELECT vec_id, cell_id FROM ranked WHERE rnk = 1),
+            ho AS (SELECT cell_id, COUNT(*) AS c_old FROM asg WHERE vec_id % 2 = 0 GROUP BY 1),
+            hn AS (SELECT cell_id, COUNT(*) AS c_new FROM asg WHERE vec_id % 2 = 1 GROUP BY 1),
+            merged AS (
+              SELECT COALESCE(ho.c_old, 0) AS c_old, COALESCE(hn.c_new, 0) AS c_new
+              FROM ho FULL OUTER JOIN hn USING (cell_id)
+            ),
+            tot AS (SELECT SUM(c_old) AS n_old, SUM(c_new) AS n_new FROM merged),
+            terms AS (
+              SELECT n_old, n_new,
+                     (greatest(c_new / CAST(n_new AS DOUBLE), 1e-6)
+                      - greatest(c_old / CAST(n_old AS DOUBLE), 1e-6))
+                     * ln(greatest(c_new / CAST(n_new AS DOUBLE), 1e-6)
+                          / greatest(c_old / CAST(n_old AS DOUBLE), 1e-6)) AS t
+              FROM merged, tot
+            )
+            SELECT ROUND(SUM(t), 6) AS psi,
+                   CAST(any_value(n_old) AS BIGINT) AS n_old,
+                   CAST(any_value(n_new) AS BIGINT) AS n_new
+            FROM terms
         """,
         "mixture_epochs": """
             WITH ep AS (

@@ -113,6 +113,7 @@ HEADLINE = [
     "quality_twin_auc",
     "quality_classifier_auc",
     "mixture_epochs",
+    "embedding_drift_psi",
 ]
 
 

@@ -1131,3 +1131,59 @@ def knn_graph(
         edges.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_drift_psi(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index over EMBEDDING SPACE: both snapshots
+    assign to the baseline's IVF cells (map-only literal-centroid argmax,
+    the :func:`ivf_assign` machinery) and PSI compares the cell-occupancy
+    distributions — the embedding-space member of the drift suite
+    (``psi_drift`` sees scalar columns; this sees "the new corpus lives
+    in different regions of representation space", the signal that an
+    encoder change, a scraper change, or topic drift produces before any
+    scalar aggregate moves).
+
+    Same conventions as ``psi_drift``: cells fixed from the BASELINE
+    (old) side, ``epsilon``-floored proportions, one row
+    ``(psi, n_old, n_new)``; <0.1 stable, >0.25 action.  Shape: one
+    map-only scan + cell histogram per side (zero joins corpus-side),
+    then everything downstream is ≤ ``n_cells`` rows."""
+    if centroids is None:
+        centroids = ivf_centroids(old_df, vec_col, id_col, n_cells)
+    eps = float(epsilon)
+
+    def cells(d: DataFrame):
+        return (
+            ivf_assign(d, vec_col, id_col, n_cells, centroids=centroids)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ho = cells(old_df).withColumnRenamed("c", "c_old")
+    hn = cells(new_df).withColumnRenamed("c", "c_new")
+    merged = ho.join(hn, "cell_id", "full_outer").select(
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    totals = merged.agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
+    )
+    p_new = F.greatest(F.col("c_new") / F.col("n_new"), F.lit(eps))
+    p_old = F.greatest(F.col("c_old") / F.col("n_old"), F.lit(eps))
+    terms = merged.crossJoin(F.broadcast(totals)).select(
+        "n_old", "n_new",
+        ((p_new - p_old) * F.log(p_new / p_old)).alias("__t"),
+    )
+    return (
+        terms.groupBy("n_old", "n_new")
+        .agg(F.round(F.sum("__t"), 6).alias("psi"))
+        .select("psi", "n_old", "n_new")
+    )

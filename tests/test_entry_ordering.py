@@ -50,6 +50,8 @@ NEVER_CHECKED = [
     "boilerplate_ngrams",
     # fractional-epoch source repetition (LLaMA-style mixture knob)
     "mixture_epochs",
+    # embedding-space PSI drift (cell-occupancy vs the baseline's IVF cells)
+    "embedding_drift_psi",
 ]
 
 # Stalest driver-green family (last green in CORRECTNESS_r02): fills the
@@ -60,7 +62,7 @@ STALE_R2 = [
     "q12_priority_counts", "q17_small_quantity_revenue",
     "q6_forecast_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
     "q22_idle_customers", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit",
+    "q8_market_share",
 ]
 
 # r4-green sentinels: if these fail in CORRECTNESS_r05 the harness (not
@@ -92,18 +94,18 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 181
+N_QUERIES = 182
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:33] == NEVER_CHECKED
-    assert names[33:48] == STALE_R2
+    assert names[:34] == NEVER_CHECKED
+    assert names[34:48] == STALE_R2
     assert names[48:50] == CANARIES
 
 
 def test_window_exactly_filled(entry_mod):
-    # 33 + 15 + 2 == 50: no slot wasted, nothing needing a row pushed out.
+    # 34 + 14 + 2 == 50: no slot wasted, nothing needing a row pushed out.
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEVER_CHECKED) | set(STALE_R2) | set(CANARIES)
 

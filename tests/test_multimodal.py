@@ -529,3 +529,55 @@ def test_release_cache_empties_cache_manager(spark):
     )
     assert cm.isEmpty()
     assert {(r["left_id"], r["right_id"]) for r in eager2.collect()} == lazy2
+
+
+def test_decode_bytes_total_on_arbitrary_payloads():
+    """Property: _decode_bytes is TOTAL — no byte string may raise (one
+    hostile payload must never fail a whole Arrow batch). Hypothesis
+    drives arbitrary bytes plus adversarial prefixes that enter each
+    real-codec branch with garbage bodies."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pgferry_spark.multimodal.ops import PNG_SIG, _decode_bytes
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.one_of(
+            st.binary(max_size=200),
+            st.binary(max_size=120).map(lambda b: PNG_SIG + b),
+            st.binary(max_size=120).map(lambda b: b"\xff\xd8" + b),
+            st.binary(max_size=120).map(lambda b: b"\x00\x00\x00\x14ftyp" + b),
+            st.binary(max_size=120).map(lambda b: b"RIFF" + b),
+        )
+    )
+    def run(payload):
+        meta = _decode_bytes(payload)
+        assert set(meta) == {"width", "height", "n_frames", "checksum"}
+        assert meta["checksum"] is not None
+
+    run()
+
+
+def test_wav_parse_raises_only_catchable_types():
+    """Property: parse_wav_meta may reject a payload ONLY with an
+    exception type the audio_segments batch decoder catches
+    (ValueError / struct.error / ZeroDivisionError) — any other type
+    would escape the fallback and fail the whole batch."""
+    import struct as _struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pgferry_spark.multimodal.ops import parse_wav_meta
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=160).map(lambda b: b"RIFF" + b))
+    def run(payload):
+        try:
+            meta = parse_wav_meta(payload)
+            assert meta["duration_ms"] >= 0
+        except (ValueError, _struct.error, ZeroDivisionError):
+            pass  # exactly the tuple audio_segments catches
+
+    run()

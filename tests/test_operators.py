@@ -746,3 +746,54 @@ class TestMarginMine:
         hi = margin_mine(src, tgt, "embedding", "vec_id", k=3, threshold=99.0,
                          n_planes=16, bands=8, dim=8).count()
         assert lo > 0 and hi == 0
+
+
+class TestEmbeddingDriftPsi:
+    def _clustered(self, spark, lo, hi, collapse=None):
+        """Vectors near one-hot direction id%8 (centered base keeps dot-
+        product argmax discriminative); collapse=k forces every vector
+        onto direction k (the drifted snapshot)."""
+        from pyspark.sql import functions as F
+
+        direction = F.lit(collapse) if collapse is not None else F.pmod(F.col("id"), F.lit(8))
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda i: F.when(i == direction, F.lit(10.0)).otherwise(
+                    F.pmod(F.xxhash64(F.col("id") * (i + 1)), F.lit(97)) / 97.0 - 0.5
+                ),
+            ).alias("embedding"),
+        )
+
+    def test_stable_low_shifted_high(self, spark):
+        from pgferry_spark.operators.similarity import embedding_drift_psi
+
+        old = self._clustered(spark, 0, 200)
+        stable = embedding_drift_psi(
+            old, self._clustered(spark, 200, 400),
+            "embedding", "vec_id", n_cells=8,
+        ).collect()[0]
+        assert stable["psi"] < 0.1
+        assert (stable["n_old"], stable["n_new"]) == (200, 200)
+        # drifted: current snapshot collapses onto one direction -> all
+        # mass in one cell -> PSI far past the 0.25 action bar
+        shifted = embedding_drift_psi(
+            old, self._clustered(spark, 200, 400, collapse=3),
+            "embedding", "vec_id", n_cells=8,
+        ).collect()[0]
+        assert shifted["psi"] > 0.25
+
+    def test_everything_downstream_is_cell_sized(self, spark):
+        """The corpus side must stay join-free (literal-centroid argmax +
+        histogram); the only joins allowed operate on the <= n_cells
+        histogram rows — no Cartesian, no per-row window over vectors."""
+        from pgferry_spark.operators.similarity import embedding_drift_psi
+
+        base = self._clustered(spark, 0, 64)
+        out = embedding_drift_psi(base, base, "embedding", "vec_id", n_cells=8)
+        row = out.collect()[0]
+        assert row["psi"] == 0.0  # identical snapshots
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
