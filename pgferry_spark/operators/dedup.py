@@ -196,6 +196,7 @@ def lsh_candidate_pairs(
     shingle: int = 3,
     hash_fn: str = "md5",
     max_bucket: int | None = None,
+    release_cache: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
 
@@ -214,10 +215,11 @@ def lsh_candidate_pairs(
     Default None keeps exact reference/oracle semantics.
 
     Cache lifecycle: the persisted bucket table lives until the session
-    evicts it (LRU) or the caller unpersists. A driver looping over many
-    corpora should consume the result, then ``spark.catalog.clearCache()``
-    or track/unpersist — the cache is an optimization, not state."""
-    buckets = lsh_bucket_table(
+    evicts it (LRU) or the caller unpersists — or pass
+    ``release_cache=True`` to close the scope here (eager
+    ``utils.checkpoint_release`` materialization + unpersist, the
+    looping-driver posture; default stays lazy/plan-assertable)."""
+    cached = buckets = lsh_bucket_table(
         df, content_col, id_col, num_hashes, bands, shingle, hash_fn
     ).persist()
     if max_bucket is not None:
@@ -234,12 +236,17 @@ def lsh_candidate_pairs(
     b = buckets.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b")
     )
-    return (
+    out = (
         a.join(b, on=["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if release_cache:
+        from ..utils import checkpoint_release
+
+        return checkpoint_release(out, cached)
+    return out
 
 
 # -- SimHash -----------------------------------------------------------------

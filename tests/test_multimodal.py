@@ -581,3 +581,19 @@ def test_wav_parse_raises_only_catchable_types():
             pass  # exactly the tuple audio_segments catches
 
     run()
+
+
+def test_release_cache_lsh_candidate_pairs(spark):
+    from pgferry_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"common shared phrase number {i % 3} tail piece") for i in range(20)],
+        "doc_id long, text string",
+    )
+    spark.catalog.clearCache()
+    lazy = {(r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(docs, "text", "doc_id").collect()}
+    spark.catalog.clearCache()
+    eager = lsh_candidate_pairs(docs, "text", "doc_id", release_cache=True)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert {(r["id_a"], r["id_b"]) for r in eager.collect()} == lazy
