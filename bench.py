@@ -114,6 +114,12 @@ HEADLINE = [
     "quality_classifier_auc",
     "mixture_epochs",
     "embedding_drift_psi",
+    # round 5 additions: deterministic sketch trio + exact-substring spans
+    "exact_substring_spans",
+    "hll_registers",
+    "hll_union_estimate",
+    "cms_token_sketch",
+    "bloom_custkey_probe",
 ]
 
 

@@ -988,6 +988,107 @@ def span_dedup(
     )
 
 
+# -- exact-substring duplicate spans (Lee et al. 2022) ------------------------
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    w: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate spans — the "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al. 2022, arXiv:2107.06499)
+    ExactSubstr pass, re-expressed for Spark: instead of a monolithic
+    suffix array (which needs the whole corpus in one address space),
+    slide a stride-1 window of ``w`` tokens over every document, keep the
+    FIRST corpus-wide occurrence of every repeated window (min (id, pos) —
+    the same deterministic keep-first rule as :func:`span_dedup`), and
+    merge each document's remaining duplicated windows into maximal spans.
+
+    Returns one row per maximal duplicated span:
+    ``(id, span_start, span_end, n_windows)`` with token offsets
+    ``[span_start, span_end)`` — the byte ranges a downstream pass would
+    cut from the training corpus. A span of consecutive duplicated
+    windows longer than ``w`` tokens is exactly a repeated substring
+    longer than the suffix-array threshold; ``w`` plays the role of Lee
+    et al.'s 50-character minimum match length.
+
+    Scale shape (three bounded shuffles, no suffix array, no all-pairs):
+
+    * window generation is map-only (HOF ``transform`` over the token
+      array + ``posexplode_outer``; window text is reduced to an md5 key
+      immediately, so the shuffle carries (id, pos, 16-byte hash), never
+      the text — at petabyte scale narrow the key further to two
+      ``conv``-packed longs, the shape is unchanged);
+    * the keeper is an AGGREGATE (count + min(struct(id, pos)) per window
+      hash) with map-side partial aggregation — a boilerplate window at
+      10% document frequency never concentrates its occurrence list in
+      one task (the hot-span lesson from :func:`span_dedup`'s ``agg``
+      keeper); singleton windows (count == 1) die in the same aggregate,
+      so the join back touches only genuinely repeated windows;
+    * island-merging is a per-document window (running max of span end,
+      bounded by document length) + one grouped aggregate.
+
+    Windows overlapping or exactly adjacent (``pos <= prev_end``) merge
+    into one span; a gap of even one non-duplicated token splits spans.
+    """
+    from pyspark.sql.window import Window
+
+    from ..utils import fan_out
+
+    toks = tokens(F.col(content_col))
+    # fan_out is ALSO a projection-collapse barrier: without the Exchange,
+    # Catalyst inlines the split() into the transform lambda and
+    # re-tokenizes the document once per window (O(len^2) per doc).
+    base = fan_out(
+        df.filter(F.size(toks) >= w).select(F.col(id_col), toks.alias("__toks")),
+        id_col,
+        force=True,
+    )
+    t = F.col("__toks")
+    n_win = (F.size(t) - F.lit(w) + 1).cast("int")
+    wins_arr = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.md5(F.array_join(F.slice(t, i + 1, w), " ")),
+    )
+    occurrences = (
+        base.select(F.col(id_col), F.posexplode_outer(wins_arr).alias("pos", "wh"))
+        .filter(F.col("pos").isNotNull())
+    )
+    repeated = (
+        occurrences.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k"),
+        )
+        .filter(F.col("__cnt") >= 2)
+        .select("wh", "__k")
+    )
+    dup = (
+        occurrences.join(repeated, "wh")
+        .filter(
+            ~(
+                (F.col("__k")[id_col] == F.col(id_col))
+                & (F.col("__k")["pos"] == F.col("pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    ordered = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "__new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn("__island", F.sum("__new").over(ordered))
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + w).cast("int").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("__island")
+
+
 # -- SemDeDup (cluster-then-dedup semantic dedup) ----------------------------
 
 

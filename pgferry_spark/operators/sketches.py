@@ -1,0 +1,268 @@
+"""Deterministic, mergeable data sketches: HyperLogLog, Count-Min, Bloom.
+
+The classic streaming-sketch trio, re-expressed as Spark aggregates with
+*deterministic* md5-derived hash functions — so every register / counter /
+bit is an exact integer a SQL oracle can recompute, unlike Spark's
+built-in `approx_count_distinct` (HLL++ with opaque seeds).
+
+Why a 100 TB pipeline wants these as first-class operators rather than
+exact DISTINCT/COUNT:
+
+* **One pass, map-side partial, tiny shuffle.** Every sketch here is a
+  single `groupBy(...).agg(max/sum)` whose key space is bounded by the
+  sketch size (``m`` registers, ``depth*width`` cells, ``num_bits``
+  bits), not by the data's cardinality. At 100 TB an exact
+  ``COUNT(DISTINCT url)`` shuffles billions of keys; the HLL register
+  table shuffles 256 rows per group.
+* **Mergeable.** Registers/cells/bits combine with ``max``/``sum``/
+  ``or`` — per-day or per-source sketches roll up without touching raw
+  data again. :func:`hll_merge` is exactly that roll-up, and the
+  mergeability law (sketch(A ∪ B) == merge(sketch(A), sketch(B))) is
+  pinned by property tests.
+* **Exactly re-checkable.** The estimate arithmetic sticks to sums of
+  powers of two (exact in IEEE double) plus one literal-constant
+  division, so Spark and DuckDB agree to far beyond the 4-dp oracle
+  rounding.
+
+Reference parity: the reference engine ships no sketches (its
+``COUNT(*)`` validation is exact — `/root/reference/migrate.go`
+row-count checks); this module is part of the beyond-reference
+training-data-pipeline surface, next to dedup.py / similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+    "hll_cardinality",
+    "cms_sketch",
+    "cms_lookup",
+    "bloom_bits",
+    "bloom_probe",
+]
+
+
+# -- shared hash primitive ---------------------------------------------------
+
+
+def _hash60(col: Column, salt: str | None = None) -> Column:
+    """Deterministic 60-bit non-negative hash: first 15 hex digits of
+    md5 (DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``).
+    60 bits keeps the value comfortably inside a signed 64-bit long on
+    both engines; a ``salt`` prefix derives independent hash functions
+    (the Count-Min rows / Bloom probes)."""
+    s = col.cast("string")
+    if salt is not None:
+        s = F.concat(F.lit(salt + ":"), s)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+# -- HyperLogLog -------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog register table (Flajolet et al. 2007).
+
+    ``bucket`` = low ``p`` bits of the 60-bit hash; ``register`` = max
+    over the group of rho(rest), where rho = 1 + count of leading zeros
+    in the remaining ``60 - p`` bits (computed exactly via ``bin()``
+    string length — identical on both engines). One aggregate with
+    map-side combine; output is at most ``2**p`` rows per group no
+    matter how large the input — registers ARE the shuffle payload.
+    """
+    m = 1 << p
+    w = 60 - p
+    h = _hash60(F.col(col))
+    bucket = h.bitwiseAND(F.lit(m - 1)).cast("int")
+    rest = F.shiftrightunsigned(h, p)
+    bitlen = F.when(rest == F.lit(0), F.lit(0)).otherwise(F.length(F.bin(rest)))
+    rho = (F.lit(w) - bitlen + F.lit(1)).cast("int")
+    return (
+        df.groupBy(*[F.col(g) for g in group_cols], bucket.alias("bucket"))
+        .agg(F.max(rho).alias("register"))
+    )
+
+
+def hll_merge(regs: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge register tables: max per (group, bucket). Dropping columns
+    from ``group_cols`` unions the corresponding sketches — the lattice
+    roll-up that makes per-source/per-day sketches composable without
+    rescanning data. Cost: one aggregate over <= groups * 2**p rows."""
+    return (
+        regs.groupBy(*[F.col(g) for g in group_cols], "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def _alpha_m2(p: int) -> float:
+    m = float(1 << p)
+    if p == 4:
+        alpha = 0.673
+    elif p == 5:
+        alpha = 0.697
+    elif p == 6:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m
+
+
+def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
+    """Raw HLL estimate from a (merged, ungrouped) register table:
+    ``alpha_m * m^2 / (sum(2^-register) + (m - present))`` — absent
+    buckets contribute ``2^0 = 1`` each. The sum is over powers of two
+    (exact in double), the constant is a Python literal inlined on both
+    engines, so the rounded estimate is engine-identical. Returns one
+    row ``(est_distinct double, n_present long)``."""
+    m = 1 << p
+    return regs.agg(
+        F.round(
+            F.lit(_alpha_m2(p))
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("register")))
+                + (F.lit(m) - F.count(F.lit(1)))
+            ),
+            4,
+        ).alias("est_distinct"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+
+
+def hll_cardinality(est: float, n_present: int, p: int = 8) -> float:
+    """Driver-side small-range correction (linear counting when the raw
+    estimate is below 2.5*m and empty buckets remain) — applied OUTSIDE
+    the oracle-checked estimate because ``ln`` is libm-dependent. Pure
+    function; pinned by pytest, not by the SQL oracle."""
+    import math
+
+    m = 1 << p
+    zeros = m - n_present
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est
+
+
+# -- Count-Min ---------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows of ``width`` counters; cell (j, h_j(x)) counts
+    every occurrence of x. Built as explode-to-depth + one aggregate:
+    the shuffle key space is depth*width cells, constant in data size.
+    Merging two sketches is cell-wise ``sum`` (same groupBy shape).
+    Returns ``(*group_cols, row int, col int, cnt long)``."""
+    rows = F.array(*[
+        F.struct(
+            F.lit(j).alias("row"),
+            (_hash60(F.col(col), salt=f"cms{j}") % width).cast("int").alias("col"),
+        )
+        for j in range(depth)
+    ])
+    return (
+        df.select(*group_cols, F.explode(rows).alias("cell"))
+        .groupBy(*[F.col(g) for g in group_cols], "cell.row", "cell.col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-estimate frequencies for a (small) key set from a CMS:
+    est(x) = min_j sketch[j][h_j(x)] — never an underestimate, over by
+    at most collisions' mass. The keys side is the small side: explode
+    each key into its ``depth`` cells, equi-join the sketch (broadcast
+    when the sketch is one group — depth*width rows), min per key.
+    Returns ``(key, est_cnt long)``."""
+    cells = keys.select(
+        F.col(col).alias("key"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    (_hash60(F.col(col), salt=f"cms{j}") % width)
+                    .cast("int")
+                    .alias("col"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("cell"),
+    ).select("key", "cell.row", "cell.col")
+    return (
+        cells.join(F.broadcast(sketch), on=["row", "col"], how="left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )
+
+
+# -- Bloom filter ------------------------------------------------------------
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bloom filter as a distinct set-bit table: k salted hashes per key,
+    each mod ``num_bits``. At most ``num_bits`` output rows regardless of
+    input size — the same one-bounded-aggregate shape as the other
+    sketches (distinct == groupBy). Union of two filters = union of bit
+    tables. Returns ``(bit int)``."""
+    bits = F.array(*[
+        (_hash60(F.col(col), salt=f"bf{j}") % num_bits).cast("int")
+        for j in range(num_hashes)
+    ])
+    return df.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probe: DataFrame,
+    col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Membership test: key maybe-present iff ALL k bits are set. The
+    bit table is tiny (<= num_bits rows) so it broadcasts; the probe
+    side explodes to k rows, left-joins the bits, and ands the flags
+    with a min aggregate. No false negatives by construction; false
+    positives at the standard (1 - e^{-kn/m})^k rate. This is the
+    shuffle-avoiding pre-filter for selective joins: ship the bit table,
+    drop non-members before the real join.
+    Returns ``(key, maybe_present boolean)``."""
+    cells = probe.select(
+        F.col(col).alias("key"),
+        F.explode(
+            F.array(*[
+                (_hash60(F.col(col), salt=f"bf{j}") % num_bits).cast("int")
+                for j in range(num_hashes)
+            ])
+        ).alias("bit"),
+    )
+    hit = F.broadcast(bits.withColumn("__set", F.lit(1)))
+    return (
+        cells.join(hit, on="bit", how="left")
+        .groupBy("key")
+        .agg((F.min(F.coalesce(F.col("__set"), F.lit(0))) == 1).alias("maybe_present"))
+    )

@@ -94,7 +94,7 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 182
+N_QUERIES = 188
 
 
 def test_window_layout(entry_mod):

@@ -488,3 +488,41 @@ class TestRound5PlanShapes:
         assert "Join" not in plan
         assert "Exchange" not in plan
         assert "Window" not in plan
+
+
+class TestSketchPlanShapes:
+    def test_hll_registers_single_aggregate_exchange(self, spark):
+        """The register table is ONE hash aggregate: exactly one shuffle
+        (keyed on group+bucket, at most groups*256 rows), map-side
+        partial combine doing the max — the whole scale story."""
+        plan = _executed(E.queries()["hll_registers"](spark, SF))
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan
+
+    def test_hll_union_estimate_broadcast_only(self, spark):
+        """Merging + estimating touches register-table-sized data; the
+        exact-distinct comparison column is a 1-row broadcast. No
+        sort-merge join, no Cartesian against corpus-sized data."""
+        plan = _executed(E.queries()["hll_union_estimate"](spark, SF))
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_cms_sketch_single_aggregate(self, spark):
+        """depth*width-bounded cell table from one aggregate over the
+        exploded token stream; no join anywhere."""
+        plan = _executed(E.queries()["cms_token_sketch"](spark, SF))
+        assert "Join" not in plan
+
+    def test_bloom_probe_broadcasts_bits(self, spark):
+        """The bit table (<= num_bits rows) must broadcast to the probe
+        side; a shuffle join here would defeat the filter's purpose."""
+        plan = _executed(E.queries()["bloom_custkey_probe"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_exact_substring_spans_no_cartesian(self, spark):
+        """Window keys join back as an equi-join on the md5 hash; the
+        keeper is an aggregate (no per-window occurrence-list blowup)."""
+        plan = _executed(E.queries()["exact_substring_spans"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,206 @@
+"""Sketch laws: HLL / Count-Min / Bloom determinism, mergeability, bounds.
+
+The mergeability properties are the whole point of shipping sketches at
+100 TB — sketch(A ∪ B) == merge(sketch(A), sketch(B)) means per-source /
+per-day sketches roll up without rescanning raw data. Each law is pinned
+as exact DataFrame equality (the hashes are deterministic md5 derivations,
+so there is no tolerance anywhere except the HLL *estimate* accuracy
+checks, which use the published error bounds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgferry_spark.operators.dedup import exact_substring_spans
+from pgferry_spark.operators.sketches import (
+    bloom_bits,
+    bloom_probe,
+    cms_lookup,
+    cms_sketch,
+    hll_cardinality,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _ids(spark, lo, hi, col="v"):
+    return spark.range(lo, hi).select(F.col("id").alias(col))
+
+
+# -- HyperLogLog -------------------------------------------------------------
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    a = _ids(spark, 0, 3000)
+    b = _ids(spark, 2000, 6000)  # overlapping ranges
+    direct = {(r.bucket, r.register)
+              for r in hll_registers(a.union(b), "v").collect()}
+    merged = {(r.bucket, r.register)
+              for r in hll_merge(hll_registers(a, "v")
+                                 .union(hll_registers(b, "v"))).collect()}
+    assert direct == merged
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # m=256 => standard error 1.04/sqrt(256) = 6.5%; 4 sigma = 26%.
+    n = 5000
+    est = hll_estimate(hll_registers(_ids(spark, 0, n), "v")).collect()[0]
+    assert abs(est.est_distinct - n) / n < 0.26
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    once = _ids(spark, 0, 1000)
+    thrice = once.union(once).union(once)
+    assert (hll_registers(once, "v").exceptAll(
+        hll_registers(thrice, "v")).count() == 0)
+
+
+def test_hll_linear_counting_small_range(spark):
+    # 30 distinct is far below 2.5*m: raw HLL overcorrects, linear
+    # counting lands within 15%.
+    est = hll_estimate(hll_registers(_ids(spark, 0, 30), "v")).collect()[0]
+    corrected = hll_cardinality(est.est_distinct, est.n_present)
+    assert abs(corrected - 30) / 30 < 0.15
+
+
+def test_hll_group_cols_partition_the_sketch(spark):
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    per_group = hll_registers(df, "v", group_cols=("g",))
+    assert per_group.select("g").distinct().count() == 2
+    # dropping the group via hll_merge == sketching the whole column
+    whole = {(r.bucket, r.register) for r in hll_registers(df, "v").collect()}
+    rolled = {(r.bucket, r.register)
+              for r in hll_merge(per_group).collect()}
+    assert whole == rolled
+
+
+# -- Count-Min ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zipf_words(spark):
+    # word i appears (20 - i) times: known exact frequencies 20..1
+    rows = [(f"w{i:02d}",) for i in range(20) for _ in range(20 - i)]
+    return spark.createDataFrame(rows, "w string")
+
+
+def test_cms_never_underestimates(spark, zipf_words):
+    sk = cms_sketch(zipf_words, "w", depth=4, width=16)  # heavy collisions
+    truth = zipf_words.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_lookup(sk, truth, "w", depth=4, width=16)
+    joined = truth.join(est, truth.w == est.key).collect()
+    assert len(joined) == 20
+    assert all(r.est_cnt >= r.true_cnt for r in joined)
+
+
+def test_cms_exact_when_wide(spark, zipf_words):
+    sk = cms_sketch(zipf_words, "w", depth=4, width=4096)
+    truth = zipf_words.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_lookup(sk, truth, "w", depth=4, width=4096)
+    joined = truth.join(est, truth.w == est.key).collect()
+    assert all(r.est_cnt == r.true_cnt for r in joined)
+
+
+def test_cms_merge_is_cellwise_sum(spark, zipf_words):
+    half_a = zipf_words.limit(100)
+    half_b = zipf_words.exceptAll(half_a)
+    sk_a = cms_sketch(half_a, "w", depth=4, width=32)
+    sk_b = cms_sketch(half_b, "w", depth=4, width=32)
+    merged = (
+        sk_a.union(sk_b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_sketch(zipf_words, "w", depth=4, width=32)
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+
+
+def test_cms_sketch_bounded_size(spark, zipf_words):
+    assert cms_sketch(zipf_words, "w", depth=4, width=16).count() <= 4 * 16
+
+
+# -- Bloom -------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    members = _ids(spark, 0, 500)
+    bits = bloom_bits(members, "v", num_bits=2048, num_hashes=5)
+    probed = bloom_probe(bits, members, "v", num_bits=2048, num_hashes=5)
+    assert probed.filter(~F.col("maybe_present")).count() == 0
+
+
+def test_bloom_filters_most_non_members(spark):
+    members = _ids(spark, 0, 500)
+    strangers = _ids(spark, 10_000, 10_500)
+    bits = bloom_bits(members, "v", num_bits=8192, num_hashes=5)
+    probed = bloom_probe(bits, strangers, "v", num_bits=8192, num_hashes=5)
+    fp = probed.filter(F.col("maybe_present")).count()
+    # (1 - e^{-5*500/8192})^5 ~ 0.1% — allow 50x headroom
+    assert fp <= 25
+
+
+def test_bloom_bits_bounded(spark):
+    bits = bloom_bits(_ids(spark, 0, 10_000), "v", num_bits=1024, num_hashes=5)
+    assert bits.count() <= 1024
+
+
+def test_bloom_union_is_bit_union(spark):
+    a = _ids(spark, 0, 300)
+    b = _ids(spark, 300, 600)
+    direct = {r.bit for r in bloom_bits(a.union(b), "v").collect()}
+    unioned = {r.bit for r in bloom_bits(a, "v").union(
+        bloom_bits(b, "v")).distinct().collect()}
+    assert direct == unioned
+
+
+# -- exact-substring spans ---------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_spans_keeper_is_first_occurrence(spark):
+    shared = "a b c d e f g h i j"  # 10 tokens > w=8
+    docs = _docs(spark, [(1, shared + " unique one"),
+                         (2, shared + " other tail")])
+    out = exact_substring_spans(docs, "text", "doc_id", w=8)
+    rows = {(r.doc_id, r.span_start, r.span_end) for r in out.collect()}
+    # doc 1 holds every keeper window; only doc 2 reports the span.
+    # 10 shared tokens => windows at pos 0,1,2 => span [0, 10).
+    assert rows == {(2, 0, 10)}
+
+
+def test_spans_islands_split_on_gap(spark):
+    rep = "p q r s t u v w"  # exactly 8 tokens = one window
+    gap = "x1 y2 z3 k4 m5 n6 o7 q8 r9"  # 9 unique tokens: gap > 0
+    docs = _docs(spark, [(1, rep + " " + gap + " " + rep),
+                         (2, rep)])
+    out = exact_substring_spans(docs, "text", "doc_id", w=8)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # doc 1 pos 0 window is the keeper (min id,pos); its second copy at
+    # pos 17 and doc 2's copy both report. Two islands never merge.
+    assert by_doc == {1: [(17, 25)], 2: [(0, 8)]}
+
+
+def test_spans_adjacent_windows_merge(spark):
+    # 12 shared tokens => dup windows at pos 0..4 in doc 2, all
+    # overlapping => ONE maximal span [0, 12), n_windows = 5.
+    shared = " ".join(f"t{i}" for i in range(12))
+    docs = _docs(spark, [(1, shared), (2, shared)])
+    out = exact_substring_spans(docs, "text", "doc_id", w=8).collect()
+    assert [(r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in out] == [(2, 0, 12, 5)]
+
+
+def test_spans_short_docs_ignored(spark):
+    docs = _docs(spark, [(1, "only seven tokens here not enough now"),
+                         (2, "only seven tokens here not enough now")])
+    assert exact_substring_spans(docs, "text", "doc_id", w=8).count() == 0
