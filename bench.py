@@ -120,6 +120,10 @@ HEADLINE = [
     "hll_union_estimate",
     "cms_token_sketch",
     "bloom_custkey_probe",
+    # late round 5: quantile histogram, HLL intersection, lake compaction
+    "loghist_price_quantiles",
+    "hll_intersect_customers",
+    "compaction_plan",
 ]
 
 

@@ -39,10 +39,14 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "hll_cardinality",
+    "hll_intersect_estimate",
     "cms_sketch",
     "cms_lookup",
     "bloom_bits",
     "bloom_probe",
+    "loghist_counts",
+    "loghist_merge",
+    "loghist_quantiles",
 ]
 
 
@@ -149,6 +153,41 @@ def hll_cardinality(est: float, n_present: int, p: int = 8) -> float:
     if est <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)
     return est
+
+
+def hll_intersect_estimate(
+    regs_a: DataFrame, regs_b: DataFrame, p: int = 8
+) -> DataFrame:
+    """Set-intersection cardinality from two HLL register tables via
+    inclusion-exclusion: |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B), where
+    the union sketch is the max-per-bucket merge — no raw data touched.
+    This is the sketch answer to "how many users are in BOTH corpora"
+    at 100 TB: three bounded-size register tables instead of a distinct
+    shuffle over either side. Error grows with the Jaccard distance
+    (inclusion-exclusion subtracts two noisy terms), so the query layer
+    pairs it with an exact scorecard at test scale.
+
+    Returns one row ``(est_a, est_b, est_union, est_intersect)``; all
+    four stick to the same exact power-of-two arithmetic as
+    :func:`hll_estimate`, so a SQL oracle reproduces them bit-for-bit
+    at 4 dp."""
+    ea = hll_estimate(regs_a, p=p).select(F.col("est_distinct").alias("est_a"))
+    eb = hll_estimate(regs_b, p=p).select(F.col("est_distinct").alias("est_b"))
+    eu = hll_estimate(hll_merge(regs_a.union(regs_b)), p=p).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
+                "est_intersect"
+            ),
+        )
+    )
 
 
 # -- Count-Min ---------------------------------------------------------------
@@ -266,3 +305,116 @@ def bloom_probe(
         .groupBy("key")
         .agg((F.min(F.coalesce(F.col("__set"), F.lit(0))) == 1).alias("maybe_present"))
     )
+
+
+# -- Log-histogram quantile sketch -------------------------------------------
+#
+# The mergeable-quantiles member of the sketch family (DDSketch /
+# HdrHistogram lineage: Masson et al., VLDB 2019 — "DDSketch: a fast and
+# fully-mergeable quantile sketch with relative-error guarantees").
+# Instead of gamma^i log buckets (whose log() is libm-dependent and so
+# not oracle-exact), buckets are (octave, sub-bucket): octave = bit
+# length of the integer-scaled value, sub = which of ``k`` equal slices
+# of that octave. Relative bucket width is <= 1/k, everything is exact
+# integer/string arithmetic, and the table is at most 63*k rows per
+# group no matter the input size.
+
+
+def _scaled_long(col: Column, decimals: int) -> Column:
+    """Integer-scale a money-like double exactly: cast through
+    DECIMAL(18, decimals) (half-up, matching DuckDB), then shift the
+    point. All downstream bucket math is exact integer ops."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{decimals})") * (10 ** decimals)
+
+
+def loghist_counts(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 16,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group log-histogram over a positive numeric column.
+
+    ``w`` = value scaled to an exact integer (``decimals`` fractional
+    digits, half-up — the same DECIMAL normalization the percentile
+    oracles use); ``e`` = floor(log2(w)) computed exactly as
+    ``length(bin(w)) - 1``; ``sub`` = which of ``k`` equal slices of
+    octave ``[2^e, 2^{e+1})`` holds ``w``, via the exact integer
+    identity ``(w*k) div 2^e - k``. Non-positive values are dropped
+    (count them separately if they matter).
+
+    One aggregate with map-side combine; output is <= 63*k rows per
+    group — like the HLL register table, the histogram IS the shuffle
+    payload, so per-day / per-source histograms of a 100 TB column
+    cost one pass and merge without rescanning (:func:`loghist_merge`).
+    Returns ``(*group_cols, e int, sub int, cnt long)``."""
+    w = _scaled_long(F.col(col), decimals).cast("long")
+    df = df.select(*group_cols, w.alias("__w")).filter(F.col("__w") >= 1)
+    e = (F.length(F.bin(F.col("__w"))) - 1).cast("int")
+    # 2^e is exact in double for e <= 52 (and exact in every libm's pow)
+    p2 = F.pow(F.lit(2.0), e).cast("long")
+    sub = (
+        (F.col("__w") * k).cast("long") - ((F.col("__w") * k).cast("long") % p2)
+    ) / p2 - k
+    return (
+        df.withColumn("e", e)
+        .withColumn("sub", sub.cast("int"))
+        .groupBy(*[F.col(g) for g in group_cols], "e", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def loghist_merge(hist: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge histograms: sum per (group, e, sub). Dropping columns from
+    ``group_cols`` rolls sketches up the grouping lattice — the same
+    rescan-free composition law as :func:`hll_merge`."""
+    return (
+        hist.groupBy(*[F.col(g) for g in group_cols], "e", "sub")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def loghist_quantiles(
+    hist: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_cols: tuple[str, ...] = (),
+    k: int = 16,
+    decimals: int = 2,
+) -> DataFrame:
+    """Quantile estimates from a log-histogram: for each q, the lower
+    bound of the first bucket whose cumulative count reaches ``q *
+    total`` (type-1 / ceil-rank semantics). The estimate is below the
+    true quantile by at most one bucket width, i.e. relative error
+    <= 1/k.
+
+    Cost: one bounded window (<= 63*k rows per group — the histogram,
+    never the data) plus a tiny aggregate; the raw column is not
+    touched, which is the point — quantiles of a 100 TB column from a
+    few-KB sketch. Returns ``(*group_cols, q double, est double)``."""
+    from pyspark.sql import Window
+
+    wspec = (
+        Window.partitionBy(*[F.col(g) for g in group_cols])
+        .orderBy("e", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tspec = Window.partitionBy(*[F.col(g) for g in group_cols])
+    cum = hist.select(
+        *group_cols,
+        "e",
+        "sub",
+        F.sum("cnt").over(wspec).alias("cum"),
+        F.sum("cnt").over(tspec).alias("total"),
+    )
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    cand = cum.select(*group_cols, "e", "sub", "cum", "total", qcol).filter(
+        F.col("cum") >= F.col("q") * F.col("total")
+    )
+    first = cand.groupBy(*[F.col(g) for g in group_cols], "q").agg(
+        F.min(F.struct("e", "sub")).alias("b")
+    )
+    p2 = F.pow(F.lit(2.0), F.col("b.e"))
+    est = F.round(p2 * (k + F.col("b.sub")) / k / (10 ** decimals), 4)
+    return first.select(*group_cols, "q", est.alias("est"))

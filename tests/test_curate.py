@@ -559,3 +559,70 @@ def test_mixture_epochs_rejects_negative(spark):
     df = spark.createDataFrame([(1, "w")], "doc_id long, source string")
     with pytest.raises(ValueError, match="negative"):
         mixture_epochs(df, "source", "doc_id", {"w": -1.0})
+
+
+# -- compaction_plan ---------------------------------------------------------
+
+
+def _manifest(spark, sizes, group="t"):
+    return spark.createDataFrame(
+        [(group, i, int(s)) for i, s in enumerate(sizes)],
+        ["tbl", "file_id", "bytes"],
+    )
+
+
+def test_compaction_bins_bounded(spark):
+    from pgferry_spark.operators.curate import compaction_plan
+
+    sizes = [30, 80, 10, 50, 120, 40, 40, 40, 5, 5, 5, 200, 10]
+    out = compaction_plan(
+        _manifest(spark, sizes), "bytes", "file_id", 100, group_cols=("tbl",)
+    ).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin, []).append(r)
+    for rows in by_bin.values():
+        total = sum(r.bytes for r in rows)
+        biggest = max(r.bytes for r in rows)
+        # ordered next-fit: a bin never exceeds target + one file
+        assert total < 100 + biggest + 1
+
+
+def test_compaction_preserves_order(spark):
+    from pgferry_spark.operators.curate import compaction_plan
+
+    out = (
+        compaction_plan(
+            _manifest(spark, [10] * 20), "bytes", "file_id", 35,
+            group_cols=("tbl",),
+        )
+        .orderBy("file_id")
+        .collect()
+    )
+    bins = [r.bin for r in out]
+    assert bins == sorted(bins)  # order-preserving: bin ids nondecreasing
+    assert bins[0] == 0 and bins[-1] == (10 * 19) // 35
+
+
+def test_compaction_oversize_file_own_bin(spark):
+    from pgferry_spark.operators.curate import compaction_plan
+
+    out = {
+        r.file_id: r.bin
+        for r in compaction_plan(
+            _manifest(spark, [500, 10, 10]), "bytes", "file_id", 100,
+            group_cols=("tbl",),
+        ).collect()
+    }
+    # the 500-byte file occupies bins 0..4's span alone; followers start at 5
+    assert out[0] == 0 and out[1] == 5 and out[2] == 5
+
+
+def test_compaction_groups_independent(spark):
+    from pgferry_spark.operators.curate import compaction_plan
+
+    m = _manifest(spark, [60, 60], "a").union(_manifest(spark, [60, 60], "b"))
+    out = compaction_plan(m, "bytes", "file_id", 100, group_cols=("tbl",))
+    assert {(r.tbl, r.file_id, r.bin) for r in out.collect()} == {
+        ("a", 0, 0), ("a", 1, 0), ("b", 0, 0), ("b", 1, 0)
+    }

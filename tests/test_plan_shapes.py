@@ -526,3 +526,41 @@ class TestSketchPlanShapes:
         plan = _executed(E.queries()["exact_substring_spans"](spark, SF))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestLoghistCompactionPlanShapes:
+    def test_loghist_counts_single_aggregate_exchange(self, spark):
+        """The histogram is ONE hash aggregate over exact integer bucket
+        math: one shuffle keyed on (group, e, sub) — at most 63*k rows
+        per group — with map-side partial combine. No join, no window
+        touches the raw column."""
+        from pgferry_spark.operators.sketches import loghist_counts
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        plan = _executed(
+            loghist_counts(li, "l_extendedprice", group_cols=("l_returnflag",))
+        )
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan
+        assert "Window" not in plan
+
+    def test_loghist_quantiles_windows_histogram_not_data(self, spark):
+        """The quantile read-off joins/windows only histogram-sized rows:
+        no sort-merge join against the fact table, no Cartesian. (The
+        scorecard query's exact-percentile column is a separate branch.)"""
+        plan = _executed(E.queries()["loghist_price_quantiles"](spark, SF))
+        assert "CartesianProduct" not in plan
+
+    def test_hll_intersect_broadcast_only(self, spark):
+        """Three single-row estimates combine via broadcast nested-loop
+        on 1-row frames; nothing corpus-sized is ever joined."""
+        plan = _executed(E.queries()["hll_intersect_customers"](spark, SF))
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_compaction_plan_single_manifest_window(self, spark):
+        """One aggregate builds the file manifest, one partitioned window
+        assigns bins — both over file METADATA rows. No join at all."""
+        plan = _executed(E.queries()["compaction_plan"](spark, SF))
+        assert "Join" not in plan
+        assert plan.count("Window") == 1

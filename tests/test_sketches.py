@@ -204,3 +204,85 @@ def test_spans_short_docs_ignored(spark):
     docs = _docs(spark, [(1, "only seven tokens here not enough now"),
                          (2, "only seven tokens here not enough now")])
     assert exact_substring_spans(docs, "text", "doc_id", w=8).count() == 0
+
+
+# -- Log-histogram quantile sketch -------------------------------------------
+
+
+def _vals(spark, vals, col="v"):
+    return spark.createDataFrame([(float(v),) for v in vals], [col])
+
+
+def test_loghist_merge_equals_union_sketch(spark):
+    from pgferry_spark.operators.sketches import loghist_counts, loghist_merge
+
+    a = _vals(spark, [1.5 * i for i in range(1, 400)])
+    b = _vals(spark, [2.25 * i for i in range(200, 700)])
+    direct = {(r.e, r.sub, r.cnt)
+              for r in loghist_counts(a.union(b), "v").collect()}
+    merged = {(r.e, r.sub, r.cnt)
+              for r in loghist_merge(loghist_counts(a, "v")
+                                     .union(loghist_counts(b, "v"))).collect()}
+    assert direct == merged
+
+
+def test_loghist_bucket_count_bounded(spark):
+    from pgferry_spark.operators.sketches import loghist_counts
+
+    # 50k values spanning 6 orders of magnitude: bucket table stays tiny
+    vals = [1.001 ** i for i in range(1, 5000)] * 10
+    hist = loghist_counts(_vals(spark, vals), "v", k=16)
+    assert hist.count() <= 63 * 16
+
+
+def test_loghist_quantile_relative_error_bound(spark):
+    from pgferry_spark.operators.sketches import loghist_counts, loghist_quantiles
+
+    vals = sorted(7.0 + 3.1 * i for i in range(2000))
+    k = 16
+    hist = loghist_counts(_vals(spark, vals), "v", k=k)
+    out = {r.q: r.est
+           for r in loghist_quantiles(hist, (0.5, 0.95, 0.99), k=k).collect()}
+    import math
+    n = len(vals)
+    for q, est in out.items():
+        # type-1 (ceil-rank) order statistic lives inside the chosen
+        # bucket: est (its lower bound) <= v_q < est * (1 + 1/k)
+        v_q = vals[max(0, math.ceil(q * n) - 1)]
+        assert est <= v_q + 1e-9
+        assert v_q <= est * (1 + 1.0 / k) + 1e-9
+
+
+def test_loghist_drops_nonpositive(spark):
+    from pgferry_spark.operators.sketches import loghist_counts
+
+    df = _vals(spark, [-5.0, 0.0, 0.001, 1.0, 2.0])
+    # 0.001 scales (2dp) to 0 and is dropped with the nonpositives
+    assert loghist_counts(df, "v").agg(
+        F.sum("cnt")).collect()[0][0] == 2
+
+
+# -- HLL intersection --------------------------------------------------------
+
+
+def test_hll_intersect_identical_sets(spark):
+    from pgferry_spark.operators.sketches import hll_intersect_estimate
+
+    regs = hll_registers(_ids(spark, 0, 4000), "v")
+    r = hll_intersect_estimate(regs, regs).collect()[0]
+    # A == B: union == A, so intersect estimate == |A| estimate exactly
+    assert r.est_intersect == r.est_a == r.est_b == r.est_union
+
+
+def test_hll_intersect_tracks_overlap(spark):
+    from pgferry_spark.operators.sketches import hll_intersect_estimate
+
+    a = hll_registers(_ids(spark, 0, 4000), "v")
+    b_half = hll_registers(_ids(spark, 2000, 6000), "v")
+    b_disj = hll_registers(_ids(spark, 50000, 54000), "v")
+    half = hll_intersect_estimate(a, b_half).collect()[0].est_intersect
+    disj = hll_intersect_estimate(a, b_disj).collect()[0].est_intersect
+    # true overlaps: 2000 and 0. Inclusion-exclusion compounds three
+    # 6.5%-sigma estimates, so allow a wide but ordering-preserving band.
+    assert abs(half - 2000) < 1200
+    assert disj < half - 500
