@@ -859,3 +859,61 @@ def psi_drift_monitor_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def loghist_monitor_stream(
+    stream_df: DataFrame,
+    col: str,
+    sink,
+    checkpoint_dir: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    k: int = 16,
+    decimals: int = 2,
+    query_name: str = "loghist_monitor",
+):
+    """Streaming running-percentile monitor — the stream twin of the
+    batch log-histogram quantile sketch (:func:`~pgferry_spark.
+    operators.sketches.loghist_counts` / ``loghist_quantiles``).
+
+    Each micro-batch is sketched with the BATCH ``loghist_counts``
+    verbatim and merged (cell-wise count sum — the sketch's
+    mergeability law) into a driver-held accumulator; ``sink(batch_id,
+    {q: est}, merged_rows)`` then receives the quantile estimates of
+    EVERYTHING seen so far, read off the merged histogram. Because the
+    sketch is mergeable, the running estimates are bit-identical to a
+    batch run over the union of all batches — pinned by
+    test_streaming_stateful.
+
+    The driver state is bounded by the sketch, not the stream: at most
+    63*k (octave, sub) cells ever exist regardless of how many events
+    flow through, so the per-batch collect is bounded metadata (same
+    posture as the centroid/vocab collects). Per-batch cost: one
+    bounded aggregate + an in-memory merge — history-independent."""
+    from ..operators.sketches import loghist_counts, loghist_quantiles
+
+    state: dict = {}
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        for r in loghist_counts(batch_df, col, k=k, decimals=decimals).collect():
+            key = (r["e"], r["sub"])
+            state[key] = state.get(key, 0) + r["cnt"]
+        merged = spark.createDataFrame(
+            [(e, sub, cnt) for (e, sub), cnt in sorted(state.items())],
+            "e int, sub int, cnt long",
+        )
+        ests = {
+            r["q"]: r["est"]
+            for r in loghist_quantiles(merged, qs, k=k, decimals=decimals).collect()
+        }
+        sink(batch_id, ests, len(state))
+
+    return (
+        stream_df.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

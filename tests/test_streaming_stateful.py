@@ -444,3 +444,88 @@ class TestQualityGateStream:
         assert [r["doc_id"] for r in passed] == [900]
         # the stream-side score IS the batch score — bit-identical ints
         assert passed[0]["score_micro"] == batch_scores[900]
+
+
+class TestLoghistMonitorStream:
+    def test_running_quantiles_match_batch_sketch(self, spark, tmp_path):
+        """Mergeability on the stream: after the last micro-batch, the
+        running estimates must equal the batch sketch's quantiles over
+        the union of all batches — bit-identical, no tolerance."""
+        import datetime
+
+        from pgferry_spark.operators.sketches import (
+            loghist_counts,
+            loghist_quantiles,
+        )
+        from pgferry_spark.streaming.events import loghist_monitor_stream
+
+        ts = datetime.datetime(2026, 1, 1)
+        lo = spark.createDataFrame(
+            [(i, ts, 10.0 + (i * 13) % 90) for i in range(400)],
+            "id: long, ts: timestamp, v: double",
+        )
+        hi = spark.createDataFrame(
+            [(i, ts, 1000.0 + (i * 7) % 5000) for i in range(400)],
+            "id: long, ts: timestamp, v: double",
+        )
+        src = str(tmp_path / "batches")
+        lo.coalesce(1).write.parquet(src)
+        hi.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("id long, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        results: list = []
+
+        def sink(batch_id, ests, n_cells):
+            results.append((ests, n_cells))
+
+        q = loghist_monitor_stream(
+            stream, "v", sink, str(tmp_path / "ckpt"),
+            qs=(0.5, 0.99), query_name="t_loghist_monitor",
+        )
+        q.awaitTermination()
+        assert len(results) == 2
+
+        batch_hist = loghist_counts(lo.union(hi), "v")
+        expect = {
+            r["q"]: r["est"]
+            for r in loghist_quantiles(batch_hist, (0.5, 0.99)).collect()
+        }
+        final_ests, final_cells = results[-1]
+        assert final_ests == expect
+        assert final_cells == batch_hist.count()
+        # the monitor's state is sketch-bounded, not stream-bounded
+        assert final_cells <= 63 * 16
+
+    def test_estimates_move_as_distribution_shifts(self, spark, tmp_path):
+        import datetime
+
+        from pgferry_spark.streaming.events import loghist_monitor_stream
+
+        ts = datetime.datetime(2026, 1, 1)
+        src = str(tmp_path / "batches")
+        spark.createDataFrame(
+            [(i, ts, 50.0) for i in range(100)],
+            "id: long, ts: timestamp, v: double",
+        ).coalesce(1).write.parquet(src)
+        spark.createDataFrame(
+            [(i, ts, 5000.0) for i in range(300)],
+            "id: long, ts: timestamp, v: double",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("id long, ts timestamp, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        seen: list = []
+        q = loghist_monitor_stream(
+            stream, "v", lambda b, e, n: seen.append(e[0.5]),
+            str(tmp_path / "ckpt"), qs=(0.5,),
+            query_name="t_loghist_shift",
+        )
+        q.awaitTermination()
+        medians = sorted(seen)  # batch order isn't guaranteed; values are
+        assert medians[0] <= 50.0 < medians[1]  # p50 jumps once hi dominates
