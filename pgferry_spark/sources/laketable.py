@@ -66,8 +66,15 @@ class LakeTable:
     def _commit(self, df: DataFrame, op: str) -> SnapshotInfo:
         cur = self.current_version()
         nxt = 1 if cur is None else cur + 1
+        df.write.mode("errorifexists").parquet(self._vdir(nxt))
+        return self._finalize(nxt, op)
+
+    def _finalize(self, nxt: int, op: str) -> SnapshotInfo:
+        """Seal an already-written version dir: record meta, flip the
+        pointer. Split out of :meth:`_commit` so multi-job writers
+        (:meth:`compact`) can produce the files themselves and still
+        share the exact commit protocol."""
         vdir = self._vdir(nxt)
-        df.write.mode("errorifexists").parquet(vdir)
         rows = self.spark.read.parquet(vdir).count()
         meta = {"version": nxt, "rows": rows, "op": op, "committed_at": time.time()}
         with open(os.path.join(vdir, "_meta.json"), "w") as f:
@@ -145,6 +152,53 @@ class LakeTable:
             key_cols,
             value_cols,
         )
+
+    def compact(self, target_bytes: int) -> SnapshotInfo:
+        """OPTIMIZE: rewrite the current snapshot's files into bins of
+        roughly ``target_bytes`` and commit the result as a new
+        row-identical version (``op='compact'``) — the executor for
+        :func:`~pgferry_spark.operators.curate.compaction_plan`.
+
+        The manifest is the snapshot's file listing (one row per part
+        file — METADATA, never data); the planner assigns ordered
+        next-fit bins preserving file order, so a clustered write's key
+        ranges stay contiguous per output file; each bin then rewrites
+        as one job reading exactly its input files. Copy-on-write: the
+        pre-compaction version remains time-travelable until
+        :meth:`vacuum`, and the pointer flips only after every bin has
+        written — a crash mid-compact leaves the table on the old
+        version with only an orphaned (never-pointed-at) vdir to clean.
+
+        The per-bin loop is driver-side over bin COUNT (bounded by
+        table_bytes / target_bytes); on a real cluster the bins are
+        independent jobs a scheduler can submit concurrently. Each bin
+        coalesces to a single output file by construction."""
+        import glob
+
+        from ..operators.curate import compaction_plan
+
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"lake table {self.path} has no snapshots")
+        vdir = self._vdir(cur)
+        files = sorted(glob.glob(os.path.join(vdir, "part-*")))
+        manifest = self.spark.createDataFrame(
+            [(i, f, os.path.getsize(f)) for i, f in enumerate(files)],
+            "file_id int, path string, bytes long",
+        )
+        plan = compaction_plan(manifest, "bytes", "file_id", int(target_bytes))
+        bins: dict[int, list[str]] = {}
+        for r in plan.collect():  # file-level metadata, bounded
+            bins.setdefault(r.bin, []).append(r.path)
+        nvdir = self._vdir(cur + 1)
+        for b in sorted(bins):
+            (
+                self.spark.read.parquet(*bins[b])
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(nvdir)
+            )
+        return self._finalize(cur + 1, "compact")
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Delete snapshots older than the newest ``keep_last``; never the

@@ -178,3 +178,48 @@ def test_stream_materialized_agg_incremental_equals_recompute(spark, tmp_path):
     )
     q.awaitTermination()
     assert [s.op for s in t.history()] == ["mv:mv_sink:0", "mv:mv_sink:1"]
+
+
+class TestCompact:
+    def test_compact_row_identical_fewer_files(self, spark, tmp_path):
+        """OPTIMIZE semantics: same rows, fewer files, old version still
+        time-travelable, history records the compact op."""
+        import glob
+        import os
+
+        from pgferry_spark.sources.laketable import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "lake"))
+        from pyspark.sql import functions as F
+
+        df = spark.range(2000).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        )
+        t.write_snapshot(df.repartition(12))
+        v1_files = glob.glob(os.path.join(t._vdir(1), "part-*"))
+        assert len(v1_files) == 12
+
+        info = t.compact(target_bytes=sum(map(os.path.getsize, v1_files)) // 3)
+        assert info.version == 2 and info.op == "compact"
+        v2_files = glob.glob(os.path.join(t._vdir(2), "part-*"))
+        assert 1 < len(v2_files) < 12
+
+        cur = t.read()
+        assert cur.count() == 2000
+        assert cur.exceptAll(df).count() == 0
+        assert df.exceptAll(cur).count() == 0
+        # pre-compaction version still readable (copy-on-write)
+        assert t.read(version=1).count() == 2000
+        assert [s.op for s in t.history()] == ["overwrite", "compact"]
+
+    def test_compact_single_bin_when_target_large(self, spark, tmp_path):
+        import glob
+        import os
+
+        from pgferry_spark.sources.laketable import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "lake"))
+        t.write_snapshot(spark.range(500).repartition(8))
+        t.compact(target_bytes=1 << 30)
+        assert len(glob.glob(os.path.join(t._vdir(2), "part-*"))) == 1
+        assert t.read().count() == 500
