@@ -221,6 +221,37 @@ ANNOTATED = {
         "adds no extra wide shuffle, and the drop rate is logged per "
         "bench run (BENCH_runs.json capped_drop_stats).",
     ),
+    "hll_registers": (
+        "ONE hash aggregate; register table is the shuffle payload",
+        "bucket/rho derive from exact integer bit math on the md5 hash "
+        "inside the projection; the single Exchange carries at most "
+        "groups*256 register rows after map-side MAX combine — input "
+        "cardinality never crosses the wire.",
+    ),
+    "loghist_price_quantiles": (
+        "histogram aggregate + bounded window; data scanned once per branch",
+        "The (octave, sub-bucket) keys are exact integer/bit-length math "
+        "in the scan projection; the histogram aggregate combines "
+        "map-side to <= 63*k rows per flag, and the quantile read-off "
+        "windows THAT table, not the data. The exact-percentile "
+        "scorecard branch is the only full-column pass.",
+    ),
+    "hll_intersect_customers": (
+        "three register-table aggregates, broadcast-only combination",
+        "est(A), est(B) and est(A∪B) are single-row aggregates over "
+        "<=256-row register tables; inclusion-exclusion combines them "
+        "via 1-row broadcasts — no SortMergeJoin, nothing corpus-sized "
+        "joined anywhere (plan-asserted).",
+    ),
+    "compaction_plan": (
+        "manifest aggregate + one metadata window, no join",
+        "The file manifest aggregates from the md5 shard assignment "
+        "(one shuffle, output = files, not docs); bin assignment is a "
+        "single cumulative-sum window partitioned by source over "
+        "file-count rows. The plan's cost is O(files), independent of "
+        "table bytes — the rewrite it feeds is per-bin parallel "
+        "(LakeTable.compact).",
+    ),
 }
 
 
