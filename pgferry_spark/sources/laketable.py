@@ -30,6 +30,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -172,7 +173,13 @@ class LakeTable:
         The per-bin loop is driver-side over bin COUNT (bounded by
         table_bytes / target_bytes); on a real cluster the bins are
         independent jobs a scheduler can submit concurrently. Each bin
-        coalesces to a single output file by construction."""
+        coalesces to a single output file by construction.
+
+        Sibling: :func:`~pgferry_spark.sources.layout.compact_parquet`
+        compacts a bare parquet DIRECTORY in place via one
+        repartition (no versioning, order not preserved); this method
+        is the versioned, order-preserving variant for tables whose
+        layout (:meth:`optimize`) must survive compaction."""
         import glob
 
         from ..operators.curate import compaction_plan
@@ -199,6 +206,39 @@ class LakeTable:
                 .parquet(nvdir)
             )
         return self._finalize(cur + 1, "compact")
+
+    def optimize(
+        self,
+        col_a: str,
+        col_b: str,
+        bits: int = 16,
+        n_files: int = 16,
+    ) -> SnapshotInfo:
+        """OPTIMIZE ZORDER: commit a new row-identical version
+        range-clustered on the Morton key of ``(col_a, col_b)`` —
+        :func:`~pgferry_spark.sources.layout.zorder_key` under the lake
+        table's copy-on-write commit protocol (``op='zorder'``).
+
+        ``repartitionByRange`` on the interleaved key gives the
+        ``n_files`` output files DISJOINT key ranges and the
+        within-file sort tightens row-group min/max stats, so 2-D box
+        predicates prune files at planning time and row groups at read
+        time. One shuffle (the range partitioner samples the key).
+        ``n_files`` also fixes the file count, so this IS a compaction;
+        later incremental appends re-fragment, after which
+        :meth:`compact` re-bins WITHOUT destroying this clustering
+        (its bin packing is order-preserving by design)."""
+        from .layout import zorder_key
+
+        keyed = self.read().withColumn(
+            "__zkey", zorder_key(F.col(col_a), F.col(col_b), bits)
+        )
+        clustered = (
+            keyed.repartitionByRange(int(n_files), "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+        return self._commit(clustered, "zorder")
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Delete snapshots older than the newest ``keep_last``; never the

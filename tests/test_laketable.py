@@ -223,3 +223,59 @@ class TestCompact:
         t.compact(target_bytes=1 << 30)
         assert len(glob.glob(os.path.join(t._vdir(2), "part-*"))) == 1
         assert t.read().count() == 500
+
+
+class TestOptimizeZorder:
+    def test_optimize_clusters_and_compact_preserves_it(self, spark, tmp_path):
+        """optimize() commits a z-clustered version with disjoint
+        per-file key ranges; a later compact() keeps the ranges
+        disjoint (order-preserving bin packing) while shrinking the
+        file count. Row identity holds across all three versions."""
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.sources.layout import zorder_key
+        from pgferry_spark.sources.laketable import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "lake"))
+        df = spark.range(3000).select(
+            (F.col("id") % 60).alias("x"),
+            (F.col("id") * 11 % 60).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        t.write_snapshot(df.repartition(10))
+        info = t.optimize("x", "y", n_files=6)
+        assert info.op == "zorder" and info.version == 2
+
+        def spans(vdir):
+            out = []
+            for f in glob.glob(os.path.join(vdir, "part-*")):
+                lo, hi = (
+                    spark.read.parquet(f)
+                    .select(zorder_key(F.col("x"), F.col("y")).alias("z"))
+                    .agg(F.min("z"), F.max("z"))
+                    .first()
+                )
+                out.append((lo, hi))
+            return sorted(out)
+
+        s2 = spans(t._vdir(2))
+        assert 2 <= len(s2) <= 6
+        for (_, hi1), (lo2, _) in zip(s2, s2[1:]):
+            assert hi1 <= lo2
+
+        # compact to roughly half the files: clustering must survive
+        sizes = [os.path.getsize(f)
+                 for f in glob.glob(os.path.join(t._vdir(2), "part-*"))]
+        t.compact(target_bytes=int(sum(sizes) / 3))
+        s3 = spans(t._vdir(3))
+        assert len(s3) < len(s2)
+        for (_, hi1), (lo2, _) in zip(s3, s3[1:]):
+            assert hi1 <= lo2
+
+        cur = t.read()
+        assert cur.count() == 3000
+        assert cur.exceptAll(df).count() == 0 and df.exceptAll(cur).count() == 0
+        assert [s.op for s in t.history()] == ["overwrite", "zorder", "compact"]
