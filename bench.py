@@ -124,6 +124,7 @@ HEADLINE = [
     "loghist_price_quantiles",
     "hll_intersect_customers",
     "compaction_plan",
+    "cms_join_size_custkey",
 ]
 
 

@@ -47,6 +47,8 @@ __all__ = [
     "loghist_counts",
     "loghist_merge",
     "loghist_quantiles",
+    "loghist_splits",
+    "cms_join_size",
 ]
 
 
@@ -418,3 +420,50 @@ def loghist_quantiles(
     p2 = F.pow(F.lit(2.0), F.col("b.e"))
     est = F.round(p2 * (k + F.col("b.sub")) / k / (10 ** decimals), 4)
     return first.select(*group_cols, "q", est.alias("est"))
+
+
+def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join output-cardinality estimate from two Count-Min sketches
+    over the join keys (the AMS/CMS inner-product estimator — Alon,
+    Matias & Szegedy 1996; Cormode & Muthukrishnan 2005 §4.2):
+    ``|A ⋈_k B| = Σ_k fA(k)·fB(k)``, estimated as the MIN over hash rows
+    of the cell-wise dot product. Collisions only ADD mass, so the
+    estimate never underestimates, and a width ≫ distinct-keys sketch is
+    exact (both pytest-pinned).
+
+    This is the join-size oracle a planner wants before committing to a
+    shuffle at 100 TB: the true answer needs the join itself; this needs
+    two depth*width cell tables that each cost one pass and merge across
+    partitions/days by cell-wise sum. Cost here: an equi-join of two
+    <= depth*width-row tables, a depth-row aggregate, a 1-row min.
+    Returns one row ``(est_join_size long)``."""
+    j = sketch_a.alias("a").join(
+        sketch_b.alias("b"), ["row", "col"]
+    )  # absent cells contribute 0 to the dot product — inner join is exact
+    per_row = j.groupBy("row").agg(
+        F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot")
+    )
+    return per_row.agg(F.min("dot").cast("long").alias("est_join_size"))
+
+
+def loghist_splits(
+    hist: DataFrame,
+    n_splits: int,
+    group_cols: tuple[str, ...] = (),
+    k: int = 16,
+    decimals: int = 2,
+) -> DataFrame:
+    """Equal-mass range-partition boundaries from a log-histogram: the
+    i/n quantile estimates for i = 1..n-1 — what ``repartitionByRange``
+    derives by SAMPLING the data, read instead off a mergeable few-KB
+    sketch. At 100 TB this turns range-layout planning (writer file
+    boundaries, range-bucketed sort keys) into sketch arithmetic: no
+    sampling job, deterministic, and yesterday's histogram merges with
+    today's delta before re-planning. Each resulting range holds
+    ~total/n rows within the sketch's 1/k relative-value error.
+    Returns ``(*group_cols, q double, est double)`` with n-1 rows per
+    group."""
+    qs = tuple(i / n_splits for i in range(1, n_splits))
+    return loghist_quantiles(
+        hist, qs, group_cols=group_cols, k=k, decimals=decimals
+    )

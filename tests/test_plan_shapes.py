@@ -564,3 +564,10 @@ class TestLoghistCompactionPlanShapes:
         plan = _executed(E.queries()["compaction_plan"](spark, SF))
         assert "Join" not in plan
         assert plan.count("Window") == 1
+
+    def test_cms_join_size_no_cartesian(self, spark):
+        """The dot product joins two <= depth*width-row cell tables on
+        (row, col); the exact-count scorecard branch is a separate
+        equi-join; the only nested-loop is the 1-row broadcast combine."""
+        plan = _executed(E.queries()["cms_join_size_custkey"](spark, SF))
+        assert "CartesianProduct" not in plan

@@ -286,3 +286,73 @@ def test_hll_intersect_tracks_overlap(spark):
     # 6.5%-sigma estimates, so allow a wide but ordering-preserving band.
     assert abs(half - 2000) < 1200
     assert disj < half - 500
+
+
+# -- CMS join-size estimate --------------------------------------------------
+
+
+def test_cms_join_size_never_underestimates(spark):
+    from pgferry_spark.operators.sketches import cms_join_size, cms_sketch
+
+    # skewed key frequencies on both sides, narrow sketch so collisions exist
+    a = spark.createDataFrame(
+        [(k,) for k in [1] * 50 + [2] * 20 + list(range(3, 40))], ["k"]
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1] * 10 + [2] * 30 + list(range(20, 60))], ["k"]
+    )
+    true_size = a.join(b, "k").count()
+    est = cms_join_size(
+        cms_sketch(a, "k", depth=4, width=16),
+        cms_sketch(b, "k", depth=4, width=16),
+    ).collect()[0].est_join_size
+    assert est >= true_size
+
+
+def test_cms_join_size_exact_when_wide(spark):
+    from pgferry_spark.operators.sketches import cms_join_size, cms_sketch
+
+    a = _ids(spark, 0, 200, col="k")
+    b = spark.createDataFrame([(k,) for k in range(100, 400)] * 3, ["k"])
+    true_size = a.join(b, "k").count()
+    # width >> distinct keys on both sides: inner product is exact
+    est = cms_join_size(
+        cms_sketch(a, "k", depth=4, width=65536),
+        cms_sketch(b, "k", depth=4, width=65536),
+    ).collect()[0].est_join_size
+    assert est == true_size
+
+
+def test_cms_join_size_disjoint_keys_small(spark):
+    from pgferry_spark.operators.sketches import cms_join_size, cms_sketch
+
+    a = _ids(spark, 0, 100, col="k")
+    b = _ids(spark, 100000, 100100, col="k")
+    est = cms_join_size(
+        cms_sketch(a, "k", depth=4, width=4096),
+        cms_sketch(b, "k", depth=4, width=4096),
+    ).collect()[0].est_join_size
+    # true join size 0; only collision mass remains, and min-over-rows
+    # keeps it near zero for a sketch this wide
+    assert est <= 5
+
+
+def test_loghist_splits_equal_mass(spark):
+    from pgferry_spark.operators.sketches import loghist_counts, loghist_splits
+
+    vals = [5.0 + 2.7 * i for i in range(4000)]
+    hist = loghist_counts(_vals(spark, vals), "v", k=32)
+    splits = sorted(
+        r.est for r in loghist_splits(hist, 4, k=32).collect()
+    )
+    assert len(splits) == 3
+    import bisect
+    masses = []
+    prev = 0
+    for s in splits + [float("inf")]:
+        idx = bisect.bisect_left(sorted(vals), s)
+        masses.append(idx - prev)
+        prev = idx
+    # each of the 4 ranges holds ~1000 rows within the bucket-width error
+    for m in masses:
+        assert abs(m - 1000) < 1000 / 8
