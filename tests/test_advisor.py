@@ -57,3 +57,35 @@ class TestJoinAdvice:
 
     def test_threshold_is_sparks_default(self):
         assert DEFAULT_BROADCAST_THRESHOLD == 10 * 1024 * 1024
+
+
+def test_cms_join_size_feeds_partition_advice(spark):
+    """measure→advise with the sketch in the measure seat: the CMS
+    join-size estimate drives advise_shuffle_partitions for the join's
+    OUTPUT stage, and with a wide-enough sketch the advice is identical
+    to what the exact join size would give — without running the join."""
+    from pyspark.sql import functions as F
+
+    from pgferry_spark.operators.sketches import cms_join_size, cms_sketch
+    from pgferry_spark.plans.advisor import advise_shuffle_partitions
+
+    a = spark.range(5000).select((F.col("id") % 700).alias("k"))
+    b = spark.range(2000).select((F.col("id") % 700).alias("k"))
+    est = cms_join_size(
+        cms_sketch(a, "k", depth=4, width=16384),
+        cms_sketch(b, "k", depth=4, width=16384),
+    ).collect()[0].est_join_size
+    exact = a.join(b, "k").count()
+    # guaranteed: never under; wide sketch keeps collision mass tiny
+    assert exact <= est <= exact * 1.05
+
+    from_est = advise_shuffle_partitions(
+        est, avg_row_bytes=64_000, parallelism=32
+    )
+    from_exact = advise_shuffle_partitions(
+        exact, avg_row_bytes=64_000, parallelism=32
+    )
+    # the overestimate can only push the advice UP, and by at most one
+    # parallelism wave at the sketch's error level — never under-partitions
+    assert from_est.shuffle_partitions >= from_exact.shuffle_partitions
+    assert from_est.shuffle_partitions - from_exact.shuffle_partitions <= 32
