@@ -125,6 +125,7 @@ HEADLINE = [
     "hll_intersect_customers",
     "compaction_plan",
     "cms_join_size_custkey",
+    "hll_rolling_users",
 ]
 
 

@@ -49,6 +49,7 @@ __all__ = [
     "loghist_quantiles",
     "loghist_splits",
     "cms_join_size",
+    "hll_rolling_distinct",
 ]
 
 
@@ -466,4 +467,63 @@ def loghist_splits(
     qs = tuple(i / n_splits for i in range(1, n_splits))
     return loghist_quantiles(
         hist, qs, group_cols=group_cols, k=k, decimals=decimals
+    )
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+    p: int = 8,
+) -> DataFrame:
+    """Trailing-window distinct counts (rolling DAU/WAU) from per-day
+    HLL register tables — the mergeability payoff applied to time:
+    ``est_distinct`` at day D covers keys seen in days ``[D - window_days
+    + 1, D]``, computed WITHOUT re-scanning any day's events twice.
+
+    Shape: one aggregate builds per-(day, bucket) registers (<= 256 rows
+    per day regardless of traffic); each register row then contributes
+    to the ``window_days`` trailing windows it belongs to via a map-only
+    sequence-explode (no range join — the explode multiplies
+    REGISTER-TABLE rows, not events); a second bounded aggregate takes
+    the max per (window-end day, bucket) and the grouped estimate reads
+    off each day's merged registers. At 100 TB of events the event scan
+    happens once per day ever (the day's registers persist as ~2 KB),
+    and every trailing-window re-estimate is sketch arithmetic —
+    contrast an exact rolling COUNT(DISTINCT), which re-shuffles
+    ``window_days`` days of raw keys for every day of output. Days past
+    the last data day carry partial windows and are emitted (they ARE
+    that day's trailing estimate); callers wanting only observed days
+    filter on day.
+
+    Returns ``(day date, est_distinct double, n_present long)`` with the
+    same exact power-of-two arithmetic as :func:`hll_estimate`, so a SQL
+    oracle reproduces every row."""
+    m = 1 << p
+    day = F.to_date(F.col(ts_col))
+    regs = hll_registers(
+        df.select(day.alias("day"), F.col(key_col)), key_col, group_cols=("day",), p=p
+    )
+    contrib = regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(int(window_days) - 1))).alias("i"),
+        "day",
+        "bucket",
+        "register",
+    ).select(
+        F.date_add(F.col("day"), F.col("i")).alias("day"), "bucket", "register"
+    )
+    merged = contrib.groupBy("day", "bucket").agg(
+        F.max("register").alias("register")
+    )
+    return merged.groupBy("day").agg(
+        F.round(
+            F.lit(_alpha_m2(p))
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("register")))
+                + (F.lit(m) - F.count(F.lit(1)))
+            ),
+            4,
+        ).alias("est_distinct"),
+        F.count(F.lit(1)).alias("n_present"),
     )

@@ -571,3 +571,15 @@ class TestLoghistCompactionPlanShapes:
         equi-join; the only nested-loop is the 1-row broadcast combine."""
         plan = _executed(E.queries()["cms_join_size_custkey"](spark, SF))
         assert "CartesianProduct" not in plan
+
+    def test_hll_rolling_users_explodes_registers_not_events(self, spark):
+        """The window explode multiplies REGISTER rows (<= 256/day), not
+        events: exactly one aggregate touches event-cardinality data;
+        everything after is register-table-sized. No join in the sketch
+        path (the exact-count scorecard branch joins on day only)."""
+        plan = _executed(E.queries()["hll_rolling_users"](spark, SF))
+        assert "CartesianProduct" not in plan
+        # the generator (explode) must sit ABOVE the first aggregate:
+        # its input is the register table, so the plan has an aggregate
+        # below the generate node feeding it
+        assert "Generate explode" in plan

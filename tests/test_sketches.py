@@ -356,3 +356,56 @@ def test_loghist_splits_equal_mass(spark):
     # each of the 4 ranges holds ~1000 rows within the bucket-width error
     for m in masses:
         assert abs(m - 1000) < 1000 / 8
+
+
+def test_hll_rolling_distinct_window_law(spark):
+    """The day-D estimate must equal the plain (non-rolling) estimate of
+    the union of days D-6..D — rolling merge == direct sketch of the
+    window, exactly (mergeability through time)."""
+    import datetime
+
+    from pgferry_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_rolling_distinct,
+    )
+
+    base = datetime.datetime(2026, 3, 1)
+    rows = [
+        (base + datetime.timedelta(days=d, hours=h % 24), d * 97 + h)
+        for d in range(12)
+        for h in range(60)
+    ]
+    df = spark.createDataFrame(rows, "ts: timestamp, user_id: long")
+    roll = {
+        r.day: (r.est_distinct, r.n_present)
+        for r in hll_rolling_distinct(df, "ts", "user_id", window_days=7).collect()
+    }
+    check_day = (base + datetime.timedelta(days=10)).date()
+    window = df.filter(
+        (F.to_date("ts") >= datetime.date(2026, 3, 5))
+        & (F.to_date("ts") <= check_day)
+    )
+    direct = hll_estimate(
+        hll_registers(window, "user_id")
+    ).collect()[0]
+    assert roll[check_day] == (direct.est_distinct, direct.n_present)
+
+
+def test_hll_rolling_distinct_day_range(spark):
+    """Output covers first-day .. last-day + window - 1 (trailing
+    windows keep estimating as data ages out)."""
+    import datetime
+
+    from pgferry_spark.operators.sketches import hll_rolling_distinct
+
+    base = datetime.datetime(2026, 3, 1)
+    df = spark.createDataFrame(
+        [(base + datetime.timedelta(days=d), d) for d in range(3)],
+        "ts: timestamp, user_id: long",
+    )
+    days = sorted(r.day for r in
+                  hll_rolling_distinct(df, "ts", "user_id", 7).collect())
+    assert days[0] == datetime.date(2026, 3, 1)
+    assert days[-1] == datetime.date(2026, 3, 9)  # 3rd day + 6
+    assert len(days) == 9
