@@ -126,6 +126,7 @@ HEADLINE = [
     "compaction_plan",
     "cms_join_size_custkey",
     "hll_rolling_users",
+    "cms_weighted_spenders",
 ]
 
 

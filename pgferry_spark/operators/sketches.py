@@ -123,15 +123,19 @@ def _alpha_m2(p: int) -> float:
     return alpha * m * m
 
 
-def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
-    """Raw HLL estimate from a (merged, ungrouped) register table:
+def hll_estimate(
+    regs: DataFrame, p: int = 8, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Raw HLL estimate from a (merged) register table:
     ``alpha_m * m^2 / (sum(2^-register) + (m - present))`` — absent
     buckets contribute ``2^0 = 1`` each. The sum is over powers of two
     (exact in double), the constant is a Python literal inlined on both
-    engines, so the rounded estimate is engine-identical. Returns one
-    row ``(est_distinct double, n_present long)``."""
+    engines, so the rounded estimate is engine-identical. With
+    ``group_cols`` the estimate is per group (approximate
+    COUNT(DISTINCT) per key from a bounded table); without, one row
+    ``(est_distinct double, n_present long)``."""
     m = 1 << p
-    return regs.agg(
+    aggs = [
         F.round(
             F.lit(_alpha_m2(p))
             / (
@@ -141,7 +145,10 @@ def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
             4,
         ).alias("est_distinct"),
         F.count(F.lit(1)).alias("n_present"),
-    )
+    ]
+    if group_cols:
+        return regs.groupBy(*[F.col(g) for g in group_cols]).agg(*aggs)
+    return regs.agg(*aggs)
 
 
 def hll_cardinality(est: float, n_present: int, p: int = 8) -> float:
@@ -202,12 +209,18 @@ def cms_sketch(
     depth: int = 4,
     width: int = 512,
     group_cols: tuple[str, ...] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005): ``depth``
     independent hash rows of ``width`` counters; cell (j, h_j(x)) counts
-    every occurrence of x. Built as explode-to-depth + one aggregate:
-    the shuffle key space is depth*width cells, constant in data size.
-    Merging two sketches is cell-wise ``sum`` (same groupBy shape).
+    every occurrence of x — or, with ``weight_col``, sums that integer
+    measure per key (revenue in cents, token counts): every CMS law
+    (never-underestimate, cell-wise-sum merge) holds for any
+    non-negative additive weight, turning the sketch into a bounded
+    "top spenders / top token-mass sources" estimator. Built as
+    explode-to-depth + one aggregate: the shuffle key space is
+    depth*width cells, constant in data size. Merging two sketches is
+    cell-wise ``sum`` (same groupBy shape).
     Returns ``(*group_cols, row int, col int, cnt long)``."""
     rows = F.array(*[
         F.struct(
@@ -216,10 +229,15 @@ def cms_sketch(
         )
         for j in range(depth)
     ])
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
     return (
-        df.select(*group_cols, F.explode(rows).alias("cell"))
+        df.select(*group_cols, w.alias("__w"), F.explode(rows).alias("cell"))
         .groupBy(*[F.col(g) for g in group_cols], "cell.row", "cell.col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
     )
 
 
@@ -500,7 +518,6 @@ def hll_rolling_distinct(
     Returns ``(day date, est_distinct double, n_present long)`` with the
     same exact power-of-two arithmetic as :func:`hll_estimate`, so a SQL
     oracle reproduces every row."""
-    m = 1 << p
     day = F.to_date(F.col(ts_col))
     regs = hll_registers(
         df.select(day.alias("day"), F.col(key_col)), key_col, group_cols=("day",), p=p
@@ -516,14 +533,4 @@ def hll_rolling_distinct(
     merged = contrib.groupBy("day", "bucket").agg(
         F.max("register").alias("register")
     )
-    return merged.groupBy("day").agg(
-        F.round(
-            F.lit(_alpha_m2(p))
-            / (
-                F.sum(F.pow(F.lit(2.0), -F.col("register")))
-                + (F.lit(m) - F.count(F.lit(1)))
-            ),
-            4,
-        ).alias("est_distinct"),
-        F.count(F.lit(1)).alias("n_present"),
-    )
+    return hll_estimate(merged, p=p, group_cols=("day",))

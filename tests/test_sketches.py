@@ -409,3 +409,28 @@ def test_hll_rolling_distinct_day_range(spark):
     assert days[0] == datetime.date(2026, 3, 1)
     assert days[-1] == datetime.date(2026, 3, 9)  # 3rd day + 6
     assert len(days) == 9
+
+
+def test_cms_weighted_never_underestimates_and_merges(spark):
+    from pgferry_spark.operators.sketches import cms_lookup, cms_sketch
+
+    rows = [(k, w) for k, w in
+            [(1, 500), (1, 300), (2, 50), (3, 999), (4, 1), (5, 70)]]
+    df = spark.createDataFrame(rows, "k: long, w: long")
+    sk = cms_sketch(df, "k", depth=4, width=8, weight_col="w")
+    keys = df.select("k").distinct()
+    est = {r.key: r.est_cnt
+           for r in cms_lookup(sk, keys, "k", depth=4, width=8).collect()}
+    true = {1: 800, 2: 50, 3: 999, 4: 1, 5: 70}
+    for k, t in true.items():
+        assert est[k] >= t
+    # merge law: sum of two half-sketches == sketch of the union
+    a, b = df.limit(3), df.subtract(df.limit(3))
+    merged = (
+        cms_sketch(a, "k", depth=4, width=8, weight_col="w")
+        .union(cms_sketch(b, "k", depth=4, width=8, weight_col="w"))
+        .groupBy("row", "col").sum("cnt")
+        .withColumnRenamed("sum(cnt)", "cnt")
+    )
+    direct = {(r.row, r.col): r.cnt for r in sk.collect()}
+    assert {(r.row, r.col): r.cnt for r in merged.collect()} == direct
