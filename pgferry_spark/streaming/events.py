@@ -861,6 +861,86 @@ def psi_drift_monitor_stream(
     )
 
 
+def hll_register_store_stream(
+    stream_df: DataFrame,
+    store,
+    ts_col: str,
+    key_col: str,
+    checkpoint_dir: str,
+    p: int = 8,
+    query_name: str = "hll_register_store",
+):
+    """Streaming maintenance of a persistent per-day HLL register store —
+    the ingest side of :func:`~pgferry_spark.operators.sketches.
+    hll_rolling_distinct`'s "each day's events are sketched once" claim,
+    wired to a versioned :class:`~pgferry_spark.sources.laketable.
+    LakeTable`.
+
+    Each micro-batch computes its (day, bucket, register) table with the
+    BATCH ``hll_registers`` verbatim and max-merges it into the store as
+    a new snapshot (copy-on-write; a crash between batches leaves the
+    previous consistent version current, and the streaming checkpoint
+    replays the batch). The store stays register-table-sized forever —
+    days * 2^p rows — while the event stream it summarizes is unbounded;
+    any trailing-window distinct (DAU/WAU/MAU) is then register
+    arithmetic over the store, never a re-scan of events. Pinned by
+    test_streaming_stateful: after the stream drains, rolling estimates
+    read from the store equal the batch ``hll_rolling_distinct`` over
+    all events."""
+    from ..operators.sketches import hll_merge, hll_registers
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        day = F.to_date(F.col(ts_col)).alias("day")
+        batch_regs = hll_registers(
+            batch_df.select(day, F.col(key_col)), key_col,
+            group_cols=("day",), p=p,
+        )
+        try:
+            current = store.read()
+        except FileNotFoundError:
+            current = None
+        merged = (
+            batch_regs
+            if current is None
+            else hll_merge(current.union(batch_regs), group_cols=("day",))
+        )
+        store.write_snapshot(merged, op="hll_merge")
+
+    return (
+        stream_df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def rolling_distinct_from_store(
+    store, window_days: int = 7, p: int = 8
+) -> DataFrame:
+    """Trailing-window distinct estimates read from a register store
+    maintained by :func:`hll_register_store_stream` — the query side of
+    the split: map-only register explode + bounded merges, zero event
+    data touched. Same output contract as ``hll_rolling_distinct``."""
+    from ..operators.sketches import hll_estimate
+
+    regs = store.read()
+    contrib = regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(int(window_days) - 1))).alias("i"),
+        "day",
+        "bucket",
+        "register",
+    ).select(
+        F.date_add(F.col("day"), F.col("i")).alias("day"), "bucket", "register"
+    )
+    merged = contrib.groupBy("day", "bucket").agg(
+        F.max("register").alias("register")
+    )
+    return hll_estimate(merged, p=p, group_cols=("day",))
+
+
 def loghist_monitor_stream(
     stream_df: DataFrame,
     col: str,

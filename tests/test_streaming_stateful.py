@@ -529,3 +529,63 @@ class TestLoghistMonitorStream:
         q.awaitTermination()
         medians = sorted(seen)  # batch order isn't guaranteed; values are
         assert medians[0] <= 50.0 < medians[1]  # p50 jumps once hi dominates
+
+
+class TestHllRegisterStoreStream:
+    def test_store_rolling_equals_batch_rolling(self, spark, tmp_path):
+        """The stream maintains the per-day register store; rolling WAU
+        read from the store must equal the batch hll_rolling_distinct
+        over the union of all batches — bit-identical. The store stays
+        register-table-sized and versioned (one snapshot per batch)."""
+        import datetime
+
+        from pgferry_spark.operators.sketches import hll_rolling_distinct
+        from pgferry_spark.sources.laketable import LakeTable
+        from pgferry_spark.streaming.events import (
+            hll_register_store_stream,
+            rolling_distinct_from_store,
+        )
+
+        base = datetime.datetime(2026, 4, 1)
+        week1 = spark.createDataFrame(
+            [(i, base + datetime.timedelta(days=i % 5, hours=i % 20), i % 90)
+             for i in range(600)],
+            "id: long, ts: timestamp, user_id: long",
+        )
+        week2 = spark.createDataFrame(
+            [(i, base + datetime.timedelta(days=4 + i % 6, hours=i % 20),
+              40 + i % 120)
+             for i in range(600)],
+            "id: long, ts: timestamp, user_id: long",
+        )
+        src = str(tmp_path / "batches")
+        week1.coalesce(1).write.parquet(src)
+        week2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        store = LakeTable(spark, str(tmp_path / "regstore"))
+        q = hll_register_store_stream(
+            stream, store, "ts", "user_id", str(tmp_path / "ckpt"),
+            query_name="t_hll_store",
+        )
+        q.awaitTermination()
+
+        from_store = {
+            r.day: (r.est_distinct, r.n_present)
+            for r in rolling_distinct_from_store(store, window_days=7).collect()
+        }
+        from_batch = {
+            r.day: (r.est_distinct, r.n_present)
+            for r in hll_rolling_distinct(
+                week1.union(week2), "ts", "user_id", window_days=7
+            ).collect()
+        }
+        assert from_store == from_batch
+        # versioned: one snapshot per non-empty batch, ops recorded
+        assert [s.op for s in store.history()] == ["hll_merge", "hll_merge"]
+        # the store is sketch-bounded: <= days * 256 rows
+        n_days = store.read().select("day").distinct().count()
+        assert store.read().count() <= n_days * 256
