@@ -225,3 +225,57 @@ def test_signed_4dp_rounding_matches_sql_round(micro):
         "SELECT ROUND(CAST(? AS DOUBLE), 4)", [x]
     ).fetchone()[0]
     assert got_np == want and got_py == want
+
+
+# -- log-histogram bucket law (operators/sketches.py::loghist_counts) -------
+#
+# Pure mirror of the exact integer bucket math both engines run; the
+# Spark implementation is pinned against DuckDB by the oracle and
+# against these bounds by test_sketches — this fuzzes the DESIGN: for
+# every positive 2-dp value the bucket's [lb, ub) contains it and the
+# relative width never exceeds 1/k.
+
+K = 16
+
+
+def _bucket(v: float):
+    from decimal import Decimal, ROUND_HALF_UP
+
+    w = int(Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+    if w < 1:
+        return None
+    e = w.bit_length() - 1
+    sub = (w * K) // (1 << e) - K
+    return e, sub
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.floats(min_value=0.01, max_value=1e12, allow_nan=False,
+                 allow_infinity=False))
+def test_loghist_bucket_contains_value_within_relative_width(v):
+    b = _bucket(v)
+    if b is None:
+        return
+    e, sub = b
+    assert 0 <= sub < K
+    lb = (1 << e) * (K + sub) / K / 100
+    ub = (1 << e) * (K + sub + 1) / K / 100
+    from decimal import Decimal, ROUND_HALF_UP
+
+    w = float(Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+    assert lb <= w < ub
+    assert ub / lb <= 1 + 1.0 / K + 1e-12
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.floats(min_value=0.01, max_value=1e12, allow_nan=False,
+                 allow_infinity=False),
+       st.floats(min_value=0.01, max_value=1e12, allow_nan=False,
+                 allow_infinity=False))
+def test_loghist_bucket_is_monotone(u, v):
+    """Bucket order respects value order — the cumulative read-off
+    depends on (e, sub) sorting exactly like the values they hold."""
+    a, b = _bucket(min(u, v)), _bucket(max(u, v))
+    if a is None or b is None:
+        return
+    assert a <= b
