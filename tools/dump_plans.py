@@ -243,6 +243,22 @@ ANNOTATED = {
         "via 1-row broadcasts — no SortMergeJoin, nothing corpus-sized "
         "joined anywhere (plan-asserted).",
     ),
+    "hll_rolling_users": (
+        "one event-cardinality aggregate; window explode over registers",
+        "the per-day register aggregate is the ONLY operator touching "
+        "event-cardinality rows; the trailing-window explode multiplies "
+        "<=256-row/day register tables (Generate sits above the first "
+        "HashAggregate), and the two merges after it are bounded by "
+        "days*256. An exact rolling COUNT(DISTINCT) would instead "
+        "re-shuffle window_days of raw keys per output day.",
+    ),
+    "cms_weighted_spenders": (
+        "weighted cell aggregate; sketch broadcasts to the probe",
+        "the revenue weights sum into depth*width cells in one "
+        "map-side-combined aggregate; the top-15 probe explodes to "
+        "depth rows and joins the broadcast sketch — nothing key-"
+        "cardinality-sized shuffles for the estimate.",
+    ),
     "compaction_plan": (
         "manifest aggregate + one metadata window, no join",
         "The file manifest aggregates from the md5 shard assignment "
