@@ -240,6 +240,27 @@ class LakeTable:
         )
         return self._commit(clustered, "zorder")
 
+    def maybe_compact(
+        self, max_files: int, target_bytes: int
+    ) -> SnapshotInfo | None:
+        """Threshold-triggered :meth:`compact` — the maintenance hook a
+        streaming writer calls after each commit: count the current
+        snapshot's part files (driver-side listing, metadata only) and
+        rewrite only when fragmentation exceeds ``max_files``. Returns
+        the new snapshot info, or None when no compaction ran. This is
+        how a `stream_to_laketable` pipeline keeps its read side
+        one-task-per-target-bytes healthy without a separate scheduled
+        OPTIMIZE job."""
+        import glob
+
+        cur = self.current_version()
+        if cur is None:
+            return None
+        n = len(glob.glob(os.path.join(self._vdir(cur), "part-*")))
+        if n <= max_files:
+            return None
+        return self.compact(target_bytes)
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Delete snapshots older than the newest ``keep_last``; never the
         current pointer target. Returns removed version numbers."""

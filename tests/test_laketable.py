@@ -279,3 +279,23 @@ class TestOptimizeZorder:
         assert cur.count() == 3000
         assert cur.exceptAll(df).count() == 0 and df.exceptAll(cur).count() == 0
         assert [s.op for s in t.history()] == ["overwrite", "zorder", "compact"]
+
+
+class TestMaybeCompact:
+    def test_triggers_only_past_threshold(self, spark, tmp_path):
+        import glob
+        import os
+
+        from pgferry_spark.sources.laketable import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "lake"))
+        t.write_snapshot(spark.range(1000).repartition(4))
+        # 4 files <= 8: no-op, version unchanged
+        assert t.maybe_compact(max_files=8, target_bytes=1 << 20) is None
+        assert t.current_version() == 1
+
+        t.write_snapshot(spark.range(1000).repartition(12))
+        info = t.maybe_compact(max_files=8, target_bytes=1 << 30)
+        assert info is not None and info.op == "compact"
+        assert t.read().count() == 1000
+        assert len(glob.glob(os.path.join(t._vdir(info.version), "part-*"))) == 1
