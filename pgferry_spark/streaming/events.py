@@ -357,7 +357,14 @@ def stream_to_laketable(
     seq=batch id): re-crawled keys overwrite, new keys append, and the
     snapshot history doubles as an audit trail of what each micro-batch
     changed (``table.diff``).  First batch on an empty table becomes the
-    initial snapshot."""
+    initial snapshot.
+
+    Maintenance: a long-running drizzle of small batches fragments the
+    current snapshot's file layout; run ``table.maybe_compact(max_files,
+    target_bytes)`` between triggers (or on a schedule) — it is a no-op
+    until fragmentation crosses the threshold, commits a row-identical
+    ``op='compact'`` version otherwise, and never collides with the
+    batch-tag replay check."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as SF
