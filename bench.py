@@ -127,6 +127,7 @@ HEADLINE = [
     "cms_join_size_custkey",
     "hll_rolling_users",
     "cms_weighted_spenders",
+    "exact_substring_scrub",
 ]
 
 

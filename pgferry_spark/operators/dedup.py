@@ -1557,3 +1557,80 @@ def cross_corpus_near_dup(
 
         return checkpoint_release(out, cand)
     return out
+
+
+def remove_exact_substrings(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    w: int = 8,
+) -> DataFrame:
+    """Apply the :func:`exact_substring_spans` policy: reconstruct every
+    document with its later-occurrence duplicated windows CUT OUT — the
+    removal half of Lee et al. 2022's ExactSubstr dedup (the first
+    corpus-wide occurrence of each repeated substring survives; every
+    other copy's tokens are dropped).
+
+    Output text is the surviving tokens re-joined with single spaces
+    (canonical whitespace — the same normalization the span detector's
+    tokenizer applies), so unflagged documents come back
+    token-identical, not byte-identical. Returns
+    ``(id, clean_text, n_tokens_removed)`` for EVERY input document.
+
+    Scale shape: the spans table is tiny (one row per maximal duplicate
+    span); the only corpus-sized operations are one posexplode over the
+    token arrays and one per-document ordered re-aggregation
+    (array_sort over that document's surviving tokens — bounded by
+    document length, no global sort). The span join is an equi-join on
+    the document id with a range predicate on the position — never a
+    Cartesian."""
+    from ..functions.text import tokens
+    from ..utils import fan_out
+
+    toks = fan_out(
+        df.select(F.col(id_col), tokens(F.col(content_col)).alias("__toks")),
+        id_col,
+        force=True,
+    ).select(
+        id_col,
+        F.posexplode_outer("__toks").alias("__pos", "__tok"),
+    )
+    spans = exact_substring_spans(df, content_col, id_col, w=w).select(
+        id_col, "span_start", "span_end"
+    )
+    flagged = (
+        toks.join(spans, id_col)
+        .filter(
+            (F.col("__pos") >= F.col("span_start"))
+            & (F.col("__pos") < F.col("span_end"))
+        )
+        .select(id_col, "__pos")
+        .distinct()
+    )
+    kept = toks.filter(F.col("__tok").isNotNull()).join(
+        flagged, [id_col, "__pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    removed = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens_removed")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_removed", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -434,3 +434,36 @@ def test_cms_weighted_never_underestimates_and_merges(spark):
     )
     direct = {(r.row, r.col): r.cnt for r in sk.collect()}
     assert {(r.row, r.col): r.cnt for r in merged.collect()} == direct
+
+
+def test_remove_exact_substrings_policy(spark):
+    """Keep-first removal: the first corpus-wide occurrence survives
+    token-identical; every later copy loses exactly the duplicated
+    window's tokens; unique and empty docs pass through."""
+    from pgferry_spark.operators.dedup import remove_exact_substrings
+
+    boiler = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + boiler + " beta"),
+            (2, "gamma " + boiler + " delta"),
+            (3, boiler),  # a third full copy
+            (4, "totally different words with no repeats inside here"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.clean_text, r.n_tokens_removed)
+           for r in remove_exact_substrings(docs, "text", "doc_id", w=8).collect()}
+    assert out[1] == ("alpha " + boiler + " beta", 0)
+    assert out[2] == ("gamma delta", 8)
+    assert out[3] == ("", 8)
+    assert out[4][1] == 0
+    assert out[5] == ("", 0)
+    # conservation: removed + surviving == original token count per doc
+    for doc_id, text in [(1, "alpha " + boiler + " beta"),
+                         (2, "gamma " + boiler + " delta"), (3, boiler)]:
+        clean, removed = out[doc_id]
+        n_orig = len(text.split())
+        n_clean = len(clean.split()) if clean else 0
+        assert n_clean + removed == n_orig
