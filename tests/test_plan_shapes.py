@@ -583,3 +583,11 @@ class TestLoghistCompactionPlanShapes:
         # its input is the register table, so the plan has an aggregate
         # below the generate node feeding it
         assert "Generate explode" in plan
+
+    def test_exact_substring_scrub_no_cartesian(self, spark):
+        """Span application joins tokens to spans on the document id
+        (equi) with a range predicate — never a Cartesian; rebuild is a
+        per-document aggregate, no global sort."""
+        plan = _executed(E.queries()["exact_substring_scrub"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
