@@ -113,6 +113,62 @@ def zorder_write(
     )
 
 
+def range_write_by_sketch(
+    df: DataFrame,
+    path: str,
+    col: str,
+    n_files: int = 16,
+    k: int = 32,
+    decimals: int = 2,
+    mode: str = "overwrite",
+) -> list[float]:
+    """Range-clustered write with SKETCH-planned boundaries — the
+    sampling-free sibling of ``repartitionByRange``: equal-mass split
+    points come from the mergeable log-histogram
+    (:func:`~pgferry_spark.operators.sketches.loghist_splits`) instead
+    of Spark's RangePartitioner sampling job, so the boundaries are
+    deterministic, oracle-checkable, and at 100 TB can be read off
+    yesterday's persisted histogram (merged with today's delta) without
+    touching the data before the write.
+
+    Each row's range id is the count of split points at or below its
+    value — a broadcast-literal expression, map-only — then one shuffle
+    co-locates each range and ``partitionBy`` writes one
+    ``range=K/`` directory per range (hash collisions between range
+    ids may share a task; the directory split keeps the ranges
+    physically disjoint regardless — the ``write_training_shards``
+    layout guarantee). Ranges hold ~equal row mass within the sketch's
+    1/k relative-value error; rows below the first boundary (including
+    non-positives the sketch ignores) land in range 0. The 1-D
+    analogue of ``zorder_write``'s Morton clustering. Returns the
+    boundary values used."""
+    from functools import reduce
+
+    from ..operators.sketches import loghist_counts, loghist_splits
+
+    hist = loghist_counts(df, col, k=k, decimals=decimals)
+    splits = sorted(
+        r.est
+        for r in loghist_splits(
+            hist, int(n_files), k=k, decimals=decimals
+        ).collect()
+    )  # <= n_files - 1 boundary values: sketch-table-sized collect
+    rid = reduce(
+        lambda acc, s: acc + F.when(F.col(col) >= F.lit(s), 1).otherwise(0),
+        splits,
+        F.lit(0),
+    )
+    (
+        df.withColumn("range", rid)
+        .repartition(max(1, len(splits) + 1), F.col("range"))
+        .sortWithinPartitions("range", col)
+        .write.partitionBy("range")
+        .mode(mode)
+        .parquet(path)
+    )
+    return splits
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -193,3 +193,39 @@ def test_zorder_write_files_have_disjoint_key_ranges(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file key ranges: {spans}"
     # round trip: clustering must not lose or duplicate rows
     assert spark.read.parquet(path).count() == 2000
+
+
+def test_range_write_by_sketch_disjoint_balanced(spark, tmp_path):
+    """Sketch-planned range layout: per-range value spans are disjoint,
+    row masses are ~equal, and the round trip loses nothing — without
+    any RangePartitioner sampling job."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pgferry_spark.sources.layout import range_write_by_sketch
+
+    df = spark.range(4000).select((5.0 + (F.col("id") % 997) * 1.37).alias("v"))
+    path = str(tmp_path / "ranged")
+    splits = range_write_by_sketch(df, path, "v", n_files=4, k=32)
+    assert len(splits) == 3 and splits == sorted(splits)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    spans = {
+        r["range"]: (r["lo"], r["hi"], r["n"])
+        for r in back.groupBy("range")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(spans) == {0, 1, 2, 3}
+    ordered = [spans[i] for i in range(4)]
+    for (_, hi1, _), (lo2, _, _) in zip(ordered, ordered[1:]):
+        assert hi1 <= lo2  # physically disjoint value ranges
+    for _, _, n in ordered:
+        assert abs(n - 1000) < 1000 / 4  # equal mass within sketch error
+    # directories really split by range id
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("range=")
+    ) == ["range=0", "range=1", "range=2", "range=3"]
