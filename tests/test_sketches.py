@@ -467,3 +467,29 @@ def test_remove_exact_substrings_policy(spark):
         n_orig = len(text.split())
         n_clean = len(clean.split()) if clean else 0
         assert n_clean + removed == n_orig
+
+
+def test_bloom_prefilter_preserves_join_result(spark):
+    """The production pattern: probe the big side against the small
+    side's Bloom filter, drop non-members, THEN join. No false
+    negatives => the filtered join equals the direct join exactly;
+    the filter only sheds rows the join would drop anyway."""
+    from pgferry_spark.operators.sketches import bloom_bits, bloom_probe
+
+    small = spark.createDataFrame(
+        [(k,) for k in range(0, 300, 3)], ["k"]
+    )  # 100 keys
+    big = spark.createDataFrame(
+        [(k, k * 7) for k in range(1000)], ["k", "payload"]
+    )
+    direct = {(r.k, r.payload) for r in big.join(small, "k").collect()}
+
+    bits = bloom_bits(small, "k", num_bits=2048, num_hashes=5)
+    keep = bloom_probe(bits, big, "k", num_bits=2048, num_hashes=5).filter(
+        "maybe_present"
+    )
+    filtered = big.join(keep.select(F.col("key").alias("k")), "k")
+    via_bloom = {(r.k, r.payload) for r in filtered.join(small, "k").collect()}
+    assert via_bloom == direct
+    # and the pre-filter genuinely sheds most non-members before the join
+    assert filtered.count() < big.count() / 2
