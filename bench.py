@@ -128,6 +128,7 @@ HEADLINE = [
     "hll_rolling_users",
     "cms_weighted_spenders",
     "exact_substring_scrub",
+    "sketch_validation_lineitem",
 ]
 
 

@@ -163,3 +163,82 @@ def psi_drift(
     return terms.groupBy("n_old", "n_new").agg(
         F.round(F.sum("__t"), 6).alias("psi")
     ).select("psi", "n_old", "n_new")
+
+
+def sketch_validation(
+    source,
+    target,
+    columns: list[str],
+    p: int = 8,
+    k: int = 16,
+    decimals: int = 2,
+):
+    """Content-shape migration validation at sketch cost — the scale
+    extension of the reference's COUNT(*) check (`/root/reference/
+    migrate.go` row-count validation): for each column, compare the
+    source and target's HLL distinct estimate and log-histogram
+    p50/p99. Row counts catch dropped rows; these catch silently
+    truncated values, botched type coercion, and lost key ranges —
+    while costing one bounded aggregate per (table, column) instead of
+    an exact COUNT(DISTINCT) + sort per column at 100 TB. Both sides'
+    numbers ride in the output (not booleans), so the caller picks the
+    tolerance; identical data produces identical rows by construction
+    (deterministic md5 hashes + exact bucket math).
+
+    Returns one row per column:
+    ``(column, est_distinct_src, est_distinct_dst,
+    p50_src, p50_dst, p99_src, p99_dst)``."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        loghist_counts,
+        loghist_quantiles,
+    )
+
+    def one(col: str):
+        def side(df, tag: str):
+            # hash the DECIMAL-normalized value, not the raw double:
+            # float->string rendering is engine-specific (Java vs fmt),
+            # fixed-scale decimal strings are identical everywhere, and
+            # validation at the declared precision is the right contract
+            norm = df.select(
+                F.col(col).cast(f"decimal(18,{decimals})").alias(col)
+            )
+            est = hll_estimate(hll_registers(norm, col, p=p), p=p).select(
+                F.col("est_distinct").alias(f"est_distinct_{tag}")
+            )
+            q = loghist_quantiles(
+                loghist_counts(df, col, k=k, decimals=decimals),
+                (0.5, 0.99),
+                k=k,
+                decimals=decimals,
+            )
+            qs = (
+                q.groupBy()
+                .pivot("q", [0.5, 0.99])
+                .agg(F.first("est"))
+                .select(
+                    F.col("`0.5`").alias(f"p50_{tag}"),
+                    F.col("`0.99`").alias(f"p99_{tag}"),
+                )
+            )
+            return est.crossJoin(F.broadcast(qs))
+        return (
+            side(source, "src")
+            .crossJoin(F.broadcast(side(target, "dst")))
+            .select(
+                F.lit(col).alias("column"),
+                "est_distinct_src",
+                "est_distinct_dst",
+                "p50_src",
+                "p50_dst",
+                "p99_src",
+                "p99_dst",
+            )
+        )
+
+    return reduce(lambda a, b: a.unionByName(b), [one(c) for c in columns])

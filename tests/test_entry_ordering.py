@@ -60,13 +60,12 @@ NEVER_CHECKED = [
     "loghist_price_quantiles", "hll_intersect_customers",
     "compaction_plan", "cms_join_size_custkey", "hll_rolling_users",
     "cms_weighted_spenders", "exact_substring_scrub",
+    "sketch_validation_lineitem",
 ]
 
 # Stalest driver-green family (last green in CORRECTNESS_r02): fills the
 # window behind the never-checked block.
-STALE_R2 = [
-    "q1_pricing_summary",
-]
+STALE_R2 = []  # window fully consumed by never-checked entries this round
 
 # r4-green sentinels: if these fail in CORRECTNESS_r05 the harness (not
 # the rotated-in entries) regressed.
@@ -97,18 +96,18 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 195
+N_QUERIES = 196
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:47] == NEVER_CHECKED
-    assert names[47:48] == STALE_R2
+    assert names[:48] == NEVER_CHECKED
+    assert names[48:48] == STALE_R2
     assert names[48:50] == CANARIES
 
 
 def test_window_exactly_filled(entry_mod):
-    # 47 + 1 + 2 == 50: no slot wasted, nothing needing a row pushed out.
+    # 48 + 0 + 2 == 50: no slot wasted, nothing needing a row pushed out.
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEVER_CHECKED) | set(STALE_R2) | set(CANARIES)
 

@@ -493,3 +493,27 @@ def test_bloom_prefilter_preserves_join_result(spark):
     assert via_bloom == direct
     # and the pre-filter genuinely sheds most non-members before the join
     assert filtered.count() < big.count() / 2
+
+
+def test_sketch_validation_flags_doctored_target(spark):
+    """Content-shape migration validation: identical data gives
+    identical sketch rows; dropped rows and scaled values move the
+    distinct estimate and the quantiles respectively."""
+    from pgferry_spark.plans.validation import sketch_validation
+
+    src = spark.createDataFrame(
+        [(i, 10.0 + (i % 500) * 2.5) for i in range(3000)], ["id", "v"]
+    )
+    same = {r.column: r for r in
+            sketch_validation(src, src, ["id", "v"]).collect()}
+    for r in same.values():
+        assert r.est_distinct_src == r.est_distinct_dst
+        assert r.p50_src == r.p50_dst and r.p99_src == r.p99_dst
+
+    doctored = src.filter(F.col("id") % 3 != 0).withColumn(
+        "v", F.col("v") * 100
+    )
+    bad = {r.column: r for r in
+           sketch_validation(src, doctored, ["id", "v"]).collect()}
+    assert bad["id"].est_distinct_dst < bad["id"].est_distinct_src * 0.8
+    assert bad["v"].p50_dst > bad["v"].p50_src * 50
