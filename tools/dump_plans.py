@@ -259,6 +259,23 @@ ANNOTATED = {
         "depth rows and joins the broadcast sketch — nothing key-"
         "cardinality-sized shuffles for the estimate.",
     ),
+    "exact_substring_scrub": (
+        "span application is an equi-join; rebuild is per-document",
+        "the spans table (one row per maximal duplicate span) joins the "
+        "exploded tokens on the document id with a range predicate — "
+        "no Cartesian, no BroadcastNestedLoop (plan-asserted); the "
+        "reconstruction is an array_sort over each document's own "
+        "surviving tokens, bounded by document length, never a global "
+        "sort.",
+    ),
+    "sketch_validation_lineitem": (
+        "per-column bounded aggregates; 1-row broadcast combines",
+        "each column costs one register aggregate + one histogram "
+        "aggregate per side (DECIMAL-normalized before hashing so the "
+        "oracle's string rendering matches); the per-column rows "
+        "combine via 1-row broadcasts — COUNT(*)-level cost for "
+        "content-shape validation.",
+    ),
     "compaction_plan": (
         "manifest aggregate + one metadata window, no join",
         "The file manifest aggregates from the md5 shard assignment "
