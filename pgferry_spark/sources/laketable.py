@@ -184,11 +184,13 @@ class LakeTable:
 
         from ..operators.curate import compaction_plan
 
+        import shutil
+
         cur = self.current_version()
         if cur is None:
             raise FileNotFoundError(f"lake table {self.path} has no snapshots")
         vdir = self._vdir(cur)
-        files = sorted(glob.glob(os.path.join(vdir, "part-*")))
+        files = self._ordered_files(vdir)
         manifest = self.spark.createDataFrame(
             [(i, f, os.path.getsize(f)) for i, f in enumerate(files)],
             "file_id int, path string, bytes long",
@@ -198,14 +200,47 @@ class LakeTable:
         for r in plan.collect():  # file-level metadata, bounded
             bins.setdefault(r.bin, []).append(r.path)
         nvdir = self._vdir(cur + 1)
+        # a crashed earlier compact may have left a partially-written,
+        # never-pointed-at nvdir; appending into it would silently
+        # duplicate rows — clear it so the retry starts clean
+        if os.path.isdir(nvdir):
+            shutil.rmtree(nvdir)
+        order: list[str] = []
         for b in sorted(bins):
+            before = set(os.listdir(nvdir)) if os.path.isdir(nvdir) else set()
             (
                 self.spark.read.parquet(*bins[b])
                 .coalesce(1)
                 .write.mode("append")
                 .parquet(nvdir)
             )
+            order.extend(
+                sorted(
+                    f
+                    for f in set(os.listdir(nvdir)) - before
+                    if f.startswith("part-")
+                )
+            )
+        # append-job part names carry random UUIDs, so lexicographic
+        # order does NOT reflect bin (key-range) order — record the true
+        # order so a LATER compact's manifest preserves the clustering
+        with open(os.path.join(nvdir, "_file_order.json"), "w") as f:
+            json.dump(order, f)
         return self._finalize(cur + 1, "compact")
+
+    def _ordered_files(self, vdir: str) -> list[str]:
+        """Part files of a version dir in KEY order: the recorded
+        ``_file_order.json`` when present (compact outputs, whose
+        part-file UUID names do not sort by key range), else
+        lexicographic (single-job writers emit part-00000..N in
+        partition order, which IS key order for range/sort writes)."""
+        import glob
+
+        order_file = os.path.join(vdir, "_file_order.json")
+        if os.path.exists(order_file):
+            with open(order_file) as f:
+                return [os.path.join(vdir, name) for name in json.load(f)]
+        return sorted(glob.glob(os.path.join(vdir, "part-*")))
 
     def optimize(
         self,

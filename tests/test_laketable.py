@@ -299,3 +299,71 @@ class TestMaybeCompact:
         assert info is not None and info.op == "compact"
         assert t.read().count() == 1000
         assert len(glob.glob(os.path.join(t._vdir(info.version), "part-*"))) == 1
+
+
+class TestCompactHardening:
+    def test_retry_after_partial_compact_does_not_duplicate(self, spark, tmp_path):
+        """A crashed compact leaves a partial never-pointed-at vdir; the
+        retry must clear it instead of appending into it (which would
+        silently duplicate rows)."""
+        import os
+
+        from pgferry_spark.sources.laketable import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "lake"))
+        t.write_snapshot(spark.range(1200).repartition(6))
+        # simulate the crash: a partial v2 with one stray bin already
+        # written but no _meta.json and no pointer flip
+        partial = t._vdir(2)
+        spark.range(1200).coalesce(1).write.parquet(partial)
+        assert t.current_version() == 1
+
+        info = t.compact(target_bytes=1 << 30)
+        assert info.version == 2
+        assert t.read().count() == 1200  # not 2400
+
+    def test_second_compact_preserves_clustering(self, spark, tmp_path):
+        """compact-after-compact: the recorded _file_order.json keeps the
+        manifest in key order even though append-job part names carry
+        random UUIDs, so repeated compaction never interleaves disjoint
+        key ranges into one file."""
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.sources.layout import zorder_key
+        from pgferry_spark.sources.laketable import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "lake"))
+        df = spark.range(4000).select(
+            (F.col("id") % 70).alias("x"),
+            (F.col("id") * 13 % 70).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        t.write_snapshot(df.repartition(8))
+        t.optimize("x", "y", n_files=8)
+        sizes = [os.path.getsize(f)
+                 for f in glob.glob(os.path.join(t._vdir(2), "part-*"))]
+        t.compact(target_bytes=int(sum(sizes) / 4))   # 8 -> ~4 files
+        v3_sizes = [os.path.getsize(f)
+                    for f in glob.glob(os.path.join(t._vdir(3), "part-*"))]
+        t.compact(target_bytes=int(sum(v3_sizes) / 2))  # ~4 -> ~2 files
+
+        def spans(vdir):
+            out = []
+            for f in sorted(glob.glob(os.path.join(vdir, "part-*"))):
+                lo, hi = (
+                    spark.read.parquet(f)
+                    .select(zorder_key(F.col("x"), F.col("y")).alias("z"))
+                    .agg(F.min("z"), F.max("z"))
+                    .first()
+                )
+                out.append((lo, hi))
+            return sorted(out)
+
+        s4 = spans(t._vdir(4))
+        assert len(s4) >= 2
+        for (_, hi1), (lo2, _) in zip(s4, s4[1:]):
+            assert hi1 <= lo2, f"second compact interleaved key ranges: {s4}"
+        assert t.read().count() == 4000
