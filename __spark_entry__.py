@@ -2514,10 +2514,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": _boilerplate_ngrams,
         "mixture_epochs": _mixture_epochs,
         "embedding_drift_psi": _embedding_drift_psi,
-        # --- positions 35-43: the late-round-5 additions — sketches,
-        # exact-substring spans, quantile histogram, HLL intersection,
-        # lake compaction — all never driver-checked (judge-oracle +
-        # pytest this round) -------------------------------------------
+        # --- positions 35-48: the late-round-5 additions — sketches,
+        # exact-substring spans + scrub, quantile histogram, HLL
+        # intersection/rolling, weighted CMS, join-size estimate, lake
+        # compaction, sketch migration validation — all never
+        # driver-checked (judge-oracle + pytest this round) ------------
         "exact_substring_spans": _exact_substring_spans,
         "hll_registers": _hll_registers,
         "hll_union_estimate": _hll_union_estimate,
@@ -6078,9 +6079,11 @@ def oracle_sql() -> dict[str, str]:
                     WHERE year(o_orderdate) = 1996) b USING (o_custkey)
             )
             SELECT est_a, est_b, est_union,
-                   round(est_a + est_b - est_union, 4) AS est_intersect,
+                   greatest(0.0, round(est_a + est_b - est_union, 4))
+                     AS est_intersect,
                    exact_intersect,
-                   round(abs(round(est_a + est_b - est_union, 4) - exact_intersect)
+                   round(abs(greatest(0.0, round(est_a + est_b - est_union, 4))
+                             - exact_intersect)
                          / exact_intersect, 4) AS rel_err
             FROM ea, eb, eu, ex
         """,

@@ -341,8 +341,10 @@ def compaction_plan(
     range, which is what Delta/Iceberg ``OPTIMIZE`` does; size-sorted
     first-fit-decreasing would pack ~1 item tighter per bin while
     destroying the clustering that makes data skipping work. Each bin
-    holds < ``target_bytes`` + one file; a file larger than the target
-    gets its own bin.
+    holds < ``target_bytes`` + one file; an oversize file spans whole
+    bins on its own (followers restart past it), though it may share
+    its first bin with small files packed before it — only the
+    target-plus-one-file bound is guaranteed.
 
     Cost model: the manifest is file-level METADATA, never data — at
     100 TB with 128 MB files it is ~800k rows, and the only operation is

@@ -1610,6 +1610,10 @@ def remove_exact_substrings(
     kept = toks.filter(F.col("__tok").isNotNull()).join(
         flagged, [id_col, "__pos"], "left_anti"
     )
+    # n_tokens_removed derives from the ORIGINAL token count minus the
+    # kept count, so `flagged` (whose lineage contains the corpus-wide
+    # span aggregate) is consumed exactly ONCE — a second branch over it
+    # would re-execute the whole spans pipeline per action
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -1617,19 +1621,18 @@ def remove_exact_substrings(
                 lambda s: s["__tok"],
             ),
             " ",
-        ).alias("clean_text")
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
     )
-    removed = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens_removed")
+    totals = df.select(
+        F.col(id_col), F.size(tokens(F.col(content_col))).alias("__n_tok")
     )
     return (
-        df.select(id_col)
-        .join(rebuilt, id_col, "left")
-        .join(removed, id_col, "left")
+        totals.join(rebuilt, id_col, "left")
         .select(
             id_col,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_tokens_removed", F.lit(0))
+            (F.col("__n_tok") - F.coalesce("__n_kept", F.lit(0)))
             .cast("long")
             .alias("n_tokens_removed"),
         )

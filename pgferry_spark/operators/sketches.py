@@ -50,6 +50,7 @@ __all__ = [
     "loghist_splits",
     "cms_join_size",
     "hll_rolling_distinct",
+    "hll_rolling_from_registers",
 ]
 
 
@@ -193,9 +194,14 @@ def hll_intersect_estimate(
             "est_a",
             "est_b",
             "est_union",
-            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
-                "est_intersect"
-            ),
+            # clamp at 0: with low overlap the three ~6.5%-sigma terms can
+            # make inclusion-exclusion go negative; a cardinality cannot
+            F.greatest(
+                F.lit(0.0),
+                F.round(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+                ),
+            ).alias("est_intersect"),
         )
     )
 
@@ -376,9 +382,14 @@ def loghist_counts(
     e = (F.length(F.bin(F.col("__w"))) - 1).cast("int")
     # 2^e is exact in double for e <= 52 (and exact in every libm's pow)
     p2 = F.pow(F.lit(2.0), e).cast("long")
-    sub = (
-        (F.col("__w") * k).cast("long") - ((F.col("__w") * k).cast("long") % p2)
-    ) / p2 - k
+    # w*k is computed in DECIMAL(38,0): for values near the DECIMAL(18)
+    # scale cap a long multiply would silently wrap under non-ANSI
+    # arithmetic and emit garbage buckets (DuckDB's BIGINT `//` twin
+    # raises loudly on the same overflow instead). The quotient is in
+    # [k, 2k), so the decimal division is exact and tiny.
+    wk = F.col("__w").cast("decimal(38,0)") * F.lit(k)
+    p2d = p2.cast("decimal(38,0)")
+    sub = ((wk - (wk % p2d)) / p2d).cast("long") - k
     return (
         df.withColumn("e", e)
         .withColumn("sub", sub.cast("int"))
@@ -522,6 +533,18 @@ def hll_rolling_distinct(
     regs = hll_registers(
         df.select(day.alias("day"), F.col(key_col)), key_col, group_cols=("day",), p=p
     )
+    return hll_rolling_from_registers(regs, window_days=window_days, p=p)
+
+
+def hll_rolling_from_registers(
+    regs: DataFrame, window_days: int = 7, p: int = 8
+) -> DataFrame:
+    """Trailing-window estimates from an existing per-day register table
+    ``(day, bucket, register)`` — the query half shared by
+    :func:`hll_rolling_distinct` (which builds the registers inline) and
+    the streaming register store (which persists them): each register
+    row contributes map-only to the ``window_days`` windows it belongs
+    to, then bounded max-merge + grouped estimate."""
     contrib = regs.select(
         F.explode(F.sequence(F.lit(0), F.lit(int(window_days) - 1))).alias("i"),
         "day",

@@ -875,6 +875,7 @@ def hll_register_store_stream(
     key_col: str,
     checkpoint_dir: str,
     p: int = 8,
+    vacuum_keep_last: int | None = None,
     query_name: str = "hll_register_store",
 ):
     """Streaming maintenance of a persistent per-day HLL register store —
@@ -890,7 +891,11 @@ def hll_register_store_stream(
     replays the batch). The store stays register-table-sized forever —
     days * 2^p rows — while the event stream it summarizes is unbounded;
     any trailing-window distinct (DAU/WAU/MAU) is then register
-    arithmetic over the store, never a re-scan of events. Pinned by
+    arithmetic over the store, never a re-scan of events. Each batch
+    commits a new snapshot, so a long-running drizzle accumulates
+    near-identical versions: pass ``vacuum_keep_last`` to prune old
+    snapshots after each commit (the CURRENT register state is always
+    the newest version — history is only an audit trail here). Pinned by
     test_streaming_stateful: after the stream drains, rolling estimates
     read from the store equal the batch ``hll_rolling_distinct`` over
     all events."""
@@ -914,6 +919,8 @@ def hll_register_store_stream(
             else hll_merge(current.union(batch_regs), group_cols=("day",))
         )
         store.write_snapshot(merged, op="hll_merge")
+        if vacuum_keep_last is not None:
+            store.vacuum(keep_last=vacuum_keep_last)
 
     return (
         stream_df.writeStream.foreachBatch(update)
@@ -931,21 +938,9 @@ def rolling_distinct_from_store(
     maintained by :func:`hll_register_store_stream` — the query side of
     the split: map-only register explode + bounded merges, zero event
     data touched. Same output contract as ``hll_rolling_distinct``."""
-    from ..operators.sketches import hll_estimate
+    from ..operators.sketches import hll_rolling_from_registers
 
-    regs = store.read()
-    contrib = regs.select(
-        F.explode(F.sequence(F.lit(0), F.lit(int(window_days) - 1))).alias("i"),
-        "day",
-        "bucket",
-        "register",
-    ).select(
-        F.date_add(F.col("day"), F.col("i")).alias("day"), "bucket", "register"
-    )
-    merged = contrib.groupBy("day", "bucket").agg(
-        F.max("register").alias("register")
-    )
-    return hll_estimate(merged, p=p, group_cols=("day",))
+    return hll_rolling_from_registers(store.read(), window_days=window_days, p=p)
 
 
 def loghist_monitor_stream(
@@ -970,6 +965,13 @@ def loghist_monitor_stream(
     sketch is mergeable, the running estimates are bit-identical to a
     batch run over the union of all batches — pinned by
     test_streaming_stateful.
+
+    The accumulator is PROCESS-scoped: a restart from checkpoint
+    resumes the stream but starts the histogram empty, so the
+    estimates cover post-restart data only. That is the right contract
+    for a session monitor; for restart-durable running state persist
+    the histogram like :func:`hll_register_store_stream` persists its
+    registers (same mergeability, LakeTable-backed).
 
     The driver state is bounded by the sketch, not the stream: at most
     63*k (octave, sub) cells ever exist regardless of how many events

@@ -589,3 +589,34 @@ class TestHllRegisterStoreStream:
         # the store is sketch-bounded: <= days * 256 rows
         n_days = store.read().select("day").distinct().count()
         assert store.read().count() <= n_days * 256
+
+
+class TestRegisterStoreVacuum:
+    def test_vacuum_keep_last_bounds_snapshots(self, spark, tmp_path):
+        import datetime
+
+        from pgferry_spark.sources.laketable import LakeTable
+        from pgferry_spark.streaming.events import hll_register_store_stream
+
+        base = datetime.datetime(2026, 5, 1)
+        src = str(tmp_path / "batches")
+        for b in range(3):
+            spark.createDataFrame(
+                [(i, base + datetime.timedelta(days=b), b * 1000 + i)
+                 for i in range(50)],
+                "id: long, ts: timestamp, user_id: long",
+            ).coalesce(1).write.mode("append" if b else "overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        store = LakeTable(spark, str(tmp_path / "regstore"))
+        q = hll_register_store_stream(
+            stream, store, "ts", "user_id", str(tmp_path / "ckpt"),
+            vacuum_keep_last=1, query_name="t_hll_store_vac",
+        )
+        q.awaitTermination()
+        # only the newest snapshot survives; it holds all 3 days' registers
+        assert len(store.history()) == 1
+        assert store.read().select("day").distinct().count() == 3
