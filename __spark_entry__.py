@@ -2390,6 +2390,20 @@ def _exact_substring_scrub(spark, sf):
     return remove_exact_substrings(d, "text", "doc_id", w=8)
 
 
+def _loghist_rolling_value(spark, sf):
+    """Rolling 7-day p50/p99 of the event value signal from per-day
+    log-histograms — the SLO-monitor shape: each day's values
+    histogrammed once, every trailing window rebuilt by cell-sum merge
+    (the loghist analogue of hll_rolling_users). An exact rolling
+    percentile would re-sort 7 days of raw values per output day."""
+    from pgferry_spark.operators.sketches import loghist_rolling_quantiles
+
+    e = _t(spark, sf, "events")
+    return loghist_rolling_quantiles(
+        e, "ts", "value", window_days=7, qs=(0.5, 0.99), k=16, decimals=2
+    )
+
+
 def _sketch_validation_lineitem(spark, sf):
     """Content-shape migration validation at sketch cost — the scale
     extension of the reference's COUNT(*) check: per-column HLL
@@ -2533,10 +2547,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_weighted_spenders": _cms_weighted_spenders,
         "exact_substring_scrub": _exact_substring_scrub,
         "sketch_validation_lineitem": _sketch_validation_lineitem,
+        # --- position 49+ moved below; this last pre-canary slot keeps
+        # the 48-entry never-checked block exactly filling 1-48 --------
         # --- positions 49-50: r4-green canaries (harness regression
         # sentinels per VERDICT r4 Next #1) ----------------------------
         "span_dedup": _span_dedup,
         "exact_dedup_groups": _exact_dedup,
+        # --- post-window round-5 addition: round-6 never-checked pool -
+        "loghist_rolling_value": _loghist_rolling_value,
         # --- displaced r2-green block: next in the round-6 rotation ---
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -6229,6 +6247,45 @@ def oracle_sql() -> dict[str, str]:
             + " UNION ALL "
             + _sketchval_col_sql("l_extendedprice")
         ),
+        "loghist_rolling_value": """
+            WITH scaled AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+              FROM events
+            ),
+            b AS (
+              SELECT day,
+                     CAST(length(bin(w)) - 1 AS INT) AS e,
+                     CAST((w * 16) // CAST(pow(2.0, length(bin(w)) - 1) AS BIGINT)
+                          - 16 AS INT) AS sub
+              FROM scaled WHERE w >= 1
+            ),
+            hist AS (SELECT day, e, sub, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+            contrib AS (
+              SELECT day + CAST(i AS INT) AS day2, e, sub, cnt
+              FROM hist, unnest(range(7)) AS u(i)
+            ),
+            merged AS (SELECT day2 AS day, e, sub, sum(cnt) AS cnt
+                       FROM contrib GROUP BY 1, 2, 3),
+            cum AS (
+              SELECT day, e, sub,
+                     sum(cnt) OVER (PARTITION BY day ORDER BY e, sub
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                     sum(cnt) OVER (PARTITION BY day) AS total
+              FROM merged
+            ),
+            qs AS (SELECT CAST(q AS DOUBLE) AS q
+                   FROM (SELECT unnest([0.5, 0.99]) AS q)),
+            sel AS (
+              SELECT c.day, qs.q, min(c.e * 16 + c.sub) AS bk
+              FROM cum c, qs WHERE c.cum >= qs.q * c.total
+              GROUP BY 1, 2
+            )
+            SELECT day, q,
+                   round(pow(2.0, bk // 16) * (16 + bk % 16) / 16 / 100, 4) AS est
+            FROM sel
+        """,
         "hll_rolling_users": f"""
             WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
             h AS (

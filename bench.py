@@ -129,6 +129,7 @@ HEADLINE = [
     "cms_weighted_spenders",
     "exact_substring_scrub",
     "sketch_validation_lineitem",
+    "loghist_rolling_value",
 ]
 
 

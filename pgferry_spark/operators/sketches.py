@@ -51,6 +51,7 @@ __all__ = [
     "cms_join_size",
     "hll_rolling_distinct",
     "hll_rolling_from_registers",
+    "loghist_rolling_quantiles",
 ]
 
 
@@ -557,3 +558,47 @@ def hll_rolling_from_registers(
         F.max("register").alias("register")
     )
     return hll_estimate(merged, p=p, group_cols=("day",))
+
+
+def loghist_rolling_quantiles(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    window_days: int = 7,
+    qs: tuple[float, ...] = (0.5, 0.99),
+    k: int = 16,
+    decimals: int = 2,
+) -> DataFrame:
+    """Trailing-window quantiles (rolling p50/p99) from per-day
+    log-histograms — the loghist analogue of
+    :func:`hll_rolling_distinct`, and the shape a latency/size SLO
+    monitor wants at 100 TB: each day's values are histogrammed ONCE
+    (<= 63*k cells/day), each cell contributes map-only to the
+    ``window_days`` trailing windows it belongs to, a bounded sum-merge
+    rebuilds every window's histogram, and the quantiles read off the
+    merged cells. An exact rolling percentile re-sorts window_days of
+    raw values per output day; this never touches a value twice.
+
+    Returns ``(day date, q double, est double)``; same exact bucket
+    arithmetic as :func:`loghist_quantiles`, fully oracle-expressible."""
+    day = F.to_date(F.col(ts_col))
+    hist = loghist_counts(
+        df.select(day.alias("day"), F.col(col)),
+        col,
+        group_cols=("day",),
+        k=k,
+        decimals=decimals,
+    )
+    contrib = hist.select(
+        F.explode(F.sequence(F.lit(0), F.lit(int(window_days) - 1))).alias("i"),
+        "day",
+        "e",
+        "sub",
+        "cnt",
+    ).select(
+        F.date_add(F.col("day"), F.col("i")).alias("day"), "e", "sub", "cnt"
+    )
+    merged = loghist_merge(contrib, group_cols=("day",))
+    return loghist_quantiles(
+        merged, qs, group_cols=("day",), k=k, decimals=decimals
+    )

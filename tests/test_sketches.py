@@ -517,3 +517,44 @@ def test_sketch_validation_flags_doctored_target(spark):
            sketch_validation(src, doctored, ["id", "v"]).collect()}
     assert bad["id"].est_distinct_dst < bad["id"].est_distinct_src * 0.8
     assert bad["v"].p50_dst > bad["v"].p50_src * 50
+
+
+def test_loghist_rolling_equals_direct_window_hist(spark):
+    """Rolling law for quantiles: the day-D rows equal the plain
+    quantiles of a histogram built directly over days D-6..D —
+    mergeability through time, exact equality."""
+    import datetime
+
+    from pgferry_spark.operators.sketches import (
+        loghist_counts,
+        loghist_quantiles,
+        loghist_rolling_quantiles,
+    )
+
+    base = datetime.datetime(2026, 6, 1)
+    rows = [
+        (base + datetime.timedelta(days=d, hours=h % 24),
+         20.0 + (d * 37 + h * 3) % 400)
+        for d in range(10)
+        for h in range(80)
+    ]
+    df = spark.createDataFrame(rows, "ts: timestamp, v: double")
+    roll = {
+        (r.day, r.q): r.est
+        for r in loghist_rolling_quantiles(
+            df, "ts", "v", window_days=7, qs=(0.5, 0.99)
+        ).collect()
+    }
+    check_day = (base + datetime.timedelta(days=8)).date()
+    window = df.filter(
+        (F.to_date("ts") >= datetime.date(2026, 6, 3))
+        & (F.to_date("ts") <= check_day)
+    )
+    direct = {
+        r.q: r.est
+        for r in loghist_quantiles(
+            loghist_counts(window, "v"), (0.5, 0.99)
+        ).collect()
+    }
+    assert roll[(check_day, 0.5)] == direct[0.5]
+    assert roll[(check_day, 0.99)] == direct[0.99]
