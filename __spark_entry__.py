@@ -2547,8 +2547,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_weighted_spenders": _cms_weighted_spenders,
         "exact_substring_scrub": _exact_substring_scrub,
         "sketch_validation_lineitem": _sketch_validation_lineitem,
-        # --- position 49+ moved below; this last pre-canary slot keeps
-        # the 48-entry never-checked block exactly filling 1-48 --------
         # --- positions 49-50: r4-green canaries (harness regression
         # sentinels per VERDICT r4 Next #1) ----------------------------
         "span_dedup": _span_dedup,
