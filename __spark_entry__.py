@@ -2427,10 +2427,29 @@ def _sketchval_col_sql(col: str) -> str:
     column (src == dst in the identity round-trip entry)."""
     return f"""
         SELECT '{col}' AS "column",
+               rd.reg_diff,
                e.est AS est_distinct_src, e.est AS est_distinct_dst,
                pq.p50 AS p50_src, pq.p50 AS p50_dst,
                pq.p99 AS p99_src, pq.p99 AS p99_dst
         FROM (
+          SELECT CAST(count(*) AS BIGINT) AS reg_diff
+          FROM (
+            SELECT CAST(hv & 255 AS INT) AS bucket,
+                   max(52 - (CASE WHEN (hv >> 8) = 0 THEN 0
+                             ELSE length(bin(hv >> 8)) END) + 1) AS register
+            FROM (SELECT ('0x' || substr(md5(CAST(CAST({col} AS DECIMAL(18,2))
+                                              AS VARCHAR)), 1, 15))::BIGINT AS hv
+                  FROM lineitem) GROUP BY 1
+          ) ra FULL OUTER JOIN (
+            SELECT CAST(hv & 255 AS INT) AS bucket,
+                   max(52 - (CASE WHEN (hv >> 8) = 0 THEN 0
+                             ELSE length(bin(hv >> 8)) END) + 1) AS register
+            FROM (SELECT ('0x' || substr(md5(CAST(CAST({col} AS DECIMAL(18,2))
+                                              AS VARCHAR)), 1, 15))::BIGINT AS hv
+                  FROM lineitem) GROUP BY 1
+          ) rb USING (bucket)
+          WHERE ra.register IS DISTINCT FROM rb.register
+        ) rd, (
           SELECT round({_alpha_m2_256!r} / (sum(pow(2.0, -register))
                        + (256 - count(*))), 4) AS est
           FROM (

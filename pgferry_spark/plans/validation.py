@@ -172,6 +172,7 @@ def sketch_validation(
     p: int = 8,
     k: int = 16,
     decimals: int = 2,
+    string_cols: list[str] = (),
 ):
     """Content-shape migration validation at sketch cost — the scale
     extension of the reference's COUNT(*) check (`/root/reference/
@@ -185,8 +186,20 @@ def sketch_validation(
     tolerance; identical data produces identical rows by construction
     (deterministic md5 hashes + exact bucket math).
 
+    ``string_cols`` get the HLL distinct comparison only (hashed on the
+    raw string — no float-rendering hazard) with NULL quantile columns;
+    ``columns`` are numeric and get both checks.
+
+    ``reg_diff`` is the decisive signal: the number of HLL register
+    cells that DIFFER between the two sides. Register tables are a
+    deterministic function of the value SET, so identical sets give
+    reg_diff = 0 always, and any value-set change perturbs registers
+    with overwhelming probability even at cardinalities where the
+    ESTIMATE is biased (linear-counting regime) or coincidentally
+    equal. Cost: one <= 2^p-row join per column.
+
     Returns one row per column:
-    ``(column, est_distinct_src, est_distinct_dst,
+    ``(column, reg_diff, est_distinct_src, est_distinct_dst,
     p50_src, p50_dst, p99_src, p99_dst)``."""
     from functools import reduce
 
@@ -199,18 +212,41 @@ def sketch_validation(
         loghist_quantiles,
     )
 
-    def one(col: str):
-        def side(df, tag: str):
+    def one(col: str, numeric: bool = True):
+        def norm(df):
             # hash the DECIMAL-normalized value, not the raw double:
             # float->string rendering is engine-specific (Java vs fmt),
             # fixed-scale decimal strings are identical everywhere, and
             # validation at the declared precision is the right contract
-            norm = df.select(
+            if not numeric:
+                return df.select(col)
+            return df.select(
                 F.col(col).cast(f"decimal(18,{decimals})").alias(col)
             )
-            est = hll_estimate(hll_registers(norm, col, p=p), p=p).select(
+
+        regs_a = hll_registers(norm(source), col, p=p)
+        regs_b = hll_registers(norm(target), col, p=p)
+        diff = (
+            regs_a.withColumnRenamed("register", "__ra")
+            .join(
+                regs_b.withColumnRenamed("register", "__rb"),
+                "bucket",
+                "full_outer",
+            )
+            .filter(~F.col("__ra").eqNullSafe(F.col("__rb")))
+            .agg(F.count(F.lit(1)).alias("reg_diff"))
+        )
+
+        def side(regs, df, tag: str):
+            est = hll_estimate(regs, p=p).select(
                 F.col("est_distinct").alias(f"est_distinct_{tag}")
             )
+            if not numeric:
+                return est.select(
+                    f"est_distinct_{tag}",
+                    F.lit(None).cast("double").alias(f"p50_{tag}"),
+                    F.lit(None).cast("double").alias(f"p99_{tag}"),
+                )
             q = loghist_quantiles(
                 loghist_counts(df, col, k=k, decimals=decimals),
                 (0.5, 0.99),
@@ -227,11 +263,13 @@ def sketch_validation(
                 )
             )
             return est.crossJoin(F.broadcast(qs))
+
         return (
-            side(source, "src")
-            .crossJoin(F.broadcast(side(target, "dst")))
+            diff.crossJoin(F.broadcast(side(regs_a, source, "src")))
+            .crossJoin(F.broadcast(side(regs_b, target, "dst")))
             .select(
                 F.lit(col).alias("column"),
+                F.col("reg_diff").cast("long").alias("reg_diff"),
                 "est_distinct_src",
                 "est_distinct_dst",
                 "p50_src",
@@ -241,4 +279,7 @@ def sketch_validation(
             )
         )
 
-    return reduce(lambda a, b: a.unionByName(b), [one(c) for c in columns])
+    frames = [one(c) for c in columns] + [
+        one(c, numeric=False) for c in string_cols
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)

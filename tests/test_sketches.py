@@ -507,6 +507,7 @@ def test_sketch_validation_flags_doctored_target(spark):
     same = {r.column: r for r in
             sketch_validation(src, src, ["id", "v"]).collect()}
     for r in same.values():
+        assert r.reg_diff == 0
         assert r.est_distinct_src == r.est_distinct_dst
         assert r.p50_src == r.p50_dst and r.p99_src == r.p99_dst
 
@@ -517,6 +518,24 @@ def test_sketch_validation_flags_doctored_target(spark):
            sketch_validation(src, doctored, ["id", "v"]).collect()}
     assert bad["id"].est_distinct_dst < bad["id"].est_distinct_src * 0.8
     assert bad["v"].p50_dst > bad["v"].p50_src * 50
+    # the decisive signal: any value-set change perturbs registers
+    assert bad["id"].reg_diff > 0 and bad["v"].reg_diff > 0
+
+
+def test_sketch_validation_string_cols(spark):
+    """String columns validate by register comparison (no quantiles):
+    identical sets give reg_diff 0; a case change is caught even at a
+    cardinality where the raw HLL estimate is biased."""
+    from pgferry_spark.plans.validation import sketch_validation
+
+    src = spark.createDataFrame(
+        [(i, f"source_{i % 20}") for i in range(2000)], ["id", "src_name"]
+    )
+    bad = src.withColumn("src_name", F.upper("src_name"))
+    same = sketch_validation(src, src, [], string_cols=["src_name"]).collect()[0]
+    assert same.reg_diff == 0 and same.p50_src is None
+    diff = sketch_validation(src, bad, [], string_cols=["src_name"]).collect()[0]
+    assert diff.reg_diff > 0
 
 
 def test_loghist_rolling_equals_direct_window_hist(spark):
