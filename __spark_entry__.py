@@ -2404,6 +2404,51 @@ def _loghist_rolling_value(spark, sf):
     )
 
 
+def _hll_churn_customers(spark, sf):
+    """Churn estimation by sketch set-difference: customers who ordered
+    in 1995 but NOT in 1996, estimated as est(A) - est(A ∩ B) with the
+    intersection from inclusion-exclusion — the year-over-year churn
+    question answered from three bounded register tables instead of a
+    distinct anti-join over either year. Exact churn + rel_err are the
+    scorecard."""
+    from pgferry_spark.operators.sketches import (
+        hll_intersect_estimate,
+        hll_registers,
+    )
+
+    o = _t(spark, sf, "orders")
+    a95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    inter = hll_intersect_estimate(
+        hll_registers(a95, "o_custkey", p=8),
+        hll_registers(b96, "o_custkey", p=8),
+        p=8,
+    )
+    est = inter.select(
+        "est_a",
+        "est_intersect",
+        F.greatest(
+            F.lit(0.0), F.round(F.col("est_a") - F.col("est_intersect"), 4)
+        ).alias("est_churned"),
+    )
+    exact = (
+        a95.distinct()
+        .join(b96.distinct(), "o_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("exact_churned"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_a",
+        "est_intersect",
+        "est_churned",
+        "exact_churned",
+        F.round(
+            F.abs(F.col("est_churned") - F.col("exact_churned"))
+            / F.col("exact_churned"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 def _sketch_validation_lineitem(spark, sf):
     """Content-shape migration validation at sketch cost — the scale
     extension of the reference's COUNT(*) check: per-column HLL
@@ -2570,8 +2615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sentinels per VERDICT r4 Next #1) ----------------------------
         "span_dedup": _span_dedup,
         "exact_dedup_groups": _exact_dedup,
-        # --- post-window round-5 addition: round-6 never-checked pool -
+        # --- post-window round-5 additions: round-6 never-checked pool -
         "loghist_rolling_value": _loghist_rolling_value,
+        "hll_churn_customers": _hll_churn_customers,
         # --- displaced r2-green block: next in the round-6 rotation ---
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
@@ -6302,6 +6348,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, q,
                    round(pow(2.0, bk // 16) * (16 + bk % 16) / 16 / 100, 4) AS est
             FROM sel
+        """,
+        "hll_churn_customers": f"""
+            WITH ra AS (
+              SELECT CAST(hv & 255 AS INT) AS bucket,
+                     max(52 - (CASE WHEN (hv >> 8) = 0 THEN 0
+                               ELSE length(bin(hv >> 8)) END) + 1) AS register
+              FROM (SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+                    FROM orders WHERE year(o_orderdate) = 1995) GROUP BY 1
+            ),
+            rb AS (
+              SELECT CAST(hv & 255 AS INT) AS bucket,
+                     max(52 - (CASE WHEN (hv >> 8) = 0 THEN 0
+                               ELSE length(bin(hv >> 8)) END) + 1) AS register
+              FROM (SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+                    FROM orders WHERE year(o_orderdate) = 1996) GROUP BY 1
+            ),
+            ru AS (SELECT bucket, max(register) AS register
+                   FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+            ea AS (SELECT round({_alpha_m2_256!r} / (sum(pow(2.0, -register))
+                                 + (256 - count(*))), 4) AS est_a FROM ra),
+            eb AS (SELECT round({_alpha_m2_256!r} / (sum(pow(2.0, -register))
+                                 + (256 - count(*))), 4) AS est_b FROM rb),
+            eu AS (SELECT round({_alpha_m2_256!r} / (sum(pow(2.0, -register))
+                                 + (256 - count(*))), 4) AS est_union FROM ru),
+            inter AS (
+              SELECT est_a,
+                     greatest(0.0, round(est_a + est_b - est_union, 4))
+                       AS est_intersect
+              FROM ea, eb, eu
+            ),
+            est AS (
+              SELECT est_a, est_intersect,
+                     greatest(0.0, round(est_a - est_intersect, 4))
+                       AS est_churned
+              FROM inter
+            ),
+            ex AS (
+              SELECT CAST(count(*) AS BIGINT) AS exact_churned
+              FROM (SELECT DISTINCT o_custkey FROM orders
+                    WHERE year(o_orderdate) = 1995) a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM orders b
+                WHERE year(b.o_orderdate) = 1996
+                  AND b.o_custkey = a.o_custkey
+              )
+            )
+            SELECT est_a, est_intersect, est_churned, exact_churned,
+                   round(abs(est_churned - exact_churned) / exact_churned, 4)
+                     AS rel_err
+            FROM est, ex
         """,
         "hll_rolling_users": f"""
             WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),

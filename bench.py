@@ -130,6 +130,7 @@ HEADLINE = [
     "exact_substring_scrub",
     "sketch_validation_lineitem",
     "loghist_rolling_value",
+    "hll_churn_customers",
 ]
 
 

@@ -95,7 +95,7 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 197
+N_QUERIES = 198
 
 
 def test_window_layout(entry_mod):
