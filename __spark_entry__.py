@@ -2542,83 +2542,24 @@ def _sketchval_col_sql(col: str) -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
-    entries of this dict (observed in CORRECTNESS_r01..r04 — exactly 50
-    keys, matching dict order). Round 5 rotates per the COVERAGE.md ledger
-    and tools/plan_rotation.py: positions 1-48 are every entry no driver
-    round has ever checked (the 11 round-3 leftovers, all 17 round-4
-    operators, and the 20 round-5 additions — capped postures, AUC
-    scorecards, the sketch suite, lake compaction, ExactSubstr scrub,
-    sketch migration validation), positions 49-50 are two r4-green
-    canaries (span_dedup, exact_dedup_groups) to confirm the harness
-    didn't regress; the never-checked block consumed every stale-filler
-    slot this round. tests/test_entry_ordering.py pins this window
-    arithmetic."""
+    entries of this dict (observed in CORRECTNESS_r01..r05 — exactly 50
+    keys, matching dict order). Round 6 rotates per tools/plan_rotation.py
+    and VERDICT r5 Next #2: positions 1-2 are the only never-checked
+    entries (loghist_rolling_value, hll_churn_customers — judge-green at
+    both SFs last round), positions 3-48 are the 46 stalest driver-green
+    entries (last green in CORRECTNESS_r02: the TPC-H block, transforms,
+    events, orphans, quality checks — their shared operator code has
+    changed across r3-r5), and positions 49-50 are two r5-green canaries
+    (span_dedup, exact_dedup_groups) to confirm the harness didn't
+    regress. tests/test_entry_ordering.py pins this window arithmetic."""
     return {
-        # --- positions 1-26: never-driver-checked (11 round-3 leftovers +
-        # all 17 round-4 operators minus the canary slot) --------------
-        "seasonal_anomalies": _seasonal_anomalies,
-        "containment_adjacent": _containment_adjacent,
-        "decayed_topk": _decayed_topk,
-        "k_anonymity": _k_anonymity,
-        "l_diversity": _l_diversity,
-        "q2_adapted": _q2_adapted,
-        "q11_adapted": _q11_adapted,
-        "quality_classifier": _quality_classifier,
-        "compression_ratio": _compression_ratio,
-        "ivf_pq_kmeans_topk": _ivf_pq_kmeans_topk,
-        "ann_recall_ivfpq_kmeans": _ann_recall_ivfpq_kmeans,
-        "ivf_pq_rerank_topk": _ivf_pq_rerank_topk,
-        "knn_graph_capped": _knn_graph_capped,
-        "image_meta_real": _image_meta_real,
-        "image_ahash_real": _image_ahash_real,
-        "image_near_dup": _image_near_dup,
-        "cross_corpus_near_dup": _cross_corpus_near_dup,
-        "skew_profile": _skew_profile,
-        "cluster_safe_split": _cluster_safe_split,
-        "profile_orders": _profile_orders,
-        "negative_samples": _negative_samples,
-        "hard_negatives": _hard_negatives,
-        "margin_mine": _margin_mine,
-        "curation_funnel": _curation_funnel,
-        "source_datasheet": _source_datasheet,
-        "dsir_weights": _dsir_weights,
-        # round-5 additions, also never checked: the capped production
-        # postures of the LSH/decontamination flagships
-        "lsh_candidate_pairs_capped": _lsh_pairs_capped,
-        "lsh_candidate_pairs_md5_capped": _lsh_pairs_md5_capped,
-        "cross_corpus_near_dup_capped": _cross_corpus_near_dup_capped,
-        "quality_twin_auc": _quality_twin_auc,
-        "quality_classifier_auc": _quality_classifier_auc,
-        "boilerplate_ngrams": _boilerplate_ngrams,
-        "mixture_epochs": _mixture_epochs,
-        "embedding_drift_psi": _embedding_drift_psi,
-        # --- positions 35-48: the late-round-5 additions — sketches,
-        # exact-substring spans + scrub, quantile histogram, HLL
-        # intersection/rolling, weighted CMS, join-size estimate, lake
-        # compaction, sketch migration validation — all never
-        # driver-checked (judge-oracle + pytest this round) ------------
-        "exact_substring_spans": _exact_substring_spans,
-        "hll_registers": _hll_registers,
-        "hll_union_estimate": _hll_union_estimate,
-        "cms_token_sketch": _cms_token_sketch,
-        "cms_heavy_hitters": _cms_heavy_hitters,
-        "bloom_custkey_probe": _bloom_custkey_probe,
-        "loghist_price_quantiles": _loghist_price_quantiles,
-        "hll_intersect_customers": _hll_intersect_customers,
-        "compaction_plan": _compaction_plan,
-        "cms_join_size_custkey": _cms_join_size_custkey,
-        "hll_rolling_users": _hll_rolling_users,
-        "cms_weighted_spenders": _cms_weighted_spenders,
-        "exact_substring_scrub": _exact_substring_scrub,
-        "sketch_validation_lineitem": _sketch_validation_lineitem,
-        # --- positions 49-50: r4-green canaries (harness regression
-        # sentinels per VERDICT r4 Next #1) ----------------------------
-        "span_dedup": _span_dedup,
-        "exact_dedup_groups": _exact_dedup,
-        # --- post-window round-5 additions: round-6 never-checked pool -
+        # --- positions 1-2: the only never-driver-checked entries
+        # (post-window round-5 additions; judge-green at sf0.001+sf0.01)
         "loghist_rolling_value": _loghist_rolling_value,
         "hll_churn_customers": _hll_churn_customers,
-        # --- displaced r2-green block: next in the round-6 rotation ---
+        # --- positions 3-48: stalest driver-green family (last green
+        # in CORRECTNESS_r02; shared operator/transform code has
+        # changed since) — per tools/plan_rotation.py, stable order --
         "q1_pricing_summary": _q1,
         "transform_uuid": _uuid_transforms,
         "q3_shipping_priority": _q3,
@@ -2633,8 +2574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q4,
         "q7_volume_shipping": _q7,
         "q8_market_share": _q8,
-        # --- displaced by the round-5 capped additions: first of the
-        # beyond-window stale family
         "q9_product_profit": _q9,
         "q13_order_count_distribution": _q13,
         "q15_top_supplier": _q15,
@@ -2643,8 +2582,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_order_customers": _big_orders,
         "cheapest_supplier_per_part": _cheapest_supplier,
         "customer_set_ops": _set_ops,
-        # --- beyond the 50-entry window: stalest-first (r2, then r3,
-        # then r4-green) — next in line for the round-6 rotation -------
         "sql_exists_subquery": _sql_surface,
         "rollup_pricing": _rollup,
         "distinct_orders_per_flag": _distinct,
@@ -2669,6 +2606,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_zero_date": _zero_date,
         "quality_checks": _quality_checks,
         "text_stats": _text_stats,
+        # --- positions 49-50: r5-green canaries (harness regression
+        # sentinels per VERDICT r5 Next #2) ----------------------------
+        "span_dedup": _span_dedup,
+        "exact_dedup_groups": _exact_dedup,
+        # --- beyond the 50-entry window: stalest-first (displaced r2,
+        # then r3/r4/r5-green) — next in line for the round-7 rotation -
         "lang_id": _lang_id,
         "bpe_token_count": _bpe_token_count,
         "winnow_summary": _winnow_summary,
@@ -2769,6 +2712,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn_join": _lsh_knn_join,
         "dedup_pair_recall": _dedup_pair_recall,
         "minhash_pair_recall": _minhash_pair_recall,
+        "seasonal_anomalies": _seasonal_anomalies,
+        "containment_adjacent": _containment_adjacent,
+        "decayed_topk": _decayed_topk,
+        "k_anonymity": _k_anonymity,
+        "l_diversity": _l_diversity,
+        "q2_adapted": _q2_adapted,
+        "q11_adapted": _q11_adapted,
+        "quality_classifier": _quality_classifier,
+        "compression_ratio": _compression_ratio,
+        "ivf_pq_kmeans_topk": _ivf_pq_kmeans_topk,
+        "ann_recall_ivfpq_kmeans": _ann_recall_ivfpq_kmeans,
+        "ivf_pq_rerank_topk": _ivf_pq_rerank_topk,
+        "knn_graph_capped": _knn_graph_capped,
+        "image_meta_real": _image_meta_real,
+        "image_ahash_real": _image_ahash_real,
+        "image_near_dup": _image_near_dup,
+        "cross_corpus_near_dup": _cross_corpus_near_dup,
+        "skew_profile": _skew_profile,
+        "cluster_safe_split": _cluster_safe_split,
+        "profile_orders": _profile_orders,
+        "negative_samples": _negative_samples,
+        "hard_negatives": _hard_negatives,
+        "margin_mine": _margin_mine,
+        "curation_funnel": _curation_funnel,
+        "source_datasheet": _source_datasheet,
+        "dsir_weights": _dsir_weights,
+        "lsh_candidate_pairs_capped": _lsh_pairs_capped,
+        "lsh_candidate_pairs_md5_capped": _lsh_pairs_md5_capped,
+        "cross_corpus_near_dup_capped": _cross_corpus_near_dup_capped,
+        "quality_twin_auc": _quality_twin_auc,
+        "quality_classifier_auc": _quality_classifier_auc,
+        "boilerplate_ngrams": _boilerplate_ngrams,
+        "mixture_epochs": _mixture_epochs,
+        "embedding_drift_psi": _embedding_drift_psi,
+        "exact_substring_spans": _exact_substring_spans,
+        "hll_registers": _hll_registers,
+        "hll_union_estimate": _hll_union_estimate,
+        "cms_token_sketch": _cms_token_sketch,
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        "bloom_custkey_probe": _bloom_custkey_probe,
+        "loghist_price_quantiles": _loghist_price_quantiles,
+        "hll_intersect_customers": _hll_intersect_customers,
+        "compaction_plan": _compaction_plan,
+        "cms_join_size_custkey": _cms_join_size_custkey,
+        "hll_rolling_users": _hll_rolling_users,
+        "cms_weighted_spenders": _cms_weighted_spenders,
+        "exact_substring_scrub": _exact_substring_scrub,
+        "sketch_validation_lineitem": _sketch_validation_lineitem,
     }
 
 
@@ -6202,7 +6193,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT sa.row, sum(sa.cnt * sb.cnt) AS dot
               FROM sa JOIN sb USING (row, col) GROUP BY 1
             ),
-            est AS (SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM dots),
+            -- spine of every hash row in either sketch: a row with fully
+            -- disjoint cells has true dot = 0 and must bound the MIN
+            -- (mirrors cms_join_size's left-join-and-coalesce)
+            spine AS (
+              SELECT DISTINCT row
+              FROM (SELECT row FROM sa UNION ALL SELECT row FROM sb)
+            ),
+            est AS (
+              SELECT CAST(min(coalesce(dot, 0)) AS BIGINT) AS est_join_size
+              FROM spine LEFT JOIN dots USING (row)
+            ),
             ex AS (
               SELECT CAST(count(*) AS BIGINT) AS exact_join_size
               FROM orders JOIN customer ON o_custkey = c_custkey

@@ -1,9 +1,12 @@
 """Benchmark runner — the driver's per-round performance feedback loop.
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": ..., "n_queries": N}.  Per-query medians and raw repeats are
+written to BENCH_runs.json — the driver's tail capture holds only ~2 KB,
+so inlining per-query timings makes the line unparseable (BENCH_r03 and
+BENCH_r05 both hit this).
 
 Each query is forced with ``df.count()`` (full compute, no driver-side row
 transfer). Session uses the engine defaults (AQE on, UTC, tuned shuffle
@@ -46,7 +49,6 @@ HEADLINE = [
     "text_stats",
     "exact_dedup_groups",
     "minhash_buckets",
-    "lsh_candidate_pairs",
     "simhash_near_pairs",
     "embedding_near_dup",
     "cosine_topk",
@@ -86,7 +88,11 @@ HEADLINE = [
     "ivf_pq_rerank_topk",
     "image_meta_real",
     "dsir_weights",
-    "cross_corpus_near_dup",
+    # round 6 (VERDICT r5 Next #4): the headline tracks the CAPPED
+    # production postures of the LSH/decontamination flagships (listed
+    # below); the uncapped cross_corpus_near_dup / lsh_candidate_pairs
+    # variants stay registered as oracle rows but are no longer headline
+    # rows — at 100 TB you would always run with the bucket cap.
     "margin_mine",
     "negative_samples",
     "curation_funnel",
@@ -308,19 +314,25 @@ def main() -> int:
                              "BENCH_runs.json")
     with open(runs_path, "w") as fh:
         json.dump(
-            {"runs": runs, "repeats": repeats, "sf": sf,
+            {"runs": runs, "medians": timings, "repeats": repeats, "sf": sf,
              "capped_drop_stats": capped_drops},
             fh, indent=1,
         )
     sys.stdout.flush()
+    # VERDICT r5 Next #1: the final stdout line must stay inside the
+    # driver's ~2 KB tail capture — emit the compact summary ONLY
+    # (BENCH_r05 had "parsed": null because the 92-entry per-query dict
+    # overflowed the buffer).  Per-query medians + raw repeats live in
+    # BENCH_runs.json above.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "BENCH_runs.json",
             }
         )
     )

@@ -229,15 +229,17 @@ def auc_scorecard(
     ranked = agg.withColumn(
         "__cum", F.coalesce(F.sum("__nt").over(w), F.lit(0))
     )
+    n_pos = F.sum("__np")
+    n_neg = F.sum(F.col("__nt") - F.col("__np"))
+    auc = (
+        F.sum(F.col("__np") * (F.col("__cum") + (F.col("__nt") + 1) / 2.0))
+        - n_pos * (n_pos + 1) / 2.0
+    ) / (n_pos * n_neg)
     return ranked.agg(
-        F.sum("__np").cast("long").alias("n_pos"),
-        F.sum(F.col("__nt") - F.col("__np")).cast("long").alias("n_neg"),
-        F.round(
-            (
-                F.sum(F.col("__np") * (F.col("__cum") + (F.col("__nt") + 1) / 2.0))
-                - F.sum("__np") * (F.sum("__np") + 1) / 2.0
-            )
-            / (F.sum("__np") * F.sum(F.col("__nt") - F.col("__np"))),
-            6,
-        ).alias("auc"),
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        # degenerate single-class input: AUC is undefined — return an
+        # EXPLICIT NULL (guarded, not a silent divide-by-zero NULL); the
+        # caller reads n_pos/n_neg to see which class is missing
+        F.when((n_pos > 0) & (n_neg > 0), F.round(auc, 6)).alias("auc"),
     )

@@ -467,14 +467,27 @@ def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     two depth*width cell tables that each cost one pass and merge across
     partitions/days by cell-wise sum. Cost here: an equi-join of two
     <= depth*width-row tables, a depth-row aggregate, a 1-row min.
-    Returns one row ``(est_join_size long)``."""
+    Returns one row ``(est_join_size long)`` — 0 (not NULL) when the two
+    key sets are fully disjoint; NULL only when both sketches are empty.
+    """
     j = sketch_a.alias("a").join(
         sketch_b.alias("b"), ["row", "col"]
     )  # absent cells contribute 0 to the dot product — inner join is exact
     per_row = j.groupBy("row").agg(
         F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot")
     )
-    return per_row.agg(F.min("dot").cast("long").alias("est_join_size"))
+    # a hash row whose cells are fully disjoint between the two sketches
+    # has true dot = 0 but drops out of the inner join — the MIN would
+    # then ignore the tightest bound (and be NULL for disjoint key sets).
+    # Left-join per-row dots back onto the spine of every hash row
+    # present in either sketch and coalesce the missing dots to 0.
+    spine = (
+        sketch_a.select("row").union(sketch_b.select("row")).distinct()
+    )
+    full = spine.join(per_row, "row", "left").select(
+        F.coalesce(F.col("dot"), F.lit(0)).alias("dot")
+    )
+    return full.agg(F.min("dot").cast("long").alias("est_join_size"))
 
 
 def loghist_splits(

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
-from typing import Callable
+from typing import Callable, Sequence
 
 
 @dataclass
@@ -172,7 +172,7 @@ def sketch_validation(
     p: int = 8,
     k: int = 16,
     decimals: int = 2,
-    string_cols: list[str] = (),
+    string_cols: Sequence[str] = (),
 ):
     """Content-shape migration validation at sketch cost — the scale
     extension of the reference's COUNT(*) check (`/root/reference/

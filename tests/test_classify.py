@@ -139,6 +139,24 @@ def test_auc_perfect_and_random(spark):
     assert auc_scorecard(constant, "s", "y").collect()[0]["auc"] == 0.5
 
 
+def test_auc_single_class_explicit_null(spark):
+    # ADVICE r5: degenerate single-class input — AUC undefined, returned
+    # as a guarded NULL with n_pos/n_neg telling the caller which class
+    # is missing (not a silent divide-by-zero)
+    from pgferry_spark.operators.classify import auc_scorecard
+
+    all_pos = spark.createDataFrame(
+        [(i, 1) for i in range(20)], "s int, y int"
+    )
+    row = auc_scorecard(all_pos, "s", "y").collect()[0]
+    assert row["auc"] is None and row["n_pos"] == 20 and row["n_neg"] == 0
+    all_neg = spark.createDataFrame(
+        [(i, 0) for i in range(20)], "s int, y int"
+    )
+    row = auc_scorecard(all_neg, "s", "y").collect()[0]
+    assert row["auc"] is None and row["n_pos"] == 0 and row["n_neg"] == 20
+
+
 def test_model_auc_beats_chance_on_separable(spark, labeled):
     from pgferry_spark.operators.classify import (
         auc_scorecard, train_quality_classifier,

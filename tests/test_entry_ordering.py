@@ -1,13 +1,13 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01..r04 each contain exactly 50
-keys equal to dict positions 1-50).  Round 5's final rotation: ALL 48
-entries no driver round has ever checked (11 round-3 leftovers, 17
-round-4 operators, 20 round-5 additions) sit at positions 1-48, and two
-r4-green canaries hold 49-50 — the never-checked block consumed every
-stale-filler slot.  This test keeps that window arithmetic from
-silently regressing when entries are added or reordered.
+__spark_entry__.queries() (CORRECTNESS_r01..r05 each contain exactly 50
+keys equal to dict positions 1-50).  Round 6's rotation (VERDICT r5
+Next #2): positions 1-2 are the only never-checked entries
+(loghist_rolling_value, hll_churn_customers), positions 3-48 are the 46
+stalest driver-green entries (last green in CORRECTNESS_r02), and
+positions 49-50 are two r5-green canaries.  This test keeps that window
+arithmetic from silently regressing when entries are added or reordered.
 """
 
 import importlib.util
@@ -26,47 +26,36 @@ def entry_mod():
     return mod
 
 
-# Round-5 window: every entry here had NO driver correctness row as of
-# CORRECTNESS_r04.  These MUST sit inside the driver's 50-row window
-# this round, in this order (never-checked first, planner-stable).
+# Round-6 window positions 1-2: the only entries with NO driver
+# correctness row as of CORRECTNESS_r05 (both judge-green last round).
 NEVER_CHECKED = [
-    "seasonal_anomalies", "containment_adjacent", "decayed_topk",
-    "k_anonymity", "l_diversity", "q2_adapted", "q11_adapted",
-    "quality_classifier", "compression_ratio", "ivf_pq_kmeans_topk",
-    "ann_recall_ivfpq_kmeans", "ivf_pq_rerank_topk", "knn_graph_capped",
-    "image_meta_real", "image_ahash_real", "image_near_dup",
-    "cross_corpus_near_dup", "skew_profile", "cluster_safe_split",
-    "profile_orders", "negative_samples", "hard_negatives", "margin_mine",
-    "curation_funnel", "source_datasheet", "dsir_weights",
-    # round-5 additions: capped production postures of the LSH /
-    # decontamination flagships (never checked by construction)
-    "lsh_candidate_pairs_capped", "lsh_candidate_pairs_md5_capped",
-    "cross_corpus_near_dup_capped",
-    # and the quality-classifier AUC scorecard pair: deterministic twin
-    # (oracle-green) + LBFGS measured row (rows-only)
-    "quality_twin_auc", "quality_classifier_auc",
-    # corpus boilerplate profiler (n-gram doc-frequency heavy hitters)
-    "boilerplate_ngrams",
-    # fractional-epoch source repetition (LLaMA-style mixture knob)
-    "mixture_epochs",
-    # embedding-space PSI drift (cell-occupancy vs the baseline's IVF cells)
-    "embedding_drift_psi",
-    # late-round-5 additions: exact-substring span dedup, the sketch
-    # family (HLL / CMS / Bloom / log-histogram quantiles / HLL
-    # intersection), and the lake compaction planner
-    "exact_substring_spans", "hll_registers", "hll_union_estimate",
-    "cms_token_sketch", "cms_heavy_hitters", "bloom_custkey_probe",
-    "loghist_price_quantiles", "hll_intersect_customers",
-    "compaction_plan", "cms_join_size_custkey", "hll_rolling_users",
-    "cms_weighted_spenders", "exact_substring_scrub",
-    "sketch_validation_lineitem",
+    "loghist_rolling_value", "hll_churn_customers",
 ]
 
-# Stalest driver-green family (last green in CORRECTNESS_r02): fills the
-# window behind the never-checked block.
-STALE_R2 = []  # window fully consumed by never-checked entries this round
+# Positions 3-48: stalest driver-green family (last green in
+# CORRECTNESS_r02; their shared operator/transform code has changed
+# across r3-r5).  Planner-stable order from tools/plan_rotation.py.
+STALE_R2 = [
+    "q1_pricing_summary", "transform_uuid", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q10_returned_revenue",
+    "q12_priority_counts", "q17_small_quantity_revenue",
+    "q6_forecast_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
+    "q22_idle_customers", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q13_order_count_distribution",
+    "q15_top_supplier", "q18_large_volume_customers",
+    "top_order_per_customer", "big_order_customers",
+    "cheapest_supplier_per_part", "customer_set_ops",
+    "sql_exists_subquery", "rollup_pricing", "distinct_orders_per_flag",
+    "events_hourly", "events_json_stats", "events_pivot",
+    "lineitem_column_stats", "revenue_percentiles", "sessionize",
+    "asof_join", "minmax_probe", "row_counts", "sequence_reset",
+    "orphan_anti_join", "orphan_set_null", "transform_strings",
+    "transform_bool", "transform_set_split", "transform_bits",
+    "transform_time_interval", "transform_year_money",
+    "transform_zero_date", "quality_checks", "text_stats",
+]
 
-# r4-green sentinels: if these fail in CORRECTNESS_r05 the harness (not
+# r5-green sentinels: if these fail in CORRECTNESS_r06 the harness (not
 # the rotated-in entries) regressed.
 CANARIES = ["span_dedup", "exact_dedup_groups"]
 
@@ -100,13 +89,13 @@ N_QUERIES = 198
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:48] == NEVER_CHECKED
-    assert names[48:48] == STALE_R2
+    assert names[:2] == NEVER_CHECKED
+    assert names[2:48] == STALE_R2
     assert names[48:50] == CANARIES
 
 
 def test_window_exactly_filled(entry_mod):
-    # 48 + 0 + 2 == 50: no slot wasted, nothing needing a row pushed out.
+    # 2 + 46 + 2 == 50: no slot wasted, nothing needing a row pushed out.
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEVER_CHECKED) | set(STALE_R2) | set(CANARIES)
 

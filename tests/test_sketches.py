@@ -337,6 +337,22 @@ def test_cms_join_size_disjoint_keys_small(spark):
     assert est <= 5
 
 
+def test_cms_join_size_disjoint_is_zero_not_null(spark):
+    # ADVICE r5: a hash row whose cells are fully disjoint between the
+    # two sketches has true dot = 0 and must participate in the MIN —
+    # with width >> keys every row is collision-free, so the estimate is
+    # exactly 0 (and non-NULL) for completely disjoint key sets.
+    from pgferry_spark.operators.sketches import cms_join_size, cms_sketch
+
+    a = _ids(spark, 0, 50, col="k")
+    b = _ids(spark, 900000, 900050, col="k")
+    row = cms_join_size(
+        cms_sketch(a, "k", depth=4, width=65536),
+        cms_sketch(b, "k", depth=4, width=65536),
+    ).collect()[0]
+    assert row.est_join_size == 0
+
+
 def test_loghist_splits_equal_mass(spark):
     from pgferry_spark.operators.sketches import loghist_counts, loghist_splits
 
