@@ -2068,6 +2068,21 @@ def _exact_substring_spans(spark, sf):
     return exact_substring_spans(d, "text", "doc_id", w=8)
 
 
+def _exact_substring_spans_chars(spark, sf):
+    """ExactSubstr spans with Lee et al.'s CHARACTER-length floor
+    (arXiv:2107.06499 uses a 50-char suffix-array threshold, not a token
+    count): same windowed span merge, then each span's reconstructed
+    text (single-space joined tokens) must reach 50 chars. The extra
+    cost is one equi-join of the duplicate-bounded span table back to a
+    (doc_id, tokens) projection — AQE broadcast in practice."""
+    from pgferry_spark.operators.dedup import exact_substring_spans
+
+    d = _t(spark, sf, "documents")
+    return exact_substring_spans(
+        d, "text", "doc_id", w=8, min_match_chars=50
+    )
+
+
 def _hll_registers(spark, sf):
     """Per-returnflag HyperLogLog register tables over order keys: one
     aggregate whose output is <= 256 rows per group regardless of input
@@ -2760,6 +2775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_weighted_spenders": _cms_weighted_spenders,
         "exact_substring_scrub": _exact_substring_scrub,
         "sketch_validation_lineitem": _sketch_validation_lineitem,
+        # --- round-6 additions (oracle-backed at birth, VERDICT r5
+        # Next #9) -----------------------------------------------------
+        "exact_substring_spans_chars": _exact_substring_spans_chars,
     }
 
 
@@ -5972,6 +5990,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) + 8 AS INT) AS span_end,
                    CAST(count(*) AS BIGINT) AS n_windows
             FROM grp GROUP BY doc_id, island
+        """,
+        "exact_substring_spans_chars": r"""
+            WITH toks AS (
+              SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                             ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     md5(array_to_string(t[i+1 : i+8], ' ')) AS wh
+              FROM toks, unnest(range(len(t) - 7)) AS u(i)
+              WHERE len(t) >= 8
+            ),
+            ranked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY wh) AS cnt
+              FROM occ
+            ),
+            dup AS (SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn > 1),
+            flagged AS (
+              SELECT doc_id, pos,
+                     CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS newf
+              FROM (SELECT doc_id, pos,
+                           max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS prev_end
+                    FROM dup) s
+            ),
+            grp AS (SELECT doc_id, pos,
+                           sum(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                    FROM flagged),
+            spans AS (
+              SELECT doc_id,
+                     CAST(min(pos) AS INT) AS span_start,
+                     CAST(max(pos) + 8 AS INT) AS span_end,
+                     CAST(count(*) AS BIGINT) AS n_windows
+              FROM grp GROUP BY doc_id, island
+            )
+            -- Lee et al. 50-char floor on the reconstructed span text
+            -- (single-space joined tokens, same normalization as the
+            -- window hashing)
+            SELECT s.doc_id, s.span_start, s.span_end, s.n_windows,
+                   CAST(length(array_to_string(
+                        t[s.span_start + 1 : s.span_end], ' ')) AS INT)
+                     AS span_chars
+            FROM spans s JOIN toks USING (doc_id)
+            WHERE length(array_to_string(
+                    t[s.span_start + 1 : s.span_end], ' ')) >= 50
         """,
         "hll_registers": """
             WITH h AS (

@@ -137,6 +137,8 @@ HEADLINE = [
     "sketch_validation_lineitem",
     "loghist_rolling_value",
     "hll_churn_customers",
+    # round 6: ExactSubstr with Lee et al.'s 50-char match floor
+    "exact_substring_spans_chars",
 ]
 
 

@@ -996,6 +996,7 @@ def exact_substring_spans(
     content_col: str,
     id_col: str,
     w: int = 8,
+    min_match_chars: int | None = None,
 ) -> DataFrame:
     """Exact-substring duplicate spans — the "Deduplicating Training Data
     Makes Language Models Better" (Lee et al. 2022, arXiv:2107.06499)
@@ -1032,6 +1033,14 @@ def exact_substring_spans(
 
     Windows overlapping or exactly adjacent (``pos <= prev_end``) merge
     into one span; a gap of even one non-duplicated token splits spans.
+
+    ``min_match_chars`` restores Lee et al.'s CHARACTER-length semantics
+    (their suffix-array threshold is 50 chars, not a token count): when
+    set, each merged span's text is reconstructed (tokens joined by a
+    single space) and spans shorter than the floor are dropped; the
+    output gains a ``span_chars`` column. Cost: one extra equi-join of
+    the (small) span table back to a ``(id, tokens)`` projection —
+    span-side is duplicate-bounded, so AQE broadcasts it in practice.
     """
     from pyspark.sql.window import Window
 
@@ -1082,11 +1091,31 @@ def exact_substring_spans(
     islands = dup.withColumn(
         "__new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
     ).withColumn("__island", F.sum("__new").over(ordered))
-    return islands.groupBy(id_col, "__island").agg(
+    spans = islands.groupBy(id_col, "__island").agg(
         F.min("pos").cast("int").alias("span_start"),
         (F.max("pos") + w).cast("int").alias("span_end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).drop("__island")
+    if min_match_chars is None:
+        return spans
+    # char-length floor (Lee et al.'s 50-char semantics): join the
+    # duplicate-bounded span table back to the (id, tokens) projection
+    # and measure the reconstructed span text — single-space joined, the
+    # same normalization the window hashing used
+    span_text = F.array_join(
+        F.slice(
+            F.col("__toks"),
+            F.col("span_start") + 1,
+            F.col("span_end") - F.col("span_start"),
+        ),
+        " ",
+    )
+    return (
+        spans.join(base.select(F.col(id_col), F.col("__toks")), id_col)
+        .withColumn("span_chars", F.length(span_text).cast("int"))
+        .filter(F.col("span_chars") >= min_match_chars)
+        .drop("__toks")
+    )
 
 
 # -- SemDeDup (cluster-then-dedup semantic dedup) ----------------------------

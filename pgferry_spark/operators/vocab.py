@@ -20,7 +20,7 @@ from ..utils import fan_out
 
 
 def word_frequencies(
-    df: DataFrame, text_col: str, max_words: int | None = None
+    df: DataFrame, text_col: str, max_words: int = 100_000
 ) -> list[tuple[str, int]]:
     """Distributed word-frequency table, collected driver-side.
 
@@ -28,7 +28,15 @@ def word_frequencies(
     combine; the result is vocab-sized, not corpus-sized. ``max_words``
     caps the table to the most frequent words (ties -> lexicographic) —
     at 100 TB you always cap: rare-word tails add nothing to merge
-    statistics but dominate the vocab row count."""
+    statistics but dominate the vocab row count.  The cap is REQUIRED
+    (``None`` raises): an uncapped collect over an open-vocabulary
+    corpus is a driver OOM at scale, so the bound must be explicit."""
+    if max_words is None or max_words <= 0:
+        raise ValueError(
+            "word_frequencies requires a positive max_words cap: the "
+            "frequency table is collected driver-side, and an uncapped "
+            "collect over an open vocabulary is a driver OOM at scale"
+        )
     wf = (
         fan_out(df, text_col)
         .select(F.explode_outer(tokens(F.col(text_col))).alias("w"))
@@ -36,10 +44,11 @@ def word_frequencies(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    if max_words is not None:
-        rows = wf.orderBy(F.col("cnt").desc(), F.col("w").asc()).limit(max_words).collect()
-    else:
-        rows = wf.collect()
+    rows = (
+        wf.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
     return sorted(((r["w"], r["cnt"]) for r in rows), key=lambda t: (-t[1], t[0]))
 
 
@@ -47,7 +56,7 @@ def learn_bpe_merges(
     df: DataFrame,
     text_col: str,
     n_merges: int = 50,
-    max_words: int | None = 10_000,
+    max_words: int = 10_000,
     end_of_word: str = "</w>",
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus (Sennrich et al. 2016).

@@ -206,6 +206,58 @@ def test_spans_short_docs_ignored(spark):
     assert exact_substring_spans(docs, "text", "doc_id", w=8).count() == 0
 
 
+def test_spans_char_floor_drops_short_spans(spark):
+    # VERDICT r5 Next #6: min_match_chars restores Lee et al.'s 50-char
+    # semantics. 8 single-char tokens reconstruct to 15 chars (8 + 7
+    # spaces) — a duplicated span that an 8-TOKEN window reports but a
+    # 50-CHAR floor must drop; 8 seven-char tokens reconstruct to 63
+    # chars and survive.
+    short = "a b c d e f g h"
+    long = " ".join(f"tok{i:04d}" for i in range(8))  # 8 × 7 chars + 7
+    docs = _docs(spark, [(1, short), (2, short), (3, long), (4, long)])
+    unfloored = exact_substring_spans(docs, "text", "doc_id", w=8)
+    assert {r.doc_id for r in unfloored.collect()} == {2, 4}
+    floored = exact_substring_spans(
+        docs, "text", "doc_id", w=8, min_match_chars=50
+    ).collect()
+    assert [(r.doc_id, r.span_start, r.span_end, r.span_chars)
+            for r in floored] == [(4, 0, 8, 63)]
+
+
+def test_spans_char_floor_length_invariant(spark):
+    # property: EVERY reported span's reconstructed text length >= floor,
+    # and the floored output is exactly the unfloored output filtered by
+    # that reconstruction (no span invented, none resized)
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)] + ["verylongtoken%d" % i for i in range(6)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(14))
+    rows = []
+    for d in range(12):
+        mid = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 10)))
+        rows.append((d, f"{boiler} {mid} {boiler}"))
+    docs = _docs(spark, rows)
+    floor = 40
+    floored = exact_substring_spans(
+        docs, "text", "doc_id", w=5, min_match_chars=floor
+    ).collect()
+    assert floored, "fixture must produce at least one span"
+    toks = {d: t.split() for d, t in rows}
+    for r in floored:
+        text = " ".join(toks[r.doc_id][r.span_start:r.span_end])
+        assert len(text) == r.span_chars >= floor
+    unfloored = exact_substring_spans(
+        docs, "text", "doc_id", w=5
+    ).collect()
+    expect = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in unfloored
+        if len(" ".join(toks[r.doc_id][r.span_start:r.span_end])) >= floor
+    }
+    assert {(r.doc_id, r.span_start, r.span_end) for r in floored} == expect
+
+
 # -- Log-histogram quantile sketch -------------------------------------------
 
 

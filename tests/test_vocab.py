@@ -84,6 +84,20 @@ def test_word_frequency_cap_keeps_most_frequent(spark):
     assert capped == full[:2]
 
 
+def test_word_frequency_cap_is_required(spark):
+    # VERDICT r5 Next #8: the driver-side collect must always be
+    # bounded — an uncapped call is an explicit error, not a 100 TB OOM
+    import pytest as _pytest
+
+    from pgferry_spark.operators.vocab import word_frequencies
+
+    df = spark.createDataFrame(CORPUS, "doc_id: long, text: string")
+    with _pytest.raises(ValueError, match="max_words"):
+        word_frequencies(df, "text", max_words=None)
+    with _pytest.raises(ValueError, match="max_words"):
+        word_frequencies(df, "text", max_words=0)
+
+
 def test_encode_counts_match_reference(spark):
     from pgferry_spark.operators.vocab import bpe_encode_counts, learn_bpe_merges
 
