@@ -943,6 +943,77 @@ def rolling_distinct_from_store(
     return hll_rolling_from_registers(store.read(), window_days=window_days, p=p)
 
 
+def loghist_store_stream(
+    stream_df: DataFrame,
+    store,
+    col: str,
+    checkpoint_dir: str,
+    k: int = 16,
+    decimals: int = 2,
+    vacuum_keep_last: int | None = None,
+    query_name: str = "loghist_store",
+):
+    """Restart-DURABLE streaming percentile state — the loghist twin of
+    :func:`hll_register_store_stream` (VERDICT r5 Next #5): each
+    micro-batch is sketched with the BATCH ``loghist_counts`` verbatim
+    and cell-wise merged into a versioned :class:`~pgferry_spark.
+    sources.laketable.LakeTable` snapshot (copy-on-write; a crash
+    between batches leaves the previous consistent version current, and
+    the streaming checkpoint replays the batch). Unlike
+    :func:`loghist_monitor_stream`'s process-scoped accumulator, a
+    restarted process resumes from the store + checkpoint and its
+    running percentiles cover EVERYTHING ever streamed — pinned by
+    test_streaming_stateful's kill-and-resume test.
+
+    The store stays sketch-bounded forever (<= 63*k cells) while the
+    stream is unbounded; read running quantiles at any time with
+    :func:`quantiles_from_store`. ``vacuum_keep_last`` prunes old
+    snapshots after each commit (the newest version IS the running
+    state — history is an audit trail here)."""
+    from ..operators.sketches import loghist_counts, loghist_merge
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_hist = loghist_counts(batch_df, col, k=k, decimals=decimals)
+        try:
+            current = store.read()
+        except FileNotFoundError:
+            current = None
+        merged = (
+            batch_hist
+            if current is None
+            else loghist_merge(current.select("e", "sub", "cnt").union(
+                batch_hist.select("e", "sub", "cnt")))
+        )
+        store.write_snapshot(merged, op="loghist_merge")
+        if vacuum_keep_last is not None:
+            store.vacuum(keep_last=vacuum_keep_last)
+
+    return (
+        stream_df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def quantiles_from_store(
+    store,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    k: int = 16,
+    decimals: int = 2,
+) -> DataFrame:
+    """Running quantile estimates read from a histogram store maintained
+    by :func:`loghist_store_stream` — the query side of the split: a
+    bounded aggregate over the <= 63*k-cell store, zero event data
+    touched. Same output contract as the batch ``loghist_quantiles``."""
+    from ..operators.sketches import loghist_quantiles
+
+    return loghist_quantiles(store.read(), qs, k=k, decimals=decimals)
+
+
 def loghist_monitor_stream(
     stream_df: DataFrame,
     col: str,
@@ -969,9 +1040,9 @@ def loghist_monitor_stream(
     The accumulator is PROCESS-scoped: a restart from checkpoint
     resumes the stream but starts the histogram empty, so the
     estimates cover post-restart data only. That is the right contract
-    for a session monitor; for restart-durable running state persist
-    the histogram like :func:`hll_register_store_stream` persists its
-    registers (same mergeability, LakeTable-backed).
+    for a session monitor; for restart-durable running state use
+    :func:`loghist_store_stream`, which persists the histogram to a
+    versioned LakeTable (same mergeability, kill-and-resume pinned).
 
     The driver state is bounded by the sketch, not the stream: at most
     63*k (octave, sub) cells ever exist regardless of how many events

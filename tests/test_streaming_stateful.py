@@ -620,3 +620,112 @@ class TestRegisterStoreVacuum:
         # only the newest snapshot survives; it holds all 3 days' registers
         assert len(store.history()) == 1
         assert store.read().select("day").distinct().count() == 3
+
+
+class TestLoghistStoreStream:
+    def test_kill_and_resume_percentiles_survive_restart(self, spark, tmp_path):
+        """VERDICT r5 Next #5: the durable loghist store. Stage 1 drains
+        file 1 and the process 'dies' (the query object and its closure
+        state are gone). Stage 2 is a FRESH query on the same checkpoint
+        + store: the checkpoint skips file 1, so the only way the running
+        percentiles can cover it is the persisted histogram. The merged
+        sketch is bit-identical to a batch run over all data."""
+        from pgferry_spark.operators.sketches import (
+            loghist_counts,
+            loghist_quantiles,
+        )
+        from pgferry_spark.sources.laketable import LakeTable
+        from pgferry_spark.streaming.events import (
+            loghist_store_stream,
+            quantiles_from_store,
+        )
+
+        schema = "id long, v double"
+        src = str(tmp_path / "batches")
+        ckpt = str(tmp_path / "ckpt")
+        store_path = str(tmp_path / "histstore")
+        lo = spark.createDataFrame(
+            [(i, 1.0 + (i % 97) / 10.0) for i in range(400)], schema
+        )
+        hi = spark.createDataFrame(
+            [(i, 500.0 + (i % 211) * 3.0) for i in range(400)], schema
+        )
+        lo.coalesce(1).write.parquet(src)
+
+        def start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            store = LakeTable(spark, store_path)
+            return store, loghist_store_stream(
+                stream, store, "v", ckpt, query_name="t_loghist_store"
+            )
+
+        store1, q1 = start()
+        q1.awaitTermination()  # drains file 1, then the "process" exits
+        mid_p50 = {
+            r.q: r.est for r in quantiles_from_store(store1, (0.5,)).collect()
+        }[0.5]
+
+        hi.coalesce(1).write.mode("append").parquet(src)
+        store2, q2 = start()  # fresh query, fresh closures — a restart
+        q2.awaitTermination()
+
+        got = {
+            r.q: r.est
+            for r in quantiles_from_store(store2, (0.5, 0.95, 0.99)).collect()
+        }
+        want = {
+            r.q: r.est
+            for r in loghist_quantiles(
+                loghist_counts(lo.union(hi), "v"), (0.5, 0.95, 0.99)
+            ).collect()
+        }
+        assert got == want  # mergeable sketch: restart leaves no gap
+        # and the estimates really moved when the hi file arrived
+        assert got[0.5] > mid_p50
+        # durable state stays sketch-bounded: <= 63*16 cells
+        assert store2.read().count() <= 63 * 16
+        # one snapshot per non-empty batch, ops recorded
+        assert [s.op for s in store2.history()] == [
+            "loghist_merge", "loghist_merge",
+        ]
+
+    def test_checkpoint_does_not_double_count(self, spark, tmp_path):
+        """Restarting with NO new data must not re-merge the already-
+        committed batch (the checkpoint, not the store, carries exactly-
+        once): the histogram's total count stays equal to the row count."""
+        import pyspark.sql.functions as F
+
+        from pgferry_spark.sources.laketable import LakeTable
+        from pgferry_spark.streaming.events import loghist_store_stream
+
+        schema = "id long, v double"
+        src = str(tmp_path / "batches")
+        ckpt = str(tmp_path / "ckpt")
+        store_path = str(tmp_path / "histstore")
+        spark.createDataFrame(
+            [(i, 3.0 + i % 7) for i in range(250)], schema
+        ).coalesce(1).write.parquet(src)
+
+        for _ in range(2):  # second run = restart with nothing new
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            store = LakeTable(spark, store_path)
+            q = loghist_store_stream(
+                stream, store, "v", ckpt, query_name="t_loghist_store_once"
+            )
+            q.awaitTermination()
+
+        total = (
+            LakeTable(spark, store_path)
+            .read()
+            .agg(F.sum("cnt").alias("n"))
+            .collect()[0]["n"]
+        )
+        assert total == 250
