@@ -10,11 +10,16 @@ tested.  The codec layer sniffs the payload's magic bytes:
   container, and none needed for this format);
 * **WAV** (RIFF/WAVE PCM) payloads are likewise parsed for real by
   :func:`parse_wav_meta` (fmt-chunk fields, exact duration);
-* any OTHER format (JPEG/MP4/…, whose codecs genuinely are absent here)
-  falls back to a deterministic pseudo-metadata fake so the Spark-side
-  plumbing stays fully testable with stable expectations — swap
-  ``_decode_bytes``'s fallback for PIL/libav on a real cluster, nothing
-  else changes.
+* **baseline JPEG** payloads get a REAL pixel decode too — marker walk,
+  DQT/DHT tables, Huffman entropy decode, dequantize, IDCT — via
+  :mod:`pgferry_spark.multimodal.jpeg` (:func:`decode_gray_pixels`
+  dispatches; the pipeline consumes the luma plane); the metadata path
+  (:func:`parse_jpeg_meta`) stays the cheap header-only SOF scan;
+* any OTHER format (progressive JPEG, MP4 frames, opaque blobs — whose
+  codecs genuinely are absent here) falls back to a deterministic
+  pseudo-metadata fake so the Spark-side plumbing stays fully testable
+  with stable expectations — swap ``_decode_bytes``'s fallback for
+  PIL/libav on a real cluster, nothing else changes.
 
 Design for 100 TB of media:
 
@@ -207,8 +212,9 @@ def parse_jpeg_meta(payload: bytes) -> dict:
     """REAL JPEG header parse (stdlib only): walk the marker stream to the
     first SOF0–SOF15 frame header and return ``width/height/precision/
     n_components`` — the metadata a curation pass needs, extracted the
-    way ``file(1)``/exif tools do it.  Pixel DECODE (huffman+DCT) is a
-    codec this container doesn't have and this function doesn't claim."""
+    way ``file(1)``/exif tools do it.  For pixel DECODE (huffman+IDCT of
+    baseline JPEG) see :mod:`pgferry_spark.multimodal.jpeg` — this
+    header-only parse stays the cheap metadata path."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI marker")
     pos = 2
@@ -543,7 +549,7 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
         for pdf in batches:
             bits = []
             for p in pdf["payload"]:
-                w, h, _, _, px = png_pixels(p)
+                w, h, px = decode_gray_pixels(p)
                 bits.append(ahash_bits(w, h, px, grid))
             yield pd.DataFrame(
                 {
@@ -652,6 +658,22 @@ def image_near_dup_pairs(
     return out
 
 
+def decode_gray_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Unified REAL pixel decode: grayscale PNG (:func:`png_pixels`) or
+    baseline JPEG luma (:func:`~pgferry_spark.multimodal.jpeg.
+    decode_jpeg_gray`).  Returns ``(width, height, gray_pixels)``;
+    raises ``ValueError`` for anything else (progressive JPEG, RGB PNG,
+    MP4, opaque) — the callers' quarantine contract."""
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        w, h, _, _, px = png_pixels(payload)
+        return w, h, px
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(payload)
+    raise ValueError("no pixel codec for payload")
+
+
 def resize_pixels_nn(
     width: int, height: int, pixels: bytes, max_dim: int
 ) -> tuple[int, int, bytes]:
@@ -686,17 +708,22 @@ _RESIZE_SCHEMA = StructType(
 
 
 def resize_images(df: DataFrame, max_dim: int = 224) -> DataFrame:
-    """REAL image resize over Arrow batches: PNG payloads go through the
-    full decode (:func:`png_pixels`), a nearest-neighbor downsample to fit
-    ``max_dim`` on the longer side (:func:`resize_pixels_nn`), and a
-    re-encode (:func:`encode_png_gray`) — the output payload is a
-    spec-conformant PNG of the resized pixels, byte-identical to the input
-    when the image already fits. Payloads this container has no pixel
-    codec for (JPEG/MP4/opaque) keep the aspect-scaled metadata from
-    :func:`_decode_bytes` with a NULL payload — the quarantine marker a
-    downstream writer can route on (swap in PIL on a real cluster,
-    nothing else changes)."""
+    """REAL image resize over Arrow batches: PNG and baseline-JPEG
+    payloads go through the full pixel decode
+    (:func:`decode_gray_pixels` — PNG chunk/CRC/inflate or JPEG
+    Huffman+IDCT), a nearest-neighbor downsample to fit ``max_dim`` on
+    the longer side (:func:`resize_pixels_nn`), and a format-preserving
+    re-encode (:func:`encode_png_gray` / :func:`~pgferry_spark.
+    multimodal.jpeg.encode_jpeg_gray`; a color JPEG re-encodes as its
+    resized LUMA plane — this is a grayscale pipeline). Input payloads
+    already inside the bound pass through byte-identical. Payloads with
+    no pixel codec here (progressive JPEG, MP4, opaque) keep the
+    aspect-scaled metadata from :func:`_decode_bytes` with a NULL
+    payload — the quarantine marker a downstream writer can route on
+    (swap in PIL/libav on a real cluster, nothing else changes)."""
     from ..utils import fan_out
+
+    from .jpeg import encode_jpeg_gray
 
     df = fan_out(df, "media_id")
 
@@ -705,14 +732,16 @@ def resize_images(df: DataFrame, max_dim: int = 224) -> DataFrame:
             widths, heights, payloads = [], [], []
             for p in pdf["payload"]:
                 resized = None
-                if p is not None and p[: len(PNG_SIG)] == PNG_SIG:
+                if p is not None:
                     try:
-                        w, h, _, _, px = png_pixels(p)
+                        w, h, px = decode_gray_pixels(p)
                         nw, nh, npx = resize_pixels_nn(w, h, px, max_dim)
-                        resized = (
-                            nw, nh,
-                            p if (nw, nh) == (w, h) else encode_png_gray(nw, nh, npx),
-                        )
+                        if (nw, nh) == (w, h):
+                            resized = (w, h, p)
+                        elif p[:2] == b"\xff\xd8":
+                            resized = (nw, nh, encode_jpeg_gray(nw, nh, npx))
+                        else:
+                            resized = (nw, nh, encode_png_gray(nw, nh, npx))
                     except (ValueError, struct.error, zlib.error, IndexError):
                         resized = None
                 if resized is None:
