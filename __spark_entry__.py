@@ -407,6 +407,25 @@ def _l_diversity(spark, sf):
     )
 
 
+def _t_closeness(spark, sf):
+    """t=0.1 closeness audit — the skewness attack the l-diversity gate
+    misses: (nationkey, mktsegment) classes whose order-priority
+    distribution sits > 0.1 variational distance from the table-wide
+    distribution. Integer arithmetic over the common denominator with
+    one final 6dp division, so the oracle replays every digit."""
+    from pgferry_spark.operators.checks import t_closeness_check
+
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return t_closeness_check(
+        joined, ["c_nationkey", "c_mktsegment"], "o_orderpriority", t=0.1
+    )
+
+
 def _seasonal_anomalies(spark, sf):
     """Hour-of-week seasonal z-scores per event type — the baseline the
     trailing-window rate_anomalies can't provide."""
@@ -1854,6 +1873,24 @@ def _image_meta_real(spark, sf):
     return image_meta_real(attach_real_images(d, "doc_id"))
 
 
+def _image_meta_jpeg(spark, sf):
+    """REAL baseline-JPEG bytes through the multimodal path: executors
+    generate spec-conformant JPEGs whose decoded pixels are a pure
+    function of doc_id (constant 8x8 blocks + all-ones quantization —
+    DC-only blocks make the Huffman+IDCT round trip BIT-exact), then
+    decode them for real (marker walk, DQT/DHT, entropy decode, IDCT).
+    The oracle recomputes width/height/pixel_sum arithmetically from
+    doc_id, so a green row certifies the whole JPEG encode→decode path —
+    the same certificate image_meta_real gives the PNG codec."""
+    from pgferry_spark.multimodal.ops import (
+        attach_real_jpegs,
+        image_pixelsum_real,
+    )
+
+    d = _t(spark, sf, "documents")
+    return image_pixelsum_real(attach_real_jpegs(d, "doc_id"))
+
+
 def _image_ahash_real(spark, sf):
     """Perceptual average-hash over REAL decoded PNG pixels: 8×8 block
     mosaic, bit = block mean > global mean — the near-duplicate-image
@@ -2778,6 +2815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 additions (oracle-backed at birth, VERDICT r5
         # Next #9) -----------------------------------------------------
         "exact_substring_spans_chars": _exact_substring_spans_chars,
+        "image_meta_jpeg": _image_meta_jpeg,
+        "t_closeness": _t_closeness,
     }
 
 
@@ -3570,6 +3609,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT o_orderpriority) AS n_sensitive
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderpriority) < 3
+        """,
+        # integer numerator over the common denominator 2*S*N, one final
+        # 6dp division: Sum_in |n_cv*N - n_v*S| + S*(N - Sum_in n_v)
+        "t_closeness": """
+            WITH j AS (
+              SELECT c_nationkey, c_mktsegment, o_orderpriority
+              FROM orders JOIN customer ON c_custkey = o_custkey
+            ),
+            n AS (SELECT COUNT(*) AS n_total FROM j),
+            cv AS (
+              SELECT c_nationkey, c_mktsegment, o_orderpriority,
+                     COUNT(*) AS n_cv
+              FROM j GROUP BY 1, 2, 3
+            ),
+            ct AS (SELECT c_nationkey, c_mktsegment, SUM(n_cv) AS s
+                   FROM cv GROUP BY 1, 2),
+            ov AS (SELECT o_orderpriority, COUNT(*) AS n_v FROM j GROUP BY 1),
+            per AS (
+              SELECT cv.c_nationkey, cv.c_mktsegment,
+                     MAX(ct.s) AS s, MAX(n.n_total) AS n_total,
+                     SUM(ABS(cv.n_cv * n.n_total - ov.n_v * ct.s))
+                       + MAX(ct.s) * (MAX(n.n_total) - SUM(ov.n_v)) AS num
+              FROM cv
+              JOIN ct USING (c_nationkey, c_mktsegment)
+              JOIN ov USING (o_orderpriority), n
+              GROUP BY 1, 2
+            )
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(s AS BIGINT) AS class_size,
+                   ROUND(num / (2.0 * s * n_total), 6) AS t_distance
+            FROM per
+            WHERE ROUND(num / (2.0 * s * n_total), 6) > 0.1
         """,
         "seasonal_anomalies": """
             WITH counts AS (
@@ -4789,6 +4860,19 @@ def oracle_sql() -> dict[str, str]:
                          range(0, 8 + doc_id % 8),
                          y -> list_transform(range(0, 8 + doc_id % 16),
                                              x -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::BIGINT)
+                       ))) AS BIGINT) AS pixel_sum
+            FROM documents
+        """,
+        # constant 8x8 blocks + unit quantization: the decoded JPEG pixel
+        # law is exactly 64 * md5-first-byte per block, SQL-recomputable
+        "image_meta_jpeg": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+                   CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+                   CAST(list_sum(flatten(list_transform(
+                         range(0, 1 + doc_id % 2),
+                         by -> list_transform(range(0, 1 + doc_id % 3),
+                                              bx -> 64 * ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(bx AS VARCHAR) || ':' || CAST(by AS VARCHAR)), 1, 2))::BIGINT)
                        ))) AS BIGINT) AS pixel_sum
             FROM documents
         """,

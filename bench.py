@@ -137,8 +137,12 @@ HEADLINE = [
     "sketch_validation_lineitem",
     "loghist_rolling_value",
     "hll_churn_customers",
-    # round 6: ExactSubstr with Lee et al.'s 50-char match floor
+    # round 6: ExactSubstr with Lee et al.'s 50-char match floor, and the
+    # oracle-certified real JPEG encode->decode path
     "exact_substring_spans_chars",
+    "image_meta_jpeg",
+    # round 6: the privacy trio's third gate (variational-distance EMD)
+    "t_closeness",
 ]
 
 

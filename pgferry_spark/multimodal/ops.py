@@ -457,6 +457,59 @@ def attach_real_images(df: DataFrame, id_col: str, content_col=None) -> DataFram
     return base.mapInPandas(gen, schema=gen_schema)
 
 
+def attach_real_jpegs(df: DataFrame, id_col: str, content_col=None) -> DataFrame:
+    """Generate REAL baseline-JPEG payloads deterministically from an id
+    column — the JPEG sibling of :func:`attach_real_images`, built so the
+    DECODED pixels are SQL-recomputable: with content key ``c`` the image
+    is ``(1 + c%3) × (1 + c%2)`` constant 8×8 blocks (block ``(bx, by)``
+    value = first byte of ``md5("c:bx:by")``), encoded with the all-ones
+    quantization table.  Constant blocks are DC-only, and DC survives
+    unit quantization exactly, so ``encode → Huffman stream → decode``
+    is BIT-EXACT (pinned by test_jpeg) — which lets an arithmetic ANSI
+    oracle certify the full JPEG entropy-decode+IDCT path the way the
+    PNG oracles certify inflate/defilter."""
+    from .jpeg import QUANT_UNIT, encode_jpeg_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for c in pdf["__content"]:
+                c = int(c)
+                bw, bh = 1 + c % 3, 1 + c % 2
+                px = bytearray(bw * 8 * bh * 8)
+                for by in range(bh):
+                    for bx in range(bw):
+                        v = hashlib.md5(f"{c}:{bx}:{by}".encode()).digest()[0]
+                        for y in range(by * 8, by * 8 + 8):
+                            row = y * bw * 8
+                            for x in range(bx * 8, bx * 8 + 8):
+                                px[row + x] = v
+                payloads.append(
+                    encode_jpeg_gray(bw * 8, bh * 8, bytes(px), quant=QUANT_UNIT)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    from ..utils import fan_out
+
+    content = (F.col(id_col) if content_col is None else content_col).cast("long")
+    base = fan_out(
+        df.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            content.alias("__content"),
+        ),
+        "media_id",
+    )
+    return base.mapInPandas(gen, schema=StructType(MEDIA_SCHEMA.fields))
+
+
 _REAL_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -467,6 +520,48 @@ _REAL_META_SCHEMA = StructType(
         StructField("pixel_sum", LongType(), True),
     ]
 )
+
+
+_PIXELSUM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("pixel_sum", LongType(), True),
+    ]
+)
+
+
+def image_pixelsum_real(df: DataFrame) -> DataFrame:
+    """Codec-agnostic REAL pixel decode over Arrow batches: every payload
+    goes through :func:`decode_gray_pixels` (PNG chunk/CRC/inflate or
+    baseline-JPEG Huffman+IDCT) and reports ``(width, height,
+    pixel_sum)`` — values that can only be right if the bytes were
+    genuinely decoded.  Paired with :func:`attach_real_jpegs`' exact
+    pixel law, this is the oracle-checkable certificate of the JPEG
+    decode path."""
+    from ..utils import fan_out
+
+    df = fan_out(df, "media_id")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for p in pdf["payload"]:
+                w, h, px = decode_gray_pixels(p)
+                ws.append(w)
+                hs.append(h)
+                sums.append(sum(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": ws,
+                    "height": hs,
+                    "pixel_sum": sums,
+                }
+            )
+
+    return df.mapInPandas(decode, schema=_PIXELSUM_SCHEMA)
 
 
 def image_meta_real(df: DataFrame) -> DataFrame:

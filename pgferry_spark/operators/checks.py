@@ -205,6 +205,60 @@ def l_diversity_check(
     )
 
 
+def t_closeness_check(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """The third member of the privacy-release trio (Li, Li &
+    Venkatasubramanian 2007): equivalence classes over the
+    quasi-identifiers whose SENSITIVE-value distribution sits more than
+    ``t`` away (variational distance, the categorical-attribute EMD)
+    from the table-wide distribution — the skewness attack l-diversity
+    misses (a class can show l distinct values yet still be 90% one of
+    them).  Returns ``(quasi..., class_size, t_distance)`` for violating
+    classes.
+
+    Distance identity that keeps the plan bounded: with class
+    distribution P and global Q over value set V,
+    ``t_dist = ½·(Σ_{v∈class}|P(v)−Q(v)| + (1 − Σ_{v∈class}Q(v)))`` —
+    values ABSENT from the class contribute exactly their global mass,
+    so no classes×|V| dense join is ever materialized.  All arithmetic
+    stays integer over the common denominator ``2·S·N`` (S = class
+    size, N = table rows) with ONE final division rounded to 6dp, so an
+    ANSI oracle reproduces every digit.
+
+    Shape: one (quasi, sensitive) aggregate, one class-total aggregate
+    joined back on the quasi key, the |V|-row global distribution as a
+    broadcast, one per-class fold.  Violators are the small tail by
+    construction — bounded output over any input."""
+    from pyspark.sql import functions as F
+
+    cv = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__n_cv")
+    )
+    class_tot = cv.groupBy(*quasi_cols).agg(
+        F.sum("__n_cv").alias("__s")
+    )
+    overall = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("__n_v"))
+    n_total = df.agg(F.count(F.lit(1)).alias("__n")).collect()[0]["__n"]
+    joined = cv.join(class_tot, quasi_cols).join(
+        F.broadcast(overall), sensitive_col
+    )
+    # integer numerator of 2·S·N·t_dist: Σ|n_cv·N − n_v·S| + S·(N − Σ n_v)
+    num = F.sum(
+        F.abs(F.col("__n_cv") * F.lit(n_total) - F.col("__n_v") * F.col("__s"))
+    ) + F.first("__s") * (F.lit(n_total) - F.sum("__n_v"))
+    out = joined.groupBy(*quasi_cols).agg(
+        F.first("__s").cast("long").alias("class_size"),
+        F.round(
+            num / (F.lit(2.0) * F.first("__s") * F.lit(n_total)), 6
+        ).alias("t_distance"),
+    )
+    return out.filter(F.col("t_distance") > float(t))
+
+
 def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     """ANALYZE-style per-column table profile — the statistics a
     cost-based optimizer (or a migration validation report) wants before

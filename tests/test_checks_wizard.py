@@ -218,6 +218,51 @@ def test_l_diversity_catches_homogeneous_large_class(spark):
     assert len(ld) == 1 and ld[0].country == "US" and ld[0].n_sensitive == 1
 
 
+def test_t_closeness_catches_skewed_class(spark):
+    # class (US, A) shows BOTH sensitive values (l-diverse at 2) but is
+    # 90% "cancer" while the table is 50/50 — the skewness attack only
+    # the t-closeness gate catches.  Global Q = (0.5, 0.5); class P =
+    # (0.9, 0.1) -> variational distance 0.4.
+    from pgferry_spark.operators.checks import (
+        l_diversity_check,
+        t_closeness_check,
+    )
+
+    rows = (
+        [(i, "US", "A", "cancer") for i in range(9)]
+        + [(9, "US", "A", "flu")]
+        + [(10 + i, "FR", "B", "cancer") for i in range(1)]
+        + [(20 + i, "FR", "B", "flu") for i in range(9)]
+    )
+    df = spark.createDataFrame(rows, "id long, country string, seg string, dx string")
+    assert l_diversity_check(df, ["country", "seg"], "dx", l=2).count() == 0
+    got = t_closeness_check(df, ["country", "seg"], "dx", t=0.2).collect()
+    assert {(r.country, r.seg, r.class_size, r.t_distance) for r in got} == {
+        ("US", "A", 10, 0.4), ("FR", "B", 10, 0.4),
+    }
+    # loosening the threshold past the distance clears the gate
+    assert t_closeness_check(df, ["country", "seg"], "dx", t=0.5).count() == 0
+
+
+def test_t_closeness_absent_value_mass(spark):
+    # a class MISSING a sensitive value entirely must still pay that
+    # value's global mass: class (US, A) = 100% "cancer", global Q =
+    # (3/4 cancer, 1/4 flu) -> t = 0.5*(|1-3/4| + 1/4) = 0.25 — computed
+    # without materializing the absent (class, value) pair
+    from pgferry_spark.operators.checks import t_closeness_check
+
+    rows = [(i, "US", "A", "cancer") for i in range(4)] + [
+        (10, "FR", "B", "cancer"), (11, "FR", "B", "cancer"),
+        (12, "FR", "B", "flu"), (13, "FR", "B", "flu"),
+    ]
+    df = spark.createDataFrame(rows, "id long, country string, seg string, dx string")
+    got = {
+        (r.country, r.seg): r.t_distance
+        for r in t_closeness_check(df, ["country", "seg"], "dx", t=0.0).collect()
+    }
+    assert got == {("US", "A"): 0.25, ("FR", "B"): 0.25}
+
+
 class TestProfileTable:
     def test_profile_covers_types_nulls_and_approx(self, spark):
         import datetime

@@ -211,6 +211,35 @@ class TestSparkWiring:
         assert out[3]["payload"] is None
         assert (out[3]["width"], out[3]["height"]) == (16, 11)
 
+    def test_attach_real_jpegs_pixelsum_law(self, spark):
+        """The generator's decoded-pixel law: constant 8x8 blocks survive
+        the unit-quant Huffman round trip bit-exactly, so pixel_sum ==
+        sum over blocks of 64 * md5-first-byte — the arithmetic the
+        image_meta_jpeg oracle replays in SQL."""
+        import hashlib
+
+        from pgferry_spark.multimodal.ops import (
+            attach_real_jpegs,
+            image_pixelsum_real,
+        )
+
+        base = spark.createDataFrame(
+            [(i,) for i in range(12)], "doc_id: long"
+        )
+        out = {
+            r["media_id"]: r
+            for r in image_pixelsum_real(attach_real_jpegs(base, "doc_id")).collect()
+        }
+        for c in range(12):
+            bw, bh = 1 + c % 3, 1 + c % 2
+            want = sum(
+                64 * hashlib.md5(f"{c}:{bx}:{by}".encode()).digest()[0]
+                for by in range(bh) for bx in range(bw)
+            )
+            r = out[c]
+            assert (r["width"], r["height"]) == (bw * 8, bh * 8)
+            assert r["pixel_sum"] == want
+
     def test_image_ahash_jpeg_payloads(self, spark):
         from pgferry_spark.multimodal.ops import ahash_bits, image_ahash
 
