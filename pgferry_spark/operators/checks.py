@@ -229,23 +229,23 @@ def t_closeness_check(
     size, N = table rows) with ONE final division rounded to 6dp, so an
     ANSI oracle reproduces every digit.
 
-    Shape: one (quasi, sensitive) aggregate, one class-total aggregate
-    joined back on the quasi key, the |V|-row global distribution as a
-    broadcast, one per-class fold.  Violators are the small tail by
-    construction — bounded output over any input."""
+    Shape: one (quasi, sensitive) aggregate, class totals as a WINDOW
+    over that (already class-bounded) table — no self-join — the |V|-row
+    global distribution as a broadcast, one per-class fold on the same
+    quasi partitioning.  Violators are the small tail by construction —
+    bounded output over any input."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     cv = df.groupBy(*quasi_cols, sensitive_col).agg(
         F.count(F.lit(1)).alias("__n_cv")
     )
-    class_tot = cv.groupBy(*quasi_cols).agg(
-        F.sum("__n_cv").alias("__s")
+    cv = cv.withColumn(
+        "__s", F.sum("__n_cv").over(Window.partitionBy(*quasi_cols))
     )
     overall = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("__n_v"))
     n_total = df.agg(F.count(F.lit(1)).alias("__n")).collect()[0]["__n"]
-    joined = cv.join(class_tot, quasi_cols).join(
-        F.broadcast(overall), sensitive_col
-    )
+    joined = cv.join(F.broadcast(overall), sensitive_col)
     # integer numerator of 2·S·N·t_dist: Σ|n_cv·N − n_v·S| + S·(N − Σ n_v)
     num = F.sum(
         F.abs(F.col("__n_cv") * F.lit(n_total) - F.col("__n_v") * F.col("__s"))

@@ -591,3 +591,28 @@ class TestLoghistCompactionPlanShapes:
         plan = _executed(E.queries()["exact_substring_scrub"](spark, SF))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_spans_chars_floor_equi_join_only(self, spark):
+        """The char-floor variant adds exactly one equi-join of the
+        duplicate-bounded span table back to the token projection — no
+        Cartesian, no nested loop."""
+        plan = _executed(E.queries()["exact_substring_spans_chars"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_image_meta_jpeg_map_only(self, spark):
+        """JPEG generate+decode is a pure per-row pipeline over Arrow
+        batches: no join, no aggregate exchange — the only Exchange is
+        the fan_out repartition."""
+        plan = _executed(E.queries()["image_meta_jpeg"](spark, SF))
+        assert "Join" not in plan
+        assert "Window" not in plan
+
+    def test_t_closeness_broadcast_global_no_cartesian(self, spark):
+        """The global sensitive-value distribution joins in as a
+        broadcast (|V| rows); class math shuffles on the quasi key only;
+        absent values never materialize a classes x values join."""
+        plan = _executed(E.queries()["t_closeness"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan  # nothing big joins big here
