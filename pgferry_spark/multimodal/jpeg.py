@@ -492,7 +492,12 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                h_f, v_f = hv >> 4, hv & 0x0F
+                if not (1 <= h_f <= 4 and 1 <= v_f <= 4):
+                    # T.81 bounds; also keeps a corrupt 0 factor from
+                    # escaping as ZeroDivisionError in the MCU grid math
+                    raise ValueError(f"invalid sampling factors {h_f}x{v_f}")
+                comps.append({"id": cid, "h": h_f, "v": v_f, "tq": tq})
             frame = (width, height, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -530,7 +535,17 @@ def _decode_scan(payload, data_pos, frame, scan, qtables, htables,
 
     order = []
     for sc in scan:
-        c = by_id[sc["cs"]]
+        # validate every cross-reference explicitly: corrupt streams carry
+        # dangling component/table ids, and a KeyError would escape the
+        # (ValueError, struct.error, IndexError) quarantine contract the
+        # Arrow-batch callers rely on
+        c = by_id.get(sc["cs"])
+        if c is None:
+            raise ValueError(f"scan references unknown component {sc['cs']}")
+        if c["tq"] not in qtables:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        if (0, sc["td"]) not in htables or (1, sc["ta"]) not in htables:
+            raise ValueError("missing Huffman table referenced by scan")
         order.append(
             {
                 "id": c["id"], "h": c["h"], "v": c["v"],

@@ -156,6 +156,58 @@ class TestRejects:
             encode_jpeg_gray(8, 8, b"\x00" * 63)
 
 
+class TestFuzz:
+    # The quarantine contract: resize_images/ahash catch exactly
+    # (ValueError, struct.error, IndexError) — a malformed payload must
+    # decode, raise one of those, or nothing; never hang, never escape
+    # with a different exception type and sink the whole Arrow batch.
+    CAUGHT = (ValueError, struct.error, IndexError)
+
+    def test_byte_flip_mutations_stay_in_contract(self):
+        import random
+
+        rng = random.Random(13)
+        img = _noise(16, 16, seed=5)
+        base = encode_jpeg_gray(16, 16, img.tobytes(), quant=QUANT_UNIT)
+        for _ in range(200):
+            buf = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+            try:
+                w, h, px = decode_jpeg_gray(bytes(buf))
+                assert len(px) == w * h  # if it decodes, shape is coherent
+            except self.CAUGHT:
+                pass
+
+    def test_truncations_stay_in_contract(self):
+        img = _gradient(24, 16)
+        base = encode_jpeg_gray(24, 16, img.tobytes(), quant=QUANT_UNIT)
+        for cut in range(2, len(base), 7):
+            try:
+                w, h, px = decode_jpeg_gray(base[:cut])
+                assert len(px) == w * h
+            except self.CAUGHT:
+                pass
+
+    def test_color_stream_mutations_stay_in_contract(self):
+        import random
+
+        rng = random.Random(29)
+        y = _gradient(16, 16)
+        base = encode_jpeg_ycbcr(
+            16, 16, y.tobytes(), y.tobytes(), y.tobytes(),
+            sampling=(2, 2), quant=QUANT_UNIT,
+        )
+        for _ in range(100):
+            buf = bytearray(base)
+            buf[rng.randrange(len(buf))] ^= 0xFF
+            try:
+                w, h, px = decode_jpeg_gray(bytes(buf))
+                assert len(px) == w * h
+            except self.CAUGHT:
+                pass
+
+
 class TestDispatch:
     def test_decode_gray_pixels_png_and_jpeg(self):
         img = _gradient(12, 9)
