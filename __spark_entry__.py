@@ -3633,7 +3633,8 @@ def oracle_sql() -> dict[str, str]:
                        + MAX(ct.s) * (MAX(n.n_total) - SUM(ov.n_v)) AS num
               FROM cv
               JOIN ct USING (c_nationkey, c_mktsegment)
-              JOIN ov USING (o_orderpriority), n
+              -- null-safe: NULL sensitive values are a value, not a gap
+              JOIN ov ON cv.o_orderpriority IS NOT DISTINCT FROM ov.o_orderpriority, n
               GROUP BY 1, 2
             )
             SELECT c_nationkey, c_mktsegment,

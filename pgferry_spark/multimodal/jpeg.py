@@ -113,17 +113,30 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the bit-serial decoder."""
-    table: dict[tuple[int, int], int] = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+    """(length, code) -> symbol, for the bit-serial decoder — the
+    canonical-code walk inverted."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    """One marker segment: FF <marker> <len+2> <payload>."""
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _header_segments(quant: list[int], sof_body: bytes) -> list[bytes]:
+    """SOI + DQT(zig-zag, 8-bit, id 0) + SOF0 + the Annex K DC/AC DHT
+    pair — the header framing both encoders share."""
+    zz_q = bytes(quant[ZIGZAG[k]] for k in range(64))
+    return [
+        bytes([0xFF, 0xD8]),  # SOI
+        _seg(0xDB, bytes([0x00]) + zz_q),
+        _seg(0xC0, sof_body),
+        _seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)),
+        _seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)),
+    ]
 
 
 class _BitWriter:
@@ -245,25 +258,13 @@ def encode_jpeg_gray(
             mcu += 1
     w.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    # DQT stores the table in zig-zag order: entry k is quant[ZIGZAG[k]]
-    zz_q = bytes(quant[ZIGZAG[k]] for k in range(64))
-    parts = [bytes([0xFF, 0xD8])]  # SOI
-    parts.append(seg(0xDB, bytes([0x00]) + zz_q))  # DQT, 8-bit, id 0
-    parts.append(
-        seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
-    )  # SOF0: precision 8, 1 component, 1x1 sampling, quant table 0
-    parts.append(
-        seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
-    )  # DHT DC table 0
-    parts.append(
-        seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
-    )  # DHT AC table 0
+    # SOF0: precision 8, 1 component, 1x1 sampling, quant table 0
+    parts = _header_segments(
+        quant, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    )
     if restart_interval:
-        parts.append(seg(0xDD, struct.pack(">H", restart_interval)))  # DRI
-    parts.append(seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])))  # SOS
+        parts.append(_seg(0xDD, struct.pack(">H", restart_interval)))  # DRI
+    parts.append(_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])))  # SOS
     parts.append(bytes(w.out))
     parts.append(bytes([0xFF, 0xD9]))  # EOI
     return b"".join(parts)
@@ -343,19 +344,11 @@ def encode_jpeg_ycbcr(
                 )
     w.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    zz_q = bytes(quant[ZIGZAG[k]] for k in range(64))
     sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
         [1, (sh << 4) | sv, 0, 2, 0x11, 0, 3, 0x11, 0]
     )
-    parts = [bytes([0xFF, 0xD8])]
-    parts.append(seg(0xDB, bytes([0x00]) + zz_q))
-    parts.append(seg(0xC0, sof))
-    parts.append(seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)))
-    parts.append(seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)))
-    parts.append(seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])))
+    parts = _header_segments(quant, sof)
+    parts.append(_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])))
     parts.append(bytes(w.out))
     parts.append(bytes([0xFF, 0xD9]))
     return b"".join(parts)
@@ -398,7 +391,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        b = (self.acc >> self.nbits) & 1
+        # drop the consumed bit: without this mask acc accumulates every
+        # byte ever read (an entropy-stream-sized bigint) and each shift
+        # degrades to O(stream) — quadratic decode on real-sized JPEGs
+        self.acc &= (1 << self.nbits) - 1
+        return b
 
     def receive(self, n: int) -> int:
         v = 0
@@ -528,6 +526,21 @@ def _decode_scan(payload, data_pos, frame, scan, qtables, htables,
     vmax = max(c["v"] for c in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    # sanity-bound DECLARED dimensions before any allocation: a ~25-byte
+    # crafted payload can carry a valid SOF announcing 65535x65535, and a
+    # multi-GB np.zeros would raise MemoryError — outside the
+    # (ValueError, struct.error, IndexError) quarantine contract.  Every
+    # block costs at least 2 entropy bits with ANY Huffman tables
+    # (shortest possible DC code + EOB); the conservative 1-bit-per-block
+    # floor below is safe for all of them.
+    n_blocks = mcux * mcuy * sum(c["h"] * c["v"] for c in comps)
+    if n_blocks > max(0, len(payload) - data_pos) * 8:
+        raise ValueError(
+            f"declared frame needs {n_blocks} blocks but only "
+            f"{max(0, len(payload) - data_pos)} entropy bytes remain"
+        )
+    if width * height > 1 << 26:  # 64 Mpx ≈ 512 MB float64 plane cap
+        raise ValueError(f"frame {width}x{height} exceeds decoder pixel cap")
     # luma = first frame component; assemble only its plane
     luma_id = comps[0]["id"]
     lc = comps[0]

@@ -229,10 +229,18 @@ def t_closeness_check(
     size, N = table rows) with ONE final division rounded to 6dp, so an
     ANSI oracle reproduces every digit.
 
-    Shape: one (quasi, sensitive) aggregate, class totals as a WINDOW
-    over that (already class-bounded) table — no self-join — the |V|-row
-    global distribution as a broadcast, one per-class fold on the same
-    quasi partitioning.  Violators are the small tail by construction —
+    NULL sensitive values are a VALUE, not a gap: the distributions are
+    joined null-safely, so an all-NULL class is still audited and a
+    class's NULL mass is compared against the table's NULL mass (an
+    inner equi-join would silently drop the class — a privacy gate that
+    skips exactly the rows someone redacted).
+
+    Shape: ONE scan of the input — the (quasi, sensitive) aggregate;
+    class totals are a WINDOW over that (already class-bounded) table,
+    the |V|-row global distribution and the 1-row grand total both
+    DERIVE from the same aggregate and ride in as broadcasts.  Fully
+    lazy (no driver-side collect), one per-class fold on the quasi
+    partitioning.  Violators are the small tail by construction —
     bounded output over any input."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -243,17 +251,26 @@ def t_closeness_check(
     cv = cv.withColumn(
         "__s", F.sum("__n_cv").over(Window.partitionBy(*quasi_cols))
     )
-    overall = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("__n_v"))
-    n_total = df.agg(F.count(F.lit(1)).alias("__n")).collect()[0]["__n"]
-    joined = cv.join(F.broadcast(overall), sensitive_col)
+    overall = cv.groupBy(
+        F.col(sensitive_col).alias("__sv")
+    ).agg(F.sum("__n_cv").alias("__n_v"))
+    total = overall.agg(F.sum("__n_v").alias("__n"))
+    joined = (
+        cv.join(
+            F.broadcast(overall),
+            F.col(sensitive_col).eqNullSafe(F.col("__sv")),
+        )
+        .drop("__sv")
+        .crossJoin(F.broadcast(total))
+    )
     # integer numerator of 2·S·N·t_dist: Σ|n_cv·N − n_v·S| + S·(N − Σ n_v)
     num = F.sum(
-        F.abs(F.col("__n_cv") * F.lit(n_total) - F.col("__n_v") * F.col("__s"))
-    ) + F.first("__s") * (F.lit(n_total) - F.sum("__n_v"))
+        F.abs(F.col("__n_cv") * F.col("__n") - F.col("__n_v") * F.col("__s"))
+    ) + F.first("__s") * (F.first("__n") - F.sum("__n_v"))
     out = joined.groupBy(*quasi_cols).agg(
         F.first("__s").cast("long").alias("class_size"),
         F.round(
-            num / (F.lit(2.0) * F.first("__s") * F.lit(n_total)), 6
+            num / (F.lit(2.0) * F.first("__s") * F.first("__n")), 6
         ).alias("t_distance"),
     )
     return out.filter(F.col("t_distance") > float(t))

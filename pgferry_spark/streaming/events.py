@@ -868,6 +868,73 @@ def psi_drift_monitor_stream(
     )
 
 
+def _sketch_store_stream(
+    stream_df: DataFrame,
+    store,
+    checkpoint_dir: str,
+    batch_sketch,
+    merge,
+    base_op: str,
+    vacuum_keep_last: int | None,
+    query_name: str,
+):
+    """Shared store-stream harness for mergeable sketches: per batch,
+    ``batch_sketch(batch_df)`` builds the bounded sketch table and
+    ``merge(current, batch)`` folds it into the versioned LakeTable
+    snapshot (copy-on-write).
+
+    REPLAY GUARD — ``foreachBatch`` is at-least-once: a crash after
+    ``write_snapshot`` but before the streaming checkpoint commits
+    redelivers the same batch on restart.  A max-merge (HLL registers)
+    absorbs the replay idempotently, but a SUM-merge (log-histogram
+    cells) would double-count it.  Each snapshot therefore records
+    ``{base_op}:run=<md5(checkpoint)>:batch=<id>`` and a redelivered
+    (same run, already-applied batch id) update is a no-op — the
+    checkpoint then commits and the stream moves on.  The run id keys
+    the guard to THIS checkpoint lineage, so pointing a fresh
+    checkpoint at an existing store starts from batch 0 without being
+    skipped."""
+    import hashlib
+    import re as _re
+
+    run_id = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:8]
+    op_pat = _re.compile(
+        _re.escape(base_op) + r":run=([0-9a-f]{8}):batch=(\d+)$"
+    )
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            current = store.read()
+            hist = store.history()
+            last_op = hist[-1].op if hist else ""
+        except FileNotFoundError:
+            current, last_op = None, ""
+        m = op_pat.match(last_op)
+        if m and m.group(1) == run_id and int(m.group(2)) >= batch_id:
+            return  # redelivered batch: snapshot already includes it
+        batch = batch_sketch(batch_df)
+        merged = (
+            batch
+            if current is None
+            else merge(current.select(*batch.columns), batch)
+        )
+        store.write_snapshot(
+            merged, op=f"{base_op}:run={run_id}:batch={batch_id}"
+        )
+        if vacuum_keep_last is not None:
+            store.vacuum(keep_last=vacuum_keep_last)
+
+    return (
+        stream_df.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def hll_register_store_stream(
     stream_df: DataFrame,
     store,
@@ -898,36 +965,22 @@ def hll_register_store_stream(
     the newest version — history is only an audit trail here). Pinned by
     test_streaming_stateful: after the stream drains, rolling estimates
     read from the store equal the batch ``hll_rolling_distinct`` over
-    all events."""
+    all events.  (Register max-merge is replay-idempotent on its own;
+    the shared harness's batch-id guard still applies, keeping both
+    store streams on one code path.)"""
     from ..operators.sketches import hll_merge, hll_registers
 
-    def update(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def batch_sketch(batch_df: DataFrame) -> DataFrame:
         day = F.to_date(F.col(ts_col)).alias("day")
-        batch_regs = hll_registers(
+        return hll_registers(
             batch_df.select(day, F.col(key_col)), key_col,
             group_cols=("day",), p=p,
         )
-        try:
-            current = store.read()
-        except FileNotFoundError:
-            current = None
-        merged = (
-            batch_regs
-            if current is None
-            else hll_merge(current.union(batch_regs), group_cols=("day",))
-        )
-        store.write_snapshot(merged, op="hll_merge")
-        if vacuum_keep_last is not None:
-            store.vacuum(keep_last=vacuum_keep_last)
 
-    return (
-        stream_df.writeStream.foreachBatch(update)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
+    return _sketch_store_stream(
+        stream_df, store, checkpoint_dir, batch_sketch,
+        lambda cur, batch: hll_merge(cur.union(batch), group_cols=("day",)),
+        "hll_merge", vacuum_keep_last, query_name,
     )
 
 
@@ -969,33 +1022,20 @@ def loghist_store_stream(
     stream is unbounded; read running quantiles at any time with
     :func:`quantiles_from_store`. ``vacuum_keep_last`` prunes old
     snapshots after each commit (the newest version IS the running
-    state — history is an audit trail here)."""
+    state — history is an audit trail here).
+
+    Unlike the HLL register store's max-merge, the cell-count SUM-merge
+    is NOT replay-idempotent — the shared harness's batch-id guard is
+    what keeps an at-least-once ``foreachBatch`` redelivery (crash
+    between snapshot write and checkpoint commit) from double-counting
+    a batch; pinned by the redelivery test."""
     from ..operators.sketches import loghist_counts, loghist_merge
 
-    def update(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_hist = loghist_counts(batch_df, col, k=k, decimals=decimals)
-        try:
-            current = store.read()
-        except FileNotFoundError:
-            current = None
-        merged = (
-            batch_hist
-            if current is None
-            else loghist_merge(current.select("e", "sub", "cnt").union(
-                batch_hist.select("e", "sub", "cnt")))
-        )
-        store.write_snapshot(merged, op="loghist_merge")
-        if vacuum_keep_last is not None:
-            store.vacuum(keep_last=vacuum_keep_last)
-
-    return (
-        stream_df.writeStream.foreachBatch(update)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
+    return _sketch_store_stream(
+        stream_df, store, checkpoint_dir,
+        lambda batch_df: loghist_counts(batch_df, col, k=k, decimals=decimals),
+        lambda cur, batch: loghist_merge(cur.union(batch)),
+        "loghist_merge", vacuum_keep_last, query_name,
     )
 
 

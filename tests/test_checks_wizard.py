@@ -244,6 +244,36 @@ def test_t_closeness_catches_skewed_class(spark):
     assert t_closeness_check(df, ["country", "seg"], "dx", t=0.5).count() == 0
 
 
+def test_t_closeness_null_sensitive_is_a_value(spark):
+    # NULL sensitive values must be AUDITED, not dropped: an all-NULL
+    # class against a half-NULL table has t = 0.5*(|1 - 1/2| + 1/2 - 0
+    # ... ) computed over the null-safe join — and a class matching the
+    # global distribution exactly (incl. its NULL share) scores 0.
+    from pgferry_spark.operators.checks import t_closeness_check
+
+    rows = (
+        [(i, "US", "A", None) for i in range(4)]           # all-NULL class
+        + [(10, "FR", "B", "flu"), (11, "FR", "B", "flu"),
+           (12, "FR", "B", None), (13, "FR", "B", None)]   # half-NULL class
+    )
+    df = spark.createDataFrame(rows, "id long, country string, seg string, dx string")
+    got = {
+        (r.country, r.seg): (r.class_size, r.t_distance)
+        for r in t_closeness_check(df, ["country", "seg"], "dx", t=0.0).collect()
+    }
+    # global Q = (6/8 NULL, 2/8 flu). US/A: P=(1, 0) -> 0.5*(1/4 + 1/4)
+    # = 0.25. FR/B: P=(1/2, 1/2) -> 0.5*(1/4 + 1/4) = 0.25.
+    assert got == {("US", "A"): (4, 0.25), ("FR", "B"): (4, 0.25)}
+    # a class mirroring the global distribution exactly scores 0 and
+    # clears any positive threshold
+    balanced = spark.createDataFrame(
+        [(i, "US", "A", None if i % 2 else "flu") for i in range(4)]
+        + [(10 + i, "FR", "B", None if i % 2 else "flu") for i in range(4)],
+        "id long, country string, seg string, dx string",
+    )
+    assert t_closeness_check(balanced, ["country", "seg"], "dx", t=0.0).count() == 0
+
+
 def test_t_closeness_absent_value_mass(spark):
     # a class MISSING a sensitive value entirely must still pay that
     # value's global mass: class (US, A) = 100% "cancer", global Q =

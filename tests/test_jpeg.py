@@ -155,6 +155,27 @@ class TestRejects:
         with pytest.raises(ValueError):
             encode_jpeg_gray(8, 8, b"\x00" * 63)
 
+    def test_dimension_bomb_rejected_before_allocation(self):
+        # a tiny payload declaring a 65535x65535 frame must raise
+        # ValueError (quarantine contract), not attempt a ~34 GB
+        # allocation and escape as MemoryError
+        enc = bytearray(encode_jpeg_gray(8, 8, b"\x80" * 64))
+        i = enc.find(b"\xff\xc0")
+        struct.pack_into(">HH", enc, i + 5, 65535, 65535)
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(bytes(enc))
+
+    def test_larger_image_decodes_quickly(self):
+        # guards the bit-reader accumulator mask: without it the decode
+        # of a few thousand blocks degrades to quadratic bigint shifts
+        import time
+
+        img = _noise(256, 256, seed=11)
+        enc = encode_jpeg_gray(256, 256, img.tobytes(), quant=QUANT_UNIT)
+        t0 = time.perf_counter()
+        assert _max_err(decode_jpeg_gray(enc)[2], img) <= 2
+        assert time.perf_counter() - t0 < 30
+
 
 class TestFuzz:
     # The quarantine contract: resize_images/ahash catch exactly

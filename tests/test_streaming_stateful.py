@@ -584,8 +584,12 @@ class TestHllRegisterStoreStream:
             ).collect()
         }
         assert from_store == from_batch
-        # versioned: one snapshot per non-empty batch, ops recorded
-        assert [s.op for s in store.history()] == ["hll_merge", "hll_merge"]
+        # versioned: one snapshot per non-empty batch, ops recorded with
+        # the replay-guard run/batch coordinates
+        ops = [s.op for s in store.history()]
+        assert len(ops) == 2
+        assert all(op.startswith("hll_merge:run=") for op in ops)
+        assert [op.rsplit(":batch=", 1)[1] for op in ops] == ["0", "1"]
         # the store is sketch-bounded: <= days * 256 rows
         n_days = store.read().select("day").distinct().count()
         assert store.read().count() <= n_days * 256
@@ -688,10 +692,59 @@ class TestLoghistStoreStream:
         assert got[0.5] > mid_p50
         # durable state stays sketch-bounded: <= 63*16 cells
         assert store2.read().count() <= 63 * 16
-        # one snapshot per non-empty batch, ops recorded
-        assert [s.op for s in store2.history()] == [
-            "loghist_merge", "loghist_merge",
-        ]
+        # one snapshot per non-empty batch; same run id (same checkpoint
+        # lineage) with advancing batch ids
+        ops = [s.op for s in store2.history()]
+        assert len(ops) == 2
+        assert all(op.startswith("loghist_merge:run=") for op in ops)
+        runs = {op.split(":run=")[1].split(":")[0] for op in ops}
+        assert len(runs) == 1
+        assert [op.rsplit(":batch=", 1)[1] for op in ops] == ["0", "1"]
+
+    def test_redelivered_batch_not_double_counted(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a crash between the snapshot
+        write and the checkpoint commit redelivers the batch.  Simulate
+        the redelivery by wiping the CHECKPOINT (not the store) and
+        re-running the same source through the same checkpoint path —
+        batch 0 arrives again under the same run id.  The sum-merge
+        would double every cell; the batch-id guard must make the
+        replay a no-op."""
+        import shutil
+
+        import pyspark.sql.functions as F
+
+        from pgferry_spark.sources.laketable import LakeTable
+        from pgferry_spark.streaming.events import loghist_store_stream
+
+        schema = "id long, v double"
+        src = str(tmp_path / "batches")
+        ckpt = str(tmp_path / "ckpt")
+        store_path = str(tmp_path / "histstore")
+        spark.createDataFrame(
+            [(i, 2.0 + i % 11) for i in range(300)], schema
+        ).coalesce(1).write.parquet(src)
+
+        def run():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            store = LakeTable(spark, store_path)
+            loghist_store_stream(
+                stream, store, "v", ckpt, query_name="t_loghist_replay"
+            ).awaitTermination()
+
+        run()
+        shutil.rmtree(ckpt)  # crash-before-commit: batch 0 will redeliver
+        run()
+        total = (
+            LakeTable(spark, store_path)
+            .read()
+            .agg(F.sum("cnt").alias("n"))
+            .collect()[0]["n"]
+        )
+        assert total == 300  # not 600: the redelivered batch was skipped
 
     def test_checkpoint_does_not_double_count(self, spark, tmp_path):
         """Restarting with NO new data must not re-merge the already-
