@@ -1891,6 +1891,24 @@ def _image_meta_jpeg(spark, sf):
     return image_pixelsum_real(attach_real_jpegs(d, "doc_id"))
 
 
+def _video_frame_index(spark, sf):
+    """REAL MP4 container indexing: executors generate minimal
+    conforming ISO-BMFF files (full stbl sample table, mdat-first
+    layout) whose per-frame byte ranges are a pure function of doc_id,
+    then parse them back with the real stsc chunk-run algorithm and
+    explode to one row per frame with its exact byte range + start
+    time — the bounded-range-read index a 100 TB video pipeline hands
+    its decode tasks. The oracle recomputes every offset/size/time
+    arithmetically from doc_id."""
+    from pgferry_spark.multimodal.ops import (
+        attach_real_videos,
+        video_frame_index,
+    )
+
+    d = _t(spark, sf, "documents")
+    return video_frame_index(attach_real_videos(d, "doc_id"))
+
+
 def _image_ahash_real(spark, sf):
     """Perceptual average-hash over REAL decoded PNG pixels: 8×8 block
     mosaic, bit = block mean > global mean — the near-duplicate-image
@@ -2817,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_spans_chars": _exact_substring_spans_chars,
         "image_meta_jpeg": _image_meta_jpeg,
         "t_closeness": _t_closeness,
+        "video_frame_index": _video_frame_index,
     }
 
 
@@ -4863,6 +4882,27 @@ def oracle_sql() -> dict[str, str]:
                                              x -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::BIGINT)
                        ))) AS BIGINT) AS pixel_sum
             FROM documents
+        """,
+        # mdat-first layout: frame i's byte range = 28 + cumsum of the
+        # md5-derived earlier sample sizes; stts delta 40 at timescale
+        # 1000 makes t_ms = 40 * frame_idx
+        "video_frame_index": """
+            WITH base AS (
+              SELECT doc_id, 3 + doc_id % 5 AS n FROM documents
+            ),
+            s AS (
+              SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                     16 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2))::BIGINT % 64 AS sz
+              FROM base, unnest(range(n)) AS u(i)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS media_id, frame_idx,
+                   CAST(28 + COALESCE(SUM(sz) OVER (
+                          PARTITION BY doc_id ORDER BY frame_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) AS BIGINT) AS byte_offset,
+                   CAST(sz AS BIGINT) AS byte_len,
+                   CAST(frame_idx * 40 AS BIGINT) AS t_ms
+            FROM s
         """,
         # constant 8x8 blocks + unit quantization: the decoded JPEG pixel
         # law is exactly 64 * md5-first-byte per block, SQL-recomputable

@@ -143,6 +143,8 @@ HEADLINE = [
     "image_meta_jpeg",
     # round 6: the privacy trio's third gate (variational-distance EMD)
     "t_closeness",
+    # round 6: real ISO-BMFF sample-table indexing (per-frame byte ranges)
+    "video_frame_index",
 ]
 
 

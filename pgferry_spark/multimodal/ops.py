@@ -510,6 +510,105 @@ def attach_real_jpegs(df: DataFrame, id_col: str, content_col=None) -> DataFrame
     return base.mapInPandas(gen, schema=StructType(MEDIA_SCHEMA.fields))
 
 
+def attach_real_videos(df: DataFrame, id_col: str, content_col=None) -> DataFrame:
+    """Generate REAL minimal MP4 payloads deterministically from an id
+    column — the video sibling of :func:`attach_real_jpegs`: with
+    content key ``c`` the file holds ``3 + c%5`` samples, sample ``i``
+    sized ``16 + first_byte(md5("c:i")) % 64`` bytes, indexed by a full
+    ``stbl`` sample table (stts/stsc/stsz/stco) with the mdat-first
+    layout — so every sample's byte range is an arithmetic function of
+    the key that an ANSI oracle replays."""
+    from .mp4 import encode_mp4_sampled
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for c in pdf["__content"]:
+                c = int(c)
+                n = 3 + c % 5
+                samples = [
+                    # deterministic "frame" bytes, truncated to the
+                    # md5-derived per-sample size law the oracle replays
+                    (hashlib.md5(f"{c}:{i}:body".encode()).digest() * 6)[
+                        : 16 + hashlib.md5(f"{c}:{i}".encode()).digest()[0] % 64
+                    ]
+                    for i in range(n)
+                ]
+                payloads.append(encode_mp4_sampled(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": "video",
+                    "payload": payloads,
+                    "mime": "video/mp4",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    from ..utils import fan_out
+
+    content = (F.col(id_col) if content_col is None else content_col).cast("long")
+    base = fan_out(
+        df.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            content.alias("__content"),
+        ),
+        "media_id",
+    )
+    return base.mapInPandas(gen, schema=StructType(MEDIA_SCHEMA.fields))
+
+
+_FRAME_INDEX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("byte_offset", LongType(), True),
+        StructField("byte_len", LongType(), True),
+        StructField("t_ms", LongType(), True),
+    ]
+)
+
+
+def video_frame_index(df: DataFrame) -> DataFrame:
+    """REAL container indexing over Arrow batches: every payload's
+    ``stbl`` sample table is parsed (:func:`~pgferry_spark.multimodal.
+    mp4.parse_mp4_samples` — the stsc chunk-run algorithm, ranges
+    validated) and exploded to one row per frame with its EXACT byte
+    range and start time.  This is the index that turns "decode frame k
+    of a 40 GB object" into a bounded range read per task at 100 TB —
+    the frame-decode step itself stays quarantined (no video codec
+    here), but the plumbing that feeds it is real and oracle-checked."""
+    from ..utils import fan_out
+
+    from .mp4 import parse_mp4_samples
+
+    df = fan_out(df, "media_id")
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, ts = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_mp4_samples(p)
+                scale = info["timescale"]
+                for i, (off, size, t_units) in enumerate(info["samples"]):
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(size)
+                    ts.append(t_units * 1000 // scale)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "byte_offset": offs,
+                    "byte_len": lens,
+                    "t_ms": ts,
+                }
+            )
+
+    return df.mapInPandas(index, schema=_FRAME_INDEX_SCHEMA)
+
+
 _REAL_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
