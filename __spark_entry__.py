@@ -1909,6 +1909,23 @@ def _video_frame_index(spark, sf):
     return video_frame_index(attach_real_videos(d, "doc_id"))
 
 
+def _audio_segment_index(spark, sf):
+    """REAL WAV range indexing: executors generate canonical-header
+    PCM16 WAVs whose geometry is a pure function of doc_id, parse the
+    fmt/data chunks back, and explode to one row per 250 ms segment
+    with its EXACT byte range — PCM is its own index (sample k at
+    data_offset + k*block_align), so transcription workers range-read
+    segments instead of fetching whole objects. The oracle recomputes
+    every offset/length/time arithmetically from doc_id."""
+    from pgferry_spark.multimodal.ops import (
+        attach_real_audio,
+        audio_segment_index,
+    )
+
+    d = _t(spark, sf, "documents")
+    return audio_segment_index(attach_real_audio(d, "doc_id"))
+
+
 def _image_ahash_real(spark, sf):
     """Perceptual average-hash over REAL decoded PNG pixels: 8×8 block
     mosaic, bit = block mean > global mean — the near-duplicate-image
@@ -2836,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta_jpeg": _image_meta_jpeg,
         "t_closeness": _t_closeness,
         "video_frame_index": _video_frame_index,
+        "audio_segment_index": _audio_segment_index,
     }
 
 
@@ -4882,6 +4900,23 @@ def oracle_sql() -> dict[str, str]:
                                              x -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 2))::BIGINT)
                        ))) AS BIGINT) AS pixel_sum
             FROM documents
+        """,
+        # canonical 44-byte WAV header; mono PCM16 at 8 kHz: 250 ms
+        # segments are 2000 samples = 4000 bytes, n = 2000 + (c%7)*1000
+        "audio_segment_index": """
+            WITH base AS (
+              SELECT doc_id, 2000 + (doc_id % 7) * 1000 AS n FROM documents
+            ),
+            seg AS (
+              SELECT doc_id, n, CAST(i AS INT) AS seg_idx
+              FROM base, unnest(range((n + 1999) // 2000)) AS u(i)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS media_id, seg_idx,
+                   CAST(44 + seg_idx * 4000 AS BIGINT) AS byte_offset,
+                   CAST(2 * LEAST(2000, n - seg_idx * 2000) AS BIGINT) AS byte_len,
+                   CAST(seg_idx * 250 AS BIGINT) AS t_start_ms,
+                   CAST(LEAST(n // 8, (seg_idx + 1) * 250) AS BIGINT) AS t_end_ms
+            FROM seg
         """,
         # mdat-first layout: frame i's byte range = 28 + cumsum of the
         # md5-derived earlier sample sizes; stts delta 40 at timescale

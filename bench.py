@@ -145,6 +145,8 @@ HEADLINE = [
     "t_closeness",
     # round 6: real ISO-BMFF sample-table indexing (per-frame byte ranges)
     "video_frame_index",
+    # round 6: WAV PCM segment byte-range index (range-read transcription)
+    "audio_segment_index",
 ]
 
 

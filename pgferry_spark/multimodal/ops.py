@@ -208,6 +208,41 @@ def parse_wav_meta(payload: bytes) -> dict:
     }
 
 
+def parse_wav_data_range(payload: bytes) -> dict:
+    """REAL WAV parse returning the DATA chunk's absolute byte position
+    alongside the fmt fields — what a segment-level RANGE READER needs:
+    sample k of a PCM stream lives at exactly ``data_offset +
+    k*block_align``, so any time slice maps to one bounded byte range
+    with no decode step at all (PCM is its own index)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = channels = bits = block_align = None
+    data_off = data_len = None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if ctype == b"fmt ":
+            _, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+        elif ctype == b"data":
+            data_off, data_len = pos + 8, clen
+        pos += 8 + clen + (clen & 1)
+    if rate is None or data_off is None:
+        raise ValueError("missing fmt/data chunk")
+    if data_off + data_len > len(payload):
+        raise ValueError("data chunk extends past payload end")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "block_align": block_align,
+        "data_offset": data_off,
+        "data_len": data_len,
+    }
+
+
 def parse_jpeg_meta(payload: bytes) -> dict:
     """REAL JPEG header parse (stdlib only): walk the marker stream to the
     first SOF0–SOF15 frame header and return ``width/height/precision/
@@ -556,6 +591,106 @@ def attach_real_videos(df: DataFrame, id_col: str, content_col=None) -> DataFram
         "media_id",
     )
     return base.mapInPandas(gen, schema=StructType(MEDIA_SCHEMA.fields))
+
+
+def attach_real_audio(df: DataFrame, id_col: str, content_col=None) -> DataFrame:
+    """Generate REAL PCM16 WAV payloads deterministically from an id
+    column — the audio sibling of :func:`attach_real_videos`: with
+    content key ``c`` the clip is mono 8 kHz with ``2000 + (c%7)*1000``
+    samples (0.25–1 s), canonical 44-byte header, sample values a cheap
+    deterministic ramp (the ORACLE law is the byte-range geometry, not
+    the waveform)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for c in pdf["__content"]:
+                c = int(c)
+                n = 2000 + (c % 7) * 1000
+                samples = [((c + i * 37) % 65536) - 32768 for i in range(n)]
+                payloads.append(encode_wav_pcm16(samples, sample_rate=8000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    from ..utils import fan_out
+
+    content = (F.col(id_col) if content_col is None else content_col).cast("long")
+    base = fan_out(
+        df.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            content.alias("__content"),
+        ),
+        "media_id",
+    )
+    return base.mapInPandas(gen, schema=StructType(MEDIA_SCHEMA.fields))
+
+
+_AUDIO_INDEX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("seg_idx", IntegerType(), True),
+        StructField("byte_offset", LongType(), True),
+        StructField("byte_len", LongType(), True),
+        StructField("t_start_ms", LongType(), True),
+        StructField("t_end_ms", LongType(), True),
+    ]
+)
+
+
+def audio_segment_index(df: DataFrame, segment_ms: int = 250) -> DataFrame:
+    """REAL audio range indexing over Arrow batches: each WAV payload's
+    fmt/data chunks are parsed (:func:`parse_wav_data_range`) and the
+    clip explodes to one row per fixed-length segment with its EXACT
+    byte range — PCM is its own index (sample k sits at ``data_offset +
+    k*block_align``), so a transcription pipeline's workers each range-
+    read one segment of a multi-hour recording, no full-object fetch.
+    The time twin of :func:`audio_segments` (which reports windows
+    only); oracle-certified on the deterministic generator's geometry."""
+    from ..utils import fan_out
+
+    df = fan_out(df, "media_id")
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, t0s, t1s = [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_wav_data_range(p)
+                ba = info["block_align"]
+                rate = info["sample_rate"]
+                n = info["data_len"] // ba
+                seg = rate * segment_ms // 1000
+                dur_ms = n * 1000 // rate
+                i = 0
+                start = 0
+                while start < n:
+                    cnt = min(seg, n - start)
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(info["data_offset"] + start * ba)
+                    lens.append(cnt * ba)
+                    t0s.append(i * segment_ms)
+                    t1s.append(min(dur_ms, (i + 1) * segment_ms))
+                    i += 1
+                    start += seg
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "seg_idx": idxs,
+                    "byte_offset": offs,
+                    "byte_len": lens,
+                    "t_start_ms": t0s,
+                    "t_end_ms": t1s,
+                }
+            )
+
+    return df.mapInPandas(index, schema=_AUDIO_INDEX_SCHEMA)
 
 
 _FRAME_INDEX_SCHEMA = StructType(

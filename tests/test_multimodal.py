@@ -597,3 +597,47 @@ def test_release_cache_lsh_candidate_pairs(spark):
     eager = lsh_candidate_pairs(docs, "text", "doc_id", release_cache=True)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
     assert {(r["id_a"], r["id_b"]) for r in eager.collect()} == lazy
+
+
+def test_parse_wav_data_range_geometry():
+    from pgferry_spark.multimodal.ops import (
+        encode_wav_pcm16,
+        parse_wav_data_range,
+    )
+
+    wav = encode_wav_pcm16([0] * 3000, sample_rate=8000)
+    info = parse_wav_data_range(wav)
+    # canonical 44-byte header: RIFF(12) + fmt header+body(24) + data hdr(8)
+    assert info["data_offset"] == 44
+    assert info["data_len"] == 6000 and info["block_align"] == 2
+    assert info["sample_rate"] == 8000 and info["channels"] == 1
+    # sample k's bytes really live at data_offset + 2k
+    import struct as _s
+
+    wav2 = encode_wav_pcm16(list(range(100)), sample_rate=8000)
+    for k in (0, 1, 99):
+        (v,) = _s.unpack("<h", wav2[44 + 2 * k : 46 + 2 * k])
+        assert v == k
+
+
+def test_audio_segment_index_ranges_exact(spark):
+    from pgferry_spark.multimodal.ops import (
+        attach_real_audio,
+        audio_segment_index,
+    )
+
+    base = spark.createDataFrame([(i,) for i in range(14)], "doc_id: long")
+    rows = audio_segment_index(attach_real_audio(base, "doc_id")).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    for c in range(14):
+        n = 2000 + (c % 7) * 1000
+        segs = sorted(by_doc[c], key=lambda r: r["seg_idx"])
+        assert len(segs) == (n + 1999) // 2000
+        for i, r in enumerate(segs):
+            cnt = min(2000, n - i * 2000)
+            assert (r["byte_offset"], r["byte_len"]) == (44 + i * 4000, 2 * cnt)
+            assert (r["t_start_ms"], r["t_end_ms"]) == (
+                i * 250, min(n // 8, (i + 1) * 250),
+            )
