@@ -616,3 +616,16 @@ class TestLoghistCompactionPlanShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan  # nothing big joins big here
+
+    def test_video_frame_index_map_only(self, spark):
+        """Generate + parse + explode is a pure per-row pipeline over
+        Arrow batches: no join, no window, no aggregate — the only
+        Exchange is the fan_out repartition."""
+        plan = _executed(E.queries()["video_frame_index"](spark, SF))
+        assert "Join" not in plan
+        assert "Window" not in plan
+
+    def test_audio_segment_index_map_only(self, spark):
+        plan = _executed(E.queries()["audio_segment_index"](spark, SF))
+        assert "Join" not in plan
+        assert "Window" not in plan
