@@ -1006,6 +1006,24 @@ def _bm25_topk(spark, sf):
     return ranking.bm25_topk(d, "text", "doc_id", ["spark", "window", "dup"], k=15)
 
 
+def _hybrid_rrf_topk(spark, sf):
+    """Hybrid retrieval: BM25 lexical top-50 + embedding-cosine top-50
+    fused by reciprocal-rank fusion (k0=60), final top-10. Documents and
+    embeddings share the id space (doc_id == vec_id in the fixtures), so
+    the two candidate lists fuse directly. Both inputs are bounded top-N
+    lists, so fusion is metadata-sized regardless of corpus scale."""
+    d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "embeddings")
+    lex = ranking.bm25_topk(
+        d, "text", "doc_id", ["spark", "window", "dup"], k=50
+    ).select("doc_id", "score")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    sem = similarity.cosine_topk(e, "embedding", "vec_id", qvec, k=50).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine_sim").alias("score")
+    )
+    return ranking.rrf_fuse([lex, sem], "doc_id", "score", k=10, k0=60)
+
+
 def _repetition_stats(spark, sf):
     """Gopher-style per-doc repetition stats (map-only, no shuffle)."""
     return filters.repetition_stats(_t(spark, sf, "documents"), "text", "doc_id")
@@ -2854,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": _t_closeness,
         "video_frame_index": _video_frame_index,
         "audio_segment_index": _audio_segment_index,
+        "hybrid_rrf_topk": _hybrid_rrf_topk,
     }
 
 
@@ -5498,6 +5517,55 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(term_score), 6) AS score
             FROM scored GROUP BY doc
             ORDER BY score DESC, doc ASC LIMIT 15
+        """,
+        "hybrid_rrf_topk": f"""
+            WITH tk AS (SELECT doc_id AS doc, {_LTOKS} AS toks FROM documents),
+            lengths AS (SELECT doc, len(toks) AS dl FROM tk),
+            postings AS (
+              SELECT token, doc, COUNT(*) AS tf
+              FROM (SELECT doc, unnest(toks) AS token FROM tk)
+              WHERE token IN ('spark', 'window', 'dup')
+              GROUP BY token, doc
+            ),
+            stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+                      FROM lengths),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM postings GROUP BY token),
+            bm25 AS (
+              SELECT p.doc AS id, ROUND(SUM(
+                       ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                         * (p.tf * (1.2 + 1.0))
+                         / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+                     ), 6) AS score
+              FROM postings p
+              JOIN dfreq f USING (token)
+              JOIN lengths l USING (doc)
+              CROSS JOIN stats s
+              GROUP BY p.doc
+              ORDER BY score DESC, id ASC LIMIT 50
+            ),
+            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id = 0),
+            cos AS (
+              SELECT vec_id AS id,
+                     ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q.qe)
+                           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(q.qe, q.qe))), 4) AS score
+              FROM embeddings, q
+              ORDER BY score DESC, id ASC
+              LIMIT 50
+            ),
+            ranked AS (
+              SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rnk
+              FROM bm25
+              UNION ALL
+              SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rnk
+              FROM cos
+            )
+            SELECT id AS doc_id, COUNT(*) AS n_lists,
+                   ROUND(SUM(1.0 / (60.0 + rnk)), 6) AS rrf_score
+            FROM ranked GROUP BY id
+            ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
         """,
         "repetition_stats": f"""
             WITH tk AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),

@@ -121,6 +121,64 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str,
+    score_col: str = "score",
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (Cormack &
+    Clarke 2009): ``rrf = Σ_lists 1/(k0 + rank)``, where ``rank`` is the
+    1-based position within each list (score desc, id asc tie-break) and
+    a list that missed the document contributes 0. The standard way a
+    retrieval pipeline combines lexical (BM25) and semantic (embedding)
+    candidates without score calibration — ranks, not raw scores, fuse.
+
+    Each input must already be a bounded candidate list (a top-N), so at
+    100 TB the inputs are tiny regardless of corpus size: fusion unions
+    N·|lists| rows, ranks each list independently in one narrow window
+    pass (partition key = list index, so no skew — each partition is one
+    top-N), and aggregates per id. The expensive part of hybrid search
+    is producing the candidate lists (bm25_topk / cosine_topk /
+    ivf_pq_topk — each with its own scale story); fusion itself is
+    metadata-sized by construction.
+
+    Returns ``(id_col, n_lists, rrf_score)`` — ``n_lists`` = how many
+    input lists retrieved the document. ``rrf_score`` is rounded to 6
+    decimals before the final top-k cut so engine ulp differences can
+    never flip the boundary; ties break on id.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse requires at least one ranked list")
+    tagged = None
+    for i, df in enumerate(ranked):
+        part = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(score_col).cast("double").alias("__s"),
+            F.lit(i).alias("__list"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__list").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    return (
+        tagged.withColumn("__rank", F.row_number().over(w))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("__rank"))), 6
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("__id").asc())
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "n_lists", "rrf_score")
+    )
+
+
 def tfidf_similarity_pairs(
     df: DataFrame,
     text_col: str,

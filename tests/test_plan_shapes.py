@@ -629,3 +629,15 @@ class TestLoghistCompactionPlanShapes:
         plan = _executed(E.queries()["audio_segment_index"](spark, SF))
         assert "Join" not in plan
         assert "Window" not in plan
+
+    def test_hybrid_rrf_fuses_bounded_lists_no_cartesian(self, spark):
+        """RRF fusion unions two already-bounded top-N lists and ranks
+        them in one window pass partitioned by list index — no join at
+        all in the fusion stage (the candidate generators keep their own
+        plans — bm25's 1-row stats broadcasts surface as bounded
+        BroadcastNestedLoopJoins, the repo-wide accepted shape); final
+        cut is an ordered take, not a full sort."""
+        plan = _executed(E.queries()["hybrid_rrf_topk"](spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan  # nothing big joins big
+        assert "TakeOrderedAndProject" in plan

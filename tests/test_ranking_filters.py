@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pgferry_spark.operators.filters import (
     contamination_check,
     length_outlier_filter,
@@ -50,6 +52,55 @@ class TestBM25:
         df = spark.createDataFrame([(i, "tie word") for i in range(5)], DOCS)
         got = [r.doc_id for r in bm25_topk(df, "text", "doc_id", ["tie"], k=3).collect()]
         assert got == [0, 1, 2]
+
+
+class TestRRFFuse:
+    def test_hand_computed_two_lists(self, spark):
+        from pgferry_spark.operators.ranking import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+        )
+        sem = spark.createDataFrame(
+            [(2, 0.9), (4, 0.8)], "doc_id long, score double"
+        )
+        got = {
+            r.doc_id: (r.n_lists, r.rrf_score)
+            for r in rrf_fuse([lex, sem], "doc_id", k=10, k0=60).collect()
+        }
+        # doc 2: rank 2 in lex, rank 1 in sem
+        assert got[2] == (2, round(1 / 62 + 1 / 61, 6))
+        assert got[1] == (1, round(1 / 61, 6))
+        assert got[4] == (1, round(1 / 62, 6))  # rank 2 in sem
+        assert got[3] == (1, round(1 / 63, 6))
+
+    def test_doc_in_both_lists_beats_single_list_winner(self, spark):
+        from pgferry_spark.operators.ranking import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(1, 9.0), (2, 8.0)], "doc_id long, score double"
+        )
+        sem = spark.createDataFrame(
+            [(2, 0.9), (3, 0.8)], "doc_id long, score double"
+        )
+        top = rrf_fuse([lex, sem], "doc_id", k=1).collect()
+        assert top[0].doc_id == 2  # 1/62+1/61 > 1/61
+
+    def test_rank_ties_break_on_id(self, spark):
+        from pgferry_spark.operators.ranking import rrf_fuse
+
+        # equal scores within a list: lower id gets the better rank
+        lst = spark.createDataFrame(
+            [(5, 1.0), (3, 1.0)], "doc_id long, score double"
+        )
+        got = [(r.doc_id, r.rrf_score) for r in rrf_fuse([lst], "doc_id").collect()]
+        assert got == [(3, round(1 / 61, 6)), (5, round(1 / 62, 6))]
+
+    def test_empty_input_raises(self, spark):
+        from pgferry_spark.operators.ranking import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([], "doc_id")
 
 
 class TestRepetitionStats:
