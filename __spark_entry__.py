@@ -1006,6 +1006,20 @@ def _bm25_topk(spark, sf):
     return ranking.bm25_topk(d, "text", "doc_id", ["spark", "window", "dup"], k=15)
 
 
+def _dedup_keep_best(spark, sf):
+    """Quality-aware dedup keeper: per normalized-text fingerprint group,
+    keep the doc maximizing the heuristic quality score (ties → min id),
+    with the group's dup_count — the curation-grade alternative to the
+    min-id keeper. One map-side-combinable aggregate shuffle."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    return dedup.keep_best(scored, "doc_id", "fp", "quality")
+
+
 def _hybrid_rrf_topk(spark, sf):
     """Hybrid retrieval: BM25 lexical top-50 + embedding-cosine top-50
     fused by reciprocal-rank fusion (k0=60), final top-10. Documents and
@@ -2873,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_index": _video_frame_index,
         "audio_segment_index": _audio_segment_index,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
+        "dedup_keep_best": _dedup_keep_best,
     }
 
 
@@ -5517,6 +5532,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(term_score), 6) AS score
             FROM scored GROUP BY doc
             ORDER BY score DESC, doc ASC LIMIT 15
+        """,
+        "dedup_keep_best": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     ROUND(
+                       0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                                        / len({_TOKS}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - least(5.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                                                 / greatest(length(text), 1)), 1.0)), 4) AS quality
+              FROM documents
+            ), ranked AS (
+              SELECT doc_id, quality,
+                     row_number() OVER (PARTITION BY fp
+                                        ORDER BY quality DESC, doc_id ASC) AS rnk,
+                     COUNT(*) OVER (PARTITION BY fp) AS dup_count
+              FROM scored
+            )
+            SELECT doc_id, quality, dup_count FROM ranked WHERE rnk = 1
         """,
         "hybrid_rrf_topk": f"""
             WITH tk AS (SELECT doc_id AS doc, {_LTOKS} AS toks FROM documents),

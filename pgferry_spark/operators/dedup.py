@@ -69,6 +69,44 @@ def dedup_by_fingerprint(df: DataFrame, content_col: str, id_col: str) -> DataFr
     )
 
 
+def keep_best(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware dedup keeper: within each duplicate group (rows
+    sharing ``key_col``) keep the row MAXIMIZING ``score_col``, ties
+    broken toward the smallest id — the curation-grade alternative to
+    the min-id keeper (:func:`dedup_exact`), which throws away quality
+    information when a cluster mixes a clean original with mangled
+    copies.
+
+    Returns ``(id_col, score_col, dup_count)`` — one row per group.
+
+    Shape: ONE aggregate shuffle of ``max(struct(score, -id))`` per
+    group — map-side combinable, so a hot fingerprint reduces inside
+    each input partition before the exchange; no window materialization
+    of the whole group (the hot-span lesson from exact-substring spans
+    applied here). ``id_col`` must be numeric (the tie-break negates
+    it); NULL scores lose to any non-NULL score.
+    """
+    picked = df.groupBy(key_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("__m"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return picked.select(
+        (-F.col("__m.nid")).cast("long").alias(id_col),
+        F.col("__m.s").alias(score_col),
+        "dup_count",
+    )
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 

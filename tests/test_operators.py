@@ -211,6 +211,44 @@ class TestEmbeddingNearDup:
         assert kept == [0, 2, 3]   # 1 and 4 fold into 0
 
 
+class TestKeepBest:
+    SCHEMA = "doc_id long, fp string, quality double"
+
+    def test_max_score_wins_with_dup_count(self, spark):
+        from pgferry_spark.operators.dedup import keep_best
+
+        rows = [
+            (1, "A", 0.3), (2, "A", 0.9), (3, "A", 0.5),
+            (4, "B", 0.7),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        got = {r.doc_id: (r.quality, r.dup_count)
+               for r in keep_best(df, "doc_id", "fp", "quality").collect()}
+        assert got == {2: (0.9, 3), 4: (0.7, 1)}
+
+    def test_score_tie_breaks_to_min_id(self, spark):
+        from pgferry_spark.operators.dedup import keep_best
+
+        df = spark.createDataFrame(
+            [(7, "A", 0.5), (3, "A", 0.5), (9, "A", 0.1)], self.SCHEMA
+        )
+        got = keep_best(df, "doc_id", "fp", "quality").collect()
+        assert [(r.doc_id, r.dup_count) for r in got] == [(3, 3)]
+
+    def test_null_score_loses_to_any_score(self, spark):
+        from pgferry_spark.operators.dedup import keep_best
+
+        df = spark.createDataFrame(
+            [(1, "A", None), (2, "A", 0.01), (5, "B", None), (6, "B", None)],
+            self.SCHEMA,
+        )
+        got = {r.doc_id: r.quality
+               for r in keep_best(df, "doc_id", "fp", "quality").collect()}
+        # group A: the scored row wins even though the NULL row has the
+        # smaller id; group B: all-NULL falls back to min id, NULL surfaced
+        assert got == {2: 0.01, 5: None}
+
+
 def test_validation_runner():
     src = {"a": 10, "b": 5}
     tgt = {"a": 10, "b": 4}

@@ -630,6 +630,15 @@ class TestLoghistCompactionPlanShapes:
         assert "Join" not in plan
         assert "Window" not in plan
 
+    def test_dedup_keep_best_single_aggregate_no_window(self, spark):
+        """The quality-aware keeper is ONE map-side-combinable aggregate
+        shuffle (max(struct(score,-id)) per fingerprint) — no window
+        materialization of hot duplicate groups, no join."""
+        plan = _executed(E.queries()["dedup_keep_best"](spark, SF))
+        assert "Window" not in plan
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
     def test_hybrid_rrf_fuses_bounded_lists_no_cartesian(self, spark):
         """RRF fusion unions two already-bounded top-N lists and ranks
         them in one window pass partitioned by list index — no join at
