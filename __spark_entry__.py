@@ -1006,6 +1006,18 @@ def _bm25_topk(spark, sf):
     return ranking.bm25_topk(d, "text", "doc_id", ["spark", "window", "dup"], k=15)
 
 
+def _mmr_diversify(spark, sf):
+    """MMR-diversified top-10 (lam=0.5) from the exact cosine top-50
+    candidate list for query vec 0 — relevance traded against redundancy.
+    Only stage 1 touches the corpus; the greedy loop runs on the bounded
+    candidate batch. Oracle: the k-step loop unrolled as chained CTEs."""
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.mmr_select(
+        e, "embedding", "vec_id", qvec, k=10, lam=0.5, n_candidates=50
+    )
+
+
 def _dedup_keep_best(spark, sf):
     """Quality-aware dedup keeper: per normalized-text fingerprint group,
     keep the doc maximizing the heuristic quality score (ties → min id),
@@ -2888,6 +2900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segment_index": _audio_segment_index,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
         "dedup_keep_best": _dedup_keep_best,
+        "mmr_diversify": _mmr_diversify,
     }
 
 
@@ -2911,6 +2924,56 @@ _LTOKS = (
 from pgferry_spark.operators.sketches import _alpha_m2 as _hll_alpha_m2
 
 _alpha_m2_256 = _hll_alpha_m2(8)
+
+
+def _mmr_oracle(k: int = 10, lam: float = 0.5, n_candidates: int = 50) -> str:
+    """Unrolled-greedy MMR oracle: the k-step argmax loop is inherently
+    sequential, but k is a FIXED small constant, so each step becomes one
+    chained CTE (scored_i -> argmax sel_i -> prev_i accumulator) — plain
+    ANSI SQL, no recursion. Mirrors similarity.mmr_select exactly: rel
+    rounded to 4 dp at candidate time, pair cosines to 4 dp, MMR score to
+    6 dp before each argmax, ties to the smaller id."""
+    lam_s, oml_s = repr(float(lam)), repr(1.0 - float(lam))
+    pair_cos = (
+        "ROUND(list_dot_product(c.v, p.v) / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(p.v, p.v))), 4)"
+    )
+    parts = [
+        f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+        cand AS MATERIALIZED (
+          SELECT vec_id AS id, v,
+                 ROUND(list_dot_product(v, q.qe)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(q.qe, q.qe))), 4) AS rel
+          FROM e, q
+          ORDER BY rel DESC, id ASC
+          LIMIT {n_candidates}
+        ),
+        sel1 AS MATERIALIZED (SELECT id, v, rel, 1 AS mmr_rank, ROUND(rel, 6) AS mmr_score
+                 FROM cand ORDER BY rel DESC, id ASC LIMIT 1),
+        prev1 AS MATERIALIZED (SELECT id, v FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+        scored{i} AS MATERIALIZED (
+          SELECT c.id, c.v, c.rel,
+                 ROUND({lam_s} * c.rel - {oml_s} * MAX({pair_cos}), 6) AS mmr_score
+          FROM cand c CROSS JOIN prev{i - 1} p
+          WHERE c.id NOT IN (SELECT id FROM prev{i - 1})
+          GROUP BY c.id, c.v, c.rel
+        ),
+        sel{i} AS MATERIALIZED (SELECT id, v, rel, {i} AS mmr_rank, mmr_score FROM scored{i}
+                   ORDER BY mmr_score DESC, id ASC LIMIT 1),
+        prev{i} AS MATERIALIZED (SELECT id, v FROM prev{i - 1} UNION ALL SELECT id, v FROM sel{i})"""
+        )
+    union = "\n        UNION ALL\n".join(
+        f"        SELECT id AS vec_id, mmr_rank, mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + union
 
 
 def _profile_orders_oracle() -> str:
@@ -5533,6 +5596,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc
             ORDER BY score DESC, doc ASC LIMIT 15
         """,
+        "mmr_diversify": _mmr_oracle(k=10, lam=0.5, n_candidates=50),
         "dedup_keep_best": f"""
             WITH scored AS (
               SELECT doc_id,

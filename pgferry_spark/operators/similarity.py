@@ -76,6 +76,104 @@ def pairwise_cosine_topk(
     )
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Half-away-from-zero rounding of a double's shortest repr — the
+    semantics both Spark's ``F.round`` (BigDecimal.valueOf + HALF_UP) and
+    DuckDB's ``ROUND`` implement, unlike Python's banker's ``round``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), rounding=ROUND_HALF_UP))
+
+
+def mmr_select(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    lam: float = 0.5,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    greedily pick ``k`` items maximizing ``lam * rel(d) - (1 - lam) *
+    max_{s in selected} cos(d, s)`` — relevance traded against redundancy,
+    the standard diversity-aware selector for retrieval results and
+    training-data subset picking.
+
+    Two stages, only the first touches the corpus:
+
+    1. **Candidates**: exact cosine top-``n_candidates`` (one scan + ordered
+       take — same plan as :func:`cosine_topk`), keeping the vectors.
+    2. **Greedy**: the k-step argmax loop runs over the BOUNDED candidate
+       list in one Arrow batch (``mapInPandas`` over the single post-limit
+       partition). The loop is inherently sequential — each pick changes
+       the next step's scores — so it belongs on bounded metadata, never
+       on the corpus; at 100 TB only stage 1 scales and it's the already-
+       audited top-k scan shape.
+
+    Determinism (oracle-exact): relevance arrives pre-rounded to 4 dp from
+    the JVM fold; pair similarities use sequential Python-float dot
+    products (same FP order as DuckDB's ``list_dot_product``) rounded to
+    4 dp; the MMR score rounds to 6 dp before each argmax; ties break to
+    the smaller id. Returns ``(id_col, mmr_rank, mmr_score)`` with rank 1
+    carrying its relevance as the score (nothing selected yet to trade
+    against).
+    """
+    cand = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.round(cosine_similarity(F.col(vec_col), query), 4).alias("__rel"),
+        )
+        .orderBy(F.col("__rel").desc(), F.col(id_col).asc())
+        .limit(n_candidates)
+    )
+
+    out_schema = f"{id_col} long, mmr_rank int, mmr_score double"
+
+    def greedy(batches):
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                (int(r_id), list(map(float, r_v)), float(r_rel))
+                for r_id, r_v, r_rel in zip(pdf[id_col], pdf["__v"], pdf["__rel"])
+            )
+        if not rows:
+            return
+        rows.sort(key=lambda r: (-r[2], r[0]))
+
+        def seq_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        norms = {rid: seq_dot(v, v) ** 0.5 for rid, v, _ in rows}
+        selected = [rows[0]]
+        picked = [(rows[0][0], 1, _round_half_up(rows[0][2], 6))]
+        remaining = rows[1:]
+        while remaining and len(picked) < k:
+            best = None
+            for rid, v, rel in remaining:
+                max_sim = max(
+                    _round_half_up(
+                        seq_dot(v, sv) / (norms[rid] * norms[sid]), 4
+                    )
+                    for sid, sv, _ in selected
+                )
+                score = _round_half_up(lam * rel - (1.0 - lam) * max_sim, 6)
+                if best is None or (score, -rid) > (best[2], -best[0]):
+                    best = (rid, v, score, rel)
+            selected.append((best[0], best[1], best[3]))
+            picked.append((best[0], len(picked) + 1, best[2]))
+            remaining = [r for r in remaining if r[0] != best[0]]
+        yield pd.DataFrame(picked, columns=[id_col, "mmr_rank", "mmr_score"])
+
+    return cand.coalesce(1).mapInPandas(greedy, out_schema)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

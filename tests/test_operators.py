@@ -161,6 +161,67 @@ class TestSimilarity:
         assert all(r["dist"] >= 0 for r in got)
 
 
+class TestMMRSelect:
+    def embeddings(self, spark):
+        # 0 = query direction; 1 = near-duplicate of 0; 2 = orthogonal;
+        # 3 = opposite; 4 = diagonal between 0 and 2
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+            (4, [0.7, 0.7, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    def test_rank1_is_relevance_argmax(self, spark):
+        e = self.embeddings(spark)
+        got = similarity.mmr_select(
+            e, "embedding", "vec_id", [1.0, 0.0, 0.0], k=3, lam=0.5
+        ).collect()
+        assert [r.mmr_rank for r in got] == [1, 2, 3]
+        assert got[0].vec_id == 0
+        assert got[0].mmr_score == 1.0  # rank-1 score is its relevance
+
+    def test_near_duplicate_deferred_below_diverse_picks(self, spark):
+        # query [1, .2, 0]: rank 1 is vec 1 (rel .9825); vec 0 is pure-
+        # relevance #2 (rel .9806) but cos(0,1)=.9999 makes its MMR score
+        # negative, so the orthogonal vec 2 (score .093) and diagonal
+        # vec 4 (.05895) both out-rank it — hand-computed greedy order
+        e = self.embeddings(spark)
+        got = [
+            r.vec_id
+            for r in similarity.mmr_select(
+                e, "embedding", "vec_id", [1.0, 0.2, 0.0], k=3, lam=0.5
+            ).collect()
+        ]
+        assert got == [1, 2, 4]  # near-dup 0 selected not at all
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        e = self.embeddings(spark)
+        mmr = [
+            r.vec_id
+            for r in similarity.mmr_select(
+                e, "embedding", "vec_id", [1.0, 0.0, 0.0], k=4, lam=1.0
+            ).collect()
+        ]
+        rel = [
+            r.vec_id
+            for r in similarity.cosine_topk(
+                e, "embedding", "vec_id", [1.0, 0.0, 0.0], k=4
+            ).collect()
+        ]
+        assert mmr == rel
+
+    def test_k_larger_than_candidates_returns_all(self, spark):
+        e = self.embeddings(spark)
+        got = similarity.mmr_select(
+            e, "embedding", "vec_id", [1.0, 0.0, 0.0], k=50, n_candidates=3
+        ).collect()
+        assert len(got) == 3
+        assert [r.mmr_rank for r in got] == [1, 2, 3]
+
+
 class TestEmbeddingNearDup:
     def embeddings(self, spark):
         rows = [

@@ -630,6 +630,16 @@ class TestLoghistCompactionPlanShapes:
         assert "Join" not in plan
         assert "Window" not in plan
 
+    def test_mmr_corpus_work_is_one_topk_scan(self, spark):
+        """Only stage 1 (cosine top-n_candidates) touches the corpus: the
+        plan is one ordered take over the scan; the greedy loop runs on
+        the bounded candidate batch (single ArrowEvalPython/mapInPandas
+        node after a coalesce(1)) — no join, no shuffle of corpus rows."""
+        plan = _executed(E.queries()["mmr_diversify"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        assert "Join" not in plan
+        assert "Exchange hashpartitioning" not in plan
+
     def test_dedup_keep_best_single_aggregate_no_window(self, spark):
         """The quality-aware keeper is ONE map-side-combinable aggregate
         shuffle (max(struct(score,-id)) per fingerprint) — no window
