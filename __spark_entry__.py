@@ -1006,6 +1006,38 @@ def _bm25_topk(spark, sf):
     return ranking.bm25_topk(d, "text", "doc_id", ["spark", "window", "dup"], k=15)
 
 
+def _pii_luhn_cards(spark, sf):
+    """Checksum-validated card detection: deterministic card-shaped
+    numbers are synthesized from doc_id on BOTH engines (the fixtures
+    contain no digit runs — same attach-deterministic-payload pattern
+    as the media entries: every third doc gets a 16-digit number whose
+    Luhn check digit is correct only for even doc_ids), then detected
+    by the RE2-safe run pattern, separator-stripped, length-gated, and
+    Luhn-validated. Map-only JVM expressions end to end."""
+    d = _t(spark, sf, "documents")
+    d6 = F.lpad(((F.col("doc_id") * 7919) % 1000000).cast("string"), 6, "0")
+    d8 = F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0")
+    base15 = F.concat(F.lit("4"), d6, d8)
+    check = (10 - (T.luhn_sum(F.concat(base15, F.lit("0"))) % 10)) % 10
+    chk = F.when(F.col("doc_id") % 2 == 0, check).otherwise((check + 5) % 10)
+    card16 = F.concat(base15, chk.cast("string"))
+    formatted = F.concat_ws(
+        " ",
+        F.substring(card16, 1, 4), F.substring(card16, 5, 4),
+        F.substring(card16, 9, 4), F.substring(card16, 13, 4),
+    )
+    txt = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" pay "), formatted),
+    ).otherwise(F.col("text"))
+    cands = T.card_candidates(txt)
+    return d.select(
+        "doc_id",
+        F.size(cands).alias("n_candidates"),
+        F.size(F.filter(cands, T.luhn_valid)).alias("n_valid_cards"),
+    )
+
+
 def _mmr_diversify(spark, sf):
     """MMR-diversified top-10 (lam=0.5) from the exact cosine top-50
     candidate list for query vec 0 — relevance traded against redundancy.
@@ -2901,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _hybrid_rrf_topk,
         "dedup_keep_best": _dedup_keep_best,
         "mmr_diversify": _mmr_diversify,
+        "pii_luhn_cards": _pii_luhn_cards,
     }
 
 
@@ -2974,6 +3007,20 @@ def _mmr_oracle(k: int = 10, lam: float = 0.5, n_candidates: int = 50) -> str:
         for i in range(1, k + 1)
     )
     return "".join(parts) + "\n" + union
+
+
+def _luhn_sum_sql(s: str) -> str:
+    """DuckDB twin of functions.text.luhn_sum over the digit-string
+    expression ``s``: index the reversed string with range+substr (RE2
+    has no empty-pattern split), double every second digit from the
+    right, subtract 9 past 9."""
+    dig = f"CAST(substr(reverse({s}), __i, 1) AS INT)"
+    return (
+        f"list_sum(list_transform(range(1, length({s}) + 1), __i -> "
+        f"CASE WHEN (__i - 1) % 2 = 0 THEN {dig} "
+        f"ELSE CASE WHEN {dig} * 2 > 9 THEN {dig} * 2 - 9 "
+        f"ELSE {dig} * 2 END END))"
+    )
 
 
 def _profile_orders_oracle() -> str:
@@ -5597,6 +5644,45 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc ASC LIMIT 15
         """,
         "mmr_diversify": _mmr_oracle(k=10, lam=0.5, n_candidates=50),
+        "pii_luhn_cards": f"""
+            WITH synth AS (
+              SELECT doc_id,
+                     '4' || lpad(CAST((doc_id * 7919) % 1000000 AS VARCHAR), 6, '0')
+                         || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') AS base15,
+                     text
+              FROM documents
+            ), carded AS (
+              SELECT doc_id, base15,
+                     (10 - ({_luhn_sum_sql("base15 || '0'")}) % 10) % 10 AS chk0,
+                     text
+              FROM synth
+            ), built AS (
+              SELECT doc_id,
+                     base15 || CAST(CASE WHEN doc_id % 2 = 0 THEN chk0
+                                         ELSE (chk0 + 5) % 10 END AS VARCHAR) AS card16,
+                     text
+              FROM carded
+            ), withtext AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' pay ' ||
+                               substr(card16, 1, 4) || ' ' || substr(card16, 5, 4) || ' ' ||
+                               substr(card16, 9, 4) || ' ' || substr(card16, 13, 4)
+                          ELSE text END AS txt
+              FROM built
+            ), cands AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(regexp_extract_all(txt, '[0-9][0-9 ]{{11,22}}[0-9]'),
+                                      r -> replace(r, ' ', '')),
+                       s -> length(s) BETWEEN 13 AND 19) AS cc
+              FROM withtext
+            )
+            SELECT doc_id,
+                   len(cc) AS n_candidates,
+                   len(list_filter(cc, s -> ({_luhn_sum_sql("s")}) % 10 = 0)) AS n_valid_cards
+            FROM cands
+        """,
         "dedup_keep_best": f"""
             WITH scored AS (
               SELECT doc_id,

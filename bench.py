@@ -147,6 +147,11 @@ HEADLINE = [
     "video_frame_index",
     # round 6: WAV PCM segment byte-range index (range-read transcription)
     "audio_segment_index",
+    # round 6: retrieval + curation additions (all oracle-backed at birth)
+    "hybrid_rrf_topk",
+    "dedup_keep_best",
+    "mmr_diversify",
+    "pii_luhn_cards",
 ]
 
 

@@ -294,6 +294,52 @@ def pii_count(col: Column) -> Column:
     return n
 
 
+# Card-shaped digit runs: 13-19 digits in groups separated by single
+# spaces (RE2-safe like the patterns above — no lookarounds).
+PII_CARD_RUN = r"[0-9][0-9 ]{11,22}[0-9]"
+
+
+def luhn_sum(col: Column) -> Column:
+    """The Luhn checksum sum (ISO/IEC 7812) of a digits-only string:
+    from the RIGHTMOST digit, every second digit doubles (minus 9 when
+    the double exceeds 9). Pure JVM expressions (split/transform/
+    aggregate); the split's ``(?!^)`` lookahead is Spark-side only —
+    the DuckDB twin indexes with ``range`` + ``substr`` instead."""
+    # the zero-width split also matches at end-of-string, leaving a
+    # trailing "" element — drop empties before casting
+    rev_chars = F.filter(
+        F.split(F.reverse(col), "(?!^)"), lambda c: c != ""
+    )
+    d = lambda c: c.cast("int")  # noqa: E731
+
+    vals = F.transform(
+        rev_chars,
+        lambda c, i: F.when(i % 2 == 0, d(c)).otherwise(
+            F.when(d(c) * 2 > 9, d(c) * 2 - 9).otherwise(d(c) * 2)
+        ),
+    )
+    return F.aggregate(vals, F.lit(0), lambda acc, v: acc + v)
+
+
+def luhn_valid(col: Column) -> Column:
+    """Luhn validity: sum divisible by 10 on a non-empty digit string.
+    This is the validation step that separates a real card number from a
+    phone-shaped digit run — checksum-validated PII detection instead of
+    regex-only."""
+    return (F.length(col) > 0) & (luhn_sum(col) % 10 == 0)
+
+
+def card_candidates(col: Column) -> Column:
+    """All card-shaped digit runs in ``col``, separators stripped, kept
+    only when the digit count is a plausible card length (13-19). Feed
+    each element to :func:`luhn_valid` for checksum validation."""
+    runs = F.regexp_extract_all(col, F.lit(PII_CARD_RUN), 0)
+    cleaned = F.transform(runs, lambda r: F.regexp_replace(r, " ", ""))
+    return F.filter(
+        cleaned, lambda s: (F.length(s) >= 13) & (F.length(s) <= 19)
+    )
+
+
 # -- inverted index / keyword search -----------------------------------------
 
 

@@ -32,6 +32,50 @@ def test_pii_scrub_email_before_phone(spark):
     assert got == "<EMAIL>"
 
 
+def test_luhn_valid_known_vectors(spark):
+    # public ISO/IEC 7812 test numbers: three valid, one off-by-one
+    # invalid, one odd-length valid, plus empty (never valid)
+    rows = [
+        ("4539578763621486", True),
+        ("79927398713", True),
+        ("4111111111111111", True),
+        ("4111111111111112", False),
+        ("1234567812345670", True),
+        ("", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s: string")
+    got = [r["ok"] for r in df.select(T.luhn_valid(F.col("s")).alias("ok")).collect()]
+    assert got == [ok for _, ok in rows]
+
+
+def test_card_candidates_extract_and_length_gate(spark):
+    rows = [
+        # spaced 16-digit card embedded mid-text
+        ("pay 4539 5787 6362 1486 today", ["4539578763621486"]),
+        # contiguous 13-digit run passes the gate
+        ("x 4222222222222 y", ["4222222222222"]),
+        # 12 digits: too short for the run pattern
+        ("short 411111111111 run", []),
+        ("no digits at all", []),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s: string")
+    got = [r["c"] for r in df.select(T.card_candidates(F.col("s")).alias("c")).collect()]
+    assert got == [c for _, c in rows]
+
+
+def test_card_candidates_luhn_filters_phone_shaped_runs(spark):
+    # a 13-digit phone-shaped run survives the regex + length gate but
+    # fails the checksum — exactly the false positive Luhn exists to kill
+    df = spark.createDataFrame(
+        [("call 415 555 0199 123 4 ok",), ("pay 4539 5787 6362 1486",)],
+        "s: string",
+    )
+    n_valid = df.select(
+        F.size(F.filter(T.card_candidates(F.col("s")), T.luhn_valid)).alias("n")
+    ).collect()
+    assert [r["n"] for r in n_valid] == [0, 1]
+
+
 def test_dataset_split_stable_and_complete(spark):
     df = spark.range(1000).withColumnRenamed("id", "doc_id")
     out = dataset_split(df, "doc_id")

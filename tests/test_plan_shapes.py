@@ -630,6 +630,13 @@ class TestLoghistCompactionPlanShapes:
         assert "Join" not in plan
         assert "Window" not in plan
 
+    def test_pii_luhn_cards_map_only(self, spark):
+        """Synthesis + extraction + Luhn validation are pure JVM
+        expressions over one scan: no shuffle at all."""
+        plan = _executed(E.queries()["pii_luhn_cards"](spark, SF))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
     def test_mmr_corpus_work_is_one_topk_scan(self, spark):
         """Only stage 1 (cosine top-n_candidates) touches the corpus: the
         plan is one ordered take over the scan; the greedy loop runs on
