@@ -76,6 +76,29 @@ def test_card_candidates_luhn_filters_phone_shaped_runs(spark):
     assert [r["n"] for r in n_valid] == [0, 1]
 
 
+def test_luhn_randomized_against_local_reference(spark):
+    # 200 seeded random digit strings (lengths 1-24) in ONE Spark
+    # round-trip, checked against a from-scratch local Luhn
+    import random
+
+    rng = random.Random(20260815)
+    strs = [
+        "".join(rng.choice("0123456789") for _ in range(rng.randint(1, 24)))
+        for _ in range(200)
+    ]
+
+    def local_luhn(s):
+        tot = 0
+        for i, c in enumerate(reversed(s)):
+            d = int(c)
+            tot += d if i % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+        return tot % 10 == 0
+
+    df = spark.createDataFrame([(s,) for s in strs], "s: string")
+    got = [r["ok"] for r in df.select(T.luhn_valid(F.col("s")).alias("ok")).collect()]
+    assert got == [local_luhn(s) for s in strs]
+
+
 def test_dataset_split_stable_and_complete(spark):
     df = spark.range(1000).withColumnRenamed("id", "doc_id")
     out = dataset_split(df, "doc_id")

@@ -310,6 +310,92 @@ class TestKeepBest:
         assert got == {2: 0.01, 5: None}
 
 
+def test_keep_best_randomized_invariants(spark):
+    """One seeded random batch vs a local reference: one row per distinct
+    key, picked id/score are the group argmax (ties to min id), and
+    dup_counts sum back to the input row count."""
+    import random
+
+    from pgferry_spark.operators.dedup import keep_best
+
+    rng = random.Random(20260815)
+    rows = [
+        (i, f"k{rng.randint(0, 30)}", round(rng.uniform(0, 1), 3))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, fp string, quality double")
+    got = {r.doc_id: (r.quality, r.dup_count)
+           for r in keep_best(df, "doc_id", "fp", "quality").collect()}
+
+    groups = {}
+    for i, k, q in rows:
+        groups.setdefault(k, []).append((i, q))
+    expect = {}
+    for k, members in groups.items():
+        best = max(members, key=lambda t: (t[1], -t[0]))
+        expect[best[0]] = (best[1], len(members))
+    assert got == expect
+    assert sum(c for _, c in got.values()) == len(rows)
+
+
+def test_mmr_randomized_against_local_reference(spark):
+    """Seeded random vectors: the distributed greedy must equal a
+    from-scratch local MMR (same rounding discipline) exactly."""
+    import random
+
+    from pgferry_spark.operators.similarity import _round_half_up, mmr_select
+
+    rng = random.Random(20260815)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    query = [rng.uniform(-1, 1) for _ in range(8)]
+    k, lam, n_cand = 6, 0.5, 15
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def local_mmr():
+        qn = dot(query, query) ** 0.5
+        scored = sorted(
+            (
+                (_round_half_up(dot(v, query) / (dot(v, v) ** 0.5 * qn), 4), i, v)
+                for i, v in vecs
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:n_cand]
+        norms = {i: dot(v, v) ** 0.5 for _, i, v in scored}
+        sel = [scored[0]]
+        out = [(scored[0][1], 1, _round_half_up(scored[0][0], 6))]
+        rest = scored[1:]
+        while rest and len(out) < k:
+            best = None
+            for rel, i, v in rest:
+                ms = max(
+                    _round_half_up(dot(v, sv) / (norms[i] * norms[si]), 4)
+                    for _, si, sv in sel
+                )
+                sc = _round_half_up(lam * rel - (1 - lam) * ms, 6)
+                if best is None or (sc, -i) > (best[0], -best[1]):
+                    best = (sc, i, v, rel)
+            sel.append((best[3], best[1], best[2]))
+            out.append((best[1], len(out) + 1, best[0]))
+            rest = [r for r in rest if r[1] != best[1]]
+        return out
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r.vec_id, r.mmr_rank, r.mmr_score)
+        for r in mmr_select(
+            df, "embedding", "vec_id", query, k=k, lam=lam, n_candidates=n_cand
+        ).collect()
+    ]
+    assert got == local_mmr()
+
+
 def test_validation_runner():
     src = {"a": 10, "b": 5}
     tgt = {"a": 10, "b": 4}

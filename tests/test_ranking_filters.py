@@ -102,6 +102,56 @@ class TestRRFFuse:
         with pytest.raises(ValueError):
             rrf_fuse([], "doc_id")
 
+    def test_input_list_order_invariant(self, spark):
+        # each list is ranked independently, so fuse([A,B]) == fuse([B,A])
+        from pgferry_spark.operators.ranking import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 9.0), (2, 5.0), (3, 2.0)], "doc_id long, score double"
+        )
+        b = spark.createDataFrame(
+            [(2, 0.9), (4, 0.8), (1, 0.1)], "doc_id long, score double"
+        )
+        ab = {(r.doc_id, r.n_lists, r.rrf_score)
+              for r in rrf_fuse([a, b], "doc_id").collect()}
+        ba = {(r.doc_id, r.n_lists, r.rrf_score)
+              for r in rrf_fuse([b, a], "doc_id").collect()}
+        assert ab == ba
+
+    def test_randomized_against_local_reference(self, spark):
+        # 3 seeded random lists fused in one round-trip vs a from-scratch
+        # local RRF
+        import random
+
+        rng = random.Random(20260815)
+        lists = []
+        for _ in range(3):
+            ids = rng.sample(range(100), 20)
+            lists.append([(i, round(rng.uniform(0, 10), 3)) for i in ids])
+
+        def local_rrf(ls, k0=60):
+            agg = {}
+            for lst in ls:
+                ranked = sorted(lst, key=lambda t: (-t[1], t[0]))
+                for rank, (i, _) in enumerate(ranked, start=1):
+                    n, s = agg.get(i, (0, 0.0))
+                    agg[i] = (n + 1, s + 1.0 / (k0 + rank))
+            rows = [(i, n, round(s, 6)) for i, (n, s) in agg.items()]
+            rows.sort(key=lambda t: (-t[2], t[0]))
+            return rows[:10]
+
+        from pgferry_spark.operators.ranking import rrf_fuse
+
+        dfs = [
+            spark.createDataFrame(lst, "doc_id long, score double")
+            for lst in lists
+        ]
+        got = [
+            (r.doc_id, r.n_lists, r.rrf_score)
+            for r in rrf_fuse(dfs, "doc_id", k=10).collect()
+        ]
+        assert got == local_rrf(lists)
+
 
 class TestRepetitionStats:
     def test_hand_computed(self, spark):
