@@ -1038,6 +1038,37 @@ def _pii_luhn_cards(spark, sf):
     )
 
 
+def _pii_card_gate(spark, sf):
+    """Batch posture of streaming.pii_card_gate_stream (map-only Column
+    expressions, identical on a stream): same deterministic card
+    synthesis as `pii_luhn_cards`, then the redact-mode gate — docs
+    carrying a Luhn-valid number get every card-shaped run masked."""
+    from pgferry_spark.streaming.events import pii_card_gate_stream
+
+    d = _t(spark, sf, "documents")
+    d6 = F.lpad(((F.col("doc_id") * 7919) % 1000000).cast("string"), 6, "0")
+    d8 = F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0")
+    base15 = F.concat(F.lit("4"), d6, d8)
+    check = (10 - (T.luhn_sum(F.concat(base15, F.lit("0"))) % 10)) % 10
+    chk = F.when(F.col("doc_id") % 2 == 0, check).otherwise((check + 5) % 10)
+    card16 = F.concat(base15, chk.cast("string"))
+    formatted = F.concat_ws(
+        " ",
+        F.substring(card16, 1, 4), F.substring(card16, 5, 4),
+        F.substring(card16, 9, 4), F.substring(card16, 13, 4),
+    )
+    carded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" pay "), formatted),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_card_gate_stream(carded, "text", mode="redact").select(
+        "doc_id", "n_valid_cards", "text"
+    )
+
+
 def _mmr_diversify(spark, sf):
     """MMR-diversified top-10 (lam=0.5) from the exact cosine top-50
     candidate list for query vec 0 — relevance traded against redundancy.
@@ -2934,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _dedup_keep_best,
         "mmr_diversify": _mmr_diversify,
         "pii_luhn_cards": _pii_luhn_cards,
+        "pii_card_gate": _pii_card_gate,
     }
 
 
@@ -5702,6 +5734,48 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, quality, dup_count FROM ranked WHERE rnk = 1
+        """,
+        "pii_card_gate": f"""
+            WITH synth AS (
+              SELECT doc_id,
+                     '4' || lpad(CAST((doc_id * 7919) % 1000000 AS VARCHAR), 6, '0')
+                         || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') AS base15,
+                     text
+              FROM documents
+            ), carded AS (
+              SELECT doc_id, base15,
+                     (10 - ({_luhn_sum_sql("base15 || '0'")}) % 10) % 10 AS chk0,
+                     text
+              FROM synth
+            ), built AS (
+              SELECT doc_id,
+                     base15 || CAST(CASE WHEN doc_id % 2 = 0 THEN chk0
+                                         ELSE (chk0 + 5) % 10 END AS VARCHAR) AS card16,
+                     text
+              FROM carded
+            ), withtext AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' pay ' ||
+                               substr(card16, 1, 4) || ' ' || substr(card16, 5, 4) || ' ' ||
+                               substr(card16, 9, 4) || ' ' || substr(card16, 13, 4)
+                          ELSE text END AS txt
+              FROM built
+            ), gated AS (
+              SELECT doc_id, txt,
+                     len(list_filter(
+                       list_filter(
+                         list_transform(regexp_extract_all(txt, '[0-9][0-9 ]{{11,22}}[0-9]'),
+                                        r -> replace(r, ' ', '')),
+                         s -> length(s) BETWEEN 13 AND 19),
+                       s -> ({_luhn_sum_sql("s")}) % 10 = 0)) AS n_valid_cards
+              FROM withtext
+            )
+            SELECT doc_id, CAST(n_valid_cards AS INT) AS n_valid_cards,
+                   CASE WHEN n_valid_cards > 0
+                        THEN regexp_replace(txt, '[0-9][0-9 ]{{11,22}}[0-9]', '<CARD>', 'g')
+                        ELSE txt END AS text
+            FROM gated
         """,
         "hybrid_rrf_topk": f"""
             WITH tk AS (SELECT doc_id AS doc, {_LTOKS} AS toks FROM documents),

@@ -152,6 +152,7 @@ HEADLINE = [
     "dedup_keep_best",
     "mmr_diversify",
     "pii_luhn_cards",
+    "pii_card_gate",
 ]
 
 

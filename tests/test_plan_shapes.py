@@ -637,6 +637,11 @@ class TestLoghistCompactionPlanShapes:
         assert "Exchange" not in plan
         assert "Join" not in plan
 
+    def test_pii_card_gate_map_only(self, spark):
+        plan = _executed(E.queries()["pii_card_gate"](spark, SF))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
     def test_mmr_corpus_work_is_one_topk_scan(self, spark):
         """Only stage 1 (cosine top-n_candidates) touches the corpus: the
         plan is one ordered take over the scan; the greedy loop runs on

@@ -185,6 +185,47 @@ def test_curate_stream_scrubs_filters_and_dedups(spark, tmp_path):
     assert got[4]["n_pii"] == 0 and got[4]["quality"] >= 0.4
 
 
+def test_pii_card_gate_stream_redacts_and_drops(spark, tmp_path):
+    """Checksum gate at the edge: only the Luhn-VALID carrier is flagged;
+    phone-shaped runs pass untouched; drop mode quarantines the carrier."""
+    import datetime as dt
+
+    from pgferry_spark.streaming.events import pii_card_gate_stream
+
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, t, "pay with 4539 5787 6362 1486 today"),      # valid card
+        (2, t, "call 415 555 0199 123 4 maybe"),           # fails Luhn
+        (3, t, "no digits in sight"),
+    ]
+    path = str(tmp_path / "card_src")
+    spark.createDataFrame(rows, "doc_id: long, ts: timestamp, text: string") \
+        .coalesce(1).write.parquet(path)
+
+    def run(mode, name):
+        stream = pii_card_gate_stream(
+            spark.readStream.schema(
+                "doc_id long, ts timestamp, text string"
+            ).parquet(path),
+            mode=mode,
+        )
+        q = (
+            stream.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {r["doc_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    got = run("redact", "t_card_redact")
+    assert got[1]["n_valid_cards"] == 1 and "<CARD>" in got[1]["text"]
+    assert "4539" not in got[1]["text"]
+    assert got[2]["n_valid_cards"] == 0 and got[2]["text"] == rows[1][2]
+    assert got[3]["n_valid_cards"] == 0
+
+    dropped = run("drop", "t_card_drop")
+    assert set(dropped) == {2, 3}
+
+
 def test_funnel_stream_emits_on_completion(spark, tmp_path):
     """Real-time funnel: completion rows emit with the batch operator's
     exact matching semantics (ordered, strictly-increasing ts)."""
