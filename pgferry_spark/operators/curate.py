@@ -534,6 +534,23 @@ def write_jsonl_shards(
     )
 
 
+def read_jsonl_shards(
+    spark,
+    path: str,
+    schema: str,
+) -> DataFrame:
+    """Read back a :func:`write_jsonl_shards` layout as a DataFrame —
+    the ingest half of the JSONL interchange round-trip. ``schema`` is
+    REQUIRED (never inferred): at 100 TB schema inference is a full
+    extra pass over every shard, and a drifting inferred type (a column
+    of all-null strings inferred as string vs the writer's long) breaks
+    downstream plans silently. The ``shard`` partition column comes back
+    as a normal column, so shard-pruned reads are a plain
+    ``.filter(F.col("shard") == k)`` that Spark turns into partition
+    pruning."""
+    return spark.read.schema(schema + ", shard int").json(path)
+
+
 def percentile_calibrate(
     df: DataFrame,
     id_col: str,

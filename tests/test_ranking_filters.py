@@ -507,6 +507,41 @@ def test_write_jsonl_shards_deterministic_layout(spark, tmp_path):
     assert rows2 == lines0
 
 
+def test_jsonl_shards_roundtrip_and_shard_pruning(spark, tmp_path):
+    """write_jsonl_shards -> read_jsonl_shards is lossless (ids, text,
+    shard assignment), and a shard filter prunes to that partition."""
+    from pgferry_spark.operators.curate import (
+        assign_shards,
+        read_jsonl_shards,
+        write_jsonl_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body") for i in range(100)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "jsonl_rt")
+    write_jsonl_shards(df, path, "doc_id", n_shards=4)
+
+    back = read_jsonl_shards(spark, path, "doc_id long, text string")
+    assert back.count() == 100
+    got = {r.doc_id: (r.text, r.shard) for r in back.collect()}
+    expect_shards = {
+        r.doc_id: r.shard for r in assign_shards(df, "doc_id", 4).collect()
+    }
+    assert {i: t for i, (t, _) in got.items()} == {
+        i: f"doc {i} body" for i in range(100)
+    }
+    assert {i: s for i, (_, s) in got.items()} == expect_shards
+
+    from pyspark.sql import functions as F
+
+    pruned = back.filter(F.col("shard") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition-directory pruning: the scan lists only shard=2 files
+    assert pruned.count() == sum(1 for s in expect_shards.values() if s == 2)
+    assert "PartitionFilters: [isnotnull(shard" in plan or "shard=2" in plan
+
+
 class TestDsirImportance:
     def test_target_lookalikes_score_higher(self, spark):
         from pyspark.sql import functions as F
