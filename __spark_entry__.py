@@ -1006,6 +1006,23 @@ def _bm25_topk(spark, sf):
     return ranking.bm25_topk(d, "text", "doc_id", ["spark", "window", "dup"], k=15)
 
 
+def _mmr_diversify_ivf(spark, sf):
+    """Scale-path MMR: the candidate pool is ONE probed IVF cell (per-row
+    argmax against broadcast centroid literals — the ivf_topk probe plan)
+    instead of the exact full-corpus scan; the greedy stage is identical.
+    Pairs with `mmr_diversify` the way ivf_topk pairs with cosine_topk."""
+    from pgferry_spark.operators.similarity import _cell_of
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.ivf_centroids(e, "embedding", "vec_id", n_cells=8)
+    qcell = similarity.ivf_query_cell(cents, qvec)
+    members = e.filter(_cell_of(F.col("embedding"), cents) == qcell)
+    return similarity.mmr_select(
+        members, "embedding", "vec_id", qvec, k=10, lam=0.5, n_candidates=50
+    )
+
+
 def _pii_luhn_cards(spark, sf):
     """Checksum-validated card detection: deterministic card-shaped
     numbers are synthesized from doc_id on BOTH engines (the fixtures
@@ -2966,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diversify": _mmr_diversify,
         "pii_luhn_cards": _pii_luhn_cards,
         "pii_card_gate": _pii_card_gate,
+        "mmr_diversify_ivf": _mmr_diversify_ivf,
     }
 
 
@@ -2991,7 +3009,12 @@ from pgferry_spark.operators.sketches import _alpha_m2 as _hll_alpha_m2
 _alpha_m2_256 = _hll_alpha_m2(8)
 
 
-def _mmr_oracle(k: int = 10, lam: float = 0.5, n_candidates: int = 50) -> str:
+def _mmr_oracle(
+    k: int = 10,
+    lam: float = 0.5,
+    n_candidates: int = 50,
+    ivf_probe: bool = False,
+) -> str:
     """Unrolled-greedy MMR oracle: the k-step argmax loop is inherently
     sequential, but k is a FIXED small constant, so each step becomes one
     chained CTE (scored_i -> argmax sel_i -> prev_i accumulator) — plain
@@ -3003,16 +3026,36 @@ def _mmr_oracle(k: int = 10, lam: float = 0.5, n_candidates: int = 50) -> str:
         "ROUND(list_dot_product(c.v, p.v) / (sqrt(list_dot_product(c.v, c.v))"
         " * sqrt(list_dot_product(p.v, p.v))), 4)"
     )
+    if ivf_probe:
+        # candidate pool = the query's IVF cell only (same assign/qcell
+        # CTEs as the ivf_topk oracle), mirroring mmr_select over the
+        # _cell_of-filtered corpus — the scale-path pairing
+        cand_src = """
+        c AS (SELECT vec_id AS cell_id, v AS cvec FROM e WHERE vec_id < 8),
+        celldots AS (SELECT e.vec_id, c.cell_id,
+                            ROUND(list_dot_product(e.v, c.cvec), 4) AS dot
+                     FROM e CROSS JOIN c),
+        cellranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY dot DESC, cell_id ASC) AS rnk
+                       FROM celldots),
+        assign AS (SELECT vec_id, cell_id FROM cellranked WHERE rnk = 1),
+        qcell AS (SELECT cell_id FROM assign WHERE vec_id = 0),
+        pool AS (SELECT e.vec_id, e.v
+                 FROM e JOIN assign ON assign.vec_id = e.vec_id
+                 JOIN qcell ON assign.cell_id = qcell.cell_id),"""
+    else:
+        cand_src = """
+        pool AS (SELECT vec_id, v FROM e),"""
     parts = [
         f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        q AS (SELECT v AS qe FROM e WHERE vec_id = 0),
+        q AS (SELECT v AS qe FROM e WHERE vec_id = 0),{cand_src}
         cand AS MATERIALIZED (
           SELECT vec_id AS id, v,
                  ROUND(list_dot_product(v, q.qe)
                        / (sqrt(list_dot_product(v, v))
                           * sqrt(list_dot_product(q.qe, q.qe))), 4) AS rel
-          FROM e, q
+          FROM pool, q
           ORDER BY rel DESC, id ASC
           LIMIT {n_candidates}
         ),
@@ -5676,6 +5719,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc ASC LIMIT 15
         """,
         "mmr_diversify": _mmr_oracle(k=10, lam=0.5, n_candidates=50),
+        "mmr_diversify_ivf": _mmr_oracle(
+            k=10, lam=0.5, n_candidates=50, ivf_probe=True
+        ),
         "pii_luhn_cards": f"""
             WITH synth AS (
               SELECT doc_id,

@@ -153,6 +153,7 @@ HEADLINE = [
     "mmr_diversify",
     "pii_luhn_cards",
     "pii_card_gate",
+    "mmr_diversify_ivf",
 ]
 
 

@@ -652,6 +652,15 @@ class TestLoghistCompactionPlanShapes:
         assert "Join" not in plan
         assert "Exchange hashpartitioning" not in plan
 
+    def test_mmr_ivf_probe_no_join_no_corpus_shuffle(self, spark):
+        """The IVF-probed MMR variant keeps the ivf_topk probe plan:
+        per-row cell membership against broadcast centroid literals (one
+        filtered scan, no join), then the same bounded greedy batch."""
+        plan = _executed(E.queries()["mmr_diversify_ivf"](spark, SF))
+        assert "Join" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "TakeOrderedAndProject" in plan
+
     def test_dedup_keep_best_single_aggregate_no_window(self, spark):
         """The quality-aware keeper is ONE map-side-combinable aggregate
         shuffle (max(struct(score,-id)) per fingerprint) — no window
