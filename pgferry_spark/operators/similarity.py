@@ -119,6 +119,8 @@ def mmr_select(
     carrying its relevance as the score (nothing selected yet to trade
     against).
     """
+    if k < 1:
+        raise ValueError("mmr_select requires k >= 1")
     cand = (
         df.select(
             F.col(id_col),

@@ -213,6 +213,13 @@ class TestMMRSelect:
         ]
         assert mmr == rel
 
+    def test_k_below_one_raises(self, spark):
+        import pytest
+
+        e = self.embeddings(spark)
+        with pytest.raises(ValueError):
+            similarity.mmr_select(e, "embedding", "vec_id", [1.0, 0.0, 0.0], k=0)
+
     def test_k_larger_than_candidates_returns_all(self, spark):
         e = self.embeddings(spark)
         got = similarity.mmr_select(
