@@ -285,6 +285,37 @@ ANNOTATED = {
         "table bytes — the rewrite it feeds is per-bin parallel "
         "(LakeTable.compact).",
     ),
+    "hybrid_rrf_topk": (
+        "two bounded top-N generators + one window pass + ordered take",
+        "Each candidate list is its generator's own plan (BM25's narrow "
+        "persisted stats table, cosine's one-scan TakeOrdered); the "
+        "fusion unions N-per-list rows, ranks them in a single window "
+        "partitioned by list index (each partition IS one top-N, so no "
+        "skew is possible), and cuts with TakeOrderedAndProject — "
+        "fusion cost is independent of corpus size by construction.",
+    ),
+    "dedup_keep_best": (
+        "ONE map-side-combinable aggregate, no window, no join",
+        "max(struct(score, -id)) per fingerprint reduces inside each "
+        "input partition before the single Exchange — a hot duplicate "
+        "group never materializes in one task the way a row_number "
+        "window would force; dup_count rides the same aggregate.",
+    ),
+    "mmr_diversify": (
+        "one exact top-N scan + bounded Arrow greedy, no shuffle",
+        "Only the candidate stage touches the corpus (the audited "
+        "cosine_topk TakeOrdered plan); the inherently-sequential "
+        "greedy argmax runs over the bounded candidate batch in a "
+        "single mapInPandas partition — the corpus never meets the "
+        "O(k*N) pairwise stage.",
+    ),
+    "pii_luhn_cards": (
+        "map-only: synthesis, extraction, and checksum in one scan",
+        "Card-run extraction, separator strip, length gate, and the "
+        "Luhn split/transform/aggregate all fuse into the projection — "
+        "no Exchange at all (plan-asserted); at 100 TB this rides the "
+        "ingest scan inside whole-stage codegen.",
+    ),
 }
 
 
