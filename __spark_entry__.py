@@ -1683,6 +1683,17 @@ def _curate_corpus(spark, sf):
     return out.select("doc_id", "quality", "split", "shard")
 
 
+def _curate_corpus_best(spark, sf):
+    """curate_corpus with the quality-aware keeper: per fingerprint group
+    the HIGHEST-quality row survives (ties to min id) instead of min-id —
+    same single wide shuffle, keeper semantics from dedup.keep_best."""
+    from pgferry_spark.operators.curate import curate_corpus
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = curate_corpus(d, "text", "doc_id", min_quality=0.3, keeper="best")
+    return out.select("doc_id", "quality", "split", "shard")
+
+
 def _corpus_report(spark, sf):
     """One-row dataset datasheet: doc/token/char totals, language and
     source breadth, duplication rate, mean quality — the summary table a
@@ -2984,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_luhn_cards": _pii_luhn_cards,
         "pii_card_gate": _pii_card_gate,
         "mmr_diversify_ivf": _mmr_diversify_ivf,
+        "curate_corpus_best": _curate_corpus_best,
     }
 
 
@@ -5409,6 +5421,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, quality,
                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
               FROM ranked WHERE doc_id = keeper
+            )
+            SELECT doc_id, quality,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                        AS INTEGER) AS shard
+            FROM kept
+        """,
+        "curate_corpus_best": f"""
+            WITH s1 AS (
+              SELECT doc_id,
+                     regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+              FROM documents
+            ),
+            s2 AS (SELECT doc_id, regexp_replace(t, '{_PII_IPV4}', '<IP>', 'g') AS t FROM s1),
+            s3 AS (SELECT doc_id, regexp_replace(t, '{_PII_PHONE}', '<PHONE>', 'g') AS text FROM s2),
+            scored AS (
+              SELECT doc_id, text,
+                     ROUND(
+                       0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                     + 0.3 * (CASE WHEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                                        / len({_TOKS}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - least(5.0 * (CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                                                 / greatest(length(text), 1)), 1.0)), 4) AS quality
+              FROM s3
+            ),
+            gated AS (SELECT * FROM scored WHERE quality >= 0.3),
+            ranked AS (
+              SELECT doc_id, quality,
+                     row_number() OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       ORDER BY quality DESC, doc_id ASC
+                     ) AS rnk
+              FROM gated
+            ),
+            kept AS (
+              SELECT doc_id, quality,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+              FROM ranked WHERE rnk = 1
             )
             SELECT doc_id, quality,
                    CASE WHEN b < 80 THEN 'train'

@@ -154,6 +154,7 @@ HEADLINE = [
     "pii_luhn_cards",
     "pii_card_gate",
     "mmr_diversify_ivf",
+    "curate_corpus_best",
 ]
 
 

@@ -482,6 +482,7 @@ def curate_corpus(
     train_pct: int = 80,
     val_pct: int = 10,
     n_shards: int = 8,
+    keeper: str = "min_id",
 ) -> DataFrame:
     """The full curation DAG as one composition — the batch mirror of the
     streaming :func:`~pgferry_spark.streaming.events.curate_stream` gate,
@@ -490,7 +491,9 @@ def curate_corpus(
     1. PII scrub (map-only; the scrubbed text is what everything
        downstream, including the dedup fingerprint, sees);
     2. quality filter on the scrubbed text (map-only);
-    3. fingerprint dedup, keep-lowest-id (one shuffle);
+    3. fingerprint dedup — ``keeper="min_id"`` keeps the lowest id,
+       ``keeper="best"`` keeps the group's highest-quality row (ties to
+       min id; numeric ids required) — one shuffle either way;
     4. deterministic train/val/test split (map-only md5 bucket);
     5. shard assignment (map-only md5 bucket).
 
@@ -502,11 +505,16 @@ def curate_corpus(
     from ..functions.text import fingerprint, pii_scrub, quality_score
     from .dedup import dedup_by_fingerprint
 
+    if keeper not in ("min_id", "best"):
+        raise ValueError(f"unknown keeper: {keeper!r} (use 'min_id' or 'best')")
     scrubbed = df.withColumn(text_col, pii_scrub(F.col(text_col)))
     scored = scrubbed.withColumn(
         "quality", F.round(quality_score(F.col(text_col)), 4)
     ).filter(F.col("quality") >= min_quality)
-    deduped = dedup_by_fingerprint(scored, text_col, id_col)
+    deduped = dedup_by_fingerprint(
+        scored, text_col, id_col,
+        score_col="quality" if keeper == "best" else None,
+    )
     split = dataset_split(deduped, id_col, train_pct, val_pct)
     return assign_shards(split, id_col, n_shards)
 

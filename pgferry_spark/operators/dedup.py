@@ -55,18 +55,34 @@ def exact_dup_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
-def dedup_by_fingerprint(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+def dedup_by_fingerprint(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    score_col: str | None = None,
+) -> DataFrame:
     """Near-exact dedup on the whitespace/case-normalized md5 fingerprint
-    (same one-shuffle window shape as :func:`dedup_exact`)."""
+    (same one-shuffle window shape as :func:`dedup_exact`). With
+    ``score_col``, the keeper is the group's HIGHEST-scoring row (ties to
+    the smallest id — :func:`keep_best` semantics) instead of min-id,
+    while retaining every column of the kept row; ``id_col`` must be
+    numeric in that mode."""
     from pyspark.sql.window import Window
 
     with_fp = df.withColumn("__fp", fingerprint(F.col(content_col)))
-    keep = F.min(id_col).over(Window.partitionBy("__fp"))
-    return (
-        with_fp.withColumn("__keep", keep)
-        .filter(F.col(id_col) == F.col("__keep"))
-        .drop("__fp", "__keep")
+    w = Window.partitionBy("__fp")
+    if score_col is None:
+        keep = with_fp.withColumn("__keep", F.min(id_col).over(w)).filter(
+            F.col(id_col) == F.col("__keep")
+        )
+        return keep.drop("__fp", "__keep")
+    best = F.max(
+        F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid"))
+    ).over(w)
+    keep = with_fp.withColumn("__best", best).filter(
+        F.col(id_col) == -F.col("__best.nid")
     )
+    return keep.drop("__fp", "__best")
 
 
 def keep_best(

@@ -76,6 +76,51 @@ def test_card_candidates_luhn_filters_phone_shaped_runs(spark):
     assert [r["n"] for r in n_valid] == [0, 1]
 
 
+def test_curate_corpus_best_keeper_prefers_quality_over_id(spark):
+    """Two layers: (a) inside curate_corpus, scrub-twin docs have
+    identical post-scrub text and therefore identical quality, so both
+    keepers agree on the min-id tie-break; (b) dedup_by_fingerprint with
+    a score column keeps the max-score row (ties to min id) with every
+    column intact."""
+    from pgferry_spark.operators.curate import curate_corpus
+
+    base = ("a perfectly reasonable document with a steady stream of "
+            "ordinary words that keeps going for a while. ")
+    rows = [
+        (1, base + "contact a@x.com now"),
+        (2, base + "contact b@y.org now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # identical post-scrub text -> identical quality -> tie -> min id on
+    # both keepers
+    for keeper, expect in (("min_id", {1}), ("best", {1})):
+        got = {r.doc_id for r in
+               curate_corpus(df, "text", "doc_id", keeper=keeper).collect()}
+        assert got == expect, keeper
+
+    # now a real quality split inside one dup group: dedup_by_fingerprint
+    # directly (fingerprint on a shared key column pattern via text)
+    from pgferry_spark.operators.dedup import dedup_by_fingerprint
+
+    dup_rows = [
+        (10, "shared duplicate content body", 0.2),
+        (11, "shared duplicate content body", 0.9),
+        (12, "shared duplicate content body", 0.9),
+        (20, "a unique document", 0.5),
+    ]
+    ddf = spark.createDataFrame(dup_rows, "doc_id long, text string, q double")
+    kept_min = {r.doc_id for r in
+                dedup_by_fingerprint(ddf, "text", "doc_id").collect()}
+    kept_best = {r.doc_id for r in
+                 dedup_by_fingerprint(ddf, "text", "doc_id", "q").collect()}
+    assert kept_min == {10, 20}
+    assert kept_best == {11, 20}  # max q, tie 11<12 -> 11
+    # every column of the kept row survives
+    row = dedup_by_fingerprint(ddf, "text", "doc_id", "q") \
+        .filter(F.col("doc_id") == 11).first()
+    assert row.q == 0.9 and row.text == "shared duplicate content body"
+
+
 def test_luhn_randomized_against_local_reference(spark):
     # 200 seeded random digit strings (lengths 1-24) in ONE Spark
     # round-trip, checked against a from-scratch local Luhn

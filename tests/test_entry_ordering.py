@@ -84,7 +84,7 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 209
+N_QUERIES = 210
 
 
 def test_window_layout(entry_mod):
