@@ -1875,8 +1875,10 @@ def _funnel_report(spark, sf):
 def _bpe_merges(spark, sf):
     """BPE merge learning: one distributed word-count shuffle, then a
     driver loop over the vocab-bounded frequency table — 50 learned
-    merges as (rank, left, right, pair_count). ROWS-ONLY by design: the
-    greedy iterative merge loop is not SQL-expressible; correctness is
+    merges as (rank, left, right, pair_count). Oracle-backed since round
+    6: the greedy loop unrolls into 50 chained MATERIALIZED CTE steps
+    (pair explode -> argmax -> replace-based merge application on a
+    unit-separator symbol encoding) — see _bpe_merges_oracle. Also
     pinned by test_vocab's independent-reference equivalence."""
     from pgferry_spark.operators.vocab import bpe_merges_df, learn_bpe_merges
 
@@ -3092,6 +3094,75 @@ def _mmr_oracle(
     union = "\n        UNION ALL\n".join(
         f"        SELECT id AS vec_id, mmr_rank, mmr_score FROM sel{i}"
         for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+def _bpe_merges_oracle(n_merges: int = 50, max_words: int = 10_000) -> str:
+    """Unrolled-BPE oracle (the MMR trick applied to Sennrich et al.
+    merge learning): each greedy step becomes one chained trio of
+    MATERIALIZED CTEs — pair counts (explode adjacent symbol pairs),
+    argmax (count desc, then lexicographic pair), and merge application.
+
+    The vocab state is a symbol sequence encoded as a single string with
+    every symbol wrapped in chr(31) unit separators
+    (``\\x1f sym \\x1f``), so applying merge (l, r) is one
+    ``replace(s, \\x1f l \\x1f\\x1f r \\x1f, \\x1f lr \\x1f)`` — DuckDB's
+    replace scans left-to-right and continues AFTER each replacement,
+    which is exactly the BPE within-word merge order (verified for the
+    overlapping 'a a a a' case). The per-symbol wrapping (boundaries are
+    DOUBLE separators) is what makes consecutive merges like (a,a) on
+    'aaaa' land twice in one pass; a single-separator encoding consumes
+    the shared boundary and under-merges. chr(31) never appears in the
+    fixtures' whitespace-split tokens."""
+    sep = chr(31)
+    parts = [
+        f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+        wf AS MATERIALIZED (
+          SELECT w, COUNT(*) AS cnt FROM toks
+          WHERE w IS NOT NULL AND w <> ''
+          GROUP BY w ORDER BY cnt DESC, w ASC LIMIT {max_words}
+        ),
+        vocab0 AS MATERIALIZED (
+          SELECT '{sep}' || array_to_string(
+                   list_append(list_transform(range(1, length(w) + 1),
+                                              i -> substr(w, i, 1)), '</w>'),
+                   '{sep}{sep}') || '{sep}' AS s,
+                 cnt
+          FROM wf
+        )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+        pairs{i} AS MATERIALIZED (
+          SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS c
+          FROM (
+            SELECT unnest(list_transform(range(1, len(syms)),
+                                         j -> [syms[j], syms[j + 1]])) AS pr,
+                   cnt
+            FROM (SELECT str_split(trim(s, '{sep}'), '{sep}{sep}') AS syms, cnt
+                  FROM vocab{i - 1})
+          )
+          GROUP BY l, r
+        ),
+        best{i} AS MATERIALIZED (
+          SELECT l, r, c FROM pairs{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+        ),
+        vocab{i} AS MATERIALIZED (
+          SELECT s, SUM(cnt) AS cnt FROM (
+            SELECT replace(v.s, '{sep}' || b.l || '{sep}{sep}' || b.r || '{sep}',
+                           '{sep}' || b.l || b.r || '{sep}') AS s,
+                   v.cnt
+            FROM vocab{i - 1} v CROSS JOIN best{i} b
+          ) GROUP BY s
+        )"""
+        )
+    union = "\n        UNION ALL\n".join(
+        f"        SELECT CAST({i} AS INT) AS rank, l AS left, r AS right,"
+        f" CAST(c AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
     )
     return "".join(parts) + "\n" + union
 
@@ -5770,6 +5841,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc
             ORDER BY score DESC, doc ASC LIMIT 15
         """,
+        "bpe_merges": _bpe_merges_oracle(n_merges=50, max_words=10_000),
         "mmr_diversify": _mmr_oracle(k=10, lam=0.5, n_candidates=50),
         "mmr_diversify_ivf": _mmr_oracle(
             k=10, lam=0.5, n_candidates=50, ivf_probe=True

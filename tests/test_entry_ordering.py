@@ -67,9 +67,12 @@ ROWS_ONLY = {
     # capped xxhash64 production posture: rows-only like its uncapped
     # sibling; lsh_candidate_pairs_md5_capped carries the oracle
     "lsh_candidate_pairs_capped",
-    # iterative greedy BPE learning is not SQL-expressible; pinned instead
-    # by test_vocab's independent-reference equivalence
-    "bpe_merges", "bpe_encode",
+    # round 6: bpe_merges GRADUATED to oracle-backed — the greedy loop
+    # unrolled as chained MATERIALIZED CTEs (the MMR trick). bpe_encode
+    # stays rows-only: its per-doc Arrow encode path would need the
+    # 50-step replay per distinct word; pinned by test_vocab's
+    # independent-reference equivalence
+    "bpe_encode",
     # LBFGS coefficients are iteration-order sensitive; pinned by
     # test_classify's separability/agreement checks
     "quality_classifier",
