@@ -1889,7 +1889,10 @@ def _bpe_merges(spark, sf):
 def _bpe_encode(spark, sf):
     """Distributed encode pass under the learned BPE vocabulary: per-doc
     token counts via an Arrow-batched UDF with a per-batch word cache.
-    ROWS-ONLY (same reason as bpe_merges; reference-checked in pytest)."""
+    Oracle-backed since round 6: the oracle replays the unrolled-learned
+    merges over every distinct word (sequential-by-rank global replace ≡
+    the UDF's priority encode for learned merge lists, whose operand
+    symbols only arise from earlier merges) and sums per document."""
     from pgferry_spark.operators.vocab import bpe_encode_counts, learn_bpe_merges
 
     d = _t(spark, sf, "documents")
@@ -3098,7 +3101,9 @@ def _mmr_oracle(
     return "".join(parts) + "\n" + union
 
 
-def _bpe_merges_oracle(n_merges: int = 50, max_words: int = 10_000) -> str:
+def _bpe_merges_oracle(
+    n_merges: int = 50, max_words: int = 10_000, mode: str = "merges"
+) -> str:
     """Unrolled-BPE oracle (the MMR trick applied to Sennrich et al.
     merge learning): each greedy step becomes one chained trio of
     MATERIALIZED CTEs — pair counts (explode adjacent symbol pairs),
@@ -3114,7 +3119,14 @@ def _bpe_merges_oracle(n_merges: int = 50, max_words: int = 10_000) -> str:
     DOUBLE separators) is what makes consecutive merges like (a,a) on
     'aaaa' land twice in one pass; a single-separator encoding consumes
     the shared boundary and under-merges. chr(31) never appears in the
-    fixtures' whitespace-split tokens."""
+    fixtures' whitespace-split tokens.
+
+    ``mode="encode"`` additionally REPLAYS the learned merges over every
+    distinct corpus word (sequential-by-rank global replace — equivalent
+    to the UDF's priority encode because a learned merge's operand
+    symbols can only be created by EARLIER merges, so a later merge can
+    never retro-enable an earlier one) and returns per-document subword
+    counts instead of the merge table."""
     sep = chr(31)
     parts = [
         f"""
@@ -3159,12 +3171,58 @@ def _bpe_merges_oracle(n_merges: int = 50, max_words: int = 10_000) -> str:
           ) GROUP BY s
         )"""
         )
-    union = "\n        UNION ALL\n".join(
-        f"        SELECT CAST({i} AS INT) AS rank, l AS left, r AS right,"
-        f" CAST(c AS BIGINT) AS pair_count FROM best{i}"
-        for i in range(1, n_merges + 1)
+    if mode == "merges":
+        union = "\n        UNION ALL\n".join(
+            f"        SELECT CAST({i} AS INT) AS rank, l AS left, r AS right,"
+            f" CAST(c AS BIGINT) AS pair_count FROM best{i}"
+            for i in range(1, n_merges + 1)
+        )
+        return "".join(parts) + "\n" + union
+    if mode != "encode":
+        raise ValueError(f"unknown mode: {mode!r}")
+    # replay phase: every DISTINCT corpus word (uncapped — encode must
+    # handle words outside the training cap too) through the 50 merges
+    parts.append(
+        f""",
+        enc0 AS MATERIALIZED (
+          SELECT w, '{sep}' || array_to_string(
+                   list_append(list_transform(range(1, length(w) + 1),
+                                              i -> substr(w, i, 1)), '</w>'),
+                   '{sep}{sep}') || '{sep}' AS s
+          FROM (SELECT DISTINCT w FROM toks
+                WHERE w IS NOT NULL AND w <> '')
+        )"""
     )
-    return "".join(parts) + "\n" + union
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+        enc{i} AS MATERIALIZED (
+          SELECT e.w,
+                 CASE WHEN b.l IS NULL THEN e.s
+                      ELSE replace(e.s, '{sep}' || b.l || '{sep}{sep}' || b.r || '{sep}',
+                                   '{sep}' || b.l || b.r || '{sep}')
+                 END AS s
+          FROM enc{i - 1} e LEFT JOIN best{i} b ON TRUE
+        )"""
+        )
+    parts.append(
+        f""",
+        wordlens AS MATERIALIZED (
+          SELECT w, len(str_split(trim(s, '{sep}'), '{sep}{sep}')) AS n
+          FROM enc{n_merges}
+        ),
+        doc_words AS (
+          SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+        ),
+        summed AS (
+          SELECT dw.doc_id, SUM(wl.n) AS n_tokens
+          FROM doc_words dw JOIN wordlens wl USING (w)
+          GROUP BY dw.doc_id
+        )
+        SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN summed s USING (doc_id)"""
+    )
+    return "".join(parts)
 
 
 def _luhn_sum_sql(s: str) -> str:
@@ -5842,6 +5900,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc ASC LIMIT 15
         """,
         "bpe_merges": _bpe_merges_oracle(n_merges=50, max_words=10_000),
+        "bpe_encode": _bpe_merges_oracle(
+            n_merges=50, max_words=10_000, mode="encode"
+        ),
         "mmr_diversify": _mmr_oracle(k=10, lam=0.5, n_candidates=50),
         "mmr_diversify_ivf": _mmr_oracle(
             k=10, lam=0.5, n_candidates=50, ivf_probe=True

@@ -67,12 +67,10 @@ ROWS_ONLY = {
     # capped xxhash64 production posture: rows-only like its uncapped
     # sibling; lsh_candidate_pairs_md5_capped carries the oracle
     "lsh_candidate_pairs_capped",
-    # round 6: bpe_merges GRADUATED to oracle-backed — the greedy loop
-    # unrolled as chained MATERIALIZED CTEs (the MMR trick). bpe_encode
-    # stays rows-only: its per-doc Arrow encode path would need the
-    # 50-step replay per distinct word; pinned by test_vocab's
-    # independent-reference equivalence
-    "bpe_encode",
+    # round 6: bpe_merges AND bpe_encode both GRADUATED to oracle-backed
+    # — the greedy loop unrolled as chained MATERIALIZED CTEs (the MMR
+    # trick), with encode replaying the merges per distinct word
+    # (sequential-by-rank ≡ priority encode for learned merge lists)
     # LBFGS coefficients are iteration-order sensitive; pinned by
     # test_classify's separability/agreement checks
     "quality_classifier",
