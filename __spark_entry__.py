@@ -1023,6 +1023,17 @@ def _mmr_diversify_ivf(spark, sf):
     )
 
 
+def _kmeans_exact_assign(spark, sf):
+    """Deterministic distributed Lloyd's (3 iterations, 8 cells): the
+    reproducible, oracle-verifiable trained-clustering counterpart to the
+    MLlib rows (`ivf_kmeans_assign`) — decimal-exact mean reductions make
+    the result independent of partitioning and reduction order."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.kmeans_deterministic(
+        e, "embedding", "vec_id", n_cells=8, n_iters=3
+    )
+
+
 def _pii_luhn_cards(spark, sf):
     """Checksum-validated card detection: deterministic card-shaped
     numbers are synthesized from doc_id on BOTH engines (the fixtures
@@ -3001,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_card_gate": _pii_card_gate,
         "mmr_diversify_ivf": _mmr_diversify_ivf,
         "curate_corpus_best": _curate_corpus_best,
+        "kmeans_exact_assign": _kmeans_exact_assign,
     }
 
 
@@ -3221,6 +3233,73 @@ def _bpe_merges_oracle(
         )
         SELECT d.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens
         FROM documents d LEFT JOIN summed s USING (doc_id)"""
+    )
+    return "".join(parts)
+
+
+def _kmeans_oracle(n_cells: int = 8, n_iters: int = 3, dp: int = 6) -> str:
+    """Unrolled deterministic-Lloyd oracle. Mirrors
+    similarity.kmeans_deterministic exactly: components quantized to
+    ``dp`` once; per-iteration assignment = argmin of the sequential
+    list-fold squared L2 rounded to ``dp`` (ties to the lower cell);
+    means = DECIMAL(38,12) exact sums (order-independent on both
+    engines) cast to DOUBLE, divided, rounded to ``dp``; empty clusters
+    keep the previous centroid (COALESCE over a LEFT JOIN)."""
+    parts = [
+        f"""
+        WITH eq AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> ROUND(x, {dp})) AS vq
+          FROM embeddings
+        ),
+        cent0 AS MATERIALIZED (
+          SELECT vec_id AS cell, vq AS c FROM eq WHERE vec_id < {n_cells}
+        )"""
+    ]
+    dist = (
+        f"ROUND(list_sum(list_transform(range(1, len(e.vq) + 1), "
+        f"i -> (e.vq[i] - c.c[i]) * (e.vq[i] - c.c[i]))), {dp})"
+    )
+    for t in range(1, n_iters + 2):  # n_iters updates + the final assign
+        parts.append(
+            f""",
+        asg{t} AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell, {dist} AS d,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist} ASC, c.cell ASC) AS rnk
+            FROM eq e CROSS JOIN cent{t - 1} c
+          ) WHERE rnk = 1
+        )"""
+        )
+        if t == n_iters + 1:
+            break
+        parts.append(
+            f""",
+        stat{t} AS MATERIALIZED (
+          SELECT cell, u.pos AS pos,
+                 CAST(SUM(CAST(u.val AS DECIMAL(38,12))) AS DOUBLE) AS s,
+                 COUNT(*) AS n
+          FROM (
+            SELECT a.cell,
+                   unnest(list_transform(range(1, len(e.vq) + 1),
+                          i -> {{'pos': i, 'val': e.vq[i]}})) AS u
+            FROM asg{t} a JOIN eq e USING (vec_id)
+          ) GROUP BY cell, u.pos
+        ),
+        m{t} AS MATERIALIZED (
+          SELECT cell, list(ROUND(s / n, {dp}) ORDER BY pos) AS c
+          FROM stat{t} GROUP BY cell
+        ),
+        cent{t} AS MATERIALIZED (
+          SELECT p.cell, COALESCE(m.c, p.c) AS c
+          FROM cent{t - 1} p LEFT JOIN m{t} m USING (cell)
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT vec_id, CAST(cell AS INT) AS cell_id FROM asg{n_iters + 1}"""
     )
     return "".join(parts)
 
@@ -5900,6 +5979,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc ASC LIMIT 15
         """,
         "bpe_merges": _bpe_merges_oracle(n_merges=50, max_words=10_000),
+        "kmeans_exact_assign": _kmeans_oracle(n_cells=8, n_iters=3, dp=6),
         "bpe_encode": _bpe_merges_oracle(
             n_merges=50, max_words=10_000, mode="encode"
         ),

@@ -155,6 +155,7 @@ HEADLINE = [
     "pii_card_gate",
     "mmr_diversify_ivf",
     "curate_corpus_best",
+    "kmeans_exact_assign",
 ]
 
 

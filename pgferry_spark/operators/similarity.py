@@ -533,6 +533,99 @@ def ivf_topk(
     return cosine_topk(members, vec_col, id_col, query, k)
 
 
+def kmeans_deterministic(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    dp: int = 6,
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means — every float decision
+    is made reproducible, so the trained assignment is oracle-verifiable
+    (unlike MLlib's, whose mean reductions depend on partitioning):
+
+    - **inputs quantized once**: components rounded to ``dp`` decimals,
+      so the later decimal casts are exact regardless of engine rounding
+      mode;
+    - **assignment**: per-row argmin of the SEQUENTIAL-fold squared L2
+      distance against broadcast centroid literals, rounded to ``dp``
+      before the argmin, ties to the lower cell id — map-only, zero
+      shuffle (the ivf_assign plan);
+    - **means**: per-(cell, dim) sums accumulate in DECIMAL(38,12) —
+      EXACT arithmetic, hence order-independent: the result cannot
+      depend on partition count or reduction order, which is the whole
+      reason MLlib k-means is not reproducible. One aggregate shuffle
+      per iteration whose output is n_cells x dim rows (bounded index
+      metadata); division and the final ``dp`` rounding happen once,
+      driver-side;
+    - **empty clusters keep their previous centroid**.
+
+    Init = the quantized vectors with id < n_cells. Returns the
+    assignment ``(id_col, cell_id)`` under the final centroids. At
+    100 TB each iteration is one corpus scan + one bounded aggregate —
+    the textbook Lloyd shape — and determinism costs only the decimal
+    cast in the aggregate.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"), lambda x: F.round(x, dp)
+    )
+    base = df.select(F.col(id_col), q.alias("__vq")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def argmin_cell(cents):
+        entries = []
+        for i, c in enumerate(cents):
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(F.col("__vq"), lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(
+                F.struct(
+                    (-F.round(d2, dp)).alias("score"),
+                    F.lit(-i).alias("neg_id"),
+                )
+            )
+        return (-F.array_max(F.array(*entries))["neg_id"]).cast("int")
+
+    init = base.filter(F.col(id_col) < n_cells).orderBy(id_col).collect()
+    cents = [[float(x) for x in r["__vq"]] for r in init]
+
+    for _ in range(n_iters):
+        assigned = base.select(
+            F.col(id_col), F.col("__vq"), argmin_cell(cents).alias("cell_id")
+        )
+        stats = (
+            assigned.select(
+                "cell_id", F.posexplode("__vq").alias("pos", "val")
+            )
+            .groupBy("cell_id", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell_id"], {})[r["pos"]] = _round_half_up(
+                float(r["s"]) / r["n"], dp
+            )
+        cents = [
+            [by_cell[i][p] for p in sorted(by_cell[i])]
+            if i in by_cell
+            else cents[i]  # empty cluster keeps its previous centroid
+            for i in range(n_cells)
+        ]
+
+    return base.select(F.col(id_col), argmin_cell(cents).alias("cell_id"))
+
+
 def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """Symmetric int8 quantization per vector: ``q_i = round(x_i * 127 /
     max|x|)`` with the per-vector scale kept alongside — the standard 4x

@@ -317,6 +317,49 @@ class TestKeepBest:
         assert got == {2: 0.01, 5: None}
 
 
+def test_kmeans_deterministic_partition_invariant(spark):
+    """The whole point: decimal-exact mean reductions make the trained
+    assignment independent of partitioning — MLlib's float means are
+    not. Same data through 1 vs 7 partitions must assign identically."""
+    import random
+
+    from pgferry_spark.operators.similarity import kmeans_deterministic
+
+    rng = random.Random(20260815)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a1 = {r.vec_id: r.cell_id for r in kmeans_deterministic(
+        df.repartition(1), "embedding", "vec_id", n_cells=4, n_iters=3
+    ).collect()}
+    a7 = {r.vec_id: r.cell_id for r in kmeans_deterministic(
+        df.repartition(7), "embedding", "vec_id", n_cells=4, n_iters=3
+    ).collect()}
+    assert a1 == a7
+    assert set(a1) == set(range(200))
+    assert set(a1.values()) <= set(range(4))
+
+
+def test_kmeans_deterministic_empty_cluster_keeps_centroid(spark):
+    """Duplicate init vectors force one cluster empty (ties break to the
+    lower cell); the empty cell keeps its centroid and the loop is
+    stable — no crash, no NaN centroids."""
+    from pgferry_spark.operators.similarity import kmeans_deterministic
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.0, 0.0]),  # identical inits -> cell 1 empty
+        (2, [10.0, 10.0]), (3, [10.1, 10.1]), (4, [0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cell_id for r in kmeans_deterministic(
+        df, "embedding", "vec_id", n_cells=2, n_iters=2
+    ).collect()}
+    # the kept [0,0] centroid re-acquires the origin points once the
+    # other centroid drifts toward the far pair — correct Lloyd dynamics
+    assert got[0] == got[1] == got[4]
+    assert got[2] == got[3]
+    assert got[0] != got[2]  # the two natural clusters separate
+
+
 def test_keep_best_randomized_invariants(spark):
     """One seeded random batch vs a local reference: one row per distinct
     key, picked id/score are the group argmax (ties to min id), and

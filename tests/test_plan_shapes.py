@@ -637,6 +637,14 @@ class TestLoghistCompactionPlanShapes:
         assert "Exchange" not in plan
         assert "Join" not in plan
 
+    def test_kmeans_final_assignment_map_only(self, spark):
+        """The iterations run eagerly at build time (one bounded decimal
+        aggregate each); the RETURNED assignment plan is pure map work
+        against broadcast centroid literals — no join, no shuffle."""
+        plan = _executed(E.queries()["kmeans_exact_assign"](spark, SF))
+        assert "Join" not in plan
+        assert "Exchange hashpartitioning" not in plan
+
     def test_pii_card_gate_map_only(self, spark):
         plan = _executed(E.queries()["pii_card_gate"](spark, SF))
         assert "Exchange" not in plan
