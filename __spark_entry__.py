@@ -1034,6 +1034,34 @@ def _kmeans_exact_assign(spark, sf):
     )
 
 
+def _ivf_kmeans_exact_topk(spark, sf):
+    """ANN probe over the TRAINED deterministic index: centroids from
+    kmeans_deterministic (3 Lloyd iterations, decimal-exact means), the
+    query's cell by the same argmin rule, then exact cosine top-10 within
+    that one cell — the trained-index end-to-end, fully oracle-backed
+    (unlike the MLlib ivf_kmeans rows). One filtered map-only scan."""
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = similarity.kmeans_deterministic_centroids(
+        e, "embedding", "vec_id", n_cells=8, n_iters=3
+    )
+    # query cell driver-side with the identical quantize/round/tie rules
+    from pgferry_spark.operators.similarity import _round_half_up
+
+    vq = [_round_half_up(v, 6) for v in qvec]
+    dists = []
+    for i, c in enumerate(cents):
+        acc = 0.0
+        for a, b in zip(vq, c):
+            acc += (a - b) * (a - b)
+        dists.append((_round_half_up(acc, 6), i))
+    qcell = min(dists)[1]
+    members = e.filter(
+        similarity.kmeans_cell_of(F.col("embedding"), cents) == qcell
+    )
+    return similarity.cosine_topk(members, "embedding", "vec_id", qvec, k=10)
+
+
 def _pii_luhn_cards(spark, sf):
     """Checksum-validated card detection: deterministic card-shaped
     numbers are synthesized from doc_id on BOTH engines (the fixtures
@@ -3013,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diversify_ivf": _mmr_diversify_ivf,
         "curate_corpus_best": _curate_corpus_best,
         "kmeans_exact_assign": _kmeans_exact_assign,
+        "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
     }
 
 
@@ -3237,7 +3266,9 @@ def _bpe_merges_oracle(
     return "".join(parts)
 
 
-def _kmeans_oracle(n_cells: int = 8, n_iters: int = 3, dp: int = 6) -> str:
+def _kmeans_oracle(
+    n_cells: int = 8, n_iters: int = 3, dp: int = 6, mode: str = "assign"
+) -> str:
     """Unrolled deterministic-Lloyd oracle. Mirrors
     similarity.kmeans_deterministic exactly: components quantized to
     ``dp`` once; per-iteration assignment = argmin of the sequential
@@ -3297,9 +3328,31 @@ def _kmeans_oracle(n_cells: int = 8, n_iters: int = 3, dp: int = 6) -> str:
           FROM cent{t - 1} p LEFT JOIN m{t} m USING (cell)
         )"""
         )
-    parts.append(
-        f"""
+    if mode == "assign":
+        parts.append(
+            f"""
         SELECT vec_id, CAST(cell AS INT) AS cell_id FROM asg{n_iters + 1}"""
+        )
+        return "".join(parts)
+    if mode != "topk":
+        raise ValueError(f"unknown mode: {mode!r}")
+    # probe: the query's trained cell, exact cosine top-10 within it
+    parts.append(
+        f""",
+        qc AS (SELECT cell FROM asg{n_iters + 1} WHERE vec_id = 0),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id = 0)
+        SELECT emb.vec_id,
+               ROUND(list_dot_product(CAST(emb.embedding AS DOUBLE[]), q.qe)
+                     / (sqrt(list_dot_product(CAST(emb.embedding AS DOUBLE[]),
+                                              CAST(emb.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine_sim
+        FROM embeddings emb
+        JOIN asg{n_iters + 1} a ON a.vec_id = emb.vec_id
+        JOIN qc ON a.cell = qc.cell
+        CROSS JOIN q
+        ORDER BY cosine_sim DESC, emb.vec_id ASC
+        LIMIT 10"""
     )
     return "".join(parts)
 
@@ -5980,6 +6033,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_merges_oracle(n_merges=50, max_words=10_000),
         "kmeans_exact_assign": _kmeans_oracle(n_cells=8, n_iters=3, dp=6),
+        "ivf_kmeans_exact_topk": _kmeans_oracle(
+            n_cells=8, n_iters=3, dp=6, mode="topk"
+        ),
         "bpe_encode": _bpe_merges_oracle(
             n_merges=50, max_words=10_000, mode="encode"
         ),

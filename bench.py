@@ -156,6 +156,7 @@ HEADLINE = [
     "mmr_diversify_ivf",
     "curate_corpus_best",
     "kmeans_exact_assign",
+    "ivf_kmeans_exact_topk",
 ]
 
 

@@ -567,6 +567,50 @@ def kmeans_deterministic(
     the textbook Lloyd shape — and determinism costs only the decimal
     cast in the aggregate.
     """
+    cents = kmeans_deterministic_centroids(
+        df, vec_col, id_col, n_cells, n_iters, dp
+    )
+    return df.select(
+        F.col(id_col),
+        kmeans_cell_of(F.col(vec_col), cents, dp).alias("cell_id"),
+    )
+
+
+def kmeans_cell_of(vec_col, centroids: list[list[float]], dp: int = 6):
+    """Column expression: the deterministic-k-means cell of a vector —
+    quantize to ``dp``, then argmin of the sequential-fold squared L2
+    against the centroid literals, distance rounded to ``dp`` before the
+    argmin, ties to the lower cell id. Map-only register math."""
+    vq = F.transform(vec_col.cast("array<double>"), lambda x: F.round(x, dp))
+    entries = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(vq, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(
+            F.struct(
+                (-F.round(d2, dp)).alias("score"),
+                F.lit(-i).alias("neg_id"),
+            )
+        )
+    return (-F.array_max(F.array(*entries))["neg_id"]).cast("int")
+
+
+def kmeans_deterministic_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    dp: int = 6,
+) -> list[list[float]]:
+    """The trained centroids of :func:`kmeans_deterministic` — index
+    metadata (n_cells x dim floats), computed with the same
+    quantize/argmin/decimal-mean discipline and returned driver-side for
+    reuse across probes."""
     from pyspark.storagelevel import StorageLevel
 
     q = F.transform(
@@ -575,30 +619,13 @@ def kmeans_deterministic(
     base = df.select(F.col(id_col), q.alias("__vq")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-
-    def argmin_cell(cents):
-        entries = []
-        for i, c in enumerate(cents):
-            lit = F.array(*[F.lit(float(x)) for x in c])
-            d2 = F.aggregate(
-                F.zip_with(F.col("__vq"), lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            entries.append(
-                F.struct(
-                    (-F.round(d2, dp)).alias("score"),
-                    F.lit(-i).alias("neg_id"),
-                )
-            )
-        return (-F.array_max(F.array(*entries))["neg_id"]).cast("int")
-
     init = base.filter(F.col(id_col) < n_cells).orderBy(id_col).collect()
     cents = [[float(x) for x in r["__vq"]] for r in init]
 
     for _ in range(n_iters):
         assigned = base.select(
-            F.col(id_col), F.col("__vq"), argmin_cell(cents).alias("cell_id")
+            F.col("__vq").alias("__vq"),
+            kmeans_cell_of(F.col("__vq"), cents, dp).alias("cell_id"),
         )
         stats = (
             assigned.select(
@@ -622,8 +649,8 @@ def kmeans_deterministic(
             else cents[i]  # empty cluster keeps its previous centroid
             for i in range(n_cells)
         ]
-
-    return base.select(F.col(id_col), argmin_cell(cents).alias("cell_id"))
+    base.unpersist()
+    return cents
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:

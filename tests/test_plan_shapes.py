@@ -637,6 +637,15 @@ class TestLoghistCompactionPlanShapes:
         assert "Exchange" not in plan
         assert "Join" not in plan
 
+    def test_ivf_kmeans_exact_probe_map_only(self, spark):
+        """Trained-index probe: cell membership is per-row register math
+        against the trained centroid literals, then an ordered take —
+        no join, no shuffle in the probe plan."""
+        plan = _executed(E.queries()["ivf_kmeans_exact_topk"](spark, SF))
+        assert "Join" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "TakeOrderedAndProject" in plan
+
     def test_kmeans_final_assignment_map_only(self, spark):
         """The iterations run eagerly at build time (one bounded decimal
         aggregate each); the RETURNED assignment plan is pure map work
