@@ -1056,9 +1056,16 @@ def _ivf_kmeans_exact_topk(spark, sf):
             acc += (a - b) * (a - b)
         dists.append((_round_half_up(acc, 6), i))
     qcell = min(dists)[1]
-    members = e.filter(
-        similarity.kmeans_cell_of(F.col("embedding"), cents) == qcell
+    pre = e.select(
+        "vec_id", "embedding",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: F.round(x, 6)
+        ).alias("__vq"),
     )
+    members = pre.filter(
+        similarity.kmeans_cell_of(F.col("__vq"), cents, prequantized=True)
+        == qcell
+    ).drop("__vq")
     return similarity.cosine_topk(members, "embedding", "vec_id", qvec, k=10)
 
 

@@ -570,18 +570,35 @@ def kmeans_deterministic(
     cents = kmeans_deterministic_centroids(
         df, vec_col, id_col, n_cells, n_iters, dp
     )
-    return df.select(
+    # quantize ONCE in its own projection: referencing the quantized
+    # column (not the quantize expression) keeps the per-cell distance
+    # trees from each duplicating the 64-element transform — 8x smaller
+    # codegen and one round pass instead of eight
+    q = F.transform(F.col(vec_col).cast("array<double>"), lambda x: F.round(x, dp))
+    return df.select(F.col(id_col), q.alias("__vq")).select(
         F.col(id_col),
-        kmeans_cell_of(F.col(vec_col), cents, dp).alias("cell_id"),
+        kmeans_cell_of(F.col("__vq"), cents, dp, prequantized=True).alias(
+            "cell_id"
+        ),
     )
 
 
-def kmeans_cell_of(vec_col, centroids: list[list[float]], dp: int = 6):
+def kmeans_cell_of(
+    vec_col, centroids: list[list[float]], dp: int = 6, prequantized: bool = False
+):
     """Column expression: the deterministic-k-means cell of a vector —
     quantize to ``dp``, then argmin of the sequential-fold squared L2
     against the centroid literals, distance rounded to ``dp`` before the
-    argmin, ties to the lower cell id. Map-only register math."""
-    vq = F.transform(vec_col.cast("array<double>"), lambda x: F.round(x, dp))
+    argmin, ties to the lower cell id. Map-only register math. Pass
+    ``prequantized=True`` when the column already holds ``dp``-rounded
+    doubles (quantizing in a separate projection keeps the transform out
+    of every per-cell distance tree)."""
+    if prequantized:
+        vq = vec_col
+    else:
+        vq = F.transform(
+            vec_col.cast("array<double>"), lambda x: F.round(x, dp)
+        )
     entries = []
     for i, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c])
@@ -625,7 +642,9 @@ def kmeans_deterministic_centroids(
     for _ in range(n_iters):
         assigned = base.select(
             F.col("__vq").alias("__vq"),
-            kmeans_cell_of(F.col("__vq"), cents, dp).alias("cell_id"),
+            kmeans_cell_of(
+                F.col("__vq"), cents, dp, prequantized=True
+            ).alias("cell_id"),
         )
         stats = (
             assigned.select(
