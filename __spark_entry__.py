@@ -1023,6 +1023,17 @@ def _mmr_diversify_ivf(spark, sf):
     )
 
 
+def _compressibility_entropy(spark, sf):
+    """Oracle-backed deterministic twin of the rows-only
+    `compression_ratio` (zlib deflate): Shannon character entropy as the
+    compressibility floor, sequential-fold over sorted distinct chars so
+    both engines sum in the same order. Completes the twin discipline —
+    every rows-only family now has an oracle-green counterpart."""
+    from pgferry_spark.operators.filters import compressibility_entropy
+
+    return compressibility_entropy(_t(spark, sf, "documents"), "text", "doc_id")
+
+
 def _kmeans_exact_assign(spark, sf):
     """Deterministic distributed Lloyd's (3 iterations, 8 cells): the
     reproducible, oracle-verifiable trained-clustering counterpart to the
@@ -3049,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus_best": _curate_corpus_best,
         "kmeans_exact_assign": _kmeans_exact_assign,
         "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
+        "compressibility_entropy": _compressibility_entropy,
     }
 
 
@@ -6108,6 +6120,28 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, quality, dup_count FROM ranked WHERE rnk = 1
+        """,
+        "compressibility_entropy": """
+            WITH c AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(text) + 1),
+                                    i -> substr(text, i, 1)) AS chars
+              FROM documents
+              WHERE length(text) > 0
+            ), ent AS (
+              SELECT doc_id, len(chars) AS n_chars,
+                     ROUND(list_sum(list_transform(
+                       list_sort(list_distinct(chars)),
+                       ch -> -(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                              / len(chars))
+                             * log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                                    / len(chars))
+                     )), 6) AS entropy_bits
+              FROM c
+            )
+            SELECT doc_id, CAST(n_chars AS INT) AS n_chars, entropy_bits,
+                   entropy_bits / 8.0 AS est_ratio
+            FROM ent
         """,
         "pii_card_gate": f"""
             WITH synth AS (

@@ -157,6 +157,7 @@ HEADLINE = [
     "curate_corpus_best",
     "kmeans_exact_assign",
     "ivf_kmeans_exact_topk",
+    "compressibility_entropy",
 ]
 
 

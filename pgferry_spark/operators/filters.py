@@ -308,6 +308,51 @@ def length_outlier_filter(
     )
 
 
+def compressibility_entropy(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Oracle-backed deterministic TWIN of
+    :func:`compression_ratio_stats`: the Shannon character entropy is
+    the information-theoretic floor any entropy coder (including
+    deflate's Huffman stage) approaches, so ``entropy_bits / 8`` tracks
+    the same both-tails curation signal — boilerplate scores low, random
+    gibberish scores near 1 — in pure JVM expressions.
+
+    Determinism discipline: the per-character terms fold SEQUENTIALLY
+    over the SORTED distinct characters (both engines use the same list
+    ops in the same order — a ``GROUP BY``/``SUM(double)`` formulation
+    would be reduction-order dependent), and the entropy rounds once to
+    6 dp. Returns ``(id, n_chars, entropy_bits, est_ratio)``; empty
+    docs are absent, mirroring the zlib twin's no-bytes-no-ratio rule.
+    Map-only; per-row cost O(distinct_chars x len)."""
+    chars = F.filter(F.split(F.col(text_col), "(?!^)"), lambda c: c != "")
+    n = F.size(chars)
+    uniq = F.array_sort(F.array_distinct(chars))
+    terms = F.transform(
+        uniq,
+        lambda c: (
+            lambda p: -p * F.log2(p)
+        )(F.size(F.filter(chars, lambda x: x == c)).cast("double") / n),
+    )
+    ent = F.round(
+        F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t), 6
+    )
+    return (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col),
+            n.alias("n_chars"),
+            ent.alias("entropy_bits"),
+            # deliberately NOT re-rounded: /8 is exact binary scaling, so
+            # both engines hold the identical double — re-rounding a
+            # 6dp-value/8 lands exactly on 7th-digit half-boundaries,
+            # where Spark's repr-based and DuckDB's value-based rounding
+            # disagree
+            (ent / 8.0).alias("est_ratio"),
+        )
+    )
+
+
 def compression_ratio_stats(
     df: DataFrame, text_col: str, id_col: str, level: int = 6
 ) -> DataFrame:

@@ -637,6 +637,11 @@ class TestLoghistCompactionPlanShapes:
         assert "Exchange" not in plan
         assert "Join" not in plan
 
+    def test_compressibility_entropy_map_only(self, spark):
+        plan = _executed(E.queries()["compressibility_entropy"](spark, SF))
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
     def test_ivf_kmeans_exact_probe_map_only(self, spark):
         """Trained-index probe: cell membership is per-row register math
         against the trained centroid literals, then an ordered take —

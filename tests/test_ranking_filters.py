@@ -439,6 +439,46 @@ class TestTfidfSimilarityPairs:
         assert full.count() > 0 and capped.count() == 0
 
 
+class TestCompressibilityEntropy:
+    def test_hand_computed(self, spark):
+        from pgferry_spark.operators.filters import compressibility_entropy
+
+        df = spark.createDataFrame(
+            [(1, "aabb"), (2, "aaaa"), (3, "")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in
+               compressibility_entropy(df, "text", "doc_id").collect()}
+        assert got[1].n_chars == 4 and got[1].entropy_bits == 1.0
+        assert got[1].est_ratio == 0.125
+        assert got[2].entropy_bits == 0.0  # single symbol: zero entropy
+        assert 3 not in got  # empty doc absent (mirrors the zlib twin)
+
+    def test_same_ordering_law_as_zlib_twin(self, spark):
+        # the twin must reproduce the curation signal's ordering:
+        # repetitive < prose < random
+        from pgferry_spark.operators.filters import compressibility_entropy
+
+        import random as _r
+        rng = _r.Random(42)
+        repetitive = "spam ham " * 200
+        prose = (
+            "The migration pipeline reads each table in key ranges, applies "
+            "the column transforms, and streams the rows into the target "
+            "with constraints replayed afterwards. " * 10
+        )
+        rand = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz 0123456789")
+            for _ in range(2000)
+        )
+        df = spark.createDataFrame(
+            [(1, repetitive), (2, prose), (3, rand)],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.est_ratio for r in
+               compressibility_entropy(df, "text", "doc_id").collect()}
+        assert got[1] < got[2] < got[3]
+
+
 class TestCompressionRatio:
     def test_orders_repetitive_prose_random(self, spark):
         from pgferry_spark.operators.filters import compression_ratio_stats
