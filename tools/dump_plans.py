@@ -316,6 +316,29 @@ ANNOTATED = {
         "no Exchange at all (plan-asserted); at 100 TB this rides the "
         "ingest scan inside whole-stage codegen.",
     ),
+    "kmeans_exact_assign": (
+        "map-only final assignment against trained centroid literals",
+        "The 3 Lloyd iterations run eagerly at build time — each is one "
+        "corpus scan + one bounded DECIMAL aggregate (n_cells x dim "
+        "rows) whose exact arithmetic makes the training "
+        "partition-invariant. The returned plan is the probe shape: "
+        "quantize once in its own projection, per-row argmin over 8 "
+        "centroid literals, no join, no shuffle.",
+    ),
+    "ivf_kmeans_exact_topk": (
+        "trained-index probe: one filtered scan + ordered take",
+        "Cell membership is per-row register math against the trained "
+        "centroids (the ivf_assign plan); the exact cosine top-10 runs "
+        "only inside the query's cell — TakeOrderedAndProject, no "
+        "corpus-wide work after training.",
+    ),
+    "compressibility_entropy": (
+        "map-only entropy floor, sequential-fold determinism",
+        "Char explode, sorted-distinct counts, and the -p*log2(p) fold "
+        "all fuse into one projection (no Exchange). The fold order is "
+        "pinned (sorted distinct chars) so the oracle sums identically; "
+        "the deflate twin's both-tails curation signal at scan speed.",
+    ),
 }
 
 
