@@ -1023,6 +1023,37 @@ def _mmr_diversify_ivf(spark, sf):
     )
 
 
+def _dedup_method_agreement(spark, sf):
+    """Ensemble-dedup calibration scorecard: how much do TEXTUAL near-dup
+    pairs (MinHash-LSH candidates verified at n-gram Jaccard >= 0.5) and
+    SEMANTIC near-dup pairs (embedding cosine >= 0.35, shared id space)
+    agree? One row (n_text_pairs, n_vec_pairs, n_both, method_jaccard) —
+    the gap is exactly the paraphrase set lexical dedup misses. Both pair
+    sets are already bounded near-dup outputs, so the full-outer overlap
+    join is metadata-sized."""
+    t = _near_dup_verified(spark, sf).select("id_a", "id_b").withColumn(
+        "__t", F.lit(1)
+    )
+    v = _embedding_near_dup(spark, sf).select("id_a", "id_b").withColumn(
+        "__v", F.lit(1)
+    )
+    j = t.join(v, ["id_a", "id_b"], "full_outer")
+    nt = F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+    nv = F.sum(F.coalesce(F.col("__v"), F.lit(0)))
+    nb = F.sum(
+        F.when(F.col("__t").isNotNull() & F.col("__v").isNotNull(), 1).otherwise(0)
+    )
+    denom = nt + nv - nb
+    return j.agg(
+        nt.cast("long").alias("n_text_pairs"),
+        nv.cast("long").alias("n_vec_pairs"),
+        nb.cast("long").alias("n_both"),
+        F.when(denom > 0, F.round(nb.cast("double") / denom, 6)).alias(
+            "method_jaccard"
+        ),
+    )
+
+
 def _compressibility_entropy(spark, sf):
     """Oracle-backed deterministic twin of the rows-only
     `compression_ratio` (zlib deflate): Shannon character entropy as the
@@ -3061,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_exact_assign": _kmeans_exact_assign,
         "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
         "compressibility_entropy": _compressibility_entropy,
+        "dedup_method_agreement": _dedup_method_agreement,
     }
 
 
@@ -4900,6 +4932,47 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) AS jaccard
             FROM inter
             WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5
+        """,
+        "dedup_method_agreement": minhash_cte
+        + """
+            , cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM buckets a JOIN buckets b USING (band_id, band_hash)
+              WHERE a.doc_id < b.doc_id
+            ),
+            jx AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM gr),
+            inter AS (
+              SELECT c.id_a, c.id_b, COUNT(*) AS c,
+                     any_value(x.n) AS n_a, any_value(y.n) AS n_b
+              FROM cand c
+              JOIN jx x ON x.doc_id = c.id_a
+              JOIN jx y ON y.doc_id = c.id_b AND y.gram = x.gram
+              GROUP BY c.id_a, c.id_b
+            ),
+            tp AS (
+              SELECT id_a, id_b FROM inter
+              WHERE ROUND(CAST(c AS DOUBLE) / (n_a + n_b - c), 4) >= 0.5
+            ),
+            ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            vp AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+              WHERE ROUND(list_dot_product(a.v, b.v)
+                          / (sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+            ),
+            cnts AS (
+              SELECT (SELECT COUNT(*) FROM tp) AS nt,
+                     (SELECT COUNT(*) FROM vp) AS nv,
+                     (SELECT COUNT(*) FROM tp JOIN vp USING (id_a, id_b)) AS nb
+            )
+            SELECT CAST(nt AS BIGINT) AS n_text_pairs,
+                   CAST(nv AS BIGINT) AS n_vec_pairs,
+                   CAST(nb AS BIGINT) AS n_both,
+                   CASE WHEN nt + nv - nb > 0
+                        THEN ROUND(CAST(nb AS DOUBLE) / (nt + nv - nb), 6)
+                   END AS method_jaccard
+            FROM cnts
         """,
         "cross_corpus_near_dup": minhash_cte
         + """

@@ -158,6 +158,7 @@ HEADLINE = [
     "kmeans_exact_assign",
     "ivf_kmeans_exact_topk",
     "compressibility_entropy",
+    "dedup_method_agreement",
 ]
 
 

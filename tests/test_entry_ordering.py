@@ -85,7 +85,7 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 213
+N_QUERIES = 214
 
 
 def test_window_layout(entry_mod):
