@@ -1601,6 +1601,27 @@ def _pack_sequences(spark, sf):
     return pack_sequences(toked, "doc_id", "n_tokens", 2048, shard_col="lang")
 
 
+def _packing_efficiency(spark, sf):
+    """One-row packing scorecard over pack_sequences' bins: bin count,
+    token total, mean fill ratio against the 2048 budget, and the
+    overflow (oversized single doc) / underfull (trailing bin per shard)
+    tails. All-integer aggregation with ONE final division, so the
+    result is reduction-order independent."""
+    packed = _pack_sequences(spark, sf)
+    per_bin = packed.groupBy("lang", "bin_id").agg(
+        F.sum("n_tokens").alias("t")
+    )
+    return per_bin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("t").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("t").cast("double") / (F.count(F.lit(1)) * 2048.0), 6
+        ).alias("mean_fill"),
+        F.sum((F.col("t") > 2048).cast("long")).alias("n_overflow_bins"),
+        F.sum((F.col("t") < 2048).cast("long")).alias("n_underfull_bins"),
+    )
+
+
 def _lsh_topk(spark, sf):
     """ANN via hyperplane-LSH bucket (approximate; no SQL oracle)."""
     e = _t(spark, sf, "embeddings")
@@ -3093,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
         "compressibility_entropy": _compressibility_entropy,
         "dedup_method_agreement": _dedup_method_agreement,
+        "packing_efficiency": _packing_efficiency,
     }
 
 
@@ -4880,6 +4902,28 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                         ), 0) / 2048.0) AS BIGINT) AS bin_id
             FROM toked
+        """,
+        "packing_efficiency": f"""
+            WITH toked AS (
+              SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), packed AS (
+              SELECT lang, n_tokens,
+                     CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                            PARTITION BY lang ORDER BY doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          ), 0) / 2048.0) AS BIGINT) AS bin_id
+              FROM toked
+            ), per_bin AS (
+              SELECT lang, bin_id, SUM(n_tokens) AS t
+              FROM packed GROUP BY lang, bin_id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+                   CAST(SUM(t) AS BIGINT) AS total_tokens,
+                   ROUND(CAST(SUM(t) AS DOUBLE) / (COUNT(*) * 2048.0), 6) AS mean_fill,
+                   CAST(SUM(CASE WHEN t > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_bins,
+                   CAST(SUM(CASE WHEN t < 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_underfull_bins
+            FROM per_bin
         """,
         "fingerprint_dedup": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

@@ -159,6 +159,7 @@ HEADLINE = [
     "ivf_kmeans_exact_topk",
     "compressibility_entropy",
     "dedup_method_agreement",
+    "packing_efficiency",
 ]
 
 

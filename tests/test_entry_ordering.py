@@ -85,7 +85,7 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 214
+N_QUERIES = 215
 
 
 def test_window_layout(entry_mod):
