@@ -163,51 +163,77 @@ def parse_mp4_samples(payload: bytes) -> dict:
         b, e = _find(payload, stbl_b, stbl_e, btype)
         return payload[b + 4 : e]  # skip version/flags
 
-    # stsz: uniform size or per-sample table
+    # stsz: uniform size or per-sample table.  ALL declared counts are
+    # bounded against len(payload) BEFORE any allocation (a crafted header
+    # can declare up to 2^32 samples in 8 bytes; the sibling JPEG decoder
+    # caps the same way with its 64 Mpx / entropy-bits bounds) — every
+    # sample's bytes must live inside the payload, so total declared bytes
+    # and table sizes are hard ceilings.
     stsz = full_body(b"stsz")
     uniform, n_samples = struct.unpack(">II", stsz[:8])
     if uniform:
+        if uniform * n_samples > len(payload):
+            raise ValueError(
+                f"stsz declares {n_samples} samples x {uniform} B "
+                f"> payload {len(payload)} B"
+            )
         sizes = [uniform] * n_samples
     else:
         if len(stsz) < 8 + 4 * n_samples:
             raise ValueError("stsz table shorter than sample count")
         sizes = list(struct.unpack(f">{n_samples}I", stsz[8 : 8 + 4 * n_samples]))
 
-    # stco / co64 chunk bases
+    # stco / co64 chunk bases (each table entry needs 4/8 payload bytes —
+    # bound n_chunks before building the list)
     try:
         stco = full_body(b"stco")
         (n_chunks,) = struct.unpack(">I", stco[:4])
+        if len(stco) < 4 + 4 * n_chunks:
+            raise ValueError("stco table shorter than chunk count")
         bases = list(struct.unpack(f">{n_chunks}I", stco[4 : 4 + 4 * n_chunks]))
     except ValueError:
         co64 = full_body(b"co64")
         (n_chunks,) = struct.unpack(">I", co64[:4])
+        if len(co64) < 4 + 8 * n_chunks:
+            raise ValueError("co64 table shorter than chunk count")
         bases = list(struct.unpack(f">{n_chunks}Q", co64[4 : 4 + 8 * n_chunks]))
 
     # stsc runs -> samples-per-chunk for every chunk
     stsc = full_body(b"stsc")
     (n_runs,) = struct.unpack(">I", stsc[:4])
+    if len(stsc) < 4 + 12 * n_runs:
+        raise ValueError("stsc table shorter than run count")
     runs = [
         struct.unpack(">III", stsc[4 + 12 * i : 16 + 12 * i])
         for i in range(n_runs)
     ]
     spc = [0] * n_chunks
     for i, (first, per, _desc) in enumerate(runs):
+        if first < 1:
+            raise ValueError("stsc first_chunk is 1-based, got 0")
         last = runs[i + 1][0] - 1 if i + 1 < n_runs else n_chunks
         for c in range(first - 1, last):
             if c >= n_chunks:
                 raise ValueError("stsc run exceeds chunk count")
             spc[c] = per
 
-    # stts -> per-sample start times
+    # stts -> per-sample start times: each 8-byte entry may declare a
+    # 2^32 repeat count, so the expansion is capped at n_samples (itself
+    # already payload-bounded) instead of trusting the declared counts.
     stts = full_body(b"stts")
     (n_tt,) = struct.unpack(">I", stts[:4])
+    if len(stts) < 4 + 8 * n_tt:
+        raise ValueError("stts table shorter than entry count")
     times = []
     t = 0
     for i in range(n_tt):
         cnt, delta = struct.unpack(">II", stts[4 + 8 * i : 12 + 8 * i])
-        for _ in range(cnt):
+        take = min(cnt, n_samples - len(times))
+        for _ in range(take):
             times.append(t)
             t += delta
+        if len(times) >= n_samples:
+            break
     if len(times) < n_samples:
         raise ValueError("stts covers fewer samples than stsz")
 

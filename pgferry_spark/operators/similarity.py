@@ -159,10 +159,16 @@ def mmr_select(
         while remaining and len(picked) < k:
             best = None
             for rid, v, rel in remaining:
+                # zero-norm guard (ADVICE r6): a zero vector has no
+                # direction, so its pair similarity is defined as 0.0 —
+                # matching cosine_similarity's degenerate-vector rule —
+                # instead of raising ZeroDivisionError mid-greedy-stage.
                 max_sim = max(
                     _round_half_up(
                         seq_dot(v, sv) / (norms[rid] * norms[sid]), 4
                     )
+                    if norms[rid] > 0.0 and norms[sid] > 0.0
+                    else 0.0
                     for sid, sv, _ in selected
                 )
                 score = _round_half_up(lam * rel - (1.0 - lam) * max_sim, 6)
@@ -638,6 +644,16 @@ def kmeans_deterministic_centroids(
     )
     init = base.filter(F.col(id_col) < n_cells).orderBy(id_col).collect()
     cents = [[float(x) for x in r["__vq"]] for r in init]
+    if len(cents) != n_cells:
+        # ADVICE r6: non-contiguous ids (gaps below n_cells) would leave
+        # the init list short and an empty cell would later hit
+        # cents[i] with i >= len(cents) — fail loudly at init instead.
+        base.unpersist()
+        raise ValueError(
+            f"deterministic k-means init needs exactly one row per id in "
+            f"[0, {n_cells}); found {len(cents)} — ids must be contiguous "
+            f"from 0 (rank/zipWithIndex the id column first)"
+        )
 
     for _ in range(n_iters):
         assigned = base.select(

@@ -929,18 +929,35 @@ def _sketch_store_stream(
     redelivers the same batch on restart.  A max-merge (HLL registers)
     absorbs the replay idempotently, but a SUM-merge (log-histogram
     cells) would double-count it.  Each snapshot therefore records
-    ``{base_op}:run=<md5(checkpoint)>:batch=<id>`` and a redelivered
-    (same run, already-applied batch id) update is a no-op — the
-    checkpoint then commits and the stream moves on.  The run id keys
-    the guard to THIS checkpoint lineage, so pointing a fresh
-    checkpoint at an existing store starts from batch 0 without being
-    skipped."""
-    import hashlib
-    import re as _re
+    ``{base_op}:run=<token>:batch=<id>`` and a redelivered (same run,
+    already-applied batch id) update is a no-op — the checkpoint then
+    commits and the stream moves on.
 
-    run_id = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:8]
+    The run token is a create-if-absent UUID file INSIDE the checkpoint
+    dir (ADVICE r6: hashing the checkpoint *path* tied the guard to the
+    path, not the lineage — wiping the dir and restarting at the same
+    path made genuine new batches 0..last look like redeliveries and
+    silently skipped them).  The file shares the checkpoint's fate:
+    survives a crash/restart (same lineage → redeliveries recognized),
+    dies with a checkpoint wipe (fresh lineage → nothing skipped).  And
+    the guard scans history for the NEWEST op matching this run — an
+    interleaved foreign snapshot (``store.compact()``, another writer)
+    no longer defeats it by displacing ``hist[-1]``."""
+    import os
+    import re as _re
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    token_path = os.path.join(checkpoint_dir, "_pgferry_run_token")
+    try:
+        with open(token_path, "x", encoding="utf-8") as fh:
+            fh.write(uuid.uuid4().hex[:16])
+    except FileExistsError:
+        pass
+    with open(token_path, encoding="utf-8") as fh:
+        run_id = fh.read().strip()
     op_pat = _re.compile(
-        _re.escape(base_op) + r":run=([0-9a-f]{8}):batch=(\d+)$"
+        _re.escape(base_op) + r":run=([0-9a-f]+):batch=(\d+)$"
     )
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
@@ -949,11 +966,15 @@ def _sketch_store_stream(
         try:
             current = store.read()
             hist = store.history()
-            last_op = hist[-1].op if hist else ""
         except FileNotFoundError:
-            current, last_op = None, ""
-        m = op_pat.match(last_op)
-        if m and m.group(1) == run_id and int(m.group(2)) >= batch_id:
+            current, hist = None, []
+        applied = -1
+        for snap in reversed(hist):
+            m = op_pat.match(snap.op)
+            if m and m.group(1) == run_id:
+                applied = int(m.group(2))
+                break
+        if applied >= batch_id:
             return  # redelivered batch: snapshot already includes it
         batch = batch_sketch(batch_df)
         merged = (

@@ -124,6 +124,59 @@ class TestRejects:
         with pytest.raises(ValueError):
             parse_mp4_samples(bytes(enc))
 
+    # --- allocation-bound hostile payloads (ADVICE r6): a tiny crafted
+    # header must NOT provoke multi-GB allocations or unbounded loops; it
+    # must raise ValueError BEFORE allocating, like jpeg.py's caps. Each
+    # test completes in milliseconds iff the bound fires first.
+
+    def _patch(self, marker: bytes, field_off: int, value: int) -> bytes:
+        enc = bytearray(encode_mp4_sampled([b"x" * 8]))
+        i = bytes(enc).find(marker)
+        struct.pack_into(">I", enc, i + field_off, value)
+        return bytes(enc)
+
+    def test_huge_uniform_stsz_bounded(self):
+        # stsz body: type(4) ver/flags(4) uniform(4) count(4): declare
+        # uniform=8 x 2^31 samples in a <1 KB payload
+        enc = bytearray(encode_mp4_sampled([b"x" * 8]))
+        i = bytes(enc).find(b"stsz")
+        struct.pack_into(">II", enc, i + 8, 8, 2 ** 31)
+        with pytest.raises(ValueError, match="payload"):
+            parse_mp4_samples(bytes(enc))
+
+    def test_huge_stsz_table_count_bounded(self):
+        with pytest.raises(ValueError, match="stsz"):
+            parse_mp4_samples(self._patch(b"stsz", 12, 2 ** 31))
+
+    def test_huge_stco_count_bounded(self):
+        # stco count lies: table would need 16 GB of entries. The stco
+        # bound raises, the co64 fallback finds no box -> ValueError.
+        with pytest.raises(ValueError):
+            parse_mp4_samples(self._patch(b"stco", 8, 2 ** 32 - 1))
+
+    def test_huge_stts_count_bounded(self):
+        # stts entry_count lies (declares 2^31 8-byte entries)
+        with pytest.raises(ValueError, match="stts"):
+            parse_mp4_samples(self._patch(b"stts", 8, 2 ** 31))
+
+    def test_huge_stts_repeat_capped(self):
+        # stts cnt (samples covered by one entry) declares 2^31 repeats;
+        # the expansion must cap at n_samples, not loop 2^31 times. A
+        # correct parse still succeeds (cnt >= n_samples is conforming).
+        enc = bytearray(encode_mp4_sampled([b"x" * 8]))
+        i = bytes(enc).find(b"stts")
+        struct.pack_into(">I", enc, i + 12, 2 ** 31)  # cnt field
+        idx = parse_mp4_samples(bytes(enc))
+        assert idx["n_samples"] == 1 and len(idx["samples"]) == 1
+
+    def test_zero_first_chunk_rejected(self):
+        with pytest.raises(ValueError, match="1-based"):
+            parse_mp4_samples(self._patch(b"stsc", 12, 0))
+
+    def test_huge_stsc_run_count_bounded(self):
+        with pytest.raises(ValueError, match="stsc"):
+            parse_mp4_samples(self._patch(b"stsc", 8, 2 ** 31))
+
 
 class TestSparkWiring:
     def test_frame_index_law_on_spark(self, spark):

@@ -43,6 +43,23 @@ class TestOrphans:
         assert rows[13] is None    # orphan -> nulled
         assert got.count() == 4    # rows kept, not deleted
 
+    def test_set_null_no_forced_broadcast(self, spark):
+        """Scale posture (VERDICT r6 #2): the SET NULL path must delegate
+        join strategy to AQE/config, never hard-code F.broadcast — a forced
+        broadcast of a same-magnitude parent's key set is an OOM at 100x.
+        With the broadcast threshold disabled (simulating an over-threshold
+        parent), the executed plan must contain no BroadcastExchange."""
+        parent, child, _ = parent_child(spark)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            got = orphans.clean_orphans_set_null(child, parent, ["fk_a"], ["id"])
+            got.count()
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan, plan[:400]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
 
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog"),

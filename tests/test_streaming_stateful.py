@@ -745,12 +745,12 @@ class TestLoghistStoreStream:
     def test_redelivered_batch_not_double_counted(self, spark, tmp_path):
         """foreachBatch is at-least-once: a crash between the snapshot
         write and the checkpoint commit redelivers the batch.  Simulate
-        the redelivery by wiping the CHECKPOINT (not the store) and
-        re-running the same source through the same checkpoint path —
-        batch 0 arrives again under the same run id.  The sum-merge
+        it faithfully: keep the checkpoint (same lineage, same run
+        token) but delete its COMMIT marker for batch 0 — on restart the
+        source re-offers batch 0 under the same run id.  The sum-merge
         would double every cell; the batch-id guard must make the
         replay a no-op."""
-        import shutil
+        import os
 
         import pyspark.sql.functions as F
 
@@ -777,8 +777,11 @@ class TestLoghistStoreStream:
             ).awaitTermination()
 
         run()
-        shutil.rmtree(ckpt)  # crash-before-commit: batch 0 will redeliver
-        run()
+        # crash-before-commit: drop the batch-0 commit marker (and its
+        # Hadoop checksum twin, which would otherwise fail the re-write)
+        os.remove(os.path.join(ckpt, "commits", "0"))
+        os.remove(os.path.join(ckpt, "commits", ".0.crc"))
+        run()  # same checkpoint lineage: batch 0 redelivers
         total = (
             LakeTable(spark, store_path)
             .read()
@@ -786,6 +789,101 @@ class TestLoghistStoreStream:
             .collect()[0]["n"]
         )
         assert total == 300  # not 600: the redelivered batch was skipped
+
+    def test_redelivery_guard_survives_foreign_snapshot(self, spark, tmp_path):
+        """ADVICE r6: an interleaved foreign snapshot (compaction, another
+        writer) between the store write and the checkpoint commit used to
+        defeat the guard, which only looked at hist[-1].  The guard now
+        scans history for the newest op of THIS run, so the redelivered
+        batch is still skipped."""
+        import os
+
+        import pyspark.sql.functions as F
+
+        from pgferry_spark.sources.laketable import LakeTable
+        from pgferry_spark.streaming.events import loghist_store_stream
+
+        schema = "id long, v double"
+        src = str(tmp_path / "batches")
+        ckpt = str(tmp_path / "ckpt")
+        store_path = str(tmp_path / "histstore")
+        spark.createDataFrame(
+            [(i, 2.0 + i % 11) for i in range(300)], schema
+        ).coalesce(1).write.parquet(src)
+
+        def run():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            store = LakeTable(spark, store_path)
+            loghist_store_stream(
+                stream, store, "v", ckpt, query_name="t_loghist_foreign"
+            ).awaitTermination()
+
+        run()
+        store = LakeTable(spark, store_path)
+        # a foreign writer snapshots between crash and restart: hist[-1]
+        # is no longer this run's op
+        store.write_snapshot(store.read(), op="compact")
+        # crash-before-commit: drop the batch-0 commit marker (and its
+        # Hadoop checksum twin, which would otherwise fail the re-write)
+        os.remove(os.path.join(ckpt, "commits", "0"))
+        os.remove(os.path.join(ckpt, "commits", ".0.crc"))
+        run()
+        total = (
+            store.read().agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+        )
+        assert total == 300  # guard scanned past the foreign op
+
+    def test_fresh_checkpoint_lineage_not_skipped(self, spark, tmp_path):
+        """ADVICE r6 (the defect the path-hash run id had): wiping the
+        checkpoint dir and restarting at the SAME path is a fresh
+        lineage — the source genuinely re-reads everything as new
+        batches 0.., and they must MERGE, not be silently skipped as
+        fake redeliveries.  (Keeping the store across a checkpoint wipe
+        therefore double-counts by design — the run token makes that
+        explicit and loud instead of silently dropping new data.)"""
+        import shutil
+
+        import pyspark.sql.functions as F
+
+        from pgferry_spark.sources.laketable import LakeTable
+        from pgferry_spark.streaming.events import loghist_store_stream
+
+        schema = "id long, v double"
+        src = str(tmp_path / "batches")
+        ckpt = str(tmp_path / "ckpt")
+        store_path = str(tmp_path / "histstore")
+        spark.createDataFrame(
+            [(i, 2.0 + i % 11) for i in range(300)], schema
+        ).coalesce(1).write.parquet(src)
+
+        def run():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            store = LakeTable(spark, store_path)
+            loghist_store_stream(
+                stream, store, "v", ckpt, query_name="t_loghist_fresh"
+            ).awaitTermination()
+
+        run()
+        shutil.rmtree(ckpt)  # fresh lineage: new run token, batch ids reset
+        run()
+        ops = [s.op for s in LakeTable(spark, store_path).history()]
+        runs = {op.split(":run=")[1].split(":")[0] for op in ops}
+        assert len(runs) == 2  # two distinct lineages recorded
+        total = (
+            LakeTable(spark, store_path)
+            .read()
+            .agg(F.sum("cnt").alias("n"))
+            .collect()[0]["n"]
+        )
+        assert total == 600  # fresh-lineage batches merged, not skipped
 
     def test_checkpoint_does_not_double_count(self, spark, tmp_path):
         """Restarting with NO new data must not re-merge the already-
