@@ -2875,79 +2875,116 @@ def _sketchval_col_sql(col: str) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# domain-aware curation (round 7) — RefinedWeb/C4 source-policy layer
+# ---------------------------------------------------------------------------
+
+# Blocked registrable domains for the blocklist entry: one news-style
+# domain, one org domain, and the co.uk suffix (which the documented
+# last-two-label heuristic maps every *.co.uk host onto — blocking it
+# exercises the approximation's blast radius deliberately).
+_BLOCKED_DOMAINS = ("src1-news.com", "src2.org", "co.uk")
+
+
+def _docs_with_urls(spark, sf):
+    from pgferry_spark.operators.domains import attach_urls
+
+    return attach_urls(_t(spark, sf, "documents"))
+
+
+def _domain_stats(spark, sf):
+    """Per-domain corpus-health rollup (docs, hosts, dup rate, bytes) —
+    dup_rate_by_source keyed on the PARSED registrable domain instead of
+    the ingest label. One aggregation shuffle; extraction is map-only
+    codegen regexp (no parse_url: java.net.URI semantics aren't oracle-
+    replayable)."""
+    from pgferry_spark.operators.domains import domain_stats
+
+    return domain_stats(_docs_with_urls(spark, sf))
+
+
+def _domain_quota_sample(spark, sf):
+    """C4-style per-domain cap: at most 5 docs per domain by
+    deterministic content-independent md5(doc_id) order. One partitioned
+    window, rank prunes in place."""
+    from pgferry_spark.operators.domains import domain_quota_sample
+
+    return domain_quota_sample(_docs_with_urls(spark, sf), n_per_domain=5)
+
+
+def _blocklist_filter(spark, sf):
+    """URL-blocklist gate: anti join on the parsed domain against a
+    config-sized blocklist (AQE broadcasts it; no forced hint)."""
+    from pgferry_spark.operators.domains import blocklist_filter
+
+    blocked = spark.createDataFrame(
+        [(x,) for x in _BLOCKED_DOMAINS], "domain: string"
+    )
+    return blocklist_filter(_docs_with_urls(spark, sf), blocked)
+
+
+def _domain_cte() -> str:
+    """Shared oracle CTE: url synthesis + host/domain extraction built
+    from the SAME module-level SQL templates the Spark side evaluates
+    via F.expr — identical by construction."""
+    from pgferry_spark.operators.domains import (
+        DOMAIN_SQL,
+        HOST_SQL,
+        URL_SYNTH_SQL,
+    )
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    host = HOST_SQL.format(url="url")
+    dom = DOMAIN_SQL.format(host="host")
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, n_chars, {url} AS url
+                   FROM documents),
+        h AS (SELECT *, {host} AS host FROM u),
+        d AS (SELECT *, {dom} AS domain FROM h)
+    """
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
-    entries of this dict (observed in CORRECTNESS_r01..r05 — exactly 50
-    keys, matching dict order). Round 6 rotates per tools/plan_rotation.py
-    and VERDICT r5 Next #2: positions 1-2 are the only never-checked
-    entries (loghist_rolling_value, hll_churn_customers — judge-green at
-    both SFs last round), positions 3-48 are the 46 stalest driver-green
-    entries (last green in CORRECTNESS_r02: the TPC-H block, transforms,
-    events, orphans, quality checks — their shared operator code has
-    changed across r3-r5), and positions 49-50 are two r5-green canaries
-    (span_dedup, exact_dedup_groups) to confirm the harness didn't
-    regress. tests/test_entry_ordering.py pins this window arithmetic."""
+    entries of this dict. Round-7 rotation (VERDICT r6 Next #1, extended):
+    positions 1-3 are THIS round's additions (driver-checked at birth —
+    new entries never sit post-window accruing rotation debt again),
+    positions 4-22 are the 19 never-driver-checked entries (the 17
+    post-window r6 additions plus bpe_merges/bpe_encode, which graduated
+    from rows-only to oracle-backed in r6 so their old no_oracle rows no
+    longer count), positions 23-48 are the 26 stalest driver-green
+    entries (last green r2/r3) in tools/plan_rotation.py's stable order,
+    and positions 49-50 are two r6-green canaries. tests/
+    test_entry_ordering.py pins this window arithmetic."""
     return {
-        # --- positions 1-2: the only never-driver-checked entries
-        # (post-window round-5 additions; judge-green at sf0.001+sf0.01)
-        "loghist_rolling_value": _loghist_rolling_value,
-        "hll_churn_customers": _hll_churn_customers,
-        # --- positions 3-48: stalest driver-green family (last green
-        # in CORRECTNESS_r02; shared operator/transform code has
-        # changed since) — per tools/plan_rotation.py, stable order --
-        "q1_pricing_summary": _q1,
-        "transform_uuid": _uuid_transforms,
-        "q3_shipping_priority": _q3,
-        "q5_local_supplier_volume": _q5,
-        "q10_returned_revenue": _q10,
-        "q12_priority_counts": _q12,
-        "q17_small_quantity_revenue": _q17,
-        "q6_forecast_revenue": _q6,
-        "q14_promo_revenue": _q14,
-        "q19_disjunctive_revenue": _q19,
-        "q22_idle_customers": _q22,
-        "q4_order_priority": _q4,
-        "q7_volume_shipping": _q7,
-        "q8_market_share": _q8,
-        "q9_product_profit": _q9,
-        "q13_order_count_distribution": _q13,
-        "q15_top_supplier": _q15,
-        "q18_large_volume_customers": _q18,
-        "top_order_per_customer": _top_order,
-        "big_order_customers": _big_orders,
-        "cheapest_supplier_per_part": _cheapest_supplier,
-        "customer_set_ops": _set_ops,
-        "sql_exists_subquery": _sql_surface,
-        "rollup_pricing": _rollup,
-        "distinct_orders_per_flag": _distinct,
-        "events_hourly": _events_hourly,
-        "events_json_stats": _events_json,
-        "events_pivot": _events_pivot,
-        "lineitem_column_stats": _lineitem_stats,
-        "revenue_percentiles": _percentiles,
-        "sessionize": _sessionize,
-        "asof_join": _asof_join,
-        "minmax_probe": _minmax,
-        "row_counts": _row_counts,
-        "sequence_reset": _sequence_reset,
-        "orphan_anti_join": _orphan_events,
-        "orphan_set_null": _orphan_set_null,
-        "transform_strings": _string_transforms,
-        "transform_bool": _bool_transform,
-        "transform_set_split": _set_split,
-        "transform_bits": _bit_transform,
-        "transform_time_interval": _time_interval,
-        "transform_year_money": _year_money,
-        "transform_zero_date": _zero_date,
-        "quality_checks": _quality_checks,
-        "text_stats": _text_stats,
-        # --- positions 49-50: r5-green canaries (harness regression
-        # sentinels per VERDICT r5 Next #2) ----------------------------
-        "span_dedup": _span_dedup,
-        "exact_dedup_groups": _exact_dedup,
-        # --- beyond the 50-entry window: stalest-first (displaced r2,
-        # then r3/r4/r5-green) — next in line for the round-7 rotation -
+        # --- positions 1-3: round-7 additions, driver-checked AT BIRTH
+        # (kills the rotation debt VERDICT r5/r6 flagged) -------------
+        "domain_stats": _domain_stats,
+        "domain_quota_sample": _domain_quota_sample,
+        "blocklist_filter": _blocklist_filter,
+        # --- positions 4-22: never-driver-checked (bpe pair graduated
+        # to oracle-backed in r6; 17 post-window r6 additions) --------
+        "bpe_merges": _bpe_merges,
+        "bpe_encode": _bpe_encode,
+        "exact_substring_spans_chars": _exact_substring_spans_chars,
+        "image_meta_jpeg": _image_meta_jpeg,
+        "t_closeness": _t_closeness,
+        "video_frame_index": _video_frame_index,
+        "audio_segment_index": _audio_segment_index,
+        "hybrid_rrf_topk": _hybrid_rrf_topk,
+        "dedup_keep_best": _dedup_keep_best,
+        "mmr_diversify": _mmr_diversify,
+        "pii_luhn_cards": _pii_luhn_cards,
+        "pii_card_gate": _pii_card_gate,
+        "mmr_diversify_ivf": _mmr_diversify_ivf,
+        "curate_corpus_best": _curate_corpus_best,
+        "kmeans_exact_assign": _kmeans_exact_assign,
+        "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
+        "compressibility_entropy": _compressibility_entropy,
+        "dedup_method_agreement": _dedup_method_agreement,
+        "packing_efficiency": _packing_efficiency,
+        # --- positions 23-48: stalest driver-green (r2/r3 last green),
+        # planner-stable order from tools/plan_rotation.py ------------
         "lang_id": _lang_id,
         "bpe_token_count": _bpe_token_count,
         "winnow_summary": _winnow_summary,
@@ -2974,6 +3011,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash32": _simhash32,
         "simhash_near_pairs_md5": _simhash_pairs_md5,
         "embedding_near_dup": _embedding_near_dup,
+        # --- positions 49-50: r6-green canaries (harness sentinels) --
+        "q1_pricing_summary": _q1,
+        "exact_dedup_groups": _exact_dedup,
+        # --- beyond the 50-entry window: stalest-first per
+        # tools/plan_rotation.py; next in line for the r8 rotation ----
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "embedding_dedup": _embedding_dedup,
         "cosine_topk": _cosine_topk,
@@ -3006,8 +3048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": _pq_encode,
         "dup_rate_by_source": _dup_rate_by_source,
         "knn_graph": _knn_graph,
-        "bpe_merges": _bpe_merges,
-        "bpe_encode": _bpe_encode,
         "user_funnel": _user_funnel,
         "funnel_report": _funnel_report,
         "chunk_documents": _chunk_documents,
@@ -3096,25 +3136,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_weighted_spenders": _cms_weighted_spenders,
         "exact_substring_scrub": _exact_substring_scrub,
         "sketch_validation_lineitem": _sketch_validation_lineitem,
-        # --- round-6 additions (oracle-backed at birth, VERDICT r5
-        # Next #9) -----------------------------------------------------
-        "exact_substring_spans_chars": _exact_substring_spans_chars,
-        "image_meta_jpeg": _image_meta_jpeg,
-        "t_closeness": _t_closeness,
-        "video_frame_index": _video_frame_index,
-        "audio_segment_index": _audio_segment_index,
-        "hybrid_rrf_topk": _hybrid_rrf_topk,
-        "dedup_keep_best": _dedup_keep_best,
-        "mmr_diversify": _mmr_diversify,
-        "pii_luhn_cards": _pii_luhn_cards,
-        "pii_card_gate": _pii_card_gate,
-        "mmr_diversify_ivf": _mmr_diversify_ivf,
-        "curate_corpus_best": _curate_corpus_best,
-        "kmeans_exact_assign": _kmeans_exact_assign,
-        "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
-        "compressibility_entropy": _compressibility_entropy,
-        "dedup_method_agreement": _dedup_method_agreement,
-        "packing_efficiency": _packing_efficiency,
+        "loghist_rolling_value": _loghist_rolling_value,
+        "hll_churn_customers": _hll_churn_customers,
+        "transform_uuid": _uuid_transforms,
+        "q3_shipping_priority": _q3,
+        "q5_local_supplier_volume": _q5,
+        "q10_returned_revenue": _q10,
+        "q12_priority_counts": _q12,
+        "q17_small_quantity_revenue": _q17,
+        "q6_forecast_revenue": _q6,
+        "q14_promo_revenue": _q14,
+        "q19_disjunctive_revenue": _q19,
+        "q22_idle_customers": _q22,
+        "q4_order_priority": _q4,
+        "q7_volume_shipping": _q7,
+        "q8_market_share": _q8,
+        "q9_product_profit": _q9,
+        "q13_order_count_distribution": _q13,
+        "q15_top_supplier": _q15,
+        "q18_large_volume_customers": _q18,
+        "top_order_per_customer": _top_order,
+        "big_order_customers": _big_orders,
+        "cheapest_supplier_per_part": _cheapest_supplier,
+        "customer_set_ops": _set_ops,
+        "sql_exists_subquery": _sql_surface,
+        "rollup_pricing": _rollup,
+        "distinct_orders_per_flag": _distinct,
+        "events_hourly": _events_hourly,
+        "events_json_stats": _events_json,
+        "events_pivot": _events_pivot,
+        "lineitem_column_stats": _lineitem_stats,
+        "revenue_percentiles": _percentiles,
+        "sessionize": _sessionize,
+        "asof_join": _asof_join,
+        "minmax_probe": _minmax,
+        "row_counts": _row_counts,
+        "sequence_reset": _sequence_reset,
+        "orphan_anti_join": _orphan_events,
+        "orphan_set_null": _orphan_set_null,
+        "transform_strings": _string_transforms,
+        "transform_bool": _bool_transform,
+        "transform_set_split": _set_split,
+        "transform_bits": _bit_transform,
+        "transform_time_interval": _time_interval,
+        "transform_year_money": _year_money,
+        "transform_zero_date": _zero_date,
+        "quality_checks": _quality_checks,
+        "text_stats": _text_stats,
+        "span_dedup": _span_dedup,
     }
 
 
@@ -7514,5 +7583,34 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(est.est_distinct - ex.exact_distinct)
                          / ex.exact_distinct, 4) AS rel_err
             FROM est JOIN ex USING (day)
+        """,
+        # --- round 7: domain-aware curation (shared-template CTE — the
+        # url/host/domain SQL is imported from operators/domains.py, so
+        # Spark and the oracle literally evaluate the same strings)
+        "domain_stats": _domain_cte()
+        + """
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   ROUND(1.0 - count(DISTINCT md5(trim(regexp_replace(
+                         lower(text), '\\s+', ' ', 'g')))) * 1.0 / count(*),
+                         6) AS dup_rate,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM d GROUP BY domain
+        """,
+        "domain_quota_sample": _domain_cte()
+        + """
+            SELECT doc_id, domain FROM (
+              SELECT doc_id, domain,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5(CAST(doc_id AS STRING)) ASC, doc_id ASC
+                     ) AS rk
+              FROM d) t
+            WHERE rk <= 5
+        """,
+        "blocklist_filter": _domain_cte()
+        + f"""
+            SELECT doc_id, host, domain FROM d
+            WHERE domain NOT IN {_BLOCKED_DOMAINS!r}
         """,
     }

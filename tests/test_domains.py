@@ -1,0 +1,124 @@
+"""Domain-aware curation: messy-URL parsing goldens, quota determinism,
+blocklist anti-join, and the shared-template contract (the SAME SQL
+strings drive Spark via F.expr and the DuckDB oracle)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pgferry_spark.operators.domains import (
+    DOMAIN_SQL,
+    HOST_SQL,
+    attach_urls,
+    blocklist_filter,
+    domain_quota_sample,
+    domain_stats,
+    with_host_domain,
+)
+
+# (url, expected host, expected domain) — the messy goldens
+GOLDENS = [
+    ("https://www.example.com/a/b?q=1", "www.example.com", "example.com"),
+    ("HTTP://News.Example.COM:8080/x", "news.example.com", "example.com"),
+    ("https://user:pw@cdn.example.net/y#f", "cdn.example.net", "example.net"),
+    ("example.org/path", "example.org", "example.org"),  # scheme-less
+    ("ftp://Files.Example.COM./pub", "files.example.com", "example.com"),
+    ("https://192.168.7.10/raw", "192.168.7.10", "192.168.7.10"),  # IP whole
+    ("https://a.b.c.example.com/z", "a.b.c.example.com", "example.com"),
+    # documented approximation: last-two-labels maps *.co.uk -> co.uk
+    ("https://shop.example.co.uk/?r=2", "shop.example.co.uk", "co.uk"),
+    ("localhost:9090/metrics", "localhost", "localhost"),  # single label
+    ("not a url", "not", "not"),  # regex grabs the first token; no crash
+    ("", "", ""),
+]
+
+
+class TestHostDomainGoldens:
+    def test_spark_goldens(self, spark):
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _, _) in enumerate(GOLDENS)], "id: long, url: string"
+        )
+        rows = {r["id"]: (r["host"], r["domain"])
+                for r in with_host_domain(df).collect()}
+        for i, (u, want_host, want_dom) in enumerate(GOLDENS):
+            assert rows[i] == (want_host, want_dom), u
+
+    def test_duckdb_same_templates_same_answers(self):
+        """The oracle's regexes ARE the Spark regexes: run the goldens
+        through DuckDB with the identical template strings."""
+        host = HOST_SQL.format(url="url")
+        dom = DOMAIN_SQL.format(host="host")
+        for u, want_host, want_dom in GOLDENS:
+            got = duckdb.sql(
+                f"SELECT host, {dom} AS domain FROM "
+                f"(SELECT {host} AS host FROM (SELECT ? AS url))",
+                params=[u],
+            ).fetchone()
+            assert got == (want_host, want_dom), u
+
+    def test_null_url_yields_null(self, spark):
+        df = spark.createDataFrame([(1, None)], "id: long, url: string")
+        r = with_host_domain(df).collect()[0]
+        assert r["host"] is None and r["domain"] is None
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (i, f"text body {i % 4}", f"src{i % 3}", 10 + i)
+        for i in range(40)
+    ]
+    return attach_urls(
+        spark.createDataFrame(rows, "doc_id: long, text: string, source: string, n_chars: long")
+    )
+
+
+class TestDomainOps:
+    def test_domain_stats_shape_and_dup_rate(self, docs):
+        out = {r["domain"]: r for r in domain_stats(docs).collect()}
+        # template 0 and 7 share src{k}-news.com across two hosts
+        news = [d for d in out if d.endswith("-news.com")]
+        assert news and all(out[d]["n_hosts"] == 2 for d in news)
+        for r in out.values():
+            assert 0.0 <= r["dup_rate"] < 1.0
+            assert r["total_chars"] > 0
+
+    def test_quota_sample_deterministic_and_capped(self, docs):
+        a = {(r["doc_id"], r["domain"])
+             for r in domain_quota_sample(docs, n_per_domain=2).collect()}
+        b = {(r["doc_id"], r["domain"])
+             for r in domain_quota_sample(docs, n_per_domain=2).collect()}
+        assert a == b  # md5-ordered pick: no RNG, no partition sensitivity
+        from collections import Counter
+        per_dom = Counter(d for _, d in a)
+        assert all(v <= 2 for v in per_dom.values())
+
+    def test_blocklist_filter_drops_only_blocked(self, spark, docs):
+        all_dom = {r["domain"] for r in with_host_domain(docs).collect()}
+        blocked_pick = sorted(all_dom)[:2]
+        blocked = spark.createDataFrame(
+            [(d,) for d in blocked_pick], "domain: string"
+        )
+        kept = blocklist_filter(docs, blocked)
+        kept_doms = {r["domain"] for r in kept.collect()}
+        assert kept_doms == all_dom - set(blocked_pick)
+        # row accounting: nothing besides blocked rows was dropped
+        n_blocked = (
+            with_host_domain(docs)
+            .filter(F.col("domain").isin(blocked_pick))
+            .count()
+        )
+        assert kept.count() == docs.count() - n_blocked
+
+    def test_blocklist_no_forced_broadcast(self, spark, docs):
+        """Same posture rule as orphans J1: strategy belongs to AQE."""
+        blocked = spark.createDataFrame([("x.com",)], "domain: string")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = blocklist_filter(docs, blocked)
+            out.count()
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -1,13 +1,16 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01..r05 each contain exactly 50
-keys equal to dict positions 1-50).  Round 6's rotation (VERDICT r5
-Next #2): positions 1-2 are the only never-checked entries
-(loghist_rolling_value, hll_churn_customers), positions 3-48 are the 46
-stalest driver-green entries (last green in CORRECTNESS_r02), and
-positions 49-50 are two r5-green canaries.  This test keeps that window
-arithmetic from silently regressing when entries are added or reordered.
+__spark_entry__.queries() (CORRECTNESS_r01..r06 each contain exactly 50
+keys equal to dict positions 1-50).  Round-7 rotation (VERDICT r6 Next
+#1, extended): positions 1-3 are this round's NEW entries — additions
+now enter the window at birth instead of accruing post-window rotation
+debt — positions 4-22 are the 19 never-driver-checked entries (17
+post-window r6 additions + the bpe pair that graduated from rows-only
+to oracle-backed in r6), positions 23-48 are the 26 stalest
+driver-green entries, and positions 49-50 are two r6-green canaries.
+This test keeps that window arithmetic from silently regressing when
+entries are added or reordered.
 """
 
 import importlib.util
@@ -26,38 +29,40 @@ def entry_mod():
     return mod
 
 
-# Round-6 window positions 1-2: the only entries with NO driver
-# correctness row as of CORRECTNESS_r05 (both judge-green last round).
+# Positions 1-3: round-7 additions, driver-checked at birth.
+NEW_R7 = [
+    "domain_stats", "domain_quota_sample", "blocklist_filter",
+]
+
+# Positions 4-22: no driver correctness row as of CORRECTNESS_r06 under
+# current semantics (bpe pair graduated to oracle-backed; rest are the
+# post-window round-6 additions — all judge-gate green last round).
 NEVER_CHECKED = [
-    "loghist_rolling_value", "hll_churn_customers",
+    "bpe_merges", "bpe_encode", "exact_substring_spans_chars",
+    "image_meta_jpeg", "t_closeness", "video_frame_index",
+    "audio_segment_index", "hybrid_rrf_topk", "dedup_keep_best",
+    "mmr_diversify", "pii_luhn_cards", "pii_card_gate",
+    "mmr_diversify_ivf", "curate_corpus_best", "kmeans_exact_assign",
+    "ivf_kmeans_exact_topk", "compressibility_entropy",
+    "dedup_method_agreement", "packing_efficiency",
 ]
 
-# Positions 3-48: stalest driver-green family (last green in
-# CORRECTNESS_r02; their shared operator/transform code has changed
-# across r3-r5).  Planner-stable order from tools/plan_rotation.py.
-STALE_R2 = [
-    "q1_pricing_summary", "transform_uuid", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q10_returned_revenue",
-    "q12_priority_counts", "q17_small_quantity_revenue",
-    "q6_forecast_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
-    "q22_idle_customers", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q13_order_count_distribution",
-    "q15_top_supplier", "q18_large_volume_customers",
-    "top_order_per_customer", "big_order_customers",
-    "cheapest_supplier_per_part", "customer_set_ops",
-    "sql_exists_subquery", "rollup_pricing", "distinct_orders_per_flag",
-    "events_hourly", "events_json_stats", "events_pivot",
-    "lineitem_column_stats", "revenue_percentiles", "sessionize",
-    "asof_join", "minmax_probe", "row_counts", "sequence_reset",
-    "orphan_anti_join", "orphan_set_null", "transform_strings",
-    "transform_bool", "transform_set_split", "transform_bits",
-    "transform_time_interval", "transform_year_money",
-    "transform_zero_date", "quality_checks", "text_stats",
+# Positions 23-48: stalest driver-green entries (last green r2/r3),
+# planner-stable order from tools/plan_rotation.py.
+STALE = [
+    "lang_id", "bpe_token_count", "winnow_summary", "simhash_near_pairs",
+    "ivf_kmeans_assign", "minhash_buckets", "lsh_candidate_pairs",
+    "winnow_shared_pairs", "pii_scrub", "dataset_split", "quota_sample",
+    "pack_sequences", "range_join_incidents", "time_rollup", "cdc_merge",
+    "scd2_history", "dedup_clusters", "inverted_index", "keyword_search",
+    "fingerprint_dedup", "minhash_buckets_md5", "lsh_candidate_pairs_md5",
+    "jaccard_adjacent", "simhash32", "simhash_near_pairs_md5",
+    "embedding_near_dup",
 ]
 
-# r5-green sentinels: if these fail in CORRECTNESS_r06 the harness (not
+# r6-green sentinels: if these fail in CORRECTNESS_r07 the harness (not
 # the rotated-in entries) regressed.
-CANARIES = ["span_dedup", "exact_dedup_groups"]
+CANARIES = ["q1_pricing_summary", "exact_dedup_groups"]
 
 # Rows-only by design: xxhash64 fast paths carry no SQL oracle (their md5
 # twins do), and KMeans/LBFGS floats are iteration-order dependent.
@@ -67,10 +72,6 @@ ROWS_ONLY = {
     # capped xxhash64 production posture: rows-only like its uncapped
     # sibling; lsh_candidate_pairs_md5_capped carries the oracle
     "lsh_candidate_pairs_capped",
-    # round 6: bpe_merges AND bpe_encode both GRADUATED to oracle-backed
-    # — the greedy loop unrolled as chained MATERIALIZED CTEs (the MMR
-    # trick), with encode replaying the merges per distinct word
-    # (sequential-by-rank ≡ priority encode for learned merge lists)
     # LBFGS coefficients are iteration-order sensitive; pinned by
     # test_classify's separability/agreement checks
     "quality_classifier",
@@ -85,20 +86,24 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 215
+N_QUERIES = 218
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:2] == NEVER_CHECKED
-    assert names[2:48] == STALE_R2
+    assert names[:3] == NEW_R7
+    assert names[3:22] == NEVER_CHECKED
+    assert names[22:48] == STALE
     assert names[48:50] == CANARIES
 
 
 def test_window_exactly_filled(entry_mod):
-    # 2 + 46 + 2 == 50: no slot wasted, nothing needing a row pushed out.
+    # 3 + 19 + 26 + 2 == 50: no slot wasted, nothing needing a row
+    # pushed out.
     first50 = set(list(entry_mod.queries().keys())[:50])
-    assert first50 == set(NEVER_CHECKED) | set(STALE_R2) | set(CANARIES)
+    assert first50 == (
+        set(NEW_R7) | set(NEVER_CHECKED) | set(STALE) | set(CANARIES)
+    )
 
 
 def test_no_entries_lost_in_reorder(entry_mod):
