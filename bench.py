@@ -160,6 +160,44 @@ HEADLINE = [
     "compressibility_entropy",
     "dedup_method_agreement",
     "packing_efficiency",
+    # round 7: domain-aware curation (RefinedWeb/C4 source-policy layer)
+    "domain_stats",
+    "domain_quota_sample",
+    "blocklist_filter",
+]
+
+# FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —
+# migration + the 4 TPC-H flagships + one representative per operator
+# family. The full headline set grows every round (28 -> 108 -> ...),
+# which buries round-over-round signal; this list NEVER changes after
+# freezing (r7), so flagship25_total is directly comparable across all
+# future rounds. Locked in BASELINE.md §9.
+FLAGSHIP25 = [
+    "migration_8table",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_revenue",
+    "exact_dedup_groups",            # exact dedup
+    "lsh_candidate_pairs_capped",    # MinHash+LSH (capped production posture)
+    "simhash_near_pairs",            # SimHash
+    "span_dedup",                    # ExactSubstr spans
+    "semdedup",                      # embedding near-dup
+    "cross_corpus_near_dup_capped",  # decontamination
+    "cosine_topk",                   # brute-force ANN baseline
+    "ivf_pq_topk",                   # ANN scale path
+    "bm25_topk",                     # ranking
+    "repetition_stats",              # quality filters
+    "quality_twin_auc",              # classifier scorecard
+    "vocab_topk",                    # vocab/BPE
+    "winnow_shared_pairs_capped",    # winnowing fingerprints
+    "pii_luhn_cards",                # PII
+    "k_anonymity",                   # privacy trio
+    "image_meta_jpeg",               # multimodal codec
+    "sessionize",                    # temporal/behavioral
+    "curate_corpus_best",            # curation DAG
+    "hll_rolling_users",             # sketches
+    "incremental_agg",               # lake/IVM
 ]
 
 
@@ -295,6 +333,7 @@ def main() -> int:
     timings["migration_8table"] = round(_median(rs), 3)
 
     total = round(sum(timings.values()), 3)
+    flagship_total = round(sum(timings[n] for n in FLAGSHIP25), 3)
     # Raw per-repeat runs go to a SIDE file: round 3 inlined them into the
     # JSON line and the line outgrew the driver's tail capture ("parsed":
     # null in BENCH_r03). The driver-facing line stays compact (medians +
@@ -338,6 +377,7 @@ def main() -> int:
     with open(runs_path, "w") as fh:
         json.dump(
             {"runs": runs, "medians": timings, "repeats": repeats, "sf": sf,
+             "flagship25": FLAGSHIP25, "flagship25_total": flagship_total,
              "capped_drop_stats": capped_drops},
             fh, indent=1,
         )
@@ -355,6 +395,9 @@ def main() -> int:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                # frozen comparability subset (BASELINE.md §9): same 25
+                # entries every round from r7 on
+                "flagship25_total": flagship_total,
                 "queries_file": "BENCH_runs.json",
             }
         )
