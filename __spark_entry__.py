@@ -2927,6 +2927,16 @@ def _blocklist_filter(spark, sf):
     return blocklist_filter(_docs_with_urls(spark, sf), blocked)
 
 
+def _url_dedup(spark, sf):
+    """URL-level exact dedup on the canonical crawl key (scheme/port/
+    userinfo/www/fragment/tracking-params stripped): keep-min-id per
+    normalized URL — the C4 step that runs BEFORE content dedup. One
+    map-side-combinable aggregation shuffle."""
+    from pgferry_spark.operators.domains import url_dedup
+
+    return url_dedup(_docs_with_urls(spark, sf))
+
+
 def _domain_cte() -> str:
     """Shared oracle CTE: url synthesis + host/domain extraction built
     from the SAME module-level SQL templates the Spark side evaluates
@@ -2948,24 +2958,50 @@ def _domain_cte() -> str:
     """
 
 
+def _url_dedup_oracle() -> str:
+    """Same shared-template discipline for the canonical-URL key; the
+    ``g`` placeholder is the ONE engine divergence (DuckDB regexp_replace
+    needs an explicit global flag, Spark is always-global)."""
+    from pgferry_spark.operators.domains import (
+        HOST_SQL,
+        NURL_SQL,
+        QCLEAN_SQL,
+        URL_SYNTH_SQL,
+    )
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    host = HOST_SQL.format(url="url")
+    qc = QCLEAN_SQL.format(url="url", g=", 'g'")
+    nurl = NURL_SQL.format(url="url", host="host")
+    return f"""
+        WITH u AS (SELECT doc_id, source, {url} AS url FROM documents),
+        h AS (SELECT *, {host} AS host FROM u),
+        q AS (SELECT *, {qc} AS __q FROM h),
+        n AS (SELECT *, {nurl} AS nurl FROM q)
+        SELECT nurl, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+        FROM n GROUP BY nurl
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
     entries of this dict. Round-7 rotation (VERDICT r6 Next #1, extended):
-    positions 1-3 are THIS round's additions (driver-checked at birth —
+    positions 1-4 are THIS round's additions (driver-checked at birth —
     new entries never sit post-window accruing rotation debt again),
-    positions 4-22 are the 19 never-driver-checked entries (the 17
+    positions 5-23 are the 19 never-driver-checked entries (the 17
     post-window r6 additions plus bpe_merges/bpe_encode, which graduated
     from rows-only to oracle-backed in r6 so their old no_oracle rows no
-    longer count), positions 23-48 are the 26 stalest driver-green
+    longer count), positions 24-48 are the 25 stalest driver-green
     entries (last green r2/r3) in tools/plan_rotation.py's stable order,
     and positions 49-50 are two r6-green canaries. tests/
     test_entry_ordering.py pins this window arithmetic."""
     return {
-        # --- positions 1-3: round-7 additions, driver-checked AT BIRTH
+        # --- positions 1-4: round-7 additions, driver-checked AT BIRTH
         # (kills the rotation debt VERDICT r5/r6 flagged) -------------
         "domain_stats": _domain_stats,
         "domain_quota_sample": _domain_quota_sample,
         "blocklist_filter": _blocklist_filter,
+        "url_dedup": _url_dedup,
         # --- positions 4-22: never-driver-checked (bpe pair graduated
         # to oracle-backed in r6; 17 post-window r6 additions) --------
         "bpe_merges": _bpe_merges,
@@ -3014,12 +3050,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_adjacent": _jaccard_adjacent,
         "simhash32": _simhash32,
         "simhash_near_pairs_md5": _simhash_pairs_md5,
-        "embedding_near_dup": _embedding_near_dup,
         # --- positions 49-50: r6-green canaries (harness sentinels) --
         "q1_pricing_summary": _q1,
         "exact_dedup_groups": _exact_dedup,
         # --- beyond the 50-entry window: stalest-first per
         # tools/plan_rotation.py; next in line for the r8 rotation ----
+        "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "embedding_dedup": _embedding_dedup,
         "cosine_topk": _cosine_topk,
@@ -7617,4 +7653,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host, domain FROM d
             WHERE domain NOT IN {_BLOCKED_DOMAINS!r}
         """,
+        "url_dedup": _url_dedup_oracle(),
     }

@@ -164,6 +164,7 @@ HEADLINE = [
     "domain_stats",
     "domain_quota_sample",
     "blocklist_filter",
+    "url_dedup",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -84,6 +84,61 @@ URL_SYNTH_SQL = (
 )
 
 
+# URL canonicalization (C4/RefinedWeb crawl-dedup key): scheme and port
+# dropped (the host carries identity), userinfo dropped, 'www.' prefix
+# stripped, trailing path slashes trimmed, fragment dropped, tracking
+# params (utm_*, fbclid, gclid, ref) removed from the query.  The ``{g}``
+# placeholder absorbs the one engine divergence: Spark's regexp_replace
+# is always-global while DuckDB needs an explicit 'g' flag — callers
+# format g="" (Spark) or g=", 'g'" (DuckDB); every other byte of the
+# template is shared verbatim.
+_TRACK_RE = "(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&]*"
+NURL_SQL = (
+    # authority remainder after scheme/userinfo; then path up to ?/#
+    "regexp_replace({host}, '^www[.]', '')"
+    " || regexp_replace("
+    "regexp_extract(regexp_replace(regexp_replace({url},"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#@]*@', ''),"
+    " '^[^/?#]*(/[^?#]*)', 1), '/+$', '')"
+    " || CASE WHEN __q = '' THEN '' ELSE '?' || __q END"
+)
+# query cleaner: strip '&'-prefixed tracking params globally, then at
+# most one tracking param left at the start
+QCLEAN_SQL = (
+    "regexp_replace(regexp_replace("
+    "regexp_extract({url}, '[?]([^#]*)', 1),"
+    " '[&]" + _TRACK_RE + "', ''{g}),"
+    " '^" + _TRACK_RE + "[&]?', '')"
+)
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``nurl``, the canonical crawl-dedup key. Requires/derives the
+    ``host`` column (see :func:`with_host_domain`); map-only codegen."""
+    out = df if "host" in df.columns else with_host_domain(df, url_col)
+    out = out.withColumn("__q", F.expr(QCLEAN_SQL.format(url=url_col, g="")))
+    return out.withColumn(
+        "nurl", F.expr(NURL_SQL.format(url=url_col, host="host"))
+    ).drop("__q")
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup: group documents by canonical URL, keep the
+    lowest id — the step C4 runs before any content dedup (a crawl sees
+    the same page through redirect/tracking-param variants).  One
+    map-side-combinable aggregation shuffle on the normalized key."""
+    return (
+        normalize_urls(df, url_col)
+        .groupBy("nurl")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
 def attach_urls(
     df: DataFrame, id_col: str = "doc_id", source_col: str = "source"
 ) -> DataFrame:

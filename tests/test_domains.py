@@ -9,10 +9,14 @@ from pyspark.sql import functions as F
 from pgferry_spark.operators.domains import (
     DOMAIN_SQL,
     HOST_SQL,
+    NURL_SQL,
+    QCLEAN_SQL,
     attach_urls,
     blocklist_filter,
     domain_quota_sample,
     domain_stats,
+    normalize_urls,
+    url_dedup,
     with_host_domain,
 )
 
@@ -109,6 +113,57 @@ class TestDomainOps:
             .count()
         )
         assert kept.count() == docs.count() - n_blocked
+
+    def test_url_dedup_collapses_variants(self, spark):
+        """Redirect/tracking variants of one page must share a canonical
+        key; distinct pages must not."""
+        variants = [
+            (0, "https://www.Example.com/a/?utm_source=x&q=1#frag"),
+            (1, "http://example.com/a?q=1"),
+            (2, "https://user@example.com:443/a/?q=1&fbclid=zz"),
+            (3, "https://example.com/b"),                    # different page
+            (4, "https://example.com/a?q=2"),                # different query
+        ]
+        df = spark.createDataFrame(variants, "doc_id: long, url: string")
+        out = {r["nurl"]: (r["keeper_id"], r["dup_count"])
+               for r in url_dedup(df).collect()}
+        assert out["example.com/a?q=1"] == (0, 3)
+        assert out["example.com/b"] == (3, 1)
+        assert out["example.com/a?q=2"] == (4, 1)
+
+    def test_nurl_goldens_both_engines(self):
+        cases = [
+            ("https://www.Example.com/a/?utm_source=x&q=1&fbclid=z#f",
+             "example.com/a?q=1"),
+            ("https://example.com/p?utm_a=1", "example.com/p"),
+            ("http://user@example.com:80/a//", "example.com/a"),
+            ("example.com/?ref=7&keep=1", "example.com?keep=1"),
+            ("https://example.com", "example.com"),
+        ]
+        host = HOST_SQL.format(url="url")
+        qc = QCLEAN_SQL.format(url="url", g=", 'g'")
+        nurl = NURL_SQL.format(url="url", host="host")
+        for u, want in cases:
+            got = duckdb.sql(
+                f"SELECT {nurl} FROM (SELECT *, {qc} AS __q FROM "
+                f"(SELECT *, {host} AS host FROM (SELECT ? AS url)))",
+                params=[u],
+            ).fetchone()[0]
+            assert got == want, u
+
+    def test_nurl_spark_matches_duckdb_on_corpus(self, spark, docs):
+        sp = {r["doc_id"]: r["nurl"] for r in normalize_urls(docs).collect()}
+        host = HOST_SQL.format(url="url")
+        qc = QCLEAN_SQL.format(url="url", g=", 'g'")
+        nurl = NURL_SQL.format(url="url", host="host")
+        pdf = docs.select("doc_id", "url").toPandas()
+        dk = dict(
+            duckdb.sql(
+                f"SELECT doc_id, {nurl} FROM (SELECT *, {qc} AS __q FROM "
+                f"(SELECT *, {host} AS host FROM pdf))"
+            ).fetchall()
+        )
+        assert sp == dk
 
     def test_blocklist_no_forced_broadcast(self, spark, docs):
         """Same posture rule as orphans J1: strategy belongs to AQE."""
