@@ -2937,6 +2937,31 @@ def _url_dedup(spark, sf):
     return url_dedup(_docs_with_urls(spark, sf))
 
 
+def _image_exif_meta(spark, sf):
+    """REAL EXIF through the multimodal path: executors build JPEGs with
+    spec-shaped TIFF IFD APP1 blocks (both byte orders, GPS sub-IFD on
+    2/3 of rows) whose every field is an arithmetic function of doc_id,
+    then parse them back with the real IFD walker — the oracle
+    recomputes the fields from doc_id, so a green row certifies the
+    encode→parse byte round trip (the image_meta_jpeg pattern applied
+    to metadata)."""
+    from pgferry_spark.multimodal.ops import attach_exif_jpegs, image_exif_meta
+
+    d = _t(spark, sf, "documents")
+    return image_exif_meta(attach_exif_jpegs(d, "doc_id"))
+
+
+def _exif_gps_scrub(spark, sf):
+    """The image-side PII gate: strip GPS IFDs (re-encode the APP1
+    without them) and re-parse the scrubbed bytes — green means GPS is
+    gone AND every other field survived the surgery. Map-only Arrow
+    pass; payloads never leave the executor."""
+    from pgferry_spark.multimodal.ops import attach_exif_jpegs, exif_gps_scrub
+
+    d = _t(spark, sf, "documents")
+    return exif_gps_scrub(attach_exif_jpegs(d, "doc_id"))
+
+
 def _domain_cte() -> str:
     """Shared oracle CTE: url synthesis + host/domain extraction built
     from the SAME module-level SQL templates the Spark side evaluates
@@ -2956,6 +2981,43 @@ def _domain_cte() -> str:
         h AS (SELECT *, {host} AS host FROM u),
         d AS (SELECT *, {dom} AS domain FROM h)
     """
+
+
+# EXIF oracle: the shared deterministic-field arithmetic (see
+# multimodal/ops.attach_exif_jpegs); the two entries differ only in the
+# GPS columns (parsed values vs post-scrub NULLs).
+_EXIF_ORACLE_BASE = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           'Cam' || CAST(doc_id % 5 AS STRING) AS make,
+           'M' || CAST(doc_id % 7 AS STRING) AS model,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           '2026:01:' || lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0')
+               || ' 00:00:00' AS dt,
+"""
+_EXIF_GPS_COLS = """
+           doc_id % 3 <> 2 AS has_gps,
+           CASE WHEN doc_id % 3 <> 2 THEN
+             (CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END) END AS lat_ref,
+           CASE WHEN doc_id % 3 <> 2 THEN CAST(doc_id % 90 AS INT) END AS lat_deg,
+           CASE WHEN doc_id % 3 <> 2 THEN CAST(doc_id % 60 AS INT) END AS lat_min,
+           CASE WHEN doc_id % 3 <> 2 THEN CAST(doc_id * 7 % 60 AS INT) END AS lat_sec,
+           CASE WHEN doc_id % 3 <> 2 THEN
+             (CASE WHEN doc_id % 2 = 0 THEN 'E' ELSE 'W' END) END AS lon_ref,
+           CASE WHEN doc_id % 3 <> 2 THEN CAST(doc_id % 180 AS INT) END AS lon_deg,
+           CASE WHEN doc_id % 3 <> 2 THEN CAST(doc_id * 3 % 60 AS INT) END AS lon_min,
+           CASE WHEN doc_id % 3 <> 2 THEN CAST(doc_id * 11 % 60 AS INT) END AS lon_sec
+"""
+_EXIF_GPS_NULLS = """
+           FALSE AS has_gps,
+           CAST(NULL AS STRING) AS lat_ref,
+           CAST(NULL AS INT) AS lat_deg,
+           CAST(NULL AS INT) AS lat_min,
+           CAST(NULL AS INT) AS lat_sec,
+           CAST(NULL AS STRING) AS lon_ref,
+           CAST(NULL AS INT) AS lon_deg,
+           CAST(NULL AS INT) AS lon_min,
+           CAST(NULL AS INT) AS lon_sec
+"""
 
 
 def _url_dedup_oracle() -> str:
@@ -2986,22 +3048,24 @@ def _url_dedup_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
     entries of this dict. Round-7 rotation (VERDICT r6 Next #1, extended):
-    positions 1-4 are THIS round's additions (driver-checked at birth —
+    positions 1-6 are THIS round's additions (driver-checked at birth —
     new entries never sit post-window accruing rotation debt again),
-    positions 5-23 are the 19 never-driver-checked entries (the 17
+    positions 7-25 are the 19 never-driver-checked entries (the 17
     post-window r6 additions plus bpe_merges/bpe_encode, which graduated
     from rows-only to oracle-backed in r6 so their old no_oracle rows no
-    longer count), positions 24-48 are the 25 stalest driver-green
+    longer count), positions 26-48 are the 23 stalest driver-green
     entries (last green r2/r3) in tools/plan_rotation.py's stable order,
     and positions 49-50 are two r6-green canaries. tests/
     test_entry_ordering.py pins this window arithmetic."""
     return {
-        # --- positions 1-4: round-7 additions, driver-checked AT BIRTH
+        # --- positions 1-6: round-7 additions, driver-checked AT BIRTH
         # (kills the rotation debt VERDICT r5/r6 flagged) -------------
         "domain_stats": _domain_stats,
         "domain_quota_sample": _domain_quota_sample,
         "blocklist_filter": _blocklist_filter,
         "url_dedup": _url_dedup,
+        "image_exif_meta": _image_exif_meta,
+        "exif_gps_scrub": _exif_gps_scrub,
         # --- positions 4-22: never-driver-checked (bpe pair graduated
         # to oracle-backed in r6; 17 post-window r6 additions) --------
         "bpe_merges": _bpe_merges,
@@ -3048,13 +3112,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_buckets_md5": _minhash_buckets_md5,
         "lsh_candidate_pairs_md5": _lsh_pairs_md5,
         "jaccard_adjacent": _jaccard_adjacent,
-        "simhash32": _simhash32,
-        "simhash_near_pairs_md5": _simhash_pairs_md5,
         # --- positions 49-50: r6-green canaries (harness sentinels) --
         "q1_pricing_summary": _q1,
         "exact_dedup_groups": _exact_dedup,
         # --- beyond the 50-entry window: stalest-first per
         # tools/plan_rotation.py; next in line for the r8 rotation ----
+        "simhash32": _simhash32,
+        "simhash_near_pairs_md5": _simhash_pairs_md5,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "embedding_dedup": _embedding_dedup,
@@ -7654,4 +7718,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE domain NOT IN {_BLOCKED_DOMAINS!r}
         """,
         "url_dedup": _url_dedup_oracle(),
+        # EXIF metadata round-trip + GPS scrub: every field recomputed
+        # arithmetically from doc_id (attach_exif_jpegs contract)
+        "image_exif_meta": _EXIF_ORACLE_BASE + _EXIF_GPS_COLS + " FROM documents",
+        "exif_gps_scrub": _EXIF_ORACLE_BASE + _EXIF_GPS_NULLS + " FROM documents",
     }

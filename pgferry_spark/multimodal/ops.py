@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -1174,3 +1175,138 @@ def audio_segments(df: DataFrame, segment_ms: int = 5000) -> DataFrame:
         .cast("int")
         .alias("t_end_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# EXIF metadata + GPS scrub (round 7) — the image-side PII gate
+# --------------------------------------------------------------------------
+
+_EXIF_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("make", StringType(), True),
+        StructField("model", StringType(), True),
+        StructField("orientation", IntegerType(), True),
+        StructField("dt", StringType(), True),
+        StructField("has_gps", BooleanType(), True),
+        StructField("lat_ref", StringType(), True),
+        StructField("lat_deg", IntegerType(), True),
+        StructField("lat_min", IntegerType(), True),
+        StructField("lat_sec", IntegerType(), True),
+        StructField("lon_ref", StringType(), True),
+        StructField("lon_deg", IntegerType(), True),
+        StructField("lon_min", IntegerType(), True),
+        StructField("lon_sec", IntegerType(), True),
+    ]
+)
+
+
+def attach_exif_jpegs(df: DataFrame, id_col: str, content_col=None) -> DataFrame:
+    """REAL JPEGs with REAL EXIF APP1 blocks, deterministic from the id —
+    the metadata sibling of :func:`attach_real_jpegs`: content key ``c``
+    yields Make ``Cam{c%5}``, Model ``M{c%7}``, orientation ``1+c%8``,
+    DateTime ``2026:01:{1+c%28} 00:00:00``, byte order alternating
+    little/big endian by ``c%2``, and (iff ``c%3 != 2``) a GPS IFD with
+    DMS triples ``lat=(c%90, c%60, c*7%60)`` / ``lon=(c%180, c*3%60,
+    c*11%60)`` and hemisphere refs by parity — every field an arithmetic
+    function an ANSI oracle replays, every byte a spec-shaped TIFF IFD."""
+    from .exif import encode_exif_tiff, insert_exif_app1
+    from .jpeg import QUANT_UNIT, encode_jpeg_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for c in pdf["__content"]:
+                c = int(c)
+                v = hashlib.md5(f"exif:{c}".encode()).digest()[0]
+                base = encode_jpeg_gray(8, 8, bytes([v]) * 64, quant=QUANT_UNIT)
+                gps = None
+                if c % 3 != 2:
+                    gps = {
+                        "lat": (c % 90, c % 60, c * 7 % 60),
+                        "lat_ref": "N" if c % 2 == 0 else "S",
+                        "lon": (c % 180, c * 3 % 60, c * 11 % 60),
+                        "lon_ref": "E" if c % 2 == 0 else "W",
+                    }
+                tiff = encode_exif_tiff(
+                    f"Cam{c % 5}", f"M{c % 7}", 1 + c % 8,
+                    f"2026:01:{1 + c % 28:02d} 00:00:00",
+                    gps=gps, big_endian=bool(c % 2),
+                )
+                payloads.append(insert_exif_app1(base, tiff))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    from ..utils import fan_out
+
+    content = (F.col(id_col) if content_col is None else content_col).cast("long")
+    base = fan_out(
+        df.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            content.alias("__content"),
+        ),
+        "media_id",
+    )
+    return base.mapInPandas(gen, schema=StructType(MEDIA_SCHEMA.fields))
+
+
+def _exif_rows(pdf: pd.DataFrame, parse) -> pd.DataFrame:
+    rows = []
+    for mid, p in zip(pdf["media_id"], pdf["payload"]):
+        m = parse(p)
+        gps = (m or {}).get("gps")
+        rows.append(
+            (
+                int(mid),
+                None if m is None else m["make"],
+                None if m is None else m["model"],
+                None if m is None else m["orientation"],
+                None if m is None else m["datetime"],
+                gps is not None,
+                gps["lat_ref"] if gps else None,
+                gps["lat"][0] if gps else None,
+                gps["lat"][1] if gps else None,
+                gps["lat"][2] if gps else None,
+                gps["lon_ref"] if gps else None,
+                gps["lon"][0] if gps else None,
+                gps["lon"][1] if gps else None,
+                gps["lon"][2] if gps else None,
+            )
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in _EXIF_META_SCHEMA.fields])
+
+
+def image_exif_meta(df: DataFrame) -> DataFrame:
+    """Parse each payload's Exif APP1 (real TIFF IFD walk, both endians,
+    allocation-bounded) into typed metadata columns, GPS as the raw DMS
+    integers cameras store. Arrow-batched map-only pass."""
+    from .exif import parse_exif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _exif_rows(pdf, parse_exif)
+
+    return df.mapInPandas(run, schema=_EXIF_META_SCHEMA)
+
+
+def exif_gps_scrub(df: DataFrame) -> DataFrame:
+    """Strip GPS IFDs and RE-PARSE the scrubbed bytes — the output rows
+    are the post-scrub metadata, so a green oracle row certifies both
+    the removal (has_gps false, GPS columns NULL) and the preservation
+    of every other field through the re-encode. Map-only; the scrubbed
+    payloads never leave the executor."""
+    from .exif import parse_exif, strip_gps
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.assign(payload=[strip_gps(p) for p in pdf["payload"]])
+            yield _exif_rows(pdf, parse_exif)
+
+    return df.mapInPandas(run, schema=_EXIF_META_SCHEMA)

@@ -29,9 +29,10 @@ def entry_mod():
     return mod
 
 
-# Positions 1-4: round-7 additions, driver-checked at birth.
+# Positions 1-6: round-7 additions, driver-checked at birth.
 NEW_R7 = [
     "domain_stats", "domain_quota_sample", "blocklist_filter", "url_dedup",
+    "image_exif_meta", "exif_gps_scrub",
 ]
 
 # Positions 4-22: no driver correctness row as of CORRECTNESS_r06 under
@@ -56,7 +57,7 @@ STALE = [
     "pack_sequences", "range_join_incidents", "time_rollup", "cdc_merge",
     "scd2_history", "dedup_clusters", "inverted_index", "keyword_search",
     "fingerprint_dedup", "minhash_buckets_md5", "lsh_candidate_pairs_md5",
-    "jaccard_adjacent", "simhash32", "simhash_near_pairs_md5",
+    "jaccard_adjacent",
 ]
 
 # r6-green sentinels: if these fail in CORRECTNESS_r07 the harness (not
@@ -85,19 +86,19 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 219
+N_QUERIES = 221
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:4] == NEW_R7
-    assert names[4:23] == NEVER_CHECKED
-    assert names[23:48] == STALE
+    assert names[:6] == NEW_R7
+    assert names[6:25] == NEVER_CHECKED
+    assert names[25:48] == STALE
     assert names[48:50] == CANARIES
 
 
 def test_window_exactly_filled(entry_mod):
-    # 4 + 19 + 25 + 2 == 50: no slot wasted, nothing needing a row
+    # 6 + 19 + 23 + 2 == 50: no slot wasted, nothing needing a row
     # pushed out.
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == (
