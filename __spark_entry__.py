@@ -3018,6 +3018,15 @@ _EXIF_GPS_NULLS = """
            CAST(NULL AS INT) AS lon_min,
            CAST(NULL AS INT) AS lon_sec
 """
+# EXIF sub-IFD fields (round 8, VERDICT r7 ask #2): IDENTICAL in both
+# entries — the scrub must preserve them, so a green exif_gps_scrub row
+# now certifies unknown-to-the-scrub tag survival, not just GPS removal.
+_EXIF_SUBIFD_COLS = """
+           , CASE WHEN doc_id % 5 <> 4 THEN CAST(10 + doc_id % 990 AS INT) END
+               AS exposure_den,
+           CASE WHEN doc_id % 5 <> 4 THEN CAST(100 * (1 + doc_id % 32) AS INT) END
+               AS iso
+"""
 
 
 def _url_dedup_oracle() -> str:
@@ -7720,6 +7729,8 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _url_dedup_oracle(),
         # EXIF metadata round-trip + GPS scrub: every field recomputed
         # arithmetically from doc_id (attach_exif_jpegs contract)
-        "image_exif_meta": _EXIF_ORACLE_BASE + _EXIF_GPS_COLS + " FROM documents",
-        "exif_gps_scrub": _EXIF_ORACLE_BASE + _EXIF_GPS_NULLS + " FROM documents",
+        "image_exif_meta": _EXIF_ORACLE_BASE + _EXIF_GPS_COLS
+        + _EXIF_SUBIFD_COLS + " FROM documents",
+        "exif_gps_scrub": _EXIF_ORACLE_BASE + _EXIF_GPS_NULLS
+        + _EXIF_SUBIFD_COLS + " FROM documents",
     }

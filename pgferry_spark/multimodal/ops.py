@@ -1197,6 +1197,8 @@ _EXIF_META_SCHEMA = StructType(
         StructField("lon_deg", IntegerType(), True),
         StructField("lon_min", IntegerType(), True),
         StructField("lon_sec", IntegerType(), True),
+        StructField("exposure_den", IntegerType(), True),
+        StructField("iso", IntegerType(), True),
     ]
 )
 
@@ -1208,8 +1210,12 @@ def attach_exif_jpegs(df: DataFrame, id_col: str, content_col=None) -> DataFrame
     DateTime ``2026:01:{1+c%28} 00:00:00``, byte order alternating
     little/big endian by ``c%2``, and (iff ``c%3 != 2``) a GPS IFD with
     DMS triples ``lat=(c%90, c%60, c*7%60)`` / ``lon=(c%180, c*3%60,
-    c*11%60)`` and hemisphere refs by parity — every field an arithmetic
-    function an ANSI oracle replays, every byte a spec-shaped TIFF IFD."""
+    c*11%60)`` and hemisphere refs by parity, and (iff ``c%5 != 4``) an
+    EXIF sub-IFD (0x8769) with ExposureTime ``1/(10+c%990)`` and ISO
+    ``100*(1+c%32)`` — the fields ``strip_gps`` must carry through, so
+    the scrub oracle certifies sub-IFD preservation, not just GPS
+    removal.  Every field an arithmetic function an ANSI oracle replays,
+    every byte a spec-shaped TIFF IFD."""
     from .exif import encode_exif_tiff, insert_exif_app1
     from .jpeg import QUANT_UNIT, encode_jpeg_gray
 
@@ -1228,10 +1234,16 @@ def attach_exif_jpegs(df: DataFrame, id_col: str, content_col=None) -> DataFrame
                         "lon": (c % 180, c * 3 % 60, c * 11 % 60),
                         "lon_ref": "E" if c % 2 == 0 else "W",
                     }
+                exif = None
+                if c % 5 != 4:
+                    exif = {
+                        "exposure": (1, 10 + c % 990),
+                        "iso": 100 * (1 + c % 32),
+                    }
                 tiff = encode_exif_tiff(
                     f"Cam{c % 5}", f"M{c % 7}", 1 + c % 8,
                     f"2026:01:{1 + c % 28:02d} 00:00:00",
-                    gps=gps, big_endian=bool(c % 2),
+                    gps=gps, big_endian=bool(c % 2), exif=exif,
                 )
                 payloads.append(insert_exif_app1(base, tiff))
             yield pd.DataFrame(
@@ -1278,6 +1290,8 @@ def _exif_rows(pdf: pd.DataFrame, parse) -> pd.DataFrame:
                 gps["lon"][0] if gps else None,
                 gps["lon"][1] if gps else None,
                 gps["lon"][2] if gps else None,
+                m["exposure"][1] if m and m["exposure"] else None,
+                m["iso"] if m else None,
             )
         )
     return pd.DataFrame(rows, columns=[f.name for f in _EXIF_META_SCHEMA.fields])
