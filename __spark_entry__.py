@@ -2952,14 +2952,47 @@ def _image_exif_meta(spark, sf):
 
 
 def _exif_gps_scrub(spark, sf):
-    """The image-side PII gate: strip GPS IFDs (re-encode the APP1
-    without them) and re-parse the scrubbed bytes — green means GPS is
-    gone AND every other field survived the surgery. Map-only Arrow
-    pass; payloads never leave the executor."""
+    """The image-side PII gate: copy the full IFD0 tree minus only the
+    GPS pointer (round 8 — unknown tags and the 0x8769 EXIF sub-IFD now
+    survive, VERDICT r7 #1) and re-parse the scrubbed bytes — green
+    means GPS is gone AND every other field, including the sub-IFD's
+    ExposureTime/ISO, survived the surgery. Map-only Arrow pass;
+    payloads never leave the executor."""
     from pgferry_spark.multimodal.ops import attach_exif_jpegs, exif_gps_scrub
 
     d = _t(spark, sf, "documents")
     return exif_gps_scrub(attach_exif_jpegs(d, "doc_id"))
+
+
+def _html_extract(spark, sf):
+    """HTML→text extraction (C4/RefinedWeb stage 0): deterministic
+    messy-HTML synthesis (scripts, styles, entities, nested + unclosed
+    tags, comments — six templates keyed on doc_id), then the shared-SQL
+    strip pipeline: script/style/comment removal → tag strip → entity
+    decode → whitespace normalization. Map-only whole-stage-codegen
+    regex (no UDF); the oracle evaluates the SAME template strings, so
+    both engines are identical by construction (the domains.py
+    discipline)."""
+    from pgferry_spark.operators.html import attach_html, html_extract
+
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    return html_extract(attach_html(d))
+
+
+def _line_quality_filter(spark, sf):
+    """C4 §2.2 line rules over extracted text: keep lines ending in
+    terminal punctuation with >= 3 words that are not boilerplate
+    (javascript/cookie notices, lorem ipsum, code lines with braces).
+    One narrow posexplode after the map-only extraction; returns
+    (doc_id, line_no, line) with original 0-based line numbers."""
+    from pgferry_spark.operators.html import (
+        attach_html,
+        html_extract,
+        line_quality_filter,
+    )
+
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    return line_quality_filter(html_extract(attach_html(d)))
 
 
 def _domain_cte() -> str:
@@ -2980,6 +3013,35 @@ def _domain_cte() -> str:
                    FROM documents),
         h AS (SELECT *, {host} AS host FROM u),
         d AS (SELECT *, {dom} AS domain FROM h)
+    """
+
+
+def _html_cte() -> str:
+    """Shared oracle CTE: messy-HTML synthesis + the full strip pipeline
+    built from the SAME module-level SQL templates the Spark side
+    evaluates via F.expr — identical by construction. The g placeholder
+    is the one engine divergence (DuckDB regexp_replace needs the
+    explicit global flag)."""
+    from pgferry_spark.operators.html import HTML_SYNTH_SQL, html_strip_sql
+
+    synth = HTML_SYNTH_SQL.format(id="doc_id", txt="text")
+    strip = html_strip_sql("html", g=", 'g'")
+    return f"""
+        WITH h AS (SELECT doc_id, {synth} AS html FROM documents),
+        x AS (SELECT doc_id, {strip} AS clean_text FROM h)
+    """
+
+
+def _line_quality_oracle() -> str:
+    from pgferry_spark.operators.html import LINE_KEEP_SQL
+
+    keep = LINE_KEEP_SQL.format(line="line")
+    return _html_cte() + f"""
+        , l AS (SELECT doc_id,
+            CAST(generate_subscripts(string_split(clean_text, chr(10)), 1) - 1
+                 AS INT) AS line_no,
+            unnest(string_split(clean_text, chr(10))) AS line FROM x)
+        SELECT doc_id, line_no, line FROM l WHERE {keep}
     """
 
 
@@ -3067,6 +3129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and positions 49-50 are two r6-green canaries. tests/
     test_entry_ordering.py pins this window arithmetic."""
     return {
+        # --- round-8 additions, driver-checked AT BIRTH ---------------
+        "html_extract": _html_extract,
+        "line_quality_filter": _line_quality_filter,
         # --- positions 1-6: round-7 additions, driver-checked AT BIRTH
         # (kills the rotation debt VERDICT r5/r6 flagged) -------------
         "domain_stats": _domain_stats,
@@ -7727,6 +7792,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE domain NOT IN {_BLOCKED_DOMAINS!r}
         """,
         "url_dedup": _url_dedup_oracle(),
+        # HTML→text family (round 8): shared-template CTE, so the oracle
+        # runs the very strings the Spark side compiles via F.expr
+        "html_extract": _html_cte()
+        + """SELECT doc_id, clean_text,
+               CAST(len(string_split(clean_text, chr(10))) AS INT) AS n_lines
+             FROM x""",
+        "line_quality_filter": _line_quality_oracle(),
         # EXIF metadata round-trip + GPS scrub: every field recomputed
         # arithmetically from doc_id (attach_exif_jpegs contract)
         "image_exif_meta": _EXIF_ORACLE_BASE + _EXIF_GPS_COLS

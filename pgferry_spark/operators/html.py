@@ -1,0 +1,185 @@
+"""HTML→text extraction + C4 line-level quality rules.
+
+The one C4/RefinedWeb pipeline stage the engine was missing (VERDICT r7
+Next #3): raw crawl HTML must become clean text BEFORE any quality
+filter, dedup, or tokenization sees it.  Semantics follow Raffel et al.
+2020 (C4, §2.2) and Penedo et al. 2023 (RefinedWeb):
+
+* :func:`html_extract` — script/style/comment removal, tag stripping
+  (including trailing unclosed markup), entity decoding for the common
+  five entities, whitespace normalization — line structure preserved;
+* :func:`line_quality_filter` — C4's line rules: keep only lines that
+  end in terminal punctuation, carry >= 3 words, and are not
+  boilerplate (``javascript``/cookie notices, ``lorem ipsum``, code
+  lines with ``{``);
+* :func:`attach_html` — deterministic messy-HTML synthesis for the
+  URL-less test corpus (the ``attach_urls``/``attach_fake_media``
+  pattern): six templates exercising scripts, styles, entities, nested
+  and UNCLOSED tags, comments, and boilerplate lines.
+
+Everything is built from the module-level SQL templates below (the
+``domains.py`` discipline): one string evaluated by BOTH engines —
+Spark via ``F.expr`` and the DuckDB oracle verbatim — so the two sides
+are identical by construction.  Template rules for portability: no
+lookarounds, no backreferences (RE2 has neither), no ``\\s``/``\\d``
+classes (Spark's SQL string unescape would eat the backslash while
+DuckDB would not — ``\\n``/``\\t`` are the two escapes BOTH layers
+resolve to the same character and the only ones used), newlines built
+with ``chr(10)``, and the one true divergence — DuckDB's
+``regexp_replace`` needs an explicit ``'g'`` flag where Spark is
+always-global — absorbed by the ``{g}`` placeholder.
+
+Scale posture: extraction and the line predicate are map-only
+whole-stage-codegen regex/replace chains (no UDF, no shuffle);
+``line_quality_filter`` adds one ``posexplode`` (narrow).  At 100 TB
+this stage is embarrassingly parallel and bounded by scan + regex CPU;
+the regexes are single-pass, non-backtracking-hostile (RE2-safe ==
+linear-time-safe), and each document is touched exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Shared SQL templates (single source of truth for Spark AND the oracle)
+# --------------------------------------------------------------------------
+
+# (?is): case-fold + dot-matches-newline — script/style bodies span lines.
+# [^>]* after the tag name tolerates attributes in the open tag and
+# whitespace before '>' in the close tag.  Supported by Java regex and
+# RE2 alike; non-greedy keeps adjacent blocks separate.
+SCRIPT_RE = "(?is)<script[^>]*>.*?</script[^>]*>"
+STYLE_RE = "(?is)<style[^>]*>.*?</style[^>]*>"
+COMMENT_RE = "(?s)<!--.*?-->"
+# any remaining well-formed tag: open, close, or declaration
+TAG_RE = "(?s)</?[A-Za-z!][^>]*>"
+# trailing unclosed markup: '<' + tag start, no '>' before end-of-text
+UNCLOSED_RE = "(?s)</?[A-Za-z!][^>]*$"
+
+# decode order matters: '&amp;' LAST, or '&amp;lt;' would double-decode.
+# The single quote is spelled chr(39): quote-doubling inside a literal is
+# the one escape Spark's Hive-style parser and DuckDB's ANSI parser
+# disagree on, so it never appears in a shared template.
+_ENTITIES = [
+    ("'&lt;'", "'<'"),
+    ("'&gt;'", "'>'"),
+    ("'&quot;'", "'\"'"),
+    ("'&#39;'", "chr(39)"),
+    ("'&nbsp;'", "' '"),
+    ("'&amp;'", "'&'"),
+]
+
+
+def html_strip_sql(col: str, g: str = "") -> str:
+    """The full extraction pipeline as ONE SQL expression over ``col``:
+    script/style/comment removal -> tag strip -> unclosed-tag strip ->
+    entity decode -> whitespace normalization (runs of spaces/tabs to
+    one space, spaces trimmed around newlines, blank lines squeezed,
+    ends trimmed).  ``g`` is '' for Spark, ", 'g'" for DuckDB."""
+    x = col
+    for pat in (SCRIPT_RE, STYLE_RE, COMMENT_RE, TAG_RE, UNCLOSED_RE):
+        x = f"regexp_replace({x}, '{pat}', ' '{g})"
+    for ent, rep in _ENTITIES:
+        x = f"replace({x}, {ent}, {rep})"
+    # \n appears only in PATTERNS (where both regex engines resolve it to
+    # newline); replacements use chr(10) — DuckDB replacement strings do
+    # not unescape \n (only group refs), Spark's do: a literal '\n'
+    # replacement would silently diverge (found by the equivalence smoke).
+    x = f"regexp_replace({x}, '[ \t]+', ' '{g})"
+    x = f"regexp_replace({x}, ' ?\\n ?', chr(10){g})"
+    x = f"regexp_replace({x}, '\\n+', chr(10){g})"
+    x = f"regexp_replace({x}, '^\\n+|\\n+$', ''{g})"  # trim() spares newlines
+    return f"trim({x})"
+
+
+# C4 §2.2 line rules, one boolean over a {line} placeholder: terminal
+# punctuation (period / ! / ? / closing quote), >= 3 words (after the
+# extractor's whitespace squeeze, words are single-space separated, so
+# two interior spaces == three words), and boilerplate drops (the C4
+# 'javascript' line rule + RefinedWeb cookie notices + C4's page-level
+# 'lorem ipsum' and curly-brace rules applied at line granularity).
+LINE_KEEP_SQL = (
+    "(({line} LIKE '%.' OR {line} LIKE '%!' OR {line} LIKE '%?'"
+    " OR {line} LIKE '%\"' OR {line} LIKE '%' || chr(39)))"
+    " AND {line} LIKE '% % %'"
+    " AND NOT contains(lower({line}), 'javascript')"
+    " AND NOT contains(lower({line}), 'cookie')"
+    " AND NOT contains(lower({line}), 'lorem ipsum')"
+    " AND NOT contains({line}, '{{')"
+)
+
+# Deterministic messy-HTML synthesis (documents.parquet carries plain
+# text): six templates keyed by id % 6 — full page with script+style,
+# entity soup, nested + UNCLOSED markup, boilerplate lines the filter
+# must drop, comment + code/lorem lines, and one no-HTML passthrough.
+# Multi-line via chr(10); pure CASE/concat/substr evaluated identically
+# by both engines.
+HTML_SYNTH_SQL = (
+    "CASE WHEN {id} % 6 = 0 THEN"
+    " '<html><head><title>Doc</title>"
+    "<script type=\"text/javascript\">var x = 1;</script>"
+    "<style>.c %7Bcolor:red%7D</style></head>' || chr(10) ||"
+    " '<body><p>' || substr({txt}, 1, 60) || '.</p>' || chr(10) ||"
+    " '<p>' || substr({txt}, 61, 60) || '.</p></body></html>'"
+    " WHEN {id} % 6 = 1 THEN"
+    " '<p>Fish &amp; chips &lt;tag&gt; &quot;quoted&quot;"
+    " A&nbsp;B.</p>' || chr(10) ||"
+    " '<p>' || substr({txt}, 1, 60) || '.</p>'"
+    " WHEN {id} % 6 = 2 THEN"
+    " '<div><p>Nested <b><i>' || substr({txt}, 1, 50) || '</i></b>.</p>'"
+    " || chr(10) || '<p>' || substr({txt}, 51, 50) || '.</p><div class='"
+    " WHEN {id} % 6 = 3 THEN"
+    " '<body><p>Enable Javascript to view this page.</p>' || chr(10) ||"
+    " '<p>This site uses cookies accept to continue</p>' || chr(10) ||"
+    " '<p>' || substr({txt}, 1, 80) || '.</p>' || chr(10) ||"
+    " '<ul><li>short.</li></ul></body>'"
+    " WHEN {id} % 6 = 4 THEN"
+    " '<!-- nav' || chr(10) || 'menu -->' || substr({txt}, 1, 70) || '.'"
+    " || chr(10) || 'lorem ipsum dolor sit amet.' || chr(10) ||"
+    " 'var f = function() %7B return 1; %7D;'"
+    " ELSE substr({txt}, 1, 90) || '.' END"
+)
+# %7B/%7D above are NOT url-encoding at runtime — they keep literal curly
+# braces out of this Python/str.format template; expand them at build time.
+HTML_SYNTH_SQL = HTML_SYNTH_SQL.replace("%7B", "{{").replace("%7D", "}}")
+
+
+def attach_html(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Adds an ``html`` column synthesized deterministically from the id
+    and text (map-only codegen)."""
+    return df.withColumn(
+        "html", F.expr(HTML_SYNTH_SQL.format(id=id_col, txt=text_col))
+    )
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Clean text per document: ``(id, clean_text, n_lines)`` — the
+    extraction stage every downstream filter/dedup/tokenizer consumes.
+    Map-only; line structure (chr(10)) survives for the line filter."""
+    clean = F.expr(html_strip_sql(html_col))
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(F.split(clean, "\n")).alias("n_lines"),
+    )
+
+
+def line_quality_filter(
+    df: DataFrame, text_col: str = "clean_text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4 line-level filter: explode documents into lines, keep only the
+    lines passing :data:`LINE_KEEP_SQL`, return ``(id, line_no, line)``
+    with the ORIGINAL 0-based line number (so reassembly order and
+    drop-rate audits stay exact).  One narrow posexplode; the predicate
+    prunes before anything shuffles (nothing here shuffles at all)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    return lines.filter(F.expr(LINE_KEEP_SQL.format(line="line")))

@@ -1,0 +1,142 @@
+"""HTML→text extraction + C4 line-rule goldens (VERDICT r7 Next #3).
+
+Messy-HTML goldens on crafted strings (nested tags, entities, unclosed
+markup, multi-line scripts/comments) plus cross-engine equivalence of
+the shared SQL templates and plan-shape pins (map-only, no UDF, no
+Exchange). Semantics: Raffel et al. 2020 (C4 §2.2), Penedo et al. 2023
+(RefinedWeb).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pgferry_spark.operators import html as H
+
+
+def _spark_strip(spark, s: str) -> str:
+    df = spark.createDataFrame([(s,)], "html: string")
+    return df.select(F.expr(H.html_strip_sql("html")).alias("x")).first()["x"]
+
+
+def _duck_strip(s: str) -> str:
+    expr = H.html_strip_sql("html", g=", 'g'")
+    return duckdb.sql(
+        f"SELECT {expr} FROM (SELECT ? AS html)", params=[s]
+    ).fetchone()[0]
+
+
+GOLDENS = [
+    # nested tags
+    ("<div><p>Nested <b><i>deep</i></b> text.</p></div>", "Nested deep text."),
+    # entities, amp last (no double-decode)
+    (
+        "Fish &amp; chips &lt;b&gt; &quot;q&quot; &#39;s&#39; A&nbsp;B &amp;lt;",
+        "Fish & chips <b> \"q\" 's' A B &lt;",
+    ),
+    # unclosed trailing markup
+    ("Before the break.<div class=", "Before the break."),
+    # multi-line script + style + comment all removed
+    (
+        "<script>\nvar a = '<p>';\n</script>keep<style>\np {}\n</style>"
+        "<!-- c\nc -->me",
+        "keep me",
+    ),
+    # attributes and whitespace-in-close-tag tolerated
+    ("<a href=\"x?y=1&amp;z=2\">link</a >done.", "link done."),
+    # blank-line squeeze + end trim
+    ("<p>a.</p>\n\n\n<p>b.</p>\n", "a.\nb."),
+]
+
+
+@pytest.mark.parametrize("raw,want", GOLDENS)
+def test_strip_goldens_spark(spark, raw, want):
+    assert _spark_strip(spark, raw) == want
+
+
+@pytest.mark.parametrize("raw,want", GOLDENS)
+def test_strip_goldens_duckdb(raw, want):
+    assert _duck_strip(raw) == want
+
+
+LINES = [
+    ("This line ends properly.", True),
+    ("Ends with a bang!", True),
+    ("Does it end with a question?", True),
+    ('He said "end quote."', True),
+    ("no terminal punctuation here", False),
+    ("Too short.", False),                       # < 3 words
+    ("Enable Javascript to continue now.", False),
+    ("This site uses cookies to track you.", False),
+    ("lorem ipsum dolor sit amet.", False),
+    ("var f = function() { return 1; }.", False),  # curly brace
+]
+
+
+@pytest.mark.parametrize("line,keep", LINES)
+def test_line_keep_rule_both_engines(spark, line, keep):
+    pred = H.LINE_KEEP_SQL.format(line="line")
+    got_s = (
+        spark.createDataFrame([(line,)], "line: string")
+        .select(F.expr(pred).alias("k")).first()["k"]
+    )
+    got_d = duckdb.sql(
+        f"SELECT {pred} FROM (SELECT ? AS line)", params=[line]
+    ).fetchone()[0]
+    assert got_s == keep, f"spark: {line!r}"
+    assert got_d == keep, f"duckdb: {line!r}"
+
+
+def test_line_quality_filter_end_to_end(spark):
+    doc = (
+        "<p>Enable Javascript to view this page.</p>\n"
+        "<p>First real sentence stays in.</p>\n"
+        "<p>short.</p>\n"
+        "<p>Second real sentence also stays.</p>"
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id: long, html: string")
+    out = H.line_quality_filter(H.html_extract(df)).collect()
+    assert [(r.line_no, r.line) for r in out] == [
+        (1, "First real sentence stays in."),
+        (3, "Second real sentence also stays."),
+    ]
+
+
+def test_extract_plan_is_map_only_no_udf(spark):
+    """100 TB posture pin: the whole extraction is codegen projections —
+    no Exchange, no Python UDF node."""
+    df = spark.createDataFrame(
+        [(i, f"<p>doc {i} body text.</p>") for i in range(8)],
+        "doc_id: long, html: string",
+    )
+    plan = H.html_extract(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for udf_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert udf_node not in plan
+
+
+def test_line_filter_plan_single_narrow_generate(spark):
+    df = spark.createDataFrame(
+        [(i, f"Alpha beta gamma {i}.\nshort") for i in range(8)],
+        "doc_id: long, clean_text: string",
+    )
+    plan = (
+        H.line_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the one posexplode
+
+
+def test_synth_templates_cover_all_branches(spark):
+    """Every id%6 template parses back to non-empty clean text and the
+    boilerplate templates actually exercise the drop rules."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta " * 4) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = H.html_extract(H.attach_html(df)).orderBy("doc_id").collect()
+    assert len(out) == 6
+    assert all(r.clean_text for r in out)
+    assert out[0].n_lines >= 2          # template 0 is multi-line
+    kept = H.line_quality_filter(H.html_extract(H.attach_html(df)))
+    by_doc = {r.doc_id for r in kept.collect()}
+    assert 3 in by_doc                   # template 3 keeps its one real line
+    assert 5 in by_doc                   # passthrough keeps its line
