@@ -2964,6 +2964,57 @@ def _exif_gps_scrub(spark, sf):
     return exif_gps_scrub(attach_exif_jpegs(d, "doc_id"))
 
 
+def _crawl_snapshot_frames(spark, sf):
+    """Two deterministic crawl snapshots over the shared URL synthesis:
+    the previous snapshot (doc_id % 4 != 0, capture_ts 100+id%7) and a
+    re-crawl (doc_id % 2 = 0, capture_ts 200+id%7, content mutated on
+    id % 10 = 0) — overlap/new/carried/changed all populated by the
+    filter arithmetic, so the oracle replays everything."""
+    from pgferry_spark.functions.text import fingerprint
+    from pgferry_spark.operators.domains import attach_urls, snapshot_reduce
+
+    d = _t(spark, sf, "documents")
+    corpus = attach_urls(d.filter("doc_id % 4 <> 0")).select(
+        "doc_id", "url",
+        fingerprint(F.col("text")).alias("fp"),
+        (F.lit(100) + F.col("doc_id") % 7).alias("capture_ts"),
+    )
+    mutated = F.when(
+        F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" updated"))
+    ).otherwise(F.col("text"))
+    batch = attach_urls(d.filter("doc_id % 2 = 0")).select(
+        "doc_id", "url",
+        fingerprint(mutated).alias("fp"),
+        (F.lit(200) + F.col("doc_id") % 7).alias("capture_ts"),
+    )
+    return snapshot_reduce(corpus), batch
+
+
+def _crawl_snapshot_merge(spark, sf):
+    """Crawl-snapshot keep-newest merge on the canonical URL key
+    (CommonCrawl re-crawl posture): previous snapshot's per-nurl URL
+    index full-outer-joined with the reduced new crawl; newest capture
+    wins, every nurl labeled new/changed/unchanged/carried. The corpus
+    side is zero-exchange when bucketed by nurl (plan-pinned in
+    tests/test_domains.py, mirroring incremental_dedup)."""
+    from pgferry_spark.operators.domains import crawl_snapshot_merge
+
+    corpus_index, batch = _crawl_snapshot_frames(spark, sf)
+    return crawl_snapshot_merge(corpus_index, batch)
+
+
+def _crawl_delta_counts(spark, sf):
+    """Snapshot-over-snapshot audit: URL counts per merge status — one
+    map-side-combinable agg over the merge."""
+    from pgferry_spark.operators.domains import (
+        crawl_delta_counts,
+        crawl_snapshot_merge,
+    )
+
+    corpus_index, batch = _crawl_snapshot_frames(spark, sf)
+    return crawl_delta_counts(crawl_snapshot_merge(corpus_index, batch))
+
+
 def _html_extract(spark, sf):
     """HTML→text extraction (C4/RefinedWeb stage 0): deterministic
     messy-HTML synthesis (scripts, styles, entities, nested + unclosed
@@ -3013,6 +3064,63 @@ def _domain_cte() -> str:
                    FROM documents),
         h AS (SELECT *, {host} AS host FROM u),
         d AS (SELECT *, {dom} AS domain FROM h)
+    """
+
+
+def _crawl_oracle_cte() -> str:
+    """Shared-template replay of the two-snapshot merge: url/host/nurl
+    strings imported from operators/domains.py, fingerprints replayed as
+    md5(normalized text), reduction + full outer join + status CASE."""
+    from pgferry_spark.operators.domains import (
+        HOST_SQL,
+        NURL_SQL,
+        QCLEAN_SQL,
+        URL_SYNTH_SQL,
+    )
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    host = HOST_SQL.format(url="url")
+    qc = QCLEAN_SQL.format(url="url", g=", 'g'")
+    nurl = NURL_SQL.format(url="url", host="host")
+    fp_old = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    fp_new = (
+        "md5(trim(regexp_replace(lower(CASE WHEN doc_id % 10 = 0 "
+        "THEN text || ' updated' ELSE text END), '\\s+', ' ', 'g')))"
+    )
+    take_b = (
+        "(c.doc_id IS NULL OR (b.doc_id IS NOT NULL "
+        "AND b.capture_ts >= c.capture_ts))"
+    )
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents),
+        h AS (SELECT *, {host} AS host FROM u),
+        q AS (SELECT *, {qc} AS __q FROM h),
+        n AS (SELECT *, {nurl} AS nurl FROM q),
+        corp0 AS (SELECT nurl, doc_id,
+                    CAST(100 + doc_id % 7 AS BIGINT) AS capture_ts,
+                    {fp_old} AS fp,
+                    row_number() OVER (PARTITION BY nurl
+                      ORDER BY (100 + doc_id % 7) DESC, doc_id ASC) AS rk
+                  FROM n WHERE doc_id % 4 <> 0),
+        c AS (SELECT nurl, doc_id, capture_ts, fp FROM corp0 WHERE rk = 1),
+        bat0 AS (SELECT nurl, doc_id,
+                   CAST(200 + doc_id % 7 AS BIGINT) AS capture_ts,
+                   {fp_new} AS fp,
+                   row_number() OVER (PARTITION BY nurl
+                     ORDER BY (200 + doc_id % 7) DESC, doc_id ASC) AS rk
+                 FROM n WHERE doc_id % 2 = 0),
+        b AS (SELECT nurl, doc_id, capture_ts, fp FROM bat0 WHERE rk = 1),
+        m AS (SELECT
+                COALESCE(c.nurl, b.nurl) AS nurl,
+                CASE WHEN {take_b} THEN b.doc_id ELSE c.doc_id END AS doc_id,
+                CASE WHEN {take_b} THEN b.capture_ts ELSE c.capture_ts END
+                  AS capture_ts,
+                CASE WHEN {take_b} THEN b.fp ELSE c.fp END AS fp,
+                CASE WHEN c.doc_id IS NULL THEN 'new'
+                     WHEN b.doc_id IS NULL THEN 'carried'
+                     WHEN b.fp = c.fp THEN 'unchanged'
+                     ELSE 'changed' END AS status
+              FROM c FULL OUTER JOIN b ON c.nurl = b.nurl)
     """
 
 
@@ -3132,6 +3240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 additions, driver-checked AT BIRTH ---------------
         "html_extract": _html_extract,
         "line_quality_filter": _line_quality_filter,
+        "crawl_snapshot_merge": _crawl_snapshot_merge,
+        "crawl_delta_counts": _crawl_delta_counts,
         # --- positions 1-6: round-7 additions, driver-checked AT BIRTH
         # (kills the rotation debt VERDICT r5/r6 flagged) -------------
         "domain_stats": _domain_stats,
@@ -7799,6 +7909,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(string_split(clean_text, chr(10))) AS INT) AS n_lines
              FROM x""",
         "line_quality_filter": _line_quality_oracle(),
+        # crawl-snapshot keep-newest merge (round 8)
+        "crawl_snapshot_merge": _crawl_oracle_cte()
+        + "SELECT nurl, doc_id, capture_ts, fp, status FROM m",
+        "crawl_delta_counts": _crawl_oracle_cte()
+        + """SELECT status, CAST(count(*) AS BIGINT) AS n_urls
+             FROM m GROUP BY status""",
         # EXIF metadata round-trip + GPS scrub: every field recomputed
         # arithmetically from doc_id (attach_exif_jpegs contract)
         "image_exif_meta": _EXIF_ORACLE_BASE + _EXIF_GPS_COLS

@@ -15,7 +15,13 @@ domains:
 * :func:`domain_quota_sample` — at most N docs per domain, selected by a
   deterministic content-independent hash (an unbiased per-domain cap);
 * :func:`blocklist_filter` — drop every doc whose domain is on a
-  blocklist (anti join).
+  blocklist (anti join);
+* :func:`snapshot_reduce` / :func:`crawl_snapshot_merge` /
+  :func:`crawl_delta_counts` — the CommonCrawl re-crawl pattern:
+  reduce a crawl to one newest capture per canonical URL, merge it
+  keep-newest against the previous snapshot's URL index (bucketed by
+  nurl at scale → zero corpus-side exchange, the incremental_dedup
+  layout), and report changed/unchanged/new/carried counts.
 
 Parsing is done with ``regexp_extract`` Column expressions built from the
 module-level SQL templates below, NOT ``F.parse_url``: ``parse_url``
@@ -137,6 +143,96 @@ def url_dedup(
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+def snapshot_reduce(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str = "capture_ts",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """One row per canonical URL: the NEWEST capture (max ``ts_col``,
+    ties broken by min id — a crawl can hit the same page twice through
+    different tracking-param variants).  One window shuffle on nurl,
+    rank prunes in place; the output is the per-snapshot URL index."""
+    base = normalize_urls(df, url_col)
+    w = Window.partitionBy("nurl").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("nurl", id_col, ts_col, fp_col)
+    )
+
+
+def crawl_snapshot_merge(
+    corpus_index: DataFrame,
+    batch: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str = "capture_ts",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Two-snapshot keep-newest merge on the canonical URL key — the
+    CommonCrawl re-crawl posture (VERDICT r7 Next #4): ``corpus_index``
+    is the maintained per-nurl URL index of the previous snapshot (one
+    row per nurl — at scale a table BUCKETED by nurl, the zero-exchange
+    side, exactly like ``incremental_dedup``'s fingerprint index;
+    tests/test_domains.py pins the plan), ``batch`` is the raw new
+    crawl (url + content fingerprint + capture time).
+
+    The batch is first reduced to one row per nurl (O(batch) — the only
+    shuffle), then full-outer-joined against the index.  Per nurl the
+    NEWEST capture wins (batch on ties); every row is labeled::
+
+        new        nurl seen for the first time
+        changed    re-crawled, content fingerprint differs
+        unchanged  re-crawled, fingerprint identical
+        carried    not re-crawled; the old capture is carried forward
+
+    Returns (nurl, id, capture_ts, fp, status) — the next round's URL
+    index plus the delta audit in one pass."""
+    b = snapshot_reduce(batch, url_col, id_col, ts_col, fp_col).select(
+        "nurl",
+        F.col(id_col).alias("__b_id"),
+        F.col(ts_col).alias("__b_ts"),
+        F.col(fp_col).alias("__b_fp"),
+    )
+    c = corpus_index.select(
+        "nurl",
+        F.col(id_col).alias("__c_id"),
+        F.col(ts_col).alias("__c_ts"),
+        F.col(fp_col).alias("__c_fp"),
+    )
+    j = c.join(b, "nurl", "full_outer")
+    take_batch = F.col("__c_id").isNull() | (
+        F.col("__b_id").isNotNull() & (F.col("__b_ts") >= F.col("__c_ts"))
+    )
+    status = (
+        F.when(F.col("__c_id").isNull(), F.lit("new"))
+        .when(F.col("__b_id").isNull(), F.lit("carried"))
+        .when(F.col("__b_fp") == F.col("__c_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "nurl",
+        F.when(take_batch, F.col("__b_id")).otherwise(F.col("__c_id"))
+        .alias(id_col),
+        F.when(take_batch, F.col("__b_ts")).otherwise(F.col("__c_ts"))
+        .alias(ts_col),
+        F.when(take_batch, F.col("__b_fp")).otherwise(F.col("__c_fp"))
+        .alias(fp_col),
+        status.alias("status"),
+    )
+
+
+def crawl_delta_counts(merged: DataFrame) -> DataFrame:
+    """Snapshot-over-snapshot audit: URL count per merge status — the
+    changed/unchanged/new/carried numbers a re-crawl report leads with.
+    One map-side-combinable aggregation over the merge output."""
+    return merged.groupBy("status").agg(F.count(F.lit(1)).alias("n_urls"))
 
 
 def attach_urls(

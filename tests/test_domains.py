@@ -177,3 +177,112 @@ class TestDomainOps:
             assert "BroadcastExchange" not in plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestCrawlSnapshotMerge:
+    """Keep-newest two-snapshot merge (VERDICT r7 Next #4): status
+    semantics, tie-breaks, and the zero-corpus-exchange plan pin."""
+
+    def _frames(self, spark):
+        from pgferry_spark.operators.domains import snapshot_reduce
+
+        # previous snapshot: pages A (old content), B, C
+        corpus = attach_urls(
+            spark.createDataFrame(
+                [(1, "contentA v1", "s", 10), (2, "contentB", "s", 10),
+                 (3, "contentC", "s", 10)],
+                "doc_id: long, text: string, source: string, n_chars: long",
+            )
+        ).select(
+            "doc_id", "url",
+            F.md5(F.lower(F.col("text"))).alias("fp"),
+            F.lit(100).cast("long").alias("capture_ts"),
+        )
+        # re-crawl: A changed, B unchanged, D new; C not re-crawled.
+        # doc_ids 1/2 recur (same synthesized url -> same nurl), plus a
+        # duplicate capture of A (doc 9 would get a different url, so the
+        # within-batch tie-break is exercised by two ts values on doc 1).
+        batch = attach_urls(
+            spark.createDataFrame(
+                [(1, "contentA v2", "s", 10, 200),
+                 (1, "contentA stale", "s", 10, 150),  # older capture, loses
+                 (2, "contentB", "s", 10, 200),
+                 (4, "contentD", "s", 10, 200)],
+                "doc_id: long, text: string, source: string, n_chars: long,"
+                " capture_ts: long",
+            )
+        ).select(
+            "doc_id", "url",
+            F.md5(F.lower(F.col("text"))).alias("fp"),
+            "capture_ts",
+        )
+        return snapshot_reduce(corpus), batch
+
+    def test_status_semantics_and_keep_newest(self, spark):
+        from pgferry_spark.operators.domains import (
+            crawl_delta_counts,
+            crawl_snapshot_merge,
+        )
+
+        corpus_index, batch = self._frames(spark)
+        nurl_of = {
+            r["doc_id"]: r["nurl"]
+            for r in normalize_urls(
+                attach_urls(
+                    spark.createDataFrame(
+                        [(i, "s") for i in (1, 2, 3, 4)],
+                        "doc_id: long, source: string",
+                    )
+                )
+            ).collect()
+        }
+        out = {
+            r["nurl"]: r
+            for r in crawl_snapshot_merge(corpus_index, batch).collect()
+        }
+        a, b, c, d = (out[nurl_of[i]] for i in (1, 2, 3, 4))
+        assert a["status"] == "changed" and a["capture_ts"] == 200
+        assert a["fp"] == out[nurl_of[1]]["fp"]  # newest capture's fp won
+        assert b["status"] == "unchanged" and b["capture_ts"] == 200
+        assert c["status"] == "carried" and c["capture_ts"] == 100
+        assert d["status"] == "new" and d["capture_ts"] == 200
+        counts = {
+            r["status"]: r["n_urls"]
+            for r in crawl_delta_counts(
+                crawl_snapshot_merge(corpus_index, batch)
+            ).collect()
+        }
+        assert counts == {"changed": 1, "unchanged": 1, "carried": 1, "new": 1}
+
+    def test_merge_corpus_side_reads_bucketed_no_exchange(self, spark):
+        """The 100 TB posture: the previous snapshot's URL index is a
+        table bucketed on nurl, so the full-outer merge reads it with NO
+        corpus-side Exchange — only the (small) new crawl shuffles
+        (once: its within-batch reduce; the join reuses that
+        partitioning). Mirrors incremental_dedup's fingerprint-index
+        plan pin in test_layout_skew."""
+        from pgferry_spark.operators.domains import crawl_snapshot_merge
+        from pgferry_spark.sources.layout import write_bucketed
+
+        corpus_index, batch = self._frames(spark)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # bucket count == spark.sql.shuffle.partitions (4 in tests):
+            # the one-side-bucketed join only skips the bucket-side
+            # exchange when the probe side shuffles into EXACTLY the
+            # bucket count
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            write_bucketed(
+                corpus_index, "b_nurl_index", "nurl",
+                num_buckets=n_shuffle, sort_by="nurl",
+            )
+            merged = crawl_snapshot_merge(spark.table("b_nurl_index"), batch)
+            assert merged.count() == 4
+            plan = merged._jdf.queryExecution().executedPlan().toString()
+            final = plan.split("== Initial Plan ==")[0]
+            assert final.count("Exchange hashpartitioning") == 1, final
+            assert "Bucketed: true" in final
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS b_nurl_index")
