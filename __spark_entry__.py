@@ -3226,81 +3226,24 @@ def _url_dedup_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
-    entries of this dict. Round-7 rotation (VERDICT r6 Next #1, extended):
-    positions 1-6 are THIS round's additions (driver-checked at birth —
-    new entries never sit post-window accruing rotation debt again),
-    positions 7-25 are the 19 never-driver-checked entries (the 17
-    post-window r6 additions plus bpe_merges/bpe_encode, which graduated
-    from rows-only to oracle-backed in r6 so their old no_oracle rows no
-    longer count), positions 26-48 are the 23 stalest driver-green
-    entries (last green r2/r3) in tools/plan_rotation.py's stable order,
-    and positions 49-50 are two r6-green canaries. tests/
-    test_entry_ordering.py pins this window arithmetic."""
+    entries of this dict. Round-8 rotation (VERDICT r7 Next #1): positions
+    1-4 are THIS round's additions (driver-checked at birth), positions
+    5-33 are the 29 stalest oracle-backed entries (last driver-green r3),
+    positions 34-48 the 15 next-stalest (r4), and positions 49-50 two
+    r7-green canaries.  The 10 rows-only entries (no SQL oracle — their
+    md5/exact twins carry the hash signal) are PERMANENTLY pinned after
+    the window: a slot spent on a no_oracle row can never produce a green
+    driver row (r7 burned 4 slots that way).  tests/test_entry_ordering.py
+    pins this window arithmetic; tools/plan_rotation.py proposes each
+    round's order."""
     return {
-        # --- round-8 additions, driver-checked AT BIRTH ---------------
+        # --- positions 1-4: round-8 additions, driver-checked AT BIRTH
         "html_extract": _html_extract,
         "line_quality_filter": _line_quality_filter,
         "crawl_snapshot_merge": _crawl_snapshot_merge,
         "crawl_delta_counts": _crawl_delta_counts,
-        # --- positions 1-6: round-7 additions, driver-checked AT BIRTH
-        # (kills the rotation debt VERDICT r5/r6 flagged) -------------
-        "domain_stats": _domain_stats,
-        "domain_quota_sample": _domain_quota_sample,
-        "blocklist_filter": _blocklist_filter,
-        "url_dedup": _url_dedup,
-        "image_exif_meta": _image_exif_meta,
-        "exif_gps_scrub": _exif_gps_scrub,
-        # --- positions 4-22: never-driver-checked (bpe pair graduated
-        # to oracle-backed in r6; 17 post-window r6 additions) --------
-        "bpe_merges": _bpe_merges,
-        "bpe_encode": _bpe_encode,
-        "exact_substring_spans_chars": _exact_substring_spans_chars,
-        "image_meta_jpeg": _image_meta_jpeg,
-        "t_closeness": _t_closeness,
-        "video_frame_index": _video_frame_index,
-        "audio_segment_index": _audio_segment_index,
-        "hybrid_rrf_topk": _hybrid_rrf_topk,
-        "dedup_keep_best": _dedup_keep_best,
-        "mmr_diversify": _mmr_diversify,
-        "pii_luhn_cards": _pii_luhn_cards,
-        "pii_card_gate": _pii_card_gate,
-        "mmr_diversify_ivf": _mmr_diversify_ivf,
-        "curate_corpus_best": _curate_corpus_best,
-        "kmeans_exact_assign": _kmeans_exact_assign,
-        "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
-        "compressibility_entropy": _compressibility_entropy,
-        "dedup_method_agreement": _dedup_method_agreement,
-        "packing_efficiency": _packing_efficiency,
-        # --- positions 23-48: stalest driver-green (r2/r3 last green),
-        # planner-stable order from tools/plan_rotation.py ------------
-        "lang_id": _lang_id,
-        "bpe_token_count": _bpe_token_count,
-        "winnow_summary": _winnow_summary,
-        "simhash_near_pairs": _simhash_pairs,
-        "ivf_kmeans_assign": _ivf_kmeans,
-        "minhash_buckets": _minhash_buckets,
-        "lsh_candidate_pairs": _lsh_pairs,
-        "winnow_shared_pairs": _winnow_shared_pairs,
-        "pii_scrub": _pii_scrub,
-        "dataset_split": _dataset_split,
-        "quota_sample": _quota_sample,
-        "pack_sequences": _pack_sequences,
-        "range_join_incidents": _range_join_incidents,
-        "time_rollup": _time_rollup,
-        "cdc_merge": _cdc_merge,
-        "scd2_history": _scd2_history,
-        "dedup_clusters": _dedup_clusters,
-        "inverted_index": _inverted_index,
-        "keyword_search": _keyword_search,
-        "fingerprint_dedup": _fingerprint_dedup,
-        "minhash_buckets_md5": _minhash_buckets_md5,
-        "lsh_candidate_pairs_md5": _lsh_pairs_md5,
-        "jaccard_adjacent": _jaccard_adjacent,
-        # --- positions 49-50: r6-green canaries (harness sentinels) --
-        "q1_pricing_summary": _q1,
-        "exact_dedup_groups": _exact_dedup,
-        # --- beyond the 50-entry window: stalest-first per
-        # tools/plan_rotation.py; next in line for the r8 rotation ----
+        # --- positions 5-33: the 29 stalest oracle-backed entries (last
+        # driver-green r3), planner-stable order (tools/plan_rotation.py)
         "simhash32": _simhash32,
         "simhash_near_pairs_md5": _simhash_pairs_md5,
         "embedding_near_dup": _embedding_near_dup,
@@ -3330,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _vocab_topk,
         "winnow_shared_pairs_capped": _winnow_shared_pairs_capped,
         "chunked_scan": _chunked_scan,
+        # --- positions 34-48: next-stalest (r4-green), planner order
         "mixture_sample": _mixture_sample,
         "shard_manifest": _shard_manifest,
         "semdedup": _semdedup,
@@ -3345,6 +3289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "json_key_profile": _json_key_profile,
         "audio_segments": _audio_segments,
+        # --- positions 49-50: r7-green canaries (harness sentinels)
+        "q1_pricing_summary": _q1,
+        "exact_dedup_groups": _exact_dedup,
+        # --- beyond the 50-entry window: stalest-first per
+        # tools/plan_rotation.py; next in line for the r9 rotation
         "name_match_pairs": _name_match_pairs,
         "q16_adapted": _q16_adapted,
         "q20_adapted": _q20_adapted,
@@ -3383,10 +3332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": _l_diversity,
         "q2_adapted": _q2_adapted,
         "q11_adapted": _q11_adapted,
-        "quality_classifier": _quality_classifier,
-        "compression_ratio": _compression_ratio,
-        "ivf_pq_kmeans_topk": _ivf_pq_kmeans_topk,
-        "ann_recall_ivfpq_kmeans": _ann_recall_ivfpq_kmeans,
         "ivf_pq_rerank_topk": _ivf_pq_rerank_topk,
         "knn_graph_capped": _knn_graph_capped,
         "image_meta_real": _image_meta_real,
@@ -3402,11 +3347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _curation_funnel,
         "source_datasheet": _source_datasheet,
         "dsir_weights": _dsir_weights,
-        "lsh_candidate_pairs_capped": _lsh_pairs_capped,
         "lsh_candidate_pairs_md5_capped": _lsh_pairs_md5_capped,
         "cross_corpus_near_dup_capped": _cross_corpus_near_dup_capped,
         "quality_twin_auc": _quality_twin_auc,
-        "quality_classifier_auc": _quality_classifier_auc,
         "boilerplate_ngrams": _boilerplate_ngrams,
         "mixture_epochs": _mixture_epochs,
         "embedding_drift_psi": _embedding_drift_psi,
@@ -3472,6 +3415,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_checks": _quality_checks,
         "text_stats": _text_stats,
         "span_dedup": _span_dedup,
+        "domain_stats": _domain_stats,
+        "domain_quota_sample": _domain_quota_sample,
+        "blocklist_filter": _blocklist_filter,
+        "url_dedup": _url_dedup,
+        "image_exif_meta": _image_exif_meta,
+        "exif_gps_scrub": _exif_gps_scrub,
+        "bpe_merges": _bpe_merges,
+        "bpe_encode": _bpe_encode,
+        "exact_substring_spans_chars": _exact_substring_spans_chars,
+        "image_meta_jpeg": _image_meta_jpeg,
+        "t_closeness": _t_closeness,
+        "video_frame_index": _video_frame_index,
+        "audio_segment_index": _audio_segment_index,
+        "hybrid_rrf_topk": _hybrid_rrf_topk,
+        "dedup_keep_best": _dedup_keep_best,
+        "mmr_diversify": _mmr_diversify,
+        "pii_luhn_cards": _pii_luhn_cards,
+        "pii_card_gate": _pii_card_gate,
+        "mmr_diversify_ivf": _mmr_diversify_ivf,
+        "curate_corpus_best": _curate_corpus_best,
+        "kmeans_exact_assign": _kmeans_exact_assign,
+        "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
+        "compressibility_entropy": _compressibility_entropy,
+        "dedup_method_agreement": _dedup_method_agreement,
+        "packing_efficiency": _packing_efficiency,
+        "lang_id": _lang_id,
+        "bpe_token_count": _bpe_token_count,
+        "winnow_summary": _winnow_summary,
+        "winnow_shared_pairs": _winnow_shared_pairs,
+        "pii_scrub": _pii_scrub,
+        "dataset_split": _dataset_split,
+        "quota_sample": _quota_sample,
+        "pack_sequences": _pack_sequences,
+        "range_join_incidents": _range_join_incidents,
+        "time_rollup": _time_rollup,
+        "cdc_merge": _cdc_merge,
+        "scd2_history": _scd2_history,
+        "dedup_clusters": _dedup_clusters,
+        "inverted_index": _inverted_index,
+        "keyword_search": _keyword_search,
+        "fingerprint_dedup": _fingerprint_dedup,
+        "minhash_buckets_md5": _minhash_buckets_md5,
+        "lsh_candidate_pairs_md5": _lsh_pairs_md5,
+        "jaccard_adjacent": _jaccard_adjacent,
+        # --- rows-only entries (no SQL oracle; md5 twins carry the
+        # signal): PERMANENTLY post-window (VERDICT r7 Next #1) — a
+        # window slot on a no_oracle row can never go green
+        "simhash_near_pairs": _simhash_pairs,
+        "ivf_kmeans_assign": _ivf_kmeans,
+        "minhash_buckets": _minhash_buckets,
+        "lsh_candidate_pairs": _lsh_pairs,
+        "quality_classifier": _quality_classifier,
+        "compression_ratio": _compression_ratio,
+        "ivf_pq_kmeans_topk": _ivf_pq_kmeans_topk,
+        "ann_recall_ivfpq_kmeans": _ann_recall_ivfpq_kmeans,
+        "lsh_candidate_pairs_capped": _lsh_pairs_capped,
+        "quality_classifier_auc": _quality_classifier_auc,
     }
 
 

@@ -1,16 +1,17 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01..r06 each contain exactly 50
-keys equal to dict positions 1-50).  Round-7 rotation (VERDICT r6 Next
-#1, extended): positions 1-3 are this round's NEW entries — additions
-now enter the window at birth instead of accruing post-window rotation
-debt — positions 4-22 are the 19 never-driver-checked entries (17
-post-window r6 additions + the bpe pair that graduated from rows-only
-to oracle-backed in r6), positions 23-48 are the 26 stalest
-driver-green entries, and positions 49-50 are two r6-green canaries.
-This test keeps that window arithmetic from silently regressing when
-entries are added or reordered.
+__spark_entry__.queries() (CORRECTNESS_r01..r07 each contain exactly 50
+keys equal to dict positions 1-50).  Round-8 rotation (VERDICT r7 Next
+#1): positions 1-4 are this round's NEW entries (driver-checked at
+birth), positions 5-33 are the 29 stalest oracle-backed entries (last
+driver-green r3), positions 34-48 the 15 next-stalest (r4-green), and
+positions 49-50 two r7-green canaries.  The 10 rows-only entries are
+PERMANENTLY excluded from the window — a slot spent on a ``no_oracle``
+row can never produce a green driver row (round 7 burned 4 slots that
+way); their md5/exact twins carry the hash signal.  This test keeps the
+window arithmetic from silently regressing when entries are added or
+reordered.
 """
 
 import importlib.util
@@ -29,43 +30,43 @@ def entry_mod():
     return mod
 
 
-# Positions 1-6: round-7 additions, driver-checked at birth.
-NEW_R7 = [
-    "domain_stats", "domain_quota_sample", "blocklist_filter", "url_dedup",
-    "image_exif_meta", "exif_gps_scrub",
+# Positions 1-4: round-8 additions, driver-checked at birth.
+NEW_R8 = [
+    "html_extract", "line_quality_filter", "crawl_snapshot_merge",
+    "crawl_delta_counts",
 ]
 
-# Positions 4-22: no driver correctness row as of CORRECTNESS_r06 under
-# current semantics (bpe pair graduated to oracle-backed; rest are the
-# post-window round-6 additions — all judge-gate green last round).
-NEVER_CHECKED = [
-    "bpe_merges", "bpe_encode", "exact_substring_spans_chars",
-    "image_meta_jpeg", "t_closeness", "video_frame_index",
-    "audio_segment_index", "hybrid_rrf_topk", "dedup_keep_best",
-    "mmr_diversify", "pii_luhn_cards", "pii_card_gate",
-    "mmr_diversify_ivf", "curate_corpus_best", "kmeans_exact_assign",
-    "ivf_kmeans_exact_topk", "compressibility_entropy",
-    "dedup_method_agreement", "packing_efficiency",
-]
-
-# Positions 23-48: stalest driver-green entries (last green r2/r3),
+# Positions 5-33: stalest oracle-backed entries (last driver-green r3),
 # planner-stable order from tools/plan_rotation.py.
-STALE = [
-    "lang_id", "bpe_token_count", "winnow_summary", "simhash_near_pairs",
-    "ivf_kmeans_assign", "minhash_buckets", "lsh_candidate_pairs",
-    "winnow_shared_pairs", "pii_scrub", "dataset_split", "quota_sample",
-    "pack_sequences", "range_join_incidents", "time_rollup", "cdc_merge",
-    "scd2_history", "dedup_clusters", "inverted_index", "keyword_search",
-    "fingerprint_dedup", "minhash_buckets_md5", "lsh_candidate_pairs_md5",
-    "jaccard_adjacent",
+STALE_R3 = [
+    "simhash32", "simhash_near_pairs_md5", "embedding_near_dup",
+    "embedding_near_dup_lsh", "embedding_dedup", "cosine_topk",
+    "pairwise_cosine_topk", "ivf_assign", "ivf_topk",
+    "corpus_filter", "lsh_topk", "lsh_topk_multiprobe",
+    "multimodal_meta", "frame_sample", "bm25_topk",
+    "repetition_stats", "contamination_check", "length_outliers",
+    "unigram_logprob", "approx_distinct_users", "fill_time_gaps",
+    "token_budget_select", "quantize_embeddings", "stratified_split",
+    "rate_anomalies", "incremental_dedup", "vocab_topk",
+    "winnow_shared_pairs_capped", "chunked_scan",
 ]
 
-# r6-green sentinels: if these fail in CORRECTNESS_r07 the harness (not
+# Positions 34-48: next-stalest (r4-green), planner order.
+STALE_R4 = [
+    "mixture_sample", "shard_manifest", "semdedup",
+    "pq_encode", "dup_rate_by_source", "knn_graph",
+    "user_funnel", "funnel_report", "chunk_documents",
+    "temperature_sample", "retention_cohorts", "transition_counts",
+    "weighted_sample", "json_key_profile", "audio_segments",
+]
+
+# r7-green sentinels: if these fail in CORRECTNESS_r08 the harness (not
 # the rotated-in entries) regressed.
 CANARIES = ["q1_pricing_summary", "exact_dedup_groups"]
 
 # Rows-only by design: xxhash64 fast paths carry no SQL oracle (their md5
 # twins do), and KMeans/LBFGS floats are iteration-order dependent.
+# Since round 8: PERMANENTLY post-window.
 ROWS_ONLY = {
     "minhash_buckets", "lsh_candidate_pairs", "simhash_near_pairs",
     "ivf_kmeans_assign",
@@ -86,24 +87,41 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 221
+N_QUERIES = 225
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:6] == NEW_R7
-    assert names[6:25] == NEVER_CHECKED
-    assert names[25:48] == STALE
+    assert names[:4] == NEW_R8
+    assert names[4:33] == STALE_R3
+    assert names[33:48] == STALE_R4
     assert names[48:50] == CANARIES
 
 
 def test_window_exactly_filled(entry_mod):
-    # 6 + 19 + 23 + 2 == 50: no slot wasted, nothing needing a row
-    # pushed out.
+    # 4 + 29 + 15 + 2 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == (
-        set(NEW_R7) | set(NEVER_CHECKED) | set(STALE) | set(CANARIES)
+        set(NEW_R8) | set(STALE_R3) | set(STALE_R4) | set(CANARIES)
     )
+
+
+def test_rows_only_permanently_post_window(entry_mod):
+    """Every window slot must be capable of a green driver row: no entry
+    without an oracle_sql twin may appear in positions 1-50 (VERDICT r7
+    Next #1 — done means zero no_oracle rows in CORRECTNESS_r08)."""
+    first50 = list(entry_mod.queries().keys())[:50]
+    oracles = set(entry_mod.oracle_sql())
+    assert all(n in oracles for n in first50)
+    assert not (set(first50) & ROWS_ONLY)
+
+
+def test_rows_only_pinned_last(entry_mod):
+    """The rows-only block sits at the very END of the dict so it can
+    never drift back into the window as entries are added."""
+    names = list(entry_mod.queries().keys())
+    tail = names[-len(ROWS_ONLY):]
+    assert set(tail) == ROWS_ONLY
 
 
 def test_no_entries_lost_in_reorder(entry_mod):
@@ -121,7 +139,7 @@ def test_oracle_coverage_unchanged(entry_mod):
 
 def test_rotation_planner_agrees(entry_mod):
     """tools/plan_rotation.py (hash_match is True semantics) must agree
-    that the window contains every never-checked entry."""
+    that the window contains every never-checked oracle-backed entry."""
     import subprocess
     import sys
 

@@ -33,8 +33,10 @@ def last_green_round() -> dict[str, int]:
     hash for oracle entries).  A rows-only entry (no oracle_sql twin)
     counts as checked when the driver recorded its ``no_oracle`` row with
     a non-null spark_rows — that IS the maximum-achievable driver check
-    for it, so leaving it "never checked" would pin it in the window
-    forever, wasting a slot every round."""
+    for it.  Since round 8 rows-only entries are additionally pinned
+    PERMANENTLY post-window (VERDICT r7 Next #1): a window slot on a
+    no_oracle row can never go green, and the md5/exact twins carry the
+    hash signal."""
     green: dict[str, int] = {}
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)", path)
@@ -61,14 +63,19 @@ def main() -> int:
     names = list(entry.queries().keys())
     green = last_green_round()
     pos = {n: i for i, n in enumerate(names)}
-    # never-green first (staleness -1 < any round), then stalest, stable
-    ordered = sorted(names, key=lambda n: (green.get(n, -1), pos[n]))
+    # rows-only last (permanently post-window), then never-green first
+    # (staleness -1 < any round), then stalest, stable
+    ordered = sorted(
+        names, key=lambda n: (n in ROWS_ONLY, green.get(n, -1), pos[n])
+    )
     print(f"# proposed ordering ({len(names)} entries, window={window})")
     for i, n in enumerate(ordered, 1):
         mark = "  <-- window boundary" if i == window else ""
         status = f"r{green[n]}-green" if n in green else "NEVER-CHECKED"
         print(f"{i:3d}  {n:35s} {status}{mark}")
-    never_out = [n for n in ordered[window:] if n not in green]
+    never_out = [
+        n for n in ordered[window:] if n not in green and n not in ROWS_ONLY
+    ]
     if never_out:
         print(f"\nWARNING: {len(never_out)} never-checked entries do not fit "
               f"the window: {never_out}")
