@@ -1671,10 +1671,13 @@ def _vocab_topk(spark, sf):
 def _span_dedup(spark, sf):
     """C4-style duplicate-span removal: chunk each doc into 5-token spans,
     keep the FIRST corpus-wide occurrence of every span, reassemble docs
-    from their surviving spans. Two shuffles (span key, then doc id)."""
+    from their surviving spans. Two shuffles (span key, then doc id).
+    fan_out first: the r8 slope audit measured the sf1 single-file scan
+    serializing the tokenize+explode map side onto 2 of 32 cores —
+    5.5x wall at 10x data, 1.3x after (BASELINE.md §11)."""
     from pgferry_spark.operators.dedup import span_dedup
 
-    d = _t(spark, sf, "documents")
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
     return span_dedup(d, "text", "doc_id", span=5)
 
 
@@ -2386,10 +2389,11 @@ def _exact_substring_spans(spark, sf):
     per repeated window, merge each doc's surviving duplicate windows
     into maximal [start, end) token spans. The shuffle carries md5 window
     keys, never text; the keeper is a count+min aggregate (no hot-window
-    occurrence lists)."""
+    occurrence lists). fan_out first (the span_dedup single-file
+    parallelism-floor lesson, r8 slope audit)."""
     from pgferry_spark.operators.dedup import exact_substring_spans
 
-    d = _t(spark, sf, "documents")
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
     return exact_substring_spans(d, "text", "doc_id", w=8)
 
 
@@ -2402,7 +2406,7 @@ def _exact_substring_spans_chars(spark, sf):
     (doc_id, tokens) projection — AQE broadcast in practice."""
     from pgferry_spark.operators.dedup import exact_substring_spans
 
-    d = _t(spark, sf, "documents")
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
     return exact_substring_spans(
         d, "text", "doc_id", w=8, min_match_chars=50
     )
@@ -2723,10 +2727,11 @@ def _exact_substring_scrub(spark, sf):
     rebuilt with its later-occurrence duplicated windows cut out (first
     corpus-wide copy survives). The spans table is tiny; the only
     corpus-sized work is one token posexplode and a per-document
-    ordered re-aggregation — no suffix array, no all-pairs."""
+    ordered re-aggregation — no suffix array, no all-pairs. fan_out
+    first (single-file parallelism floor, r8 slope audit)."""
     from pgferry_spark.operators.dedup import remove_exact_substrings
 
-    d = _t(spark, sf, "documents")
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
     return remove_exact_substrings(d, "text", "doc_id", w=8)
 
 

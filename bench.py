@@ -165,6 +165,16 @@ HEADLINE = [
     "domain_quota_sample",
     "blocklist_filter",
     "url_dedup",
+    # round 8 (VERDICT r7 ask #5): the EXIF pair were the only registry
+    # entries without bench medians — new entries join the headline the
+    # round they are born
+    "image_exif_meta",
+    "exif_gps_scrub",
+    # round 8: HTML→text extraction + C4 line rules, crawl-snapshot merge
+    "html_extract",
+    "line_quality_filter",
+    "crawl_snapshot_merge",
+    "crawl_delta_counts",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —
