@@ -3051,6 +3051,23 @@ def _line_quality_filter(spark, sf):
     return line_quality_filter(html_extract(attach_html(d)))
 
 
+def _c4_clean_documents(spark, sf):
+    """The fused C4 §2.2 pipeline end-to-end: HTML extraction → line
+    rules → page-level minimum-retained-lines rule → each surviving
+    document reassembled from its kept lines in original order. One
+    narrow posexplode + ONE shuffle (the per-doc reassembly, bounded by
+    doc length); boilerplate is pruned BEFORE the shuffle, so dropped
+    lines never move."""
+    from pgferry_spark.operators.html import (
+        attach_html,
+        c4_clean_documents,
+        html_extract,
+    )
+
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    return c4_clean_documents(html_extract(attach_html(d)), min_kept_lines=2)
+
+
 def _domain_cte() -> str:
     """Shared oracle CTE: url synthesis + host/domain extraction built
     from the SAME module-level SQL templates the Spark side evaluates
@@ -3158,6 +3175,29 @@ def _line_quality_oracle() -> str:
     """
 
 
+def _c4_clean_oracle() -> str:
+    """Fused C4 pipeline: line explode + shared keep predicate + ordered
+    string_agg reassembly + the page-level minimum-kept-lines HAVING."""
+    from pgferry_spark.operators.html import LINE_KEEP_SQL
+
+    keep = LINE_KEEP_SQL.format(line="line")
+    return _html_cte() + f"""
+        , l AS (SELECT doc_id,
+            CAST(generate_subscripts(string_split(clean_text, chr(10)), 1) - 1
+                 AS INT) AS line_no,
+            unnest(string_split(clean_text, chr(10))) AS line FROM x),
+        k AS (SELECT doc_id, line_no, line, ({keep}) AS keep FROM l)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS total_lines,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS kept_lines,
+               coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                 ORDER BY line_no), '') AS kept_text
+        FROM k GROUP BY doc_id
+        HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 2
+    """
+
+
 # EXIF oracle: the shared deterministic-field arithmetic (see
 # multimodal/ops.attach_exif_jpegs); the two entries differ only in the
 # GPS columns (parsed values vs post-scrub NULLs).
@@ -3232,9 +3272,9 @@ def _url_dedup_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
     entries of this dict. Round-8 rotation (VERDICT r7 Next #1): positions
-    1-4 are THIS round's additions (driver-checked at birth), positions
-    5-33 are the 29 stalest oracle-backed entries (last driver-green r3),
-    positions 34-48 the 15 next-stalest (r4), and positions 49-50 two
+    1-5 are THIS round's additions (driver-checked at birth), positions
+    6-34 are the 29 stalest oracle-backed entries (last driver-green r3),
+    positions 35-48 the 14 next-stalest (r4), and positions 49-50 two
     r7-green canaries.  The 10 rows-only entries (no SQL oracle — their
     md5/exact twins carry the hash signal) are PERMANENTLY pinned after
     the window: a slot spent on a no_oracle row can never produce a green
@@ -3242,12 +3282,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-4: round-8 additions, driver-checked AT BIRTH
+        # --- positions 1-5: round-8 additions, driver-checked AT BIRTH
         "html_extract": _html_extract,
         "line_quality_filter": _line_quality_filter,
+        "c4_clean_documents": _c4_clean_documents,
         "crawl_snapshot_merge": _crawl_snapshot_merge,
         "crawl_delta_counts": _crawl_delta_counts,
-        # --- positions 5-33: the 29 stalest oracle-backed entries (last
+        # --- positions 6-34: the 29 stalest oracle-backed entries (last
         # driver-green r3), planner-stable order (tools/plan_rotation.py)
         "simhash32": _simhash32,
         "simhash_near_pairs_md5": _simhash_pairs_md5,
@@ -3278,7 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _vocab_topk,
         "winnow_shared_pairs_capped": _winnow_shared_pairs_capped,
         "chunked_scan": _chunked_scan,
-        # --- positions 34-48: next-stalest (r4-green), planner order
+        # --- positions 35-48: next-stalest (r4-green), planner order
         "mixture_sample": _mixture_sample,
         "shard_manifest": _shard_manifest,
         "semdedup": _semdedup,
@@ -3293,12 +3334,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_counts": _transition_counts,
         "weighted_sample": _weighted_sample,
         "json_key_profile": _json_key_profile,
-        "audio_segments": _audio_segments,
         # --- positions 49-50: r7-green canaries (harness sentinels)
         "q1_pricing_summary": _q1,
         "exact_dedup_groups": _exact_dedup,
         # --- beyond the 50-entry window: stalest-first per
         # tools/plan_rotation.py; next in line for the r9 rotation
+        "audio_segments": _audio_segments,
         "name_match_pairs": _name_match_pairs,
         "q16_adapted": _q16_adapted,
         "q20_adapted": _q20_adapted,
@@ -7914,6 +7955,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(string_split(clean_text, chr(10))) AS INT) AS n_lines
              FROM x""",
         "line_quality_filter": _line_quality_oracle(),
+        "c4_clean_documents": _c4_clean_oracle(),
         # crawl-snapshot keep-newest merge (round 8)
         "crawl_snapshot_merge": _crawl_oracle_cte()
         + "SELECT nurl, doc_id, capture_ts, fp, status FROM m",

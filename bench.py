@@ -170,9 +170,11 @@ HEADLINE = [
     # round they are born
     "image_exif_meta",
     "exif_gps_scrub",
-    # round 8: HTML→text extraction + C4 line rules, crawl-snapshot merge
+    # round 8: HTML→text extraction + C4 line rules, fused page clean,
+    # crawl-snapshot merge
     "html_extract",
     "line_quality_filter",
+    "c4_clean_documents",
     "crawl_snapshot_merge",
     "crawl_delta_counts",
 ]

@@ -12,6 +12,9 @@ filter, dedup, or tokenization sees it.  Semantics follow Raffel et al.
   end in terminal punctuation, carry >= 3 words, and are not
   boilerplate (``javascript``/cookie notices, ``lorem ipsum``, code
   lines with ``{``);
+* :func:`c4_clean_documents` — the fused deliverable: line filter +
+  C4's page-level minimum-retained-lines rule + ordered reassembly of
+  each surviving document from its kept lines;
 * :func:`attach_html` — deterministic messy-HTML synthesis for the
   URL-less test corpus (the ``attach_urls``/``attach_fake_media``
   pattern): six templates exercising scripts, styles, entities, nested
@@ -183,3 +186,45 @@ def line_quality_filter(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
     )
     return lines.filter(F.expr(LINE_KEEP_SQL.format(line="line")))
+
+
+def c4_clean_documents(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    id_col: str = "doc_id",
+    min_kept_lines: int = 2,
+) -> DataFrame:
+    """The fused C4 §2.2 deliverable: line filter + page rule + ordered
+    reassembly in one pass.  Per document: total/kept line counts and
+    the document rebuilt from its surviving lines in original order;
+    documents with fewer than ``min_kept_lines`` surviving lines are
+    DROPPED (C4 discards pages with fewer than a minimum of retained
+    sentences — 5 in the paper; 2 here because the synthetic docs are
+    short, the knob is the semantics).
+
+    Scale shape: one posexplode (narrow) then ONE shuffle — the
+    groupBy(id) reassembly, bounded by document length, not corpus
+    size.  The line predicate prunes BEFORE the shuffle, so dropped
+    boilerplate never moves; at 100 TB the shuffled bytes are the
+    surviving corpus, which is the output anyway."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    keep = F.expr(LINE_KEEP_SQL.format(line="line"))
+    kept_struct = F.when(keep, F.struct(F.col("line_no"), F.col("line")))
+    return (
+        lines.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_lines"),
+            F.sum(keep.cast("bigint")).alias("kept_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("kept_text"),
+        )
+        .filter(F.col("kept_lines") >= min_kept_lines)
+    )

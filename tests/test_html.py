@@ -140,3 +140,37 @@ def test_synth_templates_cover_all_branches(spark):
     by_doc = {r.doc_id for r in kept.collect()}
     assert 3 in by_doc                   # template 3 keeps its one real line
     assert 5 in by_doc                   # passthrough keeps its line
+
+
+def test_c4_clean_documents_reassembly_and_page_rule(spark):
+    """Fused pipeline: kept lines reassembled in original order; docs
+    below the minimum-retained-lines page rule are dropped entirely."""
+    docs = [
+        # doc 1: two kept lines around a dropped one -> survives
+        (1, "First sentence stays in.\nno punct\nSecond sentence stays too."),
+        # doc 2: only one kept line -> dropped by the page rule
+        (2, "Only one good sentence here.\nshort\nnope"),
+        # doc 3: nothing kept -> dropped
+        (3, "tiny\nlines\nonly"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, clean_text: string")
+    out = {r.doc_id: r for r in H.c4_clean_documents(df, min_kept_lines=2).collect()}
+    assert set(out) == {1}
+    assert out[1].total_lines == 3 and out[1].kept_lines == 2
+    assert out[1].kept_text == (
+        "First sentence stays in.\nSecond sentence stays too."
+    )
+
+
+def test_c4_clean_plan_single_shuffle(spark):
+    """One Exchange only (the per-doc reassembly); the line predicate
+    prunes before it."""
+    df = spark.createDataFrame(
+        [(i, f"Alpha beta gamma {i}.\nshort") for i in range(8)],
+        "doc_id: long, clean_text: string",
+    )
+    out = H.c4_clean_documents(df)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") <= 1
