@@ -2969,6 +2969,53 @@ def _exif_gps_scrub(spark, sf):
     return exif_gps_scrub(attach_exif_jpegs(d, "doc_id"))
 
 
+def _script_profile(spark, sf):
+    """Unicode-script profile over a deterministically multiscript-
+    decorated corpus: per-doc character counts for Latin/Cyrillic/CJK/
+    Arabic literal ranges + dominant script. Literal-endpoint ranges are
+    the one spelling Java regex and RE2 read identically (\\p{Script}
+    names and \\u escapes both diverge). Map-only codegen."""
+    from pgferry_spark.functions.text import (
+        MULTISCRIPT_SYNTH_SQL,
+        script_profile,
+    )
+
+    d = _t(spark, sf, "documents").withColumn(
+        "mtext", F.expr(MULTISCRIPT_SYNTH_SQL.format(id="doc_id", txt="text"))
+    )
+    return script_profile(d, "mtext", "doc_id")
+
+
+def _line_dedup(spark, sf):
+    """RefinedWeb corpus-wide exact-line dedup over the extracted HTML
+    corpus: keep-first per line across ALL documents (agg keeper —
+    map-side partial min(struct), hot boilerplate lines never
+    concentrate), short lines exempt, docs rebuilt from survivors. The
+    html synth plants identical boilerplate lines across docs of the
+    same template class, so cross-doc dedup is genuinely exercised."""
+    from pgferry_spark.operators.html import (
+        attach_html,
+        html_extract,
+        line_dedup,
+    )
+
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    return line_dedup(html_extract(attach_html(d)), min_line_chars=10)
+
+
+_URL_BLOCK_KWS = ("post", "raw", "login", "cart")
+
+
+def _url_keyword_filter(spark, sf):
+    """RefinedWeb URL word-list gate: drop documents whose URL
+    path/query contains a blocked keyword (utility/login/search pages),
+    keyed on the path so domains are not punished for their names.
+    Map-only filter, no join."""
+    from pgferry_spark.operators.domains import url_keyword_filter
+
+    return url_keyword_filter(_docs_with_urls(spark, sf), _URL_BLOCK_KWS)
+
+
 def _crawl_snapshot_frames(spark, sf):
     """Two deterministic crawl snapshots over the shared URL synthesis:
     the previous snapshot (doc_id % 4 != 0, capture_ts 100+id%7) and a
@@ -3086,6 +3133,70 @@ def _domain_cte() -> str:
                    FROM documents),
         h AS (SELECT *, {host} AS host FROM u),
         d AS (SELECT *, {dom} AS domain FROM h)
+    """
+
+
+def _script_profile_oracle() -> str:
+    """Counts from the shared SCRIPT_COUNT_SQL template; dominance CASE
+    replays script_profile's fixed-order tie-break."""
+    from pgferry_spark.functions.text import (
+        MULTISCRIPT_SYNTH_SQL,
+        SCRIPT_COUNT_SQL,
+        SCRIPT_RANGES,
+    )
+
+    synth = MULTISCRIPT_SYNTH_SQL.format(id="doc_id", txt="text")
+    counts = ", ".join(
+        "CAST("
+        + SCRIPT_COUNT_SQL.format(col="mtext", ranges=r, g=", 'g'")
+        + f" AS INT) AS n_{s}"
+        for s, r in SCRIPT_RANGES.items()
+    )
+    names = [f"n_{s}" for s in SCRIPT_RANGES]
+    best = "greatest(" + ", ".join(names) + ")"
+    dom = f"CASE WHEN {best} = 0 THEN 'und' " + " ".join(
+        f"WHEN n_{s} = {best} THEN '{s}'" for s in list(SCRIPT_RANGES)[:-1]
+    ) + f" ELSE '{list(SCRIPT_RANGES)[-1]}' END"
+    return f"""
+        WITH m AS (SELECT doc_id, {synth} AS mtext FROM documents),
+        c AS (SELECT doc_id, {counts} FROM m)
+        SELECT doc_id, {', '.join(names)}, {dom} AS dominant_script FROM c
+    """
+
+
+def _line_dedup_oracle() -> str:
+    """Corpus keep-first per exact line replayed as a window rank; the
+    short-line exemption commutes with the partition (identical text
+    implies identical length)."""
+    return _html_cte() + """
+        , l AS (SELECT doc_id,
+            CAST(generate_subscripts(string_split(clean_text, chr(10)), 1) - 1
+                 AS INT) AS line_no,
+            unnest(string_split(clean_text, chr(10))) AS line FROM x),
+        e AS (SELECT *, row_number() OVER (PARTITION BY line
+                ORDER BY doc_id, line_no) AS rk FROM l)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN length(line) < 10 OR rk = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+               coalesce(string_agg(CASE WHEN length(line) < 10 OR rk = 1
+                    THEN line END, chr(10) ORDER BY line_no), '')
+                 AS kept_text
+        FROM e GROUP BY doc_id
+    """
+
+
+def _url_keyword_oracle() -> str:
+    from pgferry_spark.operators.domains import (
+        URL_PATH_SQL,
+        url_keyword_sql,
+    )
+
+    path = URL_PATH_SQL.format(url="url")
+    score = url_keyword_sql("__p", _URL_BLOCK_KWS)
+    return _domain_cte() + f"""
+        , p AS (SELECT *, {path} AS __p FROM d)
+        SELECT doc_id, host, domain, url FROM p WHERE {score} = 0
     """
 
 
@@ -3272,9 +3383,9 @@ def _url_dedup_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
     entries of this dict. Round-8 rotation (VERDICT r7 Next #1): positions
-    1-5 are THIS round's additions (driver-checked at birth), positions
-    6-34 are the 29 stalest oracle-backed entries (last driver-green r3),
-    positions 35-48 the 14 next-stalest (r4), and positions 49-50 two
+    1-8 are THIS round's additions (driver-checked at birth), positions
+    9-37 are the 29 stalest oracle-backed entries (last driver-green r3),
+    positions 38-48 the 11 next-stalest (r4), and positions 49-50 two
     r7-green canaries.  The 10 rows-only entries (no SQL oracle — their
     md5/exact twins carry the hash signal) are PERMANENTLY pinned after
     the window: a slot spent on a no_oracle row can never produce a green
@@ -3282,13 +3393,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-5: round-8 additions, driver-checked AT BIRTH
+        # --- positions 1-8: round-8 additions, driver-checked AT BIRTH
         "html_extract": _html_extract,
         "line_quality_filter": _line_quality_filter,
         "c4_clean_documents": _c4_clean_documents,
+        "line_dedup": _line_dedup,
+        "script_profile": _script_profile,
+        "url_keyword_filter": _url_keyword_filter,
         "crawl_snapshot_merge": _crawl_snapshot_merge,
         "crawl_delta_counts": _crawl_delta_counts,
-        # --- positions 6-34: the 29 stalest oracle-backed entries (last
+        # --- positions 9-37: the 29 stalest oracle-backed entries (last
         # driver-green r3), planner-stable order (tools/plan_rotation.py)
         "simhash32": _simhash32,
         "simhash_near_pairs_md5": _simhash_pairs_md5,
@@ -3319,7 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _vocab_topk,
         "winnow_shared_pairs_capped": _winnow_shared_pairs_capped,
         "chunked_scan": _chunked_scan,
-        # --- positions 35-48: next-stalest (r4-green), planner order
+        # --- positions 38-48: next-stalest (r4-green), planner order
         "mixture_sample": _mixture_sample,
         "shard_manifest": _shard_manifest,
         "semdedup": _semdedup,
@@ -3331,14 +3445,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "temperature_sample": _temperature_sample,
         "retention_cohorts": _retention_cohorts,
-        "transition_counts": _transition_counts,
-        "weighted_sample": _weighted_sample,
-        "json_key_profile": _json_key_profile,
         # --- positions 49-50: r7-green canaries (harness sentinels)
         "q1_pricing_summary": _q1,
         "exact_dedup_groups": _exact_dedup,
         # --- beyond the 50-entry window: stalest-first per
         # tools/plan_rotation.py; next in line for the r9 rotation
+        "transition_counts": _transition_counts,
+        "weighted_sample": _weighted_sample,
+        "json_key_profile": _json_key_profile,
         "audio_segments": _audio_segments,
         "name_match_pairs": _name_match_pairs,
         "q16_adapted": _q16_adapted,
@@ -7956,6 +8070,9 @@ def oracle_sql() -> dict[str, str]:
              FROM x""",
         "line_quality_filter": _line_quality_oracle(),
         "c4_clean_documents": _c4_clean_oracle(),
+        "line_dedup": _line_dedup_oracle(),
+        "script_profile": _script_profile_oracle(),
+        "url_keyword_filter": _url_keyword_oracle(),
         # crawl-snapshot keep-newest merge (round 8)
         "crawl_snapshot_merge": _crawl_oracle_cte()
         + "SELECT nurl, doc_id, capture_ts, fp, status FROM m",

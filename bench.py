@@ -177,6 +177,10 @@ HEADLINE = [
     "c4_clean_documents",
     "crawl_snapshot_merge",
     "crawl_delta_counts",
+    # round 8, second wave: corpus line dedup, script profile, URL gate
+    "line_dedup",
+    "script_profile",
+    "url_keyword_filter",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

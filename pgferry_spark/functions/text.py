@@ -79,6 +79,70 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+# -- unicode script profiling -------------------------------------------------
+#
+# Multilingual curation keys on the SCRIPT of a document before any
+# language model sees it (language-ID stopword lists only cover languages
+# you anticipated; script ranges cover everything in the range).  The
+# ranges are written as LITERAL characters, not \p{Script} classes or \u
+# escapes: Java regex spells scripts \p{IsCyrillic} while RE2 spells them
+# \p{Cyrillic}, and \uXXXX only unescapes on the Java side — literal
+# UTF-8 endpoints are the one spelling BOTH engines read identically
+# (probed: identical counts on a mixed-script golden).
+
+SCRIPT_RANGES = {
+    "latin": "A-Za-z",
+    "cyrillic": "а-яА-ЯЁё",
+    "cjk": "一-鿿",          # U+4E00..U+9FFF unified ideographs
+    "arabic": "ء-ي",         # U+0621..U+064A base letters
+}
+
+# chars-in-range counter: strip everything outside the range, measure.
+# {g} absorbs the DuckDB global-flag divergence as everywhere else.
+SCRIPT_COUNT_SQL = "length(regexp_replace({col}, '[^{ranges}]', ''{g}))"
+
+# Deterministic multiscript decoration for the all-ASCII test corpus
+# (the attach_urls/attach_html pattern): id-keyed literal snippets in
+# Cyrillic / CJK / Arabic, one branch mixing two scripts and one left
+# pure-Latin, so dominance and tie-break logic both get exercised.
+MULTISCRIPT_SYNTH_SQL = (
+    "CASE WHEN {id} % 5 = 0 THEN {txt} || ' привет мир как дела сегодня' "
+    "WHEN {id} % 5 = 1 THEN {txt} || ' 世界你好今天天氣很好' "
+    "WHEN {id} % 5 = 2 THEN {txt} || ' مرحبا بالعالم كيف الحال اليوم' "
+    "WHEN {id} % 5 = 3 THEN substr({txt}, 1, 10) || ' мир 世界 мир 世界' "
+    "ELSE {txt} END"
+)
+
+
+def script_count(col_name: str, script: str) -> Column:
+    """Number of characters of ``script`` in the named column (map-only
+    codegen; shared template with the oracle — takes a column NAME, not
+    a Column, because the template is a SQL string both engines eval)."""
+    return F.expr(
+        SCRIPT_COUNT_SQL.format(
+            col=col_name, ranges=SCRIPT_RANGES[script], g=""
+        )
+    )
+
+
+def script_profile(df, text_col: str, id_col: str):
+    """Per-document unicode-script profile: character count per script
+    range plus the dominant script (most characters; ties broken by the
+    fixed range order, 'und' when nothing matches) — the multilingual
+    curation gate that runs BEFORE language ID, since stopword lists
+    only cover anticipated languages while script ranges cover the
+    codepoint space.  One map-only projection, no shuffle, no UDF."""
+    counts = {s: script_count(text_col, s) for s in SCRIPT_RANGES}
+    best = F.greatest(*counts.values())
+    dom = F.lit("und")
+    for s in reversed(list(SCRIPT_RANGES)):
+        dom = F.when((counts[s] == best) & (best > 0), F.lit(s)).otherwise(dom)
+    cols = [F.col(id_col)]
+    cols += [counts[s].alias(f"n_{s}") for s in SCRIPT_RANGES]
+    cols.append(dom.alias("dominant_script"))
+    return df.select(*cols)
+
+
 def quality_score(col: Column) -> Column:
     """Composite quality heuristic in [0,1]: rewards mid-length docs and
     prose-like token lengths, penalizes punctuation soup. Weights are fixed

@@ -145,6 +145,49 @@ def url_dedup(
     )
 
 
+# URL path/query keyword gate (RefinedWeb §3.1 filters URLs on word
+# lists, C4 drops utility pages): a page whose URL path contains a
+# blocked keyword never gets fetched, let alone extracted.  Pure
+# contains() chain over the lowercased URL remainder after the host —
+# keyed on the PATH so a domain like raw-news.com is not punished for
+# its name.  Built per-keyword at call time from one template so both
+# engines evaluate the identical string.
+URL_PATH_SQL = (
+    "lower(regexp_extract(regexp_replace(regexp_replace({url},"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#@]*@', ''),"
+    " '^[^/?#]*([/?#].*)', 1))"
+)
+
+
+def url_keyword_sql(path_col: str, keywords: tuple[str, ...]) -> str:
+    """Count of blocked keywords present in the URL path/query — the
+    shared-template scoring expression (0 = clean)."""
+    terms = " + ".join(
+        f"CASE WHEN contains({path_col}, '{k}') THEN 1 ELSE 0 END"
+        for k in keywords
+    )
+    return f"({terms})"
+
+
+def url_keyword_filter(
+    df: DataFrame,
+    keywords: tuple[str, ...],
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every document whose URL path/query contains a blocked
+    keyword (login/search/cart/calendar utility pages — the RefinedWeb
+    URL word-list gate, applied before fetch at crawl scale).  Map-only
+    codegen: one filter, no join, no UDF; survivors keep (id, host,
+    domain, url) for the downstream domain policies."""
+    base = with_host_domain(df, url_col)
+    path = URL_PATH_SQL.format(url=url_col)
+    score = url_keyword_sql(f"({path})", keywords)
+    return base.filter(F.expr(f"{score} = 0")).select(
+        F.col(id_col), "host", "domain", F.col(url_col)
+    )
+
+
 def snapshot_reduce(
     df: DataFrame,
     url_col: str = "url",

@@ -15,6 +15,9 @@ filter, dedup, or tokenization sees it.  Semantics follow Raffel et al.
 * :func:`c4_clean_documents` — the fused deliverable: line filter +
   C4's page-level minimum-retained-lines rule + ordered reassembly of
   each surviving document from its kept lines;
+* :func:`line_dedup` — RefinedWeb's CORPUS-wide exact-line dedup:
+  keep-first per line across the whole crawl (agg keeper, hot-line
+  safe), short lines exempt, documents rebuilt from survivors;
 * :func:`attach_html` — deterministic messy-HTML synthesis for the
   URL-less test corpus (the ``attach_urls``/``attach_fake_media``
   pattern): six templates exercising scripts, styles, entities, nested
@@ -186,6 +189,60 @@ def line_quality_filter(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
     )
     return lines.filter(F.expr(LINE_KEEP_SQL.format(line="line")))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """RefinedWeb line-wise CORPUS dedup (Penedo et al. 2023 §3.3 run
+    line-level dedup across the whole crawl, not per document): keep the
+    FIRST corpus-wide occurrence of every exact line — ordered by
+    (id, line_no) — and rebuild each document from its surviving lines.
+    Lines shorter than ``min_line_chars`` pass through unconditionally
+    (bullets, numbers and headers would otherwise collide constantly and
+    shred documents).
+
+    Returns ``(id, n_lines, kept_lines, kept_text)``.
+
+    Scale shape (the span_dedup agg-keeper posture): the keeper is a
+    ``min(struct(id, line_no))`` aggregate per line — map-side partial
+    aggregation, so no task ever holds a hot boilerplate line's full
+    occurrence list — then an equi-join on the line (exchange reused)
+    and ONE doc-id shuffle for the ordered reassembly.  Short lines
+    never enter the keeper table at all (same text implies same length),
+    so they join to nothing and pass through."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    keepers = (
+        lines.filter(F.length("line") >= min_line_chars)
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("__k"))
+    )
+    marked = lines.join(keepers, "line", "left")
+    keep = F.col("__k").isNull() | (
+        (F.col("__k")[id_col] == F.col(id_col))
+        & (F.col("__k")["line_no"] == F.col("line_no"))
+    )
+    kept_struct = F.when(keep, F.struct(F.col("line_no"), F.col("line")))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(keep.cast("bigint")).alias("kept_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("kept_text"),
+        )
+    )
 
 
 def c4_clean_documents(

@@ -286,3 +286,21 @@ class TestCrawlSnapshotMerge:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS b_nurl_index")
+
+
+class TestUrlKeywordFilter:
+    def test_path_keyed_not_host_keyed(self, spark):
+        from pgferry_spark.operators.domains import url_keyword_filter
+
+        rows = [
+            (1, "https://raw-news.com/articles/1"),   # 'raw' in HOST only
+            (2, "https://example.com/raw/data"),      # 'raw' in path
+            (3, "https://example.com/p?next=login"),  # keyword in query
+            (4, "https://example.com/clean/page"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, url: string")
+        kept = sorted(
+            r.doc_id
+            for r in url_keyword_filter(df, ("raw", "login")).collect()
+        )
+        assert kept == [1, 4]

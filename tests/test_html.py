@@ -174,3 +174,49 @@ def test_c4_clean_plan_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") <= 1
+
+
+def test_line_dedup_corpus_keep_first_and_short_exemption(spark):
+    """Keep-first across documents by (doc_id, line_no); lines shorter
+    than min_line_chars pass through everywhere."""
+    docs = [
+        (1, "This boilerplate sentence repeats.\nUnique to doc one."),
+        (2, "This boilerplate sentence repeats.\nUnique to doc two."),
+        # short line 'ok.' duplicated in both but exempt (< 10 chars)
+        (3, "ok.\nAnother unique sentence three."),
+        (4, "ok.\nThis boilerplate sentence repeats."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, clean_text: string")
+    out = {r.doc_id: r for r in H.line_dedup(df, min_line_chars=10).collect()}
+    assert out[1].kept_lines == 2                       # first copy survives
+    assert out[2].kept_lines == 1
+    assert out[2].kept_text == "Unique to doc two."     # dup line removed
+    assert out[3].kept_lines == 2                       # short line exempt
+    assert out[4].kept_lines == 1
+    assert out[4].kept_text == "ok."                    # dup removed, short kept
+
+
+def test_line_dedup_conservation(spark):
+    """kept_lines sums: every distinct eligible line survives exactly
+    once corpus-wide; short lines survive everywhere."""
+    docs = [(i, "Common repeated line here.\nshort\nDoc specific %d line." % i)
+            for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id: long, clean_text: string")
+    rows = H.line_dedup(df, min_line_chars=10).collect()
+    total_kept = sum(r.kept_lines for r in rows)
+    # 5 doc-specific + 1 surviving common + 5 exempt short = 11
+    assert total_kept == 11
+
+
+def test_line_dedup_plan_agg_keeper_no_window(spark):
+    """Hot-line posture: the keeper is an aggregate, never a window —
+    no single task holds a boilerplate line's occurrence list."""
+    df = spark.createDataFrame(
+        [(i, "Alpha beta gamma delta.\nshort") for i in range(8)],
+        "doc_id: long, clean_text: string",
+    )
+    out = H.line_dedup(df)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan

@@ -207,3 +207,45 @@ def test_ngram_topk_tie_break_deterministic(spark):
     # first two — same rule both engines, stable across runs
     rows = ngram_topk(df, "text", "doc_id", n=3, k=2).collect()
     assert [r["ngram"] for r in rows] == ["a a a", "b b b"]
+
+
+class TestScriptProfile:
+    def test_counts_and_dominance(self, spark):
+        from pgferry_spark.functions.text import script_profile
+
+        rows = [
+            (1, "hello world"),                 # pure latin
+            (2, "привет мир hello"),            # cyrillic-dominant
+            (3, "世界你好今天天氣很好 hi"),       # cjk-dominant
+            (4, "مرحبا بالعالم"),                # arabic
+            (5, "123 !!! ..."),                  # nothing -> und
+            (6, "abcd абвг"),                    # 4-4 tie -> latin (order)
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, t: string")
+        out = {r.doc_id: r for r in script_profile(df, "t", "doc_id").collect()}
+        assert out[1].dominant_script == "latin" and out[1].n_latin == 10
+        assert out[2].dominant_script == "cyrillic"
+        assert out[3].dominant_script == "cjk"
+        assert out[4].dominant_script == "arabic" and out[4].n_latin == 0
+        assert out[5].dominant_script == "und"
+        assert out[6].dominant_script == "latin"  # fixed-order tie-break
+
+    def test_template_identical_both_engines(self, spark):
+        import duckdb
+        from pgferry_spark.functions.text import SCRIPT_COUNT_SQL, SCRIPT_RANGES
+        from pyspark.sql import functions as F
+
+        s = "mixed привет 世界 مرحبا latin text 42"
+        for name, ranges in SCRIPT_RANGES.items():
+            sp = (
+                spark.createDataFrame([(s,)], "t: string")
+                .select(F.expr(SCRIPT_COUNT_SQL.format(col="t", ranges=ranges, g="")))
+                .first()[0]
+            )
+            dk = duckdb.sql(
+                "SELECT "
+                + SCRIPT_COUNT_SQL.format(col="t", ranges=ranges, g=", 'g'")
+                + " FROM (SELECT ? AS t)",
+                params=[s],
+            ).fetchone()[0]
+            assert sp == dk, name
