@@ -3003,6 +3003,30 @@ def _line_dedup(spark, sf):
     return line_dedup(html_extract(attach_html(d)), min_line_chars=10)
 
 
+def _extract_links(spark, sf):
+    """Outbound-link extraction from raw HTML (pre-strip — links live in
+    the markup the text extractor throws away): (doc_id, link_no, href)
+    via regexp_extract_all + one narrow posexplode_outer (plain explode
+    would clone the array expression into a pushed size()>0 scan
+    filter). The crawl-frontier / web-graph edge list."""
+    from pgferry_spark.operators.html import attach_html, extract_links
+
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    return extract_links(attach_html(d))
+
+
+def _link_graph_stats(spark, sf):
+    """Domain-level link in-degree: parse every href's registrable
+    domain, count inbound links + distinct linking docs — the
+    link-authority table trust-propagation signals and crawl-frontier
+    prioritization read. Map-only parse, ONE aggregation shuffle."""
+    from pgferry_spark.operators.domains import domain_link_stats
+    from pgferry_spark.operators.html import attach_html, extract_links
+
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    return domain_link_stats(extract_links(attach_html(d)))
+
+
 _URL_BLOCK_KWS = ("post", "raw", "login", "cart")
 
 
@@ -3186,6 +3210,37 @@ def _line_dedup_oracle() -> str:
     """
 
 
+def _links_cte() -> str:
+    """Link list replay: same synth, same HREF template, unnest +
+    generate_subscripts for the ordinality."""
+    from pgferry_spark.operators.html import HREF_RE, HTML_SYNTH_SQL
+
+    synth = HTML_SYNTH_SQL.format(id="doc_id", txt="text", src="source")
+    return f"""
+        WITH h AS (SELECT doc_id, source, {synth} AS html FROM documents),
+        l AS (SELECT doc_id,
+                CAST(generate_subscripts(
+                  regexp_extract_all(html, '{HREF_RE}', 1), 1) - 1 AS INT)
+                  AS link_no,
+                unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS href
+              FROM h)
+    """
+
+
+def _link_graph_oracle() -> str:
+    from pgferry_spark.operators.domains import DOMAIN_SQL, HOST_SQL
+
+    host = HOST_SQL.format(url="href")
+    dom = DOMAIN_SQL.format(host="host")
+    return _links_cte() + f"""
+        , hh AS (SELECT *, {host} AS host FROM l),
+        d AS (SELECT *, {dom} AS domain FROM hh)
+        SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+        FROM d GROUP BY domain
+    """
+
+
 def _url_keyword_oracle() -> str:
     from pgferry_spark.operators.domains import (
         URL_PATH_SQL,
@@ -3265,7 +3320,7 @@ def _html_cte() -> str:
     explicit global flag)."""
     from pgferry_spark.operators.html import HTML_SYNTH_SQL, html_strip_sql
 
-    synth = HTML_SYNTH_SQL.format(id="doc_id", txt="text")
+    synth = HTML_SYNTH_SQL.format(id="doc_id", txt="text", src="source")
     strip = html_strip_sql("html", g=", 'g'")
     return f"""
         WITH h AS (SELECT doc_id, {synth} AS html FROM documents),
@@ -3383,9 +3438,9 @@ def _url_dedup_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
     entries of this dict. Round-8 rotation (VERDICT r7 Next #1): positions
-    1-8 are THIS round's additions (driver-checked at birth), positions
-    9-37 are the 29 stalest oracle-backed entries (last driver-green r3),
-    positions 38-48 the 11 next-stalest (r4), and positions 49-50 two
+    1-10 are THIS round's additions (driver-checked at birth), positions
+    11-39 are the 29 stalest oracle-backed entries (last driver-green r3),
+    positions 40-48 the 9 next-stalest (r4), and positions 49-50 two
     r7-green canaries.  The 10 rows-only entries (no SQL oracle — their
     md5/exact twins carry the hash signal) are PERMANENTLY pinned after
     the window: a slot spent on a no_oracle row can never produce a green
@@ -3393,16 +3448,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-8: round-8 additions, driver-checked AT BIRTH
+        # --- positions 1-10: round-8 additions, driver-checked AT BIRTH
         "html_extract": _html_extract,
         "line_quality_filter": _line_quality_filter,
         "c4_clean_documents": _c4_clean_documents,
         "line_dedup": _line_dedup,
         "script_profile": _script_profile,
         "url_keyword_filter": _url_keyword_filter,
+        "extract_links": _extract_links,
+        "link_graph_stats": _link_graph_stats,
         "crawl_snapshot_merge": _crawl_snapshot_merge,
         "crawl_delta_counts": _crawl_delta_counts,
-        # --- positions 9-37: the 29 stalest oracle-backed entries (last
+        # --- positions 11-39: the 29 stalest oracle-backed entries (last
         # driver-green r3), planner-stable order (tools/plan_rotation.py)
         "simhash32": _simhash32,
         "simhash_near_pairs_md5": _simhash_pairs_md5,
@@ -3433,7 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _vocab_topk,
         "winnow_shared_pairs_capped": _winnow_shared_pairs_capped,
         "chunked_scan": _chunked_scan,
-        # --- positions 38-48: next-stalest (r4-green), planner order
+        # --- positions 40-48: next-stalest (r4-green), planner order
         "mixture_sample": _mixture_sample,
         "shard_manifest": _shard_manifest,
         "semdedup": _semdedup,
@@ -3443,13 +3500,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_funnel": _user_funnel,
         "funnel_report": _funnel_report,
         "chunk_documents": _chunk_documents,
-        "temperature_sample": _temperature_sample,
-        "retention_cohorts": _retention_cohorts,
         # --- positions 49-50: r7-green canaries (harness sentinels)
         "q1_pricing_summary": _q1,
         "exact_dedup_groups": _exact_dedup,
         # --- beyond the 50-entry window: stalest-first per
         # tools/plan_rotation.py; next in line for the r9 rotation
+        "temperature_sample": _temperature_sample,
+        "retention_cohorts": _retention_cohorts,
         "transition_counts": _transition_counts,
         "weighted_sample": _weighted_sample,
         "json_key_profile": _json_key_profile,
@@ -8073,6 +8130,9 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle(),
         "script_profile": _script_profile_oracle(),
         "url_keyword_filter": _url_keyword_oracle(),
+        "extract_links": _links_cte()
+        + "SELECT doc_id, link_no, href FROM l",
+        "link_graph_stats": _link_graph_oracle(),
         # crawl-snapshot keep-newest merge (round 8)
         "crawl_snapshot_merge": _crawl_oracle_cte()
         + "SELECT nurl, doc_id, capture_ts, fp, status FROM m",

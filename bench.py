@@ -177,10 +177,13 @@ HEADLINE = [
     "c4_clean_documents",
     "crawl_snapshot_merge",
     "crawl_delta_counts",
-    # round 8, second wave: corpus line dedup, script profile, URL gate
+    # round 8, second wave: corpus line dedup, script profile, URL gate,
+    # link extraction + domain link graph
     "line_dedup",
     "script_profile",
     "url_keyword_filter",
+    "extract_links",
+    "link_graph_stats",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -145,6 +145,23 @@ def url_dedup(
     )
 
 
+def domain_link_stats(
+    links: DataFrame, href_col: str = "href", id_col: str = "doc_id"
+) -> DataFrame:
+    """Domain-level in-degree rollup over a raw outbound-link list (see
+    :func:`~pgferry_spark.operators.html.extract_links`): parse each
+    href's registrable domain, count inbound links and distinct linking
+    documents — the simplest link-authority table; trust-propagation
+    style signals (operators/graph.py) and crawl-frontier
+    prioritization read exactly this.  Map-only parse + one aggregation
+    shuffle on the domain key."""
+    base = with_host_domain(links, href_col)
+    return base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct(id_col).alias("n_src_docs"),
+    )
+
+
 # URL path/query keyword gate (RefinedWeb §3.1 filters URLs on word
 # lists, C4 drops utility pages): a page whose URL path contains a
 # blocked keyword never gets fetched, let alone extracted.  Pure

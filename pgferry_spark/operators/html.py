@@ -135,7 +135,10 @@ HTML_SYNTH_SQL = (
     " '<p>' || substr({txt}, 1, 60) || '.</p>'"
     " WHEN {id} % 6 = 2 THEN"
     " '<div><p>Nested <b><i>' || substr({txt}, 1, 50) || '</i></b>.</p>'"
-    " || chr(10) || '<p>' || substr({txt}, 51, 50) || '.</p><div class='"
+    " || chr(10) || '<p>See <a href=\"https://ref.' || {src}"
+    " || '.org/also/' || CAST({id} AS STRING) || '\">related</a> and"
+    " <a href=\"HTTP://Media.' || {src} || '.org:8080/p?q='"
+    " || CAST({id} AS STRING) || '\">more</a>.</p><div class='"
     " WHEN {id} % 6 = 3 THEN"
     " '<body><p>Enable Javascript to view this page.</p>' || chr(10) ||"
     " '<p>This site uses cookies accept to continue</p>' || chr(10) ||"
@@ -153,12 +156,18 @@ HTML_SYNTH_SQL = HTML_SYNTH_SQL.replace("%7B", "{{").replace("%7D", "}}")
 
 
 def attach_html(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
 ) -> DataFrame:
-    """Adds an ``html`` column synthesized deterministically from the id
-    and text (map-only codegen)."""
+    """Adds an ``html`` column synthesized deterministically from the id,
+    text and source label (map-only codegen); template 2 embeds anchor
+    tags whose hrefs derive from the source, feeding the link-graph
+    operators."""
     return df.withColumn(
-        "html", F.expr(HTML_SYNTH_SQL.format(id=id_col, txt=text_col))
+        "html",
+        F.expr(HTML_SYNTH_SQL.format(id=id_col, txt=text_col, src=source_col)),
     )
 
 
@@ -189,6 +198,29 @@ def line_quality_filter(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
     )
     return lines.filter(F.expr(LINE_KEEP_SQL.format(line="line")))
+
+
+# href extractor: group 1 of every double-quoted href attribute.  Runs
+# BEFORE tag stripping, obviously — links live in the markup the
+# extractor throws away.
+HREF_RE = "href=\"([^\"]*)\""
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Outbound links per document: ``(id, link_no, href)`` — the crawl
+    frontier / web-graph edge list every link-based signal (in-degree
+    authority, trust propagation, anchor harvesting) starts from.
+    regexp_extract_all + one narrow posexplode; map-only."""
+    links = F.expr(f"regexp_extract_all({html_col}, '{HREF_RE}', 1)")
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode_outer(links).alias("link_no", "href"),
+        )
+        .filter(F.col("href").isNotNull())
+    )
 
 
 def line_dedup(

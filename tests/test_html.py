@@ -130,8 +130,13 @@ def test_line_filter_plan_single_narrow_generate(spark):
 def test_synth_templates_cover_all_branches(spark):
     """Every id%6 template parses back to non-empty clean text and the
     boilerplate templates actually exercise the drop rules."""
-    rows = [(i, "alpha beta gamma delta epsilon zeta " * 4) for i in range(6)]
-    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta " * 4, f"src{i % 2}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, source: string"
+    )
     out = H.html_extract(H.attach_html(df)).orderBy("doc_id").collect()
     assert len(out) == 6
     assert all(r.clean_text for r in out)
@@ -220,3 +225,37 @@ def test_line_dedup_plan_agg_keeper_no_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_extract_links_and_synth_links(spark):
+    from pgferry_spark.operators.domains import domain_link_stats
+
+    rows = [(i, "alpha beta gamma delta " * 5, f"src{i % 2}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    links = H.extract_links(H.attach_html(df)).collect()
+    # only template 2 (doc_id % 6 == 2) embeds anchors: two per doc
+    assert {r.doc_id for r in links} == {2}
+    by_no = {r.link_no: r.href for r in links}
+    assert by_no[0] == "https://ref.src0.org/also/2"
+    assert by_no[1] == "HTTP://Media.src0.org:8080/p?q=2"
+    stats = {
+        r.domain: (r.n_links, r.n_src_docs)
+        for r in domain_link_stats(
+            H.extract_links(H.attach_html(df))
+        ).collect()
+    }
+    assert stats["src0.org"] == (2, 1)
+
+
+def test_extract_links_no_pushed_size_filter(spark):
+    """posexplode_outer + null filter, not plain explode: explode infers
+    a pushable size(arr)>0 filter that clones the regexp_extract_all
+    into the scan (documented gotcha)."""
+    df = spark.createDataFrame(
+        [(1, 'x <a href="https://a.com/1">l</a> y'), (2, "no links here")],
+        "doc_id: long, html: string",
+    )
+    out = H.extract_links(df)
+    assert out.count() == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_extract_all") <= 2  # not cloned into a filter
