@@ -367,3 +367,55 @@ class TestCompactHardening:
         for (_, hi1), (lo2, _) in zip(s4, s4[1:]):
             assert hi1 <= lo2, f"second compact interleaved key ranges: {s4}"
         assert t.read().count() == 4000
+
+
+def test_crawl_merge_stream_keep_newest_and_replay(spark, tmp_path):
+    """Streaming crawl ingest: keep-newest per canonical URL across
+    micro-batches (an out-of-order OLDER capture must never regress the
+    index — plain upsert would), exactly-once via the lake batch tag."""
+    from pgferry_spark.streaming.events import crawl_merge_stream
+
+    src = str(tmp_path / "captures")
+    ckpt = str(tmp_path / "crawl_ckpt")
+    t = LakeTable(spark, str(tmp_path / "url_index"))
+    schema = "doc_id long, url string, capture_ts long, fp string"
+
+    def run(checkpoint=ckpt):
+        q = crawl_merge_stream(
+            spark.readStream.schema(schema).parquet(src), t, checkpoint,
+        )
+        q.awaitTermination()
+
+    b0 = spark.createDataFrame(
+        [(1, "https://www.a.com/x?utm_source=1", 100, "f1"),
+         # tracking-param variant of the SAME page, same batch, older ts
+         (2, "https://a.com/x", 90, "f0"),
+         (3, "https://b.com/y", 100, "g1")],
+        schema,
+    )
+    b0.coalesce(1).write.mode("overwrite").parquet(src)
+    run()
+    assert [s.op for s in t.history()] == ["batch:crawl_merge:0"]
+    idx = {r.nurl: r for r in t.read().collect()}
+    assert set(idx) == {"a.com/x", "b.com/y"}
+    assert idx["a.com/x"].capture_ts == 100 and idx["a.com/x"].fp == "f1"
+
+    b1 = spark.createDataFrame(
+        [(4, "https://a.com/x", 200, "f2"),      # re-crawl, newer -> wins
+         (5, "https://b.com/y", 50, "g0"),       # out-of-order OLDER -> loses
+         (6, "https://c.com/z", 200, "h1")],     # new page
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run()
+    idx = {r.nurl: r for r in t.read().collect()}
+    assert idx["a.com/x"].fp == "f2" and idx["a.com/x"].capture_ts == 200
+    assert idx["b.com/y"].fp == "g1" and idx["b.com/y"].capture_ts == 100
+    assert idx["c.com/z"].doc_id == 6
+    assert "status" not in t.read().columns
+
+    # crash-replay: fresh checkpoint re-delivers batch 0 -> skipped
+    run(checkpoint=str(tmp_path / "crawl_ckpt2"))
+    assert [s.op for s in t.history()] == [
+        "batch:crawl_merge:0", "batch:crawl_merge:1",
+    ]
