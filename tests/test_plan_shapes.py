@@ -269,10 +269,14 @@ class TestLateRound3PlanShapes:
 
     def test_span_dedup_exactly_two_shuffles(self, spark):
         """Keep-first window (span key) + reassembly agg (doc key) — and
-        nothing else. A third Exchange would mean the HOF chunking or the
-        posexplode started shuffling."""
+        nothing else data-dependent. The third Exchange is the r8 fan_out
+        REPARTITION ahead of the tokenize+explode map side (the sf1
+        single-file parallelism-floor fix, BASELINE.md §11 r8): it
+        shuffles 1x corpus rows by doc_id, NOT post-explode rows, and
+        must stay exactly one REPARTITION."""
         plan = _executed(E.queries()["span_dedup"](spark, SF))
-        assert plan.count("Exchange") == 2, plan
+        assert plan.count("Exchange") == 3, plan
+        assert plan.count("REPARTITION") == 1, plan
         assert "CartesianProduct" not in plan
         assert "Join" not in plan
 
