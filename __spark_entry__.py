@@ -3003,6 +3003,20 @@ def _line_dedup(spark, sf):
     return line_dedup(html_extract(attach_html(d)), min_line_chars=10)
 
 
+def _domain_token_budget(spark, sf):
+    """Per-domain TOKEN budget (the unit mixture construction actually
+    allocates): subword counts per doc, then a domain-partitioned
+    cumulative window admits docs in deterministic md5(id) order while
+    the domain's running total stays within budget. No global sort
+    anywhere (contrast select_to_token_budget's global two-pass)."""
+    from pgferry_spark.operators.domains import domain_token_budget
+
+    d = _docs_with_urls(spark, sf).withColumn(
+        "n_toks", T.bpe_token_count(F.col("text"))
+    )
+    return domain_token_budget(d, budget=300)
+
+
 def _extract_links(spark, sf):
     """Outbound-link extraction from raw HTML (pre-strip — links live in
     the markup the text extractor throws away): (doc_id, link_no, href)
@@ -3241,6 +3255,21 @@ def _link_graph_oracle() -> str:
     """
 
 
+def _domain_token_budget_oracle() -> str:
+    from pgferry_spark.functions.text import BPE_PATTERN
+
+    return _domain_cte() + f"""
+        , t AS (SELECT doc_id, domain,
+            CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT)
+              AS n_toks FROM d),
+        w AS (SELECT *, SUM(n_toks) OVER (PARTITION BY domain
+                ORDER BY md5(CAST(doc_id AS STRING)) ASC, doc_id ASC
+                ROWS UNBOUNDED PRECEDING) AS cum_toks FROM t)
+        SELECT doc_id, domain, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+        FROM w WHERE cum_toks <= 300
+    """
+
+
 def _url_keyword_oracle() -> str:
     from pgferry_spark.operators.domains import (
         URL_PATH_SQL,
@@ -3438,9 +3467,9 @@ def _url_dedup_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
     entries of this dict. Round-8 rotation (VERDICT r7 Next #1): positions
-    1-10 are THIS round's additions (driver-checked at birth), positions
-    11-39 are the 29 stalest oracle-backed entries (last driver-green r3),
-    positions 40-48 the 9 next-stalest (r4), and positions 49-50 two
+    1-11 are THIS round's additions (driver-checked at birth), positions
+    12-40 are the 29 stalest oracle-backed entries (last driver-green r3),
+    positions 41-48 the 8 next-stalest (r4), and positions 49-50 two
     r7-green canaries.  The 10 rows-only entries (no SQL oracle — their
     md5/exact twins carry the hash signal) are PERMANENTLY pinned after
     the window: a slot spent on a no_oracle row can never produce a green
@@ -3448,7 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-10: round-8 additions, driver-checked AT BIRTH
+        # --- positions 1-11: round-8 additions, driver-checked AT BIRTH
         "html_extract": _html_extract,
         "line_quality_filter": _line_quality_filter,
         "c4_clean_documents": _c4_clean_documents,
@@ -3457,9 +3486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_keyword_filter": _url_keyword_filter,
         "extract_links": _extract_links,
         "link_graph_stats": _link_graph_stats,
+        "domain_token_budget": _domain_token_budget,
         "crawl_snapshot_merge": _crawl_snapshot_merge,
         "crawl_delta_counts": _crawl_delta_counts,
-        # --- positions 11-39: the 29 stalest oracle-backed entries (last
+        # --- positions 12-40: the 29 stalest oracle-backed entries (last
         # driver-green r3), planner-stable order (tools/plan_rotation.py)
         "simhash32": _simhash32,
         "simhash_near_pairs_md5": _simhash_pairs_md5,
@@ -3490,7 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _vocab_topk,
         "winnow_shared_pairs_capped": _winnow_shared_pairs_capped,
         "chunked_scan": _chunked_scan,
-        # --- positions 40-48: next-stalest (r4-green), planner order
+        # --- positions 41-48: next-stalest (r4-green), planner order
         "mixture_sample": _mixture_sample,
         "shard_manifest": _shard_manifest,
         "semdedup": _semdedup,
@@ -3499,12 +3529,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _knn_graph,
         "user_funnel": _user_funnel,
         "funnel_report": _funnel_report,
-        "chunk_documents": _chunk_documents,
         # --- positions 49-50: r7-green canaries (harness sentinels)
         "q1_pricing_summary": _q1,
         "exact_dedup_groups": _exact_dedup,
         # --- beyond the 50-entry window: stalest-first per
         # tools/plan_rotation.py; next in line for the r9 rotation
+        "chunk_documents": _chunk_documents,
         "temperature_sample": _temperature_sample,
         "retention_cohorts": _retention_cohorts,
         "transition_counts": _transition_counts,
@@ -8133,6 +8163,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links": _links_cte()
         + "SELECT doc_id, link_no, href FROM l",
         "link_graph_stats": _link_graph_oracle(),
+        "domain_token_budget": _domain_token_budget_oracle(),
         # crawl-snapshot keep-newest merge (round 8)
         "crawl_snapshot_merge": _crawl_oracle_cte()
         + "SELECT nurl, doc_id, capture_ts, fp, status FROM m",

@@ -184,6 +184,7 @@ HEADLINE = [
     "url_keyword_filter",
     "extract_links",
     "link_graph_stats",
+    "domain_token_budget",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -374,6 +374,40 @@ def domain_quota_sample(
     )
 
 
+def domain_token_budget(
+    df: DataFrame,
+    url_col: str = "url",
+    tokens_col: str = "n_toks",
+    id_col: str = "doc_id",
+    budget: int = 300,
+) -> DataFrame:
+    """At most ``budget`` TOKENS per registrable domain — the unit
+    mixture construction actually budgets (a 100-doc domain of tweets
+    and a 100-doc domain of books are not the same corpus share; C4's
+    per-host doc caps approximate this, token budgets are exact).
+    Documents are admitted in deterministic content-independent
+    md5(id) order while the domain's running token total stays within
+    budget (prefix-under-budget: once one doc overflows, the suffix is
+    cut — no skip-and-fill, so the result is a stable prefix,
+    incremental-rebuild safe).
+
+    One domain-partitioned cumulative window (explicit ROWS frame);
+    hot domains are exactly what the budget truncates, and no global
+    sort exists anywhere — compare select_to_token_budget, whose
+    GLOBAL budget needs the two-pass histogram trick."""
+    base = df if "domain" in df.columns else with_host_domain(df, url_col)
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_toks", F.sum(tokens_col).over(w))
+        .filter(F.col("cum_toks") <= budget)
+        .select(F.col(id_col), "domain", F.col(tokens_col), "cum_toks")
+    )
+
+
 def blocklist_filter(
     df: DataFrame,
     blocklist: DataFrame,

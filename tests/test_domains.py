@@ -304,3 +304,29 @@ class TestUrlKeywordFilter:
             for r in url_keyword_filter(df, ("raw", "login")).collect()
         )
         assert kept == [1, 4]
+
+
+class TestDomainTokenBudget:
+    def test_prefix_under_budget_per_domain(self, spark):
+        from pgferry_spark.operators.domains import domain_token_budget
+
+        # one domain, known md5(id) admission order; budget cuts a suffix
+        rows = [(i, f"https://ex.com/{i}", 100) for i in range(1, 6)]
+        df = spark.createDataFrame(rows, "doc_id: long, url: string, n_toks: int")
+        out = domain_token_budget(df, budget=250).collect()
+        # 100-token docs, 250 budget -> exactly the first 2 in md5 order
+        assert len(out) == 2
+        assert all(r.cum_toks <= 250 for r in out)
+        import hashlib
+        order = sorted(
+            range(1, 6), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+        )
+        assert sorted(r.doc_id for r in out) == sorted(order[:2])
+
+    def test_budget_is_per_domain_not_global(self, spark):
+        from pgferry_spark.operators.domains import domain_token_budget
+
+        rows = [(1, "https://a.com/x", 200), (2, "https://b.com/y", 200)]
+        df = spark.createDataFrame(rows, "doc_id: long, url: string, n_toks: int")
+        out = domain_token_budget(df, budget=250).collect()
+        assert len(out) == 2  # each domain has its own budget
