@@ -1,0 +1,180 @@
+"""Property-based tests (hypothesis) for the round-8 web/curation layers:
+HTML strip, URL canonicalization, and the EXIF tree scrub.
+
+The golden tests pin known cases; these pin the INVARIANTS for every
+input: markup never survives extraction, tracking-param/scheme/www
+variants of a URL always canonicalize to the same nurl, and strip_gps
+preserves every non-GPS tag byte-semantically for arbitrary tag soups.
+DuckDB evaluates the shared SQL templates per example (cheap, and the
+Spark↔DuckDB template identity is pinned separately in test_html /
+test_domains).
+"""
+
+import struct
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pgferry_spark.multimodal import exif as X
+from pgferry_spark.operators.domains import HOST_SQL, NURL_SQL, QCLEAN_SQL
+from pgferry_spark.operators.html import html_strip_sql
+
+# -- HTML strip: markup never survives ---------------------------------------
+
+words = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .,!?",
+    min_size=0, max_size=40,
+).map(str.strip)
+tagname = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8)
+attr = st.text(alphabet="abcdefghijklmnopqrstuvwxyz= '", min_size=0, max_size=15)
+
+
+def _strip(s: str) -> str:
+    expr = html_strip_sql("h", g=", 'g'")
+    return duckdb.sql(f"SELECT {expr} FROM (SELECT ? AS h)", params=[s]).fetchone()[0]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(tagname, attr, words), min_size=1, max_size=6))
+def test_no_markup_survives_extraction(parts):
+    """Arbitrary well-formed tag soup (no entities, no raw '<' in text):
+    after extraction no '<tag'-shaped markup remains and every text
+    fragment survives in order."""
+    html = "".join(f"<{t} {a}>{w}</{t}>" for t, a, w in parts)
+    out = _strip(html)
+    assert "<" not in out and ">" not in out
+    # text content preserved in order (modulo whitespace squeeze)
+    pos = 0
+    for _, _, w in parts:
+        wanted = " ".join(w.split())
+        if wanted:
+            idx = out.find(wanted, pos)
+            assert idx >= 0, (wanted, out)
+            pos = idx + len(wanted)
+
+
+@settings(max_examples=150, deadline=None)
+@given(words, tagname)
+def test_unclosed_trailing_markup_always_removed(w, t):
+    out = _strip(f"{w}<{t} some attr")
+    assert "<" not in out
+
+
+# -- URL canonicalization: variant invariance ---------------------------------
+
+host_label = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+pathseg = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=0, max_size=8)
+
+
+def _nurl(url: str) -> str:
+    host = HOST_SQL.format(url="u")
+    qc = QCLEAN_SQL.format(url="u", g=", 'g'")
+    nurl = NURL_SQL.format(url="u", host="host")
+    return duckdb.sql(
+        f"SELECT {nurl} FROM (SELECT *, {qc} AS __q FROM "
+        f"(SELECT *, {host} AS host FROM (SELECT ? AS u)))",
+        params=[url],
+    ).fetchone()[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    labels=st.lists(host_label, min_size=2, max_size=3),
+    path=st.lists(pathseg, min_size=0, max_size=3),
+    utm=host_label,
+    upper_scheme=st.booleans(),
+    www=st.booleans(),
+    slash=st.booleans(),
+)
+def test_nurl_invariant_across_crawl_variants(labels, path, utm, upper_scheme, www, slash):
+    """The canonical key is identical across the variants a crawl sees:
+    scheme case, www. prefix, trailing slashes, utm_* tracking params,
+    and #fragments."""
+    host = ".".join(labels)
+    p = "/" + "/".join(s for s in path if s)
+    base = f"https://{host}{p if p != '/' else ''}"
+    variants = [
+        base,
+        base + "/" if slash else base,
+        ("HTTPS://" if upper_scheme else "https://") + host + (p if p != "/" else ""),
+        f"https://www.{host}{p if p != '/' else ''}" if www else base,
+        base + f"?utm_source={utm}",
+        base + "#somefragment",
+        base + f"?utm_campaign={utm}#frag",
+    ]
+    nurls = {_nurl(v) for v in variants}
+    assert len(nurls) == 1, (variants, nurls)
+
+
+@settings(max_examples=200, deadline=None)
+@given(labels=st.lists(host_label, min_size=2, max_size=3), q=host_label)
+def test_nurl_preserves_real_query_params(labels, q):
+    """Non-tracking params are identity-bearing and must survive."""
+    host = ".".join(labels)
+    a = _nurl(f"https://{host}/p?id={q}")
+    b = _nurl(f"https://{host}/p")
+    assert a != b
+
+
+# -- EXIF scrub: arbitrary tag soups ------------------------------------------
+
+# non-pointer, non-GPS tags with fixed-size types the encoder can carry
+exif_tag = st.integers(min_value=0x0100, max_value=0x86FF).filter(
+    lambda t: t not in (X.TAG_GPS_IFD, X.TAG_EXIF_IFD, X.TAG_INTEROP_IFD)
+)
+exif_type = st.sampled_from([2, 3, 4, 7])  # ASCII, SHORT, LONG, UNDEFINED
+
+
+@st.composite
+def ifd_entries(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    out = []
+    seen = set()
+    for _ in range(n):
+        tag = draw(exif_tag.filter(lambda t: t not in seen))
+        seen.add(tag)
+        typ = draw(exif_type)
+        if typ == 3:
+            cnt = draw(st.integers(min_value=1, max_value=4))
+            val = b"".join(
+                struct.pack("<H", draw(st.integers(0, 0xFFFF))) for _ in range(cnt)
+            )
+        elif typ == 4:
+            cnt = draw(st.integers(min_value=1, max_value=2))
+            val = b"".join(
+                struct.pack("<I", draw(st.integers(0, 0xFFFFFFFF))) for _ in range(cnt)
+            )
+        else:  # ASCII / UNDEFINED: raw bytes, possibly > 4 (external)
+            raw = draw(st.binary(min_size=1, max_size=12))
+            cnt, val = len(raw), raw
+        out.append((tag, typ, cnt, val, None))
+    return sorted(out, key=lambda e: e[0])
+
+
+@settings(max_examples=100, deadline=None)
+@given(entries=ifd_entries(), with_gps=st.booleans())
+def test_strip_gps_preserves_arbitrary_tag_soup(entries, with_gps):
+    from pgferry_spark.multimodal.jpeg import QUANT_UNIT, encode_jpeg_gray
+
+    e = "<"
+    tree = list(entries)
+    if with_gps:
+        tree.append((X.TAG_GPS_IFD, 4, 1, b"", [
+            X._tree_ascii(X.TAG_GPS_LAT_REF, "N"),
+            (X.TAG_GPS_LAT, 5, 3, X._rational3(e, (1, 2, 3)), None),
+        ]))
+    tiff = b"II" + struct.pack(e + "HI", 42, 8) + X._encode_ifd_tree(e, tree, 8)
+    base = encode_jpeg_gray(8, 8, bytes([9]) * 64, quant=QUANT_UNIT)
+    jpeg = X.insert_exif_app1(base, tiff)
+
+    out = X.strip_gps(jpeg)
+    got = X._read_ifd_tree(e, X._find_app1_tiff(out), 8)
+    want = [t for t in tree if t[0] != X.TAG_GPS_IFD]
+    assert [(t, ty, c, v) for t, ty, c, v, _ in got] == [
+        (t, ty, c, v) for t, ty, c, v, _ in want
+    ]
+    if not with_gps:
+        assert out == jpeg  # byte-identical passthrough
+    else:
+        assert X.strip_gps(out) == out  # idempotent
