@@ -3054,6 +3054,20 @@ def _url_keyword_filter(spark, sf):
     return url_keyword_filter(_docs_with_urls(spark, sf), _URL_BLOCK_KWS)
 
 
+def _web_curation_funnel(spark, sf):
+    """The whole round-8 web stack composed end-to-end into a per-stage
+    funnel report: raw → URL keyword gate → domain blocklist → HTML
+    extraction + C4 page clean → canonical-URL dedup keepers. The two
+    URL gates are map-side flags counted in ONE aggregate (no joins);
+    the page clean runs only over gated survivors; five rows out."""
+    from pgferry_spark.operators.domains import web_curation_funnel
+    from pgferry_spark.operators.html import attach_html
+
+    docs = attach_html(_docs_with_urls(spark, sf))
+    docs = fan_out(docs, "doc_id")
+    return web_curation_funnel(docs, _BLOCKED_DOMAINS, _URL_BLOCK_KWS)
+
+
 def _crawl_snapshot_frames(spark, sf):
     """Two deterministic crawl snapshots over the shared URL synthesis:
     the previous snapshot (doc_id % 4 != 0, capture_ts 100+id%7) and a
@@ -3284,6 +3298,63 @@ def _url_keyword_oracle() -> str:
     """
 
 
+def _web_funnel_oracle() -> str:
+    """The composed funnel replay: every stage reuses the SAME shared
+    templates its standalone entry uses (url/host/domain/nurl, path
+    keyword score, HTML synth/strip, C4 line predicate)."""
+    from pgferry_spark.operators.domains import (
+        DOMAIN_SQL,
+        HOST_SQL,
+        NURL_SQL,
+        QCLEAN_SQL,
+        URL_PATH_SQL,
+        URL_SYNTH_SQL,
+        url_keyword_sql,
+    )
+    from pgferry_spark.operators.html import (
+        HTML_SYNTH_SQL,
+        LINE_KEEP_SQL,
+        html_strip_sql,
+    )
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    host = HOST_SQL.format(url="url")
+    dom = DOMAIN_SQL.format(host="host")
+    qc = QCLEAN_SQL.format(url="url", g=", 'g'")
+    nurl = NURL_SQL.format(url="url", host="host")
+    path = URL_PATH_SQL.format(url="url")
+    kw = url_keyword_sql("__p", _URL_BLOCK_KWS)
+    synth = HTML_SYNTH_SQL.format(id="doc_id", txt="text", src="source")
+    strip = html_strip_sql("html", g=", 'g'")
+    keep = LINE_KEEP_SQL.format(line="line")
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents),
+        h AS (SELECT *, {host} AS host FROM u),
+        d AS (SELECT *, {dom} AS domain FROM h),
+        q AS (SELECT *, {qc} AS __q FROM d),
+        n AS (SELECT *, {nurl} AS nurl FROM q),
+        p AS (SELECT *, {path} AS __p FROM n),
+        g AS (SELECT *, ({kw} = 0) AS g1,
+                 (({kw} = 0) AND domain NOT IN {_BLOCKED_DOMAINS!r}) AS g2
+              FROM p),
+        hh AS (SELECT doc_id, nurl, {synth} AS html FROM g WHERE g2),
+        x AS (SELECT doc_id, nurl, {strip} AS clean_text FROM hh),
+        l AS (SELECT doc_id, nurl,
+                unnest(string_split(clean_text, chr(10))) AS line FROM x),
+        s AS (SELECT doc_id, min(nurl) AS nurl FROM l
+              GROUP BY doc_id
+              HAVING sum(CASE WHEN {keep} THEN 1 ELSE 0 END) >= 2)
+        SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM g
+        UNION ALL SELECT '1_url_keyword_gate',
+            CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) FROM g
+        UNION ALL SELECT '2_domain_blocklist',
+            CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) FROM g
+        UNION ALL SELECT '3_page_clean', CAST(count(*) AS BIGINT) FROM s
+        UNION ALL SELECT '4_url_dedup_keepers',
+            CAST(count(DISTINCT nurl) AS BIGINT) FROM s
+    """
+
+
 def _crawl_oracle_cte() -> str:
     """Shared-template replay of the two-snapshot merge: url/host/nurl
     strings imported from operators/domains.py, fingerprints replayed as
@@ -3467,9 +3538,9 @@ def _url_dedup_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
     entries of this dict. Round-8 rotation (VERDICT r7 Next #1): positions
-    1-11 are THIS round's additions (driver-checked at birth), positions
-    12-40 are the 29 stalest oracle-backed entries (last driver-green r3),
-    positions 41-48 the 8 next-stalest (r4), and positions 49-50 two
+    1-12 are THIS round's additions (driver-checked at birth), positions
+    13-41 are the 29 stalest oracle-backed entries (last driver-green r3),
+    positions 42-48 the 7 next-stalest (r4), and positions 49-50 two
     r7-green canaries.  The 10 rows-only entries (no SQL oracle — their
     md5/exact twins carry the hash signal) are PERMANENTLY pinned after
     the window: a slot spent on a no_oracle row can never produce a green
@@ -3477,7 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-11: round-8 additions, driver-checked AT BIRTH
+        # --- positions 1-12: round-8 additions, driver-checked AT BIRTH
         "html_extract": _html_extract,
         "line_quality_filter": _line_quality_filter,
         "c4_clean_documents": _c4_clean_documents,
@@ -3487,9 +3558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": _extract_links,
         "link_graph_stats": _link_graph_stats,
         "domain_token_budget": _domain_token_budget,
+        "web_curation_funnel": _web_curation_funnel,
         "crawl_snapshot_merge": _crawl_snapshot_merge,
         "crawl_delta_counts": _crawl_delta_counts,
-        # --- positions 12-40: the 29 stalest oracle-backed entries (last
+        # --- positions 13-41: the 29 stalest oracle-backed entries (last
         # driver-green r3), planner-stable order (tools/plan_rotation.py)
         "simhash32": _simhash32,
         "simhash_near_pairs_md5": _simhash_pairs_md5,
@@ -3520,7 +3592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _vocab_topk,
         "winnow_shared_pairs_capped": _winnow_shared_pairs_capped,
         "chunked_scan": _chunked_scan,
-        # --- positions 41-48: next-stalest (r4-green), planner order
+        # --- positions 42-48: next-stalest (r4-green), planner order
         "mixture_sample": _mixture_sample,
         "shard_manifest": _shard_manifest,
         "semdedup": _semdedup,
@@ -3528,12 +3600,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": _dup_rate_by_source,
         "knn_graph": _knn_graph,
         "user_funnel": _user_funnel,
-        "funnel_report": _funnel_report,
         # --- positions 49-50: r7-green canaries (harness sentinels)
         "q1_pricing_summary": _q1,
         "exact_dedup_groups": _exact_dedup,
         # --- beyond the 50-entry window: stalest-first per
         # tools/plan_rotation.py; next in line for the r9 rotation
+        "funnel_report": _funnel_report,
         "chunk_documents": _chunk_documents,
         "temperature_sample": _temperature_sample,
         "retention_cohorts": _retention_cohorts,
@@ -8164,6 +8236,7 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, link_no, href FROM l",
         "link_graph_stats": _link_graph_oracle(),
         "domain_token_budget": _domain_token_budget_oracle(),
+        "web_curation_funnel": _web_funnel_oracle(),
         # crawl-snapshot keep-newest merge (round 8)
         "crawl_snapshot_merge": _crawl_oracle_cte()
         + "SELECT nurl, doc_id, capture_ts, fp, status FROM m",

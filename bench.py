@@ -185,6 +185,7 @@ HEADLINE = [
     "extract_links",
     "link_graph_stats",
     "domain_token_budget",
+    "web_curation_funnel",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -3,9 +3,9 @@
 The round driver oracle-checks only the FIRST 50 entries of
 __spark_entry__.queries() (CORRECTNESS_r01..r07 each contain exactly 50
 keys equal to dict positions 1-50).  Round-8 rotation (VERDICT r7 Next
-#1): positions 1-11 are this round's NEW entries (driver-checked at
-birth), positions 12-40 are the 29 stalest oracle-backed entries (last
-driver-green r3), positions 41-48 the 8 next-stalest (r4-green), and
+#1): positions 1-12 are this round's NEW entries (driver-checked at
+birth), positions 13-41 are the 29 stalest oracle-backed entries (last
+driver-green r3), positions 42-48 the 7 next-stalest (r4-green), and
 positions 49-50 two r7-green canaries.  The 10 rows-only entries are
 PERMANENTLY excluded from the window — a slot spent on a ``no_oracle``
 row can never produce a green driver row (round 7 burned 4 slots that
@@ -30,11 +30,12 @@ def entry_mod():
     return mod
 
 
-# Positions 1-11: round-8 additions, driver-checked at birth.
+# Positions 1-12: round-8 additions, driver-checked at birth.
 NEW_R8 = [
     "html_extract", "line_quality_filter", "c4_clean_documents",
     "line_dedup", "script_profile", "url_keyword_filter",
     "extract_links", "link_graph_stats", "domain_token_budget",
+    "web_curation_funnel",
     "crawl_snapshot_merge", "crawl_delta_counts",
 ]
 
@@ -53,11 +54,11 @@ STALE_R3 = [
     "winnow_shared_pairs_capped", "chunked_scan",
 ]
 
-# Positions 41-48: next-stalest (r4-green), planner order.
+# Positions 42-48: next-stalest (r4-green), planner order.
 STALE_R4 = [
     "mixture_sample", "shard_manifest", "semdedup",
     "pq_encode", "dup_rate_by_source", "knn_graph",
-    "user_funnel", "funnel_report",
+    "user_funnel",
 ]
 
 # r7-green sentinels: if these fail in CORRECTNESS_r08 the harness (not
@@ -87,19 +88,19 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 232
+N_QUERIES = 233
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:11] == NEW_R8
-    assert names[11:40] == STALE_R3
-    assert names[40:48] == STALE_R4
+    assert names[:12] == NEW_R8
+    assert names[12:41] == STALE_R3
+    assert names[41:48] == STALE_R4
     assert names[48:50] == CANARIES
 
 
 def test_window_exactly_filled(entry_mod):
-    # 11 + 29 + 8 + 2 == 50: no slot wasted
+    # 12 + 29 + 7 + 2 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == (
         set(NEW_R8) | set(STALE_R3) | set(STALE_R4) | set(CANARIES)
