@@ -330,3 +330,62 @@ class TestDomainTokenBudget:
         df = spark.createDataFrame(rows, "doc_id: long, url: string, n_toks: int")
         out = domain_token_budget(df, budget=250).collect()
         assert len(out) == 2  # each domain has its own budget
+
+
+class TestCrawlMergeAlgebra:
+    def test_random_batches_fold_to_reference_keep_newest(self, spark):
+        """Bulk randomized check: folding 3 random capture batches
+        through crawl_snapshot_merge equals a reference Python fold with
+        the documented rules (within-batch: max ts then min id;
+        cross-batch: the batch wins ties). URL variants (utm params,
+        fragments) collapse to one canonical key throughout."""
+        import random
+
+        from pgferry_spark.operators.domains import (
+            crawl_snapshot_merge,
+            snapshot_reduce,
+        )
+
+        rng = random.Random(8)
+        caps = []
+        for did in range(1, 61):
+            i = rng.randrange(12)
+            suffix = rng.choice(["", "?utm_source=x", "#frag"])
+            caps.append(
+                (did, f"https://site{i % 4}.com/p/{i}{suffix}",
+                 rng.randrange(1, 50), f"fp{did}")
+            )
+        batches = [caps[0:20], caps[20:40], caps[40:60]]
+        schema = "doc_id: long, url: string, capture_ts: long, fp: string"
+
+        # reference fold in plain Python
+        def nurl_of(url):
+            u = url.split("#")[0].split("?")[0]
+            return u.replace("https://", "")
+
+        index = {}
+        for batch in batches:
+            reduced = {}
+            for did, url, ts, fp in batch:
+                k = nurl_of(url)
+                cur = reduced.get(k)
+                if cur is None or (ts, -did) > (cur[2], -cur[0]):
+                    reduced[k] = (did, url, ts, fp)
+            for k, (did, url, ts, fp) in reduced.items():
+                cur = index.get(k)
+                if cur is None or ts >= cur[1]:
+                    index[k] = (did, ts, fp)
+
+        # Spark fold
+        spark_index = snapshot_reduce(
+            spark.createDataFrame(batches[0], schema)
+        )
+        for batch in batches[1:]:
+            spark_index = crawl_snapshot_merge(
+                spark_index, spark.createDataFrame(batch, schema)
+            ).drop("status")
+        got = {
+            r.nurl: (r.doc_id, r.capture_ts, r.fp)
+            for r in spark_index.collect()
+        }
+        assert got == index
