@@ -93,6 +93,10 @@ def html_strip_sql(col: str, g: str = "") -> str:
     # newline); replacements use chr(10) — DuckDB replacement strings do
     # not unescape \n (only group refs), Spark's do: a literal '\n'
     # replacement would silently diverge (found by the equivalence smoke).
+    # CR first: crawl bytes carry \r\n (and stray \r) line endings; fold
+    # them into \n so the line logic sees one convention (found by the
+    # random-text normalization property test).
+    x = f"replace({x}, chr(13), chr(10))"
     x = f"regexp_replace({x}, '[ \t]+', ' '{g})"
     x = f"regexp_replace({x}, ' ?\\n ?', chr(10){g})"
     x = f"regexp_replace({x}, '\\n+', chr(10){g})"

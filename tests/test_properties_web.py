@@ -178,3 +178,40 @@ def test_strip_gps_preserves_arbitrary_tag_soup(entries, with_gps):
         assert out == jpeg  # byte-identical passthrough
     else:
         assert X.strip_gps(out) == out  # idempotent
+
+
+# -- fuzz: the parsers must reject or parse, never hang or alloc-bomb ---------
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_exif_parser_total_on_random_bytes(blob):
+    """parse_exif on arbitrary bytes: returns a dict or None, or raises
+    ValueError — never an unbounded allocation, hang, or other
+    exception class (the allocation-bound contract)."""
+    for payload in (blob, b"\xff\xd8" + blob):
+        try:
+            out = X.parse_exif(payload)
+            assert out is None or isinstance(out, dict)
+        except ValueError:
+            pass
+        try:
+            out = X.strip_gps(payload)
+            assert isinstance(out, bytes)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(min_size=0, max_size=120))
+def test_strip_normalization_contract_on_random_text(s):
+    """html_strip on ARBITRARY unicode text: never errors, and the
+    output honors the normalization contract — no tabs, no double
+    spaces, no spaces adjacent to newlines, no blank lines, trimmed
+    ends."""
+    out = _strip(s)
+    assert "\t" not in out and "\r" not in out
+    assert "  " not in out
+    assert " \n" not in out and "\n " not in out
+    assert "\n\n" not in out
+    # contract covers space/tab/CR/LF; exotic unicode spaces pass through
+    assert out == out.strip(" \t\n\r")
