@@ -121,14 +121,25 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, int, bytes]:
     width = height = bit_depth = color_type = None
     idat = b""
     while pos < len(payload):
+        # every length/CRC read is bounds-checked BEFORE unpack: a
+        # truncated chunk header must be a ValueError, not a leaked
+        # struct.error (found by the parser-totality fuzz)
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + clen > len(payload):
+            raise ValueError("PNG chunk length beyond payload")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + clen]
         (crc,) = struct.unpack(">I", payload[pos + 8 + clen : pos + 12 + clen])
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(data) < 10:
+                raise ValueError("short IHDR")
             width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+            if width > 1 << 15 or height > 1 << 15:
+                raise ValueError("PNG dimensions beyond decoder bound")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -138,8 +149,18 @@ def png_pixels(payload: bytes) -> tuple[int, int, int, int, bytes]:
         raise ValueError("no IHDR chunk")
     if bit_depth != 8 or color_type != 0:
         raise ValueError(f"unsupported PNG variant ({bit_depth=}, {color_type=})")
-    raw = zlib.decompress(idat)
-    if len(raw) != height * (width + 1):
+    # inflate with the IHDR-derived ceiling: a zlib bomb cannot allocate
+    # past the declared raster (itself capped above), and zlib errors
+    # surface as the contract ValueError
+    expected = height * (width + 1)
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(idat, expected)
+        if dec.decompress(b"", 1):
+            raise ValueError("IDAT inflates beyond declared raster")
+    except zlib.error as ex:
+        raise ValueError(f"bad IDAT stream: {ex}") from None
+    if len(raw) != expected:
         raise ValueError("decompressed scanline length mismatch")
     pixels = bytearray()
     for y in range(height):

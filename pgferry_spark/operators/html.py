@@ -67,12 +67,18 @@ UNCLOSED_RE = "(?s)</?[A-Za-z!][^>]*$"
 # decode order matters: '&amp;' LAST, or '&amp;lt;' would double-decode.
 # The single quote is spelled chr(39): quote-doubling inside a literal is
 # the one escape Spark's Hive-style parser and DuckDB's ANSI parser
-# disagree on, so it never appears in a shared template.
+# disagree on, so it never appears in a shared template.  Documented
+# boundary: only the named entities below (plus &#39;) decode — general
+# numeric entities (&#60; / &#x3C;) would need a chr(captured-number)
+# neither engine's regexp_replace can express, so they pass through as
+# text (golden-pinned); at C4 fidelity the named set covers the
+# overwhelming majority of crawl text.
 _ENTITIES = [
     ("'&lt;'", "'<'"),
     ("'&gt;'", "'>'"),
     ("'&quot;'", "'\"'"),
     ("'&#39;'", "chr(39)"),
+    ("'&apos;'", "chr(39)"),
     ("'&nbsp;'", "' '"),
     ("'&amp;'", "'&'"),
 ]

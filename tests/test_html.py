@@ -46,6 +46,10 @@ GOLDENS = [
     ("<a href=\"x?y=1&amp;z=2\">link</a >done.", "link done."),
     # blank-line squeeze + end trim
     ("<p>a.</p>\n\n\n<p>b.</p>\n", "a.\nb."),
+    # CRLF and stray CR fold into LF (crawl line endings)
+    ("<p>one.</p>\r\n<p>two.</p>\rthree.", "one.\ntwo.\nthree."),
+    # &apos; decodes; NUMERIC entities pass through (documented boundary)
+    ("A&apos;s &#60;kept&#62; text.", "A's &#60;kept&#62; text."),
 ]
 
 

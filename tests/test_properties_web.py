@@ -215,3 +215,34 @@ def test_strip_normalization_contract_on_random_text(s):
     assert "\n\n" not in out
     # contract covers space/tab/CR/LF; exotic unicode spaces pass through
     assert out == out.strip(" \t\n\r")
+
+
+# -- fuzz: every binary media parser is total on random bytes -----------------
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=96))
+def test_media_parsers_total_on_random_bytes(blob):
+    """Every multimodal parser either parses or raises ValueError on
+    arbitrary bytes — never hangs, never allocates unbounded, never
+    leaks another exception class. The same contract the EXIF parser
+    carries, swept across the codecs."""
+    from pgferry_spark.multimodal import ops as M
+    from pgferry_spark.multimodal.mp4 import parse_mp4_samples
+
+    parsers = [
+        M.parse_png_meta, M.parse_wav_meta, M.parse_jpeg_meta,
+        M.parse_mp4_meta, M.parse_wav_data_range, parse_mp4_samples,
+    ]
+    # raw garbage + garbage behind each format's magic
+    prefixes = [
+        b"", b"\x89PNG\r\n\x1a\n", b"RIFF", b"\xff\xd8",
+        struct.pack(">I", 24) + b"ftypisom",
+    ]
+    for prefix in prefixes:
+        payload = prefix + blob
+        for parse in parsers:
+            try:
+                out = parse(payload)
+                assert out is None or isinstance(out, (dict, list))
+            except ValueError:
+                pass
