@@ -95,6 +95,11 @@ SCRIPT_RANGES = {
     "cyrillic": "а-яА-ЯЁё",
     "cjk": "一-鿿",          # U+4E00..U+9FFF unified ideographs
     "arabic": "ء-ي",         # U+0621..U+064A base letters
+    "greek": "α-ωΑ-Ω",       # includes final sigma (U+03C2)
+    "hebrew": "א-ת",         # U+05D0..U+05EA
+    "devanagari": "ऀ-ॿ",     # U+0900..U+097F
+    "hangul": "가-힣",        # U+AC00..U+D7A3 syllables
+    "kana": "ぁ-ヿ",          # U+3041..U+30FF hiragana+katakana
 }
 
 # chars-in-range counter: strip everything outside the range, measure.
@@ -106,10 +111,14 @@ SCRIPT_COUNT_SQL = "length(regexp_replace({col}, '[^{ranges}]', ''{g}))"
 # Cyrillic / CJK / Arabic, one branch mixing two scripts and one left
 # pure-Latin, so dominance and tie-break logic both get exercised.
 MULTISCRIPT_SYNTH_SQL = (
-    "CASE WHEN {id} % 5 = 0 THEN {txt} || ' привет мир как дела сегодня' "
-    "WHEN {id} % 5 = 1 THEN {txt} || ' 世界你好今天天氣很好' "
-    "WHEN {id} % 5 = 2 THEN {txt} || ' مرحبا بالعالم كيف الحال اليوم' "
-    "WHEN {id} % 5 = 3 THEN substr({txt}, 1, 10) || ' мир 世界 мир 世界' "
+    "CASE WHEN {id} % 9 = 0 THEN {txt} || ' привет мир как дела сегодня' "
+    "WHEN {id} % 9 = 1 THEN {txt} || ' 世界你好今天天氣很好 こんにちは' "
+    "WHEN {id} % 9 = 2 THEN {txt} || ' مرحبا بالعالم كيف الحال اليوم' "
+    "WHEN {id} % 9 = 3 THEN substr({txt}, 1, 10) || ' мир 世界 мир 世界' "
+    "WHEN {id} % 9 = 4 THEN {txt} || ' γειά σου κόσμε σήμερα καλημέρα' "
+    "WHEN {id} % 9 = 5 THEN {txt} || ' שלום עולם מה שלומך היום חבר' "
+    "WHEN {id} % 9 = 6 THEN {txt} || ' 안녕하세요 세계 오늘 날씨 좋다' "
+    "WHEN {id} % 9 = 7 THEN substr({txt}, 1, 8) || ' こんにちは せかい きょう' "
     "ELSE {txt} END"
 )
 
