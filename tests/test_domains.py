@@ -389,3 +389,38 @@ class TestCrawlMergeAlgebra:
             for r in spark_index.collect()
         }
         assert got == index
+
+
+class TestWebCurationFunnel:
+    def test_stage_counts_hand_computed(self, spark):
+        from pgferry_spark.operators.domains import web_curation_funnel
+
+        rows = [
+            # survives everything; shares its nurl with doc 2 (variant)
+            (1, "https://good.com/a", "<p>First real sentence here.</p>\n"
+                "<p>Second real sentence too.</p>"),
+            (2, "https://www.good.com/a?utm_source=x",
+                "<p>First real sentence here.</p>\n"
+                "<p>Second real sentence too.</p>"),
+            # blocked keyword in path
+            (3, "https://good.com/login/page", "<p>Fine sentence one here.</p>\n"
+                "<p>Fine sentence two here.</p>"),
+            # blocked domain
+            (4, "https://bad.com/b", "<p>Fine sentence one here.</p>\n"
+                "<p>Fine sentence two here.</p>"),
+            # passes gates, fails the page rule (one kept line)
+            (5, "https://good.com/c", "<p>Only one good sentence.</p>\n"
+                "<p>short</p>"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, url: string, html: string")
+        got = {
+            r.stage: r.n_docs
+            for r in web_curation_funnel(df, ("bad.com",), ("login",)).collect()
+        }
+        assert got == {
+            "0_raw": 5,
+            "1_url_keyword_gate": 4,      # doc 3 dropped
+            "2_domain_blocklist": 3,      # doc 4 dropped
+            "3_page_clean": 2,            # doc 5 fails the page rule
+            "4_url_dedup_keepers": 1,     # docs 1+2 share one nurl
+        }
