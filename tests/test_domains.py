@@ -424,3 +424,32 @@ class TestWebCurationFunnel:
             "3_page_clean": 2,            # doc 5 fails the page rule
             "4_url_dedup_keepers": 1,     # docs 1+2 share one nurl
         }
+
+
+def test_url_path_template_identical_both_engines(spark):
+    """URL_PATH_SQL + url_keyword_sql evaluate identically in Spark and
+    DuckDB on the messy-URL goldens (direct template pin; the funnel
+    oracle exercises it end-to-end)."""
+    from pgferry_spark.operators.domains import URL_PATH_SQL, url_keyword_sql
+
+    urls = [
+        "https://raw-news.com/articles/1",
+        "https://example.com/raw/data?x=1#f",
+        "HTTP://User:pw@Site.org:8080/Login/Page",
+        "example.org/post/9",
+        "https://bare.com",
+        "",
+    ]
+    path = URL_PATH_SQL.format(url="u")
+    score = url_keyword_sql(f"({path})", ("raw", "login", "post"))
+    for u in urls:
+        sp = (
+            spark.createDataFrame([(u,)], "u: string")
+            .select(F.expr(path).alias("p"), F.expr(score).alias("s"))
+            .first()
+        )
+        dk = duckdb.sql(
+            f"SELECT {path} AS p, {score} AS s FROM (SELECT ? AS u)",
+            params=[u],
+        ).fetchone()
+        assert (sp["p"], sp["s"]) == dk, u
