@@ -3217,15 +3217,16 @@ def _script_profile_oracle() -> str:
 
 
 def _line_dedup_oracle() -> str:
-    """Corpus keep-first per exact line replayed as a window rank; the
-    short-line exemption commutes with the partition (identical text
-    implies identical length)."""
+    """Corpus keep-first per exact line replayed as a window rank over
+    the md5 line fingerprint (the Spark side's 16-byte keeper key —
+    round 9); the short-line exemption commutes with the partition
+    (identical text implies identical length)."""
     return _html_cte() + """
         , l AS (SELECT doc_id,
             CAST(generate_subscripts(string_split(clean_text, chr(10)), 1) - 1
                  AS INT) AS line_no,
             unnest(string_split(clean_text, chr(10))) AS line FROM x),
-        e AS (SELECT *, row_number() OVER (PARTITION BY line
+        e AS (SELECT *, row_number() OVER (PARTITION BY md5(line)
                 ORDER BY doc_id, line_no) AS rk FROM l)
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_lines,
@@ -3314,7 +3315,7 @@ def _web_funnel_oracle() -> str:
     from pgferry_spark.operators.html import (
         HTML_SYNTH_SQL,
         LINE_KEEP_SQL,
-        html_strip_sql,
+        html_strip_ctes,
     )
 
     url = URL_SYNTH_SQL.format(id="doc_id", src="source")
@@ -3325,7 +3326,7 @@ def _web_funnel_oracle() -> str:
     path = URL_PATH_SQL.format(url="url")
     kw = url_keyword_sql("__p", _URL_BLOCK_KWS)
     synth = HTML_SYNTH_SQL.format(id="doc_id", txt="text", src="source")
-    strip = html_strip_sql("html", g=", 'g'")
+    strip_ctes, strip_final = html_strip_ctes("hh", "html", "doc_id, nurl")
     keep = LINE_KEEP_SQL.format(line="line")
     return f"""
         WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents),
@@ -3337,8 +3338,9 @@ def _web_funnel_oracle() -> str:
         g AS (SELECT *, ({kw} = 0) AS g1,
                  (({kw} = 0) AND domain NOT IN {_BLOCKED_DOMAINS!r}) AS g2
               FROM p),
-        hh AS (SELECT doc_id, nurl, {synth} AS html FROM g WHERE g2),
-        x AS (SELECT doc_id, nurl, {strip} AS clean_text FROM hh),
+        hh AS (SELECT doc_id, nurl, {synth} AS html FROM g WHERE g2)
+        {strip_ctes},
+        x AS (SELECT doc_id, nurl, clean_text FROM {strip_final}),
         l AS (SELECT doc_id, nurl,
                 unnest(string_split(clean_text, chr(10))) AS line FROM x),
         s AS (SELECT doc_id, min(nurl) AS nurl FROM l
@@ -3407,7 +3409,8 @@ def _crawl_oracle_cte() -> str:
                 CASE WHEN c.doc_id IS NULL THEN 'new'
                      WHEN b.doc_id IS NULL THEN 'carried'
                      WHEN b.fp = c.fp THEN 'unchanged'
-                     ELSE 'changed' END AS status
+                     WHEN {take_b} THEN 'changed'
+                     ELSE 'stale_capture' END AS status
               FROM c FULL OUTER JOIN b ON c.nurl = b.nurl)
     """
 
@@ -3418,13 +3421,17 @@ def _html_cte() -> str:
     evaluates via F.expr — identical by construction. The g placeholder
     is the one engine divergence (DuckDB regexp_replace needs the
     explicit global flag)."""
-    from pgferry_spark.operators.html import HTML_SYNTH_SQL, html_strip_sql
+    from pgferry_spark.operators.html import HTML_SYNTH_SQL, html_strip_ctes
 
     synth = HTML_SYNTH_SQL.format(id="doc_id", txt="text", src="source")
-    strip = html_strip_sql("html", g=", 'g'")
+    # staged strip (round 9): the charref decode table nests past
+    # DuckDB's 128-deep binder cap as one expression, so the oracle
+    # walks the same shared templates as chained CTE stages
+    ctes, final = html_strip_ctes("h", "html", "doc_id")
     return f"""
-        WITH h AS (SELECT doc_id, {synth} AS html FROM documents),
-        x AS (SELECT doc_id, {strip} AS clean_text FROM h)
+        WITH h AS (SELECT doc_id, {synth} AS html FROM documents)
+        {ctes},
+        x AS (SELECT doc_id, clean_text FROM {final})
     """
 
 

@@ -87,7 +87,13 @@ def _tree_ascii(tag: int, text: str):
 def _encode_ifd_tree(e: str, tree: list, base: int) -> bytes:
     """Encode one IFD (entries sorted by caller) at absolute TIFF offset
     ``base``: 12-byte entries, next-IFD pointer 0, external values, then
-    sub-IFDs — every offset computed in a sizing pass first."""
+    sub-IFDs — every offset computed in a sizing pass first.  External
+    values are padded to EVEN length (declared counts unchanged): TIFF
+    6.0 requires word-aligned value offsets, and an odd-length ASCII
+    value would otherwise leave every subsequent offset odd — the
+    in-repo parser tolerates that, strict external readers may not.
+    The entry table (2 + n*12 + 4) and every padded blob are even, so
+    evenness holds recursively and ``base`` even ⇒ all offsets even."""
     n = len(tree)
     data_off = base + 2 + n * 12 + 4
     slots: list[bytes | None] = []
@@ -99,8 +105,9 @@ def _encode_ifd_tree(e: str, tree: list, base: int) -> bytes:
             slots.append(val.ljust(4, b"\x00"))
         else:
             slots.append(struct.pack(e + "I", data_off))
-            ext_blobs.append(val)
-            data_off += len(val)
+            padded = val + b"\x00" * (len(val) & 1)
+            ext_blobs.append(padded)
+            data_off += len(padded)
     sub_blobs: list[bytes] = []
     for i, (tag, typ, cnt, val, sub) in enumerate(tree):
         if sub is not None:
@@ -289,6 +296,13 @@ def parse_exif(jpeg: bytes) -> dict | None:
                 out["exposure"] = struct.unpack_from(e + "II", val)
             elif tag == TAG_ISO and typ == _SHORT and cnt >= 1:
                 out["iso"] = struct.unpack_from(e + "H", val)[0]
+    if gps_off is None and exif_off is not None:
+        # Nonstandard but seen on crafted input: a 0x8825 GPS pointer
+        # nested inside the EXIF sub-IFD.  The privacy gate must FIND it
+        # (strip_gps prunes the whole tree, so it scrubs it either way).
+        for tag, typ, cnt, val in _read_ifd(e, tiff, exif_off):
+            if tag == TAG_GPS_IFD and typ == _LONG and cnt == 1:
+                gps_off = struct.unpack_from(e + "I", val)[0]
     if gps_off is not None:
         gps: dict = {}
         for tag, typ, cnt, val in _read_ifd(e, tiff, gps_off):
@@ -331,9 +345,19 @@ def strip_gps(jpeg: bytes) -> bytes:
     magic, ifd0_off = struct.unpack_from(e + "HI", tiff, 2)
     if magic != 42:
         raise ValueError("bad TIFF magic")
-    if not any(
-        tag == TAG_GPS_IFD for tag, _t, _c, _v in _read_ifd(e, tiff, ifd0_off)
-    ):
+    # GPS-presence check over the FULL tree, not just IFD0: a
+    # (nonstandard) 0x8825 pointer nested inside the 0x8769 EXIF sub-IFD
+    # must not ride the byte-identical passthrough — fail-open on a
+    # privacy scrub (round-9 ADVICE, medium).
+    full = _read_ifd_tree(e, tiff, ifd0_off)
+
+    def _has_gps(tree: list) -> bool:
+        return any(
+            tag == TAG_GPS_IFD or (sub is not None and _has_gps(sub))
+            for tag, _t, _c, _v, sub in tree
+        )
+
+    if not _has_gps(full):
         return jpeg
     tree = _read_ifd_tree(e, tiff, ifd0_off, drop=frozenset({TAG_GPS_IFD}))
     clean = tiff[:2] + struct.pack(e + "HI", 42, 8) + _encode_ifd_tree(

@@ -43,6 +43,8 @@ forced hint, matching the orphans-J1 rule.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -176,9 +178,27 @@ URL_PATH_SQL = (
 )
 
 
+# keywords are interpolated into single-quoted SQL literals evaluated by
+# BOTH engines; restrict them to a charset that cannot break the quoting
+# or smuggle SQL (round-9 ADVICE: a quote in a config keyword was a
+# latent parse-failure/injection path in both Spark F.expr and DuckDB).
+_KEYWORD_RE = re.compile(r"^[a-z0-9_-]+$")
+
+
 def url_keyword_sql(path_col: str, keywords: tuple[str, ...]) -> str:
     """Count of blocked keywords present in the URL path/query — the
-    shared-template scoring expression (0 = clean)."""
+    shared-template scoring expression (0 = clean).  Keywords must match
+    ``^[a-z0-9_-]+$`` (they gate lowercased URL paths; anything beyond
+    that charset could not match a path token but COULD break the
+    generated SQL literal)."""
+    if not keywords:
+        raise ValueError("url_keyword_sql: empty keyword list")
+    for k in keywords:
+        if not _KEYWORD_RE.match(k):
+            raise ValueError(
+                f"url_keyword_sql: keyword {k!r} outside safe charset"
+                " ^[a-z0-9_-]+$"
+            )
     terms = " + ".join(
         f"CASE WHEN contains({path_col}, '{k}') THEN 1 ELSE 0 END"
         for k in keywords
@@ -302,13 +322,21 @@ def crawl_snapshot_merge(
     shuffle), then full-outer-joined against the index.  Per nurl the
     NEWEST capture wins (batch on ties); every row is labeled::
 
-        new        nurl seen for the first time
-        changed    re-crawled, content fingerprint differs
-        unchanged  re-crawled, fingerprint identical
-        carried    not re-crawled; the old capture is carried forward
+        new            nurl seen for the first time
+        changed        re-crawled, newer capture, fingerprint differs
+        unchanged      re-crawled, fingerprint identical
+        stale_capture  re-crawled but the batch capture is OLDER than
+                       the index row — the index is unchanged; the
+                       differing batch fp is a replayed stale capture,
+                       not churn (round-9 ADVICE: labeling this
+                       'changed' overstated churn exactly in the
+                       out-of-order-replay scenario the streaming twin
+                       is built for)
+        carried        not re-crawled; the old capture is carried forward
 
-    Returns (nurl, id, capture_ts, fp, status) — the next round's URL
-    index plus the delta audit in one pass."""
+    Status is computed from the WINNING side.  Returns (nurl, id,
+    capture_ts, fp, status) — the next round's URL index plus the delta
+    audit in one pass."""
     b = snapshot_reduce(batch, url_col, id_col, ts_col, fp_col).select(
         "nurl",
         F.col(id_col).alias("__b_id"),
@@ -329,7 +357,8 @@ def crawl_snapshot_merge(
         F.when(F.col("__c_id").isNull(), F.lit("new"))
         .when(F.col("__b_id").isNull(), F.lit("carried"))
         .when(F.col("__b_fp") == F.col("__c_fp"), F.lit("unchanged"))
-        .otherwise(F.lit("changed"))
+        .when(take_batch, F.lit("changed"))
+        .otherwise(F.lit("stale_capture"))
     )
     return j.select(
         "nurl",
@@ -435,6 +464,7 @@ def domain_token_budget(
     tokens_col: str = "n_toks",
     id_col: str = "doc_id",
     budget: int = 300,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """At most ``budget`` TOKENS per registrable domain — the unit
     mixture construction actually budgets (a 100-doc domain of tweets
@@ -446,18 +476,67 @@ def domain_token_budget(
     cut — no skip-and-fill, so the result is a stable prefix,
     incremental-rebuild safe).
 
-    One domain-partitioned cumulative window (explicit ROWS frame);
-    hot domains are exactly what the budget truncates, and no global
-    sort exists anywhere — compare select_to_token_budget, whose
-    GLOBAL budget needs the two-pass histogram trick."""
+    ``skew_safe=False``: one domain-partitioned cumulative window
+    (explicit ROWS frame) — correct, but a mega-domain (worst case at
+    crawl scale: one domain = half the crawl) serializes onto one
+    partition.
+
+    ``skew_safe=True`` (default, round 9 — VERDICT r8 Next #4): the
+    histogram-threshold two-pass posture adapted to hash order.  The
+    admission order's key is md5(id), so its first two hex chars bucket
+    the domain into 256 uniform, ORDER-PRESERVING slices (the bucket is
+    a prefix of the sort key).  Pass 1 aggregates token sums per
+    (domain, bucket) and takes a cumulative sum over the ≤256 bucket
+    rows per domain (a bounded window).  Pass 2 PRUNES every bucket
+    whose carry-in already exceeds the budget — for a mega-domain
+    that's ~all of it — and runs the per-doc cumulative window
+    partitioned by (domain, bucket): each partition holds at most
+    ~1/256 of the domain's surviving rows.  Output is identical to the
+    single-window form (same order key, same prefix rule); the skewed
+    fixture equality + plan pins live in tests/test_layout_skew.py."""
     base = df if "domain" in df.columns else with_host_domain(df, url_col)
-    w = (
+    if not skew_safe:
+        w = (
+            Window.partitionBy("domain")
+            .orderBy(
+                F.md5(F.col(id_col).cast("string")).asc(),
+                F.col(id_col).asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            base.withColumn("cum_toks", F.sum(tokens_col).over(w))
+            .filter(F.col("cum_toks") <= budget)
+            .select(F.col(id_col), "domain", F.col(tokens_col), "cum_toks")
+        )
+    base = base.withColumn(
+        "__h", F.md5(F.col(id_col).cast("string"))
+    ).withColumn("__b", F.substring("__h", 1, 2))
+    wb = (
         Window.partitionBy("domain")
-        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    buckets = (
+        base.groupBy("domain", "__b")
+        .agg(F.sum(tokens_col).cast("long").alias("__bt"))
+        .withColumn("__carry", F.sum("__bt").over(wb) - F.col("__bt"))
+        # a bucket whose carry-in spends the whole budget can admit
+        # nothing (n_toks >= 0 keeps cum >= carry): prune BEFORE the
+        # per-doc window — the mega-domain tail never shuffles again
+        .filter(F.col("__carry") <= budget)
+        .select("domain", "__b", "__carry")
+    )
+    wd = (
+        Window.partitionBy("domain", "__b")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        base.withColumn("cum_toks", F.sum(tokens_col).over(w))
+        base.join(buckets, ["domain", "__b"])
+        .withColumn(
+            "cum_toks", F.col("__carry") + F.sum(tokens_col).over(wd)
+        )
         .filter(F.col("cum_toks") <= budget)
         .select(F.col(id_col), "domain", F.col(tokens_col), "cum_toks")
     )

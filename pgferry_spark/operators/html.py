@@ -64,36 +64,124 @@ TAG_RE = "(?s)</?[A-Za-z!][^>]*>"
 # trailing unclosed markup: '<' + tag start, no '>' before end-of-text
 UNCLOSED_RE = "(?s)</?[A-Za-z!][^>]*$"
 
-# decode order matters: '&amp;' LAST, or '&amp;lt;' would double-decode.
-# The single quote is spelled chr(39): quote-doubling inside a literal is
-# the one escape Spark's Hive-style parser and DuckDB's ANSI parser
-# disagree on, so it never appears in a shared template.  Documented
-# boundary: only the named entities below (plus &#39;) decode — general
-# numeric entities (&#60; / &#x3C;) would need a chr(captured-number)
-# neither engine's regexp_replace can express, so they pass through as
-# text (golden-pinned); at C4 fidelity the named set covers the
-# overwhelming majority of crawl text.
-_ENTITIES = [
+# decode order matters: the '&' producers ('&amp;', '&#38;', '&#x26;')
+# go LAST, or '&amp;lt;' / '&#38;lt;' would double-decode.  The single
+# quote is spelled chr(39): quote-doubling inside a literal is the one
+# escape Spark's Hive-style parser and DuckDB's ANSI parser disagree on,
+# so it never appears in a shared template; backslash likewise (chr(92)
+# — Spark string literals unescape it, DuckDB's do not).
+_ENTITIES_NONAMP = [
     ("'&lt;'", "'<'"),
     ("'&gt;'", "'>'"),
     ("'&quot;'", "'\"'"),
-    ("'&#39;'", "chr(39)"),
     ("'&apos;'", "chr(39)"),
     ("'&nbsp;'", "' '"),
+]
+_AMP_LAST = [
+    ("'&#38;'", "'&'"),
+    ("'&#x26;'", "'&'"),
     ("'&amp;'", "'&'"),
 ]
 
+# Numeric character references (round 9, VERDICT r8 Next #2 — the C4
+# §2.2 fidelity gap: real crawl HTML carries &#NN;/&#xHH; constantly).
+# chr(captured-number) is inexpressible in either engine's
+# regexp_replace, so coverage is a BOUNDED LITERAL TABLE: one cheap
+# non-regex replace per covered spelling, gated behind one
+# contains(raw, '&#') scan so pages without numeric refs pay a single
+# substring probe.  Covered: printable ASCII 32..126 (decimal + hex,
+# both hex-digit cases) plus the punctuation refs crawl text actually
+# uses (nbsp→space like &nbsp;, ©, ®, °, ±, en/em dash, curly
+# quotes, bullet, ellipsis, trademark).  Documented boundaries
+# (golden-pinned): out-of-table references (&#9731;), leading-zero
+# spellings (&#060;) and the uppercase-X marker (&#X3C;) pass through
+# as text.
+_EXTRA_POINTS = (
+    160, 169, 174, 176, 177, 8211, 8212, 8216, 8217, 8220, 8221,
+    8226, 8230, 8482,
+)
 
-def html_strip_sql(col: str, g: str = "") -> str:
-    """The full extraction pipeline as ONE SQL expression over ``col``:
-    script/style/comment removal -> tag strip -> unclosed-tag strip ->
-    entity decode -> whitespace normalization (runs of spaces/tabs to
-    one space, spaces trimmed around newlines, blank lines squeezed,
-    ends trimmed).  ``g`` is '' for Spark, ", 'g'" for DuckDB."""
+
+def _char_sql_lit(cp: int) -> str:
+    c = " " if cp == 160 else chr(cp)
+    if c == "'":
+        return "chr(39)"
+    if c == "\\":
+        return "chr(92)"
+    return f"'{c}'"
+
+
+def _charref_pairs() -> list[tuple[str, str]]:
+    pairs = []
+    for cp in (*range(32, 127), *_EXTRA_POINTS):
+        if cp == 38:  # '&': decodes in _AMP_LAST or everything double-decodes
+            continue
+        rep = _char_sql_lit(cp)
+        pairs.append((f"'&#{cp};'", rep))
+        h = format(cp, "x")
+        pairs.append((f"'&#x{h};'", rep))
+        if h != h.upper():
+            pairs.append((f"'&#x{h.upper()};'", rep))
+    return pairs
+
+
+_CHARREF_PAIRS = _charref_pairs()
+
+
+# Chunk size for the staged numeric-reference decode: DuckDB's binder
+# hard-caps expression recursion at 128 (not configurable — SET
+# max_expression_depth does not reach the binder guard), so the ~280
+# replace calls CANNOT nest into one expression on the oracle side.
+# Each chunk stays well under the cap; stages compose as chained CTEs
+# (oracle) / sequential projections (Spark — CollapseProject leaves them
+# staged because each stage references its input twice via the gate
+# CASE, so no exponential inlining).
+CHARREF_CHUNK = 55
+
+
+def n_charref_chunks() -> int:
+    return (len(_CHARREF_PAIRS) + CHARREF_CHUNK - 1) // CHARREF_CHUNK
+
+
+def html_stage1_sql(col: str, g: str = "") -> str:
+    """Stage 1 of the extraction pipeline: script/style/comment removal
+    -> tag strip -> unclosed-tag strip -> NAMED non-amp entity decode.
+    ``g`` is '' for Spark, ", 'g'" for DuckDB."""
     x = col
     for pat in (SCRIPT_RE, STYLE_RE, COMMENT_RE, TAG_RE, UNCLOSED_RE):
         x = f"regexp_replace({x}, '{pat}', ' '{g})"
-    for ent, rep in _ENTITIES:
+    for ent, rep in _ENTITIES_NONAMP:
+        x = f"replace({x}, {ent}, {rep})"
+    return x
+
+
+def charref_flag_sql(raw_col: str) -> str:
+    """The numeric-reference gate: one substring probe of the RAW
+    column.  Tag stripping and named decode can never CREATE the '&#'
+    digraph, so gating every chunk on the raw bytes is a safe
+    over-approximation — pages without numeric refs skip the whole
+    table at the cost of one scan."""
+    return f"contains({raw_col}, '&#')"
+
+
+def charref_chunk_sql(col: str, flag: str, chunk: int) -> str:
+    """Chunk ``chunk`` of the bounded literal decode table applied over
+    ``col`` when ``flag`` (see :func:`charref_flag_sql`) holds; identity
+    otherwise.  Plain non-regex replaces — one cheap scan each."""
+    pairs = _CHARREF_PAIRS[chunk * CHARREF_CHUNK : (chunk + 1) * CHARREF_CHUNK]
+    x = col
+    for pat, rep in pairs:
+        x = f"replace({x}, {pat}, {rep})"
+    return f"CASE WHEN {flag} THEN {x} ELSE {col} END"
+
+
+def html_finish_sql(col: str, g: str = "") -> str:
+    """Final stage: the '&'-producing decodes (named + numeric amp
+    spellings, LAST so nothing double-decodes) and whitespace
+    normalization (runs of spaces/tabs to one space, spaces trimmed
+    around newlines, blank lines squeezed, ends trimmed)."""
+    x = col
+    for ent, rep in _AMP_LAST:
         x = f"replace({x}, {ent}, {rep})"
     # \n appears only in PATTERNS (where both regex engines resolve it to
     # newline); replacements use chr(10) — DuckDB replacement strings do
@@ -108,6 +196,57 @@ def html_strip_sql(col: str, g: str = "") -> str:
     x = f"regexp_replace({x}, '\\n+', chr(10){g})"
     x = f"regexp_replace({x}, '^\\n+|\\n+$', ''{g})"  # trim() spares newlines
     return f"trim({x})"
+
+
+def html_strip_column(
+    df: DataFrame, raw_col: str, out_col: str = "clean_text"
+) -> DataFrame:
+    """Spark form of the full extraction pipeline: appends ``out_col``
+    built through STAGED projections — one withColumn per template
+    stage, mirroring :func:`html_strip_ctes` CTE-for-CTE (both engines'
+    parsers reject the ~300-deep one-shot nesting: DuckDB's binder caps
+    at 128, Spark raises SQLSTATE 54001).  CollapseProject leaves the
+    stages intact because each chunk references its input twice (THEN
+    chain / ELSE identity), so no exponential inlining; at runtime a
+    row evaluates each stage once and rows without '&#' skip every
+    chunk via the shared gate."""
+    flag = charref_flag_sql(raw_col)
+    out = df.withColumn("__t", F.expr(html_stage1_sql(raw_col)))
+    for i in range(n_charref_chunks()):
+        out = out.withColumn("__t", F.expr(charref_chunk_sql("__t", flag, i)))
+    return out.withColumn(out_col, F.expr(html_finish_sql("__t"))).drop("__t")
+
+
+def html_strip_ctes(
+    prev_cte: str,
+    raw_col: str,
+    keep_cols: str,
+    out_col: str = "clean_text",
+    g: str = ", 'g'",
+) -> tuple[str, str]:
+    """Oracle-side staged form: returns ``(cte_sql, final_cte_name)``
+    where ``cte_sql`` is a ', name AS (...)' chain to append after an
+    existing WITH block.  Each stage is one CTE so no expression
+    exceeds DuckDB's binder depth; ``keep_cols`` (e.g. ``"doc_id,
+    nurl"``) are carried through every stage."""
+    flag = charref_flag_sql(raw_col)
+    parts = [
+        f", __hs0 AS (SELECT {keep_cols}, {flag} AS __ref,"
+        f" {html_stage1_sql(raw_col, g)} AS __t FROM {prev_cte})"
+    ]
+    prev = "__hs0"
+    for i in range(n_charref_chunks()):
+        expr = charref_chunk_sql("__t", "__ref", i)
+        parts.append(
+            f", __hs{i + 1} AS (SELECT {keep_cols}, __ref,"
+            f" {expr} AS __t FROM {prev})"
+        )
+        prev = f"__hs{i + 1}"
+    parts.append(
+        f", __hsf AS (SELECT {keep_cols},"
+        f" {html_finish_sql('__t', g)} AS {out_col} FROM {prev})"
+    )
+    return "".join(parts), "__hsf"
 
 
 # C4 §2.2 line rules, one boolean over a {line} placeholder: terminal
@@ -142,6 +281,8 @@ HTML_SYNTH_SQL = (
     " WHEN {id} % 6 = 1 THEN"
     " '<p>Fish &amp; chips &lt;tag&gt; &quot;quoted&quot;"
     " A&nbsp;B.</p>' || chr(10) ||"
+    " '<p>Don&#8217;t &#60;drop&#62; the &#x2013; dash &#9731;.</p>'"
+    " || chr(10) ||"
     " '<p>' || substr({txt}, 1, 60) || '.</p>'"
     " WHEN {id} % 6 = 2 THEN"
     " '<div><p>Nested <b><i>' || substr({txt}, 1, 50) || '</i></b>.</p>'"
@@ -186,12 +327,12 @@ def html_extract(
 ) -> DataFrame:
     """Clean text per document: ``(id, clean_text, n_lines)`` — the
     extraction stage every downstream filter/dedup/tokenizer consumes.
-    Map-only; line structure (chr(10)) survives for the line filter."""
-    clean = F.expr(html_strip_sql(html_col))
-    return df.select(
+    Map-only (staged projections, see :func:`html_strip_column`); line
+    structure (chr(10)) survives for the line filter."""
+    return html_strip_column(df, html_col).select(
         F.col(id_col),
-        clean.alias("clean_text"),
-        F.size(F.split(clean, "\n")).alias("n_lines"),
+        F.col("clean_text"),
+        F.size(F.split(F.col("clean_text"), "\n")).alias("n_lines"),
     )
 
 
@@ -250,22 +391,25 @@ def line_dedup(
     Returns ``(id, n_lines, kept_lines, kept_text)``.
 
     Scale shape (the span_dedup agg-keeper posture): the keeper is a
-    ``min(struct(id, line_no))`` aggregate per line — map-side partial
-    aggregation, so no task ever holds a hot boilerplate line's full
-    occurrence list — then an equi-join on the line (exchange reused)
-    and ONE doc-id shuffle for the ordered reassembly.  Short lines
-    never enter the keeper table at all (same text implies same length),
-    so they join to nothing and pass through."""
+    ``min(struct(id, line_no))`` aggregate per line FINGERPRINT —
+    md5(line), 16 bytes, so the keeper-table shuffle and the equi-join
+    key never carry the full line text (round 9, VERDICT r8 Next #3;
+    joining on the raw string moved every line's text twice) — map-side
+    partial aggregation, so no task ever holds a hot boilerplate line's
+    full occurrence list — then ONE doc-id shuffle for the ordered
+    reassembly.  Short lines never enter the keeper table at all (same
+    text implies same length), so they join to nothing and pass
+    through."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
-    )
+    ).withColumn("__lfp", F.md5(F.col("line")))
     keepers = (
         lines.filter(F.length("line") >= min_line_chars)
-        .groupBy("line")
+        .groupBy("__lfp")
         .agg(F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("__k"))
     )
-    marked = lines.join(keepers, "line", "left")
+    marked = lines.join(keepers, "__lfp", "left")
     keep = F.col("__k").isNull() | (
         (F.col("__k")[id_col] == F.col(id_col))
         & (F.col("__k")["line_no"] == F.col("line_no"))

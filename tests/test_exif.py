@@ -139,6 +139,75 @@ def test_strip_gps_idempotent():
     assert X.strip_gps(once) == once
 
 
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_strip_gps_finds_gps_nested_in_exif_subifd(big_endian):
+    """Round-9 ADVICE (medium): a (nonstandard) 0x8825 GPS pointer nested
+    INSIDE the 0x8769 EXIF sub-IFD must not ride the byte-identical
+    passthrough — the presence check walks the full tree and the scrub
+    prunes the nested pointer too."""
+    e = ">" if big_endian else "<"
+    tree = [
+        X._tree_ascii(X.TAG_MAKE, "CamZ"),
+        (X.TAG_EXIF_IFD, 4, 1, b"", [
+            (X.TAG_ISO, 3, 1, struct.pack(e + "H", 200), None),
+            (X.TAG_GPS_IFD, 4, 1, b"", [
+                X._tree_ascii(X.TAG_GPS_LAT_REF, "N"),
+                (X.TAG_GPS_LAT, 5, 3, X._rational3(e, (48, 51, 24)), None),
+            ]),
+        ]),
+    ]
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(e + "HI", 42, 8)
+        + X._encode_ifd_tree(e, tree, 8)
+    )
+    jpeg = X.insert_exif_app1(_base_jpeg(), tiff)
+    # the gate sees the nested GPS
+    assert X.parse_exif(jpeg)["gps"] == {"lat": (48, 51, 24), "lat_ref": "N"}
+    out = X.strip_gps(jpeg)
+    assert out != jpeg
+    got = _tags(X._read_ifd_tree(e, X._find_app1_tiff(out), 8))
+    assert X.TAG_GPS_IFD not in got[X.TAG_EXIF_IFD]
+    assert got[X.TAG_EXIF_IFD][X.TAG_ISO] == (3, 1, struct.pack(e + "H", 200))
+    assert X.parse_exif(out)["gps"] is None
+    # and the raw GPS rational bytes are gone from the payload
+    assert X._rational3(e, (48, 51, 24)) not in out
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_encoder_word_aligns_external_values(big_endian):
+    """TIFF 6.0 word alignment (round-9 ADVICE): an ODD-length external
+    ASCII value must not leave subsequent value/sub-IFD offsets odd.
+    Declared counts stay the odd lengths; only the blob is padded."""
+    e = ">" if big_endian else "<"
+    odd = b"odd-length-value!\x00"          # 18 -> even baseline
+    odd = odd[:-1]                           # 17: odd external value
+    desc = b"another external value\x00"     # follows the odd blob
+    tree = [
+        (0x010E, 2, len(odd), odd, None),
+        (0x010F, 2, len(desc), desc, None),
+        (X.TAG_EXIF_IFD, 4, 1, b"", [
+            (X.TAG_ISO, 3, 1, struct.pack(e + "H", 100), None),
+        ]),
+    ]
+    blob = X._encode_ifd_tree(e, tree, 8)
+    assert len(blob) % 2 == 0
+    tiff = (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, 8) + blob
+    # every external value offset and the sub-IFD pointer are even
+    n = struct.unpack_from(e + "H", tiff, 8)[0]
+    for i in range(n):
+        eo = 8 + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, eo)
+        size = X._TYPE_SIZE[typ] * cnt
+        if size > 4 or tag == X.TAG_EXIF_IFD:
+            off = struct.unpack_from(e + "I", tiff, eo + 8)[0]
+            assert off % 2 == 0, f"tag {tag:#06x} at odd offset {off}"
+    # counts/values round-trip unchanged
+    got = _tags(X._read_ifd_tree(e, tiff, 8))
+    assert got[0x010E] == (2, len(odd), odd)
+    assert got[0x010F] == (2, len(desc), desc)
+
+
 def test_ifd_entry_bomb_still_rejected():
     """Allocation bound survives the refactor: an IFD that declares 2^16-1
     entries beyond the payload must raise, not allocate."""

@@ -18,7 +18,7 @@ from hypothesis import strategies as st
 
 from pgferry_spark.multimodal import exif as X
 from pgferry_spark.operators.domains import HOST_SQL, NURL_SQL, QCLEAN_SQL
-from pgferry_spark.operators.html import html_strip_sql
+from pgferry_spark.operators.html import html_strip_ctes
 
 # -- HTML strip: markup never survives ---------------------------------------
 
@@ -31,8 +31,13 @@ attr = st.text(alphabet="abcdefghijklmnopqrstuvwxyz= '", min_size=0, max_size=15
 
 
 def _strip(s: str) -> str:
-    expr = html_strip_sql("h", g=", 'g'")
-    return duckdb.sql(f"SELECT {expr} FROM (SELECT ? AS h)", params=[s]).fetchone()[0]
+    # staged CTE form: the one-shot expression nests past DuckDB's
+    # 128-deep binder cap since the round-9 charref table
+    ctes, final = html_strip_ctes("src", "h", "h")
+    return duckdb.sql(
+        f"WITH src AS (SELECT ? AS h){ctes} SELECT clean_text FROM {final}",
+        params=[s],
+    ).fetchone()[0]
 
 
 @settings(max_examples=150, deadline=None)
