@@ -3119,6 +3119,73 @@ def _crawl_delta_counts(spark, sf):
     return crawl_delta_counts(crawl_snapshot_merge(corpus_index, batch))
 
 
+def _robots_noindex_flags(spark, sf):
+    """Per-document robots meta-noindex verdict over the raw synthetic
+    HTML (round 9): the page-level opt-out a polite crawl honors before
+    extraction — template 3 pages carry a real <meta name=robots> tag,
+    noindex on half of them, index,follow on the rest, so both
+    polarities and the no-meta case are exercised. Map-only codegen;
+    the shared ROBOTS_NOINDEX_SQL template is evaluated verbatim by
+    both engines."""
+    from pgferry_spark.operators.html import attach_html, robots_noindex_flags
+
+    d = _t(spark, sf, "documents")
+    return robots_noindex_flags(attach_html(d))
+
+
+def _warc_record_index(spark, sf):
+    """WARC-style crawl-container record index (round 9): documents are
+    packed 8-at-a-time into real ISO 28500-framed containers
+    (version line + typed headers + Content-Length payload + trailing
+    CRLFs), then REAL byte parsing inside Arrow batches emits one row
+    per record with its exact record/payload byte ranges — the index
+    that turns 100 TB re-extraction into bounded range reads (the
+    video_frame_index geometry applied to text archives). The oracle
+    replays every offset as closed-form header arithmetic + a
+    cumulative window, so green means parser and arithmetic agree to
+    the byte. Container bytes never shuffle; index rows do."""
+    from pgferry_spark.sources.warc import attach_warc, warc_record_index
+
+    return warc_record_index(attach_warc(_docs_with_urls(spark, sf)))
+
+
+def _warc_payload_extract(spark, sf):
+    """Index-driven payload recovery (round 9): parse + slice fused in
+    ONE Arrow pass per container — the proof that the record index's
+    (offset, length) ranges recover every document byte-exactly. The
+    oracle compares against the ORIGINAL documents text; container
+    bytes are read once and never shuffle."""
+    from pgferry_spark.sources.warc import attach_warc, warc_payload_extract
+
+    return warc_payload_extract(attach_warc(_docs_with_urls(spark, sf)))
+
+
+def _extract_anchors(spark, sf):
+    """Anchor harvesting (round 9): (doc_id, anchor_no, href,
+    anchor_text) — the web's free label set, mined from whole <a>
+    elements BEFORE tag stripping. regexp_extract_all + one narrow
+    posexplode_outer + per-element group extracts; map-only."""
+    from pgferry_spark.operators.html import attach_html, extract_anchors
+
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    return extract_anchors(attach_html(d))
+
+
+def _anchor_domain_stats(spark, sf):
+    """Inverted anchor-label index per TARGET domain (round 9):
+    (domain, lowercased term, mentions, distinct linking docs) — what
+    crawl-frontier relevance and retrieval training mine. Map-only
+    parse + narrow explode + ONE aggregation shuffle."""
+    from pgferry_spark.operators.html import (
+        anchor_domain_stats,
+        attach_html,
+        extract_anchors,
+    )
+
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    return anchor_domain_stats(extract_anchors(attach_html(d)))
+
+
 def _html_extract(spark, sf):
     """HTML→text extraction (C4/RefinedWeb stage 0): deterministic
     messy-HTML synthesis (scripts, styles, entities, nested + unclosed
@@ -3315,6 +3382,7 @@ def _web_funnel_oracle() -> str:
     from pgferry_spark.operators.html import (
         HTML_SYNTH_SQL,
         LINE_KEEP_SQL,
+        ROBOTS_NOINDEX_SQL,
         html_strip_ctes,
     )
 
@@ -3326,6 +3394,7 @@ def _web_funnel_oracle() -> str:
     path = URL_PATH_SQL.format(url="url")
     kw = url_keyword_sql("__p", _URL_BLOCK_KWS)
     synth = HTML_SYNTH_SQL.format(id="doc_id", txt="text", src="source")
+    rob = ROBOTS_NOINDEX_SQL.format(html="html")
     strip_ctes, strip_final = html_strip_ctes("hh", "html", "doc_id, nurl")
     keep = LINE_KEEP_SQL.format(line="line")
     return f"""
@@ -3335,10 +3404,13 @@ def _web_funnel_oracle() -> str:
         q AS (SELECT *, {qc} AS __q FROM d),
         n AS (SELECT *, {nurl} AS nurl FROM q),
         p AS (SELECT *, {path} AS __p FROM n),
+        g0 AS (SELECT *, {synth} AS html FROM p),
         g AS (SELECT *, ({kw} = 0) AS g1,
-                 (({kw} = 0) AND domain NOT IN {_BLOCKED_DOMAINS!r}) AS g2
-              FROM p),
-        hh AS (SELECT doc_id, nurl, {synth} AS html FROM g WHERE g2)
+                 (({kw} = 0) AND domain NOT IN {_BLOCKED_DOMAINS!r}) AS g2,
+                 (({kw} = 0) AND domain NOT IN {_BLOCKED_DOMAINS!r}
+                  AND NOT ({rob})) AS g3
+              FROM g0),
+        hh AS (SELECT doc_id, nurl, html FROM g WHERE g3)
         {strip_ctes},
         x AS (SELECT doc_id, nurl, clean_text FROM {strip_final}),
         l AS (SELECT doc_id, nurl,
@@ -3351,8 +3423,10 @@ def _web_funnel_oracle() -> str:
             CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) FROM g
         UNION ALL SELECT '2_domain_blocklist',
             CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) FROM g
-        UNION ALL SELECT '3_page_clean', CAST(count(*) AS BIGINT) FROM s
-        UNION ALL SELECT '4_url_dedup_keepers',
+        UNION ALL SELECT '3_robots_noindex',
+            CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) FROM g
+        UNION ALL SELECT '4_page_clean', CAST(count(*) AS BIGINT) FROM s
+        UNION ALL SELECT '5_url_dedup_keepers',
             CAST(count(DISTINCT nurl) AS BIGINT) FROM s
     """
 
@@ -3412,6 +3486,122 @@ def _crawl_oracle_cte() -> str:
                      WHEN {take_b} THEN 'changed'
                      ELSE 'stale_capture' END AS status
               FROM c FULL OUTER JOIN b ON c.nurl = b.nurl)
+    """
+
+
+def _robots_oracle() -> str:
+    """Shared-template replay: the synth html + ROBOTS_NOINDEX_SQL
+    evaluated verbatim."""
+    from pgferry_spark.operators.html import (
+        HTML_SYNTH_SQL,
+        ROBOTS_NOINDEX_SQL,
+    )
+
+    synth = HTML_SYNTH_SQL.format(id="doc_id", txt="text", src="source")
+    rob = ROBOTS_NOINDEX_SQL.format(html="html")
+    return f"""
+        WITH h AS (SELECT doc_id, {synth} AS html FROM documents)
+        SELECT doc_id, {rob} AS noindex FROM h
+    """
+
+
+def _warc_index_oracle() -> str:
+    """Closed-form byte arithmetic for the WARC record index: fixed
+    header template = 132 bytes + the three variable-width fields
+    (doc_id digits, URI octets, Content-Length digits); offsets are a
+    cumulative window over doc order within each container.  The Spark
+    side PARSES real container bytes, so hash-green means the parser
+    and this arithmetic agree to the byte."""
+    from pgferry_spark.operators.domains import URL_SYNTH_SQL
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents),
+        r AS (SELECT doc_id,
+                CAST(floor(doc_id / 8) AS BIGINT) AS container_id,
+                url,
+                CAST(strlen(text) AS BIGINT) AS plen,
+                CAST(132 + length(CAST(doc_id AS VARCHAR)) + strlen(url)
+                     + length(CAST(strlen(text) AS VARCHAR)) AS BIGINT)
+                  AS hlen
+              FROM u),
+        w AS (SELECT *,
+                CAST(row_number() OVER (PARTITION BY container_id
+                     ORDER BY doc_id) - 1 AS INT) AS record_no,
+                SUM(hlen + plen + 4) OVER (PARTITION BY container_id
+                     ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - (hlen + plen + 4) AS rec_offset
+              FROM r)
+        SELECT container_id, record_no,
+               CAST(rec_offset AS BIGINT) AS rec_offset,
+               CAST(hlen + plen + 4 AS BIGINT) AS rec_len,
+               CAST(rec_offset + hlen AS BIGINT) AS payload_offset,
+               CAST(plen AS BIGINT) AS payload_len,
+               'response' AS warc_type,
+               url AS target_uri
+        FROM w
+    """
+
+
+def _warc_payload_oracle() -> str:
+    """The recovery proof: the oracle is simply the ORIGINAL text plus
+    the container/record arithmetic — if the Spark side's parse+slice
+    of real container bytes differs anywhere, the hash diverges."""
+    from pgferry_spark.operators.domains import URL_SYNTH_SQL
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents)
+        SELECT CAST(floor(doc_id / 8) AS BIGINT) AS container_id,
+               CAST(row_number() OVER (
+                    PARTITION BY CAST(floor(doc_id / 8) AS BIGINT)
+                    ORDER BY doc_id) - 1 AS INT) AS record_no,
+               url AS target_uri, text
+        FROM u
+    """
+
+
+def _anchors_cte() -> str:
+    """Whole-anchor-element replay: same synth, same ANCHOR templates,
+    unnest + generate_subscripts for the ordinality."""
+    from pgferry_spark.operators.html import (
+        ANCHOR_RE,
+        ANCHOR_TEXT_RE,
+        HREF_RE,
+        HTML_SYNTH_SQL,
+    )
+
+    synth = HTML_SYNTH_SQL.format(id="doc_id", txt="text", src="source")
+    return f"""
+        WITH h AS (SELECT doc_id, source, {synth} AS html FROM documents),
+        ax AS (SELECT doc_id,
+                CAST(generate_subscripts(
+                  regexp_extract_all(html, '{ANCHOR_RE}', 0), 1) - 1 AS INT)
+                  AS anchor_no,
+                unnest(regexp_extract_all(html, '{ANCHOR_RE}', 0)) AS el
+              FROM h),
+        a AS (SELECT doc_id, anchor_no,
+                regexp_extract(el, '{HREF_RE}', 1) AS href,
+                trim(regexp_extract(el, '{ANCHOR_TEXT_RE}', 1)) AS anchor_text
+              FROM ax)
+    """
+
+
+def _anchor_stats_oracle() -> str:
+    from pgferry_spark.operators.domains import DOMAIN_SQL, HOST_SQL
+
+    host = HOST_SQL.format(url="href")
+    dom = DOMAIN_SQL.format(host="host")
+    return _anchors_cte() + f"""
+        , hh AS (SELECT *, {host} AS host FROM a),
+        d AS (SELECT *, {dom} AS domain FROM hh),
+        t AS (SELECT doc_id, domain,
+                unnest(string_split_regex(lower(anchor_text), ' +')) AS term
+              FROM d)
+        SELECT domain, term,
+               CAST(count(*) AS BIGINT) AS n_mentions,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM t WHERE term <> '' GROUP BY domain, term
     """
 
 
@@ -3544,74 +3734,32 @@ def _url_dedup_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
-    entries of this dict. Round-8 rotation (VERDICT r7 Next #1): positions
-    1-12 are THIS round's additions (driver-checked at birth), positions
-    13-41 are the 29 stalest oracle-backed entries (last driver-green r3),
-    positions 42-48 the 7 next-stalest (r4), and positions 49-50 two
-    r7-green canaries.  The 10 rows-only entries (no SQL oracle — their
-    md5/exact twins carry the hash signal) are PERMANENTLY pinned after
-    the window: a slot spent on a no_oracle row can never produce a green
-    driver row (r7 burned 4 slots that way).  tests/test_entry_ordering.py
+    entries of this dict. Round-9 rotation (VERDICT r8 Next #1): positions
+    1-7 are this round's additions plus the five round-8 entries whose
+    output changed this round (driver-checked at birth), positions 8-46
+    are the 39 stalest oracle-backed entries (last driver-green r4), and
+    positions 47-50 the 4 next-stalest (r5).  The 10 rows-only entries
+    (no SQL oracle — their md5/exact twins carry the hash signal) are
+    PERMANENTLY pinned after the window: a slot spent on a no_oracle row
+    can never produce a green driver row.  tests/test_entry_ordering.py
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-12: round-8 additions, driver-checked AT BIRTH
+        # --- positions 1-10: round-9 additions + the five round-8
+        # entries whose OUTPUT changed this round (charref decode /
+        # robots funnel stage) — all driver-checked at birth
+        "robots_noindex_flags": _robots_noindex_flags,
+        "warc_record_index": _warc_record_index,
+        "warc_payload_extract": _warc_payload_extract,
+        "extract_anchors": _extract_anchors,
+        "anchor_domain_stats": _anchor_domain_stats,
         "html_extract": _html_extract,
         "line_quality_filter": _line_quality_filter,
         "c4_clean_documents": _c4_clean_documents,
         "line_dedup": _line_dedup,
-        "script_profile": _script_profile,
-        "url_keyword_filter": _url_keyword_filter,
-        "extract_links": _extract_links,
-        "link_graph_stats": _link_graph_stats,
-        "domain_token_budget": _domain_token_budget,
         "web_curation_funnel": _web_curation_funnel,
-        "crawl_snapshot_merge": _crawl_snapshot_merge,
-        "crawl_delta_counts": _crawl_delta_counts,
-        # --- positions 13-41: the 29 stalest oracle-backed entries (last
-        # driver-green r3), planner-stable order (tools/plan_rotation.py)
-        "simhash32": _simhash32,
-        "simhash_near_pairs_md5": _simhash_pairs_md5,
-        "embedding_near_dup": _embedding_near_dup,
-        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
-        "embedding_dedup": _embedding_dedup,
-        "cosine_topk": _cosine_topk,
-        "pairwise_cosine_topk": _pairwise_topk,
-        "ivf_assign": _ivf_assign,
-        "ivf_topk": _ivf_topk,
-        "corpus_filter": _corpus_filter,
-        "lsh_topk": _lsh_topk,
-        "lsh_topk_multiprobe": _lsh_topk_multiprobe,
-        "multimodal_meta": _multimodal_meta,
-        "frame_sample": _frame_sample,
-        "bm25_topk": _bm25_topk,
-        "repetition_stats": _repetition_stats,
-        "contamination_check": _contamination_check,
-        "length_outliers": _length_outliers,
-        "unigram_logprob": _unigram_logprob,
-        "approx_distinct_users": _approx_distinct,
-        "fill_time_gaps": _fill_gaps,
-        "token_budget_select": _token_budget,
-        "quantize_embeddings": _quantize_embeddings,
-        "stratified_split": _stratified_split,
-        "rate_anomalies": _rate_anomalies,
-        "incremental_dedup": _incremental_dedup,
-        "vocab_topk": _vocab_topk,
-        "winnow_shared_pairs_capped": _winnow_shared_pairs_capped,
-        "chunked_scan": _chunked_scan,
-        # --- positions 42-48: next-stalest (r4-green), planner order
-        "mixture_sample": _mixture_sample,
-        "shard_manifest": _shard_manifest,
-        "semdedup": _semdedup,
-        "pq_encode": _pq_encode,
-        "dup_rate_by_source": _dup_rate_by_source,
-        "knn_graph": _knn_graph,
-        "user_funnel": _user_funnel,
-        # --- positions 49-50: r7-green canaries (harness sentinels)
-        "q1_pricing_summary": _q1,
-        "exact_dedup_groups": _exact_dedup,
-        # --- beyond the 50-entry window: stalest-first per
-        # tools/plan_rotation.py; next in line for the r9 rotation
+        # --- positions 8-46: the 39 stalest oracle-backed entries
+        # (last driver-green r4), planner-stable order
         "funnel_report": _funnel_report,
         "chunk_documents": _chunk_documents,
         "temperature_sample": _temperature_sample,
@@ -3651,10 +3799,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn_join": _lsh_knn_join,
         "dedup_pair_recall": _dedup_pair_recall,
         "minhash_pair_recall": _minhash_pair_recall,
+        # --- position 50: next-stalest (r5-green), planner order
         "seasonal_anomalies": _seasonal_anomalies,
+        # --- beyond the 50-entry window: stalest-first per
+        # tools/plan_rotation.py; next in line for the r10 rotation
         "containment_adjacent": _containment_adjacent,
         "decayed_topk": _decayed_topk,
         "k_anonymity": _k_anonymity,
+        "script_profile": _script_profile,
+        "url_keyword_filter": _url_keyword_filter,
+        "extract_links": _extract_links,
+        "link_graph_stats": _link_graph_stats,
+        "domain_token_budget": _domain_token_budget,
+        "crawl_snapshot_merge": _crawl_snapshot_merge,
+        "crawl_delta_counts": _crawl_delta_counts,
+        "simhash32": _simhash32,
+        "simhash_near_pairs_md5": _simhash_pairs_md5,
+        "embedding_near_dup": _embedding_near_dup,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
+        "embedding_dedup": _embedding_dedup,
+        "cosine_topk": _cosine_topk,
+        "pairwise_cosine_topk": _pairwise_topk,
+        "ivf_assign": _ivf_assign,
+        "ivf_topk": _ivf_topk,
+        "corpus_filter": _corpus_filter,
+        "lsh_topk": _lsh_topk,
+        "lsh_topk_multiprobe": _lsh_topk_multiprobe,
+        "multimodal_meta": _multimodal_meta,
+        "frame_sample": _frame_sample,
+        "bm25_topk": _bm25_topk,
+        "repetition_stats": _repetition_stats,
+        "contamination_check": _contamination_check,
+        "length_outliers": _length_outliers,
+        "unigram_logprob": _unigram_logprob,
+        "approx_distinct_users": _approx_distinct,
+        "fill_time_gaps": _fill_gaps,
+        "token_budget_select": _token_budget,
+        "quantize_embeddings": _quantize_embeddings,
+        "stratified_split": _stratified_split,
+        "rate_anomalies": _rate_anomalies,
+        "incremental_dedup": _incremental_dedup,
+        "vocab_topk": _vocab_topk,
+        "winnow_shared_pairs_capped": _winnow_shared_pairs_capped,
+        "chunked_scan": _chunked_scan,
+        "mixture_sample": _mixture_sample,
+        "shard_manifest": _shard_manifest,
+        "semdedup": _semdedup,
+        "pq_encode": _pq_encode,
+        "dup_rate_by_source": _dup_rate_by_source,
+        "knn_graph": _knn_graph,
+        "user_funnel": _user_funnel,
+        "q1_pricing_summary": _q1,
+        "exact_dedup_groups": _exact_dedup,
         "l_diversity": _l_diversity,
         "q2_adapted": _q2_adapted,
         "q11_adapted": _q11_adapted,
@@ -3785,18 +3981,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_buckets_md5": _minhash_buckets_md5,
         "lsh_candidate_pairs_md5": _lsh_pairs_md5,
         "jaccard_adjacent": _jaccard_adjacent,
-        # --- rows-only entries (no SQL oracle; md5 twins carry the
-        # signal): PERMANENTLY post-window (VERDICT r7 Next #1) — a
-        # window slot on a no_oracle row can never go green
-        "simhash_near_pairs": _simhash_pairs,
-        "ivf_kmeans_assign": _ivf_kmeans,
+        # --- rows-only block: PERMANENTLY pinned last (no SQL
+        # oracle; their md5/exact twins carry the hash signal)
         "minhash_buckets": _minhash_buckets,
         "lsh_candidate_pairs": _lsh_pairs,
+        "simhash_near_pairs": _simhash_pairs,
+        "ivf_kmeans_assign": _ivf_kmeans,
+        "lsh_candidate_pairs_capped": _lsh_pairs_capped,
         "quality_classifier": _quality_classifier,
         "compression_ratio": _compression_ratio,
         "ivf_pq_kmeans_topk": _ivf_pq_kmeans_topk,
         "ann_recall_ivfpq_kmeans": _ann_recall_ivfpq_kmeans,
-        "lsh_candidate_pairs_capped": _lsh_pairs_capped,
         "quality_classifier_auc": _quality_classifier_auc,
     }
 
@@ -8234,6 +8429,14 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT doc_id, clean_text,
                CAST(len(string_split(clean_text, chr(10))) AS INT) AS n_lines
              FROM x""",
+        # round 9: robots meta gate + WARC record indexing + payload
+        # recovery + anchor harvesting
+        "robots_noindex_flags": _robots_oracle(),
+        "warc_record_index": _warc_index_oracle(),
+        "warc_payload_extract": _warc_payload_oracle(),
+        "extract_anchors": _anchors_cte()
+        + "SELECT doc_id, anchor_no, href, anchor_text FROM a",
+        "anchor_domain_stats": _anchor_stats_oracle(),
         "line_quality_filter": _line_quality_oracle(),
         "c4_clean_documents": _c4_clean_oracle(),
         "line_dedup": _line_dedup_oracle(),

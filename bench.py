@@ -186,6 +186,13 @@ HEADLINE = [
     "link_graph_stats",
     "domain_token_budget",
     "web_curation_funnel",
+    # round 9: robots meta gate + WARC record indexing (new entries join
+    # the headline the round they are born)
+    "robots_noindex_flags",
+    "warc_record_index",
+    "warc_payload_extract",
+    "extract_anchors",
+    "anchor_domain_stats",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -235,48 +235,61 @@ def web_curation_funnel(
     """The whole web-curation stack composed into one per-stage funnel
     report — the number a crawl datasheet leads with: how many documents
     survive each gate.  Stages: raw → URL keyword gate → domain
-    blocklist → HTML extraction + C4 page clean → canonical-URL dedup
-    (distinct nurl keepers).  ``docs`` must already carry url + html
-    columns (attach_urls/attach_html or real crawl columns).
+    blocklist → robots meta-noindex gate (round 9 — the page-level
+    opt-out a polite pipeline honors before extraction) → HTML
+    extraction + C4 page clean → canonical-URL dedup (distinct nurl
+    keepers).  ``docs`` must already carry url + html columns
+    (attach_urls/attach_html or real crawl columns).
 
-    Scale shape: the two URL gates are pure map-side flags counted in
-    ONE aggregate (no joins — the blocklist here is the config literal,
-    matching url_keyword_filter's posture; use blocklist_filter's anti
-    join when the list is table-sized); the page-clean stage reuses
-    c4_clean_documents (one narrow Generate + one doc shuffle over the
-    gated survivors only); the dedup stage is a count-distinct on the
-    canonical key.  Funnel output is five rows."""
-    from pgferry_spark.operators.html import c4_clean_documents, html_extract
+    Scale shape: the three early gates are pure map-side flags counted
+    in ONE aggregate (no joins — the blocklist here is the config
+    literal, matching url_keyword_filter's posture; use
+    blocklist_filter's anti join when the list is table-sized); the
+    page-clean stage reuses c4_clean_documents (one narrow Generate +
+    one doc shuffle over the gated survivors only); the dedup stage is
+    a count-distinct on the canonical key.  Funnel output is six rows."""
+    from pgferry_spark.operators.html import (
+        ROBOTS_NOINDEX_SQL,
+        c4_clean_documents,
+        html_extract,
+    )
 
     base = normalize_urls(docs)
     path = URL_PATH_SQL.format(url="url")
     g1 = F.expr(f"{url_keyword_sql(f'({path})', keywords)} = 0")
     g2 = g1 & ~F.col("domain").isin(*blocked_domains)
-    gated = base.withColumn("__g1", g1).withColumn("__g2", g2)
+    g3 = g2 & ~F.expr(ROBOTS_NOINDEX_SQL.format(html="html"))
+    gated = (
+        base.withColumn("__g1", g1)
+        .withColumn("__g2", g2)
+        .withColumn("__g3", g3)
+    )
     head = gated.agg(
         F.count(F.lit(1)).alias("raw"),
         F.sum(F.col("__g1").cast("bigint")).alias("kw"),
         F.sum(F.col("__g2").cast("bigint")).alias("dom"),
+        F.sum(F.col("__g3").cast("bigint")).alias("rob"),
     ).select(
         F.expr(
-            "stack(3, '0_raw', raw, '1_url_keyword_gate', kw,"
-            " '2_domain_blocklist', dom) AS (stage, n_docs)"
+            "stack(4, '0_raw', raw, '1_url_keyword_gate', kw,"
+            " '2_domain_blocklist', dom, '3_robots_noindex', rob)"
+            " AS (stage, n_docs)"
         )
     )
     survivors = (
         c4_clean_documents(
-            html_extract(gated.filter(F.col("__g2"))),
+            html_extract(gated.filter(F.col("__g3"))),
             min_kept_lines=min_kept_lines,
         )
         .select(id_col)
         .join(gated.select(id_col, "nurl"), id_col)
     )
     tail1 = survivors.agg(F.count(F.lit(1)).alias("n_docs")).select(
-        F.lit("3_page_clean").alias("stage"), "n_docs"
+        F.lit("4_page_clean").alias("stage"), "n_docs"
     )
     tail2 = survivors.agg(
         F.count_distinct("nurl").alias("n_docs")
-    ).select(F.lit("4_url_dedup_keepers").alias("stage"), "n_docs")
+    ).select(F.lit("5_url_dedup_keepers").alias("stage"), "n_docs")
     return head.unionByName(tail1).unionByName(tail2)
 
 

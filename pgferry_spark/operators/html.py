@@ -287,10 +287,14 @@ HTML_SYNTH_SQL = (
     " WHEN {id} % 6 = 2 THEN"
     " '<div><p>Nested <b><i>' || substr({txt}, 1, 50) || '</i></b>.</p>'"
     " || chr(10) || '<p>See <a href=\"https://ref.' || {src}"
-    " || '.org/also/' || CAST({id} AS STRING) || '\">related</a> and"
+    " || '.org/also/' || CAST({id} AS STRING) || '\">related coverage</a> and"
     " <a href=\"HTTP://Media.' || {src} || '.org:8080/p?q='"
     " || CAST({id} AS STRING) || '\">more</a>.</p><div class='"
     " WHEN {id} % 6 = 3 THEN"
+    " CASE WHEN {id} % 12 = 3 THEN"
+    " '<head><meta name=\"robots\" content=\"noindex,nofollow\"></head>'"
+    " ELSE"
+    " '<head><meta name=\"robots\" content=\"index,follow\"></head>' END ||"
     " '<body><p>Enable Javascript to view this page.</p>' || chr(10) ||"
     " '<p>This site uses cookies accept to continue</p>' || chr(10) ||"
     " '<p>' || substr({txt}, 1, 80) || '.</p>' || chr(10) ||"
@@ -356,6 +360,42 @@ def line_quality_filter(
 # extractor throws away.
 HREF_RE = "href=\"([^\"]*)\""
 
+# robots meta tag (round 9, VERDICT r8 Next #6): the page-level opt-out
+# every polite crawl pipeline honors BEFORE extraction.  Matched on the
+# RAW lowercased HTML (the tag is markup the extractor throws away).
+# ``.?`` stands in for the optional quote around the attribute value —
+# a quote character cannot appear inside a shared single-quoted SQL
+# literal without engine-divergent escaping (the chr(39) rule), and
+# ``[^>]*`` keeps the scan inside one tag either way.
+ROBOTS_META_RE = "<meta[^>]*name *= *.?robots[^>]*>"
+ROBOTS_NOINDEX_SQL = (
+    "contains(regexp_extract(lower({html}), '" + ROBOTS_META_RE + "', 0),"
+    " 'noindex')"
+)
+
+
+def robots_noindex_flags(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document robots verdict: ``(id, noindex)`` — true when the
+    raw HTML carries a ``<meta name=robots>`` tag whose content
+    includes ``noindex`` (attribute order/quoting tolerant, case
+    folded).  Map-only codegen; the funnel and any polite re-publish
+    pipeline read exactly this flag."""
+    return df.select(
+        F.col(id_col),
+        F.expr(ROBOTS_NOINDEX_SQL.format(html=html_col)).alias("noindex"),
+    )
+
+
+def robots_gate(
+    df: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Drop every document whose page opted out via meta noindex — the
+    crawl-politeness gate, applied before extraction spends a cycle on
+    the page.  Map-only filter."""
+    return df.filter(~F.expr(ROBOTS_NOINDEX_SQL.format(html=html_col)))
+
 
 def extract_links(
     df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
@@ -371,6 +411,70 @@ def extract_links(
             F.posexplode_outer(links).alias("link_no", "href"),
         )
         .filter(F.col("href").isNotNull())
+    )
+
+
+# full anchor elements (href + visible text): extracted BEFORE tag
+# stripping.  [^<]* keeps the text single-element (nested markup inside
+# an anchor is out of scope for the harvest — the href-only edge list
+# via extract_links still sees those).
+ANCHOR_RE = "(?is)<a [^>]*href=\"[^\"]*\"[^>]*>[^<]*</a>"
+ANCHOR_TEXT_RE = ">([^<]*)<"
+
+
+def extract_anchors(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Anchor harvesting: ``(id, anchor_no, href, anchor_text)`` — the
+    (link, label) pairs a training pipeline mines for natural-language
+    descriptions of link targets (anchor text is the web's free label
+    set: TF-IDF'd per target it feeds retrieval training and
+    crawl-frontier relevance).  One regexp_extract_all of whole anchor
+    elements + a narrow posexplode, then per-element href/text group
+    extracts — map-only, the extract_links geometry with the visible
+    text carried along."""
+    anchors = F.expr(f"regexp_extract_all({html_col}, '{ANCHOR_RE}', 0)")
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode_outer(anchors).alias("anchor_no", "__a"),
+        )
+        .filter(F.col("__a").isNotNull())
+        .select(
+            F.col(id_col),
+            "anchor_no",
+            F.expr(f"regexp_extract(__a, '{HREF_RE}', 1)").alias("href"),
+            F.trim(
+                F.expr(f"regexp_extract(__a, '{ANCHOR_TEXT_RE}', 1)")
+            ).alias("anchor_text"),
+        )
+    )
+
+
+def anchor_domain_stats(
+    anchors: DataFrame, href_col: str = "href", id_col: str = "doc_id"
+) -> DataFrame:
+    """The harvested anchor-label table per TARGET domain: for every
+    (domain, lowercased anchor term) the mention count and distinct
+    linking documents — the inverted label index crawl-frontier
+    relevance and retrieval-training mine.  Map-only parse + one narrow
+    explode + ONE aggregation shuffle on (domain, term)."""
+    from pgferry_spark.operators.domains import with_host_domain
+
+    base = with_host_domain(anchors, href_col)
+    # explode_outer: plain explode infers a pushable size(arr)>0 filter
+    # that clones the split expression into the scan (the extract_links
+    # lesson); nulls/empties drop downstream instead
+    terms = base.select(
+        F.col(id_col),
+        "domain",
+        F.explode_outer(
+            F.split(F.lower(F.col("anchor_text")), " +")
+        ).alias("term"),
+    ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
+    return terms.groupBy("domain", "term").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.count_distinct(id_col).alias("n_docs"),
     )
 
 

@@ -511,8 +511,9 @@ class TestWebCurationFunnel:
             "0_raw": 5,
             "1_url_keyword_gate": 4,      # doc 3 dropped
             "2_domain_blocklist": 3,      # doc 4 dropped
-            "3_page_clean": 2,            # doc 5 fails the page rule
-            "4_url_dedup_keepers": 1,     # docs 1+2 share one nurl
+            "3_robots_noindex": 3,        # no meta-robots in this fixture
+            "4_page_clean": 2,            # doc 5 fails the page rule
+            "5_url_dedup_keepers": 1,     # docs 1+2 share one nurl
         }
 
 

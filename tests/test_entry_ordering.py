@@ -1,15 +1,17 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01..r07 each contain exactly 50
-keys equal to dict positions 1-50).  Round-8 rotation (VERDICT r7 Next
-#1): positions 1-12 are this round's NEW entries (driver-checked at
-birth), positions 13-41 are the 29 stalest oracle-backed entries (last
-driver-green r3), positions 42-48 the 7 next-stalest (r4-green), and
-positions 49-50 two r7-green canaries.  The 10 rows-only entries are
-PERMANENTLY excluded from the window — a slot spent on a ``no_oracle``
-row can never produce a green driver row (round 7 burned 4 slots that
-way); their md5/exact twins carry the hash signal.  This test keeps the
+__spark_entry__.queries() (CORRECTNESS_r01..r08 each contain exactly 50
+keys equal to dict positions 1-50).  Round-9 rotation (VERDICT r8 Next
+#1): positions 1-10 are this round's NEW entries plus the five round-8
+entries whose OUTPUT changed this round (charref decode + robots funnel
+stage — their r8 green no longer attests the current code, so they are
+driver-checked again at birth), positions 11-49 are the 39 stalest
+oracle-backed entries (last driver-green r4), and position 50 the
+next-stalest (r5-green).  The 10 rows-only entries are PERMANENTLY
+excluded from the window — a slot spent on a ``no_oracle`` row can
+never produce a green driver row (round 7 burned 4 slots that way);
+their md5/exact twins carry the hash signal.  This test keeps the
 window arithmetic from silently regressing when entries are added or
 reordered.
 """
@@ -30,40 +32,34 @@ def entry_mod():
     return mod
 
 
-# Positions 1-12: round-8 additions, driver-checked at birth.
-NEW_R8 = [
+# Positions 1-10: round-9 additions + changed-output round-8 entries,
+# driver-checked at birth.
+NEW_R9 = [
+    "robots_noindex_flags", "warc_record_index", "warc_payload_extract",
+    "extract_anchors", "anchor_domain_stats",
     "html_extract", "line_quality_filter", "c4_clean_documents",
-    "line_dedup", "script_profile", "url_keyword_filter",
-    "extract_links", "link_graph_stats", "domain_token_budget",
-    "web_curation_funnel",
-    "crawl_snapshot_merge", "crawl_delta_counts",
+    "line_dedup", "web_curation_funnel",
 ]
 
-# Positions 5-33: stalest oracle-backed entries (last driver-green r3),
+# Positions 11-49: stalest oracle-backed entries (last driver-green r4),
 # planner-stable order from tools/plan_rotation.py.
-STALE_R3 = [
-    "simhash32", "simhash_near_pairs_md5", "embedding_near_dup",
-    "embedding_near_dup_lsh", "embedding_dedup", "cosine_topk",
-    "pairwise_cosine_topk", "ivf_assign", "ivf_topk",
-    "corpus_filter", "lsh_topk", "lsh_topk_multiprobe",
-    "multimodal_meta", "frame_sample", "bm25_topk",
-    "repetition_stats", "contamination_check", "length_outliers",
-    "unigram_logprob", "approx_distinct_users", "fill_time_gaps",
-    "token_budget_select", "quantize_embeddings", "stratified_split",
-    "rate_anomalies", "incremental_dedup", "vocab_topk",
-    "winnow_shared_pairs_capped", "chunked_scan",
-]
-
-# Positions 42-48: next-stalest (r4-green), planner order.
 STALE_R4 = [
-    "mixture_sample", "shard_manifest", "semdedup",
-    "pq_encode", "dup_rate_by_source", "knn_graph",
-    "user_funnel",
+    "funnel_report", "chunk_documents", "temperature_sample",
+    "retention_cohorts", "transition_counts", "weighted_sample",
+    "json_key_profile", "audio_segments", "name_match_pairs",
+    "q16_adapted", "q20_adapted", "corpus_report", "token_histogram",
+    "curate_corpus", "tfidf_pairs", "approx_quantile_flags",
+    "last_touch_attribution", "inter_event_gaps", "ivf_pq_topk",
+    "ann_recall_ivfpq", "bigram_logprob", "q21_adapted",
+    "near_dup_verified", "rfm_features", "psi_drift", "trust_propagation",
+    "session_concurrency", "ann_recall_lsh", "cube_pricing", "zorder_keys",
+    "content_diff_summary", "name_match_verified", "debounce_events",
+    "ri_audit", "incremental_agg", "signal_percentiles", "lsh_knn_join",
+    "dedup_pair_recall", "minhash_pair_recall",
 ]
 
-# r7-green sentinels: if these fail in CORRECTNESS_r08 the harness (not
-# the rotated-in entries) regressed.
-CANARIES = ["q1_pricing_summary", "exact_dedup_groups"]
+# Position 50: next-stalest (r5-green), planner order.
+STALE_R5 = ["seasonal_anomalies"]
 
 # Rows-only by design: xxhash64 fast paths carry no SQL oracle (their md5
 # twins do), and KMeans/LBFGS floats are iteration-order dependent.
@@ -88,29 +84,26 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 233
+N_QUERIES = 238
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:12] == NEW_R8
-    assert names[12:41] == STALE_R3
-    assert names[41:48] == STALE_R4
-    assert names[48:50] == CANARIES
+    assert names[:10] == NEW_R9
+    assert names[10:49] == STALE_R4
+    assert names[49:50] == STALE_R5
 
 
 def test_window_exactly_filled(entry_mod):
-    # 12 + 29 + 7 + 2 == 50: no slot wasted
+    # 10 + 39 + 1 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
-    assert first50 == (
-        set(NEW_R8) | set(STALE_R3) | set(STALE_R4) | set(CANARIES)
-    )
+    assert first50 == set(NEW_R9) | set(STALE_R4) | set(STALE_R5)
 
 
 def test_rows_only_permanently_post_window(entry_mod):
     """Every window slot must be capable of a green driver row: no entry
     without an oracle_sql twin may appear in positions 1-50 (VERDICT r7
-    Next #1 — done means zero no_oracle rows in CORRECTNESS_r08)."""
+    Next #1 — done means zero no_oracle rows in the round CORRECTNESS)."""
     first50 = list(entry_mod.queries().keys())[:50]
     oracles = set(entry_mod.oracle_sql())
     assert all(n in oracles for n in first50)
