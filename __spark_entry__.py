@@ -3149,6 +3149,51 @@ def _warc_record_index(spark, sf):
     return warc_record_index(attach_warc(_docs_with_urls(spark, sf)))
 
 
+def _robots_domains(spark, sf):
+    from pgferry_spark.operators.domains import (
+        ROBOTS_TXT_SYNTH_SQL,
+        with_host_domain,
+    )
+
+    d = with_host_domain(_docs_with_urls(spark, sf))
+    return (
+        d.select("domain")
+        .dropDuplicates()
+        .withColumn(
+            "robots_txt",
+            F.expr(ROBOTS_TXT_SYNTH_SQL.format(domain="domain")),
+        )
+    )
+
+
+def _robots_txt_rules(spark, sf):
+    """RFC 9309 robots.txt parsing (round 9): per-domain Disallow rules
+    with User-agent group attribution — a running last-non-null window
+    over each file's line list (partition = one tiny robots.txt). The
+    synth exercises a googlebot group followed by a * group, an
+    allow-all file (empty Disallow → no rule), and domains with no
+    file."""
+    from pgferry_spark.operators.domains import parse_robots_rules
+
+    return parse_robots_rules(_robots_domains(spark, sf))
+
+
+def _robots_disallow_filter(spark, sf):
+    """The pre-fetch politeness gate: drop documents whose URL path
+    starts with a Disallow prefix their domain's robots.txt declares
+    for User-agent: * — left-anti join on (domain equi + prefix
+    startswith), the rules side robots-file-sized so AQE broadcasts
+    it. Oracle replays the gate as NOT EXISTS over the same shared
+    templates."""
+    from pgferry_spark.operators.domains import (
+        parse_robots_rules,
+        robots_disallow_filter,
+    )
+
+    rules = parse_robots_rules(_robots_domains(spark, sf))
+    return robots_disallow_filter(_docs_with_urls(spark, sf), rules)
+
+
 def _warc_payload_extract(spark, sf):
     """Index-driven payload recovery (round 9): parse + slice fused in
     ONE Arrow pass per container — the proof that the record index's
@@ -3543,6 +3588,54 @@ def _warc_index_oracle() -> str:
     """
 
 
+def _robots_rules_cte() -> str:
+    """Shared-template robots.txt replay: distinct domains → synth file
+    → line explode → UA attribution via last_value IGNORE NULLS →
+    Disallow extraction."""
+    from pgferry_spark.operators.domains import (
+        ROBOTS_DIS_RE,
+        ROBOTS_TXT_SYNTH_SQL,
+        ROBOTS_UA_RE,
+    )
+
+    synth = ROBOTS_TXT_SYNTH_SQL.format(domain="domain")
+    return _domain_cte() + f"""
+        , dd AS (SELECT DISTINCT domain FROM d),
+        rt AS (SELECT domain, {synth} AS robots_txt FROM dd),
+        rl AS (SELECT domain,
+                 CAST(generate_subscripts(
+                   string_split(robots_txt, chr(10)), 1) - 1 AS INT)
+                   AS line_no,
+                 trim(lower(unnest(string_split(robots_txt, chr(10)))))
+                   AS __l
+               FROM rt),
+        ra AS (SELECT *,
+                 last_value(CASE WHEN regexp_extract(__l, '{ROBOTS_UA_RE}', 1)
+                      <> '' THEN regexp_extract(__l, '{ROBOTS_UA_RE}', 1) END
+                    IGNORE NULLS) OVER (PARTITION BY domain ORDER BY line_no
+                    ROWS UNBOUNDED PRECEDING) AS agent,
+                 regexp_extract(__l, '{ROBOTS_DIS_RE}', 1) AS path_prefix
+               FROM rl),
+        rules AS (SELECT domain, agent, path_prefix FROM ra
+                  WHERE __l LIKE 'disallow:%' AND path_prefix <> ''
+                    AND agent IS NOT NULL)
+    """
+
+
+def _robots_filter_oracle() -> str:
+    from pgferry_spark.operators.domains import URL_PATH_SQL
+
+    path = URL_PATH_SQL.format(url="url")
+    return _robots_rules_cte() + f"""
+        , p AS (SELECT doc_id, domain, url, {path} AS __path FROM d)
+        SELECT doc_id, domain, url FROM p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM rules r
+          WHERE r.domain = p.domain AND r.agent = '*'
+            AND p.__path LIKE r.path_prefix || '%')
+    """
+
+
 def _warc_payload_oracle() -> str:
     """The recovery proof: the oracle is simply the ORIGINAL text plus
     the container/record arithmetic — if the Spark side's parse+slice
@@ -3745,10 +3838,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-10: round-9 additions + the five round-8
+        # --- positions 1-12: round-9 additions + the five round-8
         # entries whose OUTPUT changed this round (charref decode /
         # robots funnel stage) — all driver-checked at birth
         "robots_noindex_flags": _robots_noindex_flags,
+        "robots_txt_rules": _robots_txt_rules,
+        "robots_disallow_filter": _robots_disallow_filter,
         "warc_record_index": _warc_record_index,
         "warc_payload_extract": _warc_payload_extract,
         "extract_anchors": _extract_anchors,
@@ -3799,10 +3894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn_join": _lsh_knn_join,
         "dedup_pair_recall": _dedup_pair_recall,
         "minhash_pair_recall": _minhash_pair_recall,
-        # --- position 50: next-stalest (r5-green), planner order
-        "seasonal_anomalies": _seasonal_anomalies,
         # --- beyond the 50-entry window: stalest-first per
         # tools/plan_rotation.py; next in line for the r10 rotation
+        "seasonal_anomalies": _seasonal_anomalies,
         "containment_adjacent": _containment_adjacent,
         "decayed_topk": _decayed_topk,
         "k_anonymity": _k_anonymity,
@@ -8432,6 +8526,9 @@ def oracle_sql() -> dict[str, str]:
         # round 9: robots meta gate + WARC record indexing + payload
         # recovery + anchor harvesting
         "robots_noindex_flags": _robots_oracle(),
+        "robots_txt_rules": _robots_rules_cte()
+        + "SELECT domain, agent, path_prefix FROM rules",
+        "robots_disallow_filter": _robots_filter_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),
         "extract_anchors": _anchors_cte()

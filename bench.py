@@ -189,6 +189,8 @@ HEADLINE = [
     # round 9: robots meta gate + WARC record indexing (new entries join
     # the headline the round they are born)
     "robots_noindex_flags",
+    "robots_txt_rules",
+    "robots_disallow_filter",
     "warc_record_index",
     "warc_payload_extract",
     "extract_anchors",

@@ -555,6 +555,104 @@ def domain_token_budget(
     )
 
 
+# --------------------------------------------------------------------------
+# robots.txt (RFC 9309 Robots Exclusion Protocol) — the crawl-politeness
+# layer below the meta-noindex gate: per-domain Disallow path prefixes
+# parsed from the fetched robots.txt body, honored for User-agent: *.
+# Documented boundaries (golden-pinned): Allow-line longest-match
+# precedence and %-encoded/wildcard patterns are not implemented — rules
+# are literal path prefixes; an empty Disallow value (allow-all) yields
+# no rule.  Group attribution follows the nearest preceding User-agent
+# line (consecutive UA lines forming one multi-agent group collapse to
+# the last one — the common single-pass simplification).
+# --------------------------------------------------------------------------
+
+# deterministic per-domain robots.txt synthesis for the file-less test
+# corpus: three shapes keyed on length(domain) % 3 — a googlebot group
+# followed by a * group (attribution exercised), an allow-all file
+# (empty Disallow), and no file at all.
+ROBOTS_TXT_SYNTH_SQL = (
+    "CASE WHEN length({domain}) % 3 = 0 THEN"
+    " 'User-agent: googlebot' || chr(10) || 'Disallow: /also' || chr(10) ||"
+    " 'User-agent: *' || chr(10) || 'Disallow: /raw' || chr(10) ||"
+    " 'Disallow: /login' || chr(10) || 'Crawl-delay: 2'"
+    " WHEN length({domain}) % 3 = 1 THEN"
+    " 'User-agent: *' || chr(10) || 'Disallow:'"
+    " ELSE '' END"
+)
+
+# line classifiers, shared verbatim by both engines over a lowercased
+# trimmed line
+ROBOTS_UA_RE = "^user-agent: *(.*)$"
+ROBOTS_DIS_RE = "^disallow: *([^ ]*)"
+
+
+def parse_robots_rules(
+    df: DataFrame, txt_col: str = "robots_txt", domain_col: str = "domain"
+) -> DataFrame:
+    """Parse robots.txt bodies into ``(domain, agent, path_prefix)``
+    Disallow rules.  One narrow posexplode of the file's lines; group
+    attribution (which User-agent owns each Disallow) is a running
+    last-non-null over the tiny per-domain line list — a window whose
+    partition is one robots.txt file, bounded by construction.  Empty
+    Disallow values (allow-all) produce no rule."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("line_no", "__l"),
+    ).withColumn("__l", F.trim(F.lower(F.col("__l"))))
+    agent = F.expr(f"regexp_extract(__l, '{ROBOTS_UA_RE}', 1)")
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = F.last(F.when(agent != "", agent), ignorenulls=True).over(w)
+    out = lines.withColumn("agent", cur).withColumn(
+        "path_prefix", F.expr(f"regexp_extract(__l, '{ROBOTS_DIS_RE}', 1)")
+    )
+    return (
+        out.filter(
+            F.col("__l").startswith("disallow:")
+            & (F.col("path_prefix") != "")
+            & F.col("agent").isNotNull()
+        )
+        .select("domain", "agent", "path_prefix")
+    )
+
+
+def robots_disallow_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    agent: str = "*",
+) -> DataFrame:
+    """Drop every document whose URL path starts with a Disallow prefix
+    its domain's robots.txt declares for ``agent`` — the pre-fetch gate
+    a polite crawler applies before the page ever enters the corpus.
+    Left-anti join on (domain equi + prefix startswith); the rules side
+    is robots-file-sized (config-scale), so AQE broadcasts it without a
+    hint, matching the blocklist_filter posture."""
+    base = df if "domain" in df.columns else with_host_domain(df, url_col)
+    base = base.withColumn(
+        "__path", F.expr(URL_PATH_SQL.format(url=url_col))
+    )
+    r = (
+        rules.filter(F.col("agent") == agent)
+        .select(
+            F.col("domain").alias("__rd"),
+            F.col("path_prefix").alias("__rp"),
+        )
+        .dropDuplicates()
+    )
+    return base.join(
+        r,
+        on=(base["domain"] == F.col("__rd"))
+        & F.col("__path").startswith(F.col("__rp")),
+        how="left_anti",
+    ).select(F.col(id_col), "domain", F.col(url_col))
+
+
 def blocklist_filter(
     df: DataFrame,
     blocklist: DataFrame,

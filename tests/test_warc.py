@@ -192,6 +192,66 @@ class TestAnchors:
         assert got[("news.org", "site")] == (1, 1)
 
 
+class TestRobotsTxt:
+    RULES = (
+        "User-agent: googlebot\nDisallow: /google-only\n"
+        "User-agent: *\nDisallow: /private\nDisallow:\n"
+        "Crawl-delay: 2\nDisallow: /tmp"
+    )
+
+    def test_parse_rules_group_attribution(self, spark):
+        from pgferry_spark.operators.domains import parse_robots_rules
+
+        df = spark.createDataFrame(
+            [("ex.com", self.RULES), ("empty.org", "")],
+            "domain: string, robots_txt: string",
+        )
+        got = sorted(
+            (r.domain, r.agent, r.path_prefix)
+            for r in parse_robots_rules(df).collect()
+        )
+        # empty Disallow (allow-all) yields no rule; empty file yields none
+        assert got == [
+            ("ex.com", "*", "/private"),
+            ("ex.com", "*", "/tmp"),
+            ("ex.com", "googlebot", "/google-only"),
+        ]
+
+    def test_disallow_filter_prefix_and_agent_scoping(self, spark):
+        from pgferry_spark.operators.domains import (
+            parse_robots_rules,
+            robots_disallow_filter,
+        )
+
+        rules = parse_robots_rules(
+            spark.createDataFrame(
+                [("ex.com", self.RULES)], "domain: string, robots_txt: string"
+            )
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "https://ex.com/private/x"),   # blocked (* rule)
+                (2, "https://ex.com/public/ok"),   # kept
+                (3, "https://ex.com/google-only"), # kept: googlebot-only rule
+                (4, "https://other.org/private"),  # kept: no rules for domain
+                (5, "https://ex.com/tmp"),         # blocked (exact prefix)
+            ],
+            "doc_id: long, url: string",
+        )
+        kept = sorted(
+            r.doc_id for r in robots_disallow_filter(docs, rules).collect()
+        )
+        assert kept == [2, 3, 4]
+        # agent scoping: ask as googlebot and the /google-only rule bites
+        kept_g = sorted(
+            r.doc_id
+            for r in robots_disallow_filter(
+                docs, rules, agent="googlebot"
+            ).collect()
+        )
+        assert 3 not in kept_g and 1 in kept_g  # * rules not applied to bots
+
+
 class TestRobotsGate:
     def test_flags_both_polarities(self, spark):
         from pgferry_spark.operators.html import robots_noindex_flags
