@@ -454,6 +454,45 @@ def crawl_merge_stream(
     )
 
 
+def warc_ingest_stream(
+    containers: DataFrame,
+    table,
+    checkpoint_dir: str,
+    query_name: str = "warc_ingest",
+):
+    """Continuous crawl-container ingest (round 9): a stream of raw WARC
+    containers ``(container_id, container)`` indexed per micro-batch —
+    :func:`~pgferry_spark.sources.warc.warc_record_index` parses real
+    framing executor-side, so container bytes never shuffle and never
+    land in the lake — and the ~100-byte index rows append to the
+    persistent LakeTable record index with the exactly-once batch-tag
+    protocol (the ``stream_to_laketable`` idempotent-sink pattern).
+    The payload store stays wherever the containers live; the lake
+    holds only (container_id, record_no, byte ranges, uri), which is
+    what turns a later re-extraction into ranged reads.  Records are
+    immutable (a re-crawl produces NEW containers), so each batch is a
+    pure append — no merge key, no conflict rule."""
+    from pgferry_spark.sources.warc import warc_record_index
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch:{query_name}:{batch_id}"
+        if any(s.op == tag for s in table.history()):
+            return  # replayed batch — already committed
+        idx = warc_record_index(batch_df)
+        if table.current_version() is None:
+            table._commit(idx, tag)
+        else:
+            table._commit(table.read().unionByName(idx), tag)
+
+    return (
+        containers.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_materialized_agg(
     stream_df: DataFrame,
     table,

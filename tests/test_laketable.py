@@ -128,6 +128,62 @@ def test_stream_to_laketable_exactly_once_and_upsert(spark, tmp_path):
     assert got == {"equal": 1, "changed": 1, "only_in_target": 1}
 
 
+def test_warc_ingest_stream_appends_index_exactly_once(spark, tmp_path):
+    """Round 9: streamed WARC containers land as index rows (offsets,
+    never payload bytes) with the exactly-once batch-tag protocol; a
+    replayed batch id is skipped; ranges recover the documents."""
+    from pgferry_spark.sources.warc import (
+        attach_warc,
+        warc_range_read,
+    )
+    from pgferry_spark.streaming.events import warc_ingest_stream
+
+    src = str(tmp_path / "warc_src")
+    ckpt = str(tmp_path / "warc_ckpt")
+    t = LakeTable(spark, str(tmp_path / "warc_idx"))
+
+    def containers(lo, hi):
+        docs = spark.createDataFrame(
+            [(i, f"https://s.org/{i}", f"Doc body {i}.")
+             for i in range(lo, hi)],
+            "doc_id: long, url: string, text: string",
+        )
+        return attach_warc(docs)
+
+    containers(1, 9).write.mode("overwrite").parquet(src)
+
+    def run(checkpoint=ckpt):
+        q = warc_ingest_stream(
+            spark.readStream.schema(
+                "container_id long, container binary"
+            ).parquet(src),
+            t, checkpoint,
+        )
+        q.awaitTermination()
+
+    run()
+    assert [s.op for s in t.history()] == ["batch:warc_ingest:0"]
+    idx1 = t.read().collect()
+    assert len(idx1) == 8 and "payload_offset" in t.read().columns
+    # replay with a fresh checkpoint -> same batch id, skipped
+    run(checkpoint=str(tmp_path / "warc_ckpt2"))
+    assert [s.op for s in t.history()] == ["batch:warc_ingest:0"]
+    # second crawl batch appends
+    containers(9, 13).write.mode("append").parquet(src)
+    run()
+    assert len(t.read().collect()) == 12
+    # the persisted ranges recover a document from the container store
+    blobs = {
+        r["container_id"]: bytes(r["container"])
+        for r in spark.read.parquet(src).collect()
+    }
+    row = [r for r in t.read().collect() if r["target_uri"].endswith("/3")][0]
+    got = warc_range_read(
+        blobs[row["container_id"]], row["payload_offset"], row["payload_len"]
+    )
+    assert got == b"Doc body 3."
+
+
 def test_stream_materialized_agg_incremental_equals_recompute(spark, tmp_path):
     from pyspark.sql import functions as F
 
