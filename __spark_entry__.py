@@ -3591,9 +3591,9 @@ def _warc_index_oracle() -> str:
 def _robots_rules_cte() -> str:
     """Shared-template robots.txt replay: distinct domains → synth file
     → line explode → UA attribution via last_value IGNORE NULLS →
-    Disallow extraction."""
+    Allow/Disallow extraction."""
     from pgferry_spark.operators.domains import (
-        ROBOTS_DIS_RE,
+        ROBOTS_RULE_RE,
         ROBOTS_TXT_SYNTH_SQL,
         ROBOTS_UA_RE,
     )
@@ -3614,25 +3614,32 @@ def _robots_rules_cte() -> str:
                       <> '' THEN regexp_extract(__l, '{ROBOTS_UA_RE}', 1) END
                     IGNORE NULLS) OVER (PARTITION BY domain ORDER BY line_no
                     ROWS UNBOUNDED PRECEDING) AS agent,
-                 regexp_extract(__l, '{ROBOTS_DIS_RE}', 1) AS path_prefix
+                 regexp_extract(__l, '{ROBOTS_RULE_RE}', 1) AS rule,
+                 regexp_extract(__l, '{ROBOTS_RULE_RE}', 2) AS path_prefix
                FROM rl),
-        rules AS (SELECT domain, agent, path_prefix FROM ra
-                  WHERE __l LIKE 'disallow:%' AND path_prefix <> ''
+        rules AS (SELECT domain, agent, rule, path_prefix FROM ra
+                  WHERE rule <> '' AND path_prefix <> ''
                     AND agent IS NOT NULL)
     """
 
 
 def _robots_filter_oracle() -> str:
+    """RFC 9309 longest-match verdict as a correlated argmax: the
+    best-matching rule per document (length DESC, allow-beats-disallow
+    on ties, LIMIT 1), documents kept unless it is a disallow."""
     from pgferry_spark.operators.domains import URL_PATH_SQL
 
     path = URL_PATH_SQL.format(url="url")
     return _robots_rules_cte() + f"""
         , p AS (SELECT doc_id, domain, url, {path} AS __path FROM d)
         SELECT doc_id, domain, url FROM p
-        WHERE NOT EXISTS (
-          SELECT 1 FROM rules r
+        WHERE COALESCE((
+          SELECT r.rule FROM rules r
           WHERE r.domain = p.domain AND r.agent = '*'
-            AND p.__path LIKE r.path_prefix || '%')
+            AND p.__path LIKE r.path_prefix || '%'
+          ORDER BY length(r.path_prefix) DESC,
+                   CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END DESC
+          LIMIT 1), 'allow') <> 'disallow'
     """
 
 
@@ -8527,7 +8534,7 @@ def oracle_sql() -> dict[str, str]:
         # recovery + anchor harvesting
         "robots_noindex_flags": _robots_oracle(),
         "robots_txt_rules": _robots_rules_cte()
-        + "SELECT domain, agent, path_prefix FROM rules",
+        + "SELECT domain, agent, rule, path_prefix FROM rules",
         "robots_disallow_filter": _robots_filter_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),

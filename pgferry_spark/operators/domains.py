@@ -560,25 +560,28 @@ def domain_token_budget(
 
 # --------------------------------------------------------------------------
 # robots.txt (RFC 9309 Robots Exclusion Protocol) — the crawl-politeness
-# layer below the meta-noindex gate: per-domain Disallow path prefixes
-# parsed from the fetched robots.txt body, honored for User-agent: *.
-# Documented boundaries (golden-pinned): Allow-line longest-match
-# precedence and %-encoded/wildcard patterns are not implemented — rules
-# are literal path prefixes; an empty Disallow value (allow-all) yields
-# no rule.  Group attribution follows the nearest preceding User-agent
+# layer below the meta-noindex gate: per-domain Allow/Disallow path
+# prefixes parsed from the fetched robots.txt body, honored with the
+# spec's LONGEST-MATCH precedence (Allow wins ties) for the requested
+# agent.  Documented boundaries (golden-pinned): %-encoded and
+# wildcard ('*'/'$') patterns are not implemented — rules are literal
+# path prefixes; an empty rule value (allow-all Disallow) yields no
+# rule.  Group attribution follows the nearest preceding User-agent
 # line (consecutive UA lines forming one multi-agent group collapse to
 # the last one — the common single-pass simplification).
 # --------------------------------------------------------------------------
 
 # deterministic per-domain robots.txt synthesis for the file-less test
 # corpus: three shapes keyed on length(domain) % 3 — a googlebot group
-# followed by a * group (attribution exercised), an allow-all file
+# followed by a * group with an Allow carve-out under a Disallow
+# subtree (longest-match precedence exercised), an allow-all file
 # (empty Disallow), and no file at all.
 ROBOTS_TXT_SYNTH_SQL = (
     "CASE WHEN length({domain}) % 3 = 0 THEN"
     " 'User-agent: googlebot' || chr(10) || 'Disallow: /also' || chr(10) ||"
     " 'User-agent: *' || chr(10) || 'Disallow: /raw' || chr(10) ||"
-    " 'Disallow: /login' || chr(10) || 'Crawl-delay: 2'"
+    " 'Disallow: /login' || chr(10) || 'Disallow: /p' || chr(10) ||"
+    " 'Allow: /p?q=1' || chr(10) || 'Crawl-delay: 2'"
     " WHEN length({domain}) % 3 = 1 THEN"
     " 'User-agent: *' || chr(10) || 'Disallow:'"
     " ELSE '' END"
@@ -587,18 +590,19 @@ ROBOTS_TXT_SYNTH_SQL = (
 # line classifiers, shared verbatim by both engines over a lowercased
 # trimmed line
 ROBOTS_UA_RE = "^user-agent: *(.*)$"
-ROBOTS_DIS_RE = "^disallow: *([^ ]*)"
+ROBOTS_RULE_RE = "^(disallow|allow): *([^ ]*)"
 
 
 def parse_robots_rules(
     df: DataFrame, txt_col: str = "robots_txt", domain_col: str = "domain"
 ) -> DataFrame:
-    """Parse robots.txt bodies into ``(domain, agent, path_prefix)``
-    Disallow rules.  One narrow posexplode of the file's lines; group
-    attribution (which User-agent owns each Disallow) is a running
-    last-non-null over the tiny per-domain line list — a window whose
-    partition is one robots.txt file, bounded by construction.  Empty
-    Disallow values (allow-all) produce no rule."""
+    """Parse robots.txt bodies into ``(domain, agent, rule,
+    path_prefix)`` Allow/Disallow rules.  One narrow posexplode of the
+    file's lines; group attribution (which User-agent owns each rule)
+    is a running last-non-null over the tiny per-domain line list — a
+    window whose partition is one robots.txt file, bounded by
+    construction.  Empty rule values (allow-all Disallow) produce no
+    rule."""
     lines = df.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("line_no", "__l"),
@@ -610,16 +614,23 @@ def parse_robots_rules(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cur = F.last(F.when(agent != "", agent), ignorenulls=True).over(w)
-    out = lines.withColumn("agent", cur).withColumn(
-        "path_prefix", F.expr(f"regexp_extract(__l, '{ROBOTS_DIS_RE}', 1)")
+    out = (
+        lines.withColumn("agent", cur)
+        .withColumn(
+            "rule", F.expr(f"regexp_extract(__l, '{ROBOTS_RULE_RE}', 1)")
+        )
+        .withColumn(
+            "path_prefix",
+            F.expr(f"regexp_extract(__l, '{ROBOTS_RULE_RE}', 2)"),
+        )
     )
     return (
         out.filter(
-            F.col("__l").startswith("disallow:")
+            (F.col("rule") != "")
             & (F.col("path_prefix") != "")
             & F.col("agent").isNotNull()
         )
-        .select("domain", "agent", "path_prefix")
+        .select("domain", "agent", "rule", "path_prefix")
     )
 
 
@@ -630,30 +641,62 @@ def robots_disallow_filter(
     id_col: str = "doc_id",
     agent: str = "*",
 ) -> DataFrame:
-    """Drop every document whose URL path starts with a Disallow prefix
-    its domain's robots.txt declares for ``agent`` — the pre-fetch gate
-    a polite crawler applies before the page ever enters the corpus.
-    Left-anti join on (domain equi + prefix startswith); the rules side
-    is robots-file-sized (config-scale), so AQE broadcasts it without a
-    hint, matching the blocklist_filter posture."""
+    """Keep every document the robots.txt verdict permits: among the
+    ``agent``'s rules whose prefix matches the URL path, the LONGEST
+    prefix wins and Allow beats Disallow on ties (RFC 9309 §2.2.2);
+    no matching rule means allowed.
+
+    Scale shape: the per-domain rule lists are collected into arrays
+    (robots files are config-scale) and broadcast-joined onto the
+    corpus; the verdict is a pure map-side lambda fold
+    (``F.filter`` + ``F.aggregate`` argmax over the matched rules) —
+    no document ever shuffles for this gate, matching the
+    blocklist_filter posture with real REP precedence on top."""
     base = df if "domain" in df.columns else with_host_domain(df, url_col)
     base = base.withColumn(
         "__path", F.expr(URL_PATH_SQL.format(url=url_col))
     )
-    r = (
+    rsets = (
         rules.filter(F.col("agent") == agent)
         .select(
             F.col("domain").alias("__rd"),
-            F.col("path_prefix").alias("__rp"),
+            F.struct(
+                F.col("path_prefix").alias("prefix"),
+                (F.col("rule") == "allow").cast("int").alias("is_allow"),
+            ).alias("__r"),
         )
-        .dropDuplicates()
+        .groupBy("__rd")
+        .agg(F.collect_list("__r").alias("__rset"))
     )
-    return base.join(
-        r,
-        on=(base["domain"] == F.col("__rd"))
-        & F.col("__path").startswith(F.col("__rp")),
-        how="left_anti",
-    ).select(F.col(id_col), "domain", F.col(url_col))
+    joined = base.join(
+        F.broadcast(rsets), base["domain"] == F.col("__rd"), "left"
+    )
+    matched = F.filter(
+        F.coalesce(
+            F.col("__rset"),
+            F.array().cast("array<struct<prefix:string,is_allow:int>>"),
+        ),
+        lambda r: F.col("__path").startswith(r["prefix"]),
+    )
+
+    def argmax(acc, r):
+        plen = F.length(r["prefix"])
+        better = acc["plen"].isNull() | (
+            (plen > acc["plen"])
+            | ((plen == acc["plen"]) & (r["is_allow"] > acc["allow"]))
+        )
+        cand = F.struct(plen.alias("plen"), r["is_allow"].alias("allow"))
+        return F.when(better, cand).otherwise(acc)
+
+    zero = F.struct(
+        F.lit(None).cast("int").alias("plen"),
+        F.lit(None).cast("int").alias("allow"),
+    )
+    best = F.aggregate(matched, zero, argmax)
+    keep = best["plen"].isNull() | (best["allow"] == 1)
+    return joined.filter(keep).select(
+        F.col(id_col), "domain", F.col(url_col)
+    )
 
 
 def blocklist_filter(

@@ -164,6 +164,25 @@ def charref_flag_sql(raw_col: str) -> str:
     return f"contains({raw_col}, '&#')"
 
 
+# spelling normalization ahead of the literal table (round 9, second
+# wave — closes the leading-zero and uppercase-X-marker boundaries):
+# one regex pass canonicalizes the hex marker to 'x' and strips leading
+# zeros, one strips decimal leading zeros.  Both require the FULL ref
+# shape (trailing ';'), so malformed '&#X…' text without a semicolon
+# still passes through untouched.  The replacement group spelling is
+# the ONE place the engines diverge irreconcilably — Java replaceAll
+# wants $1, RE2 wants \\1 — so it rides a {ref} parameter the two
+# staged builders fill per-engine (the {g} discipline).
+CHARREF_ZERO_HEX_RE = "&#[xX]0*([0-9a-fA-F]+);"
+CHARREF_ZERO_DEC_RE = "&#0+([1-9][0-9]*);"
+
+
+def charref_norm_sql(col: str, flag: str, g: str = "", ref: str = "$1") -> str:
+    x = f"regexp_replace({col}, '{CHARREF_ZERO_HEX_RE}', '&#x{ref};'{g})"
+    x = f"regexp_replace({x}, '{CHARREF_ZERO_DEC_RE}', '&#{ref};'{g})"
+    return f"CASE WHEN {flag} THEN {x} ELSE {col} END"
+
+
 def charref_chunk_sql(col: str, flag: str, chunk: int) -> str:
     """Chunk ``chunk`` of the bounded literal decode table applied over
     ``col`` when ``flag`` (see :func:`charref_flag_sql`) holds; identity
@@ -212,6 +231,9 @@ def html_strip_column(
     chunk via the shared gate."""
     flag = charref_flag_sql(raw_col)
     out = df.withColumn("__t", F.expr(html_stage1_sql(raw_col)))
+    out = out.withColumn(
+        "__t", F.expr(charref_norm_sql("__t", flag, ref="$1"))
+    )
     for i in range(n_charref_chunks()):
         out = out.withColumn("__t", F.expr(charref_chunk_sql("__t", flag, i)))
     return out.withColumn(out_col, F.expr(html_finish_sql("__t"))).drop("__t")
@@ -232,9 +254,12 @@ def html_strip_ctes(
     flag = charref_flag_sql(raw_col)
     parts = [
         f", __hs0 AS (SELECT {keep_cols}, {flag} AS __ref,"
-        f" {html_stage1_sql(raw_col, g)} AS __t FROM {prev_cte})"
+        f" {html_stage1_sql(raw_col, g)} AS __t FROM {prev_cte})",
+        f", __hsn AS (SELECT {keep_cols}, __ref,"
+        f" {charref_norm_sql('__t', '__ref', g, ref=chr(92) + '1')}"
+        f" AS __t FROM __hs0)",
     ]
-    prev = "__hs0"
+    prev = "__hsn"
     for i in range(n_charref_chunks()):
         expr = charref_chunk_sql("__t", "__ref", i)
         parts.append(

@@ -63,10 +63,16 @@ GOLDENS = [
     ("A&#160;B &#xA0;C.", "A B C."),  # nbsp forms -> space, ws-squeezed
     # amp-producers decode LAST: no double-decode in either spelling
     ("&#38;lt; &#x26;gt; &amp;#60; stay.", "&lt; &gt; &#60; stay."),
-    # documented boundaries: out-of-table, leading-zero, uppercase-X
-    # marker and truncated refs pass through as text
-    ("Snowman &#9731; zero &#060; marker &#X3C; cut &#60 end.",
-     "Snowman &#9731; zero &#060; marker &#X3C; cut &#60 end."),
+    # normalization pass (round 9, second wave): leading zeros and the
+    # uppercase-X marker canonicalize before the table
+    ("Zero &#060; hexzero &#x003C; marker &#X3C; both &#X0041;.",
+     "Zero < hexzero < marker < both A."),
+    ("Padded nbsp &#0160;B.", "Padded nbsp B."),
+    # documented boundaries: out-of-table and truncated/unterminated
+    # refs pass through as text (normalization requires the full
+    # ';'-terminated shape)
+    ("Snowman &#9731; cut &#60 loose &#X2 end.",
+     "Snowman &#9731; cut &#60 loose &#X2 end."),
     # backslash code point round-trips via chr(92) (engine-safe literal)
     ("Back&#92;slash &#x5c; &#x5C;.", "Back\\slash \\ \\."),
 ]

@@ -196,6 +196,7 @@ class TestRobotsTxt:
     RULES = (
         "User-agent: googlebot\nDisallow: /google-only\n"
         "User-agent: *\nDisallow: /private\nDisallow:\n"
+        "Allow: /private/pub\n"
         "Crawl-delay: 2\nDisallow: /tmp"
     )
 
@@ -207,14 +208,15 @@ class TestRobotsTxt:
             "domain: string, robots_txt: string",
         )
         got = sorted(
-            (r.domain, r.agent, r.path_prefix)
+            (r.domain, r.agent, r.rule, r.path_prefix)
             for r in parse_robots_rules(df).collect()
         )
         # empty Disallow (allow-all) yields no rule; empty file yields none
         assert got == [
-            ("ex.com", "*", "/private"),
-            ("ex.com", "*", "/tmp"),
-            ("ex.com", "googlebot", "/google-only"),
+            ("ex.com", "*", "allow", "/private/pub"),
+            ("ex.com", "*", "disallow", "/private"),
+            ("ex.com", "*", "disallow", "/tmp"),
+            ("ex.com", "googlebot", "disallow", "/google-only"),
         ]
 
     def test_disallow_filter_prefix_and_agent_scoping(self, spark):
@@ -235,13 +237,20 @@ class TestRobotsTxt:
                 (3, "https://ex.com/google-only"), # kept: googlebot-only rule
                 (4, "https://other.org/private"),  # kept: no rules for domain
                 (5, "https://ex.com/tmp"),         # blocked (exact prefix)
+                # RFC 9309 longest-match: /private/pub Allow (len 12)
+                # beats /private Disallow (len 8)
+                (6, "https://ex.com/private/pub/page"),
             ],
             "doc_id: long, url: string",
         )
-        kept = sorted(
-            r.doc_id for r in robots_disallow_filter(docs, rules).collect()
-        )
-        assert kept == [2, 3, 4]
+        out = robots_disallow_filter(docs, rules)
+        kept = sorted(r.doc_id for r in out.collect())
+        assert kept == [2, 3, 4, 6]
+        # scale pin: documents never shuffle for this gate — the only
+        # join is a BroadcastHashJoin; no SortMergeJoin anywhere
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
         # agent scoping: ask as googlebot and the /google-only rule bites
         kept_g = sorted(
             r.doc_id
