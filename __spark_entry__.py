@@ -3194,6 +3194,39 @@ def _robots_disallow_filter(spark, sf):
     return robots_disallow_filter(_docs_with_urls(spark, sf), rules)
 
 
+def _robots_crawl_delays(spark, sf):
+    """Per-(domain, agent) Crawl-delay seconds parsed from robots.txt —
+    the politeness budget the frontier scheduler consumes (round 9).
+    Same bounded per-file attribution window as the rules parser."""
+    from pgferry_spark.operators.domains import robots_crawl_delays
+
+    return robots_crawl_delays(_robots_domains(spark, sf))
+
+
+def _crawl_frontier(spark, sf):
+    """The crawl loop closed (round 9): outbound hrefs canonicalized,
+    already-crawled URLs dropped by an anti join against the URL index
+    (the bucketed nurl table crawl_snapshot_merge maintains — zero
+    corpus-side exchange at scale), survivors scored by link authority
+    and capped per domain by one pruning window. The list a
+    politeness-aware scheduler fetches next."""
+    from pgferry_spark.operators.domains import (
+        attach_urls,
+        crawl_frontier,
+        normalize_urls,
+    )
+    from pgferry_spark.operators.html import attach_html, extract_links
+
+    d = _t(spark, sf, "documents")
+    links = extract_links(attach_html(fan_out(d, "doc_id")))
+    crawled = (
+        normalize_urls(attach_urls(d.filter("doc_id % 2 = 0")))
+        .select("nurl")
+        .dropDuplicates()
+    )
+    return crawl_frontier(links, crawled)
+
+
 def _warc_payload_extract(spark, sf):
     """Index-driven payload recovery (round 9): parse + slice fused in
     ONE Arrow pass per container — the proof that the record index's
@@ -3643,6 +3676,66 @@ def _robots_filter_oracle() -> str:
     """
 
 
+def _robots_delay_oracle() -> str:
+    from pgferry_spark.operators.domains import ROBOTS_DELAY_RE
+
+    return _robots_rules_cte() + f"""
+        SELECT domain, agent,
+               CAST(regexp_extract(__l, '{ROBOTS_DELAY_RE}', 1) AS INT)
+                 AS delay_s
+        FROM ra
+        WHERE regexp_extract(__l, '{ROBOTS_DELAY_RE}', 1) <> ''
+          AND agent IS NOT NULL
+    """
+
+
+def _crawl_frontier_oracle() -> str:
+    """Frontier replay: href canonicalization over the link list, link-
+    authority rollup per nurl, NOT EXISTS anti join against the crawled
+    URL index, per-domain pruning rank."""
+    from pgferry_spark.operators.domains import (
+        DOMAIN_SQL,
+        HOST_SQL,
+        NURL_SQL,
+        QCLEAN_SQL,
+        URL_SYNTH_SQL,
+    )
+
+    host = HOST_SQL.format(url="href")
+    dom = DOMAIN_SQL.format(host="host")
+    qc = QCLEAN_SQL.format(url="href", g=", 'g'")
+    nurl = NURL_SQL.format(url="href", host="host")
+    url2 = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    host2 = HOST_SQL.format(url="url")
+    qc2 = QCLEAN_SQL.format(url="url", g=", 'g'")
+    nurl2 = NURL_SQL.format(url="url", host="host")
+    return _links_cte() + f"""
+        , lh AS (SELECT *, {host} AS host FROM l),
+        ld AS (SELECT *, {dom} AS domain FROM lh),
+        lq AS (SELECT *, {qc} AS __q FROM ld),
+        ln AS (SELECT *, {nurl} AS nurl FROM lq),
+        cand AS (SELECT nurl, min(domain) AS domain,
+                   count(*) AS n_links,
+                   count(DISTINCT doc_id) AS n_src_docs
+                 FROM ln GROUP BY nurl),
+        u2 AS (SELECT doc_id, source, {url2} AS url FROM documents
+               WHERE doc_id % 2 = 0),
+        h2 AS (SELECT *, {host2} AS host FROM u2),
+        q2 AS (SELECT *, {qc2} AS __q FROM h2),
+        n2 AS (SELECT DISTINCT {nurl2} AS nurl FROM q2),
+        fresh AS (SELECT c.* FROM cand c
+                  WHERE NOT EXISTS
+                    (SELECT 1 FROM n2 WHERE n2.nurl = c.nurl)),
+        rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+                   ORDER BY n_links DESC, n_src_docs DESC, nurl ASC)
+                 AS INT) AS rank
+               FROM fresh)
+        SELECT nurl, domain, CAST(n_links AS BIGINT) AS n_links,
+               CAST(n_src_docs AS BIGINT) AS n_src_docs, rank
+        FROM rk WHERE rank <= 5
+    """
+
+
 def _warc_payload_oracle() -> str:
     """The recovery proof: the oracle is simply the ORIGINAL text plus
     the container/record arithmetic — if the Spark side's parse+slice
@@ -3845,12 +3938,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-12: round-9 additions + the five round-8
+        # --- positions 1-14: round-9 additions + the five round-8
         # entries whose OUTPUT changed this round (charref decode /
         # robots funnel stage) — all driver-checked at birth
         "robots_noindex_flags": _robots_noindex_flags,
         "robots_txt_rules": _robots_txt_rules,
         "robots_disallow_filter": _robots_disallow_filter,
+        "robots_crawl_delays": _robots_crawl_delays,
+        "crawl_frontier": _crawl_frontier,
         "warc_record_index": _warc_record_index,
         "warc_payload_extract": _warc_payload_extract,
         "extract_anchors": _extract_anchors,
@@ -3898,11 +3993,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_audit": _ri_audit,
         "incremental_agg": _incremental_agg,
         "signal_percentiles": _signal_percentiles,
+        # --- beyond the 50-entry window: stalest-first per
+        # tools/plan_rotation.py; next in line for the r10 rotation
         "lsh_knn_join": _lsh_knn_join,
         "dedup_pair_recall": _dedup_pair_recall,
         "minhash_pair_recall": _minhash_pair_recall,
-        # --- beyond the 50-entry window: stalest-first per
-        # tools/plan_rotation.py; next in line for the r10 rotation
         "seasonal_anomalies": _seasonal_anomalies,
         "containment_adjacent": _containment_adjacent,
         "decayed_topk": _decayed_topk,
@@ -8536,6 +8631,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_txt_rules": _robots_rules_cte()
         + "SELECT domain, agent, rule, path_prefix FROM rules",
         "robots_disallow_filter": _robots_filter_oracle(),
+        "robots_crawl_delays": _robots_delay_oracle(),
+        "crawl_frontier": _crawl_frontier_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),
         "extract_anchors": _anchors_cte()

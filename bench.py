@@ -191,6 +191,8 @@ HEADLINE = [
     "robots_noindex_flags",
     "robots_txt_rules",
     "robots_disallow_filter",
+    "robots_crawl_delays",
+    "crawl_frontier",
     "warc_record_index",
     "warc_payload_extract",
     "extract_anchors",

@@ -591,6 +591,80 @@ ROBOTS_TXT_SYNTH_SQL = (
 # trimmed line
 ROBOTS_UA_RE = "^user-agent: *(.*)$"
 ROBOTS_RULE_RE = "^(disallow|allow): *([^ ]*)"
+ROBOTS_DELAY_RE = "^crawl-delay: *([0-9]+)"
+
+
+def robots_crawl_delays(
+    df: DataFrame, txt_col: str = "robots_txt", domain_col: str = "domain"
+) -> DataFrame:
+    """Per-(domain, agent) Crawl-delay seconds — the politeness budget a
+    frontier scheduler multiplies into per-domain fetch rates.  Same
+    bounded per-file window as :func:`parse_robots_rules`; domains
+    without a delay line simply produce no row (the scheduler's default
+    applies)."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("line_no", "__l"),
+    ).withColumn("__l", F.trim(F.lower(F.col("__l"))))
+    agent = F.expr(f"regexp_extract(__l, '{ROBOTS_UA_RE}', 1)")
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = F.last(F.when(agent != "", agent), ignorenulls=True).over(w)
+    delay = F.expr(f"regexp_extract(__l, '{ROBOTS_DELAY_RE}', 1)")
+    return (
+        lines.withColumn("agent", cur)
+        .withColumn("__d", delay)
+        .filter((F.col("__d") != "") & F.col("agent").isNotNull())
+        .select(
+            "domain", "agent", F.col("__d").cast("int").alias("delay_s")
+        )
+    )
+
+
+def crawl_frontier(
+    links: DataFrame,
+    crawled_index: DataFrame,
+    href_col: str = "href",
+    id_col: str = "doc_id",
+    per_domain_cap: int = 5,
+) -> DataFrame:
+    """The next crawl wave: canonicalize every outbound href, drop URLs
+    already in the crawl's URL index, score the survivors by link
+    authority (inbound link count + distinct linking documents), and
+    cap the wave per registrable domain — the frontier list a
+    politeness-aware scheduler consumes (together with
+    :func:`robots_crawl_delays`).
+
+    Returns ``(nurl, domain, n_links, n_src_docs, rank)``.
+
+    Scale shape: one aggregation shuffle on the canonical URL (the
+    frontier is naturally keyed on it), an anti join against the URL
+    index — the corpus side is the same bucketed-by-nurl table
+    ``crawl_snapshot_merge`` maintains, so it joins with ZERO
+    corpus-side exchange — and one per-domain window whose rank prunes
+    to the cap (hot domains are exactly what the cap truncates)."""
+    base = normalize_urls(with_host_domain(links, href_col), href_col)
+    cand = base.groupBy("nurl").agg(
+        F.min("domain").alias("domain"),
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct(id_col).alias("n_src_docs"),
+    )
+    fresh = cand.join(
+        crawled_index.select("nurl").dropDuplicates(), "nurl", "left_anti"
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_links").desc(),
+        F.col("n_src_docs").desc(),
+        F.col("nurl").asc(),
+    )
+    return (
+        fresh.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_domain_cap)
+        .select("nurl", "domain", "n_links", "n_src_docs", "rank")
+    )
 
 
 def parse_robots_rules(

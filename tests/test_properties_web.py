@@ -251,3 +251,62 @@ def test_media_parsers_total_on_random_bytes(blob):
                 assert out is None or isinstance(out, (dict, list))
             except ValueError:
                 pass
+
+
+# -- WARC framing: round-trip + totality (round 9) ----------------------------
+
+payload_bytes = st.binary(min_size=0, max_size=64)
+uri_text = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789/.:-", min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(uri_text, payload_bytes), min_size=1, max_size=5))
+def test_warc_roundtrip_arbitrary_payloads(recs):
+    """encode → index → range-read recovers every payload byte-exactly
+    (including empty payloads and payloads containing CRLFCRLF — the
+    framing is length-delimited, not sentinel-delimited), and records
+    tile the container."""
+    from pgferry_spark.sources import warc as W
+
+    records = [
+        {"type": "response", "record_id": f"urn:uuid:{i}",
+         "uri": u, "payload": p}
+        for i, (u, p) in enumerate(recs)
+    ]
+    blob = W.encode_warc(records)
+    idx = W.parse_warc_index(blob)
+    assert len(idx) == len(records)
+    pos = 0
+    for meta, rec in zip(idx, records):
+        assert meta["rec_offset"] == pos
+        pos += meta["rec_len"]
+        got = W.warc_range_read(
+            blob, meta["payload_offset"], meta["payload_len"]
+        )
+        assert got == rec["payload"]
+        assert meta["target_uri"] == rec["uri"]
+    assert pos == len(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=96), st.integers(0, 200))
+def test_warc_parser_total_on_random_bytes_and_truncations(blob, cut):
+    """parse_warc_index on arbitrary bytes (raw, behind the record
+    magic, and on truncations of a VALID container) either parses or
+    raises ValueError — never hangs, never allocates past the payload,
+    never leaks another exception class."""
+    from pgferry_spark.sources import warc as W
+
+    valid = W.encode_warc(
+        [{"type": "response", "record_id": "urn:uuid:1",
+          "uri": "https://x.org/a", "payload": b"hello world"}]
+    )
+    for payload in (blob, b"WARC/1.0\r\n" + blob, valid[:cut]):
+        try:
+            out = W.parse_warc_index(payload)
+            assert isinstance(out, list)
+        except ValueError:
+            pass

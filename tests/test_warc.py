@@ -261,6 +261,52 @@ class TestRobotsTxt:
         assert 3 not in kept_g and 1 in kept_g  # * rules not applied to bots
 
 
+class TestCrawlFrontier:
+    def test_delays_parsed_with_agent_attribution(self, spark):
+        from pgferry_spark.operators.domains import robots_crawl_delays
+
+        df = spark.createDataFrame(
+            [("ex.com", "User-agent: googlebot\nCrawl-delay: 7\n"
+                        "User-agent: *\nDisallow: /x\nCrawl-delay: 2"),
+             ("nodelay.org", "User-agent: *\nDisallow: /y")],
+            "domain: string, robots_txt: string",
+        )
+        got = sorted(
+            (r.domain, r.agent, r.delay_s)
+            for r in robots_crawl_delays(df).collect()
+        )
+        assert got == [("ex.com", "*", 2), ("ex.com", "googlebot", 7)]
+
+    def test_frontier_dedups_ranks_and_caps(self, spark):
+        from pgferry_spark.operators.domains import crawl_frontier
+
+        links = spark.createDataFrame(
+            [
+                # 3 docs link to /hot (authority 3); 1 doc to /cold;
+                # /seen is already crawled; tracking variants collapse
+                (1, "https://t.org/hot"),
+                (2, "https://t.org/hot?utm_source=x"),
+                (3, "https://www.t.org/hot"),
+                (3, "https://t.org/cold"),
+                (1, "https://t.org/seen"),
+                (2, "https://t.org/c2"), (2, "https://t.org/c3"),
+            ],
+            "doc_id: long, href: string",
+        )
+        crawled = spark.createDataFrame(
+            [("t.org/seen",)], "nurl: string"
+        )
+        out = {r.nurl: r for r in crawl_frontier(
+            links, crawled, per_domain_cap=2
+        ).collect()}
+        # /seen anti-joined away; cap keeps top-2 by authority
+        assert "t.org/seen" not in out
+        assert out["t.org/hot"].rank == 1
+        assert out["t.org/hot"].n_links == 3
+        assert out["t.org/hot"].n_src_docs == 3
+        assert len(out) == 2  # cap=2 per domain
+
+
 class TestRobotsGate:
     def test_flags_both_polarities(self, spark):
         from pgferry_spark.operators.html import robots_noindex_flags
