@@ -3227,6 +3227,46 @@ def _crawl_frontier(spark, sf):
     return crawl_frontier(links, crawled)
 
 
+def _sitemap_locs(spark, sf):
+    """Sitemap ingestion (round 9, third wave): per-domain sitemap.xml
+    synthesis (even-length domains publish, odd-length don't) parsed to
+    (domain, loc_no, loc_url) via the shared <loc> template —
+    regexp_extract_all + one narrow posexplode_outer, map-only. The
+    crawl's volunteered-URL frontier source."""
+    from pgferry_spark.operators.domains import (
+        SITEMAP_SYNTH_SQL,
+        parse_sitemap_locs,
+        with_host_domain,
+    )
+
+    d = with_host_domain(_docs_with_urls(spark, sf))
+    dm = (
+        d.select("domain")
+        .dropDuplicates()
+        .withColumn(
+            "sitemap_xml",
+            F.expr(SITEMAP_SYNTH_SQL.format(domain="domain")),
+        )
+    )
+    return parse_sitemap_locs(dm)
+
+
+def _frontier_schedule(spark, sf):
+    """Politeness scheduling (round 9, third wave): the frontier wave
+    joined against the robots Crawl-delay budgets — each domain's URLs
+    fetch sequentially at its declared spacing (default 1 s), domains
+    in parallel; fetch_at_s = (rank-1)*delay. One broadcast equi-join,
+    no new window (the frontier's per-domain rank IS the schedule)."""
+    from pgferry_spark.operators.domains import (
+        frontier_schedule,
+        robots_crawl_delays,
+    )
+
+    frontier = _crawl_frontier(spark, sf)
+    delays = robots_crawl_delays(_robots_domains(spark, sf))
+    return frontier_schedule(frontier, delays)
+
+
 def _warc_payload_extract(spark, sf):
     """Index-driven payload recovery (round 9): parse + slice fused in
     ONE Arrow pass per container — the proof that the record index's
@@ -3736,6 +3776,44 @@ def _crawl_frontier_oracle() -> str:
     """
 
 
+def _sitemap_oracle() -> str:
+    from pgferry_spark.operators.domains import (
+        SITEMAP_LOC_RE,
+        SITEMAP_SYNTH_SQL,
+    )
+
+    synth = SITEMAP_SYNTH_SQL.format(domain="domain")
+    return _domain_cte() + f"""
+        , dd AS (SELECT DISTINCT domain FROM d),
+        sm AS (SELECT domain, {synth} AS sitemap_xml FROM dd),
+        lo AS (SELECT domain,
+                 CAST(generate_subscripts(
+                   regexp_extract_all(sitemap_xml, '{SITEMAP_LOC_RE}', 1), 1)
+                   - 1 AS INT) AS loc_no,
+                 unnest(regexp_extract_all(sitemap_xml,
+                   '{SITEMAP_LOC_RE}', 1)) AS loc_url
+               FROM sm)
+        SELECT domain, loc_no, loc_url FROM lo
+    """
+
+
+def _frontier_schedule_oracle() -> str:
+    """Composition by nesting: the frontier query and the delay query
+    (each already shared-template replays) become CTE subqueries, the
+    schedule is one left join + rank arithmetic on top."""
+    return f"""
+        WITH f AS ({_crawl_frontier_oracle()}),
+        dl AS ({_robots_delay_oracle()}),
+        dm AS (SELECT domain, min(delay_s) AS delay_s FROM dl
+               WHERE agent = '*' GROUP BY domain)
+        SELECT f.nurl, f.domain, f.rank,
+               CAST(COALESCE(dm.delay_s, 1) AS INT) AS delay_s,
+               CAST((f.rank - 1) * COALESCE(dm.delay_s, 1) AS BIGINT)
+                 AS fetch_at_s
+        FROM f LEFT JOIN dm ON f.domain = dm.domain
+    """
+
+
 def _warc_payload_oracle() -> str:
     """The recovery proof: the oracle is simply the ORIGINAL text plus
     the container/record arithmetic — if the Spark side's parse+slice
@@ -3938,7 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-14: round-9 additions + the five round-8
+        # --- positions 1-16: round-9 additions + the five round-8
         # entries whose OUTPUT changed this round (charref decode /
         # robots funnel stage) — all driver-checked at birth
         "robots_noindex_flags": _robots_noindex_flags,
@@ -3946,6 +4024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_disallow_filter": _robots_disallow_filter,
         "robots_crawl_delays": _robots_crawl_delays,
         "crawl_frontier": _crawl_frontier,
+        "frontier_schedule": _frontier_schedule,
+        "sitemap_locs": _sitemap_locs,
         "warc_record_index": _warc_record_index,
         "warc_payload_extract": _warc_payload_extract,
         "extract_anchors": _extract_anchors,
@@ -3991,10 +4071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_match_verified": _name_match_verified,
         "debounce_events": _debounce,
         "ri_audit": _ri_audit,
-        "incremental_agg": _incremental_agg,
-        "signal_percentiles": _signal_percentiles,
         # --- beyond the 50-entry window: stalest-first per
         # tools/plan_rotation.py; next in line for the r10 rotation
+        "incremental_agg": _incremental_agg,
+        "signal_percentiles": _signal_percentiles,
         "lsh_knn_join": _lsh_knn_join,
         "dedup_pair_recall": _dedup_pair_recall,
         "minhash_pair_recall": _minhash_pair_recall,
@@ -8633,6 +8713,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_disallow_filter": _robots_filter_oracle(),
         "robots_crawl_delays": _robots_delay_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
+        "frontier_schedule": _frontier_schedule_oracle(),
+        "sitemap_locs": _sitemap_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),
         "extract_anchors": _anchors_cte()

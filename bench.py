@@ -193,6 +193,8 @@ HEADLINE = [
     "robots_disallow_filter",
     "robots_crawl_delays",
     "crawl_frontier",
+    "frontier_schedule",
+    "sitemap_locs",
     "warc_record_index",
     "warc_payload_extract",
     "extract_anchors",

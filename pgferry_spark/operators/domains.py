@@ -773,6 +773,72 @@ def robots_disallow_filter(
     )
 
 
+# sitemap.xml (sitemaps.org protocol): the crawl's OTHER frontier
+# source — URLs a site volunteers, merged with discovered links.
+# Deterministic per-domain synthesis: even-length domains publish a
+# two-URL sitemap, odd-length domains none.
+SITEMAP_SYNTH_SQL = (
+    "CASE WHEN length({domain}) % 2 = 0 THEN"
+    " '<?xml version=\"1.0\"?><urlset>' || chr(10) ||"
+    " '<url><loc>https://' || {domain} || '/guide</loc>"
+    "<lastmod>2026-01-05</lastmod></url>' || chr(10) ||"
+    " '<url><loc>https://' || {domain} || '/faq</loc></url>' || chr(10) ||"
+    " '</urlset>' ELSE '' END"
+)
+SITEMAP_LOC_RE = "<loc>([^<]*)</loc>"
+
+
+def parse_sitemap_locs(
+    df: DataFrame, xml_col: str = "sitemap_xml", domain_col: str = "domain"
+) -> DataFrame:
+    """Extract ``(domain, loc_no, loc_url)`` from sitemap XML bodies —
+    regexp_extract_all over the shared template + one narrow
+    posexplode_outer; map-only.  (Index sitemaps that point at child
+    sitemaps yield their child URLs here too — the fetch loop feeds
+    them back through this same operator.)"""
+    locs = F.expr(f"regexp_extract_all({xml_col}, '{SITEMAP_LOC_RE}', 1)")
+    return (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.posexplode_outer(locs).alias("loc_no", "loc_url"),
+        )
+        .filter(F.col("loc_url").isNotNull())
+    )
+
+
+def frontier_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    agent: str = "*",
+    default_delay_s: int = 1,
+) -> DataFrame:
+    """Politeness scheduling for a frontier wave: each domain's URLs
+    fetch sequentially at its robots Crawl-delay spacing
+    (``fetch_at_s = (rank - 1) * delay``), domains without a declared
+    delay use the scheduler default, and domains proceed in parallel —
+    the per-domain rank IS the schedule, so no new window is needed.
+    One broadcastable equi-join of the frontier against the
+    config-scale delay table."""
+    # min() keeps the join deterministic if a file declares the agent's
+    # delay twice (dropDuplicates would pick an arbitrary row)
+    d = (
+        delays.filter(F.col("agent") == agent)
+        .groupBy(F.col("domain").alias("__dd"))
+        .agg(F.min("delay_s").alias("delay_s"))
+    )
+    out = frontier.join(
+        F.broadcast(d), frontier["domain"] == F.col("__dd"), "left"
+    )
+    delay = F.coalesce(F.col("delay_s"), F.lit(default_delay_s))
+    return out.select(
+        "nurl",
+        "domain",
+        "rank",
+        delay.cast("int").alias("delay_s"),
+        ((F.col("rank") - 1) * delay).cast("long").alias("fetch_at_s"),
+    )
+
+
 def blocklist_filter(
     df: DataFrame,
     blocklist: DataFrame,

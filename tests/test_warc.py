@@ -307,6 +307,52 @@ class TestCrawlFrontier:
         assert len(out) == 2  # cap=2 per domain
 
 
+class TestFrontierSchedule:
+    def test_sitemap_locs_parse_and_empty_files(self, spark):
+        from pgferry_spark.operators.domains import parse_sitemap_locs
+
+        df = spark.createDataFrame(
+            [("a.org", '<?xml version="1.0"?><urlset>'
+                       "<url><loc>https://a.org/x</loc>"
+                       "<lastmod>2026-01-05</lastmod></url>"
+                       "<url><loc>https://a.org/y</loc></url></urlset>"),
+             ("b.org", "")],
+            "domain: string, sitemap_xml: string",
+        )
+        got = sorted(
+            (r.domain, r.loc_no, r.loc_url)
+            for r in parse_sitemap_locs(df).collect()
+        )
+        assert got == [
+            ("a.org", 0, "https://a.org/x"),
+            ("a.org", 1, "https://a.org/y"),
+        ]
+
+    def test_schedule_spacing_default_and_parallel_domains(self, spark):
+        from pgferry_spark.operators.domains import frontier_schedule
+
+        frontier = spark.createDataFrame(
+            [("a.org/1", "a.org", 1), ("a.org/2", "a.org", 2),
+             ("a.org/3", "a.org", 3), ("b.net/1", "b.net", 1),
+             ("b.net/2", "b.net", 2)],
+            "nurl: string, domain: string, rank: int",
+        )
+        delays = spark.createDataFrame(
+            [("a.org", "*", 5), ("a.org", "googlebot", 9)],
+            "domain: string, agent: string, delay_s: int",
+        )
+        got = {
+            r.nurl: (r.delay_s, r.fetch_at_s)
+            for r in frontier_schedule(frontier, delays).collect()
+        }
+        # a.org paces at its declared 5 s; b.net at the 1 s default;
+        # both domains start at t=0 (parallel)
+        assert got == {
+            "a.org/1": (5, 0), "a.org/2": (5, 5), "a.org/3": (5, 10),
+            "b.net/1": (1, 0), "b.net/2": (1, 1),
+        }
+
+
 class TestRobotsGate:
     def test_flags_both_polarities(self, spark):
         from pgferry_spark.operators.html import robots_noindex_flags
