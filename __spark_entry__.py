@@ -3636,7 +3636,7 @@ def _warc_index_oracle() -> str:
     return f"""
         WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents),
         r AS (SELECT doc_id,
-                CAST(floor(doc_id / 8) AS BIGINT) AS container_id,
+                (doc_id // 8) AS container_id,
                 url,
                 CAST(strlen(text) AS BIGINT) AS plen,
                 CAST(132 + length(CAST(doc_id AS VARCHAR)) + strlen(url)
@@ -3823,9 +3823,9 @@ def _warc_payload_oracle() -> str:
     url = URL_SYNTH_SQL.format(id="doc_id", src="source")
     return f"""
         WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents)
-        SELECT CAST(floor(doc_id / 8) AS BIGINT) AS container_id,
+        SELECT (doc_id // 8) AS container_id,
                CAST(row_number() OVER (
-                    PARTITION BY CAST(floor(doc_id / 8) AS BIGINT)
+                    PARTITION BY (doc_id // 8)
                     ORDER BY doc_id) - 1 AS INT) AS record_no,
                url AS target_uri, text
         FROM u

@@ -591,7 +591,10 @@ ROBOTS_TXT_SYNTH_SQL = (
 # trimmed line
 ROBOTS_UA_RE = "^user-agent: *(.*)$"
 ROBOTS_RULE_RE = "^(disallow|allow): *([^ ]*)"
-ROBOTS_DELAY_RE = "^crawl-delay: *([0-9]+)"
+# end-anchored: a fractional 'Crawl-delay: 0.5' must NOT half-match as
+# 0 seconds (politeness fail-open) — unparseable values yield no row,
+# so the scheduler default applies
+ROBOTS_DELAY_RE = "^crawl-delay: *([0-9]+)$"
 
 
 def robots_crawl_delays(

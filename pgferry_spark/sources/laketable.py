@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -93,6 +94,43 @@ class LakeTable:
     def write_snapshot(self, df: DataFrame, op: str = "overwrite") -> SnapshotInfo:
         """Commit ``df`` as the next full snapshot."""
         return self._commit(df, op)
+
+    def append(self, df: DataFrame, op: str = "append") -> SnapshotInfo:
+        """Commit previous-snapshot-plus-``df`` WITHOUT rewriting
+        history: the new version directory HARDLINKS the current
+        version's data files and adds ``df`` as fresh files — O(new
+        rows) data written, O(files) metadata, where the read-union-
+        rewrite form pays O(table) per batch (the append-only ingest
+        cost a long-running drizzle cannot afford).  Every version dir
+        stays a complete self-contained snapshot, so time travel,
+        ``diff`` and the commit protocol are unchanged; ``vacuum``
+        merely unlinks names and the shared blocks live until the last
+        version referencing them goes.  Caller contract: ``df``'s
+        schema must equal the table's (this is a pure row append, not a
+        merge); a fragmenting drizzle should run ``maybe_compact``
+        between triggers as usual."""
+        cur = self.current_version()
+        if cur is None:
+            return self._commit(df, op)
+        nxt = cur + 1
+        vdir = self._vdir(nxt)
+        tmp = vdir + "._append_tmp"
+        df.write.mode("errorifexists").parquet(tmp)
+        os.makedirs(vdir)
+        pv = self._vdir(cur)
+        for name in os.listdir(pv):
+            if name.endswith(".parquet"):
+                os.link(
+                    os.path.join(pv, name),
+                    os.path.join(vdir, f"prev-{name}"),
+                )
+        for name in os.listdir(tmp):
+            if name.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, name), os.path.join(vdir, name)
+                )
+        shutil.rmtree(tmp)
+        return self._finalize(nxt, op)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read the current snapshot, or time-travel to ``version``."""

@@ -182,8 +182,10 @@ def attach_warc(
         )
 
     return (
+        # integer division (div), not a double cast: a 64-bit doc id
+        # past 2^53 would lose precision through the float path
         df.withColumn(
-            "__cid", (F.col(id_col) / docs_per_container).cast("long")
+            "__cid", F.expr(f"{id_col} div {docs_per_container}")
         )
         .select("__cid", id_col, "url", text_col)
         .groupBy("__cid")

@@ -471,18 +471,17 @@ def warc_ingest_stream(
     holds only (container_id, record_no, byte ranges, uri), which is
     what turns a later re-extraction into ranged reads.  Records are
     immutable (a re-crawl produces NEW containers), so each batch is a
-    pure append — no merge key, no conflict rule."""
+    pure append — ``LakeTable.append`` hardlinks the previous version's
+    files and writes only the batch's index rows: O(batch) per trigger,
+    never O(index), the cost profile a long-running drizzle needs
+    (run ``table.maybe_compact`` between triggers as usual)."""
     from pgferry_spark.sources.warc import warc_record_index
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         tag = f"batch:{query_name}:{batch_id}"
         if any(s.op == tag for s in table.history()):
             return  # replayed batch — already committed
-        idx = warc_record_index(batch_df)
-        if table.current_version() is None:
-            table._commit(idx, tag)
-        else:
-            table._commit(table.read().unionByName(idx), tag)
+        table.append(warc_record_index(batch_df), tag)
 
     return (
         containers.writeStream.foreachBatch(_sink)

@@ -128,6 +128,39 @@ def test_stream_to_laketable_exactly_once_and_upsert(spark, tmp_path):
     assert got == {"equal": 1, "changed": 1, "only_in_target": 1}
 
 
+def test_append_hardlinks_history_o_batch(spark, tmp_path):
+    """LakeTable.append (round 9): the new version shares the previous
+    version's data files via hardlinks (O(batch) data written per
+    append), every version stays a complete snapshot (time travel
+    intact), and the commit protocol is unchanged."""
+    import os
+
+    t = LakeTable(spark, str(tmp_path / "app_tbl"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), "batch:0")
+    t.append(_df(spark, [(3, "c")]).coalesce(1), "batch:1")
+    t.append(_df(spark, [(4, "d")]).coalesce(1), "batch:2")
+    assert [s.op for s in t.history()] == ["batch:0", "batch:1", "batch:2"]
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    }
+    # time travel: v2 is the first two batches
+    assert {(r.k, r.v) for r in t.read(version=2).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    # the shared files really are hardlinks, not copies
+    v3 = t._vdir(3)
+    prev_files = [n for n in os.listdir(v3) if n.startswith("prev-")]
+    assert prev_files
+    assert all(
+        os.stat(os.path.join(v3, n)).st_nlink >= 2 for n in prev_files
+    )
+    # vacuum old versions: current still reads fine (links keep blocks)
+    t.vacuum(keep_last=1)
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    }
+
+
 def test_warc_ingest_stream_appends_index_exactly_once(spark, tmp_path):
     """Round 9: streamed WARC containers land as index rows (offsets,
     never payload bytes) with the exactly-once batch-tag protocol; a
