@@ -3637,7 +3637,7 @@ def _warc_index_oracle() -> str:
         WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents),
         r AS (SELECT doc_id,
                 (doc_id // 8) AS container_id,
-                url,
+                url, text,
                 CAST(strlen(text) AS BIGINT) AS plen,
                 CAST(132 + length(CAST(doc_id AS VARCHAR)) + strlen(url)
                      + length(CAST(strlen(text) AS VARCHAR)) AS BIGINT)
@@ -3655,6 +3655,7 @@ def _warc_index_oracle() -> str:
                CAST(hlen + plen + 4 AS BIGINT) AS rec_len,
                CAST(rec_offset + hlen AS BIGINT) AS payload_offset,
                CAST(plen AS BIGINT) AS payload_len,
+               md5(text) AS payload_md5,
                'response' AS warc_type,
                url AS target_uri
         FROM w

@@ -201,6 +201,7 @@ _INDEX_SCHEMA = StructType(
         StructField("rec_len", LongType(), False),
         StructField("payload_offset", LongType(), False),
         StructField("payload_len", LongType(), False),
+        StructField("payload_md5", StringType(), False),
         StructField("warc_type", StringType(), True),
         StructField("target_uri", StringType(), True),
     ]
@@ -212,7 +213,13 @@ def warc_record_index(df: DataFrame) -> DataFrame:
     byte ranges, parsed from real container bytes inside Arrow batches.
     ``df`` is ``(container_id, container)``.  At 100 TB this is what
     turns "re-extract document k of a 1 GB WARC" into one bounded
-    range read per task; the index rows are the only shuffled bytes."""
+    range read per task; the index rows are the only shuffled bytes.
+    ``payload_md5`` is computed in the SAME pass (the bytes are already
+    in cache), which makes the index dedup-capable BEFORE any
+    extraction: an exact-dup crawl capture is one fingerprint
+    anti-join away, never a second container read."""
+    import hashlib
+
     from ..utils import fan_out
 
     df = fan_out(df, "container_id")
@@ -221,13 +228,21 @@ def warc_record_index(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in _INDEX_SCHEMA}
             for cid, blob in zip(pdf["container_id"], pdf["container"]):
-                for rec in parse_warc_index(bytes(blob)):
+                blob = bytes(blob)
+                for rec in parse_warc_index(blob):
+                    payload = blob[
+                        rec["payload_offset"]
+                        : rec["payload_offset"] + rec["payload_len"]
+                    ]
                     rows["container_id"].append(int(cid))
                     rows["record_no"].append(rec["record_no"])
                     rows["rec_offset"].append(rec["rec_offset"])
                     rows["rec_len"].append(rec["rec_len"])
                     rows["payload_offset"].append(rec["payload_offset"])
                     rows["payload_len"].append(rec["payload_len"])
+                    rows["payload_md5"].append(
+                        hashlib.md5(payload).hexdigest()
+                    )
                     rows["warc_type"].append(rec["warc_type"])
                     rows["target_uri"].append(rec["target_uri"])
             yield pd.DataFrame(rows)

@@ -101,11 +101,16 @@ def test_spark_index_matches_pure_parser(spark):
     }
     rows = W.warc_record_index(W.attach_warc(df)).collect()
     assert len(rows) == 19
+    import hashlib
+
     by_uri = {}
     for r in rows:
         blob = containers[r["container_id"]]
         payload = W.warc_range_read(blob, r["payload_offset"], r["payload_len"])
         by_uri[r["target_uri"]] = payload.decode()
+        # the in-pass fingerprint matches the payload bytes: the index
+        # is dedup-capable without a second container read
+        assert r["payload_md5"] == hashlib.md5(payload).hexdigest()
     for i, url, text in docs:
         assert by_uri[url] == text
     # pure parser agrees row-for-row
