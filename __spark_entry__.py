@@ -3119,6 +3119,26 @@ def _crawl_delta_counts(spark, sf):
     return crawl_delta_counts(crawl_snapshot_merge(corpus_index, batch))
 
 
+def _gopher_quality_flags(spark, sf):
+    """Gopher A1.1 document-quality gates (round 9): the eight named
+    per-document rules as one map-only flag table over a decorated
+    corpus (one class per failure mode: all-bullet doc, ellipsis line,
+    symbol soup, undecorated). Word bounds tuned to the synthetic
+    10-99-word docs; stopword floor 1 (the corpus vocabulary carries
+    'the' but not the rest of the canonical eight)."""
+    from pgferry_spark.operators.filters import (
+        GOPHER_SYNTH_SQL,
+        gopher_quality_flags,
+    )
+
+    d = _t(spark, sf, "documents").withColumn(
+        "gtext", F.expr(GOPHER_SYNTH_SQL.format(id="doc_id", txt="text"))
+    )
+    return gopher_quality_flags(
+        d, "gtext", "doc_id", min_words=25, min_stopwords=1
+    )
+
+
 def _robots_noindex_flags(spark, sf):
     """Per-document robots meta-noindex verdict over the raw synthetic
     HTML (round 9): the page-level opt-out a polite crawl honors before
@@ -3607,6 +3627,67 @@ def _crawl_oracle_cte() -> str:
     """
 
 
+def _gopher_oracle() -> str:
+    """DuckDB replay of the Gopher gates: same synth template, list
+    HOFs for the per-token/per-line signals, thresholds applied to the
+    ROUNDED columns exactly as the Spark side does."""
+    from pgferry_spark.operators.filters import (
+        GOPHER_STOPWORDS,
+        GOPHER_SYNTH_SQL,
+    )
+
+    synth = GOPHER_SYNTH_SQL.format(id="doc_id", txt="text")
+    stops = " + ".join(
+        f"CAST(list_contains(ltoks, '{w}') AS INT)" for w in GOPHER_STOPWORDS
+    )
+    return f"""
+        WITH g AS (SELECT doc_id, {synth} AS gtext FROM documents),
+        t AS (SELECT doc_id, gtext,
+                (CASE WHEN trim(gtext) = '' THEN CAST([] AS VARCHAR[])
+                 ELSE regexp_split_to_array(trim(gtext), '\\s+') END) AS toks,
+                string_split(gtext, chr(10)) AS lines
+              FROM g),
+        t2 AS (SELECT *, list_transform(toks, x -> lower(x)) AS ltoks
+               FROM t),
+        m AS (SELECT doc_id,
+                len(toks) AS n_words,
+                list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  AS total_chars,
+                (length(gtext) - length(replace(gtext, '#', '')))
+                  + (length(gtext) - length(replace(gtext, '...', ''))) / 3
+                  + (length(gtext) - length(replace(gtext, '…', '')))
+                  AS sym_cnt,
+                len(lines) AS n_lines,
+                len(list_filter(lines, l -> starts_with(trim(l), '- ')
+                    OR starts_with(trim(l), '• ')
+                    OR starts_with(trim(l), '* '))) AS bullet_lines,
+                len(list_filter(lines, l -> ends_with(trim(l), '...')
+                    OR ends_with(trim(l), '…'))) AS ell_lines,
+                len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS alpha_words,
+                ({stops}) AS n_stopword_hits
+              FROM t2),
+        r AS (SELECT doc_id,
+                CAST(n_words AS INT) AS n_words,
+                round(total_chars / n_words, 6) AS mean_word_len,
+                round(sym_cnt / n_words, 6) AS symbol_ratio,
+                round(bullet_lines / n_lines, 6) AS bullet_line_ratio,
+                round(ell_lines / n_lines, 6) AS ellipsis_line_ratio,
+                round(alpha_words / n_words, 6) AS alpha_word_ratio,
+                CAST(n_stopword_hits AS INT) AS n_stopword_hits
+              FROM m WHERE n_words > 0)
+        SELECT *,
+               (n_words >= 25 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1
+                AND bullet_line_ratio <= 0.9
+                AND ellipsis_line_ratio <= 0.3
+                AND alpha_word_ratio >= 0.8
+                AND n_stopword_hits >= 1) AS passes
+        FROM r
+    """
+
+
 def _robots_oracle() -> str:
     """Shared-template replay: the synth html + ROBOTS_NOINDEX_SQL
     evaluated verbatim."""
@@ -4017,9 +4098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-16: round-9 additions + the five round-8
+        # --- positions 1-17: round-9 additions + the five round-8
         # entries whose OUTPUT changed this round (charref decode /
         # robots funnel stage) — all driver-checked at birth
+        "gopher_quality_flags": _gopher_quality_flags,
         "robots_noindex_flags": _robots_noindex_flags,
         "robots_txt_rules": _robots_txt_rules,
         "robots_disallow_filter": _robots_disallow_filter,
@@ -4071,9 +4153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_diff_summary": _content_diff,
         "name_match_verified": _name_match_verified,
         "debounce_events": _debounce,
-        "ri_audit": _ri_audit,
         # --- beyond the 50-entry window: stalest-first per
         # tools/plan_rotation.py; next in line for the r10 rotation
+        "ri_audit": _ri_audit,
         "incremental_agg": _incremental_agg,
         "signal_percentiles": _signal_percentiles,
         "lsh_knn_join": _lsh_knn_join,
@@ -8708,6 +8790,7 @@ def oracle_sql() -> dict[str, str]:
              FROM x""",
         # round 9: robots meta gate + WARC record indexing + payload
         # recovery + anchor harvesting
+        "gopher_quality_flags": _gopher_oracle(),
         "robots_noindex_flags": _robots_oracle(),
         "robots_txt_rules": _robots_rules_cte()
         + "SELECT domain, agent, rule, path_prefix FROM rules",

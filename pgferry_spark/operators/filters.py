@@ -100,6 +100,107 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+# Models", Appendix A1.1): the eight named per-document gates every
+# Gopher/MassiveWeb-style pipeline applies after repetition filtering.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# deterministic decoration for the too-clean synthetic corpus: one
+# class per failure mode (all-bullet doc, ellipsis line, symbol soup)
+# plus an undecorated class — pure CASE/concat, both engines verbatim.
+GOPHER_SYNTH_SQL = (
+    "CASE WHEN {id} % 4 = 0 THEN '- ' || {txt}"
+    " WHEN {id} % 4 = 1 THEN {txt} || '...'"
+    " WHEN {id} % 4 = 2 THEN '### ' || {txt} || ' ####'"
+    " ELSE {txt} END"
+)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher A1.1 document-quality gates as one map-only flag
+    table: word-count bounds, mean word length 3-10, symbol-to-word
+    ratio ('#' and ellipsis) <= 0.1, <= 90% of lines bullet-started,
+    <= 30% of lines ellipsis-ended, >= 80% of words carrying an
+    alphabetic character, and >= ``min_stopwords`` distinct presence
+    hits from the canonical 8-stopword list.  Returns every signal
+    plus the conjunction (``passes``) so downstream can filter OR
+    audit per-rule drop rates.  Blank documents (zero tokens) are
+    excluded.  All array/HOF expressions — no UDF, no shuffle; at
+    100 TB this is scan-bound like the repetition stats."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    total_chars = F.aggregate(
+        toks, F.lit(0), lambda a, w: a + F.length(w)
+    )
+    mean_wl = total_chars / n_words
+    sym_cnt = (
+        (F.length(t) - F.length(F.expr(f"replace({text_col}, '#', '')")))
+        + (
+            F.length(t)
+            - F.length(F.expr(f"replace({text_col}, '...', '')"))
+        ) / F.lit(3)
+        + (F.length(t) - F.length(F.expr(f"replace({text_col}, '…', '')")))
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+
+    def _bullet(l):
+        lt = F.trim(l)
+        return (
+            lt.startswith("- ") | lt.startswith("• ") | lt.startswith("* ")
+        )
+
+    bullet_lines = F.size(F.filter(lines, _bullet))
+    ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+        )
+    )
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    ltoks = F.transform(toks, F.lower)
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.array_contains(ltoks, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_cnt / n_words, 6).alias("symbol_ratio"),
+        F.round(bullet_lines / n_lines, 6).alias("bullet_line_ratio"),
+        F.round(ell_lines / n_lines, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_words / n_words, 6).alias("alpha_word_ratio"),
+        stop_hits.alias("n_stopword_hits"),
+    ).filter(F.col("n_words") > 0)
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_line_ratio") <= max_ellipsis_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_ratio)
+        & (F.col("n_stopword_hits") >= min_stopwords)
+    )
+    return out.withColumn("passes", passes)
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

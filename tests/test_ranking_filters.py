@@ -179,6 +179,55 @@ class TestRepetitionStats:
         assert row.top_word_frac == 1.0
 
 
+class TestGopherQuality:
+    def test_each_rule_fires_on_its_failure_mode(self, spark):
+        """Gopher A1.1 gates (round 9): per-rule hand-computed signals,
+        one fixture per failure mode."""
+        from pgferry_spark.operators.filters import gopher_quality_flags
+
+        good = ("the quick brown fox jumps over " * 10).strip()  # 60 words
+        rows = [
+            (1, good),
+            (2, "the tiny doc."),                         # < min words
+            (3, "- " + good),                             # all-bullet line
+            (4, good + "..."),                            # ellipsis-ended
+            (5, good + " " + "#" * 40),                   # symbol soup
+            (6, ("1 2 3 4 5 6 7 8 9 0 " * 6) + "the x"),  # low alpha ratio
+            (7, ("zebra quokka lorem " * 20).strip()),    # no stopwords
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        got = {
+            r.doc_id: r
+            for r in gopher_quality_flags(
+                df, "text", "doc_id", min_words=25, min_stopwords=1
+            ).collect()
+        }
+        assert got[1].passes
+        assert got[1].n_words == 60
+        assert got[1].n_stopword_hits == 1  # 'the'
+        assert round(got[1].alpha_word_ratio, 3) == 1.0
+        assert not got[2].passes                    # word floor
+        assert not got[3].passes and got[3].bullet_line_ratio == 1.0
+        assert not got[4].passes and got[4].ellipsis_line_ratio == 1.0
+        assert not got[5].passes and got[5].symbol_ratio > 0.1
+        assert not got[6].passes and got[6].alpha_word_ratio < 0.8
+        assert not got[7].passes and got[7].n_stopword_hits == 0
+
+    def test_blank_docs_excluded_and_plan_map_only(self, spark):
+        from pgferry_spark.operators.filters import gopher_quality_flags
+
+        df = spark.createDataFrame(
+            [(1, "the good document stays here today. " * 10), (2, "  ")],
+            "doc_id: long, text: string",
+        )
+        out = gopher_quality_flags(df, "text", "doc_id", min_words=5,
+                                   min_stopwords=1)
+        rows = out.collect()
+        assert [r.doc_id for r in rows] == [1]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # map-only, scan-bound
+
+
 class TestContamination:
     def test_shared_ngram_flagged(self, spark):
         bench = spark.createDataFrame([(100, "the quick brown fox jumps")], DOCS)
