@@ -3119,6 +3119,24 @@ def _crawl_delta_counts(spark, sf):
     return crawl_delta_counts(crawl_snapshot_merge(corpus_index, batch))
 
 
+_BLOCKWORDS = ("slow", "legacy")
+
+
+def _blockword_flags(spark, sf):
+    """C4 document word-list gate (round 9): per-doc blocked flag on
+    TOKEN equality (lowercased whitespace tokens vs the config list) —
+    not substring containment, so embedded innocents never trip
+    (Scunthorpe-safe). One arrays_overlap against a literal array,
+    map-only; the blocklist here is an innocuous stand-in vocabulary
+    ('slow', 'legacy') — the semantics are the named C4 stage, the
+    list is config."""
+    from pgferry_spark.operators.filters import blockword_flags
+
+    return blockword_flags(
+        _t(spark, sf, "documents"), _BLOCKWORDS, "text", "doc_id"
+    )
+
+
 def _gopher_quality_flags(spark, sf):
     """Gopher A1.1 document-quality gates (round 9): the eight named
     per-document rules as one map-only flag table over a decorated
@@ -3627,6 +3645,14 @@ def _crawl_oracle_cte() -> str:
     """
 
 
+def _blockword_oracle() -> str:
+    lits = ", ".join(f"'{w}'" for w in _BLOCKWORDS)
+    return f"""
+        WITH t AS (SELECT doc_id, {_LTOKS} AS ltoks FROM documents)
+        SELECT doc_id, list_has_any(ltoks, [{lits}]) AS blocked FROM t
+    """
+
+
 def _gopher_oracle() -> str:
     """DuckDB replay of the Gopher gates: same synth template, list
     HOFs for the per-token/per-line signals, thresholds applied to the
@@ -4098,10 +4124,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-17: round-9 additions + the five round-8
+        # --- positions 1-18: round-9 additions + the five round-8
         # entries whose OUTPUT changed this round (charref decode /
         # robots funnel stage) — all driver-checked at birth
         "gopher_quality_flags": _gopher_quality_flags,
+        "blockword_flags": _blockword_flags,
         "robots_noindex_flags": _robots_noindex_flags,
         "robots_txt_rules": _robots_txt_rules,
         "robots_disallow_filter": _robots_disallow_filter,
@@ -4152,9 +4179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": _zorder_keys,
         "content_diff_summary": _content_diff,
         "name_match_verified": _name_match_verified,
-        "debounce_events": _debounce,
         # --- beyond the 50-entry window: stalest-first per
         # tools/plan_rotation.py; next in line for the r10 rotation
+        "debounce_events": _debounce,
         "ri_audit": _ri_audit,
         "incremental_agg": _incremental_agg,
         "signal_percentiles": _signal_percentiles,
@@ -8791,6 +8818,7 @@ def oracle_sql() -> dict[str, str]:
         # round 9: robots meta gate + WARC record indexing + payload
         # recovery + anchor harvesting
         "gopher_quality_flags": _gopher_oracle(),
+        "blockword_flags": _blockword_oracle(),
         "robots_noindex_flags": _robots_oracle(),
         "robots_txt_rules": _robots_rules_cte()
         + "SELECT domain, agent, rule, path_prefix FROM rules",

@@ -189,6 +189,7 @@ HEADLINE = [
     # round 9: robots meta gate + WARC record indexing (new entries join
     # the headline the round they are born)
     "gopher_quality_flags",
+    "blockword_flags",
     "robots_noindex_flags",
     "robots_txt_rules",
     "robots_disallow_filter",

@@ -100,6 +100,58 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+_BLOCKWORD_RE_STR = r"^[a-z0-9_-]+$"
+
+
+def _check_blockwords(words: tuple[str, ...]) -> None:
+    import re as _re
+
+    if not words:
+        raise ValueError("blockword gate: empty word list")
+    for w in words:
+        if not _re.match(_BLOCKWORD_RE_STR, w):
+            raise ValueError(
+                f"blockword gate: word {w!r} outside safe charset"
+                f" {_BLOCKWORD_RE_STR}"
+            )
+
+
+def blockword_flags(
+    df: DataFrame,
+    words: tuple[str, ...],
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """C4's document-level word-list gate (Raffel et al. 2020 §2.2
+    applied a public blocklist and dropped any page containing a listed
+    word): per-document ``(id, blocked)`` where blocked means ANY
+    lowercased whitespace token equals a listed word — TOKEN equality,
+    not substring containment, so a word embedded inside a longer
+    innocent token never trips the rule (the Scunthorpe failure the
+    naive contains() form carries).  Map-only: one ``arrays_overlap``
+    against a literal array; the list is config-scale and rides the
+    plan, no join.  Words are validated against the same safe charset
+    as the URL keyword gate (they are interpolated into the oracle's
+    SQL literal)."""
+    _check_blockwords(words)
+    ltoks = F.transform(tokens(F.col(text_col)), F.lower)
+    hit = F.arrays_overlap(ltoks, F.array(*[F.lit(w) for w in words]))
+    return df.select(F.col(id_col), hit.alias("blocked"))
+
+
+def blockword_filter(
+    df: DataFrame,
+    words: tuple[str, ...],
+    text_col: str,
+) -> DataFrame:
+    """Survivors of the word-list gate — the same expression as a
+    direct filter (map-only, no join), keeping every input column."""
+    _check_blockwords(words)
+    ltoks = F.transform(tokens(F.col(text_col)), F.lower)
+    hit = F.arrays_overlap(ltoks, F.array(*[F.lit(w) for w in words]))
+    return df.filter(~hit)
+
+
 # Gopher document-quality rules (Rae et al. 2021, "Scaling Language
 # Models", Appendix A1.1): the eight named per-document gates every
 # Gopher/MassiveWeb-style pipeline applies after repetition filtering.

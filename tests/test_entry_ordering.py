@@ -3,10 +3,10 @@
 The round driver oracle-checks only the FIRST 50 entries of
 __spark_entry__.queries() (CORRECTNESS_r01..r08 each contain exactly 50
 keys equal to dict positions 1-50).  Round-9 rotation (VERDICT r8 Next
-#1): positions 1-17 are this round's NEW entries plus the five round-8
+#1): positions 1-18 are this round's NEW entries plus the five round-8
 entries whose OUTPUT changed this round (charref decode + robots funnel
 stage — their r8 green no longer attests the current code, so they are
-driver-checked again at birth), positions 18-50 are the 33 stalest
+driver-checked again at birth), positions 19-50 are the 32 stalest
 oracle-backed entries (last driver-green r4); three r4 entries and
 seasonal_anomalies (r5) were displaced to 51-54, first for r10.  The 10 rows-only entries are PERMANENTLY
 excluded from the window — a slot spent on a ``no_oracle`` row can
@@ -32,10 +32,10 @@ def entry_mod():
     return mod
 
 
-# Positions 1-17: round-9 additions + changed-output round-8 entries,
+# Positions 1-18: round-9 additions + changed-output round-8 entries,
 # driver-checked at birth.
 NEW_R9 = [
-    "gopher_quality_flags",
+    "gopher_quality_flags", "blockword_flags",
     "robots_noindex_flags", "robots_txt_rules", "robots_disallow_filter",
     "robots_crawl_delays", "crawl_frontier",
     "frontier_schedule", "sitemap_locs",
@@ -45,7 +45,7 @@ NEW_R9 = [
     "line_dedup", "web_curation_funnel",
 ]
 
-# Positions 18-50: stalest oracle-backed (33 of the 39 r4-stale; entries (last driver-green r4),
+# Positions 19-50: stalest oracle-backed (32 of the 39 r4-stale; entries (last driver-green r4),
 # planner-stable order from tools/plan_rotation.py).
 STALE_R4 = [
     "funnel_report", "chunk_documents", "temperature_sample",
@@ -57,13 +57,14 @@ STALE_R4 = [
     "ann_recall_ivfpq", "bigram_logprob", "q21_adapted",
     "near_dup_verified", "rfm_features", "psi_drift", "trust_propagation",
     "session_concurrency", "ann_recall_lsh", "cube_pricing", "zorder_keys",
-    "content_diff_summary", "name_match_verified", "debounce_events",
+    "content_diff_summary", "name_match_verified",
 ]
 
 # Positions 51+: the stale entries the 14-wide at-birth block displaced
 # — they sit at the head of the post-window order, first in line for
 # the r10 rotation.
-DISPLACED = ["ri_audit", "incremental_agg", "signal_percentiles",
+DISPLACED = ["debounce_events", "ri_audit", "incremental_agg",
+             "signal_percentiles",
              "lsh_knn_join", "dedup_pair_recall", "minhash_pair_recall",
              "seasonal_anomalies"]
 
@@ -92,18 +93,18 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 245
+N_QUERIES = 246
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:17] == NEW_R9
-    assert names[17:50] == STALE_R4
-    assert names[50:57] == DISPLACED
+    assert names[:18] == NEW_R9
+    assert names[18:50] == STALE_R4
+    assert names[50:58] == DISPLACED
 
 
 def test_window_exactly_filled(entry_mod):
-    # 17 + 33 == 50: no slot wasted
+    # 18 + 32 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEW_R9) | set(STALE_R4)
 

@@ -179,6 +179,45 @@ class TestRepetitionStats:
         assert row.top_word_frac == 1.0
 
 
+class TestBlockwords:
+    def test_token_equality_not_substring(self, spark):
+        """The Scunthorpe property: a listed word embedded inside a
+        longer token never trips; exact lowercased tokens do."""
+        from pgferry_spark.operators.filters import (
+            blockword_filter,
+            blockword_flags,
+        )
+
+        rows = [
+            (1, "a perfectly slow sentence"),      # exact token -> blocked
+            (2, "the slowest sentence of all"),    # substring only -> clean
+            (3, "SLOW uppercase still counts"),    # case-folded -> blocked
+            (4, "nothing listed here"),
+            (5, ""),                               # blank -> clean
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        got = {
+            r.doc_id: r.blocked
+            for r in blockword_flags(df, ("slow",), "text", "doc_id").collect()
+        }
+        assert got == {1: True, 2: False, 3: True, 4: False, 5: False}
+        kept = sorted(
+            r.doc_id for r in blockword_filter(df, ("slow",), "text").collect()
+        )
+        assert kept == [2, 4, 5]
+
+    def test_word_list_validated(self, spark):
+        import pytest as _pytest
+
+        from pgferry_spark.operators.filters import blockword_flags
+
+        df = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+        with _pytest.raises(ValueError):
+            blockword_flags(df, (), "text", "doc_id")
+        with _pytest.raises(ValueError):
+            blockword_flags(df, ("bad'word",), "text", "doc_id")
+
+
 class TestGopherQuality:
     def test_each_rule_fires_on_its_failure_mode(self, spark):
         """Gopher A1.1 gates (round 9): per-rule hand-computed signals,
