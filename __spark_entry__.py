@@ -3780,14 +3780,20 @@ def _robots_rules_cte() -> str:
     )
 
     synth = ROBOTS_TXT_SYNTH_SQL.format(domain="domain")
+    # CRLF-safe line split (round-9 ADVICE, medium): real robots.txt
+    # bodies carry \r\n terminators; a bare-\n split leaves \r inside
+    # every captured prefix and the gate fails open.  chr(13)||'?'||
+    # chr(10) is the regex both engines read identically (no string-
+    # literal escape divergence).
     return _domain_cte() + f"""
         , dd AS (SELECT DISTINCT domain FROM d),
         rt AS (SELECT domain, {synth} AS robots_txt FROM dd),
         rl AS (SELECT domain,
-                 CAST(generate_subscripts(
-                   string_split(robots_txt, chr(10)), 1) - 1 AS INT)
+                 CAST(generate_subscripts(string_split_regex(robots_txt,
+                   chr(13) || '?' || chr(10)), 1) - 1 AS INT)
                    AS line_no,
-                 trim(lower(unnest(string_split(robots_txt, chr(10)))))
+                 trim(lower(unnest(string_split_regex(robots_txt,
+                   chr(13) || '?' || chr(10)))))
                    AS __l
                FROM rt),
         ra AS (SELECT *,
@@ -3804,21 +3810,64 @@ def _robots_rules_cte() -> str:
     """
 
 
-def _robots_filter_oracle() -> str:
-    """RFC 9309 longest-match verdict as a correlated argmax: the
-    best-matching rule per document (length DESC, allow-beats-disallow
-    on ties, LIMIT 1), documents kept unless it is a disallow."""
-    from pgferry_spark.operators.domains import URL_PATH_SQL
+def _pct_ctes(prev: str, col: str, keep: str, tag: str) -> tuple[str, str]:
+    """Staged unreserved %-decode CTE chain over ``col`` (the shared
+    pct_chunk_sql template) — returns (cte_sql, final_cte_name)."""
+    from pgferry_spark.operators.domains import (
+        n_pct_chunks,
+        pct_chunk_sql,
+        pct_flag_sql,
+    )
+
+    parts, cur = [], prev
+    flag = pct_flag_sql(col)
+    for i in range(n_pct_chunks()):
+        nm = f"__{tag}{i}"
+        parts.append(
+            f", {nm} AS (SELECT {keep},"
+            f" {pct_chunk_sql(col, flag, i)} AS {col} FROM {cur})"
+        )
+        cur = nm
+    return "".join(parts), cur
+
+
+def _robots_filter_oracle(agent: str = "*") -> str:
+    """RFC 9309 verdict replay (round 10: full pattern semantics): the
+    agent's group per domain with *-fallback, unreserved %-decode on
+    BOTH sides, rule→anchored-regex translation via the shared
+    robots_pattern_sql template, then the correlated argmax (pattern
+    length DESC, allow-beats-disallow on ties, LIMIT 1); documents kept
+    unless the winner is a disallow."""
+    from pgferry_spark.operators.domains import (
+        URL_PATH_SQL,
+        robots_pattern_sql,
+    )
 
     path = URL_PATH_SQL.format(url="url")
+    rules_pct, rules_last = _pct_ctes("rsel", "__pn", "domain, rule", "rn")
+    path_pct, path_last = _pct_ctes(
+        "p", "__path", "doc_id, domain, url", "pp"
+    )
+    pat = robots_pattern_sql("__pn")
     return _robots_rules_cte() + f"""
-        , p AS (SELECT doc_id, domain, url, {path} AS __path FROM d)
-        SELECT doc_id, domain, url FROM p
+        , rfall AS (SELECT *,
+            max(CASE WHEN agent = '{agent}' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY domain) AS __spec
+          FROM rules WHERE agent = '{agent}' OR agent = '*'),
+        rsel AS (SELECT domain, rule, path_prefix AS __pn FROM rfall
+                 WHERE agent = '{agent}' OR __spec = 0)
+        {rules_pct}
+        , rpat AS (SELECT domain, rule, length(__pn) AS __plen,
+                     {pat} AS __pat
+                   FROM {rules_last}),
+        p AS (SELECT doc_id, domain, url, {path} AS __path FROM d)
+        {path_pct}
+        SELECT doc_id, domain, url FROM {path_last} p2
         WHERE COALESCE((
-          SELECT r.rule FROM rules r
-          WHERE r.domain = p.domain AND r.agent = '*'
-            AND p.__path LIKE r.path_prefix || '%'
-          ORDER BY length(r.path_prefix) DESC,
+          SELECT r.rule FROM rpat r
+          WHERE r.domain = p2.domain
+            AND regexp_matches(p2.__path, r.__pat)
+          ORDER BY r.__plen DESC,
                    CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END DESC
           LIMIT 1), 'allow') <> 'disallow'
     """
