@@ -65,11 +65,13 @@ TAG_RE = "(?s)</?[A-Za-z!][^>]*>"
 UNCLOSED_RE = "(?s)</?[A-Za-z!][^>]*$"
 
 # decode order matters: the '&' producers ('&amp;', '&#38;', '&#x26;')
-# go LAST, or '&amp;lt;' / '&#38;lt;' would double-decode.  The single
-# quote is spelled chr(39): quote-doubling inside a literal is the one
-# escape Spark's Hive-style parser and DuckDB's ANSI parser disagree on,
-# so it never appears in a shared template; backslash likewise (chr(92)
-# — Spark string literals unescape it, DuckDB's do not).
+# decode in ONE single-pass regexp (see html_finish_sql) — a chain of
+# replaces would feed one pass's output into the next and double-decode
+# '&#38;amp;' → '&' (round-9 ADVICE, medium).  The single quote is
+# spelled chr(39): quote-doubling inside a literal is the one escape
+# Spark's Hive-style parser and DuckDB's ANSI parser disagree on, so it
+# never appears in a shared template; backslash likewise (chr(92) —
+# Spark string literals unescape it, DuckDB's do not).
 _ENTITIES_NONAMP = [
     ("'&lt;'", "'<'"),
     ("'&gt;'", "'>'"),
@@ -77,11 +79,9 @@ _ENTITIES_NONAMP = [
     ("'&apos;'", "chr(39)"),
     ("'&nbsp;'", "' '"),
 ]
-_AMP_LAST = [
-    ("'&#38;'", "'&'"),
-    ("'&#x26;'", "'&'"),
-    ("'&amp;'", "'&'"),
-]
+# the one pattern whose spellings all decode to the same char — safe as
+# a single regexp pass on both engines (Java + RE2, no group refs)
+_AMP_RE = "&(amp|#38|#x26);"
 
 # Numeric character references (round 9, VERDICT r8 Next #2 — the C4
 # §2.2 fidelity gap: real crawl HTML carries &#NN;/&#xHH; constantly).
@@ -112,11 +112,21 @@ def _char_sql_lit(cp: int) -> str:
 
 
 def _charref_pairs() -> list[tuple[str, str]]:
+    """Decode table with SENTINEL FRAMING (round-10, closes the round-9
+    ADVICE double-decode): each replace emits its character wrapped in
+    chr(1)…chr(2) frames instead of bare, so a production can NEVER
+    splice with surrounding text into a ref a later replace in the
+    chain would decode ('&&#35;60;' used to become '<' because '&#35;'
+    → '#' created '&#60;' mid-chain; framed, it creates
+    '&\\x01#\\x0260;', which no pattern matches).  The frames strip in
+    ONE place — html_finish_sql, after the amp pass — so every ref
+    decodes exactly once.  Raw \\x01/\\x02 bytes in the input (the only
+    way to forge a frame) are stripped by the gated norm stage first."""
     pairs = []
     for cp in (*range(32, 127), *_EXTRA_POINTS):
-        if cp == 38:  # '&': decodes in _AMP_LAST or everything double-decodes
+        if cp == 38:  # '&': decodes in the finish amp pass
             continue
-        rep = _char_sql_lit(cp)
+        rep = f"chr(1) || {_char_sql_lit(cp)} || chr(2)"
         pairs.append((f"'&#{cp};'", rep))
         h = format(cp, "x")
         pairs.append((f"'&#x{h};'", rep))
@@ -178,7 +188,12 @@ CHARREF_ZERO_DEC_RE = "&#0+([1-9][0-9]*);"
 
 
 def charref_norm_sql(col: str, flag: str, g: str = "", ref: str = "$1") -> str:
-    x = f"regexp_replace({col}, '{CHARREF_ZERO_HEX_RE}', '&#x{ref};'{g})"
+    # strip raw sentinel bytes FIRST (control chars, never meaningful
+    # text): with \x01/\x02 absent from the input, every frame the
+    # decode table emits is atomic and the unwrap in html_finish_sql
+    # cannot be spoofed into splicing a false decode.
+    x = f"replace(replace({col}, chr(1), ''), chr(2), '')"
+    x = f"regexp_replace({x}, '{CHARREF_ZERO_HEX_RE}', '&#x{ref};'{g})"
     x = f"regexp_replace({x}, '{CHARREF_ZERO_DEC_RE}', '&#{ref};'{g})"
     return f"CASE WHEN {flag} THEN {x} ELSE {col} END"
 
@@ -195,13 +210,17 @@ def charref_chunk_sql(col: str, flag: str, chunk: int) -> str:
 
 
 def html_finish_sql(col: str, g: str = "") -> str:
-    """Final stage: the '&'-producing decodes (named + numeric amp
-    spellings, LAST so nothing double-decodes) and whitespace
-    normalization (runs of spaces/tabs to one space, spaces trimmed
-    around newlines, blank lines squeezed, ends trimmed)."""
-    x = col
-    for ent, rep in _AMP_LAST:
-        x = f"replace({x}, {ent}, {rep})"
+    """Final stage: the '&'-producing decode as ONE single-pass regexp
+    (all three spellings in one alternation scanning the ORIGINAL
+    string — the scan continues past each replacement, so '&#38;amp;'
+    yields '&amp;', never '&'; round-9 ADVICE), then the sentinel-frame
+    unwrap (decoded table chars shed their chr(1)/chr(2) frames — AFTER
+    the amp pass, so a frame-adjacent decode like '&#&#51;&#56;;' →
+    '&#38;' stays text), then whitespace normalization (runs of
+    spaces/tabs to one space, spaces trimmed around newlines, blank
+    lines squeezed, ends trimmed)."""
+    x = f"regexp_replace({col}, '{_AMP_RE}', '&'{g})"
+    x = f"replace(replace({x}, chr(1), ''), chr(2), '')"
     # \n appears only in PATTERNS (where both regex engines resolve it to
     # newline); replacements use chr(10) — DuckDB replacement strings do
     # not unescape \n (only group refs), Spark's do: a literal '\n'

@@ -61,8 +61,22 @@ GOLDENS = [
     ("It&#39;s Don&#8217;t &#8211; &#8230; &#169; &#xa9;.",
      "It's Don’t – … © ©."),
     ("A&#160;B &#xA0;C.", "A B C."),  # nbsp forms -> space, ws-squeezed
-    # amp-producers decode LAST: no double-decode in either spelling
+    # amp-producers decode in ONE single-pass regexp: no double-decode
+    # in any spelling
     ("&#38;lt; &#x26;gt; &amp;#60; stay.", "&lt; &gt; &#60; stay."),
+    # round-9 ADVICE goldens: double-encoded refs decode EXACTLY once —
+    # '&#38;amp;' must NOT collapse to '&' (the old sequential amp
+    # replaces fed each other) and '&&#35;60;' must NOT collapse to '<'
+    # (the old table let '&#35;'→'#' splice a new ref mid-chain; the
+    # sentinel frames make that impossible)
+    ("double &#38;amp; enc.", "double &amp; enc."),
+    ("spliced &&#35;60; ref.", "spliced &#60; ref."),
+    # nested pathological: inner refs decode, the outer assembled ref
+    # stays TEXT (frames unwrap only after the amp pass)
+    ("deep &#&#51;&#56;; nest.", "deep &#38; nest."),
+    # raw sentinel bytes in ref-bearing input strip (they could
+    # otherwise forge a frame); plain control bytes elsewhere survive
+    ("ctrl \x01\x02 bytes &#60; here.", "ctrl bytes < here."),
     # normalization pass (round 9, second wave): leading zeros and the
     # uppercase-X marker canonicalize before the table
     ("Zero &#060; hexzero &#x003C; marker &#X3C; both &#X0041;.",
