@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass
@@ -65,7 +66,31 @@ class LakeTable:
     def _vdir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version:06d}")
 
+    def _clear_uncommitted(self) -> None:
+        """Remove version dirs (and ``._append_tmp`` dirs) ABOVE the
+        committed pointer that lack ``_meta.json``: a crash between
+        writing a version's files and :meth:`_finalize` leaves them
+        behind, and every subsequent commit then dies on
+        errorifexists/makedirs forever (round-9 ADVICE — a wedged
+        ``warc_ingest_stream`` replay).  Uncommitted leftovers are safe
+        to delete under the single-writer contract: the pointer never
+        referenced them."""
+        cur = self.current_version() or 0
+        for d in os.listdir(self.path):
+            m = re.match(r"^v(\d{6})(\._append_tmp)?$", d)
+            if not m or int(m.group(1)) <= cur:
+                continue
+            full = os.path.join(self.path, d)
+            if not os.path.isdir(full):
+                continue
+            if m.group(2) is None and os.path.isfile(
+                os.path.join(full, "_meta.json")
+            ):
+                continue  # committed ahead of the pointer: never ours
+            shutil.rmtree(full)
+
     def _commit(self, df: DataFrame, op: str) -> SnapshotInfo:
+        self._clear_uncommitted()
         cur = self.current_version()
         nxt = 1 if cur is None else cur + 1
         df.write.mode("errorifexists").parquet(self._vdir(nxt))
@@ -109,6 +134,7 @@ class LakeTable:
         schema must equal the table's (this is a pure row append, not a
         merge); a fragmenting drizzle should run ``maybe_compact``
         between triggers as usual."""
+        self._clear_uncommitted()
         cur = self.current_version()
         if cur is None:
             return self._commit(df, op)

@@ -161,6 +161,42 @@ def test_append_hardlinks_history_o_batch(spark, tmp_path):
     }
 
 
+def test_append_recovers_from_crashed_commit(spark, tmp_path):
+    """A crash between writing a version's files and _finalize leaves a
+    v<N> dir (or a ._append_tmp) with no _meta.json and an unflipped
+    pointer; every later append then raised FileExistsError forever
+    (round-9 ADVICE).  The next commit clears uncommitted leftovers
+    above the pointer and proceeds."""
+    import os
+    import shutil
+
+    t = LakeTable(spark, str(tmp_path / "crash_tbl"))
+    t.append(_df(spark, [(1, "a")]).coalesce(1), "batch:0")
+
+    # simulate a crash AFTER the data write, BEFORE _finalize: a v2 dir
+    # without _meta.json, plus a stranded append tmp for the same version
+    v2 = t._vdir(2)
+    _df(spark, [(9, "x")]).coalesce(1).write.parquet(v2)
+    os.makedirs(v2 + "._append_tmp")
+    assert not os.path.isfile(os.path.join(v2, "_meta.json"))
+
+    t.append(_df(spark, [(2, "b")]).coalesce(1), "batch:1")
+    assert [s.op for s in t.history()] == ["batch:0", "batch:1"]
+    # the stranded row never leaked into the committed snapshot
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (2, "b")}
+    assert not os.path.isdir(v2 + "._append_tmp")
+
+    # committed dirs are NEVER touched: doctor a fake committed v9 ahead
+    # of the pointer and verify recovery leaves it alone
+    v9 = t._vdir(9)
+    _df(spark, [(7, "z")]).coalesce(1).write.parquet(v9)
+    with open(os.path.join(v9, "_meta.json"), "w") as f:
+        f.write('{"version": 9, "rows": 1, "op": "x", "committed_at": 0}')
+    t.append(_df(spark, [(3, "c")]).coalesce(1), "batch:2")
+    assert os.path.isfile(os.path.join(v9, "_meta.json"))
+    shutil.rmtree(v9)
+
+
 def test_warc_ingest_stream_appends_index_exactly_once(spark, tmp_path):
     """Round 9: streamed WARC containers land as index rows (offsets,
     never payload bytes) with the exactly-once batch-tag protocol; a
