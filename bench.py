@@ -201,6 +201,9 @@ HEADLINE = [
     "warc_payload_extract",
     "extract_anchors",
     "anchor_domain_stats",
+    # round 10: gzip WARC members (the CommonCrawl transport framing)
+    "warc_gzip_index",
+    "warc_gzip_extract",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -31,10 +31,19 @@ This module implements the real byte format, pure stdlib:
   record with exact record/payload byte ranges, produced by REAL
   parsing inside Arrow batches (``mapInPandas``).
 
-Documented boundary: per-record gzip members (the common CommonCrawl
-transport framing) are not decoded — no compression codec dependency
-here; at ingest the range read hands the compressed member to the
-inflate stage unchanged, and the index arithmetic is identical.
+Round 10 closes the gzip boundary: per-record gzip members — the
+actual CommonCrawl transport framing, one deflate member per record —
+encode, index and extract through the same operators (stdlib ``zlib``,
+no new dependency).  :func:`warc_record_index` /
+:func:`warc_payload_extract` detect the ``1f 8b`` member magic per
+container and switch to the member walk: ``rec_offset``/``rec_len``
+then address the COMPRESSED member (the unit a ranged GET fetches)
+while ``payload_offset``/``payload_len`` address within the INFLATED
+record (the slice after :func:`warc_member_read` inflates it).  Every
+member's uncompressed size is capped (``_MAX_MEMBER_OUT``) BEFORE
+allocation — a 100-byte bomb member cannot OOM an executor — and a
+member must contain exactly one record, per the WARC application
+guideline.
 
 Scale posture: container bytes never leave the executor — the index is
 the only shuffled artifact (runs of ~100-byte rows vs multi-GB
@@ -51,6 +60,7 @@ real parser and the arithmetic agree to the byte.
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -70,6 +80,11 @@ _CRLF = b"\r\n"
 # the record carries — see parse_warc_index, which keeps the raw value)
 WARC_DATE = "2026-01-01T00:00:00Z"
 _MAX_RECORDS = 1_000_000  # sanity cap: a container holds thousands, not 2^32
+_GZ_MAGIC = b"\x1f\x8b"
+# allocation bound for one inflated member: a crafted 100-byte member can
+# declare gigabytes of output; cap BEFORE the bytes exist (mp4.py lesson).
+# 64 MiB >> any sane single crawl record.
+_MAX_MEMBER_OUT = 64 * 1024 * 1024
 
 
 def encode_warc(records: list[dict]) -> bytes:
@@ -141,11 +156,93 @@ def parse_warc_index(container: bytes) -> list[dict]:
     return out
 
 
+def encode_warc_gz(records: list[dict]) -> bytes:
+    """CommonCrawl transport framing: each record individually deflated
+    as one gzip MEMBER, members concatenated.  ``mtime=0`` pins the
+    member header so synthesis is deterministic."""
+    import gzip
+
+    return b"".join(
+        gzip.compress(encode_warc([r]), compresslevel=6, mtime=0)
+        for r in records
+    )
+
+
+def _iter_warc_gz_members(
+    container: bytes,
+) -> Iterator[tuple[dict, bytes]]:
+    """Walk concatenated gzip members: yields (index_dict, inflated
+    record bytes) per member.  ``rec_offset``/``rec_len`` are the
+    COMPRESSED member's byte range (the ranged-GET unit);
+    ``payload_offset``/``payload_len`` address within the inflated
+    record.  Inflation is capped at ``_MAX_MEMBER_OUT`` before any
+    allocation; a member must hold exactly one record."""
+    pos = 0
+    n = len(container)
+    count = 0
+    while pos < n:
+        if count >= _MAX_RECORDS:
+            raise ValueError("container declares too many members")
+        if container[pos : pos + 2] != _GZ_MAGIC:
+            raise ValueError(f"bad gzip member magic at {pos}")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            rec_bytes = d.decompress(container[pos:], _MAX_MEMBER_OUT)
+        except zlib.error as exc:
+            raise ValueError(f"member at {pos}: corrupt deflate ({exc})")
+        if not d.eof:
+            raise ValueError(
+                f"member at {pos}: truncated or inflates past "
+                f"{_MAX_MEMBER_OUT} bytes"
+            )
+        consumed = (n - pos) - len(d.unused_data)
+        recs = parse_warc_index(rec_bytes)
+        if len(recs) != 1:
+            raise ValueError(
+                f"member at {pos} holds {len(recs)} records (expected 1)"
+            )
+        rec = dict(recs[0])
+        rec["record_no"] = count
+        rec["rec_offset"] = pos
+        rec["rec_len"] = consumed
+        yield rec, rec_bytes
+        pos += consumed
+        count += 1
+
+
+def parse_warc_gz_index(container: bytes) -> list[dict]:
+    """Index of a gzip-member container (same dict shape as
+    :func:`parse_warc_index`; see :func:`_iter_warc_gz_members` for the
+    offset semantics)."""
+    return [rec for rec, _ in _iter_warc_gz_members(container)]
+
+
+def _iter_records_with_payloads(
+    blob: bytes,
+) -> Iterator[tuple[dict, bytes]]:
+    """Unified record walk: dispatch on the gzip member magic so the
+    index/extract operators serve both transport framings with one
+    code path."""
+    if blob[:2] == _GZ_MAGIC:
+        for rec, rec_bytes in _iter_warc_gz_members(blob):
+            yield rec, rec_bytes[
+                rec["payload_offset"]
+                : rec["payload_offset"] + rec["payload_len"]
+            ]
+    else:
+        for rec in parse_warc_index(blob):
+            yield rec, blob[
+                rec["payload_offset"]
+                : rec["payload_offset"] + rec["payload_len"]
+            ]
+
+
 def attach_warc(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     docs_per_container: int = 8,
+    gzip_members: bool = False,
 ) -> DataFrame:
     """Deterministic containers for the container-less test corpus:
     documents grouped ``docs_per_container`` at a time by
@@ -174,10 +271,11 @@ def attach_warc(
             }
             for i, u, t in zip(pdf[id_col], pdf["url"], pdf[text_col])
         ]
+        enc = encode_warc_gz if gzip_members else encode_warc
         return pd.DataFrame(
             {
                 "container_id": [int(pdf["__cid"].iloc[0])],
-                "container": [encode_warc(recs)],
+                "container": [enc(recs)],
             }
         )
 
@@ -229,11 +327,7 @@ def warc_record_index(df: DataFrame) -> DataFrame:
             rows: dict[str, list] = {f.name: [] for f in _INDEX_SCHEMA}
             for cid, blob in zip(pdf["container_id"], pdf["container"]):
                 blob = bytes(blob)
-                for rec in parse_warc_index(blob):
-                    payload = blob[
-                        rec["payload_offset"]
-                        : rec["payload_offset"] + rec["payload_len"]
-                    ]
+                for rec, payload in _iter_records_with_payloads(blob):
                     rows["container_id"].append(int(cid))
                     rows["record_no"].append(rec["record_no"])
                     rows["rec_offset"].append(rec["rec_offset"])
@@ -279,10 +373,7 @@ def warc_payload_extract(df: DataFrame) -> DataFrame:
             rows: dict[str, list] = {f.name: [] for f in _PAYLOAD_SCHEMA}
             for cid, blob in zip(pdf["container_id"], pdf["container"]):
                 blob = bytes(blob)
-                for rec in parse_warc_index(blob):
-                    payload = warc_range_read(
-                        blob, rec["payload_offset"], rec["payload_len"]
-                    )
+                for rec, payload in _iter_records_with_payloads(blob):
                     rows["container_id"].append(int(cid))
                     rows["record_no"].append(rec["record_no"])
                     rows["target_uri"].append(rec["target_uri"])
@@ -299,3 +390,20 @@ def warc_range_read(container: bytes, offset: int, length: int) -> bytes:
     if offset < 0 or length < 0 or offset + length > len(container):
         raise ValueError("range outside container")
     return container[offset : offset + length]
+
+
+def warc_member_read(container: bytes, offset: int, length: int) -> bytes:
+    """The gzip-member form of the bounded read: fetch the member's
+    (offset, length) range — the index's ``rec_offset``/``rec_len`` for
+    a gzip container — and inflate exactly one member (allocation
+    capped).  Returns the record bytes; the payload is then the index's
+    ``payload_offset``/``payload_len`` slice of THEM."""
+    member = warc_range_read(container, offset, length)
+    d = zlib.decompressobj(wbits=31)
+    try:
+        rec = d.decompress(member, _MAX_MEMBER_OUT)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt gzip member ({exc})")
+    if not d.eof or d.unused_data:
+        raise ValueError("range is not exactly one gzip member")
+    return rec

@@ -1,19 +1,21 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01..r08 each contain exactly 50
-keys equal to dict positions 1-50).  Round-9 rotation (VERDICT r8 Next
-#1): positions 1-18 are this round's NEW entries plus the five round-8
-entries whose OUTPUT changed this round (charref decode + robots funnel
-stage — their r8 green no longer attests the current code, so they are
-driver-checked again at birth), positions 19-50 are the 32 stalest
-oracle-backed entries (last driver-green r4); three r4 entries and
-seasonal_anomalies (r5) were displaced to 51-54, first for r10.  The 10 rows-only entries are PERMANENTLY
-excluded from the window — a slot spent on a ``no_oracle`` row can
-never produce a green driver row (round 7 burned 4 slots that way);
-their md5/exact twins carry the hash signal.  This test keeps the
-window arithmetic from silently regressing when entries are added or
-reordered.
+__spark_entry__.queries() (CORRECTNESS_r01..r09 each contain exactly 50
+keys equal to dict positions 1-50).  Round-10 rotation (VERDICT r9 Next
+#3): positions 1-2 are this round's NEW entries (gzip WARC members,
+driver-checked at birth), positions 3-10 the 8 entries the r9 at-birth
+block displaced (r4/r5-green), positions 11-50 the r5-green block —
+after this window lands, zero r4/r5-stale oracle-backed entries remain.
+Round-10 code changes to already-green entries (robots pattern engine,
+charref sentinel decode, strip_gps single walk, frontier salt) were
+verified output-identical on the driver corpus at sf0.001 AND sf0.01
+before the rotation, so their r9 greens still attest their outputs.
+The 10 rows-only entries are PERMANENTLY excluded from the window — a
+slot spent on a ``no_oracle`` row can never produce a green driver row
+(round 7 burned 4 slots that way); their md5/exact twins carry the hash
+signal.  This test keeps the window arithmetic from silently regressing
+when entries are added or reordered.
 """
 
 import importlib.util
@@ -32,42 +34,40 @@ def entry_mod():
     return mod
 
 
-# Positions 1-18: round-9 additions + changed-output round-8 entries,
-# driver-checked at birth.
-NEW_R9 = [
-    "gopher_quality_flags", "blockword_flags",
-    "robots_noindex_flags", "robots_txt_rules", "robots_disallow_filter",
-    "robots_crawl_delays", "crawl_frontier",
-    "frontier_schedule", "sitemap_locs",
-    "warc_record_index", "warc_payload_extract",
-    "extract_anchors", "anchor_domain_stats",
-    "html_extract", "line_quality_filter", "c4_clean_documents",
-    "line_dedup", "web_curation_funnel",
+# Positions 1-2: round-10 additions, driver-checked at birth.
+NEW_R10 = ["warc_gzip_index", "warc_gzip_extract"]
+
+# Positions 3-10: the entries the r9 at-birth block displaced
+# (r4/r5-green — the stalest remaining).
+DISPLACED_R9 = [
+    "debounce_events", "ri_audit", "incremental_agg", "signal_percentiles",
+    "lsh_knn_join", "dedup_pair_recall", "minhash_pair_recall",
+    "seasonal_anomalies",
 ]
 
-# Positions 19-50: stalest oracle-backed (32 of the 39 r4-stale; entries (last driver-green r4),
-# planner-stable order from tools/plan_rotation.py).
-STALE_R4 = [
-    "funnel_report", "chunk_documents", "temperature_sample",
-    "retention_cohorts", "transition_counts", "weighted_sample",
-    "json_key_profile", "audio_segments", "name_match_pairs",
-    "q16_adapted", "q20_adapted", "corpus_report", "token_histogram",
-    "curate_corpus", "tfidf_pairs", "approx_quantile_flags",
-    "last_touch_attribution", "inter_event_gaps", "ivf_pq_topk",
-    "ann_recall_ivfpq", "bigram_logprob", "q21_adapted",
-    "near_dup_verified", "rfm_features", "psi_drift", "trust_propagation",
-    "session_concurrency", "ann_recall_lsh", "cube_pricing", "zorder_keys",
-    "content_diff_summary", "name_match_verified",
+# Positions 11-50: the r5-green block, planner-stable order from
+# tools/plan_rotation.py.
+STALE_R5 = [
+    "containment_adjacent", "decayed_topk", "k_anonymity", "l_diversity",
+    "q2_adapted", "q11_adapted", "ivf_pq_rerank_topk", "knn_graph_capped",
+    "image_meta_real", "image_ahash_real", "image_near_dup",
+    "cross_corpus_near_dup", "skew_profile", "cluster_safe_split",
+    "profile_orders", "negative_samples", "hard_negatives", "margin_mine",
+    "curation_funnel", "source_datasheet", "dsir_weights",
+    "lsh_candidate_pairs_md5_capped", "cross_corpus_near_dup_capped",
+    "quality_twin_auc", "boilerplate_ngrams", "mixture_epochs",
+    "embedding_drift_psi", "exact_substring_spans", "hll_registers",
+    "hll_union_estimate", "cms_token_sketch", "cms_heavy_hitters",
+    "bloom_custkey_probe", "loghist_price_quantiles",
+    "hll_intersect_customers", "compaction_plan", "cms_join_size_custkey",
+    "hll_rolling_users", "cms_weighted_spenders", "exact_substring_scrub",
 ]
 
-# Positions 51+: the stale entries the 14-wide at-birth block displaced
-# — they sit at the head of the post-window order, first in line for
-# the r10 rotation.
-DISPLACED = ["debounce_events", "ri_audit", "incremental_agg",
-             "signal_percentiles",
-             "lsh_knn_join", "dedup_pair_recall", "minhash_pair_recall",
-             "seasonal_anomalies"]
-
+# Positions 51+: next-stalest, first in line for the r11 rotation.
+NEXT_IN_LINE = [
+    "sketch_validation_lineitem", "loghist_rolling_value",
+    "hll_churn_customers",
+]
 
 
 # Rows-only by design: xxhash64 fast paths carry no SQL oracle (their md5
@@ -93,20 +93,21 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 246
+N_QUERIES = 248
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:18] == NEW_R9
-    assert names[18:50] == STALE_R4
-    assert names[50:58] == DISPLACED
+    assert names[:2] == NEW_R10
+    assert names[2:10] == DISPLACED_R9
+    assert names[10:50] == STALE_R5
+    assert names[50:53] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 18 + 32 == 50: no slot wasted
+    # 2 + 8 + 40 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
-    assert first50 == set(NEW_R9) | set(STALE_R4)
+    assert first50 == set(NEW_R10) | set(DISPLACED_R9) | set(STALE_R5)
 
 
 def test_rows_only_permanently_post_window(entry_mod):

@@ -157,6 +157,106 @@ def test_payload_extract_recovers_original_text(spark):
     assert got == {u: t for _, u, t in docs}  # utf-8 slice boundaries exact
 
 
+class TestGzipMembers:
+    """Round 10: per-record gzip members — the CommonCrawl transport
+    framing (one deflate member per record, members concatenated)."""
+
+    def test_member_roundtrip_and_offsets(self):
+        recs = [
+            {"type": "response", "record_id": f"urn:uuid:{i}",
+             "uri": f"https://g.org/{i}",
+             "payload": (f"body {i} " * (i + 1)).encode()}
+            for i in range(5)
+        ]
+        blob = W.encode_warc_gz(recs)
+        assert blob[:2] == b"\x1f\x8b"
+        idx = W.parse_warc_gz_index(blob)
+        assert [r["record_no"] for r in idx] == list(range(5))
+        # members tile the container exactly
+        assert idx[0]["rec_offset"] == 0
+        for a, b in zip(idx, idx[1:]):
+            assert b["rec_offset"] == a["rec_offset"] + a["rec_len"]
+        assert idx[-1]["rec_offset"] + idx[-1]["rec_len"] == len(blob)
+        # the ranged-GET loop: fetch member bytes, inflate, slice payload
+        for r, want in zip(idx, recs):
+            rec_bytes = W.warc_member_read(
+                blob, r["rec_offset"], r["rec_len"]
+            )
+            got = rec_bytes[
+                r["payload_offset"]: r["payload_offset"] + r["payload_len"]
+            ]
+            assert got == want["payload"]
+        # deterministic synthesis (mtime pinned)
+        assert W.encode_warc_gz(recs) == blob
+
+    def test_malformed_members_raise_bounded(self):
+        import gzip
+
+        import pytest
+
+        recs = [{"type": "response", "record_id": "urn:uuid:1",
+                 "uri": "https://g.org/1", "payload": b"Payload one."}]
+        blob = W.encode_warc_gz(recs)
+        # truncations raise, never hang or over-allocate
+        for cut in (1, 5, len(blob) // 2, len(blob) - 1):
+            with pytest.raises(ValueError):
+                W.parse_warc_gz_index(blob[:cut])
+        # corrupt deflate body
+        bad = blob[:14] + bytes([blob[14] ^ 0xFF]) + blob[15:]
+        with pytest.raises(ValueError):
+            W.parse_warc_gz_index(bad)
+        # a member holding TWO records violates the 1:1 guideline
+        two = gzip.compress(
+            W.encode_warc(recs * 2), compresslevel=6, mtime=0
+        )
+        with pytest.raises(ValueError, match="2 records"):
+            W.parse_warc_gz_index(two)
+        # member_read on a range that is not exactly one member
+        with pytest.raises(ValueError):
+            W.warc_member_read(blob + blob, 0, len(blob) + 4)
+
+    def test_spark_index_and_extract_through_gzip(self, spark):
+        """The index/extract operators detect the member magic per
+        container; payload md5 certifies byte-exact recovery through
+        the deflate round-trip, and container bytes still never
+        shuffle (one MapInPandas, no extra Exchange)."""
+        import hashlib
+
+        docs = [(i, f"https://gz{i % 2}.org/{i}", f"Gz té✓xt {i}.")
+                for i in range(1, 14)]
+        df = spark.createDataFrame(
+            docs, "doc_id: long, url: string, text: string"
+        )
+        containers = {
+            r["container_id"]: bytes(r["container"])
+            for r in W.attach_warc(df, gzip_members=True).collect()
+        }
+        rows = W.warc_record_index(
+            W.attach_warc(df, gzip_members=True)
+        ).collect()
+        assert len(rows) == 13
+        for r in rows:
+            blob = containers[r["container_id"]]
+            rec_bytes = W.warc_member_read(
+                blob, r["rec_offset"], r["rec_len"]
+            )
+            payload = rec_bytes[
+                r["payload_offset"]: r["payload_offset"] + r["payload_len"]
+            ]
+            assert r["payload_md5"] == hashlib.md5(payload).hexdigest()
+        got = {
+            r["target_uri"]: r["text"]
+            for r in W.warc_payload_extract(
+                W.attach_warc(df, gzip_members=True)
+            ).collect()
+        }
+        assert got == {u: t for _, u, t in docs}
+        out = W.warc_record_index(W.attach_warc(df, gzip_members=True))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+        assert plan.count("MapInPandas") == 1
+
+
 class TestAnchors:
     def test_extract_anchors_href_and_text(self, spark):
         from pgferry_spark.operators.html import extract_anchors
