@@ -1051,6 +1051,7 @@ def exact_substring_spans(
     id_col: str,
     w: int = 8,
     min_match_chars: int | None = None,
+    stride: int = 1,
 ) -> DataFrame:
     """Exact-substring duplicate spans — the "Deduplicating Training Data
     Makes Language Models Better" (Lee et al. 2022, arXiv:2107.06499)
@@ -1095,11 +1096,24 @@ def exact_substring_spans(
     output gains a ``span_chars`` column. Cost: one extra equi-join of
     the (small) span table back to a ``(id, tokens)`` projection —
     span-side is duplicate-bounded, so AQE broadcasts it in practice.
+
+    ``stride`` (round 10, VERDICT r9 Next #8) trades recall for span
+    volume on the SAME semantics: windows start every ``stride`` tokens
+    instead of every token (the document tail window is always
+    included), so ``stride=w`` is the non-overlapping grid posture
+    (span_dedup's detection geometry, 1/w the spans), ``stride=w//2``
+    the STAGGERED half-band (2/w the spans — cross-doc matches need a
+    common aligned offset, which the half-band supplies at double
+    density; measured recall lift pinned in the scorecard test), and
+    ``stride=1`` the exact detector.  Keep-first, island merge and the
+    char floor are stride-agnostic.
     """
     from pyspark.sql.window import Window
 
     from ..utils import fan_out
 
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     toks = tokens(F.col(content_col))
     # fan_out is ALSO a projection-collapse barrier: without the Exchange,
     # Catalyst inlines the split() into the transform lambda and
@@ -1111,14 +1125,40 @@ def exact_substring_spans(
     )
     t = F.col("__toks")
     n_win = (F.size(t) - F.lit(w) + 1).cast("int")
-    wins_arr = F.transform(
-        F.sequence(F.lit(0), n_win - 1),
-        lambda i: F.md5(F.array_join(F.slice(t, i + 1, w), " ")),
-    )
-    occurrences = (
-        base.select(F.col(id_col), F.posexplode_outer(wins_arr).alias("pos", "wh"))
-        .filter(F.col("pos").isNotNull())
-    )
+    if stride == 1:
+        wins_arr = F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.md5(F.array_join(F.slice(t, i + 1, w), " ")),
+        )
+        occurrences = (
+            base.select(
+                F.col(id_col), F.posexplode_outer(wins_arr).alias("pos", "wh")
+            )
+            .filter(F.col("pos").isNotNull())
+        )
+    else:
+        # strided starts + the exact tail window (so the document end is
+        # never uncovered); posexplode positions are ARRAY indices, not
+        # offsets, once stride > 1 — carry the offset in the element
+        starts = F.array_distinct(
+            F.concat(
+                F.sequence(F.lit(0), n_win - 1, F.lit(stride)),
+                F.array(n_win - 1),
+            )
+        )
+        wins_arr = F.transform(
+            starts,
+            lambda p: F.struct(
+                p.cast("int").alias("pos"),
+                F.md5(F.array_join(F.slice(t, p + 1, w), " ")).alias("wh"),
+            ),
+        )
+        occurrences = (
+            base.select(F.col(id_col), F.explode_outer(wins_arr).alias("__w"))
+            .filter(F.col("__w").isNotNull())
+            .select(F.col(id_col), F.col("__w.pos").alias("pos"),
+                    F.col("__w.wh").alias("wh"))
+        )
     repeated = (
         occurrences.groupBy("wh")
         .agg(

@@ -536,6 +536,50 @@ class TestSpanDedup:
         # grid (or tokenizer) surface
         recall = len(grid_ids) / len(exact_ids)
         assert recall >= 0.25, (recall, sorted(grid_ids))
+        # staggered half-band (round 10, VERDICT r9 Next #8): stride=w//2
+        # on the exact detector — 2/w the span volume of stride-1, and the
+        # denser alignment lattice recovers most of the grid's miss rate
+        # (cross-doc matches need a COMMON aligned offset; half-stride
+        # doubles the chance).  Soundness is inherited (flagged spans are
+        # exact corpus repeats); pin the measured lift over the grid.
+        stag_ids = {
+            r["id"]
+            for r in exact_substring_spans(
+                df, "text", "id", w=8, stride=4
+            ).collect()
+        }
+        assert stag_ids <= exact_ids
+        stag_recall = len(stag_ids) / len(exact_ids)
+        assert stag_recall >= 0.8, (stag_recall, sorted(stag_ids))
+        assert stag_recall > recall  # the band buys real recall
+
+    def test_strided_spans_match_stride1_on_aligned_dups(self, spark):
+        """stride>1 semantics: on duplicates ALIGNED to the stride
+        lattice the strided detector returns the same flagged docs as
+        stride-1, the tail window is always covered, and stride=1 via
+        the struct path is unreachable (default path unchanged)."""
+        from pgferry_spark.operators.dedup import exact_substring_spans
+
+        phrase = " ".join(f"p{k}" for k in range(8))
+        rows = [
+            (1, phrase + " " + " ".join(f"a{j}" for j in range(8))),
+            (2, phrase + " " + " ".join(f"b{j}" for j in range(8))),
+            # doc 3 duplicates doc 1's TAIL 8 tokens at its own tail
+            (3, " ".join(f"c{j}" for j in range(8))
+                + " " + " ".join(f"a{j}" for j in range(8))),
+            (4, " ".join(f"d{j}" for j in range(16))),
+        ]
+        df = spark.createDataFrame(rows, "id: long, text: string")
+        s1 = {(r["id"], r["span_start"], r["span_end"])
+              for r in exact_substring_spans(df, "text", "id", w=8).collect()}
+        s8 = {(r["id"], r["span_start"], r["span_end"])
+              for r in exact_substring_spans(
+                  df, "text", "id", w=8, stride=8
+              ).collect()}
+        # aligned phrase at pos 0: doc 2 flagged by both; the tail dup
+        # (doc 3 pos 8 == doc 1 pos 8) is lattice-aligned AND tail-covered
+        assert {i for i, *_ in s1} == {2, 3}
+        assert s8 == s1
 
     def test_within_doc_repetition_also_dedups(self, spark):
         from pgferry_spark.operators.dedup import span_dedup
