@@ -3350,6 +3350,26 @@ def _warc_gzip_extract(spark, sf):
     )
 
 
+def _cdx_index(spark, sf):
+    """CDX-style capture index (round 10 — the OTHER half of the
+    CommonCrawl access pattern): the WARC record index keyed by SURT
+    (host labels reversed + ')' + path), so sorting by the key clusters
+    every capture under a domain — and all its subdomains — into one
+    contiguous range, turning 'all captures of example.org' into a
+    range scan over the index instead of a filter over 100 TB of
+    containers.  Composition: warc_record_index ∘ surt_keys; map-only
+    on top of the index rows.  The oracle replays the closed-form WARC
+    arithmetic + the shared SURT template."""
+    from pgferry_spark.operators.domains import surt_keys
+    from pgferry_spark.sources.warc import attach_warc, warc_record_index
+
+    idx = warc_record_index(attach_warc(_docs_with_urls(spark, sf)))
+    return surt_keys(idx, url_col="target_uri").select(
+        "surt", "container_id", "record_no", "rec_offset", "rec_len",
+        "payload_md5",
+    )
+
+
 def _extract_anchors(spark, sf):
     """Anchor harvesting (round 9): (doc_id, anchor_no, href,
     anchor_text) — the web's free label set, mined from whole <a>
@@ -4023,6 +4043,48 @@ def _warc_payload_oracle() -> str:
     """
 
 
+def _cdx_index_oracle() -> str:
+    """The WARC closed-form offset arithmetic (see _warc_index_oracle)
+    + the shared SURT template over the same synthesized target URI."""
+    from pgferry_spark.operators.domains import (
+        HOST_SQL,
+        SURT_DUCK,
+        SURT_SQL,
+        URL_PATH_SQL,
+        URL_SYNTH_SQL,
+    )
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    host = HOST_SQL.format(url="url")
+    path = URL_PATH_SQL.format(url="url")
+    surt = SURT_SQL.format(host="host", path=path, **SURT_DUCK)
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents),
+        hh AS (SELECT *, {host} AS host FROM u),
+        r AS (SELECT doc_id,
+                (doc_id // 8) AS container_id,
+                url, host, text,
+                CAST(strlen(text) AS BIGINT) AS plen,
+                CAST(132 + length(CAST(doc_id AS VARCHAR)) + strlen(url)
+                     + length(CAST(strlen(text) AS VARCHAR)) AS BIGINT)
+                  AS hlen
+              FROM hh),
+        w AS (SELECT *,
+                CAST(row_number() OVER (PARTITION BY container_id
+                     ORDER BY doc_id) - 1 AS INT) AS record_no,
+                SUM(hlen + plen + 4) OVER (PARTITION BY container_id
+                     ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - (hlen + plen + 4) AS rec_offset
+              FROM r)
+        SELECT {surt} AS surt,
+               container_id, record_no,
+               CAST(rec_offset AS BIGINT) AS rec_offset,
+               CAST(hlen + plen + 4 AS BIGINT) AS rec_len,
+               md5(text) AS payload_md5
+        FROM w
+    """
+
+
 def _warc_gzip_index_oracle() -> str:
     """The closed-form half of the gzip index: record identity,
     uncompressed payload length, payload md5, type, URI — everything
@@ -4239,6 +4301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # members), driver-checked at birth
         "warc_gzip_index": _warc_gzip_index,
         "warc_gzip_extract": _warc_gzip_extract,
+        "cdx_index": _cdx_index,
         # --- positions 3-50: stalest oracle-backed entries
         # (r4/r5-green; planner-stable order, zero r4/r5-stale
         # entries remain after this window lands)
@@ -8948,6 +9011,7 @@ def oracle_sql() -> dict[str, str]:
         # the deflate round-trip)
         "warc_gzip_index": _warc_gzip_index_oracle(),
         "warc_gzip_extract": _warc_payload_oracle(),
+        "cdx_index": _cdx_index_oracle(),
         "extract_anchors": _anchors_cte()
         + "SELECT doc_id, anchor_no, href, anchor_text FROM a",
         "anchor_domain_stats": _anchor_stats_oracle(),

@@ -202,8 +202,10 @@ HEADLINE = [
     "extract_anchors",
     "anchor_domain_stats",
     # round 10: gzip WARC members (the CommonCrawl transport framing)
+    # + the SURT-keyed CDX capture index
     "warc_gzip_index",
     "warc_gzip_extract",
+    "cdx_index",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -120,6 +120,40 @@ QCLEAN_SQL = (
 )
 
 
+# SURT (Sort-friendly URI Reordering Transform) — the web-archive /
+# CommonCrawl CDX index key: host labels reversed and comma-joined,
+# then ')' and the lowercased path+query.  Sorting by SURT clusters
+# every capture of a registrable domain (and all its subdomains) into
+# ONE contiguous key range — that is what turns a CDX lookup ("every
+# capture under example.org") into a range scan instead of a filter
+# over the whole index.  The engines' array dialects genuinely differ,
+# so the three function names ride per-engine parameters (the {g}/{ref}
+# discipline): {split} = regex split (Spark 'split', DuckDB
+# 'string_split_regex'), {rev} = list reverse (Spark 'reverse', DuckDB
+# 'list_reverse'), {join} = list join (Spark 'array_join', DuckDB
+# 'array_to_string'); every other byte is shared verbatim.
+SURT_SQL = "{join}({rev}({split}({host}, '[.]')), ',') || ')' || {path}"
+SURT_SPARK = {"split": "split", "rev": "reverse", "join": "array_join"}
+SURT_DUCK = {
+    "split": "string_split_regex",
+    "rev": "list_reverse",
+    "join": "array_to_string",
+}
+
+
+def surt_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append the ``surt`` CDX key column (host labels reversed +
+    ')' + lowercased path-and-query).  Map-only; composes with
+    :func:`~pgferry_spark.sources.warc.warc_record_index` into the
+    CDX-style capture index a web archive serves lookups from."""
+    base = df if "host" in df.columns else with_host_domain(df, url_col)
+    path = URL_PATH_SQL.format(url=url_col)
+    return base.withColumn(
+        "surt",
+        F.expr(SURT_SQL.format(host="host", path=path, **SURT_SPARK)),
+    )
+
+
 def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds ``nurl``, the canonical crawl-dedup key. Requires/derives the
     ``host`` column (see :func:`with_host_domain`); map-only codegen."""

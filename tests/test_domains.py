@@ -544,3 +544,62 @@ def test_url_path_template_identical_both_engines(spark):
             params=[u],
         ).fetchone()
         assert (sp["p"], sp["s"]) == dk, u
+
+
+def test_surt_template_identical_both_engines(spark):
+    """SURT_SQL (round 10, the CDX key) evaluates identically in Spark
+    and DuckDB across the per-engine function-name params, and the key
+    has the clustering property sorting exists for: every capture under
+    a domain — subdomains included — shares the reversed-label prefix."""
+    from pgferry_spark.operators.domains import (
+        HOST_SQL,
+        SURT_DUCK,
+        SURT_SPARK,
+        SURT_SQL,
+        URL_PATH_SQL,
+    )
+
+    urls = [
+        "https://www.example.org/articles/1?x=2",
+        "https://a.b.example.org/articles/1",
+        "HTTP://Media.example.org:8080/p?q=7",
+        "example.org/post/9",
+        "https://192.168.3.10/raw",
+    ]
+    host = HOST_SQL.format(url="u")
+    path = URL_PATH_SQL.format(url="u")
+    sp_expr = SURT_SQL.format(host=f"({host})", path=path, **SURT_SPARK)
+    dk_expr = SURT_SQL.format(host=f"({host})", path=path, **SURT_DUCK)
+    got = []
+    for u in urls:
+        sp = (
+            spark.createDataFrame([(u,)], "u: string")
+            .select(F.expr(sp_expr).alias("s"))
+            .first()["s"]
+        )
+        dk = duckdb.sql(
+            f"SELECT {dk_expr} AS s FROM (SELECT ? AS u)", params=[u]
+        ).fetchone()[0]
+        assert sp == dk, u
+        got.append(sp)
+    assert got[0] == "org,example,www)/articles/1?x=2"
+    assert got[1] == "org,example,b,a)/articles/1"
+    assert got[2] == "org,example,media)/p?q=7"
+    assert got[3] == "org,example)/post/9"
+    # the clustering property: all example.org captures share the prefix
+    assert all(s.startswith("org,example") for s in got[:4])
+    assert got[4] == "10,3,168,192)/raw"
+
+
+def test_surt_keys_operator_map_only(spark):
+    from pgferry_spark.operators.domains import surt_keys
+
+    df = spark.createDataFrame(
+        [(1, "https://www.ex.org/a"), (2, "https://cdn.ex.org/b?z=1")],
+        "doc_id: long, url: string",
+    )
+    out = surt_keys(df)
+    got = {r.doc_id: r.surt for r in out.collect()}
+    assert got == {1: "org,ex,www)/a", 2: "org,ex,cdn)/b?z=1"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only
