@@ -3370,6 +3370,66 @@ def _cdx_index(spark, sf):
     )
 
 
+def _warc_captures(spark, sf):
+    """Capture stream with deterministic RE-CAPTURES for the revisit
+    entries: every doc_id % 4 == 1 document is fetched a second time
+    (capture_id = doc_id + 10^7, same URL, same bytes) — the unchanged
+    re-crawl a revisit record exists for."""
+    d = _docs_with_urls(spark, sf).select(
+        F.col("doc_id").alias("capture_id"), "url", "text"
+    )
+    re_caps = (
+        _docs_with_urls(spark, sf)
+        .filter(F.col("doc_id") % 4 == 1)
+        .select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("capture_id"),
+            "url", "text",
+        )
+    )
+    return d.unionAll(re_caps)
+
+
+def _warc_revisit_resolve(spark, sf):
+    """ISO 28500 revisit records (round 10) — crawl-time storage dedup:
+    per payload digest the first capture stores a response record,
+    every later identical capture a small revisit record
+    (WARC-Refers-To + WARC-Payload-Digest, no payload); the resolver
+    rehydrates every capture from the single stored copy via a slim
+    digest equi-join.  The oracle replays the keeper election as a
+    window-min over md5(text) and hands back the ORIGINAL text for all
+    captures, so green certifies the whole loop — digest keep-first,
+    revisit framing, cross-container resolution — byte-exactly."""
+    from pgferry_spark.sources.warc import (
+        attach_warc_revisits,
+        warc_revisit_resolve,
+    )
+
+    return warc_revisit_resolve(
+        attach_warc_revisits(_warc_captures(spark, sf))
+    )
+
+
+def _warc_revisit_stats(spark, sf):
+    """The storage-savings rollup a crawl operator reads: captures,
+    revisits, and the payload bytes the revisit records did NOT store
+    (octet length of the deduplicated payloads)."""
+    from pgferry_spark.sources.warc import (
+        attach_warc_revisits,
+        warc_revisit_resolve,
+    )
+
+    r = warc_revisit_resolve(attach_warc_revisits(_warc_captures(spark, sf)))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum(F.col("is_revisit").cast("bigint")).alias("n_revisits"),
+        F.sum(
+            F.when(F.col("is_revisit"), F.octet_length("text")).otherwise(
+                F.lit(0)
+            )
+        ).alias("bytes_saved"),
+    )
+
+
 def _extract_anchors(spark, sf):
     """Anchor harvesting (round 9): (doc_id, anchor_no, href,
     anchor_text) — the web's free label set, mined from whole <a>
@@ -4043,6 +4103,46 @@ def _warc_payload_oracle() -> str:
     """
 
 
+def _warc_captures_cte() -> str:
+    """Shared capture-stream replay: documents + the deterministic
+    doc_id % 4 == 1 re-captures at capture_id = doc_id + 10^7."""
+    from pgferry_spark.operators.domains import URL_SYNTH_SQL
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents),
+        caps AS (SELECT doc_id AS capture_id, url, text FROM u
+                 UNION ALL
+                 SELECT doc_id + 10000000 AS capture_id, url, text
+                 FROM u WHERE doc_id % 4 = 1),
+        k AS (SELECT *, min(capture_id) OVER (PARTITION BY md5(text))
+                AS keeper
+              FROM caps)
+    """
+
+
+def _warc_revisit_oracle() -> str:
+    """Keeper election replayed as a window-min over md5(text); text is
+    the ORIGINAL capture text for every row, so hash-green means the
+    revisit loop recovered every byte through the indirection."""
+    return _warc_captures_cte() + """
+        SELECT capture_id, url AS target_uri,
+               capture_id <> keeper AS is_revisit, text
+        FROM k
+    """
+
+
+def _warc_revisit_stats_oracle() -> str:
+    return _warc_captures_cte() + """
+        SELECT CAST(count(*) AS BIGINT) AS n_captures,
+               CAST(sum(CASE WHEN capture_id <> keeper THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_revisits,
+               CAST(sum(CASE WHEN capture_id <> keeper
+                    THEN strlen(text) ELSE 0 END) AS BIGINT) AS bytes_saved
+        FROM k
+    """
+
+
 def _cdx_index_oracle() -> str:
     """The WARC closed-form offset arithmetic (see _warc_index_oracle)
     + the shared SURT template over the same synthesized target URI."""
@@ -4302,6 +4402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_gzip_index": _warc_gzip_index,
         "warc_gzip_extract": _warc_gzip_extract,
         "cdx_index": _cdx_index,
+        "warc_revisit_resolve": _warc_revisit_resolve,
+        "warc_revisit_stats": _warc_revisit_stats,
         # --- positions 3-50: stalest oracle-backed entries
         # (r4/r5-green; planner-stable order, zero r4/r5-stale
         # entries remain after this window lands)
@@ -9012,6 +9114,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_gzip_index": _warc_gzip_index_oracle(),
         "warc_gzip_extract": _warc_payload_oracle(),
         "cdx_index": _cdx_index_oracle(),
+        "warc_revisit_resolve": _warc_revisit_oracle(),
+        "warc_revisit_stats": _warc_revisit_stats_oracle(),
         "extract_anchors": _anchors_cte()
         + "SELECT doc_id, anchor_no, href, anchor_text FROM a",
         "anchor_domain_stats": _anchor_stats_oracle(),

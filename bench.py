@@ -202,10 +202,12 @@ HEADLINE = [
     "extract_anchors",
     "anchor_domain_stats",
     # round 10: gzip WARC members (the CommonCrawl transport framing)
-    # + the SURT-keyed CDX capture index
+    # + the SURT-keyed CDX capture index + revisit-record storage dedup
     "warc_gzip_index",
     "warc_gzip_extract",
     "cdx_index",
+    "warc_revisit_resolve",
+    "warc_revisit_stats",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -89,16 +89,27 @@ _MAX_MEMBER_OUT = 64 * 1024 * 1024
 
 def encode_warc(records: list[dict]) -> bytes:
     """Build a container from ``[{"type", "record_id", "uri", "date",
-    "payload"(bytes)}, ...]`` — the ISO 28500 record framing."""
+    "payload"(bytes)}, ...]`` — the ISO 28500 record framing.  Optional
+    keys ``refers_to`` (WARC-Refers-To — the record id of the original
+    capture) and ``payload_digest`` (WARC-Payload-Digest) emit the two
+    headers a REVISIT record carries (ISO 28500 §6.7.2: a re-fetch
+    whose payload is unchanged stores a small pointer record instead of
+    the payload again — crawl-time storage dedup)."""
     out = []
     for r in records:
         payload = r["payload"]
+        extra = ""
+        if r.get("refers_to"):
+            extra += f"WARC-Refers-To: <{r['refers_to']}>\r\n"
+        if r.get("payload_digest"):
+            extra += f"WARC-Payload-Digest: {r['payload_digest']}\r\n"
         head = (
             "WARC/1.0\r\n"
             f"WARC-Type: {r['type']}\r\n"
             f"WARC-Record-ID: <{r['record_id']}>\r\n"
             f"WARC-Target-URI: {r['uri']}\r\n"
             f"WARC-Date: {r.get('date', WARC_DATE)}\r\n"
+            f"{extra}"
             f"Content-Length: {len(payload)}\r\n"
             "\r\n"
         ).encode("utf-8")
@@ -150,6 +161,9 @@ def parse_warc_index(container: bytes) -> list[dict]:
                 "warc_type": headers.get("warc-type", ""),
                 "target_uri": headers.get("warc-target-uri", ""),
                 "warc_date": headers.get("warc-date", ""),
+                "record_id": headers.get("warc-record-id", "").strip("<>"),
+                "refers_to": headers.get("warc-refers-to", "").strip("<>"),
+                "payload_digest": headers.get("warc-payload-digest", ""),
             }
         )
         pos = rec_end
@@ -288,6 +302,152 @@ def attach_warc(
         .select("__cid", id_col, "url", text_col)
         .groupBy("__cid")
         .applyInPandas(build, schema=schema)
+    )
+
+
+def attach_warc_revisits(
+    df: DataFrame,
+    id_col: str = "capture_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    docs_per_container: int = 8,
+) -> DataFrame:
+    """Containers with ISO 28500 REVISIT records — crawl-time storage
+    dedup, the way real archives avoid re-storing identical payloads:
+    per payload digest the FIRST capture (min capture id, corpus-wide)
+    stores a full ``response`` record; every later identical capture
+    stores a small ``revisit`` record carrying WARC-Refers-To (the
+    keeper's record id) + WARC-Payload-Digest and NO payload.
+
+    Scale shape: the keeper election is ONE map-side-combinable
+    aggregate on the 16-byte digest (the exact-dedup shuffle) + a slim
+    digest equi-join back; the container build then groups captures
+    exactly like :func:`attach_warc` — the bytes that never get written
+    are the point."""
+    schema = StructType(
+        [
+            StructField("container_id", LongType(), False),
+            StructField("container", BinaryType(), False),
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col), F.col(url_col).alias("__url"),
+        F.col(text_col).alias("__text"),
+    ).withColumn("__dig", F.md5(F.col("__text")))
+    keepers = keyed.groupBy("__dig").agg(F.min(id_col).alias("__keeper"))
+    marked = keyed.join(keepers, "__dig")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        recs = []
+        for cid, url, text, dig, keeper in zip(
+            pdf[id_col], pdf["__url"], pdf["__text"], pdf["__dig"],
+            pdf["__keeper"],
+        ):
+            cid, keeper = int(cid), int(keeper)
+            if cid == keeper:
+                recs.append(
+                    {
+                        "type": "response",
+                        "record_id": f"urn:uuid:{cid}",
+                        "uri": url,
+                        "payload": text.encode("utf-8"),
+                    }
+                )
+            else:
+                recs.append(
+                    {
+                        "type": "revisit",
+                        "record_id": f"urn:uuid:{cid}",
+                        "uri": url,
+                        "payload": b"",
+                        "refers_to": f"urn:uuid:{keeper}",
+                        "payload_digest": f"md5:{dig}",
+                    }
+                )
+        return pd.DataFrame(
+            {
+                "container_id": [int(pdf["__cid"].iloc[0])],
+                "container": [encode_warc(recs)],
+            }
+        )
+
+    return (
+        marked.withColumn(
+            "__cid", F.expr(f"{id_col} div {docs_per_container}")
+        )
+        .groupBy("__cid")
+        .applyInPandas(build, schema=schema)
+    )
+
+
+_RESOLVE_SCAN_SCHEMA = StructType(
+    [
+        StructField("capture_id", LongType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_type", StringType(), True),
+        StructField("digest", StringType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def warc_revisit_resolve(df: DataFrame) -> DataFrame:
+    """Extraction with revisit RESOLUTION: one Arrow pass per container
+    emits response rows WITH their text + digest and revisit rows with
+    the WARC-Payload-Digest they point at; a digest equi-join of the
+    slim revisit rows to the stored-copy rows rehydrates each revisit
+    from the single kept payload.  Returns ``(capture_id, target_uri,
+    is_revisit, text)`` for EVERY capture.
+
+    Scale shape: containers are read ONCE and never shuffle (one
+    MapInPandas, plan-pinned — a join back to a keeper projection would
+    recompute the scan on its second branch and parse every container
+    twice); the resolution is one digest-keyed exchange of the slim
+    scan rows where only the single stored copy per digest carries
+    text, and the keeper's text propagates to its revisits as a
+    per-digest window max (at cluster scale the same digest lookup
+    yields the keeper's (container, offset, length) instead and
+    rehydration is a bounded range read — :func:`warc_range_read`)."""
+    import hashlib
+
+    from pyspark.sql.window import Window
+
+    from ..utils import fan_out
+
+    base = fan_out(df, "container_id")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in _RESOLVE_SCAN_SCHEMA
+            }
+            for blob in pdf["container"]:
+                blob = bytes(blob)
+                for rec, payload in _iter_records_with_payloads(blob):
+                    cap = int(rec["record_id"].rsplit(":", 1)[-1])
+                    rows["capture_id"].append(cap)
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["warc_type"].append(rec["warc_type"])
+                    if rec["warc_type"] == "revisit":
+                        rows["digest"].append(
+                            rec["payload_digest"].split(":", 1)[-1]
+                        )
+                        rows["text"].append(None)
+                    else:
+                        rows["digest"].append(
+                            hashlib.md5(payload).hexdigest()
+                        )
+                        rows["text"].append(payload.decode("utf-8"))
+            yield pd.DataFrame(rows)
+
+    scanned = base.mapInPandas(scan, schema=_RESOLVE_SCAN_SCHEMA)
+    ktext = F.max("text").over(Window.partitionBy("digest"))
+    return scanned.select(
+        "capture_id",
+        "target_uri",
+        (F.col("warc_type") == "revisit").alias("is_revisit"),
+        F.coalesce("text", ktext).alias("text"),
     )
 
 

@@ -257,6 +257,67 @@ class TestGzipMembers:
         assert plan.count("MapInPandas") == 1
 
 
+class TestRevisitRecords:
+    """Round 10: ISO 28500 revisit records — crawl-time storage dedup."""
+
+    def test_revisit_encode_resolve_roundtrip(self, spark):
+        from pgferry_spark.sources.warc import (
+            attach_warc_revisits,
+            parse_warc_index,
+            warc_revisit_resolve,
+        )
+
+        caps = [
+            (1, "https://a.org/x", "Shared body one."),
+            (2, "https://b.org/y", "Unique body two."),
+            # identical re-captures of capture 1 (cross-container: 17
+            # lands in a different container than 1 at 8/container)
+            (9, "https://a.org/x", "Shared body one."),
+            (17, "https://a.org/x", "Shared body one."),
+            # different doc, same bytes -> also a revisit of capture 1
+            (3, "https://c.org/z", "Shared body one."),
+        ]
+        df = spark.createDataFrame(
+            caps, "capture_id: long, url: string, text: string"
+        )
+        containers = attach_warc_revisits(df)
+        blobs = {r.container_id: bytes(r.container)
+                 for r in containers.collect()}
+        # the raw framing: exactly ONE response per distinct payload,
+        # revisits carry Refers-To + Payload-Digest and EMPTY payloads
+        recs = [r for b in blobs.values() for r in parse_warc_index(b)]
+        by_cap = {int(r["record_id"].rsplit(":", 1)[-1]): r for r in recs}
+        assert by_cap[1]["warc_type"] == "response"
+        assert by_cap[2]["warc_type"] == "response"
+        for cid in (3, 9, 17):
+            assert by_cap[cid]["warc_type"] == "revisit"
+            assert by_cap[cid]["payload_len"] == 0
+            assert by_cap[cid]["refers_to"] == "urn:uuid:1"
+            assert by_cap[cid]["payload_digest"].startswith("md5:")
+        # resolution rehydrates EVERY capture byte-exactly
+        got = {r.capture_id: (r.is_revisit, r.text)
+               for r in warc_revisit_resolve(containers).collect()}
+        want = {cid: t for cid, _u, t in caps}
+        assert {c: t for c, (_rv, t) in got.items()} == want
+        assert {c for c, (rv, _t) in got.items() if rv} == {3, 9, 17}
+
+    def test_revisit_containers_never_shuffle(self, spark):
+        from pgferry_spark.sources.warc import (
+            attach_warc_revisits,
+            warc_revisit_resolve,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"https://s.org/{i}", f"Body {i % 3}.") for i in range(20)],
+            "capture_id: long, url: string, text: string",
+        )
+        out = warc_revisit_resolve(attach_warc_revisits(df))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one Arrow scan of the containers; the joins downstream move
+        # only the slim scan rows (digest/text), never container bytes
+        assert plan.count("MapInPandas") == 1
+
+
 class TestAnchors:
     def test_extract_anchors_href_and_text(self, spark):
         from pgferry_spark.operators.html import extract_anchors
