@@ -1469,6 +1469,17 @@ def _bigram_logprob(spark, sf):
     )
 
 
+def _ccnet_buckets(spark, sf):
+    """CCNet perplexity tiers (round 10): per language, head/middle/tail
+    thirds by bigram-LM score — the CommonCrawl quality-mixture stage.
+    Bucketing is by distinct (lang, score) CLASS with integer tier
+    arithmetic (3*n_gt < n), so ties never straddle a boundary and the
+    class window ranks the bounded class table, never documents."""
+    return filters.ccnet_buckets(
+        _t(spark, sf, "documents"), "text", "doc_id"
+    )
+
+
 def _length_outliers(spark, sf):
     """Per-language exact-percentile length outliers (docs a curation
     pass would drop)."""
@@ -4103,6 +4114,65 @@ def _warc_payload_oracle() -> str:
     """
 
 
+def _bigram_logprob_sql() -> str:
+    """Shared bigram-LM CTE chain (through the per-position ``scored``
+    relation) — the bigram_logprob entry closes it with the per-doc
+    aggregate; ccnet_buckets layers the tier arithmetic on top."""
+    return f"""
+            WITH tk AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+            uni AS (
+              SELECT token, COUNT(*) AS cnt_u
+              FROM (SELECT unnest(toks) AS token FROM tk) GROUP BY token
+            ),
+            tot AS (SELECT SUM(cnt_u) AS total FROM uni),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(len(toks) - 1),
+                                           i -> [toks[i + 1], toks[i + 2]])) AS pair
+              FROM tk WHERE len(toks) >= 2
+            ),
+            bgc AS (SELECT pair, COUNT(*) AS cnt_b FROM bg GROUP BY pair),
+            scored AS (
+              SELECT bg.doc_id,
+                     ln(0.75 * CAST(c.cnt_b AS DOUBLE) / up.cnt_u
+                        + 0.25 * CAST(uc.cnt_u AS DOUBLE) / tot.total) AS lp
+              FROM bg
+              JOIN bgc c USING (pair)
+              JOIN uni up ON up.token = bg.pair[1]
+              JOIN uni uc ON uc.token = bg.pair[2]
+              CROSS JOIN tot
+            )
+    """
+
+
+def _ccnet_buckets_oracle() -> str:
+    """Tier replay: the shared bigram chain → per-doc score + lang →
+    distinct (lang, score) classes → strictly-higher cumulative count →
+    the 3·n_gt < n integer tier rule.  The class window ranks distinct
+    classes (no ties in its ordering by construction), mirroring the
+    Spark side exactly."""
+    return _bigram_logprob_sql() + """
+            , sc AS (
+              SELECT s.doc_id, d.lang, s.logprob
+              FROM (SELECT doc_id, ROUND(AVG(lp), 6) AS logprob
+                    FROM scored GROUP BY doc_id) s
+              JOIN documents d USING (doc_id)
+            ),
+            cls AS (SELECT lang, logprob, COUNT(*) AS c
+                    FROM sc GROUP BY lang, logprob),
+            cw AS (SELECT lang, logprob,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY logprob DESC
+                                  ROWS UNBOUNDED PRECEDING) - c AS gt,
+                     SUM(c) OVER (PARTITION BY lang) AS n
+                   FROM cls)
+            SELECT sc.doc_id, sc.lang, sc.logprob,
+                   CASE WHEN cw.gt * 3 < cw.n THEN 'head'
+                        WHEN cw.gt * 3 < cw.n * 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc JOIN cw USING (lang, logprob)
+    """
+
+
 def _warc_captures_cte() -> str:
     """Shared capture-stream replay: documents + the deterministic
     doc_id % 4 == 1 re-captures at capture_id = doc_id + 10^7."""
@@ -4404,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": _cdx_index,
         "warc_revisit_resolve": _warc_revisit_resolve,
         "warc_revisit_stats": _warc_revisit_stats,
+        "ccnet_buckets": _ccnet_buckets,
         # --- positions 3-50: stalest oracle-backed entries
         # (r4/r5-green; planner-stable order, zero r4/r5-stale
         # entries remain after this window lands)
@@ -8055,33 +8126,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # λ = 0.75 on purpose: 0.75/0.25 are exact binary doubles, so the
         # SQL literals equal the Spark plan's literals bit-for-bit
-        "bigram_logprob": f"""
-            WITH tk AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
-            uni AS (
-              SELECT token, COUNT(*) AS cnt_u
-              FROM (SELECT unnest(toks) AS token FROM tk) GROUP BY token
-            ),
-            tot AS (SELECT SUM(cnt_u) AS total FROM uni),
-            bg AS (
-              SELECT doc_id,
-                     unnest(list_transform(range(len(toks) - 1),
-                                           i -> [toks[i + 1], toks[i + 2]])) AS pair
-              FROM tk WHERE len(toks) >= 2
-            ),
-            bgc AS (SELECT pair, COUNT(*) AS cnt_b FROM bg GROUP BY pair),
-            scored AS (
-              SELECT bg.doc_id,
-                     ln(0.75 * CAST(c.cnt_b AS DOUBLE) / up.cnt_u
-                        + 0.25 * CAST(uc.cnt_u AS DOUBLE) / tot.total) AS lp
-              FROM bg
-              JOIN bgc c USING (pair)
-              JOIN uni up ON up.token = bg.pair[1]
-              JOIN uni uc ON uc.token = bg.pair[2]
-              CROSS JOIN tot
-            )
+        "bigram_logprob": _bigram_logprob_sql()
+        + """
             SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 6) AS logprob
             FROM scored GROUP BY doc_id
         """,
+        "ccnet_buckets": _ccnet_buckets_oracle(),
         "length_outliers": """
             WITH bounds AS (
               SELECT lang,

@@ -208,6 +208,8 @@ HEADLINE = [
     "cdx_index",
     "warc_revisit_resolve",
     "warc_revisit_stats",
+    # round 10: CCNet perplexity tiers
+    "ccnet_buckets",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

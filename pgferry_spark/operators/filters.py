@@ -417,6 +417,56 @@ def bigram_logprob_scores(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lang_col: str = "lang",
+    lam: float = 0.75,
+) -> DataFrame:
+    """CCNet perplexity tiers (Wenzek et al. 2020, arXiv:1911.00359
+    §4.3): per language, documents split into head / middle / tail
+    thirds by their LM score — the quality-mixture knob CommonCrawl
+    curation feeds into sampling (train mostly on head, keep some
+    middle for diversity, drop or down-weight tail).
+
+    Bucketing is by SCORE CLASS, not by row rank: every document
+    sharing a (6dp-quantized) score lands in the same bucket, so ties
+    never straddle a tier boundary and the assignment is deterministic
+    and engine-replayable.  A document is ``head`` when fewer than a
+    third of its language's documents score strictly higher, ``middle``
+    below two thirds, else ``tail`` — integer arithmetic only
+    (``3·n_gt < n``), no percentile floats.
+
+    Returns ``(id, lang, logprob, bucket)`` for every document with a
+    scored bigram.
+
+    Scale shape: scoring is :func:`bigram_logprob_scores` (one tokenize
+    pass); the tier boundaries come from the DISTINCT (lang, score)
+    class table — bounded by score quantization, NOT corpus size — so
+    the per-language cumulative window ranks classes, never documents,
+    and the assignment joins back on (lang, score).  At 100 TB the
+    class table is the only globally-ordered artifact and it is tiny."""
+    scored = bigram_logprob_scores(df, text_col, id_col, lam=lam)
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    s = scored.join(langs, id_col).select(id_col, "lang", "logprob")
+    cls = s.groupBy("lang", "logprob").agg(F.count(F.lit(1)).alias("__c"))
+    wl = Window.partitionBy("lang").orderBy(F.col("logprob").desc())
+    cls = (
+        cls.withColumn("__gt", F.sum("__c").over(wl) - F.col("__c"))
+        .withColumn("__n", F.sum("__c").over(Window.partitionBy("lang")))
+    )
+    bucket = (
+        F.when(F.col("__gt") * 3 < F.col("__n"), F.lit("head"))
+        .when(F.col("__gt") * 3 < F.col("__n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    tiers = cls.select("lang", "logprob", bucket.alias("bucket"))
+    return s.join(tiers, ["lang", "logprob"]).select(
+        id_col, "lang", "logprob", "bucket"
+    )
+
+
 def length_outlier_bounds(
     df: DataFrame, group_col: str, value_col: str, lo: float = 0.05, hi: float = 0.95
 ) -> DataFrame:

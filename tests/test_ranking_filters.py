@@ -366,6 +366,45 @@ class TestBigramLogprob:
         assert big[99] < big[0]  # transition model can
 
 
+class TestCCNetBuckets:
+    def test_tiers_by_language_with_tie_atomicity(self, spark):
+        """CCNet head/middle/tail per language: prose-like repeated
+        phrases land in head, shuffled word salad in tail; documents
+        sharing a score class share a bucket (ties never straddle a
+        boundary); languages tier independently."""
+        from pgferry_spark.operators.filters import ccnet_buckets
+
+        # three DISJOINT-vocabulary families: within each, transitions
+        # are deterministic (bigram term identical), so the interpolated
+        # unigram term orders them by corpus support — 6-doc family >
+        # 3-doc family > per-doc-unique words.  en n=12: the 6-doc head
+        # class overflows its third but stays atomic; middle starts at
+        # n_gt=6 (18 >= 12, < 24); the unique-word docs share one score
+        # class at n_gt=9 (27 >= 24) -> tail.
+        rows = (
+            [(i, "alpha beta gamma", "en") for i in range(6)]
+            + [(10 + i, "delta epsilon zeta", "en") for i in range(3)]
+            + [(20 + i, f"u{i}a u{i}b u{i}c", "en") for i in range(3)]
+            # fr: every doc identical -> ONE class; 3*n_gt(=0) < n for
+            # all, so the whole language is head (tie atomicity)
+            + [(30 + i, "chien chat " * 3, "fr") for i in range(4)]
+        )
+        df = spark.createDataFrame(
+            rows, "doc_id: long, text: string, lang: string"
+        )
+        got = {r.doc_id: r for r in
+               ccnet_buckets(df, "text", "doc_id").collect()}
+        assert all(got[i].bucket == "head" for i in range(6))
+        assert all(got[10 + i].bucket == "middle" for i in range(3))
+        assert all(got[20 + i].bucket == "tail" for i in range(3))
+        assert all(got[30 + i].bucket == "head" for i in range(4))
+        # per-class consistency: same (lang, score) -> same bucket
+        by_class = {}
+        for r in got.values():
+            by_class.setdefault((r.lang, r.logprob), set()).add(r.bucket)
+        assert all(len(v) == 1 for v in by_class.values())
+
+
 class TestApproxDistinct:
     def test_within_tolerance_and_exact_counts(self, spark):
         from pgferry_spark.operators.checks import approx_distinct_check
