@@ -253,6 +253,48 @@ def test_warc_ingest_stream_appends_index_exactly_once(spark, tmp_path):
     assert got == b"Doc body 3."
 
 
+def test_warc_ingest_stream_gzip_members(spark, tmp_path):
+    """Round 10: the streamed ingest handles the CommonCrawl transport
+    framing unchanged — warc_record_index detects the gzip member magic
+    per container, so per-record-gzipped containers stream into the
+    same lake index; the persisted member ranges recover a document via
+    range read + capped inflate."""
+    from pgferry_spark.sources.warc import (
+        attach_warc,
+        warc_member_read,
+    )
+    from pgferry_spark.streaming.events import warc_ingest_stream
+
+    src = str(tmp_path / "gz_src")
+    ckpt = str(tmp_path / "gz_ckpt")
+    t = LakeTable(spark, str(tmp_path / "gz_idx"))
+    docs = spark.createDataFrame(
+        [(i, f"https://g.org/{i}", f"Gz body {i}.") for i in range(1, 9)],
+        "doc_id: long, url: string, text: string",
+    )
+    attach_warc(docs, gzip_members=True).write.mode("overwrite").parquet(src)
+    q = warc_ingest_stream(
+        spark.readStream.schema(
+            "container_id long, container binary"
+        ).parquet(src),
+        t, ckpt, query_name="gz_ingest",
+    )
+    q.awaitTermination()
+    assert [s.op for s in t.history()] == ["batch:gz_ingest:0"]
+    rows = t.read().collect()
+    assert len(rows) == 8
+    blobs = {
+        r["container_id"]: bytes(r["container"])
+        for r in spark.read.parquet(src).collect()
+    }
+    row = [r for r in rows if r["target_uri"].endswith("/5")][0]
+    rec = warc_member_read(
+        blobs[row["container_id"]], row["rec_offset"], row["rec_len"]
+    )
+    pay = rec[row["payload_offset"]: row["payload_offset"] + row["payload_len"]]
+    assert pay == b"Gz body 5."
+
+
 def test_stream_materialized_agg_incremental_equals_recompute(spark, tmp_path):
     from pyspark.sql import functions as F
 
