@@ -318,6 +318,52 @@ class TestRevisitRecords:
         assert plan.count("MapInPandas") == 1
 
 
+def test_cdx_range_layout_prunes_by_surt_prefix(spark, tmp_path):
+    """The property the SURT key exists for, proven on a real layout:
+    range-partitioned-by-surt parquet gives per-FILE disjoint key
+    ranges, so 'every capture under one domain' touches a strict subset
+    of files — at 100 TB a CDX lookup is a file-pruned range scan, not
+    an index-wide filter."""
+    import glob
+
+    from pgferry_spark.operators.domains import surt_keys
+
+    docs = spark.createDataFrame(
+        [(i, f"https://sub{i % 3}.site{i % 11}.org/p/{i}")
+         for i in range(400)],
+        "doc_id: long, url: string",
+    )
+    cdx = surt_keys(docs).select("surt", "doc_id")
+    out = str(tmp_path / "cdx_layout")
+    (cdx.repartitionByRange(8, "surt")
+        .sortWithinPartitions("surt")
+        .write.parquet(out))
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) > 3
+    ranges = []
+    for f in files:
+        pf = spark.read.parquet(f).agg(
+            F.min("surt").alias("lo"), F.max("surt").alias("hi")
+        ).first()
+        if pf["lo"] is not None:
+            ranges.append((pf["lo"], pf["hi"], f))
+    ranges.sort()
+    # per-file key ranges are DISJOINT (range clustering held)
+    for (l1, h1, _), (l2, h2, _) in zip(ranges, ranges[1:]):
+        assert h1 <= l2
+    # a one-domain prefix lookup needs only the files whose range
+    # intersects the prefix interval — a strict subset
+    prefix = "org,site7,"
+    need = [f for lo, hi, f in ranges
+            if not (hi < prefix or lo >= prefix + "￿")]
+    assert 0 < len(need) < len(files)
+    got = spark.read.parquet(*need).filter(
+        F.col("surt").startswith(prefix)
+    ).count()
+    want = cdx.filter(F.col("surt").startswith(prefix)).count()
+    assert got == want > 0
+
+
 class TestAnchors:
     def test_extract_anchors_href_and_text(self, spark):
         from pgferry_spark.operators.html import extract_anchors
