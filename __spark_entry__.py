@@ -1469,6 +1469,37 @@ def _bigram_logprob(spark, sf):
     )
 
 
+# within-doc repeat synthesis for the line-repetition entry: every third
+# document re-renders its first extracted line at the end (the
+# nav/footer-every-screenful shape Gopher's dup-line signals exist
+# for).  Shared verbatim by both engines; first-line extraction via
+# regexp (the two engines' array indexing differs, their regex does
+# not), newline spelled chr(10).
+LINE_REP_SYNTH_SQL = (
+    "CASE WHEN doc_id % 3 = 0 AND clean_text <> '' THEN"
+    " clean_text || chr(10) ||"
+    " regexp_extract(clean_text, '^[^' || chr(10) || ']*', 0)"
+    " ELSE clean_text END"
+)
+
+
+def _line_repetition(spark, sf):
+    """Gopher within-doc duplicate-line signals (round 10 — the
+    repetition-table complement of repetition_stats' word/bigram
+    fractions and of corpus-wide line_dedup): dup_line_frac +
+    dup_line_char_frac per document over the extracted HTML corpus,
+    with every third doc re-rendering its first line so the signal is
+    genuinely non-zero.  Two doc-keyed shuffles, partition sizes
+    bounded by document length."""
+    from pgferry_spark.operators.html import attach_html, html_extract
+
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    rep = html_extract(attach_html(d)).withColumn(
+        "rep_text", F.expr(LINE_REP_SYNTH_SQL)
+    )
+    return filters.line_repetition_stats(rep, "rep_text", "doc_id")
+
+
 def _ccnet_buckets(spark, sf):
     """CCNet perplexity tiers (round 10): per language, head/middle/tail
     thirds by bigram-LM score — the CommonCrawl quality-mixture stage.
@@ -4173,6 +4204,29 @@ def _ccnet_buckets_oracle() -> str:
     """
 
 
+def _line_repetition_oracle() -> str:
+    """The shared extraction CTE + the repeat synthesis + the same
+    count arithmetic: per (doc, line) occurrence counts, then
+    sum(c-1)/sum(c) and the char-weighted twin.  length() (character
+    semantics) on both engines — strlen would count BYTES and diverge
+    on the decoded punctuation."""
+    return _html_cte() + f"""
+        , rp AS (SELECT doc_id, {LINE_REP_SYNTH_SQL} AS rep_text FROM x),
+        l AS (SELECT doc_id,
+                unnest(string_split(rep_text, chr(10))) AS __l
+              FROM rp),
+        nb AS (SELECT doc_id, __l FROM l WHERE trim(__l) <> ''),
+        pl AS (SELECT doc_id, __l, count(*) AS c FROM nb
+               GROUP BY doc_id, __l)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+               ROUND(CAST(sum(c - 1) AS DOUBLE) / sum(c), 6)
+                 AS dup_line_frac,
+               ROUND(CAST(sum((c - 1) * length(__l)) AS DOUBLE)
+                     / sum(c * length(__l)), 6) AS dup_line_char_frac
+        FROM pl GROUP BY doc_id
+    """
+
+
 def _warc_captures_cte() -> str:
     """Shared capture-stream replay: documents + the deterministic
     doc_id % 4 == 1 re-captures at capture_id = doc_id + 10^7."""
@@ -4475,6 +4529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisit_resolve": _warc_revisit_resolve,
         "warc_revisit_stats": _warc_revisit_stats,
         "ccnet_buckets": _ccnet_buckets,
+        "line_repetition": _line_repetition,
         # --- positions 3-50: stalest oracle-backed entries
         # (r4/r5-green; planner-stable order, zero r4/r5-stale
         # entries remain after this window lands)
@@ -8132,6 +8187,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         """,
         "ccnet_buckets": _ccnet_buckets_oracle(),
+        "line_repetition": _line_repetition_oracle(),
         "length_outliers": """
             WITH bounds AS (
               SELECT lang,

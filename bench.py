@@ -208,8 +208,9 @@ HEADLINE = [
     "cdx_index",
     "warc_revisit_resolve",
     "warc_revisit_stats",
-    # round 10: CCNet perplexity tiers
+    # round 10: CCNet perplexity tiers + Gopher dup-line signals
     "ccnet_buckets",
+    "line_repetition",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

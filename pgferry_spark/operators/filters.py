@@ -417,6 +417,50 @@ def bigram_logprob_scores(
     )
 
 
+def line_repetition_stats(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Gopher's WITHIN-document duplicate-line signals (Rae et al. 2021,
+    repetition table: 'duplicate line fraction' and 'duplicate line
+    character fraction' — the within-doc complement of the corpus-wide
+    :func:`~pgferry_spark.operators.html.line_dedup`): per document over
+    its newline-split lines, the fraction of lines that are repeats of
+    an earlier line and the fraction of characters those repeats carry.
+    Pages that render the same nav/footer line every screenful fail
+    here while their word-level stats look normal.
+
+    Returns ``(id, n_lines, dup_line_frac, dup_line_char_frac)`` for
+    every document with at least one non-blank line; blank lines are
+    not counted (the extractor squeezes them anyway).
+
+    Scale shape: one narrow posexplode + a (doc, line) count aggregate
+    + a doc rollup — both shuffles keyed by the document id, partition
+    sizes bounded by DOCUMENT length, never corpus hot keys (a line
+    repeated across the corpus lands in many small per-doc groups, not
+    one giant one — the within-doc framing is itself the skew guard)."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__l"),
+    ).filter(F.trim(F.col("__l")) != "")
+    per_line = lines.groupBy(id_col, "__l").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        per_line.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(F.col("__c") - 1) / F.sum("__c"), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.sum((F.col("__c") - 1) * F.length("__l"))
+                / F.sum(F.col("__c") * F.length("__l")),
+                6,
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+
 def ccnet_buckets(
     df: DataFrame,
     text_col: str,

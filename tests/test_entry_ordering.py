@@ -34,13 +34,14 @@ def entry_mod():
     return mod
 
 
-# Positions 1-6: round-10 additions, driver-checked at birth.
+# Positions 1-7: round-10 additions, driver-checked at birth.
 NEW_R10 = [
     "warc_gzip_index", "warc_gzip_extract", "cdx_index",
     "warc_revisit_resolve", "warc_revisit_stats", "ccnet_buckets",
+    "line_repetition",
 ]
 
-# Positions 7-14: the entries the r9 at-birth block displaced
+# Positions 8-15: the entries the r9 at-birth block displaced
 # (r4/r5-green — the stalest remaining).
 DISPLACED_R9 = [
     "debounce_events", "ri_audit", "incremental_agg", "signal_percentiles",
@@ -48,11 +49,11 @@ DISPLACED_R9 = [
     "seasonal_anomalies",
 ]
 
-# Positions 15-50: the r5-green block, planner-stable order from
-# tools/plan_rotation.py (the last four of the r5 block —
-# cms_join_size_custkey, hll_rolling_users, cms_weighted_spenders,
-# exact_substring_scrub — were pushed past the boundary by the r10
-# births and head the r11 line).
+# Positions 16-50: the r5-green block, planner-stable order from
+# tools/plan_rotation.py (the last five of the r5 block — compaction_
+# plan, cms_join_size_custkey, hll_rolling_users, cms_weighted_
+# spenders, exact_substring_scrub — were pushed past the boundary by
+# the r10 births and head the r11 line).
 STALE_R5 = [
     "containment_adjacent", "decayed_topk", "k_anonymity", "l_diversity",
     "q2_adapted", "q11_adapted", "ivf_pq_rerank_topk", "knn_graph_capped",
@@ -65,14 +66,15 @@ STALE_R5 = [
     "embedding_drift_psi", "exact_substring_spans", "hll_registers",
     "hll_union_estimate", "cms_token_sketch", "cms_heavy_hitters",
     "bloom_custkey_probe", "loghist_price_quantiles",
-    "hll_intersect_customers", "compaction_plan",
+    "hll_intersect_customers",
 ]
 
 # Positions 51+: next-stalest, first in line for the r11 rotation.
 NEXT_IN_LINE = [
-    "cms_join_size_custkey", "hll_rolling_users", "cms_weighted_spenders",
-    "exact_substring_scrub", "sketch_validation_lineitem",
-    "loghist_rolling_value", "hll_churn_customers",
+    "compaction_plan", "cms_join_size_custkey", "hll_rolling_users",
+    "cms_weighted_spenders", "exact_substring_scrub",
+    "sketch_validation_lineitem", "loghist_rolling_value",
+    "hll_churn_customers",
 ]
 
 
@@ -99,19 +101,19 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 252
+N_QUERIES = 253
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:6] == NEW_R10
-    assert names[6:14] == DISPLACED_R9
-    assert names[14:50] == STALE_R5
-    assert names[50:57] == NEXT_IN_LINE
+    assert names[:7] == NEW_R10
+    assert names[7:15] == DISPLACED_R9
+    assert names[15:50] == STALE_R5
+    assert names[50:58] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 6 + 8 + 36 == 50: no slot wasted
+    # 7 + 8 + 35 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEW_R10) | set(DISPLACED_R9) | set(STALE_R5)
 

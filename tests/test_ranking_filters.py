@@ -366,6 +366,30 @@ class TestBigramLogprob:
         assert big[99] < big[0]  # transition model can
 
 
+class TestLineRepetition:
+    def test_hand_computed_fractions(self, spark):
+        from pgferry_spark.operators.filters import line_repetition_stats
+
+        rows = [
+            # 4 lines, 'nav bar' repeats once: dup_line_frac 1/4;
+            # chars: nav bar(7)x2 + aa(2) + bbbb(4) -> dup chars 7/20
+            (1, "nav bar\naa\nnav bar\nbbbb"),
+            (2, "unique one\nunique two"),
+            (3, "same\nsame\nsame"),
+            (4, "only\n\n  \n"),   # blank lines not counted
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        got = {r.doc_id: r.asDict()
+               for r in line_repetition_stats(df, "text", "doc_id").collect()}
+        assert got[1]["n_lines"] == 4
+        assert got[1]["dup_line_frac"] == 0.25
+        assert got[1]["dup_line_char_frac"] == round(7 / 20, 6)
+        assert got[2]["dup_line_frac"] == 0.0
+        assert got[3]["dup_line_frac"] == round(2 / 3, 6)
+        assert got[3]["dup_line_char_frac"] == round(2 / 3, 6)
+        assert got[4]["n_lines"] == 1 and got[4]["dup_line_frac"] == 0.0
+
+
 class TestCCNetBuckets:
     def test_tiers_by_language_with_tie_atomicity(self, spark):
         """CCNet head/middle/tail per language: prose-like repeated
