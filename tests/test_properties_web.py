@@ -364,3 +364,54 @@ def test_warc_gzip_parser_total_on_random_bytes_and_truncations(blob, cut):
             assert isinstance(out, list)
         except ValueError:
             pass
+
+
+# -- RFC 9309 pattern translation: cross-engine equivalence (round 10) --------
+
+_rule_path = st.text(
+    alphabet="abc/.*$?+()[]{}|^%7e2f-_",
+    min_size=1, max_size=16,
+).map(lambda s: "/" + s)
+_url_path = st.text(
+    alphabet="abc/.~e27f-_?", min_size=0, max_size=20,
+).map(lambda s: "/" + s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_rule_path, _url_path)
+def test_robots_pattern_translation_identical_both_engines(rule, path):
+    """robots_pattern_sql + the pct-decode chain evaluate to the SAME
+    pattern text on both engines, and the match verdict agrees between
+    DuckDB/RE2 and Python's re (the Java-regex stand-in used off-JVM) —
+    metachars in rule paths stay literal, '*' and trailing '$' keep
+    their RFC meaning, and %-decode commutes."""
+    import re as _re
+
+    from pgferry_spark.operators.domains import (
+        n_pct_chunks,
+        pct_chunk_sql,
+        pct_flag_sql,
+        robots_pattern_sql,
+    )
+
+    def _norm_expr(col):
+        x = col
+        for i in range(n_pct_chunks()):
+            x = f"({pct_chunk_sql(x, pct_flag_sql(x), i)})"
+        return x
+
+    expr = robots_pattern_sql(_norm_expr("r"))
+    pat, npath = duckdb.sql(
+        f"SELECT {expr}, {_norm_expr('p')} FROM (SELECT ? AS r, ? AS p)",
+        params=[rule.lower(), path.lower()],
+    ).fetchone()
+    # RE2 verdict (DuckDB) == Python-re verdict on the same pattern
+    duck = duckdb.sql(
+        "SELECT regexp_matches(?, ?)", params=[npath, pat]
+    ).fetchone()[0]
+    assert duck == bool(_re.search(pat, npath))
+    # plain rules (no metachars after normalization) degrade to exact
+    # prefix semantics
+    core = pat[1:]
+    if not any(c in core for c in ".*$+?()[]{}|\\"):
+        assert duck == npath.startswith(core)
