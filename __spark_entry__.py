@@ -3412,6 +3412,37 @@ def _cdx_index(spark, sf):
     )
 
 
+def _wet_conversion_index(spark, sf):
+    """WET export + index (round 10, second wave — the CommonCrawl
+    EXTRACTED-TEXT companion format): documents are re-published as WET
+    containers (a warcinfo leader record + one ``conversion`` record
+    per page carrying WARC-Refers-To back at the original capture),
+    then the UNCHANGED warc_record_index parses the emitted bytes —
+    WET is ISO 28500 framing, so the ingest stack serves it for free.
+    The oracle replays every offset as closed-form header arithmetic
+    (the warcinfo leader is a per-container constant shift; each
+    conversion header adds the Refers-To line), so hash-green means
+    the EXPORTER's bytes and the arithmetic agree to the byte — the
+    publication-side twin of the warc_record_index ingest proof."""
+    from pgferry_spark.sources.warc import warc_record_index, wet_export
+
+    idx = warc_record_index(wet_export(_docs_with_urls(spark, sf)))
+    return idx.filter(F.col("warc_type") == "conversion")
+
+
+def _wet_text_extract(spark, sf):
+    """The WET consumption proof: extract payloads back OUT of the
+    exported WET containers (one Arrow parse+slice pass; record_no >= 1
+    skips each container's warcinfo leader). The oracle is the ORIGINAL
+    documents text — green means a consumer reading our WET shards
+    recovers every training byte without ever touching the HTML."""
+    from pgferry_spark.sources.warc import warc_payload_extract, wet_export
+
+    return warc_payload_extract(
+        wet_export(_docs_with_urls(spark, sf))
+    ).filter(F.col("record_no") >= 1)
+
+
 def _warc_captures(spark, sf):
     """Capture stream with deterministic RE-CAPTURES for the revisit
     entries: every doc_id % 4 == 1 document is fetched a second time
@@ -4332,6 +4363,77 @@ def _warc_gzip_index_oracle() -> str:
     """
 
 
+def _wet_index_oracle() -> str:
+    """Closed-form byte arithmetic for the WET conversion index: the
+    conversion header template is 168 bytes + twice the doc_id digits
+    (record id ``conv-<id>`` + the Refers-To pointer) + URI octets +
+    Content-Length digits; every offset is shifted by the container's
+    warcinfo leader record, whose length is a constant (fixed manifest
+    payload + fixed URI) plus the container_id digits.  The Spark side
+    PARSES the exporter's real bytes, so green means export framing and
+    arithmetic agree to the byte."""
+    from pgferry_spark.operators.domains import URL_SYNTH_SQL
+    from pgferry_spark.sources.warc import WET_INFO_PAYLOAD, WET_INFO_URI
+
+    # warcinfo record: version line 10 + 'WARC-Type: warcinfo' 21 +
+    # 'WARC-Record-ID: <urn:uuid:info-{cid}>' 34+digits + target-uri
+    # line 19+len(uri) + date line 33 + content-length line
+    # 18+len(str(plen)) + blank 2 + payload + trailing CRLFCRLF 4
+    info_plen = len(WET_INFO_PAYLOAD)
+    info_const = (
+        10 + 21 + 34 + 19 + len(WET_INFO_URI) + 33
+        + 18 + len(str(info_plen)) + 2 + info_plen + 4
+    )
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents),
+        r AS (SELECT doc_id,
+                (doc_id // 8) AS container_id,
+                url, text,
+                CAST(strlen(text) AS BIGINT) AS plen,
+                CAST(168 + 2 * length(CAST(doc_id AS VARCHAR)) + strlen(url)
+                     + length(CAST(strlen(text) AS VARCHAR)) AS BIGINT)
+                  AS hlen
+              FROM u),
+        w AS (SELECT *,
+                CAST(row_number() OVER (PARTITION BY container_id
+                     ORDER BY doc_id) AS INT) AS record_no,
+                CAST({info_const}
+                     + length(CAST(container_id AS VARCHAR)) AS BIGINT)
+                  + SUM(hlen + plen + 4) OVER (PARTITION BY container_id
+                     ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - (hlen + plen + 4) AS rec_offset
+              FROM r)
+        SELECT container_id, record_no,
+               CAST(rec_offset AS BIGINT) AS rec_offset,
+               CAST(hlen + plen + 4 AS BIGINT) AS rec_len,
+               CAST(rec_offset + hlen AS BIGINT) AS payload_offset,
+               CAST(plen AS BIGINT) AS payload_len,
+               md5(text) AS payload_md5,
+               'conversion' AS warc_type,
+               url AS target_uri
+        FROM w
+    """
+
+
+def _wet_text_oracle() -> str:
+    """The consumption proof: the ORIGINAL text, keyed by the WET
+    record geometry (warcinfo is record 0, conversions 1..n in doc
+    order)."""
+    from pgferry_spark.operators.domains import URL_SYNTH_SQL
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents)
+        SELECT (doc_id // 8) AS container_id,
+               CAST(row_number() OVER (
+                    PARTITION BY (doc_id // 8)
+                    ORDER BY doc_id) AS INT) AS record_no,
+               url AS target_uri, text
+        FROM u
+    """
+
+
 def _anchors_cte() -> str:
     """Whole-anchor-element replay: same synth, same ANCHOR templates,
     unnest + generate_subscripts for the ordinality."""
@@ -4521,8 +4623,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- positions 1-2: round-10 additions (gzip WARC
-        # members), driver-checked at birth
+        # --- window head: round-10 additions, driver-checked at birth
+        # (second wave: WET export/extract — each birth displaces one
+        # r5-green entry past the boundary to head the r11 line)
+        "wet_conversion_index": _wet_conversion_index,
+        "wet_text_extract": _wet_text_extract,
         "warc_gzip_index": _warc_gzip_index,
         "warc_gzip_extract": _warc_gzip_extract,
         "cdx_index": _cdx_index,
@@ -9219,6 +9324,10 @@ def oracle_sql() -> dict[str, str]:
         # the deflate round-trip)
         "warc_gzip_index": _warc_gzip_index_oracle(),
         "warc_gzip_extract": _warc_payload_oracle(),
+        # round 10 second wave: WET export — closed-form framing
+        # arithmetic for the index, the ORIGINAL text for the extract
+        "wet_conversion_index": _wet_index_oracle(),
+        "wet_text_extract": _wet_text_oracle(),
         "cdx_index": _cdx_index_oracle(),
         "warc_revisit_resolve": _warc_revisit_oracle(),
         "warc_revisit_stats": _warc_revisit_stats_oracle(),

@@ -543,6 +543,100 @@ def warc_payload_extract(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, schema=_PAYLOAD_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# WET export (round 10, second wave) — the CommonCrawl EXTRACTED-TEXT
+# companion format: a WET file is itself a WARC container whose first
+# record is a ``warcinfo`` block describing the conversion run and whose
+# remaining records are ``conversion`` records, one per page, each
+# carrying the plain text a consumer trains on plus a ``WARC-Refers-To``
+# pointer back at the original ``response`` capture.  Publishing WET is
+# what lets every downstream text pipeline skip the HTML parse entirely;
+# an engine that ingests WARC but cannot EMIT WET leaves its consumers
+# re-extracting 100 TB.  The framing is byte-identical to ISO 28500, so
+# :func:`warc_record_index` / :func:`warc_payload_extract` serve WET
+# containers unchanged — the export is the only new code.
+# ---------------------------------------------------------------------------
+
+WET_INFO_URI = "metadata://gnu.org/software/wget/warc/MANIFEST.txt"
+# fixed warcinfo payload: the conversion-run manifest (deterministic —
+# real exports stamp software/date; synthesis pins both)
+WET_INFO_PAYLOAD = (
+    b"software: pgferry-spark WET writer\r\n"
+    b"format: WARC File Format 1.0\r\n"
+    b"conformsTo: ISO 28500\r\n"
+)
+
+
+def encode_wet(cid: int, docs: list[dict]) -> bytes:
+    """One WET container: the ``warcinfo`` leader then one
+    ``conversion`` record per ``{"doc_id", "uri", "text"}`` — record id
+    ``urn:uuid:conv-<doc_id>``, ``WARC-Refers-To`` the original
+    capture's ``urn:uuid:<doc_id>`` (the :func:`attach_warc` response
+    synthesis), payload the UTF-8 text.  Pure reuse of
+    :func:`encode_warc`; WET adds no framing of its own."""
+    recs = [
+        {
+            "type": "warcinfo",
+            "record_id": f"urn:uuid:info-{cid}",
+            "uri": WET_INFO_URI,
+            "payload": WET_INFO_PAYLOAD,
+        }
+    ]
+    for d in docs:
+        recs.append(
+            {
+                "type": "conversion",
+                "record_id": f"urn:uuid:conv-{d['doc_id']}",
+                "uri": d["uri"],
+                "payload": d["text"].encode("utf-8"),
+                "refers_to": f"urn:uuid:{d['doc_id']}",
+            }
+        )
+    return encode_warc(recs)
+
+
+def wet_export(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    docs_per_container: int = 8,
+) -> DataFrame:
+    """The WET publication step: extracted text back into distributable
+    containers, grouped exactly like :func:`attach_warc` (``id //
+    docs_per_container``, ascending id within a container) so the WET
+    shard layout mirrors the WARC shard layout — the property real
+    crawls preserve so a consumer can pair shard N of both.  One
+    applyInPandas build per container; the emitted containers are the
+    only bytes that move, and at 100 TB the write is the point — every
+    downstream text job then reads THESE instead of re-parsing HTML."""
+    schema = StructType(
+        [
+            StructField("container_id", LongType(), False),
+            StructField("container", BinaryType(), False),
+        ]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        cid = int(pdf["__cid"].iloc[0])
+        docs = [
+            {"doc_id": int(i), "uri": u, "text": t}
+            for i, u, t in zip(pdf[id_col], pdf["url"], pdf[text_col])
+        ]
+        return pd.DataFrame(
+            {"container_id": [cid], "container": [encode_wet(cid, docs)]}
+        )
+
+    return (
+        df.withColumn(
+            "__cid", F.expr(f"{id_col} div {docs_per_container}")
+        )
+        .select("__cid", id_col, "url", text_col)
+        .groupBy("__cid")
+        .applyInPandas(build, schema=schema)
+    )
+
+
 def warc_range_read(container: bytes, offset: int, length: int) -> bytes:
     """The bounded range read the index enables: one slice, validated.
     (At cluster scale this is a ranged GET against object storage; the

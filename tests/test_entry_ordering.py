@@ -34,26 +34,31 @@ def entry_mod():
     return mod
 
 
-# Positions 1-7: round-10 additions, driver-checked at birth.
+# Positions 1-9: round-10 additions, driver-checked at birth (the WET
+# second wave landed after the gzip block; each birth displaces one
+# r5-green entry past the boundary to head the r11 line — at-birth
+# checks take precedence per the standing rule, and every displaced
+# entry retains this round's full local-gate attestation at both SFs).
 NEW_R10 = [
+    "wet_conversion_index", "wet_text_extract",
     "warc_gzip_index", "warc_gzip_extract", "cdx_index",
     "warc_revisit_resolve", "warc_revisit_stats", "ccnet_buckets",
     "line_repetition",
 ]
 
-# Positions 8-15: the entries the r9 at-birth block displaced
-# (r4/r5-green — the stalest remaining).
+# The entries the r9 at-birth block displaced (r4/r5-green — the
+# stalest remaining).
 DISPLACED_R9 = [
     "debounce_events", "ri_audit", "incremental_agg", "signal_percentiles",
     "lsh_knn_join", "dedup_pair_recall", "minhash_pair_recall",
     "seasonal_anomalies",
 ]
 
-# Positions 16-50: the r5-green block, planner-stable order from
-# tools/plan_rotation.py (the last five of the r5 block — compaction_
-# plan, cms_join_size_custkey, hll_rolling_users, cms_weighted_
-# spenders, exact_substring_scrub — were pushed past the boundary by
-# the r10 births and head the r11 line).
+# Remaining window: the r5-green block, planner-stable order from
+# tools/plan_rotation.py (the entries the r10 births pushed past the
+# boundary — compaction_plan through exact_substring_scrub from the
+# first wave, loghist_price_quantiles + hll_intersect_customers from
+# the WET wave — head the r11 line).
 STALE_R5 = [
     "containment_adjacent", "decayed_topk", "k_anonymity", "l_diversity",
     "q2_adapted", "q11_adapted", "ivf_pq_rerank_topk", "knn_graph_capped",
@@ -65,12 +70,12 @@ STALE_R5 = [
     "quality_twin_auc", "boilerplate_ngrams", "mixture_epochs",
     "embedding_drift_psi", "exact_substring_spans", "hll_registers",
     "hll_union_estimate", "cms_token_sketch", "cms_heavy_hitters",
-    "bloom_custkey_probe", "loghist_price_quantiles",
-    "hll_intersect_customers",
+    "bloom_custkey_probe",
 ]
 
 # Positions 51+: next-stalest, first in line for the r11 rotation.
 NEXT_IN_LINE = [
+    "loghist_price_quantiles", "hll_intersect_customers",
     "compaction_plan", "cms_join_size_custkey", "hll_rolling_users",
     "cms_weighted_spenders", "exact_substring_scrub",
     "sketch_validation_lineitem", "loghist_rolling_value",
@@ -101,19 +106,19 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 253
+N_QUERIES = 255
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:7] == NEW_R10
-    assert names[7:15] == DISPLACED_R9
-    assert names[15:50] == STALE_R5
-    assert names[50:58] == NEXT_IN_LINE
+    assert names[:9] == NEW_R10
+    assert names[9:17] == DISPLACED_R9
+    assert names[17:50] == STALE_R5
+    assert names[50:60] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 7 + 8 + 35 == 50: no slot wasted
+    # 9 + 8 + 33 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEW_R10) | set(DISPLACED_R9) | set(STALE_R5)
 

@@ -157,6 +157,93 @@ def test_payload_extract_recovers_original_text(spark):
     assert got == {u: t for _, u, t in docs}  # utf-8 slice boundaries exact
 
 
+class TestWetExport:
+    """Round 10, second wave: WET — the CommonCrawl extracted-text
+    companion format (warcinfo leader + conversion records with
+    WARC-Refers-To), framed as plain ISO 28500 so the unchanged index
+    and extract operators serve it."""
+
+    def test_encode_wet_structure(self):
+        from pgferry_spark.sources.warc import (
+            WET_INFO_PAYLOAD,
+            WET_INFO_URI,
+            encode_wet,
+            parse_warc_index,
+        )
+
+        docs = [
+            {"doc_id": 16, "uri": "https://a.org/16", "text": "alpha 16."},
+            {"doc_id": 17, "uri": "https://b.net/17", "text": "béta ✓17."},
+        ]
+        recs = parse_warc_index(encode_wet(2, docs))
+        assert [r["warc_type"] for r in recs] == [
+            "warcinfo", "conversion", "conversion",
+        ]
+        info, c1, c2 = recs
+        assert info["target_uri"] == WET_INFO_URI
+        assert info["record_id"] == "urn:uuid:info-2"
+        assert info["payload_len"] == len(WET_INFO_PAYLOAD)
+        # conversion record points back at the original capture
+        assert c1["record_id"] == "urn:uuid:conv-16"
+        assert c1["refers_to"] == "urn:uuid:16"
+        assert c2["payload_len"] == len(docs[1]["text"].encode("utf-8"))
+
+    def test_wet_roundtrip_through_spark(self, spark):
+        """Export WET shards, then recover every document through the
+        UNCHANGED extract operator — the consumer's read path."""
+        from pgferry_spark.sources.warc import (
+            warc_payload_extract,
+            warc_record_index,
+            wet_export,
+        )
+
+        docs = [(i, f"https://s{i % 3}.org/{i}", f"wét ✓text {i}.")
+                for i in range(1, 19)]
+        df = spark.createDataFrame(
+            docs, "doc_id: long, url: string, text: string"
+        )
+        wet = wet_export(df, docs_per_container=8).cache()
+        idx = warc_record_index(wet).collect()
+        # each container leads with exactly one warcinfo record at no 0
+        infos = [r for r in idx if r["warc_type"] == "warcinfo"]
+        assert {r["record_no"] for r in infos} == {0}
+        assert len(infos) == wet.count()
+        got = {
+            r["target_uri"]: r["text"]
+            for r in warc_payload_extract(wet)
+            .filter("record_no >= 1")
+            .collect()
+        }
+        assert got == {u: t for _, u, t in docs}
+        wet.unpersist()
+
+    def test_wet_shard_layout_mirrors_warc(self, spark):
+        """Same grouping key as attach_warc: container N of the WET
+        export holds the same documents as container N of the WARC
+        capture — the pairing property real crawls preserve."""
+        from pgferry_spark.sources.warc import (
+            attach_warc,
+            warc_record_index,
+            wet_export,
+        )
+
+        docs = [(i, f"https://s.org/{i}", f"doc {i}.") for i in range(24)]
+        df = spark.createDataFrame(
+            docs, "doc_id: long, url: string, text: string"
+        )
+        warc_map = {
+            (r["container_id"], r["target_uri"])
+            for r in warc_record_index(attach_warc(df)).collect()
+        }
+        wet_map = {
+            (r["container_id"], r["target_uri"])
+            for r in warc_record_index(wet_export(df))
+            .filter("warc_type = 'conversion'")
+            .collect()
+        }
+        assert warc_map == wet_map
+
+
 class TestGzipMembers:
     """Round 10: per-record gzip members — the CommonCrawl transport
     framing (one deflate member per record, members concatenated)."""
