@@ -3274,6 +3274,33 @@ def _robots_disallow_filter(spark, sf):
     return robots_disallow_filter(_docs_with_urls(spark, sf), rules)
 
 
+def _robots_sitemap_urls(spark, sf):
+    """Sitemap DISCOVERY from robots.txt (round 10, second wave): the
+    sitemaps.org 'Sitemap:' directive — the standard announcement edge
+    between the robots stack and the sitemap parser.  The directive is
+    group-independent and its URL is case-sensitive, so the parser
+    rides a case-PRESERVING line pipeline (only the field name folds,
+    via (?i) — the one spelling both regex engines read identically);
+    synthesis layers LF + CRLF terminators and all three case spellings
+    on TOP of the untouched base robots synth.  Map-only, no window."""
+    from pgferry_spark.operators.domains import (
+        ROBOTS_SITEMAP_SYNTH_SQL,
+        ROBOTS_TXT_SYNTH_SQL,
+        robots_sitemap_urls,
+        with_host_domain,
+    )
+
+    base = ROBOTS_TXT_SYNTH_SQL.format(domain="domain")
+    deco = ROBOTS_SITEMAP_SYNTH_SQL.format(domain="domain", txt=f"({base})")
+    d = with_host_domain(_docs_with_urls(spark, sf))
+    dm = (
+        d.select("domain")
+        .dropDuplicates()
+        .withColumn("robots_txt", F.expr(deco))
+    )
+    return robots_sitemap_urls(dm)
+
+
 def _robots_crawl_delays(spark, sf):
     """Per-(domain, agent) Crawl-delay seconds parsed from robots.txt —
     the politeness budget the frontier scheduler consumes (round 9).
@@ -3997,6 +4024,37 @@ def _robots_rules_cte() -> str:
     """
 
 
+def _robots_sitemap_oracle() -> str:
+    """Shared-template replay of the sitemap discovery: the decorated
+    synth (base robots synth + directive decoration, both module
+    templates verbatim), a case-PRESERVING CRLF-safe line split, and
+    the same (?i) field-name regex."""
+    from pgferry_spark.operators.domains import (
+        ROBOTS_SITEMAP_RE,
+        ROBOTS_SITEMAP_SYNTH_SQL,
+        ROBOTS_TXT_SYNTH_SQL,
+    )
+
+    base = ROBOTS_TXT_SYNTH_SQL.format(domain="domain")
+    synth = ROBOTS_SITEMAP_SYNTH_SQL.format(domain="domain", txt=f"({base})")
+    return _domain_cte() + f"""
+        , dd AS (SELECT DISTINCT domain FROM d),
+        rt AS (SELECT domain, {synth} AS robots_txt FROM dd),
+        rl AS (SELECT domain,
+                 CAST(generate_subscripts(string_split_regex(robots_txt,
+                   chr(13) || '?' || chr(10)), 1) - 1 AS INT)
+                   AS line_no,
+                 trim(unnest(string_split_regex(robots_txt,
+                   chr(13) || '?' || chr(10))))
+                   AS __l
+               FROM rt)
+        SELECT domain, line_no,
+               regexp_extract(__l, '{ROBOTS_SITEMAP_RE}', 1) AS sitemap_url
+        FROM rl
+        WHERE regexp_extract(__l, '{ROBOTS_SITEMAP_RE}', 1) <> ''
+    """
+
+
 def _pct_ctes(prev: str, col: str, keep: str, tag: str) -> tuple[str, str]:
     """Staged unreserved %-decode CTE chain over ``col`` (the shared
     pct_chunk_sql template) — returns (cte_sql, final_cte_name)."""
@@ -4628,6 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5-green entry past the boundary to head the r11 line)
         "wet_conversion_index": _wet_conversion_index,
         "wet_text_extract": _wet_text_extract,
+        "robots_sitemap_urls": _robots_sitemap_urls,
         "warc_gzip_index": _warc_gzip_index,
         "warc_gzip_extract": _warc_gzip_extract,
         "cdx_index": _cdx_index,
@@ -9328,6 +9387,7 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic for the index, the ORIGINAL text for the extract
         "wet_conversion_index": _wet_index_oracle(),
         "wet_text_extract": _wet_text_oracle(),
+        "robots_sitemap_urls": _robots_sitemap_oracle(),
         "cdx_index": _cdx_index_oracle(),
         "warc_revisit_resolve": _warc_revisit_oracle(),
         "warc_revisit_stats": _warc_revisit_stats_oracle(),

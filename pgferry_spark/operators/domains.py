@@ -959,6 +959,59 @@ def robots_disallow_filter(
     )
 
 
+# robots.txt 'Sitemap:' directives (sitemaps.org protocol §"Sitemap
+# location"): the standard way a site ANNOUNCES its sitemaps — the
+# discovery edge between the robots stack and parse_sitemap_locs.
+# Unlike Allow/Disallow rules the directive is group-INDEPENDENT (it
+# applies regardless of any surrounding User-agent group) and its value
+# is a full absolute URL whose path is CASE-SENSITIVE, so this parser
+# must not ride the lowercased line pipeline the rule parsers share —
+# the field name matches case-insensitively ((?i), both engines' regex
+# dialects), the value keeps its case.
+ROBOTS_SITEMAP_RE = "(?i)^sitemap *: *([^ ]+)"
+
+# deterministic decoration LAYERED ON TOP of ROBOTS_TXT_SYNTH_SQL (the
+# base synth stays byte-identical so every existing robots entry's
+# output is untouched): one class per spelling/terminator —
+# 'Sitemap:' + LF, 'sitemap:'/'SITEMAP:' + CRLF (two directives, one on
+# a foreign host — the protocol allows cross-host announcements), and
+# an undecorated class.
+ROBOTS_SITEMAP_SYNTH_SQL = (
+    "CASE WHEN length({domain}) % 4 = 0 THEN"
+    " {txt} || chr(10) || 'Sitemap: https://' || {domain}"
+    " || '/Sitemap.xml'"
+    " WHEN length({domain}) % 4 = 1 THEN"
+    " {txt} || chr(13) || chr(10) || 'sitemap: https://' || {domain}"
+    " || '/sm/index.xml' || chr(13) || chr(10) ||"
+    " 'SITEMAP: https://cdn.' || {domain} || '/alt.xml'"
+    " ELSE {txt} END"
+)
+
+
+def robots_sitemap_urls(
+    df: DataFrame, txt_col: str = "robots_txt", domain_col: str = "domain"
+) -> DataFrame:
+    """Extract ``(domain, line_no, sitemap_url)`` from robots.txt
+    bodies — the volunteered-sitemap DISCOVERY step a crawl runs before
+    :func:`parse_sitemap_locs` fetches and parses each announced file.
+    Same narrow ``\\r?\\n`` posexplode as the rule parsers (CRLF bodies
+    must not leak ``\\r`` into the URL), but case-preserving: only the
+    field name folds, the URL value never does.  Map-only; no window —
+    the directive needs no group attribution."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(txt_col), "\r?\n")).alias(
+            "line_no", "__l"
+        ),
+    ).withColumn("__l", F.trim(F.col("__l")))
+    url = F.expr(f"regexp_extract(__l, '{ROBOTS_SITEMAP_RE}', 1)")
+    return (
+        lines.withColumn("sitemap_url", url)
+        .filter(F.col("sitemap_url") != "")
+        .select("domain", "line_no", "sitemap_url")
+    )
+
+
 # sitemap.xml (sitemaps.org protocol): the crawl's OTHER frontier
 # source — URLs a site volunteers, merged with discovered links.
 # Deterministic per-domain synthesis: even-length domains publish a

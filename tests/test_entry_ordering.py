@@ -3,10 +3,13 @@
 The round driver oracle-checks only the FIRST 50 entries of
 __spark_entry__.queries() (CORRECTNESS_r01..r09 each contain exactly 50
 keys equal to dict positions 1-50).  Round-10 rotation (VERDICT r9 Next
-#3): positions 1-2 are this round's NEW entries (gzip WARC members,
-driver-checked at birth), positions 3-10 the 8 entries the r9 at-birth
-block displaced (r4/r5-green), positions 11-50 the r5-green block —
-after this window lands, zero r4/r5-stale oracle-backed entries remain.
+#3): the window head is this round's NEW entries (gzip WARC members,
+then the WET/sitemap-discovery second wave — driver-checked at birth),
+then the 8 entries the r9 at-birth block displaced (r4/r5-green), then
+the r5-green block.  Births displace the TAIL of the r5 block past the
+boundary to head the r11 line (at-birth checks take precedence per the
+standing rule; every displaced entry keeps this round's full local-gate
+attestation at both SFs).
 Round-10 code changes to already-green entries (robots pattern engine,
 charref sentinel decode, strip_gps single walk, frontier salt) were
 verified output-identical on the driver corpus at sf0.001 AND sf0.01
@@ -34,13 +37,10 @@ def entry_mod():
     return mod
 
 
-# Positions 1-9: round-10 additions, driver-checked at birth (the WET
-# second wave landed after the gzip block; each birth displaces one
-# r5-green entry past the boundary to head the r11 line — at-birth
-# checks take precedence per the standing rule, and every displaced
-# entry retains this round's full local-gate attestation at both SFs).
+# Window head: round-10 additions, driver-checked at birth (second
+# wave — WET export + sitemap discovery — ahead of the gzip block).
 NEW_R10 = [
-    "wet_conversion_index", "wet_text_extract",
+    "wet_conversion_index", "wet_text_extract", "robots_sitemap_urls",
     "warc_gzip_index", "warc_gzip_extract", "cdx_index",
     "warc_revisit_resolve", "warc_revisit_stats", "ccnet_buckets",
     "line_repetition",
@@ -70,12 +70,11 @@ STALE_R5 = [
     "quality_twin_auc", "boilerplate_ngrams", "mixture_epochs",
     "embedding_drift_psi", "exact_substring_spans", "hll_registers",
     "hll_union_estimate", "cms_token_sketch", "cms_heavy_hitters",
-    "bloom_custkey_probe",
 ]
 
 # Positions 51+: next-stalest, first in line for the r11 rotation.
 NEXT_IN_LINE = [
-    "loghist_price_quantiles", "hll_intersect_customers",
+    "bloom_custkey_probe", "loghist_price_quantiles", "hll_intersect_customers",
     "compaction_plan", "cms_join_size_custkey", "hll_rolling_users",
     "cms_weighted_spenders", "exact_substring_scrub",
     "sketch_validation_lineitem", "loghist_rolling_value",
@@ -106,19 +105,19 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 255
+N_QUERIES = 256
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:9] == NEW_R10
-    assert names[9:17] == DISPLACED_R9
-    assert names[17:50] == STALE_R5
-    assert names[50:60] == NEXT_IN_LINE
+    assert names[:10] == NEW_R10
+    assert names[10:18] == DISPLACED_R9
+    assert names[18:50] == STALE_R5
+    assert names[50:61] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 9 + 8 + 33 == 50: no slot wasted
+    # 10 + 8 + 32 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEW_R10) | set(DISPLACED_R9) | set(STALE_R5)
 

@@ -756,6 +756,53 @@ class TestRobotsTxt:
         assert sorted(r.doc_id for r in small.collect()) == [2]
 
 
+class TestRobotsSitemapDirective:
+    """Round 10, second wave: sitemaps.org 'Sitemap:' announcement
+    lines in robots.txt — group-independent, case-sensitive URL."""
+
+    def test_spellings_terminators_and_case_preserved(self, spark):
+        from pgferry_spark.operators.domains import robots_sitemap_urls
+
+        rows = [
+            # LF body, directive inside a UA group (group-independent)
+            ("a.org", "User-agent: *\nDisallow: /x\n"
+                      "Sitemap: https://a.org/SiteMap.XML"),
+            # CRLF body, lowercase + ALLCAPS spellings, cross-host
+            ("b.net", "sitemap: https://b.net/sm/One.xml\r\n"
+                      "SITEMAP: https://cdn.b.net/Two.xml\r\n"
+                      "User-agent: *"),
+            # no directive
+            ("c.io", "User-agent: *\nDisallow: /"),
+        ]
+        df = spark.createDataFrame(rows, "domain: string, robots_txt: string")
+        got = [
+            (r.domain, r.sitemap_url)
+            for r in robots_sitemap_urls(df)
+            .orderBy("domain", "line_no")
+            .collect()
+        ]
+        # URL case survives; CRLF leaves no \r; all spellings match
+        assert got == [
+            ("a.org", "https://a.org/SiteMap.XML"),
+            ("b.net", "https://b.net/sm/One.xml"),
+            ("b.net", "https://cdn.b.net/Two.xml"),
+        ]
+
+    def test_rule_parsers_unaffected_by_directive_lines(self, spark):
+        """Sitemap lines must be inert to the Allow/Disallow and
+        Crawl-delay parsers (they own the lowercased pipeline)."""
+        from pgferry_spark.operators.domains import parse_robots_rules
+
+        df = spark.createDataFrame(
+            [("a.org", "User-agent: *\nSitemap: https://a.org/s.xml\n"
+                       "Disallow: /p")],
+            "domain: string, robots_txt: string",
+        )
+        rules = [(r.rule, r.path_prefix)
+                 for r in parse_robots_rules(df).collect()]
+        assert rules == [("disallow", "/p")]
+
+
 class TestCrawlFrontier:
     def test_delays_parsed_with_agent_attribution(self, spark):
         from pgferry_spark.operators.domains import robots_crawl_delays
