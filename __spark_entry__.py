@@ -3199,6 +3199,26 @@ def _gopher_quality_flags(spark, sf):
     )
 
 
+def _fineweb_quality_flags(spark, sf):
+    """FineWeb custom quality gates (round 10, second wave — Penedo et
+    al. 2024 §3.6): terminal-punctuation line ratio, short-line ratio,
+    and duplicated-line character fraction as ONE zero-shuffle map-only
+    flag table (the dup fraction rides array_distinct inside the row —
+    no per-line aggregate exchange). Decoration classes: passing
+    (sentence-terminated), punct-fail (raw unterminated text),
+    short-line fail (which also trips the dup gate — the conjunction
+    class), dup-only fail (whole line repeated)."""
+    from pgferry_spark.operators.filters import (
+        FINEWEB_SYNTH_SQL,
+        fineweb_quality_flags,
+    )
+
+    d = _t(spark, sf, "documents").withColumn(
+        "ftext", F.expr(FINEWEB_SYNTH_SQL.format(id="doc_id", txt="text"))
+    )
+    return fineweb_quality_flags(d, "ftext", "doc_id")
+
+
 def _robots_noindex_flags(spark, sf):
     """Per-document robots meta-noindex verdict over the raw synthetic
     HTML (round 9): the page-level opt-out a polite crawl honors before
@@ -3924,6 +3944,52 @@ def _gopher_oracle() -> str:
                 AND ellipsis_line_ratio <= 0.3
                 AND alpha_word_ratio >= 0.8
                 AND n_stopword_hits >= 1) AS passes
+        FROM r
+    """
+
+
+def _fineweb_oracle() -> str:
+    """DuckDB replay of the FineWeb gates: same synth template, list
+    HOFs for the line signals, list_distinct for the dup-char
+    complement, thresholds applied to the ROUNDED columns exactly as
+    the Spark side does."""
+    from pgferry_spark.operators.filters import (
+        FINEWEB_SYNTH_SQL,
+        FINEWEB_TERMINAL_PUNCT,
+    )
+
+    synth = FINEWEB_SYNTH_SQL.format(id="doc_id", txt="text")
+    punct = " OR ".join(
+        f"ends_with(trim(l), '{p}')" for p in FINEWEB_TERMINAL_PUNCT
+    )
+    return f"""
+        WITH g AS (SELECT doc_id, {synth} AS ftext FROM documents),
+        t AS (SELECT doc_id,
+                list_filter(string_split(ftext, chr(10)),
+                            l -> trim(l) <> '') AS lines
+              FROM g),
+        m AS (SELECT doc_id,
+                len(lines) AS n_lines,
+                len(list_filter(lines, l -> {punct})) AS punct_lines,
+                len(list_filter(lines, l -> length(l) < 30))
+                  AS short_lines,
+                list_aggregate(list_transform(lines, x -> length(x)),
+                               'sum') AS total_chars,
+                list_aggregate(list_transform(list_distinct(lines),
+                               x -> length(x)), 'sum') AS dist_chars
+              FROM t),
+        r AS (SELECT doc_id,
+                CAST(n_lines AS INT) AS n_lines,
+                round(punct_lines / n_lines, 6) AS punct_line_ratio,
+                round(short_lines / n_lines, 6) AS short_line_ratio,
+                round((total_chars - dist_chars)
+                      / CAST(total_chars AS DOUBLE), 6)
+                  AS dup_line_char_frac
+              FROM m WHERE n_lines > 0)
+        SELECT *,
+               (punct_line_ratio > 0.12
+                AND short_line_ratio < 0.67
+                AND dup_line_char_frac < 0.1) AS passes
         FROM r
     """
 
@@ -4687,6 +4753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_conversion_index": _wet_conversion_index,
         "wet_text_extract": _wet_text_extract,
         "robots_sitemap_urls": _robots_sitemap_urls,
+        "fineweb_quality_flags": _fineweb_quality_flags,
         "warc_gzip_index": _warc_gzip_index,
         "warc_gzip_extract": _warc_gzip_extract,
         "cdx_index": _cdx_index,
@@ -9388,6 +9455,7 @@ def oracle_sql() -> dict[str, str]:
         "wet_conversion_index": _wet_index_oracle(),
         "wet_text_extract": _wet_text_oracle(),
         "robots_sitemap_urls": _robots_sitemap_oracle(),
+        "fineweb_quality_flags": _fineweb_oracle(),
         "cdx_index": _cdx_index_oracle(),
         "warc_revisit_resolve": _warc_revisit_oracle(),
         "warc_revisit_stats": _warc_revisit_stats_oracle(),

@@ -253,6 +253,92 @@ def gopher_quality_flags(
     return out.withColumn("passes", passes)
 
 
+# FineWeb custom quality filters (Penedo et al. 2024, "The FineWeb
+# Datasets", §3.6 "additional quality filters"): three line-level
+# document gates developed on top of the C4/Gopher sets.  A document is
+# REMOVED when (a) the fraction of lines ending in punctuation is
+# <= 0.12, (b) the fraction of characters in duplicated lines is
+# >= 0.1, or (c) the fraction of lines shorter than 30 characters is
+# >= 0.67.
+FINEWEB_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+# deterministic decoration for the single-line synthetic corpus: one
+# class per verdict — passing (sentence-terminated), punct-fail (the
+# raw unterminated text), short-line fail (six appended 'ok.' lines —
+# which also trips the dup gate; the class tests the conjunction), and
+# a dup-ONLY fail (the whole line repeated once).  Pure concat/repeat,
+# both engines verbatim.
+FINEWEB_SYNTH_SQL = (
+    "CASE WHEN {id} % 4 = 0 THEN {txt} || '.'"
+    " WHEN {id} % 4 = 1 THEN {txt}"
+    " WHEN {id} % 4 = 2 THEN {txt} || '.' || repeat(chr(10) || 'ok.', 6)"
+    " ELSE {txt} || '.' || chr(10) || {txt} || '.' END"
+)
+
+
+def fineweb_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_punct_line_ratio: float = 0.12,
+    max_short_line_ratio: float = 0.67,
+    max_dup_char_frac: float = 0.1,
+    short_len: int = 30,
+) -> DataFrame:
+    """The three FineWeb custom gates as one map-only flag table:
+    ``punct_line_ratio`` (lines ending in terminal punctuation),
+    ``short_line_ratio`` (lines under ``short_len`` characters), and
+    ``dup_line_char_frac`` (characters carried by repeats of an
+    earlier line), plus the conjunction (``passes``).  Blank lines are
+    excluded; documents with zero non-blank lines produce no row.
+
+    Scale shape: ZERO shuffle — unlike :func:`line_repetition_stats`
+    (whose per-(doc, line) count needs an aggregate exchange), the dup
+    fraction here comes from ``array_distinct`` inside the same row:
+    ``1 - chars(distinct lines) / chars(all lines)`` is algebraically
+    ``sum((c-1)*len) / sum(c*len)``.  All array/HOF expressions; at
+    100 TB this is scan-bound."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.split(t, "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    n_lines = F.size(lines)
+
+    def _punct(l):
+        lt = F.trim(l)
+        hit = None
+        for p in FINEWEB_TERMINAL_PUNCT:
+            e = lt.endswith(p)
+            hit = e if hit is None else (hit | e)
+        return hit
+
+    punct_lines = F.size(F.filter(lines, _punct))
+    short_lines = F.size(
+        F.filter(lines, lambda l: F.length(l) < short_len)
+    )
+    total_chars = F.aggregate(
+        lines, F.lit(0), lambda a, l: a + F.length(l)
+    )
+    dist_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, l: a + F.length(l)
+    )
+    out = df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.round(punct_lines / n_lines, 6).alias("punct_line_ratio"),
+        F.round(short_lines / n_lines, 6).alias("short_line_ratio"),
+        F.round(
+            (total_chars - dist_chars) / total_chars.cast("double"), 6
+        ).alias("dup_line_char_frac"),
+    ).filter(F.col("n_lines") > 0)
+    passes = (
+        (F.col("punct_line_ratio") > min_punct_line_ratio)
+        & (F.col("short_line_ratio") < max_short_line_ratio)
+        & (F.col("dup_line_char_frac") < max_dup_char_frac)
+    )
+    return out.withColumn("passes", passes)
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

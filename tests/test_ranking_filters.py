@@ -267,6 +267,60 @@ class TestGopherQuality:
         assert "Exchange" not in plan  # map-only, scan-bound
 
 
+class TestFineWebQuality:
+    def test_each_gate_fires_on_its_failure_mode(self, spark):
+        """FineWeb custom filters (round 10): hand-computed signals,
+        one pure fixture per gate."""
+        from pgferry_spark.operators.filters import fineweb_quality_flags
+
+        long_line = "this is a long enough sentence for the gate."  # 45ch
+        rows = [
+            (1, long_line + "\n" + "another properly terminated line!"),
+            # punct gate: no line ends in terminal punctuation
+            (2, long_line[:-1] + "\n" + "and a second unterminated one"),
+            # short-line gate: 3 of 4 lines under 30 chars (all distinct,
+            # all punct-terminated -> other gates pass)
+            (3, long_line + "\nok one.\nok two.\nok three."),
+            # dup gate: the same long line three times = 2/3 dup chars
+            (4, long_line + "\n" + long_line + "\n" + long_line),
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        got = {
+            r.doc_id: r for r in fineweb_quality_flags(
+                df, "text", "doc_id"
+            ).collect()
+        }
+        assert got[1].passes
+        assert got[1].punct_line_ratio == 1.0
+        assert got[1].dup_line_char_frac == 0.0
+        assert not got[2].passes and got[2].punct_line_ratio == 0.0
+        assert not got[3].passes and got[3].short_line_ratio == 0.75
+        assert got[3].punct_line_ratio == 1.0  # only the short gate fires
+        assert got[3].dup_line_char_frac == 0.0
+        assert not got[4].passes
+        assert round(got[4].dup_line_char_frac, 4) == round(2 / 3, 4)
+        assert got[4].short_line_ratio == 0.0
+
+    def test_blank_lines_excluded_and_plan_shuffle_free(self, spark):
+        """ZERO Exchange: the dup fraction rides array_distinct inside
+        the row — no per-line aggregate shuffle (the design delta vs
+        line_repetition_stats)."""
+        from pgferry_spark.operators.filters import fineweb_quality_flags
+
+        df = spark.createDataFrame(
+            [(1, "a real terminated sentence, long enough to count.\n\n  \n"
+                 "and one more terminated line after blanks here."),
+             (2, " \n  ")],
+            "doc_id: long, text: string",
+        )
+        out = fineweb_quality_flags(df, "text", "doc_id")
+        rows = out.collect()
+        assert [r.doc_id for r in rows] == [1]
+        assert rows[0].n_lines == 2  # blank lines never count
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestContamination:
     def test_shared_ngram_flagged(self, spark):
         bench = spark.createDataFrame([(100, "the quick brown fox jumps")], DOCS)
