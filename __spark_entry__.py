@@ -3199,6 +3199,37 @@ def _gopher_quality_flags(spark, sf):
     )
 
 
+def _moji_docs(spark, sf):
+    from pgferry_spark.operators.encoding import MOJIBAKE_SYNTH_SQL
+
+    return _t(spark, sf, "documents").withColumn(
+        "mtext", F.expr(MOJIBAKE_SYNTH_SQL.format(id="doc_id", txt="text"))
+    )
+
+
+def _mojibake_stats(spark, sf):
+    """Mojibake census (round 10, second wave — the ftfy-style
+    encoding-repair stage CCNet/OSCAR pipelines run before quality
+    scoring): per-document occurrence counts over a bounded literal
+    table generated from the actual UTF-8→cp1252 round trip, gated on
+    the three possible lead chars. Synthesis appends letter-mojibake /
+    punctuation-mojibake / nothing per id%3. Map-only, no regex."""
+    from pgferry_spark.operators.encoding import mojibake_stats
+
+    return mojibake_stats(_moji_docs(spark, sf), "mtext", "doc_id")
+
+
+def _mojibake_repair(spark, sf):
+    """The repair itself: every table spelling decoded back to its
+    intended character via sentinel-framed chained replaces (the
+    charref double-decode lesson — several targets are themselves
+    cp1252 pattern chars). Hash-green means byte-identical repaired
+    text on both engines."""
+    from pgferry_spark.operators.encoding import mojibake_repair
+
+    return mojibake_repair(_moji_docs(spark, sf), "mtext", "doc_id")
+
+
 def _fineweb_quality_flags(spark, sf):
     """FineWeb custom quality gates (round 10, second wave — Penedo et
     al. 2024 §3.6): terminal-punctuation line ratio, short-line ratio,
@@ -3945,6 +3976,35 @@ def _gopher_oracle() -> str:
                 AND alpha_word_ratio >= 0.8
                 AND n_stopword_hits >= 1) AS passes
         FROM r
+    """
+
+
+def _moji_cte() -> str:
+    from pgferry_spark.operators.encoding import MOJIBAKE_SYNTH_SQL
+
+    synth = MOJIBAKE_SYNTH_SQL.format(id="doc_id", txt="text")
+    return f"WITH m AS (SELECT doc_id, {synth} AS mtext FROM documents)"
+
+
+def _mojibake_stats_oracle() -> str:
+    """Shared-template replay: the same synth + count expression both
+    engines evaluate verbatim."""
+    from pgferry_spark.operators.encoding import mojibake_count_sql
+
+    cnt = mojibake_count_sql("mtext")
+    return _moji_cte() + f"""
+        SELECT doc_id, CAST({cnt} AS INT) AS n_mojibake,
+               {cnt} > 0 AS has_mojibake
+        FROM m
+    """
+
+
+def _mojibake_repair_oracle() -> str:
+    from pgferry_spark.operators.encoding import mojibake_repair_sql
+
+    rep = mojibake_repair_sql("mtext")
+    return _moji_cte() + f"""
+        SELECT doc_id, {rep} AS text FROM m
     """
 
 
@@ -4754,6 +4814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_text_extract": _wet_text_extract,
         "robots_sitemap_urls": _robots_sitemap_urls,
         "fineweb_quality_flags": _fineweb_quality_flags,
+        "mojibake_stats": _mojibake_stats,
+        "mojibake_repair": _mojibake_repair,
         "warc_gzip_index": _warc_gzip_index,
         "warc_gzip_extract": _warc_gzip_extract,
         "cdx_index": _cdx_index,
@@ -9456,6 +9518,8 @@ def oracle_sql() -> dict[str, str]:
         "wet_text_extract": _wet_text_oracle(),
         "robots_sitemap_urls": _robots_sitemap_oracle(),
         "fineweb_quality_flags": _fineweb_oracle(),
+        "mojibake_stats": _mojibake_stats_oracle(),
+        "mojibake_repair": _mojibake_repair_oracle(),
         "cdx_index": _cdx_index_oracle(),
         "warc_revisit_resolve": _warc_revisit_oracle(),
         "warc_revisit_stats": _warc_revisit_stats_oracle(),
