@@ -3508,6 +3508,55 @@ def _wet_conversion_index(spark, sf):
     return idx.filter(F.col("warc_type") == "conversion")
 
 
+def _wat_docs(spark, sf):
+    from pgferry_spark.sources.warc import WAT_JSON_SQL
+
+    return _docs_with_urls(spark, sf).withColumn(
+        "wat_json",
+        F.expr(
+            WAT_JSON_SQL.format(url="url", text="text", blen="octet_length")
+        ),
+    )
+
+
+def _wat_export_index(spark, sf):
+    """WAT export + index (round 10, second wave — the METADATA third
+    of the CommonCrawl WARC/WET/WAT triad): per-capture JSON envelopes
+    (target URI, payload digest, payload length — built by the shared
+    WAT_JSON_SQL template both engines evaluate byte-identically) are
+    packed into metadata-record containers the unchanged
+    warc_record_index then parses.  Oracle = the WET closed-form
+    arithmetic with the metadata header width and the envelope's
+    template length; green means the exporter's bytes and the
+    arithmetic agree to the byte."""
+    from pgferry_spark.sources.warc import warc_record_index, wat_export
+
+    idx = warc_record_index(wat_export(_wat_docs(spark, sf)))
+    return idx.filter(F.col("warc_type") == "metadata")
+
+
+def _wat_metadata_extract(spark, sf):
+    """The WAT consumption proof: parse the exported containers, then
+    parse the JSON envelopes BACK OUT of the payload bytes
+    (get_json_object over the extracted text).  The oracle replays the
+    fields straight from the source corpus — green means a consumer
+    reading the sidecar recovers exactly the describing fields (URI,
+    digest, length) without touching payload bytes."""
+    from pgferry_spark.sources.warc import warc_payload_extract, wat_export
+
+    ext = warc_payload_extract(wat_export(_wat_docs(spark, sf))).filter(
+        F.col("record_no") >= 1
+    )
+    return ext.select(
+        "container_id",
+        "record_no",
+        "target_uri",
+        F.get_json_object("text", "$.u").alias("meta_url"),
+        F.get_json_object("text", "$.d").alias("meta_md5"),
+        F.get_json_object("text", "$.l").cast("bigint").alias("meta_len"),
+    )
+
+
 def _wet_text_extract(spark, sf):
     """The WET consumption proof: extract payloads back OUT of the
     exported WET containers (one Arrow parse+slice pass; record_no >= 1
@@ -4600,6 +4649,80 @@ def _wet_index_oracle() -> str:
     """
 
 
+def _wat_index_oracle() -> str:
+    """WET arithmetic with the metadata header width: base 166
+    ('metadata' is two bytes narrower than 'conversion') + twice the
+    doc_id digits + URI octets + Content-Length digits, the payload
+    being the shared-template JSON envelope; warcinfo shift as in
+    :func:`_wet_index_oracle` with the WAT manifest constant."""
+    from pgferry_spark.operators.domains import URL_SYNTH_SQL
+    from pgferry_spark.sources.warc import (
+        WAT_INFO_PAYLOAD,
+        WAT_JSON_SQL,
+        WET_INFO_URI,
+    )
+
+    info_plen = len(WAT_INFO_PAYLOAD)
+    info_const = (
+        10 + 21 + 34 + 19 + len(WET_INFO_URI) + 33
+        + 18 + len(str(info_plen)) + 2 + info_plen + 4
+    )
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    wat = WAT_JSON_SQL.format(url="url", text="text", blen="strlen")
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents),
+        j AS (SELECT doc_id, url, {wat} AS wat_json FROM u),
+        r AS (SELECT doc_id,
+                (doc_id // 8) AS container_id,
+                url, wat_json,
+                CAST(strlen(wat_json) AS BIGINT) AS plen,
+                CAST(166 + 2 * length(CAST(doc_id AS VARCHAR)) + strlen(url)
+                     + length(CAST(strlen(wat_json) AS VARCHAR)) AS BIGINT)
+                  AS hlen
+              FROM j),
+        w AS (SELECT *,
+                CAST(row_number() OVER (PARTITION BY container_id
+                     ORDER BY doc_id) AS INT) AS record_no,
+                CAST({info_const}
+                     + length(CAST(container_id AS VARCHAR)) AS BIGINT)
+                  + SUM(hlen + plen + 4) OVER (PARTITION BY container_id
+                     ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - (hlen + plen + 4) AS rec_offset
+              FROM r)
+        SELECT container_id, record_no,
+               CAST(rec_offset AS BIGINT) AS rec_offset,
+               CAST(hlen + plen + 4 AS BIGINT) AS rec_len,
+               CAST(rec_offset + hlen AS BIGINT) AS payload_offset,
+               CAST(plen AS BIGINT) AS payload_len,
+               md5(wat_json) AS payload_md5,
+               'metadata' AS warc_type,
+               url AS target_uri
+        FROM w
+    """
+
+
+def _wat_extract_oracle() -> str:
+    """The sidecar loop proof from the SOURCE side: the describing
+    fields straight off the corpus — the Spark side must recover the
+    same values by parsing JSON payloads out of real container
+    bytes."""
+    from pgferry_spark.operators.domains import URL_SYNTH_SQL
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents)
+        SELECT (doc_id // 8) AS container_id,
+               CAST(row_number() OVER (
+                    PARTITION BY (doc_id // 8)
+                    ORDER BY doc_id) AS INT) AS record_no,
+               url AS target_uri,
+               url AS meta_url,
+               md5(text) AS meta_md5,
+               CAST(strlen(text) AS BIGINT) AS meta_len
+        FROM u
+    """
+
+
 def _wet_text_oracle() -> str:
     """The consumption proof: the ORIGINAL text, keyed by the WET
     record geometry (warcinfo is record 0, conversions 1..n in doc
@@ -4812,6 +4935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5-green entry past the boundary to head the r11 line)
         "wet_conversion_index": _wet_conversion_index,
         "wet_text_extract": _wet_text_extract,
+        "wat_export_index": _wat_export_index,
+        "wat_metadata_extract": _wat_metadata_extract,
         "robots_sitemap_urls": _robots_sitemap_urls,
         "fineweb_quality_flags": _fineweb_quality_flags,
         "mojibake_stats": _mojibake_stats,
@@ -9516,6 +9641,8 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic for the index, the ORIGINAL text for the extract
         "wet_conversion_index": _wet_index_oracle(),
         "wet_text_extract": _wet_text_oracle(),
+        "wat_export_index": _wat_index_oracle(),
+        "wat_metadata_extract": _wat_extract_oracle(),
         "robots_sitemap_urls": _robots_sitemap_oracle(),
         "fineweb_quality_flags": _fineweb_oracle(),
         "mojibake_stats": _mojibake_stats_oracle(),

@@ -211,6 +211,16 @@ HEADLINE = [
     # round 10: CCNet perplexity tiers + Gopher dup-line signals
     "ccnet_buckets",
     "line_repetition",
+    # round 10, second wave: WET export (the CommonCrawl extracted-text
+    # companion), sitemap discovery, FineWeb gates, mojibake repair
+    "wet_conversion_index",
+    "wet_text_extract",
+    "wat_export_index",
+    "wat_metadata_extract",
+    "robots_sitemap_urls",
+    "fineweb_quality_flags",
+    "mojibake_stats",
+    "mojibake_repair",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

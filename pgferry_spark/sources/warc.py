@@ -637,6 +637,100 @@ def wet_export(
     )
 
 
+# ---------------------------------------------------------------------------
+# WAT export — the METADATA third of the CommonCrawl WARC/WET/WAT triad:
+# a WAT file is a WARC container of ``metadata`` records, one per
+# capture, each carrying a JSON envelope (target URI, payload digest,
+# payload length — the fields every index/analytics job wants without
+# touching payload bytes) plus WARC-Refers-To at the described record.
+# The envelope is built by a SHARED SQL template (WAT_JSON_SQL) so the
+# Spark exporter and the DuckDB oracle produce byte-identical JSON; the
+# byte-length spelling is the one engine divergence and rides a {blen}
+# parameter (Spark octet_length / DuckDB strlen — DuckDB's octet_length
+# does not accept VARCHAR).  Field values in the synthetic corpus carry
+# no '"' or '\\', so no JSON escaping stage is needed; a real exporter
+# would escape first (documented boundary).
+# ---------------------------------------------------------------------------
+
+# CAST AS STRING: the one integer->text spelling BOTH engines accept
+# (Spark rejects bare VARCHAR, DuckDB aliases STRING to VARCHAR)
+WAT_JSON_SQL = (
+    "'{{\"u\":\"' || {url} || '\",\"d\":\"' || md5({text})"
+    " || '\",\"l\":' || CAST({blen}({text}) AS STRING) || '}}'"
+)
+
+WAT_INFO_PAYLOAD = (
+    b"software: pgferry-spark WAT writer\r\n"
+    b"format: WARC File Format 1.0\r\n"
+    b"conformsTo: ISO 28500\r\n"
+)
+
+
+def encode_wat(cid: int, docs: list[dict]) -> bytes:
+    """One WAT container: warcinfo leader + one ``metadata`` record per
+    ``{"doc_id", "uri", "wat_json"}`` — record id
+    ``urn:uuid:meta-<doc_id>``, WARC-Refers-To the described capture,
+    payload the JSON envelope.  Pure :func:`encode_warc` reuse."""
+    recs = [
+        {
+            "type": "warcinfo",
+            "record_id": f"urn:uuid:info-{cid}",
+            "uri": WET_INFO_URI,
+            "payload": WAT_INFO_PAYLOAD,
+        }
+    ]
+    for d in docs:
+        recs.append(
+            {
+                "type": "metadata",
+                "record_id": f"urn:uuid:meta-{d['doc_id']}",
+                "uri": d["uri"],
+                "payload": d["wat_json"].encode("utf-8"),
+                "refers_to": f"urn:uuid:{d['doc_id']}",
+            }
+        )
+    return encode_warc(recs)
+
+
+def wat_export(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    json_col: str = "wat_json",
+    docs_per_container: int = 8,
+) -> DataFrame:
+    """The WAT publication step: per-capture JSON envelopes into
+    distributable metadata containers, sharded exactly like
+    :func:`attach_warc` / :func:`wet_export` so shard N of all three
+    formats pairs.  At 100 TB the WAT sidecar is what lets link-graph,
+    dedup, and stats jobs run over ~1% of the bytes."""
+    schema = StructType(
+        [
+            StructField("container_id", LongType(), False),
+            StructField("container", BinaryType(), False),
+        ]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        cid = int(pdf["__cid"].iloc[0])
+        docs = [
+            {"doc_id": int(i), "uri": u, "wat_json": j}
+            for i, u, j in zip(pdf[id_col], pdf["url"], pdf[json_col])
+        ]
+        return pd.DataFrame(
+            {"container_id": [cid], "container": [encode_wat(cid, docs)]}
+        )
+
+    return (
+        df.withColumn(
+            "__cid", F.expr(f"{id_col} div {docs_per_container}")
+        )
+        .select("__cid", id_col, "url", json_col)
+        .groupBy("__cid")
+        .applyInPandas(build, schema=schema)
+    )
+
+
 def warc_range_read(container: bytes, offset: int, length: int) -> bytes:
     """The bounded range read the index enables: one slice, validated.
     (At cluster scale this is a ranged GET against object storage; the

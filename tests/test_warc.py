@@ -244,6 +244,64 @@ class TestWetExport:
         assert warc_map == wet_map
 
 
+class TestWatExport:
+    """Round 10, second wave: WAT — the metadata third of the triad
+    (JSON envelopes in metadata records, WARC-Refers-To pointers)."""
+
+    def test_encode_wat_structure(self):
+        from pgferry_spark.sources.warc import (
+            WAT_INFO_PAYLOAD,
+            encode_wat,
+            parse_warc_index,
+        )
+
+        docs = [
+            {"doc_id": 3, "uri": "https://a.org/3",
+             "wat_json": '{"u":"https://a.org/3","d":"x","l":9}'},
+        ]
+        recs = parse_warc_index(encode_wat(0, docs))
+        assert [r["warc_type"] for r in recs] == ["warcinfo", "metadata"]
+        assert recs[0].get("payload_len") == len(WAT_INFO_PAYLOAD)
+        assert recs[1]["record_id"] == "urn:uuid:meta-3"
+        assert recs[1]["refers_to"] == "urn:uuid:3"
+        assert recs[1]["payload_len"] == len(docs[0]["wat_json"])
+
+    def test_wat_envelope_roundtrip_through_spark(self, spark):
+        """Export WAT, then parse the JSON envelopes back out of real
+        container bytes — the fields must equal the source columns."""
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.sources.warc import (
+            WAT_JSON_SQL,
+            warc_payload_extract,
+            wat_export,
+        )
+
+        docs = [(i, f"https://s{i % 2}.org/{i}", f"wát ✓doc {i}.")
+                for i in range(1, 13)]
+        df = spark.createDataFrame(
+            docs, "doc_id: long, url: string, text: string"
+        ).withColumn(
+            "wat_json",
+            F.expr(WAT_JSON_SQL.format(
+                url="url", text="text", blen="octet_length")),
+        )
+        got = {
+            r["meta_url"]: (r["meta_len"], r["target_uri"])
+            for r in warc_payload_extract(wat_export(df))
+            .filter("record_no >= 1")
+            .select(
+                "target_uri",
+                F.get_json_object("text", "$.u").alias("meta_url"),
+                F.get_json_object("text", "$.l")
+                .cast("bigint").alias("meta_len"),
+            )
+            .collect()
+        }
+        for _, u, t in docs:
+            assert got[u] == (len(t.encode("utf-8")), u)
+
+
 class TestGzipMembers:
     """Round 10: per-record gzip members — the CommonCrawl transport
     framing (one deflate member per record, members concatenated)."""
