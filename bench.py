@@ -213,6 +213,8 @@ HEADLINE = [
     "line_repetition",
     # round 10, second wave: WET export (the CommonCrawl extracted-text
     # companion), sitemap discovery, FineWeb gates, mojibake repair
+    "warc_dedup_manifest",
+    "frontier_bloom_gate",
     "wet_conversion_index",
     "wet_text_extract",
     "wat_export_index",

@@ -157,6 +157,46 @@ def test_payload_extract_recovers_original_text(spark):
     assert got == {u: t for _, u, t in docs}  # utf-8 slice boundaries exact
 
 
+class TestWarcDedupManifest:
+    """Round 10, second wave: keeper election on the index's
+    payload_md5 — dedup before any extraction."""
+
+    def test_keeper_is_earliest_and_pointers_resolve(self, spark):
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.sources.warc import (
+            attach_warc,
+            warc_record_index,
+        )
+
+        # ids 0..9; ids 3 and 7 duplicate id 1's bytes
+        rows = [(i, f"https://s.org/{i}",
+                 "dup text." if i in (1, 3, 7) else f"uniq {i}.")
+                for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "doc_id: long, url: string, text: string"
+        )
+        idx = warc_record_index(attach_warc(df, docs_per_container=4))
+        keepers = idx.groupBy("payload_md5").agg(
+            F.min(F.struct("container_id", "record_no")).alias("__k")
+        )
+        m = idx.join(keepers, "payload_md5").select(
+            "target_uri",
+            ((F.col("container_id") == F.col("__k.container_id"))
+             & (F.col("record_no") == F.col("__k.record_no")))
+            .alias("is_keeper"),
+            F.col("__k.container_id").alias("kc"),
+            F.col("__k.record_no").alias("kr"),
+        )
+        got = {r.target_uri: (r.is_keeper, r.kc, r.kr)
+               for r in m.collect()}
+        # id 1 (container 0, record 1) keeps; 3 and 7 point at it
+        assert got["https://s.org/1"] == (True, 0, 1)
+        assert got["https://s.org/3"] == (False, 0, 1)
+        assert got["https://s.org/7"] == (False, 0, 1)
+        assert got["https://s.org/5"][0]  # unique doc keeps itself
+
+
 class TestWetExport:
     """Round 10, second wave: WET — the CommonCrawl extracted-text
     companion format (warcinfo leader + conversion records with
