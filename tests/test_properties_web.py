@@ -415,3 +415,107 @@ def test_robots_pattern_translation_identical_both_engines(rule, path):
     core = pat[1:]
     if not any(c in core for c in ".*$+?()[]{}|\\"):
         assert duck == npath.startswith(core)
+
+
+# -- WET/WAT sidecar framing + mojibake repair (round 10, second wave) --------
+
+doc_text = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz é✓.,\n", min_size=0, max_size=48,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(uri_text, doc_text), min_size=1, max_size=5),
+       st.integers(0, 10**9))
+def test_wet_container_roundtrip_arbitrary_docs(docs, cid):
+    """encode_wet → parse recovers every conversion payload byte-exactly;
+    the warcinfo leader is always record 0 with the pinned manifest; the
+    Refers-To pointer always addresses the source capture id."""
+    from pgferry_spark.sources import warc as W
+
+    ds = [{"doc_id": i, "uri": u, "text": t}
+          for i, (u, t) in enumerate(docs)]
+    blob = W.encode_wet(cid, ds)
+    idx = W.parse_warc_index(blob)
+    assert idx[0]["warc_type"] == "warcinfo"
+    assert idx[0]["record_id"] == f"urn:uuid:info-{cid}"
+    body = W.warc_range_read(
+        blob, idx[0]["payload_offset"], idx[0]["payload_len"]
+    )
+    assert body == W.WET_INFO_PAYLOAD
+    for meta, d in zip(idx[1:], ds):
+        assert meta["warc_type"] == "conversion"
+        assert meta["refers_to"] == f"urn:uuid:{d['doc_id']}"
+        got = W.warc_range_read(
+            blob, meta["payload_offset"], meta["payload_len"]
+        )
+        assert got.decode("utf-8") == d["text"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(uri_text, uri_text), min_size=1, max_size=5),
+       st.integers(0, 10**9))
+def test_wat_container_roundtrip_arbitrary_envelopes(docs, cid):
+    from pgferry_spark.sources import warc as W
+
+    ds = [{"doc_id": i, "uri": u, "wat_json": f'{{"u":"{u}","x":"{x}"}}'}
+          for i, (u, x) in enumerate(docs)]
+    blob = W.encode_wat(cid, ds)
+    idx = W.parse_warc_index(blob)
+    assert idx[0]["warc_type"] == "warcinfo"
+    for meta, d in zip(idx[1:], ds):
+        assert meta["warc_type"] == "metadata"
+        assert meta["record_id"] == f"urn:uuid:meta-{d['doc_id']}"
+        got = W.warc_range_read(
+            blob, meta["payload_offset"], meta["payload_len"]
+        )
+        assert got.decode("utf-8") == d["wat_json"]
+
+
+ascii_clean = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                           exclude_characters="'"),
+    min_size=0, max_size=48,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(ascii_clean)
+def test_mojibake_repair_identity_on_clean_ascii_both_engines(s):
+    """Pure-ASCII text carries none of the three lead chars, so the
+    gated repair is the byte identity (DuckDB leg; the Spark leg shares
+    the identical SQL string by construction, and the oracle-green
+    entries pin the cross-engine agreement)."""
+    import duckdb
+
+    from pgferry_spark.operators.encoding import mojibake_repair_sql
+
+    con = duckdb.connect()
+    out = con.execute(
+        f"SELECT {mojibake_repair_sql('t')} FROM (SELECT ? AS t)", [s]
+    ).fetchone()[0]
+    assert out == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(ascii_clean, ascii_clean)
+def test_mojibake_repair_recovers_every_table_target(prefix, suffix):
+    """For EVERY table entry: corrupt(target) embedded in arbitrary
+    clean ASCII repairs back to the target (DuckDB leg; the Spark leg
+    shares the identical SQL string by construction, and the
+    oracle-green entries pin the cross-engine agreement)."""
+    import duckdb
+
+    from pgferry_spark.operators.encoding import (
+        MOJIBAKE_PAIRS,
+        mojibake_repair_sql,
+    )
+
+    con = duckdb.connect()
+    sql = mojibake_repair_sql("t")
+    for moji, ch in MOJIBAKE_PAIRS[:6] + MOJIBAKE_PAIRS[-6:]:
+        s = prefix + moji + suffix
+        out = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS t)", [s]
+        ).fetchone()[0]
+        assert out == prefix + ch + suffix, (moji, ch, out)
