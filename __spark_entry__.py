@@ -3582,6 +3582,20 @@ def _wet_conversion_index(spark, sf):
     return idx.filter(F.col("warc_type") == "conversion")
 
 
+def _wet_gzip_extract(spark, sf):
+    """The actual CommonCrawl WET transport (.warc.wet.gz — one deflate
+    member per record, warcinfo leader included): export with
+    gzip_members=True, then recover every conversion payload through
+    the SAME member walk the gzip WARC path uses (capped inflate,
+    bounds-checked). Oracle = the ORIGINAL documents text — green means
+    byte-exact recovery through gzip + WET framing combined."""
+    from pgferry_spark.sources.warc import warc_payload_extract, wet_export
+
+    return warc_payload_extract(
+        wet_export(_docs_with_urls(spark, sf), gzip_members=True)
+    ).filter(F.col("record_no") >= 1)
+
+
 def _wat_docs(spark, sf):
     from pgferry_spark.sources.warc import WAT_JSON_SQL
 
@@ -5074,6 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_bloom_gate": _frontier_bloom_gate,
         "wet_conversion_index": _wet_conversion_index,
         "wet_text_extract": _wet_text_extract,
+        "wet_gzip_extract": _wet_gzip_extract,
         "wat_export_index": _wat_export_index,
         "wat_metadata_extract": _wat_metadata_extract,
         "robots_sitemap_urls": _robots_sitemap_urls,
@@ -9782,6 +9797,9 @@ def oracle_sql() -> dict[str, str]:
         "frontier_bloom_gate": _frontier_bloom_oracle(),
         "wet_conversion_index": _wet_index_oracle(),
         "wet_text_extract": _wet_text_oracle(),
+        # gzip-member WET: identical closed-form oracle — recovery must
+        # be byte-exact through the deflate round-trip too
+        "wet_gzip_extract": _wet_text_oracle(),
         "wat_export_index": _wat_index_oracle(),
         "wat_metadata_extract": _wat_extract_oracle(),
         "robots_sitemap_urls": _robots_sitemap_oracle(),

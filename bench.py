@@ -217,6 +217,7 @@ HEADLINE = [
     "frontier_bloom_gate",
     "wet_conversion_index",
     "wet_text_extract",
+    "wet_gzip_extract",
     "wat_export_index",
     "wat_metadata_extract",
     "robots_sitemap_urls",

@@ -567,13 +567,19 @@ WET_INFO_PAYLOAD = (
 )
 
 
-def encode_wet(cid: int, docs: list[dict]) -> bytes:
+def encode_wet(
+    cid: int, docs: list[dict], gzip_members: bool = False
+) -> bytes:
     """One WET container: the ``warcinfo`` leader then one
     ``conversion`` record per ``{"doc_id", "uri", "text"}`` — record id
     ``urn:uuid:conv-<doc_id>``, ``WARC-Refers-To`` the original
     capture's ``urn:uuid:<doc_id>`` (the :func:`attach_warc` response
     synthesis), payload the UTF-8 text.  Pure reuse of
-    :func:`encode_warc`; WET adds no framing of its own."""
+    :func:`encode_warc`; WET adds no framing of its own.
+    ``gzip_members=True`` emits the actual CommonCrawl WET transport
+    (``.warc.wet.gz``): one deflate member per record — leader
+    included — via :func:`encode_warc_gz`, served by the same member
+    walk the gzip WARC path uses."""
     recs = [
         {
             "type": "warcinfo",
@@ -592,7 +598,7 @@ def encode_wet(cid: int, docs: list[dict]) -> bytes:
                 "refers_to": f"urn:uuid:{d['doc_id']}",
             }
         )
-    return encode_warc(recs)
+    return (encode_warc_gz if gzip_members else encode_warc)(recs)
 
 
 def wet_export(
@@ -600,6 +606,7 @@ def wet_export(
     id_col: str = "doc_id",
     text_col: str = "text",
     docs_per_container: int = 8,
+    gzip_members: bool = False,
 ) -> DataFrame:
     """The WET publication step: extracted text back into distributable
     containers, grouped exactly like :func:`attach_warc` (``id //
@@ -624,7 +631,10 @@ def wet_export(
             for i, u, t in zip(pdf[id_col], pdf["url"], pdf[text_col])
         ]
         return pd.DataFrame(
-            {"container_id": [cid], "container": [encode_wet(cid, docs)]}
+            {
+                "container_id": [cid],
+                "container": [encode_wet(cid, docs, gzip_members)],
+            }
         )
 
     return (

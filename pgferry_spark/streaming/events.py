@@ -492,6 +492,52 @@ def warc_ingest_stream(
     )
 
 
+def wet_publish_stream(
+    docs: DataFrame,
+    table,
+    checkpoint_dir: str,
+    query_name: str = "wet_publish",
+    docs_per_container: int = 8,
+    gzip_members: bool = False,
+):
+    """Continuous WET publication (round 10, second wave) — the
+    export-side twin of :func:`warc_ingest_stream`: a stream of
+    extracted documents ``(doc_id, url, text)`` is packed per
+    micro-batch into WET conversion containers
+    (:func:`~pgferry_spark.sources.warc.wet_export`; ``gzip_members``
+    emits the ``.warc.wet.gz`` transport) and the shards append to the
+    persistent LakeTable with the exactly-once batch-tag protocol.
+    Here the container bytes ARE the product — the lake is the
+    published shard store a downstream text pipeline reads instead of
+    re-parsing HTML — and each batch is a pure O(batch) append
+    (documents are immutable; a re-extraction run publishes NEW
+    shards).  Container ids stay collision-free across batches because
+    they derive from doc_id div k, exactly the batch-invariant grouping
+    the batch exporter uses."""
+    from pgferry_spark.sources.warc import wet_export
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch:{query_name}:{batch_id}"
+        if any(s.op == tag for s in table.history()):
+            return  # replayed batch — already committed
+        table.append(
+            wet_export(
+                batch_df,
+                docs_per_container=docs_per_container,
+                gzip_members=gzip_members,
+            ),
+            tag,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_materialized_agg(
     stream_df: DataFrame,
     table,
