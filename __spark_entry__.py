@@ -2058,6 +2058,24 @@ def _bpe_encode(spark, sf):
     return bpe_encode_counts(d, "text", "doc_id", merges)
 
 
+def _bpe_roundtrip(spark, sf):
+    """Tokenizer losslessness (round 10, second wave): encode every
+    word under the learned merges, decode the symbol sequence back
+    (concatenate, strip the end-of-word marker), rejoin — the oracle is
+    the ORIGINAL documents text, so hash-green means the greedy
+    merge-apply loop never corrupts a symbol boundary for any word in
+    the corpus (the regression class token COUNTS cannot catch).
+    Whitespace-normalized boundary documented in vocab.py."""
+    from pgferry_spark.operators.vocab import (
+        bpe_roundtrip_texts,
+        learn_bpe_merges,
+    )
+
+    d = _t(spark, sf, "documents")
+    merges = learn_bpe_merges(d, "text", n_merges=50)
+    return bpe_roundtrip_texts(d, "text", "doc_id", merges)
+
+
 def _knn_graph(spark, sf):
     """Approximate kNN graph over embeddings: per-vector top-5 neighbors
     among LSH band-bucket candidates (24 planes / 4 six-bit bands, seed
@@ -5086,6 +5104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # discovery, FineWeb gates, mojibake repair)
         "warc_dedup_manifest": _warc_dedup_manifest,
         "frontier_bloom_gate": _frontier_bloom_gate,
+        "bpe_roundtrip": _bpe_roundtrip,
         "wet_conversion_index": _wet_conversion_index,
         "wet_text_extract": _wet_text_extract,
         "wet_gzip_extract": _wet_gzip_extract,
@@ -9795,6 +9814,9 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic for the index, the ORIGINAL text for the extract
         "warc_dedup_manifest": _warc_dedup_manifest_oracle(),
         "frontier_bloom_gate": _frontier_bloom_oracle(),
+        # losslessness: decode(encode(x)) == x, so the oracle is the
+        # source text itself
+        "bpe_roundtrip": "SELECT doc_id, text FROM documents",
         "wet_conversion_index": _wet_index_oracle(),
         "wet_text_extract": _wet_text_oracle(),
         # gzip-member WET: identical closed-form oracle — recovery must

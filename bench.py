@@ -215,6 +215,7 @@ HEADLINE = [
     # companion), sitemap discovery, FineWeb gates, mojibake repair
     "warc_dedup_manifest",
     "frontier_bloom_gate",
+    "bpe_roundtrip",
     "wet_conversion_index",
     "wet_text_extract",
     "wet_gzip_extract",

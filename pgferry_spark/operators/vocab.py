@@ -165,3 +165,64 @@ def bpe_encode_counts(
         return texts.map(doc_tokens)
 
     return df.select(F.col(id_col), _count(F.col(text_col)).alias("n_tokens"))
+
+
+def bpe_roundtrip_texts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str, int]],
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Losslessness proof for the encode pass: encode every word to its
+    BPE symbol sequence, then DECODE (concatenate symbols, strip the
+    end-of-word marker, rejoin on single spaces) — the result must be
+    the original text, whatever segmentation the merges chose.  This is
+    the property a tokenizer regression breaks first (a slice bug in
+    the merge-apply loop corrupts symbols silently while token COUNTS
+    still look plausible).
+
+    Boundary: whitespace-normalized round-trip — words rejoin on single
+    spaces, so byte identity holds on single-spaced text (the synthetic
+    corpus; a production pipeline normalizes whitespace upstream in
+    html_extract anyway).  Same Arrow-batched one-scan shape as
+    :func:`bpe_encode_counts`; returns ``(id, text)``."""
+    from pyspark.sql.types import StringType
+
+    rank_of = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+
+    @F.pandas_udf(StringType())
+    def _roundtrip(texts):
+        cache: dict[str, str] = {}
+
+        def word_roundtrip(w: str) -> str:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [end_of_word]
+            while len(syms) > 1:
+                ranked = [
+                    (rank_of[p], i)
+                    for i, p in enumerate(zip(syms, syms[1:]))
+                    if p in rank_of
+                ]
+                if not ranked:
+                    break
+                rk, i = min(ranked)
+                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+            dec = "".join(syms)
+            if dec.endswith(end_of_word):
+                dec = dec[: -len(end_of_word)]
+            cache[w] = dec
+            return dec
+
+        def doc_roundtrip(t):
+            if t is None:
+                return None
+            return " ".join(word_roundtrip(w) for w in t.split())
+
+        return texts.map(doc_roundtrip)
+
+    return df.select(
+        F.col(id_col), _roundtrip(F.col(text_col)).alias("text")
+    )

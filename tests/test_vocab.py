@@ -120,3 +120,24 @@ def test_merges_df_shape(spark):
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
     counts = [r["pair_count"] for r in rows]
     assert all(c > 0 for c in counts)
+
+
+def test_bpe_roundtrip_identity_any_merge_count(spark):
+    """decode(encode(w)) == w for every word, whatever segmentation the
+    merge list induces — including 0 merges (pure chars) and enough
+    merges to fuse whole words. Unicode words included."""
+    from pgferry_spark.operators.vocab import (
+        bpe_roundtrip_texts,
+        learn_bpe_merges,
+    )
+
+    rows = [(1, "the thesis then theme the the then"),
+            (2, "café déjà café vu"),
+            (3, "a"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    for n in (0, 3, 50):
+        merges = learn_bpe_merges(df, "text", n_merges=n)
+        got = {r["doc_id"]: r["text"]
+               for r in bpe_roundtrip_texts(
+                   df, "text", "doc_id", merges).collect()}
+        assert got == dict(rows), f"n_merges={n}"
