@@ -519,3 +519,31 @@ def test_mojibake_repair_recovers_every_table_target(prefix, suffix):
             f"SELECT {sql} FROM (SELECT ? AS t)", [s]
         ).fetchone()[0]
         assert out == prefix + ch + suffix, (moji, ch, out)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(uri_text, doc_text), min_size=1, max_size=4),
+       st.integers(0, 10**9))
+def test_wet_gzip_members_roundtrip(docs, cid):
+    """The .warc.wet.gz transport: every record (leader included) is
+    its own deflate member; the member walk recovers each conversion
+    payload byte-exactly and the member ranges tile the container."""
+    from pgferry_spark.sources import warc as W
+
+    ds = [{"doc_id": i, "uri": u, "text": t}
+          for i, (u, t) in enumerate(docs)]
+    blob = W.encode_wet(cid, ds, gzip_members=True)
+    idx = W.parse_warc_gz_index(blob)
+    assert idx[0]["warc_type"] == "warcinfo"
+    assert [r["warc_type"] for r in idx[1:]] == ["conversion"] * len(ds)
+    pos = 0
+    for meta in idx:
+        assert meta["rec_offset"] == pos
+        rec = W.warc_member_read(blob, meta["rec_offset"], meta["rec_len"])
+        pay = rec[meta["payload_offset"]:
+                  meta["payload_offset"] + meta["payload_len"]]
+        if meta["warc_type"] == "conversion":
+            i = int(meta["record_id"].rsplit("-", 1)[-1])
+            assert pay.decode("utf-8") == ds[i]["text"]
+        pos += meta["rec_len"]
+    assert pos == len(blob)
