@@ -3248,6 +3248,25 @@ def _mojibake_repair(spark, sf):
     return mojibake_repair(_moji_docs(spark, sf), "mtext", "doc_id")
 
 
+def _utf8_sanity_flags(spark, sf):
+    """UTF-8 sanity census (round 10, second wave — the OSCAR-style
+    encoding-error gate, complementary to mojibake): U+FFFD replacement
+    characters mean the decode already LOST bytes (no repair exists —
+    drop candidates), raw C0 controls are the binary-junk fingerprint.
+    Literal replace-diff scans only (regex character-class escape
+    spellings diverge between engines); synthesis covers
+    replacement-only / control-only / mixed / clean classes."""
+    from pgferry_spark.operators.encoding import (
+        UTF8_SYNTH_SQL,
+        utf8_sanity_flags,
+    )
+
+    d = _t(spark, sf, "documents").withColumn(
+        "utext", F.expr(UTF8_SYNTH_SQL.format(id="doc_id", txt="text"))
+    )
+    return utf8_sanity_flags(d, "utext", "doc_id")
+
+
 def _fineweb_quality_flags(spark, sf):
     """FineWeb custom quality gates (round 10, second wave — Penedo et
     al. 2024 §3.6): terminal-punctuation line ratio, short-line ratio,
@@ -4131,6 +4150,24 @@ def _gopher_oracle() -> str:
                 AND alpha_word_ratio >= 0.8
                 AND n_stopword_hits >= 1) AS passes
         FROM r
+    """
+
+
+def _utf8_sanity_oracle() -> str:
+    from pgferry_spark.operators.encoding import (
+        UTF8_SYNTH_SQL,
+        utf8_sanity_sql,
+    )
+
+    synth = UTF8_SYNTH_SQL.format(id="doc_id", txt="text")
+    n_repl, n_ctrl = utf8_sanity_sql("utext")
+    return f"""
+        WITH m AS (SELECT doc_id, {synth} AS utext FROM documents)
+        SELECT doc_id,
+               CAST({n_repl} AS INT) AS n_replacement,
+               CAST({n_ctrl} AS INT) AS n_control,
+               ({n_repl} = 0 AND {n_ctrl} = 0) AS passes
+        FROM m
     """
 
 
@@ -5112,6 +5149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_metadata_extract": _wat_metadata_extract,
         "robots_sitemap_urls": _robots_sitemap_urls,
         "fineweb_quality_flags": _fineweb_quality_flags,
+        "utf8_sanity_flags": _utf8_sanity_flags,
         "mojibake_stats": _mojibake_stats,
         "mojibake_repair": _mojibake_repair,
         "warc_gzip_index": _warc_gzip_index,
@@ -9826,6 +9864,7 @@ def oracle_sql() -> dict[str, str]:
         "wat_metadata_extract": _wat_extract_oracle(),
         "robots_sitemap_urls": _robots_sitemap_oracle(),
         "fineweb_quality_flags": _fineweb_oracle(),
+        "utf8_sanity_flags": _utf8_sanity_oracle(),
         "mojibake_stats": _mojibake_stats_oracle(),
         "mojibake_repair": _mojibake_repair_oracle(),
         "cdx_index": _cdx_index_oracle(),

@@ -223,6 +223,7 @@ HEADLINE = [
     "wat_metadata_extract",
     "robots_sitemap_urls",
     "fineweb_quality_flags",
+    "utf8_sanity_flags",
     "mojibake_stats",
     "mojibake_repair",
 ]

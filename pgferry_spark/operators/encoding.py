@@ -123,6 +123,68 @@ MOJIBAKE_SYNTH_SQL = (
 )
 
 
+# UTF-8 sanity census — the OSCAR/CCNet "encoding error" pre-filter,
+# complementary to the mojibake table: mojibake is VALID UTF-8 decoded
+# through the wrong charset; these signals catch text whose decode
+# already LOST bytes (U+FFFD replacement characters) or that carries
+# raw C0 control bytes (everything except \t \n \r, plus DEL) — the
+# fingerprint of binary junk, truncated multibyte sequences, and
+# terminal escape litter.  Pages failing this gate are DROP candidates;
+# no repair recovers a replacement character's original bytes.
+UTF8_REPLACEMENT = "�"
+UTF8_CONTROL_POINTS = tuple(
+    [*range(0, 9), 11, 12, *range(14, 32), 127]
+)
+
+
+def utf8_sanity_sql(col: str) -> tuple[str, str]:
+    """(n_replacement, n_control) count expressions — literal
+    replace-diffs only, one scan per character (the mojibake_count
+    pattern; no regex, because character-class escape spellings diverge
+    between the engines' string-literal rules).  U+FFFD rides as a
+    verbatim character (Spark's chr() is mod-256 and cannot spell it);
+    the control points ride chr(p), identical on both engines below
+    128."""
+    n_repl = (
+        f"(length({col}) - length(replace({col}, '{UTF8_REPLACEMENT}', '')))"
+    )
+    ctrl_terms = [
+        f"(length({col}) - length(replace({col}, chr({p}), '')))"
+        for p in UTF8_CONTROL_POINTS
+    ]
+    return n_repl, "(" + " + ".join(ctrl_terms) + ")"
+
+
+# deterministic decoration: replacement-only, control-only, mixed, and
+# clean classes (controls via chr(): BEL, SUB, US — never the chr(1)
+# sentinel, which the repair chain strips by design)
+UTF8_SYNTH_SQL = (
+    "CASE WHEN {id} % 4 = 0 THEN {txt} || ' �de�'"
+    " WHEN {id} % 4 = 1 THEN {txt} || chr(7) || 'x' || chr(26)"
+    " WHEN {id} % 4 = 2 THEN {txt} || '�' || chr(31)"
+    " ELSE {txt} END"
+)
+
+
+def utf8_sanity_flags(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document encoding-error census: ``(id, n_replacement,
+    n_control, passes)`` where ``passes`` is the OSCAR-style clean
+    verdict (zero replacement characters, zero raw controls).
+    Map-only literal scans, zero shuffle — scan-bound at 100 TB like
+    the other flag tables."""
+    n_repl_sql, n_ctrl_sql = utf8_sanity_sql(text_col)
+    n_repl = F.expr(n_repl_sql).cast("int")
+    n_ctrl = F.expr(n_ctrl_sql).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        ((n_repl == 0) & (n_ctrl == 0)).alias("passes"),
+    )
+
+
 def mojibake_stats(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

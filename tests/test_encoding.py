@@ -108,3 +108,32 @@ class TestMojibakeOperators:
                 ._jdf.queryExecution().executedPlan().toString()
             )
             assert "Exchange" not in plan
+
+
+class TestUtf8Sanity:
+    def test_counts_and_verdict(self, spark):
+        from pgferry_spark.operators.encoding import utf8_sanity_flags
+
+        rows = [
+            (1, "perfectly clean text, tabs\tand\nnewlines allowed."),
+            (2, "lost bytes � here � and � there"),
+            (3, "bell\x07 and nul\x00 and unit sep\x1f and del\x7f"),
+            (4, "mixed �\x07"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        got = {r.doc_id: (r.n_replacement, r.n_control, r.passes)
+               for r in utf8_sanity_flags(df, "text", "doc_id").collect()}
+        assert got[1] == (0, 0, True)   # \t \n are NOT controls here
+        assert got[2] == (3, 0, False)
+        assert got[3] == (0, 4, False)
+        assert got[4] == (1, 1, False)
+
+    def test_plan_map_only(self, spark):
+        from pgferry_spark.operators.encoding import utf8_sanity_flags
+
+        df = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+        plan = (
+            utf8_sanity_flags(df, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
