@@ -3248,6 +3248,28 @@ def _mojibake_repair(spark, sf):
     return mojibake_repair(_moji_docs(spark, sf), "mtext", "doc_id")
 
 
+def _html_title_meta(spark, sf):
+    """Title + meta-description extraction (round 10, second wave —
+    the two metadata fields every curation pipeline keeps and every
+    WAT envelope carries), off the raw synthetic HTML decorated with
+    uppercase/lowercase title spellings and both meta attribute
+    orders (quoted name-first, unquoted-name content-first); the
+    undecorated class falls back to the base template's constant
+    title. Quote chars splice into the capture patterns via chr(34) —
+    the one spelling both engines' literal rules share. Map-only."""
+    from pgferry_spark.operators.html import (
+        TITLE_META_SYNTH_SQL,
+        attach_html,
+        html_title_meta,
+    )
+
+    d = attach_html(_t(spark, sf, "documents")).withColumn(
+        "html",
+        F.expr(TITLE_META_SYNTH_SQL.format(id="doc_id", html="html")),
+    )
+    return html_title_meta(d)
+
+
 def _utf8_sanity_flags(spark, sf):
     """UTF-8 sanity census (round 10, second wave — the OSCAR-style
     encoding-error gate, complementary to mojibake): U+FFFD replacement
@@ -4150,6 +4172,27 @@ def _gopher_oracle() -> str:
                 AND alpha_word_ratio >= 0.8
                 AND n_stopword_hits >= 1) AS passes
         FROM r
+    """
+
+
+def _html_title_meta_oracle() -> str:
+    """Shared-template replay: base synth + title/meta decoration +
+    the same chr(34)-spliced capture patterns."""
+    from pgferry_spark.operators.html import (
+        HTML_SYNTH_SQL,
+        META_DESC_SQL,
+        TITLE_META_SYNTH_SQL,
+        TITLE_SQL,
+    )
+
+    base = HTML_SYNTH_SQL.format(id="doc_id", txt="text", src="source")
+    deco = TITLE_META_SYNTH_SQL.format(id="doc_id", html=f"({base})")
+    title = TITLE_SQL.format(html="html")
+    desc = META_DESC_SQL.format(html="html")
+    return f"""
+        WITH h AS (SELECT doc_id, {deco} AS html FROM documents)
+        SELECT doc_id, {title} AS title, {desc} AS meta_description
+        FROM h
     """
 
 
@@ -5150,6 +5193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_urls": _robots_sitemap_urls,
         "fineweb_quality_flags": _fineweb_quality_flags,
         "utf8_sanity_flags": _utf8_sanity_flags,
+        "html_title_meta": _html_title_meta,
         "mojibake_stats": _mojibake_stats,
         "mojibake_repair": _mojibake_repair,
         "warc_gzip_index": _warc_gzip_index,
@@ -9865,6 +9909,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemap_urls": _robots_sitemap_oracle(),
         "fineweb_quality_flags": _fineweb_oracle(),
         "utf8_sanity_flags": _utf8_sanity_oracle(),
+        "html_title_meta": _html_title_meta_oracle(),
         "mojibake_stats": _mojibake_stats_oracle(),
         "mojibake_repair": _mojibake_repair_oracle(),
         "cdx_index": _cdx_index_oracle(),

@@ -224,6 +224,7 @@ HEADLINE = [
     "robots_sitemap_urls",
     "fineweb_quality_flags",
     "utf8_sanity_flags",
+    "html_title_meta",
     "mojibake_stats",
     "mojibake_repair",
 ]

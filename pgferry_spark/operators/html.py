@@ -418,6 +418,70 @@ ROBOTS_NOINDEX_SQL = (
 )
 
 
+# page title + meta description (round 10, second wave): the two
+# metadata fields every curation pipeline keeps and every WAT envelope
+# carries — extracted from the RAW html (the extractor strips them as
+# markup).  The quote character cannot ride inside a shared
+# single-quoted SQL literal, so the capture patterns splice it in via
+# chr(34) concatenation (regex patterns stay foldable constants on
+# both engines).  Boundary: the description VALUE capture supports
+# double-quoted content= only (the dominant real-world spelling;
+# capturing unquoted values is ambiguous against trailing attributes)
+# — the NAME attribute keeps the robots-tag ``.?`` quote tolerance,
+# and both attribute orders are tried (name-first, then
+# content-first).
+TITLE_SQL = (
+    "trim(regexp_extract({html}, '(?i)<title[^>]*>([^<]*)</title>', 1))"
+)
+_DESC_NAME_FIRST = (
+    "'(?i)<meta[^>]*name *= *.?description[^>]*content *= *'"
+    " || chr(34) || '([^' || chr(34) || ']*)' || chr(34)"
+)
+_DESC_CONTENT_FIRST = (
+    "'(?i)<meta[^>]*content *= *' || chr(34) || '([^' || chr(34)"
+    " || ']*)' || chr(34) || '[^>]*name *= *.?description'"
+)
+META_DESC_SQL = (
+    "CASE WHEN regexp_extract({html}, " + _DESC_NAME_FIRST + ", 1) <> ''"
+    " THEN trim(regexp_extract({html}, " + _DESC_NAME_FIRST + ", 1))"
+    " ELSE trim(regexp_extract({html}, " + _DESC_CONTENT_FIRST + ", 1))"
+    " END"
+)
+
+# deterministic decoration LAYERED ON TOP of the base synth html (the
+# base stays byte-identical downstream of its own entries): uppercase
+# TITLE + quoted name-first description, lowercase title +
+# content-first unquoted-name description, and undecorated (falling
+# back to whatever the base template carries).
+TITLE_META_SYNTH_SQL = (
+    "CASE WHEN {id} % 5 = 0 THEN"
+    " '<head><TITLE> Doc ' || CAST({id} AS STRING) || ' </TITLE>"
+    "<meta name=\"description\" content=\"Summary ' ||"
+    " CAST({id} AS STRING) || '.\"></head>' || {html}"
+    " WHEN {id} % 5 = 1 THEN"
+    " '<head><meta content=\"Lead ' || CAST({id} AS STRING) ||"
+    " '.\" name=description><title>T' || CAST({id} AS STRING) ||"
+    " '</title></head>' || {html}"
+    " ELSE {html} END"
+)
+
+
+def html_title_meta(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-page ``(id, title, meta_description)`` off the raw HTML —
+    first match wins (leftmost, identical on both regex engines), case
+    and attribute-order tolerant, '' when absent.  Map-only codegen;
+    at scale this is the WAT-envelope enrichment pass."""
+    return df.select(
+        F.col(id_col),
+        F.expr(TITLE_SQL.format(html=html_col)).alias("title"),
+        F.expr(META_DESC_SQL.format(html=html_col)).alias(
+            "meta_description"
+        ),
+    )
+
+
 def robots_noindex_flags(
     df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
 ) -> DataFrame:

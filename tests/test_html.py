@@ -311,3 +311,37 @@ def test_extract_links_no_pushed_size_filter(spark):
     assert out.count() == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("regexp_extract_all") <= 2  # not cloned into a filter
+
+
+class TestTitleMeta:
+    def test_spellings_orders_and_absence(self, spark):
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from pgferry_spark.operators.html import html_title_meta
+
+        rows = [
+            (1, '<head><TITLE> Padded Title </TITLE>'
+                '<meta name="description" content="Quoted desc."></head>'),
+            # content-before-name, unquoted name attr
+            (2, '<meta content="Lead text." name=description>'
+                '<title>lower title</title>'),
+            (3, '<p>no head metadata at all</p>'),
+            # first match wins on duplicates
+            (4, '<title>first</title><title>second</title>'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, html: string")
+        got = {r.doc_id: (r.title, r.meta_description)
+               for r in html_title_meta(df).collect()}
+        assert got[1] == ("Padded Title", "Quoted desc.")
+        assert got[2] == ("lower title", "Lead text.")
+        assert got[3] == ("", "")
+        assert got[4][0] == "first"
+
+    def test_plan_map_only(self, spark):
+        from pgferry_spark.operators.html import html_title_meta
+
+        df = spark.createDataFrame([(1, "<p>x</p>")],
+                                   "doc_id: long, html: string")
+        plan = (html_title_meta(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
