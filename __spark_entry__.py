@@ -3270,6 +3270,30 @@ def _html_title_meta(spark, sf):
     return html_title_meta(d)
 
 
+def _extract_tables(spark, sf):
+    """HTML table harvesting (round 10, second wave): every <table>
+    cell with (table, row, col) ordinality — the structured-data
+    stream curation routes separately from prose (exactly the content
+    the C4 line rules would drop as short punctuation-less lines).
+    Three narrow ordinality-preserving explodes; synthesis layers a
+    two-column key/value table (header row, attributed tags), an
+    uppercase single-cell table, and undecorated pages on top of the
+    untouched base synth."""
+    from pgferry_spark.operators.html import (
+        TABLE_SYNTH_SQL,
+        attach_html,
+        extract_tables,
+    )
+
+    d = attach_html(_t(spark, sf, "documents")).withColumn(
+        "html",
+        F.expr(
+            TABLE_SYNTH_SQL.format(id="doc_id", html="html", src="source")
+        ),
+    )
+    return extract_tables(d)
+
+
 def _utf8_sanity_flags(spark, sf):
     """UTF-8 sanity census (round 10, second wave — the OSCAR-style
     encoding-error gate, complementary to mojibake): U+FFFD replacement
@@ -4193,6 +4217,43 @@ def _html_title_meta_oracle() -> str:
         WITH h AS (SELECT doc_id, {deco} AS html FROM documents)
         SELECT doc_id, {title} AS title, {desc} AS meta_description
         FROM h
+    """
+
+
+def _extract_tables_oracle() -> str:
+    """Three staged unnest levels over the same shared regex templates
+    (the prototype shape verified on both engines)."""
+    from pgferry_spark.operators.html import (
+        HTML_SYNTH_SQL,
+        TABLE_CELL_RE,
+        TABLE_RE,
+        TABLE_ROW_RE,
+        TABLE_SYNTH_SQL,
+    )
+
+    base = HTML_SYNTH_SQL.format(id="doc_id", txt="text", src="source")
+    deco = TABLE_SYNTH_SQL.format(id="doc_id", html=f"({base})", src="source")
+    return f"""
+        WITH h AS (SELECT doc_id, {deco} AS html FROM documents),
+        t AS (SELECT doc_id,
+                CAST(generate_subscripts(
+                  regexp_extract_all(html, '{TABLE_RE}', 1), 1) - 1 AS INT)
+                  AS table_no,
+                unnest(regexp_extract_all(html, '{TABLE_RE}', 1)) AS tb
+              FROM h),
+        r AS (SELECT doc_id, table_no,
+                CAST(generate_subscripts(
+                  regexp_extract_all(tb, '{TABLE_ROW_RE}', 1), 1) - 1 AS INT)
+                  AS row_no,
+                unnest(regexp_extract_all(tb, '{TABLE_ROW_RE}', 1)) AS rw
+              FROM t),
+        c AS (SELECT doc_id, table_no, row_no,
+                CAST(generate_subscripts(
+                  regexp_extract_all(rw, '{TABLE_CELL_RE}', 1), 1) - 1
+                  AS INT) AS col_no,
+                unnest(regexp_extract_all(rw, '{TABLE_CELL_RE}', 1)) AS cell
+              FROM r)
+        SELECT doc_id, table_no, row_no, col_no, cell FROM c
     """
 
 
@@ -5194,6 +5255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fineweb_quality_flags": _fineweb_quality_flags,
         "utf8_sanity_flags": _utf8_sanity_flags,
         "html_title_meta": _html_title_meta,
+        "extract_tables": _extract_tables,
         "mojibake_stats": _mojibake_stats,
         "mojibake_repair": _mojibake_repair,
         "warc_gzip_index": _warc_gzip_index,
@@ -9910,6 +9972,7 @@ def oracle_sql() -> dict[str, str]:
         "fineweb_quality_flags": _fineweb_oracle(),
         "utf8_sanity_flags": _utf8_sanity_oracle(),
         "html_title_meta": _html_title_meta_oracle(),
+        "extract_tables": _extract_tables_oracle(),
         "mojibake_stats": _mojibake_stats_oracle(),
         "mojibake_repair": _mojibake_repair_oracle(),
         "cdx_index": _cdx_index_oracle(),

@@ -225,6 +225,7 @@ HEADLINE = [
     "fineweb_quality_flags",
     "utf8_sanity_flags",
     "html_title_meta",
+    "extract_tables",
     "mojibake_stats",
     "mojibake_repair",
 ]

@@ -482,6 +482,56 @@ def html_title_meta(
     )
 
 
+# HTML table harvesting (round 10, second wave): curation pipelines
+# route <table> content separately from prose — structured rows feed
+# data/math training sets and are exactly what the C4 line rules would
+# otherwise throw away as short punctuation-less lines.  Lazy
+# quantifiers + (?is) read identically in RE2 and Java regex; cells
+# keep their raw inner text (plain in the synthesis; a production pass
+# would chain the strip stages over the cell column).
+TABLE_RE = "(?is)<table[^>]*>(.*?)</table>"
+TABLE_ROW_RE = "(?is)<tr[^>]*>(.*?)</tr>"
+TABLE_CELL_RE = "(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+
+# decoration layered on the base synth: a two-column key/value table
+# with header row (attributes on the tags), a single-cell table, and
+# undecorated pages
+TABLE_SYNTH_SQL = (
+    "CASE WHEN {id} % 4 = 0 THEN {html} ||"
+    " '<table class=\"data\"><tr><th>K</th><th align=\"l\">V</th></tr>"
+    "<tr><td>id</td><td>' || CAST({id} AS STRING) || '</td></tr>"
+    "<tr><td>src</td><td>' || {src} || '</td></tr></table>'"
+    " WHEN {id} % 4 = 1 THEN {html} ||"
+    " '<TABLE><TR><TD>cell ' || CAST({id} AS STRING) ||"
+    " '</TD></TR></TABLE>'"
+    " ELSE {html} END"
+)
+
+
+def extract_tables(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, table_no, row_no, col_no, cell)`` for every table cell on
+    the page — three narrow ordinality-preserving explodes (tables →
+    rows → cells), map-only between them; pages without tables emit
+    nothing.  At 100 TB this is scan-bound like the link/anchor
+    harvesters: the exploded rows are the only new bytes."""
+    tbls = F.expr(f"regexp_extract_all({html_col}, '{TABLE_RE}', 1)")
+    t = df.select(
+        F.col(id_col), F.posexplode_outer(tbls).alias("table_no", "__tb")
+    ).filter(F.col("__tb").isNotNull())
+    rows = F.expr(f"regexp_extract_all(__tb, '{TABLE_ROW_RE}', 1)")
+    r = t.select(
+        id_col, "table_no",
+        F.posexplode_outer(rows).alias("row_no", "__rw"),
+    ).filter(F.col("__rw").isNotNull())
+    cells = F.expr(f"regexp_extract_all(__rw, '{TABLE_CELL_RE}', 1)")
+    return r.select(
+        id_col, "table_no", "row_no",
+        F.posexplode_outer(cells).alias("col_no", "cell"),
+    ).filter(F.col("cell").isNotNull())
+
+
 def robots_noindex_flags(
     df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -44,6 +44,7 @@ NEW_R10 = [
     "wet_conversion_index", "wet_text_extract", "wet_gzip_extract",
     "wat_export_index", "wat_metadata_extract", "robots_sitemap_urls",
     "fineweb_quality_flags", "utf8_sanity_flags", "html_title_meta",
+    "extract_tables",
     "mojibake_stats",
     "mojibake_repair",
     "warc_gzip_index", "warc_gzip_extract", "cdx_index",
@@ -70,12 +71,12 @@ STALE_R5 = [
     "image_meta_real", "image_ahash_real", "image_near_dup",
     "cross_corpus_near_dup", "skew_profile", "cluster_safe_split",
     "profile_orders", "negative_samples", "hard_negatives", "margin_mine",
-    "curation_funnel", "source_datasheet", "dsir_weights",
+    "curation_funnel", "source_datasheet",
 ]
 
 # Positions 51+: next-stalest, first in line for the r11 rotation.
 NEXT_IN_LINE = [
-    "lsh_candidate_pairs_md5_capped", "cross_corpus_near_dup_capped", "quality_twin_auc", "boilerplate_ngrams", "mixture_epochs", "embedding_drift_psi", "exact_substring_spans", "hll_registers", "hll_union_estimate", "cms_token_sketch", "cms_heavy_hitters", "bloom_custkey_probe", "loghist_price_quantiles", "hll_intersect_customers",
+    "dsir_weights", "lsh_candidate_pairs_md5_capped", "cross_corpus_near_dup_capped", "quality_twin_auc", "boilerplate_ngrams", "mixture_epochs", "embedding_drift_psi", "exact_substring_spans", "hll_registers", "hll_union_estimate", "cms_token_sketch", "cms_heavy_hitters", "bloom_custkey_probe", "loghist_price_quantiles", "hll_intersect_customers",
     "compaction_plan", "cms_join_size_custkey", "hll_rolling_users",
     "cms_weighted_spenders", "exact_substring_scrub",
     "sketch_validation_lineitem", "loghist_rolling_value",
@@ -106,19 +107,19 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 267
+N_QUERIES = 268
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:21] == NEW_R10
-    assert names[21:29] == DISPLACED_R9
-    assert names[29:50] == STALE_R5
-    assert names[50:72] == NEXT_IN_LINE
+    assert names[:22] == NEW_R10
+    assert names[22:30] == DISPLACED_R9
+    assert names[30:50] == STALE_R5
+    assert names[50:73] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 21 + 8 + 21 == 50: no slot wasted
+    # 22 + 8 + 20 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEW_R10) | set(DISPLACED_R9) | set(STALE_R5)
 

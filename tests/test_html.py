@@ -345,3 +345,26 @@ class TestTitleMeta:
         plan = (html_title_meta(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestExtractTables:
+    def test_ordinality_attributes_case_and_absence(self, spark):
+        from pgferry_spark.operators.html import extract_tables
+
+        rows = [
+            (1, '<p>x</p><table class="a"><tr><th>K</th><th>V</th></tr>'
+                '<tr><td>id</td><td>7</td></tr></table>'
+                '<TABLE><TR><TD>solo</TD></TR></TABLE>'),
+            (2, "<p>no tables here</p>"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id: long, html: string")
+        got = [
+            (r.table_no, r.row_no, r.col_no, r.cell)
+            for r in extract_tables(df)
+            .orderBy("doc_id", "table_no", "row_no", "col_no").collect()
+        ]
+        assert got == [
+            (0, 0, 0, "K"), (0, 0, 1, "V"),
+            (0, 1, 0, "id"), (0, 1, 1, "7"),
+            (1, 0, 0, "solo"),
+        ]
