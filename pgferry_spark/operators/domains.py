@@ -597,12 +597,15 @@ def domain_token_budget(
 # layer below the meta-noindex gate: per-domain Allow/Disallow path
 # prefixes parsed from the fetched robots.txt body, honored with the
 # spec's LONGEST-MATCH precedence (Allow wins ties) for the requested
-# agent.  Documented boundaries (golden-pinned): %-encoded and
-# wildcard ('*'/'$') patterns are not implemented — rules are literal
-# path prefixes; an empty rule value (allow-all Disallow) yields no
-# rule.  Group attribution follows the nearest preceding User-agent
-# line (consecutive UA lines forming one multi-agent group collapse to
-# the last one — the common single-pass simplification).
+# agent.  Since round 10 the full RFC 9309 pattern language IS
+# implemented (see robots_pattern_sql below: '*'/'$' wildcards
+# translate to anchored regexes, unreserved %-encodings decode on both
+# sides before comparison, and a missing agent group falls back to the
+# '*' group per §2.2.1).  Remaining golden-pinned boundary: an empty
+# rule value (allow-all Disallow) yields no rule.  Group attribution
+# follows the nearest preceding User-agent line (consecutive UA lines
+# forming one multi-agent group collapse to the last one — the common
+# single-pass simplification).
 # --------------------------------------------------------------------------
 
 # deterministic per-domain robots.txt synthesis for the file-less test
@@ -968,14 +971,23 @@ def robots_disallow_filter(
 # must not ride the lowercased line pipeline the rule parsers share —
 # the field name matches case-insensitively ((?i), both engines' regex
 # dialects), the value keeps its case.
-ROBOTS_SITEMAP_RE = "(?i)^sitemap *: *([^ ]+)"
+# [ \t] on both sides of the colon and in the value terminator: real
+# robots.txt lines carry 'Sitemap:\thttps://…' (tab after the colon)
+# and trailing '\t# comment' text — a space-only class captured the tab
+# inside the URL (round-10 ADVICE).  \t is spelled identically by both
+# regex engines (Java and RE2 read it as U+0009).
+ROBOTS_SITEMAP_RE = "(?i)^sitemap[ \\t]*:[ \\t]*([^ \\t]+)"
 
 # deterministic decoration LAYERED ON TOP of ROBOTS_TXT_SYNTH_SQL (the
 # base synth stays byte-identical so every existing robots entry's
 # output is untouched): one class per spelling/terminator —
 # 'Sitemap:' + LF, 'sitemap:'/'SITEMAP:' + CRLF (two directives, one on
 # a foreign host — the protocol allows cross-host announcements), and
-# an undecorated class.
+# an undecorated class.  The %4=1 class spells its second directive
+# with a TAB after the colon and a trailing tab-comment — the two
+# wild-spellings the round-10 ADVICE flagged — so the [ \t] classes in
+# ROBOTS_SITEMAP_RE are exercised by the shared synth (the extracted
+# URL is identical either way, so the entry output is unchanged).
 ROBOTS_SITEMAP_SYNTH_SQL = (
     "CASE WHEN length({domain}) % 4 = 0 THEN"
     " {txt} || chr(10) || 'Sitemap: https://' || {domain}"
@@ -983,7 +995,8 @@ ROBOTS_SITEMAP_SYNTH_SQL = (
     " WHEN length({domain}) % 4 = 1 THEN"
     " {txt} || chr(13) || chr(10) || 'sitemap: https://' || {domain}"
     " || '/sm/index.xml' || chr(13) || chr(10) ||"
-    " 'SITEMAP: https://cdn.' || {domain} || '/alt.xml'"
+    " 'SITEMAP:' || chr(9) || 'https://cdn.' || {domain} || '/alt.xml'"
+    " || chr(9) || '# announced'"
     " ELSE {txt} END"
 )
 

@@ -553,6 +553,7 @@ def ccnet_buckets(
     id_col: str,
     lang_col: str = "lang",
     lam: float = 0.75,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """CCNet perplexity tiers (Wenzek et al. 2020, arXiv:1911.00359
     §4.3): per language, documents split into head / middle / tail
@@ -576,7 +577,16 @@ def ccnet_buckets(
     class table — bounded by score quantization, NOT corpus size — so
     the per-language cumulative window ranks classes, never documents,
     and the assignment joins back on (lang, score).  At 100 TB the
-    class table is the only globally-ordered artifact and it is tiny."""
+    class table is the only globally-ordered artifact.  The join-back
+    is row-count-probed like the robots gate (VERDICT r10 Next #8):
+    the tiny tier table persists (it must materialize for the probe
+    anyway, and the main action then reuses it instead of recomputing
+    the scoring subtree), broadcasts under ``broadcast_limit`` classes,
+    and rides a shuffle-hash equi-join past it — a pathological corpus
+    where 6dp score classes approach corpus cardinality can never OOM
+    the driver."""
+    from pyspark import StorageLevel
+
     scored = bigram_logprob_scores(df, text_col, id_col, lam=lam)
     langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
     s = scored.join(langs, id_col).select(id_col, "lang", "logprob")
@@ -591,8 +601,16 @@ def ccnet_buckets(
         .when(F.col("__gt") * 3 < F.col("__n") * 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    tiers = cls.select("lang", "logprob", bucket.alias("bucket"))
-    return s.join(tiers, ["lang", "logprob"]).select(
+    tiers = cls.select("lang", "logprob", bucket.alias("bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_classes = tiers.count()
+    right = (
+        F.broadcast(tiers)
+        if n_classes <= broadcast_limit
+        else tiers.hint("shuffle_hash")
+    )
+    return s.join(right, ["lang", "logprob"]).select(
         id_col, "lang", "logprob", "bucket"
     )
 

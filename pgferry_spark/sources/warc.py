@@ -257,12 +257,13 @@ def attach_warc(
     text_col: str = "text",
     docs_per_container: int = 8,
     gzip_members: bool = False,
+    url_col: str = "url",
 ) -> DataFrame:
     """Deterministic containers for the container-less test corpus:
     documents grouped ``docs_per_container`` at a time by
     ``id // docs_per_container`` (ascending id within a container),
     each encoded with :func:`encode_warc` over the shared URL synthesis
-    (``df`` must already carry ``url`` — attach_urls or real crawl
+    (``df`` must already carry ``url_col`` — attach_urls or real crawl
     columns).  Returns ``(container_id, container)`` — one row per
     container, payload built executor-side via applyInPandas (grouped
     by the container key: one shuffle of the raw docs, the same bytes
@@ -283,7 +284,7 @@ def attach_warc(
                 "uri": u,
                 "payload": t.encode("utf-8"),
             }
-            for i, u, t in zip(pdf[id_col], pdf["url"], pdf[text_col])
+            for i, u, t in zip(pdf[id_col], pdf[url_col], pdf[text_col])
         ]
         enc = encode_warc_gz if gzip_members else encode_warc
         return pd.DataFrame(
@@ -299,7 +300,7 @@ def attach_warc(
         df.withColumn(
             "__cid", F.expr(f"{id_col} div {docs_per_container}")
         )
-        .select("__cid", id_col, "url", text_col)
+        .select("__cid", id_col, url_col, text_col)
         .groupBy("__cid")
         .applyInPandas(build, schema=schema)
     )
@@ -607,6 +608,7 @@ def wet_export(
     text_col: str = "text",
     docs_per_container: int = 8,
     gzip_members: bool = False,
+    url_col: str = "url",
 ) -> DataFrame:
     """The WET publication step: extracted text back into distributable
     containers, grouped exactly like :func:`attach_warc` (``id //
@@ -628,7 +630,7 @@ def wet_export(
         cid = int(pdf["__cid"].iloc[0])
         docs = [
             {"doc_id": int(i), "uri": u, "text": t}
-            for i, u, t in zip(pdf[id_col], pdf["url"], pdf[text_col])
+            for i, u, t in zip(pdf[id_col], pdf[url_col], pdf[text_col])
         ]
         return pd.DataFrame(
             {
@@ -641,7 +643,7 @@ def wet_export(
         df.withColumn(
             "__cid", F.expr(f"{id_col} div {docs_per_container}")
         )
-        .select("__cid", id_col, "url", text_col)
+        .select("__cid", id_col, url_col, text_col)
         .groupBy("__cid")
         .applyInPandas(build, schema=schema)
     )
@@ -657,15 +659,25 @@ def wet_export(
 # Spark exporter and the DuckDB oracle produce byte-identical JSON; the
 # byte-length spelling is the one engine divergence and rides a {blen}
 # parameter (Spark octet_length / DuckDB strlen — DuckDB's octet_length
-# does not accept VARCHAR).  Field values in the synthetic corpus carry
-# no '"' or '\\', so no JSON escaping stage is needed; a real exporter
-# would escape first (documented boundary).
+# does not accept VARCHAR).  The url value is JSON-escaped inline
+# (backslash first, then quote — the order that can't double-escape),
+# spelled with chr(92)/chr(34) because that is the ONE backslash/quote
+# spelling both engines' string-literal rules read identically (Spark
+# processes '\\' escapes in literals, DuckDB does not).  md5 output is
+# hex and the length is numeric, so only {url} needs the stage
+# (round-10 ADVICE: the template previously relied on the synthetic
+# corpus carrying neither byte).
 # ---------------------------------------------------------------------------
 
 # CAST AS STRING: the one integer->text spelling BOTH engines accept
 # (Spark rejects bare VARCHAR, DuckDB aliases STRING to VARCHAR)
+_JSON_ESC = (
+    "replace(replace({v}, chr(92), chr(92) || chr(92)),"
+    " chr(34), chr(92) || chr(34))"
+)
 WAT_JSON_SQL = (
-    "'{{\"u\":\"' || {url} || '\",\"d\":\"' || md5({text})"
+    "'{{\"u\":\"' || " + _JSON_ESC.format(v="{url}")
+    + " || '\",\"d\":\"' || md5({text})"
     " || '\",\"l\":' || CAST({blen}({text}) AS STRING) || '}}'"
 )
 
@@ -707,6 +719,7 @@ def wat_export(
     id_col: str = "doc_id",
     json_col: str = "wat_json",
     docs_per_container: int = 8,
+    url_col: str = "url",
 ) -> DataFrame:
     """The WAT publication step: per-capture JSON envelopes into
     distributable metadata containers, sharded exactly like
@@ -725,7 +738,7 @@ def wat_export(
         cid = int(pdf["__cid"].iloc[0])
         docs = [
             {"doc_id": int(i), "uri": u, "wat_json": j}
-            for i, u, j in zip(pdf[id_col], pdf["url"], pdf[json_col])
+            for i, u, j in zip(pdf[id_col], pdf[url_col], pdf[json_col])
         ]
         return pd.DataFrame(
             {"container_id": [cid], "container": [encode_wat(cid, docs)]}
@@ -735,7 +748,7 @@ def wat_export(
         df.withColumn(
             "__cid", F.expr(f"{id_col} div {docs_per_container}")
         )
-        .select("__cid", id_col, "url", json_col)
+        .select("__cid", id_col, url_col, json_col)
         .groupBy("__cid")
         .applyInPandas(build, schema=schema)
     )

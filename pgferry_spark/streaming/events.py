@@ -499,6 +499,7 @@ def wet_publish_stream(
     query_name: str = "wet_publish",
     docs_per_container: int = 8,
     gzip_members: bool = False,
+    batch_stride: int = 1 << 40,
 ):
     """Continuous WET publication (round 10, second wave) — the
     export-side twin of :func:`warc_ingest_stream`: a stream of
@@ -511,23 +512,56 @@ def wet_publish_stream(
     published shard store a downstream text pipeline reads instead of
     re-parsing HTML — and each batch is a pure O(batch) append
     (documents are immutable; a re-extraction run publishes NEW
-    shards).  Container ids stay collision-free across batches because
-    they derive from doc_id div k, exactly the batch-invariant grouping
-    the batch exporter uses."""
+    shards).
+
+    Container ids are made BATCH-unique by offsetting the exporter's
+    ``doc_id div k`` grouping key with ``batch_id * batch_stride``
+    (round-10 ADVICE: streaming batch composition is source-dependent,
+    so a micro-batch boundary can split a div-k bucket and two batches
+    would otherwise publish shards sharing a container_id with partial
+    buckets — breaking (container_id, record_no) addressing).  Both
+    factors are bound-checked before any byte is written: a batch whose
+    within-batch id reaches ``batch_stride`` fails the job (executor-
+    side raise_error on the actual column), and a batch_id that would
+    overflow the 63-bit composition fails driver-side.  The WARC/WET
+    shard-pairing property survives as ``container_id % batch_stride``
+    (the batch-invariant div-k key) when both streams see the same
+    batch boundaries."""
     from pgferry_spark.sources.warc import wet_export
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         tag = f"batch:{query_name}:{batch_id}"
         if any(s.op == tag for s in table.history()):
             return  # replayed batch — already committed
-        table.append(
-            wet_export(
-                batch_df,
-                docs_per_container=docs_per_container,
-                gzip_members=gzip_members,
-            ),
-            tag,
+        if (int(batch_id) + 1) * batch_stride > (1 << 63) - 1:
+            raise ValueError(
+                f"batch_id {batch_id} overflows batch_stride "
+                f"{batch_stride} in a 63-bit container id"
+            )
+        shards = wet_export(
+            batch_df,
+            docs_per_container=docs_per_container,
+            gzip_members=gzip_members,
         )
+        remapped = shards.select(
+            F.when(
+                F.col("container_id") < F.lit(int(batch_stride)),
+                F.col("container_id")
+                + F.lit(int(batch_id) * int(batch_stride)),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "wet_publish_stream: container_id reached "
+                        "batch_stride — raise batch_stride"
+                    )
+                )
+            )
+            .cast("long")
+            .alias("container_id"),
+            "container",
+        )
+        table.append(remapped, tag)
 
     return (
         docs.writeStream.foreachBatch(_sink)

@@ -482,6 +482,33 @@ class TestCCNetBuckets:
             by_class.setdefault((r.lang, r.logprob), set()).add(r.bucket)
         assert all(len(v) == 1 for v in by_class.values())
 
+    def test_tier_joinback_broadcast_posture(self, spark):
+        """VERDICT r10 Next #8: the tier join-back is row-count-probed
+        like the robots gate — the config-scale class table broadcasts
+        under the limit (documents never shuffle for the assignment),
+        and the same assignment rides a shuffle-hash equi-join past it.
+        Output identical either way."""
+        from pgferry_spark.operators.filters import ccnet_buckets
+
+        rows = (
+            [(i, "alpha beta gamma", "en") for i in range(6)]
+            + [(10 + i, f"u{i}a u{i}b u{i}c", "en") for i in range(3)]
+        )
+        df = spark.createDataFrame(
+            rows, "doc_id: long, text: string, lang: string"
+        )
+        small = ccnet_buckets(df, "text", "doc_id")
+        plan_s = small._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_s
+        big = ccnet_buckets(df, "text", "doc_id", broadcast_limit=0)
+        plan_b = big._jdf.queryExecution().executedPlan().toString()
+        # the langs enrichment join may still broadcast — the pinned
+        # fact is that the TIER join-back rides the hinted shuffle-hash
+        assert "ShuffledHashJoin" in plan_b
+        a = {(r.doc_id, r.bucket) for r in small.collect()}
+        b = {(r.doc_id, r.bucket) for r in big.collect()}
+        assert a == b and len(a) == len(rows)
+
 
 class TestApproxDistinct:
     def test_within_tolerance_and_exact_counts(self, spark):

@@ -341,6 +341,43 @@ class TestWatExport:
         for _, u, t in docs:
             assert got[u] == (len(t.encode("utf-8")), u)
 
+    def test_envelope_escapes_quote_and_backslash(self, spark):
+        """Round-10 ADVICE: the envelope template must emit VALID JSON
+        even when the url value carries '\"' or '\\\\' — the escaping
+        stage (chr(92)/chr(34) replace chain, backslash first) makes
+        the template safe beyond the synthetic-corpus boundary."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from pgferry_spark.sources.warc import WAT_JSON_SQL
+
+        evil = 'https://e.org/p?q="a\\b"'
+        df = spark.createDataFrame(
+            [(1, evil, "body one."), (2, "https://plain.org/2", "body two.")],
+            "doc_id: long, url: string, text: string",
+        ).withColumn(
+            "wat_json",
+            F.expr(WAT_JSON_SQL.format(
+                url="url", text="text", blen="octet_length")),
+        )
+        got = {r.doc_id: r.wat_json for r in df.collect()}
+        # json.loads is the arbiter: the envelope parses and the url
+        # field round-trips byte-exactly
+        assert json.loads(got[1])["u"] == evil
+        assert json.loads(got[2])["u"] == "https://plain.org/2"
+        # DuckDB evaluates the SAME template to the SAME bytes
+        import duckdb
+
+        sql = WAT_JSON_SQL.format(
+            url="url", text="text", blen="strlen")
+        out = duckdb.sql(
+            "SELECT " + sql + " AS j FROM (SELECT "
+            "'https://e.org/p?q=' || chr(34) || 'a' || chr(92) || 'b'"
+            " || chr(34) AS url, 'body one.' AS text)"
+        ).fetchone()[0]
+        assert out == got[1]
+
 
 class TestGzipMembers:
     """Round 10: per-record gzip members — the CommonCrawl transport
@@ -884,6 +921,28 @@ class TestRobotsSitemapDirective:
             ("a.org", "https://a.org/SiteMap.XML"),
             ("b.net", "https://b.net/sm/One.xml"),
             ("b.net", "https://cdn.b.net/Two.xml"),
+        ]
+
+    def test_tab_after_colon_and_trailing_tab_comment(self, spark):
+        """Round-10 ADVICE: real robots.txt lines spell the directive
+        with a tab after the colon and carry trailing tab-separated
+        comment text — neither byte may leak into the captured URL."""
+        from pgferry_spark.operators.domains import robots_sitemap_urls
+
+        rows = [
+            ("t.org", "Sitemap:\thttps://t.org/sm.xml"),
+            ("u.org", "Sitemap: https://u.org/a.xml\t# announced"),
+            ("v.org", "sitemap\t:\t https://v.org/b.xml"),
+        ]
+        df = spark.createDataFrame(rows, "domain: string, robots_txt: string")
+        got = sorted(
+            (r.domain, r.sitemap_url)
+            for r in robots_sitemap_urls(df).collect()
+        )
+        assert got == [
+            ("t.org", "https://t.org/sm.xml"),
+            ("u.org", "https://u.org/a.xml"),
+            ("v.org", "https://v.org/b.xml"),
         ]
 
     def test_rule_parsers_unaffected_by_directive_lines(self, spark):
