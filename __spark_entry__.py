@@ -3573,6 +3573,30 @@ def _cdx_index(spark, sf):
     )
 
 
+def _cdx_zipnum_index(spark, sf):
+    """Zipnum SECONDARY index content (round 11 — the cluster.idx
+    pattern, the public CommonCrawl access path's second level): the
+    SURT-sorted CDX lines grouped every-N into gzip-member blocks, per
+    block its first/last key, line count, and an order-sensitive
+    digest of every line byte that lands in it (block = global rank
+    div N — closed-form, so the oracle replays the blocking exactly).
+    The physical (offset, length) pointers come from
+    ``cdx_zipnum_pack`` + ``cluster_idx_rows`` and the
+    one-member-per-lookup pruning proof is pinned in
+    tests/test_httpmsg.py-style pytest (tests/test_warc.py::TestZipnum)
+    — a URL lookup over a 300 GB index inflates exactly ONE block."""
+    from pgferry_spark.operators.domains import surt_keys
+    from pgferry_spark.sources.warc import attach_warc, warc_record_index
+    from pgferry_spark.sources.zipnum import cdx_zipnum_cluster
+
+    idx = warc_record_index(attach_warc(_docs_with_urls(spark, sf)))
+    cdx = surt_keys(idx, url_col="target_uri").select(
+        "surt", "container_id", "record_no", "rec_offset", "rec_len",
+        "payload_md5",
+    )
+    return cdx_zipnum_cluster(cdx)
+
+
 def _warc_dedup_manifest(spark, sf):
     """Index-level exact dedup BEFORE any extraction (round 10, second
     wave): warc_record_index carries payload_md5 computed in the same
@@ -3799,6 +3823,86 @@ def _warc_revisit_stats(spark, sf):
             )
         ).alias("bytes_saved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTTP message envelopes in WARC response records (round 11) — the last
+# gap between the WARC stack and a drop-in CommonCrawl reader: real
+# response records carry application/http payloads (status line + HTTP
+# headers + body), the WARC-Payload-Digest covers the HTTP BODY per
+# ISO 28500 §5.9, and every downstream stage (status gate, charset
+# transcode, quality, dedup) keys off what the envelope parse surfaces.
+# ---------------------------------------------------------------------------
+
+
+def _http_containers(spark, sf, gz: bool = False):
+    from pgferry_spark.sources.httpmsg import attach_warc_http
+
+    return attach_warc_http(_docs_with_urls(spark, sf), gzip_members=gz)
+
+
+def _http_response_index(spark, sf):
+    """HTTP envelope index (round 11): documents become real HTTP
+    response messages (status/Content-Type/charset classes keyed on
+    doc_id via the shared HTTP_*_SQL templates) inside WARC response
+    records marked ``application/http; msgtype=response``; one fused
+    Arrow walk parses WARC framing AND the HTTP envelope, emitting per
+    record the status, reason, media type, normalized charset, body
+    (offset, len) within the payload, a truncation flag, and
+    digest_ok — md5 over the PARSED body span vs the record's
+    WARC-Payload-Digest (the ISO 28500 body-digest subtlety).  The
+    oracle replays every field and the head-length byte arithmetic in
+    closed form; hash-green means the real parser and the arithmetic
+    agree to the byte.  Container bytes never shuffle."""
+    from pgferry_spark.sources.httpmsg import http_response_index
+
+    return http_response_index(_http_containers(spark, sf))
+
+
+def _http_status_filter(spark, sf):
+    """The keep-200s gate every crawl curation runs first: the
+    envelope index filtered to successful captures — 404s and
+    redirects never reach extraction.  Pure filter over the index
+    rows; container bytes untouched."""
+    idx = _http_response_index(spark, sf)
+    return idx.filter(F.col("status") == 200).select(
+        "container_id", "record_no", "target_uri", "status"
+    )
+
+
+def _http_body_extract(spark, sf):
+    """Document text recovered through HTTP + gzip + WARC framing
+    COMBINED (the full CommonCrawl transport stack): gzip-member
+    containers, response records, HTTP envelopes — one fused walk
+    inflates each member, parses both framings, slices the body and
+    decodes the utf-8 fast path (declared utf-8 or no charset; other
+    charsets belong to the transcode entry).  Oracle = the ORIGINAL
+    document text, so green certifies byte-exact recovery through all
+    three layers."""
+    from pgferry_spark.sources.httpmsg import http_body_extract
+
+    return http_body_extract(_http_containers(spark, sf, gz=True))
+
+
+def _http_charset_transcode(spark, sf):
+    """The declared-charset front door (VERDICT r10 Next #4, the
+    CCNet/OSCAR posture): honor the Content-Type charset parameter —
+    latin-1 and cp1252 bodies (carrying real non-ASCII bytes: é © ñ €
+    ™) transcode to proper UTF-8 text via stdlib codecs BEFORE any
+    quality scoring.  Oracle = the decorated text in closed form, so
+    green certifies the decode recovers exactly what the server
+    meant.  Zero shuffle beyond container fan-out."""
+    from pgferry_spark.sources.httpmsg import http_charset_transcode
+
+    return http_charset_transcode(_http_containers(spark, sf))
+
+
+def _http_redirect_edges(spark, sf):
+    """3xx responses as (uri, Location) edges — the redirect graph a
+    frontier follows; only redirect rows leave the executor."""
+    from pgferry_spark.sources.httpmsg import http_redirect_edges
+
+    return http_redirect_edges(_http_containers(spark, sf))
 
 
 def _extract_anchors(spark, sf):
@@ -4405,6 +4509,109 @@ def _warc_index_oracle() -> str:
     """
 
 
+def _http_cte() -> str:
+    """Shared closed-form replay of the HTTP envelope synthesis: per
+    document the status/reason/media/charset classes, the decoded body
+    text, the body BYTE length (character length in the single-byte
+    decorated charsets, utf-8 bytes otherwise), and the Content-Type
+    header width — everything the envelope entries' oracles derive
+    from.  record_no is the within-container row number over ALL docs
+    (filters apply downstream of it, exactly like the parser)."""
+    from pgferry_spark.operators.domains import URL_SYNTH_SQL
+    from pgferry_spark.sources.httpmsg import (
+        HTTP_BODY_LEN_SQL,
+        HTTP_BODY_TEXT_SQL,
+        HTTP_CHARSET_SQL,
+        HTTP_CT_HEADER_SQL,
+        HTTP_MEDIA_SQL,
+        HTTP_REASON_SQL,
+        HTTP_STATUS_SQL,
+    )
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    status = HTTP_STATUS_SQL.format(id="doc_id")
+    reason = HTTP_REASON_SQL.format(id="doc_id")
+    media = HTTP_MEDIA_SQL.format(id="doc_id")
+    charset = HTTP_CHARSET_SQL.format(id="doc_id")
+    cth = HTTP_CT_HEADER_SQL.format(id="doc_id")
+    body_text = HTTP_BODY_TEXT_SQL.format(id="doc_id", text="text")
+    body_len = HTTP_BODY_LEN_SQL.format(
+        id="doc_id", text="text", blen="strlen"
+    )
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url
+                   FROM documents),
+        hr AS (SELECT doc_id, (doc_id // 8) AS container_id, url, text,
+                 CAST({status} AS INT) AS status,
+                 {reason} AS reason,
+                 {media} AS content_type,
+                 {charset} AS charset,
+                 {body_text} AS body_text,
+                 CAST({body_len} AS BIGINT) AS body_len,
+                 CAST(strlen({cth}) AS BIGINT) AS cth_len
+               FROM u),
+        hw AS (SELECT *,
+                 CAST(row_number() OVER (PARTITION BY container_id
+                      ORDER BY doc_id) - 1 AS INT) AS record_no
+               FROM hr)
+    """
+
+
+def _http_index_oracle() -> str:
+    """Envelope-index replay: the head length is the fixed header
+    template arithmetic — status line (15 + reason), 'Content-Type: '
+    (16 + value), 'Content-Length: ' (18 + digits), 301-only
+    'Location: ' (18 + url), final CRLF (2).  The Spark side PARSES
+    real bytes, so hash-green means parser and arithmetic agree."""
+    return _http_cte() + """
+        SELECT container_id, record_no, url AS target_uri, status,
+               reason, content_type, charset,
+               CAST(15 + strlen(reason) + 16 + cth_len + 18
+                    + strlen(CAST(body_len AS VARCHAR))
+                    + CASE WHEN status = 301 THEN 18 + strlen(url)
+                           ELSE 0 END
+                    + 2 AS BIGINT) AS body_offset,
+               body_len,
+               false AS truncated,
+               true AS digest_ok
+        FROM hw
+    """
+
+
+def _http_status_filter_oracle() -> str:
+    return _http_cte() + """
+        SELECT container_id, record_no, url AS target_uri, status
+        FROM hw WHERE status = 200
+    """
+
+
+def _http_body_extract_oracle() -> str:
+    """The ORIGINAL text for the utf-8-or-undeclared classes — green =
+    byte-exact recovery through HTTP + gzip + WARC framing."""
+    return _http_cte() + """
+        SELECT container_id, record_no, url AS target_uri, status,
+               text
+        FROM hw WHERE doc_id % 5 IN (0, 3, 4)
+    """
+
+
+def _http_transcode_oracle() -> str:
+    """The decorated text in closed form — what a charset-honoring
+    reader recovers from the latin-1/cp1252 bodies."""
+    return _http_cte() + """
+        SELECT container_id, record_no, url AS target_uri, charset,
+               body_text AS text
+        FROM hw
+    """
+
+
+def _http_redirect_oracle() -> str:
+    return _http_cte() + """
+        SELECT url AS target_uri, status, url || '/moved' AS location
+        FROM hw WHERE status = 301
+    """
+
+
 def _robots_rules_cte() -> str:
     """Shared-template robots.txt replay: distinct domains → synth file
     → line explode → UA attribution via last_value IGNORE NULLS →
@@ -4817,6 +5024,27 @@ def _cdx_index_oracle() -> str:
                CAST(hlen + plen + 4 AS BIGINT) AS rec_len,
                md5(text) AS payload_md5
         FROM w
+    """
+
+
+def _cdx_zipnum_oracle() -> str:
+    """The CDX closed-form replay wrapped in the zipnum blocking
+    arithmetic: global rank over (surt, container, record), block =
+    rank div N, per-block digest via ordered string_agg."""
+    from pgferry_spark.sources.zipnum import CDX_LINE_SQL
+
+    return f"""
+        WITH cdx AS ({_cdx_index_oracle()}),
+        l AS (SELECT *, {CDX_LINE_SQL} AS cdx_line,
+                CAST(row_number() OVER (ORDER BY surt, container_id,
+                     record_no) - 1 AS BIGINT) AS rn
+              FROM cdx)
+        SELECT CAST(rn // 8 AS BIGINT) AS block_no,
+               min(surt) AS first_surt,
+               max(surt) AS last_surt,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               md5(string_agg(cdx_line, chr(10) ORDER BY rn)) AS lines_md5
+        FROM l GROUP BY 1
     """
 
 
@@ -5240,62 +5468,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- window head: round-10 additions, driver-checked at birth
-        # (second wave first: the WARC/WET/WAT triad completion, sitemap
-        # discovery, FineWeb gates, mojibake repair)
-        "warc_dedup_manifest": _warc_dedup_manifest,
-        "frontier_bloom_gate": _frontier_bloom_gate,
-        "bpe_roundtrip": _bpe_roundtrip,
-        "wet_conversion_index": _wet_conversion_index,
-        "wet_text_extract": _wet_text_extract,
-        "wet_gzip_extract": _wet_gzip_extract,
-        "wat_export_index": _wat_export_index,
-        "wat_metadata_extract": _wat_metadata_extract,
-        "robots_sitemap_urls": _robots_sitemap_urls,
-        "fineweb_quality_flags": _fineweb_quality_flags,
-        "utf8_sanity_flags": _utf8_sanity_flags,
-        "html_title_meta": _html_title_meta,
-        "extract_tables": _extract_tables,
-        "mojibake_stats": _mojibake_stats,
-        "mojibake_repair": _mojibake_repair,
-        "warc_gzip_index": _warc_gzip_index,
-        "warc_gzip_extract": _warc_gzip_extract,
-        "cdx_index": _cdx_index,
-        "warc_revisit_resolve": _warc_revisit_resolve,
-        "warc_revisit_stats": _warc_revisit_stats,
-        "ccnet_buckets": _ccnet_buckets,
-        "line_repetition": _line_repetition,
-        # --- positions 3-50: stalest oracle-backed entries
-        # (r4/r5-green; planner-stable order, zero r4/r5-stale
-        # entries remain after this window lands)
-        "debounce_events": _debounce,
-        "ri_audit": _ri_audit,
-        "incremental_agg": _incremental_agg,
-        "signal_percentiles": _signal_percentiles,
-        "lsh_knn_join": _lsh_knn_join,
-        "dedup_pair_recall": _dedup_pair_recall,
-        "minhash_pair_recall": _minhash_pair_recall,
-        "seasonal_anomalies": _seasonal_anomalies,
-        "containment_adjacent": _containment_adjacent,
-        "decayed_topk": _decayed_topk,
-        "k_anonymity": _k_anonymity,
-        "l_diversity": _l_diversity,
-        "q2_adapted": _q2_adapted,
-        "q11_adapted": _q11_adapted,
-        "ivf_pq_rerank_topk": _ivf_pq_rerank_topk,
-        "knn_graph_capped": _knn_graph_capped,
-        "image_meta_real": _image_meta_real,
-        "image_ahash_real": _image_ahash_real,
-        "image_near_dup": _image_near_dup,
-        "cross_corpus_near_dup": _cross_corpus_near_dup,
-        "skew_profile": _skew_profile,
-        "cluster_safe_split": _cluster_safe_split,
-        "profile_orders": _profile_orders,
-        "negative_samples": _negative_samples,
-        "hard_negatives": _hard_negatives,
-        "margin_mine": _margin_mine,
-        "curation_funnel": _curation_funnel,
-        "source_datasheet": _source_datasheet,
+        # --- window head: round-11 births (HTTP envelope layer +
+        # zipnum secondary index), driver-checked at birth
+        "http_response_index": _http_response_index,
+        "http_status_filter": _http_status_filter,
+        "http_body_extract": _http_body_extract,
+        "http_charset_transcode": _http_charset_transcode,
+        "http_redirect_edges": _http_redirect_edges,
+        "cdx_zipnum_index": _cdx_zipnum_index,
+        # --- stalest oracle-backed entries (r5/r6-green), rotated
+        # into the r11 window per the COVERAGE.md ledger
         "dsir_weights": _dsir_weights,
         "lsh_candidate_pairs_md5_capped": _lsh_pairs_md5_capped,
         "cross_corpus_near_dup_capped": _cross_corpus_near_dup_capped,
@@ -5316,8 +5498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rolling_users": _hll_rolling_users,
         "cms_weighted_spenders": _cms_weighted_spenders,
         "exact_substring_scrub": _exact_substring_scrub,
-        # --- beyond the 50-entry window: stalest-first per
-        # tools/plan_rotation.py; next in line for the r11 rotation
         "sketch_validation_lineitem": _sketch_validation_lineitem,
         "loghist_rolling_value": _loghist_rolling_value,
         "hll_churn_customers": _hll_churn_customers,
@@ -5342,6 +5522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_order_customers": _big_orders,
         "cheapest_supplier_per_part": _cheapest_supplier,
         "customer_set_ops": _set_ops,
+        # --- past the 50-entry window: next-stalest first, in
+        # planner order (tools/plan_rotation.py)
         "sql_exists_subquery": _sql_surface,
         "rollup_pricing": _rollup,
         "distinct_orders_per_flag": _distinct,
@@ -5506,18 +5688,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": _zorder_keys,
         "content_diff_summary": _content_diff,
         "name_match_verified": _name_match_verified,
-        # --- rows-only block: PERMANENTLY pinned last (no SQL
-        # oracle; their md5/exact twins carry the hash signal)
-        "minhash_buckets": _minhash_buckets,
-        "lsh_candidate_pairs": _lsh_pairs,
-        "simhash_near_pairs": _simhash_pairs,
-        "ivf_kmeans_assign": _ivf_kmeans,
+        "warc_dedup_manifest": _warc_dedup_manifest,
+        "frontier_bloom_gate": _frontier_bloom_gate,
+        "bpe_roundtrip": _bpe_roundtrip,
+        "wet_conversion_index": _wet_conversion_index,
+        "wet_text_extract": _wet_text_extract,
+        "wet_gzip_extract": _wet_gzip_extract,
+        "wat_export_index": _wat_export_index,
+        "wat_metadata_extract": _wat_metadata_extract,
+        "robots_sitemap_urls": _robots_sitemap_urls,
+        "fineweb_quality_flags": _fineweb_quality_flags,
+        "utf8_sanity_flags": _utf8_sanity_flags,
+        "html_title_meta": _html_title_meta,
+        "extract_tables": _extract_tables,
+        "mojibake_stats": _mojibake_stats,
+        "mojibake_repair": _mojibake_repair,
+        "warc_gzip_index": _warc_gzip_index,
+        "warc_gzip_extract": _warc_gzip_extract,
+        "cdx_index": _cdx_index,
+        "warc_revisit_resolve": _warc_revisit_resolve,
+        "warc_revisit_stats": _warc_revisit_stats,
+        "ccnet_buckets": _ccnet_buckets,
+        "line_repetition": _line_repetition,
+        "debounce_events": _debounce,
+        "ri_audit": _ri_audit,
+        "incremental_agg": _incremental_agg,
+        "signal_percentiles": _signal_percentiles,
+        "lsh_knn_join": _lsh_knn_join,
+        "dedup_pair_recall": _dedup_pair_recall,
+        "minhash_pair_recall": _minhash_pair_recall,
+        "seasonal_anomalies": _seasonal_anomalies,
+        "containment_adjacent": _containment_adjacent,
+        "decayed_topk": _decayed_topk,
+        "k_anonymity": _k_anonymity,
+        "l_diversity": _l_diversity,
+        "q2_adapted": _q2_adapted,
+        "q11_adapted": _q11_adapted,
+        "ivf_pq_rerank_topk": _ivf_pq_rerank_topk,
+        "knn_graph_capped": _knn_graph_capped,
+        "image_meta_real": _image_meta_real,
+        "image_ahash_real": _image_ahash_real,
+        "image_near_dup": _image_near_dup,
+        "cross_corpus_near_dup": _cross_corpus_near_dup,
+        "skew_profile": _skew_profile,
+        "cluster_safe_split": _cluster_safe_split,
+        "profile_orders": _profile_orders,
+        "negative_samples": _negative_samples,
+        "hard_negatives": _hard_negatives,
+        "margin_mine": _margin_mine,
+        "curation_funnel": _curation_funnel,
+        "source_datasheet": _source_datasheet,
         "lsh_candidate_pairs_capped": _lsh_pairs_capped,
         "quality_classifier": _quality_classifier,
         "compression_ratio": _compression_ratio,
         "ivf_pq_kmeans_topk": _ivf_pq_kmeans_topk,
         "ann_recall_ivfpq_kmeans": _ann_recall_ivfpq_kmeans,
         "quality_classifier_auc": _quality_classifier_auc,
+        "minhash_buckets": _minhash_buckets,
+        "lsh_candidate_pairs": _lsh_pairs,
+        "simhash_near_pairs": _simhash_pairs,
+        "ivf_kmeans_assign": _ivf_kmeans,
     }
 
 
@@ -9946,6 +10176,12 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_oracle(),
         "frontier_schedule": _frontier_schedule_oracle(),
         "sitemap_locs": _sitemap_oracle(),
+        "http_response_index": _http_index_oracle(),
+        "http_status_filter": _http_status_filter_oracle(),
+        "http_body_extract": _http_body_extract_oracle(),
+        "http_charset_transcode": _http_transcode_oracle(),
+        "http_redirect_edges": _http_redirect_oracle(),
+        "cdx_zipnum_index": _cdx_zipnum_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),
         # round 10: gzip members — closed-form fields for the index

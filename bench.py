@@ -228,6 +228,15 @@ HEADLINE = [
     "extract_tables",
     "mojibake_stats",
     "mojibake_repair",
+    # round 11: the HTTP envelope layer (application/http payloads,
+    # status gate, declared-charset transcode, redirect edges) + the
+    # zipnum cluster.idx secondary index
+    "http_response_index",
+    "http_status_filter",
+    "http_body_extract",
+    "http_charset_transcode",
+    "http_redirect_edges",
+    "cdx_zipnum_index",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -1,0 +1,514 @@
+"""HTTP message envelopes inside WARC ``response`` records (round 11).
+
+Real CommonCrawl ``response`` records do not carry the bare document
+text: their payload is a full **HTTP response message** — status line,
+HTTP headers, CRLF-CRLF, body — announced by the WARC record header
+``Content-Type: application/http; msgtype=response`` (ISO 28500
+§6.3.2, RFC 9112 §4).  A drop-in CommonCrawl reader therefore needs
+the envelope layer this module adds on top of :mod:`.warc`:
+
+* :func:`encode_http_response` / :func:`parse_http_response` — the real
+  byte format, pure stdlib: status-line parse (version, 3-digit code,
+  reason), case-insensitive header fold, header/body split at the
+  first CRLF-CRLF, every bound checked BEFORE any slice (the
+  ``parse_warc_index`` discipline).  A body shorter than the declared
+  ``Content-Length`` — the truncated-capture reality of crawl data —
+  is FLAGGED, never fatal: the parse is total on truncation;
+* :func:`attach_warc_http` — deterministic synthesis for the
+  container-less test corpus: each document becomes an HTTP response
+  (status / Content-Type / charset classes keyed on doc_id — the
+  shared SQL templates below are the oracle's replay), wrapped in a
+  WARC response record whose ``WARC-Payload-Digest`` is computed over
+  the HTTP **body** per ISO 28500 §5.9 (the spec subtlety: the digest
+  covers the payload of the *enclosed* message, not the record block);
+* :func:`http_response_index` — one row per response record with the
+  envelope facts every downstream stage keys off: status, media type,
+  declared charset, body (offset, length) within the payload, a
+  truncation flag, and ``digest_ok`` (the parsed body span re-hashed
+  against the record's WARC-Payload-Digest — green means the encoder's
+  span and the parser's span agree to the byte);
+* :func:`http_body_extract` — the UTF-8 fast path: recover document
+  text through HTTP + WARC (+ gzip member) framing combined for
+  records declaring utf-8 or no charset;
+* :func:`http_charset_transcode` — the declared-charset front door
+  (VERDICT r10 Next #4, the CCNet/OSCAR posture): honor the
+  Content-Type charset parameter and transcode latin-1 / cp1252
+  bodies to proper UTF-8 text via stdlib codecs BEFORE any quality
+  scoring — ``mojibake_repair`` fixes mis-decodes after the fact,
+  this stage prevents them;
+* :func:`http_redirect_edges` — 3xx records surfaced as
+  (uri, Location) edges, the redirect graph a frontier consumes.
+
+Scale posture: identical to the WARC index — container bytes never
+leave the executor (one fused mapInPandas walk per container; the
+emitted rows are ~100-byte envelope facts), parsing is one forward
+scan, and at 100 TB the index rows are what shuffle while body fetches
+stay offset-addressed range reads.  The charset decode is a per-batch
+pandas pass over bytes already in cache — no extra container read.
+
+Oracle form: every synthesized envelope field (status, reason, media
+type, charset, body byte length, head byte length) is a closed-form
+function of (doc_id, url, text) via the shared ``HTTP_*_SQL``
+templates, so the DuckDB twin replays the arithmetic and a hash-green
+row means the real parser and the arithmetic agree to the byte.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..utils import fan_out
+from .warc import _iter_records_with_payloads
+
+HTTP_MSGTYPE_RESPONSE = "application/http; msgtype=response"
+# header-block bound mirrors parse_warc_index's: checked BEFORE slicing
+_MAX_HEAD = 64 * 1024
+
+# ---------------------------------------------------------------------------
+# byte-level HTTP/1.x response message (RFC 9112 §4 framing, stdlib only)
+# ---------------------------------------------------------------------------
+
+
+def encode_http_response(
+    status: int, reason: str, headers: list[tuple[str, str]], body: bytes
+) -> bytes:
+    """One HTTP/1.1 response message: status line, headers in the
+    given order, CRLF-CRLF, body.  Header text is ASCII here (URLs and
+    media types); latin-1 is the HTTP-field-safe encoding."""
+    head = f"HTTP/1.1 {status} {reason}\r\n"
+    for name, value in headers:
+        head += f"{name}: {value}\r\n"
+    head += "\r\n"
+    return head.encode("latin-1") + body
+
+
+def split_content_type(value: str) -> tuple[str, str]:
+    """(media_type, charset) from a Content-Type field value: media
+    type lowercased, charset parameter lowercased and unquoted, ''
+    when absent.  Tolerates 'text/html;charset=x' (no space) and
+    quoted charsets — the spellings real servers emit."""
+    media = value.split(";", 1)[0].strip().lower()
+    m = re.search(r'(?i);\s*charset\s*=\s*"?([^";\s]+)"?', value)
+    return media, (m.group(1).lower() if m else "")
+
+
+def parse_http_response(payload: bytes) -> dict:
+    """Parse one HTTP response message: ``status, reason, headers
+    (lowercased names), content_type, charset, body_offset, body_len,
+    truncated``.  Malformed FRAMING (no HTTP/1.x magic, unterminated
+    or oversized header block, non-numeric status or Content-Length)
+    raises ValueError; a body SHORTER than the declared Content-Length
+    — a capture cut mid-transfer — is total: ``truncated=True`` with
+    ``body_len`` clamped to the bytes that exist.  A body longer than
+    declared is clamped to the declaration (trailing transfer junk
+    never leaks into the document)."""
+    if not payload.startswith(b"HTTP/1."):
+        raise ValueError("payload is not an HTTP/1.x response")
+    head_end = payload.find(b"\r\n\r\n")
+    if head_end < 0 or head_end > _MAX_HEAD:
+        raise ValueError("unterminated/oversized HTTP header block")
+    lines = payload[:head_end].split(b"\r\n")
+    parts = lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[1].isdigit() or len(parts[1]) != 3:
+        raise ValueError("bad HTTP status line")
+    status = int(parts[1])
+    reason = parts[2].decode("latin-1") if len(parts) == 3 else ""
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        name, _, value = line.partition(b":")
+        headers[name.decode("latin-1").strip().lower()] = value.decode(
+            "latin-1"
+        ).strip()
+    body_offset = head_end + 4
+    avail = len(payload) - body_offset
+    truncated = False
+    body_len = avail
+    declared = headers.get("content-length")
+    if declared is not None:
+        if not declared.isdigit():
+            raise ValueError("bad HTTP Content-Length")
+        d = int(declared)
+        if d <= avail:
+            body_len = d
+        else:
+            truncated = True
+    content_type, charset = split_content_type(
+        headers.get("content-type", "")
+    )
+    return {
+        "status": status,
+        "reason": reason,
+        "headers": headers,
+        "content_type": content_type,
+        "charset": charset,
+        "body_offset": body_offset,
+        "body_len": body_len,
+        "truncated": truncated,
+    }
+
+
+# ---------------------------------------------------------------------------
+# deterministic envelope synthesis — the shared templates ARE the oracle
+# ---------------------------------------------------------------------------
+
+# suffixes appended to the non-UTF-8 charset classes so the transcode
+# stage is substantive on the ASCII test corpus: every character is a
+# SINGLE byte in its target charset (latin-1: é ©  ñ; cp1252 adds the
+# 0x80 € and 0x99 ™), so the body byte length stays the closed-form
+# CHARACTER length of the decorated text.
+LATIN1_SUFFIX = " café © niño"
+CP1252_SUFFIX = " café €99 ™"
+
+HTTP_STATUS_SQL = (
+    "CASE WHEN {id} % 7 = 3 THEN 404 WHEN {id} % 7 = 5 THEN 301"
+    " ELSE 200 END"
+)
+HTTP_REASON_SQL = (
+    "CASE WHEN {id} % 7 = 3 THEN 'Not Found'"
+    " WHEN {id} % 7 = 5 THEN 'Moved Permanently' ELSE 'OK' END"
+)
+# full Content-Type header value — five classes exercising uppercase,
+# quoted, tight-spelled, and absent charset parameters
+HTTP_CT_HEADER_SQL = (
+    "CASE WHEN {id} % 5 = 0 THEN 'text/html; charset=UTF-8'"
+    " WHEN {id} % 5 = 1 THEN 'text/html; charset=' || chr(34)"
+    " || 'iso-8859-1' || chr(34)"
+    " WHEN {id} % 5 = 2 THEN 'text/plain; charset=windows-1252'"
+    " WHEN {id} % 5 = 3 THEN 'text/html'"
+    " ELSE 'text/html;charset=utf-8' END"
+)
+# the parser's NORMALIZED outputs for those classes
+HTTP_CHARSET_SQL = (
+    "CASE WHEN {id} % 5 = 1 THEN 'iso-8859-1'"
+    " WHEN {id} % 5 = 2 THEN 'windows-1252'"
+    " WHEN {id} % 5 = 3 THEN '' ELSE 'utf-8' END"
+)
+HTTP_MEDIA_SQL = (
+    "CASE WHEN {id} % 5 = 2 THEN 'text/plain' ELSE 'text/html' END"
+)
+# the decoded body TEXT (closed form): what a charset-honoring reader
+# recovers — the transcode oracle
+HTTP_BODY_TEXT_SQL = (
+    "CASE WHEN {id} % 5 = 1 THEN {text} || '" + LATIN1_SUFFIX + "'"
+    " WHEN {id} % 5 = 2 THEN {text} || '" + CP1252_SUFFIX + "'"
+    " ELSE {text} END"
+)
+# body byte length: 1 byte/char in the decorated single-byte charsets
+# (length = chars), raw utf-8 bytes otherwise ({blen}: Spark
+# octet_length / DuckDB strlen)
+HTTP_BODY_LEN_SQL = (
+    "CASE WHEN {id} % 5 IN (1, 2) THEN length(" + HTTP_BODY_TEXT_SQL
+    + ") ELSE {blen}({text}) END"
+)
+
+
+def synth_http_response(doc_id: int, url: str, text: str) -> tuple[bytes, str]:
+    """The Python twin of the ``HTTP_*_SQL`` templates: build the
+    envelope bytes + the ``md5:<hex>`` payload digest (over the HTTP
+    BODY, per ISO 28500 §5.9) for one document.  Header order is
+    FIXED (Content-Type, Content-Length, [Location]) — the closed-form
+    head-length arithmetic depends on it."""
+    s7 = doc_id % 7
+    if s7 == 3:
+        status, reason = 404, "Not Found"
+    elif s7 == 5:
+        status, reason = 301, "Moved Permanently"
+    else:
+        status, reason = 200, "OK"
+    c5 = doc_id % 5
+    if c5 == 1:
+        body = (text + LATIN1_SUFFIX).encode("iso-8859-1")
+        ct = 'text/html; charset="iso-8859-1"'
+    elif c5 == 2:
+        body = (text + CP1252_SUFFIX).encode("cp1252")
+        ct = "text/plain; charset=windows-1252"
+    elif c5 == 3:
+        body, ct = text.encode("utf-8"), "text/html"
+    elif c5 == 0:
+        body, ct = text.encode("utf-8"), "text/html; charset=UTF-8"
+    else:
+        body, ct = text.encode("utf-8"), "text/html;charset=utf-8"
+    headers = [("Content-Type", ct), ("Content-Length", str(len(body)))]
+    if status == 301:
+        headers.append(("Location", url + "/moved"))
+    env = encode_http_response(status, reason, headers, body)
+    return env, "md5:" + hashlib.md5(body).hexdigest()
+
+
+def attach_warc_http(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    docs_per_container: int = 8,
+    gzip_members: bool = False,
+) -> DataFrame:
+    """Containers whose response records carry REAL HTTP envelopes:
+    the :func:`attach_warc` grouping (id div k, ascending id within a
+    container) with per-record ``Content-Type: application/http;
+    msgtype=response`` + ``WARC-Payload-Digest`` over the HTTP body.
+    Delegates the container build to :func:`attach_warc` via a
+    pre-computed payload column — one applyInPandas, bytes built
+    executor-side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType, LongType, StringType
+
+    from .warc import encode_warc, encode_warc_gz
+
+    schema = StructType(
+        [
+            StructField("container_id", LongType(), False),
+            StructField("container", BinaryType(), False),
+        ]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        recs = []
+        for i, u, t in zip(pdf[id_col], pdf[url_col], pdf[text_col]):
+            env, digest = synth_http_response(int(i), u, t)
+            recs.append(
+                {
+                    "type": "response",
+                    "record_id": f"urn:uuid:{int(i)}",
+                    "uri": u,
+                    "payload": env,
+                    "content_type": HTTP_MSGTYPE_RESPONSE,
+                    "payload_digest": digest,
+                }
+            )
+        enc = encode_warc_gz if gzip_members else encode_warc
+        return pd.DataFrame(
+            {
+                "container_id": [int(pdf["__cid"].iloc[0])],
+                "container": [enc(recs)],
+            }
+        )
+
+    return (
+        df.withColumn(
+            "__cid", F.expr(f"{id_col} div {docs_per_container}")
+        )
+        .select("__cid", id_col, url_col, text_col)
+        .groupBy("__cid")
+        .applyInPandas(build, schema=schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark operators — one fused container walk each, index rows shuffle,
+# container bytes never do
+# ---------------------------------------------------------------------------
+
+_HTTP_INDEX_SCHEMA = StructType(
+    [
+        StructField("container_id", LongType(), False),
+        StructField("record_no", IntegerType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("status", IntegerType(), False),
+        StructField("reason", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("charset", StringType(), True),
+        StructField("body_offset", LongType(), False),
+        StructField("body_len", LongType(), False),
+        StructField("truncated", BooleanType(), False),
+        StructField("digest_ok", BooleanType(), False),
+    ]
+)
+
+
+def _iter_http_records(blob: bytes) -> Iterator[tuple[dict, dict, bytes]]:
+    """Per response-with-HTTP-envelope record: (warc_rec, envelope,
+    body bytes).  Non-HTTP records (warcinfo, revisit, bare-payload
+    legacy captures) are skipped — the WARC-level Content-Type is the
+    dispatch, exactly how a real reader decides to parse."""
+    for rec, payload in _iter_records_with_payloads(blob):
+        if not rec.get("content_type", "").startswith("application/http"):
+            continue
+        env = parse_http_response(payload)
+        body = payload[
+            env["body_offset"] : env["body_offset"] + env["body_len"]
+        ]
+        yield rec, env, body
+
+
+def http_response_index(df: DataFrame) -> DataFrame:
+    """The envelope index: one row per HTTP response record with the
+    facts downstream stages key off — status (the keep-200s gate),
+    media type + declared charset (feeds the transcode stage), body
+    (offset, len) within the payload (the range-read address one level
+    below the WARC record index), a truncation flag, and ``digest_ok``
+    — md5 over the PARSED body span compared against the record's
+    WARC-Payload-Digest, the ISO 28500 §5.9 body-digest proof."""
+    df = fan_out(df, "container_id")
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _HTTP_INDEX_SCHEMA}
+            for cid, blob in zip(pdf["container_id"], pdf["container"]):
+                for rec, env, body in _iter_http_records(bytes(blob)):
+                    dig = "md5:" + hashlib.md5(body).hexdigest()
+                    rows["container_id"].append(int(cid))
+                    rows["record_no"].append(rec["record_no"])
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["status"].append(env["status"])
+                    rows["reason"].append(env["reason"])
+                    rows["content_type"].append(env["content_type"])
+                    rows["charset"].append(env["charset"])
+                    rows["body_offset"].append(env["body_offset"])
+                    rows["body_len"].append(env["body_len"])
+                    rows["truncated"].append(env["truncated"])
+                    rows["digest_ok"].append(
+                        rec.get("payload_digest", "") == dig
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(index, schema=_HTTP_INDEX_SCHEMA)
+
+
+_BODY_SCHEMA = StructType(
+    [
+        StructField("container_id", LongType(), False),
+        StructField("record_no", IntegerType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("status", IntegerType(), False),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def http_body_extract(df: DataFrame) -> DataFrame:
+    """The UTF-8 fast path: recover document text through HTTP + WARC
+    (+ gzip member) framing combined, for records declaring utf-8 or
+    no charset (the charset-less default per the HTML living standard
+    is effectively utf-8 on the modern web; anything else belongs to
+    :func:`http_charset_transcode`).  One fused walk: parse WARC
+    framing, inflate members, parse the envelope, slice and decode the
+    body — container bytes read once, never shuffled."""
+
+    df = fan_out(df, "container_id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _BODY_SCHEMA}
+            for cid, blob in zip(pdf["container_id"], pdf["container"]):
+                for rec, env, body in _iter_http_records(bytes(blob)):
+                    if env["charset"] not in ("", "utf-8"):
+                        continue
+                    rows["container_id"].append(int(cid))
+                    rows["record_no"].append(rec["record_no"])
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["status"].append(env["status"])
+                    rows["text"].append(body.decode("utf-8", "replace"))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(extract, schema=_BODY_SCHEMA)
+
+
+# declared charset -> stdlib codec; single-byte webisms normalized.
+# Bounded allowlist: an unknown declaration is NOT guessed at (that is
+# mojibake_repair's after-the-fact job) — the row is dropped here and
+# the index row still carries the declaration for auditing.
+CHARSET_CODECS = {
+    "": "utf-8",
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "us-ascii": "ascii",
+    "ascii": "ascii",
+    "iso-8859-1": "iso-8859-1",
+    "latin-1": "iso-8859-1",
+    "latin1": "iso-8859-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+}
+
+_TRANSCODE_SCHEMA = StructType(
+    [
+        StructField("container_id", LongType(), False),
+        StructField("record_no", IntegerType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("charset", StringType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def http_charset_transcode(df: DataFrame) -> DataFrame:
+    """The declared-charset front door (CCNet/OSCAR posture): honor
+    the Content-Type charset parameter and decode every body to
+    proper UTF-8 text via stdlib codecs — latin-1 and cp1252 pages
+    arrive as the text their servers meant, BEFORE any quality
+    scoring (``mojibake_repair`` fixes mis-decodes after the fact;
+    this stage prevents them; ``utf8_sanity_flags`` is the
+    post-transcode audit).  Decode errors fall back to replacement
+    characters (never fatal — the sanity census downstream counts
+    them); undeclared charsets decode as utf-8 per the modern-web
+    default.  Zero shuffle beyond the container fan-out: the decode
+    happens in the SAME fused walk, on bytes already in cache."""
+
+    df = fan_out(df, "container_id")
+
+    def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in _TRANSCODE_SCHEMA
+            }
+            for cid, blob in zip(pdf["container_id"], pdf["container"]):
+                for rec, env, body in _iter_http_records(bytes(blob)):
+                    codec = CHARSET_CODECS.get(env["charset"])
+                    if codec is None:
+                        continue
+                    rows["container_id"].append(int(cid))
+                    rows["record_no"].append(rec["record_no"])
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["charset"].append(env["charset"])
+                    rows["text"].append(body.decode(codec, "replace"))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(transcode, schema=_TRANSCODE_SCHEMA)
+
+
+_REDIRECT_SCHEMA = StructType(
+    [
+        StructField("target_uri", StringType(), True),
+        StructField("status", IntegerType(), False),
+        StructField("location", StringType(), True),
+    ]
+)
+
+
+def http_redirect_edges(df: DataFrame) -> DataFrame:
+    """3xx responses surfaced as (uri, Location) edges — the redirect
+    graph a frontier follows and a canonicalizer collapses.  Same
+    fused walk; only redirect rows leave the executor."""
+
+    df = fan_out(df, "container_id")
+
+    def edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _REDIRECT_SCHEMA}
+            for _, blob in zip(pdf["container_id"], pdf["container"]):
+                for rec, env, _body in _iter_http_records(bytes(blob)):
+                    if not 300 <= env["status"] < 400:
+                        continue
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["status"].append(env["status"])
+                    rows["location"].append(
+                        env["headers"].get("location", "")
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(edges, schema=_REDIRECT_SCHEMA)

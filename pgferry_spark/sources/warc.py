@@ -94,11 +94,16 @@ def encode_warc(records: list[dict]) -> bytes:
     capture) and ``payload_digest`` (WARC-Payload-Digest) emit the two
     headers a REVISIT record carries (ISO 28500 §6.7.2: a re-fetch
     whose payload is unchanged stores a small pointer record instead of
-    the payload again — crawl-time storage dedup)."""
+    the payload again — crawl-time storage dedup); optional
+    ``content_type`` emits the record Content-Type header (round 11:
+    ``application/http; msgtype=response`` marks a payload carrying a
+    full HTTP message — see :mod:`.httpmsg`)."""
     out = []
     for r in records:
         payload = r["payload"]
         extra = ""
+        if r.get("content_type"):
+            extra += f"Content-Type: {r['content_type']}\r\n"
         if r.get("refers_to"):
             extra += f"WARC-Refers-To: <{r['refers_to']}>\r\n"
         if r.get("payload_digest"):
@@ -164,6 +169,7 @@ def parse_warc_index(container: bytes) -> list[dict]:
                 "record_id": headers.get("warc-record-id", "").strip("<>"),
                 "refers_to": headers.get("warc-refers-to", "").strip("<>"),
                 "payload_digest": headers.get("warc-payload-digest", ""),
+                "content_type": headers.get("content-type", ""),
             }
         )
         pos = rec_end

@@ -1,0 +1,216 @@
+"""CDX zipnum secondary index (round 11) — the cluster.idx pattern.
+
+The first-level CDX index (``cdx_index``: SURT-keyed capture rows,
+range-scan pruning proven in tests/test_layout_skew.py's surt-range
+layout) answers "all captures of example.org" with a range scan — but
+the PUBLIC CommonCrawl access pattern adds one more level so a single
+URL lookup over a ~300 GB index touches ONE compressed block: the CDX
+lines are sorted by SURT, grouped every-N-lines into blocks, each
+block deflated as one gzip member, and a tiny SECONDARY index
+(``cluster.idx``) records per block its first key + (offset, length)
+pointer.  Lookup = binary-search cluster.idx (config-scale, cacheable)
+→ one ranged GET → inflate exactly one member → scan ≤N lines.
+
+This module composes the existing machinery — the shared SURT template
+(operators/domains.py), the CDX line synthesis, and the gzip-member
+walk/read (sources/warc.py) — into that second level:
+
+* :func:`cdx_zipnum_cluster` — the oracle-backed CONTENT of the
+  secondary index: every CDX line's block by global rank
+  (``rank div lines_per_block`` over the total (surt, container,
+  record) order), per block the first/last key, line count, and an
+  order-sensitive digest of the block's lines.  Everything is a
+  closed-form function of the corpus, so the DuckDB twin replays the
+  blocking arithmetic exactly;
+* :func:`cdx_zipnum_pack` — the REAL bytes: each block's lines become
+  one gzip member, block offsets/lengths accumulate into the physical
+  cluster.idx rows; :func:`warc_member_read` then inflates exactly one
+  block per lookup (the pruning-proof test);
+* :func:`zipnum_lookup` — the access path: binary-search the cluster
+  rows, inflate ONE member, scan its lines.
+
+Scale shape: the only globally-ordered artifact is the CDX index
+(~100-byte rows — ~1% of corpus bytes; the real system publishes it
+totally ordered, so the order is the product, not overhead).  The
+global rank here rides one ``row_number`` window — at 100 TB the same
+blocking runs per range-partitioned shard with a two-pass rank
+(partition line-counts broadcast as offsets), and cluster.idx gains a
+shard column; the per-block arithmetic this module proves is
+unchanged.  Container/payload bytes are never touched: zipnum is an
+index-over-the-index.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from .warc import warc_member_read
+
+# one CDX line — the shared spelling both engines evaluate verbatim
+# over the index columns (CAST AS STRING is the one int->text spelling
+# both accept)
+CDX_LINE_SQL = (
+    "surt || ' ' || CAST(container_id AS STRING)"
+    " || ' ' || CAST(record_no AS STRING)"
+    " || ' ' || CAST(rec_offset AS STRING)"
+    " || ' ' || CAST(rec_len AS STRING)"
+    " || ' ' || payload_md5"
+)
+
+_CDX_ORDER = ["surt", "container_id", "record_no"]
+
+
+def _with_block_no(cdx: DataFrame, lines_per_block: int) -> DataFrame:
+    """CDX rows + (cdx_line, block_no): block = global rank div N over
+    the total (surt, container, record) order — the deterministic
+    blocking both the content entry and the packer share."""
+    w = Window.orderBy(*[F.col(c) for c in _CDX_ORDER])
+    return (
+        cdx.withColumn("cdx_line", F.expr(CDX_LINE_SQL))
+        .withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn("block_no", F.expr(f"__rn div {int(lines_per_block)}"))
+    )
+
+
+def cdx_zipnum_cluster(
+    cdx: DataFrame, lines_per_block: int = 8
+) -> DataFrame:
+    """The secondary-index CONTENT: per zipnum block its
+    ``(block_no, first_surt, last_surt, n_lines, lines_md5)`` —
+    ``lines_md5`` is the digest of the block's newline-joined lines in
+    rank order, so a green row certifies both the blocking arithmetic
+    AND every byte of every line that lands in the block.  (The
+    physical (offset, length) pointers are gzip-length-dependent and
+    belong to :func:`cdx_zipnum_pack`; the member-read pruning proof
+    pins those in pytest.)"""
+    b = _with_block_no(cdx, lines_per_block)
+    return b.groupBy("block_no").agg(
+        F.min("surt").alias("first_surt"),
+        F.max("surt").alias("last_surt"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn", "cdx_line"))
+                    ),
+                    lambda x: x["cdx_line"],
+                ),
+                "\n",
+            )
+        ).alias("lines_md5"),
+    )
+
+
+def encode_zipnum_block(lines: list[str]) -> bytes:
+    """One zipnum block: the lines newline-joined + trailing newline,
+    deflated as ONE gzip member (mtime=0 pins the header — same
+    determinism as encode_warc_gz)."""
+    return gzip.compress(
+        ("\n".join(lines) + "\n").encode("utf-8"), compresslevel=6, mtime=0
+    )
+
+
+_PACK_SCHEMA = StructType(
+    [
+        StructField("block_no", LongType(), False),
+        StructField("first_surt", StringType(), False),
+        StructField("last_surt", StringType(), False),
+        StructField("n_lines", LongType(), False),
+        StructField("block", BinaryType(), False),
+    ]
+)
+
+
+def cdx_zipnum_pack(cdx: DataFrame, lines_per_block: int = 8) -> DataFrame:
+    """The REAL shard bytes: each block's lines (in rank order) become
+    one gzip member via applyInPandas on the block key.  Returns
+    ``(block_no, first_surt, n_lines, block)``; concatenating the
+    blocks in block_no order IS the shard file, and the physical
+    cluster.idx rows are the running (offset = cumsum of previous
+    lengths, length = octet_length(block)) over that order — see
+    :func:`cluster_idx_rows`."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn")
+        return pd.DataFrame(
+            {
+                "block_no": [int(pdf["block_no"].iloc[0])],
+                "first_surt": [pdf["cdx_line"].iloc[0].split(" ", 1)[0]],
+                "last_surt": [pdf["cdx_line"].iloc[-1].split(" ", 1)[0]],
+                "n_lines": [len(pdf)],
+                "block": [encode_zipnum_block(list(pdf["cdx_line"]))],
+            }
+        )
+
+    b = _with_block_no(cdx, lines_per_block)
+    return b.select("block_no", "__rn", "cdx_line").groupBy(
+        "block_no"
+    ).applyInPandas(pack, schema=_PACK_SCHEMA)
+
+
+def cluster_idx_rows(packed: DataFrame) -> DataFrame:
+    """Physical cluster.idx from the packed blocks: per block the
+    (offset, length) byte pointer into the concatenated shard — offset
+    is the exclusive running sum of block lengths in block_no order.
+    One window over the block table (blocks = lines/N — config-scale
+    next to the corpus)."""
+    w = (
+        Window.orderBy("block_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return packed.select(
+        "block_no",
+        "first_surt",
+        "last_surt",
+        "n_lines",
+        (
+            F.sum(F.octet_length("block")).over(w)
+            - F.octet_length("block")
+        ).alias("offset"),
+        F.octet_length("block").cast("long").alias("length"),
+    )
+
+
+def zipnum_lookup(
+    shard: bytes, cluster: list[dict], key: str
+) -> tuple[list[str], int]:
+    """The access path: binary-search the cluster rows for the EXACT
+    block range that can hold the key — blocks are totally ordered, so
+    a block contains the key iff ``first_surt <= key <= last_surt``,
+    and those blocks are contiguous: lo = first block whose last key
+    >= the lookup key (bisect over lasts), hi = last block whose first
+    key <= it (bisect over firsts).  Inflate exactly that range.
+    Returns (matching lines, blocks_inflated) — the counter is the
+    pruning proof's witness that a lookup costs the MINIMAL number of
+    ranged reads (one, except for a hot key whose captures straddle a
+    boundary)."""
+    import bisect
+
+    firsts = [c["first_surt"] for c in cluster]
+    lasts = [c["last_surt"] for c in cluster]
+    lo = bisect.bisect_left(lasts, key)
+    hi = bisect.bisect_right(firsts, key) - 1
+    if hi < lo:
+        return [], 0  # key falls between blocks or outside the shard
+    out: list[str] = []
+    for c in cluster[lo : hi + 1]:
+        rec = warc_member_read(shard, int(c["offset"]), int(c["length"]))
+        out += [
+            ln
+            for ln in rec.decode("utf-8").splitlines()
+            if ln.split(" ", 1)[0] == key
+        ]
+    return out, hi - lo + 1

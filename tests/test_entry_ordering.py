@@ -1,19 +1,15 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01..r09 each contain exactly 50
-keys equal to dict positions 1-50).  Round-10 rotation (VERDICT r9 Next
-#3): the window head is this round's NEW entries (gzip WARC members,
-then the WET/sitemap-discovery second wave — driver-checked at birth),
-then the 8 entries the r9 at-birth block displaced (r4/r5-green), then
-the r5-green block.  Births displace the TAIL of the r5 block past the
-boundary to head the r11 line (at-birth checks take precedence per the
-standing rule; every displaced entry keeps this round's full local-gate
-attestation at both SFs).
-Round-10 code changes to already-green entries (robots pattern engine,
-charref sentinel decode, strip_gps single walk, frontier salt) were
-verified output-identical on the driver corpus at sf0.001 AND sf0.01
-before the rotation, so their r9 greens still attest their outputs.
+__spark_entry__.queries() (CORRECTNESS_r01..r10 each contain exactly 50
+keys equal to dict positions 1-50).  Round-11 rotation (VERDICT r10
+Next #6): the window head is this round's 6 births (the HTTP envelope
+layer + the zipnum secondary index — driver-checked at birth), then
+the 44 STALEST oracle-backed entries in tools/plan_rotation.py order —
+the r5-green block the r10 births displaced (dsir_weights through
+sketch_validation_lineitem) followed by the leading r6-green entries
+(the TPC-H shapes).  No oracle-backed entry goes >5 rounds without a
+driver-green record under this rotation.
 The 10 rows-only entries are PERMANENTLY excluded from the window — a
 slot spent on a ``no_oracle`` row can never produce a green driver row
 (round 7 burned 4 slots that way); their md5/exact twins carry the hash
@@ -37,50 +33,46 @@ def entry_mod():
     return mod
 
 
-# Window head: round-10 additions, driver-checked at birth (second
-# wave — WET export + sitemap discovery — ahead of the gzip block).
-NEW_R10 = [
-    "warc_dedup_manifest", "frontier_bloom_gate", "bpe_roundtrip",
-    "wet_conversion_index", "wet_text_extract", "wet_gzip_extract",
-    "wat_export_index", "wat_metadata_extract", "robots_sitemap_urls",
-    "fineweb_quality_flags", "utf8_sanity_flags", "html_title_meta",
-    "extract_tables",
-    "mojibake_stats",
-    "mojibake_repair",
-    "warc_gzip_index", "warc_gzip_extract", "cdx_index",
-    "warc_revisit_resolve", "warc_revisit_stats", "ccnet_buckets",
-    "line_repetition",
+# Window head: round-11 births, driver-checked at birth.
+NEW_R11 = [
+    "http_response_index", "http_status_filter", "http_body_extract",
+    "http_charset_transcode", "http_redirect_edges", "cdx_zipnum_index",
 ]
 
-# The entries the r9 at-birth block displaced (r4/r5-green — the
-# stalest remaining).
-DISPLACED_R9 = [
-    "debounce_events", "ri_audit", "incremental_agg", "signal_percentiles",
-    "lsh_knn_join", "dedup_pair_recall", "minhash_pair_recall",
-    "seasonal_anomalies",
-]
-
-# Remaining window: the r5-green block, planner-stable order from
-# tools/plan_rotation.py (the entries the r10 births pushed past the
-# boundary — compaction_plan through exact_substring_scrub from the
-# first wave, loghist_price_quantiles + hll_intersect_customers from
-# the WET wave — head the r11 line).
-STALE_R5 = [
-    "containment_adjacent", "decayed_topk", "k_anonymity", "l_diversity",
-    "q2_adapted", "q11_adapted", "ivf_pq_rerank_topk", "knn_graph_capped",
-    "image_meta_real", "image_ahash_real", "image_near_dup",
-    "cross_corpus_near_dup", "skew_profile", "cluster_safe_split",
-    "profile_orders", "negative_samples", "hard_negatives", "margin_mine",
-    "curation_funnel", "source_datasheet",
-]
-
-# Positions 51+: next-stalest, first in line for the r11 rotation.
-NEXT_IN_LINE = [
-    "dsir_weights", "lsh_candidate_pairs_md5_capped", "cross_corpus_near_dup_capped", "quality_twin_auc", "boilerplate_ngrams", "mixture_epochs", "embedding_drift_psi", "exact_substring_spans", "hll_registers", "hll_union_estimate", "cms_token_sketch", "cms_heavy_hitters", "bloom_custkey_probe", "loghist_price_quantiles", "hll_intersect_customers",
+# Remaining window: the stalest oracle-backed entries, planner-stable
+# order (r5-green block first, then the leading r6-green TPC-H shapes).
+ROTATED_STALEST = [
+    "dsir_weights", "lsh_candidate_pairs_md5_capped",
+    "cross_corpus_near_dup_capped", "quality_twin_auc",
+    "boilerplate_ngrams", "mixture_epochs", "embedding_drift_psi",
+    "exact_substring_spans", "hll_registers", "hll_union_estimate",
+    "cms_token_sketch", "cms_heavy_hitters", "bloom_custkey_probe",
+    "loghist_price_quantiles", "hll_intersect_customers",
     "compaction_plan", "cms_join_size_custkey", "hll_rolling_users",
     "cms_weighted_spenders", "exact_substring_scrub",
     "sketch_validation_lineitem", "loghist_rolling_value",
-    "hll_churn_customers",
+    "hll_churn_customers", "transform_uuid", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q10_returned_revenue",
+    "q12_priority_counts", "q17_small_quantity_revenue",
+    "q6_forecast_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
+    "q22_idle_customers", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q18_large_volume_customers", "top_order_per_customer",
+    "big_order_customers", "cheapest_supplier_per_part",
+    "customer_set_ops",
+]
+
+# Positions 51+: next-stalest, first in line for the r12 rotation.
+NEXT_IN_LINE = [
+    "sql_exists_subquery", "rollup_pricing", "distinct_orders_per_flag",
+    "events_hourly", "events_json_stats", "events_pivot",
+    "lineitem_column_stats", "revenue_percentiles", "sessionize",
+    "asof_join", "minmax_probe", "row_counts", "sequence_reset",
+    "orphan_anti_join", "orphan_set_null", "transform_strings",
+    "transform_bool", "transform_set_split", "transform_bits",
+    "transform_time_interval", "transform_year_money",
+    "transform_zero_date", "quality_checks", "text_stats",
 ]
 
 
@@ -107,21 +99,20 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 268
+N_QUERIES = 274
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:22] == NEW_R10
-    assert names[22:30] == DISPLACED_R9
-    assert names[30:50] == STALE_R5
-    assert names[50:73] == NEXT_IN_LINE
+    assert names[:6] == NEW_R11
+    assert names[6:50] == ROTATED_STALEST
+    assert names[50:74] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 22 + 8 + 20 == 50: no slot wasted
+    # 6 + 44 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
-    assert first50 == set(NEW_R10) | set(DISPLACED_R9) | set(STALE_R5)
+    assert first50 == set(NEW_R11) | set(ROTATED_STALEST)
 
 
 def test_rows_only_permanently_post_window(entry_mod):

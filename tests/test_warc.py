@@ -891,6 +891,106 @@ class TestRobotsTxt:
         assert sorted(r.doc_id for r in small.collect()) == [2]
 
 
+class TestZipnum:
+    """Round 11: the cluster.idx secondary index — every-N CDX lines
+    per gzip-member block, a URL lookup inflates exactly ONE block."""
+
+    def _cdx(self, spark, n=40):
+        from pgferry_spark.operators.domains import attach_urls, surt_keys
+
+        docs = spark.createDataFrame(
+            [(i, f"src{i % 3}", f"Body {i}.") for i in range(n)],
+            "doc_id: long, source: string, text: string",
+        )
+        idx = W.warc_record_index(W.attach_warc(attach_urls(docs)))
+        return surt_keys(idx, url_col="target_uri").select(
+            "surt", "container_id", "record_no", "rec_offset", "rec_len",
+            "payload_md5",
+        )
+
+    def test_cluster_content_matches_pack(self, spark):
+        """The oracle-backed cluster content and the real packed bytes
+        agree block-for-block: same first keys, same line counts, and
+        inflating each packed block reproduces the digested lines."""
+        import gzip as _gz
+        import hashlib
+
+        from pgferry_spark.sources.zipnum import (
+            cdx_zipnum_cluster,
+            cdx_zipnum_pack,
+        )
+
+        cdx = self._cdx(spark)
+        content = {r.block_no: r for r in cdx_zipnum_cluster(cdx).collect()}
+        packed = {r.block_no: r for r in cdx_zipnum_pack(cdx).collect()}
+        assert set(content) == set(packed) == set(range(5))  # 40/8
+        for bno, c in content.items():
+            p = packed[bno]
+            assert p.first_surt == c.first_surt
+            assert p.n_lines == c.n_lines == 8
+            lines = _gz.decompress(bytes(p.block)).decode().splitlines()
+            assert hashlib.md5(
+                "\n".join(lines).encode()
+            ).hexdigest() == c.lines_md5
+            assert lines == sorted(lines)  # rank order within block
+
+    def test_lookup_inflates_exactly_one_block(self, spark):
+        """The pruning proof: concatenate the packed blocks into the
+        shard, binary-search cluster.idx, inflate ONE member — the
+        returned lines equal a full-scan filter for every key in the
+        corpus, at the cost of one bounded range read."""
+        from pgferry_spark.sources.zipnum import (
+            cdx_zipnum_pack,
+            cluster_idx_rows,
+            zipnum_lookup,
+        )
+
+        cdx = self._cdx(spark)
+        packed = cdx_zipnum_pack(cdx)
+        blocks = sorted(
+            (r.block_no, bytes(r.block))
+            for r in packed.select("block_no", "block").collect()
+        )
+        shard = b"".join(b for _, b in blocks)
+        cluster = sorted(
+            (r.asDict() for r in cluster_idx_rows(packed).collect()),
+            key=lambda c: c["block_no"],
+        )
+        # offsets tile the shard exactly
+        assert cluster[0]["offset"] == 0
+        for a, b in zip(cluster, cluster[1:]):
+            assert b["offset"] == a["offset"] + a["length"]
+        assert cluster[-1]["offset"] + cluster[-1]["length"] == len(shard)
+        # every key: minimal inflates, full-scan-identical result.  The
+        # URL synth collides some captures onto one URL (classes 2/5 —
+        # re-captures), so a key CAN straddle a block boundary; the
+        # minimal cost is the number of blocks actually holding it.
+        import gzip as _gz
+
+        block_lines = [
+            _gz.decompress(blk).decode().splitlines() for _, blk in blocks
+        ]
+        all_lines = [ln for bl in block_lines for ln in bl]
+        keys = {ln.split(" ", 1)[0] for ln in all_lines}
+        assert len(keys) >= 30  # dozens of distinct keys at n=40
+        ones = 0
+        for key in keys:
+            got, inflated = zipnum_lookup(shard, cluster, key)
+            holding = sum(
+                1 for bl in block_lines
+                if any(ln.split(" ", 1)[0] == key for ln in bl)
+            )
+            assert inflated == holding  # never a block the key isn't in
+            assert got == [
+                ln for ln in all_lines if ln.split(" ", 1)[0] == key
+            ]
+            ones += inflated == 1
+        assert ones >= len(keys) - 3  # straddling is the rare case
+        # a key below the first block touches nothing
+        got, inflated = zipnum_lookup(shard, cluster, "!below-everything")
+        assert got == [] and inflated == 0
+
+
 class TestRobotsSitemapDirective:
     """Round 10, second wave: sitemaps.org 'Sitemap:' announcement
     lines in robots.txt — group-independent, case-sensitive URL."""
