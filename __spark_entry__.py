@@ -3905,6 +3905,28 @@ def _http_redirect_edges(spark, sf):
     return http_redirect_edges(_http_containers(spark, sf))
 
 
+def _http_wire_decode(spark, sf):
+    """The HTTP wire-coding layer (round 11, second wave): stored
+    bodies arrive chunked transfer-coded (RFC 9112 §7.1 — hex-size
+    framing, no Content-Length) on doc_id % 3 == 2 and gzip
+    content-coded (RFC 9110 §8.4.1, capped inflate) on % 3 == 1,
+    orthogonal to the charset and status classes so every combination
+    occurs; the reader decodes in transport-then-representation-then-
+    charset order inside the SAME fused walk.  Oracle = the decorated
+    text closed form for every document — green certifies byte-exact
+    recovery through chunked/gzip/charset/WARC framing combined.
+    decode_chunked totality is hypothesis-pinned; unsupported or
+    malformed codings drop the row rather than guess."""
+    from pgferry_spark.sources.httpmsg import (
+        attach_warc_http,
+        http_charset_transcode,
+    )
+
+    return http_charset_transcode(
+        attach_warc_http(_docs_with_urls(spark, sf), wire_codings=True)
+    )
+
+
 def _extract_anchors(spark, sf):
     """Anchor harvesting (round 9): (doc_id, anchor_no, href,
     anchor_text) — the web's free label set, mined from whole <a>
@@ -5476,6 +5498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_charset_transcode": _http_charset_transcode,
         "http_redirect_edges": _http_redirect_edges,
         "cdx_zipnum_index": _cdx_zipnum_index,
+        "http_wire_decode": _http_wire_decode,
         # --- stalest oracle-backed entries (r5/r6-green), rotated
         # into the r11 window per the COVERAGE.md ledger
         "dsir_weights": _dsir_weights,
@@ -10182,6 +10205,9 @@ def oracle_sql() -> dict[str, str]:
         "http_charset_transcode": _http_transcode_oracle(),
         "http_redirect_edges": _http_redirect_oracle(),
         "cdx_zipnum_index": _cdx_zipnum_oracle(),
+        # the wire codings are transparent to the DECODED text, so the
+        # transcode closed form is the oracle verbatim
+        "http_wire_decode": _http_transcode_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),
         # round 10: gzip members — closed-form fields for the index

@@ -237,6 +237,7 @@ HEADLINE = [
     "http_charset_transcode",
     "http_redirect_edges",
     "cdx_zipnum_index",
+    "http_wire_decode",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -55,8 +55,10 @@ row means the real parser and the arithmetic agree to the byte.
 
 from __future__ import annotations
 
+import gzip
 import hashlib
 import re
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -76,6 +78,11 @@ from .warc import _iter_records_with_payloads
 HTTP_MSGTYPE_RESPONSE = "application/http; msgtype=response"
 # header-block bound mirrors parse_warc_index's: checked BEFORE slicing
 _MAX_HEAD = 64 * 1024
+# allocation bound for one decoded body (chunked reassembly / gzip
+# inflate): checked BEFORE the bytes exist — the warc.py member-bomb
+# discipline applied to the HTTP wire codings
+_MAX_BODY_OUT = 64 * 1024 * 1024
+_HEX_RE = re.compile(rb"^[0-9a-fA-F]{1,16}$")
 
 # ---------------------------------------------------------------------------
 # byte-level HTTP/1.x response message (RFC 9112 §4 framing, stdlib only)
@@ -161,6 +168,96 @@ def parse_http_response(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# wire codings (RFC 9112 §7.1 chunked transfer coding, RFC 9110 §8.4.1
+# gzip content coding) — the layerings real captured bodies arrive in.
+# Decode order on read is transfer coding FIRST (transport framing),
+# then content coding (representation), then charset (text) — the
+# reverse of how a server applied them.
+# ---------------------------------------------------------------------------
+
+
+def encode_chunked(body: bytes, chunk_size: int = 16) -> bytes:
+    """RFC 9112 chunked framing: hex-size line, chunk, CRLF per chunk,
+    a zero-size last-chunk, empty trailer section."""
+    out = []
+    for i in range(0, len(body), chunk_size):
+        chunk = body[i : i + chunk_size]
+        out.append(f"{len(chunk):x}\r\n".encode("ascii"))
+        out.append(chunk)
+        out.append(b"\r\n")
+    out.append(b"0\r\n\r\n")
+    return b"".join(out)
+
+
+def decode_chunked(data: bytes) -> bytes:
+    """Reassemble a chunked body — total on malformed input: every
+    framing defect (bad/oversized size line, negative-impossible hex,
+    truncated chunk, missing CRLF, absent last-chunk, trailing junk)
+    raises ValueError, and the reassembled size is capped BEFORE any
+    chunk is copied.  Chunk extensions (';' parameters) are ignored
+    per spec; trailers are required empty (crawl captures carry
+    none)."""
+    out: list[bytes] = []
+    pos = 0
+    total = 0
+    while True:
+        nl = data.find(b"\r\n", pos)
+        if nl < 0 or nl - pos > 32:
+            raise ValueError("bad/unterminated chunk-size line")
+        size_tok = data[pos:nl].split(b";", 1)[0].strip()
+        if not _HEX_RE.match(size_tok):
+            raise ValueError("bad chunk size")
+        size = int(size_tok, 16)
+        pos = nl + 2
+        if size == 0:
+            if data[pos : pos + 2] != b"\r\n":
+                raise ValueError("missing empty trailer section")
+            if pos + 2 != len(data):
+                raise ValueError("trailing bytes after last-chunk")
+            return b"".join(out)
+        total += size
+        if total > _MAX_BODY_OUT:
+            raise ValueError("chunked body exceeds allocation bound")
+        if pos + size + 2 > len(data):
+            raise ValueError("truncated chunk")
+        if data[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("missing chunk-data CRLF")
+        out.append(data[pos : pos + size])
+        pos += size + 2
+
+
+def _gunzip_body(data: bytes) -> bytes:
+    """One gzip member exactly, inflation capped before allocation."""
+    d = zlib.decompressobj(wbits=31)
+    try:
+        out = d.decompress(data, _MAX_BODY_OUT)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt gzip content coding ({exc})")
+    if not d.eof or d.unused_data:
+        raise ValueError("gzip body truncated, oversized, or multi-member")
+    return out
+
+
+def decode_http_body(env: dict, body: bytes) -> bytes:
+    """Apply the declared wire codings in read order: Transfer-Encoding
+    (chunked) first, then Content-Encoding (gzip/identity).  Raises
+    ValueError on an unsupported or malformed coding — callers skip
+    the row (the index row keeps the record for auditing; nothing is
+    guessed at)."""
+    te = env["headers"].get("transfer-encoding", "").strip().lower()
+    if te == "chunked":
+        body = decode_chunked(body)
+    elif te:
+        raise ValueError(f"unsupported transfer-encoding: {te}")
+    ce = env["headers"].get("content-encoding", "").strip().lower()
+    if ce in ("gzip", "x-gzip"):
+        body = _gunzip_body(body)
+    elif ce not in ("", "identity"):
+        raise ValueError(f"unsupported content-encoding: {ce}")
+    return body
+
+
+# ---------------------------------------------------------------------------
 # deterministic envelope synthesis — the shared templates ARE the oracle
 # ---------------------------------------------------------------------------
 
@@ -215,12 +312,21 @@ HTTP_BODY_LEN_SQL = (
 )
 
 
-def synth_http_response(doc_id: int, url: str, text: str) -> tuple[bytes, str]:
+def synth_http_response(
+    doc_id: int, url: str, text: str, wire_codings: bool = False
+) -> tuple[bytes, str]:
     """The Python twin of the ``HTTP_*_SQL`` templates: build the
     envelope bytes + the ``md5:<hex>`` payload digest (over the HTTP
-    BODY, per ISO 28500 §5.9) for one document.  Header order is
-    FIXED (Content-Type, Content-Length, [Location]) — the closed-form
-    head-length arithmetic depends on it."""
+    body AS STORED, per ISO 28500 §5.9) for one document.  Header
+    order is FIXED (Content-Type, [Content-Encoding |
+    Transfer-Encoding], Content-Length?, [Location]) — the closed-form
+    head-length arithmetic for the plain classes depends on it.
+    ``wire_codings=True`` layers the transport reality on top of the
+    charset classes: ``doc_id % 3 == 1`` stores the body gzip
+    content-coded, ``% 3 == 2`` chunked transfer-coded (no
+    Content-Length, per RFC 9112 §6.2), ``% 3 == 0`` identity —
+    orthogonal to the % 5 charset and % 7 status classes, so every
+    combination occurs."""
     s7 = doc_id % 7
     if s7 == 3:
         status, reason = 404, "Not Found"
@@ -241,7 +347,16 @@ def synth_http_response(doc_id: int, url: str, text: str) -> tuple[bytes, str]:
         body, ct = text.encode("utf-8"), "text/html; charset=UTF-8"
     else:
         body, ct = text.encode("utf-8"), "text/html;charset=utf-8"
-    headers = [("Content-Type", ct), ("Content-Length", str(len(body)))]
+    headers = [("Content-Type", ct)]
+    if wire_codings and doc_id % 3 == 1:
+        body = gzip.compress(body, compresslevel=6, mtime=0)
+        headers.append(("Content-Encoding", "gzip"))
+        headers.append(("Content-Length", str(len(body))))
+    elif wire_codings and doc_id % 3 == 2:
+        body = encode_chunked(body)
+        headers.append(("Transfer-Encoding", "chunked"))
+    else:
+        headers.append(("Content-Length", str(len(body))))
     if status == 301:
         headers.append(("Location", url + "/moved"))
     env = encode_http_response(status, reason, headers, body)
@@ -255,6 +370,7 @@ def attach_warc_http(
     url_col: str = "url",
     docs_per_container: int = 8,
     gzip_members: bool = False,
+    wire_codings: bool = False,
 ) -> DataFrame:
     """Containers whose response records carry REAL HTTP envelopes:
     the :func:`attach_warc` grouping (id div k, ascending id within a
@@ -279,7 +395,7 @@ def attach_warc_http(
         pdf = pdf.sort_values(id_col)
         recs = []
         for i, u, t in zip(pdf[id_col], pdf[url_col], pdf[text_col]):
-            env, digest = synth_http_response(int(i), u, t)
+            env, digest = synth_http_response(int(i), u, t, wire_codings)
             recs.append(
                 {
                     "type": "response",
@@ -408,6 +524,11 @@ def http_body_extract(df: DataFrame) -> DataFrame:
                 for rec, env, body in _iter_http_records(bytes(blob)):
                     if env["charset"] not in ("", "utf-8"):
                         continue
+                    try:
+                        body = decode_http_body(env, body)
+                    except ValueError:
+                        continue  # unsupported/malformed coding: audit
+                        # the record via the index row, never guess
                     rows["container_id"].append(int(cid))
                     rows["record_no"].append(rec["record_no"])
                     rows["target_uri"].append(rec["target_uri"])
@@ -471,6 +592,11 @@ def http_charset_transcode(df: DataFrame) -> DataFrame:
                     codec = CHARSET_CODECS.get(env["charset"])
                     if codec is None:
                         continue
+                    try:
+                        body = decode_http_body(env, body)
+                    except ValueError:
+                        continue  # unsupported/malformed coding: audit
+                        # the record via the index row, never guess
                     rows["container_id"].append(int(cid))
                     rows["record_no"].append(rec["record_no"])
                     rows["target_uri"].append(rec["target_uri"])

@@ -139,6 +139,123 @@ class TestHttpMessageBytes:
         assert dig != "md5:" + hashlib.md5(env).hexdigest()
 
 
+class TestWireCodings:
+    """Round 11, second wave: chunked transfer coding + gzip content
+    coding — decoded transport-first, representation-second, charset
+    last (RFC 9112 §7.1 / RFC 9110 §8.4.1)."""
+
+    def test_chunked_roundtrip(self):
+        for body in [b"", b"x", b"a" * 15, b"b" * 16, b"c" * 33,
+                     "é€™".encode("cp1252")]:
+            assert H.decode_chunked(H.encode_chunked(body)) == body
+        # multi-size chunks with an extension parameter
+        framed = b"3;ext=1\r\nabc\r\n2\r\nde\r\n0\r\n\r\n"
+        assert H.decode_chunked(framed) == b"abcde"
+
+    def test_chunked_malformed_raises(self):
+        import pytest as _pt
+
+        for bad in [
+            b"",                               # no size line
+            b"3\r\nab\r\n0\r\n\r\n",           # truncated chunk data
+            b"3\r\nabcXX0\r\n\r\n",            # missing chunk CRLF
+            b"-1\r\n\r\n0\r\n\r\n",            # negative-spelled size
+            b"zz\r\n\r\n0\r\n\r\n",            # non-hex size
+            b"1\r\na\r\n",                     # missing last-chunk
+            b"0\r\n",                          # missing trailer CRLF
+            b"0\r\n\r\nJUNK",                  # bytes after last-chunk
+            b"ffffffffffffffffff\r\n\r\n",     # size line too long
+        ]:
+            with _pt.raises(ValueError):
+                H.decode_chunked(bad)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def test_chunked_total_on_arbitrary_bytes(self, blob):
+        try:
+            out = H.decode_chunked(blob)
+        except ValueError:
+            return
+        assert len(out) <= len(blob)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=120), st.integers(min_value=0,
+                                                max_value=40))
+    def test_chunked_total_on_truncated_valid(self, body, cut):
+        framed = H.encode_chunked(body)
+        prefix = framed[: max(0, len(framed) - cut)]
+        try:
+            out = H.decode_chunked(prefix)
+        except ValueError:
+            return
+        assert out == body  # only the COMPLETE framing may succeed
+
+    def test_decode_order_transfer_then_content(self):
+        import gzip as _gz
+
+        body = "ordér matters €".encode("cp1252")
+        coded = H.encode_chunked(_gz.compress(body, mtime=0))
+        env = {"headers": {"transfer-encoding": "chunked",
+                           "content-encoding": "gzip"}}
+        assert H.decode_http_body(env, coded) == body
+
+    def test_unsupported_codings_raise(self):
+        import pytest as _pt
+
+        for hdrs in [{"transfer-encoding": "gzip"},
+                     {"content-encoding": "br"},
+                     {"content-encoding": "deflate"}]:
+            with _pt.raises(ValueError):
+                H.decode_http_body({"headers": hdrs}, b"x")
+        # identity spellings pass through untouched
+        assert H.decode_http_body(
+            {"headers": {"content-encoding": "identity"}}, b"ok"
+        ) == b"ok"
+        assert H.decode_http_body({"headers": {}}, b"ok") == b"ok"
+
+    def test_plain_synth_unchanged_by_wire_flag(self):
+        """wire_codings=False must produce byte-identical envelopes to
+        the round-11 first wave — the six born entries' outputs pin on
+        this."""
+        for doc_id in range(20):
+            a, da = H.synth_http_response(doc_id, "https://u.org/x", "t x")
+            b, db = H.synth_http_response(
+                doc_id, "https://u.org/x", "t x", wire_codings=False
+            )
+            assert a == b and da == db
+
+    def test_spark_wire_decode_recovers_all_classes(self, spark):
+        """Through chunked/gzip/identity × all charsets × WARC framing:
+        the transcode recovers the decorated text for EVERY doc."""
+        docs = [(i, f"https://w{i % 3}.org/{i}", f"Wire body {i} here.")
+                for i in range(30)]
+        df = spark.createDataFrame(
+            docs, "doc_id: long, url: string, text: string"
+        )
+        got = {
+            r.target_uri: r.text
+            for r in H.http_charset_transcode(
+                H.attach_warc_http(df, wire_codings=True)
+            ).collect()
+        }
+        assert len(got) == 30
+        for i, u, base in docs:
+            want = base + (H.LATIN1_SUFFIX if i % 5 == 1
+                           else H.CP1252_SUFFIX if i % 5 == 2 else "")
+            assert got[u] == want, i
+
+    def test_digest_covers_stored_coded_body(self):
+        """ISO 28500: the payload digest is over the body AS STORED —
+        for a coded body, the coded bytes."""
+        env, dig = H.synth_http_response(
+            7, "https://d.org/7", "stored form", wire_codings=True
+        )  # 7 % 3 == 1 -> gzip content coding
+        p = H.parse_http_response(env)
+        stored = env[p["body_offset"]: p["body_offset"] + p["body_len"]]
+        assert stored[:2] == b"\x1f\x8b"
+        assert dig == "md5:" + hashlib.md5(stored).hexdigest()
+
+
 class TestWarcContentTypeHeader:
     def test_content_type_header_roundtrip(self):
         recs = [
