@@ -3905,6 +3905,28 @@ def _http_redirect_edges(spark, sf):
     return http_redirect_edges(_http_containers(spark, sf))
 
 
+def _http_revisit_resolve(spark, sf):
+    """Server-not-modified revisits (ISO 28500 §6.7.1 — the OTHER
+    revisit profile, round 11 second wave): re-captures arrive as
+    bodiless HTTP 304 responses (the server vouched via the stored
+    ETag; no payload bytes crossed the wire) stored as revisit records
+    with WARC-Profile + WARC-Refers-To + the original's payload
+    digest; keepers store full HTTP 200 envelopes.  The resolver
+    parses the envelope on BOTH record kinds in one fused walk and
+    rehydrates every 304 from the single stored body via the digest
+    window — the warc_revisit_resolve geometry composed with the HTTP
+    layer.  Oracle replays the keeper election + the 200/304 split and
+    hands back the ORIGINAL text for every capture."""
+    from pgferry_spark.sources.httpmsg import (
+        attach_warc_http_revisits,
+        http_revisit_resolve,
+    )
+
+    return http_revisit_resolve(
+        attach_warc_http_revisits(_warc_captures(spark, sf))
+    )
+
+
 def _http_wire_decode(spark, sf):
     """The HTTP wire-coding layer (round 11, second wave): stored
     bodies arrive chunked transfer-coded (RFC 9112 §7.1 — hex-size
@@ -4996,6 +5018,21 @@ def _warc_revisit_oracle() -> str:
     """
 
 
+def _http_revisit_oracle() -> str:
+    """The server-not-modified profile replay: same keeper election,
+    plus the HTTP layer — keepers parsed as 200s, revisits as the
+    bodiless 304 the server sent; text is the ORIGINAL capture text
+    for every row through the digest indirection."""
+    return _warc_captures_cte() + """
+        SELECT capture_id, url AS target_uri,
+               capture_id <> keeper AS is_revisit,
+               CAST(CASE WHEN capture_id <> keeper THEN 304 ELSE 200 END
+                    AS INT) AS status,
+               text
+        FROM k
+    """
+
+
 def _warc_revisit_stats_oracle() -> str:
     return _warc_captures_cte() + """
         SELECT CAST(count(*) AS BIGINT) AS n_captures,
@@ -5499,6 +5536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_redirect_edges": _http_redirect_edges,
         "cdx_zipnum_index": _cdx_zipnum_index,
         "http_wire_decode": _http_wire_decode,
+        "http_revisit_resolve": _http_revisit_resolve,
         # --- stalest oracle-backed entries (r5/r6-green), rotated
         # into the r11 window per the COVERAGE.md ledger
         "dsir_weights": _dsir_weights,
@@ -10208,6 +10246,7 @@ def oracle_sql() -> dict[str, str]:
         # the wire codings are transparent to the DECODED text, so the
         # transcode closed form is the oracle verbatim
         "http_wire_decode": _http_transcode_oracle(),
+        "http_revisit_resolve": _http_revisit_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),
         # round 10: gzip members — closed-form fields for the index

@@ -238,6 +238,7 @@ HEADLINE = [
     "http_redirect_edges",
     "cdx_zipnum_index",
     "http_wire_decode",
+    "http_revisit_resolve",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

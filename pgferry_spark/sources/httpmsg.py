@@ -607,6 +607,179 @@ def http_charset_transcode(df: DataFrame) -> DataFrame:
     return df.mapInPandas(transcode, schema=_TRANSCODE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# server-not-modified revisits (ISO 28500 §6.7.1) — the OTHER revisit
+# profile: the crawler re-fetches with a conditional request
+# (If-None-Match on the stored ETag), the server answers 304 Not
+# Modified with NO body, and the archive stores a revisit record whose
+# payload is the 304 HTTP envelope itself (status line + ETag, zero
+# body) plus WARC-Refers-To / WARC-Payload-Digest pointing at the
+# original capture.  Complements the identical-payload-digest profile
+# (sources/warc.py attach_warc_revisits): there the crawler
+# re-downloaded and deduped on its own digest; here the SERVER vouched
+# and no payload bytes ever crossed the wire — the cheapest capture a
+# polite crawl makes.
+# ---------------------------------------------------------------------------
+
+PROFILE_NOT_MODIFIED = (
+    "http://netpreserve.org/warc/1.0/revisit/server-not-modified"
+)
+
+
+def attach_warc_http_revisits(
+    df: DataFrame,
+    id_col: str = "capture_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    docs_per_container: int = 8,
+) -> DataFrame:
+    """Containers mixing full HTTP 200 captures with server-not-modified
+    revisits: per payload digest the FIRST capture stores a complete
+    ``application/http`` 200 response (utf-8 body, ETag = the body
+    md5 — what a later conditional request validates against); every
+    later identical capture stores a revisit record whose payload is
+    the bodiless 304 envelope, with WARC-Profile, WARC-Refers-To and
+    the original's WARC-Payload-Digest.  Same keeper-election shape as
+    :func:`~pgferry_spark.sources.warc.attach_warc_revisits`: one
+    map-side-combinable digest aggregate + a slim join, then the
+    per-container applyInPandas build."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType, LongType
+
+    from .warc import encode_warc
+
+    schema = StructType(
+        [
+            StructField("container_id", LongType(), False),
+            StructField("container", BinaryType(), False),
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col), F.col(url_col).alias("__url"),
+        F.col(text_col).alias("__text"),
+    ).withColumn("__dig", F.md5(F.col("__text")))
+    keepers = keyed.groupBy("__dig").agg(F.min(id_col).alias("__keeper"))
+    marked = keyed.join(keepers, "__dig")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        recs = []
+        for cid, url, text, dig, keeper in zip(
+            pdf[id_col], pdf["__url"], pdf["__text"], pdf["__dig"],
+            pdf["__keeper"],
+        ):
+            cid, keeper = int(cid), int(keeper)
+            if cid == keeper:
+                body = text.encode("utf-8")
+                env = encode_http_response(
+                    200,
+                    "OK",
+                    [
+                        ("Content-Type", "text/html; charset=utf-8"),
+                        ("Content-Length", str(len(body))),
+                        ("ETag", f'"{dig}"'),
+                    ],
+                    body,
+                )
+                recs.append(
+                    {
+                        "type": "response",
+                        "record_id": f"urn:uuid:{cid}",
+                        "uri": url,
+                        "payload": env,
+                        "content_type": HTTP_MSGTYPE_RESPONSE,
+                        "payload_digest": f"md5:{dig}",
+                    }
+                )
+            else:
+                env = encode_http_response(
+                    304, "Not Modified", [("ETag", f'"{dig}"')], b""
+                )
+                recs.append(
+                    {
+                        "type": "revisit",
+                        "record_id": f"urn:uuid:{cid}",
+                        "uri": url,
+                        "payload": env,
+                        "content_type": HTTP_MSGTYPE_RESPONSE,
+                        "refers_to": f"urn:uuid:{keeper}",
+                        "payload_digest": f"md5:{dig}",
+                        "profile": PROFILE_NOT_MODIFIED,
+                    }
+                )
+        return pd.DataFrame(
+            {
+                "container_id": [int(pdf["__cid"].iloc[0])],
+                "container": [encode_warc(recs)],
+            }
+        )
+
+    return (
+        marked.withColumn(
+            "__cid", F.expr(f"{id_col} div {docs_per_container}")
+        )
+        .groupBy("__cid")
+        .applyInPandas(build, schema=schema)
+    )
+
+
+_HTTP_REVISIT_SCHEMA = StructType(
+    [
+        StructField("capture_id", LongType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("is_revisit", BooleanType(), False),
+        StructField("status", IntegerType(), False),
+        StructField("digest", StringType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def http_revisit_resolve(df: DataFrame) -> DataFrame:
+    """Rehydrate server-not-modified revisits: one fused walk emits
+    keeper rows WITH their decoded body + digest and revisit rows with
+    the 304 status and the digest they point at; a digest-keyed window
+    max hands the single stored body to every revisit — the
+    warc_revisit_resolve geometry with the HTTP envelope parsed on
+    both record kinds (a consumer sees the 304 exactly as the server
+    sent it).  Containers are read ONCE and never shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = fan_out(df, "container_id")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in _HTTP_REVISIT_SCHEMA
+            }
+            for blob in pdf["container"]:
+                for rec, env, body in _iter_http_records(bytes(blob)):
+                    cap = int(rec["record_id"].rsplit(":", 1)[-1])
+                    is_rev = rec["warc_type"] == "revisit"
+                    rows["capture_id"].append(cap)
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["is_revisit"].append(is_rev)
+                    rows["status"].append(env["status"])
+                    rows["digest"].append(
+                        rec["payload_digest"].split(":", 1)[-1]
+                    )
+                    rows["text"].append(
+                        None if is_rev else body.decode("utf-8")
+                    )
+            yield pd.DataFrame(rows)
+
+    scanned = base.mapInPandas(scan, schema=_HTTP_REVISIT_SCHEMA)
+    ktext = F.max("text").over(Window.partitionBy("digest"))
+    return scanned.select(
+        "capture_id",
+        "target_uri",
+        "is_revisit",
+        "status",
+        F.coalesce("text", ktext).alias("text"),
+    )
+
+
 _REDIRECT_SCHEMA = StructType(
     [
         StructField("target_uri", StringType(), True),

@@ -108,6 +108,8 @@ def encode_warc(records: list[dict]) -> bytes:
             extra += f"WARC-Refers-To: <{r['refers_to']}>\r\n"
         if r.get("payload_digest"):
             extra += f"WARC-Payload-Digest: {r['payload_digest']}\r\n"
+        if r.get("profile"):
+            extra += f"WARC-Profile: {r['profile']}\r\n"
         head = (
             "WARC/1.0\r\n"
             f"WARC-Type: {r['type']}\r\n"
@@ -170,6 +172,7 @@ def parse_warc_index(container: bytes) -> list[dict]:
                 "refers_to": headers.get("warc-refers-to", "").strip("<>"),
                 "payload_digest": headers.get("warc-payload-digest", ""),
                 "content_type": headers.get("content-type", ""),
+                "profile": headers.get("warc-profile", ""),
             }
         )
         pos = rec_end

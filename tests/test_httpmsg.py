@@ -256,6 +256,57 @@ class TestWireCodings:
         assert dig == "md5:" + hashlib.md5(stored).hexdigest()
 
 
+class TestServerNotModifiedRevisits:
+    """Round 11, second wave: ISO 28500 §6.7.1 — revisits based on a
+    conditional re-fetch the server answered 304 Not Modified."""
+
+    def _caps(self, spark):
+        # docs 0-11; docs 0-3 re-captured identically at id+100
+        rows = [(i, f"https://r.org/{i}", f"Rev body {i}.")
+                for i in range(12)]
+        rows += [(100 + i, f"https://r.org/{i}", f"Rev body {i}.")
+                 for i in range(4)]
+        return spark.createDataFrame(
+            rows, "capture_id: long, url: string, text: string"
+        )
+
+    def test_record_framing(self, spark):
+        """Revisit records carry WARC-Profile, Refers-To, the
+        ORIGINAL's payload digest, and a bodiless 304 envelope; keepers
+        carry full 200s with the ETag the conditional validated."""
+        caps = H.attach_warc_http_revisits(self._caps(spark))
+        recs = []
+        for r in caps.collect():
+            recs += W.parse_warc_index(bytes(r.container))
+        by_id = {int(r["record_id"].rsplit(":", 1)[-1]): r for r in recs}
+        assert len(by_id) == 16
+        for i in range(4):
+            rev = by_id[100 + i]
+            assert rev["warc_type"] == "revisit"
+            assert rev["profile"] == H.PROFILE_NOT_MODIFIED
+            assert rev["refers_to"] == f"urn:uuid:{i}"
+            keeper = by_id[i]
+            assert rev["payload_digest"] == keeper["payload_digest"]
+        # envelope statuses parse as the server sent them
+        env_rev = H.parse_http_response(
+            b"HTTP/1.1 304 Not Modified\r\nETag: \"x\"\r\n\r\n"
+        )
+        assert env_rev["status"] == 304 and env_rev["body_len"] == 0
+
+    def test_resolve_rehydrates_and_reports_status(self, spark):
+        got = {
+            r.capture_id: (r.is_revisit, r.status, r.text)
+            for r in H.http_revisit_resolve(
+                H.attach_warc_http_revisits(self._caps(spark))
+            ).collect()
+        }
+        assert len(got) == 16
+        for i in range(12):
+            assert got[i] == (False, 200, f"Rev body {i}.")
+        for i in range(4):
+            assert got[100 + i] == (True, 304, f"Rev body {i}.")
+
+
 class TestWarcContentTypeHeader:
     def test_content_type_header_roundtrip(self):
         recs = [
