@@ -3905,6 +3905,26 @@ def _http_redirect_edges(spark, sf):
     return http_redirect_edges(_http_containers(spark, sf))
 
 
+def _http_request_pairs(spark, sf):
+    """WARC request records + Concurrent-To pairing (round 11, second
+    wave — the last ISO 28500 record type): the crawler's stored GET
+    (absolute-form target, bodiless) sits adjacent to its response and
+    links via WARC-Concurrent-To (§5.7); the pairing is a
+    per-container dict lookup inside the SAME fused walk, so nothing
+    shuffles but the paired audit rows (what was asked for vs the
+    response verdict).  Oracle: method/target/status in closed form
+    from the shared templates; a split pair is dropped, never
+    mispaired."""
+    from pgferry_spark.sources.httpmsg import (
+        attach_warc_http,
+        http_request_pairs,
+    )
+
+    return http_request_pairs(
+        attach_warc_http(_docs_with_urls(spark, sf), with_requests=True)
+    )
+
+
 def _http_revisit_resolve(spark, sf):
     """Server-not-modified revisits (ISO 28500 §6.7.1 — the OTHER
     revisit profile, round 11 second wave): re-captures arrive as
@@ -4618,6 +4638,14 @@ def _http_index_oracle() -> str:
                body_len,
                false AS truncated,
                true AS digest_ok
+        FROM hw
+    """
+
+
+def _http_request_pairs_oracle() -> str:
+    return _http_cte() + """
+        SELECT container_id, url AS target_uri,
+               'GET' AS method, url AS req_target, status
         FROM hw
     """
 
@@ -5537,6 +5565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_zipnum_index": _cdx_zipnum_index,
         "http_wire_decode": _http_wire_decode,
         "http_revisit_resolve": _http_revisit_resolve,
+        "http_request_pairs": _http_request_pairs,
         # --- stalest oracle-backed entries (r5/r6-green), rotated
         # into the r11 window per the COVERAGE.md ledger
         "dsir_weights": _dsir_weights,
@@ -10247,6 +10276,7 @@ def oracle_sql() -> dict[str, str]:
         # transcode closed form is the oracle verbatim
         "http_wire_decode": _http_transcode_oracle(),
         "http_revisit_resolve": _http_revisit_oracle(),
+        "http_request_pairs": _http_request_pairs_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),
         # round 10: gzip members — closed-form fields for the index

@@ -239,6 +239,7 @@ HEADLINE = [
     "cdx_zipnum_index",
     "http_wire_decode",
     "http_revisit_resolve",
+    "http_request_pairs",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -76,6 +76,7 @@ from ..utils import fan_out
 from .warc import _iter_records_with_payloads
 
 HTTP_MSGTYPE_RESPONSE = "application/http; msgtype=response"
+HTTP_MSGTYPE_REQUEST = "application/http; msgtype=request"
 # header-block bound mirrors parse_warc_index's: checked BEFORE slicing
 _MAX_HEAD = 64 * 1024
 # allocation bound for one decoded body (chunked reassembly / gzip
@@ -164,6 +165,47 @@ def parse_http_response(payload: bytes) -> dict:
         "body_offset": body_offset,
         "body_len": body_len,
         "truncated": truncated,
+    }
+
+
+def encode_http_request(
+    method: str, target: str, headers: list[tuple[str, str]]
+) -> bytes:
+    """One bodiless HTTP/1.1 request message (the GET a crawler sends;
+    absolute-form target, so no Host header is required)."""
+    head = f"{method} {target} HTTP/1.1\r\n"
+    for name, value in headers:
+        head += f"{name}: {value}\r\n"
+    head += "\r\n"
+    return head.encode("latin-1")
+
+
+_METHOD_RE = re.compile(rb"^[A-Z]{3,8}$")
+
+
+def parse_http_request(payload: bytes) -> dict:
+    """Parse one HTTP request message: ``method, target, headers``.
+    Same bounds discipline as :func:`parse_http_response`; ValueError
+    on malformed framing."""
+    head_end = payload.find(b"\r\n\r\n")
+    if head_end < 0 or head_end > _MAX_HEAD:
+        raise ValueError("unterminated/oversized HTTP header block")
+    lines = payload[:head_end].split(b"\r\n")
+    parts = lines[0].split(b" ")
+    if len(parts) != 3 or not _METHOD_RE.match(parts[0]) or not parts[
+        2
+    ].startswith(b"HTTP/1."):
+        raise ValueError("bad HTTP request line")
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        name, _, value = line.partition(b":")
+        headers[name.decode("latin-1").strip().lower()] = value.decode(
+            "latin-1"
+        ).strip()
+    return {
+        "method": parts[0].decode("ascii"),
+        "target": parts[1].decode("latin-1"),
+        "headers": headers,
     }
 
 
@@ -363,6 +405,9 @@ def synth_http_response(
     return env, "md5:" + hashlib.md5(body).hexdigest()
 
 
+REQUEST_UA = "pgferry-spark-crawl/1.0"
+
+
 def attach_warc_http(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -371,6 +416,7 @@ def attach_warc_http(
     docs_per_container: int = 8,
     gzip_members: bool = False,
     wire_codings: bool = False,
+    with_requests: bool = False,
 ) -> DataFrame:
     """Containers whose response records carry REAL HTTP envelopes:
     the :func:`attach_warc` grouping (id div k, ascending id within a
@@ -396,6 +442,22 @@ def attach_warc_http(
         recs = []
         for i, u, t in zip(pdf[id_col], pdf[url_col], pdf[text_col]):
             env, digest = synth_http_response(int(i), u, t, wire_codings)
+            if with_requests:
+                # real captures store the crawler's request ADJACENT
+                # to its response, linked by WARC-Concurrent-To
+                # (ISO 28500 §5.7); absolute-form target, bodiless
+                recs.append(
+                    {
+                        "type": "request",
+                        "record_id": f"urn:uuid:req-{int(i)}",
+                        "uri": u,
+                        "payload": encode_http_request(
+                            "GET", u, [("User-Agent", REQUEST_UA)]
+                        ),
+                        "content_type": HTTP_MSGTYPE_REQUEST,
+                        "concurrent_to": f"urn:uuid:{int(i)}",
+                    }
+                )
             recs.append(
                 {
                     "type": "response",
@@ -448,11 +510,15 @@ _HTTP_INDEX_SCHEMA = StructType(
 
 def _iter_http_records(blob: bytes) -> Iterator[tuple[dict, dict, bytes]]:
     """Per response-with-HTTP-envelope record: (warc_rec, envelope,
-    body bytes).  Non-HTTP records (warcinfo, revisit, bare-payload
-    legacy captures) are skipped — the WARC-level Content-Type is the
-    dispatch, exactly how a real reader decides to parse."""
+    body bytes).  Non-HTTP records (warcinfo, bare-payload legacy
+    captures) and ``msgtype=request`` records are skipped — the
+    WARC-level Content-Type is the dispatch, exactly how a real
+    reader decides to parse."""
     for rec, payload in _iter_records_with_payloads(blob):
-        if not rec.get("content_type", "").startswith("application/http"):
+        ct = rec.get("content_type", "")
+        if not ct.startswith("application/http"):
+            continue
+        if "msgtype=request" in ct:
             continue
         env = parse_http_response(payload)
         body = payload[
@@ -787,6 +853,64 @@ _REDIRECT_SCHEMA = StructType(
         StructField("location", StringType(), True),
     ]
 )
+
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("container_id", LongType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("method", StringType(), True),
+        StructField("req_target", StringType(), True),
+        StructField("status", IntegerType(), False),
+    ]
+)
+
+
+def http_request_pairs(df: DataFrame) -> DataFrame:
+    """Pair each stored crawler REQUEST with its response via
+    WARC-Concurrent-To (ISO 28500 §5.7) — entirely WITHIN the
+    container walk: real captures store the pair adjacent in the same
+    container, so the join is a per-container dict lookup and NOTHING
+    shuffles but the paired rows.  Emits (container_id, target_uri,
+    method, req_target, status) — the request-side audit trail
+    (what was asked for, absolute-form) against the response-side
+    verdict.  Requests whose response record is missing from the
+    container (a split pair — transfer truncation) are dropped, never
+    mispaired."""
+    df = fan_out(df, "container_id")
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _PAIR_SCHEMA}
+            for cid, blob in zip(pdf["container_id"], pdf["container"]):
+                reqs: list[tuple[dict, dict]] = []
+                status_by_id: dict[str, int] = {}
+                for rec, payload in _iter_records_with_payloads(
+                    bytes(blob)
+                ):
+                    ct = rec.get("content_type", "")
+                    if not ct.startswith("application/http"):
+                        continue
+                    if "msgtype=request" in ct:
+                        reqs.append(
+                            (rec, parse_http_request(payload))
+                        )
+                    else:
+                        status_by_id[rec["record_id"]] = (
+                            parse_http_response(payload)["status"]
+                        )
+                for rec, req in reqs:
+                    status = status_by_id.get(rec["concurrent_to"])
+                    if status is None:
+                        continue  # split pair: drop, never mispair
+                    rows["container_id"].append(int(cid))
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["method"].append(req["method"])
+                    rows["req_target"].append(req["target"])
+                    rows["status"].append(status)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(pairs, schema=_PAIR_SCHEMA)
 
 
 def http_redirect_edges(df: DataFrame) -> DataFrame:

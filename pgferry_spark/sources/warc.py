@@ -104,6 +104,8 @@ def encode_warc(records: list[dict]) -> bytes:
         extra = ""
         if r.get("content_type"):
             extra += f"Content-Type: {r['content_type']}\r\n"
+        if r.get("concurrent_to"):
+            extra += f"WARC-Concurrent-To: <{r['concurrent_to']}>\r\n"
         if r.get("refers_to"):
             extra += f"WARC-Refers-To: <{r['refers_to']}>\r\n"
         if r.get("payload_digest"):
@@ -173,6 +175,9 @@ def parse_warc_index(container: bytes) -> list[dict]:
                 "payload_digest": headers.get("warc-payload-digest", ""),
                 "content_type": headers.get("content-type", ""),
                 "profile": headers.get("warc-profile", ""),
+                "concurrent_to": headers.get(
+                    "warc-concurrent-to", ""
+                ).strip("<>"),
             }
         )
         pos = rec_end

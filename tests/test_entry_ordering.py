@@ -3,9 +3,9 @@
 The round driver oracle-checks only the FIRST 50 entries of
 __spark_entry__.queries() (CORRECTNESS_r01..r10 each contain exactly 50
 keys equal to dict positions 1-50).  Round-11 rotation (VERDICT r10
-Next #6): the window head is this round's 8 births (the HTTP envelope
+Next #6): the window head is this round's 9 births (the HTTP envelope
 layer + the zipnum secondary index — driver-checked at birth), then
-the 42 STALEST oracle-backed entries in tools/plan_rotation.py order —
+the 41 STALEST oracle-backed entries in tools/plan_rotation.py order —
 the r5-green block the r10 births displaced (dsir_weights through
 sketch_validation_lineitem) followed by the leading r6-green entries
 (the TPC-H shapes).  No oracle-backed entry goes >5 rounds without a
@@ -37,7 +37,7 @@ def entry_mod():
 NEW_R11 = [
     "http_response_index", "http_status_filter", "http_body_extract",
     "http_charset_transcode", "http_redirect_edges", "cdx_zipnum_index",
-    "http_wire_decode", "http_revisit_resolve",
+    "http_wire_decode", "http_revisit_resolve", "http_request_pairs",
 ]
 
 # Remaining window: the stalest oracle-backed entries, planner-stable
@@ -60,12 +60,11 @@ ROTATED_STALEST = [
     "q8_market_share", "q9_product_profit",
     "q13_order_count_distribution", "q15_top_supplier",
     "q18_large_volume_customers", "top_order_per_customer",
-    "big_order_customers",
 ]
 
 # Positions 51+: next-stalest, first in line for the r12 rotation.
 NEXT_IN_LINE = [
-    "cheapest_supplier_per_part",
+    "big_order_customers", "cheapest_supplier_per_part",
     "customer_set_ops", "sql_exists_subquery", "rollup_pricing",
     "distinct_orders_per_flag",
     "events_hourly", "events_json_stats", "events_pivot",
@@ -74,7 +73,6 @@ NEXT_IN_LINE = [
     "orphan_anti_join", "orphan_set_null", "transform_strings",
     "transform_bool", "transform_set_split", "transform_bits",
     "transform_time_interval", "transform_year_money",
-    "transform_zero_date",
 ]
 
 
@@ -101,18 +99,18 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 276
+N_QUERIES = 277
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:8] == NEW_R11
-    assert names[8:50] == ROTATED_STALEST
+    assert names[:9] == NEW_R11
+    assert names[9:50] == ROTATED_STALEST
     assert names[50:74] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 8 + 42 == 50: no slot wasted
+    # 9 + 41 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEW_R11) | set(ROTATED_STALEST)
 

@@ -256,6 +256,65 @@ class TestWireCodings:
         assert dig == "md5:" + hashlib.md5(stored).hexdigest()
 
 
+class TestRequestRecords:
+    """Round 11, second wave: stored crawler requests paired with
+    their responses via WARC-Concurrent-To (ISO 28500 §5.7)."""
+
+    def test_request_parse_roundtrip(self):
+        env = H.encode_http_request(
+            "GET", "https://q.org/a?b=1", [("User-Agent", H.REQUEST_UA)]
+        )
+        p = H.parse_http_request(env)
+        assert p["method"] == "GET"
+        assert p["target"] == "https://q.org/a?b=1"
+        assert p["headers"]["user-agent"] == H.REQUEST_UA
+
+    def test_request_malformed_raises(self):
+        for bad in [b"", b"GET /\r\n\r\n", b"get / HTTP/1.1\r\n\r\n",
+                    b"GET / HTTP/2\r\n\r\n", b"GET / HTTP/1.1\r\nX: y"]:
+            with pytest.raises(ValueError):
+                H.parse_http_request(bad)
+
+    def test_pairs_within_container_and_split_pair_dropped(self, spark):
+        df = _docs_df(spark, 20)
+        paired = H.http_request_pairs(
+            H.attach_warc_http(df, with_requests=True)
+        ).collect()
+        assert len(paired) == 20
+        for r in paired:
+            assert r.method == "GET"
+            assert r.req_target == r.target_uri
+            i = int(r.target_uri.rsplit("/", 1)[-1])
+            want = 404 if i % 7 == 3 else 301 if i % 7 == 5 else 200
+            assert r.status == want
+        # a container with a request whose response is absent yields
+        # nothing (drop, never mispair)
+        orphan = W.encode_warc([{
+            "type": "request", "record_id": "urn:uuid:req-9",
+            "uri": "https://o.org/9",
+            "payload": H.encode_http_request("GET", "https://o.org/9", []),
+            "content_type": H.HTTP_MSGTYPE_REQUEST,
+            "concurrent_to": "urn:uuid:9",
+        }])
+        one = spark.createDataFrame(
+            [(0, bytearray(orphan))], "container_id: long, container: binary"
+        )
+        assert H.http_request_pairs(one).count() == 0
+
+    def test_request_records_invisible_to_response_operators(self, spark):
+        """The response-side operators must skip msgtype=request
+        records — same outputs with and without stored requests."""
+        df = _docs_df(spark, 12)
+        plain = {(r.target_uri, r.status, r.body_len)
+                 for r in H.http_response_index(
+                     H.attach_warc_http(df)).collect()}
+        withreq = {(r.target_uri, r.status, r.body_len)
+                   for r in H.http_response_index(
+                       H.attach_warc_http(df, with_requests=True)
+                   ).collect()}
+        assert plain == withreq
+
+
 class TestServerNotModifiedRevisits:
     """Round 11, second wave: ISO 28500 §6.7.1 — revisits based on a
     conditional re-fetch the server answered 304 Not Modified."""
