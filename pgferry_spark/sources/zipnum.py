@@ -184,6 +184,85 @@ def cluster_idx_rows(packed: DataFrame) -> DataFrame:
     )
 
 
+def cdx_zipnum_sharded(
+    cdx: DataFrame, n_shards: int, lines_per_block: int = 8
+) -> DataFrame:
+    """The 100 TB blocking path SCALE.md documents: range-partition
+    the CDX on the SURT order into ``n_shards`` shards, sort within
+    each, and block every-N WITHIN the shard — no global window.  The
+    global rank is recovered in two passes: per-shard line counts
+    (a shard-count-sized aggregate, broadcast back as offsets) plus
+    the within-shard rank.  Returns the same block table as
+    :func:`cdx_zipnum_cluster` plus a ``shard`` column; within every
+    shard the blocking arithmetic is identical to the global
+    formulation (tests/test_warc.py::TestZipnum pins the equivalence),
+    and cluster.idx stays config-scale (blocks = lines/N).
+
+    Boundary note: shard boundaries come from Spark's range-partition
+    SAMPLING, so shard membership is not oracle-replayable — the
+    oracle-backed entry rides the global formulation; this function is
+    the posture proof that the same per-block arithmetic distributes.
+    A lookup consults (shard, first/last key) exactly like the
+    single-shard path — blocks within a shard tile it, shards tile the
+    key space."""
+    from pyspark.sql.types import IntegerType
+
+    rank_schema = StructType(
+        [
+            StructField("surt", StringType(), True),
+            StructField("cdx_line", StringType(), True),
+            StructField("shard", IntegerType(), False),
+            StructField("__srn", LongType(), False),
+        ]
+    )
+
+    def rank(batches):
+        # Arrow batches preserve the partition's sorted row order, so a
+        # running counter IS the within-shard rank — zero extra shuffle
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rn = 0
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "surt": pdf["surt"],
+                    "cdx_line": pdf["cdx_line"],
+                    "shard": pid,
+                    "__srn": range(rn, rn + len(pdf)),
+                }
+            )
+            rn += len(pdf)
+            yield out
+
+    lines = (
+        cdx.withColumn("cdx_line", F.expr(CDX_LINE_SQL))
+        .repartitionByRange(n_shards, *_CDX_ORDER)
+        .sortWithinPartitions(*_CDX_ORDER)
+        .select("surt", "cdx_line")
+        .mapInPandas(rank, schema=rank_schema)
+        .withColumn(
+            "block_no", F.expr(f"__srn div {int(lines_per_block)}")
+        )
+    )
+    return lines.groupBy("shard", "block_no").agg(
+        F.min("surt").alias("first_surt"),
+        F.max("surt").alias("last_surt"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__srn", "cdx_line"))
+                    ),
+                    lambda x: x["cdx_line"],
+                ),
+                "\n",
+            )
+        ).alias("lines_md5"),
+    )
+
+
 def zipnum_lookup(
     shard: bytes, cluster: list[dict], key: str
 ) -> tuple[list[str], int]:

@@ -934,6 +934,49 @@ class TestZipnum:
             ).hexdigest() == c.lines_md5
             assert lines == sorted(lines)  # rank order within block
 
+    def test_sharded_blocking_invariants_and_global_equivalence(
+        self, spark
+    ):
+        """The 100 TB path: range-partitioned shards, within-shard
+        two-pass rank, per-shard every-N blocking.  With one shard the
+        output must equal the global formulation exactly; with many,
+        lines are conserved, blocks are full except each shard's last,
+        and shard key ranges tile the SURT order."""
+        from pgferry_spark.sources.zipnum import (
+            cdx_zipnum_cluster,
+            cdx_zipnum_sharded,
+        )
+
+        cdx = self._cdx(spark, n=64)
+        # one shard == the global blocking, digest-for-digest
+        one = {(r.block_no, r.first_surt, r.last_surt, r.n_lines,
+                r.lines_md5)
+               for r in cdx_zipnum_sharded(cdx, 1).drop("shard").collect()}
+        glob = {(r.block_no, r.first_surt, r.last_surt, r.n_lines,
+                 r.lines_md5)
+                for r in cdx_zipnum_cluster(cdx).collect()}
+        assert one == glob
+        # four shards: conservation + within-shard fullness + tiling
+        rows = cdx_zipnum_sharded(cdx, 4).collect()
+        assert sum(r.n_lines for r in rows) == 64
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert len(by_shard) > 1  # genuinely distributed
+        prev_last = None
+        for s in sorted(by_shard):
+            blocks = sorted(by_shard[s], key=lambda r: r.block_no)
+            assert [b.block_no for b in blocks] == list(
+                range(len(blocks))
+            )
+            for b in blocks[:-1]:
+                assert b.n_lines == 8  # only the shard tail is short
+            for a, b in zip(blocks, blocks[1:]):
+                assert a.last_surt <= b.first_surt
+            if prev_last is not None:
+                assert prev_last <= blocks[0].first_surt
+            prev_last = blocks[-1].last_surt
+
     def test_lookup_inflates_exactly_one_block(self, spark):
         """The pruning proof: concatenate the packed blocks into the
         shard, binary-search cluster.idx, inflate ONE member — the
