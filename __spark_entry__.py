@@ -3925,6 +3925,98 @@ def _http_request_pairs(spark, sf):
     )
 
 
+def _cc_ingest_funnel(spark, sf):
+    """The end-to-end CommonCrawl ingest funnel (round 11, second
+    wave) — the composed proof that the HTTP layer feeds the curation
+    stack: the CAPTURE stream (with deterministic re-captures) packs
+    into real HTTP-enveloped containers, then one row per stage counts
+    the survivors of each gate a production ingest runs in order —
+    captured → envelope_ok (digest verified, not truncated) →
+    status_200 (the keep-gate) → transcoded (declared charset on the
+    codec allowlist) → unique_payload (exact dedup on the DECODED
+    text digest — the re-captures drop here) → quality_len (>= 200
+    decoded chars).  Every stage is one aggregate over index/transcode
+    rows; container bytes are read once per walk and never shuffle.
+    The oracle replays all six counts in closed form."""
+    from pgferry_spark.sources.httpmsg import (
+        attach_warc_http,
+        http_charset_transcode,
+        http_response_index,
+    )
+
+    caps = _warc_captures(spark, sf)
+    containers = attach_warc_http(caps, id_col="capture_id")
+    idx = http_response_index(containers)
+    tr = http_charset_transcode(containers)
+
+    def stage(df, no, name):
+        return df.agg(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    ok = idx.filter(F.col("digest_ok") & ~F.col("truncated"))
+    k200 = tr.filter(F.col("status") == 200)
+    uniq = k200.select(F.md5("text").alias("__d"), F.length("text").alias("__L")).dropDuplicates(["__d"])
+    return (
+        stage(idx, 0, "captured")
+        .unionAll(stage(ok, 1, "envelope_ok"))
+        .unionAll(stage(idx.filter("status = 200"), 2, "status_200"))
+        .unionAll(stage(k200, 3, "transcoded"))
+        .unionAll(stage(uniq, 4, "unique_payload"))
+        .unionAll(stage(uniq.filter(F.col("__L") >= 200), 5, "quality_len"))
+    )
+
+
+def _cc_funnel_oracle() -> str:
+    """All six stage counts in closed form over the capture stream +
+    the shared HTTP templates (status/charset/body keyed on
+    capture_id).  unique_payload dedups on the DECODED body text, so
+    re-captures (identical text, same %5 class by construction of the
+    +10^7 offset? NO — the offset shifts the classes) — the decorated
+    body of a re-capture can differ from its original's, which is
+    exactly what the Spark side computes too: dedup keys on the
+    decoded text, not the source document."""
+    from pgferry_spark.sources.httpmsg import (
+        HTTP_BODY_TEXT_SQL,
+        HTTP_CHARSET_SQL,
+        HTTP_STATUS_SQL,
+    )
+
+    status = HTTP_STATUS_SQL.format(id="capture_id")
+    body = HTTP_BODY_TEXT_SQL.format(id="capture_id", text="text")
+    charset = HTTP_CHARSET_SQL.format(id="capture_id")
+    return _warc_captures_cte() + f"""
+        , hf AS (SELECT capture_id,
+                   CAST({status} AS INT) AS status,
+                   {charset} AS charset,
+                   {body} AS body_text
+                 FROM caps),
+        k200 AS (SELECT * FROM hf WHERE status = 200),
+        uq AS (SELECT md5(body_text) AS d,
+                      min(length(body_text)) AS L
+               FROM k200 GROUP BY 1)
+        SELECT CAST(0 AS INT) AS stage_no, 'captured' AS stage,
+               CAST(count(*) AS BIGINT) AS n FROM hf
+        UNION ALL
+        SELECT CAST(1 AS INT), 'envelope_ok',
+               CAST(count(*) AS BIGINT) FROM hf
+        UNION ALL
+        SELECT CAST(2 AS INT), 'status_200',
+               CAST(count(*) AS BIGINT) FROM k200
+        UNION ALL
+        SELECT CAST(3 AS INT), 'transcoded',
+               CAST(count(*) AS BIGINT) FROM k200
+        UNION ALL
+        SELECT CAST(4 AS INT), 'unique_payload',
+               CAST(count(*) AS BIGINT) FROM uq
+        UNION ALL
+        SELECT CAST(5 AS INT), 'quality_len',
+               CAST(count(*) AS BIGINT) FROM uq WHERE L >= 200
+    """
+
+
 def _http_revisit_resolve(spark, sf):
     """Server-not-modified revisits (ISO 28500 §6.7.1 — the OTHER
     revisit profile, round 11 second wave): re-captures arrive as
@@ -4671,8 +4763,8 @@ def _http_transcode_oracle() -> str:
     """The decorated text in closed form — what a charset-honoring
     reader recovers from the latin-1/cp1252 bodies."""
     return _http_cte() + """
-        SELECT container_id, record_no, url AS target_uri, charset,
-               body_text AS text
+        SELECT container_id, record_no, url AS target_uri, status,
+               charset, body_text AS text
         FROM hw
     """
 
@@ -5566,6 +5658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_wire_decode": _http_wire_decode,
         "http_revisit_resolve": _http_revisit_resolve,
         "http_request_pairs": _http_request_pairs,
+        "cc_ingest_funnel": _cc_ingest_funnel,
         # --- stalest oracle-backed entries (r5/r6-green), rotated
         # into the r11 window per the COVERAGE.md ledger
         "dsir_weights": _dsir_weights,
@@ -10277,6 +10370,7 @@ def oracle_sql() -> dict[str, str]:
         "http_wire_decode": _http_transcode_oracle(),
         "http_revisit_resolve": _http_revisit_oracle(),
         "http_request_pairs": _http_request_pairs_oracle(),
+        "cc_ingest_funnel": _cc_funnel_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),
         # round 10: gzip members — closed-form fields for the index

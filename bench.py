@@ -240,6 +240,7 @@ HEADLINE = [
     "http_wire_decode",
     "http_revisit_resolve",
     "http_request_pairs",
+    "cc_ingest_funnel",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -627,6 +627,7 @@ _TRANSCODE_SCHEMA = StructType(
         StructField("container_id", LongType(), False),
         StructField("record_no", IntegerType(), False),
         StructField("target_uri", StringType(), True),
+        StructField("status", IntegerType(), False),
         StructField("charset", StringType(), True),
         StructField("text", StringType(), True),
     ]
@@ -666,6 +667,7 @@ def http_charset_transcode(df: DataFrame) -> DataFrame:
                     rows["container_id"].append(int(cid))
                     rows["record_no"].append(rec["record_no"])
                     rows["target_uri"].append(rec["target_uri"])
+                    rows["status"].append(env["status"])
                     rows["charset"].append(env["charset"])
                     rows["text"].append(body.decode(codec, "replace"))
             yield pd.DataFrame(rows)
