@@ -3944,8 +3944,16 @@ def _cc_ingest_funnel(spark, sf):
         http_response_index,
     )
 
+    from pyspark import StorageLevel
+
     caps = _warc_captures(spark, sf)
-    containers = attach_warc_http(caps, id_col="capture_id")
+    # persist: BOTH walks (index + transcode) read the same containers;
+    # without it the applyInPandas synthesis runs twice.  (A real
+    # ingest reads existing containers from storage — the persist is
+    # the synthesis path's stand-in for that storage.)
+    containers = attach_warc_http(caps, id_col="capture_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     idx = http_response_index(containers)
     tr = http_charset_transcode(containers)
 
