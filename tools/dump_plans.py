@@ -339,6 +339,35 @@ ANNOTATED = {
         "pinned (sorted distinct chars) so the oracle sums identically; "
         "the deflate twin's both-tails curation signal at scan speed.",
     ),
+    "http_response_index": (
+        "one applyInPandas synth + ONE fused MapInPandas envelope walk",
+        "The HTTP envelope parse rides the SAME fused container walk as "
+        "the WARC index: the only exchange is the doc-group shuffle "
+        "feeding the container build; container bytes never move again "
+        "— the ~100-byte envelope facts (status, charset, body range, "
+        "digest_ok) are the only shuffled output.",
+    ),
+    "http_charset_transcode": (
+        "wire codings + charset decode inside the same walk",
+        "Chunked/gzip decode and the declared-charset transcode happen "
+        "in the one MapInPandas pass, on bytes already in cache — zero "
+        "extra Exchange over the plain index walk.",
+    ),
+    "cdx_zipnum_index": (
+        "index-over-the-index: one global rank window over CDX rows",
+        "The zipnum blocking ranks ~100-byte CDX rows, never container "
+        "bytes; the window is the documented globally-ordered artifact "
+        "(the real system publishes a totally ordered index), and "
+        "cdx_zipnum_sharded is the range-partitioned formulation with "
+        "a zero-extra-shuffle two-pass rank.",
+    ),
+    "cc_ingest_funnel": (
+        "six single-row aggregates over persisted containers",
+        "The composed funnel reuses ONE persisted container build for "
+        "both walks (index + transcode); every stage is a count over "
+        "slim index/transcode rows, unioned — no stage re-reads "
+        "containers.",
+    ),
 }
 
 
