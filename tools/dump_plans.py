@@ -339,6 +339,146 @@ ANNOTATED = {
         "pinned (sorted distinct chars) so the oracle sums identically; "
         "the deflate twin's both-tails curation signal at scan speed.",
     ),
+    "html_extract": (
+        'staged charref decode, map-only, stages uncollapsed',
+        'Round 9: the numeric-character-reference table decodes in '
+        "five gated 55-replace chunk projections (both engines' "
+        'parsers reject the one-shot ~300-deep nesting). '
+        'CollapseProject leaves the stages intact — each chunk '
+        'references its input twice via the gate CASE — so the plan '
+        'is a ladder of Projects over one scan; the single Exchange '
+        "is the entry's fan_out of the one-file corpus, not the "
+        "operator. Rows without '&#' skip every chunk at runtime via "
+        'the shared Contains gate. '
+    ,),
+    "line_quality_filter": (
+        'staged extraction + one narrow Generate, predicate inside codegen',
+        'Refreshed round 9: extraction is now the staged charref '
+        'pipeline (ladder of chunk Projects); the C4 line predicate '
+        'still prunes inside the single narrow posexplode Generate — '
+        'nothing shuffles. '
+    ,),
+    "c4_clean_documents": (
+        'line rules + page rule + reassembly in ONE shuffle',
+        'Refreshed round 9 (staged extraction upstream): one narrow '
+        'Generate, the keep-predicate evaluated pre-shuffle, one doc- '
+        'id aggregation for ordered reassembly, HAVING applies the '
+        'page rule at the aggregate. '
+    ,),
+    "line_dedup": (
+        'md5-fingerprint keeper join; agg keeper (no Window)',
+        'Round 9: the keeper aggregate and the equi-join both key on '
+        'the 16-byte md5(line) fingerprint (__lfp), so the keeper '
+        'exchange and the join never carry raw line text — at crawl '
+        'scale that halves the text bytes moved. Keeper is still '
+        'min(struct(id, line_no)) with map-side partial aggregation '
+        '(no Window: a hot boilerplate line never concentrates on one '
+        'task); one doc-id shuffle reassembles survivors. '
+    ,),
+    "script_profile": (
+        'literal-range counters (nine scripts) + dominance CASE, map-only',
+        'All script counters and the dominance CASE fuse into one '
+        'projection; no shuffle, no UDF. The unicode ranges are '
+        'literal endpoints, identical bytes in both engines. '
+    ,),
+    "url_keyword_filter": (
+        'one codegen filter, no join',
+        'The path extraction and the contains() chain fold into the '
+        'scan-side filter. Contrast blocklist_filter (an anti join '
+        'against a config table): a keyword list is a literal, so no '
+        'join exists at all. '
+    ,),
+    "extract_links": (
+        'regexp_extract_all + posexplode_outer, extraction not cloned into the scan',
+        'posexplode_outer keeps the extraction out of a pushed '
+        'size()>0 filter (plain explode clones the regexp into the '
+        'scan filter - doubled regex work). '
+    ,),
+    "link_graph_stats": (
+        'extraction + ONE aggregation shuffle on the domain key',
+        'Host/domain parsing of each href is map-side; the only '
+        'Exchange is the partial_count/count_distinct rollup on '
+        'domain. '
+    ,),
+    "domain_token_budget": (
+        'skew-safe bucketed two-pass (behind the skew_safe flag)',
+        'Round 9 (skew_safe=True; the simple single-window form stays '
+        'the default — measured cheaper at every scale on healthy '
+        'domain distributions, see SCALE.md): md5-prefix buckets '
+        '(first two hex chars of the order key — 256 uniform, order- '
+        'preserving slices per domain). Pass 1: token sums per '
+        '(domain, __b) + a cumulative window over the ≤256 bucket '
+        'rows; buckets whose carry-in exceeds the budget are PRUNED '
+        "before anything else moves (a mega-domain's tail never "
+        'reshuffles). Pass 2: per-doc cumulative window partitioned '
+        'by (domain, __b) — ≤ ~1/256 of a domain per task; no window '
+        'partitions on the bare domain (plan-pinned in '
+        'tests/test_domains.py). Output identical to the single- '
+        'window form. '
+    ,),
+    "crawl_snapshot_merge": (
+        'O(batch) reduce + full-outer SMJ; corpus side bucketable to zero exchange',
+        'Refreshed round 9: the status CASE now computes from the '
+        'WINNING side (older re-captures label stale_capture, never '
+        'changed). Shape unchanged: WindowGroupLimit-pruned per-side '
+        'reduces, one full-outer merge on nurl; bucket the corpus '
+        'side by nurl for zero corpus exchange (plan-pinned in '
+        'tests/test_domains.py). '
+    ,),
+    "crawl_delta_counts": (
+        'merge + one map-side-combinable status rollup',
+        'The status labels are computed in the join projection; the '
+        "final groupBy('status') is a 4-row aggregate with map-side "
+        'combine. '
+    ,),
+    "robots_noindex_flags": (
+        'one codegen regex flag, zero Exchange',
+        'The robots meta-noindex verdict is a single map-only '
+        'projection: one shared-template regexp_extract + Contains '
+        'over the raw lowercased HTML. No shuffle anywhere; the '
+        'funnel reuses the same expression as a counted flag. '
+    ,),
+    "warc_record_index": (
+        'container build + ONE MapInPandas; index rows are the only small artifact',
+        'attach_warc groups docs by container id (the one doc shuffle '
+        'any ingest pays) and builds real ISO 28500 bytes executor- '
+        'side in FlatMapGroupsInPandas; warc_record_index fan_outs '
+        'container rows and parses them in a single MapInPandas — '
+        'container bytes never shuffle, only the ~100-byte index rows '
+        'leave the stage. At 100 TB the payload fetch that follows is '
+        'offset-addressed (bounded range reads off this index), which '
+        'is the point. '
+    ,),
+    "crawl_frontier": (
+        'authority rollup + anti join + pruning rank',
+        'One aggregation shuffle on the canonical URL (map-side '
+        'combinable), a left-anti join against the crawled URL index '
+        '(at scale the same bucketed-by-nurl table '
+        'crawl_snapshot_merge maintains — zero corpus- side exchange, '
+        'the incremental_dedup layout), and one per-domain window '
+        'whose WindowGroupLimit prunes to the cap before the final '
+        'rank — hot domains are exactly what the cap truncates. '
+    ,),
+    "web_curation_funnel": (
+        'three map-side gates in ONE aggregate + gated page clean',
+        'Round 9: the robots meta-noindex gate joins the URL keyword '
+        'and domain blocklist flags in the single stack()ed aggregate '
+        '(no joins for the gates); the page clean runs only over __g3 '
+        'survivors; the dedup stage is one count-distinct on nurl. '
+    ,),
+    "frontier_schedule": (
+        'frontier + broadcast delay join, no new window',
+        "The per-domain rank computed by crawl_frontier's pruning "
+        'window IS the schedule; the delay table broadcasts and '
+        'fetch_at_s is pure arithmetic — one BroadcastHashJoin on top '
+        'of the frontier plan. '
+    ,),
+    "sitemap_locs": (
+        'volunteered-URL extraction, map-only over distinct domains',
+        'Distinct domains (one small aggregate), per-domain sitemap '
+        'synthesis, regexp_extract_all + narrow posexplode_outer — '
+        'the extract_links geometry applied to sitemap <loc> entries. '
+    ,),
     "http_response_index": (
         "one applyInPandas synth + ONE fused MapInPandas envelope walk",
         "The HTTP envelope parse rides the SAME fused container walk as "
