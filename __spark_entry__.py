@@ -3925,6 +3925,49 @@ def _http_request_pairs(spark, sf):
     )
 
 
+def _http_truncated_audit(spark, sf):
+    """Truncated-capture audit (round 11, second wave — ISO 28500
+    §5.13): captures cut by length policy store the HTTP head + a
+    prefix of the body, keep the server's ORIGINAL Content-Length in
+    the HTTP head, shrink the WARC Content-Length to the stored bytes,
+    and carry WARC-Truncated with the reason.  The audit certifies the
+    two truncation signals AGREE record-by-record — the HTTP parser's
+    declared-vs-available flag and the WARC-layer header — and that
+    the §5.9 digest still verifies over the STORED (cut) body
+    (digest_ok true on every row, truncated or not).  Oracle: the cut
+    class, the clamped body length, and both flags in closed form."""
+    from pgferry_spark.sources.httpmsg import (
+        attach_warc_http,
+        http_response_index,
+    )
+
+    idx = http_response_index(
+        attach_warc_http(_docs_with_urls(spark, sf), with_truncation=True)
+    )
+    return idx.select(
+        "container_id", "record_no", "target_uri",
+        "truncated", "warc_truncated", "body_len", "digest_ok",
+    )
+
+
+def _http_truncated_oracle() -> str:
+    from pgferry_spark.sources.httpmsg import TRUNCATE_BODY_AT
+
+    # the cut only happens when it drops real bytes (corpus bodies are
+    # all longer than the policy, but the condition is spelled anyway)
+    cond = f"(doc_id % 11 = 4 AND body_len > {TRUNCATE_BODY_AT})"
+    return _http_cte() + f"""
+        SELECT container_id, record_no, url AS target_uri,
+               {cond} AS truncated,
+               CASE WHEN {cond} THEN 'length' ELSE '' END
+                 AS warc_truncated,
+               CAST(CASE WHEN {cond} THEN {TRUNCATE_BODY_AT}
+                    ELSE body_len END AS BIGINT) AS body_len,
+               true AS digest_ok
+        FROM hw
+    """
+
+
 def _cc_ingest_funnel(spark, sf):
     """The end-to-end CommonCrawl ingest funnel (round 11, second
     wave) — the composed proof that the HTTP layer feeds the curation
@@ -4737,6 +4780,7 @@ def _http_index_oracle() -> str:
                     + 2 AS BIGINT) AS body_offset,
                body_len,
                false AS truncated,
+               '' AS warc_truncated,
                true AS digest_ok
         FROM hw
     """
@@ -5667,6 +5711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_revisit_resolve": _http_revisit_resolve,
         "http_request_pairs": _http_request_pairs,
         "cc_ingest_funnel": _cc_ingest_funnel,
+        "http_truncated_audit": _http_truncated_audit,
         # --- stalest oracle-backed entries (r5/r6-green), rotated
         # into the r11 window per the COVERAGE.md ledger
         "dsir_weights": _dsir_weights,
@@ -10379,6 +10424,7 @@ def oracle_sql() -> dict[str, str]:
         "http_revisit_resolve": _http_revisit_oracle(),
         "http_request_pairs": _http_request_pairs_oracle(),
         "cc_ingest_funnel": _cc_funnel_oracle(),
+        "http_truncated_audit": _http_truncated_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),
         # round 10: gzip members — closed-form fields for the index

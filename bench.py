@@ -241,6 +241,7 @@ HEADLINE = [
     "http_revisit_resolve",
     "http_request_pairs",
     "cc_ingest_funnel",
+    "http_truncated_audit",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -408,6 +408,11 @@ def synth_http_response(
 REQUEST_UA = "pgferry-spark-crawl/1.0"
 
 
+# truncation synthesis: the cut class keeps the HTTP head + this many
+# body bytes (every corpus body is longer, so the cut is always real)
+TRUNCATE_BODY_AT = 40
+
+
 def attach_warc_http(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -417,6 +422,7 @@ def attach_warc_http(
     gzip_members: bool = False,
     wire_codings: bool = False,
     with_requests: bool = False,
+    with_truncation: bool = False,
 ) -> DataFrame:
     """Containers whose response records carry REAL HTTP envelopes:
     the :func:`attach_warc` grouping (id div k, ascending id within a
@@ -442,6 +448,24 @@ def attach_warc_http(
         recs = []
         for i, u, t in zip(pdf[id_col], pdf[url_col], pdf[text_col]):
             env, digest = synth_http_response(int(i), u, t, wire_codings)
+            truncated = ""
+            if with_truncation and int(i) % 11 == 4:
+                # ISO 28500 §5.13: store the head + the first
+                # TRUNCATE_BODY_AT body bytes; the HTTP Content-Length
+                # header keeps the ORIGINAL length (the server sent it
+                # — the capture got cut), the WARC Content-Length
+                # reflects the stored bytes, and the record carries
+                # WARC-Truncated with the reason.  The digest covers
+                # the STORED (cut) body per §5.9.  A body already
+                # within the policy is NOT marked — the header only
+                # appears when bytes were actually dropped.
+                head_len = env.find(b"\r\n\r\n") + 4
+                if len(env) > head_len + TRUNCATE_BODY_AT:
+                    env = env[: head_len + TRUNCATE_BODY_AT]
+                    digest = "md5:" + hashlib.md5(
+                        env[head_len:]
+                    ).hexdigest()
+                    truncated = "length"
             if with_requests:
                 # real captures store the crawler's request ADJACENT
                 # to its response, linked by WARC-Concurrent-To
@@ -466,6 +490,7 @@ def attach_warc_http(
                     "payload": env,
                     "content_type": HTTP_MSGTYPE_RESPONSE,
                     "payload_digest": digest,
+                    "truncated": truncated,
                 }
             )
         enc = encode_warc_gz if gzip_members else encode_warc
@@ -503,6 +528,7 @@ _HTTP_INDEX_SCHEMA = StructType(
         StructField("body_offset", LongType(), False),
         StructField("body_len", LongType(), False),
         StructField("truncated", BooleanType(), False),
+        StructField("warc_truncated", StringType(), True),
         StructField("digest_ok", BooleanType(), False),
     ]
 )
@@ -553,6 +579,9 @@ def http_response_index(df: DataFrame) -> DataFrame:
                     rows["body_offset"].append(env["body_offset"])
                     rows["body_len"].append(env["body_len"])
                     rows["truncated"].append(env["truncated"])
+                    rows["warc_truncated"].append(
+                        rec.get("warc_truncated", "")
+                    )
                     rows["digest_ok"].append(
                         rec.get("payload_digest", "") == dig
                     )

@@ -112,6 +112,11 @@ def encode_warc(records: list[dict]) -> bytes:
             extra += f"WARC-Payload-Digest: {r['payload_digest']}\r\n"
         if r.get("profile"):
             extra += f"WARC-Profile: {r['profile']}\r\n"
+        if r.get("truncated"):
+            # ISO 28500 §5.13: the capture was cut (length policy,
+            # timeout, disconnect); Content-Length reflects the STORED
+            # (cut) payload, this header names the reason
+            extra += f"WARC-Truncated: {r['truncated']}\r\n"
         head = (
             "WARC/1.0\r\n"
             f"WARC-Type: {r['type']}\r\n"
@@ -178,6 +183,7 @@ def parse_warc_index(container: bytes) -> list[dict]:
                 "concurrent_to": headers.get(
                     "warc-concurrent-to", ""
                 ).strip("<>"),
+                "warc_truncated": headers.get("warc-truncated", ""),
             }
         )
         pos = rec_end

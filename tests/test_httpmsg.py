@@ -366,6 +366,63 @@ class TestServerNotModifiedRevisits:
             assert got[100 + i] == (True, 304, f"Rev body {i}.")
 
 
+class TestTruncatedRecords:
+    """Round 11, second wave: ISO 28500 §5.13 — captures cut by length
+    policy, with BOTH truncation signals (WARC header + HTTP
+    declared-vs-available) agreeing."""
+
+    def test_truncated_record_framing_and_flags(self, spark):
+        # ids 1..24: 4 and 15 hit %11 == 4; bodies are > 40 bytes so
+        # the cut policy drops real bytes
+        rows = [
+            (i, f"https://s{i % 3}.org/d/{i}",
+             f"Doc body {i} padded out well past the forty byte mark.")
+            for i in range(1, 25)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id: long, url: string, text: string"
+        )
+        idx = {
+            r.target_uri: r
+            for r in H.http_response_index(
+                H.attach_warc_http(df, with_truncation=True)
+            ).collect()
+        }
+        assert len(idx) == 24
+        for i in range(1, 25):
+            r = idx[f"https://s{i % 3}.org/d/{i}"]
+            if i % 11 == 4:
+                assert r.truncated and r.warc_truncated == "length"
+                assert r.body_len == H.TRUNCATE_BODY_AT
+            else:
+                assert not r.truncated and r.warc_truncated == ""
+            # the §5.9 digest verifies over the STORED (cut) body
+            assert r.digest_ok, i
+
+    def test_short_body_not_marked(self, spark):
+        """A body already within the policy stores whole: no cut, no
+        WARC-Truncated header, no HTTP truncation flag."""
+        df = spark.createDataFrame(
+            [(4, "https://t.org/4", "short.")],  # 4 % 11 == 4
+            "doc_id: long, url: string, text: string",
+        )
+        r = H.http_response_index(
+            H.attach_warc_http(df, with_truncation=True)
+        ).collect()[0]
+        assert not r.truncated and r.warc_truncated == ""
+        assert r.body_len == len("short.") and r.digest_ok
+
+    def test_untruncated_synth_unchanged(self, spark):
+        """with_truncation=False must produce byte-identical containers
+        — the already-attested entries pin on this."""
+        df = _docs_df(spark, 8)
+        a = H.attach_warc_http(df).collect()
+        b = H.attach_warc_http(df, with_truncation=False).collect()
+        assert {(r.container_id, bytes(r.container)) for r in a} == {
+            (r.container_id, bytes(r.container)) for r in b
+        }
+
+
 class TestWarcContentTypeHeader:
     def test_content_type_header_roundtrip(self):
         recs = [
