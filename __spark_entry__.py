@@ -3925,6 +3925,56 @@ def _http_request_pairs(spark, sf):
     )
 
 
+def _recrawl_plan(spark, sf):
+    """Conditional-recrawl planning (round 11, second wave — the
+    operational counterpart of the 304 revisit profile): the frontier
+    wave (every document URL) splits against the crawled-capture index
+    (documents with doc_id % 3 != 2, each carrying its payload digest)
+    into 'revalidate' (send If-None-Match with the stored digest — an
+    unchanged page costs zero payload bytes) and 'fetch' (unseen
+    canonical URL).  Both sides ride the shared nurl canonicalization;
+    one slim left equi-join.  Oracle replays the split and the
+    per-nurl min-digest election in closed form."""
+    from pgferry_spark.operators.domains import recrawl_plan
+
+    cands = _docs_with_urls(spark, sf)
+    caps = (
+        _docs_with_urls(spark, sf)
+        .filter(F.col("doc_id") % 3 != 2)
+        .withColumn("digest", F.md5("text"))
+    )
+    return recrawl_plan(cands, caps)
+
+
+def _recrawl_plan_oracle() -> str:
+    from pgferry_spark.operators.domains import (
+        HOST_SQL,
+        NURL_SQL,
+        QCLEAN_SQL,
+        URL_SYNTH_SQL,
+    )
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    host = HOST_SQL.format(url="url")
+    qc = QCLEAN_SQL.format(url="url", g=", 'g'")
+    nurl = NURL_SQL.format(url="url", host="host")
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url
+                   FROM documents),
+        h AS (SELECT *, {host} AS host FROM u),
+        q AS (SELECT *, {qc} AS __q FROM h),
+        n AS (SELECT *, {nurl} AS nurl FROM q),
+        cand AS (SELECT DISTINCT nurl FROM n),
+        caps AS (SELECT nurl, min(md5(text)) AS dig
+                 FROM n WHERE doc_id % 3 <> 2 GROUP BY 1)
+        SELECT cand.nurl,
+               CASE WHEN caps.dig IS NULL THEN 'fetch'
+                    ELSE 'revalidate' END AS action,
+               coalesce(caps.dig, '') AS etag
+        FROM cand LEFT JOIN caps ON cand.nurl = caps.nurl
+    """
+
+
 def _http_truncated_audit(spark, sf):
     """Truncated-capture audit (round 11, second wave — ISO 28500
     §5.13): captures cut by length policy store the HTTP head + a
@@ -5712,6 +5762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_request_pairs": _http_request_pairs,
         "cc_ingest_funnel": _cc_ingest_funnel,
         "http_truncated_audit": _http_truncated_audit,
+        "recrawl_plan": _recrawl_plan,
         # --- stalest oracle-backed entries (r5/r6-green), rotated
         # into the r11 window per the COVERAGE.md ledger
         "dsir_weights": _dsir_weights,
@@ -10425,6 +10476,7 @@ def oracle_sql() -> dict[str, str]:
         "http_request_pairs": _http_request_pairs_oracle(),
         "cc_ingest_funnel": _cc_funnel_oracle(),
         "http_truncated_audit": _http_truncated_oracle(),
+        "recrawl_plan": _recrawl_plan_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),
         # round 10: gzip members — closed-form fields for the index

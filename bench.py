@@ -242,6 +242,7 @@ HEADLINE = [
     "http_request_pairs",
     "cc_ingest_funnel",
     "http_truncated_audit",
+    "recrawl_plan",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

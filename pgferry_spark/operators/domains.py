@@ -1091,6 +1091,42 @@ def frontier_schedule(
     )
 
 
+def recrawl_plan(
+    candidates: DataFrame,
+    captures: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Split a frontier wave into FETCH vs REVALIDATE (round 11 — the
+    operational counterpart of the server-not-modified revisit
+    profile): a candidate whose canonical URL already has a stored
+    capture re-fetches CONDITIONALLY (If-None-Match on the stored
+    digest — an unchanged page answers a bodiless 304 and the archive
+    stores a ~200-byte revisit record instead of the payload), an
+    unseen URL fetches unconditionally.  Both sides normalize to the
+    canonical ``nurl`` (the crawl-dedup key); the capture side
+    collapses to ONE digest per nurl (min — deterministic under
+    re-captures).  One left equi-join on the canonical key: the
+    capture side is a slim (nurl, 32-hex) index — broadcastable at
+    config scale, AQE shuffle-join at web scale where the crawled set
+    matches corpus cardinality.  Returns ``(nurl, action, etag)``."""
+    cand = (
+        normalize_urls(candidates, url_col).select("nurl").dropDuplicates()
+    )
+    caps = (
+        normalize_urls(captures, url_col)
+        .groupBy("nurl")
+        .agg(F.min(digest_col).alias("__dig"))
+    )
+    return cand.join(caps, "nurl", "left").select(
+        "nurl",
+        F.when(F.col("__dig").isNull(), F.lit("fetch"))
+        .otherwise(F.lit("revalidate"))
+        .alias("action"),
+        F.coalesce(F.col("__dig"), F.lit("")).alias("etag"),
+    )
+
+
 def blocklist_filter(
     df: DataFrame,
     blocklist: DataFrame,

@@ -492,6 +492,40 @@ def warc_ingest_stream(
     )
 
 
+def http_ingest_stream(
+    containers: DataFrame,
+    table,
+    checkpoint_dir: str,
+    query_name: str = "http_ingest",
+):
+    """Continuous CommonCrawl-grade ingest (round 11): the
+    :func:`warc_ingest_stream` pattern with the HTTP ENVELOPE parsed in
+    the same per-batch walk —
+    :func:`~pgferry_spark.sources.httpmsg.http_response_index` appends
+    (status, media type, declared charset, body range, truncation,
+    digest_ok) rows to the persistent LakeTable with the exactly-once
+    batch-tag protocol.  Container bytes never shuffle and never land
+    in the lake; downstream keep-200/transcode/quality stages read
+    THESE rows instead of re-parsing containers, and a later body
+    fetch is a bounded range read off the envelope's (offset, len).
+    Each batch is a pure O(batch) append (captures are immutable)."""
+    from pgferry_spark.sources.httpmsg import http_response_index
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch:{query_name}:{batch_id}"
+        if any(s.op == tag for s in table.history()):
+            return  # replayed batch — already committed
+        table.append(http_response_index(batch_df), tag)
+
+    return (
+        containers.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def wet_publish_stream(
     docs: DataFrame,
     table,

@@ -3,9 +3,9 @@
 The round driver oracle-checks only the FIRST 50 entries of
 __spark_entry__.queries() (CORRECTNESS_r01..r10 each contain exactly 50
 keys equal to dict positions 1-50).  Round-11 rotation (VERDICT r10
-Next #6): the window head is this round's 11 births (the HTTP envelope
+Next #6): the window head is this round's 12 births (the HTTP envelope
 layer + the zipnum secondary index — driver-checked at birth), then
-the 39 STALEST oracle-backed entries in tools/plan_rotation.py order —
+the 38 STALEST oracle-backed entries in tools/plan_rotation.py order —
 the r5-green block the r10 births displaced (dsir_weights through
 sketch_validation_lineitem) followed by the leading r6-green entries
 (the TPC-H shapes).  No oracle-backed entry goes >5 rounds without a
@@ -38,7 +38,7 @@ NEW_R11 = [
     "http_response_index", "http_status_filter", "http_body_extract",
     "http_charset_transcode", "http_redirect_edges", "cdx_zipnum_index",
     "http_wire_decode", "http_revisit_resolve", "http_request_pairs",
-    "cc_ingest_funnel", "http_truncated_audit",
+    "cc_ingest_funnel", "http_truncated_audit", "recrawl_plan",
 ]
 
 # Remaining window: the stalest oracle-backed entries, planner-stable
@@ -59,12 +59,12 @@ ROTATED_STALEST = [
     "q6_forecast_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
     "q22_idle_customers", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit",
-    "q13_order_count_distribution", "q15_top_supplier",
+    "q13_order_count_distribution",
 ]
 
 # Positions 51+: next-stalest, first in line for the r12 rotation.
 NEXT_IN_LINE = [
-    "q18_large_volume_customers",
+    "q15_top_supplier", "q18_large_volume_customers",
     "top_order_per_customer", "big_order_customers", "cheapest_supplier_per_part",
     "customer_set_ops", "sql_exists_subquery", "rollup_pricing",
     "distinct_orders_per_flag",
@@ -72,7 +72,7 @@ NEXT_IN_LINE = [
     "lineitem_column_stats", "revenue_percentiles", "sessionize",
     "asof_join", "minmax_probe", "row_counts", "sequence_reset",
     "orphan_anti_join", "orphan_set_null", "transform_strings",
-    "transform_bool", "transform_set_split", "transform_bits",
+    "transform_bool", "transform_set_split",
 ]
 
 
@@ -99,18 +99,18 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 279
+N_QUERIES = 280
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:11] == NEW_R11
-    assert names[11:50] == ROTATED_STALEST
+    assert names[:12] == NEW_R11
+    assert names[12:50] == ROTATED_STALEST
     assert names[50:74] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 11 + 39 == 50: no slot wasted
+    # 12 + 38 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEW_R11) | set(ROTATED_STALEST)
 

@@ -295,6 +295,57 @@ def test_warc_ingest_stream_gzip_members(spark, tmp_path):
     assert pay == b"Gz body 5."
 
 
+def test_http_ingest_stream_appends_envelope_index_exactly_once(
+    spark, tmp_path
+):
+    """Round 11: streamed HTTP-enveloped containers land as envelope
+    index rows (status/charset/body ranges, never payload bytes) with
+    the exactly-once batch-tag protocol; a replayed batch id is
+    skipped; the persisted facts match the synthesis classes."""
+    from pgferry_spark.sources.httpmsg import attach_warc_http
+    from pgferry_spark.streaming.events import http_ingest_stream
+
+    src = str(tmp_path / "http_src")
+    ckpt = str(tmp_path / "http_ckpt")
+    t = LakeTable(spark, str(tmp_path / "http_idx"))
+
+    def containers(lo, hi):
+        docs = spark.createDataFrame(
+            [(i, f"https://s.org/{i}", f"Http doc body {i}.")
+             for i in range(lo, hi)],
+            "doc_id: long, url: string, text: string",
+        )
+        return attach_warc_http(docs)
+
+    containers(1, 9).write.mode("overwrite").parquet(src)
+
+    def run(checkpoint=ckpt):
+        q = http_ingest_stream(
+            spark.readStream.schema(
+                "container_id long, container binary"
+            ).parquet(src),
+            t, checkpoint,
+        )
+        q.awaitTermination()
+
+    run()
+    assert [s.op for s in t.history()] == ["batch:http_ingest:0"]
+    rows = t.read().collect()
+    assert len(rows) == 8
+    assert all(r.digest_ok and not r.truncated for r in rows)
+    # replay with a fresh checkpoint -> same batch id, skipped
+    run(checkpoint=str(tmp_path / "http_ckpt2"))
+    assert [s.op for s in t.history()] == ["batch:http_ingest:0"]
+    # second crawl batch appends; status classes persist correctly
+    containers(9, 13).write.mode("append").parquet(src)
+    run()
+    got = {r.target_uri: r.status for r in t.read().collect()}
+    assert len(got) == 12
+    for i in range(1, 13):
+        want = 404 if i % 7 == 3 else 301 if i % 7 == 5 else 200
+        assert got[f"https://s.org/{i}"] == want
+
+
 def test_wet_publish_stream_exactly_once_and_readable(spark, tmp_path):
     """Round 10, second wave: streamed WET publication — document
     batches pack into conversion containers appended to the lake shard

@@ -1103,6 +1103,31 @@ class TestRobotsSitemapDirective:
         assert rules == [("disallow", "/p")]
 
 
+class TestRecrawlPlan:
+    def test_fetch_vs_revalidate_split(self, spark):
+        """Seen canonical URLs revalidate with the stored digest;
+        unseen ones fetch; tracking-param/www variants collapse onto
+        one plan row; re-captures elect one deterministic digest."""
+        from pgferry_spark.operators.domains import recrawl_plan
+
+        cands = spark.createDataFrame(
+            [(1, "https://a.org/p"),
+             (2, "https://www.a.org/p?utm_source=x"),  # same canonical
+             (3, "https://b.org/new")],
+            "doc_id: long, url: string",
+        )
+        caps = spark.createDataFrame(
+            [(10, "https://a.org/p", "d1"),
+             (11, "https://a.org/p", "d0")],  # re-capture: min digest
+            "capture_id: long, url: string, digest: string",
+        )
+        got = {r.nurl: (r.action, r.etag)
+               for r in recrawl_plan(cands, caps).collect()}
+        assert len(got) == 2  # variants collapsed
+        assert got["a.org/p"] == ("revalidate", "d0")
+        assert got["b.org/new"] == ("fetch", "")
+
+
 class TestCrawlFrontier:
     def test_delays_parsed_with_agent_attribution(self, spark):
         from pgferry_spark.operators.domains import robots_crawl_delays
