@@ -977,6 +977,54 @@ class TestZipnum:
                 assert prev_last <= blocks[0].first_surt
             prev_last = blocks[-1].last_surt
 
+    def test_lookup_total_on_arbitrary_keys(self, spark):
+        """Property: ANY lookup key — present, absent, between blocks,
+        below/above the shard — returns the full-scan-identical result
+        at minimal inflate cost, and never errors."""
+        import gzip as _gz
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pgferry_spark.sources.zipnum import (
+            cdx_zipnum_pack,
+            cluster_idx_rows,
+            zipnum_lookup,
+        )
+
+        cdx = self._cdx(spark, n=24)
+        packed = cdx_zipnum_pack(cdx)
+        blocks = sorted(
+            (r.block_no, bytes(r.block))
+            for r in packed.select("block_no", "block").collect()
+        )
+        shard = b"".join(b for _, b in blocks)
+        cluster = sorted(
+            (r.asDict() for r in cluster_idx_rows(packed).collect()),
+            key=lambda c: c["block_no"],
+        )
+        all_lines = [
+            ln for _, blk in blocks
+            for ln in _gz.decompress(blk).decode().splitlines()
+        ]
+        real_keys = sorted({ln.split(" ", 1)[0] for ln in all_lines})
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.one_of(
+            st.sampled_from(real_keys),
+            st.text(min_size=0, max_size=40),
+        ))
+        def check(key):
+            got, inflated = zipnum_lookup(shard, cluster, key)
+            want = [ln for ln in all_lines
+                    if ln.split(" ", 1)[0] == key]
+            assert got == want
+            assert 0 <= inflated <= len(cluster)
+            if not want:
+                assert inflated <= 1  # an absent key costs at most one probe
+
+        check()
+
     def test_lookup_inflates_exactly_one_block(self, spark):
         """The pruning proof: concatenate the packed blocks into the
         shard, binary-search cluster.idx, inflate ONE member — the
