@@ -774,6 +774,44 @@ def wat_export(
     )
 
 
+def read_warc_files(
+    spark, path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """Load REAL WARC files from storage as ``(container_id, path,
+    container)`` — the missing edge between the synthesized-container
+    test path and a directory of actual ``.warc`` / ``.warc.gz``
+    shards: ``binaryFile`` reads each file as one blob (the
+    CommonCrawl unit of work — one file, one task), and every
+    operator in this module serves the result unchanged (the gzip
+    member magic dispatches the framing per container).
+
+    ``container_id`` is ``xxhash64(path)`` masked to 63 bits —
+    deterministic across runs and partitioning-friendly, with no
+    global window over the file listing.  The original ``path`` rides
+    along so index rows remain joinable back to the shard for ranged
+    reads.  Scale posture: at 100 TB the file listing itself is the
+    parallelism (thousands of ~1 GB shards); whole-file rows are what
+    the fused index/extract walks want — bytes move from storage to
+    exactly one executor and never shuffle."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return df.select(
+        # mask the sign bit: a negative id would break `id div k`
+        # grouping conventions downstream
+        (
+            F.xxhash64(F.col("path"))
+            .bitwiseAND(F.lit((1 << 63) - 1))
+        ).alias("container_id"),
+        F.col("path"),
+        F.col("content").alias("container"),
+    )
+
+
 def warc_range_read(container: bytes, offset: int, length: int) -> bytes:
     """The bounded range read the index enables: one slice, validated.
     (At cluster scale this is a ranged GET against object storage; the
