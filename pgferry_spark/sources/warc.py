@@ -812,6 +812,39 @@ def read_warc_files(
     )
 
 
+def write_warc_files(
+    df: DataFrame,
+    out_dir: str,
+    suffix: str = ".warc.gz",
+    prefix: str = "shard-",
+) -> None:
+    """Publish container rows as REAL files — the write-side twin of
+    :func:`read_warc_files`: one file per ``(container_id,
+    container)`` row, named ``{prefix}{id:012d}{suffix}``, written
+    executor-side via ``foreachPartition`` so the bytes go straight
+    from the executor to storage and never transit the driver.  Each
+    file lands atomically (write to ``.inprogress``, then rename) so a
+    concurrent :func:`read_warc_files` glob never sees a torn shard.
+    ``out_dir`` must be storage every executor can reach (shared
+    filesystem / object-store mount) — the same contract any
+    distributed file sink carries."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows) -> None:
+        for r in rows:
+            p = os.path.join(
+                out_dir, f"{prefix}{int(r['container_id']):012d}{suffix}"
+            )
+            tmp = p + ".inprogress"
+            with open(tmp, "wb") as f:
+                f.write(bytes(r["container"]))
+            os.replace(tmp, p)
+
+    df.select("container_id", "container").foreachPartition(write_part)
+
+
 def warc_range_read(container: bytes, offset: int, length: int) -> bytes:
     """The bounded range read the index enables: one slice, validated.
     (At cluster scale this is a ranged GET against object storage; the
