@@ -48,15 +48,17 @@ def to_snake_case(name: str) -> str:
         # titlecase-less symbols like U+1F130 '🄰' report isupper() yet
         # survive .lower() unchanged, which made a second pass see a
         # lower→"upper" boundary the first pass didn't (hypothesis-found
-        # idempotence break)
-        if ch.isupper() and ch.lower() != ch:
+        # idempotence break). Titlecase (Lt) letters like 'ᾨ' report
+        # isupper() False but still need lowering for the lowercase
+        # postcondition to hold (hypothesis-found).
+        if (ch.isupper() or ch.istitle()) and ch.lower() != ch:
             prev = name[i - 1] if i > 0 else ""
             nxt = name[i + 1] if i + 1 < n else ""
             boundary = False
             if prev and prev not in (" ", "-", ".", "_"):
                 if prev.islower() or prev.isdigit():
                     boundary = True  # userID -> user_id
-                elif prev.isupper() and nxt.islower():
+                elif (prev.isupper() or prev.istitle()) and nxt.islower():
                     boundary = True  # HTMLParser -> html_parser
             if boundary and out and out[-1] != "_":
                 out.append("_")

@@ -4,7 +4,7 @@ The reference is table-driven only (SURVEY §5); these add the invariants a
 planner must hold for EVERY input, not just the curated cases.
 """
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from pgferry_spark.catalog.identifiers import to_snake_case, truncate_identifier
@@ -56,6 +56,9 @@ def test_every_key_lands_in_exactly_one_chunk(lo, span, size, probe):
 
 @settings(max_examples=200)
 @given(st.text(min_size=0, max_size=40))
+@example("ᾨ")  # U+1FA8, category Lt: istitle() but not isupper() (r11 verdict)
+@example("ᾨmega")
+@example("Džungla")  # U+01C5 Dž, Lt digraph
 def test_snake_case_idempotent_and_lowercase(name):
     once = to_snake_case(name)
     assert to_snake_case(once) == once  # fixpoint
