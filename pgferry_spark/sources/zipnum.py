@@ -264,32 +264,292 @@ def cdx_zipnum_sharded(
 
 
 def zipnum_lookup(
-    shard: bytes, cluster: list[dict], key: str
+    shard: bytes | dict, cluster: list[dict], key: str
 ) -> tuple[list[str], int]:
-    """The access path: binary-search the cluster rows for the EXACT
-    block range that can hold the key — blocks are totally ordered, so
-    a block contains the key iff ``first_surt <= key <= last_surt``,
-    and those blocks are contiguous: lo = first block whose last key
-    >= the lookup key (bisect over lasts), hi = last block whose first
-    key <= it (bisect over firsts).  Inflate exactly that range.
-    Returns (matching lines, blocks_inflated) — the counter is the
-    pruning proof's witness that a lookup costs the MINIMAL number of
-    ranged reads (one, except for a hot key whose captures straddle a
-    boundary)."""
+    """The access path: binary-search the cluster rows for the block
+    range that can hold the key, inflate exactly that range, filter the
+    lines.  Returns ``(matching lines, blocks_inflated)`` — the counter
+    is the pruning proof's witness that a lookup costs a bounded,
+    near-minimal number of ranged reads.
+
+    TWO cluster-row shapes are accepted (round 12):
+
+    * **in-house rows** (:func:`cluster_idx_rows`: ``first_surt`` +
+      ``last_surt``) — two-sided bisect, EXACT pruning: only blocks
+      actually holding the key are inflated (one, except for a hot key
+      straddling a boundary), and an absent key costs ZERO reads;
+    * **official cluster.idx rows** (:func:`parse_cluster_idx`:
+      ``first_key`` = ``urlkey<SP>timestamp``, plus ``filename``) — the
+      public CommonCrawl TSV carries only each block's FIRST key, so
+      the candidate range is [last block starting <= the key .. last
+      block whose first urlkey == the key]; correctness is identical,
+      the cost bound relaxes to (blocks holding the key) + at most one
+      leading probe, and an absent key costs at most one read — the
+      price the official format pays for its 5-column rows.
+
+    Rows are sorted internally by their key column (collect() order is
+    not a guarantee — round-11 ADVICE), and ``shard`` may be a single
+    bytes blob or a ``{filename: bytes}`` dict for multi-shard official
+    layouts (in-house rows address the single blob)."""
     import bisect
 
-    firsts = [c["first_surt"] for c in cluster]
-    lasts = [c["last_surt"] for c in cluster]
-    lo = bisect.bisect_left(lasts, key)
-    hi = bisect.bisect_right(firsts, key) - 1
-    if hi < lo:
-        return [], 0  # key falls between blocks or outside the shard
+    if not cluster:
+        return [], 0
+    official = "first_key" in cluster[0]
+
+    def blob(c: dict) -> bytes:
+        if isinstance(shard, dict):
+            return shard[c["filename"]]
+        return shard
+
+    if official:
+        cluster = sorted(
+            cluster, key=lambda c: (c["first_key"], c["filename"], c["offset"])
+        )
+        firsts = [c["first_key"] for c in cluster]
+        # lines sort by 'urlkey<SP>timestamp...'; SP (0x20) is below
+        # every urlkey/digit byte, so string order == (urlkey, ts) order
+        lo = max(bisect.bisect_right(firsts, key + " ") - 1, 0)
+        hi = bisect.bisect_right(firsts, key + " ~") - 1  # '~' > any digit
+        if hi < lo:
+            hi = lo  # key below the first block: probe block 0 only
+    else:
+        cluster = sorted(
+            cluster, key=lambda c: (c["first_surt"], c["last_surt"])
+        )
+        firsts = [c["first_surt"] for c in cluster]
+        lasts = [c["last_surt"] for c in cluster]
+        lo = bisect.bisect_left(lasts, key)
+        hi = bisect.bisect_right(firsts, key) - 1
+        if hi < lo:
+            return [], 0  # key falls between blocks or outside the shard
     out: list[str] = []
     for c in cluster[lo : hi + 1]:
-        rec = warc_member_read(shard, int(c["offset"]), int(c["length"]))
+        rec = warc_member_read(blob(c), int(c["offset"]), int(c["length"]))
         out += [
             ln
             for ln in rec.decode("utf-8").splitlines()
             if ln.split(" ", 1)[0] == key
         ]
     return out, hi - lo + 1
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — the OFFICIAL CommonCrawl index wire formats.  Everything
+# above speaks a private line format; a drop-in consumer of the public
+# cc-index reads/writes CDXJ lines (``urlkey<SP>timestamp<SP>{json}``)
+# and the cluster.idx TSV (``urlkey<SP>timestamp\tfilename\toffset\t
+# length\tcluster``).  This section is the format-parity layer: the
+# same SURT keys, blocking arithmetic, and gzip members, emitted in
+# the exact public spelling.  (Reference analogue: pgferry's value is
+# speaking PostgreSQL's byte-exact DDL/COPY wire formats, ddl.go —
+# here the wire format is the web-archive index's.)
+#
+# Deviation, pinned: the public index digests payloads as
+# base32(sha1); neither engine can spell base32 in SQL, and this
+# repo's digest convention is md5-hex everywhere (payload_md5), so the
+# ``digest`` value carries md5 hex.  Shape, keys, key order, and every
+# other byte follow the public format.
+# ---------------------------------------------------------------------------
+
+# deterministic 14-digit fetch timestamp (yyyymmddHHMMSS) — modulo
+# spellings only, so both engines evaluate it verbatim
+FETCH_TS_SQL = (
+    "'20240815'"
+    " || lpad(CAST({id} % 24 AS STRING), 2, '0')"
+    " || lpad(CAST({id} % 60 AS STRING), 2, '0')"
+    " || lpad(CAST(({id} * 7) % 60 AS STRING), 2, '0')"
+)
+
+# the official crawl-data shard path, a closed form of container_id
+# (lpad-5 matches the public -NNNNN shard numbering)
+WARC_FILENAME_SQL = (
+    "'crawl-data/CC-MAIN-2024-33/segments/1723000000000.0/warc/"
+    "CC-MAIN-20240815000000-20240815235959-'"
+    " || lpad(CAST({cid} AS STRING), 5, '0') || '.warc.gz'"
+)
+
+# the json half of a CDXJ line — public key order (url, mime, status,
+# digest, length, offset, filename), numeric values quoted as the
+# public index quotes them; only the url can carry bytes needing
+# escapes (media types / digests / the filename template cannot)
+_CDXJ_JSON_SQL = (
+    "'{{\"url\": \"' || "
+    + "replace(replace({url}, chr(92), chr(92) || chr(92)),"
+    " chr(34), chr(92) || chr(34))"
+    + " || '\", \"mime\": \"' || {mime}"
+    " || '\", \"status\": \"' || CAST({status} AS STRING)"
+    " || '\", \"digest\": \"' || {digest}"
+    " || '\", \"length\": \"' || CAST({length} AS STRING)"
+    " || '\", \"offset\": \"' || CAST({offset} AS STRING)"
+    " || '\", \"filename\": \"' || {filename} || '\"}}'"
+)
+
+CDXJ_LINE_SQL = "{urlkey} || ' ' || {ts} || ' ' || " + _CDXJ_JSON_SQL
+
+# total order for cdxj packing: string order over 'urlkey<SP>ts' equals
+# this tuple order because no surt byte sorts below SP
+_CDXJ_ORDER = ["surt", "fetch_ts", "container_id", "record_no"]
+
+
+def cdxj_lines(cdx: DataFrame) -> DataFrame:
+    """Append ``cdxj_line`` — the official CDXJ index line — to a CDX
+    fact table carrying ``surt, fetch_ts, target_uri, mime, status,
+    payload_md5, rec_len, rec_offset, filename``.  Pure column
+    assembly (map-only codegen); the shared template is evaluated
+    verbatim by the DuckDB oracle."""
+    return cdx.withColumn(
+        "cdxj_line",
+        F.expr(
+            CDXJ_LINE_SQL.format(
+                urlkey="surt",
+                ts="fetch_ts",
+                url="target_uri",
+                mime="mime",
+                status="status",
+                digest="payload_md5",
+                length="rec_len",
+                offset="rec_offset",
+                filename="filename",
+            )
+        ),
+    )
+
+
+_CDXJ_FIELDS = (
+    "url STRING, mime STRING, status STRING, digest STRING,"
+    " length STRING, offset STRING, filename STRING"
+)
+
+
+def cdxj_parse(df: DataFrame, line_col: str = "cdxj_line") -> DataFrame:
+    """Parse official CDXJ lines back into typed columns — the read
+    side of the wire format: ``urlkey, fetch_ts, url, mime, status
+    (int), digest, length (long), offset (long), filename``.  The
+    json block is everything after the second space (urlkeys cannot
+    contain SP); Spark's from_json handles the escapes the emitter
+    wrote."""
+    urlkey = f"split_part({line_col}, ' ', 1)"
+    ts = f"split_part({line_col}, ' ', 2)"
+    js = (
+        f"substring({line_col},"
+        f" length({urlkey}) + length({ts}) + 3)"
+    )
+    j = F.from_json(F.expr(js), _CDXJ_FIELDS)
+    return df.select(
+        F.expr(urlkey).alias("urlkey"),
+        F.expr(ts).alias("fetch_ts"),
+        j["url"].alias("url"),
+        j["mime"].alias("mime"),
+        j["status"].cast("int").alias("status"),
+        j["digest"].alias("digest"),
+        j["length"].cast("long").alias("length"),
+        j["offset"].cast("long").alias("offset"),
+        j["filename"].alias("filename"),
+    )
+
+
+_CDXJ_PACK_SCHEMA = StructType(
+    [
+        StructField("block_no", LongType(), False),
+        StructField("first_key", StringType(), False),
+        StructField("n_lines", LongType(), False),
+        StructField("block", BinaryType(), False),
+    ]
+)
+
+
+def _line_key(line: str) -> str:
+    """'urlkey<SP>timestamp' — the first two space-separated fields."""
+    parts = line.split(" ", 2)
+    return parts[0] + " " + parts[1]
+
+
+def cdxj_zipnum_pack(
+    lines: DataFrame, lines_per_block: int = 8
+) -> DataFrame:
+    """Official-format zipnum packing: the CDXJ lines in total key
+    order, every N lines one gzip member; per block its ``first_key``
+    (``urlkey<SP>timestamp`` — the only key the public cluster.idx
+    records).  Same applyInPandas geometry as :func:`cdx_zipnum_pack`;
+    at 100 TB the blocking runs per range-partitioned shard exactly as
+    :func:`cdx_zipnum_sharded` proves."""
+    w = Window.orderBy(*[F.col(c) for c in _CDXJ_ORDER])
+    b = (
+        lines.withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn("block_no", F.expr(f"__rn div {int(lines_per_block)}"))
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn")
+        ls = list(pdf["cdxj_line"])
+        return pd.DataFrame(
+            {
+                "block_no": [int(pdf["block_no"].iloc[0])],
+                "first_key": [_line_key(ls[0])],
+                "n_lines": [len(ls)],
+                "block": [encode_zipnum_block(ls)],
+            }
+        )
+
+    return b.select("block_no", "__rn", "cdxj_line").groupBy(
+        "block_no"
+    ).applyInPandas(pack, schema=_CDXJ_PACK_SCHEMA)
+
+
+def cluster_idx_lines(
+    packed: DataFrame, cdx_filename: str = "cdx-00000.gz"
+) -> DataFrame:
+    """The official cluster.idx TSV rows over the packed blocks:
+    ``urlkey<SP>timestamp \\t filename \\t offset \\t length \\t
+    cluster`` — offset/length are the gzip member's byte range inside
+    the named cdx shard file (exclusive running sum in block order),
+    cluster is the 0-based block sequence.  One window over the
+    config-scale block table."""
+    w = (
+        Window.orderBy("block_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return packed.select(
+        "block_no",
+        "first_key",
+        F.concat(
+            F.col("first_key"),
+            F.lit("\t" + cdx_filename + "\t"),
+            (
+                F.sum(F.octet_length("block")).over(w)
+                - F.octet_length("block")
+            ).cast("string"),
+            F.lit("\t"),
+            F.octet_length("block").cast("string"),
+            F.lit("\t"),
+            F.col("block_no").cast("string"),
+        ).alias("cluster_line"),
+    )
+
+
+def parse_cluster_idx(text: str) -> list[dict]:
+    """Official cluster.idx TSV → lookup rows for
+    :func:`zipnum_lookup`: ``{first_key, filename, offset, length,
+    cluster}``.  Malformed rows raise ValueError (the strict posture
+    every parser in this package takes)."""
+    rows: list[dict] = []
+    for ln in text.splitlines():
+        if not ln:
+            continue
+        parts = ln.split("\t")
+        if len(parts) != 5:
+            raise ValueError(f"cluster.idx row has {len(parts)} fields")
+        key, filename, offset, length, cluster = parts
+        if " " not in key:
+            raise ValueError("cluster.idx key is not 'urlkey<SP>timestamp'")
+        rows.append(
+            {
+                "first_key": key,
+                "filename": filename,
+                "offset": int(offset),
+                "length": int(length),
+                "cluster": int(cluster),
+            }
+        )
+    return rows

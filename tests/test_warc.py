@@ -1178,6 +1178,226 @@ class TestZipnum:
         assert got == [] and inflated == 0
 
 
+class TestCdxjOfficialFormat:
+    """Round 12: the OFFICIAL CommonCrawl wire formats — CDXJ lines
+    (``urlkey<SP>timestamp<SP>{json}``) and the cluster.idx TSV — over
+    the same SURT/blocking/gzip machinery the private format proved."""
+
+    def _facts(self, spark, n=40):
+        from pgferry_spark.operators.domains import attach_urls, surt_keys
+        from pgferry_spark.sources.httpmsg import (
+            HTTP_MEDIA_SQL,
+            HTTP_STATUS_SQL,
+        )
+        from pgferry_spark.sources.zipnum import (
+            FETCH_TS_SQL,
+            WARC_FILENAME_SQL,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"src{i % 3}", f"Body {i}.") for i in range(n)],
+            "doc_id: long, source: string, text: string",
+        )
+        idx = W.warc_record_index(W.attach_warc(attach_urls(docs)))
+        cdx = surt_keys(idx, url_col="target_uri")
+        i = "(container_id * 8 + record_no)"
+        return (
+            cdx.withColumn("fetch_ts", F.expr(FETCH_TS_SQL.format(id=i)))
+            .withColumn("mime", F.expr(HTTP_MEDIA_SQL.format(id=i)))
+            .withColumn(
+                "status", F.expr(HTTP_STATUS_SQL.format(id=i)).cast("int")
+            )
+            .withColumn(
+                "filename",
+                F.expr(WARC_FILENAME_SQL.format(cid="container_id")),
+            )
+        )
+
+    def test_line_shape_key_order_and_parse_roundtrip(self, spark):
+        """Every emitted line is a real CDXJ line: 14-digit timestamp,
+        valid json with the PUBLIC key order, values that json.loads
+        recovers — and cdxj_parse round-trips every typed field."""
+        import json
+        import re
+
+        from pgferry_spark.sources.zipnum import cdxj_lines, cdxj_parse
+
+        facts = self._facts(spark)
+        lines_df = cdxj_lines(facts)
+        rows = lines_df.collect()
+        assert len(rows) == 40
+        for r in rows:
+            m = re.match(r"^(\S+) (\d{14}) (\{.*\})$", r.cdxj_line)
+            assert m, r.cdxj_line
+            assert m.group(1) == r.surt
+            assert m.group(2) == r.fetch_ts
+            j = json.loads(m.group(3))
+            assert list(j) == [
+                "url", "mime", "status", "digest", "length", "offset",
+                "filename",
+            ]
+            assert j["url"] == r.target_uri
+            assert j["mime"] == r.mime
+            assert j["status"] == str(r.status)
+            assert j["digest"] == r.payload_md5
+            assert j["length"] == str(r.rec_len)
+            assert j["offset"] == str(r.rec_offset)
+            assert j["filename"] == r.filename
+            assert j["filename"].startswith("crawl-data/CC-MAIN-2024-33/")
+            assert j["filename"].endswith(".warc.gz")
+        parsed = {
+            p.urlkey + " " + p.fetch_ts + " " + p.url: p
+            for p in cdxj_parse(lines_df.select("cdxj_line")).collect()
+        }
+        for r in rows:
+            p = parsed[r.surt + " " + r.fetch_ts + " " + r.target_uri]
+            assert (p.status, p.length, p.offset, p.digest, p.filename) == (
+                r.status, r.rec_len, r.rec_offset, r.payload_md5, r.filename
+            )
+
+    def test_json_escaping_survives_parse(self, spark):
+        """A URL carrying quote/backslash bytes is escaped on emit and
+        recovered exactly on parse (the _JSON_ESC discipline)."""
+        import json
+
+        from pgferry_spark.sources.zipnum import cdxj_lines, cdxj_parse
+
+        nasty = 'https://x.org/p?q="a\\b"'
+        df = spark.createDataFrame(
+            [("org,x)/p?q=", "20240815000000", nasty, "text/html", 200,
+              "d" * 32, 10, 0, "f.warc.gz")],
+            "surt: string, fetch_ts: string, target_uri: string,"
+            " mime: string, status: int, payload_md5: string,"
+            " rec_len: long, rec_offset: long, filename: string",
+        )
+        line = cdxj_lines(df).collect()[0].cdxj_line
+        j = json.loads(line.split(" ", 2)[2])
+        assert j["url"] == nasty
+        got = cdxj_parse(
+            cdxj_lines(df).select("cdxj_line")
+        ).collect()[0]
+        assert got.url == nasty
+
+    def _packed(self, spark, n=40):
+        import gzip as _gz
+
+        from pgferry_spark.sources.zipnum import (
+            cdxj_lines,
+            cdxj_zipnum_pack,
+            cluster_idx_lines,
+            parse_cluster_idx,
+        )
+
+        lines = cdxj_lines(self._facts(spark, n)).select(
+            "surt", "fetch_ts", "container_id", "record_no", "cdxj_line"
+        )
+        packed = cdxj_zipnum_pack(lines)
+        blocks = sorted(
+            (r.block_no, bytes(r.block))
+            for r in packed.select("block_no", "block").collect()
+        )
+        shard = b"".join(b for _, b in blocks)
+        tsv = "\n".join(
+            r.cluster_line
+            for r in sorted(
+                cluster_idx_lines(packed).collect(),
+                key=lambda r: r.block_no,
+            )
+        )
+        cluster = parse_cluster_idx(tsv)
+        all_lines = [
+            ln for _, blk in blocks
+            for ln in _gz.decompress(blk).decode().splitlines()
+        ]
+        block_lines = [
+            _gz.decompress(blk).decode().splitlines() for _, blk in blocks
+        ]
+        return shard, cluster, all_lines, block_lines
+
+    def test_cluster_idx_tsv_official_shape(self, spark):
+        """5 tab-separated fields, 'urlkey<SP>ts' first key, offsets
+        tiling the shard byte-exactly, sequential cluster numbers."""
+        shard, cluster, all_lines, _ = self._packed(spark)
+        assert [c["cluster"] for c in cluster] == list(range(len(cluster)))
+        assert cluster[0]["offset"] == 0
+        for a, b in zip(cluster, cluster[1:]):
+            assert b["offset"] == a["offset"] + a["length"]
+            assert a["first_key"] <= b["first_key"]
+        assert cluster[-1]["offset"] + cluster[-1]["length"] == len(shard)
+        for c in cluster:
+            assert c["filename"] == "cdx-00000.gz"
+            urlkey, ts = c["first_key"].rsplit(" ", 1)
+            assert len(ts) == 14 and ts.isdigit()
+        # the shard lines are in total key order
+        keys = [" ".join(ln.split(" ", 2)[:2]) for ln in all_lines]
+        assert keys == sorted(keys)
+
+    def test_official_lookup_total_and_bounded(self, spark):
+        """Property: ANY key over the official firsts-only cluster rows
+        returns the full-scan-identical lines; cost is (blocks holding
+        the key) + at most one leading probe; an absent key costs at
+        most one read."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pgferry_spark.sources.zipnum import zipnum_lookup
+
+        shard, cluster, all_lines, block_lines = self._packed(spark)
+        shards = {"cdx-00000.gz": shard}
+        real_keys = sorted({ln.split(" ", 1)[0] for ln in all_lines})
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.one_of(
+            st.sampled_from(real_keys),
+            st.text(min_size=0, max_size=40),
+        ))
+        def check(key):
+            got, inflated = zipnum_lookup(shards, cluster, key)
+            want = [ln for ln in all_lines
+                    if ln.split(" ", 1)[0] == key]
+            assert got == want
+            holding = sum(
+                1 for bl in block_lines
+                if any(ln.split(" ", 1)[0] == key for ln in bl)
+            )
+            assert holding <= inflated <= max(holding, 1) + 1
+            if not want:
+                assert inflated <= 1
+
+        check()
+
+    def test_official_lookup_multi_shard_files(self, spark):
+        """cluster rows naming different shard files route each probe
+        to the right blob — the 100 TB layout where cdx-00000..NNN are
+        separate objects."""
+        from pgferry_spark.sources.zipnum import zipnum_lookup
+
+        shard, cluster, all_lines, _ = self._packed(spark)
+        # split the physical shard at each block boundary into per-file
+        # blobs named cdx-<cluster>.gz, offsets rebased to 0
+        shards = {}
+        rows = []
+        for c in cluster:
+            fn = f"cdx-{c['cluster']:05d}.gz"
+            shards[fn] = shard[c["offset"]: c["offset"] + c["length"]]
+            rows.append({**c, "filename": fn, "offset": 0})
+        for key in {ln.split(" ", 1)[0] for ln in all_lines}:
+            got, _ = zipnum_lookup(shards, rows, key)
+            assert got == [
+                ln for ln in all_lines if ln.split(" ", 1)[0] == key
+            ]
+
+    def test_parse_cluster_idx_rejects_malformed(self):
+        from pgferry_spark.sources.zipnum import parse_cluster_idx
+
+        with pytest.raises(ValueError):
+            parse_cluster_idx("a b\tf\t0\t1")  # 4 fields
+        with pytest.raises(ValueError):
+            parse_cluster_idx("nokey\tf\t0\t1\t0")  # no SP in key
+        with pytest.raises(ValueError):
+            parse_cluster_idx("a b\tf\tx\t1\t0")  # non-numeric offset
+
+
 class TestRobotsSitemapDirective:
     """Round 10, second wave: sitemaps.org 'Sitemap:' announcement
     lines in robots.txt — group-independent, case-sensitive URL."""
