@@ -4970,10 +4970,14 @@ def _http_redirect_oracle() -> str:
 
 
 def _robots_rules_cte() -> str:
-    """Shared-template robots.txt replay: distinct domains → synth file
-    → line explode → UA attribution via last_value IGNORE NULLS →
-    Allow/Disallow extraction."""
+    """Shared-template robots.txt replay with RFC 9309 §2.1 MULTI-AGENT
+    group union (round 12): distinct domains → synth file → line
+    explode → UA-run identification (a run is broken only by a
+    directive line; ``dirs_before`` — the running directive count — is
+    constant across one run's UA lines) → directive lines join the
+    run's FULL agent membership."""
     from pgferry_spark.operators.domains import (
+        ROBOTS_DELAY_RE,
         ROBOTS_RULE_RE,
         ROBOTS_TXT_SYNTH_SQL,
         ROBOTS_UA_RE,
@@ -4997,16 +5001,29 @@ def _robots_rules_cte() -> str:
                    AS __l
                FROM rt),
         ra AS (SELECT *,
-                 last_value(CASE WHEN regexp_extract(__l, '{ROBOTS_UA_RE}', 1)
-                      <> '' THEN regexp_extract(__l, '{ROBOTS_UA_RE}', 1) END
-                    IGNORE NULLS) OVER (PARTITION BY domain ORDER BY line_no
-                    ROWS UNBOUNDED PRECEDING) AS agent,
+                 regexp_extract(__l, '{ROBOTS_UA_RE}', 1) AS ua,
                  regexp_extract(__l, '{ROBOTS_RULE_RE}', 1) AS rule,
-                 regexp_extract(__l, '{ROBOTS_RULE_RE}', 2) AS path_prefix
+                 regexp_extract(__l, '{ROBOTS_RULE_RE}', 2) AS path_prefix,
+                 regexp_extract(__l, '{ROBOTS_DELAY_RE}', 1) AS delay,
+                 CASE WHEN regexp_extract(__l, '{ROBOTS_RULE_RE}', 1) <> ''
+                        OR regexp_extract(__l, '{ROBOTS_DELAY_RE}', 1) <> ''
+                      THEN 1 ELSE 0 END AS is_dir
                FROM rl),
-        rules AS (SELECT domain, agent, rule, path_prefix FROM ra
-                  WHERE rule <> '' AND path_prefix <> ''
-                    AND agent IS NOT NULL)
+        rb AS (SELECT *,
+                 SUM(is_dir) OVER (PARTITION BY domain ORDER BY line_no
+                   ROWS UNBOUNDED PRECEDING) - is_dir AS dirs_before
+               FROM ra),
+        rc AS (SELECT *,
+                 last_value(CASE WHEN ua <> '' THEN dirs_before END
+                   IGNORE NULLS) OVER (PARTITION BY domain ORDER BY line_no
+                   ROWS UNBOUNDED PRECEDING) AS grp
+               FROM rb),
+        ag AS (SELECT DISTINCT domain, dirs_before AS grp, ua AS agent
+               FROM rc WHERE ua <> ''),
+        rules AS (SELECT r.domain, a.agent, r.rule, r.path_prefix
+                  FROM rc r JOIN ag a
+                    ON r.domain = a.domain AND r.grp = a.grp
+                  WHERE r.rule <> '' AND r.path_prefix <> '')
     """
 
 
@@ -5105,15 +5122,12 @@ def _robots_filter_oracle(agent: str = "*") -> str:
 
 
 def _robots_delay_oracle() -> str:
-    from pgferry_spark.operators.domains import ROBOTS_DELAY_RE
-
-    return _robots_rules_cte() + f"""
-        SELECT domain, agent,
-               CAST(regexp_extract(__l, '{ROBOTS_DELAY_RE}', 1) AS INT)
-                 AS delay_s
-        FROM ra
-        WHERE regexp_extract(__l, '{ROBOTS_DELAY_RE}', 1) <> ''
-          AND agent IS NOT NULL
+    """Delay lines join the §2.1 group membership exactly like rules —
+    a delay inside a multi-agent group yields one row per agent."""
+    return _robots_rules_cte() + """
+        SELECT c.domain, a.agent, CAST(c.delay AS INT) AS delay_s
+        FROM rc c JOIN ag a ON c.domain = a.domain AND c.grp = a.grp
+        WHERE c.delay <> ''
     """
 
 

@@ -603,19 +603,24 @@ def domain_token_budget(
 # sides before comparison, and a missing agent group falls back to the
 # '*' group per §2.2.1).  Remaining golden-pinned boundary: an empty
 # rule value (allow-all Disallow) yields no rule.  Group attribution
-# follows the nearest preceding User-agent line (consecutive UA lines
-# forming one multi-agent group collapse to the last one — the common
-# single-pass simplification).
+# (round 12, RFC 9309 §2.1): consecutive User-agent lines form ONE
+# group whose rules belong to EVERY named agent — a UA run is broken
+# only by a directive line the parser understands (allow/disallow/
+# crawl-delay); blank lines and comments between UA lines continue the
+# run, matching the spec's ABNF (group = startgroupline
+# *(startgroupline / emptyline) *(rule / emptyline)).
 # --------------------------------------------------------------------------
 
 # deterministic per-domain robots.txt synthesis for the file-less test
-# corpus: three shapes keyed on length(domain) % 3 — a googlebot group
-# followed by a * group with an Allow carve-out under a Disallow
-# subtree (longest-match precedence exercised), an allow-all file
-# (empty Disallow), and no file at all.
+# corpus: three shapes keyed on length(domain) % 3 — a googlebot+bingbot
+# MULTI-AGENT group (RFC 9309 §2.1 union, round 12) followed by a *
+# group with an Allow carve-out under a Disallow subtree (longest-match
+# precedence exercised), an allow-all file (empty Disallow), and no
+# file at all.
 ROBOTS_TXT_SYNTH_SQL = (
     "CASE WHEN length({domain}) % 3 = 0 THEN"
-    " 'User-agent: googlebot' || chr(10) || 'Disallow: /also' || chr(10) ||"
+    " 'User-agent: googlebot' || chr(10) ||"
+    " 'User-agent: bingbot' || chr(10) || 'Disallow: /also' || chr(10) ||"
     " 'User-agent: *' || chr(10) || 'Disallow: /raw' || chr(10) ||"
     " 'Disallow: /login' || chr(10) || 'Disallow: /p' || chr(10) ||"
     " 'Allow: /p?q=1' || chr(10) || 'Crawl-delay: 2'"
@@ -704,14 +709,28 @@ def robots_pattern_sql(col: str) -> str:
     return f"'^' || ({x})"
 
 
-def robots_crawl_delays(
-    df: DataFrame, txt_col: str = "robots_txt", domain_col: str = "domain"
-) -> DataFrame:
-    """Per-(domain, agent) Crawl-delay seconds — the politeness budget a
-    frontier scheduler multiplies into per-domain fetch rates.  Same
-    bounded per-file window as :func:`parse_robots_rules`; domains
-    without a delay line simply produce no row (the scheduler's default
-    applies)."""
+def _robots_grouped_lines(
+    df: DataFrame, txt_col: str, domain_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The RFC 9309 §2.1 group machinery both robots parsers share:
+    explode the file into trimmed lowercased lines, then
+
+    * a UA RUN (consecutive ``User-agent`` lines, blank/comment lines
+      between them included) is identified by ``dirs_before`` — the
+      count of directive lines (allow/disallow/crawl-delay) strictly
+      before the line: every UA line of one run sees the same count,
+      and a directive between two UA lines forces different counts,
+      which is exactly the spec's run boundary;
+    * each directive line carries ``grp`` — the run id of its nearest
+      preceding UA line (running last-non-null).
+
+    Returns ``(lines, agents)``: the grouped line table and the
+    distinct ``(domain, grp, agent)`` membership table; joining a
+    directive's ``grp`` against ``agents`` attributes it to EVERY
+    agent of its group — the §2.1 union the single-pass
+    nearest-UA attribution missed (round-12 fix).  All windows
+    partition on one robots.txt file — bounded by construction; the
+    join keys are file-and-run scale."""
     lines = df.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(txt_col), "\r?\n")).alias(
@@ -719,20 +738,60 @@ def robots_crawl_delays(
         ),
     ).withColumn("__l", F.trim(F.lower(F.col("__l"))))
     agent = F.expr(f"regexp_extract(__l, '{ROBOTS_UA_RE}', 1)")
+    is_dir = (
+        (F.expr(f"regexp_extract(__l, '{ROBOTS_RULE_RE}', 1)") != "")
+        | (F.expr(f"regexp_extract(__l, '{ROBOTS_DELAY_RE}', 1)") != "")
+    ).cast("int")
     w = (
         Window.partitionBy("domain")
         .orderBy("line_no")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cur = F.last(F.when(agent != "", agent), ignorenulls=True).over(w)
-    delay = F.expr(f"regexp_extract(__l, '{ROBOTS_DELAY_RE}', 1)")
-    return (
-        lines.withColumn("agent", cur)
-        .withColumn("__d", delay)
-        .filter((F.col("__d") != "") & F.col("agent").isNotNull())
-        .select(
-            "domain", "agent", F.col("__d").cast("int").alias("delay_s")
+    lines = (
+        lines.withColumn("__ua", agent)
+        .withColumn("__dirs_before", F.sum(is_dir).over(w) - is_dir)
+        .withColumn(
+            "grp",
+            F.last(
+                F.when(F.col("__ua") != "", F.col("__dirs_before")),
+                ignorenulls=True,
+            ).over(w),
         )
+    )
+    agents = (
+        lines.filter(F.col("__ua") != "")
+        .select(
+            "domain",
+            F.col("__dirs_before").alias("grp"),
+            F.col("__ua").alias("agent"),
+        )
+        .dropDuplicates()
+    )
+    return lines, agents
+
+
+def robots_crawl_delays(
+    df: DataFrame, txt_col: str = "robots_txt", domain_col: str = "domain"
+) -> DataFrame:
+    """Per-(domain, agent) Crawl-delay seconds — the politeness budget a
+    frontier scheduler multiplies into per-domain fetch rates.  Group
+    attribution is the §2.1 multi-agent union (a delay inside a
+    ``User-agent: a`` + ``User-agent: b`` group yields a row for BOTH);
+    domains without a delay line simply produce no row (the scheduler's
+    default applies)."""
+    lines, agents = _robots_grouped_lines(df, txt_col, domain_col)
+    delay = F.expr(f"regexp_extract(__l, '{ROBOTS_DELAY_RE}', 1)")
+    delays = (
+        lines.withColumn("__d", delay)
+        .filter((F.col("__d") != "") & F.col("grp").isNotNull())
+        .select("domain", "grp", F.col("__d").cast("int").alias("delay_s"))
+    )
+    # shuffle-hash, not sort-merge: both sides are same-keyed slim
+    # derivatives of the exploded line table (file-and-run scale next
+    # to the corpus) — no sort is worth paying, and the document-side
+    # plans that embed this stay SMJ-free
+    return delays.join(agents.hint("shuffle_hash"), ["domain", "grp"]).select(
+        "domain", "agent", "delay_s"
     )
 
 
@@ -809,47 +868,36 @@ def parse_robots_rules(
 ) -> DataFrame:
     """Parse robots.txt bodies into ``(domain, agent, rule,
     path_prefix)`` Allow/Disallow rules.  One narrow posexplode of the
-    file's lines; group attribution (which User-agent owns each rule)
-    is a running last-non-null over the tiny per-domain line list — a
-    window whose partition is one robots.txt file, bounded by
-    construction.  Empty rule values (allow-all Disallow) produce no
-    rule.
+    file's lines; group attribution follows RFC 9309 §2.1 (round 12):
+    consecutive ``User-agent`` lines form ONE group and every rule of
+    the group yields a row for EACH named agent — see
+    :func:`_robots_grouped_lines`.  Empty rule values (allow-all
+    Disallow) produce no rule.
 
     Line endings: real robots.txt bodies arrive with CRLF (and stray
     CR) terminators; splitting on bare ``\\n`` would leave a trailing
     ``\\r`` inside every captured path prefix and the startswith gate
     would then NEVER match — the filter fails open, all disallowed URLs
     pass (round-9 ADVICE, medium).  Split on ``\\r?\\n`` instead."""
-    lines = df.select(
-        F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(txt_col), "\r?\n")).alias(
-            "line_no", "__l"
-        ),
-    ).withColumn("__l", F.trim(F.lower(F.col("__l"))))
-    agent = F.expr(f"regexp_extract(__l, '{ROBOTS_UA_RE}', 1)")
-    w = (
-        Window.partitionBy("domain")
-        .orderBy("line_no")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cur = F.last(F.when(agent != "", agent), ignorenulls=True).over(w)
-    out = (
-        lines.withColumn("agent", cur)
-        .withColumn(
+    lines, agents = _robots_grouped_lines(df, txt_col, domain_col)
+    rules = (
+        lines.withColumn(
             "rule", F.expr(f"regexp_extract(__l, '{ROBOTS_RULE_RE}', 1)")
         )
         .withColumn(
             "path_prefix",
             F.expr(f"regexp_extract(__l, '{ROBOTS_RULE_RE}', 2)"),
         )
-    )
-    return (
-        out.filter(
+        .filter(
             (F.col("rule") != "")
             & (F.col("path_prefix") != "")
-            & F.col("agent").isNotNull()
+            & F.col("grp").isNotNull()
         )
-        .select("domain", "agent", "rule", "path_prefix")
+        .select("domain", "grp", "rule", "path_prefix")
+    )
+    # shuffle-hash, not sort-merge (see robots_crawl_delays)
+    return rules.join(agents.hint("shuffle_hash"), ["domain", "grp"]).select(
+        "domain", "agent", "rule", "path_prefix"
     )
 
 

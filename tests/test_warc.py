@@ -832,6 +832,136 @@ class TestRobotsTxt:
         )
         assert kept == [4, 6]
 
+    def test_multi_agent_group_union_two_agents(self, spark):
+        """RFC 9309 §2.1 (round 12): consecutive User-agent lines form
+        ONE group — its rules belong to EVERY named agent, not just the
+        last (the pre-r12 single-pass collapse)."""
+        from pgferry_spark.operators.domains import parse_robots_rules
+
+        txt = (
+            "User-agent: googlebot\n"
+            "User-agent: bingbot\n"
+            "Disallow: /shared\n"
+            "User-agent: *\n"
+            "Disallow: /all\n"
+        )
+        got = sorted(
+            (r.agent, r.rule, r.path_prefix)
+            for r in parse_robots_rules(
+                spark.createDataFrame(
+                    [("m.com", txt)], "domain: string, robots_txt: string"
+                )
+            ).collect()
+        )
+        assert got == [
+            ("*", "disallow", "/all"),
+            ("bingbot", "disallow", "/shared"),
+            ("googlebot", "disallow", "/shared"),
+        ]
+
+    def test_multi_agent_three_agents_star_and_filter(self, spark):
+        """A 3-agent group including '*': every agent gets the rules;
+        the filter honors them for each named agent AND the * fallback
+        — and a later single-agent group is NOT polluted."""
+        from pgferry_spark.operators.domains import (
+            parse_robots_rules,
+            robots_disallow_filter,
+        )
+
+        txt = (
+            "User-agent: a-bot\n"
+            "User-agent: b-bot\n"
+            "User-agent: *\n"
+            "Disallow: /x\n"
+            "Allow: /x/pub\n"
+            "User-agent: c-bot\n"
+            "Disallow: /c-only\n"
+        )
+        rules = parse_robots_rules(
+            spark.createDataFrame(
+                [("t.com", txt)], "domain: string, robots_txt: string"
+            )
+        )
+        got = sorted(
+            (r.agent, r.rule, r.path_prefix) for r in rules.collect()
+        )
+        assert got == [
+            ("*", "allow", "/x/pub"),
+            ("*", "disallow", "/x"),
+            ("a-bot", "allow", "/x/pub"),
+            ("a-bot", "disallow", "/x"),
+            ("b-bot", "allow", "/x/pub"),
+            ("b-bot", "disallow", "/x"),
+            ("c-bot", "disallow", "/c-only"),
+        ]
+        docs = spark.createDataFrame(
+            [
+                (1, "https://t.com/x/priv"),
+                (2, "https://t.com/x/pub/p"),
+                (3, "https://t.com/c-only/q"),
+                (4, "https://t.com/free"),
+            ],
+            "doc_id: long, url: string",
+        )
+        # a-bot: group rules bite, c-only does not
+        kept_a = sorted(
+            r.doc_id
+            for r in robots_disallow_filter(
+                docs, rules, agent="a-bot"
+            ).collect()
+        )
+        assert kept_a == [2, 3, 4]
+        # c-bot HAS its own group, so the shared group's * membership
+        # does NOT apply to it (§2.2.1: most specific group only)
+        kept_c = sorted(
+            r.doc_id
+            for r in robots_disallow_filter(
+                docs, rules, agent="c-bot"
+            ).collect()
+        )
+        assert kept_c == [1, 2, 4]
+        # unknown agent falls back to * — the shared group's rules
+        kept_u = sorted(
+            r.doc_id
+            for r in robots_disallow_filter(
+                docs, rules, agent="nobody"
+            ).collect()
+        )
+        assert kept_u == [2, 3, 4]
+
+    def test_multi_agent_blank_line_continues_run(self, spark):
+        """RFC 9309 ABNF: blank/comment lines between User-agent lines
+        do NOT break the run; a directive line DOES — a later UA line
+        starts a fresh group."""
+        from pgferry_spark.operators.domains import (
+            parse_robots_rules,
+            robots_crawl_delays,
+        )
+
+        txt = (
+            "User-agent: a-bot\n"
+            "\n"
+            "# comment\n"
+            "User-agent: b-bot\n"
+            "Disallow: /ab\n"
+            "Crawl-delay: 7\n"
+            "User-agent: c-bot\n"
+            "Disallow: /c\n"
+        )
+        df = spark.createDataFrame(
+            [("r.com", txt)], "domain: string, robots_txt: string"
+        )
+        got = sorted(
+            (r.agent, r.path_prefix)
+            for r in parse_robots_rules(df).collect()
+        )
+        assert got == [("a-bot", "/ab"), ("b-bot", "/ab"), ("c-bot", "/c")]
+        # the delay belongs to BOTH agents of the group, not c-bot
+        delays = sorted(
+            (r.agent, r.delay_s) for r in robots_crawl_delays(df).collect()
+        )
+        assert delays == [("a-bot", 7), ("b-bot", 7)]
+
     def test_debroadcast_web_scale_rule_set(self, spark):
         """VERDICT r9 'What's wrong' #2 done-bar: a rules table with
         10^6 synthetic domains rides the shuffle-hash path (no
