@@ -4232,17 +4232,21 @@ def _http_revisit_resolve(spark, sf):
 
 
 def _http_wire_decode(spark, sf):
-    """The HTTP wire-coding layer (round 11, second wave): stored
-    bodies arrive chunked transfer-coded (RFC 9112 §7.1 — hex-size
-    framing, no Content-Length) on doc_id % 3 == 2 and gzip
-    content-coded (RFC 9110 §8.4.1, capped inflate) on % 3 == 1,
-    orthogonal to the charset and status classes so every combination
-    occurs; the reader decodes in transport-then-representation-then-
-    charset order inside the SAME fused walk.  Oracle = the decorated
-    text closed form for every document — green certifies byte-exact
-    recovery through chunked/gzip/charset/WARC framing combined.
-    decode_chunked totality is hypothesis-pinned; unsupported or
-    malformed codings drop the row rather than guess."""
+    """The HTTP wire-coding layer (round 11, second wave; deflate
+    round 12): stored bodies arrive chunked transfer-coded (RFC 9112
+    §7.1 — hex-size framing, no Content-Length) on doc_id % 4 == 2,
+    gzip content-coded (RFC 9110 §8.4.1, capped inflate) on % 4 == 1,
+    and deflate content-coded on % 4 == 3 — alternating the
+    zlib-wrapped (RFC 1950) and raw (RFC 1951) spellings, the
+    legacy-server ambiguity the reader absorbs — orthogonal to the
+    charset and status classes so every combination occurs; the reader
+    decodes in transport-then-representation-then-charset order inside
+    the SAME fused walk.  Oracle = the decorated text closed form for
+    every document — green certifies byte-exact recovery through
+    chunked/gzip/deflate/charset/WARC framing combined.  decode_chunked
+    totality is hypothesis-pinned; unsupported or malformed codings
+    (brotli: no stdlib codec — docs/SCALE.md boundary) drop the row
+    rather than guess."""
     from pgferry_spark.sources.httpmsg import (
         attach_warc_http,
         http_charset_transcode,

@@ -280,12 +280,30 @@ def _gunzip_body(data: bytes) -> bytes:
     return out
 
 
+def _inflate_deflate_body(data: bytes) -> bytes:
+    """The ``deflate`` content coding (round 12): RFC 9110 §8.4.1.2
+    defines it as a zlib-wrapped stream (RFC 1950), but the
+    legacy-server reality ships RAW deflate (RFC 1951) under the same
+    token — accept both spellings, zlib-wrapped tried first, each
+    inflation capped before allocation exactly like gzip.  brotli has
+    no stdlib codec and stays a skip-row boundary (docs/SCALE.md)."""
+    for wbits in (15, -15):
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            out = d.decompress(data, _MAX_BODY_OUT)
+        except zlib.error:
+            continue
+        if d.eof and not d.unused_data:
+            return out
+    raise ValueError("corrupt, truncated, or oversized deflate body")
+
+
 def decode_http_body(env: dict, body: bytes) -> bytes:
     """Apply the declared wire codings in read order: Transfer-Encoding
-    (chunked) first, then Content-Encoding (gzip/identity).  Raises
-    ValueError on an unsupported or malformed coding — callers skip
-    the row (the index row keeps the record for auditing; nothing is
-    guessed at)."""
+    (chunked) first, then Content-Encoding (gzip/deflate/identity).
+    Raises ValueError on an unsupported or malformed coding — callers
+    skip the row (the index row keeps the record for auditing; nothing
+    is guessed at)."""
     te = env["headers"].get("transfer-encoding", "").strip().lower()
     if te == "chunked":
         body = decode_chunked(body)
@@ -294,6 +312,8 @@ def decode_http_body(env: dict, body: bytes) -> bytes:
     ce = env["headers"].get("content-encoding", "").strip().lower()
     if ce in ("gzip", "x-gzip"):
         body = _gunzip_body(body)
+    elif ce == "deflate":
+        body = _inflate_deflate_body(body)
     elif ce not in ("", "identity"):
         raise ValueError(f"unsupported content-encoding: {ce}")
     return body
@@ -364,11 +384,14 @@ def synth_http_response(
     Transfer-Encoding], Content-Length?, [Location]) — the closed-form
     head-length arithmetic for the plain classes depends on it.
     ``wire_codings=True`` layers the transport reality on top of the
-    charset classes: ``doc_id % 3 == 1`` stores the body gzip
-    content-coded, ``% 3 == 2`` chunked transfer-coded (no
-    Content-Length, per RFC 9112 §6.2), ``% 3 == 0`` identity —
-    orthogonal to the % 5 charset and % 7 status classes, so every
-    combination occurs."""
+    charset classes: ``doc_id % 4 == 1`` stores the body gzip
+    content-coded, ``% 4 == 2`` chunked transfer-coded (no
+    Content-Length, per RFC 9112 §6.2), ``% 4 == 3`` deflate
+    content-coded — alternating the zlib-wrapped (RFC 1950) and raw
+    (RFC 1951) spellings on ``(doc_id // 4) % 2``, the legacy-server
+    ambiguity the reader must absorb (round 12) — and ``% 4 == 0``
+    identity; orthogonal to the % 5 charset and % 7 status classes,
+    so every combination occurs."""
     s7 = doc_id % 7
     if s7 == 3:
         status, reason = 404, "Not Found"
@@ -390,13 +413,21 @@ def synth_http_response(
     else:
         body, ct = text.encode("utf-8"), "text/html;charset=utf-8"
     headers = [("Content-Type", ct)]
-    if wire_codings and doc_id % 3 == 1:
+    if wire_codings and doc_id % 4 == 1:
         body = gzip.compress(body, compresslevel=6, mtime=0)
         headers.append(("Content-Encoding", "gzip"))
         headers.append(("Content-Length", str(len(body))))
-    elif wire_codings and doc_id % 3 == 2:
+    elif wire_codings and doc_id % 4 == 2:
         body = encode_chunked(body)
         headers.append(("Transfer-Encoding", "chunked"))
+    elif wire_codings and doc_id % 4 == 3:
+        if (doc_id // 4) % 2 == 0:
+            body = zlib.compress(body, 6)  # zlib-wrapped (RFC 1950)
+        else:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = co.compress(body) + co.flush()  # raw (RFC 1951)
+        headers.append(("Content-Encoding", "deflate"))
+        headers.append(("Content-Length", str(len(body))))
     else:
         headers.append(("Content-Length", str(len(body))))
     if status == 301:

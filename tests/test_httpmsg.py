@@ -203,8 +203,7 @@ class TestWireCodings:
         import pytest as _pt
 
         for hdrs in [{"transfer-encoding": "gzip"},
-                     {"content-encoding": "br"},
-                     {"content-encoding": "deflate"}]:
+                     {"content-encoding": "br"}]:
             with _pt.raises(ValueError):
                 H.decode_http_body({"headers": hdrs}, b"x")
         # identity spellings pass through untouched
@@ -212,6 +211,31 @@ class TestWireCodings:
             {"headers": {"content-encoding": "identity"}}, b"ok"
         ) == b"ok"
         assert H.decode_http_body({"headers": {}}, b"ok") == b"ok"
+
+    def test_deflate_both_spellings_decode(self):
+        """Round 12: 'deflate' accepts the RFC 9110 zlib-wrapped stream
+        AND the raw-deflate spelling legacy servers ship under the same
+        token; corrupt/truncated streams raise (skip-row, never
+        guessed)."""
+        import zlib
+
+        import pytest as _pt
+
+        body = b"deflate me " * 30
+        env = {"headers": {"content-encoding": "deflate"}}
+        wrapped = zlib.compress(body, 6)
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        raw = co.compress(body) + co.flush()
+        assert raw != wrapped
+        assert H.decode_http_body(env, wrapped) == body
+        assert H.decode_http_body(env, raw) == body
+        with _pt.raises(ValueError):
+            H.decode_http_body(env, wrapped[:-3])  # truncated
+        with _pt.raises(ValueError):
+            H.decode_http_body(env, b"\x00not deflate at all")
+        with _pt.raises(ValueError):
+            # trailing junk after a complete stream is rejected too
+            H.decode_http_body(env, wrapped + b"junk")
 
     def test_plain_synth_unchanged_by_wire_flag(self):
         """wire_codings=False must produce byte-identical envelopes to
@@ -248,12 +272,22 @@ class TestWireCodings:
         """ISO 28500: the payload digest is over the body AS STORED —
         for a coded body, the coded bytes."""
         env, dig = H.synth_http_response(
-            7, "https://d.org/7", "stored form", wire_codings=True
-        )  # 7 % 3 == 1 -> gzip content coding
+            5, "https://d.org/5", "stored form", wire_codings=True
+        )  # 5 % 4 == 1 -> gzip content coding
         p = H.parse_http_response(env)
         stored = env[p["body_offset"]: p["body_offset"] + p["body_len"]]
         assert stored[:2] == b"\x1f\x8b"
         assert dig == "md5:" + hashlib.md5(stored).hexdigest()
+        # and the deflate class: 7 % 4 == 3, (7 // 4) % 2 == 1 -> raw
+        env7, dig7 = H.synth_http_response(
+            7, "https://d.org/7", "stored form", wire_codings=True
+        )
+        p7 = H.parse_http_response(env7)
+        assert p7["headers"]["content-encoding"] == "deflate"
+        stored7 = env7[
+            p7["body_offset"]: p7["body_offset"] + p7["body_len"]
+        ]
+        assert dig7 == "md5:" + hashlib.md5(stored7).hexdigest()
 
 
 class TestRequestRecords:
