@@ -823,12 +823,17 @@ def write_warc_files(
     container)`` row, named ``{prefix}{id:012d}{suffix}``, written
     executor-side via ``foreachPartition`` so the bytes go straight
     from the executor to storage and never transit the driver.  Each
-    file lands atomically (write to ``.inprogress``, then rename) so a
-    concurrent :func:`read_warc_files` glob never sees a torn shard.
-    ``out_dir`` must be storage every executor can reach (shared
-    filesystem / object-store mount) — the same contract any
-    distributed file sink carries."""
+    file lands atomically (write to a unique temp name, then
+    hard-link-publish) so a concurrent :func:`read_warc_files` glob
+    never sees a torn shard — and a DUPLICATE target name (a
+    :func:`read_warc_files` 63-bit xxhash collision, or caller rows
+    sharing an id) FAILS with ValueError instead of silently
+    clobbering a shard (round-12, r11 ADVICE).  ``out_dir`` must be
+    storage every executor can reach (shared filesystem /
+    object-store mount) — the same contract any distributed file sink
+    carries."""
     import os
+    import tempfile
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -837,10 +842,22 @@ def write_warc_files(
             p = os.path.join(
                 out_dir, f"{prefix}{int(r['container_id']):012d}{suffix}"
             )
-            tmp = p + ".inprogress"
-            with open(tmp, "wb") as f:
-                f.write(bytes(r["container"]))
-            os.replace(tmp, p)
+            fd, tmp = tempfile.mkstemp(
+                dir=out_dir, suffix=".inprogress"
+            )
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(bytes(r["container"]))
+                try:
+                    os.link(tmp, p)  # atomic, fails if p exists
+                except FileExistsError:
+                    raise ValueError(
+                        f"duplicate shard name {p!r}: two rows share a"
+                        " container_id (id collision or duplicate caller"
+                        " ids) — refusing to clobber"
+                    )
+            finally:
+                os.unlink(tmp)
 
     df.select("container_id", "container").foreachPartition(write_part)
 
