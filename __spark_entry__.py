@@ -4134,7 +4134,10 @@ def _cc_ingest_funnel(spark, sf):
     # persist: BOTH walks (index + transcode) read the same containers;
     # without it the applyInPandas synthesis runs twice.  (A real
     # ingest reads existing containers from storage — the persist is
-    # the synthesis path's stand-in for that storage.)
+    # the synthesis path's stand-in for that storage; the disk-backed
+    # equivalence is pinned by tests/test_warc.py::
+    # TestStorageBackedFunnel.)  Lifecycle: LRU-evicted or
+    # caller-unpersisted, the tok_pos convention (r11 ADVICE).
     containers = attach_warc_http(caps, id_col="capture_id").persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -601,6 +601,12 @@ def ccnet_buckets(
         .when(F.col("__gt") * 3 < F.col("__n") * 2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
+    # persisted: the probe count below AND the returned join both read
+    # the tier table — without the cache the scoring subtree runs
+    # twice.  Same lifecycle convention as the tok_pos persist above:
+    # LRU-evicted or caller-unpersisted (round-12 note, r11 ADVICE —
+    # long-lived sessions invoking this repeatedly should unpersist
+    # after materializing the result).
     tiers = cls.select("lang", "logprob", bucket.alias("bucket")).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -137,9 +137,20 @@ def parse_http_response(payload: bytes) -> dict:
     headers: dict[str, str] = {}
     for line in lines[1:]:
         name, _, value = line.partition(b":")
-        headers[name.decode("latin-1").strip().lower()] = value.decode(
-            "latin-1"
-        ).strip()
+        k = name.decode("latin-1").strip().lower()
+        v = value.decode("latin-1").strip()
+        # framing headers may not repeat with CONFLICTING values — a
+        # duplicated Content-Length / Transfer-Encoding is the
+        # smuggling shape (RFC 9110 §8.6 / 9112 §6.1) and silently
+        # keeping the last value would mask it (round 12, r11 ADVICE);
+        # an identical repeat is the spec-tolerated case and folds.
+        if (
+            k in ("content-length", "transfer-encoding")
+            and k in headers
+            and headers[k] != v
+        ):
+            raise ValueError(f"conflicting repeated {k} headers")
+        headers[k] = v
     body_offset = head_end + 4
     avail = len(payload) - body_offset
     truncated = False

@@ -629,6 +629,7 @@ def wet_export(
     docs_per_container: int = 8,
     gzip_members: bool = False,
     url_col: str = "url",
+    cid_offset: int = 0,
 ) -> DataFrame:
     """The WET publication step: extracted text back into distributable
     containers, grouped exactly like :func:`attach_warc` (``id //
@@ -637,7 +638,16 @@ def wet_export(
     crawls preserve so a consumer can pair shard N of both.  One
     applyInPandas build per container; the emitted containers are the
     only bytes that move, and at 100 TB the write is the point — every
-    downstream text job then reads THESE instead of re-parsing HTML."""
+    downstream text job then reads THESE instead of re-parsing HTML.
+
+    ``cid_offset`` shifts the grouping key BEFORE the build, so the
+    in-band warcinfo record id (``urn:uuid:info-<cid>``) always equals
+    the emitted ``container_id`` — the batch-stride publisher
+    (:func:`~pgferry_spark.streaming.events.wet_publish_stream`) passes
+    its batch offset here instead of remapping after the bytes are
+    built (round 12, r11 ADVICE: a post-hoc remap left the published
+    id and the embedded id divergent, unrecoverable from bytes
+    alone)."""
     schema = StructType(
         [
             StructField("container_id", LongType(), False),
@@ -661,7 +671,11 @@ def wet_export(
 
     return (
         df.withColumn(
-            "__cid", F.expr(f"{id_col} div {docs_per_container}")
+            "__cid",
+            F.expr(
+                f"({id_col} div {docs_per_container})"
+                f" + {int(cid_offset)}"
+            ),
         )
         .select("__cid", id_col, url_col, text_col)
         .groupBy("__cid")

@@ -553,14 +553,18 @@ def wet_publish_stream(
     (round-10 ADVICE: streaming batch composition is source-dependent,
     so a micro-batch boundary can split a div-k bucket and two batches
     would otherwise publish shards sharing a container_id with partial
-    buckets — breaking (container_id, record_no) addressing).  Both
-    factors are bound-checked before any byte is written: a batch whose
-    within-batch id reaches ``batch_stride`` fails the job (executor-
-    side raise_error on the actual column), and a batch_id that would
-    overflow the 63-bit composition fails driver-side.  The WARC/WET
-    shard-pairing property survives as ``container_id % batch_stride``
-    (the batch-invariant div-k key) when both streams see the same
-    batch boundaries."""
+    buckets — breaking (container_id, record_no) addressing).  The
+    offset is applied INSIDE the exporter via ``cid_offset`` (round 12,
+    r11 ADVICE) so the warcinfo record id embedded in the shard bytes
+    (``urn:uuid:info-<cid>``) equals the published ``container_id`` —
+    previously a post-build remap rewrote only the column and the two
+    diverged.  Both factors are bound-checked before any byte lands: a
+    batch whose offset container_id reaches the NEXT batch's stride
+    window fails the job (executor-side raise_error on the actual
+    column), and a batch_id that would overflow the 63-bit composition
+    fails driver-side.  The WARC/WET shard-pairing property survives
+    as ``container_id % batch_stride`` (the batch-invariant div-k key)
+    when both streams see the same batch boundaries."""
     from pgferry_spark.sources.warc import wet_export
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -576,12 +580,13 @@ def wet_publish_stream(
             batch_df,
             docs_per_container=docs_per_container,
             gzip_members=gzip_members,
+            cid_offset=int(batch_id) * int(batch_stride),
         )
-        remapped = shards.select(
+        checked = shards.select(
             F.when(
-                F.col("container_id") < F.lit(int(batch_stride)),
                 F.col("container_id")
-                + F.lit(int(batch_id) * int(batch_stride)),
+                < F.lit((int(batch_id) + 1) * int(batch_stride)),
+                F.col("container_id"),
             )
             .otherwise(
                 F.raise_error(
@@ -595,7 +600,7 @@ def wet_publish_stream(
             .alias("container_id"),
             "container",
         )
-        table.append(remapped, tag)
+        table.append(checked, tag)
 
     return (
         docs.writeStream.foreachBatch(_sink)

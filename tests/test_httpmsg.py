@@ -91,9 +91,21 @@ class TestHttpMessageBytes:
             b"HTTP/1.1 200 OK\r\nNo: end",       # unterminated head
             b"HTTP/1.1 200 OK\r\nContent-Length: -1\r\n\r\n",
             b"HTTP/1.1 200 OK\r\nContent-Length: 1e3\r\n\r\n",
+            # smuggling shapes (round 12, r11 ADVICE): conflicting
+            # repeats of the framing headers are rejected, not folded
+            b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n"
+            b"Content-Length: 5\r\n\r\nhello",
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Transfer-Encoding: identity\r\n\r\n0\r\n\r\n",
         ]:
             with pytest.raises(ValueError):
                 H.parse_http_response(bad)
+        # an IDENTICAL repeat is the spec-tolerated case and folds
+        p = H.parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n"
+            b"Content-Length: 2\r\n\r\nhi"
+        )
+        assert p["body_len"] == 2 and not p["truncated"]
 
     @settings(max_examples=300, deadline=None)
     @given(st.binary(max_size=400))

@@ -444,6 +444,17 @@ def test_wet_publish_stream_batch_boundary_splits_bucket(spark, tmp_path):
     addr = [(r.container_id, r.record_no) for r in ext]
     assert len(addr) == len(set(addr)) == 20
     assert {r.text for r in ext} == {f"Wet body {i}." for i in range(20)}
+    # round 12 (r11 ADVICE): the warcinfo record id EMBEDDED in the
+    # shard bytes equals the published container_id — the offset is
+    # applied before the build, so the id is recoverable from bytes
+    # alone
+    import re
+
+    for r in shards.select("container_id", "container").collect():
+        m = re.search(
+            rb"WARC-Record-ID: <urn:uuid:info-(\d+)>", bytes(r.container)
+        )
+        assert m and int(m.group(1)) == r.container_id
 
 
 def test_stream_materialized_agg_incremental_equals_recompute(spark, tmp_path):
