@@ -3658,6 +3658,25 @@ def _cdxj_field_extract(spark, sf):
     )
 
 
+def _cdxj_zipnum_cluster(spark, sf):
+    """Official-format zipnum blocking CONTENT (round 12): the CDXJ
+    lines in total key order grouped every-N, per block its first/last
+    ``urlkey<SP>timestamp`` key, line count, and the ordered digest of
+    every line byte that lands in it — the cdx_zipnum_index discipline
+    over the PUBLIC line format.  The physical artifacts
+    (gzip members, the 5-column cluster.idx TSV, the firsts-only
+    lookup) are pinned in tests/test_warc.py::TestCdxjOfficialFormat."""
+    from pgferry_spark.sources.zipnum import (
+        cdxj_lines,
+        cdxj_zipnum_cluster,
+    )
+
+    lines = cdxj_lines(_cdxj_facts(spark, sf)).select(
+        "surt", "fetch_ts", "container_id", "record_no", "cdxj_line"
+    )
+    return cdxj_zipnum_cluster(lines)
+
+
 def _cc_index_table(spark, sf):
     """cc-index-table columnar projection (round 12 — VERDICT r11
     missing #2): the same capture facts under the OFFICIAL parquet
@@ -5499,6 +5518,37 @@ def _cdxj_extract_oracle() -> str:
     """
 
 
+def _cdxj_cluster_oracle() -> str:
+    """The CDXJ closed-form replay wrapped in the zipnum blocking
+    arithmetic over the official line: rank over the total key order,
+    block = rank div N, per-block ordered digest."""
+    from pgferry_spark.sources.zipnum import CDXJ_LINE_SQL
+
+    line = CDXJ_LINE_SQL.format(
+        urlkey="surt",
+        ts="fetch_ts",
+        url="url",
+        mime="mime",
+        status="status",
+        digest="payload_md5",
+        length="rec_len",
+        offset="rec_offset",
+        filename="filename",
+    )
+    return _cdxj_cte() + f"""
+        , l AS (SELECT surt || ' ' || fetch_ts AS k, {line} AS cdxj_line,
+                  CAST(row_number() OVER (ORDER BY surt, fetch_ts,
+                       container_id, record_no) - 1 AS BIGINT) AS rn
+                FROM e)
+        SELECT CAST(rn // 8 AS BIGINT) AS block_no,
+               min(k) AS first_key,
+               max(k) AS last_key,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               md5(string_agg(cdxj_line, chr(10) ORDER BY rn)) AS lines_md5
+        FROM l GROUP BY 1
+    """
+
+
 def _cc_index_table_oracle() -> str:
     """The official column names over the same closed forms; the one
     non-string is fetch_time (strptime of the shared 14-digit ts)."""
@@ -6229,6 +6279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdxj_index": _cdxj_index,
         "cdxj_field_extract": _cdxj_field_extract,
         "cc_index_table": _cc_index_table,
+        "cdxj_zipnum_cluster": _cdxj_zipnum_cluster,
         "lsh_candidate_pairs_capped": _lsh_pairs_capped,
         "quality_classifier": _quality_classifier,
         "compression_ratio": _compression_ratio,
@@ -10676,6 +10727,7 @@ def oracle_sql() -> dict[str, str]:
         "cdxj_index": _cdxj_index_oracle(),
         "cdxj_field_extract": _cdxj_extract_oracle(),
         "cc_index_table": _cc_index_table_oracle(),
+        "cdxj_zipnum_cluster": _cdxj_cluster_oracle(),
         # the wire codings are transparent to the DECODED text, so the
         # transcode closed form is the oracle verbatim
         "http_wire_decode": _http_transcode_oracle(),

@@ -449,6 +449,41 @@ def cdxj_parse(df: DataFrame, line_col: str = "cdxj_line") -> DataFrame:
     )
 
 
+def cdxj_zipnum_cluster(
+    lines: DataFrame, lines_per_block: int = 8
+) -> DataFrame:
+    """The oracle-backed CONTENT of the official secondary index: per
+    zipnum block over the CDXJ lines (total key order) its
+    ``(block_no, first_key, last_key, n_lines, lines_md5)`` — the
+    official cluster.idx records only ``first_key``, but digesting
+    every line byte per block certifies the blocking arithmetic AND
+    the packed bytes (the :func:`cdx_zipnum_cluster` discipline over
+    the official line format).  The physical (offset, length) pointers
+    belong to :func:`cdxj_zipnum_pack` + :func:`cluster_idx_lines`."""
+    w = Window.orderBy(*[F.col(c) for c in _CDXJ_ORDER])
+    b = (
+        lines.withColumn("__key", F.expr("surt || ' ' || fetch_ts"))
+        .withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn("block_no", F.expr(f"__rn div {int(lines_per_block)}"))
+    )
+    return b.groupBy("block_no").agg(
+        F.min("__key").alias("first_key"),
+        F.max("__key").alias("last_key"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn", "cdxj_line"))
+                    ),
+                    lambda x: x["cdxj_line"],
+                ),
+                "\n",
+            )
+        ).alias("lines_md5"),
+    )
+
+
 _CDXJ_PACK_SCHEMA = StructType(
     [
         StructField("block_no", LongType(), False),

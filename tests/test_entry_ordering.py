@@ -99,7 +99,7 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 283
+N_QUERIES = 284
 
 
 def test_window_layout(entry_mod):

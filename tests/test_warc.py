@@ -1535,6 +1535,42 @@ class TestCdxjOfficialFormat:
         ]
         return shard, cluster, all_lines, block_lines
 
+    def test_cdxj_cluster_content_matches_pack(self, spark):
+        """The oracle-backed cluster CONTENT and the real packed bytes
+        agree block-for-block over the official lines: same first
+        keys, same counts, and inflating each packed block reproduces
+        the digested lines in key order."""
+        import gzip as _gz
+        import hashlib
+
+        from pgferry_spark.sources.zipnum import (
+            cdxj_lines,
+            cdxj_zipnum_cluster,
+            cdxj_zipnum_pack,
+        )
+
+        lines = cdxj_lines(self._facts(spark, 40)).select(
+            "surt", "fetch_ts", "container_id", "record_no", "cdxj_line"
+        )
+        content = {
+            r.block_no: r for r in cdxj_zipnum_cluster(lines).collect()
+        }
+        packed = {
+            r.block_no: r for r in cdxj_zipnum_pack(lines).collect()
+        }
+        assert set(content) == set(packed) == set(range(5))  # 40/8
+        for bno, c in content.items():
+            p = packed[bno]
+            assert p.first_key == c.first_key
+            assert p.n_lines == c.n_lines == 8
+            ls = _gz.decompress(bytes(p.block)).decode().splitlines()
+            assert hashlib.md5(
+                "\n".join(ls).encode()
+            ).hexdigest() == c.lines_md5
+            keys = [" ".join(ln.split(" ", 2)[:2]) for ln in ls]
+            assert keys == sorted(keys)
+            assert keys[0] == c.first_key and keys[-1] == c.last_key
+
     def test_cluster_idx_tsv_official_shape(self, spark):
         """5 tab-separated fields, 'urlkey<SP>ts' first key, offsets
         tiling the shard byte-exactly, sequential cluster numbers."""
