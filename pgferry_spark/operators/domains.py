@@ -711,26 +711,29 @@ def robots_pattern_sql(col: str) -> str:
 
 def _robots_grouped_lines(
     df: DataFrame, txt_col: str, domain_col: str
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """The RFC 9309 §2.1 group machinery both robots parsers share:
     explode the file into trimmed lowercased lines, then
 
     * a UA RUN (consecutive ``User-agent`` lines, blank/comment lines
-      between them included) is identified by ``dirs_before`` — the
+      between them included) is identified by ``__dirs_before`` — the
       count of directive lines (allow/disallow/crawl-delay) strictly
       before the line: every UA line of one run sees the same count,
       and a directive between two UA lines forces different counts,
       which is exactly the spec's run boundary;
     * each directive line carries ``grp`` — the run id of its nearest
-      preceding UA line (running last-non-null).
+      preceding UA line (running last-non-null) — and ``agents``, the
+      DISTINCT agent names of that run: the file's (run, agent) pairs
+      are collected once per file over the SAME domain-partitioned
+      window pass (exchange reused, no join, no second scan of the
+      line explode — round-12 A/B showed a grp-keyed join-back costing
+      ~1.5× on every robots entry) and filtered per row with a
+      higher-order lambda.
 
-    Returns ``(lines, agents)``: the grouped line table and the
-    distinct ``(domain, grp, agent)`` membership table; joining a
-    directive's ``grp`` against ``agents`` attributes it to EVERY
-    agent of its group — the §2.1 union the single-pass
-    nearest-UA attribution missed (round-12 fix).  All windows
-    partition on one robots.txt file — bounded by construction; the
-    join keys are file-and-run scale."""
+    Exploding ``agents`` attributes a directive to EVERY agent of its
+    group — the §2.1 union the single-pass nearest-UA attribution
+    missed (round-12 fix).  All windows partition on one robots.txt
+    file — bounded by construction."""
     lines = df.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(txt_col), "\r?\n")).alias(
@@ -747,7 +750,10 @@ def _robots_grouped_lines(
         .orderBy("line_no")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    lines = (
+    wall = Window.partitionBy("domain").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
         lines.withColumn("__ua", agent)
         .withColumn("__dirs_before", F.sum(is_dir).over(w) - is_dir)
         .withColumn(
@@ -757,17 +763,32 @@ def _robots_grouped_lines(
                 ignorenulls=True,
             ).over(w),
         )
-    )
-    agents = (
-        lines.filter(F.col("__ua") != "")
-        .select(
-            "domain",
-            F.col("__dirs_before").alias("grp"),
-            F.col("__ua").alias("agent"),
+        .withColumn(
+            "__runs",
+            F.collect_list(
+                F.when(
+                    F.col("__ua") != "",
+                    F.struct(
+                        F.col("__dirs_before").alias("g"),
+                        F.col("__ua").alias("a"),
+                    ),
+                )
+            ).over(wall),
         )
-        .dropDuplicates()
+        .withColumn(
+            "agents",
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        F.col("__runs"),
+                        lambda x: x["g"] == F.col("grp"),
+                    ),
+                    lambda x: x["a"],
+                )
+            ),
+        )
+        .drop("__runs")
     )
-    return lines, agents
 
 
 def robots_crawl_delays(
@@ -779,19 +800,16 @@ def robots_crawl_delays(
     ``User-agent: a`` + ``User-agent: b`` group yields a row for BOTH);
     domains without a delay line simply produce no row (the scheduler's
     default applies)."""
-    lines, agents = _robots_grouped_lines(df, txt_col, domain_col)
+    lines = _robots_grouped_lines(df, txt_col, domain_col)
     delay = F.expr(f"regexp_extract(__l, '{ROBOTS_DELAY_RE}', 1)")
-    delays = (
+    return (
         lines.withColumn("__d", delay)
         .filter((F.col("__d") != "") & F.col("grp").isNotNull())
-        .select("domain", "grp", F.col("__d").cast("int").alias("delay_s"))
-    )
-    # shuffle-hash, not sort-merge: both sides are same-keyed slim
-    # derivatives of the exploded line table (file-and-run scale next
-    # to the corpus) — no sort is worth paying, and the document-side
-    # plans that embed this stay SMJ-free
-    return delays.join(agents.hint("shuffle_hash"), ["domain", "grp"]).select(
-        "domain", "agent", "delay_s"
+        .select(
+            "domain",
+            F.explode("agents").alias("agent"),
+            F.col("__d").cast("int").alias("delay_s"),
+        )
     )
 
 
@@ -879,8 +897,8 @@ def parse_robots_rules(
     ``\\r`` inside every captured path prefix and the startswith gate
     would then NEVER match — the filter fails open, all disallowed URLs
     pass (round-9 ADVICE, medium).  Split on ``\\r?\\n`` instead."""
-    lines, agents = _robots_grouped_lines(df, txt_col, domain_col)
-    rules = (
+    lines = _robots_grouped_lines(df, txt_col, domain_col)
+    return (
         lines.withColumn(
             "rule", F.expr(f"regexp_extract(__l, '{ROBOTS_RULE_RE}', 1)")
         )
@@ -893,11 +911,12 @@ def parse_robots_rules(
             & (F.col("path_prefix") != "")
             & F.col("grp").isNotNull()
         )
-        .select("domain", "grp", "rule", "path_prefix")
-    )
-    # shuffle-hash, not sort-merge (see robots_crawl_delays)
-    return rules.join(agents.hint("shuffle_hash"), ["domain", "grp"]).select(
-        "domain", "agent", "rule", "path_prefix"
+        .select(
+            "domain",
+            F.explode("agents").alias("agent"),
+            "rule",
+            "path_prefix",
+        )
     )
 
 
