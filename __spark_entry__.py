@@ -6000,68 +6000,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pins this window arithmetic; tools/plan_rotation.py proposes each
     round's order."""
     return {
-        # --- window head: round-11 births (HTTP envelope layer +
-        # zipnum secondary index), driver-checked at birth
-        "http_response_index": _http_response_index,
-        "http_status_filter": _http_status_filter,
-        "http_body_extract": _http_body_extract,
-        "http_charset_transcode": _http_charset_transcode,
-        "http_redirect_edges": _http_redirect_edges,
-        "cdx_zipnum_index": _cdx_zipnum_index,
-        "http_wire_decode": _http_wire_decode,
-        "http_revisit_resolve": _http_revisit_resolve,
-        "http_request_pairs": _http_request_pairs,
-        "cc_ingest_funnel": _cc_ingest_funnel,
-        "http_truncated_audit": _http_truncated_audit,
-        "recrawl_plan": _recrawl_plan,
-        # --- stalest oracle-backed entries (r5/r6-green), rotated
-        # into the r11 window per the COVERAGE.md ledger
-        "dsir_weights": _dsir_weights,
-        "lsh_candidate_pairs_md5_capped": _lsh_pairs_md5_capped,
-        "cross_corpus_near_dup_capped": _cross_corpus_near_dup_capped,
-        "quality_twin_auc": _quality_twin_auc,
-        "boilerplate_ngrams": _boilerplate_ngrams,
-        "mixture_epochs": _mixture_epochs,
-        "embedding_drift_psi": _embedding_drift_psi,
-        "exact_substring_spans": _exact_substring_spans,
-        "hll_registers": _hll_registers,
-        "hll_union_estimate": _hll_union_estimate,
-        "cms_token_sketch": _cms_token_sketch,
-        "cms_heavy_hitters": _cms_heavy_hitters,
-        "bloom_custkey_probe": _bloom_custkey_probe,
-        "loghist_price_quantiles": _loghist_price_quantiles,
-        "hll_intersect_customers": _hll_intersect_customers,
-        "compaction_plan": _compaction_plan,
-        "cms_join_size_custkey": _cms_join_size_custkey,
-        "hll_rolling_users": _hll_rolling_users,
-        "cms_weighted_spenders": _cms_weighted_spenders,
-        "exact_substring_scrub": _exact_substring_scrub,
-        "sketch_validation_lineitem": _sketch_validation_lineitem,
-        "loghist_rolling_value": _loghist_rolling_value,
-        "hll_churn_customers": _hll_churn_customers,
-        "transform_uuid": _uuid_transforms,
-        "q3_shipping_priority": _q3,
-        "q5_local_supplier_volume": _q5,
-        "q10_returned_revenue": _q10,
-        "q12_priority_counts": _q12,
-        "q17_small_quantity_revenue": _q17,
-        "q6_forecast_revenue": _q6,
-        "q14_promo_revenue": _q14,
-        "q19_disjunctive_revenue": _q19,
-        "q22_idle_customers": _q22,
-        "q4_order_priority": _q4,
-        "q7_volume_shipping": _q7,
-        "q8_market_share": _q8,
-        "q9_product_profit": _q9,
-        "q13_order_count_distribution": _q13,
+        "cdxj_index": _cdxj_index,
+        "cdxj_field_extract": _cdxj_field_extract,
+        "cc_index_table": _cc_index_table,
+        "cdxj_zipnum_cluster": _cdxj_zipnum_cluster,
         "q15_top_supplier": _q15,
         "q18_large_volume_customers": _q18,
         "top_order_per_customer": _top_order,
         "big_order_customers": _big_orders,
         "cheapest_supplier_per_part": _cheapest_supplier,
         "customer_set_ops": _set_ops,
-        # --- past the 50-entry window: next-stalest first, in
-        # planner order (tools/plan_rotation.py)
         "sql_exists_subquery": _sql_surface,
         "rollup_pricing": _rollup,
         "distinct_orders_per_flag": _distinct,
@@ -6276,10 +6224,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_mine": _margin_mine,
         "curation_funnel": _curation_funnel,
         "source_datasheet": _source_datasheet,
-        "cdxj_index": _cdxj_index,
-        "cdxj_field_extract": _cdxj_field_extract,
-        "cc_index_table": _cc_index_table,
-        "cdxj_zipnum_cluster": _cdxj_zipnum_cluster,
+        "http_response_index": _http_response_index,
+        "http_status_filter": _http_status_filter,
+        "http_body_extract": _http_body_extract,
+        "http_charset_transcode": _http_charset_transcode,
+        "http_redirect_edges": _http_redirect_edges,
+        "cdx_zipnum_index": _cdx_zipnum_index,
+        "http_wire_decode": _http_wire_decode,
+        "http_revisit_resolve": _http_revisit_resolve,
+        "http_request_pairs": _http_request_pairs,
+        "cc_ingest_funnel": _cc_ingest_funnel,
+        "http_truncated_audit": _http_truncated_audit,
+        "recrawl_plan": _recrawl_plan,
+        "dsir_weights": _dsir_weights,
+        "lsh_candidate_pairs_md5_capped": _lsh_pairs_md5_capped,
+        "cross_corpus_near_dup_capped": _cross_corpus_near_dup_capped,
+        "quality_twin_auc": _quality_twin_auc,
+        "boilerplate_ngrams": _boilerplate_ngrams,
+        "mixture_epochs": _mixture_epochs,
+        "embedding_drift_psi": _embedding_drift_psi,
+        "exact_substring_spans": _exact_substring_spans,
+        "hll_registers": _hll_registers,
+        "hll_union_estimate": _hll_union_estimate,
+        "cms_token_sketch": _cms_token_sketch,
+        "cms_heavy_hitters": _cms_heavy_hitters,
+        "bloom_custkey_probe": _bloom_custkey_probe,
+        "loghist_price_quantiles": _loghist_price_quantiles,
+        "hll_intersect_customers": _hll_intersect_customers,
+        "compaction_plan": _compaction_plan,
+        "cms_join_size_custkey": _cms_join_size_custkey,
+        "hll_rolling_users": _hll_rolling_users,
+        "cms_weighted_spenders": _cms_weighted_spenders,
+        "exact_substring_scrub": _exact_substring_scrub,
+        "sketch_validation_lineitem": _sketch_validation_lineitem,
+        "loghist_rolling_value": _loghist_rolling_value,
+        "hll_churn_customers": _hll_churn_customers,
+        "transform_uuid": _uuid_transforms,
+        "q3_shipping_priority": _q3,
+        "q5_local_supplier_volume": _q5,
+        "q10_returned_revenue": _q10,
+        "q12_priority_counts": _q12,
+        "q17_small_quantity_revenue": _q17,
+        "q6_forecast_revenue": _q6,
+        "q14_promo_revenue": _q14,
+        "q19_disjunctive_revenue": _q19,
+        "q22_idle_customers": _q22,
+        "q4_order_priority": _q4,
+        "q7_volume_shipping": _q7,
+        "q8_market_share": _q8,
+        "q9_product_profit": _q9,
+        "q13_order_count_distribution": _q13,
         "lsh_candidate_pairs_capped": _lsh_pairs_capped,
         "quality_classifier": _quality_classifier,
         "compression_ratio": _compression_ratio,

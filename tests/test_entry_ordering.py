@@ -1,15 +1,15 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01..r10 each contain exactly 50
-keys equal to dict positions 1-50).  Round-11 rotation (VERDICT r10
-Next #6): the window head is this round's 12 births (the HTTP envelope
-layer + the zipnum secondary index — driver-checked at birth), then
-the 38 STALEST oracle-backed entries in tools/plan_rotation.py order —
-the r5-green block the r10 births displaced (dsir_weights through
-sketch_validation_lineitem) followed by the leading r6-green entries
-(the TPC-H shapes).  No oracle-backed entry goes >5 rounds without a
-driver-green record under this rotation.
+__spark_entry__.queries() (CORRECTNESS_r01..r11 each contain exactly 50
+keys equal to dict positions 1-50).  Round-12 rotation (VERDICT r11
+Next #9): the window head is this round's 4 births (the official
+CommonCrawl wire formats: CDXJ emit/parse, cc-index-table projection,
+official zipnum blocking — driver-checked at birth), then the 46
+STALEST oracle-backed entries in tools/plan_rotation.py order — the
+r6-green TPC-H/transform tail followed by the leading r7-green block.
+No oracle-backed entry goes >5 rounds without a driver-green record
+under this rotation.
 The 10 rows-only entries are PERMANENTLY excluded from the window — a
 slot spent on a ``no_oracle`` row can never produce a green driver row
 (round 7 burned 4 slots that way); their md5/exact twins carry the hash
@@ -33,46 +33,44 @@ def entry_mod():
     return mod
 
 
-# Window head: round-11 births, driver-checked at birth.
-NEW_R11 = [
-    "http_response_index", "http_status_filter", "http_body_extract",
-    "http_charset_transcode", "http_redirect_edges", "cdx_zipnum_index",
-    "http_wire_decode", "http_revisit_resolve", "http_request_pairs",
-    "cc_ingest_funnel", "http_truncated_audit", "recrawl_plan",
+# Window head: round-12 births, driver-checked at birth.
+NEW_R12 = [
+    "cdxj_index", "cdxj_field_extract", "cc_index_table",
+    "cdxj_zipnum_cluster",
 ]
 
 # Remaining window: the stalest oracle-backed entries, planner-stable
-# order (r5-green block first, then the leading r6-green TPC-H shapes).
+# order (the r6-green TPC-H/transform tail, then the leading r7-green
+# block).
 ROTATED_STALEST = [
-    "dsir_weights", "lsh_candidate_pairs_md5_capped",
-    "cross_corpus_near_dup_capped", "quality_twin_auc",
-    "boilerplate_ngrams", "mixture_epochs", "embedding_drift_psi",
-    "exact_substring_spans", "hll_registers", "hll_union_estimate",
-    "cms_token_sketch", "cms_heavy_hitters", "bloom_custkey_probe",
-    "loghist_price_quantiles", "hll_intersect_customers",
-    "compaction_plan", "cms_join_size_custkey", "hll_rolling_users",
-    "cms_weighted_spenders", "exact_substring_scrub",
-    "sketch_validation_lineitem", "loghist_rolling_value",
-    "hll_churn_customers", "transform_uuid", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q10_returned_revenue",
-    "q12_priority_counts", "q17_small_quantity_revenue",
-    "q6_forecast_revenue", "q14_promo_revenue", "q19_disjunctive_revenue",
-    "q22_idle_customers", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit",
-    "q13_order_count_distribution",
-]
-
-# Positions 51+: next-stalest, first in line for the r12 rotation.
-NEXT_IN_LINE = [
     "q15_top_supplier", "q18_large_volume_customers",
-    "top_order_per_customer", "big_order_customers", "cheapest_supplier_per_part",
-    "customer_set_ops", "sql_exists_subquery", "rollup_pricing",
-    "distinct_orders_per_flag",
+    "top_order_per_customer", "big_order_customers",
+    "cheapest_supplier_per_part", "customer_set_ops",
+    "sql_exists_subquery", "rollup_pricing", "distinct_orders_per_flag",
     "events_hourly", "events_json_stats", "events_pivot",
     "lineitem_column_stats", "revenue_percentiles", "sessionize",
     "asof_join", "minmax_probe", "row_counts", "sequence_reset",
     "orphan_anti_join", "orphan_set_null", "transform_strings",
-    "transform_bool", "transform_set_split",
+    "transform_bool", "transform_set_split", "transform_bits",
+    "transform_time_interval", "transform_year_money",
+    "transform_zero_date", "quality_checks", "text_stats", "span_dedup",
+    "domain_stats", "domain_quota_sample", "blocklist_filter", "url_dedup",
+    "image_exif_meta", "exif_gps_scrub", "bpe_merges", "bpe_encode",
+    "exact_substring_spans_chars", "image_meta_jpeg", "t_closeness",
+    "video_frame_index", "audio_segment_index", "hybrid_rrf_topk",
+    "dedup_keep_best",
+]
+
+# Positions 51+: next-stalest, first in line for the r13 rotation.
+NEXT_IN_LINE = [
+    "mmr_diversify", "pii_luhn_cards", "pii_card_gate",
+    "mmr_diversify_ivf", "curate_corpus_best", "kmeans_exact_assign",
+    "ivf_kmeans_exact_topk", "compressibility_entropy",
+    "dedup_method_agreement", "packing_efficiency", "lang_id",
+    "bpe_token_count", "winnow_summary", "winnow_shared_pairs",
+    "pii_scrub", "dataset_split", "quota_sample", "pack_sequences",
+    "range_join_incidents", "time_rollup", "cdc_merge", "scd2_history",
+    "dedup_clusters", "inverted_index",
 ]
 
 
@@ -104,15 +102,15 @@ N_QUERIES = 284
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:12] == NEW_R11
-    assert names[12:50] == ROTATED_STALEST
+    assert names[:4] == NEW_R12
+    assert names[4:50] == ROTATED_STALEST
     assert names[50:74] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 12 + 38 == 50: no slot wasted
+    # 4 + 46 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
-    assert first50 == set(NEW_R11) | set(ROTATED_STALEST)
+    assert first50 == set(NEW_R12) | set(ROTATED_STALEST)
 
 
 def test_rows_only_permanently_post_window(entry_mod):
