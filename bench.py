@@ -243,6 +243,12 @@ HEADLINE = [
     "cc_ingest_funnel",
     "http_truncated_audit",
     "recrawl_plan",
+    # round 12: the official CommonCrawl wire formats (CDXJ emit/parse,
+    # cc-index-table projection, official zipnum blocking content)
+    "cdxj_index",
+    "cdxj_field_extract",
+    "cc_index_table",
+    "cdxj_zipnum_cluster",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —
