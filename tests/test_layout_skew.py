@@ -195,6 +195,72 @@ def test_zorder_write_files_have_disjoint_key_ranges(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2000
 
 
+def test_cc_index_table_surtkey_range_layout(spark, tmp_path):
+    """Round 12: the public-index ACCESS PATTERN over the
+    cc_index_table projection — written range-partitioned + sorted on
+    url_surtkey, per-file key spans are disjoint (so 'all captures
+    under a domain' touches only the files whose span intersects the
+    SURT prefix range — the 300 GB index reads as a file-pruned range
+    scan) and the predicate reaches the parquet scan as a
+    PushedFilter."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (f"com,d{i % 8})/p/{i}", f"https://d{i % 8}.com/p/{i}",
+         200, i * 100, 100)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url_surtkey: string, url: string, fetch_status: int,"
+        " warc_record_offset: long, warc_record_length: long",
+    )
+    path = str(tmp_path / "ccidx")
+    (
+        df.repartitionByRange(4, "url_surtkey")
+        .sortWithinPartitions("url_surtkey")
+        .write.parquet(path)
+    )
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 2
+    spans = []
+    for f in files:
+        lo, hi = (
+            spark.read.parquet(f)
+            .agg(F.min("url_surtkey"), F.max("url_surtkey"))
+            .first()
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file key ranges: {spans}"
+    # the domain-prefix range query: predicate pushed to the scan,
+    # result exact ('0' is ')'+1 — the standard SURT prefix upper bound)
+    q = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("url_surtkey") >= "com,d3)/")
+            & (F.col("url_surtkey") < "com,d3)0")
+        )
+        .select("url_surtkey", "warc_record_offset", "warc_record_length")
+    )
+    explained = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in explained
+    assert "url_surtkey" in explained
+    got = {r.url_surtkey for r in q.collect()}
+    assert got == {f"com,d3)/p/{i}" for i in range(2000) if i % 8 == 3}
+    # column pruning: the scan reads only the 3 projected columns
+    assert "ReadSchema" in explained and "fetch_status" not in (
+        explained.split("ReadSchema")[1].split("\n")[0]
+    )
+
+
 def test_range_write_by_sketch_disjoint_balanced(spark, tmp_path):
     """Sketch-planned range layout: per-range value spans are disjoint,
     row masses are ~equal, and the round trip loses nothing — without
