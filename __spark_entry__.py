@@ -3677,6 +3677,20 @@ def _cdxj_zipnum_cluster(spark, sf):
     return cdxj_zipnum_cluster(lines)
 
 
+def _cdx11_index(spark, sf):
+    """Classic 11-field CDX lines (round 12): the ' CDX N b a m s k r
+    M S V g' format the wayback CDX server speaks — urlkey, timestamp,
+    original url, mime, status, digest, '-' redirect, '-' meta tags,
+    record length, record offset, filename, space-separated, over the
+    same real-parse CDX facts as cdxj_index.  The parse round-trip
+    (cdx11_parse) is pytest-pinned."""
+    from pgferry_spark.sources.zipnum import cdx11_lines
+
+    return cdx11_lines(_cdxj_facts(spark, sf)).select(
+        "surt", "fetch_ts", "cdx11_line"
+    )
+
+
 def _cc_index_table(spark, sf):
     """cc-index-table columnar projection (round 12 — VERDICT r11
     missing #2): the same capture facts under the OFFICIAL parquet
@@ -5549,6 +5563,26 @@ def _cdxj_cluster_oracle() -> str:
     """
 
 
+def _cdx11_index_oracle() -> str:
+    """The classic line assembled by the SAME shared template."""
+    from pgferry_spark.sources.zipnum import CDX11_LINE_SQL
+
+    line = CDX11_LINE_SQL.format(
+        urlkey="surt",
+        ts="fetch_ts",
+        url="url",
+        mime="mime",
+        status="status",
+        digest="payload_md5",
+        length="rec_len",
+        offset="rec_offset",
+        filename="filename",
+    )
+    return _cdxj_cte() + f"""
+        SELECT surt, fetch_ts, {line} AS cdx11_line FROM e
+    """
+
+
 def _cc_index_table_oracle() -> str:
     """The official column names over the same closed forms; the one
     non-string is fetch_time (strptime of the shared 14-digit ts)."""
@@ -6004,6 +6038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdxj_field_extract": _cdxj_field_extract,
         "cc_index_table": _cc_index_table,
         "cdxj_zipnum_cluster": _cdxj_zipnum_cluster,
+        "cdx11_index": _cdx11_index,
         "q15_top_supplier": _q15,
         "q18_large_volume_customers": _q18,
         "top_order_per_customer": _top_order,
@@ -10722,6 +10757,7 @@ def oracle_sql() -> dict[str, str]:
         "cdxj_field_extract": _cdxj_extract_oracle(),
         "cc_index_table": _cc_index_table_oracle(),
         "cdxj_zipnum_cluster": _cdxj_cluster_oracle(),
+        "cdx11_index": _cdx11_index_oracle(),
         # the wire codings are transparent to the DECODED text, so the
         # transcode closed form is the oracle verbatim
         "http_wire_decode": _http_transcode_oracle(),

@@ -249,6 +249,7 @@ HEADLINE = [
     "cdxj_field_extract",
     "cc_index_table",
     "cdxj_zipnum_cluster",
+    "cdx11_index",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

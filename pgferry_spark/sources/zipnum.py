@@ -387,6 +387,19 @@ _CDXJ_JSON_SQL = (
 
 CDXJ_LINE_SQL = "{urlkey} || ' ' || {ts} || ' ' || " + _CDXJ_JSON_SQL
 
+# the CLASSIC 11-field CDX line (header ' CDX N b a m s k r M S V g'):
+# urlkey, timestamp, original url, mime, status, digest, redirect '-',
+# meta tags '-', record length, record offset, filename — the format
+# the wayback CDX server still speaks.  Space-separated; our URLs
+# carry no spaces (the format's own assumption).
+CDX11_HEADER = " CDX N b a m s k r M S V g"
+CDX11_LINE_SQL = (
+    "{urlkey} || ' ' || {ts} || ' ' || {url} || ' ' || {mime}"
+    " || ' ' || CAST({status} AS STRING) || ' ' || {digest}"
+    " || ' - - ' || CAST({length} AS STRING)"
+    " || ' ' || CAST({offset} AS STRING) || ' ' || {filename}"
+)
+
 # total order for cdxj packing: string order over 'urlkey<SP>ts' equals
 # this tuple order because no surt byte sorts below SP
 _CDXJ_ORDER = ["surt", "fetch_ts", "container_id", "record_no"]
@@ -413,6 +426,49 @@ def cdxj_lines(cdx: DataFrame) -> DataFrame:
                 filename="filename",
             )
         ),
+    )
+
+
+def cdx11_lines(cdx: DataFrame) -> DataFrame:
+    """Append ``cdx11_line`` — the classic 11-field CDX line — to the
+    same fact table :func:`cdxj_lines` consumes.  Redirect and meta
+    tags emit the format's '-' placeholder (the synthesis carries
+    neither).  Map-only codegen; the shared template is the oracle."""
+    return cdx.withColumn(
+        "cdx11_line",
+        F.expr(
+            CDX11_LINE_SQL.format(
+                urlkey="surt",
+                ts="fetch_ts",
+                url="target_uri",
+                mime="mime",
+                status="status",
+                digest="payload_md5",
+                length="rec_len",
+                offset="rec_offset",
+                filename="filename",
+            )
+        ),
+    )
+
+
+def cdx11_parse(df: DataFrame, line_col: str = "cdx11_line") -> DataFrame:
+    """Parse classic 11-field CDX lines back into typed columns — the
+    space-split read side (position-indexed ``split_part``; the format
+    itself assumes space-free fields)."""
+    p = [f"split_part({line_col}, ' ', {i})" for i in range(1, 12)]
+    return df.select(
+        F.expr(p[0]).alias("urlkey"),
+        F.expr(p[1]).alias("fetch_ts"),
+        F.expr(p[2]).alias("url"),
+        F.expr(p[3]).alias("mime"),
+        F.expr(p[4]).cast("int").alias("status"),
+        F.expr(p[5]).alias("digest"),
+        F.expr(p[6]).alias("redirect"),
+        F.expr(p[7]).alias("meta_tags"),
+        F.expr(p[8]).cast("long").alias("length"),
+        F.expr(p[9]).cast("long").alias("offset"),
+        F.expr(p[10]).alias("filename"),
     )
 
 
@@ -561,6 +617,88 @@ def cluster_idx_lines(
             F.col("block_no").cast("string"),
         ).alias("cluster_line"),
     )
+
+
+def write_zipnum_files(
+    packed: DataFrame,
+    out_dir: str,
+    cdx_filename: str = "cdx-00000.gz",
+    cluster_filename: str = "cluster.idx",
+) -> None:
+    """Publish one zipnum shard + its cluster.idx as REAL files in ONE
+    executor pass: the gzip members concatenate in block order into
+    ``cdx_filename`` while the official 5-column TSV rows accumulate
+    their (offset, length) pointers from the bytes ACTUALLY written —
+    the two artifacts cannot diverge.  Atomic publish via unique temp +
+    hard-link (the :func:`~.warc.write_warc_files` discipline): an
+    existing target raises instead of clobbering, and a concurrent
+    reader never sees a torn file.  One shard = one writer — the unit
+    real layouts use (cc-index ships ~300 ``cdx-NNNNN.gz`` files);
+    multi-shard layouts call this once per shard's packed blocks, and
+    ``out_dir`` must be executor-reachable shared storage."""
+    import os
+    import tempfile
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(rows) -> None:
+        rows = sorted(rows, key=lambda r: int(r["block_no"]))
+        if not rows:
+            return
+        fd, tmp_s = tempfile.mkstemp(dir=out_dir, suffix=".inprogress")
+        fdi, tmp_i = tempfile.mkstemp(dir=out_dir, suffix=".inprogress")
+        off = 0
+        with os.fdopen(fd, "wb") as fs, os.fdopen(fdi, "w") as fi:
+            for r in rows:
+                b = bytes(r["block"])
+                fs.write(b)
+                fi.write(
+                    f"{r['first_key']}\t{cdx_filename}\t{off}\t"
+                    f"{len(b)}\t{int(r['block_no'])}\n"
+                )
+                off += len(b)
+        try:
+            for tmpf, name in (
+                (tmp_s, cdx_filename),
+                (tmp_i, cluster_filename),
+            ):
+                p = os.path.join(out_dir, name)
+                try:
+                    os.link(tmpf, p)  # atomic, fails if p exists
+                except FileExistsError:
+                    raise ValueError(
+                        f"zipnum target {p!r} already exists —"
+                        " refusing to clobber"
+                    )
+        finally:
+            for tmpf in (tmp_s, tmp_i):
+                if os.path.exists(tmpf):
+                    os.unlink(tmpf)
+
+    packed.select("block_no", "first_key", "block").coalesce(
+        1
+    ).foreachPartition(write_part)
+
+
+def read_zipnum_files(
+    out_dir: str, cluster_filename: str = "cluster.idx"
+) -> tuple[dict, list[dict]]:
+    """The lookup-side loader: parse the on-disk cluster.idx and load
+    every shard file it names — returns ``(shards, cluster)`` exactly
+    as :func:`zipnum_lookup` consumes them.  cluster.idx is the
+    config-scale artifact a lookup service caches; at 100 TB the shard
+    bytes stay in object storage and each probe is a ranged GET of one
+    (offset, length) member — loading whole shards here is the local
+    stand-in for that."""
+    import os
+
+    with open(os.path.join(out_dir, cluster_filename)) as f:
+        cluster = parse_cluster_idx(f.read())
+    shards: dict[str, bytes] = {}
+    for fn in {c["filename"] for c in cluster}:
+        with open(os.path.join(out_dir, fn), "rb") as f:
+            shards[fn] = f.read()
+    return shards, cluster
 
 
 def parse_cluster_idx(text: str) -> list[dict]:

@@ -1644,6 +1644,98 @@ class TestCdxjOfficialFormat:
                 ln for ln in all_lines if ln.split(" ", 1)[0] == key
             ]
 
+    def test_cdx11_line_shape_and_parse_roundtrip(self, spark):
+        """The classic 11-field format: exactly 11 space-separated
+        fields matching the ' CDX N b a m s k r M S V g' header,
+        '-' placeholders for redirect/meta, and cdx11_parse recovers
+        every typed field."""
+        from pgferry_spark.sources.zipnum import (
+            CDX11_HEADER,
+            cdx11_lines,
+            cdx11_parse,
+        )
+
+        assert CDX11_HEADER == " CDX N b a m s k r M S V g"
+        facts = self._facts(spark)
+        df = cdx11_lines(facts)
+        rows = df.collect()
+        assert len(rows) == 40
+        for r in rows:
+            parts = r.cdx11_line.split(" ")
+            assert len(parts) == 11, r.cdx11_line
+            assert parts[0] == r.surt
+            assert parts[1] == r.fetch_ts and len(parts[1]) == 14
+            assert parts[2] == r.target_uri
+            assert parts[3] == r.mime
+            assert parts[4] == str(r.status)
+            assert parts[5] == r.payload_md5
+            assert parts[6] == "-" and parts[7] == "-"
+            assert parts[8] == str(r.rec_len)
+            assert parts[9] == str(r.rec_offset)
+            assert parts[10] == r.filename
+        parsed = {
+            (p.urlkey, p.fetch_ts, p.url): p
+            for p in cdx11_parse(df.select("cdx11_line")).collect()
+        }
+        for r in rows:
+            p = parsed[(r.surt, r.fetch_ts, r.target_uri)]
+            assert (
+                p.status, p.digest, p.redirect, p.meta_tags, p.length,
+                p.offset, p.filename,
+            ) == (
+                r.status, r.payload_md5, "-", "-", r.rec_len,
+                r.rec_offset, r.filename,
+            )
+
+    def test_zipnum_file_loop_roundtrip_and_lookup(self, spark, tmp_path):
+        """The REAL-file loop: write_zipnum_files publishes the shard +
+        cluster.idx in one pass (offsets accumulated from the bytes
+        actually written), read_zipnum_files loads them back, and
+        zipnum_lookup over the on-disk artifacts equals a full scan
+        for every key."""
+        from pgferry_spark.sources.zipnum import (
+            cdxj_lines,
+            cdxj_zipnum_pack,
+            read_zipnum_files,
+            write_zipnum_files,
+            zipnum_lookup,
+        )
+
+        lines = cdxj_lines(self._facts(spark, 40)).select(
+            "surt", "fetch_ts", "container_id", "record_no", "cdxj_line"
+        )
+        packed = cdxj_zipnum_pack(lines)
+        d = tmp_path / "zip"
+        write_zipnum_files(packed, str(d))
+        assert sorted(p.name for p in d.iterdir()) == [
+            "cdx-00000.gz", "cluster.idx",
+        ]
+        shards, cluster = read_zipnum_files(str(d))
+        # offsets tile the shard byte-exactly
+        assert cluster[0]["offset"] == 0
+        for a, b in zip(cluster, cluster[1:]):
+            assert b["offset"] == a["offset"] + a["length"]
+        total = cluster[-1]["offset"] + cluster[-1]["length"]
+        assert total == len(shards["cdx-00000.gz"])
+        all_lines = [
+            ln
+            for r in sorted(
+                ((c["offset"], c["length"]) for c in cluster)
+            )
+            for ln in __import__("gzip").decompress(
+                shards["cdx-00000.gz"][r[0]: r[0] + r[1]]
+            ).decode().splitlines()
+        ]
+        for key in {ln.split(" ", 1)[0] for ln in all_lines}:
+            got, _ = zipnum_lookup(shards, cluster, key)
+            assert got == [
+                ln for ln in all_lines if ln.split(" ", 1)[0] == key
+            ]
+        # re-publish into the same dir refuses to clobber
+        with pytest.raises(Exception, match="refusing to clobber"):
+            write_zipnum_files(packed, str(d))
+        assert not list(d.glob("*.inprogress*"))
+
     def test_parse_cluster_idx_rejects_malformed(self):
         from pgferry_spark.sources.zipnum import parse_cluster_idx
 
