@@ -691,6 +691,28 @@ CHARSET_CODECS = {
     "latin1": "iso-8859-1",
     "windows-1252": "cp1252",
     "cp1252": "cp1252",
+    # round 12: the rest of the high-frequency crawl declarations with
+    # exact stdlib codecs (CommonCrawl charset census order) — CJK,
+    # cyrillic, and the ISO-8859 family webisms.  Still a bounded
+    # ALLOWLIST: anything else stays drop-and-audit.
+    "iso-8859-2": "iso-8859-2",
+    "iso-8859-15": "iso-8859-15",
+    "windows-1250": "cp1250",
+    "cp1250": "cp1250",
+    "windows-1251": "cp1251",
+    "cp1251": "cp1251",
+    "koi8-r": "koi8-r",
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "euc-jp": "euc_jp",
+    "euc-kr": "euc_kr",
+    "gbk": "gbk",
+    "gb2312": "gbk",  # the web reality: gb2312 labels GBK content
+    "big5": "big5",
+    "utf-16": "utf-16",
+    "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
 }
 
 _TRANSCODE_SCHEMA = StructType(

@@ -539,6 +539,82 @@ class TestHttpSparkOperators:
             else:
                 assert text == base
 
+    def test_charset_allowlist_extended_codecs(self, spark):
+        """Round 12: the rest of the high-frequency crawl charset
+        declarations (CJK / cyrillic / ISO-8859 family / utf-16)
+        transcode through their exact stdlib codecs; an unknown
+        declaration still drops-and-audits, never guesses."""
+        from pgferry_spark.sources.warc import encode_warc
+
+        cases = [
+            ("shift_jis", "日本語のページです"),
+            ("euc-jp", "これも日本語"),
+            ("euc-kr", "한국어 페이지"),
+            ("gbk", "中文网页内容"),
+            ("gb2312", "简体中文"),
+            ("big5", "繁體中文網頁"),
+            ("koi8-r", "русская страница"),
+            ("windows-1251", "кириллица здесь"),
+            ("iso-8859-2", "zażółć gęślą jaźń"),
+            ("windows-1250", "příliš žluťoučký"),
+            ("iso-8859-15", "prix: 12€"),
+            ("utf-16", "utf sixteen page"),
+            ("utf-16le", "little endian"),
+            ("utf-16be", "big endian"),
+        ]
+        import codecs as _codecs
+
+        from pgferry_spark.sources.httpmsg import CHARSET_CODECS
+
+        recs = []
+        for i, (cs, text) in enumerate(cases):
+            body = text.encode(_codecs.lookup(CHARSET_CODECS[cs]).name)
+            env = H.encode_http_response(
+                200, "OK",
+                [("Content-Type", f"text/html; charset={cs}"),
+                 ("Content-Length", str(len(body)))],
+                body,
+            )
+            recs.append(
+                {
+                    "type": "response",
+                    "record_id": f"urn:uuid:{i}",
+                    "uri": f"https://cs.org/{i}",
+                    "payload": env,
+                    "content_type": H.HTTP_MSGTYPE_RESPONSE,
+                    "payload_digest": "md5:"
+                    + hashlib.md5(body).hexdigest(),
+                }
+            )
+        # one record with an off-allowlist declaration: dropped
+        bad = H.encode_http_response(
+            200, "OK",
+            [("Content-Type", "text/html; charset=ebcdic-fr"),
+             ("Content-Length", "2")],
+            b"xx",
+        )
+        recs.append(
+            {
+                "type": "response",
+                "record_id": "urn:uuid:99",
+                "uri": "https://cs.org/99",
+                "payload": bad,
+                "content_type": H.HTTP_MSGTYPE_RESPONSE,
+                "payload_digest": "md5:" + hashlib.md5(b"xx").hexdigest(),
+            }
+        )
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_warc(recs)))],
+            "container_id: long, container: binary",
+        )
+        got = {
+            r.target_uri: (r.charset, r.text)
+            for r in H.http_charset_transcode(df).collect()
+        }
+        for i, (cs, text) in enumerate(cases):
+            assert got[f"https://cs.org/{i}"] == (cs, text), cs
+        assert "https://cs.org/99" not in got  # unknown: drop-and-audit
+
     def test_redirect_edges(self, spark):
         df = _docs_df(spark, 20)
         got = sorted(
