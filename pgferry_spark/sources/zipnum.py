@@ -455,19 +455,20 @@ def cdx11_lines(cdx: DataFrame) -> DataFrame:
 def cdx11_parse(df: DataFrame, line_col: str = "cdx11_line") -> DataFrame:
     """Parse classic 11-field CDX lines back into typed columns — the
     space-split read side (position-indexed ``split_part``; the format
-    itself assumes space-free fields)."""
+    itself assumes space-free fields).  TOTAL on malformed lines:
+    try_cast nulls non-numeric fields instead of an ANSI cast throw."""
     p = [f"split_part({line_col}, ' ', {i})" for i in range(1, 12)]
     return df.select(
         F.expr(p[0]).alias("urlkey"),
         F.expr(p[1]).alias("fetch_ts"),
         F.expr(p[2]).alias("url"),
         F.expr(p[3]).alias("mime"),
-        F.expr(p[4]).cast("int").alias("status"),
+        F.expr(p[4]).try_cast("int").alias("status"),
         F.expr(p[5]).alias("digest"),
         F.expr(p[6]).alias("redirect"),
         F.expr(p[7]).alias("meta_tags"),
-        F.expr(p[8]).cast("long").alias("length"),
-        F.expr(p[9]).cast("long").alias("offset"),
+        F.expr(p[8]).try_cast("long").alias("length"),
+        F.expr(p[9]).try_cast("long").alias("offset"),
         F.expr(p[10]).alias("filename"),
     )
 
@@ -484,7 +485,9 @@ def cdxj_parse(df: DataFrame, line_col: str = "cdxj_line") -> DataFrame:
     (int), digest, length (long), offset (long), filename``.  The
     json block is everything after the second space (urlkeys cannot
     contain SP); Spark's from_json handles the escapes the emitter
-    wrote."""
+    wrote.  TOTAL on malformed lines: non-json and non-numeric fields
+    parse to null (from_json + try_cast), never an executor throw —
+    ANSI-mode cast would fail the whole scan on one corrupt line."""
     urlkey = f"split_part({line_col}, ' ', 1)"
     ts = f"split_part({line_col}, ' ', 2)"
     js = (
@@ -497,10 +500,10 @@ def cdxj_parse(df: DataFrame, line_col: str = "cdxj_line") -> DataFrame:
         F.expr(ts).alias("fetch_ts"),
         j["url"].alias("url"),
         j["mime"].alias("mime"),
-        j["status"].cast("int").alias("status"),
+        j["status"].try_cast("int").alias("status"),
         j["digest"].alias("digest"),
-        j["length"].cast("long").alias("length"),
-        j["offset"].cast("long").alias("offset"),
+        j["length"].try_cast("long").alias("length"),
+        j["offset"].try_cast("long").alias("offset"),
         j["filename"].alias("filename"),
     )
 

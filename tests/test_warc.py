@@ -1736,6 +1736,27 @@ class TestCdxjOfficialFormat:
             write_zipnum_files(packed, str(d))
         assert not list(d.glob("*.inprogress*"))
 
+    def test_parse_total_on_garbage_lines(self, spark):
+        """Totality of the read side: malformed CDXJ / CDX11 lines
+        parse to nulls (from_json / empty split_part semantics) — a
+        corrupt index line can never crash a distributed scan; callers
+        filter on the null fields."""
+        from pgferry_spark.sources.zipnum import cdx11_parse, cdxj_parse
+
+        garbage = [
+            "", "nokey", "a b", "a b notjson", 'k 123 {"url": 5}',
+            "k 20240815000000 {}", "x y {\"url\": \"u\"} trailing",
+            "\t\t\t", "k " * 40,
+        ]
+        dfj = spark.createDataFrame(
+            [(g,) for g in garbage], "cdxj_line: string"
+        )
+        assert len(cdxj_parse(dfj).collect()) == len(garbage)
+        df1 = spark.createDataFrame(
+            [(g,) for g in garbage], "cdx11_line: string"
+        )
+        assert len(cdx11_parse(df1).collect()) == len(garbage)
+
     def test_parse_cluster_idx_rejects_malformed(self):
         from pgferry_spark.sources.zipnum import parse_cluster_idx
 
