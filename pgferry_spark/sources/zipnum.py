@@ -683,6 +683,123 @@ def write_zipnum_files(
     ).foreachPartition(write_part)
 
 
+def publish_zipnum_sharded(
+    lines: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    lines_per_block: int = 8,
+    cluster_filename: str = "cluster.idx",
+) -> list[dict]:
+    """The DISTRIBUTED official-layout publication — the 100 TB shape:
+    range-partition the CDXJ lines on the total key order, and each
+    task streams ITS sorted partition into every-N gzip members,
+    writing ONE shard file (``cdx-<task:05d>.gz``, atomic temp +
+    hard-link, clobber-refusing) while emitting its cluster rows with
+    offsets accumulated from the bytes actually written.  The merged
+    cluster.idx (config-scale — blocks = lines/N) is collected,
+    renumbered globally in key order, and written once.  Returns the
+    cluster rows as :func:`zipnum_lookup` consumes them.
+
+    Scale posture: index bytes go executor → storage, one file per
+    task, nothing but the slim cluster rows returns to the driver;
+    shard key ranges tile the key space (range partitioner), so
+    a lookup's firsts-only bisect routes to one shard's blocks via
+    the filename column.  Empty range partitions write no file.
+    Blocks stream through a bounded ``lines_per_block`` buffer — a
+    shard never materializes in executor memory."""
+    import os
+    import tempfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    schema = StructType(
+        [
+            StructField("first_key", StringType(), False),
+            StructField("filename", StringType(), False),
+            StructField("offset", LongType(), False),
+            StructField("length", LongType(), False),
+        ]
+    )
+
+    def write_shard(batches: "Iterator[pd.DataFrame]"):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fn = f"cdx-{pid:05d}.gz"
+        rows: dict[str, list] = {
+            "first_key": [], "filename": [], "offset": [], "length": [],
+        }
+        buf: list[str] = []
+        state = {"fd": None, "tmp": None, "off": 0}
+
+        def flush() -> None:
+            if not buf:
+                return
+            if state["fd"] is None:
+                fd, tmp = tempfile.mkstemp(
+                    dir=out_dir, suffix=".inprogress"
+                )
+                state["fd"], state["tmp"] = os.fdopen(fd, "wb"), tmp
+            b = encode_zipnum_block(buf)
+            state["fd"].write(b)
+            rows["first_key"].append(_line_key(buf[0]))
+            rows["filename"].append(fn)
+            rows["offset"].append(state["off"])
+            rows["length"].append(len(b))
+            state["off"] += len(b)
+            buf.clear()
+
+        for pdf in batches:
+            for ln in pdf["cdxj_line"]:
+                buf.append(ln)
+                if len(buf) == lines_per_block:
+                    flush()
+        flush()
+        if state["fd"] is not None:
+            state["fd"].close()
+            p = os.path.join(out_dir, fn)
+            try:
+                os.link(state["tmp"], p)  # atomic, fails if p exists
+            except FileExistsError:
+                raise ValueError(
+                    f"zipnum shard {p!r} already exists —"
+                    " refusing to clobber"
+                )
+            finally:
+                os.unlink(state["tmp"])
+        yield pd.DataFrame(rows)
+
+    collected = (
+        lines.repartitionByRange(n_shards, *[F.col(c) for c in _CDXJ_ORDER])
+        .sortWithinPartitions(*_CDXJ_ORDER)
+        .select("cdxj_line")
+        .mapInPandas(write_shard, schema=schema)
+        .collect()
+    )
+    cluster = sorted(
+        (r.asDict() for r in collected),
+        key=lambda c: (c["first_key"], c["filename"], c["offset"]),
+    )
+    for i, c in enumerate(cluster):
+        c["cluster"] = i  # global sequence in key order (official col 5)
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".inprogress")
+    with os.fdopen(fd, "w") as f:
+        for c in cluster:
+            f.write(
+                f"{c['first_key']}\t{c['filename']}\t{c['offset']}\t"
+                f"{c['length']}\t{c['cluster']}\n"
+            )
+    p = os.path.join(out_dir, cluster_filename)
+    try:
+        os.link(tmp, p)
+    except FileExistsError:
+        raise ValueError(
+            f"zipnum target {p!r} already exists — refusing to clobber"
+        )
+    finally:
+        os.unlink(tmp)
+    return cluster
+
+
 def read_zipnum_files(
     out_dir: str, cluster_filename: str = "cluster.idx"
 ) -> tuple[dict, list[dict]]:

@@ -1736,6 +1736,68 @@ class TestCdxjOfficialFormat:
             write_zipnum_files(packed, str(d))
         assert not list(d.glob("*.inprogress*"))
 
+    def test_publish_zipnum_sharded_distributed_layout(
+        self, spark, tmp_path
+    ):
+        """The distributed official layout: N range-partitioned shard
+        files + one merged cluster.idx, written executor-side; lookup
+        over the on-disk artifacts equals a full scan for every key,
+        shard key ranges tile the key space, offsets tile each file."""
+        import gzip as _gz
+
+        from pgferry_spark.sources.zipnum import (
+            cdxj_lines,
+            publish_zipnum_sharded,
+            read_zipnum_files,
+            zipnum_lookup,
+        )
+
+        lines = cdxj_lines(self._facts(spark, 64)).select(
+            "surt", "fetch_ts", "container_id", "record_no", "cdxj_line"
+        )
+        d = tmp_path / "sharded"
+        cluster = publish_zipnum_sharded(lines, str(d), n_shards=4)
+        files = sorted(p.name for p in d.glob("cdx-*.gz"))
+        assert 2 <= len(files) <= 4  # genuinely distributed
+        assert (d / "cluster.idx").exists()
+        shards, cluster2 = read_zipnum_files(str(d))
+        assert [c["cluster"] for c in cluster2] == list(
+            range(len(cluster2))
+        )
+        assert cluster2 == cluster
+        # per-file offsets tile each shard byte-exactly
+        for fn, blob in shards.items():
+            rows = sorted(
+                (c for c in cluster2 if c["filename"] == fn),
+                key=lambda c: c["offset"],
+            )
+            assert rows[0]["offset"] == 0
+            for a, b in zip(rows, rows[1:]):
+                assert b["offset"] == a["offset"] + a["length"]
+            assert rows[-1]["offset"] + rows[-1]["length"] == len(blob)
+        # global key order across the merged cluster.idx
+        firsts = [c["first_key"] for c in cluster2]
+        assert firsts == sorted(firsts)
+        all_lines = []
+        for c in cluster2:
+            blob = shards[c["filename"]]
+            all_lines += (
+                _gz.decompress(
+                    blob[c["offset"]: c["offset"] + c["length"]]
+                ).decode().splitlines()
+            )
+        keys = [" ".join(ln.split(" ", 2)[:2]) for ln in all_lines]
+        assert keys == sorted(keys) and len(all_lines) == 64
+        for key in {ln.split(" ", 1)[0] for ln in all_lines}:
+            got, _ = zipnum_lookup(shards, cluster2, key)
+            assert got == [
+                ln for ln in all_lines if ln.split(" ", 1)[0] == key
+            ]
+        # re-publish refuses to clobber
+        with pytest.raises(Exception, match="refusing to clobber"):
+            publish_zipnum_sharded(lines, str(d), n_shards=4)
+        assert not list(d.glob("*.inprogress*"))
+
     def test_parse_total_on_garbage_lines(self, spark):
         """Totality of the read side: malformed CDXJ / CDX11 lines
         parse to nulls (from_json / empty split_part semantics) — a
