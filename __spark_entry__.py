@@ -3677,6 +3677,24 @@ def _cdxj_zipnum_cluster(spark, sf):
     return cdxj_zipnum_cluster(lines)
 
 
+def _cc_index_host_stats(spark, sf):
+    """The consumer story for the official schema (round 12): the
+    first query every cc-index-table user runs — per-host capture
+    census over the OFFICIAL column names (captures, ok_rate, distinct
+    media types, total stored bytes, earliest/latest fetch).  One
+    aggregation shuffle on url_host_name; at 100 TB this is the
+    athena-style rollup the public table exists to serve."""
+    t = _cc_index_table(spark, sf)
+    return t.groupBy("url_host_name").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum((F.col("fetch_status") == 200).cast("int")).alias("n_ok"),
+        F.count_distinct("content_mime_type").alias("n_mimes"),
+        F.sum("warc_record_length").alias("stored_bytes"),
+        F.min("fetch_time").alias("first_fetch"),
+        F.max("fetch_time").alias("last_fetch"),
+    )
+
+
 def _cdx11_index(spark, sf):
     """Classic 11-field CDX lines (round 12): the ' CDX N b a m s k r
     M S V g' format the wayback CDX server speaks — urlkey, timestamp,
@@ -5563,6 +5581,22 @@ def _cdxj_cluster_oracle() -> str:
     """
 
 
+def _cc_index_host_stats_oracle() -> str:
+    return f"""
+        WITH t AS ({_cc_index_table_oracle()})
+        SELECT url_host_name,
+               CAST(count(*) AS BIGINT) AS n_captures,
+               CAST(sum(CASE WHEN fetch_status = 200 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ok,
+               CAST(count(DISTINCT content_mime_type) AS BIGINT)
+                 AS n_mimes,
+               CAST(sum(warc_record_length) AS BIGINT) AS stored_bytes,
+               min(fetch_time) AS first_fetch,
+               max(fetch_time) AS last_fetch
+        FROM t GROUP BY url_host_name
+    """
+
+
 def _cdx11_index_oracle() -> str:
     """The classic line assembled by the SAME shared template."""
     from pgferry_spark.sources.zipnum import CDX11_LINE_SQL
@@ -6039,6 +6073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_index_table": _cc_index_table,
         "cdxj_zipnum_cluster": _cdxj_zipnum_cluster,
         "cdx11_index": _cdx11_index,
+        "cc_index_host_stats": _cc_index_host_stats,
         "q15_top_supplier": _q15,
         "q18_large_volume_customers": _q18,
         "top_order_per_customer": _top_order,
@@ -10758,6 +10793,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_index_table": _cc_index_table_oracle(),
         "cdxj_zipnum_cluster": _cdxj_cluster_oracle(),
         "cdx11_index": _cdx11_index_oracle(),
+        "cc_index_host_stats": _cc_index_host_stats_oracle(),
         # the wire codings are transparent to the DECODED text, so the
         # transcode closed form is the oracle verbatim
         "http_wire_decode": _http_transcode_oracle(),

@@ -250,6 +250,7 @@ HEADLINE = [
     "cc_index_table",
     "cdxj_zipnum_cluster",
     "cdx11_index",
+    "cc_index_host_stats",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —
