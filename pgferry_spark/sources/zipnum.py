@@ -373,10 +373,27 @@ WARC_FILENAME_SQL = (
 # digest, length, offset, filename), numeric values quoted as the
 # public index quotes them; only the url can carry bytes needing
 # escapes (media types / digests / the filename template cannot)
+# json string-escape chain for the url value: backslash FIRST (or the
+# escapes we insert would double), then quote, then every control
+# character below 0x20 as \u00XX — json REQUIRES those escaped, and a
+# crawl's malformed target URI can carry any byte (hypothesis-found:
+# a raw 0x1f emitted an invalid line).  NUL (0x00) is the one
+# exception: DuckDB VARCHAR cannot hold it, so it follows the
+# engine-wide strip-upstream discipline (functions/transforms NUL
+# strip) and the emitters here never see one.
+_CDXJ_URL_ESC = (
+    "replace(replace({v}, chr(92), chr(92) || chr(92)),"
+    " chr(34), chr(92) || chr(34))"
+)
+for _cp in range(1, 32):
+    _CDXJ_URL_ESC = (
+        f"replace({_CDXJ_URL_ESC},"
+        f" chr({_cp}), chr(92) || 'u{_cp:04x}')"
+    )
+
 _CDXJ_JSON_SQL = (
     "'{{\"url\": \"' || "
-    + "replace(replace({url}, chr(92), chr(92) || chr(92)),"
-    " chr(34), chr(92) || chr(34))"
+    + _CDXJ_URL_ESC.replace("{v}", "{url}")
     + " || '\", \"mime\": \"' || {mime}"
     " || '\", \"status\": \"' || CAST({status} AS STRING)"
     " || '\", \"digest\": \"' || {digest}"
@@ -798,6 +815,86 @@ def publish_zipnum_sharded(
     finally:
         os.unlink(tmp)
     return cluster
+
+
+def zipnum_bulk_lookup(
+    keys: DataFrame,
+    cluster: list[dict],
+    shard_dir: str,
+    key_col: str = "urlkey",
+) -> DataFrame:
+    """The BATCH form of the lookup — resolve a whole DataFrame of
+    urlkeys against the on-disk zipnum artifacts (the CDX service as a
+    Spark job: 10^6 recrawl candidates → their index lines in one
+    pass).  The cluster rows (config-scale) broadcast inside the
+    closure; each task bisects ITS keys against the firsts, groups the
+    candidate (filename, offset, length) blocks, and inflates every
+    needed block ONCE per task — a block serving many keys in the
+    partition costs one ranged read.  Emits ``(urlkey, cdxj_line)``,
+    one row per matching line; keys absent from the index emit
+    nothing.  Shard files are read per (task, block) with a bounded
+    seek — at 100 TB this is a ranged GET against object storage, and
+    repartitioning the keys BY urlkey range first makes each task's
+    block set contiguous (the caller's knob; correctness does not
+    depend on it)."""
+    import bisect
+    import os
+
+    out_schema = StructType(
+        [
+            StructField("urlkey", StringType(), False),
+            StructField("cdxj_line", StringType(), False),
+        ]
+    )
+    rows = sorted(
+        (
+            {
+                "first_key": c["first_key"],
+                "filename": c["filename"],
+                "offset": int(c["offset"]),
+                "length": int(c["length"]),
+            }
+            for c in cluster
+        ),
+        key=lambda c: (c["first_key"], c["filename"], c["offset"]),
+    )
+    firsts = [c["first_key"] for c in rows]
+
+    def resolve(batches: "Iterator[pd.DataFrame]"):
+        # per-task cache: block (filename, offset) -> decoded lines
+        block_lines: dict[tuple, list[str]] = {}
+
+        def lines_of(c: dict) -> list[str]:
+            k = (c["filename"], c["offset"])
+            if k not in block_lines:
+                with open(
+                    os.path.join(shard_dir, c["filename"]), "rb"
+                ) as f:
+                    f.seek(c["offset"])
+                    member = f.read(c["length"])
+                rec = warc_member_read(member, 0, len(member))
+                block_lines[k] = rec.decode("utf-8").splitlines()
+            return block_lines[k]
+
+        for pdf in batches:
+            out: dict[str, list] = {"urlkey": [], "cdxj_line": []}
+            for key in pdf[key_col]:
+                if not rows:
+                    continue
+                lo = max(bisect.bisect_right(firsts, key + " ") - 1, 0)
+                hi = bisect.bisect_right(firsts, key + " ~") - 1
+                if hi < lo:
+                    hi = lo
+                for c in rows[lo : hi + 1]:
+                    for ln in lines_of(c):
+                        if ln.split(" ", 1)[0] == key:
+                            out["urlkey"].append(key)
+                            out["cdxj_line"].append(ln)
+            yield pd.DataFrame(out)
+
+    return keys.select(F.col(key_col)).mapInPandas(
+        resolve, schema=out_schema
+    )
 
 
 def read_zipnum_files(

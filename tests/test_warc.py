@@ -1476,6 +1476,59 @@ class TestCdxjOfficialFormat:
                 r.status, r.rec_len, r.rec_offset, r.payload_md5, r.filename
             )
 
+    def test_cdxj_roundtrip_property_adversarial_urls(self, spark):
+        """Property: for ARBITRARY url byte-soup (quotes, backslashes,
+        unicode — anything but the separators the wire format itself
+        reserves: space/newline), emit -> json.loads recovers the url
+        exactly and cdxj_parse recovers every typed field."""
+        import json
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pgferry_spark.sources.zipnum import cdxj_lines, cdxj_parse
+
+        # NUL is the engine-wide strip-upstream boundary (DuckDB
+        # VARCHAR cannot hold it); space/CR/LF are the wire format's
+        # own separators.  Everything else — including the other
+        # control chars, quotes, backslashes — must round-trip.
+        url_st = st.text(
+            alphabet=st.characters(
+                blacklist_characters=" \n\r\x00",
+                blacklist_categories=("Cs",),
+            ),
+            min_size=0,
+            max_size=60,
+        )
+
+        @settings(max_examples=12, deadline=None)  # each draw runs Spark
+        @given(st.lists(url_st, min_size=1, max_size=8, unique=True))
+        def check(urls):
+            df = spark.createDataFrame(
+                [
+                    (f"org,x)/{i}", "20240815000000", u, "text/html",
+                     200, "d" * 32, 10 + i, 100 * i, "f.warc.gz")
+                    for i, u in enumerate(urls)
+                ],
+                "surt: string, fetch_ts: string, target_uri: string,"
+                " mime: string, status: int, payload_md5: string,"
+                " rec_len: long, rec_offset: long, filename: string",
+            )
+            out = cdxj_lines(df)
+            for r in out.collect():
+                j = json.loads(r.cdxj_line.split(" ", 2)[2])
+                assert j["url"] == r.target_uri
+            parsed = {
+                p.urlkey: p
+                for p in cdxj_parse(out.select("cdxj_line")).collect()
+            }
+            for i, u in enumerate(urls):
+                p = parsed[f"org,x)/{i}"]
+                assert p.url == u
+                assert (p.length, p.offset) == (10 + i, 100 * i)
+
+        check()
+
     def test_json_escaping_survives_parse(self, spark):
         """A URL carrying quote/backslash bytes is escaped on emit and
         recovered exactly on parse (the _JSON_ESC discipline)."""
@@ -1797,6 +1850,40 @@ class TestCdxjOfficialFormat:
         with pytest.raises(Exception, match="refusing to clobber"):
             publish_zipnum_sharded(lines, str(d), n_shards=4)
         assert not list(d.glob("*.inprogress*"))
+
+    def test_bulk_lookup_matches_per_key_lookup(self, spark, tmp_path):
+        """The batch lookup (keys DataFrame -> index lines, blocks
+        inflated once per task) returns exactly the per-key
+        zipnum_lookup result for every present key and nothing for
+        absent keys."""
+        from pgferry_spark.sources.zipnum import (
+            cdxj_lines,
+            publish_zipnum_sharded,
+            read_zipnum_files,
+            zipnum_bulk_lookup,
+            zipnum_lookup,
+        )
+
+        lines = cdxj_lines(self._facts(spark, 64)).select(
+            "surt", "fetch_ts", "container_id", "record_no", "cdxj_line"
+        )
+        d = tmp_path / "bulk"
+        publish_zipnum_sharded(lines, str(d), n_shards=3)
+        shards, cluster = read_zipnum_files(str(d))
+        real_keys = sorted(
+            {r.surt for r in lines.select("surt").collect()}
+        )
+        probe = real_keys + ["!absent", "zz,nothing)/x", "com,"]
+        keys_df = spark.createDataFrame(
+            [(k,) for k in probe], "urlkey: string"
+        ).repartition(4)
+        got = {}
+        for r in zipnum_bulk_lookup(keys_df, cluster, str(d)).collect():
+            got.setdefault(r.urlkey, []).append(r.cdxj_line)
+        for k in probe:
+            want, _ = zipnum_lookup(shards, cluster, k)
+            assert sorted(got.get(k, [])) == sorted(want), k
+        assert "!absent" not in got
 
     def test_parse_total_on_garbage_lines(self, spark):
         """Totality of the read side: malformed CDXJ / CDX11 lines
