@@ -3435,6 +3435,37 @@ def _robots_sitemap_urls(spark, sf):
     return robots_sitemap_urls(dm)
 
 
+def _robots_status_gate(spark, sf):
+    """RFC 9309 §2.3.1 fetch-status policy (round 12): the robots.txt
+    FETCH status decides before any rule is read — 5xx (unreachable)
+    drops the whole domain, 4xx (unavailable) admits it, 2xx applies
+    the full rule verdict.  Per-domain statuses synthesized by the
+    shared template (503/404/200 classes cross-cutting the body
+    shapes); the rule verdict is computed once over all documents and
+    policy-filtered after.  Oracle: the policy CASE + the nested full
+    rule-verdict replay."""
+    from pgferry_spark.operators.domains import (
+        ROBOTS_STATUS_SYNTH_SQL,
+        parse_robots_rules,
+        robots_status_gate,
+        with_host_domain,
+    )
+
+    docs = with_host_domain(_docs_with_urls(spark, sf))
+    rules = parse_robots_rules(_robots_domains(spark, sf))
+    statuses = (
+        docs.select("domain")
+        .dropDuplicates()
+        .withColumn(
+            "rstatus",
+            F.expr(
+                ROBOTS_STATUS_SYNTH_SQL.format(domain="domain")
+            ).cast("int"),
+        )
+    )
+    return robots_status_gate(docs, rules, statuses)
+
+
 def _robots_crawl_delays(spark, sf):
     """Per-(domain, agent) Crawl-delay seconds parsed from robots.txt —
     the politeness budget the frontier scheduler consumes (round 9).
@@ -5179,6 +5210,31 @@ def _robots_filter_oracle(agent: str = "*") -> str:
     """
 
 
+def _robots_status_gate_oracle() -> str:
+    """Policy CASE over the shared status synth + the nested full
+    rule-verdict replay (the _frontier_schedule_oracle composition
+    pattern: a complete oracle query becomes one CTE)."""
+    from pgferry_spark.operators.domains import (
+        ROBOTS_POLICY_SQL,
+        ROBOTS_STATUS_SYNTH_SQL,
+    )
+
+    synth = ROBOTS_STATUS_SYNTH_SQL.format(domain="domain")
+    policy = ROBOTS_POLICY_SQL.format(status="rstatus")
+    return _domain_cte() + f"""
+        , st AS (SELECT DISTINCT domain, CAST({synth} AS INT) AS rstatus
+                 FROM d),
+        pol AS (SELECT domain, {policy} AS policy FROM st),
+        fo AS ({_robots_filter_oracle()})
+        SELECT d.doc_id, d.domain, d.url,
+               COALESCE(pol.policy, 'allow_all') AS policy
+        FROM d LEFT JOIN pol ON d.domain = pol.domain
+        WHERE COALESCE(pol.policy, 'allow_all') <> 'disallow_all'
+          AND (COALESCE(pol.policy, 'allow_all') = 'allow_all'
+               OR EXISTS (SELECT 1 FROM fo WHERE fo.doc_id = d.doc_id))
+    """
+
+
 def _robots_delay_oracle() -> str:
     """Delay lines join the §2.1 group membership exactly like rules —
     a delay inside a multi-agent group yields one row per agent."""
@@ -6074,6 +6130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdxj_zipnum_cluster": _cdxj_zipnum_cluster,
         "cdx11_index": _cdx11_index,
         "cc_index_host_stats": _cc_index_host_stats,
+        "robots_status_gate": _robots_status_gate,
         "q15_top_supplier": _q15,
         "q18_large_volume_customers": _q18,
         "top_order_per_customer": _top_order,
@@ -10794,6 +10851,7 @@ def oracle_sql() -> dict[str, str]:
         "cdxj_zipnum_cluster": _cdxj_cluster_oracle(),
         "cdx11_index": _cdx11_index_oracle(),
         "cc_index_host_stats": _cc_index_host_stats_oracle(),
+        "robots_status_gate": _robots_status_gate_oracle(),
         # the wire codings are transparent to the DECODED text, so the
         # transcode closed form is the oracle verbatim
         "http_wire_decode": _http_transcode_oracle(),

@@ -251,6 +251,7 @@ HEADLINE = [
     "cdxj_zipnum_cluster",
     "cdx11_index",
     "cc_index_host_stats",
+    "robots_status_gate",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

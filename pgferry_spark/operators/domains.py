@@ -1029,6 +1029,78 @@ def robots_disallow_filter(
     )
 
 
+# RFC 9309 §2.3.1: the robots.txt FETCH status decides whether the
+# rules even apply — "unavailable" (4xx) means crawl anything,
+# "unreachable" (5xx / network failure) MUST be treated as complete
+# disallow.  The shared policy CASE both engines evaluate verbatim over
+# a per-domain fetch-status column:
+ROBOTS_POLICY_SQL = (
+    "CASE WHEN {status} BETWEEN 500 AND 599 THEN 'disallow_all'"
+    " WHEN {status} BETWEEN 400 AND 499 THEN 'allow_all'"
+    " ELSE 'apply_rules' END"
+)
+
+# deterministic per-domain robots fetch-status synthesis for the
+# file-less corpus: a 503 class (origin down — complete disallow), a
+# 404 class (no robots.txt — allow all), 200 everywhere else.  Keyed
+# on length(domain) % 7 — chosen against the corpus's domain-length
+# census so it CROSS-CUTS the % 3 body-shape classes: the 200 class
+# must cover rule-BEARING domains (9/12-char, full Disallow files) or
+# the apply_rules branch would never drop a document, and both the
+# 503 and 404 classes must each catch a real population.
+ROBOTS_STATUS_SYNTH_SQL = (
+    "CASE WHEN length({domain}) % 7 = 5 THEN 503"
+    " WHEN length({domain}) % 7 = 6 THEN 404 ELSE 200 END"
+)
+
+
+def robots_status_gate(
+    df: DataFrame,
+    rules: DataFrame,
+    statuses: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    agent: str = "*",
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """The RFC 9309 §2.3.1 fetch-status policy AROUND the rule gate:
+    per domain the robots.txt fetch status decides everything before a
+    single rule is read — 5xx (unreachable) drops the whole domain,
+    4xx (unavailable) admits the whole domain, 2xx applies the
+    :func:`robots_disallow_filter` verdict, and a domain with NO
+    status row (never fetched — indistinguishable from absent) admits,
+    matching the unavailable posture.
+
+    ``statuses`` is ``(domain, rstatus int)`` — config-scale like the
+    rules, broadcast-joined onto the corpus (AQE sizes it); the rule
+    verdict is computed once over ALL documents (one pass — domains
+    the policy discards are filtered afterwards, cheaper than
+    splitting the corpus into per-policy branches that each rescan
+    it)."""
+    base = df if "domain" in df.columns else with_host_domain(df, url_col)
+    pol = statuses.select(
+        F.col("domain").alias("__pd"),
+        F.expr(ROBOTS_POLICY_SQL.format(status="rstatus")).alias("__pol"),
+    )
+    allowed = robots_disallow_filter(
+        base, rules, url_col=url_col, id_col=id_col, agent=agent,
+        broadcast_limit=broadcast_limit,
+    ).select(F.col(id_col).alias("__aid"), F.lit(True).alias("__ok"))
+    out = (
+        base.join(F.broadcast(pol), base["domain"] == F.col("__pd"), "left")
+        .withColumn("__p", F.coalesce(F.col("__pol"), F.lit("allow_all")))
+        .filter(F.col("__p") != "disallow_all")
+    )
+    out = out.join(
+        allowed, out[id_col] == F.col("__aid"), "left"
+    ).filter(
+        (F.col("__p") == "allow_all") | F.col("__ok").isNotNull()
+    )
+    return out.select(F.col(id_col), "domain", F.col(url_col), "__p").withColumnRenamed(
+        "__p", "policy"
+    )
+
+
 # robots.txt 'Sitemap:' directives (sitemaps.org protocol §"Sitemap
 # location"): the standard way a site ANNOUNCES its sitemaps — the
 # discovery edge between the robots stack and parse_sitemap_locs.

@@ -832,6 +832,51 @@ class TestRobotsTxt:
         )
         assert kept == [4, 6]
 
+    def test_fetch_status_policy_gate(self, spark):
+        """RFC 9309 §2.3.1 (round 12): 5xx robots fetch drops the
+        whole domain, 4xx admits it (rules ignored either way), 2xx
+        applies the rule verdict, and a domain with no status row
+        admits (never fetched == unavailable)."""
+        from pgferry_spark.operators.domains import (
+            parse_robots_rules,
+            robots_status_gate,
+        )
+
+        rules = parse_robots_rules(
+            spark.createDataFrame(
+                [
+                    ("ok.com", "User-agent: *\nDisallow: /x\n"),
+                    ("down.com", "User-agent: *\nDisallow: /x\n"),
+                    ("gone.com", "User-agent: *\nDisallow: /x\n"),
+                ],
+                "domain: string, robots_txt: string",
+            )
+        )
+        statuses = spark.createDataFrame(
+            [("ok.com", 200), ("down.com", 503), ("gone.com", 404)],
+            "domain: string, rstatus: int",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "https://ok.com/x/a"),     # dropped: 200 + rule
+                (2, "https://ok.com/free"),    # kept: 200, no rule hit
+                (3, "https://down.com/free"),  # dropped: 503 domain
+                (4, "https://down.com/x/a"),   # dropped: 503 domain
+                (5, "https://gone.com/x/a"),   # kept: 404 ignores rules
+                (6, "https://nofetch.org/x"),  # kept: no status row
+            ],
+            "doc_id: long, url: string",
+        )
+        out = {
+            r.doc_id: r.policy
+            for r in robots_status_gate(docs, rules, statuses).collect()
+        }
+        assert out == {
+            2: "apply_rules",
+            5: "allow_all",
+            6: "allow_all",
+        }
+
     def test_multi_agent_group_union_two_agents(self, spark):
         """RFC 9309 §2.1 (round 12): consecutive User-agent lines form
         ONE group — its rules belong to EVERY named agent, not just the
