@@ -3708,6 +3708,45 @@ def _cdxj_zipnum_cluster(spark, sf):
     return cdxj_zipnum_cluster(lines)
 
 
+def _cdxj_http_index(spark, sf):
+    """CDXJ over REAL HTTP captures (round 12, closing wave) — the
+    full-fidelity public-index build: one fused walk
+    (http_capture_index) parses WARC framing AND the HTTP envelope
+    from real bytes, so the line's status/mime are the server's, the
+    digest is the §5.9 BODY digest, and (offset, length) address the
+    real record span.  Restricted to the utf-8/undeclared charset
+    classes — the md5-replayable ones (the http_body_extract oracle
+    precedent; single-byte-charset body bytes have no VARCHAR spelling
+    in DuckDB) — via the PARSED charset column, not synth knowledge.
+    Oracle: the envelope head-length arithmetic + the 241-byte WARC
+    header constant (empirically pinned) + the shared line template."""
+    from pgferry_spark.operators.domains import surt_keys
+    from pgferry_spark.sources.httpmsg import (
+        attach_warc_http,
+        http_capture_index,
+    )
+    from pgferry_spark.sources.zipnum import (
+        FETCH_TS_SQL,
+        WARC_FILENAME_SQL,
+        cdxj_lines,
+    )
+
+    idx = http_capture_index(
+        attach_warc_http(_docs_with_urls(spark, sf))
+    )
+    cdx = surt_keys(idx, url_col="target_uri")
+    i = "(container_id * 8 + record_no)"
+    cdx = (
+        cdx.withColumn("fetch_ts", F.expr(FETCH_TS_SQL.format(id=i)))
+        .withColumn(
+            "filename",
+            F.expr(WARC_FILENAME_SQL.format(cid="container_id")),
+        )
+        .filter(F.col("charset").isin("", "utf-8"))
+    )
+    return cdxj_lines(cdx).select("surt", "fetch_ts", "cdxj_line")
+
+
 def _cc_index_host_stats(spark, sf):
     """The consumer story for the official schema (round 12): the
     first query every cc-index-table user runs — per-host capture
@@ -5637,6 +5676,70 @@ def _cdxj_cluster_oracle() -> str:
     """
 
 
+def _cdxj_http_oracle() -> str:
+    """The real-capture CDXJ replay: envelope head-length arithmetic
+    (the _http_index_oracle formula) + the 241-byte WARC header
+    constant (241 + id digits + url octets + payload-length digits,
+    pinned empirically against encode_warc) + running record offsets
+    over ALL records of the container, filtered to the utf-8 classes
+    AFTER the offsets are fixed."""
+    from pgferry_spark.operators.domains import (
+        HOST_SQL,
+        SURT_DUCK,
+        SURT_SQL,
+        URL_PATH_SQL,
+    )
+    from pgferry_spark.sources.zipnum import (
+        CDXJ_LINE_SQL,
+        FETCH_TS_SQL,
+        WARC_FILENAME_SQL,
+    )
+
+    i = "(container_id * 8 + record_no)"
+    head_len = (
+        "(15 + strlen(reason) + 16 + cth_len + 18"
+        " + length(CAST(body_len AS VARCHAR))"
+        " + CASE WHEN status = 301 THEN 18 + strlen(url) ELSE 0 END"
+        " + 2)"
+    )
+    host = HOST_SQL.format(url="url")
+    path = URL_PATH_SQL.format(url="url")
+    surt = SURT_SQL.format(host="host", path=path, **SURT_DUCK)
+    line = CDXJ_LINE_SQL.format(
+        urlkey="surt",
+        ts="fetch_ts",
+        url="url",
+        mime="content_type",
+        status="status",
+        digest="payload_md5",
+        length="rec_len",
+        offset="rec_offset",
+        filename="filename",
+    )
+    return _http_cte() + f"""
+        , r AS (SELECT *,
+                  CAST({head_len} + body_len AS BIGINT) AS plen
+                FROM hw),
+        w AS (SELECT *,
+                CAST(241 + length(CAST(doc_id AS VARCHAR)) + strlen(url)
+                     + length(CAST(plen AS VARCHAR)) AS BIGINT) AS hlen
+              FROM r),
+        o AS (SELECT *,
+                SUM(hlen + plen + 4) OVER (PARTITION BY container_id
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - (hlen + plen + 4) AS rec_offset,
+                CAST(hlen + plen + 4 AS BIGINT) AS rec_len
+              FROM w),
+        e AS (SELECT *, {host} AS host,
+                md5(text) AS payload_md5,
+                {FETCH_TS_SQL.format(id=i)} AS fetch_ts,
+                {WARC_FILENAME_SQL.format(cid="container_id")} AS filename
+              FROM o WHERE doc_id % 5 IN (0, 3, 4)),
+        e2 AS (SELECT *, {surt} AS surt FROM e)
+        SELECT surt, fetch_ts, {line} AS cdxj_line FROM e2
+    """
+
+
 def _cc_index_host_stats_oracle() -> str:
     return f"""
         WITH t AS ({_cc_index_table_oracle()})
@@ -6131,6 +6234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx11_index": _cdx11_index,
         "cc_index_host_stats": _cc_index_host_stats,
         "robots_status_gate": _robots_status_gate,
+        "cdxj_http_index": _cdxj_http_index,
         "q15_top_supplier": _q15,
         "q18_large_volume_customers": _q18,
         "top_order_per_customer": _top_order,
@@ -10852,6 +10956,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx11_index": _cdx11_index_oracle(),
         "cc_index_host_stats": _cc_index_host_stats_oracle(),
         "robots_status_gate": _robots_status_gate_oracle(),
+        "cdxj_http_index": _cdxj_http_oracle(),
         # the wire codings are transparent to the DECODED text, so the
         # transcode closed form is the oracle verbatim
         "http_wire_decode": _http_transcode_oracle(),

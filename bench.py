@@ -252,6 +252,7 @@ HEADLINE = [
     "cdx11_index",
     "cc_index_host_stats",
     "robots_status_gate",
+    "cdxj_http_index",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -3,7 +3,7 @@
 The round driver oracle-checks only the FIRST 50 entries of
 __spark_entry__.queries() (CORRECTNESS_r01..r11 each contain exactly 50
 keys equal to dict positions 1-50).  Round-12 rotation (VERDICT r11
-Next #9): the window head is this round's 7 births (the official
+Next #9): the window head is this round's 8 births (the official
 CommonCrawl wire formats: CDXJ emit/parse, cc-index-table projection,
 official zipnum blocking, classic 11-field CDX — driver-checked at
 birth), then the 45
@@ -38,7 +38,7 @@ def entry_mod():
 NEW_R12 = [
     "cdxj_index", "cdxj_field_extract", "cc_index_table",
     "cdxj_zipnum_cluster", "cdx11_index", "cc_index_host_stats",
-    "robots_status_gate",
+    "robots_status_gate", "cdxj_http_index",
 ]
 
 # Remaining window: the stalest oracle-backed entries, planner-stable
@@ -59,18 +59,17 @@ ROTATED_STALEST = [
     "domain_stats", "domain_quota_sample", "blocklist_filter", "url_dedup",
     "image_exif_meta", "exif_gps_scrub", "bpe_merges", "bpe_encode",
     "exact_substring_spans_chars", "image_meta_jpeg", "t_closeness",
-    "video_frame_index",
 ]
 
 # Positions 51+: next-stalest, first in line for the r13 rotation.
 NEXT_IN_LINE = [
-    "audio_segment_index", "hybrid_rrf_topk", "dedup_keep_best", "mmr_diversify", "pii_luhn_cards", "pii_card_gate",
+    "video_frame_index", "audio_segment_index", "hybrid_rrf_topk", "dedup_keep_best", "mmr_diversify", "pii_luhn_cards", "pii_card_gate",
     "mmr_diversify_ivf", "curate_corpus_best", "kmeans_exact_assign",
     "ivf_kmeans_exact_topk", "compressibility_entropy",
     "dedup_method_agreement", "packing_efficiency", "lang_id",
     "bpe_token_count", "winnow_summary", "winnow_shared_pairs",
     "pii_scrub", "dataset_split", "quota_sample", "pack_sequences",
-    "range_join_incidents", "time_rollup", "cdc_merge",
+    "range_join_incidents", "time_rollup",
 ]
 
 
@@ -97,18 +96,18 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 287
+N_QUERIES = 288
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:7] == NEW_R12
-    assert names[7:50] == ROTATED_STALEST
+    assert names[:8] == NEW_R12
+    assert names[8:50] == ROTATED_STALEST
     assert names[50:74] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 7 + 43 == 50: no slot wasted
+    # 8 + 42 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEW_R12) | set(ROTATED_STALEST)
 

@@ -539,6 +539,50 @@ class TestHttpSparkOperators:
             else:
                 assert text == base
 
+    def test_capture_index_framing_and_body_digest(self, spark):
+        """http_capture_index (round 12): the fused walk's framing
+        facts agree with warc_record_index over the same containers,
+        and payload_md5 is the §5.9 BODY digest — it equals the md5 of
+        the bytes body_extract recovers (utf-8 classes) and matches
+        each record's WARC-Payload-Digest header."""
+        df = _docs_df(spark, 20)
+        containers = H.attach_warc_http(df).cache()
+        cap = {
+            (r.container_id, r.record_no): r
+            for r in H.http_capture_index(containers).collect()
+        }
+        assert len(cap) == 20
+        from pgferry_spark.sources import warc as W
+
+        frame = {
+            (r.container_id, r.record_no): r
+            for r in W.warc_record_index(containers).collect()
+        }
+        for k, c in cap.items():
+            f = frame[k]
+            assert (c.rec_offset, c.rec_len, c.target_uri) == (
+                f.rec_offset, f.rec_len, f.target_uri
+            )
+        # digest == md5 of the recovered body text for utf-8 classes
+        texts = {
+            (r.container_id, r.record_no): r.text
+            for r in H.http_body_extract(containers).collect()
+        }
+        n_checked = 0
+        for k, t in texts.items():
+            assert cap[k].payload_md5 == hashlib.md5(
+                t.encode()
+            ).hexdigest()
+            n_checked += 1
+        assert n_checked > 0
+        # and equals the record's own WARC-Payload-Digest header value
+        blob = bytes(containers.collect()[0].container)
+        for rec in W.parse_warc_index(blob):
+            cid = int(rec["record_id"].rsplit(":", 1)[-1]) // 8
+            got = cap[(cid, rec["record_no"])].payload_md5
+            assert rec["payload_digest"] == "md5:" + got
+        containers.unpersist()
+
     def test_charset_allowlist_extended_codecs(self, spark):
         """Round 12: the rest of the high-frequency crawl charset
         declarations (CJK / cyrillic / ISO-8859 family / utf-16)
