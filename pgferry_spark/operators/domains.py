@@ -1071,23 +1071,29 @@ def robots_status_gate(
     status row (never fetched — indistinguishable from absent) admits,
     matching the unavailable posture.
 
-    ``statuses`` is ``(domain, rstatus int)`` — config-scale like the
-    rules, broadcast-joined onto the corpus (AQE sizes it); the rule
-    verdict is computed once over ALL documents (one pass — domains
-    the policy discards are filtered afterwards, cheaper than
-    splitting the corpus into per-policy branches that each rescan
-    it)."""
+    ``statuses`` is ``(domain, rstatus int)`` — one row per fetched
+    robots.txt, the same scale as the rules table, so it rides the
+    SAME row-count probe (broadcast under ``broadcast_limit``,
+    shuffle-hash past it — web-scale status sets grow with distinct
+    domains, ~10^8 at 100 TB, past any broadcast); the rule verdict is
+    computed once over ALL documents (one pass — domains the policy
+    discards are filtered afterwards, cheaper than splitting the
+    corpus into per-policy branches that each rescan it)."""
     base = df if "domain" in df.columns else with_host_domain(df, url_col)
     pol = statuses.select(
         F.col("domain").alias("__pd"),
         F.expr(ROBOTS_POLICY_SQL.format(status="rstatus")).alias("__pol"),
     )
+    if statuses.count() <= broadcast_limit:
+        pol = F.broadcast(pol)
+    else:
+        pol = pol.hint("shuffle_hash")
     allowed = robots_disallow_filter(
         base, rules, url_col=url_col, id_col=id_col, agent=agent,
         broadcast_limit=broadcast_limit,
     ).select(F.col(id_col).alias("__aid"), F.lit(True).alias("__ok"))
     out = (
-        base.join(F.broadcast(pol), base["domain"] == F.col("__pd"), "left")
+        base.join(pol, base["domain"] == F.col("__pd"), "left")
         .withColumn("__p", F.coalesce(F.col("__pol"), F.lit("allow_all")))
         .filter(F.col("__p") != "disallow_all")
     )
