@@ -877,6 +877,48 @@ class TestRobotsTxt:
             6: "allow_all",
         }
 
+    def test_fetch_status_gate_debroadcast_identical(self, spark):
+        """The status-gate's >limit path: with broadcast_limit=0 both
+        the policy and rule tables ride shuffle-hash joins (no
+        broadcast anywhere) and the verdict is identical."""
+        from pgferry_spark.operators.domains import (
+            parse_robots_rules,
+            robots_status_gate,
+        )
+
+        rules = parse_robots_rules(
+            spark.createDataFrame(
+                [("ok.com", "User-agent: *\nDisallow: /x\n")],
+                "domain: string, robots_txt: string",
+            )
+        )
+        statuses = spark.createDataFrame(
+            [("ok.com", 200), ("down.com", 503)],
+            "domain: string, rstatus: int",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "https://ok.com/x/a"),
+                (2, "https://ok.com/free"),
+                (3, "https://down.com/free"),
+            ],
+            "doc_id: long, url: string",
+        )
+        small = robots_status_gate(docs, rules, statuses)
+        big = robots_status_gate(
+            docs, rules, statuses, broadcast_limit=0
+        )
+        assert sorted(r.doc_id for r in big.collect()) == sorted(
+            r.doc_id for r in small.collect()
+        ) == [2]
+        # the PROBED tables (policy + rule sets) ride shuffle-hash past
+        # the limit; the doc-ids join is AQE's call (stats-driven — it
+        # broadcasts here because the test corpus is tiny, and picks a
+        # shuffle join at scale), so the pin is the presence of the
+        # hinted ShuffledHashJoins, not a blanket no-broadcast claim
+        plan = big._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+
     def test_multi_agent_group_union_two_agents(self, spark):
         """RFC 9309 §2.1 (round 12): consecutive User-agent lines form
         ONE group — its rules belong to EVERY named agent, not just the
