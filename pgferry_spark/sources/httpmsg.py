@@ -581,14 +581,24 @@ def _iter_http_records(blob: bytes) -> Iterator[tuple[dict, dict, bytes]]:
     body bytes).  Non-HTTP records (warcinfo, bare-payload legacy
     captures) and ``msgtype=request`` records are skipped — the
     WARC-level Content-Type is the dispatch, exactly how a real
-    reader decides to parse."""
+    reader decides to parse.
+
+    A record whose HTTP envelope itself is malformed (bad framing,
+    conflicting repeated Content-Length / Transfer-Encoding — the
+    smuggling shape) is SKIPPED, not raised: one hostile record in a
+    real capture must not abort the container walk (r12 ADVICE; the
+    documented drop-and-audit posture).  Direct callers of
+    :func:`parse_http_response` still get the ValueError."""
     for rec, payload in _iter_records_with_payloads(blob):
         ct = rec.get("content_type", "")
         if not ct.startswith("application/http"):
             continue
         if "msgtype=request" in ct:
             continue
-        env = parse_http_response(payload)
+        try:
+            env = parse_http_response(payload)
+        except ValueError:
+            continue
         body = payload[
             env["body_offset"] : env["body_offset"] + env["body_len"]
         ]
@@ -680,7 +690,12 @@ def http_capture_index(df: DataFrame) -> DataFrame:
                         rec["payload_offset"]: rec["payload_offset"]
                         + rec["payload_len"]
                     ]
-                    env = parse_http_response(payload)
+                    try:
+                        # one smuggling-shaped record must not abort
+                        # the index build — skip it (r12 ADVICE)
+                        env = parse_http_response(payload)
+                    except ValueError:
+                        continue
                     body = payload[
                         env["body_offset"]: env["body_offset"]
                         + env["body_len"]

@@ -838,11 +838,14 @@ def write_warc_files(
     executor-side via ``foreachPartition`` so the bytes go straight
     from the executor to storage and never transit the driver.  Each
     file lands atomically (write to a unique temp name, then
-    hard-link-publish) so a concurrent :func:`read_warc_files` glob
-    never sees a torn shard — and a DUPLICATE target name (a
+    hard-link-publish via :func:`publish_atomic`) so a concurrent
+    :func:`read_warc_files` glob never sees a torn shard — and a
+    DUPLICATE target name with DIVERGENT bytes (a
     :func:`read_warc_files` 63-bit xxhash collision, or caller rows
     sharing an id) FAILS with ValueError instead of silently
-    clobbering a shard (round-12, r11 ADVICE).  ``out_dir`` must be
+    clobbering a shard, while a byte-identical duplicate — a task
+    retry republishing its own output — is treated as success
+    (round 13, r12 ADVICE).  ``out_dir`` must be
     storage every executor can reach (shared filesystem /
     object-store mount) — the same contract any distributed file sink
     carries."""
@@ -859,21 +862,40 @@ def write_warc_files(
             fd, tmp = tempfile.mkstemp(
                 dir=out_dir, suffix=".inprogress"
             )
-            try:
-                with os.fdopen(fd, "wb") as f:
-                    f.write(bytes(r["container"]))
-                try:
-                    os.link(tmp, p)  # atomic, fails if p exists
-                except FileExistsError:
-                    raise ValueError(
-                        f"duplicate shard name {p!r}: two rows share a"
-                        " container_id (id collision or duplicate caller"
-                        " ids) — refusing to clobber"
-                    )
-            finally:
-                os.unlink(tmp)
+            with os.fdopen(fd, "wb") as f:
+                f.write(bytes(r["container"]))
+            publish_atomic(tmp, p)
 
     df.select("container_id", "container").foreachPartition(write_part)
+
+
+def publish_atomic(tmp: str, target: str) -> bool:
+    """Hard-link-publish ``tmp`` at ``target``, atomic AND idempotent
+    under Spark's at-least-once task execution: a retry or speculative
+    duplicate re-publishing its own byte-identical output counts as
+    success (returns False — nothing new linked), while a target with
+    genuinely DIVERGENT content still raises ValueError — the
+    clobber refusal (round 13, r12 ADVICE: the bare FileExistsError
+    path failed its own retries).  Returns True when this call created
+    the link.  ``tmp`` is always unlinked."""
+    import filecmp
+    import os
+
+    try:
+        try:
+            os.link(tmp, target)  # atomic, fails if target exists
+            return True
+        except FileExistsError:
+            # byte compare (size short-circuits inside filecmp): an
+            # identical file is a completed prior attempt, not a clobber
+            if not filecmp.cmp(tmp, target, shallow=False):
+                raise ValueError(
+                    f"target {target!r} exists with divergent content"
+                    " — refusing to clobber"
+                )
+            return False
+    finally:
+        os.unlink(tmp)
 
 
 def warc_range_read(container: bytes, offset: int, length: int) -> bytes:

@@ -56,7 +56,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-from .warc import warc_member_read
+from .warc import publish_atomic, warc_member_read
 
 # one CDX line — the shared spelling both engines evaluate verbatim
 # over the index columns (CAST AS STRING is the one int->text spelling
@@ -677,21 +677,25 @@ def write_zipnum_files(
                     f"{len(b)}\t{int(r['block_no'])}\n"
                 )
                 off += len(b)
+        # publish the PAIR or nothing: if the index publish fails after
+        # the shard linked, the fresh shard rolls back so no torn
+        # shard-without-index layout survives (r12 ADVICE); a
+        # byte-identical pre-existing pair — a task retry — is success.
+        linked_fresh: list[str] = []
         try:
             for tmpf, name in (
                 (tmp_s, cdx_filename),
                 (tmp_i, cluster_filename),
             ):
                 p = os.path.join(out_dir, name)
-                try:
-                    os.link(tmpf, p)  # atomic, fails if p exists
-                except FileExistsError:
-                    raise ValueError(
-                        f"zipnum target {p!r} already exists —"
-                        " refusing to clobber"
-                    )
+                if publish_atomic(tmpf, p):  # always unlinks tmpf
+                    linked_fresh.append(p)
+        except BaseException:
+            for p in linked_fresh:
+                os.unlink(p)
+            raise
         finally:
-            for tmpf in (tmp_s, tmp_i):
+            for tmpf in (tmp_s, tmp_i):  # the not-yet-visited temp
                 if os.path.exists(tmpf):
                     os.unlink(tmpf)
 
@@ -773,16 +777,9 @@ def publish_zipnum_sharded(
         flush()
         if state["fd"] is not None:
             state["fd"].close()
-            p = os.path.join(out_dir, fn)
-            try:
-                os.link(state["tmp"], p)  # atomic, fails if p exists
-            except FileExistsError:
-                raise ValueError(
-                    f"zipnum shard {p!r} already exists —"
-                    " refusing to clobber"
-                )
-            finally:
-                os.unlink(state["tmp"])
+            # idempotent under task retry: identical re-publish is
+            # success, divergent content raises (r12 ADVICE)
+            publish_atomic(state["tmp"], os.path.join(out_dir, fn))
         yield pd.DataFrame(rows)
 
     collected = (
@@ -805,15 +802,7 @@ def publish_zipnum_sharded(
                 f"{c['first_key']}\t{c['filename']}\t{c['offset']}\t"
                 f"{c['length']}\t{c['cluster']}\n"
             )
-    p = os.path.join(out_dir, cluster_filename)
-    try:
-        os.link(tmp, p)
-    except FileExistsError:
-        raise ValueError(
-            f"zipnum target {p!r} already exists — refusing to clobber"
-        )
-    finally:
-        os.unlink(tmp)
+    publish_atomic(tmp, os.path.join(out_dir, cluster_filename))
     return cluster
 
 
@@ -861,19 +850,31 @@ def zipnum_bulk_lookup(
     firsts = [c["first_key"] for c in rows]
 
     def resolve(batches: "Iterator[pd.DataFrame]"):
-        # per-task cache: block (filename, offset) -> decoded lines
-        block_lines: dict[tuple, list[str]] = {}
+        from collections import OrderedDict
+
+        # per-task LRU cache: block (filename, offset) -> decoded
+        # lines.  BOUNDED (r12 ADVICE): an unsorted key partition
+        # fanning across many blocks must not accumulate every block
+        # it ever touched — key-range repartitioning stays an optional
+        # locality knob, not a memory-safety requirement.  128 blocks
+        # × ~3000 official-scale lines ≈ tens of MB worst case.
+        block_lines: "OrderedDict[tuple, list[str]]" = OrderedDict()
+        _CACHE_BLOCKS = 128
 
         def lines_of(c: dict) -> list[str]:
             k = (c["filename"], c["offset"])
-            if k not in block_lines:
-                with open(
-                    os.path.join(shard_dir, c["filename"]), "rb"
-                ) as f:
-                    f.seek(c["offset"])
-                    member = f.read(c["length"])
-                rec = warc_member_read(member, 0, len(member))
-                block_lines[k] = rec.decode("utf-8").splitlines()
+            if k in block_lines:
+                block_lines.move_to_end(k)
+                return block_lines[k]
+            with open(
+                os.path.join(shard_dir, c["filename"]), "rb"
+            ) as f:
+                f.seek(c["offset"])
+                member = f.read(c["length"])
+            rec = warc_member_read(member, 0, len(member))
+            block_lines[k] = rec.decode("utf-8").splitlines()
+            if len(block_lines) > _CACHE_BLOCKS:
+                block_lines.popitem(last=False)
             return block_lines[k]
 
         for pdf in batches:

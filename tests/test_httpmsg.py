@@ -539,6 +539,47 @@ class TestHttpSparkOperators:
             else:
                 assert text == base
 
+    def test_malformed_envelope_record_is_skipped_not_fatal(self, spark):
+        """One smuggling-shaped record (conflicting Content-Length
+        repeats) inside a container must NOT abort the walk (r12
+        ADVICE): http_response_index, http_capture_index, and the
+        body-extract path all survive and emit the well-formed
+        records; parse_http_response direct callers still raise."""
+        good = H.encode_http_response(
+            200, "OK",
+            [("Content-Type", "text/plain; charset=utf-8")],
+            b"fine body",
+        )
+        evil = (
+            b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n"
+            b"Content-Length: 5\r\n\r\nhello"
+        )
+        with pytest.raises(ValueError):
+            H.parse_http_response(evil)
+        recs = [
+            {
+                "type": "response",
+                "record_id": f"urn:test:{i}",
+                "uri": f"https://ex.org/{i}",
+                "payload": p,
+                "content_type": "application/http; msgtype=response",
+                "payload_digest": "md5:"
+                + hashlib.md5(
+                    p[p.find(b"\r\n\r\n") + 4:]
+                ).hexdigest(),
+            }
+            for i, p in enumerate([good, evil, good])
+        ]
+        df = spark.createDataFrame(
+            [(1, bytearray(W.encode_warc(recs)))],
+            "container_id: long, container: binary",
+        )
+        idx = H.http_response_index(df).collect()
+        assert [r.record_no for r in idx] == [0, 2]
+        assert all(r.status == 200 and r.digest_ok for r in idx)
+        cap = H.http_capture_index(df).collect()
+        assert [r.record_no for r in cap] == [0, 2]
+
     def test_capture_index_framing_and_body_digest(self, spark):
         """http_capture_index (round 12): the fused walk's framing
         facts agree with warc_record_index over the same containers,

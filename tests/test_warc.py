@@ -1178,25 +1178,58 @@ class TestStorageBackedFunnel:
         assert disk == synth
 
     def test_write_refuses_duplicate_shard_names(self, spark, tmp_path):
-        """r11 ADVICE: duplicate container_id rows must FAIL, not
-        silently clobber a shard."""
+        """r11 ADVICE: duplicate container_id rows with DIVERGENT bytes
+        must FAIL, not silently clobber a shard; r12 ADVICE: a
+        byte-identical re-publish (Spark task retry / speculative
+        duplicate) must SUCCEED instead of failing its own output."""
         d = tmp_path / "dup"
         df = spark.createDataFrame(
             [(7, bytearray(b"A" * 10)), (7, bytearray(b"B" * 10))],
             "container_id: long, container: binary",
         ).coalesce(1)
-        with pytest.raises(Exception, match="duplicate shard name"):
+        with pytest.raises(Exception, match="refusing to clobber"):
             W.write_warc_files(df, str(d))
-        # and a re-run over an already-published dir refuses too
+        # a re-run publishing IDENTICAL bytes is idempotent success...
         ok = spark.createDataFrame(
             [(9, bytearray(b"C" * 10))],
             "container_id: long, container: binary",
         )
         W.write_warc_files(ok, str(d))
-        with pytest.raises(Exception, match="duplicate shard name"):
-            W.write_warc_files(ok, str(d))
+        W.write_warc_files(ok, str(d))  # retry: no raise
+        assert (d / "shard-000000000009.warc.gz").read_bytes() == b"C" * 10
+        # ...while divergent bytes under the same name still refuse
+        div = spark.createDataFrame(
+            [(9, bytearray(b"D" * 10))],
+            "container_id: long, container: binary",
+        )
+        with pytest.raises(Exception, match="refusing to clobber"):
+            W.write_warc_files(div, str(d))
+        assert (d / "shard-000000000009.warc.gz").read_bytes() == b"C" * 10
         # no temp debris left behind by the failures
         assert not list(d.glob("*.inprogress*"))
+
+    def test_publish_atomic_contract(self, tmp_path):
+        """The shared publish primitive: fresh link -> True, identical
+        existing -> False (retry success), divergent -> ValueError with
+        the original kept; the temp is unlinked on every path."""
+        from pgferry_spark.sources.warc import publish_atomic
+
+        tgt = tmp_path / "out.bin"
+
+        def mktmp(data: bytes) -> str:
+            p = tmp_path / f"t{len(list(tmp_path.iterdir()))}.inprogress"
+            p.write_bytes(data)
+            return str(p)
+
+        t1 = mktmp(b"payload")
+        assert publish_atomic(t1, str(tgt)) is True
+        t2 = mktmp(b"payload")
+        assert publish_atomic(t2, str(tgt)) is False
+        t3 = mktmp(b"DIFFERENT")
+        with pytest.raises(ValueError, match="divergent"):
+            publish_atomic(t3, str(tgt))
+        assert tgt.read_bytes() == b"payload"
+        assert not list(tmp_path.glob("*.inprogress"))
 
 
 class TestWarcFileSource:
@@ -1871,10 +1904,56 @@ class TestCdxjOfficialFormat:
             assert got == [
                 ln for ln in all_lines if ln.split(" ", 1)[0] == key
             ]
-        # re-publish into the same dir refuses to clobber
+        # identical re-publish (task retry) is idempotent success;
+        # a DIVERGENT shard under the same names still refuses, and
+        # the published pair survives untouched (r12 ADVICE)
+        write_zipnum_files(packed, str(d))
+        before = {
+            p.name: p.read_bytes() for p in d.iterdir()
+        }
+        other = cdxj_zipnum_pack(
+            cdxj_lines(self._facts(spark, 16)).select(
+                "surt", "fetch_ts", "container_id", "record_no",
+                "cdxj_line",
+            )
+        )
+        with pytest.raises(Exception, match="refusing to clobber"):
+            write_zipnum_files(other, str(d))
+        assert {
+            p.name: p.read_bytes() for p in d.iterdir()
+        } == before
+        assert not list(d.glob("*.inprogress*"))
+
+    def test_zipnum_pair_publishes_atomically_or_rolls_back(
+        self, spark, tmp_path
+    ):
+        """The shard + cluster.idx pair publishes together or not at
+        all (r12 ADVICE): when the index publish fails (divergent
+        cluster.idx already present), the freshly-linked shard is
+        rolled back — no shard-without-index torn layout survives, and
+        a rerun into a cleaned dir succeeds."""
+        from pgferry_spark.sources.zipnum import (
+            cdxj_lines,
+            cdxj_zipnum_pack,
+            write_zipnum_files,
+        )
+
+        lines = cdxj_lines(self._facts(spark, 24)).select(
+            "surt", "fetch_ts", "container_id", "record_no", "cdxj_line"
+        )
+        packed = cdxj_zipnum_pack(lines)
+        d = tmp_path / "torn"
+        d.mkdir()
+        (d / "cluster.idx").write_text("bogus foreign index\n")
         with pytest.raises(Exception, match="refusing to clobber"):
             write_zipnum_files(packed, str(d))
+        assert not (d / "cdx-00000.gz").exists()  # shard rolled back
+        assert (d / "cluster.idx").read_text() == "bogus foreign index\n"
         assert not list(d.glob("*.inprogress*"))
+        (d / "cluster.idx").unlink()
+        write_zipnum_files(packed, str(d))  # rerun now succeeds
+        assert (d / "cdx-00000.gz").exists()
+        assert (d / "cluster.idx").exists()
 
     def test_publish_zipnum_sharded_distributed_layout(
         self, spark, tmp_path
@@ -1939,9 +2018,17 @@ class TestCdxjOfficialFormat:
             assert got == [
                 ln for ln in all_lines if ln.split(" ", 1)[0] == key
             ]
-        # re-publish refuses to clobber
-        with pytest.raises(Exception, match="refusing to clobber"):
+        # re-publish: a byte-identical outcome (same range split —
+        # task-retry shape) is idempotent success; a drifted range
+        # split produces divergent bytes under the same names and
+        # refuses.  Either way the first publication survives intact.
+        before = {p.name: p.read_bytes() for p in d.iterdir()}
+        try:
             publish_zipnum_sharded(lines, str(d), n_shards=4)
+        except Exception as exc:
+            assert "refusing to clobber" in str(exc)
+        after = {p.name: p.read_bytes() for p in d.iterdir()}
+        assert {k: after[k] for k in before} == before
         assert not list(d.glob("*.inprogress*"))
 
     def test_bulk_lookup_matches_per_key_lookup(self, spark, tmp_path):
