@@ -4109,6 +4109,29 @@ def _http_charset_transcode(spark, sf):
     return http_charset_transcode(_http_containers(spark, sf))
 
 
+def _http_charset_sniff(spark, sf):
+    """WHATWG-lite charset sniffing (round 13, VERDICT r12 Next #1):
+    resolve each response's effective charset in HTML Standard
+    §13.2.3.2 precedence order — BOM beats the Content-Type header,
+    the header beats an in-document ``<meta>`` declaration, and a
+    bounded prescan of the first 1024 body bytes catches the
+    header-silent pages that previously never transcoded.  The six
+    synthesis classes exercise every precedence arm including both
+    documented DISAGREEMENTS (BOM-vs-header: BOM wins; header-vs-meta:
+    header wins).  Oracle = the closed-form decoded text (markup
+    included — the meta tag is document content), the resolved label,
+    and WHICH arm decided it.  Zero shuffle beyond container fan-out;
+    the prescan rides the same fused walk as the envelope parse."""
+    from pgferry_spark.sources.httpmsg import (
+        attach_warc_http_sniff,
+        http_charset_sniff,
+    )
+
+    return http_charset_sniff(
+        attach_warc_http_sniff(_docs_with_urls(spark, sf))
+    )
+
+
 def _http_redirect_edges(spark, sf):
     """3xx responses as (uri, Location) edges — the redirect graph a
     frontier follows; only redirect rows leave the executor."""
@@ -5087,6 +5110,37 @@ def _http_transcode_oracle() -> str:
         SELECT container_id, record_no, url AS target_uri, status,
                charset, body_text AS text
         FROM hw
+    """
+
+
+def _http_sniff_oracle() -> str:
+    """Closed-form replay of the six sniff classes: resolved label,
+    deciding precedence arm, and the decoded text (markup included,
+    BOM excluded) — green certifies the real prescan, the precedence
+    order, and the byte-exact decode all agree with the templates."""
+    from pgferry_spark.operators.domains import URL_SYNTH_SQL
+    from pgferry_spark.sources.httpmsg import (
+        HTTP_SNIFF_CHARSET_SQL,
+        HTTP_SNIFF_SOURCE_SQL,
+        HTTP_SNIFF_TEXT_SQL,
+    )
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    label = HTTP_SNIFF_CHARSET_SQL.format(id="doc_id")
+    source = HTTP_SNIFF_SOURCE_SQL.format(id="doc_id")
+    text = HTTP_SNIFF_TEXT_SQL.format(id="doc_id", text="text")
+    return f"""
+        WITH u AS (SELECT doc_id, (doc_id // 8) AS container_id,
+                     text, {url} AS url
+                   FROM documents),
+        w AS (SELECT *,
+                CAST(row_number() OVER (PARTITION BY container_id
+                     ORDER BY doc_id) - 1 AS INT) AS record_no
+              FROM u)
+        SELECT container_id, record_no, url AS target_uri,
+               {label} AS charset, {source} AS source,
+               {text} AS text
+        FROM w
     """
 
 
@@ -6301,6 +6355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "range_join_incidents": _range_join_incidents,
         "time_rollup": _time_rollup,
+        "http_charset_sniff": _http_charset_sniff,
         "cdc_merge": _cdc_merge,
         "scd2_history": _scd2_history,
         "dedup_clusters": _dedup_clusters,
@@ -10964,6 +11019,7 @@ def oracle_sql() -> dict[str, str]:
         "http_request_pairs": _http_request_pairs_oracle(),
         "cc_ingest_funnel": _cc_funnel_oracle(),
         "http_truncated_audit": _http_truncated_oracle(),
+        "http_charset_sniff": _http_sniff_oracle(),
         "recrawl_plan": _recrawl_plan_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),

@@ -853,6 +853,283 @@ def http_charset_transcode(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WHATWG-lite in-document charset sniffing (round 13, VERDICT r12 Next
+# #1) — the front door for header-silent pages.  On real crawls a large
+# fraction of text/html responses omit (or misstate) the Content-Type
+# charset while declaring it in-document; the HTML Standard's encoding
+# sniffing algorithm (§13.2.3.2 "determining the character encoding")
+# resolves the conflict with a fixed precedence this module reproduces
+# in bounded, lite form:
+#
+#   1. a byte-order mark is MORE authoritative than anything else
+#      (§13.2.3.2 step 1: "the byte order mark is considered more
+#      authoritative than anything else");
+#   2. else the transport layer's declaration (the Content-Type
+#      charset parameter) wins — header beats <meta>;
+#   3. else a bounded prescan of the FIRST 1024 body bytes for a
+#      `<meta charset=...>` / `<meta http-equiv=content-type
+#      content="...; charset=..."></meta>` declaration (§13.2.3.2 step
+#      6 + the prescan algorithm, lite: one regex over the head bytes,
+#      not the full tokenizer — comments/script edge cases are out of
+#      scope and documented as such);
+#   4. else the undeclared default (utf-8, the repo's modern-web
+#      posture, same as http_charset_transcode).
+#
+# Two spec nuances kept: a meta-declared utf-16 is read as utf-8 (the
+# prescan found ASCII-compatible bytes, so the declaration is wrong by
+# construction — spec step "If charset is a UTF-16 encoding, set
+# charset to UTF-8"), and the BOM bytes are NOT part of the decoded
+# document.  The resolved label feeds the same bounded CHARSET_CODECS
+# allowlist and skip-and-audit discipline as the header-only path.
+# ---------------------------------------------------------------------------
+
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xff\xfe", "utf-16le"),
+    (b"\xfe\xff", "utf-16be"),
+)
+
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:\-]+)",
+    re.IGNORECASE,
+)
+
+_SNIFF_PRESCAN_BYTES = 1024
+
+
+def sniff_bom(body: bytes) -> tuple[str, int]:
+    """(charset label, BOM byte count) when ``body`` opens with a
+    UTF-8/16 byte-order mark, else ('', 0)."""
+    for bom, label in _BOMS:
+        if body.startswith(bom):
+            return label, len(bom)
+    return "", 0
+
+
+def sniff_meta_charset(head: bytes) -> str:
+    """Lite §13.2.3.2 prescan: the first ``<meta ... charset=...>``
+    declaration (direct attribute or inside an http-equiv content
+    value) in the given bytes, label lowercased; '' when absent.  A
+    utf-16 family declaration normalizes to utf-8 per the spec (the
+    prescan just read it as ASCII-compatible bytes)."""
+    m = _META_CHARSET_RE.search(head[:_SNIFF_PRESCAN_BYTES])
+    if not m:
+        return ""
+    label = m.group(1).decode("ascii", "replace").lower()
+    if label in ("utf-16", "utf16", "utf-16le", "utf-16be"):
+        return "utf-8"
+    return label
+
+
+def sniff_charset(header_charset: str, body: bytes) -> tuple[str, str, int]:
+    """Resolve the effective charset for one decoded-transfer body:
+    ``(label, source, bom_len)`` with source ∈ {'bom', 'header',
+    'meta', 'default'} in HTML Standard precedence order — BOM beats
+    the header, the header beats ``<meta>``, and the undeclared
+    default is '' (→ utf-8 via CHARSET_CODECS).  ``bom_len`` bytes
+    must be stripped before decoding (the BOM is not content)."""
+    label, n = sniff_bom(body)
+    if label:
+        return label, "bom", n
+    if header_charset:
+        return header_charset, "header", 0
+    label = sniff_meta_charset(body)
+    if label:
+        return label, "meta", 0
+    return "", "default", 0
+
+
+# sniff-synthesis markup fragments — shared between the Python synth
+# and the SQL oracle templates (ASCII-only, so they are 1 byte/char in
+# every single-byte class)
+META_CP1252 = "<meta charset=windows-1252>"
+META_HTTP_EQUIV_L1 = (
+    '<meta http-equiv=content-type content="text/html;'
+    ' charset=iso-8859-1">'
+)
+META_UTF8 = "<meta charset=utf-8>"
+
+# six sniff classes on {id} % 6 — each resolves through a DIFFERENT
+# arm of the precedence order:
+#   0 header-declared utf-8, no meta          -> header
+#   1 header silent, <meta charset=cp1252>    -> meta (cp1252 bytes)
+#   2 header silent, http-equiv iso-8859-1    -> meta (latin-1 bytes)
+#   3 UTF-8 BOM + header MIS-stating latin-1  -> bom (BOM wins)
+#   4 header latin-1 + meta MIS-stating utf-8 -> header (header wins)
+#   5 nothing declared anywhere               -> default (utf-8)
+HTTP_SNIFF_CT_SQL = (
+    "CASE WHEN {id} % 6 = 0 THEN 'text/html; charset=UTF-8'"
+    " WHEN {id} % 6 = 3 THEN 'text/html; charset=iso-8859-1'"
+    " WHEN {id} % 6 = 4 THEN 'text/html; charset=ISO-8859-1'"
+    " ELSE 'text/html' END"
+)
+HTTP_SNIFF_CHARSET_SQL = (
+    "CASE WHEN {id} % 6 = 1 THEN 'windows-1252'"
+    " WHEN {id} % 6 IN (2, 4) THEN 'iso-8859-1'"
+    " WHEN {id} % 6 = 5 THEN '' ELSE 'utf-8' END"
+)
+HTTP_SNIFF_SOURCE_SQL = (
+    "CASE WHEN {id} % 6 IN (0, 4) THEN 'header'"
+    " WHEN {id} % 6 IN (1, 2) THEN 'meta'"
+    " WHEN {id} % 6 = 3 THEN 'bom' ELSE 'default' END"
+)
+HTTP_SNIFF_TEXT_SQL = (
+    "CASE WHEN {id} % 6 = 1 THEN '" + META_CP1252 + "' || {text} || '"
+    + CP1252_SUFFIX + "'"
+    " WHEN {id} % 6 = 2 THEN '<meta http-equiv=content-type content='"
+    " || chr(34) || 'text/html; charset=iso-8859-1' || chr(34) || '>'"
+    " || {text} || '" + LATIN1_SUFFIX + "'"
+    " WHEN {id} % 6 = 4 THEN '" + META_UTF8 + "' || {text} || '"
+    + LATIN1_SUFFIX + "'"
+    " ELSE {text} END"
+)
+
+
+def synth_http_sniff_response(
+    doc_id: int, url: str, text: str
+) -> tuple[bytes, str]:
+    """Python twin of the ``HTTP_SNIFF_*_SQL`` templates: one 200
+    response whose body/header pair exercises one sniff class.  The
+    decoded text the sniffing reader recovers is the closed-form
+    HTTP_SNIFF_TEXT_SQL value (markup included — the meta tag IS
+    document content); the BOM is the one thing stripped."""
+    c6 = doc_id % 6
+    ct = "text/html"
+    if c6 == 0:
+        ct = "text/html; charset=UTF-8"
+        body = text.encode("utf-8")
+    elif c6 == 1:
+        body = (META_CP1252 + text + CP1252_SUFFIX).encode("cp1252")
+    elif c6 == 2:
+        body = (META_HTTP_EQUIV_L1 + text + LATIN1_SUFFIX).encode(
+            "iso-8859-1"
+        )
+    elif c6 == 3:
+        ct = "text/html; charset=iso-8859-1"  # misstated: BOM wins
+        body = b"\xef\xbb\xbf" + text.encode("utf-8")
+    elif c6 == 4:
+        ct = "text/html; charset=ISO-8859-1"  # header wins over meta
+        body = (META_UTF8 + text + LATIN1_SUFFIX).encode("iso-8859-1")
+    else:
+        body = text.encode("utf-8")
+    env = encode_http_response(
+        200,
+        "OK",
+        [("Content-Type", ct), ("Content-Length", str(len(body)))],
+        body,
+    )
+    return env, "md5:" + hashlib.md5(body).hexdigest()
+
+
+def attach_warc_http_sniff(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    docs_per_container: int = 8,
+) -> DataFrame:
+    """Containers whose response records exercise the six charset
+    SNIFF classes (BOM'd, meta-declared, header-vs-meta and
+    BOM-vs-header disagreements) — the :func:`attach_warc_http`
+    grouping with :func:`synth_http_sniff_response` payloads."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from .warc import encode_warc
+
+    schema = StructType(
+        [
+            StructField("container_id", LongType(), False),
+            StructField("container", BinaryType(), False),
+        ]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        recs = []
+        for i, u, t in zip(pdf[id_col], pdf[url_col], pdf[text_col]):
+            env, digest = synth_http_sniff_response(int(i), u, t)
+            recs.append(
+                {
+                    "type": "response",
+                    "record_id": f"urn:uuid:{int(i)}",
+                    "uri": u,
+                    "payload": env,
+                    "content_type": HTTP_MSGTYPE_RESPONSE,
+                    "payload_digest": digest,
+                }
+            )
+        return pd.DataFrame(
+            {
+                "container_id": [int(pdf["__cid"].iloc[0])],
+                "container": [encode_warc(recs)],
+            }
+        )
+
+    return (
+        df.withColumn(
+            "__cid", F.expr(f"{id_col} div {docs_per_container}")
+        )
+        .select("__cid", id_col, url_col, text_col)
+        .groupBy("__cid")
+        .applyInPandas(build, schema=schema)
+    )
+
+
+_SNIFF_SCHEMA = StructType(
+    [
+        StructField("container_id", LongType(), False),
+        StructField("record_no", IntegerType(), False),
+        StructField("target_uri", StringType(), True),
+        StructField("charset", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def http_charset_sniff(df: DataFrame) -> DataFrame:
+    """The sniffing transcode front door: per HTTP response record,
+    resolve the effective charset in HTML Standard precedence order
+    (BOM > Content-Type header > first-1024-bytes ``<meta>`` prescan >
+    utf-8 default — :func:`sniff_charset`), decode through the bounded
+    CHARSET_CODECS allowlist, and emit the label + WHICH precedence
+    arm decided it (the audit column header-silent curation needs).
+    Unknown resolved labels stay drop-and-audit; transfer/content
+    codings decode first (sniffing sees representation bytes, not wire
+    bytes).  Zero shuffle beyond container fan-out — the prescan rides
+    the same fused walk as the envelope parse."""
+    df = fan_out(df, "container_id")
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _SNIFF_SCHEMA}
+            for cid, blob in zip(pdf["container_id"], pdf["container"]):
+                for rec, env, body in _iter_http_records(bytes(blob)):
+                    try:
+                        body = decode_http_body(env, body)
+                    except ValueError:
+                        continue  # unsupported coding: audit via index
+                    label, source, bom_len = sniff_charset(
+                        env["charset"], body
+                    )
+                    codec = CHARSET_CODECS.get(label)
+                    if codec is None:
+                        continue  # outside the allowlist: never guess
+                    rows["container_id"].append(int(cid))
+                    rows["record_no"].append(rec["record_no"])
+                    rows["target_uri"].append(rec["target_uri"])
+                    rows["charset"].append(label)
+                    rows["source"].append(source)
+                    rows["text"].append(
+                        body[bom_len:].decode(codec, "replace")
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(sniff, schema=_SNIFF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # server-not-modified revisits (ISO 28500 §6.7.1) — the OTHER revisit
 # profile: the crawler re-fetches with a conditional request
 # (If-None-Match on the stored ETag), the server answers 304 Not

@@ -302,6 +302,141 @@ class TestWireCodings:
         assert dig7 == "md5:" + hashlib.md5(stored7).hexdigest()
 
 
+class TestCharsetSniffing:
+    """WHATWG-lite encoding sniffing (HTML Standard §13.2.3.2, round
+    13): BOM > Content-Type header > first-1024-bytes <meta> prescan >
+    utf-8 default, with the spec's utf-16-meta-means-utf-8 nuance and
+    the BOM excluded from content."""
+
+    def test_bom_detection(self):
+        assert H.sniff_bom(b"\xef\xbb\xbfhello") == ("utf-8", 3)
+        assert H.sniff_bom(b"\xff\xfeh\x00") == ("utf-16le", 2)
+        assert H.sniff_bom(b"\xfe\xff\x00h") == ("utf-16be", 2)
+        assert H.sniff_bom(b"hello") == ("", 0)
+        assert H.sniff_bom(b"") == ("", 0)
+
+    def test_meta_prescan_spellings(self):
+        for head, want in [
+            (b'<meta charset="utf-8">', "utf-8"),
+            (b"<meta charset=utf-8>", "utf-8"),
+            (b"<meta charset = 'ISO-8859-1'>", "iso-8859-1"),
+            (
+                b'<meta http-equiv="Content-Type" content="text/html;'
+                b' charset=windows-1252">',
+                "windows-1252",
+            ),
+            (
+                b"<meta http-equiv=content-type content=\"text/html;"
+                b" charset=KOI8-R\">",
+                "koi8-r",
+            ),
+            (b"<title>no declaration</title>", ""),
+            (b"", ""),
+        ]:
+            assert H.sniff_meta_charset(head) == want, head
+
+    def test_meta_utf16_normalizes_to_utf8(self):
+        # spec: a prescan that READ the declaration as ASCII bytes
+        # disproves utf-16; charset becomes utf-8
+        for label in (b"utf-16", b"UTF-16LE", b"utf-16be"):
+            assert (
+                H.sniff_meta_charset(b"<meta charset=" + label + b">")
+                == "utf-8"
+            )
+
+    def test_meta_beyond_1024_bytes_ignored(self):
+        head = b" " * 1025 + b"<meta charset=koi8-r>"
+        assert H.sniff_meta_charset(head) == ""
+        head = b"<html>" + b" " * 900 + b"<meta charset=koi8-r>"
+        assert H.sniff_meta_charset(head) == "koi8-r"
+
+    def test_precedence_golden(self):
+        """The two disagreement goldens: BOM beats a mis-stating
+        header; the header beats a mis-stating meta."""
+        bom_body = b"\xef\xbb\xbfr\xc3\xa9sum\xc3\xa9"
+        assert H.sniff_charset("iso-8859-1", bom_body) == (
+            "utf-8", "bom", 3,
+        )
+        meta_body = b"<meta charset=utf-8>caf\xe9"
+        assert H.sniff_charset("iso-8859-1", meta_body) == (
+            "iso-8859-1", "header", 0,
+        )
+        assert H.sniff_charset("", meta_body) == ("utf-8", "meta", 0)
+        assert H.sniff_charset("", b"plain") == ("", "default", 0)
+
+    def test_sniff_operator_all_classes(self, spark):
+        """The Spark operator over the six synthesis classes: every
+        precedence arm occurs, non-ASCII decorations decode to the
+        text the server meant, and the BOM never reaches content."""
+        df = _docs_df(spark, 24)
+        got = {
+            r.target_uri: r
+            for r in H.http_charset_sniff(
+                H.attach_warc_http_sniff(df)
+            ).collect()
+        }
+        assert len(got) == 24
+        for i in range(1, 25):
+            r = got[f"https://s{i % 3}.org/d/{i}"]
+            base = f"Doc body {i} words here."
+            c6 = i % 6
+            if c6 == 0:
+                assert (r.charset, r.source) == ("utf-8", "header")
+                assert r.text == base
+            elif c6 == 1:
+                assert (r.charset, r.source) == (
+                    "windows-1252", "meta",
+                )
+                assert r.text == H.META_CP1252 + base + H.CP1252_SUFFIX
+                assert "€" in r.text and "™" in r.text
+            elif c6 == 2:
+                assert (r.charset, r.source) == ("iso-8859-1", "meta")
+                assert r.text == (
+                    H.META_HTTP_EQUIV_L1 + base + H.LATIN1_SUFFIX
+                )
+                assert "é" in r.text and "ñ" in r.text
+            elif c6 == 3:
+                assert (r.charset, r.source) == ("utf-8", "bom")
+                assert r.text == base  # BOM stripped, header ignored
+            elif c6 == 4:
+                assert (r.charset, r.source) == (
+                    "iso-8859-1", "header",
+                )
+                assert r.text == H.META_UTF8 + base + H.LATIN1_SUFFIX
+            else:
+                assert (r.charset, r.source) == ("", "default")
+                assert r.text == base
+
+    def test_unknown_sniffed_label_drops_and_audits(self, spark):
+        """A meta declaring a charset outside CHARSET_CODECS drops the
+        row (never guess) while well-formed rows survive."""
+        good = H.encode_http_response(
+            200, "OK", [("Content-Type", "text/html")],
+            b"<meta charset=utf-8>fine",
+        )
+        exotic = H.encode_http_response(
+            200, "OK", [("Content-Type", "text/html")],
+            b"<meta charset=x-mac-roman>weird",
+        )
+        recs = [
+            {
+                "type": "response",
+                "record_id": f"urn:test:{i}",
+                "uri": f"https://ex.org/{i}",
+                "payload": p,
+                "content_type": H.HTTP_MSGTYPE_RESPONSE,
+            }
+            for i, p in enumerate([good, exotic])
+        ]
+        df = spark.createDataFrame(
+            [(1, bytearray(W.encode_warc(recs)))],
+            "container_id: long, container: binary",
+        )
+        rows = H.http_charset_sniff(df).collect()
+        assert len(rows) == 1
+        assert rows[0].record_no == 0 and rows[0].source == "meta"
+
+
 class TestRequestRecords:
     """Round 11, second wave: stored crawler requests paired with
     their responses via WARC-Concurrent-To (ISO 28500 §5.7)."""
