@@ -5586,6 +5586,7 @@ def _cdx_index_oracle(with_url: bool = False) -> str:
     from pgferry_spark.operators.domains import (
         HOST_SQL,
         SURT_DUCK,
+        SURT_PORT_SQL,
         SURT_SQL,
         URL_PATH_SQL,
         URL_SYNTH_SQL,
@@ -5594,7 +5595,8 @@ def _cdx_index_oracle(with_url: bool = False) -> str:
     url = URL_SYNTH_SQL.format(id="doc_id", src="source")
     host = HOST_SQL.format(url="url")
     path = URL_PATH_SQL.format(url="url")
-    surt = SURT_SQL.format(host="host", path=path, **SURT_DUCK)
+    port = SURT_PORT_SQL.format(url="url")
+    surt = SURT_SQL.format(host="host", path=path, port=port, **SURT_DUCK)
     return f"""
         WITH u AS (SELECT doc_id, source, text, {url} AS url FROM documents),
         hh AS (SELECT *, {host} AS host FROM u),
@@ -5740,6 +5742,7 @@ def _cdxj_http_oracle() -> str:
     from pgferry_spark.operators.domains import (
         HOST_SQL,
         SURT_DUCK,
+        SURT_PORT_SQL,
         SURT_SQL,
         URL_PATH_SQL,
     )
@@ -5758,7 +5761,8 @@ def _cdxj_http_oracle() -> str:
     )
     host = HOST_SQL.format(url="url")
     path = URL_PATH_SQL.format(url="url")
-    surt = SURT_SQL.format(host="host", path=path, **SURT_DUCK)
+    port = SURT_PORT_SQL.format(url="url")
+    surt = SURT_SQL.format(host="host", path=path, port=port, **SURT_DUCK)
     line = CDXJ_LINE_SQL.format(
         urlkey="surt",
         ts="fetch_ts",

@@ -132,7 +132,10 @@ QCLEAN_SQL = (
 # 'string_split_regex'), {rev} = list reverse (Spark 'reverse', DuckDB
 # 'list_reverse'), {join} = list join (Spark 'array_join', DuckDB
 # 'array_to_string'); every other byte is shared verbatim.
-SURT_SQL = "{join}({rev}({split}({host}, '[.]')), ',') || ')' || {path}"
+SURT_SQL = (
+    "{join}({rev}({split}(regexp_replace({host}, '^www[0-9]*[.]', ''),"
+    " '[.]')), ',') || {port} || ')' || {path}"
+)
 SURT_SPARK = {"split": "split", "rev": "reverse", "join": "array_join"}
 SURT_DUCK = {
     "split": "string_split_regex",
@@ -140,17 +143,43 @@ SURT_DUCK = {
     "join": "array_to_string",
 }
 
+# round 13 (foreign-line read compat): the official surt massage rules
+# the public cc-index urlkeys exhibit — a leading 'www' / 'www<digits>'
+# label is STRIPPED (surt's massageHost: 'www.example.org' and
+# 'example.org' key identically), and a NON-default port survives as
+# ':8080' after the reversed host ('org,example,media:8080)/p'); the
+# default 80/443 are dropped.  Lite vs the full library: the 80/443
+# drop is scheme-blind (the synth corpus never pairs https with :80).
+# the trailing (?:[/?#].*)?$ anchor (RE2 has no lookahead) pins the
+# digits to the END of the authority — without it, backtracking would
+# read 'user:123@x.org' as host 'user' + port '123'
+SURT_PORT_RE = (
+    "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?[A-Za-z0-9.-]+"
+    ":([0-9]+)(?:[/?#].*)?$"
+)
+SURT_PORT_SQL = (
+    "CASE WHEN regexp_extract({url}, '" + SURT_PORT_RE + "', 1)"
+    " IN ('', '80', '443') THEN ''"
+    " ELSE ':' || regexp_extract({url}, '" + SURT_PORT_RE + "', 1) END"
+)
+
 
 def surt_keys(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Append the ``surt`` CDX key column (host labels reversed +
-    ')' + lowercased path-and-query).  Map-only; composes with
+    """Append the ``surt`` CDX key column (www-stripped host labels
+    reversed + non-default port + ')' + lowercased path-and-query —
+    the public cc-index urlkey spelling).  Map-only; composes with
     :func:`~pgferry_spark.sources.warc.warc_record_index` into the
     CDX-style capture index a web archive serves lookups from."""
     base = df if "host" in df.columns else with_host_domain(df, url_col)
     path = URL_PATH_SQL.format(url=url_col)
+    port = SURT_PORT_SQL.format(url=url_col)
     return base.withColumn(
         "surt",
-        F.expr(SURT_SQL.format(host="host", path=path, **SURT_SPARK)),
+        F.expr(
+            SURT_SQL.format(
+                host="host", path=path, port=port, **SURT_SPARK
+            )
+        ),
     )
 
 

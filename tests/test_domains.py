@@ -566,10 +566,17 @@ def test_surt_template_identical_both_engines(spark):
         "example.org/post/9",
         "https://192.168.3.10/raw",
     ]
+    from pgferry_spark.operators.domains import SURT_PORT_SQL
+
     host = HOST_SQL.format(url="u")
     path = URL_PATH_SQL.format(url="u")
-    sp_expr = SURT_SQL.format(host=f"({host})", path=path, **SURT_SPARK)
-    dk_expr = SURT_SQL.format(host=f"({host})", path=path, **SURT_DUCK)
+    port = SURT_PORT_SQL.format(url="u")
+    sp_expr = SURT_SQL.format(
+        host=f"({host})", path=path, port=port, **SURT_SPARK
+    )
+    dk_expr = SURT_SQL.format(
+        host=f"({host})", path=path, port=port, **SURT_DUCK
+    )
     got = []
     for u in urls:
         sp = (
@@ -582,9 +589,12 @@ def test_surt_template_identical_both_engines(spark):
         ).fetchone()[0]
         assert sp == dk, u
         got.append(sp)
-    assert got[0] == "org,example,www)/articles/1?x=2"
+    # round 13: official massage rules — www label stripped, the
+    # non-default port kept after the reversed host (the public
+    # cc-index urlkey spellings)
+    assert got[0] == "org,example)/articles/1?x=2"
     assert got[1] == "org,example,b,a)/articles/1"
-    assert got[2] == "org,example,media)/p?q=7"
+    assert got[2] == "org,example,media:8080)/p?q=7"
     assert got[3] == "org,example)/post/9"
     # the clustering property: all example.org captures share the prefix
     assert all(s.startswith("org,example") for s in got[:4])
@@ -600,6 +610,6 @@ def test_surt_keys_operator_map_only(spark):
     )
     out = surt_keys(df)
     got = {r.doc_id: r.surt for r in out.collect()}
-    assert got == {1: "org,ex,www)/a", 2: "org,ex,cdn)/b?z=1"}
+    assert got == {1: "org,ex)/a", 2: "org,ex,cdn)/b?z=1"}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only
