@@ -3747,6 +3747,77 @@ def _cdxj_http_index(spark, sf):
     return cdxj_lines(cdx).select("surt", "fetch_ts", "cdxj_line")
 
 
+def _index_routed_retrieval(spark, sf):
+    """The 100 TB retrieval story END-TO-END (round 13, VERDICT r12
+    Next #3): real WARC shard files published under the official
+    crawl-data basenames, the real zipnum layout (range-partitioned
+    shards + merged cluster.idx) published over the CDXJ lines, then
+    the production access path — every distinct urlkey routed through
+    zipnum_bulk_lookup (cluster bisect → ONE inflated block per task
+    per block) → cdxj_parse → index_routed_rehydrate (open the named
+    shard, seek offset, read exactly length bytes, parse the single
+    record + HTTP envelope from the slice alone, md5 the §5.9 body
+    span).  ``ok`` certifies the published index routes to byte-exact
+    payloads: rehydrated digest == the digest the full-scan walk wrote
+    into the line.  Oracle replays (urlkey, fetch_ts, digest) in
+    closed form with rehydrated = digest and ok = true — one
+    hash-green gate over the whole publish→lookup→ranged-read seam.
+    Artifacts live in a per-invocation temp dir (the local stand-in
+    for the object store); the index/capture walk is persisted until
+    the lookup side is built, and only slim audit rows return."""
+    import os
+    import tempfile
+
+    from pgferry_spark.operators.domains import surt_keys
+    from pgferry_spark.sources.httpmsg import (
+        attach_warc_http,
+        http_capture_index,
+    )
+    from pgferry_spark.sources.warc import write_warc_files
+    from pgferry_spark.sources.zipnum import (
+        FETCH_TS_SQL,
+        WARC_FILENAME_SQL,
+        cdxj_lines,
+        cdxj_parse,
+        index_routed_rehydrate,
+        publish_zipnum_sharded,
+        zipnum_bulk_lookup,
+    )
+
+    root = tempfile.mkdtemp(prefix="pgferry_retrieval_")
+    warc_dir = os.path.join(root, "warc")
+    idx_dir = os.path.join(root, "zipnum")
+    containers = attach_warc_http(_docs_with_urls(spark, sf)).persist()
+    write_warc_files(
+        containers,
+        warc_dir,
+        prefix="CC-MAIN-20240815000000-20240815235959-",
+        id_width=5,
+    )
+    idx = http_capture_index(containers)
+    cdx = surt_keys(idx, url_col="target_uri")
+    i = "(container_id * 8 + record_no)"
+    cdx = (
+        cdx.withColumn("fetch_ts", F.expr(FETCH_TS_SQL.format(id=i)))
+        .withColumn(
+            "filename",
+            F.expr(WARC_FILENAME_SQL.format(cid="container_id")),
+        )
+        .filter(F.col("charset").isin("", "utf-8"))
+    )
+    lines = (
+        cdxj_lines(cdx)
+        .select("surt", "fetch_ts", "container_id", "record_no",
+                "cdxj_line")
+        .persist()
+    )
+    cluster = publish_zipnum_sharded(lines, idx_dir, n_shards=2)
+    containers.unpersist()  # artifacts are on disk now
+    keys = lines.select(F.col("surt").alias("urlkey")).distinct()
+    hits = zipnum_bulk_lookup(keys, cluster, idx_dir)
+    return index_routed_rehydrate(cdxj_parse(hits), warc_dir)
+
+
 def _cc_index_host_stats(spark, sf):
     """The consumer story for the official schema (round 12): the
     first query every cc-index-table user runs — per-host capture
@@ -5798,6 +5869,39 @@ def _cdxj_http_oracle() -> str:
     """
 
 
+def _index_routed_retrieval_oracle() -> str:
+    """Closed-form replay of the retrieval audit: per md5-replayable
+    capture its urlkey, fetch timestamp, and body digest — with
+    rehydrated = digest and ok = true, because a correct
+    publish→lookup→ranged-read route returns exactly the bytes the
+    full scan digested.  Any routing, offset, or framing defect on the
+    Spark side breaks the hash."""
+    from pgferry_spark.operators.domains import (
+        HOST_SQL,
+        SURT_DUCK,
+        SURT_PORT_SQL,
+        SURT_SQL,
+        URL_PATH_SQL,
+    )
+    from pgferry_spark.sources.zipnum import FETCH_TS_SQL
+
+    i = "(container_id * 8 + record_no)"
+    host = HOST_SQL.format(url="url")
+    path = URL_PATH_SQL.format(url="url")
+    port = SURT_PORT_SQL.format(url="url")
+    surt = SURT_SQL.format(host="host", path=path, port=port, **SURT_DUCK)
+    return _http_cte() + f"""
+        , e AS (SELECT *, {host} AS host,
+                  md5(text) AS payload_md5,
+                  {FETCH_TS_SQL.format(id=i)} AS fetch_ts
+                FROM hw WHERE doc_id % 5 IN (0, 3, 4))
+        SELECT {surt} AS urlkey, fetch_ts,
+               payload_md5 AS digest, payload_md5 AS rehydrated,
+               true AS ok
+        FROM e
+    """
+
+
 def _cc_index_host_stats_oracle() -> str:
     return f"""
         WITH t AS ({_cc_index_table_oracle()})
@@ -6360,6 +6464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_incidents": _range_join_incidents,
         "time_rollup": _time_rollup,
         "http_charset_sniff": _http_charset_sniff,
+        "index_routed_retrieval": _index_routed_retrieval,
         "cdc_merge": _cdc_merge,
         "scd2_history": _scd2_history,
         "dedup_clusters": _dedup_clusters,
@@ -11024,6 +11129,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_ingest_funnel": _cc_funnel_oracle(),
         "http_truncated_audit": _http_truncated_oracle(),
         "http_charset_sniff": _http_sniff_oracle(),
+        "index_routed_retrieval": _index_routed_retrieval_oracle(),
         "recrawl_plan": _recrawl_plan_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),

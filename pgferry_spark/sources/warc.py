@@ -831,6 +831,7 @@ def write_warc_files(
     out_dir: str,
     suffix: str = ".warc.gz",
     prefix: str = "shard-",
+    id_width: int = 12,
 ) -> None:
     """Publish container rows as REAL files — the write-side twin of
     :func:`read_warc_files`: one file per ``(container_id,
@@ -857,7 +858,8 @@ def write_warc_files(
     def write_part(rows) -> None:
         for r in rows:
             p = os.path.join(
-                out_dir, f"{prefix}{int(r['container_id']):012d}{suffix}"
+                out_dir,
+                f"{prefix}{int(r['container_id']):0{id_width}d}{suffix}",
             )
             fd, tmp = tempfile.mkstemp(
                 dir=out_dir, suffix=".inprogress"

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -896,6 +897,93 @@ def zipnum_bulk_lookup(
     return keys.select(F.col(key_col)).mapInPandas(
         resolve, schema=out_schema
     )
+
+
+_REHYDRATE_SCHEMA = StructType(
+    [
+        StructField("urlkey", StringType(), False),
+        StructField("fetch_ts", StringType(), True),
+        StructField("digest", StringType(), True),
+        StructField("rehydrated", StringType(), True),
+        StructField("ok", BooleanType(), False),
+    ]
+)
+
+
+def index_routed_rehydrate(
+    parsed: DataFrame, warc_dir: str
+) -> DataFrame:
+    """The last leg of the 100 TB retrieval story (round 13, VERDICT
+    r12 Next #3): given parsed index lines — ``(urlkey, fetch_ts,
+    filename, offset, length, digest)`` from :func:`cdxj_parse` over
+    :func:`zipnum_bulk_lookup` hits — perform the BOUNDED RANGE READ
+    each line addresses: open the shard file the index names (basename
+    resolution against ``warc_dir`` — the local mirror of the
+    crawl-data object keys), seek ``offset``, read exactly ``length``
+    bytes, parse the single WARC record + its HTTP envelope from that
+    slice alone, and md5 the §5.9 body span.  ``ok`` is the proof the
+    published index routes to the same bytes the full scan digested:
+    rehydrated digest == index digest.  Per task, file handles are
+    reused across rows of the same shard; at 100 TB each row is a
+    ranged GET — no container ever loads whole, nothing but slim audit
+    rows returns."""
+    import os
+
+    def rehydrate(batches: "Iterator[pd.DataFrame]"):
+        from .httpmsg import parse_http_response
+        from .warc import parse_warc_index
+
+        import hashlib
+
+        handle = {"name": None, "f": None}
+
+        def read_range(fn: str, off: int, ln: int) -> bytes:
+            if handle["name"] != fn:
+                if handle["f"] is not None:
+                    handle["f"].close()
+                handle["f"] = open(os.path.join(warc_dir, fn), "rb")
+                handle["name"] = fn
+            handle["f"].seek(off)
+            return handle["f"].read(ln)
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in _REHYDRATE_SCHEMA
+            }
+            for key, ts, fn, off, ln, dig in zip(
+                pdf["urlkey"], pdf["fetch_ts"], pdf["filename"],
+                pdf["offset"], pdf["length"], pdf["digest"],
+            ):
+                got = None
+                try:
+                    rec = read_range(
+                        os.path.basename(str(fn)), int(off), int(ln)
+                    )
+                    (r,) = parse_warc_index(rec)
+                    payload = rec[
+                        r["payload_offset"]: r["payload_offset"]
+                        + r["payload_len"]
+                    ]
+                    env = parse_http_response(payload)
+                    body = payload[
+                        env["body_offset"]: env["body_offset"]
+                        + env["body_len"]
+                    ]
+                    got = hashlib.md5(body).hexdigest()
+                except (OSError, ValueError):
+                    pass  # ok=False row audits the broken route
+                rows["urlkey"].append(key)
+                rows["fetch_ts"].append(ts)
+                rows["digest"].append(dig)
+                rows["rehydrated"].append(got)
+                rows["ok"].append(got == dig)
+            yield pd.DataFrame(rows)
+        if handle["f"] is not None:
+            handle["f"].close()
+
+    return parsed.select(
+        "urlkey", "fetch_ts", "filename", "offset", "length", "digest"
+    ).mapInPandas(rehydrate, schema=_REHYDRATE_SCHEMA)
 
 
 def read_zipnum_files(

@@ -154,6 +154,68 @@ class TestForeignClusterIdx:
         assert ts == "20240722120758"
 
 
+class TestIndexRoutedRehydrate:
+    """The ranged-read leg in isolation: a slice addressed by real
+    (filename, offset, length) rehydrates to the index digest; a
+    wrong offset, a tampered byte, or a missing shard yields ok=False
+    audit rows instead of failing the job."""
+
+    def test_routes_and_audits(self, spark, tmp_path):
+        import hashlib
+
+        from pgferry_spark.sources.httpmsg import (
+            HTTP_MSGTYPE_RESPONSE,
+            encode_http_response,
+        )
+        from pgferry_spark.sources.warc import encode_warc
+        from pgferry_spark.sources.zipnum import index_routed_rehydrate
+
+        body = b"retrievable body bytes"
+        env = encode_http_response(
+            200, "OK",
+            [("Content-Type", "text/plain"),
+             ("Content-Length", str(len(body)))],
+            body,
+        )
+        blob = encode_warc(
+            [{
+                "type": "response",
+                "record_id": "urn:test:1",
+                "uri": "https://ex.org/1",
+                "payload": env,
+                "content_type": HTTP_MSGTYPE_RESPONSE,
+            }]
+        )
+        fn = "CC-MAIN-x-00000.warc.gz"
+        (tmp_path / fn).write_bytes(blob)
+        dig = hashlib.md5(body).hexdigest()
+        rows = [
+            # good route: whole file is one record
+            ("org,ex)/1", "20240815000000",
+             f"crawl-data/seg/warc/{fn}", 0, len(blob), dig),
+            # wrong offset: framing parse fails -> audit row
+            ("org,ex)/1", "20240815000001",
+             f"crawl-data/seg/warc/{fn}", 7, len(blob) - 7, dig),
+            # missing shard -> audit row
+            ("org,ex)/2", "20240815000002",
+             "crawl-data/seg/warc/absent.warc.gz", 0, 10, dig),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "urlkey: string, fetch_ts: string, filename: string,"
+            " offset: long, length: long, digest: string",
+        )
+        got = {
+            r.fetch_ts: r
+            for r in index_routed_rehydrate(df, str(tmp_path)).collect()
+        }
+        assert got["20240815000000"].ok
+        assert got["20240815000000"].rehydrated == dig
+        assert not got["20240815000001"].ok
+        assert not got["20240815000002"].ok
+        assert got["20240815000002"].rehydrated is None
+
+
 class TestUrlkeySpellings:
     """The SURT keyer against documented public urlkey spellings:
     www/wwwN stripped, non-default port kept after the reversed host,

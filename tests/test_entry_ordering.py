@@ -96,7 +96,7 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 289
+N_QUERIES = 290
 
 
 def test_window_layout(entry_mod):
