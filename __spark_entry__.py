@@ -3781,39 +3781,52 @@ def _index_routed_retrieval(spark, sf):
         cdxj_parse,
         index_routed_rehydrate,
         publish_zipnum_sharded,
+        read_zipnum_lines,
         zipnum_bulk_lookup,
     )
+
+    from pgferry_spark.utils import persisted
 
     root = tempfile.mkdtemp(prefix="pgferry_retrieval_")
     warc_dir = os.path.join(root, "warc")
     idx_dir = os.path.join(root, "zipnum")
-    containers = attach_warc_http(_docs_with_urls(spark, sf)).persist()
-    write_warc_files(
-        containers,
-        warc_dir,
-        prefix="CC-MAIN-20240815000000-20240815235959-",
-        id_width=5,
-    )
-    idx = http_capture_index(containers)
-    cdx = surt_keys(idx, url_col="target_uri")
-    i = "(container_id * 8 + record_no)"
-    cdx = (
-        cdx.withColumn("fetch_ts", F.expr(FETCH_TS_SQL.format(id=i)))
-        .withColumn(
-            "filename",
-            F.expr(WARC_FILENAME_SQL.format(cid="container_id")),
+    containers = attach_warc_http(_docs_with_urls(spark, sf))
+    with persisted(containers):
+        # both publish actions run inside the scope: the container
+        # build happens once, no cache residue survives the entry
+        write_warc_files(
+            containers,
+            warc_dir,
+            prefix="CC-MAIN-20240815000000-20240815235959-",
+            id_width=5,
         )
-        .filter(F.col("charset").isin("", "utf-8"))
+        idx = http_capture_index(containers)
+        cdx = surt_keys(idx, url_col="target_uri")
+        i = "(container_id * 8 + record_no)"
+        cdx = (
+            cdx.withColumn("fetch_ts", F.expr(FETCH_TS_SQL.format(id=i)))
+            .withColumn(
+                "filename",
+                F.expr(WARC_FILENAME_SQL.format(cid="container_id")),
+            )
+            .filter(F.col("charset").isin("", "utf-8"))
+        )
+        lines = cdxj_lines(cdx).select(
+            "surt", "fetch_ts", "container_id", "record_no", "cdxj_line"
+        )
+        cluster = publish_zipnum_sharded(lines, idx_dir, n_shards=2)
+    # the lookup side reads only the published artifacts: the key
+    # census comes from the DISTRIBUTED read-back of the index itself
+    # (read_zipnum_lines — bounded ranged block reads, nothing
+    # recomputed from the corpus), then every distinct urlkey routes
+    # through the production lookup
+    keys = (
+        read_zipnum_lines(spark, cluster, idx_dir)
+        .select(
+            F.expr("split_part(cdxj_line, ' ', 1)").alias("urlkey")
+        )
+        .distinct()
     )
-    lines = (
-        cdxj_lines(cdx)
-        .select("surt", "fetch_ts", "container_id", "record_no",
-                "cdxj_line")
-        .persist()
-    )
-    cluster = publish_zipnum_sharded(lines, idx_dir, n_shards=2)
-    containers.unpersist()  # artifacts are on disk now
-    keys = lines.select(F.col("surt").alias("urlkey")).distinct()
     hits = zipnum_bulk_lookup(keys, cluster, idx_dir)
     return index_routed_rehydrate(cdxj_parse(hits), warc_dir)
 

@@ -1091,6 +1091,7 @@ def robots_status_gate(
     id_col: str = "doc_id",
     agent: str = "*",
     broadcast_limit: int = 2_000_000,
+    statuses_rows: int | None = None,
 ) -> DataFrame:
     """The RFC 9309 §2.3.1 fetch-status policy AROUND the rule gate:
     per domain the robots.txt fetch status decides everything before a
@@ -1107,13 +1108,25 @@ def robots_status_gate(
     domains, ~10^8 at 100 TB, past any broadcast); the rule verdict is
     computed once over ALL documents (one pass — domains the policy
     discards are filtered afterwards, cheaper than splitting the
-    corpus into per-policy branches that each rescan it)."""
+    corpus into per-policy branches that each rescan it).
+
+    Probe cost (round 13, r12 watch note): a caller that already knows
+    the status-table size passes ``statuses_rows`` and NO count job
+    runs; otherwise the policy projection persists first so the one
+    probe count and the join read the same materialization instead of
+    scanning ``statuses`` twice — the tier join-back convention
+    (operators/filters.py), same caller-unpersist lifecycle."""
     base = df if "domain" in df.columns else with_host_domain(df, url_col)
     pol = statuses.select(
         F.col("domain").alias("__pd"),
         F.expr(ROBOTS_POLICY_SQL.format(status="rstatus")).alias("__pol"),
     )
-    if statuses.count() <= broadcast_limit:
+    if statuses_rows is None:
+        from pyspark import StorageLevel
+
+        pol = pol.persist(StorageLevel.MEMORY_AND_DISK)
+        statuses_rows = pol.count()
+    if statuses_rows <= broadcast_limit:
         pol = F.broadcast(pol)
     else:
         pol = pol.hint("shuffle_hash")

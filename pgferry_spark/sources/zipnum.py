@@ -899,6 +899,47 @@ def zipnum_bulk_lookup(
     )
 
 
+def read_zipnum_lines(
+    spark, cluster: list[dict], shard_dir: str
+) -> DataFrame:
+    """Distributed read-back of a published zipnum layout — the read
+    twin of :func:`publish_zipnum_sharded`: the config-scale cluster
+    rows parallelize as one task input each, every task inflates ITS
+    blocks with bounded ranged reads (seek offset, read length, one
+    gzip member) and emits the decoded CDXJ lines.  At 100 TB this is
+    how a consumer scans the whole index without any single reader
+    holding more than one block: ~lines/N ranged GETs, fanned across
+    the cluster, container bytes never involved."""
+    import os
+
+    blocks = spark.createDataFrame(
+        [
+            (c["filename"], int(c["offset"]), int(c["length"]))
+            for c in cluster
+        ],
+        "filename: string, offset: long, length: long",
+    )
+    out_schema = StructType(
+        [StructField("cdxj_line", StringType(), False)]
+    )
+
+    def scan(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            lines: list[str] = []
+            for fn, off, ln in zip(
+                pdf["filename"], pdf["offset"], pdf["length"]
+            ):
+                with open(os.path.join(shard_dir, str(fn)), "rb") as f:
+                    f.seek(int(off))
+                    member = f.read(int(ln))
+                rec = warc_member_read(member, 0, len(member))
+                lines += rec.decode("utf-8").splitlines()
+            yield pd.DataFrame({"cdxj_line": lines})
+
+    n = max(1, min(len(cluster), spark.sparkContext.defaultParallelism))
+    return blocks.repartition(n).mapInPandas(scan, schema=out_schema)
+
+
 _REHYDRATE_SCHEMA = StructType(
     [
         StructField("urlkey", StringType(), False),

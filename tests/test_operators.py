@@ -1141,3 +1141,30 @@ class TestEmbeddingDriftPsi:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "Window" not in plan
+
+
+class TestPersistedScope:
+    def test_no_cache_residue_after_scope(self, spark):
+        """with persisted(df): every consumer inside the block reads
+        the cache; on exit the explicit-cache registry is empty (the
+        r12 ADVICE lifecycle mechanization)."""
+        from pgferry_spark.utils import persisted
+
+        df = spark.range(1000).withColumn("x", F.col("id") * 2)
+        with persisted(df) as cached:
+            assert cached.count() == 1000
+            assert cached.storageLevel.useMemory
+        assert not df.storageLevel.useMemory
+        assert not df.storageLevel.useDisk
+
+    def test_unpersists_on_exception(self, spark):
+        from pgferry_spark.utils import persisted
+
+        import pytest
+
+        df = spark.range(10)
+        with pytest.raises(RuntimeError):
+            with persisted(df):
+                df.count()
+                raise RuntimeError("boom")
+        assert not df.storageLevel.useMemory

@@ -71,6 +71,13 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             continue
+        finally:
+            # operators that persist intermediates (funnel, ccnet
+            # tiers, status gate) document a caller-unpersist
+            # lifecycle; a multi-entry gate run is that caller —
+            # without this, MEMORY_AND_DISK residue accumulates
+            # across a 40-entry chunk (round 13, r12 ADVICE low)
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
