@@ -4216,6 +4216,25 @@ def _http_charset_sniff(spark, sf):
     )
 
 
+def _charset_sniff_disagreements(spark, sf):
+    """The mojibake-prevented audit (round 13): the rows where WHATWG
+    sniffing resolved a DIFFERENT codec than the header-only front
+    door would have used — header-silent pages declaring cp1252 /
+    latin-1 in-document (previously decoded as utf-8 mojibake) and the
+    BOM'd page whose header mis-states latin-1.  Codec-level
+    comparison via a JVM literal-map lookup over CHARSET_CODECS (label
+    aliases reaching the same codec are NOT disagreements), no UDF.
+    Oracle replays the three disagreement classes in closed form."""
+    from pgferry_spark.sources.httpmsg import (
+        attach_warc_http_sniff,
+        charset_sniff_disagreements,
+    )
+
+    return charset_sniff_disagreements(
+        attach_warc_http_sniff(_docs_with_urls(spark, sf))
+    )
+
+
 def _http_redirect_edges(spark, sf):
     """3xx responses as (uri, Location) edges — the redirect graph a
     frontier follows; only redirect rows leave the executor."""
@@ -5205,11 +5224,13 @@ def _http_sniff_oracle() -> str:
     from pgferry_spark.operators.domains import URL_SYNTH_SQL
     from pgferry_spark.sources.httpmsg import (
         HTTP_SNIFF_CHARSET_SQL,
+        HTTP_SNIFF_HDR_SQL,
         HTTP_SNIFF_SOURCE_SQL,
         HTTP_SNIFF_TEXT_SQL,
     )
 
     url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    hdr = HTTP_SNIFF_HDR_SQL.format(id="doc_id")
     label = HTTP_SNIFF_CHARSET_SQL.format(id="doc_id")
     source = HTTP_SNIFF_SOURCE_SQL.format(id="doc_id")
     text = HTTP_SNIFF_TEXT_SQL.format(id="doc_id", text="text")
@@ -5222,9 +5243,40 @@ def _http_sniff_oracle() -> str:
                      ORDER BY doc_id) - 1 AS INT) AS record_no
               FROM u)
         SELECT container_id, record_no, url AS target_uri,
+               {hdr} AS header_charset,
                {label} AS charset, {source} AS source,
                {text} AS text
         FROM w
+    """
+
+
+def _charset_sniff_disagreements_oracle() -> str:
+    """Classes 1, 2 (header silent, meta declares a single-byte
+    charset -> header-only utf-8 vs sniffed cp1252/latin-1) and 3
+    (header latin-1, BOM utf-8 wins)."""
+    from pgferry_spark.operators.domains import URL_SYNTH_SQL
+    from pgferry_spark.sources.httpmsg import (
+        HTTP_SNIFF_CHARSET_SQL,
+        HTTP_SNIFF_HDR_SQL,
+        HTTP_SNIFF_SOURCE_SQL,
+    )
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    hdr = HTTP_SNIFF_HDR_SQL.format(id="doc_id")
+    label = HTTP_SNIFF_CHARSET_SQL.format(id="doc_id")
+    source = HTTP_SNIFF_SOURCE_SQL.format(id="doc_id")
+    return f"""
+        WITH u AS (SELECT doc_id, (doc_id // 8) AS container_id,
+                     text, {url} AS url
+                   FROM documents),
+        w AS (SELECT *,
+                CAST(row_number() OVER (PARTITION BY container_id
+                     ORDER BY doc_id) - 1 AS INT) AS record_no
+              FROM u)
+        SELECT container_id, record_no, url AS target_uri,
+               {hdr} AS header_charset,
+               {label} AS charset, {source} AS source
+        FROM w WHERE doc_id % 6 IN (1, 2, 3)
     """
 
 
@@ -6478,6 +6530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": _time_rollup,
         "http_charset_sniff": _http_charset_sniff,
         "index_routed_retrieval": _index_routed_retrieval,
+        "charset_sniff_disagreements": _charset_sniff_disagreements,
         "cdc_merge": _cdc_merge,
         "scd2_history": _scd2_history,
         "dedup_clusters": _dedup_clusters,
@@ -11143,6 +11196,7 @@ def oracle_sql() -> dict[str, str]:
         "http_truncated_audit": _http_truncated_oracle(),
         "http_charset_sniff": _http_sniff_oracle(),
         "index_routed_retrieval": _index_routed_retrieval_oracle(),
+        "charset_sniff_disagreements": _charset_sniff_disagreements_oracle(),
         "recrawl_plan": _recrawl_plan_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),

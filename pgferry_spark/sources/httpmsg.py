@@ -918,6 +918,10 @@ def sniff_meta_charset(head: bytes) -> str:
     label = m.group(1).decode("ascii", "replace").lower()
     if label in ("utf-16", "utf16", "utf-16le", "utf-16be"):
         return "utf-8"
+    if label == "x-user-defined":
+        # HTML Standard §13.2.3.2: "If charset is x-user-defined,
+        # then set charset to windows-1252" (meta prescan only)
+        return "windows-1252"
     return label
 
 
@@ -962,6 +966,12 @@ HTTP_SNIFF_CT_SQL = (
     " WHEN {id} % 6 = 3 THEN 'text/html; charset=iso-8859-1'"
     " WHEN {id} % 6 = 4 THEN 'text/html; charset=ISO-8859-1'"
     " ELSE 'text/html' END"
+)
+# the parser-normalized HEADER charset per class (what the header-only
+# front door keys off — '' for the silent classes)
+HTTP_SNIFF_HDR_SQL = (
+    "CASE WHEN {id} % 6 = 0 THEN 'utf-8'"
+    " WHEN {id} % 6 IN (3, 4) THEN 'iso-8859-1' ELSE '' END"
 )
 HTTP_SNIFF_CHARSET_SQL = (
     "CASE WHEN {id} % 6 = 1 THEN 'windows-1252'"
@@ -1081,6 +1091,7 @@ _SNIFF_SCHEMA = StructType(
         StructField("container_id", LongType(), False),
         StructField("record_no", IntegerType(), False),
         StructField("target_uri", StringType(), True),
+        StructField("header_charset", StringType(), True),
         StructField("charset", StringType(), True),
         StructField("source", StringType(), True),
         StructField("text", StringType(), True),
@@ -1119,6 +1130,7 @@ def http_charset_sniff(df: DataFrame) -> DataFrame:
                     rows["container_id"].append(int(cid))
                     rows["record_no"].append(rec["record_no"])
                     rows["target_uri"].append(rec["target_uri"])
+                    rows["header_charset"].append(env["charset"])
                     rows["charset"].append(label)
                     rows["source"].append(source)
                     rows["text"].append(
@@ -1127,6 +1139,46 @@ def http_charset_sniff(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(sniff, schema=_SNIFF_SCHEMA)
+
+
+def charset_codec_col(col: "F.Column") -> "F.Column":
+    """The CHARSET_CODECS allowlist as a JVM-side literal-map lookup:
+    label column → stdlib codec name, null when outside the allowlist.
+    Lets plan-level audits compare EFFECTIVE codecs (latin-1 and
+    iso-8859-1 are the same decode) without a Python UDF."""
+    from pyspark.sql import functions as F
+
+    pairs: list = []
+    for k, v in CHARSET_CODECS.items():
+        pairs += [F.lit(k), F.lit(v)]
+    return F.element_at(F.create_map(*pairs), F.lower(col))
+
+
+def charset_sniff_disagreements(df: DataFrame) -> DataFrame:
+    """The mojibake-prevented audit (round 13): sniff rows whose
+    RESOLVED codec differs from what the header-only front door
+    (:func:`http_charset_transcode`'s criterion — the Content-Type
+    charset parameter, utf-8 when silent) would have decoded with —
+    header-silent pages that declare themselves in-document, and
+    BOM'd pages whose header mis-states.  Exactly the rows a
+    production curation materializes to quantify what sniffing bought.
+    Codec-level comparison (literal-map lookup, no UDF), null-safe:
+    label aliases that reach the same codec are NOT disagreements."""
+    from pyspark.sql import functions as F
+
+    sn = http_charset_sniff(df)
+    hdr = charset_codec_col(
+        F.when(F.col("header_charset") == "", F.lit("utf-8"))
+        .otherwise(F.col("header_charset"))
+    )
+    eff = charset_codec_col(
+        F.when(F.col("charset") == "", F.lit("utf-8"))
+        .otherwise(F.col("charset"))
+    )
+    return sn.filter(~hdr.eqNullSafe(eff)).select(
+        "container_id", "record_no", "target_uri",
+        "header_charset", "charset", "source",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -964,10 +964,14 @@ def index_routed_rehydrate(
     bytes, parse the single WARC record + its HTTP envelope from that
     slice alone, and md5 the §5.9 body span.  ``ok`` is the proof the
     published index routes to the same bytes the full scan digested:
-    rehydrated digest == index digest.  Per task, file handles are
-    reused across rows of the same shard; at 100 TB each row is a
-    ranged GET — no container ever loads whole, nothing but slim audit
-    rows returns."""
+    rehydrated digest == index digest.  Both container framings
+    rehydrate: a plain range IS the record bytes; a gzip-member range
+    (real crawl-data shards — the slice opens with the 1f 8b magic)
+    inflates exactly one member first (:func:`warc_member_read`,
+    allocation capped) — the same magic dispatch the scan-side record
+    walk uses.  Per task, file handles are reused across rows of the
+    same shard; at 100 TB each row is a ranged GET — no container ever
+    loads whole, nothing but slim audit rows returns."""
     import os
 
     def rehydrate(batches: "Iterator[pd.DataFrame]"):
@@ -1000,6 +1004,10 @@ def index_routed_rehydrate(
                     rec = read_range(
                         os.path.basename(str(fn)), int(off), int(ln)
                     )
+                    if rec[:2] == b"\x1f\x8b":
+                        # gzip-member framing: the range is one
+                        # deflated member; inflate it (bounded)
+                        rec = warc_member_read(rec, 0, len(rec))
                     (r,) = parse_warc_index(rec)
                     payload = rec[
                         r["payload_offset"]: r["payload_offset"]

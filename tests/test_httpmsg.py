@@ -335,6 +335,19 @@ class TestCharsetSniffing:
         ]:
             assert H.sniff_meta_charset(head) == want, head
 
+    def test_meta_x_user_defined_normalizes_to_cp1252(self):
+        # HTML Standard §13.2.3.2 prescan rule
+        assert (
+            H.sniff_meta_charset(b"<meta charset=x-user-defined>")
+            == "windows-1252"
+        )
+        # but a HEADER-declared x-user-defined stays outside the
+        # allowlist (the rule is prescan-specific): drop-and-audit
+        assert H.sniff_charset("x-user-defined", b"abc") == (
+            "x-user-defined", "header", 0,
+        )
+        assert "x-user-defined" not in H.CHARSET_CODECS
+
     def test_meta_utf16_normalizes_to_utf8(self):
         # spec: a prescan that READ the declaration as ASCII bytes
         # disproves utf-16; charset becomes utf-8
@@ -406,6 +419,33 @@ class TestCharsetSniffing:
             else:
                 assert (r.charset, r.source) == ("", "default")
                 assert r.text == base
+
+    def test_utf16_bom_body_decodes_through_operator(self, spark):
+        """A UTF-16LE BOM'd body (header silent) resolves via the BOM
+        arm, the BOM bytes never reach content, and the text decodes
+        through the utf-16-le allowlist codec."""
+        text = "utf-16 content with é and €"
+        body = b"\xff\xfe" + text.encode("utf-16-le")
+        env = H.encode_http_response(
+            200, "OK",
+            [("Content-Type", "text/html"),
+             ("Content-Length", str(len(body)))],
+            body,
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(W.encode_warc([{
+                "type": "response",
+                "record_id": "urn:test:u16",
+                "uri": "https://ex.org/u16",
+                "payload": env,
+                "content_type": H.HTTP_MSGTYPE_RESPONSE,
+            }])))],
+            "container_id: long, container: binary",
+        )
+        rows = H.http_charset_sniff(df).collect()
+        assert len(rows) == 1
+        assert (rows[0].charset, rows[0].source) == ("utf-16le", "bom")
+        assert rows[0].text == text
 
     def test_unknown_sniffed_label_drops_and_audits(self, spark):
         """A meta declaring a charset outside CHARSET_CODECS drops the
