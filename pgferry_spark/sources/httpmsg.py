@@ -611,8 +611,12 @@ def http_response_index(df: DataFrame) -> DataFrame:
     media type + declared charset (feeds the transcode stage), body
     (offset, len) within the payload (the range-read address one level
     below the WARC record index), a truncation flag, and ``digest_ok``
-    — md5 over the PARSED body span compared against the record's
-    WARC-Payload-Digest, the ISO 28500 §5.9 body-digest proof."""
+    — the PARSED body span verified against the record's
+    WARC-Payload-Digest, the ISO 28500 §5.9 body-digest proof
+    (:func:`~.warc.payload_digest_matches` — this repo's md5:<hex> AND
+    the official sha1:<base32> spelling both verify, round 13)."""
+    from .warc import payload_digest_matches
+
     df = fan_out(df, "container_id")
 
     def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -620,7 +624,6 @@ def http_response_index(df: DataFrame) -> DataFrame:
             rows: dict[str, list] = {f.name: [] for f in _HTTP_INDEX_SCHEMA}
             for cid, blob in zip(pdf["container_id"], pdf["container"]):
                 for rec, env, body in _iter_http_records(bytes(blob)):
-                    dig = "md5:" + hashlib.md5(body).hexdigest()
                     rows["container_id"].append(int(cid))
                     rows["record_no"].append(rec["record_no"])
                     rows["target_uri"].append(rec["target_uri"])
@@ -635,7 +638,9 @@ def http_response_index(df: DataFrame) -> DataFrame:
                         rec.get("warc_truncated", "")
                     )
                     rows["digest_ok"].append(
-                        rec.get("payload_digest", "") == dig
+                        payload_digest_matches(
+                            rec.get("payload_digest", ""), body
+                        )
                     )
             yield pd.DataFrame(rows)
 

@@ -190,6 +190,32 @@ def parse_warc_index(container: bytes) -> list[dict]:
     return out
 
 
+def payload_digest_matches(declared: str, body: bytes) -> bool:
+    """Verify an ISO 28500 §5.9 ``WARC-Payload-Digest`` value against
+    the given body bytes, speaking BOTH conventions real archives use
+    (round 13, read compat): this repo's ``md5:<hex>`` and the
+    official CommonCrawl/warcio spelling ``sha1:<RFC 4648 base32>``
+    (hex sha1 also accepted — wget emits it).  Unknown algorithms and
+    empty declarations verify False — absence of proof, not proof."""
+    import base64
+    import hashlib
+
+    algo, sep, val = declared.partition(":")
+    if not sep or not val:
+        return False
+    algo = algo.strip().lower()
+    val = val.strip()
+    if algo == "md5":
+        return val.lower() == hashlib.md5(body).hexdigest()
+    if algo == "sha1":
+        h = hashlib.sha1(body)
+        return (
+            val.upper() == base64.b32encode(h.digest()).decode()
+            or val.lower() == h.hexdigest()
+        )
+    return False
+
+
 def encode_warc_gz(records: list[dict]) -> bytes:
     """CommonCrawl transport framing: each record individually deflated
     as one gzip MEMBER, members concatenated.  ``mtime=0`` pins the

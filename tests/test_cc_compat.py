@@ -216,6 +216,85 @@ class TestIndexRoutedRehydrate:
         assert got["20240815000002"].rehydrated is None
 
 
+class TestForeignWarcRecord:
+    """A CommonCrawl-shaped response record — extra WARC headers
+    (IP-Address, Block-Digest, Identified-Payload-Type, Warcinfo-ID)
+    and the OFFICIAL sha1:<base32> payload digest — must parse through
+    the record walk and VERIFY digest_ok, not merely tolerate."""
+
+    def _foreign_record(self):
+        import base64
+        import hashlib
+
+        body = b"<html><body>Hello CC</body></html>"
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=UTF-8\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            b"\r\n" + body
+        )
+        b32 = base64.b32encode(hashlib.sha1(body).digest()).decode()
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            "WARC-Date: 2024-07-22T12:07:56Z\r\n"
+            "WARC-Record-ID: <urn:uuid:aa7272a9-1111-2222-3333-5a9ae8eecbd0>\r\n"
+            "Content-Length: " + str(len(http)) + "\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "WARC-Warcinfo-ID: <urn:uuid:5854f1b0-aaaa-bbbb-cccc-b1ca2ef78e3b>\r\n"
+            "WARC-Concurrent-To: <urn:uuid:e73bce0f-dddd-eeee-ffff-c89eb9b4ef26>\r\n"
+            "WARC-IP-Address: 93.184.215.14\r\n"
+            "WARC-Target-URI: https://example.org/\r\n"
+            "WARC-Payload-Digest: sha1:" + b32 + "\r\n"
+            "WARC-Block-Digest: sha1:"
+            + base64.b32encode(hashlib.sha1(http).digest()).decode()
+            + "\r\n"
+            "WARC-Identified-Payload-Type: text/html\r\n"
+            "\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n", body
+
+    def test_record_walk_tolerates_and_verifies(self, spark):
+        from pgferry_spark.sources import httpmsg as H
+        from pgferry_spark.sources import warc as W
+
+        blob, body = self._foreign_record()
+        (rec,) = W.parse_warc_index(blob)
+        assert rec["warc_type"] == "response"
+        assert rec["target_uri"] == "https://example.org/"
+        assert rec["payload_digest"].startswith("sha1:")
+        # the official digest spelling VERIFIES against the body
+        assert W.payload_digest_matches(rec["payload_digest"], body)
+        assert not W.payload_digest_matches(
+            rec["payload_digest"], body + b"x"
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(blob))],
+            "container_id: long, container: binary",
+        )
+        rows = H.http_response_index(df).collect()
+        assert len(rows) == 1
+        assert rows[0].status == 200
+        assert rows[0].charset == "utf-8"
+        assert rows[0].digest_ok  # sha1:base32 verified, not md5-only
+
+    def test_digest_spellings(self):
+        import hashlib
+
+        from pgferry_spark.sources.warc import payload_digest_matches
+
+        b = b"digest me"
+        assert payload_digest_matches(
+            "md5:" + hashlib.md5(b).hexdigest(), b
+        )
+        assert payload_digest_matches(
+            "sha1:" + hashlib.sha1(b).hexdigest(), b  # wget hex form
+        )
+        assert not payload_digest_matches("", b)
+        assert not payload_digest_matches("sha256:deadbeef", b)
+        assert not payload_digest_matches("md5:", b)
+
+
 class TestGzipMemberRetrieval:
     """Real crawl-data shards are gzip-member WARCs: the published
     index's (offset, length) address one deflated member.  The
