@@ -6434,76 +6434,25 @@ def _url_dedup_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
-    entries of this dict. Round-10 rotation (VERDICT r9 Next #3): the
-    window head is this round's additions (gzip WARC members, then the
-    second wave — WET/WAT export, sitemap discovery, FineWeb gates,
-    mojibake repair — all driver-checked at birth), then the 8 entries
-    the r9 at-birth block displaced (r4/r5-green), then the r5-green
-    block.  Each second-wave birth displaces one r5-green entry past
-    the boundary to head the r11 line (at-birth checks take precedence
-    per the standing rule; every displaced entry keeps this round's
-    full local-gate attestation at both SFs).
-    Round-10 code changes to already-green entries
-    (robots pattern engine, charref sentinel decode, strip_gps single
-    walk, frontier salt) were all verified output-identical on the
-    driver corpus at sf0.001 AND sf0.01 before this rotation, so their
-    r9 greens still attest their outputs.  The 10 rows-only entries (no
-    SQL oracle — their md5/exact twins carry the hash signal) are
-    PERMANENTLY pinned after the window: a slot spent on a no_oracle row
-    can never produce a green driver row.  tests/test_entry_ordering.py
-    pins this window arithmetic; tools/plan_rotation.py proposes each
-    round's order."""
+    entries of this dict.  Round-13 rotation (VERDICT r12 Next #7): the
+    window head is this round's 3 births (WHATWG charset sniffing, the
+    end-to-end index-routed retrieval, the sniff-disagreement audit —
+    driver-checked at birth), then the 47 stalest oracle-backed entries
+    in tools/plan_rotation.py order (the r7-green multimodal/curation/
+    winnowing block, then the leading r8-green block).  Round-13 code
+    changes to already-green entries (SURT official massage rules across
+    the nine surt-consuming entries, the digest-spelling verification in
+    http_response_index, the status-gate probe persist) were all
+    re-gated output-green at sf0.001 AND sf0.01 before this rotation.
+    The 10 rows-only entries (no SQL oracle — their md5/exact twins
+    carry the hash signal) are PERMANENTLY pinned after the window: a
+    slot spent on a no_oracle row can never produce a green driver row.
+    tests/test_entry_ordering.py pins this window arithmetic;
+    tools/plan_rotation.py proposes each round's order."""
     return {
-        "cdxj_index": _cdxj_index,
-        "cdxj_field_extract": _cdxj_field_extract,
-        "cc_index_table": _cc_index_table,
-        "cdxj_zipnum_cluster": _cdxj_zipnum_cluster,
-        "cdx11_index": _cdx11_index,
-        "cc_index_host_stats": _cc_index_host_stats,
-        "robots_status_gate": _robots_status_gate,
-        "cdxj_http_index": _cdxj_http_index,
-        "q15_top_supplier": _q15,
-        "q18_large_volume_customers": _q18,
-        "top_order_per_customer": _top_order,
-        "big_order_customers": _big_orders,
-        "cheapest_supplier_per_part": _cheapest_supplier,
-        "customer_set_ops": _set_ops,
-        "sql_exists_subquery": _sql_surface,
-        "rollup_pricing": _rollup,
-        "distinct_orders_per_flag": _distinct,
-        "events_hourly": _events_hourly,
-        "events_json_stats": _events_json,
-        "events_pivot": _events_pivot,
-        "lineitem_column_stats": _lineitem_stats,
-        "revenue_percentiles": _percentiles,
-        "sessionize": _sessionize,
-        "asof_join": _asof_join,
-        "minmax_probe": _minmax,
-        "row_counts": _row_counts,
-        "sequence_reset": _sequence_reset,
-        "orphan_anti_join": _orphan_events,
-        "orphan_set_null": _orphan_set_null,
-        "transform_strings": _string_transforms,
-        "transform_bool": _bool_transform,
-        "transform_set_split": _set_split,
-        "transform_bits": _bit_transform,
-        "transform_time_interval": _time_interval,
-        "transform_year_money": _year_money,
-        "transform_zero_date": _zero_date,
-        "quality_checks": _quality_checks,
-        "text_stats": _text_stats,
-        "span_dedup": _span_dedup,
-        "domain_stats": _domain_stats,
-        "domain_quota_sample": _domain_quota_sample,
-        "blocklist_filter": _blocklist_filter,
-        "url_dedup": _url_dedup,
-        "image_exif_meta": _image_exif_meta,
-        "exif_gps_scrub": _exif_gps_scrub,
-        "bpe_merges": _bpe_merges,
-        "bpe_encode": _bpe_encode,
-        "exact_substring_spans_chars": _exact_substring_spans_chars,
-        "image_meta_jpeg": _image_meta_jpeg,
-        "t_closeness": _t_closeness,
+        "http_charset_sniff": _http_charset_sniff,
+        "index_routed_retrieval": _index_routed_retrieval,
+        "charset_sniff_disagreements": _charset_sniff_disagreements,
         "video_frame_index": _video_frame_index,
         "audio_segment_index": _audio_segment_index,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
@@ -6528,9 +6477,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "range_join_incidents": _range_join_incidents,
         "time_rollup": _time_rollup,
-        "http_charset_sniff": _http_charset_sniff,
-        "index_routed_retrieval": _index_routed_retrieval,
-        "charset_sniff_disagreements": _charset_sniff_disagreements,
         "cdc_merge": _cdc_merge,
         "scd2_history": _scd2_history,
         "dedup_clusters": _dedup_clusters,
@@ -6735,6 +6681,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8,
         "q9_product_profit": _q9,
         "q13_order_count_distribution": _q13,
+        "cdxj_index": _cdxj_index,
+        "cdxj_field_extract": _cdxj_field_extract,
+        "cc_index_table": _cc_index_table,
+        "cdxj_zipnum_cluster": _cdxj_zipnum_cluster,
+        "cdx11_index": _cdx11_index,
+        "cc_index_host_stats": _cc_index_host_stats,
+        "robots_status_gate": _robots_status_gate,
+        "cdxj_http_index": _cdxj_http_index,
+        "q15_top_supplier": _q15,
+        "q18_large_volume_customers": _q18,
+        "top_order_per_customer": _top_order,
+        "big_order_customers": _big_orders,
+        "cheapest_supplier_per_part": _cheapest_supplier,
+        "customer_set_ops": _set_ops,
+        "sql_exists_subquery": _sql_surface,
+        "rollup_pricing": _rollup,
+        "distinct_orders_per_flag": _distinct,
+        "events_hourly": _events_hourly,
+        "events_json_stats": _events_json,
+        "events_pivot": _events_pivot,
+        "lineitem_column_stats": _lineitem_stats,
+        "revenue_percentiles": _percentiles,
+        "sessionize": _sessionize,
+        "asof_join": _asof_join,
+        "minmax_probe": _minmax,
+        "row_counts": _row_counts,
+        "sequence_reset": _sequence_reset,
+        "orphan_anti_join": _orphan_events,
+        "orphan_set_null": _orphan_set_null,
+        "transform_strings": _string_transforms,
+        "transform_bool": _bool_transform,
+        "transform_set_split": _set_split,
+        "transform_bits": _bit_transform,
+        "transform_time_interval": _time_interval,
+        "transform_year_money": _year_money,
+        "transform_zero_date": _zero_date,
+        "quality_checks": _quality_checks,
+        "text_stats": _text_stats,
+        "span_dedup": _span_dedup,
+        "domain_stats": _domain_stats,
+        "domain_quota_sample": _domain_quota_sample,
+        "blocklist_filter": _blocklist_filter,
+        "url_dedup": _url_dedup,
+        "image_exif_meta": _image_exif_meta,
+        "exif_gps_scrub": _exif_gps_scrub,
+        "bpe_merges": _bpe_merges,
+        "bpe_encode": _bpe_encode,
+        "exact_substring_spans_chars": _exact_substring_spans_chars,
+        "image_meta_jpeg": _image_meta_jpeg,
+        "t_closeness": _t_closeness,
         "lsh_candidate_pairs_capped": _lsh_pairs_capped,
         "quality_classifier": _quality_classifier,
         "compression_ratio": _compression_ratio,

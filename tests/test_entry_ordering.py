@@ -1,15 +1,14 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01..r11 each contain exactly 50
-keys equal to dict positions 1-50).  Round-12 rotation (VERDICT r11
-Next #9): the window head is this round's 8 births (the official
-CommonCrawl wire formats: CDXJ emit/parse, cc-index-table projection,
-official zipnum blocking, classic 11-field CDX — driver-checked at
-birth), then the 45
-STALEST oracle-backed entries in tools/plan_rotation.py order — the
-r6-green TPC-H/transform tail followed by the leading r7-green block.
-No oracle-backed entry goes >5 rounds without a driver-green record
+__spark_entry__.queries() (CORRECTNESS_r01..r12 each contain exactly 50
+keys equal to dict positions 1-50).  Round-13 rotation (VERDICT r12
+Next #7): the window head is this round's 3 births (WHATWG charset
+sniffing, the end-to-end index-routed retrieval, the sniff-disagreement
+audit — driver-checked at birth), then the 47 STALEST oracle-backed
+entries in tools/plan_rotation.py order — the r7-green multimodal/
+curation/winnowing block followed by the leading r8-green block.
+No oracle-backed entry goes >6 rounds without a driver-green record
 under this rotation.
 The 10 rows-only entries are PERMANENTLY excluded from the window — a
 slot spent on a ``no_oracle`` row can never produce a green driver row
@@ -34,42 +33,44 @@ def entry_mod():
     return mod
 
 
-# Window head: round-12 births, driver-checked at birth.
-NEW_R12 = [
-    "cdxj_index", "cdxj_field_extract", "cc_index_table",
-    "cdxj_zipnum_cluster", "cdx11_index", "cc_index_host_stats",
-    "robots_status_gate", "cdxj_http_index",
+# Window head: round-13 births, driver-checked at birth.
+NEW_R13 = [
+    "http_charset_sniff", "index_routed_retrieval",
+    "charset_sniff_disagreements",
 ]
 
 # Remaining window: the stalest oracle-backed entries, planner-stable
-# order (the r6-green TPC-H/transform tail, then the leading r7-green
-# block).
+# order (the r7-green multimodal/curation/winnowing block, then the
+# leading r8-green block).
 ROTATED_STALEST = [
-    "q15_top_supplier", "q18_large_volume_customers",
-    "top_order_per_customer", "big_order_customers",
-    "cheapest_supplier_per_part", "customer_set_ops",
-    "sql_exists_subquery", "rollup_pricing", "distinct_orders_per_flag",
-    "events_hourly", "events_json_stats", "events_pivot",
-    "lineitem_column_stats", "revenue_percentiles", "sessionize",
-    "asof_join", "minmax_probe", "row_counts", "sequence_reset",
-    "orphan_anti_join", "orphan_set_null", "transform_strings",
-    "transform_bool", "transform_set_split", "transform_bits",
-    "transform_time_interval", "transform_year_money",
-    "transform_zero_date", "quality_checks", "text_stats", "span_dedup",
-    "domain_stats", "domain_quota_sample", "blocklist_filter", "url_dedup",
-    "image_exif_meta", "exif_gps_scrub", "bpe_merges", "bpe_encode",
-    "exact_substring_spans_chars", "image_meta_jpeg", "t_closeness",
-]
-
-# Positions 51+: next-stalest, first in line for the r13 rotation.
-NEXT_IN_LINE = [
-    "video_frame_index", "audio_segment_index", "hybrid_rrf_topk", "dedup_keep_best", "mmr_diversify", "pii_luhn_cards", "pii_card_gate",
+    "video_frame_index", "audio_segment_index", "hybrid_rrf_topk",
+    "dedup_keep_best", "mmr_diversify", "pii_luhn_cards", "pii_card_gate",
     "mmr_diversify_ivf", "curate_corpus_best", "kmeans_exact_assign",
     "ivf_kmeans_exact_topk", "compressibility_entropy",
     "dedup_method_agreement", "packing_efficiency", "lang_id",
     "bpe_token_count", "winnow_summary", "winnow_shared_pairs",
     "pii_scrub", "dataset_split", "quota_sample", "pack_sequences",
-    "range_join_incidents", "time_rollup",
+    "range_join_incidents", "time_rollup", "cdc_merge", "scd2_history",
+    "dedup_clusters", "inverted_index", "keyword_search",
+    "fingerprint_dedup", "minhash_buckets_md5", "lsh_candidate_pairs_md5",
+    "jaccard_adjacent", "script_profile", "url_keyword_filter",
+    "extract_links", "link_graph_stats", "domain_token_budget",
+    "crawl_snapshot_merge", "crawl_delta_counts", "simhash32",
+    "simhash_near_pairs_md5", "embedding_near_dup",
+    "embedding_near_dup_lsh", "embedding_dedup", "cosine_topk",
+    "pairwise_cosine_topk",
+]
+
+# Positions 51+: next-stalest, first in line for the r14 rotation.
+NEXT_IN_LINE = [
+    "ivf_assign", "ivf_topk", "corpus_filter", "lsh_topk",
+    "lsh_topk_multiprobe", "multimodal_meta", "frame_sample", "bm25_topk",
+    "repetition_stats", "contamination_check", "length_outliers",
+    "unigram_logprob", "approx_distinct_users", "fill_time_gaps",
+    "token_budget_select", "quantize_embeddings", "stratified_split",
+    "rate_anomalies", "incremental_dedup", "vocab_topk",
+    "winnow_shared_pairs_capped", "chunked_scan", "mixture_sample",
+    "shard_manifest",
 ]
 
 
@@ -101,15 +102,15 @@ N_QUERIES = 291
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:8] == NEW_R12
-    assert names[8:50] == ROTATED_STALEST
+    assert names[:3] == NEW_R13
+    assert names[3:50] == ROTATED_STALEST
     assert names[50:74] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 8 + 42 == 50: no slot wasted
+    # 3 + 47 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
-    assert first50 == set(NEW_R12) | set(ROTATED_STALEST)
+    assert first50 == set(NEW_R13) | set(ROTATED_STALEST)
 
 
 def test_rows_only_permanently_post_window(entry_mod):
