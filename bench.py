@@ -253,6 +253,10 @@ HEADLINE = [
     "cc_index_host_stats",
     "robots_status_gate",
     "cdxj_http_index",
+    # round-13 births
+    "http_charset_sniff",
+    "index_routed_retrieval",
+    "charset_sniff_disagreements",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —
