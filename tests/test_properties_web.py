@@ -547,3 +547,71 @@ def test_wet_gzip_members_roundtrip(docs, cid):
             assert pay.decode("utf-8") == ds[i]["text"]
         pos += meta["rec_len"]
     assert pos == len(blob)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048), st.text(max_size=20))
+def test_sniff_charset_total_and_lawful(blob, header):
+    """Totality + invariants of the WHATWG-lite sniff (round 13): any
+    (header, bytes) pair resolves without raising; the source names a
+    real precedence arm; bom_len is nonzero exactly on the bom arm and
+    its bytes really are a BOM; a non-empty header can only lose to a
+    BOM; the label is always lowercase."""
+    from pgferry_spark.sources.httpmsg import sniff_charset
+
+    label, source, bom_len = sniff_charset(header, blob)
+    assert source in ("bom", "header", "meta", "default")
+    if source != "header":
+        # bom/meta/default labels are produced lowercased; the header
+        # arm passes the caller's value through (split_content_type
+        # already lowercased it on the real path)
+        assert label == label.lower()
+    if source == "bom":
+        assert bom_len in (2, 3)
+        assert blob[:bom_len] in (b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff")
+    else:
+        assert bom_len == 0
+    if header and source not in ("bom",):
+        assert (label, source) == (header, "header")
+    if source == "default":
+        assert label == ""
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=1500))
+def test_sniff_meta_prescan_total_and_bounded(blob):
+    """The meta prescan never raises on byte soup and never reads past
+    the 1024-byte bound (a declaration planted just past it is
+    invisible regardless of the soup before it)."""
+    from pgferry_spark.sources.httpmsg import sniff_meta_charset
+
+    sniff_meta_charset(blob)  # total
+    planted = blob[:1024].ljust(1024, b" ") + b"<meta charset=koi8-r>"
+    got = sniff_meta_charset(planted)
+    # only a declaration already inside the first 1024 bytes may win
+    if got == "koi8-r":
+        assert b"charset" in blob[:1024].lower()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=40), st.binary(max_size=200))
+def test_payload_digest_matches_total_and_sound(declared, body):
+    """Digest verification is total on arbitrary declarations and only
+    ever True when the named algorithm really reproduces the value."""
+    import base64
+    import hashlib
+
+    from pgferry_spark.sources.warc import payload_digest_matches
+
+    ok = payload_digest_matches(declared, body)
+    if ok:
+        algo, _, val = declared.partition(":")
+        algo, val = algo.strip().lower(), val.strip()
+        if algo == "md5":
+            assert val.lower() == hashlib.md5(body).hexdigest()
+        else:
+            assert algo == "sha1"
+            h = hashlib.sha1(body)
+            assert val.upper() == base64.b32encode(
+                h.digest()
+            ).decode() or val.lower() == h.hexdigest()
