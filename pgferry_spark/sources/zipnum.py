@@ -991,44 +991,49 @@ def index_routed_rehydrate(
             handle["f"].seek(off)
             return handle["f"].read(ln)
 
-        for pdf in batches:
-            rows: dict[str, list] = {
-                f.name: [] for f in _REHYDRATE_SCHEMA
-            }
-            for key, ts, fn, off, ln, dig in zip(
-                pdf["urlkey"], pdf["fetch_ts"], pdf["filename"],
-                pdf["offset"], pdf["length"], pdf["digest"],
-            ):
-                got = None
-                try:
-                    rec = read_range(
-                        os.path.basename(str(fn)), int(off), int(ln)
-                    )
-                    if rec[:2] == b"\x1f\x8b":
-                        # gzip-member framing: the range is one
-                        # deflated member; inflate it (bounded)
-                        rec = warc_member_read(rec, 0, len(rec))
-                    (r,) = parse_warc_index(rec)
-                    payload = rec[
-                        r["payload_offset"]: r["payload_offset"]
-                        + r["payload_len"]
-                    ]
-                    env = parse_http_response(payload)
-                    body = payload[
-                        env["body_offset"]: env["body_offset"]
-                        + env["body_len"]
-                    ]
-                    got = hashlib.md5(body).hexdigest()
-                except (OSError, ValueError):
-                    pass  # ok=False row audits the broken route
-                rows["urlkey"].append(key)
-                rows["fetch_ts"].append(ts)
-                rows["digest"].append(dig)
-                rows["rehydrated"].append(got)
-                rows["ok"].append(got == dig)
-            yield pd.DataFrame(rows)
-        if handle["f"] is not None:
-            handle["f"].close()
+        try:
+            for pdf in batches:
+                rows: dict[str, list] = {
+                    f.name: [] for f in _REHYDRATE_SCHEMA
+                }
+                for key, ts, fn, off, ln, dig in zip(
+                    pdf["urlkey"], pdf["fetch_ts"], pdf["filename"],
+                    pdf["offset"], pdf["length"], pdf["digest"],
+                ):
+                    got = None
+                    try:
+                        rec = read_range(
+                            os.path.basename(str(fn)), int(off), int(ln)
+                        )
+                        if rec[:2] == b"\x1f\x8b":
+                            # gzip-member framing: the range is one
+                            # deflated member; inflate it (bounded)
+                            rec = warc_member_read(rec, 0, len(rec))
+                        (r,) = parse_warc_index(rec)
+                        payload = rec[
+                            r["payload_offset"]: r["payload_offset"]
+                            + r["payload_len"]
+                        ]
+                        env = parse_http_response(payload)
+                        body = payload[
+                            env["body_offset"]: env["body_offset"]
+                            + env["body_len"]
+                        ]
+                        got = hashlib.md5(body).hexdigest()
+                    except (OSError, ValueError):
+                        pass  # ok=False row audits the broken route
+                    rows["urlkey"].append(key)
+                    rows["fetch_ts"].append(ts)
+                    rows["digest"].append(dig)
+                    rows["rehydrated"].append(got)
+                    # a null index digest can never verify — got is
+                    # None too on a failed route, and None == None
+                    # must not read as proof
+                    rows["ok"].append(got is not None and got == dig)
+                yield pd.DataFrame(rows)
+        finally:
+            if handle["f"] is not None:
+                handle["f"].close()
 
     return parsed.select(
         "urlkey", "fetch_ts", "filename", "offset", "length", "digest"
