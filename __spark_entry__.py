@@ -3831,6 +3831,25 @@ def _index_routed_retrieval(spark, sf):
     return index_routed_rehydrate(cdxj_parse(hits), warc_dir)
 
 
+def _cdx_closest_capture(spark, sf):
+    """The wayback CDX API ``closest=<ts>`` query (round 13): per
+    urlkey elect the capture nearest the probe timestamp
+    20240815120000 — the replay UI's core lookup.  One window
+    partitioned by urlkey over the slim CDX facts (per-key capture
+    counts are revisit-bounded, never corpus-sized); deterministic
+    tiebreak (earlier ts, then container/record address) so the
+    election is oracle-replayable.  Multi-capture keys exist by
+    synthesis (URL class 2 collapses many docs onto one urlkey), so
+    the election is substantive, not an identity."""
+    from pgferry_spark.sources.zipnum import cdx_closest_capture
+
+    facts = _cdxj_facts(spark, sf).select(
+        "surt", "fetch_ts", "container_id", "record_no",
+        "rec_offset", "rec_len", "status", "mime",
+    )
+    return cdx_closest_capture(facts, "20240815120000")
+
+
 def _cc_index_host_stats(spark, sf):
     """The consumer story for the official schema (round 12): the
     first query every cc-index-table user runs — per-host capture
@@ -5967,6 +5986,23 @@ def _index_routed_retrieval_oracle() -> str:
     """
 
 
+def _cdx_closest_capture_oracle() -> str:
+    """The closest election replayed over the shared CDXJ replay CTE:
+    same abs-diff metric, same deterministic tiebreak."""
+    return _cdxj_cte() + """
+        , ranked AS (SELECT *,
+            row_number() OVER (PARTITION BY surt ORDER BY
+                abs(epoch(strptime(fetch_ts, '%Y%m%d%H%M%S'))
+                    - epoch(strptime('20240815120000',
+                                     '%Y%m%d%H%M%S'))),
+                fetch_ts, container_id, record_no) AS __rn
+          FROM e)
+        SELECT surt, fetch_ts, container_id, record_no,
+               rec_offset, rec_len, status, mime
+        FROM ranked WHERE __rn = 1
+    """
+
+
 def _cc_index_host_stats_oracle() -> str:
     return f"""
         WITH t AS ({_cc_index_table_oracle()})
@@ -6453,6 +6489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_charset_sniff": _http_charset_sniff,
         "index_routed_retrieval": _index_routed_retrieval,
         "charset_sniff_disagreements": _charset_sniff_disagreements,
+        "cdx_closest_capture": _cdx_closest_capture,
         "video_frame_index": _video_frame_index,
         "audio_segment_index": _audio_segment_index,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
@@ -11193,6 +11230,7 @@ def oracle_sql() -> dict[str, str]:
         "http_charset_sniff": _http_sniff_oracle(),
         "index_routed_retrieval": _index_routed_retrieval_oracle(),
         "charset_sniff_disagreements": _charset_sniff_disagreements_oracle(),
+        "cdx_closest_capture": _cdx_closest_capture_oracle(),
         "recrawl_plan": _recrawl_plan_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),

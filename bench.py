@@ -257,6 +257,7 @@ HEADLINE = [
     "http_charset_sniff",
     "index_routed_retrieval",
     "charset_sniff_disagreements",
+    "cdx_closest_capture",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

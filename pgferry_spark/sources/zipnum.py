@@ -1040,6 +1040,57 @@ def index_routed_rehydrate(
     ).mapInPandas(rehydrate, schema=_REHYDRATE_SCHEMA)
 
 
+def cdx_closest_capture(
+    cdx: DataFrame,
+    probe_ts: str,
+    key_col: str = "surt",
+    ts_col: str = "fetch_ts",
+) -> DataFrame:
+    """The wayback CDX API's ``closest=<timestamp>`` query as a Spark
+    operator (round 13): per urlkey, elect the single capture whose
+    14-digit fetch timestamp is nearest the probe — the query every
+    replay UI issues ("this page, as close to 2024-08-15 noon as the
+    archive has").  Deterministic total tiebreak (earlier timestamp,
+    then container/record address) so the election is reproducible and
+    oracle-replayable.
+
+    Closeness is REAL time distance — the 14-digit strings parse to
+    epoch seconds before the abs-diff, because numeric string
+    difference lies across unit boundaries (115959 is 1 s before
+    120000, not 41 "units"; the first draft had exactly that bug and
+    the tiebreak test caught it).
+
+    Scale shape: ONE window partitioned by urlkey — per-key capture
+    counts are revisit-bounded (thousands at worst for hot pages,
+    measured in SCALE.md's hot-digest probe), so no partition is
+    corpus-sized; the index rows are the only shuffled bytes, and at
+    100 TB this runs over the slim CDX facts, never containers."""
+    import datetime as _dt
+
+    probe_epoch = int(
+        _dt.datetime.strptime(probe_ts, "%Y%m%d%H%M%S")
+        .replace(tzinfo=_dt.timezone.utc)
+        .timestamp()
+    )
+    diff = F.abs(
+        F.unix_timestamp(
+            F.to_timestamp(F.col(ts_col), "yyyyMMddHHmmss")
+        )
+        - F.lit(probe_epoch)
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        diff.asc(),
+        F.col(ts_col).asc(),
+        F.col("container_id").asc(),
+        F.col("record_no").asc(),
+    )
+    return (
+        cdx.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def read_zipnum_files(
     out_dir: str, cluster_filename: str = "cluster.idx"
 ) -> tuple[dict, list[dict]]:

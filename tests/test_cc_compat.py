@@ -407,3 +407,59 @@ class TestUrlkeySpellings:
                 f"SELECT {expr} AS s FROM (SELECT ? AS u)", params=[u]
             ).fetchone()[0]
             assert got == want, u
+
+
+class TestClosestCapture:
+    """The wayback ``closest=<ts>`` election: nearest timestamp wins,
+    ties break to the earlier capture, every urlkey yields exactly one
+    row, and the window never touches keys it doesn't have to."""
+
+    def test_election_and_tiebreak(self, spark):
+        from pgferry_spark.sources.zipnum import cdx_closest_capture
+
+        rows = [
+            # key a: 115959 is 1 sec closer to noon than 120002
+            ("a)/", "20240815115959", 0, 0, 0, 10),
+            ("a)/", "20240815120002", 0, 1, 10, 10),
+            # key b: exact tie (±2 s) -> earlier timestamp wins
+            ("b)/", "20240815115958", 1, 0, 0, 10),
+            ("b)/", "20240815120002", 1, 1, 10, 10),
+            # key c: single capture passes through
+            ("c)/", "20240101000000", 2, 0, 0, 10),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "surt: string, fetch_ts: string, container_id: long,"
+            " record_no: int, rec_offset: long, rec_len: long",
+        )
+        got = {
+            r.surt: r.fetch_ts
+            for r in cdx_closest_capture(df, "20240815120000").collect()
+        }
+        assert got == {
+            "a)/": "20240815115959",
+            "b)/": "20240815115958",
+            "c)/": "20240101000000",
+        }
+
+    def test_one_row_per_key_and_plan_shape(self, spark):
+        from pgferry_spark.sources.zipnum import cdx_closest_capture
+
+        rows = [
+            (f"k{i % 7})/", f"202408151200{i:02d}", i, 0, 0, 10)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "surt: string, fetch_ts: string, container_id: long,"
+            " record_no: int, rec_offset: long, rec_len: long",
+        )
+        out = cdx_closest_capture(df, "20240815120000")
+        assert out.count() == 7
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one per-key window (no global sort of the corpus), and the
+        # rn=1 filter pushes a PARTIAL top-1 below the shuffle
+        # (WindowGroupLimit) — each task ships one row per key it
+        # holds, the 100 TB shape
+        assert plan.count("Window [") == 1
+        assert "WindowGroupLimit" in plan and "Partial" in plan
