@@ -3850,6 +3850,46 @@ def _cdx_closest_capture(spark, sf):
     return cdx_closest_capture(facts, "20240815120000")
 
 
+def _recrawl_change_rate(spark, sf):
+    """Change-frequency estimation for recrawl scheduling (round 13)
+    — the Cho & Garcia-Molina bias-corrected estimator (ACM TOIT 3(3)
+    2003) over a deterministic capture history: each document yields
+    1 + doc_id % 4 captures at 2-hour strides, and the payload digest
+    steps whenever (doc_id + i) div 3 increments — so histories mix
+    never-changed, sometimes-changed and always-changing pages, and
+    URL class 2 merges several documents onto one nurl (multi-writer
+    history with the (ts, digest) tiebreak exercised).  One lag window
+    + one map-side-combinable aggregate per URL; oracle replays the
+    synthesis, the adjacency, and the estimator arithmetic in closed
+    form (round-6 both sides)."""
+    from pgferry_spark.operators.domains import (
+        normalize_urls,
+        recrawl_change_rate,
+    )
+
+    base = 1723723200  # 2024-08-15T12:00:00Z
+    u = normalize_urls(_docs_with_urls(spark, sf))
+    h = (
+        u.select("nurl", "doc_id", "text")
+        .withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.col("doc_id") % 4))
+        )
+        .withColumn("ts_s", F.lit(base) + F.col("i") * 7200)
+        .withColumn(
+            "digest",
+            F.md5(
+                F.concat(
+                    F.col("text"),
+                    F.expr(
+                        "CAST((doc_id + i) div 3 AS STRING)"
+                    ),
+                )
+            ),
+        )
+    )
+    return recrawl_change_rate(h.select("nurl", "ts_s", "digest"))
+
+
 def _cc_index_host_stats(spark, sf):
     """The consumer story for the official schema (round 12): the
     first query every cc-index-table user runs — per-host capture
@@ -6003,6 +6043,66 @@ def _cdx_closest_capture_oracle() -> str:
     """
 
 
+def _recrawl_change_rate_oracle() -> str:
+    """Synthesis + lag adjacency + the CGM estimator, replayed: ln is
+    the natural log in BOTH engines' `ln`; round-6 at the edge; floor
+    before the BIGINT cast (Spark truncates, DuckDB rounds)."""
+    from pgferry_spark.operators.domains import (
+        HOST_SQL,
+        NURL_SQL,
+        QCLEAN_SQL,
+        URL_SYNTH_SQL,
+    )
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    host = HOST_SQL.format(url="url")
+    qc = QCLEAN_SQL.format(url="url", g=", 'g'")
+    nurl = NURL_SQL.format(url="url", host="host")
+    return f"""
+        WITH u AS (SELECT doc_id, source, text, {url} AS url
+                   FROM documents),
+        hh AS (SELECT *, {host} AS host FROM u),
+        q AS (SELECT *, {qc} AS __q FROM hh),
+        nn AS (SELECT *, {nurl} AS nurl FROM q),
+        h AS (SELECT nurl,
+                1723723200 + i * 7200 AS ts_s,
+                md5(text || CAST((doc_id + i) // 3 AS STRING)) AS digest
+              FROM nn, LATERAL (SELECT unnest(range(0,
+                   CAST(doc_id % 4 AS INT) + 1)) AS i) gen),
+        c AS (SELECT *,
+                CASE WHEN lag(digest) OVER
+                       (PARTITION BY nurl ORDER BY ts_s, digest)
+                     IS NOT NULL
+                     AND digest <> lag(digest) OVER
+                       (PARTITION BY nurl ORDER BY ts_s, digest)
+                     THEN 1 ELSE 0 END AS __chg
+              FROM h),
+        g AS (SELECT nurl,
+                count(*) AS n_captures,
+                sum(__chg) AS n_changes,
+                max(ts_s) - min(ts_s) AS span_s,
+                max(ts_s) AS __last
+              FROM c GROUP BY nurl)
+        SELECT nurl,
+               CAST(n_captures AS BIGINT) AS n_captures,
+               CAST(n_changes AS BIGINT) AS n_changes,
+               CAST(span_s AS BIGINT) AS span_s,
+               CASE WHEN n_captures - 1 > 0 AND span_s > 0 THEN
+                 round(-ln((n_captures - 1 - n_changes + 0.5)
+                           / (n_captures - 1 + 0.5))
+                       * (n_captures - 1) / span_s * 86400.0, 6) + 0.0
+               END AS change_rate_per_day,
+               CASE WHEN n_captures - 1 > 0 THEN
+                 CAST(floor(span_s / greatest(n_changes, 1)) AS BIGINT)
+               END AS est_interval_s,
+               CAST(__last + coalesce(
+                 CASE WHEN n_captures - 1 > 0 THEN
+                   CAST(floor(span_s / greatest(n_changes, 1)) AS BIGINT)
+                 END, 604800) AS BIGINT) AS next_due_s
+        FROM g
+    """
+
+
 def _cc_index_host_stats_oracle() -> str:
     return f"""
         WITH t AS ({_cc_index_table_oracle()})
@@ -6490,6 +6590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_routed_retrieval": _index_routed_retrieval,
         "charset_sniff_disagreements": _charset_sniff_disagreements,
         "cdx_closest_capture": _cdx_closest_capture,
+        "recrawl_change_rate": _recrawl_change_rate,
         "video_frame_index": _video_frame_index,
         "audio_segment_index": _audio_segment_index,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
@@ -11231,6 +11332,7 @@ def oracle_sql() -> dict[str, str]:
         "index_routed_retrieval": _index_routed_retrieval_oracle(),
         "charset_sniff_disagreements": _charset_sniff_disagreements_oracle(),
         "cdx_closest_capture": _cdx_closest_capture_oracle(),
+        "recrawl_change_rate": _recrawl_change_rate_oracle(),
         "recrawl_plan": _recrawl_plan_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),

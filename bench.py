@@ -258,6 +258,7 @@ HEADLINE = [
     "index_routed_retrieval",
     "charset_sniff_disagreements",
     "cdx_closest_capture",
+    "recrawl_change_rate",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

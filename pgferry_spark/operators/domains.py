@@ -1314,6 +1314,83 @@ def recrawl_plan(
     )
 
 
+def recrawl_change_rate(
+    history: DataFrame,
+    url_col: str = "nurl",
+    ts_col: str = "ts_s",
+    digest_col: str = "digest",
+    default_interval_s: int = 7 * 86400,
+) -> DataFrame:
+    """Per-URL change-frequency estimation from capture history — the
+    crawl-ops policy layer above :func:`recrawl_plan`: given
+    ``(url, epoch-seconds timestamp, payload digest)`` capture rows,
+    estimate how often each page actually changes and when it is next
+    due.  The estimator is Cho & Garcia-Molina's bias-corrected
+    frequency from incomplete change observations (ACM TOIT 3(3) 2003,
+    "Estimating Frequency of Change"): with ``n`` observed intervals
+    and ``X`` of them showing a changed digest,
+    ``rate = -ln((n - X + 0.5) / (n + 0.5)) · n / T`` — the naive
+    ``X/T`` under-counts because multiple changes inside one interval
+    are observed as one.
+
+    Emits per URL: ``n_captures, n_changes, span_s,
+    change_rate_per_day`` (6 dp, null when unobservable — a single
+    capture or zero span), ``est_interval_s`` (the naive observed
+    interval, span ÷ max(X, 1), null for single captures) and
+    ``next_due_s`` (last capture + est interval, falling back to
+    ``default_interval_s`` when history can't say).  Adjacent-capture
+    change detection is one ``lag`` window per URL ordered by
+    (timestamp, digest) — the deterministic tiebreak for same-instant
+    captures; per-key history is revisit-bounded, so no partition is
+    corpus-sized and the aggregation is map-side combinable."""
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).asc(), F.col(digest_col).asc()
+    )
+    h = history.withColumn(
+        "__chg",
+        (
+            F.lag(digest_col).over(w).isNotNull()
+            & (F.col(digest_col) != F.lag(digest_col).over(w))
+        ).cast("int"),
+    )
+    g = h.groupBy(url_col).agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum("__chg").alias("n_changes"),
+        (F.max(ts_col) - F.min(ts_col)).alias("span_s"),
+        F.max(ts_col).alias("__last"),
+    )
+    n = F.col("n_captures") - 1
+    x = F.col("n_changes")
+    # + 0.0 folds IEEE -0.0 (a zero-change page's -ln(1)) to +0.0 so
+    # both engines print the same zero
+    rate = F.when(
+        (n > 0) & (F.col("span_s") > 0),
+        F.round(
+            -F.log((n - x + 0.5) / (n + 0.5))
+            * n / F.col("span_s") * 86400.0,
+            6,
+        ) + 0.0,
+    )
+    est = F.when(
+        n > 0,
+        F.floor(
+            F.col("span_s") / F.greatest(x, F.lit(1))
+        ).cast("bigint"),
+    )
+    return g.select(
+        F.col(url_col),
+        F.col("n_captures").cast("bigint").alias("n_captures"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+        F.col("span_s").cast("bigint").alias("span_s"),
+        rate.alias("change_rate_per_day"),
+        est.alias("est_interval_s"),
+        (
+            F.col("__last")
+            + F.coalesce(est, F.lit(int(default_interval_s)))
+        ).cast("bigint").alias("next_due_s"),
+    )
+
+
 def blocklist_filter(
     df: DataFrame,
     blocklist: DataFrame,

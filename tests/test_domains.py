@@ -613,3 +613,64 @@ def test_surt_keys_operator_map_only(spark):
     assert got == {1: "org,ex)/a", 2: "org,ex,cdn)/b?z=1"}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only
+
+
+class TestRecrawlChangeRate:
+    """Cho & Garcia-Molina change-frequency estimation: a never-changed
+    page reads rate 0, an always-changing page reads a finite positive
+    rate above the naive X/T (the bias correction), a single capture is
+    unobservable (nulls + default due), and same-instant captures break
+    ties deterministically."""
+
+    def _run(self, spark, rows):
+        from pgferry_spark.operators.domains import recrawl_change_rate
+
+        df = spark.createDataFrame(
+            rows, "nurl: string, ts_s: long, digest: string"
+        )
+        return {r.nurl: r for r in recrawl_change_rate(df).collect()}
+
+    def test_estimator_shapes(self, spark):
+        import math
+
+        day = 86400
+        rows = (
+            # static: 5 captures over 4 days, digest never moves
+            [("static", 1000 + i * day, "d0") for i in range(5)]
+            # volatile: digest moves every capture (X = n = 4)
+            + [("volatile", 1000 + i * day, f"d{i}") for i in range(5)]
+            # half: changes on 2 of 4 intervals
+            + [("half", 1000 + i * day, d)
+               for i, d in enumerate(["a", "a", "b", "b", "c"])]
+            # lonely: one capture
+            + [("lonely", 1000, "x")]
+        )
+        got = self._run(spark, rows)
+        assert got["static"].n_changes == 0
+        assert got["static"].change_rate_per_day == 0.0
+        assert got["static"].est_interval_s == 4 * day
+        v = got["volatile"]
+        assert v.n_changes == 4
+        # CGM with X == n: -ln(0.5/4.5) * n / T — finite, and above
+        # the naive X/T because observed changes undercount
+        want = round(-math.log(0.5 / 4.5) * 4 / (4 * day) * day, 6)
+        assert v.change_rate_per_day == want
+        assert v.change_rate_per_day > 1.0  # naive X/T reads exactly 1/day
+        assert v.est_interval_s == day
+        h = got["half"]
+        assert h.n_changes == 2 and h.est_interval_s == 2 * day
+        lone = got["lonely"]
+        assert lone.change_rate_per_day is None
+        assert lone.est_interval_s is None
+        assert lone.next_due_s == 1000 + 7 * 86400  # default fallback
+
+    def test_same_instant_tiebreak_deterministic(self, spark):
+        rows = [
+            ("u", 1000, "b"), ("u", 1000, "a"), ("u", 2000, "b"),
+        ]
+        got = self._run(spark, rows)["u"]
+        # order is (ts, digest): a,b @1000 then b @2000 -> changes:
+        # a->b (yes), b->b (no) = 1, regardless of input row order
+        assert got.n_changes == 2 - 1
+        got2 = self._run(spark, list(reversed(rows)))["u"]
+        assert got2.n_changes == got.n_changes
