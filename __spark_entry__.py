@@ -3890,6 +3890,32 @@ def _recrawl_change_rate(spark, sf):
     return recrawl_change_rate(h.select("nurl", "ts_s", "digest"))
 
 
+def _sitemap_lastmod_entries(spark, sf):
+    """Full-entry sitemap parse (round 13): every <url> block yields
+    (domain, loc_no, loc_url, lastmod) with the lastmod paired
+    BLOCK-SCOPED (a flat regex would cross-pair fields between
+    entries); the synthesis exercises both documented lastmod shapes
+    (W3C date, full datetime) and its absence.  The protocol field a
+    changed-since recrawl keys off.  Map-only; oracle replays blocks
+    and per-block extracts in closed form."""
+    from pgferry_spark.operators.domains import (
+        SITEMAP_FULL_SYNTH_SQL,
+        parse_sitemap_entries,
+        with_host_domain,
+    )
+
+    d = with_host_domain(_docs_with_urls(spark, sf))
+    dm = (
+        d.select("domain")
+        .dropDuplicates()
+        .withColumn(
+            "sitemap_xml",
+            F.expr(SITEMAP_FULL_SYNTH_SQL.format(domain="domain")),
+        )
+    )
+    return parse_sitemap_entries(dm)
+
+
 def _cc_index_host_stats(spark, sf):
     """The consumer story for the official schema (round 12): the
     first query every cc-index-table user runs — per-host capture
@@ -6103,6 +6129,33 @@ def _recrawl_change_rate_oracle() -> str:
     """
 
 
+def _sitemap_lastmod_oracle() -> str:
+    from pgferry_spark.operators.domains import (
+        SITEMAP_FULL_SYNTH_SQL,
+        SITEMAP_LASTMOD_RE,
+        SITEMAP_LOC_RE,
+        SITEMAP_URL_BLOCK_RE,
+    )
+
+    synth = SITEMAP_FULL_SYNTH_SQL.format(domain="domain")
+    return _domain_cte() + f"""
+        , dd AS (SELECT DISTINCT domain FROM d),
+        sm AS (SELECT domain, {synth} AS sitemap_xml FROM dd),
+        bl AS (SELECT domain,
+                 CAST(generate_subscripts(
+                   regexp_extract_all(sitemap_xml,
+                     '{SITEMAP_URL_BLOCK_RE}', 1), 1) - 1 AS INT)
+                   AS loc_no,
+                 unnest(regexp_extract_all(sitemap_xml,
+                   '{SITEMAP_URL_BLOCK_RE}', 1)) AS __b
+               FROM sm)
+        SELECT domain, loc_no,
+               regexp_extract(__b, '{SITEMAP_LOC_RE}', 1) AS loc_url,
+               regexp_extract(__b, '{SITEMAP_LASTMOD_RE}', 1) AS lastmod
+        FROM bl
+    """
+
+
 def _cc_index_host_stats_oracle() -> str:
     return f"""
         WITH t AS ({_cc_index_table_oracle()})
@@ -6591,6 +6644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_sniff_disagreements": _charset_sniff_disagreements,
         "cdx_closest_capture": _cdx_closest_capture,
         "recrawl_change_rate": _recrawl_change_rate,
+        "sitemap_lastmod_entries": _sitemap_lastmod_entries,
         "video_frame_index": _video_frame_index,
         "audio_segment_index": _audio_segment_index,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
@@ -11333,6 +11387,7 @@ def oracle_sql() -> dict[str, str]:
         "charset_sniff_disagreements": _charset_sniff_disagreements_oracle(),
         "cdx_closest_capture": _cdx_closest_capture_oracle(),
         "recrawl_change_rate": _recrawl_change_rate_oracle(),
+        "sitemap_lastmod_entries": _sitemap_lastmod_oracle(),
         "recrawl_plan": _recrawl_plan_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),

@@ -259,6 +259,7 @@ HEADLINE = [
     "charset_sniff_disagreements",
     "cdx_closest_capture",
     "recrawl_change_rate",
+    "sitemap_lastmod_entries",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

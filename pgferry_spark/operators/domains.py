@@ -1314,6 +1314,59 @@ def recrawl_plan(
     )
 
 
+# full-entry sitemap synthesis (round 13) — LAYERED, not a change to
+# SITEMAP_SYNTH_SQL (whose byte-identical output the sitemap_locs
+# oracle already records): three <url> blocks per domain exercising
+# the sitemaps.org <lastmod> field's two documented shapes (W3C date
+# and full datetime) and its absence.
+SITEMAP_FULL_SYNTH_SQL = (
+    "'<?xml version=\"1.0\"?><urlset>' || chr(10) ||"
+    " '<url><loc>https://' || {domain} || '/guide</loc>"
+    "<lastmod>2024-0' || CAST(length({domain}) % 9 + 1 AS STRING)"
+    " || '-05</lastmod></url>' || chr(10) ||"
+    " '<url><loc>https://' || {domain} || '/faq</loc></url>'"
+    " || chr(10) ||"
+    " '<url><loc>https://' || {domain} || '/news</loc>"
+    "<lastmod>2024-08-10T12:30:00Z</lastmod></url>' || chr(10) ||"
+    " '</urlset>'"
+)
+SITEMAP_URL_BLOCK_RE = "<url>(.*?)</url>"
+SITEMAP_LASTMOD_RE = "<lastmod>([^<]*)</lastmod>"
+
+
+def parse_sitemap_entries(
+    df: DataFrame, xml_col: str = "sitemap_xml", domain_col: str = "domain"
+) -> DataFrame:
+    """The full-entry sitemap parse (round 13): ``(domain, loc_no,
+    loc_url, lastmod)`` — pair each ``<loc>`` with ITS OWN ``<url>``
+    block's optional ``<lastmod>`` (sitemaps.org protocol; the field
+    that lets a crawler fetch only what changed since its last
+    capture, the cheap sibling of :func:`recrawl_change_rate`'s
+    estimated cadence).  Block-scoped pairing via a non-greedy
+    ``<url>(.*?)</url>`` extract-all (RE2-safe) then per-block field
+    extracts — a flat ``<lastmod>`` regex over the whole document
+    would mispair the fields across entries.  ``lastmod`` is '' when
+    the block omits it.  Map-only."""
+    blocks = F.expr(
+        f"regexp_extract_all({xml_col}, '{SITEMAP_URL_BLOCK_RE}', 1)"
+    )
+    loc = f"regexp_extract(__b, '{SITEMAP_LOC_RE}', 1)"
+    lastmod = f"regexp_extract(__b, '{SITEMAP_LASTMOD_RE}', 1)"
+    return (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.posexplode_outer(blocks).alias("loc_no", "__b"),
+        )
+        .filter(F.col("__b").isNotNull())
+        .select(
+            "domain",
+            "loc_no",
+            F.expr(loc).alias("loc_url"),
+            F.expr(lastmod).alias("lastmod"),
+        )
+    )
+
+
 def recrawl_change_rate(
     history: DataFrame,
     url_col: str = "nurl",

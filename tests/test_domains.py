@@ -674,3 +674,48 @@ class TestRecrawlChangeRate:
         assert got.n_changes == 2 - 1
         got2 = self._run(spark, list(reversed(rows)))["u"]
         assert got2.n_changes == got.n_changes
+
+
+class TestSitemapLastmodEntries:
+    def test_block_scoped_pairing(self, spark):
+        """Each <loc> pairs with ITS block's lastmod; a flat regex
+        would cross-pair — the mixed/missing fixture catches that."""
+        from pgferry_spark.operators.domains import parse_sitemap_entries
+
+        xml = (
+            '<?xml version="1.0"?><urlset>\n'
+            "<url><loc>https://d.org/a</loc>"
+            "<lastmod>2024-01-05</lastmod></url>\n"
+            "<url><loc>https://d.org/b</loc></url>\n"
+            "<url><lastmod>2024-08-10T12:30:00Z</lastmod>"
+            "<loc>https://d.org/c</loc></url>\n"
+            "</urlset>"
+        )
+        df = spark.createDataFrame(
+            [("d.org", xml)], "domain: string, sitemap_xml: string"
+        )
+        got = {
+            r.loc_url: r.lastmod
+            for r in parse_sitemap_entries(df).collect()
+        }
+        assert got == {
+            "https://d.org/a": "2024-01-05",
+            "https://d.org/b": "",
+            "https://d.org/c": "2024-08-10T12:30:00Z",
+        }
+
+    def test_empty_and_locless_blocks(self, spark):
+        from pgferry_spark.operators.domains import parse_sitemap_entries
+
+        df = spark.createDataFrame(
+            [("e.org", "<urlset></urlset>"),
+             ("f.org", "<urlset><url><lastmod>2024-01-01</lastmod>"
+                       "</url></urlset>")],
+            "domain: string, sitemap_xml: string",
+        )
+        rows = parse_sitemap_entries(df).collect()
+        # e.org: no blocks -> no rows; f.org: block without loc keeps
+        # the row with loc_url '' (audit, not silent drop)
+        assert [(r.domain, r.loc_url, r.lastmod) for r in rows] == [
+            ("f.org", "", "2024-01-01"),
+        ]
