@@ -3916,6 +3916,52 @@ def _sitemap_lastmod_entries(spark, sf):
     return parse_sitemap_entries(dm)
 
 
+def _sitemap_changed_since(spark, sf):
+    """The sitemaps.org changed-since decision (round 13): announced
+    URLs split into fetch/skip against per-URL capture watermarks —
+    fetch when new, lastmod-less, or lastmod postdates the capture;
+    skip only when the site's own declaration proves freshness.
+    Captures synthesize for /guide and /news (watermark = 2024-08-15
+    noon minus (domain length % 5) days; /faq stays uncaptured = the
+    new-URL branch), so every decision arm occurs and both lastmod
+    shapes parse to epoch.  One left equi-join; oracle replays the
+    parse (try_strptime twin) and the verdict in closed form."""
+    from pgferry_spark.operators.domains import (
+        SITEMAP_FULL_SYNTH_SQL,
+        parse_sitemap_entries,
+        sitemap_changed_since,
+        with_host_domain,
+    )
+
+    d = with_host_domain(_docs_with_urls(spark, sf))
+    dm = (
+        d.select("domain")
+        .dropDuplicates()
+        .withColumn(
+            "sitemap_xml",
+            F.expr(SITEMAP_FULL_SYNTH_SQL.format(domain="domain")),
+        )
+    )
+    entries = parse_sitemap_entries(dm)
+    base = 1723723200  # 2024-08-15T12:00:00Z
+    caps = (
+        dm.select("domain")
+        .withColumn(
+            "__p", F.explode(F.array(F.lit("/guide"), F.lit("/news")))
+        )
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("domain"), F.col("__p")
+            ).alias("loc_url"),
+            (
+                F.lit(base)
+                - (F.length("domain") % 5) * 86400
+            ).alias("last_capture_s"),
+        )
+    )
+    return sitemap_changed_since(entries, caps)
+
+
 def _cc_index_host_stats(spark, sf):
     """The consumer story for the official schema (round 12): the
     first query every cc-index-table user runs — per-host capture
@@ -6156,6 +6202,46 @@ def _sitemap_lastmod_oracle() -> str:
     """
 
 
+def _sitemap_changed_since_oracle() -> str:
+    from pgferry_spark.operators.domains import (
+        SITEMAP_FULL_SYNTH_SQL,
+        SITEMAP_LASTMOD_RE,
+        SITEMAP_LOC_RE,
+        SITEMAP_URL_BLOCK_RE,
+    )
+
+    synth = SITEMAP_FULL_SYNTH_SQL.format(domain="domain")
+    return _domain_cte() + f"""
+        , dd AS (SELECT DISTINCT domain FROM d),
+        sm AS (SELECT domain, {synth} AS sitemap_xml FROM dd),
+        bl AS (SELECT domain,
+                 unnest(regexp_extract_all(sitemap_xml,
+                   '{SITEMAP_URL_BLOCK_RE}', 1)) AS __b
+               FROM sm),
+        en AS (SELECT domain,
+                 regexp_extract(__b, '{SITEMAP_LOC_RE}', 1) AS loc_url,
+                 regexp_extract(__b, '{SITEMAP_LASTMOD_RE}', 1)
+                   AS lastmod
+               FROM bl),
+        ep AS (SELECT domain, loc_url,
+                 CAST(epoch(coalesce(
+                   try_strptime(lastmod, '%Y-%m-%dT%H:%M:%SZ'),
+                   try_strptime(lastmod, '%Y-%m-%d')))
+                   AS BIGINT) AS lastmod_s
+               FROM en),
+        cp AS (SELECT 'https://' || domain || p AS loc_url,
+                 CAST(1723723200 - (length(domain) % 5) * 86400
+                      AS BIGINT) AS last_capture_s
+               FROM dd, LATERAL (SELECT unnest(
+                 ['/guide', '/news']) AS p) pp)
+        SELECT ep.domain, ep.loc_url, ep.lastmod_s,
+               cp.last_capture_s,
+               (cp.last_capture_s IS NULL OR ep.lastmod_s IS NULL
+                OR ep.lastmod_s > cp.last_capture_s) AS fetch
+        FROM ep LEFT JOIN cp ON ep.loc_url = cp.loc_url
+    """
+
+
 def _cc_index_host_stats_oracle() -> str:
     return f"""
         WITH t AS ({_cc_index_table_oracle()})
@@ -6645,6 +6731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_closest_capture": _cdx_closest_capture,
         "recrawl_change_rate": _recrawl_change_rate,
         "sitemap_lastmod_entries": _sitemap_lastmod_entries,
+        "sitemap_changed_since": _sitemap_changed_since,
         "video_frame_index": _video_frame_index,
         "audio_segment_index": _audio_segment_index,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
@@ -11388,6 +11475,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_closest_capture": _cdx_closest_capture_oracle(),
         "recrawl_change_rate": _recrawl_change_rate_oracle(),
         "sitemap_lastmod_entries": _sitemap_lastmod_oracle(),
+        "sitemap_changed_since": _sitemap_changed_since_oracle(),
         "recrawl_plan": _recrawl_plan_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),

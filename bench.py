@@ -260,6 +260,7 @@ HEADLINE = [
     "cdx_closest_capture",
     "recrawl_change_rate",
     "sitemap_lastmod_entries",
+    "sitemap_changed_since",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

@@ -1367,6 +1367,55 @@ def parse_sitemap_entries(
     )
 
 
+def sitemap_changed_since(
+    entries: DataFrame,
+    captures: DataFrame,
+    url_col: str = "loc_url",
+    capture_ts_col: str = "last_capture_s",
+) -> DataFrame:
+    """The sitemaps.org consumption decision — what a polite crawler
+    does with :func:`parse_sitemap_entries` output: FETCH an announced
+    URL iff it is new (no prior capture), carries no ``<lastmod>``
+    (nothing proves it unchanged), or its lastmod postdates our last
+    capture of it; SKIP only when the site's own declaration says we
+    already have the current version.  The cheap, site-volunteered
+    sibling of :func:`recrawl_change_rate`'s estimated cadence.
+
+    ``lastmod`` parses through BOTH documented shapes (W3C full
+    datetime, then bare date) with ``try_to_timestamp`` — a malformed
+    declaration is null, which fails open to fetch (a lying sitemap
+    must not suppress a crawl).  One left equi-join on the URL;
+    ``captures`` is ``(url, last-capture epoch seconds)``, one row per
+    previously-captured URL."""
+    lastmod_epoch = F.unix_timestamp(
+        F.coalesce(
+            F.try_to_timestamp(
+                F.col("lastmod"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+            ),
+            F.try_to_timestamp(F.col("lastmod"), F.lit("yyyy-MM-dd")),
+        )
+    )
+    cap = captures.select(
+        F.col(url_col).alias("__cu"),
+        F.col(capture_ts_col).cast("bigint").alias("last_capture_s"),
+    )
+    out = entries.withColumn("lastmod_s", lastmod_epoch).join(
+        cap, F.col(url_col) == F.col("__cu"), "left"
+    )
+    fetch = (
+        F.col("last_capture_s").isNull()
+        | F.col("lastmod_s").isNull()
+        | (F.col("lastmod_s") > F.col("last_capture_s"))
+    )
+    return out.select(
+        "domain",
+        F.col(url_col),
+        "lastmod_s",
+        "last_capture_s",
+        fetch.alias("fetch"),
+    )
+
+
 def recrawl_change_rate(
     history: DataFrame,
     url_col: str = "nurl",

@@ -719,3 +719,41 @@ class TestSitemapLastmodEntries:
         assert [(r.domain, r.loc_url, r.lastmod) for r in rows] == [
             ("f.org", "", "2024-01-01"),
         ]
+
+
+class TestSitemapChangedSince:
+    def test_decision_table(self, spark):
+        """Every arm: new URL -> fetch; no lastmod -> fetch; malformed
+        lastmod -> fetch (fail open); lastmod after capture -> fetch;
+        lastmod at-or-before capture -> skip."""
+        from pgferry_spark.operators.domains import sitemap_changed_since
+
+        entries = spark.createDataFrame(
+            [
+                ("d", 0, "https://d/new", "2024-08-01"),
+                ("d", 1, "https://d/nolm", ""),
+                ("d", 2, "https://d/bad", "sometime-soon"),
+                ("d", 3, "https://d/hot", "2024-08-14T00:00:01Z"),
+                ("d", 4, "https://d/cold", "2024-08-13"),
+                ("d", 5, "https://d/edge", "2024-08-14T00:00:00Z"),
+            ],
+            "domain: string, loc_no: int, loc_url: string,"
+            " lastmod: string",
+        )
+        cap_ts = 1723593600  # 2024-08-14T00:00:00Z
+        caps = spark.createDataFrame(
+            [(u, cap_ts) for u in
+             ["https://d/nolm", "https://d/bad", "https://d/hot",
+              "https://d/cold", "https://d/edge"]],
+            "loc_url: string, last_capture_s: long",
+        )
+        got = {
+            r.loc_url: (r.fetch, r.lastmod_s)
+            for r in sitemap_changed_since(entries, caps).collect()
+        }
+        assert got["https://d/new"][0] is True       # uncaptured
+        assert got["https://d/nolm"] == (True, None)  # no declaration
+        assert got["https://d/bad"] == (True, None)   # malformed: open
+        assert got["https://d/hot"] == (True, cap_ts + 1)
+        assert got["https://d/cold"][0] is False      # provably stale
+        assert got["https://d/edge"][0] is False      # ties skip
