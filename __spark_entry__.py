@@ -3850,6 +3850,34 @@ def _cdx_closest_capture(spark, sf):
     return cdx_closest_capture(facts, "20240815120000")
 
 
+def _capture_history(spark, sf):
+    """Deterministic per-URL capture history: 1 + doc_id % 4 captures
+    at 2-hour strides from 2024-08-15T12:00:00Z, digest stepping
+    whenever (doc_id + i) div 3 increments — the shared input of the
+    recrawl_change_rate and crawl_budget_allocate entries."""
+    from pgferry_spark.operators.domains import normalize_urls
+
+    base = 1723723200
+    u = normalize_urls(_docs_with_urls(spark, sf))
+    return (
+        u.select("nurl", "doc_id", "text")
+        .withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.col("doc_id") % 4))
+        )
+        .withColumn("ts_s", F.lit(base) + F.col("i") * 7200)
+        .withColumn(
+            "digest",
+            F.md5(
+                F.concat(
+                    F.col("text"),
+                    F.expr("CAST((doc_id + i) div 3 AS STRING)"),
+                )
+            ),
+        )
+        .select("nurl", "ts_s", "digest")
+    )
+
+
 def _recrawl_change_rate(spark, sf):
     """Change-frequency estimation for recrawl scheduling (round 13)
     — the Cho & Garcia-Molina bias-corrected estimator (ACM TOIT 3(3)
@@ -3862,32 +3890,9 @@ def _recrawl_change_rate(spark, sf):
     + one map-side-combinable aggregate per URL; oracle replays the
     synthesis, the adjacency, and the estimator arithmetic in closed
     form (round-6 both sides)."""
-    from pgferry_spark.operators.domains import (
-        normalize_urls,
-        recrawl_change_rate,
-    )
+    from pgferry_spark.operators.domains import recrawl_change_rate
 
-    base = 1723723200  # 2024-08-15T12:00:00Z
-    u = normalize_urls(_docs_with_urls(spark, sf))
-    h = (
-        u.select("nurl", "doc_id", "text")
-        .withColumn(
-            "i", F.explode(F.sequence(F.lit(0), F.col("doc_id") % 4))
-        )
-        .withColumn("ts_s", F.lit(base) + F.col("i") * 7200)
-        .withColumn(
-            "digest",
-            F.md5(
-                F.concat(
-                    F.col("text"),
-                    F.expr(
-                        "CAST((doc_id + i) div 3 AS STRING)"
-                    ),
-                )
-            ),
-        )
-    )
-    return recrawl_change_rate(h.select("nurl", "ts_s", "digest"))
+    return recrawl_change_rate(_capture_history(spark, sf))
 
 
 def _sitemap_lastmod_entries(spark, sf):
@@ -3960,6 +3965,27 @@ def _sitemap_changed_since(spark, sf):
         )
     )
     return sitemap_changed_since(entries, caps)
+
+
+def _crawl_budget_allocate(spark, sf):
+    """Fetch-budget allocation (round 13): 10^6 fetches apportioned
+    across sites by largest remainder over integer micro-unit change
+    demand — allocations sum to the budget EXACTLY (the invariant the
+    integer arithmetic exists for; float summation order would make
+    near-tie remainder seats engine-dependent).  Composes the CGM
+    change-rate estimates; unobservable URLs demand the default
+    weekly cadence.  One aggregate + two broadcast scalar joins + one
+    window over the bounded site table."""
+    from pgferry_spark.operators.domains import (
+        crawl_budget_allocate,
+        recrawl_change_rate,
+    )
+
+    rates = recrawl_change_rate(_capture_history(spark, sf))
+    rates = rates.withColumn(
+        "site", F.expr("split_part(nurl, '/', 1)")
+    )
+    return crawl_budget_allocate(rates, 1_000_000)
 
 
 def _cc_index_host_stats(spark, sf):
@@ -6242,6 +6268,38 @@ def _sitemap_changed_since_oracle() -> str:
     """
 
 
+def _crawl_budget_allocate_oracle() -> str:
+    """Rates chain nested as a CTE, then the integer largest-remainder
+    replay: micro-unit quantization, base = du*B // tu, remainder
+    seats by (du*B % tu) desc with the site tiebreak."""
+    B = 1_000_000
+    return f"""
+        WITH r AS ({_recrawl_change_rate_oracle()}),
+        s AS (SELECT split_part(nurl, '/', 1) AS site,
+                CAST(round(coalesce(change_rate_per_day, 1.0/7) * 1e6)
+                     AS BIGINT) AS mu
+              FROM r),
+        d AS (SELECT site, CAST(count(*) AS BIGINT) AS n_urls,
+                CAST(sum(mu) AS BIGINT) AS du
+              FROM s GROUP BY site),
+        t AS (SELECT CAST(sum(du) AS BIGINT) AS tu FROM d),
+        j AS (SELECT d.*, t.tu,
+                du * {B} // tu AS base,
+                du * {B} % tu AS rem
+              FROM d CROSS JOIN t),
+        lf AS (SELECT {B} - CAST(sum(base) AS BIGINT) AS leftover
+               FROM j),
+        rk AS (SELECT j.*, lf.leftover,
+                 row_number() OVER (ORDER BY rem DESC, site ASC)
+                   AS rk
+               FROM j CROSS JOIN lf)
+        SELECT site, n_urls, du AS demand_micro,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_budget
+        FROM rk
+    """
+
+
 def _cc_index_host_stats_oracle() -> str:
     return f"""
         WITH t AS ({_cc_index_table_oracle()})
@@ -6732,6 +6790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_change_rate": _recrawl_change_rate,
         "sitemap_lastmod_entries": _sitemap_lastmod_entries,
         "sitemap_changed_since": _sitemap_changed_since,
+        "crawl_budget_allocate": _crawl_budget_allocate,
         "video_frame_index": _video_frame_index,
         "audio_segment_index": _audio_segment_index,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
@@ -11476,6 +11535,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_change_rate": _recrawl_change_rate_oracle(),
         "sitemap_lastmod_entries": _sitemap_lastmod_oracle(),
         "sitemap_changed_since": _sitemap_changed_since_oracle(),
+        "crawl_budget_allocate": _crawl_budget_allocate_oracle(),
         "recrawl_plan": _recrawl_plan_oracle(),
         "warc_record_index": _warc_index_oracle(),
         "warc_payload_extract": _warc_payload_oracle(),

@@ -261,6 +261,7 @@ HEADLINE = [
     "recrawl_change_rate",
     "sitemap_lastmod_entries",
     "sitemap_changed_since",
+    "crawl_budget_allocate",
 ]
 
 # FLAGSHIP-25 (VERDICT r6 Next #4): a FROZEN comparability subset —

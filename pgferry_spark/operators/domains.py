@@ -1367,6 +1367,65 @@ def parse_sitemap_entries(
     )
 
 
+def crawl_budget_allocate(
+    rates: DataFrame,
+    total_budget: int,
+    site_col: str = "site",
+    rate_col: str = "change_rate_per_day",
+    default_rate_per_day: float = 1.0 / 7,
+) -> DataFrame:
+    """Fetch-budget allocation across sites ∝ estimated change demand
+    — the scheduling layer above :func:`recrawl_change_rate`: each
+    site's demand is the sum of its URLs' change rates (unobservable
+    URLs count at the default cadence), and ``total_budget`` fetches
+    apportion by the largest-remainder method, so the allocations sum
+    to the budget EXACTLY and a site with zero demand can still
+    receive a remainder seat only after every fractional claim above
+    it.
+
+    All allocation arithmetic is INTEGER: rates quantize to 1e-6/day
+    micro-units first (an order-independent BIGINT sum — float
+    summation order would make near-tie remainder ranks
+    engine-dependent), then base = demand·B div total and the
+    remainder rank orders (demand·B mod total) descending with the
+    site name as the deterministic tiebreak.  Bound: demand_micro ×
+    budget must fit in int64 — ~9·10¹⁸, comfortably above any real
+    (corpus demand × budget) product; the one global window runs over
+    the SITE table (bounded by distinct hosts, never corpus-sized —
+    the config-scale-window convention)."""
+    mu = F.round(
+        F.coalesce(F.col(rate_col), F.lit(float(default_rate_per_day)))
+        * 1e6
+    ).cast("bigint")
+    d = rates.groupBy(F.col(site_col).alias("site")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.sum(mu).alias("__du"),
+    )
+    tot = d.agg(F.sum("__du").alias("__tu"))
+    j = d.crossJoin(F.broadcast(tot))
+    b = F.lit(int(total_budget)).cast("bigint")
+    base = F.expr("__du * " + str(int(total_budget)) + " div __tu")
+    rem = (F.col("__du") * b) % F.col("__tu")
+    j = j.withColumn("__base", base).withColumn("__rem", rem)
+    left = j.agg(
+        (b - F.sum("__base")).alias("__left")
+    )
+    j = j.crossJoin(F.broadcast(left))
+    w = Window.orderBy(F.col("__rem").desc(), F.col("site").asc())
+    return (
+        j.withColumn("__rk", F.row_number().over(w))
+        .select(
+            "site",
+            "n_urls",
+            F.col("__du").alias("demand_micro"),
+            (
+                F.col("__base")
+                + (F.col("__rk") <= F.col("__left")).cast("bigint")
+            ).alias("alloc_budget"),
+        )
+    )
+
+
 def sitemap_changed_since(
     entries: DataFrame,
     captures: DataFrame,

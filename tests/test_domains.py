@@ -757,3 +757,52 @@ class TestSitemapChangedSince:
         assert got["https://d/hot"] == (True, cap_ts + 1)
         assert got["https://d/cold"][0] is False      # provably stale
         assert got["https://d/edge"][0] is False      # ties skip
+
+
+class TestCrawlBudgetAllocate:
+    def test_exact_sum_and_proportionality(self, spark):
+        """Allocations sum to the budget EXACTLY (largest remainder),
+        follow demand ordering, and unobservable URLs count at the
+        default cadence."""
+        from pgferry_spark.operators.domains import crawl_budget_allocate
+
+        rates = spark.createDataFrame(
+            [("big", 10.0)] * 3 + [("mid", 5.0)] * 2
+            + [("tiny", 0.001)] + [("unseen", None)] * 2,
+            "site: string, change_rate_per_day: double",
+        )
+        out = {
+            r.site: r for r in
+            crawl_budget_allocate(rates, 997).collect()
+        }
+        total = sum(r.alloc_budget for r in out.values())
+        assert total == 997  # exact, despite flooring
+        assert out["big"].alloc_budget > out["mid"].alloc_budget
+        assert out["mid"].alloc_budget > out["unseen"].alloc_budget
+        assert out["unseen"].alloc_budget >= out["tiny"].alloc_budget
+        assert out["unseen"].demand_micro == 2 * 142857
+        assert out["big"].n_urls == 3
+
+    def test_deterministic_under_input_order(self, spark):
+        from pgferry_spark.operators.domains import crawl_budget_allocate
+
+        rows = [(f"s{i}", float(i % 5) + 0.1) for i in range(30)]
+        a = {
+            r.site: r.alloc_budget
+            for r in crawl_budget_allocate(
+                spark.createDataFrame(
+                    rows, "site: string, change_rate_per_day: double"
+                ), 1000
+            ).collect()
+        }
+        b = {
+            r.site: r.alloc_budget
+            for r in crawl_budget_allocate(
+                spark.createDataFrame(
+                    list(reversed(rows)),
+                    "site: string, change_rate_per_day: double",
+                ).repartition(7), 1000
+            ).collect()
+        }
+        assert a == b
+        assert sum(a.values()) == 1000

@@ -38,7 +38,7 @@ NEW_R13 = [
     "http_charset_sniff", "index_routed_retrieval",
     "charset_sniff_disagreements", "cdx_closest_capture",
     "recrawl_change_rate", "sitemap_lastmod_entries",
-    "sitemap_changed_since",
+    "sitemap_changed_since", "crawl_budget_allocate",
 ]
 
 # Remaining window: the stalest oracle-backed entries, planner-stable
@@ -58,18 +58,18 @@ ROTATED_STALEST = [
     "jaccard_adjacent", "script_profile", "url_keyword_filter",
     "extract_links", "link_graph_stats", "domain_token_budget",
     "crawl_snapshot_merge", "crawl_delta_counts", "simhash32",
-    "simhash_near_pairs_md5", "embedding_near_dup",
+    "simhash_near_pairs_md5",
 ]
 
 # Positions 51+: next-stalest, first in line for the r14 rotation.
 NEXT_IN_LINE = [
-    "embedding_near_dup_lsh", "embedding_dedup", "cosine_topk",
-    "pairwise_cosine_topk", "ivf_assign", "ivf_topk", "corpus_filter", "lsh_topk",
+    "embedding_near_dup", "embedding_near_dup_lsh", "embedding_dedup",
+    "cosine_topk", "pairwise_cosine_topk", "ivf_assign", "ivf_topk", "corpus_filter", "lsh_topk",
     "lsh_topk_multiprobe", "multimodal_meta", "frame_sample", "bm25_topk",
     "repetition_stats", "contamination_check", "length_outliers",
     "unigram_logprob", "approx_distinct_users", "fill_time_gaps",
     "token_budget_select", "quantize_embeddings", "stratified_split",
-    "rate_anomalies", "incremental_dedup", "vocab_topk",
+    "rate_anomalies", "incremental_dedup",
 ]
 
 
@@ -96,18 +96,18 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 295
+N_QUERIES = 296
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:7] == NEW_R13
-    assert names[7:50] == ROTATED_STALEST
+    assert names[:8] == NEW_R13
+    assert names[8:50] == ROTATED_STALEST
     assert names[50:74] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 7 + 43 == 50: no slot wasted
+    # 8 + 42 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEW_R13) | set(ROTATED_STALEST)
 
