@@ -6768,10 +6768,13 @@ def _url_dedup_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
     entries of this dict.  Round-13 rotation (VERDICT r12 Next #7): the
-    window head is this round's 3 births (WHATWG charset sniffing, the
-    end-to-end index-routed retrieval, the sniff-disagreement audit —
-    driver-checked at birth), then the 47 stalest oracle-backed entries
-    in tools/plan_rotation.py order (the r7-green multimodal/curation/
+    window head is this round's 8 births (WHATWG charset sniffing +
+    the sniff-disagreement audit, the end-to-end index-routed
+    retrieval, the wayback closest=<ts> election, CGM change-rate
+    estimation, sitemap <lastmod> pairing + the changed-since
+    decision, exact fetch-budget apportionment — each driver-checked
+    at birth), then the 42 stalest oracle-backed entries in
+    tools/plan_rotation.py order (the r7-green multimodal/curation/
     winnowing block, then the leading r8-green block).  Round-13 code
     changes to already-green entries (SURT official massage rules across
     the nine surt-consuming entries, the digest-spelling verification in
