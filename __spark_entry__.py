@@ -6130,9 +6130,9 @@ def _cdx_closest_capture_oracle() -> str:
     return _cdxj_cte() + """
         , ranked AS (SELECT *,
             row_number() OVER (PARTITION BY surt ORDER BY
-                abs(epoch(strptime(fetch_ts, '%Y%m%d%H%M%S'))
+                abs(epoch(try_strptime(fetch_ts, '%Y%m%d%H%M%S'))
                     - epoch(strptime('20240815120000',
-                                     '%Y%m%d%H%M%S'))),
+                                     '%Y%m%d%H%M%S'))) ASC NULLS LAST,
                 fetch_ts, container_id, record_no) AS __rn
           FROM e)
         SELECT surt, fetch_ts, container_id, record_no,
@@ -6282,10 +6282,13 @@ def _crawl_budget_allocate_oracle() -> str:
         d AS (SELECT site, CAST(count(*) AS BIGINT) AS n_urls,
                 CAST(sum(mu) AS BIGINT) AS du
               FROM s GROUP BY site),
-        t AS (SELECT CAST(sum(du) AS BIGINT) AS tu FROM d),
+        t AS (SELECT CAST(sum(du) AS BIGINT) AS tu,
+                     CAST(count(*) AS BIGINT) AS ns FROM d),
         j AS (SELECT d.*, t.tu,
-                du * {B} // tu AS base,
-                du * {B} % tu AS rem
+                CASE WHEN t.tu = 0 THEN 1 ELSE du END * {B}
+                  // CASE WHEN t.tu = 0 THEN t.ns ELSE t.tu END AS base,
+                CASE WHEN t.tu = 0 THEN 1 ELSE du END * {B}
+                  % CASE WHEN t.tu = 0 THEN t.ns ELSE t.tu END AS rem
               FROM d CROSS JOIN t),
         lf AS (SELECT {B} - CAST(sum(base) AS BIGINT) AS leftover
                FROM j),

@@ -1110,22 +1110,22 @@ def robots_status_gate(
     discards are filtered afterwards, cheaper than splitting the
     corpus into per-policy branches that each rescan it).
 
-    Probe cost (round 13, r12 watch note): a caller that already knows
-    the status-table size passes ``statuses_rows`` and NO count job
-    runs; otherwise the policy projection persists first so the one
-    probe count and the join read the same materialization instead of
-    scanning ``statuses`` twice — the tier join-back convention
-    (operators/filters.py), same caller-unpersist lifecycle."""
+    Probe cost (round 13→14): a caller that already knows the
+    status-table size passes ``statuses_rows`` and NO count job runs;
+    otherwise the probe is a direct ``statuses.count()`` — a
+    column-pruned count over the slim (domain, status) table, which
+    for a parquet-backed source is row-group-metadata cheap.  The r13
+    draft persisted the policy projection instead, but never returned
+    the handle, so every non-bench caller leaked one MEMORY_AND_DISK
+    cache entry per call (r13 ADVICE); counting the source twice is
+    strictly cheaper than an unreclaimable cache slot."""
     base = df if "domain" in df.columns else with_host_domain(df, url_col)
     pol = statuses.select(
         F.col("domain").alias("__pd"),
         F.expr(ROBOTS_POLICY_SQL.format(status="rstatus")).alias("__pol"),
     )
     if statuses_rows is None:
-        from pyspark import StorageLevel
-
-        pol = pol.persist(StorageLevel.MEMORY_AND_DISK)
-        statuses_rows = pol.count()
+        statuses_rows = statuses.count()
     if statuses_rows <= broadcast_limit:
         pol = F.broadcast(pol)
     else:
@@ -1326,11 +1326,12 @@ SITEMAP_FULL_SYNTH_SQL = (
     " || '-05</lastmod></url>' || chr(10) ||"
     " '<url><loc>https://' || {domain} || '/faq</loc></url>'"
     " || chr(10) ||"
-    " '<url><loc>https://' || {domain} || '/news</loc>"
-    "<lastmod>2024-08-10T12:30:00Z</lastmod></url>' || chr(10) ||"
+    " '<url>' || chr(10) || '  <loc>https://' || {domain} || '/news</loc>'"
+    " || chr(10) || '  <lastmod>2024-08-10T12:30:00Z</lastmod>'"
+    " || chr(10) || '</url>' || chr(10) ||"
     " '</urlset>'"
 )
-SITEMAP_URL_BLOCK_RE = "<url>(.*?)</url>"
+SITEMAP_URL_BLOCK_RE = "(?s)<url>(.*?)</url>"
 SITEMAP_LASTMOD_RE = "<lastmod>([^<]*)</lastmod>"
 
 
@@ -1343,10 +1344,14 @@ def parse_sitemap_entries(
     that lets a crawler fetch only what changed since its last
     capture, the cheap sibling of :func:`recrawl_change_rate`'s
     estimated cadence).  Block-scoped pairing via a non-greedy
-    ``<url>(.*?)</url>`` extract-all (RE2-safe) then per-block field
-    extracts — a flat ``<lastmod>`` regex over the whole document
-    would mispair the fields across entries.  ``lastmod`` is '' when
-    the block omits it.  Map-only."""
+    ``(?s)<url>(.*?)</url>`` extract-all (``(?s)`` is read by both
+    Java regex and RE2, and is load-bearing: real-world sitemaps are
+    pretty-printed with newlines INSIDE each ``<url>`` block, which a
+    bare ``.`` silently fails to cross — the synth's third block is
+    multi-line exactly to pin this) then per-block field extracts — a
+    flat ``<lastmod>`` regex over the whole document would mispair
+    the fields across entries.  ``lastmod`` is '' when the block
+    omits it.  Map-only."""
     blocks = F.expr(
         f"regexp_extract_all({xml_col}, '{SITEMAP_URL_BLOCK_RE}', 1)"
     )
@@ -1392,7 +1397,11 @@ def crawl_budget_allocate(
     budget must fit in int64 — ~9·10¹⁸, comfortably above any real
     (corpus demand × budget) product; the one global window runs over
     the SITE table (bounded by distinct hosts, never corpus-sized —
-    the config-scale-window convention)."""
+    the config-scale-window convention).  Degenerate total demand
+    (every rate explicitly 0.0 → zero micro-units everywhere) falls
+    back to an equal largest-remainder split over sites instead of
+    dividing by zero (r13 ADVICE); ``demand_micro`` still reports the
+    true zeros."""
     mu = F.round(
         F.coalesce(F.col(rate_col), F.lit(float(default_rate_per_day)))
         * 1e6
@@ -1401,11 +1410,30 @@ def crawl_budget_allocate(
         F.count(F.lit(1)).cast("bigint").alias("n_urls"),
         F.sum(mu).alias("__du"),
     )
-    tot = d.agg(F.sum("__du").alias("__tu"))
+    tot = d.agg(
+        F.sum("__du").alias("__tu"),
+        F.count(F.lit(1)).cast("bigint").alias("__ns"),
+    )
     j = d.crossJoin(F.broadcast(tot))
+    # tu == 0 guard (r13 ADVICE): when every site's demand quantizes
+    # to zero micro-units (all rates explicitly 0.0), `du*B div tu`
+    # would divide by zero — null allocations, the sum-to-budget
+    # invariant silently broken.  Fall back to an equal largest-
+    # remainder split (every site demands 1 unit of n_sites total),
+    # which keeps the apportionment total, deterministic
+    # (lexicographic site tiebreak), and exact.
+    j = j.withColumn(
+        "__du2",
+        F.when(F.col("__tu") == 0, F.lit(1).cast("bigint")).otherwise(
+            F.col("__du")
+        ),
+    ).withColumn(
+        "__tu2",
+        F.when(F.col("__tu") == 0, F.col("__ns")).otherwise(F.col("__tu")),
+    )
     b = F.lit(int(total_budget)).cast("bigint")
-    base = F.expr("__du * " + str(int(total_budget)) + " div __tu")
-    rem = (F.col("__du") * b) % F.col("__tu")
+    base = F.expr("__du2 * " + str(int(total_budget)) + " div __tu2")
+    rem = (F.col("__du2") * b) % F.col("__tu2")
     j = j.withColumn("__base", base).withColumn("__rem", rem)
     left = j.agg(
         (b - F.sum("__base")).alias("__left")

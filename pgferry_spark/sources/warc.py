@@ -877,7 +877,6 @@ def write_warc_files(
     object-store mount) — the same contract any distributed file sink
     carries."""
     import os
-    import tempfile
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -887,14 +886,35 @@ def write_warc_files(
                 out_dir,
                 f"{prefix}{int(r['container_id']):0{id_width}d}{suffix}",
             )
-            fd, tmp = tempfile.mkstemp(
-                dir=out_dir, suffix=".inprogress"
-            )
-            with os.fdopen(fd, "wb") as f:
-                f.write(bytes(r["container"]))
-            publish_atomic(tmp, p)
+            write_shard_atomic(out_dir, p, bytes(r["container"]))
 
     df.select("container_id", "container").foreachPartition(write_part)
+
+
+def write_shard_atomic(out_dir: str, target: str, payload) -> bool:
+    """Write ``payload`` to a unique ``.inprogress`` temp in
+    ``out_dir`` then hard-link-publish it at ``target`` — the
+    single-shard primitive under :func:`write_warc_files`.  A failed
+    WRITE (ENOSPC, serialization error) must not leak the temp file
+    in out_dir — :func:`publish_atomic` owns cleanup only once
+    reached, so the write is unlink-on-raise here (r13 ADVICE
+    restored the pre-r13 finally-unlink posture).  Returns
+    :func:`publish_atomic`'s verdict (True = this call created the
+    link)."""
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".inprogress")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    return publish_atomic(tmp, target)
 
 
 def publish_atomic(tmp: str, target: str) -> bool:

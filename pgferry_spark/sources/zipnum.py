@@ -1058,7 +1058,13 @@ def cdx_closest_capture(
     epoch seconds before the abs-diff, because numeric string
     difference lies across unit boundaries (115959 is 1 s before
     120000, not 41 "units"; the first draft had exactly that bug and
-    the tiebreak test caught it).
+    the tiebreak test caught it).  The parse is TOTAL —
+    ``try_to_timestamp``, nulls ordered last — so one malformed or
+    out-of-range 14-digit field in a foreign index line (seconds=60
+    in the foreign-compat goldens) demotes that capture instead of
+    aborting the whole election under Spark 4's ANSI mode (r13
+    ADVICE; the try_cast totality posture every foreign-line parser
+    in this module carries).
 
     Scale shape: ONE window partitioned by urlkey — per-key capture
     counts are revisit-bounded (thousands at worst for hot pages,
@@ -1074,12 +1080,12 @@ def cdx_closest_capture(
     )
     diff = F.abs(
         F.unix_timestamp(
-            F.to_timestamp(F.col(ts_col), "yyyyMMddHHmmss")
+            F.try_to_timestamp(F.col(ts_col), F.lit("yyyyMMddHHmmss"))
         )
         - F.lit(probe_epoch)
     )
     w = Window.partitionBy(key_col).orderBy(
-        diff.asc(),
+        diff.asc_nulls_last(),
         F.col(ts_col).asc(),
         F.col("container_id").asc(),
         F.col("record_no").asc(),

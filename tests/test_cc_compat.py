@@ -442,6 +442,34 @@ class TestClosestCapture:
             "c)/": "20240101000000",
         }
 
+    def test_malformed_timestamp_total(self, spark):
+        """One corrupt 14-digit field (seconds=60, the foreign-compat
+        golden line) must NOT abort the election under ANSI mode
+        (r13 ADVICE): the try-parse demotes it (nulls last), a valid
+        sibling wins, and a key with ONLY corrupt captures still
+        yields its deterministic row instead of vanishing."""
+        from pgferry_spark.sources.zipnum import cdx_closest_capture
+
+        rows = [
+            ("a)/", "20240722120760", 0, 0, 0, 10),   # sec=60: invalid
+            ("a)/", "20240101000000", 0, 1, 10, 10),  # far but valid
+            ("z)/", "2024bogus", 1, 0, 0, 10),        # only corrupt
+            ("z)/", "20249999999999", 1, 1, 10, 10),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "surt: string, fetch_ts: string, container_id: long,"
+            " record_no: int, rec_offset: long, rec_len: long",
+        )
+        got = {
+            r.surt: r.fetch_ts
+            for r in cdx_closest_capture(df, "20240815120000").collect()
+        }
+        assert got["a)/"] == "20240101000000"
+        # all-null key: the ts-asc tiebreak still elects exactly one
+        # (digits sort before letters, so the 9s string wins)
+        assert got["z)/"] == "20249999999999"
+
     def test_one_row_per_key_and_plan_shape(self, spark):
         from pgferry_spark.sources.zipnum import cdx_closest_capture
 

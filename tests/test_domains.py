@@ -704,6 +704,36 @@ class TestSitemapLastmodEntries:
             "https://d.org/c": "2024-08-10T12:30:00Z",
         }
 
+    def test_pretty_printed_multiline_blocks(self, spark):
+        """Real-world sitemaps are pretty-printed: newlines INSIDE
+        each <url> block.  Without (?s) the block regex's '.' stops
+        at the newline and the whole document silently parses to
+        zero entries (r13 ADVICE)."""
+        from pgferry_spark.operators.domains import parse_sitemap_entries
+
+        xml = (
+            '<?xml version="1.0"?>\n<urlset>\n'
+            "  <url>\n"
+            "    <loc>https://p.org/a</loc>\n"
+            "    <lastmod>2024-01-05</lastmod>\n"
+            "  </url>\n"
+            "  <url>\n"
+            "    <loc>https://p.org/b</loc>\n"
+            "  </url>\n"
+            "</urlset>\n"
+        )
+        df = spark.createDataFrame(
+            [("p.org", xml)], "domain: string, sitemap_xml: string"
+        )
+        got = {
+            r.loc_url: r.lastmod
+            for r in parse_sitemap_entries(df).collect()
+        }
+        assert got == {
+            "https://p.org/a": "2024-01-05",
+            "https://p.org/b": "",
+        }
+
     def test_empty_and_locless_blocks(self, spark):
         from pgferry_spark.operators.domains import parse_sitemap_entries
 
@@ -782,6 +812,27 @@ class TestCrawlBudgetAllocate:
         assert out["unseen"].alloc_budget >= out["tiny"].alloc_budget
         assert out["unseen"].demand_micro == 2 * 142857
         assert out["big"].n_urls == 3
+
+    def test_all_zero_demand_equal_split(self, spark):
+        """Every rate explicitly 0.0 → total demand quantizes to zero
+        micro-units; the guard (r13 ADVICE) must fall back to an
+        equal largest-remainder split — exact sum, deterministic
+        lexicographic remainder seats, true zero demand_micro — not a
+        divide-by-zero null."""
+        from pgferry_spark.operators.domains import crawl_budget_allocate
+
+        rates = spark.createDataFrame(
+            [("alpha", 0.0), ("beta", 0.0), ("gamma", 0.0)],
+            "site: string, change_rate_per_day: double",
+        )
+        out = {
+            r.site: r for r in crawl_budget_allocate(rates, 10).collect()
+        }
+        allocs = {s: r.alloc_budget for s, r in out.items()}
+        assert sum(allocs.values()) == 10
+        # 10 = 3*3 + 1 remainder seat -> lexicographically first site
+        assert allocs == {"alpha": 4, "beta": 3, "gamma": 3}
+        assert all(r.demand_micro == 0 for r in out.values())
 
     def test_deterministic_under_input_order(self, spark):
         from pgferry_spark.operators.domains import crawl_budget_allocate

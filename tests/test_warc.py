@@ -919,6 +919,32 @@ class TestRobotsTxt:
         plan = big._jdf.queryExecution().executedPlan().toString()
         assert "ShuffledHashJoin" in plan
 
+    def test_status_gate_leaves_no_cache_entry(self, spark):
+        """The default (probe) path must not leave a persisted
+        DataFrame behind: the r13 draft cached the policy projection
+        and never exposed the handle, leaking one MEMORY_AND_DISK
+        entry per non-bench call (r13 ADVICE)."""
+        from pgferry_spark.operators.domains import (
+            parse_robots_rules,
+            robots_status_gate,
+        )
+
+        spark.catalog.clearCache()
+        rules = parse_robots_rules(
+            spark.createDataFrame(
+                [("ok.com", "User-agent: *\nDisallow: /x\n")],
+                "domain: string, robots_txt: string",
+            )
+        )
+        statuses = spark.createDataFrame(
+            [("ok.com", 200)], "domain: string, rstatus: int"
+        )
+        docs = spark.createDataFrame(
+            [(1, "https://ok.com/free")], "doc_id: long, url: string"
+        )
+        robots_status_gate(docs, rules, statuses).collect()
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
     def test_multi_agent_group_union_two_agents(self, spark):
         """RFC 9309 §2.1 (round 12): consecutive User-agent lines form
         ONE group — its rules belong to EVERY named agent, not just the
@@ -1229,6 +1255,26 @@ class TestStorageBackedFunnel:
         with pytest.raises(ValueError, match="divergent"):
             publish_atomic(t3, str(tgt))
         assert tgt.read_bytes() == b"payload"
+        assert not list(tmp_path.glob("*.inprogress"))
+
+    def test_write_shard_unlinks_temp_on_write_failure(self, tmp_path):
+        """A write that dies BEFORE publish (ENOSPC, serialization
+        error) must not leak the .inprogress temp in out_dir — the
+        r13 draft lost the unlink (r13 ADVICE)."""
+        import pytest
+
+        from pgferry_spark.sources.warc import write_shard_atomic
+
+        tgt = tmp_path / "shard-0.warc.gz"
+        with pytest.raises(TypeError):
+            # object() is not a bytes-like: f.write raises mid-write,
+            # the exact shape of a serialization failure
+            write_shard_atomic(str(tmp_path), str(tgt), object())
+        assert not list(tmp_path.glob("*.inprogress"))
+        assert not tgt.exists()
+        # the happy path still publishes and returns True
+        assert write_shard_atomic(str(tmp_path), str(tgt), b"ok") is True
+        assert tgt.read_bytes() == b"ok"
         assert not list(tmp_path.glob("*.inprogress"))
 
 
