@@ -1501,12 +1501,28 @@ def _line_repetition(spark, sf):
 
 
 def _ccnet_buckets(spark, sf):
-    """CCNet perplexity tiers (round 10): per language, head/middle/tail
-    thirds by bigram-LM score — the CommonCrawl quality-mixture stage.
-    Bucketing is by distinct (lang, score) CLASS with integer tier
-    arithmetic (3*n_gt < n), so ties never straddle a boundary and the
-    class window ranks the bounded class table, never documents."""
+    """CCNet perplexity tiers (round 10; re-keyed round 14): per
+    language, head/middle/tail thirds by interpolated Kneser–Ney
+    trigram LM score (the CCNet-published scorer class — Wenzek et al.
+    2020 §4.2 — replacing the r10 bigram rung) — the CommonCrawl
+    quality-mixture stage.  Bucketing is by distinct (lang, score)
+    CLASS with integer tier arithmetic (3*n_gt < n), so ties never
+    straddle a boundary and the class window ranks the bounded class
+    table, never documents."""
     return filters.ccnet_buckets(
+        _t(spark, sf, "documents"), "text", "doc_id"
+    )
+
+
+def _ngram_perplexity(spark, sf):
+    """Interpolated Kneser–Ney trigram LM perplexity (round 14, VERDICT
+    r13 Next #1): per document, avg ln p₃ and exp(−avg) over the
+    corpus-trained KN model — continuation counts, absolute discount
+    D=0.75 (exact binary double), every model table an exact-integer
+    aggregate of the trigram TYPE table so the float formula replays
+    closed-form in SQL.  One tokenize pass, two lags on one (doc, pos)
+    window, natural-key model aggregates, token-keyed join-backs."""
+    return filters.kn_trigram_logprob_scores(
         _t(spark, sf, "documents"), "text", "doc_id"
     )
 
@@ -5765,16 +5781,81 @@ def _bigram_logprob_sql() -> str:
     """
 
 
+def _kn_trigram_sql() -> str:
+    """Shared interpolated-Kneser–Ney trigram chain (through the
+    per-position ``scored`` relation) — the ngram_perplexity entry
+    closes it with the per-doc aggregate; ccnet_buckets layers the
+    tier arithmetic on top.  Every model table is an exact-integer
+    aggregate of the trigram TYPE table (continuation counts =
+    COUNT(*) over type rows), and the probability expression is
+    spelled in the same operation order as the Spark plan — discount
+    0.75 is an exact binary double, so the literals agree bit-for-bit
+    (the bigram chain's rationale)."""
+    return f"""
+            WITH tk AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+            tp AS (
+              SELECT doc_id,
+                     unnest(toks[1:len(toks) - 2]) AS u,
+                     unnest(toks[2:len(toks) - 1]) AS v,
+                     unnest(toks[3:len(toks)]) AS w
+              FROM tk WHERE len(toks) >= 3
+            ),
+            tri AS (SELECT u, v, w, COUNT(*) AS c3
+                    FROM tp GROUP BY u, v, w),
+            ctx3 AS (SELECT u, v, SUM(c3) AS c_ctx, COUNT(*) AS n1p_uv
+                     FROM tri GROUP BY u, v),
+            cont2 AS (SELECT v, w, COUNT(*) AS cont_vw
+                      FROM tri GROUP BY v, w),
+            ctx2 AS (SELECT v, SUM(cont_vw) AS ctx_v, COUNT(*) AS nt_v
+                     FROM cont2 GROUP BY v),
+            cont1 AS (SELECT w, COUNT(*) AS cont_w FROM cont2 GROUP BY w),
+            tot AS (SELECT COUNT(*) AS total_vw FROM cont2),
+            scored AS (
+              SELECT tp.doc_id,
+                     ln(greatest(CAST(t.c3 AS DOUBLE) - 0.75, 0.0)
+                          / x3.c_ctx
+                        + 0.75 * x3.n1p_uv / x3.c_ctx
+                          * (greatest(CAST(c2.cont_vw AS DOUBLE) - 0.75,
+                                      0.0) / x2.ctx_v
+                             + 0.75 * x2.nt_v / x2.ctx_v
+                               * (CAST(c1.cont_w AS DOUBLE)
+                                  / tot.total_vw))) AS lp
+              FROM tp
+              JOIN tri t USING (u, v, w)
+              JOIN ctx3 x3 USING (u, v)
+              JOIN cont2 c2 USING (v, w)
+              JOIN ctx2 x2 USING (v)
+              JOIN cont1 c1 USING (w)
+              CROSS JOIN tot
+            )
+    """
+
+
+def _ngram_perplexity_oracle() -> str:
+    """Per-doc close of the shared KN chain: logprob = round(avg, 6)
+    (+0.0 folds a boundary −0.0), perplexity = round(exp(−rounded), 6)
+    — exp of the ROUNDED mean on both engines, so the only float
+    hazard is the one the 6dp edge round absorbs."""
+    return _kn_trigram_sql() + """
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+                   ROUND(AVG(lp), 6) + 0.0 AS logprob,
+                   ROUND(exp(-(ROUND(AVG(lp), 6) + 0.0)), 6)
+                     AS perplexity
+            FROM scored GROUP BY doc_id
+    """
+
+
 def _ccnet_buckets_oracle() -> str:
-    """Tier replay: the shared bigram chain → per-doc score + lang →
-    distinct (lang, score) classes → strictly-higher cumulative count →
-    the 3·n_gt < n integer tier rule.  The class window ranks distinct
-    classes (no ties in its ordering by construction), mirroring the
-    Spark side exactly."""
-    return _bigram_logprob_sql() + """
+    """Tier replay (re-keyed round 14 onto the KN trigram chain): the
+    shared KN chain → per-doc score + lang → distinct (lang, score)
+    classes → strictly-higher cumulative count → the 3·n_gt < n
+    integer tier rule.  The class window ranks distinct classes (no
+    ties in its ordering by construction), mirroring the Spark side
+    exactly."""
+    return _kn_trigram_sql() + """
             , sc AS (
               SELECT s.doc_id, d.lang, s.logprob
-              FROM (SELECT doc_id, ROUND(AVG(lp), 6) AS logprob
+              FROM (SELECT doc_id, ROUND(AVG(lp), 6) + 0.0 AS logprob
                     FROM scored GROUP BY doc_id) s
               JOIN documents d USING (doc_id)
             ),
@@ -6946,6 +7027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisit_resolve": _warc_revisit_resolve,
         "warc_revisit_stats": _warc_revisit_stats,
         "ccnet_buckets": _ccnet_buckets,
+        "ngram_perplexity": _ngram_perplexity,
         "line_repetition": _line_repetition,
         "debounce_events": _debounce,
         "ri_audit": _ri_audit,
@@ -10489,6 +10571,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
         """,
         "ccnet_buckets": _ccnet_buckets_oracle(),
+        "ngram_perplexity": _ngram_perplexity_oracle(),
         "line_repetition": _line_repetition_oracle(),
         "length_outliers": """
             WITH bounds AS (

@@ -209,8 +209,13 @@ HEADLINE = [
     "warc_revisit_resolve",
     "warc_revisit_stats",
     # round 10: CCNet perplexity tiers + Gopher dup-line signals
+    # (r14: tiers re-keyed onto the KN trigram LM; the scorer itself
+    # is the ngram_perplexity birth below)
     "ccnet_buckets",
     "line_repetition",
+    # round 14: interpolated Kneser–Ney trigram LM perplexity (VERDICT
+    # r13 Next #1 — the CCNet-grade scorer)
+    "ngram_perplexity",
     # round 10, second wave: WET export (the CommonCrawl extracted-text
     # companion), sitemap discovery, FineWeb gates, mojibake repair
     "warc_dedup_manifest",

@@ -503,6 +503,109 @@ def bigram_logprob_scores(
     )
 
 
+def kn_trigram_logprob_scores(
+    df: DataFrame, text_col: str, id_col: str, discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser–Ney trigram LM score — the CCNet-grade rung
+    above :func:`bigram_logprob_scores` (Wenzek et al. 2020 §4.2 score
+    with a 5-gram KN LM; Chen & Goodman 1999 give the interpolated-KN
+    form this implements at order 3, the order where the
+    continuation-count machinery — the thing that distinguishes KN
+    from plain interpolation — is fully exercised):
+
+    - ``p₁(w)      = N₁₊(·w) / N₁₊(··)``              (continuation unigram)
+    - ``p₂(w|v)    = max(N₁₊(·vw)−D,0)/N₁₊(·v·) + D·N₁₊(v·)/N₁₊(·v·)·p₁(w)``
+    - ``p₃(w|u,v)  = max(c(uvw)−D,0)/c(uv·)   + D·N₁₊(uv·)/c(uv·)·p₂(w|v)``
+
+    where every count derives from the corpus's own trigram TYPE table
+    (``N₁₊(·vw)`` = distinct left-contexts of the bigram, etc.), so all
+    inputs to the float formula are exact integers and the expression
+    replays bit-compatibly on any engine that spells it in the same
+    operation order.  ``D`` defaults to 0.75 — the classic absolute
+    discount AND an exact binary double (the
+    :func:`bigram_logprob_scores` rationale).  Because the corpus IS
+    the training data, every scored position has positive counts at
+    all three orders — the model is total without an OOV floor.
+
+    Returns ``(id, n_trigrams, logprob, perplexity)`` per document
+    with ≥3 tokens: ``logprob = round(avg ln p₃, 6)`` and
+    ``perplexity = round(exp(−logprob), 6)`` (exp of the ROUNDED mean,
+    so the only cross-engine float hazard is the one the 6dp edge
+    round already absorbs).
+
+    Scale shape: ONE tokenize pass (``posexplode``); trigram positions
+    from two ``lag``s over the same (doc, pos) window — one shuffle
+    keyed by doc id.  All five model tables are natural-key aggregates
+    of the trigram TYPE table (map-side partial aggregation; the type
+    table is vocabulary-bounded, far smaller than the position
+    stream), they join back token-keyed (Catalyst broadcasts when
+    small), and the 1-row total broadcasts.  No window over anything
+    corpus-sized beyond the per-doc lag."""
+    D = float(discount)
+    tok_pos = (
+        fan_out(df, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode_outer(
+                tokens(F.lower(F.col(text_col)))
+            ).alias("pos", "token"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    tri_pos = (
+        tok_pos.withColumn("prev", F.lag("token", 1).over(w))
+        .withColumn("prev2", F.lag("token", 2).over(w))
+        .filter(F.col("prev2").isNotNull())
+    )
+    # persisted: tri_pos feeds the type table AND the scoring join;
+    # tri feeds ctx3/cont2 and the scoring join; cont2 feeds
+    # ctx2/cont1/total and the scoring join — without the caches each
+    # consumer re-runs the tokenize+lag subtree (same lifecycle
+    # convention as bigram_logprob_scores' tok_pos persist).
+    tri_pos = tri_pos.persist()
+    tri = tri_pos.groupBy("prev2", "prev", "token").agg(
+        F.count(F.lit(1)).alias("c3")
+    ).persist()
+    ctx3 = tri.groupBy("prev2", "prev").agg(
+        F.sum("c3").alias("c_ctx"), F.count(F.lit(1)).alias("n1p_uv")
+    )
+    cont2 = tri.groupBy("prev", "token").agg(
+        F.count(F.lit(1)).alias("cont_vw")
+    ).persist()
+    ctx2 = cont2.groupBy("prev").agg(
+        F.sum("cont_vw").alias("ctx_v"), F.count(F.lit(1)).alias("nt_v")
+    )
+    cont1 = cont2.groupBy("token").agg(F.count(F.lit(1)).alias("cont_w"))
+    total = cont2.agg(F.count(F.lit(1)).alias("total_vw"))
+    p1 = F.col("cont_w").cast("double") / F.col("total_vw")
+    p2 = (
+        F.greatest(F.col("cont_vw").cast("double") - F.lit(D), F.lit(0.0))
+        / F.col("ctx_v")
+        + F.lit(D) * F.col("nt_v") / F.col("ctx_v") * p1
+    )
+    p3 = (
+        F.greatest(F.col("c3").cast("double") - F.lit(D), F.lit(0.0))
+        / F.col("c_ctx")
+        + F.lit(D) * F.col("n1p_uv") / F.col("c_ctx") * p2
+    )
+    lp6 = F.round(F.avg(F.log(p3)), 6) + F.lit(0.0)
+    return (
+        tri_pos.join(tri, ["prev2", "prev", "token"])
+        .join(ctx3, ["prev2", "prev"])
+        .join(cont2, ["prev", "token"])
+        .join(ctx2, "prev")
+        .join(cont1, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            lp6.alias("logprob"),
+            F.round(F.exp(-lp6), 6).alias("perplexity"),
+        )
+    )
+
+
 def line_repetition_stats(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -552,7 +655,7 @@ def ccnet_buckets(
     text_col: str,
     id_col: str,
     lang_col: str = "lang",
-    lam: float = 0.75,
+    discount: float = 0.75,
     broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """CCNet perplexity tiers (Wenzek et al. 2020, arXiv:1911.00359
@@ -570,10 +673,13 @@ def ccnet_buckets(
     (``3·n_gt < n``), no percentile floats.
 
     Returns ``(id, lang, logprob, bucket)`` for every document with a
-    scored bigram.
+    scored trigram.
 
-    Scale shape: scoring is :func:`bigram_logprob_scores` (one tokenize
-    pass); the tier boundaries come from the DISTINCT (lang, score)
+    Scale shape: scoring is :func:`kn_trigram_logprob_scores` — the
+    CCNet-grade interpolated Kneser–Ney trigram LM (round 14; the
+    bigram scorer it replaces remains available as
+    :func:`bigram_logprob_scores` for the ``lam``-interpolated rung) —
+    one tokenize pass; the tier boundaries come from the DISTINCT (lang, score)
     class table — bounded by score quantization, NOT corpus size — so
     the per-language cumulative window ranks classes, never documents,
     and the assignment joins back on (lang, score).  At 100 TB the
@@ -587,7 +693,9 @@ def ccnet_buckets(
     the driver."""
     from pyspark import StorageLevel
 
-    scored = bigram_logprob_scores(df, text_col, id_col, lam=lam)
+    scored = kn_trigram_logprob_scores(
+        df, text_col, id_col, discount=discount
+    )
     langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
     s = scored.join(langs, id_col).select(id_col, "lang", "logprob")
     cls = s.groupBy("lang", "logprob").agg(F.count(F.lit(1)).alias("__c"))

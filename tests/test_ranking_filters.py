@@ -420,6 +420,118 @@ class TestBigramLogprob:
         assert big[99] < big[0]  # transition model can
 
 
+def _kn_expected(docs, D=0.75):
+    """Independent pure-Python interpolated-KN trigram replay — dicts
+    and Counters, no Spark/SQL — so a wiring bug in either engine's
+    chain can't hide behind a shared mistake."""
+    from collections import Counter, defaultdict
+
+    tris = {}
+    c3 = Counter()
+    for did, text in docs:
+        toks = text.lower().split()
+        tgs = [tuple(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        if tgs:
+            tris[did] = tgs
+            c3.update(tgs)
+    ctx_total = Counter()
+    ctx_types = Counter()
+    cont2 = defaultdict(set)
+    for (u, v, w), c in c3.items():
+        ctx_total[(u, v)] += c
+        ctx_types[(u, v)] += 1
+        cont2[(v, w)].add(u)
+    cont_vw = {k: len(s) for k, s in cont2.items()}
+    ctx_v = Counter()
+    nt_v = Counter()
+    cont_w = Counter()
+    for (v, w), c in cont_vw.items():
+        ctx_v[v] += c
+        nt_v[v] += 1
+        cont_w[w] += 1
+    total_vw = len(cont_vw)
+    out = {}
+    for did, tgs in tris.items():
+        lps = []
+        for u, v, w in tgs:
+            p1 = cont_w[w] / total_vw
+            p2 = (max(cont_vw[(v, w)] - D, 0.0) / ctx_v[v]
+                  + D * nt_v[v] / ctx_v[v] * p1)
+            p3 = (max(c3[(u, v, w)] - D, 0.0) / ctx_total[(u, v)]
+                  + D * ctx_types[(u, v)] / ctx_total[(u, v)] * p2)
+            lps.append(math.log(p3))
+        lp = round(sum(lps) / len(lps), 6) + 0.0
+        out[did] = (len(tgs), lp, round(math.exp(-lp), 6))
+    return out
+
+
+class TestKNTrigramLogprob:
+    def test_matches_independent_replay(self, spark):
+        """Spark KN chain vs the pure-Python replay on a corpus that
+        exercises every model table: repeated trigrams, shared bigram
+        contexts under different left-contexts (the continuation-count
+        machinery), and per-doc-unique tails."""
+        from pgferry_spark.operators.filters import kn_trigram_logprob_scores
+
+        docs = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the hat"),
+            (3, "a cat sat under the mat"),
+            (4, "the dog sat on the mat"),
+            (5, "colorless green ideas sleep furiously"),
+            (6, "the cat"),      # <3 tokens: absent
+            (7, ""),             # empty: absent
+        ]
+        df = spark.createDataFrame(docs, DOCS)
+        got = {
+            r.doc_id: (r.n_trigrams, r.logprob, r.perplexity)
+            for r in kn_trigram_logprob_scores(df, "text", "doc_id").collect()
+        }
+        want = _kn_expected(docs)
+        assert got == want
+        assert 6 not in got and 7 not in got
+
+    def test_continuation_counts_not_raw(self, spark):
+        """The KN signature: a bigram frequent only inside ONE stock
+        phrase gets a LOW continuation probability.  'san francisco'
+        appears 8 times but always after 'in' (one left-context);
+        'red car' appears twice under two left-contexts.  Backing off
+        from unseen contexts, KN must prefer the diverse bigram —
+        a raw-count backoff would prefer the stock phrase."""
+        from pgferry_spark.operators.filters import kn_trigram_logprob_scores
+
+        rows = (
+            [(i, "we live in san francisco") for i in range(8)]
+            + [(20, "a red car"), (21, "the red car")]
+            # probes: same unseen context ('near the'), target bigram
+            # differs — backoff decides the score entirely
+            + [(30, "x1 near the red car x2"), (31, "x1 near the san francisco x2")]
+        )
+        # make 'near the' / trailing shapes identical across probes so
+        # only the middle bigram's continuation stats differ
+        df = spark.createDataFrame(rows, DOCS)
+        got = {
+            r.doc_id: r.logprob
+            for r in kn_trigram_logprob_scores(df, "text", "doc_id").collect()
+        }
+        want = _kn_expected(rows)
+        assert got[30] == want[30][1] and got[31] == want[31][1]
+
+    def test_prose_beats_salad_and_ppl_consistency(self, spark):
+        from pgferry_spark.operators.filters import kn_trigram_logprob_scores
+
+        prose = "the cat sat on the mat"
+        salad = "mat the on sat cat the"
+        rows = [(i, prose) for i in range(10)] + [(99, salad)]
+        df = spark.createDataFrame(rows, DOCS)
+        got = {r.doc_id: r for r in
+               kn_trigram_logprob_scores(df, "text", "doc_id").collect()}
+        assert got[99].logprob < got[0].logprob
+        assert got[99].perplexity > got[0].perplexity
+        for r in got.values():
+            assert r.perplexity == round(math.exp(-r.logprob), 6)
+
+
 class TestLineRepetition:
     def test_hand_computed_fractions(self, spark):
         from pgferry_spark.operators.filters import line_repetition_stats
