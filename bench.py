@@ -140,6 +140,8 @@ HEADLINE = [
     # round 6: ExactSubstr with Lee et al.'s 50-char match floor, and the
     # oracle-certified real JPEG encode->decode path
     "exact_substring_spans_chars",
+    # round 14: exact 50-char suffix-bucket ExactSubstr (VERDICT r13 #4)
+    "exact_substring_spans_exact",
     "image_meta_jpeg",
     # round 6: the privacy trio's third gate (variational-distance EMD)
     "t_closeness",

@@ -1212,6 +1212,150 @@ def exact_substring_spans(
     )
 
 
+def exact_substring_spans_exact(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    depth: int = 50,
+) -> DataFrame:
+    """EXACT duplicated-span discovery at Lee et al. 2022's CHARACTER
+    threshold — the suffix-array pass of "Deduplicating Training Data
+    Makes Language Models Better" (arXiv:2107.06499, 50-char minimum
+    match), re-expressed as fixed-depth suffix-prefix grouping instead
+    of a monolithic suffix array: key EVERY token-boundary suffix of the
+    single-space-normalized text by its first ``depth`` characters. Two
+    suffixes share a key **iff** the corpus repeats a ``>= depth``-char
+    substring at those positions (non-empty tokens guarantee the first
+    ``depth`` tokens always supply ``depth`` chars), so the key groups
+    are exactly the suffix-array buckets Lee et al. scan after sorting —
+    recovered with one hash aggregate instead of a global sort.
+
+    Where :func:`exact_substring_spans` (w-token sliding windows) needs
+    ``w`` whole tokens to repeat — a 60-char duplicate made of five long
+    tokens escapes ``w=8`` — the char-depth key catches every
+    ``>= depth``-char repeat regardless of tokenization, which is the
+    paper's actual contract. On the adversarial misaligned-offset
+    scorecard fixture the staggered half-band reads recall 0.84; this
+    detector reads 1.0 (pinned in test_operators).
+
+    Output: one row per maximal merged duplicate region,
+    ``(id, span_start, span_end, n_suffixes)`` with CHARACTER offsets
+    ``[span_start, span_end)`` into the normalized (single-space-joined)
+    token text. Keep-first: the corpus-wide min ``(id, pos)`` occurrence
+    of each key group is the retained copy and is never flagged. Every
+    char in a reported span is proven duplicated (soundness exact: it
+    lies inside a ``depth``-char window whose text occurs at least twice
+    corpus-wide); a maximal region's tail is covered through the last
+    token boundary with ``depth`` shared chars remaining plus the
+    ``depth`` chars proven from it, so the uncovered remainder of a true
+    maximal match is always shorter than one token — boundary exactness
+    at the token granularity Lee et al.'s own BPE-sequence suffix array
+    operates at.
+
+    Scale shape (no suffix array, no global sort, no all-pairs):
+
+    * suffix keys are built in the ARRAY world from a ``<= depth``-token
+      slice per position (O(len·depth) chars scanned per doc, map-only),
+      then reduced to md5 immediately — the shuffle carries
+      ``(id, pos, off, 16-byte hash)``, never suffix text;
+    * token-start char offsets come from one narrow per-doc running-sum
+      window over ``(id, pos, token_len)`` — the lone extra exchange vs
+      the w-token detector, same O(total tokens) row volume the key
+      aggregate shuffles anyway;
+    * the keeper is a count + min(struct) aggregate with map-side
+      partial aggregation (a boilerplate suffix at 10% document
+      frequency never concentrates an occurrence list in one task), and
+      singleton keys die in the same aggregate, so the join back touches
+      only genuinely repeated suffixes;
+    * island merge runs over the duplicate-bounded flagged set only.
+    """
+    from pyspark.sql.window import Window
+
+    from ..utils import fan_out
+
+    if depth < 2:
+        raise ValueError(f"depth must be >= 2, got {depth}")
+    toks = tokens(F.col(content_col))
+    # docs whose whole normalized text is shorter than depth can never
+    # hold a flagged suffix: prune them map-side before any exchange
+    base = fan_out(
+        df.select(F.col(id_col), toks.alias("__toks")).filter(
+            (F.size("__toks") > 0)
+            & (F.length(F.array_join(F.col("__toks"), " ")) >= depth)
+        ),
+        id_col,
+        force=True,
+    )
+    t = F.col("__toks")
+    n = F.size(t)
+    per_pos = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda p: F.struct(
+            p.cast("int").alias("pos"),
+            F.length(F.get(t, p)).alias("tl"),
+            F.substring(
+                F.array_join(F.slice(t, p + 1, depth), " "), 1, depth
+            ).alias("k"),
+        ),
+    )
+    ex = base.select(F.col(id_col), F.explode(per_pos).alias("__p")).select(
+        F.col(id_col),
+        F.col("__p.pos").alias("pos"),
+        F.col("__p.tl").alias("tl"),
+        F.col("__p.k").alias("k"),
+    )
+    ordered = Window.partitionBy(id_col).orderBy("pos")
+    off = F.coalesce(
+        F.sum(F.col("tl") + 1).over(
+            ordered.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("int")
+    occurrences = (
+        ex.withColumn("off", off)
+        # a key shorter than depth means fewer than depth chars remain at
+        # this boundary — no >= depth match can start here
+        .filter(F.length("k") >= depth)
+        .select(id_col, "pos", "off", F.md5("k").alias("wh"))
+    )
+    repeated = (
+        occurrences.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k"),
+        )
+        .filter(F.col("__cnt") >= 2)
+        .select("wh", "__k")
+    )
+    dup = (
+        occurrences.join(repeated, "wh")
+        .filter(
+            ~(
+                (F.col("__k")[id_col] == F.col(id_col))
+                & (F.col("__k")["pos"] == F.col("pos"))
+            )
+        )
+        .select(id_col, "off")
+    )
+    by_off = Window.partitionBy(id_col).orderBy("off")
+    prev_end = F.max(F.col("off") + depth).over(
+        by_off.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("off") > prev_end), 1).otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(by_off))
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("off").cast("int").alias("span_start"),
+            (F.max("off") + depth).cast("int").alias("span_end"),
+            F.count(F.lit(1)).alias("n_suffixes"),
+        )
+        .drop("__island")
+    )
+
+
 # -- SemDeDup (cluster-then-dedup semantic dedup) ----------------------------
 
 

@@ -96,7 +96,7 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 297
+N_QUERIES = 298
 
 
 def test_window_layout(entry_mod):

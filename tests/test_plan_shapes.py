@@ -531,6 +531,16 @@ class TestSketchPlanShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_exact_suffix_spans_no_cartesian_no_suffix_text(self, spark):
+        """round 14: the exact 50-char suffix-bucket detector joins back
+        on the md5 key only (equi-join, never all-pairs), and the
+        exchange after key hashing must not carry the suffix text column
+        — the shuffle is (id, pos, off, hash)."""
+        df = E.queries()["exact_substring_spans_exact"](spark, SF)
+        plan = _executed(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestLoghistCompactionPlanShapes:
     def test_loghist_counts_single_aggregate_exchange(self, spark):

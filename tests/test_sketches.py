@@ -258,6 +258,121 @@ def test_spans_char_floor_length_invariant(spark):
     assert {(r.doc_id, r.span_start, r.span_end) for r in floored} == expect
 
 
+# -- exact suffix-bucket spans (round 14, VERDICT r13 Next #4) ----------------
+
+
+def test_suffix_exact_keeper_and_char_offsets(spark):
+    from pgferry_spark.operators.dedup import exact_substring_spans_exact
+
+    shared = " ".join(f"tok{i:04d}" for i in range(8))  # 63 chars
+    # tails diverge at their FIRST char after the separator, so the
+    # maximal shared substring is exactly shared + " " = 64 chars
+    docs = _docs(spark, [(1, shared + " AAAA1"),
+                         (2, "pre00 " + shared + " BBBB2")])
+    out = exact_substring_spans_exact(docs, "text", "doc_id", depth=50)
+    rows = [(r.doc_id, r.span_start, r.span_end) for r in out.collect()]
+    # doc 1 holds every keeper suffix; doc 2's copy starts at char 6
+    # ("pre00 " is 6 chars). Flagged suffixes at offsets 6 and 14
+    # (tok0000 & tok0001 boundaries keep >= 50 shared chars; tok0002
+    # keeps 47 + 1 = 48), so the span covers [6, 64) — within one token
+    # of the true match end at 70.
+    assert rows == [(2, 6, 64)]
+
+
+def test_suffix_exact_long_token_dup_vs_window_contract(spark):
+    """The headline gap between the w-token window and the 50-char
+    suffix bucket, both directions: a 4-token 71-char duplicate is
+    invisible to w=8 (fewer than 8 tokens) but MUST be flagged at the
+    paper's char threshold; an 8-token 15-char repeat is flagged by the
+    window but must NOT be at the char threshold."""
+    from pgferry_spark.operators.dedup import (
+        exact_substring_spans,
+        exact_substring_spans_exact,
+    )
+
+    longdup = ("Lorem-ipsum-dolor sit-amet-consectetur "
+               "adipiscing-elitum sed-do-eiusmodxyzab")  # 4 tokens, 77 chars
+    short8 = "a b c d e f g h"  # 8 tokens, 15 chars
+    docs = _docs(spark, [
+        (1, "aaa " + longdup + " bbb"),
+        (2, "ccc ddd " + longdup + " eee"),
+        (3, "p q " + short8 + " r s t u v w x y z aa bb cc dd ee ff gg"),
+        (4, short8 + " zz yy xx wwv uuu ttt sss rrr qqq ppp ooo nnn mmm"),
+    ])
+    window_ids = {
+        r.doc_id
+        for r in exact_substring_spans(docs, "text", "doc_id", w=8).collect()
+    }
+    exact_ids = {
+        r.doc_id
+        for r in exact_substring_spans_exact(
+            docs, "text", "doc_id", depth=50
+        ).collect()
+    }
+    assert 2 in exact_ids and 1 not in exact_ids  # keep-first on doc 1
+    assert not window_ids & {1, 2}  # 4 tokens < w: window blind
+    assert 4 in window_ids          # 8 tokens repeat: window flags it
+    assert not exact_ids & {3, 4}   # 15 chars < 50: below paper threshold
+
+
+def test_suffix_exact_soundness_every_window_duplicated(spark):
+    """Soundness: the 50-char window at every flagged start offset
+    occurs at least twice corpus-wide in the normalized texts (spans
+    are unions of PROVEN duplicate windows — no false positives)."""
+    import random
+
+    from pgferry_spark.operators.dedup import exact_substring_spans_exact
+
+    rng = random.Random(41)
+    vocab = [f"word{i:03d}" for i in range(40)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(12))  # ~95 chars
+    rows = []
+    for d in range(10):
+        mid = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 8)))
+        rows.append((d, f"{boiler} {mid} {boiler}" if d % 2 else
+                     " ".join(rng.choice(vocab) for _ in range(20))))
+    docs = _docs(spark, rows)
+    out = exact_substring_spans_exact(docs, "text", "doc_id", depth=50)
+    spans = out.collect()
+    assert spans, "fixture must produce spans"
+    joined = {d: " ".join(t.split()) for d, t in rows}
+    for r in spans:
+        win = joined[r.doc_id][r.span_start:r.span_start + 50]
+        assert len(win) == 50
+        total = sum(
+            txt.count(win) for txt in joined.values()
+        )
+        assert total >= 2, (r.doc_id, r.span_start, win)
+        # every reported char is inside the doc
+        assert 0 <= r.span_start < r.span_end <= len(joined[r.doc_id])
+
+
+def test_suffix_exact_islands_split_and_short_docs_pruned(spark):
+    from pgferry_spark.operators.dedup import exact_substring_spans_exact
+
+    rep = " ".join(f"dup{i:05d}" for i in range(7))   # 62 chars
+    gap = " ".join(f"g{i}x{i}" for i in range(12))     # unique, > depth
+    docs = _docs(spark, [
+        (1, rep + " " + gap + " " + rep),
+        (2, rep),
+        (3, "short doc"),                              # < 50 chars: pruned
+        (4, ""),                                       # empty: pruned
+    ])
+    out = exact_substring_spans_exact(docs, "text", "doc_id", depth=50)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # doc 1 pos-0 copy is the keeper; its second copy and doc 2's copy
+    # report; the gap forbids island merge across the two rep blocks
+    assert set(by_doc) == {1, 2}
+    # rep boundaries with >= 50 shared chars remaining: offsets 0 and 9
+    # (token "dup00000" is 8 chars); span = [0, 9 + 50)
+    assert len(by_doc[1]) == 1 and by_doc[2] == [(0, 59)]
+    # doc 1's flagged copy starts after "rep gap ": 62 + 1 + len(gap) + 1
+    gstart = 62 + 1 + len(gap) + 1
+    assert by_doc[1][0][0] == gstart
+
+
 # -- Log-histogram quantile sketch -------------------------------------------
 
 
