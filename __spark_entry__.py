@@ -777,31 +777,16 @@ def _exact_dedup(spark, sf):
     return dedup.exact_dup_groups(d, "text", "doc_id")
 
 
-def _minhash_buckets(spark, sf):
-    """Production MinHash-LSH buckets: xxhash64 leaf hashes (JVM intrinsic;
-    no SQL oracle — the md5 twin below is the oracle-checked variant of the
-    identical plan)."""
-    d = _t(spark, sf, "documents")
-    return dedup.lsh_bucket_table(
-        d, "text", "doc_id", num_hashes=12, bands=4, shingle=3, hash_fn="xxhash64"
-    )
-
-
-def _lsh_pairs(spark, sf):
-    """Production LSH candidate pairs (xxhash64; rows-only check — md5 twin
-    carries the oracle)."""
-    d = _t(spark, sf, "documents")
-    return dedup.lsh_candidate_pairs(
-        d, "text", "doc_id", num_hashes=12, bands=4, shingle=3, hash_fn="xxhash64"
-    )
-
-
 def _lsh_pairs_capped(spark, sf):
-    """Production POSTURE of _lsh_pairs: hot-bucket cap ON (max_bucket=3,
-    below the max observed bucket at the test SFs so the drop path
-    executes). Rows-only like its uncapped sibling — the md5 twin
+    """Production LSH candidate pairs: xxhash64 leaf hashes (the JVM
+    intrinsic fast path) with the hot-bucket cap ON (max_bucket=3, below
+    the max observed bucket at the test SFs so the drop path executes).
+    Rows-only check by design — xxhash64 has no SQL twin; the md5 twin
     `lsh_candidate_pairs_md5_capped` replays the identical drop/keep rule
-    at the oracle gate."""
+    at the oracle gate. (r14: the uncapped xxhash64 spellings
+    minhash_buckets/lsh_candidate_pairs were retired from the registry —
+    this entry keeps the intrinsic-hash production posture driver-visible;
+    the library fast path stays pinned by test_plan_shapes/test_dedup.)"""
     d = _t(spark, sf, "documents")
     return dedup.lsh_candidate_pairs(
         d, "text", "doc_id", num_hashes=12, bands=4, shingle=3,
@@ -7183,8 +7168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_kmeans_topk": _ivf_pq_kmeans_topk,
         "ann_recall_ivfpq_kmeans": _ann_recall_ivfpq_kmeans,
         "quality_classifier_auc": _quality_classifier_auc,
-        "minhash_buckets": _minhash_buckets,
-        "lsh_candidate_pairs": _lsh_pairs,
         "simhash_near_pairs": _simhash_pairs,
         "ivf_kmeans_assign": _ivf_kmeans,
     }

@@ -48,7 +48,9 @@ HEADLINE = [
     "transform_uuid",
     "text_stats",
     "exact_dedup_groups",
-    "minhash_buckets",
+    # r14: minhash_buckets (xxhash64 spelling) retired from the registry;
+    # the oracle-green md5 twin measures the identical LSH bucket plan
+    "minhash_buckets_md5",
     "simhash_near_pairs",
     "embedding_near_dup",
     "cosine_topk",

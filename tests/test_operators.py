@@ -102,6 +102,42 @@ class TestDedup:
         assert (0, 1) in pairs and (0, 4) in pairs
         assert all(a < b for a, b in pairs)
 
+    def test_lsh_hash_family_agreement(self, spark):
+        """r14 retirement pin (VERDICT r13 Next #3): the xxhash64 fast
+        path is no longer a registry entry, so its agreement with the
+        oracle-green md5 family is pinned here instead. Identical
+        shingle sets minhash identically under ANY hash family, so both
+        families MUST flag the same exact-duplicate pairs and give both
+        copies identical per-doc bucket sets; and the bucket-table SHAPE
+        (bands × docs with >= shingle tokens) is family-invariant."""
+        d = docs_df(spark)
+        by_fam = {}
+        for fam in ("md5", "xxhash64"):
+            b = dedup.lsh_bucket_table(
+                d, "text", "doc_id", num_hashes=8, bands=4, hash_fn=fam
+            )
+            by_doc = {}
+            for r in b.collect():
+                by_doc.setdefault(r["doc_id"], set()).add(
+                    (r["band_id"], r["band_hash"])
+                )
+            pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(
+                d, "text", "doc_id", 8, 4, hash_fn=fam).collect()}
+            by_fam[fam] = (by_doc, pairs)
+        md5_docs, md5_pairs = by_fam["md5"]
+        xx_docs, xx_pairs = by_fam["xxhash64"]
+        # same docs bucketed, 4 bands each, under both families
+        assert set(md5_docs) == set(xx_docs)
+        assert all(len(v) == 4 for v in md5_docs.values())
+        assert all(len(v) == 4 for v in xx_docs.values())
+        # exact duplicates (docs 0/1/4 share token sets) collide in every
+        # band under both families -> both flag the full dup clique
+        for pairs in (md5_pairs, xx_pairs):
+            assert {(0, 1), (0, 4), (1, 4)} <= pairs
+        for docs in (md5_docs, xx_docs):
+            assert docs[0] == docs[1] == docs[4]
+            assert docs[0] != docs[3]
+
     def test_simhash_identical_zero_distance(self, spark):
         d = docs_df(spark)
         sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(d, "text", "doc_id").collect()}

@@ -62,8 +62,15 @@ class TestPlanShapes:
     def test_minhash_fast_path_has_no_md5(self, spark):
         """The production MinHash variant hashes with the xxhash64 intrinsic
         end-to-end (shingle base hashes AND band hashes) — md5+conv must not
-        appear anywhere in its plan."""
-        plan = _executed(E.queries()["minhash_buckets"](spark, SF))
+        appear anywhere in its plan. (r14: the xxhash64 registry spelling
+        was retired; the library fast path itself stays plan-pinned here.)"""
+        from pgferry_spark.operators.dedup import lsh_bucket_table
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _executed(lsh_bucket_table(
+            d, "text", "doc_id", num_hashes=12, bands=4, shingle=3,
+            hash_fn="xxhash64",
+        ))
         assert "md5" not in plan
         assert "xxhash64" in plan
 

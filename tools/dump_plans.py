@@ -51,14 +51,14 @@ ANNOTATED = {
         "keeper is a window-min over the fingerprint — one hash-partition "
         "shuffle, no self-join, scoring computed exactly once.",
     ),
-    "minhash_buckets": (
-        "explode→groupBy with map-side MIN combine, xxhash64 leaf hashes",
+    "minhash_buckets_md5": (
+        "explode→groupBy with map-side MIN combine",
         "Docs hash-repartition BEFORE the shingle explode, so the shuffle "
         "moves 1× corpus rows, not 50× exploded shingles; the 12 MIN "
-        "aggregates combine map-side; two xxhash64 intrinsics per shingle "
-        "feed all 12 hash functions (Kirsch–Mitzenmacher double hashing) — "
-        "the md5 oracle twin (minhash_buckets_md5) runs the identical plan "
-        "with portable leaf hashes.",
+        "aggregates combine map-side; two leaf hashes per shingle feed all "
+        "12 hash functions (Kirsch–Mitzenmacher double hashing). The "
+        "hash_fn='xxhash64' library fast path runs the identical plan with "
+        "JVM-intrinsic leaf hashes (plan-pinned in test_plan_shapes).",
     ),
     "ivf_topk": (
         "one filtered map-only scan + TakeOrderedAndProject",
