@@ -14,6 +14,8 @@ from pyspark.sql import Column as SparkColumn
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import DataType, StringType
+
 from ..catalog.model import Column, Table
 from ..catalog.parsers import parse_type_length
 from ..types.config import TypeMappingConfig
@@ -56,11 +58,21 @@ def mysql_transform_expr(col: Column, cfg: TypeMappingConfig) -> SparkColumn:
     return src
 
 
-def mssql_transform_expr(col: Column, cfg: TypeMappingConfig) -> SparkColumn:
+def mssql_transform_expr(
+    col: Column, cfg: TypeMappingConfig, input_type: DataType | None = None
+) -> SparkColumn:
     """F12/F13 dispatch for MSSQL (reference source_mssql.go:856-914)."""
     base = col.data_type.lower()
     src = F.col(col.pg_name)
     if base == "uniqueidentifier":
+        # the reference switches on the RUNTIME value type
+        # (source_mssql.go:857-877: []byte -> mixed-endian fix, string ->
+        # lowercase): the Go driver hands raw 16-byte wire values where
+        # mssql-jdbc surfaces the canonical string. Mirror that switch on
+        # the Spark input type so either driver shape is safe — applying
+        # the endian fix to a string would hex its CHARACTERS.
+        if input_type is not None and isinstance(input_type, StringType):
+            return X.validate_uuid_string(src)
         return X.mssql_uniqueidentifier_to_uuid(src)
     if base in ("money", "smallmoney"):
         return X.mssql_money_to_decimal(src)
@@ -69,11 +81,27 @@ def mssql_transform_expr(col: Column, cfg: TypeMappingConfig) -> SparkColumn:
     return src
 
 
-def transform_exprs(table: Table, source_kind: str, cfg: TypeMappingConfig) -> list[SparkColumn]:
-    """Ordered select-expression list for the whole table."""
+def transform_exprs(
+    table: Table,
+    source_kind: str,
+    cfg: TypeMappingConfig,
+    input_types: dict[str, DataType] | None = None,
+) -> list[SparkColumn]:
+    """Ordered select-expression list for the whole table.
+
+    ``input_types`` (pg_name -> actual Spark input type, normally
+    ``{f.name: f.dataType for f in df.schema.fields}``) lets the MSSQL
+    dispatch mirror the reference's runtime type switch; omitted, the
+    wire-byte shapes are assumed (the Go-driver layout the unit fixtures
+    feed)."""
+    if source_kind == "mssql":
+        types = input_types or {}
+        return [
+            mssql_transform_expr(c, cfg, types.get(c.pg_name)).alias(c.pg_name)
+            for c in table.columns
+        ]
     pick = {
         "mysql": mysql_transform_expr,
-        "mssql": mssql_transform_expr,
         "sqlite": lambda c, _cfg: F.col(c.pg_name),  # F14: identity passthrough
         "parquet": lambda c, _cfg: F.col(c.pg_name),  # typed at the source
     }[source_kind]
@@ -83,4 +111,5 @@ def transform_exprs(table: Table, source_kind: str, cfg: TypeMappingConfig) -> l
 def apply_transforms(
     df: DataFrame, table: Table, source_kind: str, cfg: TypeMappingConfig
 ) -> DataFrame:
-    return df.select(*transform_exprs(table, source_kind, cfg))
+    input_types = {f.name: f.dataType for f in df.schema.fields}
+    return df.select(*transform_exprs(table, source_kind, cfg, input_types))

@@ -26,6 +26,7 @@ from pgferry_spark.config import MigrationConfig
 from pgferry_spark.pipeline import MigrationPipeline
 from pgferry_spark.sources import mssql_introspect as ms
 from pgferry_spark.types import map_mssql_default, map_mssql_type
+from pgferry_spark.types.config import TypeMappingConfig
 
 ACCOUNT_COLUMNS = [
     {"TABLE_NAME": "Account", "COLUMN_NAME": "AccountID", "BASE_TYPE": "int",
@@ -129,6 +130,27 @@ def test_mssql_values_end_to_end(spark, mssql_pipe):
     assert out[2]["display_name"] == "FabrikamLtd"
     # bit passes through as boolean
     assert out[1]["is_active"] is True and out[2]["is_active"] is False
+
+
+def test_mssql_uniqueidentifier_string_arm(spark):
+    """F12's runtime type switch (reference source_mssql.go:857-877): the
+    Go driver hands 16 wire bytes (arm above), but mssql-jdbc surfaces the
+    CANONICAL STRING — the transform must lowercase/validate it, never hex
+    its characters. r14, paired with the live smoke harness."""
+    from pgferry_spark.functions.apply import apply_transforms
+
+    tbl = ms.parse_catalog_rows(
+        [{"TABLE_NAME": "Account"}],
+        [r for r in ACCOUNT_COLUMNS if r["COLUMN_NAME"] == "RowGuid"],
+        [], [],
+    ).tables[0]
+    df = spark.createDataFrame(
+        [("00112233-4455-6677-8899-AABBCCDDEEFF",), (None,)],
+        StructType([StructField("row_guid", StringType())]),
+    )
+    out = apply_transforms(df, tbl, "mssql", TypeMappingConfig())
+    vals = [r["row_guid"] for r in out.collect()]
+    assert vals == ["00112233-4455-6677-8899-aabbccddeeff", None]
 
 
 def test_mssql_ddl_and_report(mssql_pipe):
