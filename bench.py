@@ -412,16 +412,49 @@ def main() -> int:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
+    # ambient telemetry (VERDICT r13 Next #8): per-entry loadavg +
+    # whole-system /proc/stat deltas, so a driver-to-driver mover can be
+    # adjudicated ambient-vs-code from the ledger instead of a manual
+    # A/B. cpu_busy_frac ~ our own 32 threads when the box is quiet; a
+    # mover whose rounds show equal busy_frac but inflated wall is
+    # contention, not code.
+    def _proc_stat():
+        try:
+            with open("/proc/stat") as fh:
+                vals = [int(x) for x in fh.readline().split()[1:]]
+            return sum(vals), vals[3] + (vals[4] if len(vals) > 4 else 0)
+        except Exception:
+            return None, None
+
+    ambient: dict[str, dict] = {}
+
+    def _timed_entry(name, body):
+        la = os.getloadavg()[0]
+        tot0, idle0 = _proc_stat()
+        rs = body()
+        tot1, idle1 = _proc_stat()
+        busy = None
+        if tot0 is not None and tot1 is not None and tot1 > tot0:
+            busy = round(1.0 - (idle1 - idle0) / (tot1 - tot0), 4)
+        ambient[name] = {"loadavg1_pre": round(la, 2), "cpu_busy_frac": busy}
+        return rs
+
     for name in HEADLINE:
         fn = qs[name]
-        rs = []
-        for _ in range(repeats):
-            # cold-compute basis: operators that persist intermediates
-            # (bucket tables, tf tables) must not hand run 2+ a warm cache
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            rs.append(round(time.perf_counter() - t0, 3))
+
+        def _body(fn=fn):
+            rs = []
+            for _ in range(repeats):
+                # cold-compute basis: operators that persist intermediates
+                # (bucket tables, tf tables) must not hand run 2+ a warm
+                # cache
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                rs.append(round(time.perf_counter() - t0, 3))
+            return rs
+
+        rs = _timed_entry(name, _body)
         runs[name] = rs
         timings[name] = round(_median(rs), 3)
 
@@ -432,10 +465,14 @@ def main() -> int:
     # the movement path — BASELINE.md's headline metric: full 8-table
     # parquet -> spool migration (introspect, DDL, chunked reads, write,
     # row-count validation, constraint replay transcript)
-    rs = []
-    for _ in range(repeats):
-        spark.catalog.clearCache()
-        rs.append(round(_migration(spark, sf_dir), 3))
+    def _mig_body():
+        rs = []
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            rs.append(round(_migration(spark, sf_dir), 3))
+        return rs
+
+    rs = _timed_entry("migration_8table", _mig_body)
     runs["migration_8table"] = rs
     timings["migration_8table"] = round(_median(rs), 3)
 
@@ -485,7 +522,7 @@ def main() -> int:
         json.dump(
             {"runs": runs, "medians": timings, "repeats": repeats, "sf": sf,
              "flagship25": FLAGSHIP25, "flagship25_total": flagship_total,
-             "capped_drop_stats": capped_drops},
+             "capped_drop_stats": capped_drops, "ambient": ambient},
             fh, indent=1,
         )
     sys.stdout.flush()
