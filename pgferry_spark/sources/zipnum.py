@@ -807,11 +807,45 @@ def publish_zipnum_sharded(
     return cluster
 
 
+class _BlockLRU:
+    """Per-task bounded block cache for :func:`zipnum_bulk_lookup` —
+    (filename, offset) -> decoded lines, strict LRU, capacity-bounded by
+    construction so an UNSORTED key partition fanning across many blocks
+    can never accumulate every block it ever touched (r12 ADVICE;
+    worst-case-routing proof pinned in test_zipnum +
+    tools/zipnum_slope.py).  ``peak`` records the high-water entry count
+    for the bounded-memory assertion."""
+
+    def __init__(self, maxsize: int):
+        from collections import OrderedDict
+
+        self.maxsize = int(maxsize)
+        self.peak = 0
+        self._d: "OrderedDict[tuple, list[str]]" = OrderedDict()
+
+    def get(self, key: tuple):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        return None
+
+    def put(self, key: tuple, lines: list) -> None:
+        self._d[key] = lines
+        if len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+        if len(self._d) > self.peak:
+            self.peak = len(self._d)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
 def zipnum_bulk_lookup(
     keys: DataFrame,
     cluster: list[dict],
     shard_dir: str,
     key_col: str = "urlkey",
+    cache_blocks: int = 128,
 ) -> DataFrame:
     """The BATCH form of the lookup — resolve a whole DataFrame of
     urlkeys against the on-disk zipnum artifacts (the CDX service as a
@@ -851,32 +885,28 @@ def zipnum_bulk_lookup(
     firsts = [c["first_key"] for c in rows]
 
     def resolve(batches: "Iterator[pd.DataFrame]"):
-        from collections import OrderedDict
-
-        # per-task LRU cache: block (filename, offset) -> decoded
-        # lines.  BOUNDED (r12 ADVICE): an unsorted key partition
+        # per-task LRU cache (r12 ADVICE): an unsorted key partition
         # fanning across many blocks must not accumulate every block
         # it ever touched — key-range repartitioning stays an optional
         # locality knob, not a memory-safety requirement.  128 blocks
         # × ~3000 official-scale lines ≈ tens of MB worst case.
-        block_lines: "OrderedDict[tuple, list[str]]" = OrderedDict()
-        _CACHE_BLOCKS = 128
+        block_lines = _BlockLRU(cache_blocks)
 
         def lines_of(c: dict) -> list[str]:
             k = (c["filename"], c["offset"])
-            if k in block_lines:
-                block_lines.move_to_end(k)
-                return block_lines[k]
+            cached = block_lines.get(k)
+            if cached is not None:
+                return cached
             with open(
                 os.path.join(shard_dir, c["filename"]), "rb"
             ) as f:
                 f.seek(c["offset"])
                 member = f.read(c["length"])
-            rec = warc_member_read(member, 0, len(member))
-            block_lines[k] = rec.decode("utf-8").splitlines()
-            if len(block_lines) > _CACHE_BLOCKS:
-                block_lines.popitem(last=False)
-            return block_lines[k]
+            lines = warc_member_read(member, 0, len(member)).decode(
+                "utf-8"
+            ).splitlines()
+            block_lines.put(k, lines)
+            return lines
 
         for pdf in batches:
             out: dict[str, list] = {"urlkey": [], "cdxj_line": []}
