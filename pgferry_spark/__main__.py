@@ -145,8 +145,17 @@ def cmd_migrate(args) -> int:
 
 
 def cmd_wizard(args) -> int:
-    from .wizard import render_toml, run_wizard
+    from .wizard import maybe_confirm_overwrite, render_toml, run_wizard
 
+    if args.output:
+        # refuse to clobber silently (reference wizard.go:452-467) —
+        # checked BEFORE the interview so a long answer session can't
+        # end in a refusal
+        try:
+            maybe_confirm_overwrite(args.output)
+        except FileExistsError as exc:
+            print(exc)
+            return 1
     cfg = run_wizard()
     toml = render_toml(cfg)
     if args.output:
