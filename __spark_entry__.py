@@ -6854,75 +6854,31 @@ def _url_dedup_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
-    entries of this dict.  Round-13 rotation (VERDICT r12 Next #7): the
-    window head is this round's 8 births (WHATWG charset sniffing +
-    the sniff-disagreement audit, the end-to-end index-routed
-    retrieval, the wayback closest=<ts> election, CGM change-rate
-    estimation, sitemap <lastmod> pairing + the changed-since
-    decision, exact fetch-budget apportionment — each driver-checked
-    at birth), then the 42 stalest oracle-backed entries in
-    tools/plan_rotation.py order (the r7-green multimodal/curation/
-    winnowing block, then the leading r8-green block).  Round-13 code
-    changes to already-green entries (SURT official massage rules across
-    the nine surt-consuming entries, the digest-spelling verification in
-    http_response_index, the status-gate probe persist) were all
-    re-gated output-green at sf0.001 AND sf0.01 before this rotation.
-    The 10 rows-only entries (no SQL oracle — their md5/exact twins
-    carry the hash signal) are PERMANENTLY pinned after the window: a
-    slot spent on a no_oracle row can never produce a green driver row.
+    entries of this dict.  Round-14 rotation (VERDICT r13 Next #5): the
+    window head is this round's 2 births (the interpolated Kneser-Ney
+    trigram LM perplexity and the exact 50-char suffix-bucket
+    ExactSubstr detector), then — VERDICT r13 Next #3, the >6-rounds-
+    stale rotation invariant now EXTENDED to rows-only entries — the 8
+    standing rows-only entries whose last driver record dates to
+    r05/r07 (a window slot on one records a fresh ``no_oracle`` +
+    spark_rows row, the maximum-achievable driver signal for a
+    zlib/xxhash64/MLlib-float entry; each keeps its oracle-green
+    md5/deterministic twin), then the 40 stalest oracle-backed entries
+    in tools/plan_rotation.py order (the r8-green embedding/ANN/
+    curation block, then the leading r9-green robots block).
     tests/test_entry_ordering.py pins this window arithmetic;
     tools/plan_rotation.py proposes each round's order."""
     return {
-        "http_charset_sniff": _http_charset_sniff,
-        "index_routed_retrieval": _index_routed_retrieval,
-        "charset_sniff_disagreements": _charset_sniff_disagreements,
-        "cdx_closest_capture": _cdx_closest_capture,
-        "recrawl_change_rate": _recrawl_change_rate,
-        "sitemap_lastmod_entries": _sitemap_lastmod_entries,
-        "sitemap_changed_since": _sitemap_changed_since,
-        "crawl_budget_allocate": _crawl_budget_allocate,
-        "video_frame_index": _video_frame_index,
-        "audio_segment_index": _audio_segment_index,
-        "hybrid_rrf_topk": _hybrid_rrf_topk,
-        "dedup_keep_best": _dedup_keep_best,
-        "mmr_diversify": _mmr_diversify,
-        "pii_luhn_cards": _pii_luhn_cards,
-        "pii_card_gate": _pii_card_gate,
-        "mmr_diversify_ivf": _mmr_diversify_ivf,
-        "curate_corpus_best": _curate_corpus_best,
-        "kmeans_exact_assign": _kmeans_exact_assign,
-        "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
-        "compressibility_entropy": _compressibility_entropy,
-        "dedup_method_agreement": _dedup_method_agreement,
-        "packing_efficiency": _packing_efficiency,
-        "lang_id": _lang_id,
-        "bpe_token_count": _bpe_token_count,
-        "winnow_summary": _winnow_summary,
-        "winnow_shared_pairs": _winnow_shared_pairs,
-        "pii_scrub": _pii_scrub,
-        "dataset_split": _dataset_split,
-        "quota_sample": _quota_sample,
-        "pack_sequences": _pack_sequences,
-        "range_join_incidents": _range_join_incidents,
-        "time_rollup": _time_rollup,
-        "cdc_merge": _cdc_merge,
-        "scd2_history": _scd2_history,
-        "dedup_clusters": _dedup_clusters,
-        "inverted_index": _inverted_index,
-        "keyword_search": _keyword_search,
-        "fingerprint_dedup": _fingerprint_dedup,
-        "minhash_buckets_md5": _minhash_buckets_md5,
-        "lsh_candidate_pairs_md5": _lsh_pairs_md5,
-        "jaccard_adjacent": _jaccard_adjacent,
-        "script_profile": _script_profile,
-        "url_keyword_filter": _url_keyword_filter,
-        "extract_links": _extract_links,
-        "link_graph_stats": _link_graph_stats,
-        "domain_token_budget": _domain_token_budget,
-        "crawl_snapshot_merge": _crawl_snapshot_merge,
-        "crawl_delta_counts": _crawl_delta_counts,
-        "simhash32": _simhash32,
-        "simhash_near_pairs_md5": _simhash_pairs_md5,
+        "ngram_perplexity": _ngram_perplexity,
+        "exact_substring_spans_exact": _exact_substring_spans_exact,
+        "lsh_candidate_pairs_capped": _lsh_pairs_capped,
+        "quality_classifier": _quality_classifier,
+        "compression_ratio": _compression_ratio,
+        "ivf_pq_kmeans_topk": _ivf_pq_kmeans_topk,
+        "ann_recall_ivfpq_kmeans": _ann_recall_ivfpq_kmeans,
+        "quality_classifier_auc": _quality_classifier_auc,
+        "simhash_near_pairs": _simhash_pairs,
+        "ivf_kmeans_assign": _ivf_kmeans,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         "embedding_dedup": _embedding_dedup,
@@ -7030,7 +6986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisit_resolve": _warc_revisit_resolve,
         "warc_revisit_stats": _warc_revisit_stats,
         "ccnet_buckets": _ccnet_buckets,
-        "ngram_perplexity": _ngram_perplexity,
         "line_repetition": _line_repetition,
         "debounce_events": _debounce,
         "ri_audit": _ri_audit,
@@ -7158,18 +7113,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
         "exact_substring_spans_chars": _exact_substring_spans_chars,
-        # round 14: exact 50-char suffix-bucket detector (VERDICT r13 #4)
-        "exact_substring_spans_exact": _exact_substring_spans_exact,
         "image_meta_jpeg": _image_meta_jpeg,
         "t_closeness": _t_closeness,
-        "lsh_candidate_pairs_capped": _lsh_pairs_capped,
-        "quality_classifier": _quality_classifier,
-        "compression_ratio": _compression_ratio,
-        "ivf_pq_kmeans_topk": _ivf_pq_kmeans_topk,
-        "ann_recall_ivfpq_kmeans": _ann_recall_ivfpq_kmeans,
-        "quality_classifier_auc": _quality_classifier_auc,
-        "simhash_near_pairs": _simhash_pairs,
-        "ivf_kmeans_assign": _ivf_kmeans,
+        "http_charset_sniff": _http_charset_sniff,
+        "index_routed_retrieval": _index_routed_retrieval,
+        "charset_sniff_disagreements": _charset_sniff_disagreements,
+        "cdx_closest_capture": _cdx_closest_capture,
+        "recrawl_change_rate": _recrawl_change_rate,
+        "sitemap_lastmod_entries": _sitemap_lastmod_entries,
+        "sitemap_changed_since": _sitemap_changed_since,
+        "crawl_budget_allocate": _crawl_budget_allocate,
+        "video_frame_index": _video_frame_index,
+        "audio_segment_index": _audio_segment_index,
+        "hybrid_rrf_topk": _hybrid_rrf_topk,
+        "dedup_keep_best": _dedup_keep_best,
+        "mmr_diversify": _mmr_diversify,
+        "pii_luhn_cards": _pii_luhn_cards,
+        "pii_card_gate": _pii_card_gate,
+        "mmr_diversify_ivf": _mmr_diversify_ivf,
+        "curate_corpus_best": _curate_corpus_best,
+        "kmeans_exact_assign": _kmeans_exact_assign,
+        "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
+        "compressibility_entropy": _compressibility_entropy,
+        "dedup_method_agreement": _dedup_method_agreement,
+        "packing_efficiency": _packing_efficiency,
+        "lang_id": _lang_id,
+        "bpe_token_count": _bpe_token_count,
+        "winnow_summary": _winnow_summary,
+        "winnow_shared_pairs": _winnow_shared_pairs,
+        "pii_scrub": _pii_scrub,
+        "dataset_split": _dataset_split,
+        "quota_sample": _quota_sample,
+        "pack_sequences": _pack_sequences,
+        "range_join_incidents": _range_join_incidents,
+        "time_rollup": _time_rollup,
+        "cdc_merge": _cdc_merge,
+        "scd2_history": _scd2_history,
+        "dedup_clusters": _dedup_clusters,
+        "inverted_index": _inverted_index,
+        "keyword_search": _keyword_search,
+        "fingerprint_dedup": _fingerprint_dedup,
+        "minhash_buckets_md5": _minhash_buckets_md5,
+        "lsh_candidate_pairs_md5": _lsh_pairs_md5,
+        "jaccard_adjacent": _jaccard_adjacent,
+        "script_profile": _script_profile,
+        "url_keyword_filter": _url_keyword_filter,
+        "extract_links": _extract_links,
+        "link_graph_stats": _link_graph_stats,
+        "domain_token_budget": _domain_token_budget,
+        "crawl_snapshot_merge": _crawl_snapshot_merge,
+        "crawl_delta_counts": _crawl_delta_counts,
+        "simhash32": _simhash32,
+        "simhash_near_pairs_md5": _simhash_pairs_md5,
     }
 
 

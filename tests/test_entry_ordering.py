@@ -1,20 +1,21 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01..r12 each contain exactly 50
-keys equal to dict positions 1-50).  Round-13 rotation (VERDICT r12
-Next #7): the window head is this round's 3 births (WHATWG charset
-sniffing, the end-to-end index-routed retrieval, the sniff-disagreement
-audit — driver-checked at birth), then the 47 STALEST oracle-backed
-entries in tools/plan_rotation.py order — the r7-green multimodal/
-curation/winnowing block followed by the leading r8-green block.
-No oracle-backed entry goes >6 rounds without a driver-green record
-under this rotation.
-The 10 rows-only entries are PERMANENTLY excluded from the window — a
-slot spent on a ``no_oracle`` row can never produce a green driver row
-(round 7 burned 4 slots that way); their md5/exact twins carry the hash
-signal.  This test keeps the window arithmetic from silently regressing
-when entries are added or reordered.
+__spark_entry__.queries() (CORRECTNESS_r01..r13 each contain exactly 50
+keys equal to dict positions 1-50).  Round-14 rotation (VERDICT r13
+Next #5): the window head is this round's 2 births (KN trigram LM
+perplexity, exact 50-char ExactSubstr), then the 8 standing rows-only
+entries — VERDICT r13 Next #3 EXTENDED the >6-rounds-stale rotation
+invariant to rows-only entries, whose last driver record dated to
+r05/r07; a window slot on one re-records its ``no_oracle`` +
+spark_rows row, the maximum-achievable driver signal for a
+zlib/xxhash64/MLlib-float entry — then the 40 stalest oracle-backed
+entries in tools/plan_rotation.py order (the r8-green embedding/ANN/
+curation block, then the leading r9-green robots block).
+No entry, oracle-backed or rows-only, goes >6 rounds without a fresh
+driver record under this rotation.  This test keeps the window
+arithmetic from silently regressing when entries are added or
+reordered.
 """
 
 import importlib.util
@@ -33,55 +34,61 @@ def entry_mod():
     return mod
 
 
-# Window head: round-13 births, driver-checked at birth.
-NEW_R13 = [
-    "http_charset_sniff", "index_routed_retrieval",
-    "charset_sniff_disagreements", "cdx_closest_capture",
-    "recrawl_change_rate", "sitemap_lastmod_entries",
-    "sitemap_changed_since", "crawl_budget_allocate",
+# Window head: round-14 births, driver-checked at birth.
+NEW_R14 = [
+    "ngram_perplexity", "exact_substring_spans_exact",
 ]
 
-# Remaining window: the stalest oracle-backed entries, planner-stable
-# order (the r7-green multimodal/curation/winnowing block, then the
-# leading r8-green block).
+# Positions 3-10: the 8 standing rows-only entries, rotated through the
+# window this round to refresh their driver record (last contact
+# r05/r07; VERDICT r13 Next #3 extended the staleness invariant to
+# them).  Planner-stable order: the r5 block, then the r7 pair.
+ROWS_ONLY_WINDOW = [
+    "lsh_candidate_pairs_capped", "quality_classifier",
+    "compression_ratio", "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans",
+    "quality_classifier_auc", "simhash_near_pairs", "ivf_kmeans_assign",
+]
+
+# Positions 11-50: the stalest oracle-backed entries, planner-stable
+# order (the r8-green embedding/ANN/curation block, then the leading
+# r9-green robots block).
 ROTATED_STALEST = [
-    "video_frame_index", "audio_segment_index", "hybrid_rrf_topk",
-    "dedup_keep_best", "mmr_diversify", "pii_luhn_cards", "pii_card_gate",
-    "mmr_diversify_ivf", "curate_corpus_best", "kmeans_exact_assign",
-    "ivf_kmeans_exact_topk", "compressibility_entropy",
-    "dedup_method_agreement", "packing_efficiency", "lang_id",
-    "bpe_token_count", "winnow_summary", "winnow_shared_pairs",
-    "pii_scrub", "dataset_split", "quota_sample", "pack_sequences",
-    "range_join_incidents", "time_rollup", "cdc_merge", "scd2_history",
-    "dedup_clusters", "inverted_index", "keyword_search",
-    "fingerprint_dedup", "minhash_buckets_md5", "lsh_candidate_pairs_md5",
-    "jaccard_adjacent", "script_profile", "url_keyword_filter",
-    "extract_links", "link_graph_stats", "domain_token_budget",
-    "crawl_snapshot_merge", "crawl_delta_counts", "simhash32",
-    "simhash_near_pairs_md5",
+    "embedding_near_dup", "embedding_near_dup_lsh", "embedding_dedup",
+    "cosine_topk", "pairwise_cosine_topk", "ivf_assign", "ivf_topk",
+    "corpus_filter", "lsh_topk", "lsh_topk_multiprobe", "multimodal_meta",
+    "frame_sample", "bm25_topk", "repetition_stats",
+    "contamination_check", "length_outliers", "unigram_logprob",
+    "approx_distinct_users", "fill_time_gaps", "token_budget_select",
+    "quantize_embeddings", "stratified_split", "rate_anomalies",
+    "incremental_dedup", "vocab_topk", "winnow_shared_pairs_capped",
+    "chunked_scan", "mixture_sample", "shard_manifest", "semdedup",
+    "pq_encode", "dup_rate_by_source", "knn_graph", "user_funnel",
+    "q1_pricing_summary", "exact_dedup_groups", "gopher_quality_flags",
+    "blockword_flags", "robots_noindex_flags", "robots_txt_rules",
 ]
 
-# Positions 51+: next-stalest, first in line for the r14 rotation.
+# Positions 51+: next-stalest, first in line for the r15 rotation.
 NEXT_IN_LINE = [
-    "embedding_near_dup", "embedding_near_dup_lsh", "embedding_dedup",
-    "cosine_topk", "pairwise_cosine_topk", "ivf_assign", "ivf_topk", "corpus_filter", "lsh_topk",
-    "lsh_topk_multiprobe", "multimodal_meta", "frame_sample", "bm25_topk",
-    "repetition_stats", "contamination_check", "length_outliers",
-    "unigram_logprob", "approx_distinct_users", "fill_time_gaps",
-    "token_budget_select", "quantize_embeddings", "stratified_split",
-    "rate_anomalies", "incremental_dedup",
+    "robots_disallow_filter", "robots_crawl_delays", "crawl_frontier",
+    "frontier_schedule", "sitemap_locs", "warc_record_index",
+    "warc_payload_extract", "extract_anchors", "anchor_domain_stats",
+    "html_extract", "line_quality_filter", "c4_clean_documents",
+    "line_dedup", "web_curation_funnel", "funnel_report",
+    "chunk_documents", "temperature_sample", "retention_cohorts",
+    "transition_counts", "weighted_sample",
 ]
 
 
 # Rows-only by design: xxhash64 fast paths carry no SQL oracle (their md5
 # twins do), and KMeans/LBFGS floats are iteration-order dependent.
-# Since round 8: PERMANENTLY post-window. r14 (VERDICT r13 Next #3): the
-# superseded uncapped xxhash64 spellings minhash_buckets and
-# lsh_candidate_pairs are RETIRED from the registry — their md5 twins are
-# oracle-green and lsh_candidate_pairs_capped keeps the intrinsic-hash
-# production posture driver-visible; the xxhash64 library path stays
-# pytest-pinned (test_plan_shapes fast-path plan, test_dedup hash-family
-# agreement).
+# r14 (VERDICT r13 Next #3): the superseded uncapped xxhash64 spellings
+# minhash_buckets and lsh_candidate_pairs are RETIRED from the registry —
+# their md5 twins are oracle-green and lsh_candidate_pairs_capped keeps
+# the intrinsic-hash production posture driver-visible; the xxhash64
+# library path stays pytest-pinned (test_plan_shapes fast-path plan,
+# test_dedup hash-family agreement).  The 8 remaining entries rotate
+# through the driver window like any other entry (their slot records the
+# rows-only signal); this round they occupy positions 3-10.
 ROWS_ONLY = {
     "simhash_near_pairs",
     "ivf_kmeans_assign",
@@ -107,33 +114,31 @@ N_QUERIES = 296
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:8] == NEW_R13
-    assert names[8:50] == ROTATED_STALEST
-    assert names[50:74] == NEXT_IN_LINE
+    assert names[:2] == NEW_R14
+    assert names[2:10] == ROWS_ONLY_WINDOW
+    assert names[10:50] == ROTATED_STALEST
+    assert names[50:70] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 8 + 42 == 50: no slot wasted
+    # 2 + 8 + 40 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
-    assert first50 == set(NEW_R13) | set(ROTATED_STALEST)
+    assert first50 == set(NEW_R14) | set(ROWS_ONLY_WINDOW) | set(
+        ROTATED_STALEST
+    )
 
 
-def test_rows_only_permanently_post_window(entry_mod):
-    """Every window slot must be capable of a green driver row: no entry
-    without an oracle_sql twin may appear in positions 1-50 (VERDICT r7
-    Next #1 — done means zero no_oracle rows in the round CORRECTNESS)."""
+def test_rows_only_window_block_is_exactly_the_rows_only_set(entry_mod):
+    """This round's rows-only freshness pass (VERDICT r13 Next #3): ALL
+    8 standing rows-only entries — and nothing else without an oracle —
+    sit inside the window, so the driver re-records every one of their
+    rows-only signals in a single round and the staleness invariant
+    resets for the whole set at once."""
     first50 = list(entry_mod.queries().keys())[:50]
     oracles = set(entry_mod.oracle_sql())
-    assert all(n in oracles for n in first50)
-    assert not (set(first50) & ROWS_ONLY)
-
-
-def test_rows_only_pinned_last(entry_mod):
-    """The rows-only block sits at the very END of the dict so it can
-    never drift back into the window as entries are added."""
-    names = list(entry_mod.queries().keys())
-    tail = names[-len(ROWS_ONLY):]
-    assert set(tail) == ROWS_ONLY
+    no_oracle_in_window = [n for n in first50 if n not in oracles]
+    assert no_oracle_in_window == ROWS_ONLY_WINDOW
+    assert set(ROWS_ONLY_WINDOW) == ROWS_ONLY
 
 
 def test_no_entries_lost_in_reorder(entry_mod):

@@ -63,11 +63,14 @@ def main() -> int:
     names = list(entry.queries().keys())
     green = last_green_round()
     pos = {n: i for i, n in enumerate(names)}
-    # rows-only last (permanently post-window), then never-green first
-    # (staleness -1 < any round), then stalest, stable
-    ordered = sorted(
-        names, key=lambda n: (n in ROWS_ONLY, green.get(n, -1), pos[n])
-    )
+    # never-green first (staleness -1 < any round), then stalest, stable.
+    # Rows-only entries participate in the staleness pool since r14
+    # (VERDICT r13 Next #3 extended the >6-rounds-stale rotation
+    # invariant to them): a window slot on one records a fresh
+    # ``no_oracle`` + spark_rows row — the maximum-achievable driver
+    # signal for it — rather than leaving its last record frozen at the
+    # round it was born.
+    ordered = sorted(names, key=lambda n: (green.get(n, -1), pos[n]))
     print(f"# proposed ordering ({len(names)} entries, window={window})")
     for i, n in enumerate(ordered, 1):
         mark = "  <-- window boundary" if i == window else ""
