@@ -3120,6 +3120,37 @@ def _link_graph_stats(spark, sf):
     return domain_link_stats(extract_links(attach_html(d)))
 
 
+def _host_pagerank(spark, sf):
+    """Classic crawl-prioritization PageRank (Page et al. 1999) over the
+    registrable-domain link graph — the host-rank table a CommonCrawl-
+    style scheduler publishes, and the upgrade path for crawl_frontier's
+    inbound-count authority column.  Edges: each document's OWN domain
+    (URL synth + host/domain templates) → each outbound href's domain,
+    deduped, self-loops dropped.  K=3 quantized power iterations in
+    integer micro-units (the crawl_budget_allocate discipline: integer
+    div + integer sums replace order-dependent float summation, so both
+    engines replay bit-exactly).  Rank table is |domains| rows; per
+    iteration one src-keyed join + one dst-keyed aggregate over the
+    edge list; N and the dangling pool are single-row broadcast
+    scalar-joins."""
+    from pgferry_spark.operators.domains import (
+        attach_urls,
+        host_pagerank,
+        with_host_domain,
+    )
+    from pgferry_spark.operators.html import attach_html, extract_links
+
+    docs = fan_out(_t(spark, sf, "documents"), "doc_id")
+    src = with_host_domain(attach_urls(docs)).select(
+        "doc_id", F.col("domain").alias("src")
+    )
+    dst = with_host_domain(
+        extract_links(attach_html(docs)), "href"
+    ).select("doc_id", F.col("domain").alias("dst"))
+    edges = dst.join(src, "doc_id").select("src", "dst")
+    return host_pagerank(edges)
+
+
 _URL_BLOCK_KWS = ("post", "raw", "login", "cart")
 
 
@@ -4857,6 +4888,66 @@ def _link_graph_oracle() -> str:
         SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
         FROM d GROUP BY domain
+    """
+
+
+def _host_pagerank_oracle() -> str:
+    """Replays the quantized PageRank closed-form: same edge extraction
+    (shared URL/HOST/DOMAIN templates), then the 3 iterations unrolled
+    as CTEs — every step integer ``//`` / integer SUM, so engine float
+    semantics never enter (DuckDB's BIGINT SUM widens to HUGEINT; the
+    arithmetic stays exact and the final CAST restores BIGINT)."""
+    from pgferry_spark.operators.domains import (
+        DOMAIN_SQL,
+        HOST_SQL,
+        URL_SYNTH_SQL,
+    )
+
+    url = URL_SYNTH_SQL.format(id="doc_id", src="source")
+    lhost = HOST_SQL.format(url="href")
+    ldom = DOMAIN_SQL.format(host="lhost")
+    uhost = HOST_SQL.format(url="url")
+    udom = DOMAIN_SQL.format(host="uhost")
+    t, d = 1_000_000_000, 85
+    its, prev = "", "r0"
+    for i in (1, 2, 3):
+        its += f"""
+        , sh{i} AS (SELECT e.dst AS dom, SUM({prev}.r // od.outdeg) AS inm
+               FROM e JOIN {prev} ON e.src = {prev}.dom
+                      JOIN od ON e.src = od.dom
+               GROUP BY e.dst),
+        dg{i} AS (SELECT COALESCE(SUM({prev}.r), 0) AS dmass
+               FROM {prev} LEFT JOIN od ON {prev}.dom = od.dom
+               WHERE od.dom IS NULL),
+        r{i} AS (SELECT nodes.dom,
+                 ({100 - d} * ({t} // (SELECT n FROM nn))) // 100
+                 + ({d} * (COALESCE(sh{i}.inm, 0)
+                    + ((SELECT dmass FROM dg{i})
+                       // (SELECT n FROM nn)))) // 100 AS r
+               FROM nodes LEFT JOIN sh{i} ON nodes.dom = sh{i}.dom)"""
+        prev = f"r{i}"
+    return _links_cte() + f"""
+        , lh AS (SELECT doc_id, {lhost} AS lhost FROM l),
+        ld AS (SELECT doc_id, {ldom} AS dst FROM lh),
+        uu AS (SELECT doc_id, {url} AS url FROM documents),
+        uh AS (SELECT doc_id, {uhost} AS uhost FROM uu),
+        ud AS (SELECT doc_id, {udom} AS src FROM uh),
+        e AS (SELECT DISTINCT ud.src AS src, ld.dst AS dst
+              FROM ld JOIN ud USING (doc_id)
+              WHERE ld.dst IS NOT NULL AND ld.dst <> ''
+                AND ud.src IS NOT NULL AND ud.src <> ''
+                AND ud.src <> ld.dst),
+        nodes AS (SELECT DISTINCT src AS dom FROM e
+                  UNION SELECT DISTINCT dst AS dom FROM e),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        od AS (SELECT src AS dom, CAST(count(*) AS BIGINT) AS outdeg
+               FROM e GROUP BY src),
+        r0 AS (SELECT dom, {t} // (SELECT n FROM nn) AS r FROM nodes)
+        {its}
+        SELECT r3.dom AS domain,
+               CAST(COALESCE(od.outdeg, 0) AS BIGINT) AS out_links,
+               CAST(r3.r AS BIGINT) AS pr_micro
+        FROM r3 LEFT JOIN od ON r3.dom = od.dom
     """
 
 
@@ -6855,22 +6946,26 @@ def _url_dedup_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
     entries of this dict.  Round-14 rotation (VERDICT r13 Next #5): the
-    window head is this round's 2 births (the interpolated Kneser-Ney
-    trigram LM perplexity and the exact 50-char suffix-bucket
-    ExactSubstr detector), then — VERDICT r13 Next #3, the >6-rounds-
-    stale rotation invariant now EXTENDED to rows-only entries — the 8
+    window head is this round's 3 births (the interpolated Kneser-Ney
+    trigram LM perplexity, the exact 50-char suffix-bucket ExactSubstr
+    detector, and the post-closing quantized host PageRank), then —
+    VERDICT r13 Next #3, the >6-rounds-stale rotation invariant now
+    EXTENDED to rows-only entries — the 8
     standing rows-only entries whose last driver record dates to
     r05/r07 (a window slot on one records a fresh ``no_oracle`` +
     spark_rows row, the maximum-achievable driver signal for a
     zlib/xxhash64/MLlib-float entry; each keeps its oracle-green
-    md5/deterministic twin), then the 40 stalest oracle-backed entries
+    md5/deterministic twin), then the 39 stalest oracle-backed entries
     in tools/plan_rotation.py order (the r8-green embedding/ANN/
-    curation block, then the leading r9-green robots block).
+    curation block, then the leading r9-green robots block;
+    robots_txt_rules slid to next-in-line when the third birth
+    joined the window head).
     tests/test_entry_ordering.py pins this window arithmetic;
     tools/plan_rotation.py proposes each round's order."""
     return {
         "ngram_perplexity": _ngram_perplexity,
         "exact_substring_spans_exact": _exact_substring_spans_exact,
+        "host_pagerank": _host_pagerank,
         "lsh_candidate_pairs_capped": _lsh_pairs_capped,
         "quality_classifier": _quality_classifier,
         "compression_ratio": _compression_ratio,
@@ -11718,6 +11813,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links": _links_cte()
         + "SELECT doc_id, link_no, href FROM l",
         "link_graph_stats": _link_graph_oracle(),
+        "host_pagerank": _host_pagerank_oracle(),
         "domain_token_budget": _domain_token_budget_oracle(),
         "web_curation_funnel": _web_funnel_oracle(),
         # crawl-snapshot keep-newest merge (round 8)

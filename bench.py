@@ -220,6 +220,9 @@ HEADLINE = [
     # round 14: interpolated Kneser–Ney trigram LM perplexity (VERDICT
     # r13 Next #1 — the CCNet-grade scorer)
     "ngram_perplexity",
+    # round 14, post-closing: quantized integer host PageRank over the
+    # domain link graph
+    "host_pagerank",
     # round 10, second wave: WET export (the CommonCrawl extracted-text
     # companion), sitemap discovery, FineWeb gates, mojibake repair
     "warc_dedup_manifest",

@@ -34,12 +34,14 @@ def entry_mod():
     return mod
 
 
-# Window head: round-14 births, driver-checked at birth.
+# Window head: round-14 births, driver-checked at birth (host_pagerank
+# is the post-closing third birth — §19-addendum precedent — slotted
+# after the first two; robots_txt_rules slides to NEXT_IN_LINE head).
 NEW_R14 = [
-    "ngram_perplexity", "exact_substring_spans_exact",
+    "ngram_perplexity", "exact_substring_spans_exact", "host_pagerank",
 ]
 
-# Positions 3-10: the 8 standing rows-only entries, rotated through the
+# Positions 4-11: the 8 standing rows-only entries, rotated through the
 # window this round to refresh their driver record (last contact
 # r05/r07; VERDICT r13 Next #3 extended the staleness invariant to
 # them).  Planner-stable order: the r5 block, then the r7 pair.
@@ -49,7 +51,7 @@ ROWS_ONLY_WINDOW = [
     "quality_classifier_auc", "simhash_near_pairs", "ivf_kmeans_assign",
 ]
 
-# Positions 11-50: the stalest oracle-backed entries, planner-stable
+# Positions 12-50: the stalest oracle-backed entries, planner-stable
 # order (the r8-green embedding/ANN/curation block, then the leading
 # r9-green robots block).
 ROTATED_STALEST = [
@@ -64,11 +66,12 @@ ROTATED_STALEST = [
     "chunked_scan", "mixture_sample", "shard_manifest", "semdedup",
     "pq_encode", "dup_rate_by_source", "knn_graph", "user_funnel",
     "q1_pricing_summary", "exact_dedup_groups", "gopher_quality_flags",
-    "blockword_flags", "robots_noindex_flags", "robots_txt_rules",
+    "blockword_flags", "robots_noindex_flags",
 ]
 
 # Positions 51+: next-stalest, first in line for the r15 rotation.
 NEXT_IN_LINE = [
+    "robots_txt_rules",
     "robots_disallow_filter", "robots_crawl_delays", "crawl_frontier",
     "frontier_schedule", "sitemap_locs", "warc_record_index",
     "warc_payload_extract", "extract_anchors", "anchor_domain_stats",
@@ -88,7 +91,7 @@ NEXT_IN_LINE = [
 # library path stays pytest-pinned (test_plan_shapes fast-path plan,
 # test_dedup hash-family agreement).  The 8 remaining entries rotate
 # through the driver window like any other entry (their slot records the
-# rows-only signal); this round they occupy positions 3-10.
+# rows-only signal); this round they occupy positions 4-11.
 ROWS_ONLY = {
     "simhash_near_pairs",
     "ivf_kmeans_assign",
@@ -109,19 +112,19 @@ ROWS_ONLY = {
     "quality_classifier_auc",
 }
 
-N_QUERIES = 296
+N_QUERIES = 297
 
 
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
-    assert names[:2] == NEW_R14
-    assert names[2:10] == ROWS_ONLY_WINDOW
-    assert names[10:50] == ROTATED_STALEST
-    assert names[50:70] == NEXT_IN_LINE
+    assert names[:3] == NEW_R14
+    assert names[3:11] == ROWS_ONLY_WINDOW
+    assert names[11:50] == ROTATED_STALEST
+    assert names[50:71] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
-    # 2 + 8 + 40 == 50: no slot wasted
+    # 3 + 8 + 39 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
     assert first50 == set(NEW_R14) | set(ROWS_ONLY_WINDOW) | set(
         ROTATED_STALEST
