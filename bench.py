@@ -431,6 +431,25 @@ def main() -> int:
 
     ambient: dict[str, dict] = {}
 
+    # Per-RUN host-speed probe (round 14): a fixed single-core md5 chain
+    # timed once at start and once at end.  The r14 closings showed the
+    # host's EFFECTIVE speed drifting 1.2-1.3× between same-code runs
+    # with zero steal, clean loadavg, and idle-start — invisible to the
+    # per-entry fields above.  A fixed-work probe calibrates it: two
+    # runs whose probe times differ by the same factor as their entry
+    # medians are the same code on a different-speed host.
+    def _cpu_probe_ms() -> float:
+        import hashlib
+        import time as _time
+
+        t0 = _time.perf_counter()
+        h = b"x"
+        for _ in range(200_000):
+            h = hashlib.md5(h).digest()
+        return round((_time.perf_counter() - t0) * 1000, 1)
+
+    cpu_probe = {"start_ms": _cpu_probe_ms()}
+
     def _timed_entry(name, body):
         la = os.getloadavg()[0]
         tot0, idle0 = _proc_stat()
@@ -521,11 +540,13 @@ def main() -> int:
 
     runs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_runs.json")
+    cpu_probe["end_ms"] = _cpu_probe_ms()
     with open(runs_path, "w") as fh:
         json.dump(
             {"runs": runs, "medians": timings, "repeats": repeats, "sf": sf,
              "flagship25": FLAGSHIP25, "flagship25_total": flagship_total,
-             "capped_drop_stats": capped_drops, "ambient": ambient},
+             "capped_drop_stats": capped_drops, "ambient": ambient,
+             "cpu_probe": cpu_probe},
             fh, indent=1,
         )
     sys.stdout.flush()
