@@ -318,6 +318,17 @@ MIGRATION_PKS = {
 }
 
 
+def _probe_worker(_i: int) -> int:
+    """Fixed single-core unit of the multi-core host-speed probe (must
+    be module-level: ProcessPoolExecutor pickles it into the workers)."""
+    import hashlib
+
+    h = b"x"
+    for _ in range(200_000):
+        h = hashlib.md5(h).digest()
+    return h[0]
+
+
 def _migration(spark, sf_dir: str) -> float:
     import shutil
     import tempfile
@@ -448,7 +459,31 @@ def main() -> int:
             h = hashlib.md5(h).digest()
         return round((_time.perf_counter() - t0) * 1000, 1)
 
-    cpu_probe = {"start_ms": _cpu_probe_ms()}
+    # The reading-6 lesson: the single-core probe read FAST (80 ms)
+    # during a run whose 32-thread entries read 1.3× slow — co-tenant
+    # SMT/memory-bandwidth contention hits multi-core throughput
+    # without touching a lone core or /proc/stat steal.  An 8-process
+    # parallel probe of the same fixed work sees it.  The number
+    # includes ProcessPoolExecutor spawn overhead (a few hundred ms),
+    # so its ABSOLUTE value overstates the work; it is comparable
+    # ACROSS runs — same spawn cost every time — which is all the
+    # run-to-run calibration needs.
+    def _cpu_probe_mc_ms(procs: int = 8) -> float | None:
+        import concurrent.futures as _cf
+        import time as _time
+
+        try:
+            t0 = _time.perf_counter()
+            with _cf.ProcessPoolExecutor(max_workers=procs) as ex:
+                list(ex.map(_probe_worker, range(procs)))
+            return round((_time.perf_counter() - t0) * 1000, 1)
+        except Exception:
+            return None
+
+    cpu_probe = {
+        "start_ms": _cpu_probe_ms(),
+        "start_mc8_ms": _cpu_probe_mc_ms(),
+    }
 
     def _timed_entry(name, body):
         la = os.getloadavg()[0]
@@ -541,6 +576,7 @@ def main() -> int:
     runs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_runs.json")
     cpu_probe["end_ms"] = _cpu_probe_ms()
+    cpu_probe["end_mc8_ms"] = _cpu_probe_mc_ms()
     with open(runs_path, "w") as fh:
         json.dump(
             {"runs": runs, "medians": timings, "repeats": repeats, "sf": sf,
