@@ -538,9 +538,17 @@ def kn_trigram_logprob_scores(
     keyed by doc id.  All five model tables are natural-key aggregates
     of the trigram TYPE table (map-side partial aggregation; the type
     table is vocabulary-bounded, far smaller than the position
-    stream), they join back token-keyed (Catalyst broadcasts when
-    small), and the 1-row total broadcasts.  No window over anything
-    corpus-sized beyond the per-doc lag."""
+    stream).  Round 14 (optimization, guide §2.4/§3): the model
+    tables pre-join INTO the type table — one model relation keyed
+    ``(prev2, prev, token)`` carrying ``ln p₃`` computed once per
+    TYPE — so the position stream meets exactly ONE join (Catalyst
+    broadcasts the model when small, shuffle-joins at vocabulary
+    scale) instead of five differently-keyed ones, and the ``ln`` is
+    evaluated per trigram type, not per corpus position.  The
+    per-position float path (join the precomputed double, avg over
+    positions) sums the identical doubles the five-join form summed,
+    so the 6dp edge round sees the same values.  No window over
+    anything corpus-sized beyond the per-doc lag."""
     D = float(discount)
     tok_pos = (
         fan_out(df, id_col)
@@ -589,14 +597,20 @@ def kn_trigram_logprob_scores(
         / F.col("c_ctx")
         + F.lit(D) * F.col("n1p_uv") / F.col("c_ctx") * p2
     )
-    lp6 = F.round(F.avg(F.log(p3)), 6) + F.lit(0.0)
-    return (
-        tri_pos.join(tri, ["prev2", "prev", "token"])
-        .join(ctx3, ["prev2", "prev"])
+    # one model relation, ln p₃ once per trigram TYPE — the expression
+    # tree (hence the double it yields) is unchanged; only where it is
+    # evaluated moved
+    model = (
+        tri.join(ctx3, ["prev2", "prev"])
         .join(cont2, ["prev", "token"])
         .join(ctx2, "prev")
         .join(cont1, "token")
         .crossJoin(F.broadcast(total))
+        .select("prev2", "prev", "token", F.log(p3).alias("__lp"))
+    )
+    lp6 = F.round(F.avg("__lp"), 6) + F.lit(0.0)
+    return (
+        tri_pos.join(model, ["prev2", "prev", "token"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
@@ -697,7 +711,17 @@ def ccnet_buckets(
         df, text_col, id_col, discount=discount
     )
     langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
-    s = scored.join(langs, id_col).select(id_col, "lang", "logprob")
+    # persisted: the class/tier subtree AND the returned join-back both
+    # read the scored table — without this cache the whole KN scoring
+    # chain (tokenize, lag window, model join) runs a second time for
+    # the join-back's left side (measured: the most expensive duplicated
+    # subtree in the round-14 profile).  Same caller-unpersist lifecycle
+    # as the tiers persist below.
+    s = (
+        scored.join(langs, id_col)
+        .select(id_col, "lang", "logprob")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cls = s.groupBy("lang", "logprob").agg(F.count(F.lit(1)).alias("__c"))
     wl = Window.partitionBy("lang").orderBy(F.col("logprob").desc())
     cls = (
