@@ -353,6 +353,12 @@ class SpoolTarget:
     root: str
     ddl: list[str] = field(default_factory=list)
 
+    # each table writes a disjoint directory, so concurrent per-table
+    # ``write`` calls are safe — lets the pipeline move independent
+    # tables in parallel (wave-parallel movement). Shared-connection SQL
+    # sinks must leave this False.
+    concurrent_write_safe = True
+
     def execute(self, sql: str) -> None:
         self.ddl.append(sql)
 

@@ -28,6 +28,7 @@ documented (SURVEY §7 hard-part 1).
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Protocol
@@ -117,6 +118,10 @@ class MigrationPipeline:
         # validation), parents whose FK anti-joins should broadcast
         self._source_counts: dict[str, int] = {}
         self._broadcast_parents: frozenset[str] = frozenset()
+        # guards the per-run DataFrame caches when tables move concurrently
+        # (wave-parallel movement, guide §2.6); CheckpointManager carries
+        # its own lock
+        self._cache_lock = threading.Lock()
 
     # -- steps ---------------------------------------------------------------
 
@@ -301,14 +306,15 @@ class MigrationPipeline:
         self-FK snapshot, parent cache, and validation all share ONE read
         (the reference reads each table once and validates from COPY row
         counts, validate.go:34-135 — this is the Spark analogue)."""
-        df = self._transformed_cache.get(table.pg_name)
-        if df is None:
-            df = apply_transforms(
-                self.source.read_table(self.spark, table, None),
-                table, self.source.kind, self.cfg.type_mapping,
-            ).persist()
-            self._transformed_cache[table.pg_name] = df
-        return df
+        with self._cache_lock:
+            df = self._transformed_cache.get(table.pg_name)
+            if df is None:
+                df = apply_transforms(
+                    self.source.read_table(self.spark, table, None),
+                    table, self.source.kind, self.cfg.type_mapping,
+                ).persist()
+                self._transformed_cache[table.pg_name] = df
+            return df
 
     def cleaned_source_df(self, table: Table, parents: dict[str, DataFrame]) -> DataFrame:
         """The table exactly as the movement phase writes it: full source
@@ -408,6 +414,47 @@ class MigrationPipeline:
             complete_this_run=not done,
         )
 
+    def _table_parallelism(self) -> int:
+        """How many tables may move concurrently (guide §2.6: overlap
+        independent jobs so the next table's tasks back-fill executors
+        freed by the current table's straggler tail — at any scale the
+        per-table read→write jobs end in a tail that otherwise idles
+        the cluster). Sequential when the source is a one-connection
+        snapshot (``single_tx``; config already forbids workers > 1
+        there) or the target has not declared its ``write`` safe for
+        concurrent per-table calls (a shared-connection COPY sink is
+        not; the parquet spool writes disjoint paths and is)."""
+        if self.cfg.source_snapshot_mode == "single_tx":
+            return 1
+        if not getattr(self.target, "concurrent_write_safe", False):
+            return 1
+        return max(1, self.cfg.effective_workers())
+
+    def _move_wave(
+        self, wave: list[Table], parent_dfs: dict[str, DataFrame]
+    ) -> list[TableRunResult]:
+        """Move one dependency wave — tables whose FK parents have all
+        landed — concurrently when allowed, preserving ``wave`` order in
+        the returned results (and hence in ``result.tables``). Each
+        table's movement is exactly the sequential ``move_table`` call;
+        only the scheduling overlaps. Spark's scheduler is explicitly
+        built for concurrent jobs from driver threads (FIFO: later jobs
+        back-fill what earlier ones leave idle)."""
+
+        def _one(table: Table) -> TableRunResult:
+            t0 = time.perf_counter()
+            res = self.move_table(table, parent_dfs)
+            res.seconds = round(time.perf_counter() - t0, 3)
+            return res
+
+        workers = min(self._table_parallelism(), len(wave))
+        if workers <= 1 or len(wave) <= 1:
+            return [_one(t) for t in wave]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(_one, wave))
+
     def _delete_range(self, table: str, chunk, pg_key: str) -> None:
         """Purge one chunk's key range from the target. ``delete_where``
         receives the predicate over the BARE normalized column name (valid
@@ -486,13 +533,14 @@ class MigrationPipeline:
             }
             ordered = _parents_first(tables)
             parent_dfs: dict[str, DataFrame] = {}
-            for table in ordered:
-                t0 = time.perf_counter()
-                res = self.move_table(table, parent_dfs)
-                res.seconds = round(time.perf_counter() - t0, 3)
-                result.tables.append(res)
-                if table.pg_name in referenced:
-                    parent_dfs[table.pg_name] = self.cleaned_source_df(table, parent_dfs)
+            for wave in _dependency_waves(ordered):
+                for res in self._move_wave(wave, parent_dfs):
+                    result.tables.append(res)
+                for table in wave:
+                    if table.pg_name in referenced:
+                        parent_dfs[table.pg_name] = self.cleaned_source_df(
+                            table, parent_dfs
+                        )
             run_hooks(self.cfg.hooks, "after_data", self.cfg.target_schema, self.target.execute)
             if self.cfg.mode == "data_only":
                 for t in tables:
@@ -563,6 +611,38 @@ class MigrationPipeline:
 
 def _q(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
+
+
+def _dependency_waves(ordered: list[Table]) -> list[list[Table]]:
+    """Partition a parents-first table list into waves: every table in a
+    wave has all its (present, non-self) FK parents in earlier waves, so
+    waves run in order and tables inside a wave are mutually independent.
+    FK-free schemas (the parquet-lake case) collapse to ONE wave. A cycle
+    leaves no table ready; the fallback emits the next table alone in
+    ``ordered`` order — exactly the sequential loop's behavior (the
+    missing parent is skipped by ``clean_orphans``'s ``parents.get``)."""
+    names = {t.pg_name for t in ordered}
+    done: set[str] = set()
+    remaining = list(ordered)
+    waves: list[list[Table]] = []
+    while remaining:
+        wave = [
+            t
+            for t in remaining
+            if all(
+                fk.ref_pg_table == t.pg_name
+                or fk.ref_pg_table not in names
+                or fk.ref_pg_table in done
+                for fk in t.foreign_keys
+            )
+        ]
+        if not wave:  # FK cycle: fall back to strict sequential order
+            wave = [remaining[0]]
+        waves.append(wave)
+        done.update(t.pg_name for t in wave)
+        in_wave = {t.pg_name for t in wave}
+        remaining = [t for t in remaining if t.pg_name not in in_wave]
+    return waves
 
 
 def _parents_first(tables: list[Table]) -> list[Table]:
