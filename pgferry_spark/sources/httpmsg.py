@@ -73,7 +73,7 @@ from pyspark.sql.types import (
 )
 
 from ..utils import fan_out
-from .warc import _iter_records_with_payloads
+from .warc import _iter_records_with_payloads, container_grouped
 
 HTTP_MSGTYPE_RESPONSE = "application/http; msgtype=response"
 HTTP_MSGTYPE_REQUEST = "application/http; msgtype=request"
@@ -543,14 +543,12 @@ def attach_warc_http(
             }
         )
 
-    return (
+    return container_grouped(
         df.withColumn(
             "__cid", F.expr(f"{id_col} div {docs_per_container}")
         )
         .select("__cid", id_col, url_col, text_col)
-        .groupBy("__cid")
-        .applyInPandas(build, schema=schema)
-    )
+    ).applyInPandas(build, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1081,14 +1079,12 @@ def attach_warc_http_sniff(
             }
         )
 
-    return (
+    return container_grouped(
         df.withColumn(
             "__cid", F.expr(f"{id_col} div {docs_per_container}")
         )
         .select("__cid", id_col, url_col, text_col)
-        .groupBy("__cid")
-        .applyInPandas(build, schema=schema)
-    )
+    ).applyInPandas(build, schema=schema)
 
 
 _SNIFF_SCHEMA = StructType(
@@ -1293,13 +1289,11 @@ def attach_warc_http_revisits(
             }
         )
 
-    return (
+    return container_grouped(
         marked.withColumn(
             "__cid", F.expr(f"{id_col} div {docs_per_container}")
         )
-        .groupBy("__cid")
-        .applyInPandas(build, schema=schema)
-    )
+    ).applyInPandas(build, schema=schema)
 
 
 _HTTP_REVISIT_SCHEMA = StructType(

@@ -297,6 +297,24 @@ def _iter_records_with_payloads(
             ]
 
 
+def container_grouped(df: DataFrame, cid_col: str = "__cid"):
+    """``groupBy(container id)`` for the per-container Python build,
+    with the build stage's parallelism pinned (round 14 optimization,
+    guide §2.5): AQE's byte-based partition coalescing cannot see
+    per-row PYTHON cost, and on the tiny-bytes container-id shuffle it
+    was measured collapsing the build to ONE partition at the bench
+    SFs — every container encoded serially on one core, the dominant
+    cost of the whole WARC entry family.  A user-specified
+    ``repartition(n, key)`` is exempt from AQE coalescing and the
+    ``groupBy`` on the same key reuses the partitioning (no second
+    exchange), so the build keeps cluster-wide parallelism at any
+    scale; ``n = defaultParallelism`` is cluster-adaptive, not a local
+    constant, and group size (not partition size) bounds task memory
+    because FlatMapGroupsInPandas streams one group at a time."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, cid_col).groupBy(cid_col)
+
+
 def attach_warc(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -340,16 +358,14 @@ def attach_warc(
             }
         )
 
-    return (
+    return container_grouped(
         # integer division (div), not a double cast: a 64-bit doc id
         # past 2^53 would lose precision through the float path
         df.withColumn(
             "__cid", F.expr(f"{id_col} div {docs_per_container}")
         )
         .select("__cid", id_col, url_col, text_col)
-        .groupBy("__cid")
-        .applyInPandas(build, schema=schema)
-    )
+    ).applyInPandas(build, schema=schema)
 
 
 def attach_warc_revisits(
@@ -419,13 +435,11 @@ def attach_warc_revisits(
             }
         )
 
-    return (
+    return container_grouped(
         marked.withColumn(
             "__cid", F.expr(f"{id_col} div {docs_per_container}")
         )
-        .groupBy("__cid")
-        .applyInPandas(build, schema=schema)
-    )
+    ).applyInPandas(build, schema=schema)
 
 
 _RESOLVE_SCAN_SCHEMA = StructType(
@@ -695,7 +709,7 @@ def wet_export(
             }
         )
 
-    return (
+    return container_grouped(
         df.withColumn(
             "__cid",
             F.expr(
@@ -704,9 +718,7 @@ def wet_export(
             ),
         )
         .select("__cid", id_col, url_col, text_col)
-        .groupBy("__cid")
-        .applyInPandas(build, schema=schema)
-    )
+    ).applyInPandas(build, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -804,14 +816,12 @@ def wat_export(
             {"container_id": [cid], "container": [encode_wat(cid, docs)]}
         )
 
-    return (
+    return container_grouped(
         df.withColumn(
             "__cid", F.expr(f"{id_col} div {docs_per_container}")
         )
         .select("__cid", id_col, url_col, json_col)
-        .groupBy("__cid")
-        .applyInPandas(build, schema=schema)
-    )
+    ).applyInPandas(build, schema=schema)
 
 
 def read_warc_files(
