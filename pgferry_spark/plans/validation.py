@@ -198,88 +198,172 @@ def sketch_validation(
     ESTIMATE is biased (linear-counting regime) or coincidentally
     equal. Cost: one <= 2^p-row join per column.
 
+    Scan discipline: every validated column's values are melted into
+    ONE ``(column, value)`` stream per side, so each side is scanned
+    exactly twice (once feeding all columns' HLL registers, once
+    feeding all numeric columns' log-histograms) no matter how many
+    columns are validated — the per-column register/histogram tables
+    are grouped slices of two bounded aggregates, not per-column
+    rescans. Values are DECIMAL-normalized *before* melting, so the
+    hashed string renderings (and the histogram's integer scaling,
+    which round-trips a fixed-scale decimal exactly) are identical to
+    the per-column formulation.
+
     Returns one row per column:
     ``(column, reg_diff, est_distinct_src, est_distinct_dst,
     p50_src, p50_dst, p99_src, p99_dst)``."""
-    from functools import reduce
-
     from pyspark.sql import functions as F
 
     from ..operators.sketches import (
-        hll_estimate,
+        _alpha_m2,
         hll_registers,
         loghist_counts,
         loghist_quantiles,
     )
 
-    def one(col: str, numeric: bool = True):
-        def norm(df):
-            # hash the DECIMAL-normalized value, not the raw double:
-            # float->string rendering is engine-specific (Java vs fmt),
-            # fixed-scale decimal strings are identical everywhere, and
-            # validation at the declared precision is the right contract
-            if not numeric:
-                return df.select(col)
-            return df.select(
-                F.col(col).cast(f"decimal(18,{decimals})").alias(col)
-            )
+    all_cols = list(columns) + list(string_cols)
 
-        regs_a = hll_registers(norm(source), col, p=p)
-        regs_b = hll_registers(norm(target), col, p=p)
-        diff = (
-            regs_a.withColumnRenamed("register", "__ra")
-            .join(
-                regs_b.withColumnRenamed("register", "__rb"),
-                "bucket",
-                "full_outer",
+    def melt(df, cols_numeric, cols_raw):
+        # project to the validated columns, then — only when the scan
+        # arrives narrower than the cluster's parallelism (single-file
+        # parquet at test scale; a real 100 TB table has plenty of
+        # splits and skips this) — round-robin the projected rows so
+        # the per-row hash work below runs on every core instead of
+        # the scan's few partitions. The shuffle carries only the
+        # validated columns (project-before-exchange, guide §2.3).
+        df = df.select(*dict.fromkeys([*cols_numeric, *cols_raw]))
+        sc = df.sparkSession.sparkContext
+        try:
+            nfiles = len(df.inputFiles())
+        except Exception:
+            nfiles = 0
+        if 0 < nfiles < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism)
+        # hash the DECIMAL-normalized value, not the raw double:
+        # float->string rendering is engine-specific (Java vs fmt),
+        # fixed-scale decimal strings are identical everywhere, and
+        # validation at the declared precision is the right contract
+        structs = [
+            F.struct(
+                F.lit(c).alias("__col"),
+                F.col(c).cast(f"decimal(18,{decimals})").cast("string").alias("__v"),
             )
-            .filter(~F.col("__ra").eqNullSafe(F.col("__rb")))
-            .agg(F.count(F.lit(1)).alias("reg_diff"))
+            for c in cols_numeric
+        ] + [
+            F.struct(
+                F.lit(c).alias("__col"),
+                F.col(c).cast("string").alias("__v"),
+            )
+            for c in cols_raw
+        ]
+        return df.select(F.explode(F.array(*structs)).alias("__s")).select(
+            F.col("__s.__col").alias("__col"), F.col("__s.__v").alias("__v")
         )
 
-        def side(regs, df, tag: str):
-            est = hll_estimate(regs, p=p).select(
-                F.col("est_distinct").alias(f"est_distinct_{tag}")
-            )
-            if not numeric:
-                return est.select(
-                    f"est_distinct_{tag}",
-                    F.lit(None).cast("double").alias(f"p50_{tag}"),
-                    F.lit(None).cast("double").alias(f"p99_{tag}"),
-                )
-            q = loghist_quantiles(
-                loghist_counts(df, col, k=k, decimals=decimals),
-                (0.5, 0.99),
-                k=k,
-                decimals=decimals,
-            )
-            qs = (
-                q.groupBy()
-                .pivot("q", [0.5, 0.99])
-                .agg(F.first("est"))
-                .select(
-                    F.col("`0.5`").alias(f"p50_{tag}"),
-                    F.col("`0.99`").alias(f"p99_{tag}"),
-                )
-            )
-            return est.crossJoin(F.broadcast(qs))
+    # one melted-scan per side for ALL columns' registers; the identical
+    # subtree feeds both reg_diff and the estimate, so the exchange is
+    # reused (one scan), not recomputed
+    regs_src = hll_registers(
+        melt(source, columns, string_cols), "__v", group_cols=("__col",), p=p
+    )
+    regs_dst = hll_registers(
+        melt(target, columns, string_cols), "__v", group_cols=("__col",), p=p
+    )
 
+    # one full-outer register join per ENTIRE validation, and ONE grouped
+    # aggregate over it computes the register-mismatch count AND both
+    # sides' estimates (presence flags distinguish "bucket absent on this
+    # side" from "register NULL"): NULL buckets intentionally non-match
+    # under the equi-join, exactly as the per-column bucket-only join
+    # behaved, and each estimate sums/counts precisely its own side's
+    # register rows — the same terms hll_estimate computes. Columns with
+    # zero mismatches keep their row (the join always carries their
+    # buckets); a column absent from both sides is re-seeded from the
+    # spine below with reg_diff 0 and NULL estimates.
+    joined = (
+        regs_src.withColumnRenamed("register", "__ra")
+        .withColumn("__pa", F.lit(1))
+        .join(
+            regs_dst.withColumnRenamed("register", "__rb")
+            .withColumn("__pb", F.lit(1)),
+            ["__col", "bucket"],
+            "full_outer",
+        )
+    )
+    m = 1 << p
+
+    def _est(pcol, rcol):
+        return F.round(
+            F.lit(_alpha_m2(p))
+            / (
+                F.sum(F.when(F.col(pcol) == 1, F.pow(F.lit(2.0), -F.col(rcol))))
+                + (F.lit(m) - F.count(F.when(F.col(pcol) == 1, F.lit(1))))
+            ),
+            4,
+        )
+
+    stats = joined.groupBy("__col").agg(
+        F.count(
+            F.when(~F.col("__ra").eqNullSafe(F.col("__rb")), F.lit(1))
+        ).alias("__rd"),
+        _est("__pa", "__ra").alias("est_distinct_src"),
+        _est("__pb", "__rb").alias("est_distinct_dst"),
+    )
+
+    def quant(df, tag):
+        # one melted-scan per side for ALL numeric columns' histograms
+        q = loghist_quantiles(
+            loghist_counts(
+                melt(df, columns, ()), "__v",
+                group_cols=("__col",), k=k, decimals=decimals,
+            ),
+            (0.5, 0.99),
+            group_cols=("__col",),
+            k=k,
+            decimals=decimals,
+        )
         return (
-            diff.crossJoin(F.broadcast(side(regs_a, source, "src")))
-            .crossJoin(F.broadcast(side(regs_b, target, "dst")))
+            q.groupBy("__col")
+            .pivot("q", [0.5, 0.99])
+            .agg(F.first("est"))
             .select(
-                F.lit(col).alias("column"),
-                F.col("reg_diff").cast("long").alias("reg_diff"),
-                "est_distinct_src",
-                "est_distinct_dst",
-                "p50_src",
-                "p50_dst",
-                "p99_src",
-                "p99_dst",
+                "__col",
+                F.col("`0.5`").alias(f"p50_{tag}"),
+                F.col("`0.99`").alias(f"p99_{tag}"),
             )
         )
 
-    frames = [one(c) for c in columns] + [
-        one(c, numeric=False) for c in string_cols
-    ]
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    spine = source.sparkSession.createDataFrame(
+        [(c,) for c in all_cols], "__col string"
+    )
+    base = spine.join(stats, "__col", "left")
+    out = None
+    if columns:
+        # inner joins: a numeric column whose histogram is empty (no
+        # positive values) has no quantile row and drops out entirely —
+        # the same semantics the per-column crossJoin chain had
+        num = (
+            base.filter(F.col("__col").isin(list(columns)))
+            .join(quant(source, "src"), "__col")
+            .join(quant(target, "dst"), "__col")
+        )
+        out = num
+    if string_cols:
+        strn = (
+            base.filter(F.col("__col").isin(list(string_cols)))
+            .withColumn("p50_src", F.lit(None).cast("double"))
+            .withColumn("p50_dst", F.lit(None).cast("double"))
+            .withColumn("p99_src", F.lit(None).cast("double"))
+            .withColumn("p99_dst", F.lit(None).cast("double"))
+        )
+        out = strn if out is None else out.unionByName(strn)
+    return out.select(
+        F.col("__col").alias("column"),
+        F.coalesce(F.col("__rd"), F.lit(0)).cast("long").alias("reg_diff"),
+        "est_distinct_src",
+        "est_distinct_dst",
+        "p50_src",
+        "p50_dst",
+        "p99_src",
+        "p99_dst",
+    )
