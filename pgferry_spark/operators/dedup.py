@@ -1757,14 +1757,39 @@ def cross_corpus_near_dup(
     rb = lsh_bucket_table(
         right, content_col, id_col, num_hashes, bands, shingle, hash_fn
     ).withColumnRenamed(id_col, "right_id")
+    lb_cache = None
     if max_bucket is not None:
-        small = (
-            rb.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("__n"))
+        from pyspark.sql import Window
+
+        # One corpus MinHash pass, not two: the old groupBy-counts +
+        # semi-join consumed rb twice, so the whole corpus-side shingle +
+        # md5 pipeline executed twice per materialization (measured 27
+        # parquet scans in the capped entry's plan). Instead:
+        #   1. persist the SMALL side's buckets (left is the benchmark
+        #      set by contract) and broadcast-semi-prune rb to buckets
+        #      that appear on the left — buckets absent from lb produce
+        #      no candidates regardless of the cap, and the semi-join
+        #      keeps every corpus row of a surviving bucket, so the
+        #      per-bucket counts the cap filters on are unchanged;
+        #   2. count per bucket with a window on the (pruned) bucket
+        #      table — same ``count <= max_bucket`` predicate, zero
+        #      recompute. A degenerate bucket lands in one window task
+        #      pre-filter, but only buckets colliding with the benchmark
+        #      side reach the window at all, and the rows are three
+        #      narrow columns (spill-bounded, never payload).
+        lb = lb_cache = lb.persist()
+        keys = lb.select("band_id", "band_hash").distinct()
+        rb = rb.join(F.broadcast(keys), ["band_id", "band_hash"], "left_semi")
+        rb = (
+            rb.withColumn(
+                "__n",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("band_id", "band_hash")
+                ),
+            )
             .filter(F.col("__n") <= max_bucket)
             .drop("__n")
         )
-        rb = rb.join(small, ["band_id", "band_hash"], "left_semi")
     # persisted: consumed by the verify join AND the final left join —
     # without it the two MinHash passes re-run per consumer
     cand = (
@@ -1822,7 +1847,8 @@ def cross_corpus_near_dup(
     if release_cache:
         from ..utils import checkpoint_release
 
-        return checkpoint_release(out, cand)
+        caches = [cand] if lb_cache is None else [cand, lb_cache]
+        return checkpoint_release(out, *caches)
     return out
 
 
