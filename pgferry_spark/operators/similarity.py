@@ -476,24 +476,30 @@ def _nearest_centroid(vec_col, centroids: list[list[float]], metric: str = "dot"
     id in both cases via ``neg_id`` maximization — byte-identical to the
     old window ``orderBy(score, cell_id)`` rules, so oracles are unchanged.
     """
+    if metric not in ("dot", "euclidean"):  # pragma: no cover - caller bug
+        raise ValueError(f"unknown metric {metric!r}")
     v = vec_col.cast("array<double>")
-    entries = []
-    for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c])
+    # one nested-array literal + transform, not C unrolled score trees:
+    # the unrolled form costs O(cells x dim) py4j driver calls to build
+    # and a per-cell-duplicated codegen unit (see kmeans_cell_of). The
+    # per-element float ops (zip_with products / squared diffs, the
+    # sequential 0.0 + x fold, 4dp round) are identical.
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+
+    def one(c, i):
         if metric == "dot":
-            score = F.round(_dot(v, lit), 4)
-        elif metric == "euclidean":
+            score = F.round(_dot(v, c), 4)
+        else:
             d2 = F.aggregate(
-                F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
             score = -F.round(F.sqrt(d2), 4)
-        else:  # pragma: no cover - caller bug
-            raise ValueError(f"unknown metric {metric!r}")
-        entries.append(F.struct(score.alias("score"), F.lit(-i).alias("neg_id")))
+        return F.struct(score.alias("score"), (-i).alias("neg_id"))
+
     # struct max orders by (score, neg_id): best score, ties -> lowest cell id
-    return F.array_max(F.array(*entries))
+    return F.array_max(F.transform(cents, one))
 
 
 def _cell_of(vec_col, centroids: list[list[float]]):
@@ -605,21 +611,31 @@ def kmeans_cell_of(
         vq = F.transform(
             vec_col.cast("array<double>"), lambda x: F.round(x, dp)
         )
-    entries = []
-    for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        d2 = F.aggregate(
-            F.zip_with(vq, lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(
-            F.struct(
-                (-F.round(d2, dp)).alias("score"),
-                F.lit(-i).alias("neg_id"),
-            )
-        )
-    return (-F.array_max(F.array(*entries))["neg_id"]).cast("int")
+    # ONE nested-array literal + a transform loop, not n_cells unrolled
+    # distance trees: the unrolled form cost O(cells x dim) py4j calls to
+    # BUILD (measured ~1.3 s per training iteration at 8x64 — driver
+    # Python, not Spark) and a giant codegen unit to compile per
+    # iteration. The per-element float ops are untouched: same zip_with
+    # (a-b)*(a-b), same sequential 0.0 + x fold, same round-before-argmin,
+    # same ties-to-lower-cell via the (score, neg_id) struct max.
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    entries = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            (
+                -F.round(
+                    F.aggregate(
+                        F.zip_with(vq, c, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    dp,
+                )
+            ).alias("score"),
+            (-i).alias("neg_id"),
+        ),
+    )
+    return (-F.array_max(entries)["neg_id"]).cast("int")
 
 
 def kmeans_deterministic_centroids(
