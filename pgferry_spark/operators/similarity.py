@@ -1053,10 +1053,16 @@ def margin_mine(
     per-id averages, and a broadcast-friendly join back onto the forward
     pairs.  All cosines are 4dp-rounded before averaging so the oracle
     replays them exactly; the margin rounds once at the edge."""
+    # persisted: fwd feeds BOTH the forward-neighborhood average and the
+    # final scored join — unpersisted, the whole banded kNN join (bucket
+    # join + cosines + top-k window) executed twice per materialization.
+    # Bounded at k rows per query id (top-k output), so the cache is
+    # candidate-sized, never corpus-sized; lifecycle matches the other
+    # internal persists (caller/bench clears, or session LRU evicts).
     fwd = lsh_knn_join(
         left, right, vec_col, id_col, k=k, n_planes=n_planes, bands=bands,
         seed=seed, dim=dim,
-    )
+    ).persist()
     bwd = lsh_knn_join(
         right, left, vec_col, id_col, k=k, n_planes=n_planes, bands=bands,
         seed=seed, dim=dim,
