@@ -4598,23 +4598,57 @@ def _cc_ingest_funnel(spark, sf):
     idx = http_response_index(containers)
     tr = http_charset_transcode(containers)
 
-    def stage(df, no, name):
-        return df.agg(
-            F.lit(no).cast("int").alias("stage_no"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n"),
-        )
-
-    ok = idx.filter(F.col("digest_ok") & ~F.col("truncated"))
-    k200 = tr.filter(F.col("status") == 200)
-    uniq = k200.select(F.md5("text").alias("__d"), F.length("text").alias("__L")).dropDuplicates(["__d"])
+    # ONE decode pass per walk (guide §2.3/§2.4): the six per-stage
+    # aggregates previously executed independently — three re-running
+    # the index decode and three the transcode decode over the cached
+    # containers (six Python decode passes per materialization).
+    # Conditional aggregation folds each walk's stages into a single
+    # pass; the digest groupBy carries per-digest multiplicities so the
+    # row-level count (transcoded) and the digest-level counts (unique,
+    # quality — same-digest rows share text, hence length) ride the
+    # same pass. Counting semantics are unchanged: count(when(cond,1))
+    # counts exactly the rows the old filters kept (NULL conditions
+    # drop), the groupBy keeps a NULL-digest group exactly as
+    # dropDuplicates did, and the empty-input coalesce pins the old 0.
+    a = idx.agg(
+        F.count(F.lit(1)).alias("__captured"),
+        F.count(
+            F.when(F.col("digest_ok") & ~F.col("truncated"), 1)
+        ).alias("__envelope_ok"),
+        F.count(F.when(F.col("status") == 200, 1)).alias("__status_200"),
+    )
+    u = (
+        tr.filter(F.col("status") == 200)
+        .select(F.md5("text").alias("__d"), F.length("text").alias("__L"))
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("__m"), F.max("__L").alias("__L"))
+    )
+    c = u.agg(
+        F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias("__transcoded"),
+        F.count(F.lit(1)).alias("__unique"),
+        F.count(F.when(F.col("__L") >= 200, 1)).alias("__quality"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(no).cast("int").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col(col).alias("n"),
+            )
+            for no, name, col in [
+                (0, "captured", "__captured"),
+                (1, "envelope_ok", "__envelope_ok"),
+                (2, "status_200", "__status_200"),
+                (3, "transcoded", "__transcoded"),
+                (4, "unique_payload", "__unique"),
+                (5, "quality_len", "__quality"),
+            ]
+        ]
+    )
     return (
-        stage(idx, 0, "captured")
-        .unionAll(stage(ok, 1, "envelope_ok"))
-        .unionAll(stage(idx.filter("status = 200"), 2, "status_200"))
-        .unionAll(stage(k200, 3, "transcoded"))
-        .unionAll(stage(uniq, 4, "unique_payload"))
-        .unionAll(stage(uniq.filter(F.col("__L") >= 200), 5, "quality_len"))
+        a.crossJoin(F.broadcast(c))
+        .select(F.explode(stages).alias("__s"))
+        .select("__s.stage_no", "__s.stage", "__s.n")
     )
 
 
