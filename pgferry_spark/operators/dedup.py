@@ -673,6 +673,42 @@ def ngram_set(col, n: int = 3):
     return F.array_distinct(F.when(cnt < n, F.array().cast("array<string>")).otherwise(grams))
 
 
+def _member_grams(df, pairs, content_col, id_col, n):
+    """Shared verify-step front half for :func:`jaccard_pairs` /
+    :func:`containment_pairs`: the persisted candidate table plus the
+    exploded ``(id, gram_count, gram)`` stream of candidate MEMBERS only.
+
+    * ``pairs`` is persisted — it feeds both the intersection join and
+      the final join-back, and unpersisted the caller's candidate
+      generation (e.g. an LSH bucket self-join + distinct) executed
+      twice per materialization. Bounded by the candidate count, which
+      the verify contract already requires to be linear in. Lifecycle:
+      caller/bench clears or session LRU evicts (the bucket-table
+      convention).
+    * documents are NOT semi-join-pruned to pair members here,
+      deliberately: a union+distinct+semi-join member chain was
+      measured (r14) at +10 s on containment_adjacent — it lands on
+      the shingle side's critical path TWICE (a and b) and every
+      current caller's pairs cover most of the corpus anyway (adjacent
+      ids, LSH candidates). When candidates really are a small subset
+      of a huge corpus, use :func:`cross_corpus_near_dup`, whose
+      ``shingled()`` prunes by side-specific membership off the
+      persisted candidate table.
+    * ``explode_outer`` + not-null, NOT plain ``explode``: explode
+      infers a pushable ``size(grams) > 0`` predicate and Catalyst
+      clones the whole shingle construction into the pre-fan-out scan
+      filter (the SCALE.md pathology 61ef282 removed from the MinHash
+      pipelines)."""
+    pairs = pairs.persist()
+    shingled = _fan_out(df, id_col, force=True).select(
+        F.col(id_col), ngram_set(F.col(content_col), n).alias("grams")
+    ).withColumn("gram_count", F.size("grams"))
+    ex = shingled.select(
+        F.col(id_col), F.col("gram_count"), F.explode_outer("grams").alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    return pairs, ex
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -690,17 +726,7 @@ def jaccard_pairs(
     distinguish "evaluated to 0" from "not evaluated". This is the verify
     step after LSH/SimHash blocking: cost is linear in candidate-pair
     shingles, never corpus-quadratic."""
-    shingled = _fan_out(df, id_col, force=True).select(
-        F.col(id_col), ngram_set(F.col(content_col), n).alias("grams")
-    ).withColumn("gram_count", F.size("grams"))
-    # explode_outer + not-null, NOT plain explode: explode infers a pushable
-    # size(grams) > 0 predicate and Catalyst clones the whole shingle
-    # construction into the pre-fan-out scan filter (the SCALE.md pathology
-    # 61ef282 removed from the MinHash pipelines; same fix here)
-    ex = shingled.select(
-        F.col(id_col), F.col("gram_count"), F.explode_outer("grams").alias("gram")
-    ).filter(F.col("gram").isNotNull())
-
+    pairs, ex = _member_grams(df, pairs, content_col, id_col, n)
     a = ex.select(F.col(id_col).alias("id_a"), F.col("gram_count").alias("n_a"), "gram")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("gram_count").alias("n_b"), "gram")
     inter = (
@@ -1602,13 +1628,7 @@ def containment_pairs(
     the paragraph side).  Same candidate-linear join shape as
     :func:`jaccard_pairs` (this is the verify step after blocking);
     every input pair appears, zero-intersection pairs at 0.0."""
-    shingled = _fan_out(df, id_col, force=True).select(
-        F.col(id_col), ngram_set(F.col(content_col), n).alias("grams")
-    ).withColumn("gram_count", F.size("grams"))
-    # explode_outer + not-null: see jaccard_pairs (same scan-clone pathology)
-    ex = shingled.select(
-        F.col(id_col), F.col("gram_count"), F.explode_outer("grams").alias("gram")
-    ).filter(F.col("gram").isNotNull())
+    pairs, ex = _member_grams(df, pairs, content_col, id_col, n)
     a = ex.select(F.col(id_col).alias("id_a"), F.col("gram_count").alias("n_a"), "gram")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("gram_count").alias("n_b"), "gram")
     inter = (
