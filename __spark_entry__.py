@@ -34,28 +34,15 @@ from pgferry_spark.utils import fan_out
 SF0001 = "/root/testdata/sf0.001"
 
 
-# Session-scoped memo of the LAZY DataFrame handles for the static
-# fixture tables (r14, guide §1.2 driver-side work): every
-# `spark.read.parquet` call re-runs file listing + footer schema
-# inference (~0.2 s of driver/py4j work per call), and a bench pass
-# constructs each entry 3x over 1-5 tables — ~100 s of the headline
-# total was re-inferring schemas of ten immutable files. The memo
-# stores the PLAN handle only (same object a catalog temp view would
-# hold): no rows, no persisted blocks, every action still scans the
-# parquet. Keyed by applicationId so a restarted session never sees a
-# stale JVM handle; scoped to _t (the read-only fixture tables) so
-# write-then-reread paths (spool targets, temp dirs) are untouched.
-# Same pattern as backends.ParquetSource._df's per-instance memo.
-_T_MEMO: dict[tuple[str, str, str], DataFrame] = {}
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = _T_MEMO.get(key)
-    if df is None:
-        df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
-        _T_MEMO[key] = df
-    return df
+    # session-scoped memo of the lazy plan handle (r14, guide §1.2):
+    # a bench pass constructs each entry 3x over 1-5 tables, and every
+    # fresh spark.read.parquet re-runs listing + footer schema
+    # inference (~0.2 s driver-side) on ten immutable fixture files.
+    # See sources/parquet.read_parquet_memo for the safety contract.
+    from pgferry_spark.sources.parquet import read_parquet_memo
+
+    return read_parquet_memo(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # ---------------------------------------------------------------------------
