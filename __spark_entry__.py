@@ -6986,34 +6986,36 @@ def _url_dedup_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the round driver oracle-checks only the FIRST 50
-    entries of this dict.  Round-14 rotation (VERDICT r13 Next #5): the
-    window head is this round's 3 births (the interpolated Kneser-Ney
-    trigram LM perplexity, the exact 50-char suffix-bucket ExactSubstr
-    detector, and the post-closing quantized host PageRank), then —
-    VERDICT r13 Next #3, the >6-rounds-stale rotation invariant now
-    EXTENDED to rows-only entries — the 8
-    standing rows-only entries whose last driver record dates to
-    r05/r07 (a window slot on one records a fresh ``no_oracle`` +
-    spark_rows row, the maximum-achievable driver signal for a
-    zlib/xxhash64/MLlib-float entry; each keeps its oracle-green
-    md5/deterministic twin), then the 39 stalest oracle-backed entries
-    in tools/plan_rotation.py order (the r8-green embedding/ANN/
-    curation block, then the leading r9-green robots block;
-    robots_txt_rules slid to next-in-line when the third birth
-    joined the window head).
+    entries of this dict.  Round-15 (VERDICT r14 Next #1 — an
+    OPTIMIZATION round, so the window is held ~fixed instead of
+    rotated): 45 of the 50 r14 window names stay put; the only change
+    repairs the r14 composition weakness (42/50 oracle-backed, the
+    weakest driver signal since the early rounds) by swapping FIVE of
+    the eight rows-only slots for the five heaviest oracle-backed
+    entries this round's optimizations touch
+    (cross_corpus_near_dup_capped, dedup_method_agreement,
+    ccnet_buckets, kmeans_exact_assign, ivf_kmeans_exact_topk — the
+    VERDICT-named list), so the driver hash-verifies the rewritten
+    plans directly.  THREE rows-only slots remain
+    (ivf_pq_kmeans_topk, ann_recall_ivfpq_kmeans, ivf_kmeans_assign —
+    exactly the MLlib-float entries riding the r15 k-means work, so
+    their spark_rows signal still covers the change), meeting the
+    "never more than 2-3 rows-only per window, >=45 hash-verifiable"
+    rule VERDICT r14 set.  Net: 47/50 oracle-backed, 45-name overlap
+    with the r14 window, zero entries dropped from the registry.
     tests/test_entry_ordering.py pins this window arithmetic;
     tools/plan_rotation.py proposes each round's order."""
     return {
         "ngram_perplexity": _ngram_perplexity,
         "exact_substring_spans_exact": _exact_substring_spans_exact,
         "host_pagerank": _host_pagerank,
-        "lsh_candidate_pairs_capped": _lsh_pairs_capped,
-        "quality_classifier": _quality_classifier,
-        "compression_ratio": _compression_ratio,
+        "cross_corpus_near_dup_capped": _cross_corpus_near_dup_capped,
+        "dedup_method_agreement": _dedup_method_agreement,
+        "ccnet_buckets": _ccnet_buckets,
         "ivf_pq_kmeans_topk": _ivf_pq_kmeans_topk,
         "ann_recall_ivfpq_kmeans": _ann_recall_ivfpq_kmeans,
-        "quality_classifier_auc": _quality_classifier_auc,
-        "simhash_near_pairs": _simhash_pairs,
+        "kmeans_exact_assign": _kmeans_exact_assign,
+        "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
         "ivf_kmeans_assign": _ivf_kmeans,
         "embedding_near_dup": _embedding_near_dup,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
@@ -7121,7 +7123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": _cdx_index,
         "warc_revisit_resolve": _warc_revisit_resolve,
         "warc_revisit_stats": _warc_revisit_stats,
-        "ccnet_buckets": _ccnet_buckets,
+        "simhash_near_pairs": _simhash_pairs,
         "line_repetition": _line_repetition,
         "debounce_events": _debounce,
         "ri_audit": _ri_audit,
@@ -7165,7 +7167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_plan": _recrawl_plan,
         "dsir_weights": _dsir_weights,
         "lsh_candidate_pairs_md5_capped": _lsh_pairs_md5_capped,
-        "cross_corpus_near_dup_capped": _cross_corpus_near_dup_capped,
+        "lsh_candidate_pairs_capped": _lsh_pairs_capped,
         "quality_twin_auc": _quality_twin_auc,
         "boilerplate_ngrams": _boilerplate_ngrams,
         "mixture_epochs": _mixture_epochs,
@@ -7268,10 +7270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_card_gate": _pii_card_gate,
         "mmr_diversify_ivf": _mmr_diversify_ivf,
         "curate_corpus_best": _curate_corpus_best,
-        "kmeans_exact_assign": _kmeans_exact_assign,
-        "ivf_kmeans_exact_topk": _ivf_kmeans_exact_topk,
+        "quality_classifier": _quality_classifier,
+        "quality_classifier_auc": _quality_classifier_auc,
         "compressibility_entropy": _compressibility_entropy,
-        "dedup_method_agreement": _dedup_method_agreement,
+        "compression_ratio": _compression_ratio,
         "packing_efficiency": _packing_efficiency,
         "lang_id": _lang_id,
         "bpe_token_count": _bpe_token_count,

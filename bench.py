@@ -311,6 +311,76 @@ FLAGSHIP25 = [
 ]
 
 
+# r15 (VERDICT r14 Next #2): the driver's PERF comparator populates
+# per_query / scaling ONLY from a "queries" dict inside the printed JSON
+# line — it does not read the queries_file side file.  The capture
+# buffer is 2000 bytes (BENCH_r03/r05: overflowing it makes the whole
+# line unparseable), so the full 192-entry dict cannot fit; we inline a
+# FIXED-priority subset, greedily filled to a byte budget, and keep the
+# complete medians + raw repeats in BENCH_runs.json as before.  The
+# priority list is append-only (entries are never removed or renamed)
+# so the inlined set is stable round over round.
+INLINE_PRIORITY = FLAGSHIP25_HEAD = [
+    # frozen comparability subset first (BASELINE.md §9)
+    "migration_8table",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_revenue",
+    "exact_dedup_groups",
+    "lsh_candidate_pairs_capped",
+    "simhash_near_pairs",
+    "span_dedup",
+    "semdedup",
+    "cross_corpus_near_dup_capped",
+    "cosine_topk",
+    "ivf_pq_topk",
+    "bm25_topk",
+    "repetition_stats",
+    "quality_twin_auc",
+    "vocab_topk",
+    "winnow_shared_pairs_capped",
+    "pii_luhn_cards",
+    "k_anonymity",
+    "image_meta_jpeg",
+    "sessionize",
+    "curate_corpus_best",
+    "hll_rolling_users",
+    "incremental_agg",
+    # VERDICT r14-named optimization targets (the entries whose
+    # round-over-round movement the judge needs visible)
+    "dedup_method_agreement",
+    "kmeans_exact_assign",
+    "ivf_kmeans_exact_topk",
+    "cms_join_size_custkey",
+    "index_routed_retrieval",
+    "ivf_kmeans_assign",
+    "warc_revisit_resolve",
+    "warc_revisit_stats",
+    "http_revisit_resolve",
+    "ccnet_buckets",
+    "ngram_perplexity",
+    "loghist_price_quantiles",
+    "quality_classifier",
+    "containment_adjacent",
+    "jaccard_adjacent",
+    "margin_mine",
+    "cc_ingest_funnel",
+    "sketch_validation_lineitem",
+    "host_pagerank",
+    "exact_substring_spans_exact",
+    "minhash_buckets_md5",
+    "embedding_near_dup",
+    "ivf_topk",
+    "multimodal_meta",
+    "corpus_filter",
+]
+
+# whole printed line must sit inside the driver's 2000-byte tail
+# capture; leave headroom for \n and any stray prefix bytes
+LINE_BYTE_BUDGET = 1900
+
+
 MIGRATION_PKS = {
     "region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey",
     "supplier": "s_suppkey", "part": "p_partkey", "orders": "o_orderkey",
@@ -586,26 +656,46 @@ def main() -> int:
             fh, indent=1,
         )
     sys.stdout.flush()
-    # VERDICT r5 Next #1: the final stdout line must stay inside the
-    # driver's ~2 KB tail capture — emit the compact summary ONLY
-    # (BENCH_r05 had "parsed": null because the 92-entry per-query dict
-    # overflowed the buffer).  Per-query medians + raw repeats live in
-    # BENCH_runs.json above.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                # frozen comparability subset (BASELINE.md §9): same 25
-                # entries every round from r7 on
-                "flagship25_total": flagship_total,
-                "queries_file": "BENCH_runs.json",
-            }
-        )
-    )
+    # VERDICT r5 Next #1 + r14 Next #2: the final stdout line must stay
+    # inside the driver's ~2 KB tail capture (BENCH_r05 had "parsed":
+    # null because the 92-entry per-query dict overflowed the buffer),
+    # AND the driver's per_query/scaling tables populate only from a
+    # "queries" dict inside this line.  Resolution: inline the
+    # fixed-priority subset up to LINE_BYTE_BUDGET; the complete
+    # medians + raw repeats stay in BENCH_runs.json.
+    base = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        # frozen comparability subset (BASELINE.md §9): same 25
+        # entries every round from r7 on
+        "flagship25_total": flagship_total,
+        "queries": {},
+        # host-speed calibration (BASELINE.md §21): single-core and
+        # 8-process md5 probe at run start/end, so an ambient-suspect
+        # headline is adjudicable from the line alone
+        "cpu_probe_ms": [
+            cpu_probe["start_ms"], cpu_probe["end_ms"],
+            cpu_probe["start_mc8_ms"], cpu_probe["end_mc8_ms"],
+        ],
+        "queries_file": "BENCH_runs.json",
+    }
+    fill_order = list(INLINE_PRIORITY) + [
+        n for n in timings if n not in INLINE_PRIORITY
+    ]
+    for name in fill_order:
+        if name not in timings:
+            continue
+        candidate = dict(base["queries"])
+        candidate[name] = timings[name]
+        trial = dict(base)
+        trial["queries"] = candidate
+        if len(json.dumps(trial, separators=(",", ":"))) > LINE_BYTE_BUDGET:
+            break
+        base["queries"] = candidate
+    print(json.dumps(base, separators=(",", ":")))
     return 0
 
 

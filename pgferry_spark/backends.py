@@ -208,7 +208,12 @@ class ParquetSource:
         r14: the memo is the SESSION-scoped read-only one, so repeated
         migrations of the same source dir (e.g. the bench's per-repeat
         pipeline) also share the listing — a source is read-only by
-        contract, exactly the path read_parquet_memo covers."""
+        contract, exactly the path read_parquet_memo covers.  If that
+        contract is ever broken (the source dir's FILES refreshed
+        in-process between two migrations), call
+        ``sources.parquet.invalidate_parquet_memo(self.root)`` before
+        the second run — the memoized plan pins the first read's file
+        listing (ADVICE r14)."""
         cached = self._df_cache.get(table)
         if cached is None:
             from .sources.parquet import read_parquet_memo

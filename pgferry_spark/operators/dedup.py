@@ -1799,7 +1799,16 @@ def cross_corpus_near_dup(
         #      narrow columns (spill-bounded, never payload).
         lb = lb_cache = lb.persist()
         keys = lb.select("band_id", "band_hash").distinct()
-        rb = rb.join(F.broadcast(keys), ["band_id", "band_hash"], "left_semi")
+        # ADVICE r14: the broadcast assumes `left` is the small
+        # (benchmark) side. That contract is not enforceable here, and a
+        # forced broadcast of a LARGE left's bands×|left| keys would
+        # collect them all to the driver. Guard with the optimizer's
+        # row estimate (no driver job on parquet-backed inputs): above
+        # ~4M keys (~80 MB framed) drop the hint and let the planner /
+        # AQE pick a distributed left-semi instead.
+        if _estimate_rows(left) * bands <= 4_000_000:
+            keys = F.broadcast(keys)
+        rb = rb.join(keys, ["band_id", "band_hash"], "left_semi")
         rb = (
             rb.withColumn(
                 "__n",

@@ -431,7 +431,8 @@ class MigrationPipeline:
         return max(1, self.cfg.effective_workers())
 
     def _move_wave(
-        self, wave: list[Table], parent_dfs: dict[str, DataFrame]
+        self, wave: list[Table], parent_dfs: dict[str, DataFrame],
+        sink: list[TableRunResult] | None = None,
     ) -> list[TableRunResult]:
         """Move one dependency wave — tables whose FK parents have all
         landed — concurrently when allowed, preserving ``wave`` order in
@@ -449,11 +450,40 @@ class MigrationPipeline:
 
         workers = min(self._table_parallelism(), len(wave))
         if workers <= 1 or len(wave) <= 1:
-            return [_one(t) for t in wave]
+            out: list[TableRunResult] = []
+            for t in wave:
+                res = _one(t)
+                out.append(res)
+                if sink is not None:
+                    sink.append(res)
+            return out
         from concurrent.futures import ThreadPoolExecutor
 
+        # ADVICE r14: submit futures individually and harvest every
+        # completed table before re-raising a failure — pool.map re-raises
+        # the FIRST failed table's exception and discards the
+        # TableRunResults of same-wave tables that finished; appending
+        # completed results to ``sink`` (the caller's result.tables) as
+        # they land keeps the run report's rows/seconds for every table
+        # that actually moved, matching the sequential loop's behavior
+        # (checkpoints already kept resume correct either way).
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            return list(pool.map(_one, wave))
+            futures = [pool.submit(_one, t) for t in wave]
+            results: list[TableRunResult] = []
+            first_exc: BaseException | None = None
+            for fut in futures:
+                try:
+                    res = fut.result()
+                except BaseException as exc:  # noqa: BLE001 — re-raised below
+                    if first_exc is None:
+                        first_exc = exc
+                    continue
+                results.append(res)
+                if sink is not None:
+                    sink.append(res)
+            if first_exc is not None:
+                raise first_exc
+            return results
 
     def _delete_range(self, table: str, chunk, pg_key: str) -> None:
         """Purge one chunk's key range from the target. ``delete_where``
@@ -534,8 +564,10 @@ class MigrationPipeline:
             ordered = _parents_first(tables)
             parent_dfs: dict[str, DataFrame] = {}
             for wave in _dependency_waves(ordered):
-                for res in self._move_wave(wave, parent_dfs):
-                    result.tables.append(res)
+                # completed tables append to result.tables as they land,
+                # so a wave failure still leaves the report reflecting
+                # every table that actually moved (ADVICE r14)
+                self._move_wave(wave, parent_dfs, sink=result.tables)
                 for table in wave:
                     if table.pg_name in referenced:
                         parent_dfs[table.pg_name] = self.cleaned_source_df(

@@ -339,13 +339,18 @@ def sketch_validation(
     base = spine.join(stats, "__col", "left")
     out = None
     if columns:
-        # inner joins: a numeric column whose histogram is empty (no
-        # positive values) has no quantile row and drops out entirely —
-        # the same semantics the per-column crossJoin chain had
+        # LEFT joins (ADVICE r14): a numeric column whose histogram is
+        # empty (all values non-positive, too small to scale past 0, or
+        # an empty table) has no quantile row — it must still keep its
+        # output row with NULL p50/p99, exactly as the old per-column
+        # crossJoin chain (whose groupBy().pivot() on an empty frame
+        # yields one all-NULL row) behaved and as the docstring
+        # promises. An inner join here silently omitted the column —
+        # including its reg_diff — masking a source/target divergence.
         num = (
             base.filter(F.col("__col").isin(list(columns)))
-            .join(quant(source, "src"), "__col")
-            .join(quant(target, "dst"), "__col")
+            .join(quant(source, "src"), "__col", "left")
+            .join(quant(target, "dst"), "__col", "left")
         )
         out = num
     if string_cols:

@@ -47,5 +47,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # stdout hygiene: the round driver parses the bench's final JSON
+        # line out of a 2000-byte combined-output tail capture; stage
+        # progress bars (\r-rewritten lines) share that buffer and have
+        # cost parses before (BENCH_r03/r05). No perf effect.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

@@ -83,6 +83,25 @@ def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def invalidate_parquet_memo(path_prefix: str | None = None) -> int:
+    """Drop memoized plan handles whose path starts with ``path_prefix``
+    (all of them when None). The explicit escape hatch for the one case
+    the read-only contract does not cover (ADVICE r14): a source
+    directory whose FILES changed in-process (e.g. refreshed between two
+    migrations in one long-lived session) — the memoized plan pins the
+    file listing taken at first read, so without invalidation a re-read
+    would return the old files. Returns the number of entries dropped."""
+    if path_prefix is None:
+        n = len(_READONLY_MEMO)
+        _READONLY_MEMO.clear()
+        return n
+    prefix = os.path.abspath(path_prefix)
+    doomed = [k for k in _READONLY_MEMO if k[1].startswith(prefix)]
+    for k in doomed:
+        del _READONLY_MEMO[k]
+    return len(doomed)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> dict[str, DataFrame]:
     """Load the driver-provided parquet tables as DataFrames."""
     return {t: read_parquet_memo(spark, os.path.join(sf_dir, f"{t}.parquet")) for t in tables}

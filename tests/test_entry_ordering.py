@@ -1,21 +1,24 @@
 """Pin the queries() ordering contract.
 
 The round driver oracle-checks only the FIRST 50 entries of
-__spark_entry__.queries() (CORRECTNESS_r01..r13 each contain exactly 50
-keys equal to dict positions 1-50).  Round-14 rotation (VERDICT r13
-Next #5): the window head is this round's 2 births (KN trigram LM
-perplexity, exact 50-char ExactSubstr), then the 8 standing rows-only
-entries — VERDICT r13 Next #3 EXTENDED the >6-rounds-stale rotation
-invariant to rows-only entries, whose last driver record dated to
-r05/r07; a window slot on one re-records its ``no_oracle`` +
-spark_rows row, the maximum-achievable driver signal for a
-zlib/xxhash64/MLlib-float entry — then the 40 stalest oracle-backed
-entries in tools/plan_rotation.py order (the r8-green embedding/ANN/
-curation block, then the leading r9-green robots block).
-No entry, oracle-backed or rows-only, goes >6 rounds without a fresh
-driver record under this rotation.  This test keeps the window
-arithmetic from silently regressing when entries are added or
-reordered.
+__spark_entry__.queries() (CORRECTNESS_r01..r14 each contain exactly 50
+keys equal to dict positions 1-50).
+
+Round-15 (VERDICT r14 Next #1 — an OPTIMIZATION round, so the window is
+held ~fixed rather than rotated): 45 of the 50 r14 window names stay
+put.  The only change repairs the r14 composition weakness (42/50
+oracle-backed): FIVE of the eight rows-only slots are swapped for the
+five heaviest oracle-backed entries the r15 optimizations touch
+(cross_corpus_near_dup_capped, dedup_method_agreement, ccnet_buckets,
+kmeans_exact_assign, ivf_kmeans_exact_topk), so the driver
+hash-verifies the rewritten plans directly.  THREE rows-only slots
+remain — exactly the MLlib-float entries riding the r15 k-means work
+(ivf_pq_kmeans_topk, ann_recall_ivfpq_kmeans, ivf_kmeans_assign), so
+their spark_rows signal still covers the change.  Net: 47/50
+oracle-backed, 45-name overlap with the r14 window, zero registry
+drops.  The five displaced entries take the positions the five
+promoted entries vacated (pure swaps), so every other entry's position
+is byte-identical to r14.
 """
 
 import importlib.util
@@ -34,27 +37,31 @@ def entry_mod():
     return mod
 
 
-# Window head: round-14 births, driver-checked at birth (host_pagerank
-# is the post-closing third birth — §19-addendum precedent — slotted
-# after the first two; robots_txt_rules slides to NEXT_IN_LINE head).
+# Window head: the r14 births (driver-checked at birth, kept in place —
+# zero churn against the r14 window for these).
 NEW_R14 = [
     "ngram_perplexity", "exact_substring_spans_exact", "host_pagerank",
 ]
 
-# Positions 4-11: the 8 standing rows-only entries, rotated through the
-# window this round to refresh their driver record (last contact
-# r05/r07; VERDICT r13 Next #3 extended the staleness invariant to
-# them).  Planner-stable order: the r5 block, then the r7 pair.
-ROWS_ONLY_WINDOW = [
-    "lsh_candidate_pairs_capped", "quality_classifier",
-    "compression_ratio", "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans",
-    "quality_classifier_auc", "simhash_near_pairs", "ivf_kmeans_assign",
+# Positions 4-11: five oracle-backed entries this round's optimizations
+# touch (promoted so the driver hash-verifies the rewritten plans) +
+# the three remaining rows-only slots (the MLlib-float k-means family,
+# which the r15 k-means work also touches — their spark_rows signal
+# covers it).
+R15_TOUCHED_BLOCK = [
+    "cross_corpus_near_dup_capped", "dedup_method_agreement",
+    "ccnet_buckets", "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans",
+    "kmeans_exact_assign", "ivf_kmeans_exact_topk", "ivf_kmeans_assign",
 ]
 
-# Positions 12-50: the stalest oracle-backed entries, planner-stable
-# order (the r8-green embedding/ANN/curation block, then the leading
-# r9-green robots block).
-ROTATED_STALEST = [
+ROWS_ONLY_WINDOW = [
+    "ivf_pq_kmeans_topk", "ann_recall_ivfpq_kmeans", "ivf_kmeans_assign",
+]
+
+# Positions 12-50: unchanged from the r14 window (held fixed per
+# VERDICT r14 Next #1 so PERF_r15's round-over-round comparison is
+# computable: 45-name overlap, zero dropped).
+HELD_FROM_R14 = [
     "embedding_near_dup", "embedding_near_dup_lsh", "embedding_dedup",
     "cosine_topk", "pairwise_cosine_topk", "ivf_assign", "ivf_topk",
     "corpus_filter", "lsh_topk", "lsh_topk_multiprobe", "multimodal_meta",
@@ -69,7 +76,7 @@ ROTATED_STALEST = [
     "blockword_flags", "robots_noindex_flags",
 ]
 
-# Positions 51+: next-stalest, first in line for the r15 rotation.
+# Positions 51+: unchanged; first in line for the r16 rotation.
 NEXT_IN_LINE = [
     "robots_txt_rules",
     "robots_disallow_filter", "robots_crawl_delays", "crawl_frontier",
@@ -84,14 +91,6 @@ NEXT_IN_LINE = [
 
 # Rows-only by design: xxhash64 fast paths carry no SQL oracle (their md5
 # twins do), and KMeans/LBFGS floats are iteration-order dependent.
-# r14 (VERDICT r13 Next #3): the superseded uncapped xxhash64 spellings
-# minhash_buckets and lsh_candidate_pairs are RETIRED from the registry —
-# their md5 twins are oracle-green and lsh_candidate_pairs_capped keeps
-# the intrinsic-hash production posture driver-visible; the xxhash64
-# library path stays pytest-pinned (test_plan_shapes fast-path plan,
-# test_dedup hash-family agreement).  The 8 remaining entries rotate
-# through the driver window like any other entry (their slot records the
-# rows-only signal); this round they occupy positions 4-11.
 ROWS_ONLY = {
     "simhash_near_pairs",
     "ivf_kmeans_assign",
@@ -118,30 +117,37 @@ N_QUERIES = 297
 def test_window_layout(entry_mod):
     names = list(entry_mod.queries().keys())
     assert names[:3] == NEW_R14
-    assert names[3:11] == ROWS_ONLY_WINDOW
-    assert names[11:50] == ROTATED_STALEST
+    assert names[3:11] == R15_TOUCHED_BLOCK
+    assert names[11:50] == HELD_FROM_R14
     assert names[50:71] == NEXT_IN_LINE
 
 
 def test_window_exactly_filled(entry_mod):
     # 3 + 8 + 39 == 50: no slot wasted
     first50 = set(list(entry_mod.queries().keys())[:50])
-    assert first50 == set(NEW_R14) | set(ROWS_ONLY_WINDOW) | set(
-        ROTATED_STALEST
+    assert first50 == set(NEW_R14) | set(R15_TOUCHED_BLOCK) | set(
+        HELD_FROM_R14
     )
 
 
-def test_rows_only_window_block_is_exactly_the_rows_only_set(entry_mod):
-    """This round's rows-only freshness pass (VERDICT r13 Next #3): ALL
-    8 standing rows-only entries — and nothing else without an oracle —
-    sit inside the window, so the driver re-records every one of their
-    rows-only signals in a single round and the staleness invariant
-    resets for the whole set at once."""
+def test_window_composition_rule(entry_mod):
+    """VERDICT r14 Next #1: >=45 oracle-backed slots, never more than 3
+    rows-only slots, and >=45 names shared with the r14 window so the
+    round-over-round comparison is computable."""
     first50 = list(entry_mod.queries().keys())[:50]
     oracles = set(entry_mod.oracle_sql())
     no_oracle_in_window = [n for n in first50 if n not in oracles]
     assert no_oracle_in_window == ROWS_ONLY_WINDOW
-    assert set(ROWS_ONLY_WINDOW) == ROWS_ONLY
+    assert len(no_oracle_in_window) <= 3
+    assert sum(1 for n in first50 if n in oracles) >= 45
+    # the r14 window (CORRECTNESS_r14.json keys): 45-name overlap
+    import json
+
+    r14_window = set(
+        json.load(open(Path(__file__).resolve().parent.parent
+                       / "CORRECTNESS_r14.json"))
+    )
+    assert len(set(first50) & r14_window) >= 45
 
 
 def test_no_entries_lost_in_reorder(entry_mod):

@@ -705,6 +705,39 @@ def test_sketch_validation_flags_doctored_target(spark):
     assert bad["id"].reg_diff > 0 and bad["v"].reg_diff > 0
 
 
+def test_sketch_validation_keeps_empty_histogram_column(spark):
+    """ADVICE r14 (high): a numeric column whose log-histogram is empty
+    (all values non-positive or NULL) must KEEP its output row — with
+    reg_diff and estimates present and NULL p50/p99 — not silently drop
+    out of the report. A silently-omitted column would mask a real
+    source/target divergence (its reg_diff vanishes with the row)."""
+    from pgferry_spark.plans.validation import sketch_validation
+
+    src = spark.createDataFrame(
+        [(0.0,), (-1.0,), (None,)], "c double"
+    )
+    rows = {r.column: r for r in sketch_validation(src, src, ["c"]).collect()}
+    assert set(rows) == {"c"}
+    r = rows["c"]
+    assert r.reg_diff == 0
+    assert r.est_distinct_src is not None
+    assert r.p50_src is None and r.p99_src is None and r.p50_dst is None
+
+    # mixed case: the healthy column and the empty-histogram column both
+    # report, and the divergence on the empty one is still visible
+    src2 = spark.createDataFrame(
+        [(i, 0.0) for i in range(200)], ["id", "z"]
+    )
+    bad2 = spark.createDataFrame(
+        [(i, -1.0 * i) for i in range(200)], ["id", "z"]
+    )
+    rep = {r.column: r for r in
+           sketch_validation(src2, bad2, ["id", "z"]).collect()}
+    assert set(rep) == {"id", "z"}
+    assert rep["id"].reg_diff == 0
+    assert rep["z"].reg_diff > 0  # caught even with both histograms empty
+
+
 def test_sketch_validation_string_cols(spark):
     """String columns validate by register comparison (no quantiles):
     identical sets give reg_diff 0; a case change is caught even at a
