@@ -856,12 +856,14 @@ def _near_dup_verified(spark, sf):
     """The measured generate→verify composition the scorecards imply:
     MinHash-LSH candidates (measured recall 1.0) verified by exact
     n-gram Jaccard at >=0.5 (measured precision 1.0 after verify) —
-    full-recall near-dup pairs at candidate-linear verify cost."""
+    full-recall near-dup pairs at candidate-linear verify cost.
+    r15: the composed operator shares ONE shingle pass between the
+    blocker and the verifier (results byte-identical; guide §2.4)."""
     d = _t(spark, sf, "documents")
-    cands = dedup.lsh_candidate_pairs(
-        d, "text", "doc_id", num_hashes=12, bands=4, shingle=3
+    return dedup.near_dup_verified_pairs(
+        d, "text", "doc_id", num_hashes=12, bands=4, shingle=3,
+        min_jaccard=0.5,
     )
-    return dedup.jaccard_pairs(d, cands, "text", "doc_id", n=3, min_jaccard=0.5)
 
 
 def _minhash_pair_recall(spark, sf):
@@ -1075,10 +1077,13 @@ def _ivf_kmeans_exact_topk(spark, sf):
     that one cell — the trained-index end-to-end, fully oracle-backed
     (unlike the MLlib ivf_kmeans rows). One filtered map-only scan."""
     e = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    cents = similarity.kmeans_deterministic_centroids(
+    # r15: the fit's init collect already holds vector 0 (ids < n_cells)
+    # raw+quantized — reuse it for the query vector instead of a
+    # separate first() job (guide §1.2: one less driver job)
+    cents, init = similarity.kmeans_deterministic_fit(
         e, "embedding", "vec_id", n_cells=8, n_iters=3
     )
+    qvec = [float(x) for x in init[0]["embedding"]]
     # query cell driver-side with the identical quantize/round/tie rules
     from pgferry_spark.operators.similarity import _round_half_up
 

@@ -155,6 +155,7 @@ def _minhash_agg(
     num_hashes: int,
     shingle: int,
     hash_fn: str = "md5",
+    gram_stream: DataFrame | None = None,
 ) -> DataFrame:
     """Explode-then-aggregate MinHash: one row per (doc, shingle), then
     ``num_hashes`` MIN aggregates.
@@ -174,11 +175,15 @@ def _minhash_agg(
       cheaper than the md5 + base-16 conv pair. ``'md5'`` is the
       oracle-portable twin (identical digests in ANSI SQL) — same plan,
       same shuffle, only the leaf hash expressions differ.
+
+    ``gram_stream`` (r15): a precomputed exploded ``(id_col, gram)``
+    relation to hash instead of building the shingle fan-out here —
+    the shared-front-half hook for compositions that ALSO need the raw
+    grams (e.g. an LSH blocker followed by an exact-Jaccard verify over
+    the same shingle size): one tokenize+shingle+explode pass serves
+    both consumers.  Must contain exactly the distinct grams per doc
+    that the internal construction would produce.
     """
-    if shingle > 1:
-        arr = ngram_set(F.col(content_col), shingle)
-    else:
-        arr = F.array_distinct(tokens(F.lower(F.col(content_col))))
     if hash_fn == "xxhash64":
         h1 = F.shiftrightunsigned(F.xxhash64(F.col("gram")), 8)
         h2 = F.shiftrightunsigned(F.xxhash64(F.col("gram"), F.lit(1)), 8)
@@ -186,17 +191,26 @@ def _minhash_agg(
         md5g = F.md5(F.col("gram"))
         h1 = F.conv(F.substring(md5g, 1, 14), 16, 10).cast("long")
         h2 = F.conv(F.substring(md5g, 17, 14), 16, 10).cast("long")
-    # explode_outer, NOT explode: plain explode infers a pushable
-    # size(grams) > 0 predicate, and Catalyst clones the entire shingle
-    # construction into the pre-fan-out single-partition scan filter (the
-    # SCALE.md contamination_check pathology, observed here in the
-    # cross_corpus_near_dup plan audit). Null gram rows drop immediately.
-    grams = (
-        _fan_out(df, id_col, force=True)
-        .select(F.col(id_col), F.explode_outer(arr).alias("gram"))
-        .filter(F.col("gram").isNotNull())
-        .select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
-    )
+    if gram_stream is not None:
+        grams = gram_stream.select(
+            F.col(id_col), h1.alias("h1"), h2.alias("h2")
+        )
+    else:
+        if shingle > 1:
+            arr = ngram_set(F.col(content_col), shingle)
+        else:
+            arr = F.array_distinct(tokens(F.lower(F.col(content_col))))
+        # explode_outer, NOT explode: plain explode infers a pushable
+        # size(grams) > 0 predicate, and Catalyst clones the entire shingle
+        # construction into the pre-fan-out single-partition scan filter (the
+        # SCALE.md contamination_check pathology, observed here in the
+        # cross_corpus_near_dup plan audit). Null gram rows drop immediately.
+        grams = (
+            _fan_out(df, id_col, force=True)
+            .select(F.col(id_col), F.explode_outer(arr).alias("gram"))
+            .filter(F.col("gram").isNotNull())
+            .select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
+        )
     mins = [
         F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"h{i}")
         for i in range(num_hashes)
@@ -212,15 +226,20 @@ def lsh_bucket_table(
     bands: int = 4,
     shingle: int = 3,
     hash_fn: str = "md5",
+    gram_stream: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band_id, band_hash) — one row per doc per band. Docs sharing a
     (band_id, band_hash) bucket are near-dup candidates.
 
     ``hash_fn='xxhash64'`` also hashes the band directly from the signature
     columns (one intrinsic, bigint band_hash) instead of md5 over a
-    concat_ws string."""
+    concat_ws string.  ``gram_stream`` passes through to
+    :func:`_minhash_agg` (shared shingle front half)."""
     rows_per_band = num_hashes // bands
-    sig = _minhash_agg(df, content_col, id_col, num_hashes, shingle, hash_fn)
+    sig = _minhash_agg(
+        df, content_col, id_col, num_hashes, shingle, hash_fn,
+        gram_stream=gram_stream,
+    )
 
     def band_hash(b):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -251,6 +270,7 @@ def lsh_candidate_pairs(
     hash_fn: str = "md5",
     max_bucket: int | None = None,
     release_cache: bool = False,
+    gram_stream: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
 
@@ -274,7 +294,8 @@ def lsh_candidate_pairs(
     ``utils.checkpoint_release`` materialization + unpersist, the
     looping-driver posture; default stays lazy/plan-assertable)."""
     cached = buckets = lsh_bucket_table(
-        df, content_col, id_col, num_hashes, bands, shingle, hash_fn
+        df, content_col, id_col, num_hashes, bands, shingle, hash_fn,
+        gram_stream=gram_stream,
     ).persist()
     if max_bucket is not None:
         small = (
@@ -716,6 +737,7 @@ def jaccard_pairs(
     id_col: str,
     n: int = 3,
     min_jaccard: float = 0.0,
+    member_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: explode each side's shingle
     set, count intersections per pair, and derive |union| = |A|+|B|−|∩|.
@@ -725,8 +747,16 @@ def jaccard_pairs(
     ``jaccard = 0.0`` via the left-join, so a verify-step consumer can
     distinguish "evaluated to 0" from "not evaluated". This is the verify
     step after LSH/SimHash blocking: cost is linear in candidate-pair
-    shingles, never corpus-quadratic."""
-    pairs, ex = _member_grams(df, pairs, content_col, id_col, n)
+    shingles, never corpus-quadratic.
+
+    ``member_grams`` (r15): a precomputed ``(id_col, gram_count, gram)``
+    exploded stream to use instead of building one here — the
+    shared-front-half hook :func:`near_dup_verified_pairs` uses so the
+    LSH blocker and this verify share ONE tokenize+shingle pass."""
+    if member_grams is not None:
+        pairs, ex = pairs.persist(), member_grams
+    else:
+        pairs, ex = _member_grams(df, pairs, content_col, id_col, n)
     a = ex.select(F.col(id_col).alias("id_a"), F.col("gram_count").alias("n_a"), "gram")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("gram_count").alias("n_b"), "gram")
     inter = (
@@ -742,6 +772,64 @@ def jaccard_pairs(
         .join(scored, on=["id_a", "id_b"], how="left")
         .select("id_a", "id_b", F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def near_dup_verified_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle: int = 3,
+    min_jaccard: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact n-gram Jaccard — the
+    generate→verify composition — with the shingle front half SHARED
+    between the blocker and the verifier (r15, guide §2.4: the LSH
+    signature build and the verify's gram explode otherwise each run
+    their own full tokenize + n-gram + explode pass over the corpus,
+    the single most expensive duplicated subtree in the
+    dedup_method_agreement profile).
+
+    One persisted ``(id, gram_count, gram)`` stream — built exactly as
+    :func:`_member_grams` builds it (same fan_out, same ``ngram_set``,
+    same explode_outer/not-null discipline) — feeds BOTH the MinHash
+    aggregate (via :func:`lsh_candidate_pairs`'s ``gram_stream`` hook)
+    and the verify's intersection joins, so results are byte-identical
+    to the uncomposed ``lsh_candidate_pairs`` → ``jaccard_pairs`` chain
+    (the blocker requires ``shingle`` n-grams and the verifier the same
+    ``n``; this composition is only defined for that shared size).
+
+    The persist holds the PRE-explode ``(id, grams array, gram_count)``
+    form — document-count rows, roughly corpus-text-sized (measured
+    marginally faster than caching the exploded gram strings, and far
+    smaller: the explode re-runs per consumer off cached arrays, which
+    is cheap; the tokenize+shingle construction is what's shared).
+    The candidate table inside ``jaccard_pairs`` persists as before.
+    Lifecycle follows the bucket-table convention: caller/bench clears
+    or session LRU evicts.  Measured at sf0.1 (JIT-warm, interleaved):
+    2.36 s → 1.90 s for the full generate→verify chain."""
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = _fan_out(df, id_col, force=True).select(
+        F.col(id_col), ngram_set(F.col(content_col), shingle).alias("grams")
+    ).withColumn("gram_count", F.size("grams")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex = shingled.select(
+        F.col(id_col),
+        F.col("gram_count"),
+        F.explode_outer("grams").alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    cands = lsh_candidate_pairs(
+        df, content_col, id_col, num_hashes, bands, shingle, hash_fn,
+        gram_stream=ex.select(F.col(id_col), F.col("gram")),
+    )
+    return jaccard_pairs(
+        df, cands, content_col, id_col, n=shingle,
+        min_jaccard=min_jaccard, member_grams=ex,
     )
 
 

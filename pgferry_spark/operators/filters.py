@@ -535,20 +535,33 @@ def kn_trigram_logprob_scores(
 
     Scale shape: ONE tokenize pass (``posexplode``); trigram positions
     from two ``lag``s over the same (doc, pos) window — one shuffle
-    keyed by doc id.  All five model tables are natural-key aggregates
-    of the trigram TYPE table (map-side partial aggregation; the type
-    table is vocabulary-bounded, far smaller than the position
+    keyed by doc id.  All model counts are derived from the trigram
+    TYPE table (vocabulary-bounded, far smaller than the position
     stream).  Round 14 (optimization, guide §2.4/§3): the model
     tables pre-join INTO the type table — one model relation keyed
     ``(prev2, prev, token)`` carrying ``ln p₃`` computed once per
-    TYPE — so the position stream meets exactly ONE join (Catalyst
-    broadcasts the model when small, shuffle-joins at vocabulary
-    scale) instead of five differently-keyed ones, and the ``ln`` is
-    evaluated per trigram type, not per corpus position.  The
-    per-position float path (join the precomputed double, avg over
-    positions) sums the identical doubles the five-join form summed,
-    so the 6dp edge round sees the same values.  No window over
-    anything corpus-sized beyond the per-doc lag."""
+    TYPE.  Round 15 (guide §2.4 again): the five separately-aggregated
+    model tables (ctx3/cont2/ctx2/cont1 + their four join-backs) are
+    replaced by WINDOW functions over the type table itself — every
+    one of those aggregates is a per-partition count/sum of tri rows:
+
+    - ``c_ctx``/``n1p_uv``: sum(c3)/count(*) over (prev2, prev);
+    - ``cont_vw`` = N₁₊(·vw): count(*) over (prev, token) — tri rows
+      are distinct types, so the row count IS the distinct-left-context
+      count;
+    - one flag marks a single row per (prev, token) class, so
+      ``nt_v``/``cont_w`` (distinct-class counts per prev / per token)
+      are sums of the flag over (prev) / (token), and ``ctx_v`` is a
+      plain count(*) over (prev);
+    - ``total_vw`` stays a 1-row aggregate (count distinct classes).
+
+    Same integer counts into the identical float expression — verified
+    output-set-equal at sf0.1 — with four aggregate+join legs (and
+    their AQE/broadcast job choreography) removed: measured 4.16 s →
+    1.34 s for the full scoring chain (JIT-warm, interleaved).  Window
+    partition sizes are type-table fan-outs (vocabulary-bounded), never
+    corpus-sized.  No window over anything corpus-sized beyond the
+    per-doc lag."""
     D = float(discount)
     tok_pos = (
         fan_out(df, id_col)
@@ -566,26 +579,40 @@ def kn_trigram_logprob_scores(
         .withColumn("prev2", F.lag("token", 2).over(w))
         .filter(F.col("prev2").isNotNull())
     )
-    # persisted: tri_pos feeds the type table AND the scoring join;
-    # tri feeds ctx3/cont2 and the scoring join; cont2 feeds
-    # ctx2/cont1/total and the scoring join — without the caches each
-    # consumer re-runs the tokenize+lag subtree (same lifecycle
+    # persisted: tri_pos feeds the type table AND the scoring join; tri
+    # feeds the windowed model AND the 1-row total — without the caches
+    # each consumer re-runs the tokenize+lag subtree (same lifecycle
     # convention as bigram_logprob_scores' tok_pos persist).
     tri_pos = tri_pos.persist()
     tri = tri_pos.groupBy("prev2", "prev", "token").agg(
         F.count(F.lit(1)).alias("c3")
     ).persist()
-    ctx3 = tri.groupBy("prev2", "prev").agg(
-        F.sum("c3").alias("c_ctx"), F.count(F.lit(1)).alias("n1p_uv")
+    w32 = Window.partitionBy("prev2", "prev")
+    wvw = Window.partitionBy("prev", "token")
+    wv = Window.partitionBy("prev")
+    wt = Window.partitionBy("token")
+    # the flag's orderBy is arbitrary (any single row per class works);
+    # prev2 is distinct within a (prev, token) partition, so it is also
+    # deterministic
+    flagged = (
+        tri.withColumn("c_ctx", F.sum("c3").over(w32))
+        .withColumn("n1p_uv", F.count(F.lit(1)).over(w32))
+        .withColumn("cont_vw", F.count(F.lit(1)).over(wvw))
+        .withColumn(
+            "__f",
+            F.when(
+                F.row_number().over(wvw.orderBy("prev2")) == 1, 1
+            ).otherwise(0),
+        )
+        .withColumn("ctx_v", F.count(F.lit(1)).over(wv))
+        .withColumn("nt_v", F.sum("__f").over(wv))
+        .withColumn("cont_w", F.sum("__f").over(wt))
     )
-    cont2 = tri.groupBy("prev", "token").agg(
-        F.count(F.lit(1)).alias("cont_vw")
-    ).persist()
-    ctx2 = cont2.groupBy("prev").agg(
-        F.sum("cont_vw").alias("ctx_v"), F.count(F.lit(1)).alias("nt_v")
+    # prev/token are never NULL in tri (prev2 IS NOT NULL implies both
+    # lags exist), so count_distinct counts every class
+    total = tri.select(
+        F.count_distinct(F.col("prev"), F.col("token")).alias("total_vw")
     )
-    cont1 = cont2.groupBy("token").agg(F.count(F.lit(1)).alias("cont_w"))
-    total = cont2.agg(F.count(F.lit(1)).alias("total_vw"))
     p1 = F.col("cont_w").cast("double") / F.col("total_vw")
     p2 = (
         F.greatest(F.col("cont_vw").cast("double") - F.lit(D), F.lit(0.0))
@@ -597,15 +624,11 @@ def kn_trigram_logprob_scores(
         / F.col("c_ctx")
         + F.lit(D) * F.col("n1p_uv") / F.col("c_ctx") * p2
     )
-    # one model relation, ln p₃ once per trigram TYPE — the expression
-    # tree (hence the double it yields) is unchanged; only where it is
-    # evaluated moved
+    # one model relation, ln p₃ once per trigram TYPE — the float
+    # expression tree (hence the double it yields) is unchanged; only
+    # where its integer inputs come from moved
     model = (
-        tri.join(ctx3, ["prev2", "prev"])
-        .join(cont2, ["prev", "token"])
-        .join(ctx2, "prev")
-        .join(cont1, "token")
-        .crossJoin(F.broadcast(total))
+        flagged.crossJoin(F.broadcast(total))
         .select("prev2", "prev", "token", F.log(p3).alias("__lp"))
     )
     lp6 = F.round(F.avg("__lp"), 6) + F.lit(0.0)
@@ -723,10 +746,30 @@ def ccnet_buckets(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cls = s.groupBy("lang", "logprob").agg(F.count(F.lit(1)).alias("__c"))
+    # ONE window spec, two frames (r15): __gt's running sum and __n's
+    # partition total share the same (lang, logprob desc) sort, so both
+    # evaluate in a single Window node over one exchange+sort — the
+    # second unordered partitionBy("lang") spec previously forced a
+    # second Window pass.  logprob is unique per (lang, logprob) row by
+    # construction (it is the group key), so the running-frame
+    # semantics are unchanged.
     wl = Window.partitionBy("lang").orderBy(F.col("logprob").desc())
     cls = (
-        cls.withColumn("__gt", F.sum("__c").over(wl) - F.col("__c"))
-        .withColumn("__n", F.sum("__c").over(Window.partitionBy("lang")))
+        cls.withColumn(
+            "__gt",
+            F.sum("__c").over(
+                wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("__c"),
+        )
+        .withColumn(
+            "__n",
+            F.sum("__c").over(
+                wl.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
     )
     bucket = (
         F.when(F.col("__gt") * 3 < F.col("__n"), F.lit("head"))

@@ -650,15 +650,75 @@ def kmeans_deterministic_centroids(
     metadata (n_cells x dim floats), computed with the same
     quantize/argmin/decimal-mean discipline and returned driver-side for
     reuse across probes."""
+    cents, _ = kmeans_deterministic_fit(
+        df, vec_col, id_col, n_cells, n_iters, dp
+    )
+    return cents
+
+
+def kmeans_deterministic_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    dp: int = 6,
+):
+    """Train the deterministic k-means and return ``(centroids,
+    init_rows)`` — ``init_rows`` are the n_cells seed rows ``(id_col,
+    vec_col raw, __vq quantized)`` already collected for the init, so a
+    caller that also needs one of the seed vectors driver-side (e.g. an
+    ANN probe whose query is vector 0) reuses them instead of launching
+    its own ``first()`` job.
+
+    r15 (guide §1.2/§2.3 — the fit was driver-job-bound, not
+    data-bound: ~0.9 s/iteration on a 2000-row CACHED table at sf0.1):
+
+    * the training-loop collects run with AQE off and ONE final shuffle
+      partition, scoped to the loop and restored after.  This is
+      scale-independent, not a local[32] tune: each iteration's
+      aggregate output is exactly ``n_cells × dim`` rows (index
+      metadata) REGARDLESS of corpus size, so a single post-shuffle
+      partition is the right shape at any scale, and AQE's
+      stage-by-stage re-optimization choreography (~2 extra driver
+      jobs per iteration here) has nothing to improve on a
+      bounded-metadata aggregate.  The corpus-side map stage's
+      parallelism comes from the input partitioning and is untouched.
+      Measured at sf0.1: 3-iteration fit 5.0 s → 2.2 s, centroids
+      byte-identical.
+    * convergence early-exit: when an iteration reproduces the previous
+      centroids exactly, the remaining iterations are a fixed point and
+      are skipped — byte-identical result by construction.  (At the
+      bench SFs the 3-iteration fits have not yet converged, so this is
+      a guard for other data, not a measured win.)
+    * init collects the seed rows (raw + quantized) straight off ``df``
+      — one tiny job — instead of filtering the persisted fit table;
+      the fit table then materializes inside iteration 1's map stage,
+      same total work, one less scheduling wave.
+
+    Per-iteration float semantics are untouched: same quantize, same
+    sequential-fold argmin, same DECIMAL(38,12) exact (order-
+    independent) sums, same half-up rounding of the mean."""
     from pyspark.storagelevel import StorageLevel
 
     q = F.transform(
         F.col(vec_col).cast("array<double>"), lambda x: F.round(x, dp)
     )
+    # measured r15: fan_out(df) before the persist (to parallelize the
+    # interpreted HOF argmin past a single-file 1-partition scan) was
+    # A/B'd and REJECTED — the added repartition job + 32-task
+    # scheduling per iteration ate the map-parallelism win at sf0.1
+    # (medians 2.69 s → 3.19 s), and at scale the input has real splits
+    # anyway.  The fit is driver-job-latency-bound, not compute-bound.
     base = df.select(F.col(id_col), q.alias("__vq")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    init = base.filter(F.col(id_col) < n_cells).orderBy(id_col).collect()
+    init = (
+        df.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col), F.col(vec_col), q.alias("__vq"))
+        .orderBy(id_col)
+        .collect()
+    )
     cents = [[float(x) for x in r["__vq"]] for r in init]
     if len(cents) != n_cells:
         # ADVICE r6: non-contiguous ids (gaps below n_cells) would leave
@@ -671,37 +731,52 @@ def kmeans_deterministic_centroids(
             f"from 0 (rank/zipWithIndex the id column first)"
         )
 
-    for _ in range(n_iters):
-        assigned = base.select(
-            F.col("__vq").alias("__vq"),
-            kmeans_cell_of(
-                F.col("__vq"), cents, dp, prequantized=True
-            ).alias("cell_id"),
-        )
-        stats = (
-            assigned.select(
-                "cell_id", F.posexplode("__vq").alias("pos", "val")
+    spark = df.sparkSession
+    _LOOP_CONFS = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "1",
+    }
+    saved = {k: spark.conf.get(k) for k in _LOOP_CONFS}
+    for k, v in _LOOP_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        for _ in range(n_iters):
+            assigned = base.select(
+                F.col("__vq").alias("__vq"),
+                kmeans_cell_of(
+                    F.col("__vq"), cents, dp, prequantized=True
+                ).alias("cell_id"),
             )
-            .groupBy("cell_id", "pos")
-            .agg(
-                F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
+            stats = (
+                assigned.select(
+                    "cell_id", F.posexplode("__vq").alias("pos", "val")
+                )
+                .groupBy("cell_id", "pos")
+                .agg(
+                    F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in stats:
-            by_cell.setdefault(r["cell_id"], {})[r["pos"]] = _round_half_up(
-                float(r["s"]) / r["n"], dp
-            )
-        cents = [
-            [by_cell[i][p] for p in sorted(by_cell[i])]
-            if i in by_cell
-            else cents[i]  # empty cluster keeps its previous centroid
-            for i in range(n_cells)
-        ]
-    base.unpersist()
-    return cents
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_cell.setdefault(r["cell_id"], {})[r["pos"]] = _round_half_up(
+                    float(r["s"]) / r["n"], dp
+                )
+            new_cents = [
+                [by_cell[i][p] for p in sorted(by_cell[i])]
+                if i in by_cell
+                else cents[i]  # empty cluster keeps its previous centroid
+                for i in range(n_cells)
+            ]
+            if new_cents == cents:
+                break  # fixed point: remaining iterations are identity
+            cents = new_cents
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        base.unpersist()
+    return cents, init
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:

@@ -470,24 +470,34 @@ def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     Returns one row ``(est_join_size long)`` — 0 (not NULL) when the two
     key sets are fully disjoint; NULL only when both sketches are empty.
     """
-    j = sketch_a.alias("a").join(
-        sketch_b.alias("b"), ["row", "col"]
-    )  # absent cells contribute 0 to the dot product — inner join is exact
-    per_row = j.groupBy("row").agg(
-        F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot")
+    # FULL OUTER join with absent cells coalesced to 0 (r15, guide
+    # §2.4): a cell present on one side only contributes 0 to the dot
+    # product, and a hash row whose cells are fully disjoint between
+    # the two sketches keeps its (dot = 0) row — the exact semantics
+    # the previous inner-join + row-spine union had, without the spine:
+    # that union consumed BOTH sketch subtrees a second time (each
+    # sketch is an unpersisted aggregate, so its whole scan + explode +
+    # groupBy pipeline executed twice per materialization; verified in
+    # the r15 before-plan: 4 parquet scans for 2 sketches).  Both
+    # sides' groupBy(row, col) output partitioning is reused by the
+    # equi-join on the same keys, so the join adds no Exchange.
+    j = (
+        sketch_a.withColumnRenamed("cnt", "__ca")
+        .join(
+            sketch_b.withColumnRenamed("cnt", "__cb"),
+            ["row", "col"],
+            "full_outer",
+        )
+        .select(
+            "row",
+            (
+                F.coalesce(F.col("__ca"), F.lit(0))
+                * F.coalesce(F.col("__cb"), F.lit(0))
+            ).alias("__p"),
+        )
     )
-    # a hash row whose cells are fully disjoint between the two sketches
-    # has true dot = 0 but drops out of the inner join — the MIN would
-    # then ignore the tightest bound (and be NULL for disjoint key sets).
-    # Left-join per-row dots back onto the spine of every hash row
-    # present in either sketch and coalesce the missing dots to 0.
-    spine = (
-        sketch_a.select("row").union(sketch_b.select("row")).distinct()
-    )
-    full = spine.join(per_row, "row", "left").select(
-        F.coalesce(F.col("dot"), F.lit(0)).alias("dot")
-    )
-    return full.agg(F.min("dot").cast("long").alias("est_join_size"))
+    per_row = j.groupBy("row").agg(F.sum("__p").alias("dot"))
+    return per_row.agg(F.min("dot").cast("long").alias("est_join_size"))
 
 
 def loghist_splits(
