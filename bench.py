@@ -320,7 +320,7 @@ FLAGSHIP25 = [
 # complete medians + raw repeats in BENCH_runs.json as before.  The
 # priority list is append-only (entries are never removed or renamed)
 # so the inlined set is stable round over round.
-INLINE_PRIORITY = FLAGSHIP25_HEAD = [
+INLINE_PRIORITY = [
     # frozen comparability subset first (BASELINE.md §9)
     "migration_8table",
     "q1_pricing_summary",

@@ -752,7 +752,13 @@ def jaccard_pairs(
     ``member_grams`` (r15): a precomputed ``(id_col, gram_count, gram)``
     exploded stream to use instead of building one here — the
     shared-front-half hook :func:`near_dup_verified_pairs` uses so the
-    LSH blocker and this verify share ONE tokenize+shingle pass."""
+    LSH blocker and this verify share ONE tokenize+shingle pass.
+
+    Cache lifecycle (ADVICE r14): the candidate table persists inside
+    this call and is NOT unpersisted on any code path here — a
+    long-lived driver looping over corpora must
+    ``spark.catalog.clearCache()`` (or unpersist the inputs it owns)
+    between iterations, the same convention as the LSH bucket table."""
     if member_grams is not None:
         pairs, ex = pairs.persist(), member_grams
     else:
@@ -1715,7 +1721,10 @@ def containment_pairs(
     quoted inside a long article has tiny Jaccard but containment ≈ 1 on
     the paragraph side).  Same candidate-linear join shape as
     :func:`jaccard_pairs` (this is the verify step after blocking);
-    every input pair appears, zero-intersection pairs at 0.0."""
+    every input pair appears, zero-intersection pairs at 0.0.
+    Cache lifecycle: same convention as :func:`jaccard_pairs` — the
+    internal candidate persist is caller-released (clearCache between
+    corpus iterations in a long-lived driver)."""
     pairs, ex = _member_grams(df, pairs, content_col, id_col, n)
     a = ex.select(F.col(id_col).alias("id_a"), F.col("gram_count").alias("n_a"), "gram")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("gram_count").alias("n_b"), "gram")

@@ -783,13 +783,26 @@ def publish_zipnum_sharded(
             publish_atomic(state["tmp"], os.path.join(out_dir, fn))
         yield pd.DataFrame(rows)
 
-    collected = (
-        lines.repartitionByRange(n_shards, *[F.col(c) for c in _CDXJ_ORDER])
-        .sortWithinPartitions(*_CDXJ_ORDER)
-        .select("cdxj_line")
-        .mapInPandas(write_shard, schema=schema)
-        .collect()
-    )
+    # r15 (guide §2.4): repartitionByRange SAMPLES its input to pick the
+    # range boundaries, so the whole ``lines`` subtree (typically the
+    # CDXJ assembly off the capture index) executed twice per publish —
+    # once for the sampling pass, once for the real write.  The index
+    # lines are slim by contract (five narrow columns, block-count
+    # bounded), so a scoped persist turns the sampling pass into a cache
+    # read.  Released before return — publish is a terminal action, so
+    # nothing downstream re-reads it.
+    from ..utils import persisted
+
+    with persisted(lines):
+        collected = (
+            lines.repartitionByRange(
+                n_shards, *[F.col(c) for c in _CDXJ_ORDER]
+            )
+            .sortWithinPartitions(*_CDXJ_ORDER)
+            .select("cdxj_line")
+            .mapInPandas(write_shard, schema=schema)
+            .collect()
+        )
     cluster = sorted(
         (r.asDict() for r in collected),
         key=lambda c: (c["first_key"], c["filename"], c["offset"]),
